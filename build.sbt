@@ -23,7 +23,13 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// POSIX locale in the container breaks unicode filenames (e.g. the
+// reference's `data=😈` partition dir): sun.jnu.encoding is fixed at JVM
+// bootstrap from the environment, so the forked JVMs need LANG set.
+Test / envVars += "LANG" -> "C.UTF-8"
+run / envVars += "LANG" -> "C.UTF-8"
 javaOptions ++= jdk17AddOpens ++ Seq(
+  "-Dfile.encoding=UTF-8",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

@@ -1,0 +1,134 @@
+package graft.delta
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
+import scala.collection.mutable.ArrayBuffer
+
+/** Native Delta transaction-log handle (no delta-spark dependency).
+  *
+  * Replay strategy (SURVEY.md §2b): snapshot state = newest complete
+  * checkpoint ≤ v (read with Spark — checkpoints can be arbitrarily
+  * large) + the JSON commit tail (cp, v] (parsed driver-side — the tail
+  * is bounded by the checkpoint interval and is a handful of KB).
+  * Reconciliation of adds vs removes happens in a Spark job so the
+  * active-file set never has to fit in driver memory before pruning
+  * (see [[Snapshot.adds]]).
+  *
+  * Behavior mirrors what the reference gets from delta-rs
+  * (`DeltaTable(path)`, /root/reference/levi/__init__.py:3) as pinned by
+  * the reader corpus under /root/reference/tests/reader_tests/generated/.
+  */
+class DeltaLog(val spark: SparkSession, val tablePath: String) {
+  import DeltaLog._
+
+  val rootPath = new Path(tablePath)
+  val logPath = new Path(rootPath, "_delta_log")
+  def fs: FileSystem = logPath.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** (commit versions present, complete checkpoint versions present) */
+  def listLog(): (Seq[Long], Seq[Long]) = {
+    val files =
+      if (!fs.exists(logPath)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(logPath)
+    val names = files.map(_.getPath.getName)
+    val commits = names.collect { case CommitFileRe(v) => v.toLong }.sorted.toSeq
+    val singleCps = names.collect { case CheckpointFileRe(v) => v.toLong }
+    val multiParts = names.collect { case MultiPartCheckpointRe(v, _, n) => (v.toLong, n.toInt) }
+    val completeMulti = multiParts.groupBy(identity).collect {
+      case ((v, n), parts) if parts.length == n => v
+    }
+    val cps = (singleCps ++ completeMulti).distinct.sorted.toSeq
+    (commits, cps)
+  }
+
+  def latestVersion(): Long = {
+    val (commits, cps) = listLog()
+    val all = commits ++ cps
+    require(all.nonEmpty, s"$tablePath is not a Delta table (empty _delta_log)")
+    all.max
+  }
+
+  def snapshot: Snapshot = snapshotAt(latestVersion())
+
+  def snapshotAt(version: Long): Snapshot = {
+    val (commits, cps) = listLog()
+    require(commits.contains(version) || cps.contains(version),
+      s"version $version not found in $logPath (commits=$commits checkpoints=$cps)")
+    val cp = cps.filter(_ <= version).sorted.lastOption
+    val tailVersions = commits.filter(v => v <= version && cp.forall(v > _)).sorted
+    // Fail loudly on a gapped log (e.g. `no_replay` with v < checkpoint).
+    cp match {
+      case None =>
+        require(tailVersions.headOption.contains(0L),
+          s"cannot reconstruct version $version: commit 0 missing and no usable checkpoint")
+      case Some(c) =>
+        require(tailVersions == ((c + 1) to version),
+          s"cannot reconstruct version $version: commits ${(c + 1) to version} incomplete, found $tailVersions")
+    }
+    val tail: Seq[(Long, Action)] = tailVersions.flatMap { v =>
+      readCommitLines(v).flatMap(JsonUtil.parseAction).map(v -> _)
+    }
+    new Snapshot(this, version, cp, tail)
+  }
+
+  def checkpointFiles(version: Long): Seq[String] = {
+    val single = new Path(logPath, f"$version%020d.checkpoint.parquet")
+    if (fs.exists(single)) Seq(single.toString)
+    else fs.globStatus(new Path(logPath, f"$version%020d.checkpoint.*.parquet"))
+      .map(_.getPath.toString).toSeq
+  }
+
+  private def readCommitLines(version: Long): Seq[String] = {
+    val p = new Path(logPath, f"$version%020d.json")
+    val in = new BufferedReader(
+      new InputStreamReader(fs.open(p), StandardCharsets.UTF_8))
+    try {
+      val buf = ArrayBuffer.empty[String]
+      var line = in.readLine()
+      while (line != null) {
+        if (line.trim.nonEmpty) buf += line
+        line = in.readLine()
+      }
+      buf.toSeq
+    } finally in.close()
+  }
+
+  /** Atomically create commit file `version`. Throws if it already
+    * exists (single-writer optimistic concurrency; the loser must
+    * re-resolve and retry). */
+  def commit(version: Long, actions: Seq[Action]): Unit = {
+    if (!fs.exists(logPath)) fs.mkdirs(logPath)
+    val target = new Path(logPath, f"$version%020d.json")
+    val tmp = new Path(logPath, f".$version%020d.json.${java.util.UUID.randomUUID}.tmp")
+    val out = fs.create(tmp, false)
+    try {
+      val body = actions.map(JsonUtil.renderAction).mkString("", "\n", "\n")
+      out.write(body.getBytes(StandardCharsets.UTF_8))
+    } finally out.close()
+    if (fs.exists(target) || !fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new java.util.ConcurrentModificationException(
+        s"commit $version already exists in $logPath")
+    }
+  }
+}
+
+object DeltaLog {
+  private val CommitFileRe = """(\d{20})\.json""".r
+  private val CheckpointFileRe = """(\d{20})\.checkpoint\.parquet""".r
+  private val MultiPartCheckpointRe = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+
+  def forPath(spark: SparkSession, path: String): DeltaLog = new DeltaLog(spark, path)
+
+  /** Decode a percent-encoded Delta log path (spec: `add.path` is
+    * URI-encoded). */
+  def decodePath(p: String): String =
+    try new java.net.URI(p).getPath
+    catch { case _: java.net.URISyntaxException => p }
+
+  /** Percent-encode a relative file path for use in `add.path`. */
+  def encodePath(p: String): String =
+    new java.net.URI(null, null, p, null).toASCIIString
+}

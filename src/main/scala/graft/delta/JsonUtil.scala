@@ -1,0 +1,118 @@
+package graft.delta
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import scala.jdk.CollectionConverters._
+
+/** Minimal Jackson-based JSON (de)serialization for Delta log commit
+  * lines. Driver-side only: commit files past the checkpoint are small
+  * (a handful of KB each); the potentially-large checkpoint parquet is
+  * read with Spark instead (see [[DeltaLog]]).
+  */
+object JsonUtil {
+  val mapper = new ObjectMapper()
+
+  private def optText(n: JsonNode, f: String): Option[String] =
+    Option(n.get(f)).filterNot(_.isNull).map(_.asText())
+  private def optLong(n: JsonNode, f: String): Option[Long] =
+    Option(n.get(f)).filterNot(_.isNull).map(_.asLong())
+  private def strMap(n: JsonNode, f: String): Map[String, String] =
+    Option(n.get(f)).filterNot(_.isNull).map { m =>
+      m.properties().asScala.map { e =>
+        val v = e.getValue
+        e.getKey -> (if (v.isNull) null else v.asText())
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  /** Parse one NDJSON commit line into an [[Action]] (None for lines we
+    * don't model, e.g. `txn`/`cdc`). */
+  def parseAction(line: String): Option[Action] = {
+    val root = mapper.readTree(line)
+    if (root.has("add")) {
+      val a = root.get("add")
+      Some(AddAction(AddFile(
+        path = a.get("path").asText(),
+        partitionValues = strMap(a, "partitionValues"),
+        size = optLong(a, "size").getOrElse(0L),
+        modificationTime = optLong(a, "modificationTime").getOrElse(0L),
+        dataChange = Option(a.get("dataChange")).forall(_.asBoolean(true)),
+        stats = optText(a, "stats"))))
+    } else if (root.has("remove")) {
+      val r = root.get("remove")
+      Some(RemoveAction(RemoveFile(
+        path = r.get("path").asText(),
+        deletionTimestamp = optLong(r, "deletionTimestamp").getOrElse(0L),
+        dataChange = Option(r.get("dataChange")).forall(_.asBoolean(true)),
+        partitionValues = strMap(r, "partitionValues"),
+        size = optLong(r, "size"))))
+    } else if (root.has("metaData")) {
+      val m = root.get("metaData")
+      Some(MetadataAction(Metadata(
+        id = optText(m, "id").getOrElse(""),
+        schemaString = m.get("schemaString").asText(),
+        partitionColumns = Option(m.get("partitionColumns"))
+          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil),
+        configuration = strMap(m, "configuration"),
+        createdTime = optLong(m, "createdTime"))))
+    } else if (root.has("protocol")) {
+      val p = root.get("protocol")
+      Some(ProtocolAction(Protocol(
+        p.get("minReaderVersion").asInt(1), p.get("minWriterVersion").asInt(2))))
+    } else if (root.has("commitInfo")) {
+      val c = root.get("commitInfo")
+      Some(CommitInfoAction(CommitInfo(
+        timestamp = optLong(c, "timestamp").getOrElse(0L),
+        operation = optText(c, "operation").getOrElse(""))))
+    } else None
+  }
+
+  private def putStrMap(o: ObjectNode, f: String, m: Map[String, String]): Unit = {
+    val mn = o.putObject(f)
+    m.foreach { case (k, v) => if (v == null) mn.putNull(k) else mn.put(k, v) }
+  }
+
+  /** Render one action as a single commit JSON line. */
+  def renderAction(action: Action): String = {
+    val root = mapper.createObjectNode()
+    action match {
+      case AddAction(a) =>
+        val o = root.putObject("add")
+        o.put("path", a.path)
+        putStrMap(o, "partitionValues", a.partitionValues)
+        o.put("size", a.size)
+        o.put("modificationTime", a.modificationTime)
+        o.put("dataChange", a.dataChange)
+        a.stats.foreach(o.put("stats", _))
+      case RemoveAction(r) =>
+        val o = root.putObject("remove")
+        o.put("path", r.path)
+        o.put("deletionTimestamp", r.deletionTimestamp)
+        o.put("dataChange", r.dataChange)
+        o.put("extendedFileMetadata", true)
+        putStrMap(o, "partitionValues", r.partitionValues)
+        r.size.foreach(o.put("size", _))
+      case MetadataAction(m) =>
+        val o = root.putObject("metaData")
+        o.put("id", m.id)
+        val fmt = o.putObject("format")
+        fmt.put("provider", "parquet"); fmt.putObject("options")
+        o.put("schemaString", m.schemaString)
+        val pc: ArrayNode = o.putArray("partitionColumns")
+        m.partitionColumns.foreach(pc.add)
+        putStrMap(o, "configuration", m.configuration)
+        m.createdTime.foreach(o.put("createdTime", _))
+      case ProtocolAction(p) =>
+        val o = root.putObject("protocol")
+        o.put("minReaderVersion", p.minReaderVersion)
+        o.put("minWriterVersion", p.minWriterVersion)
+      case CommitInfoAction(c) =>
+        val o = root.putObject("commitInfo")
+        o.put("timestamp", c.timestamp)
+        o.put("operation", c.operation)
+        val op = o.putObject("operationParameters")
+        c.operationParameters.foreach { case (k, v) => op.put(k, v) }
+        o.put("engineInfo", "graft-spark/0.1.0")
+    }
+    mapper.writeValueAsString(root)
+  }
+}

@@ -1,0 +1,216 @@
+package graft.delta
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{Metadata => _, _}
+import scala.jdk.CollectionConverters._
+
+/** A resolved table state at one version: checkpoint part (lazy Spark
+  * read) + driver-parsed JSON tail, reconciled into the active-file set.
+  *
+  * The add-actions relation (`adds` / `addsFlat`) is the reference's
+  * signature data structure: one row per active data file with flattened
+  * per-column min/max/nullCount stats
+  * (`get_add_actions(flatten=True)`, /root/reference/levi/__init__.py:14).
+  */
+class Snapshot(
+    val log: DeltaLog,
+    val version: Long,
+    val checkpointVersion: Option[Long],
+    val tail: Seq[(Long, Action)]) {
+
+  private def spark: SparkSession = log.spark
+
+  // ---- metadata / protocol -------------------------------------------------
+
+  private lazy val checkpointDf: Option[DataFrame] =
+    checkpointVersion.map { v =>
+      spark.read.parquet(log.checkpointFiles(v): _*)
+    }
+
+  lazy val metadata: Metadata =
+    tail.collect { case (_, MetadataAction(m)) => m }.lastOption
+      .orElse(checkpointMetadata)
+      .getOrElse(throw new IllegalStateException(
+        s"no metaData action found for ${log.tablePath} @ v$version"))
+
+  lazy val protocol: Protocol =
+    tail.collect { case (_, ProtocolAction(p)) => p }.lastOption
+      .orElse(checkpointProtocol)
+      .getOrElse(Protocol())
+
+  private def checkpointMetadata: Option[Metadata] = checkpointDf.flatMap { df =>
+    df.select("metaData").where(col("metaData.id").isNotNull).limit(1)
+      .collect().headOption.map { row =>
+        val m = row.getStruct(0)
+        def idx(f: String) = m.schema.fieldIndex(f)
+        Metadata(
+          id = m.getString(idx("id")),
+          schemaString = m.getString(idx("schemaString")),
+          partitionColumns = m.getSeq[String](idx("partitionColumns")),
+          configuration = Option(m.getMap[String, String](idx("configuration")))
+            .map(_.toMap).getOrElse(Map.empty),
+          createdTime = Option(m.get(idx("createdTime"))).map(_.asInstanceOf[Long]))
+      }
+  }
+
+  private def checkpointProtocol: Option[Protocol] = checkpointDf.flatMap { df =>
+    df.select("protocol").where(col("protocol.minReaderVersion").isNotNull)
+      .limit(1).collect().headOption.map { row =>
+        val p = row.getStruct(0)
+        Protocol(p.getInt(0), p.getInt(1))
+      }
+  }
+
+  def schema: StructType = metadata.schema
+
+  // ---- active-file reconciliation ------------------------------------------
+
+  private val actionSchema = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("is_add", BooleanType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("partition_values", MapType(StringType, StringType), nullable = true),
+    StructField("size_bytes", LongType, nullable = true),
+    StructField("modification_time", LongType, nullable = true),
+    StructField("stats", StringType, nullable = true)))
+
+  private def tailActionsDf: DataFrame = {
+    val rows: Seq[Row] = tail.collect {
+      case (v, AddAction(a)) =>
+        Row(v, true, a.path, a.partitionValues, a.size, a.modificationTime,
+          a.stats.orNull)
+      case (v, RemoveAction(r)) =>
+        Row(v, false, r.path, r.partitionValues, r.size.getOrElse(0L), 0L, null)
+    }
+    spark.createDataFrame(rows.asJava, actionSchema)
+  }
+
+  private def checkpointActionsDf: Option[DataFrame] =
+    checkpointDf.map { df =>
+      val addFields = df.schema("add").dataType.asInstanceOf[StructType].fieldNames.toSet
+      // `writeStatsAsStruct` tables carry stats only as a typed struct
+      // (`stats_parsed`) in the checkpoint — normalize back to the JSON form.
+      val statsCol =
+        if (addFields.contains("stats") && addFields.contains("stats_parsed"))
+          coalesce(col("add.stats"), to_json(col("add.stats_parsed")))
+        else if (addFields.contains("stats")) col("add.stats")
+        else if (addFields.contains("stats_parsed")) to_json(col("add.stats_parsed"))
+        else lit(null).cast(StringType)
+      df.where(col("add.path").isNotNull).select(
+        lit(checkpointVersion.get).as("version"),
+        lit(true).as("is_add"),
+        col("add.path").as("path"),
+        col("add.partitionValues").as("partition_values"),
+        col("add.size").as("size_bytes"),
+        col("add.modificationTime").as("modification_time"),
+        statsCol.as("stats"))
+    }
+
+  /** Active add-actions: one row per live data file. Cached — every
+    * log-plane analytic runs off this small relation without touching
+    * data files. */
+  lazy val adds: DataFrame = {
+    val all = checkpointActionsDf match {
+      case Some(cp) => cp.unionByName(tailActionsDf)
+      case None => tailActionsDf
+    }
+    // Per-path last action wins; at equal version an add (re-add) beats
+    // its tombstone.
+    val w = Window.partitionBy("path").orderBy(desc("version"), desc("is_add"))
+    all.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1 && col("is_add"))
+      .drop("__rn", "is_add", "version")
+      .cache()
+  }
+
+  /** `adds` with `add.stats` JSON exploded into typed columns:
+    * `num_records`, `min.<col>`, `max.<col>`, `null_count.<col>`. */
+  lazy val addsFlat: DataFrame = {
+    val st = Snapshot.statsSchema(schema)
+    adds
+      .withColumn("__stats", from_json(col("stats"), st))
+      .select(col("path"), col("partition_values"), col("size_bytes"),
+        col("modification_time"),
+        col("__stats.numRecords").as("num_records"),
+        col("__stats.minValues").as("min"),
+        col("__stats.maxValues").as("max"),
+        col("__stats.nullCount").as("null_count"))
+  }
+
+  /** Driver-side active-file list (collected once, for scan planning —
+    * the same move delta-spark's file index makes). */
+  lazy val activeFiles: Seq[AddFile] = adds.collect().toSeq.map { r =>
+    AddFile(
+      path = r.getAs[String]("path"),
+      partitionValues = Option(r.getAs[scala.collection.Map[String, String]]("partition_values"))
+        .map(_.toMap).getOrElse(Map.empty),
+      size = r.getAs[Long]("size_bytes"),
+      modificationTime = r.getAs[Long]("modification_time"),
+      stats = Option(r.getAs[String]("stats")))
+  }
+
+  def numFiles: Long = adds.count()
+
+  def absolutePath(f: AddFile): String =
+    new org.apache.hadoop.fs.Path(log.rootPath, DeltaLog.decodePath(f.path)).toString
+
+  // ---- scan ----------------------------------------------------------------
+
+  /** Read the table at this version: log-defined file set (NOT directory
+    * listing), with partition columns re-attached from the log's
+    * `partitionValues` and cast from their string encoding to the
+    * declared type. */
+  def read(): DataFrame = readFiles(activeFiles)
+
+  /** Scan a chosen subset of the active files (used by stats/partition
+    * file pruning — see [[graft.delta.Skipping]]). */
+  def readFiles(files: Seq[AddFile]): DataFrame = {
+    val partCols = metadata.partitionColumns
+    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
+    if (files.isEmpty) {
+      return spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    }
+    // One parquet scan per distinct partition tuple (bounded by live
+    // partition count), each with its literal partition values attached;
+    // unpartitioned tables collapse to a single multi-file scan.
+    val groups = files.groupBy(_.partitionValues).toSeq
+    val parts = groups.map { case (pv, fs) =>
+      val base = spark.read.schema(dataSchema).parquet(fs.map(absolutePath): _*)
+      partCols.foldLeft(base) { (df, pc) =>
+        val dt = schema(pc).dataType
+        val raw = pv.get(pc).orNull
+        df.withColumn(pc, (if (raw == null) lit(null) else lit(raw)).cast(dt))
+      }
+    }
+    parts.reduce(_.unionByName(_)).select(schema.fieldNames.map(col).toSeq: _*)
+  }
+}
+
+object Snapshot {
+  /** Schema of the `add.stats` JSON document, derived from the table
+    * schema: `minValues`/`maxValues` mirror the table's atomic columns
+    * (nested structs recursed; array/map/binary carry no stats),
+    * `nullCount` has the same shape with long leaves. */
+  def statsSchema(table: StructType): StructType = {
+    def minMax(dt: DataType): Option[DataType] = dt match {
+      case s: StructType =>
+        val kept = s.fields.flatMap(f => minMax(f.dataType).map(t => StructField(f.name, t)))
+        if (kept.isEmpty) None else Some(StructType(kept))
+      case _: ArrayType | _: MapType | BinaryType => None
+      case other => Some(other)
+    }
+    def counts(dt: DataType): DataType = dt match {
+      case s: StructType =>
+        StructType(s.fields.map(f => StructField(f.name, counts(f.dataType))))
+      case _ => LongType
+    }
+    val mm = minMax(table).getOrElse(StructType(Nil))
+    StructType(Seq(
+      StructField("numRecords", LongType),
+      StructField("minValues", mm),
+      StructField("maxValues", mm),
+      StructField("nullCount", counts(table))))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.delta
+
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Delta transaction-log action model.
+  *
+  * Shapes follow the open Delta protocol as exercised by the reference's
+  * reader corpus (e.g.
+  * tests/reader_tests/generated/basic_append/delta/_delta_log/00000000000000000000.json
+  * and the checkpoint parquet schema of
+  * with_checkpoint/delta/_delta_log/00000000000000000002.checkpoint.parquet):
+  * top-level keys `protocol | metaData | add | remove | commitInfo`, one
+  * JSON object per line.
+  */
+final case class Protocol(minReaderVersion: Int = 1, minWriterVersion: Int = 2)
+
+final case class Metadata(
+    id: String,
+    schemaString: String,
+    partitionColumns: Seq[String],
+    configuration: Map[String, String],
+    createdTime: Option[Long]) {
+  /** `schemaString` is byte-compatible with Spark's `StructType.json`. */
+  lazy val schema: StructType =
+    DataType.fromJson(schemaString).asInstanceOf[StructType]
+}
+
+/** One active data file. `path` is relative to the table root and
+  * percent-encoded per the Delta spec; `partitionValues` holds the raw
+  * (decoded) string-encoded partition values, with `null` for the
+  * `__HIVE_DEFAULT_PARTITION__` case.
+  */
+final case class AddFile(
+    path: String,
+    partitionValues: Map[String, String],
+    size: Long,
+    modificationTime: Long,
+    dataChange: Boolean = true,
+    stats: Option[String] = None)
+
+final case class RemoveFile(
+    path: String,
+    deletionTimestamp: Long,
+    dataChange: Boolean = true,
+    partitionValues: Map[String, String] = Map.empty,
+    size: Option[Long] = None)
+
+final case class CommitInfo(
+    timestamp: Long,
+    operation: String,
+    operationParameters: Map[String, String] = Map.empty)
+
+/** Sum type for everything a commit line can carry. */
+sealed trait Action
+final case class ProtocolAction(p: Protocol) extends Action
+final case class MetadataAction(m: Metadata) extends Action
+final case class AddAction(a: AddFile) extends Action
+final case class RemoveAction(r: RemoveFile) extends Action
+final case class CommitInfoAction(c: CommitInfo) extends Action
