@@ -1,0 +1,92 @@
+package graft.delta
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Min/max data-skipping predicate compiler.
+  *
+  * Reference semantics: `filter_to_sql` / `filters_to_sql`
+  * (/root/reference/levi/__init__.py:27-47) rewrite a `(col, op, val)`
+  * predicate into the interval-overlap test over a file's `[min, max]`
+  * stats — a file may contain matching rows iff its interval intersects
+  * the predicate. The reference only *simulates* skipping
+  * (`skipped_stats`); here the same expression is promoted to execution:
+  * [[prunedFiles]] picks the surviving file set fed to the parquet scan,
+  * so skipping actually prunes IO (SURVEY.md §4).
+  */
+object Skipping {
+
+  /** One `(column, op, value)` conjunct over the flattened adds frame
+    * (`min.<col>` / `max.<col>` columns). Unknown op →
+    * IllegalArgumentException (mirrors the reference's ValueError). */
+  def filterToColumn(c: String, op: String, value: Any): Column = {
+    val lo = col(s"min.$c")
+    val hi = col(s"max.$c")
+    op match {
+      case "=" => lo <= lit(value) && hi >= lit(value)
+      case "<" => lo < lit(value)
+      case "<=" => lo <= lit(value)
+      case ">" => hi > lit(value)
+      case ">=" => hi >= lit(value)
+      case other => throw new IllegalArgumentException(
+        s"filter operator '$other' is not supported (=, <, <=, >, >=)")
+    }
+  }
+
+  /** Conjunction of filters (the reference joins with " and "). */
+  def filtersToColumn(filters: Seq[(String, String, Any)]): Column =
+    filters.map { case (c, op, v) => filterToColumn(c, op, v) }
+      .reduceLeft(_ && _)
+
+  /** String form, for parity with `filter_to_sql`'s output contract. */
+  def filterToSql(c: String, op: String, value: Any): String = {
+    val v = value match {
+      case s: String => s"'$s'"
+      case other => other.toString
+    }
+    op match {
+      case "=" => s"(`min.$c` <= $v and `max.$c` >= $v)"
+      case "<" => s"(`min.$c` < $v)"
+      case "<=" => s"(`min.$c` <= $v)"
+      case ">" => s"(`max.$c` > $v)"
+      case ">=" => s"(`max.$c` >= $v)"
+      case other => throw new IllegalArgumentException(
+        s"filter operator '$other' is not supported (=, <, <=, >, >=)")
+    }
+  }
+
+  def filtersToSql(filters: Seq[(String, String, Any)]): String =
+    filters.map { case (c, op, v) => filterToSql(c, op, v) }.mkString(" and ")
+
+  /** Execute skipping: the active files whose stats interval intersects
+    * the predicate (files without stats are conservatively kept — an
+    * absent min/max proves nothing). */
+  def prunedFiles(snap: Snapshot, filters: Seq[(String, String, Any)]): Seq[AddFile] = {
+    if (filters.isEmpty) return snap.activeFiles
+    val mayMatch = filtersToColumn(filters)
+    val haveStats = filters.map { case (c, _, _) =>
+      col(s"min.$c").isNotNull && col(s"max.$c").isNotNull
+    }.reduceLeft(_ && _)
+    val keep = snap.addsFlat
+      .where(!haveStats || mayMatch)
+      .select("path").collect().map(_.getString(0)).toSet
+    snap.activeFiles.filter(f => keep.contains(f.path))
+  }
+
+  /** Pruned scan: stats-based file pruning + row-level predicate pushed
+    * to the parquet reader by Catalyst. */
+  def readWhere(snap: Snapshot, filters: Seq[(String, String, Any)]) = {
+    val df = snap.readFiles(prunedFiles(snap, filters))
+    if (filters.isEmpty) df
+    else df.where(filters.map { case (c, op, v) =>
+      op match {
+        case "=" => col(c) === lit(v)
+        case "<" => col(c) < lit(v)
+        case "<=" => col(c) <= lit(v)
+        case ">" => col(c) > lit(v)
+        case ">=" => col(c) >= lit(v)
+        case other => throw new IllegalArgumentException(s"bad op $other")
+      }
+    }.reduceLeft(_ && _))
+  }
+}

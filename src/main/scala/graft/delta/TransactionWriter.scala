@@ -1,0 +1,241 @@
+package graft.delta
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{Metadata => _, _}
+import scala.collection.mutable.ArrayBuffer
+
+/** Transactional Delta writes with Spark primitives (no delta-spark).
+  *
+  * Overwrite commit shape pinned by the reference corpus
+  * (`with_checkpoint/.../00000000000000000003.json`): `add` for each new
+  * file (with per-file numRecords/min/max/nullCount stats), `remove` for
+  * every previously-active file, plus `commitInfo` — the same effect the
+  * reference gets from `write_deltalake(mode="overwrite")`
+  * (/root/reference/levi/__init__.py:347-351).
+  *
+  * Scale posture: data lands via a normal distributed `df.write.parquet`
+  * into a staging dir under the table root, files are renamed into place
+  * (same filesystem → metadata-only), and stats come from ONE extra
+  * Spark pass grouped by file. Only the commit JSON itself is
+  * driver-side.
+  */
+object TransactionWriter {
+
+  /** Full-table overwrite (also creates the table at version 0). Returns
+    * the committed version. */
+  def overwrite(
+      log: DeltaLog,
+      df: DataFrame,
+      partitionBy: Option[Seq[String]] = None,
+      configuration: Map[String, String] = Map.empty,
+      operation: String = "WRITE"): Long = {
+    val spark = log.spark
+    val fs = log.fs
+    val prev: Option[Snapshot] =
+      if (fs.exists(log.logPath) &&
+          { val (c, p) = log.listLog(); c.nonEmpty || p.nonEmpty })
+        Some(log.snapshot)
+      else None
+    val partCols: Seq[String] =
+      partitionBy.orElse(prev.map(_.metadata.partitionColumns)).getOrElse(Nil)
+    val schema = df.schema
+    require(partCols.forall(schema.fieldNames.contains),
+      s"partition columns $partCols missing from ${schema.fieldNames.toSeq}")
+
+    // 1. Materialize data into a staging dir under the table root.
+    val staging = new Path(log.rootPath, s".graft-staging-${java.util.UUID.randomUUID}")
+    try {
+      val w = df.write.mode("overwrite")
+      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+        .parquet(staging.toString)
+
+      // 2. Rename staged part files into place (keeps partition subdirs).
+      val staged = listParquet(fs, staging)
+      val moved: Seq[MovedFile] = staged.map { st =>
+        val rel = relativize(staging, st.getPath)
+        val dest = new Path(log.rootPath, rel)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(st.getPath, dest))
+          throw new java.io.IOException(s"rename ${st.getPath} -> $dest failed")
+        val status = fs.getFileStatus(dest)
+        MovedFile(rel, dest, status.getLen, status.getModificationTime,
+          partitionValuesOf(rel))
+      }
+
+      // 3. Per-file stats in one grouped pass over the written files.
+      val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
+      val stats = computeStats(log, dataSchema, moved)
+
+      // 4. Commit.
+      val version = prev.map(_.version + 1).getOrElse(0L)
+      val now = System.currentTimeMillis()
+      val metaChanged = prev.forall { s =>
+        s.metadata.schemaString != schema.json ||
+          s.metadata.partitionColumns != partCols ||
+          (configuration.nonEmpty && s.metadata.configuration != configuration)
+      }
+      val actions = ArrayBuffer.empty[Action]
+      actions += CommitInfoAction(CommitInfo(now, operation,
+        Map("mode" -> (if (prev.isEmpty) "ErrorIfExists" else "Overwrite"),
+          "partitionBy" -> partCols.mkString("[\"", "\",\"", "\"]"))))
+      if (prev.isEmpty) actions += ProtocolAction(Protocol())
+      if (metaChanged) actions += MetadataAction(Metadata(
+        id = prev.map(_.metadata.id)
+          .getOrElse(java.util.UUID.randomUUID.toString),
+        schemaString = schema.json,
+        partitionColumns = partCols,
+        configuration =
+          if (configuration.nonEmpty) configuration
+          else prev.map(_.metadata.configuration).getOrElse(Map.empty),
+        createdTime = Some(prev.flatMap(_.metadata.createdTime).getOrElse(now))))
+      actions ++= moved.map { m =>
+        AddAction(AddFile(DeltaLog.encodePath(m.rel), m.partitionValues,
+          m.size, m.modificationTime, dataChange = true,
+          stats = stats.get(m.rel)))
+      }
+      actions ++= prev.toSeq.flatMap(_.activeFiles).map { f =>
+        RemoveAction(RemoveFile(f.path, now, dataChange = true,
+          partitionValues = f.partitionValues, size = Some(f.size)))
+      }
+      log.commit(version, actions.toSeq)
+      spark.catalog.clearCache()
+      version
+    } finally fs.delete(staging, true)
+  }
+
+  private final case class MovedFile(
+      rel: String, abs: Path, size: Long, modificationTime: Long,
+      partitionValues: Map[String, String])
+
+  private def listParquet(fs: FileSystem, dir: Path) = {
+    val out = ArrayBuffer.empty[org.apache.hadoop.fs.LocatedFileStatus]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) out += st
+    }
+    out.toSeq
+  }
+
+  private def relativize(base: Path, p: Path): String = {
+    val b = base.toUri.getPath.stripSuffix("/") + "/"
+    val s = p.toUri.getPath
+    require(s.startsWith(b), s"$p not under $base")
+    s.drop(b.length)
+  }
+
+  /** Hive-style partition dir segments (`k=v/...`) → raw partition
+    * values (unescape %XX; `__HIVE_DEFAULT_PARTITION__` → null). */
+  def partitionValuesOf(rel: String): Map[String, String] = {
+    rel.split('/').dropRight(1).iterator.map { seg =>
+      val i = seg.indexOf('=')
+      require(i > 0, s"unexpected non-partition dir segment '$seg'")
+      val k = unescapePathName(seg.substring(0, i))
+      val v = unescapePathName(seg.substring(i + 1))
+      k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null else v)
+    }.toMap
+  }
+
+  /** Inverse of Hive's escapePathName: %XX → char. (Hive escapes
+    * single ASCII chars only; multi-byte chars are stored raw.) */
+  def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 &&
+          Character.digit(s.charAt(i + 2), 16) >= 0) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** numRecords / per-leaf min / max / nullCount for each written file,
+    * rendered as the `add.stats` JSON string. One Spark job grouped by
+    * `input_file_name()`. */
+  private def computeStats(
+      log: DeltaLog, dataSchema: StructType, moved: Seq[MovedFile]): Map[String, String] = {
+    if (moved.isEmpty) return Map.empty
+    val leaves = statLeaves(dataSchema)
+    val aggs =
+      count(lit(1)).as("__num") +:
+        leaves.zipWithIndex.flatMap { case ((p, _), i) =>
+          Seq(min(col(p)).as(s"__min_$i"), max(col(p)).as(s"__max_$i"),
+            sum(col(p).isNull.cast("long")).as(s"__nc_$i"))
+        }
+    val rows = log.spark.read.schema(dataSchema)
+      .parquet(moved.map(_.abs.toString): _*)
+      .groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val byRel: Map[String, Row] = rows.flatMap { r =>
+      val f = DeltaLog.decodePath(r.getAs[String]("__file"))
+      moved.find(m => f.endsWith("/" + m.rel) || f == m.rel).map(_.rel -> r)
+    }.toMap
+    moved.map { m =>
+      val stats = byRel.get(m.rel) match {
+        case None => """{"numRecords":0}"""
+        case Some(r) => renderStats(r, leaves)
+      }
+      m.rel -> stats
+    }.toMap
+  }
+
+  /** Atomic leaf columns eligible for min/max stats, as (dotted path,
+    * type); arrays/maps/binary carry no stats (see Snapshot.statsSchema). */
+  private def statLeaves(schema: StructType, prefix: String = ""): Seq[(String, DataType)] =
+    schema.fields.toSeq.flatMap { f =>
+      val p = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+      f.dataType match {
+        case s: StructType => statLeaves(s, p)
+        case _: ArrayType | _: MapType | BinaryType => Nil
+        case dt => Seq((p, dt))
+      }
+    }
+
+  private def renderStats(r: Row, leaves: Seq[(String, DataType)]): String = {
+    val m = JsonUtil.mapper
+    val root = m.createObjectNode()
+    root.put("numRecords", r.getAs[Long]("__num"))
+    def objFor(parent: com.fasterxml.jackson.databind.node.ObjectNode, path: Seq[String]) =
+      path.foldLeft(parent) { (o, seg) =>
+        if (o.has(seg)) o.get(seg).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        else o.putObject(seg)
+      }
+    def putVal(o: com.fasterxml.jackson.databind.node.ObjectNode, name: String, v: Any): Unit =
+      v match {
+        case null => o.putNull(name)
+        case x: Long => o.put(name, x)
+        case x: Int => o.put(name, x)
+        case x: Short => o.put(name, x.toInt)
+        case x: Byte => o.put(name, x.toInt)
+        case x: Double => o.put(name, x)
+        case x: Float => o.put(name, x)
+        case x: Boolean => o.put(name, x)
+        case x: java.math.BigDecimal => o.put(name, x)
+        case x: BigDecimal => o.put(name, x.underlying)
+        case x: java.sql.Timestamp => o.put(name, x.toInstant.toString)
+        case x: java.sql.Date => o.put(name, x.toString)
+        case x: java.time.Instant => o.put(name, x.toString)
+        case x: java.time.LocalDate => o.put(name, x.toString)
+        case x => o.put(name, x.toString)
+      }
+    for ((section, sel) <- Seq(
+        ("minValues", (i: Int) => r.get(r.fieldIndex(s"__min_$i"))),
+        ("maxValues", (i: Int) => r.get(r.fieldIndex(s"__max_$i"))),
+        ("nullCount", (i: Int) => r.get(r.fieldIndex(s"__nc_$i"))))) {
+      val sec = root.putObject(section)
+      leaves.zipWithIndex.foreach { case ((p, _), i) =>
+        val segs = p.split('.').toSeq
+        putVal(objFor(sec, segs.dropRight(1)), segs.last, sel(i))
+      }
+    }
+    m.writeValueAsString(root)
+  }
+}

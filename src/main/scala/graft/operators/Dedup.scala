@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Duplicate-handling operators as pure DataFrame transforms.
+  *
+  * Semantics pinned by the reference's golden tests
+  * (/root/reference/tests/test_public_interface.py:159-198, :597-943);
+  * implementations are deliberately Spark-first: a single hash-shuffle
+  * window per operator instead of the reference's positional-index /
+  * MERGE machinery — no join, no driver collect, scales with the
+  * shuffle.
+  */
+object Dedup {
+
+  private def requireCols(df: DataFrame, cols: Seq[String], what: String): Unit = {
+    require(cols != null && cols.nonEmpty, s"$what must be a non-empty list of columns")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"$what ${missing.mkString(", ")} not found in table columns ${df.columns.mkString(", ")}")
+  }
+
+  /** Delete EVERY row of every duplicate group — no survivor (reference:
+    * `kill_duplicates`, levi/__init__.py:119-166). One window shuffle on
+    * the duplication columns. */
+  def killDuplicates(df: DataFrame, duplicationColumns: Seq[String]): DataFrame = {
+    requireCols(df, duplicationColumns, "duplication_columns")
+    val w = Window.partitionBy(duplicationColumns.map(col): _*)
+    df.withColumn("__cnt", count(lit(1)).over(w))
+      .where(col("__cnt") === 1)
+      .drop("__cnt")
+  }
+
+  /** Keep exactly one row per duplicate group, the first under an
+    * explicit ordering (reference `drop_duplicates` keeps the first
+    * *physical* row, levi/__init__.py:298-351 — physical order is not
+    * stable in a distributed engine, so the survivor is defined by
+    * `orderBy` instead; pass the reference's insertion-order key for
+    * parity). */
+  def dropDuplicatesOrdered(
+      df: DataFrame, duplicationColumns: Seq[String], orderBy: Seq[Column]): DataFrame = {
+    requireCols(df, duplicationColumns, "duplication_columns")
+    require(orderBy.nonEmpty, "orderBy must be non-empty for a deterministic survivor")
+    val w = Window.partitionBy(duplicationColumns.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Keep, per duplicate group, the row with the smallest primary key;
+    * the pkey must be unique table-wide (reference:
+    * `drop_duplicates_pkey`, levi/__init__.py:354-426). */
+  def dropDuplicatesPkey(
+      df: DataFrame, primaryKey: String, duplicationColumns: Seq[String]): DataFrame = {
+    require(primaryKey != null && primaryKey.nonEmpty, "primary_key must be a non-empty column name")
+    requireCols(df, duplicationColumns, "duplication_columns")
+    require(df.columns.contains(primaryKey),
+      s"primary key $primaryKey not found in table columns ${df.columns.mkString(", ")}")
+    require(!duplicationColumns.contains(primaryKey),
+      s"primary key $primaryKey must not be part of the duplication columns")
+    // Exactness required (the reference compares count vs count_distinct,
+    // :395-397) — two cheap metadata-scale jobs.
+    val total = df.count()
+    val distinctKeys = df.select(primaryKey).distinct().count()
+    require(total == distinctKeys,
+      s"primary key $primaryKey is not unique: $total rows, $distinctKeys distinct keys")
+    dropDuplicatesOrdered(df, duplicationColumns, Seq(col(primaryKey).asc))
+  }
+}
