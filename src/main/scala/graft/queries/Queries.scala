@@ -1,0 +1,483 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Scd2}
+
+/** The driver-facing query inventory (SparkEntry.queries/oracleSql):
+  * every operator family from SURVEY.md §2 plus the training-data
+  * pipeline operators, each expressed over the driver's parquet testdata
+  * with a DuckDB-equivalent oracle.
+  *
+  * Cross-engine determinism rules used throughout:
+  *  - money aggregates go through DECIMAL(18,2) (exact, order-free) and
+  *    are cast to DOUBLE only at the end;
+  *  - float constants are written `0.4e0` so both parsers read DOUBLE;
+  *  - every hash is derived from md5 hex (identical in both engines),
+  *    mapped to int via the leading 7 hex chars (28 bits — products with
+  *    the 28-bit minhash multipliers stay < 2^63);
+  *  - float comparisons/rankings happen on ROUND(x, 4..6) with an id
+  *    tie-break.
+  */
+object Queries {
+
+  val tables = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    tables.foreach { t =>
+      spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+    }
+
+  private def sqlQuery(text: String): (SparkSession, String) => DataFrame =
+    (spark, dir) => { registerViews(spark, dir); spark.sql(text) }
+
+  // ---- group A: core relational / levi-semantics queries -------------------
+
+  /** TPC-H Q1-style aggregate; also the flagship `entry` query. */
+  val qAggLineitemSpark: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  private val qJoinRevenue: String =
+    """SELECT n.n_name,
+      |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_orders
+      |FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY n.n_name""".stripMargin
+
+  private val qTopkBrand: String =
+    """SELECT p_brand, p_partkey, p_retailprice, rank_in_brand FROM (
+      |  SELECT p_brand, p_partkey, p_retailprice,
+      |    ROW_NUMBER() OVER (PARTITION BY p_brand
+      |      ORDER BY p_retailprice DESC, p_partkey) AS rank_in_brand
+      |  FROM part) t
+      |WHERE rank_in_brand <= 3""".stripMargin
+
+  private val qKillDuplicatesOracle: String =
+    """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber FROM (
+      |  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+      |    COUNT(*) OVER (PARTITION BY l_orderkey) AS c
+      |  FROM lineitem) t
+      |WHERE c = 1""".stripMargin
+
+  private val qDropDuplicatesOracle: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderstatus
+      |      ORDER BY o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn = 1""".stripMargin
+
+  private val qDropDuplicatesPkeyOracle: String =
+    """SELECT p_partkey, p_brand, p_type, p_retailprice FROM (
+      |  SELECT p_partkey, p_brand, p_type, p_retailprice,
+      |    ROW_NUMBER() OVER (PARTITION BY p_brand, p_type
+      |      ORDER BY p_partkey) AS rn
+      |  FROM part) t
+      |WHERE rn = 1""".stripMargin
+
+  /** SCD2 over a deterministic base/updates derived from customer:
+    * updates = every 7th key; changed attr for every 21st. */
+  private val scd2Base =
+    """SELECT c_custkey AS pkey, c_mktsegment AS attr,
+      |  true AS is_current, CAST(0 AS BIGINT) AS effective_ver,
+      |  CAST(NULL AS BIGINT) AS end_ver FROM customer""".stripMargin
+  private val scd2Updates =
+    """SELECT c_custkey AS pkey,
+      |  CASE WHEN c_custkey % 3 = 0 THEN concat(c_mktsegment, '_V2')
+      |       ELSE c_mktsegment END AS attr,
+      |  CAST(1 AS BIGINT) AS effective_ver
+      |FROM customer WHERE c_custkey % 7 = 0""".stripMargin
+
+  private val qScd2Oracle: String =
+    s"""WITH base AS ($scd2Base),
+       |upd AS ($scd2Updates),
+       |cur AS (SELECT * FROM base WHERE is_current),
+       |j AS (SELECT u.pkey, u.attr, u.effective_ver, c.attr AS attr_base,
+       |        c.pkey IS NOT NULL AS matched
+       |      FROM upd u LEFT JOIN cur c ON u.pkey = c.pkey),
+       |changed AS (SELECT * FROM j WHERE matched AND attr <> attr_base),
+       |closed AS (SELECT c.pkey, c.attr, false AS is_current,
+       |    c.effective_ver, ch.effective_ver AS end_ver
+       |  FROM cur c JOIN changed ch ON c.pkey = ch.pkey),
+       |untouched AS (SELECT c.* FROM cur c
+       |  WHERE c.pkey NOT IN (SELECT pkey FROM changed)),
+       |ins AS (SELECT pkey, attr, true AS is_current, effective_ver,
+       |    CAST(NULL AS BIGINT) AS end_ver FROM changed
+       |  UNION ALL
+       |  SELECT pkey, attr, true, effective_ver, CAST(NULL AS BIGINT)
+       |  FROM j WHERE NOT matched)
+       |SELECT * FROM untouched UNION ALL
+       |SELECT * FROM closed UNION ALL
+       |SELECT * FROM ins""".stripMargin
+
+  /** delta_file_sizes semantics over o_totalprice with
+    * Levi.boundaryParser-derived [lo,hi] ranges
+    * (<100kb | 100kb-200kb | 200kb-300kb | >300kb). */
+  private val qFileSizesText: String =
+    """SELECT
+      |  SUM(CASE WHEN o_totalprice BETWEEN 0 AND 99999 THEN 1 ELSE 0 END) AS num_lt_100k,
+      |  SUM(CASE WHEN o_totalprice BETWEEN 100000 AND 200000 THEN 1 ELSE 0 END) AS num_100k_200k,
+      |  SUM(CASE WHEN o_totalprice BETWEEN 200000 AND 300000 THEN 1 ELSE 0 END) AS num_200k_300k,
+      |  SUM(CASE WHEN o_totalprice BETWEEN 300001 AND 10000000000000 THEN 1 ELSE 0 END) AS num_gt_300k
+      |FROM orders""".stripMargin
+
+  /** skipped_stats semantics over pseudo-files (l_orderkey % 97 groups
+    * with min/max l_extendedprice as their stats). */
+  private val qSkippedStats: String =
+    """WITH files AS (
+      |  SELECT l_orderkey % 97 AS file_id,
+      |    MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx,
+      |    COUNT(*) AS rows_in_file
+      |  FROM lineitem GROUP BY l_orderkey % 97)
+      |SELECT COUNT(*) AS num_files,
+      |  SUM(CASE WHEN NOT (mn <= 30000 AND mx >= 30000) THEN 1 ELSE 0 END) AS num_files_skipped,
+      |  SUM(CASE WHEN NOT (mn <= 30000 AND mx >= 30000) THEN rows_in_file ELSE 0 END) AS num_rows_skipped
+      |FROM files""".stripMargin
+
+  // events.ts is parquet TIMESTAMP(NANOS): Spark reads it as BIGINT
+  // nanos (spark.sql.legacy.parquet.nanosAsLong=true in our sessions),
+  // DuckDB as a µs-truncated TIMESTAMP — hence per-dialect accessors.
+  private val qUpdatedPartitionsSpark: String =
+    """SELECT DISTINCT event_type,
+      |  CAST(timestamp_micros(ts DIV 1000) AS DATE) AS event_day
+      |FROM events
+      |WHERE ts >= 1704844800000000000 AND ts < 1705708800000000000""".stripMargin
+
+  private val qUpdatedPartitionsDuck: String =
+    """SELECT DISTINCT event_type, CAST(ts AS DATE) AS event_day
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-20 00:00:00'""".stripMargin
+
+  private def qSessionize(epochUs: String): String =
+    s"""WITH e AS (SELECT user_id, $epochUs AS us FROM events),
+       |m AS (SELECT user_id, us,
+       |    CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+       |           OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+       |         THEN 1 ELSE 0 END AS new_s
+       |  FROM e),
+       |s AS (SELECT user_id,
+       |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+       |  FROM m)
+       |SELECT user_id, CAST(MAX(sess) AS BIGINT) AS n_sessions,
+       |  COUNT(*) AS n_events
+       |FROM s GROUP BY user_id""".stripMargin
+
+  // ---- group B: training-data pipeline over documents/embeddings -----------
+
+  /** Tokenization / 3-gram shingling / hashing building blocks, written
+    * once per dialect. `h28` = 28-bit int from the md5 hex prefix —
+    * identical across engines, and small enough that minhash products
+    * stay in int64. */
+  private def toks(dialect: String, textCol: String = "text"): String =
+    if (dialect == "spark") s"split($textCol, ' ')"
+    else s"string_split($textCol, ' ')"
+
+  private def ngrams3(dialect: String): String =
+    if (dialect == "spark")
+      """CASE WHEN size(toks) < 3 THEN array()
+        |  ELSE transform(sequence(1, size(toks)-2),
+        |    i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2))) END"""
+        .stripMargin.replace("\n", " ")
+    else
+      """CASE WHEN len(toks) < 3 THEN []
+        |  ELSE list_transform(range(1, len(toks)-1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END"""
+        .stripMargin.replace("\n", " ")
+
+  private def h28(dialect: String, e: String): String =
+    if (dialect == "spark") s"CAST(conv(substring(md5($e), 1, 7), 16, 10) AS BIGINT)"
+    else s"('0x' || substr(md5($e), 1, 7))::BIGINT"
+
+  /** 16 fixed (a, b) minhash parameter pairs (a < 2^28). */
+  val MinhashA: Seq[Long] = Seq(1299721L, 7919L, 104729L, 15485863L,
+    32452843L, 49979687L, 67867967L, 86028121L, 104395301L, 122949823L,
+    141650939L, 160481183L, 179424673L, 198491317L, 217645177L, 236887691L)
+  val MinhashB: Seq[Long] = Seq(104395303L, 122949829L, 15485867L,
+    32452867L, 49979693L, 67867979L, 86028157L, 1299827L, 7927L, 104729L,
+    179424691L, 198491329L, 217645199L, 236887699L, 160481219L, 141650963L)
+  val MinhashP: Long = 2147483647L
+
+  private def minhashExpr(dialect: String, j: Int): String = {
+    val (a, b) = (MinhashA(j), MinhashB(j))
+    if (dialect == "spark")
+      s"array_min(transform(hs, h -> ($a * h + $b) % $MinhashP))"
+    else
+      s"list_min(list_transform(hs, h -> ($a * h + $b) % $MinhashP))"
+  }
+
+  private def hashedShinglesCte(dialect: String): String = {
+    val tks = toks(dialect)
+    val ng = ngrams3(dialect)
+    val tf = if (dialect == "spark") "transform" else "list_transform"
+    val dedup = if (dialect == "spark") "array_distinct" else "list_distinct"
+    s"""t AS (SELECT doc_id, lang, $tks AS toks FROM documents),
+       |n AS (SELECT doc_id, lang, $dedup($ng) AS ng FROM t),
+       |hsh AS (SELECT doc_id, lang, $tf(ng, s -> ${h28(dialect, "s")}) AS hs FROM n)"""
+      .stripMargin
+  }
+
+  private def qMinhashSignature(dialect: String): String =
+    s"""WITH ${hashedShinglesCte(dialect)}
+       |SELECT doc_id,
+       |  ${minhashExpr(dialect, 0)} AS mh0,
+       |  ${minhashExpr(dialect, 1)} AS mh1,
+       |  ${minhashExpr(dialect, 2)} AS mh2,
+       |  ${minhashExpr(dialect, 3)} AS mh3
+       |FROM hsh""".stripMargin
+
+  /** Full MinHash-LSH dedup: 16 hashes → 4 bands of 4 → band-bucket
+    * join → a doc survives iff it is the minimum doc_id in every bucket
+    * it lands in. */
+  private def qMinhashDedup(dialect: String): String = {
+    val cw = "concat_ws(','" // same name in both dialects
+    def band(b: Int): String =
+      s"$cw, CAST(mh${4 * b} AS STRING), CAST(mh${4 * b + 1} AS STRING), CAST(mh${4 * b + 2} AS STRING), CAST(mh${4 * b + 3} AS STRING))"
+    def bandDuck(b: Int): String =
+      s"$cw, mh${4 * b}::VARCHAR, mh${4 * b + 1}::VARCHAR, mh${4 * b + 2}::VARCHAR, mh${4 * b + 3}::VARCHAR)"
+    val bandExpr: Int => String = if (dialect == "spark") band else bandDuck
+    val mhs = (0 until 16).map(j => s"  ${minhashExpr(dialect, j)} AS mh$j").mkString(",\n")
+    val buckets = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, ${bandExpr(b)} AS k FROM sig").mkString("\n  UNION ALL ")
+    s"""WITH ${hashedShinglesCte(dialect)},
+       |sig AS (SELECT doc_id,
+       |$mhs
+       |FROM hsh),
+       |buckets AS ($buckets),
+       |mins AS (SELECT band, k, MIN(doc_id) AS m FROM buckets GROUP BY band, k),
+       |keep AS (SELECT b.doc_id, MIN(m.m) AS mm FROM buckets b
+       |  JOIN mins m ON b.band = m.band AND b.k = m.k GROUP BY b.doc_id)
+       |SELECT doc_id FROM keep WHERE doc_id = mm""".stripMargin
+  }
+
+  /** 16-bit SimHash over distinct tokens. */
+  private def qSimhash(dialect: String): String = {
+    val tks = toks(dialect)
+    if (dialect == "spark")
+      s"""WITH t AS (SELECT doc_id, array_distinct($tks) AS toks FROM documents),
+         |h AS (SELECT doc_id, transform(toks, tk -> ${h28(dialect, "tk")}) AS hs FROM t)
+         |SELECT doc_id,
+         |  aggregate(transform(sequence(0, 15), j ->
+         |      CASE WHEN 2 * size(filter(hs, v -> CAST(FLOOR(v / POW(2, j)) AS BIGINT) % 2 = 1)) > size(hs)
+         |           THEN CAST(POW(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+         |    CAST(0 AS BIGINT), (acc, x) -> acc + x) AS simhash
+         |FROM h""".stripMargin
+    else
+      s"""WITH t AS (SELECT doc_id, list_distinct($tks) AS toks FROM documents),
+         |h AS (SELECT doc_id, list_transform(toks, tk -> ${h28(dialect, "tk")}) AS hs FROM t)
+         |SELECT doc_id,
+         |  CAST(list_sum(list_transform(range(0, 16), j ->
+         |      CASE WHEN 2 * len(list_filter(hs, v -> CAST(FLOOR(v / POW(2, j)) AS BIGINT) % 2 = 1)) > len(hs)
+         |           THEN CAST(POW(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+         |FROM h""".stripMargin
+  }
+
+  private def qNgramJaccard(dialect: String): String = {
+    val dedup = if (dialect == "spark") "array_distinct" else "list_distinct"
+    val size_ = if (dialect == "spark") "size" else "len"
+    val inter = if (dialect == "spark") "array_intersect(a.ng, b.ng)"
+    else "list_intersect(a.ng, b.ng)"
+    val uni = if (dialect == "spark") "array_union(a.ng, b.ng)"
+    else "list_distinct(list_concat(a.ng, b.ng))"
+    s"""WITH t AS (SELECT doc_id, lang, ${toks(dialect)} AS toks FROM documents),
+       |n AS (SELECT doc_id, lang, $dedup(${ngrams3(dialect)}) AS ng FROM t),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    ROUND(CAST($size_($inter) AS DOUBLE) / CAST($size_($uni) AS DOUBLE), 6) AS jaccard
+       |  FROM n a JOIN n b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |  WHERE $size_(a.ng) <= 2 * $size_(b.ng) AND $size_(b.ng) <= 2 * $size_(a.ng))
+       |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.5e0""".stripMargin
+  }
+
+  private def qDedupExactOracle: String =
+    """SELECT doc_id, lang, source FROM (
+      |  SELECT doc_id, lang, source,
+      |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |  FROM documents) t
+      |WHERE rn = 1""".stripMargin
+
+  private def qFingerprint(dialect: String): String =
+    if (dialect == "spark")
+      """SELECT doc_id,
+        |  md5(array_join(array_sort(array_distinct(split(text, ' '))), ' ')) AS fingerprint
+        |FROM documents""".stripMargin
+    else
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+        |FROM documents""".stripMargin
+
+  private def qTokenCount(dialect: String): String = {
+    val size_ = if (dialect == "spark") "size" else "len"
+    s"""SELECT doc_id,
+       |  CAST($size_(${toks(dialect)}) AS BIGINT) AS n_tokens,
+       |  CAST(length(text) AS BIGINT) AS n_chars_measured
+       |FROM documents""".stripMargin
+  }
+
+  private def qQualityScore(dialect: String): String = {
+    val size_ = if (dialect == "spark") "size" else "len"
+    val dedup = if (dialect == "spark") "array_distinct" else "list_distinct"
+    s"""WITH t AS (SELECT doc_id,
+       |    CAST($size_(${toks(dialect)}) AS DOUBLE) AS nt,
+       |    CAST($size_($dedup(${toks(dialect)})) AS DOUBLE) AS nd,
+       |    CAST(length(text) AS DOUBLE) AS nc
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(FLOOR((0.4e0 * LEAST(nt / 100.0e0, 1.0e0)
+       |      + 0.3e0 * (nd / nt)
+       |      + 0.3e0 * LEAST(((nc - nt + 1.0e0) / nt) / 8.0e0, 1.0e0)) * 1000000.0e0) AS BIGINT) AS quality_e6
+       |FROM t""".stripMargin
+  }
+
+  private def qLangId(dialect: String): String = {
+    val size_ = if (dialect == "spark") "size" else "len"
+    val filt = if (dialect == "spark") "filter" else "list_filter"
+    s"""WITH t AS (SELECT doc_id, ${toks(dialect)} AS toks FROM documents),
+       |f AS (SELECT doc_id,
+       |    CAST($size_($filt(toks, x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+       |      / CAST($size_(toks) AS DOUBLE) AS stop_ratio
+       |  FROM t)
+       |SELECT doc_id,
+       |  CASE WHEN stop_ratio >= 0.08e0 THEN 'en'
+       |       WHEN stop_ratio >= 0.03e0 THEN 'en_like'
+       |       ELSE 'unknown' END AS lang_pred,
+       |  ROUND(stop_ratio, 6) AS stop_ratio
+       |FROM f""".stripMargin
+  }
+
+  // embeddings: cosine via explicit index-ordered sums so both engines
+  // accumulate in the same sequence; compare/rank only on ROUND(.,4).
+  private def qKnn(dialect: String): String =
+    if (dialect == "spark")
+      """WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |    SQRT(aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)) AS nrm
+        |  FROM e),
+        |p AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+        |    ROUND(aggregate(zip_with(q.v, x.v, (a, b) -> a * b),
+        |        CAST(0 AS DOUBLE), (acc, y) -> acc + y) / (q.nrm * x.nrm), 4) AS sim
+        |  FROM n q JOIN n x ON q.vec_id % 25 = 0 AND q.vec_id <> x.vec_id),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM p)
+        |SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 3""".stripMargin
+    else
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |    SQRT(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |  FROM e),
+        |p AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+        |    ROUND(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * x.v[i]))
+        |      / (q.nrm * x.nrm), 4) AS sim
+        |  FROM n q JOIN n x ON q.vec_id % 25 = 0 AND q.vec_id <> x.vec_id),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM p)
+        |SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 3""".stripMargin
+
+  private def qEmbeddingNeardup(dialect: String): String =
+    if (dialect == "spark")
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |    SQRT(aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)) AS nrm
+        |  FROM e),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    ROUND(aggregate(zip_with(a.v, b.v, (x, y) -> x * y),
+        |        CAST(0 AS DOUBLE), (acc, y) -> acc + y) / (a.nrm * b.nrm), 4) AS sim
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.4e0""".stripMargin
+    else
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |    SQRT(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |  FROM e),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    ROUND(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+        |      / (a.nrm * b.nrm), 4) AS sim
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.4e0""".stripMargin
+
+  // ---- assembled maps ------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_lineitem" -> sqlQuery(qAggLineitemSpark),
+    "q_join_revenue" -> sqlQuery(qJoinRevenue),
+    "q_topk_brand" -> sqlQuery(qTopkBrand),
+    "q_kill_duplicates" -> ((s, dir) => {
+      registerViews(s, dir)
+      Dedup.killDuplicates(
+        s.table("lineitem").select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"),
+        Seq("l_orderkey"))
+    }),
+    "q_drop_duplicates" -> ((s, dir) => {
+      registerViews(s, dir)
+      Dedup.dropDuplicatesOrdered(
+        s.table("orders").select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
+        Seq("o_custkey", "o_orderstatus"), Seq(col("o_orderkey").asc))
+    }),
+    "q_drop_duplicates_pkey" -> ((s, dir) => {
+      registerViews(s, dir)
+      Dedup.dropDuplicatesPkey(
+        s.table("part").select("p_partkey", "p_brand", "p_type", "p_retailprice"),
+        "p_partkey", Seq("p_brand", "p_type"))
+    }),
+    "q_scd2_upsert" -> ((s, dir) => {
+      registerViews(s, dir)
+      Scd2.upsert(s.sql(scd2Base), s.sql(scd2Updates), "pkey", Seq("attr"),
+        effectiveTimeColName = "effective_ver", endTimeColName = "end_ver")
+    }),
+    "q_file_sizes" -> sqlQuery(qFileSizesText),
+    "q_skipped_stats" -> sqlQuery(qSkippedStats),
+    "q_updated_partitions" -> sqlQuery(qUpdatedPartitionsSpark),
+    "q_sessionize" -> sqlQuery(qSessionize("ts DIV 1000")),
+    "q_dedup_exact" -> sqlQuery(
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1""".stripMargin),
+    "q_fingerprint" -> sqlQuery(qFingerprint("spark")),
+    "q_token_count" -> sqlQuery(qTokenCount("spark")),
+    "q_quality_score" -> sqlQuery(qQualityScore("spark")),
+    "q_lang_id" -> sqlQuery(qLangId("spark")),
+    "q_ngram_jaccard" -> sqlQuery(qNgramJaccard("spark")),
+    "q_minhash_signature" -> sqlQuery(qMinhashSignature("spark")),
+    "q_minhash_dedup" -> sqlQuery(qMinhashDedup("spark")),
+    "q_simhash" -> sqlQuery(qSimhash("spark")),
+    "q_embedding_knn" -> sqlQuery(qKnn("spark")),
+    "q_embedding_neardup" -> sqlQuery(qEmbeddingNeardup("spark")))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_agg_lineitem" -> qAggLineitemSpark,
+    "q_join_revenue" -> qJoinRevenue,
+    "q_topk_brand" -> qTopkBrand,
+    "q_kill_duplicates" -> qKillDuplicatesOracle,
+    "q_drop_duplicates" -> qDropDuplicatesOracle,
+    "q_drop_duplicates_pkey" -> qDropDuplicatesPkeyOracle,
+    "q_scd2_upsert" -> qScd2Oracle,
+    "q_file_sizes" -> qFileSizesText,
+    "q_skipped_stats" -> qSkippedStats,
+    "q_updated_partitions" -> qUpdatedPartitionsDuck,
+    "q_sessionize" -> qSessionize("epoch_us(ts)"),
+    "q_dedup_exact" -> qDedupExactOracle,
+    "q_fingerprint" -> qFingerprint("duck"),
+    "q_token_count" -> qTokenCount("duck"),
+    "q_quality_score" -> qQualityScore("duck"),
+    "q_lang_id" -> qLangId("duck"),
+    "q_ngram_jaccard" -> qNgramJaccard("duck"),
+    "q_minhash_signature" -> qMinhashSignature("duck"),
+    "q_minhash_dedup" -> qMinhashDedup("duck"),
+    "q_simhash" -> qSimhash("duck"),
+    "q_embedding_knn" -> qKnn("duck"),
+    "q_embedding_neardup" -> qEmbeddingNeardup("duck"))
+}
