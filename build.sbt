@@ -28,7 +28,8 @@ val jdk17AddOpens = Seq(
 // bootstrap from the environment, so the forked JVMs need LANG set.
 Test / envVars += "LANG" -> "C.UTF-8"
 run / envVars += "LANG" -> "C.UTF-8"
-javaOptions ++= jdk17AddOpens ++ Seq(
+javaOptions ++= jdk17AddOpens ++
+  sys.env.get("SPARK_GRAFT_GCLOG").map(f => s"-Xlog:gc:$f").toSeq ++ Seq(
   "-Dfile.encoding=UTF-8",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
