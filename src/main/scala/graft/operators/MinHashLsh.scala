@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.queries.Queries.{MinhashA, MinhashB, MinhashP}
+
+/** MinHash + banded LSH near-duplicate detection, DataFrame-native.
+  *
+  * Scale shape (the whole point of LSH): signatures are one narrow
+  * map-side pass; the only shuffle keys are (band, bucket) — candidate
+  * pair count tracks the true near-dup count, never O(n²). Exact
+  * Jaccard verification runs on candidates only.
+  */
+object MinHashLsh {
+
+  val NumHashes = 16
+  val Bands = 4
+  val RowsPerBand: Int = NumHashes / Bands
+
+  /** doc frame → (id, hs) where hs = 28-bit hashes of the distinct word
+    * 3-gram shingles. */
+  def hashedShingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    df.select(col(idCol),
+      transform(array_distinct(TextFunctions.wordNgrams(col(textCol), n)),
+        s => TextFunctions.hash28(s)).as("hs"))
+
+  /** Append mh0..mh15 signature columns. */
+  def withSignature(hashed: DataFrame): DataFrame =
+    (0 until NumHashes).foldLeft(hashed) { (d, j) =>
+      d.withColumn(s"mh$j",
+        TextFunctions.minhash(col("hs"), MinhashA(j), MinhashB(j), MinhashP))
+    }
+
+  /** (id, band, bucketKey) — one row per band per doc. */
+  def bandBuckets(sig: DataFrame, idCol: String): DataFrame = {
+    val bandKeys: Column = array((0 until Bands).map { b =>
+      concat_ws(",", (0 until RowsPerBand).map(r =>
+        col(s"mh${b * RowsPerBand + r}").cast("string")): _*)
+    }: _*)
+    sig.select(col(idCol), posexplode(bandKeys).as(Seq("band", "k")))
+  }
+
+  /** Candidate pairs: docs sharing any band bucket (deduplicated). */
+  def candidatePairs(buckets: DataFrame, idCol: String): DataFrame = {
+    val a = buckets.as("x")
+    val b = buckets.as("y")
+    a.join(b,
+        col("x.band") === col("y.band") && col("x.k") === col("y.k") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** Near-dup pairs with exact Jaccard ≥ threshold, verified on the
+    * hashed shingle sets of candidates only. */
+  def nearDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val hashed = hashedShingles(df, idCol, textCol).cache()
+    val cand = candidatePairs(bandBuckets(withSignature(hashed), idCol), idCol)
+    val ha = hashed.select(col(idCol).as("id_a"), col("hs").as("hs_a"))
+    val hb = hashed.select(col(idCol).as("id_b"), col("hs").as("hs_b"))
+    cand.join(ha, "id_a").join(hb, "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          size(array_union(col("hs_a"), col("hs_b"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** LSH dedup: a doc survives iff it is the minimum id in every bucket
+    * it lands in (single-pass, transitive-closure-free — deterministic
+    * and shuffle-bounded; matches q_minhash_dedup). */
+  def dedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val buckets = bandBuckets(
+      withSignature(hashedShingles(df, idCol, textCol)), idCol)
+    val mins = buckets.groupBy("band", "k").agg(min(col(idCol)).as("m"))
+    val keepIds = buckets.join(mins, Seq("band", "k"))
+      .groupBy(col(idCol)).agg(min("m").as("mm"))
+      .where(col(idCol) === col("mm"))
+      .select(idCol)
+    df.join(keepIds, idCol)
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.{MinHashLsh, Multimodal, Similarity}
+
+/** Specs for the training-pipeline operator APIs (the SQL-query
+  * counterparts are gated by the DuckDB oracle; these cover the
+  * library-level Column/DataFrame API semantics). */
+class OperatorsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+  lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  test("wordNgrams produces n-2 trigrams and empty below n") {
+    val df = Seq("a b c d", "a b").toDF("text")
+      .select(TextFunctions.wordNgrams(col("text"), 3).as("ng"))
+    val rows = df.collect().map(_.getSeq[String](0))
+    assert(rows(0) == Seq("a b c", "b c d"))
+    assert(rows(1).isEmpty)
+  }
+
+  test("hash28 is stable and within 28 bits") {
+    val v = Seq("abc").toDF("s").select(TextFunctions.hash28(col("s"))).collect()(0).getLong(0)
+    // md5("abc") = 900150983cd24fb0... -> 0x9001509 = 150999305
+    assert(v == java.lang.Long.parseLong("9001509", 16))
+    assert(v >= 0 && v < (1L << 28))
+  }
+
+  test("tokenCount handles blanks") {
+    val r = Seq("a b c", "", "  ").toDF("text")
+      .select(TextFunctions.tokenCount(col("text"))).collect().map(_.getInt(0))
+    assert(r.toSeq == Seq(3, 0, 0))
+  }
+
+  test("fingerprint is order-insensitive on token bags") {
+    val r = Seq("b a c", "c b a", "a x").toDF("text")
+      .select(TextFunctions.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(r(0) == r(1) && r(0) != r(2))
+  }
+
+  test("minhash LSH finds the planted near-duplicates") {
+    val pairs = MinHashLsh.nearDupPairs(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // sf0.001 corpus plants near-dup pairs with jaccard ≈ 0.97+ — LSH at
+    // 16 hashes / 4 bands catches them with overwhelming probability
+    assert(pairs.nonEmpty, "expected at least one planted near-dup pair")
+    // survivors of dedup = docs minus one side of each dup component
+    val kept = MinHashLsh.dedup(docs, "doc_id", "text").count()
+    assert(kept < docs.count())
+    assert(kept >= docs.count() - 2L * pairs.length)
+  }
+
+  test("cosine is 1 for identical vectors and symmetric") {
+    val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f)), (2L, Seq(-1.0f, -2.0f, -3.0f)))
+      .toDF("id", "v").select(col("id"), col("v").cast("array<double>").as("v"))
+    val a = df.where($"id" === 1).select($"v".as("a"))
+    val b = df.where($"id" === 2).select($"v".as("b"))
+    val r = a.crossJoin(b).select(
+      Similarity.cosine(col("a"), col("a")).as("self"),
+      Similarity.cosine(col("a"), col("b")).as("anti")).collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) + 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK returns k ranked neighbors per query") {
+    val queries = emb.where($"vec_id" % 100 === 0)
+    val res = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+    val counts = res.groupBy("query_id").count().collect()
+    assert(counts.nonEmpty && counts.forall(_.getLong(1) == 3L))
+    // rank 1 has the max sim within each query group
+    val bad = res.as("r").groupBy("query_id")
+      .agg(max(when($"rnk" === 1, $"sim")).as("top"), max($"sim").as("mx"))
+      .where($"top" =!= $"mx").count()
+    assert(bad == 0)
+  }
+
+  test("lshNearDupPairs is a subset of brute-force pairs at the same threshold") {
+    val lsh = Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force within the same frame
+    val e = emb.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val bf = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", round(Similarity.cosine(col("a.v"), col("b.v")), 4))
+      .where($"sim" >= 0.4)
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(bf), s"LSH produced non-near-dup pairs: ${lsh.diff(bf)}")
+  }
+
+  test("multimodal metadata/features/frames plumbing") {
+    val assets = Seq(
+      Multimodal.MediaAsset(1L, "image", Array.fill(256)(7.toByte)),
+      Multimodal.MediaAsset(2L, "video", Array.fill(4096)(9.toByte)),
+      Multimodal.MediaAsset(3L, "audio", Array.fill(512)(3.toByte))).toDS()
+    val meta = Multimodal.extractMeta(assets).collect().sortBy(_.asset_id)
+    assert(meta.length == 3)
+    assert(meta(0).media_type == "image" && meta(0).duration_ms == 0L)
+    assert(meta(1).byte_size == 4096L && meta(1).duration_ms > 0L)
+    // determinism: same bytes → same metadata
+    val meta2 = Multimodal.extractMeta(assets).collect().sortBy(_.asset_id)
+    assert(meta.toSeq == meta2.toSeq)
+    val feats = Multimodal.extractFeatures(assets, dim = 8).collect()
+    assert(feats.forall(_.feature.length == 8))
+    val frames = Multimodal.sampleFrames(assets)
+    assert(frames.columns.toSeq == Seq("asset_id", "frame_idx", "frame_bytes"))
+    assert(frames.where($"asset_id" === 2L).count() > 0)
+  }
+
+  test("simhash16 stays within 16 bits and is stable") {
+    val r = docs.limit(50)
+      .select(TextFunctions.simhash16(
+        transform(array_distinct(TextFunctions.tokens(col("text"))),
+          t => TextFunctions.hash28(t))).as("sh"))
+      .collect().map(_.getLong(0))
+    assert(r.forall(v => v >= 0 && v < 65536))
+    assert(r.distinct.length > 1)
+  }
+}

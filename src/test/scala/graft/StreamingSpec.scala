@@ -1,0 +1,49 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingOps
+
+/** Structured Streaming ops driven through MemoryStream micro-batches. */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  def ts(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  test("streaming exact dedup drops in-window duplicate fingerprints") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val deduped = StreamingOps.streamingExactDedup(
+      input.toDF().toDF("ts", "fp"), "ts", "fp")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(0), "a"), (ts(0), "a"), (ts(1), "b"))
+      q.processAllAvailable()
+      input.addData((ts(0), "a"), (ts(2), "c")) // dup of a within state
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out").collect()
+      assert(rows.length == 3, rows.mkString(","))
+    } finally q.stop()
+  }
+
+  test("windowed event counts aggregate per tumbling window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val counts = StreamingOps.windowedEventCounts(
+      input.toDF().toDF("ts", "etype"), "ts", "etype")
+    val q = counts.writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    try {
+      input.addData((ts(0), "x"), (ts(0), "x"), (ts(1), "y"), (ts(2), "x"))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select("etype", "n_events").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      // 1-minute windows: x@10:00 ×2, y@10:01, x@10:02
+      assert(rows == Set(("x", 2L), ("y", 1L), ("x", 1L)) ||
+        rows.map(_._1).toSeq.sorted == Seq("x", "x", "y"))
+    } finally q.stop()
+  }
+}
