@@ -36,6 +36,13 @@ object LeviDemo {
       log.snapshot.read().orderBy("col1").show()
 
       println(s"== time travel back to v0: ${log.snapshotAt(0).read().count()} rows ==")
+
+      graft.delta.Maintenance.append(log, Seq((7L, "E", "E")).toDF("col1", "col2", "col3"))
+      graft.delta.Maintenance.compact(log)
+      val cpV = graft.delta.Maintenance.checkpoint(log)
+      val vacuumed = graft.delta.Maintenance.vacuum(log)
+      println(s"== appended, compacted, checkpointed @v$cpV, vacuumed ${vacuumed.length} orphans ==")
+      println(s"== final: ${log.snapshot.read().count()} rows in ${log.snapshot.numFiles} file(s) ==")
     } finally spark.stop()
   }
 }

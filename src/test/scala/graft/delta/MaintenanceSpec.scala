@@ -1,0 +1,76 @@
+package graft.delta
+
+import java.nio.file.Files
+import graft.SparkTestBase
+
+/** Checkpoint / append / compact / vacuum roundtrips against tables
+  * created by our own writer. */
+class MaintenanceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  def freshLog(): DeltaLog = {
+    val path = Files.createTempDirectory("graft-maint").resolve("t").toString
+    DeltaLog.forPath(spark, path)
+  }
+
+  test("append adds files without removing") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log, Seq((1L, "a"), (2L, "b")).toDF("n", "s"))
+    Maintenance.append(log, Seq((3L, "c")).toDF("n", "s"))
+    assertSameRows(log.snapshot.read(),
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("n", "s"))
+    assert(log.snapshot.version == 1L)
+    // v0 still readable
+    assert(log.snapshotAt(0).read().count() == 2L)
+  }
+
+  test("checkpoint lets the reader bootstrap without the JSON tail") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("n", "s"))
+    Maintenance.append(log, Seq((2L, "b")).toDF("n", "s"))
+    val cpV = Maintenance.checkpoint(log)
+    assert(cpV == 1L)
+    // delete the JSON commits ≤ checkpoint (the no_replay scenario)
+    val fs = log.fs
+    Seq(0L, 1L).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(log.logPath, f"$v%020d.json"), false)
+    }
+    val snap = DeltaLog.forPath(spark, log.tablePath).snapshot
+    assert(snap.version == 1L)
+    assert(snap.checkpointVersion.contains(1L))
+    assertSameRows(snap.read(), Seq((1L, "a"), (2L, "b")).toDF("n", "s"))
+    // stats + schema survived through the checkpoint
+    assert(snap.schema.fieldNames.toSeq == Seq("n", "s"))
+    assert(snap.addsFlat.agg(org.apache.spark.sql.functions.sum("num_records"))
+      .collect()(0).get(0) != null)
+  }
+
+  test("compact merges small files and preserves content") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log,
+      (1L to 100L).map(i => (i, s"v$i")).toDF("n", "s").repartition(8))
+    assert(log.snapshot.numFiles == 8L)
+    Maintenance.compact(log)
+    val snap = log.snapshot
+    assert(snap.numFiles == 1L, s"expected 1 file, got ${snap.numFiles}")
+    assert(snap.read().count() == 100L)
+  }
+
+  test("vacuum deletes orphaned files only") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("n", "s"))
+    TransactionWriter.overwrite(log, Seq((2L, "b")).toDF("n", "s")) // v0 files orphaned
+    val before = log.fs.listFiles(log.rootPath, true)
+    var dataFiles = 0
+    while (before.hasNext) {
+      val st = before.next()
+      if (st.getPath.getName.endsWith(".parquet") &&
+        !st.getPath.toString.contains("_delta_log")) dataFiles += 1
+    }
+    assert(dataFiles == 2)
+    val deleted = Maintenance.vacuum(log)
+    assert(deleted.length == 1)
+    // table still reads fine; time travel to v0 is now broken by design
+    assertSameRows(log.snapshot.read(), Seq((2L, "b")).toDF("n", "s"))
+  }
+}
