@@ -23,14 +23,20 @@ object Dedup {
   }
 
   /** Delete EVERY row of every duplicate group — no survivor (reference:
-    * `kill_duplicates`, levi/__init__.py:119-166). One window shuffle on
-    * the duplication columns. */
+    * `kill_duplicates`, levi/__init__.py:119-166).
+    *
+    * Plan shape: duplicate KEYS are found with a map-side-combined
+    * groupBy (only keys shuffle, not rows), then removed with a
+    * left-anti join that AQE turns into a broadcast when the dup-key set
+    * is small — the common case at scale, where the full-row shuffle of
+    * a window-count plan would dominate. */
   def killDuplicates(df: DataFrame, duplicationColumns: Seq[String]): DataFrame = {
     requireCols(df, duplicationColumns, "duplication_columns")
-    val w = Window.partitionBy(duplicationColumns.map(col): _*)
-    df.withColumn("__cnt", count(lit(1)).over(w))
-      .where(col("__cnt") === 1)
-      .drop("__cnt")
+    val dupKeys = df.groupBy(duplicationColumns.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .where(col("__cnt") > 1)
+      .select(duplicationColumns.map(col): _*)
+    df.join(dupKeys, duplicationColumns, "left_anti")
   }
 
   /** Keep exactly one row per duplicate group, the first under an

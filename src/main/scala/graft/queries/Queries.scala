@@ -25,6 +25,10 @@ object Queries {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def registerViews(spark: SparkSession, dir: String): Unit = {
+    // events.parquet carries TIMESTAMP(NANOS); ensure the session reads
+    // it as raw longs even when the caller (e.g. the driver's smoke
+    // test) didn't configure it at build time.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Drop any stage caches left by a previous query: stale cached plans
     // make every later createOrReplaceTempView pay a cascade-invalidation
     // walk over their (huge) canonicalized minhash expression trees.
