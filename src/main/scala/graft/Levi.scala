@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, functions => F}
 import org.apache.spark.sql.functions._
-import graft.delta.{DeltaLog, Skipping, Snapshot, TransactionWriter}
+import graft.delta.{DeltaLog, Mutations, Skipping, Snapshot, TransactionWriter}
 import graft.operators.{Dedup, Scd2}
 
 /** The reference's 10-function public API
@@ -121,33 +121,25 @@ object Levi {
     TransactionWriter.overwrite(log, result,
       partitionBy = Some(snap.metadata.partitionColumns), operation = op)
 
-  /** Delete every member of every duplicate group (reference :119-166). */
-  def killDuplicates(log: DeltaLog, duplicationColumns: Seq[String]): Long = {
-    val snap = log.snapshot
-    rewrite(log, snap,
-      Dedup.killDuplicates(snap.read(), duplicationColumns), "DELETE")
-  }
+  /** Delete every member of every duplicate group (reference :119-166).
+    * Targeted rewrite: only files containing dup-group rows are
+    * rewritten ([[graft.delta.Mutations]]). */
+  def killDuplicates(log: DeltaLog, duplicationColumns: Seq[String]): Long =
+    Mutations.killDuplicates(log, duplicationColumns)
 
   /** Dedup keeping one deterministic survivor per group, ordered by
     * `orderBy` (the reference keeps the first physical row — see
     * [[graft.operators.Dedup.dropDuplicatesOrdered]] for the documented
-    * divergence). */
+    * divergence). Targeted rewrite. */
   def dropDuplicates(
-      log: DeltaLog, duplicationColumns: Seq[String], orderBy: Seq[String]): Long = {
-    val snap = log.snapshot
-    rewrite(log, snap,
-      Dedup.dropDuplicatesOrdered(snap.read(), duplicationColumns, orderBy.map(col(_).asc)),
-      "DELETE")
-  }
+      log: DeltaLog, duplicationColumns: Seq[String], orderBy: Seq[String]): Long =
+    Mutations.dropDuplicatesOrdered(log, duplicationColumns, orderBy)
 
   /** Dedup keeping the smallest-pkey row per group; pkey must be unique
-    * (reference :354-426). */
+    * (reference :354-426). Targeted rewrite. */
   def dropDuplicatesPkey(
-      log: DeltaLog, primaryKey: String, duplicationColumns: Seq[String]): Long = {
-    val snap = log.snapshot
-    rewrite(log, snap,
-      Dedup.dropDuplicatesPkey(snap.read(), primaryKey, duplicationColumns), "DELETE")
-  }
+      log: DeltaLog, primaryKey: String, duplicationColumns: Seq[String]): Long =
+    Mutations.dropDuplicatesPkey(log, primaryKey, duplicationColumns)
 
   /** SCD2 upsert (reference :169-295). */
   def type2ScdUpsert(

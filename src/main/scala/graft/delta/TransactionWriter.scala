@@ -31,13 +31,41 @@ object TransactionWriter {
       partitionBy: Option[Seq[String]] = None,
       configuration: Map[String, String] = Map.empty,
       operation: String = "WRITE"): Long = {
-    val spark = log.spark
-    val fs = log.fs
     val prev: Option[Snapshot] =
-      if (fs.exists(log.logPath) &&
+      if (log.fs.exists(log.logPath) &&
           { val (c, p) = log.listLog(); c.nonEmpty || p.nonEmpty })
         Some(log.snapshot)
       else None
+    writeAndCommit(log, df, prev,
+      removes = prev.toSeq.flatMap(_.activeFiles),
+      partitionBy = partitionBy, configuration = configuration,
+      operation = operation)
+  }
+
+  /** MERGE-style targeted rewrite: replace only `touched` files with
+    * `replacement` rows; every other active file stays untouched in the
+    * log. This is what keeps mutations affordable at scale — a dedup
+    * that touches 0.1% of files rewrites 0.1% of the table. */
+  def rewriteFiles(
+      log: DeltaLog,
+      snap: Snapshot,
+      touched: Seq[AddFile],
+      replacement: DataFrame,
+      operation: String): Long =
+    writeAndCommit(log, replacement, Some(snap), removes = touched,
+      partitionBy = Some(snap.metadata.partitionColumns),
+      configuration = Map.empty, operation = operation)
+
+  private def writeAndCommit(
+      log: DeltaLog,
+      df: DataFrame,
+      prev: Option[Snapshot],
+      removes: Seq[AddFile],
+      partitionBy: Option[Seq[String]],
+      configuration: Map[String, String],
+      operation: String): Long = {
+    val spark = log.spark
+    val fs = log.fs
     val partCols: Seq[String] =
       partitionBy.orElse(prev.map(_.metadata.partitionColumns)).getOrElse(Nil)
     val schema = df.schema
@@ -95,7 +123,7 @@ object TransactionWriter {
           m.size, m.modificationTime, dataChange = true,
           stats = stats.get(m.rel)))
       }
-      actions ++= prev.toSeq.flatMap(_.activeFiles).map { f =>
+      actions ++= removes.map { f =>
         RemoveAction(RemoveFile(f.path, now, dataChange = true,
           partitionValues = f.partitionValues, size = Some(f.size)))
       }

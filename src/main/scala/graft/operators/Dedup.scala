@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  private def requireCols(df: DataFrame, cols: Seq[String], what: String): Unit = {
+  private[graft] def requireCols(df: DataFrame, cols: Seq[String], what: String): Unit = {
     require(cols != null && cols.nonEmpty, s"$what must be a non-empty list of columns")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty,
