@@ -149,15 +149,11 @@ object Levi {
       attrColNames: Seq[String],
       isCurrentColName: String = "is_current",
       effectiveTimeColName: String = "effective_time",
-      endTimeColName: String = "end_time"): Long = {
-    val snap = log.snapshot
-    // Pushed-down current-state scan (reference reads with
-    // filters=[(is_current,'=',True)] :205-209) happens inside Scd2 via
-    // the base.where; file-level pruning would need boolean stats which
-    // the corpus doesn't collect — row-group pushdown still applies.
-    rewrite(log, snap,
-      Scd2.upsert(snap.read(), updates, primaryKey, attrColNames,
-        isCurrentColName, effectiveTimeColName, endTimeColName),
-      "MERGE")
-  }
+      endTimeColName: String = "end_time"): Long =
+    // Targeted rewrite: only files holding a current row of a changed
+    // key are rewritten; the reference's pushed-down is_current scan
+    // (levi/__init__.py:205-209) corresponds to the rowFilter used for
+    // touched-file detection.
+    Mutations.type2ScdUpsert(log, updates, primaryKey, attrColNames,
+      isCurrentColName, effectiveTimeColName, endTimeColName)
 }

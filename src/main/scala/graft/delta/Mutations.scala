@@ -32,11 +32,14 @@ object Mutations {
     normalize(log.fs.makeQualified(
       new org.apache.hadoop.fs.Path(snap.absolutePath(f))).toString)
 
-  /** Files whose rows satisfy a semi-join against `keys` on `cols`. */
+  /** Files whose rows (optionally pre-filtered) satisfy a semi-join
+    * against `keys` on `cols`. */
   private def touchedFiles(
-      log: DeltaLog, snap: Snapshot, keys: DataFrame, cols: Seq[String]): Seq[AddFile] = {
+      log: DeltaLog, snap: Snapshot, keys: DataFrame, cols: Seq[String],
+      rowFilter: org.apache.spark.sql.Column = lit(true)): Seq[AddFile] = {
     val taggedScan = snap.readFiles(snap.activeFiles)
       .withColumn("__file", input_file_name())
+      .where(rowFilter)
     val idx: Map[String, AddFile] =
       snap.activeFiles.map(f => qualified(log, snap, f) -> f).toMap
     taggedScan.join(keys, cols, "left_semi")
@@ -86,5 +89,33 @@ object Mutations {
     // runs every validation eagerly (incl. the uniqueness count guard)
     Dedup.dropDuplicatesPkey(snap.read(), primaryKey, duplicationColumns)
     dropDuplicatesOrdered(log, duplicationColumns, Seq(primaryKey))
+  }
+
+  /** SCD2 upsert with targeted rewrite: only files holding a CURRENT
+    * row of a changed key are rewritten; inserts ride the same commit
+    * as new files. History files and files of unchanged keys keep their
+    * add paths. */
+  def type2ScdUpsert(
+      log: DeltaLog,
+      updates: DataFrame,
+      primaryKey: String,
+      attrColNames: Seq[String],
+      isCurrentColName: String = "is_current",
+      effectiveTimeColName: String = "effective_time",
+      endTimeColName: String = "end_time"): Long = {
+    val snap = log.snapshot
+    val base = snap.read()
+    val plan = graft.operators.Scd2.plan(base, updates, primaryKey, attrColNames,
+      isCurrentColName, effectiveTimeColName, endTimeColName)
+    val changedKeys = plan.changedKeys.cache()
+    val touched = touchedFiles(log, snap, changedKeys.select(primaryKey),
+      Seq(primaryKey), rowFilter = col(isCurrentColName))
+    val inserts = plan.inserts
+    if (touched.isEmpty && inserts.isEmpty) return snap.version
+    val closedTouched = graft.operators.Scd2.applyCloses(
+      snap.readFiles(touched), changedKeys, primaryKey,
+      isCurrentColName, endTimeColName)
+    val replacement = closedTouched.unionByName(inserts)
+    TransactionWriter.rewriteFiles(log, snap, touched, replacement, "MERGE")
   }
 }

@@ -22,14 +22,23 @@ import org.apache.spark.sql.functions._
   */
 object Scd2 {
 
-  def upsert(
+  /** The decomposed merge inputs shared by the full-table and the
+    * targeted (file-rewrite) execution paths:
+    *  - `changedKeys`: (pk, __new_eff) for keys whose current row must
+    *    be closed;
+    *  - `inserts`: the new current rows (changed keys + brand-new keys)
+    *    in base column order.
+    */
+  final case class MergePlan(changedKeys: DataFrame, inserts: DataFrame)
+
+  def plan(
       base: DataFrame,
       updates: DataFrame,
       primaryKey: String,
       attrColNames: Seq[String],
-      isCurrentColName: String = "is_current",
-      effectiveTimeColName: String = "effective_time",
-      endTimeColName: String = "end_time"): DataFrame = {
+      isCurrentColName: String,
+      effectiveTimeColName: String,
+      endTimeColName: String): MergePlan = {
 
     // Strict schema contract, as sets (reference :212-232).
     val baseRequired = Set(primaryKey) ++ attrColNames ++
@@ -42,7 +51,6 @@ object Scd2 {
 
     val baseCols = base.columns.toSeq
     val current = base.where(col(isCurrentColName))
-    val history = base.where(!col(isCurrentColName) || col(isCurrentColName).isNull)
 
     // updates ⋈ current on pk, current side suffixed (reference :243-247).
     val curSuffixed = current.select(
@@ -75,22 +83,41 @@ object Scd2 {
       changed.select(updates.columns.map(col).toSeq: _*)
         .unionByName(brandNew.select(updates.columns.map(col).toSeq: _*)))
 
-    // Close the old current row of every changed key: attributes keep
-    // their OLD values; end time = the update's effective time.
     val changedKeys = changed.select(
       col(primaryKey), col(effectiveTimeColName).as("__new_eff"))
-    val closed = current.join(F.broadcast(changedKeys), Seq(primaryKey), "inner")
-      .select(baseCols.map {
-        case c if c == isCurrentColName => lit(false).as(isCurrentColName)
-        case c if c == endTimeColName => col("__new_eff").as(endTimeColName)
+    MergePlan(changedKeys, inserts)
+  }
+
+  /** Close matched current rows and pass everything else through; used
+    * on the full base (here) or on just the touched-file scan (targeted
+    * path). Attributes keep their OLD values; end = update's effective. */
+  def applyCloses(
+      rows: DataFrame, changedKeys: DataFrame, primaryKey: String,
+      isCurrentColName: String, endTimeColName: String): DataFrame = {
+    val cols = rows.columns.toSeq.filterNot(_ == "__new_eff")
+    rows.join(F.broadcast(changedKeys), Seq(primaryKey), "left")
+      .select(cols.map {
+        case c if c == isCurrentColName =>
+          when(col("__new_eff").isNotNull && col(isCurrentColName), lit(false))
+            .otherwise(col(isCurrentColName)).as(isCurrentColName)
+        case c if c == endTimeColName =>
+          when(col("__new_eff").isNotNull && col(isCurrentColName), col("__new_eff"))
+            .otherwise(col(endTimeColName)).as(endTimeColName)
         case c => col(c)
       }: _*)
-    val untouchedCurrent = current.join(
-      F.broadcast(changedKeys.select(primaryKey)), Seq(primaryKey), "left_anti")
+  }
 
-    history.select(baseCols.map(col): _*)
-      .unionByName(untouchedCurrent.select(baseCols.map(col): _*))
-      .unionByName(closed)
-      .unionByName(inserts)
+  def upsert(
+      base: DataFrame,
+      updates: DataFrame,
+      primaryKey: String,
+      attrColNames: Seq[String],
+      isCurrentColName: String = "is_current",
+      effectiveTimeColName: String = "effective_time",
+      endTimeColName: String = "end_time"): DataFrame = {
+    val p = plan(base, updates, primaryKey, attrColNames,
+      isCurrentColName, effectiveTimeColName, endTimeColName)
+    applyCloses(base, p.changedKeys, primaryKey, isCurrentColName, endTimeColName)
+      .unionByName(p.inserts)
   }
 }

@@ -51,4 +51,27 @@ class MutationsTargetedSpec extends SparkTestBase {
     assertSameRows(log.snapshot.read(),
       Seq((1L, "A", "A"), (3L, "B", "A"), (5L, "C", "X")).toDF("col1", "col2", "col3"))
   }
+
+  test("scd2 targeted leaves unchanged-key files untouched") {
+    val path = Files.createTempDirectory("graft-targeted").resolve("t").toString
+    val log = DeltaLog.forPath(spark, path)
+    TransactionWriter.overwrite(log,
+      Seq((1L, "A", true, 1L, null.asInstanceOf[java.lang.Long]))
+        .toDF("pkey", "attr", "is_current", "effective_ver", "end_ver").coalesce(1))
+    Maintenance.append(log,
+      Seq((2L, "B", true, 1L, null.asInstanceOf[java.lang.Long]))
+        .toDF("pkey", "attr", "is_current", "effective_ver", "end_ver").coalesce(1))
+    val before = log.snapshot.activeFiles.map(_.path).toSet
+    val updates = Seq((2L, "Z", 2L)).toDF("pkey", "attr", "effective_ver")
+    Mutations.type2ScdUpsert(log, updates, "pkey", Seq("attr"),
+      effectiveTimeColName = "effective_ver", endTimeColName = "end_ver")
+    val after = log.snapshot.activeFiles.map(_.path).toSet
+    // pkey=1's file untouched; pkey=2's file rewritten (closed) + insert
+    assert(before.intersect(after).size == 1)
+    assertSameRows(log.snapshot.read(), Seq(
+      (1L, "A", true, 1L, null.asInstanceOf[java.lang.Long]),
+      (2L, "B", false, 1L, java.lang.Long.valueOf(2L)),
+      (2L, "Z", true, 2L, null.asInstanceOf[java.lang.Long]))
+      .toDF("pkey", "attr", "is_current", "effective_ver", "end_ver"))
+  }
 }
