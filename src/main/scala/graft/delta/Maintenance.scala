@@ -114,42 +114,8 @@ object Maintenance {
     deleted.toSeq
   }
 
-  /** Append commit: add new files without removing existing ones. */
-  def append(log: DeltaLog, df: org.apache.spark.sql.DataFrame): Long = {
-    val snap = log.snapshot
-    // reuse the overwrite machinery for staging/stats, then drop the
-    // removes by committing adds-only at the next version
-    val spark = log.spark
-    val partCols = snap.metadata.partitionColumns
-    val staging = new Path(log.rootPath, s".graft-staging-${java.util.UUID.randomUUID}")
-    val fs = log.fs
-    try {
-      val w = df.write.mode("overwrite")
-      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(staging.toString)
-      val moved = ArrayBuffer.empty[(String, Path)]
-      val it = fs.listFiles(staging, true)
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
-          val rel = st.getPath.toUri.getPath.stripPrefix(staging.toUri.getPath.stripSuffix("/") + "/")
-          val dest = new Path(log.rootPath, rel)
-          fs.mkdirs(dest.getParent)
-          fs.rename(st.getPath, dest)
-          moved += rel -> dest
-        }
-      }
-      val now = System.currentTimeMillis()
-      val adds = moved.map { case (rel, dest) =>
-        val st = fs.getFileStatus(dest)
-        AddAction(AddFile(DeltaLog.encodePath(rel),
-          TransactionWriter.partitionValuesOf(rel), st.getLen, st.getModificationTime,
-          dataChange = true,
-          stats = Some(s"""{"numRecords":${spark.read.parquet(dest.toString).count()}}""")))
-      }
-      val actions = CommitInfoAction(CommitInfo(now, "WRITE",
-        Map("mode" -> "Append"))) +: adds.toSeq
-      log.commit(snap.version + 1, actions)
-      snap.version + 1
-    } finally fs.delete(staging, true)
-  }
+  /** Append commit: add new files (with full per-file stats) without
+    * removing existing ones. */
+  def append(log: DeltaLog, df: org.apache.spark.sql.DataFrame): Long =
+    TransactionWriter.append(log, df)
 }

@@ -39,7 +39,21 @@ object TransactionWriter {
     writeAndCommit(log, df, prev,
       removes = prev.toSeq.flatMap(_.activeFiles),
       partitionBy = partitionBy, configuration = configuration,
-      operation = operation)
+      operation = operation,
+      mode = if (prev.isEmpty) "ErrorIfExists" else "Overwrite")
+  }
+
+  /** Append commit: add new files (with full per-file stats) without
+    * removing any existing ones. */
+  def append(
+      log: DeltaLog,
+      df: DataFrame,
+      partitionBy: Option[Seq[String]] = None,
+      operation: String = "WRITE"): Long = {
+    val prev = Some(log.snapshot)
+    writeAndCommit(log, df, prev, removes = Nil,
+      partitionBy = partitionBy, configuration = Map.empty,
+      operation = operation, mode = "Append")
   }
 
   /** MERGE-style targeted rewrite: replace only `touched` files with
@@ -54,7 +68,7 @@ object TransactionWriter {
       operation: String): Long =
     writeAndCommit(log, replacement, Some(snap), removes = touched,
       partitionBy = Some(snap.metadata.partitionColumns),
-      configuration = Map.empty, operation = operation)
+      configuration = Map.empty, operation = operation, mode = "Overwrite")
 
   private def writeAndCommit(
       log: DeltaLog,
@@ -63,7 +77,8 @@ object TransactionWriter {
       removes: Seq[AddFile],
       partitionBy: Option[Seq[String]],
       configuration: Map[String, String],
-      operation: String): Long = {
+      operation: String,
+      mode: String): Long = {
     val spark = log.spark
     val fs = log.fs
     val partCols: Seq[String] =
@@ -106,7 +121,7 @@ object TransactionWriter {
       }
       val actions = ArrayBuffer.empty[Action]
       actions += CommitInfoAction(CommitInfo(now, operation,
-        Map("mode" -> (if (prev.isEmpty) "ErrorIfExists" else "Overwrite"),
+        Map("mode" -> mode,
           "partitionBy" -> partCols.mkString("[\"", "\",\"", "\"]"))))
       if (prev.isEmpty) actions += ProtocolAction(Protocol())
       if (metaChanged) actions += MetadataAction(Metadata(

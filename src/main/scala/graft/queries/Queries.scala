@@ -200,6 +200,19 @@ object Queries {
        |  COUNT(*) AS n_events
        |FROM s GROUP BY user_id""".stripMargin
 
+  /** JSON scalar extraction over the events props column. */
+  private val qJsonExtractSpark: String =
+    """SELECT event_type,
+      |  SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS sum_k,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY event_type""".stripMargin
+
+  private val qJsonExtractDuck: String =
+    """SELECT event_type,
+      |  SUM(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY event_type""".stripMargin
+
   // ---- group B: training-data pipeline over documents/embeddings -----------
 
   /** Tokenization / 3-gram shingling / hashing building blocks, written
@@ -522,6 +535,7 @@ object Queries {
     "q_skipped_stats" -> sqlQuery(qSkippedStats),
     "q_updated_partitions" -> sqlQuery(qUpdatedPartitionsSpark),
     "q_sessionize" -> sqlQuery(qSessionize("ts DIV 1000")),
+    "q_json_extract" -> sqlQuery(qJsonExtractSpark),
     "q_dedup_exact" -> sqlQuery(
       """SELECT doc_id, lang, source FROM (
         |  SELECT doc_id, lang, source,
@@ -551,6 +565,7 @@ object Queries {
     "q_skipped_stats" -> qSkippedStats,
     "q_updated_partitions" -> qUpdatedPartitionsDuck,
     "q_sessionize" -> qSessionize("epoch_us(ts)"),
+    "q_json_extract" -> qJsonExtractDuck,
     "q_dedup_exact" -> qDedupExactOracle,
     "q_fingerprint" -> qFingerprint("duck"),
     "q_token_count" -> qTokenCount("duck"),
