@@ -14,6 +14,7 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects
       // unless read as raw nanos longs (queries convert explicitly)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.locality.wait", "0")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

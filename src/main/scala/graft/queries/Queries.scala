@@ -261,7 +261,7 @@ object Queries {
     val ng = ngrams3(dialect)
     val tf = if (dialect == "spark") "transform" else "list_transform"
     val dedup = if (dialect == "spark") "array_distinct" else "list_distinct"
-    s"""t AS (SELECT doc_id, lang, $tks AS toks FROM documents),
+    s"""t AS (SELECT /*+ REPARTITION(32) */ doc_id, lang, $tks AS toks FROM documents),
        |n AS (SELECT doc_id, lang, $dedup($ng) AS ng FROM t),
        |hsh AS (SELECT doc_id, lang, $tf(ng, s -> ${h28(dialect, "s")}) AS hs FROM n)"""
       .stripMargin
@@ -304,7 +304,7 @@ object Queries {
   private def qSimhash(dialect: String): String = {
     val tks = toks(dialect)
     if (dialect == "spark")
-      s"""WITH t AS (SELECT doc_id, array_distinct($tks) AS toks FROM documents),
+      s"""WITH t AS (SELECT /*+ REPARTITION(32) */ doc_id, array_distinct($tks) AS toks FROM documents),
          |h AS (SELECT doc_id, transform(toks, tk -> ${h28(dialect, "tk")}) AS hs FROM t)
          |SELECT doc_id,
          |  aggregate(transform(sequence(0, 15), j ->
@@ -417,14 +417,15 @@ object Queries {
   // accumulate in the same sequence; compare/rank only on ROUND(.,4).
   private def qKnn(dialect: String): String =
     if (dialect == "spark")
-      """WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
+      """WITH e AS (SELECT /*+ REPARTITION(32) */ vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
         |n AS (SELECT vec_id, v,
         |    SQRT(aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)) AS nrm
         |  FROM e),
-        |p AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+        |q AS (SELECT * FROM n WHERE vec_id % 25 = 0),
+        |p AS (SELECT /*+ BROADCAST(q) */ q.vec_id AS query_id, x.vec_id AS neighbor_id,
         |    ROUND(aggregate(zip_with(q.v, x.v, (a, b) -> a * b),
         |        CAST(0 AS DOUBLE), (acc, y) -> acc + y) / (q.nrm * x.nrm), 4) AS sim
-        |  FROM n q JOIN n x ON q.vec_id % 25 = 0 AND q.vec_id <> x.vec_id),
+        |  FROM n x JOIN q ON q.vec_id <> x.vec_id),
         |r AS (SELECT query_id, neighbor_id, sim,
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
         |  FROM p)
@@ -445,11 +446,11 @@ object Queries {
 
   private def qEmbeddingNeardup(dialect: String): String =
     if (dialect == "spark")
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
+      """WITH e AS (SELECT /*+ REPARTITION(32) */ vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
         |n AS (SELECT vec_id, label, v,
         |    SQRT(aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)) AS nrm
         |  FROM e),
-        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |p AS (SELECT /*+ BROADCAST(b) */ a.vec_id AS id_a, b.vec_id AS id_b,
         |    ROUND(aggregate(zip_with(a.v, b.v, (x, y) -> x * y),
         |        CAST(0 AS DOUBLE), (acc, y) -> acc + y) / (a.nrm * b.nrm), 4) AS sim
         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
@@ -467,8 +468,10 @@ object Queries {
 
   // ---- cached-stage Spark variants of the minhash pipeline -----------------
 
+  // REPARTITION spreads the (single-file) documents scan across cores —
+  // without it the whole md5/shingle pipeline runs in ONE task.
   private val sparkHshStage: (String, String) =
-    "g_hsh" -> s"WITH ${hashedShinglesCte("spark")} SELECT doc_id, lang, hs FROM hsh"
+    "g_hsh" -> s"WITH ${hashedShinglesCte("spark")} SELECT /*+ REPARTITION(32) */ doc_id, lang, hs FROM hsh"
 
   private val sparkSigStage: (String, String) =
     "g_sig" -> {
@@ -547,7 +550,10 @@ object Queries {
     "q_quality_score" -> sqlQuery(qQualityScore("spark")),
     "q_lang_id" -> sqlQuery(qLangId("spark")),
     "q_ngram_jaccard" -> cachedStagesQuery(minhashStages, sparkNgramJaccardFinal),
-    "q_minhash_signature" -> sqlQuery(qMinhashSignature("spark")),
+    // via the cached signature stage: the md5 pipeline evaluates once
+    // per row instead of being project-collapsed into every mh column
+    "q_minhash_signature" -> cachedStagesQuery(minhashStages.take(2),
+      "SELECT doc_id, mh0, mh1, mh2, mh3 FROM g_sig"),
     "q_minhash_dedup" -> cachedStagesQuery(minhashStages, sparkMinhashDedupFinal),
     "q_simhash" -> sqlQuery(qSimhash("spark")),
     "q_embedding_knn" -> sqlQuery(qKnn("spark")),

@@ -16,6 +16,7 @@ object LeviDemo {
       .master("local[4]").appName("levi-demo")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.locality.wait", "0")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

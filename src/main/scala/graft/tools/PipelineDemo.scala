@@ -17,6 +17,7 @@ object PipelineDemo {
       .master("local[8]").appName("graft-pipeline-demo")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.locality.wait", "0")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
