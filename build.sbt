@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's single JSON stdout line; sbt's default
+// LoggedOutput wraps forked output as `[info] {...}` which breaks the
+// parse (BENCH_r01.json "parsed": null). StdoutOutput passes the forked
+// JVM's stdout/stderr through unprefixed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

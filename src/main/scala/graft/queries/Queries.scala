@@ -151,10 +151,10 @@ object Queries {
     * (<100kb | 100kb-200kb | 200kb-300kb | >300kb). */
   private val qFileSizesText: String =
     """SELECT
-      |  SUM(CASE WHEN o_totalprice BETWEEN 0 AND 99999 THEN 1 ELSE 0 END) AS num_lt_100k,
-      |  SUM(CASE WHEN o_totalprice BETWEEN 100000 AND 200000 THEN 1 ELSE 0 END) AS num_100k_200k,
-      |  SUM(CASE WHEN o_totalprice BETWEEN 200000 AND 300000 THEN 1 ELSE 0 END) AS num_200k_300k,
-      |  SUM(CASE WHEN o_totalprice BETWEEN 300001 AND 10000000000000 THEN 1 ELSE 0 END) AS num_gt_300k
+      |  CAST(SUM(CASE WHEN o_totalprice BETWEEN 0 AND 99999 THEN 1 ELSE 0 END) AS BIGINT) AS num_lt_100k,
+      |  CAST(SUM(CASE WHEN o_totalprice BETWEEN 100000 AND 200000 THEN 1 ELSE 0 END) AS BIGINT) AS num_100k_200k,
+      |  CAST(SUM(CASE WHEN o_totalprice BETWEEN 200000 AND 300000 THEN 1 ELSE 0 END) AS BIGINT) AS num_200k_300k,
+      |  CAST(SUM(CASE WHEN o_totalprice BETWEEN 300001 AND 10000000000000 THEN 1 ELSE 0 END) AS BIGINT) AS num_gt_300k
       |FROM orders""".stripMargin
 
   /** skipped_stats semantics over pseudo-files (l_orderkey % 97 groups
@@ -166,8 +166,8 @@ object Queries {
       |    COUNT(*) AS rows_in_file
       |  FROM lineitem GROUP BY l_orderkey % 97)
       |SELECT COUNT(*) AS num_files,
-      |  SUM(CASE WHEN NOT (mn <= 30000 AND mx >= 30000) THEN 1 ELSE 0 END) AS num_files_skipped,
-      |  SUM(CASE WHEN NOT (mn <= 30000 AND mx >= 30000) THEN rows_in_file ELSE 0 END) AS num_rows_skipped
+      |  CAST(SUM(CASE WHEN NOT (mn <= 30000 AND mx >= 30000) THEN 1 ELSE 0 END) AS BIGINT) AS num_files_skipped,
+      |  CAST(SUM(CASE WHEN NOT (mn <= 30000 AND mx >= 30000) THEN rows_in_file ELSE 0 END) AS BIGINT) AS num_rows_skipped
       |FROM files""".stripMargin
 
   // events.ts is parquet TIMESTAMP(NANOS): Spark reads it as BIGINT
@@ -209,7 +209,7 @@ object Queries {
 
   private val qJsonExtractDuck: String =
     """SELECT event_type,
-      |  SUM(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+      |  CAST(SUM(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
       |  COUNT(*) AS n
       |FROM events GROUP BY event_type""".stripMargin
 
