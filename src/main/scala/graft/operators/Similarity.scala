@@ -75,4 +75,104 @@ object Similarity {
       .where(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }
+
+  // ---- banded (multi-table) LSH — the 100TB-shaped ANN path ----------------
+  //
+  // One sign-bucket table has recall (1-θ/π)^planes per pair; B bands of P
+  // planes each recover recall 1-(1-r^P)^B while keeping candidate counts
+  // bucket-local (same banding idea as MinHash-LSH). At larger corpus
+  // sizes, raise planesPerBand (buckets per band = 2^P) so per-bucket
+  // membership stays bounded: P ≈ log2(n / targetBucketSize).
+
+  /** Deterministic hyperplane matrix: component i (1-based) of global
+    * plane q is `md5("q_i")`'s leading-7-hex-digits value, scaled to
+    * [-1, 1). Pure md5 arithmetic — bit-identical to the SQL formula
+    * `conv(substring(md5(concat(q, '_', i)), 1, 7), 16, 10) / 2^27 - 1`
+    * used by the DuckDB oracle, but materialized ONCE driver-side and
+    * shipped as plan constants instead of re-hashed per row·dim. */
+  def planeMatrix(numPlanes: Int, dims: Int): Array[Array[Double]] =
+    Array.tabulate(numPlanes, dims) { (q, i0) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${q}_${i0 + 1}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 7)
+      java.lang.Long.parseLong(hex, 16) / 134217728.0 - 1.0
+    }
+
+  /** (id, band, k) bucket rows: one row per input row per band. The
+    * projection is rounded to 6 decimals before the sign test so both
+    * engines agree near zero. */
+  private def bandedBuckets(
+      n: DataFrame, idCol: String, bands: Int, planesPerBand: Int,
+      dims: Int): DataFrame = {
+    val planes = planeMatrix(bands * planesPerBand, dims)
+    val bandStructs = (0 until bands).map { b =>
+      val bits = (0 until planesPerBand).map { p =>
+        val plane = typedLit(planes(b * planesPerBand + p).toSeq)
+        val proj = round(
+          aggregate(zip_with(col("v"), plane, (x, c) => x * c),
+            lit(0.0), (acc, y) => acc + y), 6)
+        when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+      }
+      struct(lit(b).as("band"), bits.reduce(_ + _).as("k"))
+    }
+    n.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.k").as("k"))
+  }
+
+  /** Near-dup pairs via banded LSH candidates + exact cosine rerank.
+    * Plan shape: bucket-key equi-join (shuffle on (band, k)) → distinct
+    * pairs → two id-equi-joins for the exact verify. No all-pairs join,
+    * no label blocking — candidate volume tracks true-dup volume. */
+  def bandedNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      bands: Int = 16, planesPerBand: Int = 8, dims: Int = 64): DataFrame = {
+    val n = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val buckets = bandedBuckets(n, "id", bands, planesPerBand, dims)
+    val cand = buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.k") === col("y.k") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val a = n.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = n.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .withColumn("sim", round(
+        aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+          lit(0.0), (acc, y) => acc + y) / (col("na") * col("nb")), 4))
+      .where(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
+  /** Approximate top-k: banded-LSH candidates (queries join the corpus
+    * only within shared buckets) + exact cosine rerank + per-query
+    * window. The corpus is never broadcast-nested-looped; both sides
+    * shuffle on (band, k), candidates per query ≈ corpus × 2^-P × B. */
+  def bandedTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, bands: Int = 16, planesPerBand: Int = 8, dims: Int = 64): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = queries.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val cb = bandedBuckets(c, "id", bands, planesPerBand, dims)
+    val qb = bandedBuckets(q, "id", bands, planesPerBand, dims)
+    val cand = qb.as("q")
+      .join(cb.as("c"),
+        col("q.band") === col("c.band") && col("q.k") === col("c.k") &&
+          col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"))
+      .distinct()
+    val qs = q.select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val cs = c.select(col("id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val sims = cand.join(qs, "query_id").join(cs, "neighbor_id")
+      .withColumn("sim", round(
+        aggregate(zip_with(col("qv"), col("cv"), (x, y) => x * y),
+          lit(0.0), (acc, y) => acc + y) / (col("qn") * col("cn")), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "sim", "rnk")
+  }
 }

@@ -466,6 +466,63 @@ object Queries {
         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.4e0""".stripMargin
 
+  // ---- banded-LSH embedding queries (the 100TB-shaped ANN path) ------------
+  //
+  // Spark side runs graft.operators.Similarity.bandedNearDupPairs /
+  // bandedTopK with a driver-precomputed constant plane matrix; the
+  // DuckDB oracle derives the identical planes inline from the same md5
+  // arithmetic (plane(q)[i] = md5("q_i")-prefix / 2^27 - 1). Projections
+  // are sign-tested after ROUND(.,6) so both engines agree near zero.
+
+  val LshBands = 16
+  val LshPlanesPerBand = 8
+
+  private def lshProjDuck(q: Int): String =
+    s"ROUND(list_sum(list_transform(range(1, len(v)+1), i -> v[i] * ((('0x' || substr(md5('${q}_' || i::VARCHAR), 1, 7))::BIGINT / 134217728.0) - 1.0))), 6)"
+
+  private def lshBucketsDuck(src: String): String =
+    (0 until LshBands).map { b =>
+      val bits = (0 until LshPlanesPerBand).map { p =>
+        s"(CASE WHEN ${lshProjDuck(b * LshPlanesPerBand + p)} >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $b AS band, ($bits) AS k FROM $src"
+    }.mkString("\n  UNION ALL ")
+
+  private val qLshNeardupDuck: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, SQRT(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |buckets AS (${lshBucketsDuck("n")}),
+       |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM buckets x JOIN buckets y
+       |    ON x.band = y.band AND x.k = y.k AND x.vec_id < y.vec_id),
+       |p AS (SELECT c.id_a, c.id_b,
+       |    ROUND(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i]))
+       |      / (a.nrm * b.nrm), 4) AS sim
+       |  FROM cand c
+       |  JOIN n a ON a.vec_id = c.id_a
+       |  JOIN n b ON b.vec_id = c.id_b)
+       |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.4e0""".stripMargin
+
+  private val qKnnLshDuck: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, SQRT(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |qv AS (SELECT * FROM n WHERE vec_id % 25 = 0),
+       |cb AS (${lshBucketsDuck("n")}),
+       |qb AS (${lshBucketsDuck("qv")}),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM qb q JOIN cb c
+       |    ON q.band = c.band AND q.k = c.k AND q.vec_id <> c.vec_id),
+       |p AS (SELECT cd.query_id, cd.neighbor_id,
+       |    ROUND(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i]))
+       |      / (a.nrm * b.nrm), 4) AS sim
+       |  FROM cand cd
+       |  JOIN n a ON a.vec_id = cd.query_id
+       |  JOIN n b ON b.vec_id = cd.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+       |  FROM p)
+       |SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 3""".stripMargin
+
   // ---- cached-stage Spark variants of the minhash pipeline -----------------
 
   // REPARTITION spreads the (single-file) documents scan across cores —
@@ -557,7 +614,20 @@ object Queries {
     "q_minhash_dedup" -> cachedStagesQuery(minhashStages, sparkMinhashDedupFinal),
     "q_simhash" -> sqlQuery(qSimhash("spark")),
     "q_embedding_knn" -> sqlQuery(qKnn("spark")),
-    "q_embedding_neardup" -> sqlQuery(qEmbeddingNeardup("spark")))
+    "q_embedding_neardup" -> sqlQuery(qEmbeddingNeardup("spark")),
+    "q_embedding_lsh_neardup" -> ((s, dir) => {
+      registerViews(s, dir)
+      graft.operators.Similarity.bandedNearDupPairs(
+        s.table("embeddings").repartition(s.sparkContext.defaultParallelism),
+        "vec_id", "embedding", 0.4, LshBands, LshPlanesPerBand, 64)
+    }),
+    "q_embedding_knn_lsh" -> ((s, dir) => {
+      registerViews(s, dir)
+      val emb = s.table("embeddings").repartition(s.sparkContext.defaultParallelism)
+      graft.operators.Similarity.bandedTopK(
+        emb, emb.where(col("vec_id") % 25 === 0),
+        "vec_id", "embedding", 3, LshBands, LshPlanesPerBand, 64)
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "q_agg_lineitem" -> qAggLineitemSpark,
@@ -582,5 +652,7 @@ object Queries {
     "q_minhash_dedup" -> qMinhashDedup("duck"),
     "q_simhash" -> qSimhash("duck"),
     "q_embedding_knn" -> qKnn("duck"),
-    "q_embedding_neardup" -> qEmbeddingNeardup("duck"))
+    "q_embedding_neardup" -> qEmbeddingNeardup("duck"),
+    "q_embedding_lsh_neardup" -> qLshNeardupDuck,
+    "q_embedding_knn_lsh" -> qKnnLshDuck)
 }
