@@ -36,13 +36,26 @@ object Multimodal {
       feature: Array[Float])
 
   /** STUB decoder: deterministic pseudo-properties from content bytes.
-    * Replace with a real codec for production; signature stays. */
+    * Replace with a real codec for production; signature stays.
+    *
+    * Properties derive from the md5-prefix of the content (28-bit value,
+    * same construction as [[graft.functions.TextFunctions]]' h28) so the
+    * extraction is reproducible in any engine with md5 — this is what
+    * makes q_media_meta / q_media_features DuckDB-oracle-checkable. */
   object FakeCodec {
+    /** 28-bit value from the leading 7 hex digits of md5(bytes) —
+      * bit-identical to SQL `conv(substring(md5(x),1,7),16,10)`. */
+    def h28(bytes: Array[Byte]): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(bytes).map("%02x".format(_)).mkString.substring(0, 7)
+      java.lang.Long.parseLong(hex, 16)
+    }
+
     def probe(mediaType: String, bytes: Array[Byte]): (Int, Int, Long, String) = {
-      val h = java.util.Arrays.hashCode(bytes)
-      val w = 64 + math.abs(h % 1024)
-      val ht = 64 + math.abs((h / 1024) % 1024)
-      val dur = if (mediaType == "image") 0L else 1000L + math.abs(h % 600000).toLong
+      val h = h28(bytes)
+      val w = (64 + h % 1024).toInt
+      val ht = (64 + (h / 1024) % 1024).toInt
+      val dur = if (mediaType == "image") 0L else 1000L + h % 600000
       val fmt = mediaType match {
         case "image" => if (h % 2 == 0) "png" else "jpeg"
         case "audio" => "wav"
@@ -52,12 +65,14 @@ object Multimodal {
     }
 
     /** Deterministic fixed-width feature vector (stands in for an
-      * embedding model forward pass). */
+      * embedding model forward pass): component i = permil value
+      * `(h28 * (i+31)) % 1000 / 1000`. */
     def features(bytes: Array[Byte], dim: Int = 16): Array[Float] = {
+      val h = h28(bytes)
       val out = new Array[Float](dim)
       var i = 0
       while (i < dim) {
-        out(i) = ((java.util.Arrays.hashCode(bytes) * (i + 31)) % 1000) / 1000.0f
+        out(i) = ((h * (i + 31)) % 1000) / 1000.0f
         i += 1
       }
       out

@@ -523,6 +523,45 @@ object Queries {
        |  FROM p)
        |SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 3""".stripMargin
 
+  // ---- multimodal queries (documents text bytes as stand-in media) ---------
+  //
+  // The Spark side exercises the REAL plumbing — binary content column,
+  // Dataset[MediaAsset] encoder, mapPartitions decode (Multimodal
+  // .extractMeta / extractFeatures). FakeCodec derives properties from
+  // the md5-prefix of the bytes, so the oracle reproduces them from
+  // md5(text) (content = UTF-8 bytes of text).
+
+  private val mediaAssetsSparkSql: String =
+    """SELECT doc_id AS asset_id,
+      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |  CAST(text AS BINARY) AS content
+      |FROM documents""".stripMargin
+
+  private val qMediaMetaDuck: String =
+    """WITH a AS (SELECT doc_id AS asset_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |    text FROM documents),
+      |h AS (SELECT asset_id, media_type,
+      |    ('0x' || substr(md5(text), 1, 7))::BIGINT AS h,
+      |    octet_length(encode(text)) AS bs FROM a)
+      |SELECT asset_id, media_type, CAST(bs AS BIGINT) AS byte_size,
+      |  CAST(64 + h % 1024 AS INTEGER) AS width,
+      |  CAST(64 + (h // 1024) % 1024 AS INTEGER) AS height,
+      |  CAST(CASE WHEN media_type = 'image' THEN 0 ELSE 1000 + h % 600000 END AS BIGINT) AS duration_ms,
+      |  CASE media_type WHEN 'image' THEN (CASE WHEN h % 2 = 0 THEN 'png' ELSE 'jpeg' END)
+      |       WHEN 'audio' THEN 'wav' ELSE 'mp4' END AS format
+      |FROM h""".stripMargin
+
+  private val qMediaFeaturesDuck: String =
+    """WITH h AS (SELECT doc_id AS asset_id,
+      |    ('0x' || substr(md5(text), 1, 7))::BIGINT AS h FROM documents)
+      |SELECT asset_id,
+      |  CAST((h * 31) % 1000 AS BIGINT) AS f0,
+      |  CAST((h * 32) % 1000 AS BIGINT) AS f1,
+      |  CAST((h * 33) % 1000 AS BIGINT) AS f2,
+      |  CAST((h * 34) % 1000 AS BIGINT) AS f3
+      |FROM h""".stripMargin
+
   // ---- cached-stage Spark variants of the minhash pipeline -----------------
 
   // REPARTITION spreads the (single-file) documents scan across cores —
@@ -627,6 +666,24 @@ object Queries {
       graft.operators.Similarity.bandedTopK(
         emb, emb.where(col("vec_id") % 25 === 0),
         "vec_id", "embedding", 3, LshBands, LshPlanesPerBand, 64)
+    }),
+    "q_media_meta" -> ((s, dir) => {
+      registerViews(s, dir)
+      import s.implicits._
+      val assets = s.sql(mediaAssetsSparkSql)
+        .repartition(s.sparkContext.defaultParallelism)
+        .as[graft.operators.Multimodal.MediaAsset]
+      graft.operators.Multimodal.extractMeta(assets).toDF()
+    }),
+    "q_media_features" -> ((s, dir) => {
+      registerViews(s, dir)
+      import s.implicits._
+      val assets = s.sql(mediaAssetsSparkSql)
+        .repartition(s.sparkContext.defaultParallelism)
+        .as[graft.operators.Multimodal.MediaAsset]
+      graft.operators.Multimodal.extractFeatures(assets, dim = 4).toDF()
+        .select(col("asset_id") +: (0 until 4).map(i =>
+          round(element_at(col("feature"), i + 1) * 1000, 0).cast("bigint").as(s"f$i")): _*)
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -654,5 +711,7 @@ object Queries {
     "q_embedding_knn" -> qKnn("duck"),
     "q_embedding_neardup" -> qEmbeddingNeardup("duck"),
     "q_embedding_lsh_neardup" -> qLshNeardupDuck,
-    "q_embedding_knn_lsh" -> qKnnLshDuck)
+    "q_embedding_knn_lsh" -> qKnnLshDuck,
+    "q_media_meta" -> qMediaMetaDuck,
+    "q_media_features" -> qMediaFeaturesDuck)
 }
