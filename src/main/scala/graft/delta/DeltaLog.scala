@@ -70,7 +70,11 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     val tail: Seq[(Long, Action)] = tailVersions.flatMap { v =>
       readCommitLines(v).flatMap(JsonUtil.parseAction).map(v -> _)
     }
-    new Snapshot(this, version, cp, tail)
+    val snap = new Snapshot(this, version, cp, tail)
+    // Eager: a table demanding reader features we lack (column mapping,
+    // deletion vectors) must fail here, not silently misread later.
+    snap.requireReadable()
+    snap
   }
 
   def checkpointFiles(version: Long): Seq[String] = {
@@ -97,7 +101,14 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
 
   /** Atomically create commit file `version`. Throws if it already
     * exists (single-writer optimistic concurrency; the loser must
-    * re-resolve and retry). */
+    * re-resolve and retry).
+    *
+    * Uses FileContext rename WITHOUT Rename.OVERWRITE: on HDFS-like
+    * stores this is an atomic no-clobber rename, so two racing writers
+    * cannot both win (plain FileSystem.rename on POSIX/local silently
+    * overwrites, making exists()-then-rename check-then-act). On the
+    * local FS the guard is as strong as java.nio Files.move without
+    * REPLACE_EXISTING — best-effort but far narrower than before. */
   def commit(version: Long, actions: Seq[Action]): Unit = {
     if (!fs.exists(logPath)) fs.mkdirs(logPath)
     val target = new Path(logPath, f"$version%020d.json")
@@ -107,10 +118,20 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
       val body = actions.map(JsonUtil.renderAction).mkString("", "\n", "\n")
       out.write(body.getBytes(StandardCharsets.UTF_8))
     } finally out.close()
-    if (fs.exists(target) || !fs.rename(tmp, target)) {
-      fs.delete(tmp, false)
-      throw new java.util.ConcurrentModificationException(
-        s"commit $version already exists in $logPath")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      logPath.toUri, spark.sessionState.newHadoopConf())
+    try fc.rename(tmp, target) // default Rename.NONE: fail if target exists
+    catch {
+      case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                _: java.nio.file.FileAlreadyExistsException) =>
+        fs.delete(tmp, false)
+        throw new java.util.ConcurrentModificationException(
+          s"commit $version already exists in $logPath (${e.getMessage})")
+      case e: java.io.IOException if fs.exists(target) =>
+        // Some FileContext impls surface the clobber as a plain IOException.
+        fs.delete(tmp, false)
+        throw new java.util.ConcurrentModificationException(
+          s"commit $version already exists in $logPath (${e.getMessage})")
     }
   }
 }

@@ -25,7 +25,7 @@ object JsonUtil {
     }.getOrElse(Map.empty)
 
   /** Parse one NDJSON commit line into an [[Action]] (None for lines we
-    * don't model, e.g. `txn`/`cdc`). */
+    * don't model, e.g. `cdc`). */
   def parseAction(line: String): Option[Action] = {
     val root = mapper.readTree(line)
     if (root.has("add")) {
@@ -63,6 +63,12 @@ object JsonUtil {
       Some(CommitInfoAction(CommitInfo(
         timestamp = optLong(c, "timestamp").getOrElse(0L),
         operation = optText(c, "operation").getOrElse(""))))
+    } else if (root.has("txn")) {
+      val t = root.get("txn")
+      Some(TxnAction(SetTransaction(
+        appId = t.get("appId").asText(),
+        version = optLong(t, "version").getOrElse(0L),
+        lastUpdated = optLong(t, "lastUpdated"))))
     } else None
   }
 
@@ -112,6 +118,11 @@ object JsonUtil {
         val op = o.putObject("operationParameters")
         c.operationParameters.foreach { case (k, v) => op.put(k, v) }
         o.put("engineInfo", "graft-spark/0.1.0")
+      case TxnAction(t) =>
+        val o = root.putObject("txn")
+        o.put("appId", t.appId)
+        o.put("version", t.version)
+        t.lastUpdated.foreach(o.put("lastUpdated", _))
     }
     mapper.writeValueAsString(root)
   }

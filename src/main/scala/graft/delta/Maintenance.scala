@@ -19,9 +19,48 @@ object Maintenance {
     * nullable top-level structs txn/add/remove/metaData/protocol.
     */
   def checkpoint(log: DeltaLog): Long = {
-    val spark = log.spark
     val snap = log.snapshot
+    writeCheckpointRows(log, snap, checkpointRows(log, snap), parts = 1)
+    snap.version
+  }
+
+  /** The full checkpoint row set per the Delta checkpoint spec:
+    * metaData + protocol + every active add + unexpired remove
+    * tombstones + txn (idempotent-writer) state. Dropping the latter two
+    * would lose other engines' vacuum-retention safety and appId/version
+    * exactly-once state. */
+  private[delta] def checkpointRows(
+      log: DeltaLog, snap: Snapshot): Seq[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.Row
+    val m = snap.metadata
+    val rows = ArrayBuffer[Row](
+      Row(null, Row(m.id, Row("parquet", Map.empty[String, String]), m.schemaString,
+        m.partitionColumns, m.configuration, m.createdTime.getOrElse(0L)), null, null, null),
+      Row(null, null,
+        Row(snap.protocol.minReaderVersion, snap.protocol.minWriterVersion),
+        null, null))
+    rows ++= snap.setTransactions.values.toSeq.sortBy(_.appId).map { t =>
+      Row(null, null, null, null,
+        Row(t.appId, t.version, t.lastUpdated.map(java.lang.Long.valueOf).orNull))
+    }
+    rows ++= snap.activeFiles.map { f =>
+      Row(Row(f.path, f.partitionValues, f.size, f.modificationTime, false,
+        f.stats.orNull), null, null, null, null)
+    }
+    rows ++= snap.tombstones.collect().toSeq.map { r =>
+      Row(null, null, null,
+        Row(r.getAs[String]("path"),
+          Option(r.getAs[java.lang.Long]("deletion_timestamp")).orNull,
+          true, true,
+          Option(r.getAs[scala.collection.Map[String, String]]("partition_values"))
+            .map(_.toMap).orNull,
+          Option(r.getAs[java.lang.Long]("size_bytes")).orNull),
+        null)
+    }
+    rows.toSeq
+  }
+
+  private[delta] val checkpointSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     val strMap = MapType(StringType, StringType)
     val addT = StructType(Seq(
@@ -39,39 +78,68 @@ object Maintenance {
     val protoT = StructType(Seq(
       StructField("minReaderVersion", IntegerType),
       StructField("minWriterVersion", IntegerType)))
-    val cpSchema = StructType(Seq(
+    val removeT = StructType(Seq(
+      StructField("path", StringType),
+      StructField("deletionTimestamp", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("extendedFileMetadata", BooleanType),
+      StructField("partitionValues", strMap),
+      StructField("size", LongType)))
+    val txnT = StructType(Seq(
+      StructField("appId", StringType),
+      StructField("version", LongType),
+      StructField("lastUpdated", LongType)))
+    StructType(Seq(
       StructField("add", addT), StructField("metaData", metaT),
-      StructField("protocol", protoT)))
+      StructField("protocol", protoT), StructField("remove", removeT),
+      StructField("txn", txnT)))
+  }
 
-    val m = snap.metadata
-    val rows = ArrayBuffer[Row](
-      Row(null, Row(m.id, Row("parquet", Map.empty[String, String]), m.schemaString,
-        m.partitionColumns, m.configuration, m.createdTime.getOrElse(0L)), null),
-      Row(null, null, Row(snap.protocol.minReaderVersion, snap.protocol.minWriterVersion)))
-    rows ++= snap.activeFiles.map { f =>
-      Row(Row(f.path, f.partitionValues, f.size, f.modificationTime, false,
-        f.stats.orNull), null, null)
-    }
-    val df = spark.createDataFrame(
-      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava),
-      cpSchema)
-
+  /** Write checkpoint parquet (single- or multi-part) + `_last_checkpoint`. */
+  private[delta] def writeCheckpointRows(
+      log: DeltaLog, snap: Snapshot, rows: Seq[org.apache.spark.sql.Row],
+      parts: Int): Unit = {
+    val spark = log.spark
     val fs = log.fs
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      checkpointSchema)
     val tmpDir = new Path(log.logPath, s".cp-${java.util.UUID.randomUUID}")
-    df.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
-    val part = fs.listStatus(tmpDir).map(_.getPath)
-      .find(_.getName.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException("checkpoint write produced no parquet"))
-    val target = new Path(log.logPath, f"${snap.version}%020d.checkpoint.parquet")
-    if (fs.exists(target)) fs.delete(target, false)
-    fs.rename(part, target)
+    df.repartition(parts).write.mode("overwrite").parquet(tmpDir.toString)
+    val written = fs.listStatus(tmpDir).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    require(written.nonEmpty, "checkpoint write produced no parquet")
+    if (parts == 1) {
+      val target = new Path(log.logPath, f"${snap.version}%020d.checkpoint.parquet")
+      if (fs.exists(target)) fs.delete(target, false)
+      fs.rename(written.head, target)
+    } else {
+      // Multi-part naming per the spec: v.checkpoint.<part>.<of>.parquet;
+      // readers treat the set as one checkpoint only when all N exist.
+      written.zipWithIndex.foreach { case (p, i) =>
+        val target = new Path(log.logPath,
+          f"${snap.version}%020d.checkpoint.${i + 1}%010d.${written.length}%010d.parquet")
+        if (fs.exists(target)) fs.delete(target, false)
+        fs.rename(p, target)
+      }
+    }
     fs.delete(tmpDir, true)
-
     val lastCp = new Path(log.logPath, "_last_checkpoint")
+    val partsField = if (parts == 1) "" else s""","parts":${written.length}"""
     val out = fs.create(lastCp, true)
     try out.write(
-      s"""{"version":${snap.version},"size":${rows.size}}""".getBytes("UTF-8"))
+      s"""{"version":${snap.version},"size":${rows.size}$partsField}""".getBytes("UTF-8"))
     finally out.close()
+  }
+
+  /** Multi-part checkpoint: same rows split across `parts` files — the
+    * shape a 10⁷-file table needs (one driver-written file would not
+    * scale; here the row set is written by a Spark job). */
+  def checkpointMultiPart(log: DeltaLog, parts: Int): Long = {
+    require(parts >= 2, s"multi-part checkpoint needs parts >= 2, got $parts")
+    val snap = log.snapshot
+    writeCheckpointRows(log, snap, checkpointRows(log, snap), parts)
     snap.version
   }
 
@@ -87,25 +155,47 @@ object Maintenance {
       partitionBy = Some(snap.metadata.partitionColumns), operation = "OPTIMIZE")
   }
 
+  /** Production-default retention: 7 days, as in delta-spark. */
+  val DefaultVacuumRetentionMs: Long = 7L * 24 * 60 * 60 * 1000
+
   /** Delete data files no longer referenced by the current snapshot and
-    * older than the retention window (default 0h here — the fixtures
-    * are synthetic; production default is 7 days). Returns deleted
-    * paths. */
-  def vacuum(log: DeltaLog, retentionMs: Long = 0L): Seq[String] = {
+    * older than the retention window. Returns deleted paths.
+    *
+    * Safety rails: paths with any dot- or underscore-prefixed component
+    * are skipped (a concurrent writer's `.graft-staging-*` directory
+    * holds parquet that is not yet in the active set — deleting it
+    * would corrupt an in-flight commit; `_delta_log` likewise).
+    * `retentionMs = 0` instantly breaks time travel to prior versions,
+    * so it requires an explicit opt-in. */
+  def vacuum(
+      log: DeltaLog,
+      retentionMs: Long = DefaultVacuumRetentionMs,
+      allowZeroRetention: Boolean = false): Seq[String] = {
+    require(retentionMs > 0 || allowZeroRetention,
+      "retentionMs = 0 deletes every unreferenced file immediately and " +
+        "breaks time travel; pass allowZeroRetention = true to confirm")
     val fs = log.fs
     val snap = log.snapshot
     val active: Set[String] = snap.activeFiles.map { f =>
       fs.makeQualified(new Path(log.rootPath, DeltaLog.decodePath(f.path))).toString
     }.toSet
+    val rootDepth = fs.makeQualified(log.rootPath).toUri.getPath
+      .split('/').count(_.nonEmpty)
+    def hasHiddenComponent(p: Path): Boolean = {
+      // Components BELOW the table root only — the table dir itself may
+      // legitimately be dot-prefixed (e.g. a tmp dir).
+      val comps = fs.makeQualified(p).toUri.getPath.split('/').filter(_.nonEmpty)
+      comps.drop(rootDepth).exists(c => c.startsWith(".") || c.startsWith("_"))
+    }
     val cutoff = System.currentTimeMillis() - retentionMs
     val deleted = ArrayBuffer.empty[String]
     val it = fs.listFiles(log.rootPath, true)
     while (it.hasNext) {
       val st = it.next()
       val p = st.getPath
-      val inLog = p.toString.contains("/_delta_log/")
       val isData = p.getName.endsWith(".parquet")
-      if (st.isFile && isData && !inLog && !active.contains(fs.makeQualified(p).toString) &&
+      if (st.isFile && isData && !hasHiddenComponent(p) &&
+          !active.contains(fs.makeQualified(p).toString) &&
           st.getModificationTime < cutoff) {
         fs.delete(p, false)
         deleted += p.toString

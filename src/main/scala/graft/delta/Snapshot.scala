@@ -65,6 +65,21 @@ class Snapshot(
 
   def schema: StructType = metadata.schema
 
+  /** Highest supported reader protocol. Tables above it (column mapping,
+    * deletion vectors, ...) would be SILENTLY misread (e.g. DV-deleted
+    * rows resurrected), so reads must fail instead — same contract as
+    * delta-rs. */
+  val maxSupportedReaderVersion = 1
+
+  /** Fail when the table requires reader features this engine doesn't
+    * implement. Called eagerly by [[DeltaLog.snapshotAt]]. */
+  def requireReadable(): Unit =
+    require(protocol.minReaderVersion <= maxSupportedReaderVersion,
+      s"unsupported Delta protocol: table ${log.tablePath} requires " +
+        s"minReaderVersion=${protocol.minReaderVersion} " +
+        s"(supported: <= $maxSupportedReaderVersion); refusing to read " +
+        "rather than silently returning wrong rows")
+
   // ---- active-file reconciliation ------------------------------------------
 
   private val actionSchema = StructType(Seq(
@@ -74,15 +89,17 @@ class Snapshot(
     StructField("partition_values", MapType(StringType, StringType), nullable = true),
     StructField("size_bytes", LongType, nullable = true),
     StructField("modification_time", LongType, nullable = true),
-    StructField("stats", StringType, nullable = true)))
+    StructField("stats", StringType, nullable = true),
+    StructField("deletion_timestamp", LongType, nullable = true)))
 
   private def tailActionsDf: DataFrame = {
     val rows: Seq[Row] = tail.collect {
       case (v, AddAction(a)) =>
         Row(v, true, a.path, a.partitionValues, a.size, a.modificationTime,
-          a.stats.orNull)
+          a.stats.orNull, null)
       case (v, RemoveAction(r)) =>
-        Row(v, false, r.path, r.partitionValues, r.size.getOrElse(0L), 0L, null)
+        Row(v, false, r.path, r.partitionValues, r.size.getOrElse(0L), 0L, null,
+          java.lang.Long.valueOf(r.deletionTimestamp))
     }
     spark.createDataFrame(rows.asJava, actionSchema)
   }
@@ -98,31 +115,87 @@ class Snapshot(
         else if (addFields.contains("stats")) col("add.stats")
         else if (addFields.contains("stats_parsed")) to_json(col("add.stats_parsed"))
         else lit(null).cast(StringType)
-      df.where(col("add.path").isNotNull).select(
+      val adds = df.where(col("add.path").isNotNull).select(
         lit(checkpointVersion.get).as("version"),
         lit(true).as("is_add"),
         col("add.path").as("path"),
         col("add.partitionValues").as("partition_values"),
         col("add.size").as("size_bytes"),
         col("add.modificationTime").as("modification_time"),
-        statsCol.as("stats"))
+        statsCol.as("stats"),
+        lit(null).cast(LongType).as("deletion_timestamp"))
+      // Checkpoints carry unexpired remove tombstones too; without them
+      // a post-checkpoint re-add of the same path would resolve wrong
+      // and vacuum-retention state would be lost.
+      if (!df.schema.fieldNames.contains("remove")) adds
+      else {
+        val rmFields = df.schema("remove").dataType.asInstanceOf[StructType].fieldNames.toSet
+        def rmCol(f: String, dt: DataType): org.apache.spark.sql.Column =
+          if (rmFields.contains(f)) col(s"remove.$f").cast(dt) else lit(null).cast(dt)
+        val removes = df.where(col("remove.path").isNotNull).select(
+          lit(checkpointVersion.get).as("version"),
+          lit(false).as("is_add"),
+          col("remove.path").as("path"),
+          rmCol("partitionValues", MapType(StringType, StringType)).as("partition_values"),
+          coalesce(rmCol("size", LongType), lit(0L)).as("size_bytes"),
+          lit(0L).as("modification_time"),
+          lit(null).cast(StringType).as("stats"),
+          rmCol("deletionTimestamp", LongType).as("deletion_timestamp"))
+        adds.unionByName(removes)
+      }
     }
 
-  /** Active add-actions: one row per live data file. Cached — every
-    * log-plane analytic runs off this small relation without touching
-    * data files. */
-  lazy val adds: DataFrame = {
+  /** All checkpoint+tail file actions reconciled per path: the row with
+    * `is_add=true` is a live file, `is_add=false` an unexpired remove
+    * tombstone. Last action per path wins; at equal version an add
+    * (re-add) beats its tombstone. */
+  private def reconciledActions: DataFrame = {
     val all = checkpointActionsDf match {
       case Some(cp) => cp.unionByName(tailActionsDf)
       case None => tailActionsDf
     }
-    // Per-path last action wins; at equal version an add (re-add) beats
-    // its tombstone.
     val w = Window.partitionBy("path").orderBy(desc("version"), desc("is_add"))
     all.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1 && col("is_add"))
-      .drop("__rn", "is_add", "version")
+      .where(col("__rn") === 1)
+      .drop("__rn", "version")
+  }
+
+  /** Active add-actions: one row per live data file. Cached — every
+    * log-plane analytic runs off this small relation without touching
+    * data files. */
+  lazy val adds: DataFrame =
+    reconciledActions
+      .where(col("is_add"))
+      .drop("is_add", "deletion_timestamp")
       .cache()
+
+  /** Unexpired remove tombstones (paths whose latest action is a
+    * remove): checkpointed so other engines keep vacuum-retention
+    * safety across our checkpoints. */
+  lazy val tombstones: DataFrame =
+    reconciledActions
+      .where(!col("is_add"))
+      .select(col("path"), col("deletion_timestamp"), col("partition_values"),
+        col("size_bytes"))
+
+  /** Latest idempotent-writer state per appId (`txn` actions), tail
+    * winning over checkpoint. */
+  lazy val setTransactions: Map[String, SetTransaction] = {
+    val fromCp: Map[String, SetTransaction] = checkpointDf match {
+      case Some(df) if df.schema.fieldNames.contains("txn") =>
+        df.where(col("txn.appId").isNotNull).select("txn.*").collect().map { r =>
+          def idx(f: String) = r.schema.fieldIndex(f)
+          val t = SetTransaction(
+            r.getString(idx("appId")),
+            r.getLong(idx("version")),
+            if (r.schema.fieldNames.contains("lastUpdated") && !r.isNullAt(idx("lastUpdated")))
+              Some(r.getLong(idx("lastUpdated"))) else None)
+          t.appId -> t
+        }.toMap
+      case _ => Map.empty
+    }
+    tail.collect { case (_, TxnAction(t)) => t }
+      .foldLeft(fromCp)((m, t) => m + (t.appId -> t))
   }
 
   /** `adds` with `add.stats` JSON exploded into typed columns:

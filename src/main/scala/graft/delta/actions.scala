@@ -50,6 +50,15 @@ final case class CommitInfo(
     operation: String,
     operationParameters: Map[String, String] = Map.empty)
 
+/** Idempotent-writer state: the highest `version` an application
+  * (streaming query, external loader) has committed. Checkpoints must
+  * preserve these (Delta checkpoint spec) or replaying engines lose
+  * exactly-once guarantees. */
+final case class SetTransaction(
+    appId: String,
+    version: Long,
+    lastUpdated: Option[Long] = None)
+
 /** Sum type for everything a commit line can carry. */
 sealed trait Action
 final case class ProtocolAction(p: Protocol) extends Action
@@ -57,3 +66,4 @@ final case class MetadataAction(m: Metadata) extends Action
 final case class AddAction(a: AddFile) extends Action
 final case class RemoveAction(r: RemoveFile) extends Action
 final case class CommitInfoAction(c: CommitInfo) extends Action
+final case class TxnAction(t: SetTransaction) extends Action

@@ -41,7 +41,7 @@ object LeviDemo {
       graft.delta.Maintenance.append(log, Seq((7L, "E", "E")).toDF("col1", "col2", "col3"))
       graft.delta.Maintenance.compact(log)
       val cpV = graft.delta.Maintenance.checkpoint(log)
-      val vacuumed = graft.delta.Maintenance.vacuum(log)
+      val vacuumed = graft.delta.Maintenance.vacuum(log, retentionMs = 0L, allowZeroRetention = true)
       println(s"== appended, compacted, checkpointed @v$cpV, vacuumed ${vacuumed.length} orphans ==")
       println(s"== final: ${log.snapshot.read().count()} rows in ${log.snapshot.numFiles} file(s) ==")
     } finally spark.stop()

@@ -1,0 +1,120 @@
+package graft.delta
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import graft.SparkTestBase
+
+/** Protocol enforcement, checkpoint completeness (remove/txn actions),
+  * commit atomicity, and vacuum safety rails. */
+class HardeningSpec extends SparkTestBase {
+  import spark.implicits._
+
+  def freshLog(): DeltaLog = {
+    val path = Files.createTempDirectory("graft-hard").resolve("t").toString
+    DeltaLog.forPath(spark, path)
+  }
+
+  private val simpleSchema =
+    StructType(Seq(StructField("n", LongType), StructField("s", StringType)))
+
+  private def meta() = Metadata(
+    id = java.util.UUID.randomUUID.toString,
+    schemaString = simpleSchema.json,
+    partitionColumns = Nil,
+    configuration = Map.empty,
+    createdTime = Some(0L))
+
+  test("unsupported reader protocol is rejected, not silently misread") {
+    val log = freshLog()
+    log.commit(0, Seq(
+      ProtocolAction(Protocol(minReaderVersion = 2, minWriterVersion = 5)),
+      MetadataAction(meta()),
+      CommitInfoAction(CommitInfo(0L, "WRITE"))))
+    val e = intercept[IllegalArgumentException](log.snapshot)
+    assert(e.getMessage.contains("unsupported Delta protocol"))
+    assert(e.getMessage.contains("minReaderVersion=2"))
+  }
+
+  test("checkpoint preserves remove tombstones and txn state") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log, Seq((1L, "a"), (2L, "b")).toDF("n", "s"))
+    TransactionWriter.overwrite(log, Seq((3L, "c")).toDF("n", "s")) // v1: removes v0 files
+    log.commit(2, Seq(
+      TxnAction(SetTransaction("app-etl", 42L, Some(1234L))),
+      CommitInfoAction(CommitInfo(0L, "TXN"))))
+    assert(log.snapshot.setTransactions("app-etl").version == 42L)
+    assert(log.snapshot.tombstones.count() >= 1L)
+
+    Maintenance.checkpoint(log)
+    // delete every JSON commit: state must survive via checkpoint alone
+    (0L to 2L).foreach { v =>
+      log.fs.delete(new Path(log.logPath, f"$v%020d.json"), false)
+    }
+    val snap = DeltaLog.forPath(spark, log.tablePath).snapshot
+    assert(snap.version == 2L)
+    assertSameRows(snap.read(), Seq((3L, "c")).toDF("n", "s"))
+    assert(snap.setTransactions("app-etl") ==
+      SetTransaction("app-etl", 42L, Some(1234L)))
+    assert(snap.tombstones.count() >= 1L,
+      "remove tombstones must survive checkpointing (vacuum safety)")
+  }
+
+  test("multi-part checkpoint round-trips") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log,
+      (1L to 40L).map(i => (i, s"v$i")).toDF("n", "s").repartition(4))
+    assert(log.snapshot.numFiles == 4L)
+    Maintenance.checkpointMultiPart(log, parts = 3)
+    val cpFiles = log.checkpointFiles(0L)
+    assert(cpFiles.length == 3, s"expected 3 checkpoint parts, got $cpFiles")
+    log.fs.delete(new Path(log.logPath, f"${0L}%020d.json"), false)
+    val snap = DeltaLog.forPath(spark, log.tablePath).snapshot
+    assert(snap.checkpointVersion.contains(0L))
+    assertSameRows(snap.read(), (1L to 40L).map(i => (i, s"v$i")).toDF("n", "s"))
+  }
+
+  test("incomplete multi-part checkpoint is ignored") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("n", "s"))
+    Maintenance.checkpointMultiPart(log, parts = 2)
+    // drop one part: the set is no longer a usable checkpoint
+    val part = log.checkpointFiles(0L).head
+    log.fs.delete(new Path(part), false)
+    // commit 0 json still present → replay from json succeeds
+    val snap = DeltaLog.forPath(spark, log.tablePath).snapshot
+    assert(snap.checkpointVersion.isEmpty)
+    assertSameRows(snap.read(), Seq((1L, "a")).toDF("n", "s"))
+  }
+
+  test("vacuum refuses zero retention without explicit opt-in") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("n", "s"))
+    val e = intercept[IllegalArgumentException](Maintenance.vacuum(log, 0L))
+    assert(e.getMessage.contains("allowZeroRetention"))
+  }
+
+  test("vacuum never touches staging or hidden directories") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("n", "s"))
+    TransactionWriter.overwrite(log, Seq((2L, "b")).toDF("n", "s")) // orphans v0 file
+    // a concurrent writer's staged-but-uncommitted parquet
+    val staged = new Path(log.rootPath, ".graft-staging-test/part-0000.parquet")
+    val out = log.fs.create(staged, true)
+    out.write(Array[Byte](1, 2, 3)); out.close()
+    val deleted = Maintenance.vacuum(log, retentionMs = 0L, allowZeroRetention = true)
+    assert(deleted.length == 1, s"expected only the orphan deleted, got $deleted")
+    assert(log.fs.exists(staged), "staged file of an in-flight commit was deleted")
+  }
+
+  test("racing commits to the same version: exactly one wins") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("n", "s"))
+    log.commit(1, Seq(CommitInfoAction(CommitInfo(0L, "A"))))
+    intercept[java.util.ConcurrentModificationException] {
+      log.commit(1, Seq(CommitInfoAction(CommitInfo(0L, "B"))))
+    }
+    // the first commit's content survived
+    assert(log.latestVersion() == 1L)
+  }
+}

@@ -68,7 +68,7 @@ class MaintenanceSpec extends SparkTestBase {
         !st.getPath.toString.contains("_delta_log")) dataFiles += 1
     }
     assert(dataFiles == 2)
-    val deleted = Maintenance.vacuum(log)
+    val deleted = Maintenance.vacuum(log, retentionMs = 0L, allowZeroRetention = true)
     assert(deleted.length == 1)
     // table still reads fine; time travel to v0 is now broken by design
     assertSameRows(log.snapshot.read(), Seq((2L, "b")).toDF("n", "s"))
