@@ -50,7 +50,55 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     all.max
   }
 
-  def snapshot: Snapshot = snapshotAt(latestVersion())
+  /** Latest snapshot. Resolution is seeded from `_last_checkpoint` when
+    * present: read the pointer, verify the checkpoint parts exist, then
+    * probe the commit tail FORWARD with existence checks — O(tail)
+    * instead of O(all commits) listing. At 10⁵+ commits the full
+    * `_delta_log` listing is the bottleneck (and on object stores a
+    * LIST of the whole prefix); the probe touches only files past the
+    * checkpoint. Falls back to the full listing when the pointer is
+    * missing, stale, or the checkpoint incomplete. */
+  def snapshot: Snapshot =
+    lastCheckpointBootstrap().getOrElse(snapshotAt(latestVersion()))
+
+  /** `_last_checkpoint` content: (version, parts). */
+  def lastCheckpointHint(): Option[(Long, Option[Int])] = {
+    val p = new Path(logPath, "_last_checkpoint")
+    if (!fs.exists(p)) None
+    else try {
+      val in = new BufferedReader(
+        new InputStreamReader(fs.open(p), StandardCharsets.UTF_8))
+      val text = try in.readLine() finally in.close()
+      val node = JsonUtil.mapper.readTree(text)
+      Some((node.get("version").asLong(),
+        Option(node.get("parts")).filterNot(_.isNull).map(_.asInt())))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def lastCheckpointBootstrap(): Option[Snapshot] =
+    lastCheckpointHint().flatMap { case (v, parts) =>
+      val cpFiles = checkpointFiles(v)
+      val complete = parts match {
+        case Some(n) => cpFiles.length == n
+        case None => cpFiles.nonEmpty
+      }
+      if (!complete) None // stale pointer → full listing fallback
+      else {
+        var tailVersions = Vector.empty[Long]
+        var next = v + 1
+        while (fs.exists(new Path(logPath, f"$next%020d.json"))) {
+          tailVersions :+= next
+          next += 1
+        }
+        val tail: Seq[(Long, Action)] = tailVersions.flatMap { tv =>
+          readCommitLines(tv).flatMap(JsonUtil.parseAction).map(tv -> _)
+        }
+        val snap = new Snapshot(this, tailVersions.lastOption.getOrElse(v),
+          Some(v), tail)
+        snap.requireReadable()
+        Some(snap)
+      }
+    }
 
   def snapshotAt(version: Long): Snapshot = {
     val (commits, cps) = listLog()

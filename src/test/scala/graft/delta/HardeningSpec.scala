@@ -107,6 +107,35 @@ class HardeningSpec extends SparkTestBase {
     assert(log.fs.exists(staged), "staged file of an in-flight commit was deleted")
   }
 
+  test("snapshot bootstraps from _last_checkpoint without a full log listing") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("n", "s"))
+    Maintenance.append(log, Seq((2L, "b")).toDF("n", "s"))
+    Maintenance.checkpoint(log) // pointer at v1
+    Maintenance.append(log, Seq((3L, "c")).toDF("n", "s")) // tail past checkpoint
+    // Plant a far-future orphan commit: a full-listing resolution would
+    // see version 999999 and fail on the gap; the _last_checkpoint
+    // bootstrap probes sequentially from v1 and never sees it.
+    log.commit(999999L, Seq(CommitInfoAction(CommitInfo(0L, "GARBAGE"))))
+    intercept[IllegalArgumentException] { log.snapshotAt(log.latestVersion()) }
+    val snap = DeltaLog.forPath(spark, log.tablePath).snapshot
+    assert(snap.version == 2L)
+    assert(snap.checkpointVersion.contains(1L))
+    assertSameRows(snap.read(),
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("n", "s"))
+  }
+
+  test("stale _last_checkpoint falls back to full listing") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("n", "s"))
+    Maintenance.checkpoint(log)
+    // delete the checkpoint parquet but keep the pointer → stale
+    log.fs.delete(new Path(log.logPath, f"${0L}%020d.checkpoint.parquet"), false)
+    val snap = DeltaLog.forPath(spark, log.tablePath).snapshot
+    assert(snap.checkpointVersion.isEmpty)
+    assertSameRows(snap.read(), Seq((1L, "a")).toDF("n", "s"))
+  }
+
   test("racing commits to the same version: exactly one wins") {
     val log = freshLog()
     TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("n", "s"))
