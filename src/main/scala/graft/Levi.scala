@@ -97,16 +97,23 @@ object Levi {
   }
 
   /** Distinct partition tuples touched by add-actions within an optional
-    * half-open `[start, end)` window on file modification time
-    * (reference :108-116; times in epoch millis as in the Delta
-    * protocol's `modificationTime`). */
+    * half-open `[start, end)` window on file modification time.
+    *
+    * Comparison happens at MICROSECOND precision like the reference
+    * (`pandas Timestamp >= start_time`, levi/__init__.py:112-114): the
+    * protocol's `modificationTime` is epoch-millis, so it's scaled ×1000
+    * and compared against the boundary's µs value — a boundary of
+    * 10:00:00.000500 excludes a file modified at 10:00:00.000, where a
+    * millis-floor compare would wrongly include it. */
   def updatedPartitions(
       snap: Snapshot,
       startTime: Option[java.time.Instant] = None,
       endTime: Option[java.time.Instant] = None): Seq[Map[String, String]] = {
+    def micros(t: java.time.Instant): Long =
+      Math.addExact(Math.multiplyExact(t.getEpochSecond, 1000000L), t.getNano / 1000L)
     var df = snap.adds
-    startTime.foreach(t => df = df.where(col("modification_time") >= t.toEpochMilli))
-    endTime.foreach(t => df = df.where(col("modification_time") < t.toEpochMilli))
+    startTime.foreach(t => df = df.where(col("modification_time") * 1000L >= micros(t)))
+    endTime.foreach(t => df = df.where(col("modification_time") * 1000L < micros(t)))
     // maps don't support set operations — dedup on the sorted entry list
     df.select(col("partition_values"))
       .withColumn("__key", array_sort(map_entries(col("partition_values"))))

@@ -55,6 +55,32 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Skew-hardened variant of [[dropDuplicatesOrdered]]: two-phase
+    * survivor selection. Phase 1 shuffles on (dupCols, salt), splitting
+    * a hot key across `salts` reducers; phase 2 re-ranks only the
+    * per-salt winners (≤ `salts` rows per key), so no single task ever
+    * materializes a whole hot group. Correct for rank-1 survivor
+    * semantics ONLY when `orderBy` is a total order within each group
+    * (e.g. includes a unique key) — with ties, phase composition could
+    * pick a different (still valid) survivor than the single-phase plan. */
+  def dropDuplicatesOrderedSalted(
+      df: DataFrame, duplicationColumns: Seq[String], orderBy: Seq[Column],
+      salts: Int = 16): DataFrame = {
+    requireCols(df, duplicationColumns, "duplication_columns")
+    require(orderBy.nonEmpty, "orderBy must be non-empty for a deterministic survivor")
+    require(salts >= 2, s"salts must be >= 2, got $salts")
+    val dupCols = duplicationColumns.map(col)
+    val salted = df.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(salts.toLong)))
+    val w1 = Window.partitionBy(dupCols :+ col("__salt"): _*).orderBy(orderBy: _*)
+    val perSalt = salted.withColumn("__rn", row_number().over(w1))
+      .where(col("__rn") === 1).drop("__rn")
+    val w2 = Window.partitionBy(dupCols: _*).orderBy(orderBy: _*)
+    perSalt.withColumn("__rn", row_number().over(w2))
+      .where(col("__rn") === 1)
+      .drop("__rn", "__salt")
+  }
+
   /** Keep, per duplicate group, the row with the smallest primary key;
     * the pkey must be unique table-wide (reference:
     * `drop_duplicates_pkey`, levi/__init__.py:354-426). */

@@ -49,6 +49,16 @@ object Scd2 {
     require(updates.columns.toSet == updatesRequired,
       s"updates columns ${updates.columns.sorted.mkString(",")} must be exactly ${updatesRequired.toSeq.sorted.mkString(",")}")
 
+    // Eager uniqueness guard: >1 update row per key would fan the base's
+    // current row out into duplicate closed rows AND insert multiple new
+    // 'current' rows — silent corruption. delta-rs MERGE (the reference's
+    // engine) raises a multiple-source-rows-matched error; so do we.
+    val updTotal = updates.count()
+    val updKeys = updates.select(primaryKey).distinct().count()
+    require(updTotal == updKeys,
+      s"updates contain $updTotal rows but only $updKeys distinct '$primaryKey' " +
+        "keys; at most one update row per primary key is allowed in an SCD2 merge")
+
     val baseCols = base.columns.toSeq
     val current = base.where(col(isCurrentColName))
 

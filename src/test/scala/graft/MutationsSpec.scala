@@ -164,6 +164,47 @@ class MutationsSpec extends SparkTestBase {
         effectiveTimeColName = "effective_ver", endTimeColName = "end_ver"))
   }
 
+  test("type_2_scd_upsert rejects multiple update rows per key") {
+    val log = writeTable(Seq(
+      (1L, "A", true, 1L, null.asInstanceOf[java.lang.Long]))
+      .toDF("pkey", "attr", "is_current", "effective_ver", "end_ver"))
+    val updates = Seq((1L, "X", 2L), (1L, "Y", 2L)).toDF("pkey", "attr", "effective_ver")
+    val e = intercept[IllegalArgumentException](
+      Levi.type2ScdUpsert(log, updates, "pkey", Seq("attr"),
+        effectiveTimeColName = "effective_ver", endTimeColName = "end_ver"))
+    assert(e.getMessage.contains("distinct 'pkey'"))
+  }
+
+  test("updated_partitions compares at microsecond precision") {
+    import graft.delta._
+    val path = tmpTable()
+    val log = DeltaLog.forPath(spark, path)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType)))
+    log.commit(0, Seq(
+      ProtocolAction(Protocol()),
+      MetadataAction(Metadata(java.util.UUID.randomUUID.toString, schema.json,
+        Seq("p"), Map.empty, Some(0L))),
+      AddAction(AddFile("p=x/f1.parquet", Map("p" -> "x"), 10L,
+        modificationTime = 1000L)), // = 1_000_000 µs exactly
+      CommitInfoAction(CommitInfo(0L, "WRITE"))))
+    val snap = log.snapshot
+    // boundary ON the file's millisecond: included (>=)
+    assert(Levi.updatedPartitions(snap,
+      startTime = Some(java.time.Instant.ofEpochMilli(1000L))).nonEmpty)
+    // boundary 500µs PAST it: excluded — a millis-floor compare would
+    // wrongly include it (reference filters at µs, levi/__init__.py:112-114)
+    assert(Levi.updatedPartitions(snap,
+      startTime = Some(java.time.Instant.ofEpochSecond(1L, 500000L))).isEmpty)
+    // half-open end: end exactly at the file µs excludes it...
+    assert(Levi.updatedPartitions(snap,
+      endTime = Some(java.time.Instant.ofEpochMilli(1000L))).isEmpty)
+    // ...but 1µs past includes it
+    assert(Levi.updatedPartitions(snap,
+      endTime = Some(java.time.Instant.ofEpochSecond(1L, 1000L))).nonEmpty)
+  }
+
   test("updated_partitions with and without time filter (reference :97-156)") {
     val path = tmpTable()
     val log = DeltaLog.forPath(spark, path)

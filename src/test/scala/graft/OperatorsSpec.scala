@@ -108,6 +108,20 @@ class OperatorsSpec extends SparkTestBase {
     assert(frames.where($"asset_id" === 2L).count() > 0)
   }
 
+  test("salted dedup matches unsalted on a planted hot key") {
+    import graft.operators.Dedup
+    // 20k rows on ONE hot key + 1k scattered — the shape that OOMs a
+    // single-reducer window at scale
+    val hot = (1L to 20000L).map(i => ("hot", i))
+    val rest = (1L to 1000L).map(i => (s"k${i % 97}", 100000L + i))
+    val df = (hot ++ rest).toDF("k", "id").repartition(8)
+    val expected = Dedup.dropDuplicatesOrdered(df, Seq("k"), Seq(col("id").asc))
+    val salted = Dedup.dropDuplicatesOrderedSalted(df, Seq("k"), Seq(col("id").asc), salts = 8)
+    assertSameRows(salted, expected)
+    // survivor of the hot group is the global minimum id
+    assert(salted.where(col("k") === "hot").select("id").collect()(0).getLong(0) == 1L)
+  }
+
   test("simhash16 stays within 16 bits and is stable") {
     val r = docs.limit(50)
       .select(TextFunctions.simhash16(
