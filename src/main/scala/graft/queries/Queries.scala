@@ -523,6 +523,86 @@ object Queries {
        |  FROM p)
        |SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 3""".stripMargin
 
+  // ---- IVF-flavored ANN (second scale path besides banded LSH) -------------
+  //
+  // Deterministic "IVF-Flat": centroids are the vectors with
+  // vec_id % 25 = 13 (a fixed, data-derived coarse quantizer — a real
+  // deployment would train k-means; the partition/probe mechanics are
+  // identical). Every vector is assigned to its nearest centroid;
+  // queries probe their 2 nearest cells and rerank exactly within them.
+  // Spark assigns via broadcast-join + max_by (partial-aggregable — the
+  // n×C expansion collapses map-side, no shuffle of the expansion);
+  // candidates shuffle only on the cell id.
+
+  /** Cached stages (Spark inlines CTEs — g_ivf_sims is read by both the
+    * assignment and the probe, g_ivf_n three more times by the rerank). */
+  private val ivfStages: Seq[(String, String)] = Seq(
+    "g_ivf_n" ->
+      """WITH e AS (SELECT /*+ REPARTITION(32) */ vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings)
+        |SELECT vec_id, v,
+        |  SQRT(aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)) AS nrm
+        |FROM e""".stripMargin,
+    "g_ivf_sims" ->
+      """SELECT /*+ BROADCAST(cent) */ n.vec_id, cent.cid,
+        |  ROUND(aggregate(zip_with(n.v, cent.cv, (a, b) -> a * b),
+        |      CAST(0 AS DOUBLE), (acc, y) -> acc + y) / (n.nrm * cent.cnrm), 4) AS sim
+        |FROM g_ivf_n n CROSS JOIN (
+        |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM g_ivf_n
+        |  WHERE vec_id % 25 = 13) cent""".stripMargin)
+
+  private val qIvfKnnSparkFinal: String =
+    """WITH assign AS (SELECT vec_id, max_by(cid, struct(sim, -cid)) AS cid
+      |  FROM g_ivf_sims GROUP BY vec_id),
+      |probe AS (SELECT query_id, cid FROM (
+      |    SELECT vec_id AS query_id, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS cr
+      |    FROM g_ivf_sims WHERE vec_id % 25 = 0) t WHERE cr <= 2),
+      |cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      |  FROM probe p JOIN assign a ON p.cid = a.cid
+      |  WHERE p.query_id <> a.vec_id),
+      |px AS (SELECT c.query_id, c.neighbor_id,
+      |    ROUND(aggregate(zip_with(a.v, b.v, (x, y) -> x * y),
+      |        CAST(0 AS DOUBLE), (acc, y) -> acc + y) / (a.nrm * b.nrm), 4) AS sim
+      |  FROM cand c
+      |  JOIN g_ivf_n a ON a.vec_id = c.query_id
+      |  JOIN g_ivf_n b ON b.vec_id = c.neighbor_id),
+      |r AS (SELECT query_id, neighbor_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+      |  FROM px)
+      |SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 3""".stripMargin
+
+  private val qIvfKnnDuck: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |    SQRT(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 25 = 13),
+      |sims_all AS (SELECT n.vec_id, cent.cid,
+      |    ROUND(list_sum(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * cent.cv[i]))
+      |      / (n.nrm * cent.cnrm), 4) AS sim
+      |  FROM n CROSS JOIN cent),
+      |assign AS (SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+      |    FROM sims_all) t WHERE rn = 1),
+      |qsims AS (SELECT vec_id AS query_id, cid, sim FROM sims_all WHERE vec_id % 25 = 0),
+      |probe AS (SELECT query_id, cid FROM (
+      |    SELECT query_id, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cid) AS cr
+      |    FROM qsims) t WHERE cr <= 2),
+      |cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      |  FROM probe p JOIN assign a ON p.cid = a.cid
+      |  WHERE p.query_id <> a.vec_id),
+      |px AS (SELECT c.query_id, c.neighbor_id,
+      |    ROUND(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+      |      / (a.nrm * b.nrm), 4) AS sim
+      |  FROM cand c
+      |  JOIN n a ON a.vec_id = c.query_id
+      |  JOIN n b ON b.vec_id = c.neighbor_id),
+      |r AS (SELECT query_id, neighbor_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+      |  FROM px)
+      |SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 3""".stripMargin
+
   // ---- multimodal queries (documents text bytes as stand-in media) ---------
   //
   // The Spark side exercises the REAL plumbing — binary content column,
@@ -667,6 +747,7 @@ object Queries {
         emb, emb.where(col("vec_id") % 25 === 0),
         "vec_id", "embedding", 3, LshBands, LshPlanesPerBand, 64)
     }),
+    "q_embedding_ivf_knn" -> cachedStagesQuery(ivfStages, qIvfKnnSparkFinal),
     "q_media_meta" -> ((s, dir) => {
       registerViews(s, dir)
       import s.implicits._
@@ -712,6 +793,7 @@ object Queries {
     "q_embedding_neardup" -> qEmbeddingNeardup("duck"),
     "q_embedding_lsh_neardup" -> qLshNeardupDuck,
     "q_embedding_knn_lsh" -> qKnnLshDuck,
+    "q_embedding_ivf_knn" -> qIvfKnnDuck,
     "q_media_meta" -> qMediaMetaDuck,
     "q_media_features" -> qMediaFeaturesDuck)
 }
