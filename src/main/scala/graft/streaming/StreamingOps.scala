@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured-Streaming counterparts of the batch operators: the same
   * declarative transforms applied to an unbounded `readStream` frame.
@@ -20,6 +21,64 @@ object StreamingOps {
     stream
       .withWatermark(tsCol, watermark)
       .dropDuplicates(fingerprintCol, tsCol)
+
+  /** One user's open session while the stream runs. */
+  final case class SessionState(startUs: Long, lastUs: Long, nEvents: Long)
+
+  /** A closed session emitted downstream. */
+  final case class ClosedSession(
+      user_id: Long, session_start_us: Long, session_end_us: Long, n_events: Long)
+
+  /** Streaming sessionization with custom state: the streaming
+    * counterpart of the batch `q_sessionize` gap-window query.
+    * `flatMapGroupsWithState` keeps one [[SessionState]] per user;
+    * a session closes (and is emitted) when the gap exceeds
+    * `gapUs` within a batch or the event-time timeout fires after the
+    * watermark passes `lastUs + gapUs`. State is bounded: one small
+    * struct per ACTIVE user, expired by timeout — the shape that
+    * survives an unbounded user population. Input: (user_id, ts,
+    * event_us) where `ts` is the watermark column. */
+  def streamingSessionize(
+      events: Dataset[(Long, java.sql.Timestamp, Long)],
+      gapUs: Long = 30L * 60 * 1000 * 1000,
+      watermark: String = "10 minutes"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.toDF("user_id", "ts", "event_us")
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(userId, s.startUs, s.lastUs, s.nEvents))
+          } else {
+            val sorted = rows.map(_._3).toSeq.sorted
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { us =>
+              cur match {
+                case Some(s) if us - s.lastUs <= gapUs =>
+                  cur = Some(s.copy(lastUs = us, nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  closed ::= ClosedSession(userId, s.startUs, s.lastUs, s.nEvents)
+                  cur = Some(SessionState(us, us, 1L))
+                case None =>
+                  cur = Some(SessionState(us, us, 1L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close via timeout once the watermark passes the gap end
+              state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000L)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
 
   /** Tumbling-window per-type event counts with late-data handling. */
   def windowedEventCounts(

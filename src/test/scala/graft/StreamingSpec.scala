@@ -28,6 +28,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming sessionization closes sessions on gap and timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    def us(m: Int): Long = ts(m).getTime * 1000L
+    val input = MemoryStream[(Long, Timestamp, Long)]
+    val sessions = StreamingOps.streamingSessionize(
+      input.toDS(), gapUs = 5L * 60 * 1000 * 1000, watermark = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 2min apart (one session), then a 10min gap
+      input.addData((1L, ts(0), us(0)), (1L, ts(2), us(2)))
+      q.processAllAvailable()
+      input.addData((1L, ts(12), us(12))) // gap > 5min → closes first session
+      q.processAllAvailable()
+      // push the watermark far ahead so the open session times out
+      input.addData((2L, ts(59), us(59)))
+      q.processAllAvailable()
+      input.addData((2L, ts(59), us(59)))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(rows.contains((1L, us(0), us(2), 2L)), rows.mkString(","))
+      assert(rows.contains((1L, us(12), us(12), 1L)), rows.mkString(","))
+    } finally q.stop()
+  }
+
   test("windowed event counts aggregate per tumbling window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
