@@ -150,9 +150,18 @@ object Maintenance {
     val snap = log.snapshot
     val totalBytes = math.max(snap.activeFiles.map(_.size).sum, 1L)
     val targetFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val df = snap.read().repartition(targetFiles)
+    val partCols = snap.metadata.partitionColumns
+    // Partitioned tables must repartition BY the partition columns:
+    // a round-robin repartition(n) followed by partitionBy(...) writes
+    // up to n files per partition value — fragmentation, not compaction.
+    // Hashing by partition key sends each value to exactly one task →
+    // one output file per partition value.
+    val df =
+      if (partCols.isEmpty) snap.read().repartition(targetFiles)
+      else snap.read().repartition(targetFiles,
+        partCols.map(org.apache.spark.sql.functions.col): _*)
     TransactionWriter.overwrite(log, df,
-      partitionBy = Some(snap.metadata.partitionColumns), operation = "OPTIMIZE")
+      partitionBy = Some(partCols), operation = "OPTIMIZE")
   }
 
   /** Production-default retention: 7 days, as in delta-spark. */

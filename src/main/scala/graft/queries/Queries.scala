@@ -397,6 +397,38 @@ object Queries {
        |FROM t""".stripMargin
   }
 
+  /** BPE-ish regex tokenization (letters run | digit run | punct run):
+    * the pattern uses only character classes so Java regex (Spark) and
+    * RE2 (DuckDB) agree byte-for-byte. */
+  private def qTokenBpe(dialect: String): String = {
+    val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+    if (dialect == "spark")
+      s"""SELECT doc_id,
+         |  CAST(size(regexp_extract_all(text, '$pat', 0)) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(size(array_distinct(regexp_extract_all(text, '$pat', 0))) AS BIGINT) AS n_distinct_bpe
+         |FROM documents""".stripMargin
+    else
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(len(list_distinct(regexp_extract_all(text, '$pat'))) AS BIGINT) AS n_distinct_bpe
+         |FROM documents""".stripMargin
+  }
+
+  /** Rolling-hash document fingerprint: min 28-bit hash over all 8-char
+    * grams (Rabin-Karp-style content signature — shift-tolerant, unlike
+    * the sorted-token-bag fingerprint). */
+  private def qRollingFingerprint(dialect: String): String =
+    if (dialect == "spark")
+      """SELECT /*+ REPARTITION(32) */ doc_id,
+        |  array_min(transform(sequence(1, GREATEST(length(text) - 7, 1)),
+        |    i -> CAST(conv(substring(md5(substring(text, i, 8)), 1, 7), 16, 10) AS BIGINT))) AS rh_fingerprint
+        |FROM documents""".stripMargin
+    else
+      """SELECT doc_id,
+        |  list_min(list_transform(range(1, GREATEST(len(text) - 7, 1) + 1),
+        |    i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 7))::BIGINT)) AS rh_fingerprint
+        |FROM documents""".stripMargin
+
   private def qLangId(dialect: String): String = {
     val size_ = if (dialect == "spark") "size" else "len"
     val filt = if (dialect == "spark") "filter" else "list_filter"
@@ -723,6 +755,8 @@ object Queries {
         |WHERE rn = 1""".stripMargin),
     "q_fingerprint" -> sqlQuery(qFingerprint("spark")),
     "q_token_count" -> sqlQuery(qTokenCount("spark")),
+    "q_token_bpe" -> sqlQuery(qTokenBpe("spark")),
+    "q_rolling_fingerprint" -> sqlQuery(qRollingFingerprint("spark")),
     "q_quality_score" -> sqlQuery(qQualityScore("spark")),
     "q_lang_id" -> sqlQuery(qLangId("spark")),
     "q_ngram_jaccard" -> cachedStagesQuery(minhashStages, sparkNgramJaccardFinal),
@@ -783,6 +817,8 @@ object Queries {
     "q_dedup_exact" -> qDedupExactOracle,
     "q_fingerprint" -> qFingerprint("duck"),
     "q_token_count" -> qTokenCount("duck"),
+    "q_token_bpe" -> qTokenBpe("duck"),
+    "q_rolling_fingerprint" -> qRollingFingerprint("duck"),
     "q_quality_score" -> qQualityScore("duck"),
     "q_lang_id" -> qLangId("duck"),
     "q_ngram_jaccard" -> qNgramJaccard("duck"),

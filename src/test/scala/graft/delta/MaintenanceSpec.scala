@@ -56,6 +56,20 @@ class MaintenanceSpec extends SparkTestBase {
     assert(snap.read().count() == 100L)
   }
 
+  test("compact on a partitioned table yields one file per partition") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log,
+      (1L to 100L).map(i => (i, (i % 2).toString)).toDF("n", "p").repartition(8),
+      partitionBy = Some(Seq("p")))
+    assert(log.snapshot.numFiles > 2L) // fragmented: up to 8 per partition value
+    Maintenance.compact(log)
+    val snap = log.snapshot
+    assert(snap.numFiles == 2L,
+      s"expected 1 file per partition value, got ${snap.numFiles}")
+    assertSameRows(snap.read(),
+      (1L to 100L).map(i => (i, (i % 2).toString)).toDF("n", "p"))
+  }
+
   test("vacuum deletes orphaned files only") {
     val log = freshLog()
     TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("n", "s"))
