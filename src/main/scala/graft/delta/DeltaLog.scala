@@ -125,6 +125,23 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     snap
   }
 
+  /** Time travel by timestamp (delta-rs `load_with_datetime`): the
+    * latest version whose commit happened at or before `ts`, measured by
+    * commit-file modification time as the Delta spec prescribes for
+    * tables without in-commit timestamps. */
+  def snapshotAsOf(ts: java.time.Instant): Snapshot = {
+    val (commits, _) = listLog()
+    require(commits.nonEmpty, s"$tablePath has no commit files to time-travel over")
+    val withTimes = commits.map { v =>
+      v -> fs.getFileStatus(new Path(logPath, f"$v%020d.json")).getModificationTime
+    }
+    val eligible = withTimes.filter(_._2 <= ts.toEpochMilli)
+    require(eligible.nonEmpty,
+      s"no version of $tablePath existed at or before $ts " +
+        s"(earliest commit: ${java.time.Instant.ofEpochMilli(withTimes.map(_._2).min)})")
+    snapshotAt(eligible.map(_._1).max)
+  }
+
   def checkpointFiles(version: Long): Seq[String] = {
     val single = new Path(logPath, f"$version%020d.checkpoint.parquet")
     if (fs.exists(single)) Seq(single.toString)

@@ -68,7 +68,24 @@ object TransactionWriter {
       operation: String): Long =
     writeAndCommit(log, replacement, Some(snap), removes = touched,
       partitionBy = Some(snap.metadata.partitionColumns),
-      configuration = Map.empty, operation = operation, mode = "Overwrite")
+      configuration = Map.empty, operation = operation, mode = "Rewrite")
+
+  /** Structural schema equality ignoring nullability, field order, and
+    * metadata — what matters for whether existing + new files can be
+    * read under one declared schema. */
+  private def forceNullable(dt: DataType): DataType = dt match {
+    case s: StructType =>
+      StructType(s.fields.map(f =>
+        StructField(f.name, forceNullable(f.dataType), nullable = true)))
+    case a: ArrayType => ArrayType(forceNullable(a.elementType), containsNull = true)
+    case m: MapType =>
+      MapType(forceNullable(m.keyType), forceNullable(m.valueType),
+        valueContainsNull = true)
+    case other => other
+  }
+
+  private def normalizedFields(st: StructType): Seq[(String, DataType)] =
+    st.fields.toSeq.map(f => (f.name, forceNullable(f.dataType))).sortBy(_._1)
 
   private def writeAndCommit(
       log: DeltaLog,
@@ -86,6 +103,18 @@ object TransactionWriter {
     val schema = df.schema
     require(partCols.forall(schema.fieldNames.contains),
       s"partition columns $partCols missing from ${schema.fieldNames.toSeq}")
+
+    // Schema ENFORCEMENT (Delta writer invariant): appends and targeted
+    // rewrites must match the table schema — silently swapping the
+    // metaData would re-type every existing file. Only a full overwrite
+    // may change the schema (the `with_schema_change` corpus shape /
+    // delta-rs overwrite_schema).
+    if (mode == "Append" || mode == "Rewrite") prev.foreach { s =>
+      require(normalizedFields(schema) == normalizedFields(s.metadata.schema),
+        s"schema mismatch: cannot $mode ${schema.simpleString} into table " +
+          s"with schema ${s.metadata.schema.simpleString}; use overwrite to " +
+          "change the schema")
+    }
 
     // 1. Materialize data into a staging dir under the table root.
     val staging = new Path(log.rootPath, s".graft-staging-${java.util.UUID.randomUUID}")
@@ -114,7 +143,10 @@ object TransactionWriter {
       // 4. Commit.
       val version = prev.map(_.version + 1).getOrElse(0L)
       val now = System.currentTimeMillis()
-      val metaChanged = prev.forall { s =>
+      // Append/Rewrite never change table metadata (enforced equal up to
+      // order/nullability above — re-emitting the df's variant would
+      // churn the declared field order).
+      val metaChanged = mode != "Append" && mode != "Rewrite" && prev.forall { s =>
         s.metadata.schemaString != schema.json ||
           s.metadata.partitionColumns != partCols ||
           (configuration.nonEmpty && s.metadata.configuration != configuration)

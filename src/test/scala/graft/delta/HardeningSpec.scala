@@ -136,6 +136,41 @@ class HardeningSpec extends SparkTestBase {
     assertSameRows(snap.read(), Seq((1L, "a")).toDF("n", "s"))
   }
 
+  test("append and targeted rewrite enforce the table schema") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("n", "s"))
+    // extra column → reject
+    intercept[IllegalArgumentException] {
+      TransactionWriter.append(log, Seq((2L, "b", 1)).toDF("n", "s", "extra"))
+    }
+    // type change → reject
+    intercept[IllegalArgumentException] {
+      TransactionWriter.append(log, Seq((2, "b")).toDF("n", "s")) // n is int
+    }
+    // column order / nullability difference → fine, metadata untouched
+    val metaBefore = log.snapshot.metadata.schemaString
+    TransactionWriter.append(log, Seq(("b", 2L)).toDF("s", "n"))
+    assert(log.snapshot.metadata.schemaString == metaBefore)
+    assertSameRows(log.snapshot.read(), Seq((1L, "a"), (2L, "b")).toDF("n", "s"))
+    // overwrite MAY change the schema (with_schema_change corpus shape)
+    TransactionWriter.overwrite(log, Seq((1L, 2L)).toDF("x", "y"))
+    assert(log.snapshot.schema.fieldNames.toSeq == Seq("x", "y"))
+  }
+
+  test("snapshotAsOf picks the latest version at or before the timestamp") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("n", "s"))
+    Thread.sleep(30)
+    val betweenCommits = java.time.Instant.now()
+    Thread.sleep(30)
+    Maintenance.append(log, Seq((2L, "b")).toDF("n", "s"))
+    assert(log.snapshotAsOf(betweenCommits).version == 0L)
+    assert(log.snapshotAsOf(java.time.Instant.now()).version == 1L)
+    intercept[IllegalArgumentException] {
+      log.snapshotAsOf(java.time.Instant.ofEpochMilli(1000L)) // before creation
+    }
+  }
+
   test("racing commits to the same version: exactly one wins") {
     val log = freshLog()
     TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("n", "s"))
