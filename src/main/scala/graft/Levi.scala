@@ -115,11 +115,16 @@ object Levi {
     startTime.foreach(t => df = df.where(col("modification_time") * 1000L >= micros(t)))
     endTime.foreach(t => df = df.where(col("modification_time") * 1000L < micros(t)))
     // maps don't support set operations — dedup on the sorted entry list
-    df.select(col("partition_values"))
+    val raw = df.select(col("partition_values"))
       .withColumn("__key", array_sort(map_entries(col("partition_values"))))
       .dropDuplicates("__key")
       .select("partition_values").collect().toSeq
       .map(_.getAs[scala.collection.Map[String, String]](0).toMap)
+    // the log keys partition values by PHYSICAL column name (column
+    // mapping); surface logical names to the caller
+    val physToLogical = snap.metadata.partitionColumns
+      .map(pc => snap.physicalNameOf(pc) -> pc).toMap
+    raw.map(_.map { case (k, v) => physToLogical.getOrElse(k, k) -> v })
   }
 
   // ---- data-quality mutations ----------------------------------------------

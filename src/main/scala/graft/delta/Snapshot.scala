@@ -65,20 +65,53 @@ class Snapshot(
 
   def schema: StructType = metadata.schema
 
-  /** Highest supported reader protocol. Tables above it (column mapping,
-    * deletion vectors, ...) would be SILENTLY misread (e.g. DV-deleted
-    * rows resurrected), so reads must fail instead — same contract as
-    * delta-rs. */
-  val maxSupportedReaderVersion = 1
+  /** `delta.columnMapping.mode`: none | name | id. */
+  def columnMappingMode: String =
+    metadata.configuration.getOrElse("delta.columnMapping.mode", "none")
 
   /** Fail when the table requires reader features this engine doesn't
-    * implement. Called eagerly by [[DeltaLog.snapshotAt]]. */
-  def requireReadable(): Unit =
-    require(protocol.minReaderVersion <= maxSupportedReaderVersion,
+    * implement — reading anyway would SILENTLY return wrong rows (e.g.
+    * resurrect DV-deleted rows), so fail like delta-rs instead. Called
+    * eagerly by [[DeltaLog.snapshotAt]]. Supported: reader v1, and
+    * reader v2 with column mapping in `name` mode (physical-name
+    * indirection, implemented below). `id` mode (parquet field-id
+    * resolution) and v3 reader features (deletion vectors, ...) are
+    * rejected. */
+  def requireReadable(): Unit = {
+    val v = protocol.minReaderVersion
+    val ok = v <= 1 || (v == 2 && (columnMappingMode == "name" || columnMappingMode == "none"))
+    require(ok,
       s"unsupported Delta protocol: table ${log.tablePath} requires " +
-        s"minReaderVersion=${protocol.minReaderVersion} " +
-        s"(supported: <= $maxSupportedReaderVersion); refusing to read " +
-        "rather than silently returning wrong rows")
+        s"minReaderVersion=$v with columnMapping.mode=$columnMappingMode " +
+        "(supported: v1, or v2 with columnMapping in name mode); refusing " +
+        "to read rather than silently returning wrong rows")
+  }
+
+  // ---- column mapping (name mode) ------------------------------------------
+
+  private val PhysicalNameKey = "delta.columnMapping.physicalName"
+
+  private def physicalName(f: StructField): String =
+    if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
+    else f.name
+
+  private def toPhysical(dt: DataType): DataType = dt match {
+    case s: StructType =>
+      StructType(s.fields.map(f =>
+        StructField(physicalName(f), toPhysical(f.dataType), f.nullable)))
+    case a: ArrayType => a.copy(elementType = toPhysical(a.elementType))
+    case m: MapType =>
+      m.copy(keyType = toPhysical(m.keyType), valueType = toPhysical(m.valueType))
+    case other => other
+  }
+
+  /** The schema as stored in data files: logical names replaced by
+    * `delta.columnMapping.physicalName` recursively (identity when the
+    * table doesn't use column mapping). */
+  def physicalSchema: StructType = toPhysical(schema).asInstanceOf[StructType]
+
+  /** Physical name of a top-level (e.g. partition) column. */
+  def physicalNameOf(logicalCol: String): String = physicalName(schema(logicalCol))
 
   // ---- active-file reconciliation ------------------------------------------
 
@@ -199,17 +232,22 @@ class Snapshot(
   }
 
   /** `adds` with `add.stats` JSON exploded into typed columns:
-    * `num_records`, `min.<col>`, `max.<col>`, `null_count.<col>`. */
+    * `num_records`, `min.<col>`, `max.<col>`, `null_count.<col>`.
+    * Stats in the log are keyed by PHYSICAL column names; the exposed
+    * relation is logical (positional struct cast renames — physical and
+    * logical stats schemas are structurally identical). */
   lazy val addsFlat: DataFrame = {
-    val st = Snapshot.statsSchema(schema)
+    val stPhys = Snapshot.statsSchema(physicalSchema)
+    val stLog = Snapshot.statsSchema(schema)
+    def logicalType(f: String) = stLog(f).dataType
     adds
-      .withColumn("__stats", from_json(col("stats"), st))
+      .withColumn("__stats", from_json(col("stats"), stPhys))
       .select(col("path"), col("partition_values"), col("size_bytes"),
         col("modification_time"),
         col("__stats.numRecords").as("num_records"),
-        col("__stats.minValues").as("min"),
-        col("__stats.maxValues").as("max"),
-        col("__stats.nullCount").as("null_count"))
+        col("__stats.minValues").cast(logicalType("minValues")).as("min"),
+        col("__stats.maxValues").cast(logicalType("maxValues")).as("max"),
+        col("__stats.nullCount").cast(logicalType("nullCount")).as("null_count"))
   }
 
   /** Driver-side active-file list (collected once, for scan planning —
@@ -238,22 +276,35 @@ class Snapshot(
   def read(): DataFrame = readFiles(activeFiles)
 
   /** Scan a chosen subset of the active files (used by stats/partition
-    * file pruning — see [[graft.delta.Skipping]]). */
+    * file pruning — see [[graft.delta.Skipping]]).
+    *
+    * Column-mapped tables (name mode): data files and the log's
+    * `partitionValues` use physical names; the scan reads the physical
+    * schema and renames back to logical via positional struct casts
+    * (identity when mapping is off). */
   def readFiles(files: Seq[AddFile]): DataFrame = {
     val partCols = metadata.partitionColumns
-    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
     if (files.isEmpty) {
       return spark.createDataFrame(new java.util.ArrayList[Row](), schema)
     }
+    val dataFieldsLogical = schema.filterNot(f => partCols.contains(f.name))
+    val dataSchemaPhysical = StructType(
+      physicalSchema.fields.zip(schema.fields).collect {
+        case (pf, lf) if !partCols.contains(lf.name) => pf
+      })
     // One parquet scan per distinct partition tuple (bounded by live
     // partition count), each with its literal partition values attached;
     // unpartitioned tables collapse to a single multi-file scan.
     val groups = files.groupBy(_.partitionValues).toSeq
     val parts = groups.map { case (pv, fs) =>
-      val base = spark.read.schema(dataSchema).parquet(fs.map(absolutePath): _*)
-      partCols.foldLeft(base) { (df, pc) =>
+      val scanned = spark.read.schema(dataSchemaPhysical).parquet(fs.map(absolutePath): _*)
+      val renamed = scanned.select(
+        dataSchemaPhysical.fields.zip(dataFieldsLogical).map { case (pf, lf) =>
+          col(s"`${pf.name}`").cast(lf.dataType).as(lf.name)
+        }.toSeq: _*)
+      partCols.foldLeft(renamed) { (df, pc) =>
         val dt = schema(pc).dataType
-        val raw = pv.get(pc).orNull
+        val raw = pv.get(physicalNameOf(pc)).orNull
         df.withColumn(pc, (if (raw == null) lit(null) else lit(raw)).cast(dt))
       }
     }

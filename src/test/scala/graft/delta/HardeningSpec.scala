@@ -26,14 +26,17 @@ class HardeningSpec extends SparkTestBase {
     createdTime = Some(0L))
 
   test("unsupported reader protocol is rejected, not silently misread") {
+    // v3 (reader features: deletion vectors, ...) is beyond what this
+    // engine implements; v2 is allowed only for column mapping name mode
+    // (ColumnMappingSpec covers the v2 matrix).
     val log = freshLog()
     log.commit(0, Seq(
-      ProtocolAction(Protocol(minReaderVersion = 2, minWriterVersion = 5)),
+      ProtocolAction(Protocol(minReaderVersion = 3, minWriterVersion = 7)),
       MetadataAction(meta()),
       CommitInfoAction(CommitInfo(0L, "WRITE"))))
     val e = intercept[IllegalArgumentException](log.snapshot)
     assert(e.getMessage.contains("unsupported Delta protocol"))
-    assert(e.getMessage.contains("minReaderVersion=2"))
+    assert(e.getMessage.contains("minReaderVersion=3"))
   }
 
   test("checkpoint preserves remove tombstones and txn state") {
