@@ -1,0 +1,151 @@
+package graft.delta
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** General MERGE INTO executor over graft's Delta layer — the surface
+  * the reference drives through delta-rs
+  * (`dt.merge(...).when_matched_delete/when_matched_update/
+  * when_not_matched_insert.execute()`, levi/__init__.py:157-166,
+  * :274-295), generalized beyond the three hard-wired call sites in
+  * [[Mutations]].
+  *
+  * Semantics (Delta MERGE):
+  *  - a target row matching a source row gets the first applicable
+  *    matched clause: DELETE (with optional condition) is evaluated
+  *    before UPDATE;
+  *  - source rows matching no target row are inserted (optional
+  *    condition);
+  *  - a target row matching MORE THAN ONE source row is an error
+  *    (delta-rs raises the same — nondeterministic merge otherwise);
+  *  - untouched rows and untouched FILES pass through — execution is a
+  *    targeted rewrite: only files containing matched rows are
+  *    rewritten, inserts ride the same commit as new files.
+  *
+  * Conditions and set/values expressions reference the target as `t`
+  * and the source as `s` (e.g. `col("t.id") === col("s.id")`).
+  *
+  * Scale shape: one semi-join-ish pass to find touched files (shuffle on
+  * the join keys; the 100 TB side never moves beyond that join), one
+  * re-scan of ONLY touched files joined against the (typically small,
+  * broadcastable) source, one anti-join for inserts.
+  */
+final case class Merge(
+    log: DeltaLog,
+    source: DataFrame,
+    condition: Column,
+    matchedDelete: Option[Option[Column]] = None,
+    matchedUpdate: Option[(Option[Column], Map[String, Column])] = None,
+    notMatchedInsert: Option[(Option[Column], Map[String, Column])] = None) {
+
+  def whenMatchedDelete(condition: Option[Column] = None): Merge =
+    copy(matchedDelete = Some(condition))
+
+  def whenMatchedUpdate(set: Map[String, Column], condition: Option[Column] = None): Merge =
+    copy(matchedUpdate = Some((condition, set)))
+
+  def whenNotMatchedInsert(values: Map[String, Column], condition: Option[Column] = None): Merge =
+    copy(notMatchedInsert = Some((condition, values)))
+
+  /** Run the merge; returns the committed version (the current version
+    * when the merge is a no-op). */
+  def execute(): Long = {
+    require(matchedDelete.nonEmpty || matchedUpdate.nonEmpty || notMatchedInsert.nonEmpty,
+      "merge needs at least one WHEN clause")
+    val snap = log.snapshot
+    val targetSchema = snap.schema
+    val targetCols = targetSchema.fieldNames.toSeq
+    matchedUpdate.foreach { case (_, set) =>
+      val unknown = set.keySet -- targetCols
+      require(unknown.isEmpty, s"update sets unknown columns: $unknown")
+    }
+    notMatchedInsert.foreach { case (_, values) =>
+      val unknown = values.keySet -- targetCols
+      require(unknown.isEmpty, s"insert provides unknown columns: $unknown")
+    }
+
+    val src = source.alias("s")
+
+    // -- guard: a target row may match at most one source row ---------------
+    val tagged = snap.read().withColumn("__file", input_file_name())
+      .withColumn("__rid", monotonically_increasing_id())
+      .alias("t")
+    val matches = tagged.join(src, condition)
+    val multi = matches.groupBy(col("t.__rid")).agg(count(lit(1)).as("__c"))
+      .where(col("__c") > 1).limit(1).count()
+    require(multi == 0L,
+      "merge aborted: at least one target row matches multiple source rows " +
+        "— the result would be nondeterministic (same error as delta-rs)")
+
+    // -- touched files -------------------------------------------------------
+    val idx: Map[String, AddFile] =
+      snap.activeFiles.map(f => Merge.qualify(log, snap, f) -> f).toMap
+    val touched: Seq[AddFile] =
+      if (matchedDelete.isEmpty && matchedUpdate.isEmpty) Nil // insert-only merge
+      else matches.select(col("t.__file")).distinct().collect()
+        .map(r => Merge.normalize(r.getString(0)))
+        .flatMap(idx.get).toSeq
+
+    // -- rewrite touched files ----------------------------------------------
+    val survivorsOpt: Option[DataFrame] =
+      if (touched.isEmpty) None
+      else {
+        val scan = snap.readFiles(touched).alias("t")
+        val joined = scan.join(src.withColumn("__smatch", lit(true)), condition, "left")
+        val isMatched = col("__smatch").isNotNull
+        val delCond = matchedDelete.map { c =>
+          isMatched && c.getOrElse(lit(true))
+        }.getOrElse(lit(false))
+        val updCond = matchedUpdate.map { case (c, _) =>
+          isMatched && !delCond && c.getOrElse(lit(true))
+        }.getOrElse(lit(false))
+        val sets: Map[String, Column] = matchedUpdate.map(_._2).getOrElse(Map.empty)
+        val projected = joined.where(!delCond).select(targetCols.map { c =>
+          val dt = targetSchema(c).dataType
+          sets.get(c) match {
+            case Some(e) => when(updCond, e.cast(dt)).otherwise(col(s"t.$c")).as(c)
+            case None => col(s"t.$c").as(c)
+          }
+        }: _*)
+        Some(projected)
+      }
+
+    // -- inserts (source rows matching NO target row, globally) -------------
+    val insertsOpt: Option[DataFrame] = notMatchedInsert.map { case (cOpt, values) =>
+      val unmatched = src.join(snap.read().alias("t"), condition, "left_anti")
+      val filtered = cOpt.map(unmatched.where).getOrElse(unmatched)
+      filtered.select(targetCols.map { c =>
+        val dt = targetSchema(c).dataType
+        values.get(c).map(_.cast(dt)).getOrElse(lit(null).cast(dt)).as(c)
+      }: _*)
+    }
+
+    val replacement = (survivorsOpt, insertsOpt) match {
+      case (Some(s), Some(i)) => Some(s.unionByName(i))
+      case (Some(s), None) => Some(s)
+      case (None, Some(i)) => Some(i)
+      case (None, None) => None
+    }
+    replacement match {
+      case None => snap.version
+      case Some(df) if touched.isEmpty && df.isEmpty => snap.version
+      case Some(df) =>
+        TransactionWriter.rewriteFiles(log, snap, touched, df, "MERGE")
+    }
+  }
+}
+
+object Merge {
+  /** Start building a merge of `source` into the table at `log` on
+    * `condition` (target alias `t`, source alias `s`). */
+  def into(log: DeltaLog, source: DataFrame, condition: Column): Merge =
+    Merge(log, source, condition)
+
+  private[delta] def normalize(s: String): String =
+    try new org.apache.hadoop.fs.Path(new java.net.URI(s)).toString
+    catch { case _: Exception => s }
+
+  private[delta] def qualify(log: DeltaLog, snap: Snapshot, f: AddFile): String =
+    normalize(log.fs.makeQualified(
+      new org.apache.hadoop.fs.Path(snap.absolutePath(f))).toString)
+}

@@ -1,0 +1,99 @@
+package graft.delta
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** General MERGE INTO semantics + targeted-rewrite file behavior. */
+class MergeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  def freshLog(rows: Seq[(Long, String, Long)]): DeltaLog = {
+    val path = Files.createTempDirectory("graft-merge").resolve("t").toString
+    val log = DeltaLog.forPath(spark, path)
+    TransactionWriter.overwrite(log, rows.toDF("id", "attr", "v"))
+    log
+  }
+
+  test("upsert: matched update + not-matched insert") {
+    val log = freshLog(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+    val source = Seq((2L, "B2"), (9L, "NEW")).toDF("id", "attr")
+    Merge.into(log, source, col("t.id") === col("s.id"))
+      .whenMatchedUpdate(Map("attr" -> col("s.attr"), "v" -> (col("t.v") + 1)))
+      .whenNotMatchedInsert(Map("id" -> col("s.id"), "attr" -> col("s.attr"),
+        "v" -> lit(0L)))
+      .execute()
+    assertSameRows(log.snapshot.read(),
+      Seq((1L, "a", 10L), (2L, "B2", 21L), (3L, "c", 30L), (9L, "NEW", 0L))
+        .toDF("id", "attr", "v"))
+  }
+
+  test("matched delete with condition; delete wins over update") {
+    val log = freshLog(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+    val source = Seq((1L), (2L)).toDF("id")
+    Merge.into(log, source, col("t.id") === col("s.id"))
+      .whenMatchedDelete(condition = Some(col("t.v") < 15L))
+      .whenMatchedUpdate(Map("attr" -> lit("touched")))
+      .execute()
+    // id=1 (v=10) deleted; id=2 (v=20) fails delete cond → updated
+    assertSameRows(log.snapshot.read(),
+      Seq((2L, "touched", 20L), (3L, "c", 30L)).toDF("id", "attr", "v"))
+  }
+
+  test("insert-only merge appends without touching existing files") {
+    val log = freshLog(Seq((1L, "a", 10L)))
+    val before = log.snapshot.activeFiles.map(_.path).toSet
+    val source = Seq((5L, "e", 50L), (1L, "dup", 99L)).toDF("id", "attr", "v")
+    Merge.into(log, source, col("t.id") === col("s.id"))
+      .whenNotMatchedInsert(Map("id" -> col("s.id"), "attr" -> col("s.attr"),
+        "v" -> col("s.v")))
+      .execute()
+    val snap = log.snapshot
+    assert(before.subsetOf(snap.activeFiles.map(_.path).toSet),
+      "insert-only merge must keep existing add paths")
+    assertSameRows(snap.read(),
+      Seq((1L, "a", 10L), (5L, "e", 50L)).toDF("id", "attr", "v"))
+  }
+
+  test("untouched files keep their add paths across a targeted merge") {
+    val path = Files.createTempDirectory("graft-merge").resolve("t").toString
+    val log = DeltaLog.forPath(spark, path)
+    // 4 files; the merge touches ids only in one of them
+    TransactionWriter.overwrite(log,
+      (1L to 40L).map(i => (i, s"a$i", i)).toDF("id", "attr", "v")
+        .repartition(4, col("id")))
+    val before = log.snapshot.activeFiles.map(_.path).toSet
+    assert(before.size == 4)
+    val source = Seq((7L, "X")).toDF("id", "nattr")
+    Merge.into(log, source, col("t.id") === col("s.id"))
+      .whenMatchedUpdate(Map("attr" -> col("s.nattr")))
+      .execute()
+    val after = log.snapshot.activeFiles.map(_.path).toSet
+    assert((before intersect after).size == 3,
+      s"expected 3 untouched files preserved, before=$before after=$after")
+    assert(log.snapshot.read().where(col("id") === 7L)
+      .select("attr").collect()(0).getString(0) == "X")
+  }
+
+  test("multiple source rows matching one target row is an error") {
+    val log = freshLog(Seq((1L, "a", 10L)))
+    val source = Seq((1L, "x"), (1L, "y")).toDF("id", "attr")
+    val e = intercept[IllegalArgumentException] {
+      Merge.into(log, source, col("t.id") === col("s.id"))
+        .whenMatchedUpdate(Map("attr" -> col("s.attr")))
+        .execute()
+    }
+    assert(e.getMessage.contains("multiple source rows"))
+  }
+
+  test("no-op merge commits nothing") {
+    val log = freshLog(Seq((1L, "a", 10L)))
+    val v0 = log.latestVersion()
+    val source = Seq((99L, "zz")).toDF("id", "attr")
+    val v = Merge.into(log, source, col("t.id") === col("s.id"))
+      .whenMatchedUpdate(Map("attr" -> col("s.attr")))
+      .execute()
+    assert(v == v0)
+    assert(log.latestVersion() == v0)
+  }
+}
