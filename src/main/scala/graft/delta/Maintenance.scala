@@ -179,7 +179,8 @@ object Maintenance {
   def vacuum(
       log: DeltaLog,
       retentionMs: Long = DefaultVacuumRetentionMs,
-      allowZeroRetention: Boolean = false): Seq[String] = {
+      allowZeroRetention: Boolean = false,
+      distributed: Boolean = false): Seq[String] = {
     require(retentionMs > 0 || allowZeroRetention,
       "retentionMs = 0 deletes every unreferenced file immediately and " +
         "breaks time travel; pass allowZeroRetention = true to confirm")
@@ -190,27 +191,71 @@ object Maintenance {
     }.toSet
     val rootDepth = fs.makeQualified(log.rootPath).toUri.getPath
       .split('/').count(_.nonEmpty)
-    def hasHiddenComponent(p: Path): Boolean = {
-      // Components BELOW the table root only — the table dir itself may
-      // legitimately be dot-prefixed (e.g. a tmp dir).
-      val comps = fs.makeQualified(p).toUri.getPath.split('/').filter(_.nonEmpty)
-      comps.drop(rootDepth).exists(c => c.startsWith(".") || c.startsWith("_"))
-    }
     val cutoff = System.currentTimeMillis() - retentionMs
-    val deleted = ArrayBuffer.empty[String]
-    val it = fs.listFiles(log.rootPath, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val p = st.getPath
-      val isData = p.getName.endsWith(".parquet")
-      if (st.isFile && isData && !hasHiddenComponent(p) &&
-          !active.contains(fs.makeQualified(p).toString) &&
-          st.getModificationTime < cutoff) {
-        fs.delete(p, false)
-        deleted += p.toString
+
+    // (qualified path, mtime) of every data-file candidate under `dir`,
+    // skipping dot/underscore-prefixed components BELOW the table root
+    // (in-flight staging dirs, _delta_log).
+    def listCandidates(fsLocal: org.apache.hadoop.fs.FileSystem,
+        dir: Path): Seq[(String, Long)] = {
+      val out = ArrayBuffer.empty[(String, Long)]
+      val it = fsLocal.listFiles(dir, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val p = st.getPath
+        val comps = fsLocal.makeQualified(p).toUri.getPath
+          .split('/').filter(_.nonEmpty).drop(rootDepth)
+        val hidden = comps.exists(c => c.startsWith(".") || c.startsWith("_"))
+        if (st.isFile && p.getName.endsWith(".parquet") && !hidden)
+          out += ((fsLocal.makeQualified(p).toString, st.getModificationTime))
       }
+      out.toSeq
     }
-    deleted.toSeq
+
+    val candidates: Seq[(String, Long)] =
+      if (!distributed) listCandidates(fs, log.rootPath)
+      else {
+        // 10⁷-file shape: fan the recursive listing out over executors,
+        // one task per top-level entry (≈ first partition level). The
+        // driver only ever holds the candidate list.
+        val rootEntries = fs.listStatus(log.rootPath).toSeq
+          .filterNot(st => st.getPath.getName.startsWith(".") ||
+            st.getPath.getName.startsWith("_"))
+        val topDirs = rootEntries.filter(_.isDirectory)
+          .map(st => fs.makeQualified(st.getPath).toUri.toString)
+        val rootFiles = rootEntries.collect {
+          case st if st.isFile && st.getPath.getName.endsWith(".parquet") =>
+            (fs.makeQualified(st.getPath).toString, st.getModificationTime)
+        }
+        val sc = log.spark.sparkContext
+        val depth = rootDepth
+        val fromDirs =
+          if (topDirs.isEmpty) Nil
+          else sc.parallelize(topDirs, math.min(topDirs.size, sc.defaultParallelism))
+            .flatMap { d =>
+              val p = new Path(new java.net.URI(d))
+              val fsx = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+              val out = ArrayBuffer.empty[(String, Long)]
+              val it = fsx.listFiles(p, true)
+              while (it.hasNext) {
+                val st = it.next()
+                val f = st.getPath
+                val comps = fsx.makeQualified(f).toUri.getPath
+                  .split('/').filter(_.nonEmpty).drop(depth)
+                val hidden = comps.exists(c => c.startsWith(".") || c.startsWith("_"))
+                if (st.isFile && f.getName.endsWith(".parquet") && !hidden)
+                  out += ((fsx.makeQualified(f).toString, st.getModificationTime))
+              }
+              out
+            }.collect().toSeq
+        rootFiles ++ fromDirs
+      }
+
+    val toDelete = candidates.collect {
+      case (p, mtime) if !active.contains(p) && mtime < cutoff => p
+    }
+    toDelete.foreach(p => fs.delete(new Path(new java.net.URI(p)), false))
+    toDelete
   }
 
   /** Append commit: add new files (with full per-file stats) without

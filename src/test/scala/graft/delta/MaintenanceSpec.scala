@@ -70,6 +70,23 @@ class MaintenanceSpec extends SparkTestBase {
       (1L to 100L).map(i => (i, (i % 2).toString)).toDF("n", "p"))
   }
 
+  test("distributed vacuum matches the driver walk on a partitioned table") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log,
+      (1L to 20L).map(i => (i, (i % 3).toString)).toDF("n", "p"),
+      partitionBy = Some(Seq("p")))
+    TransactionWriter.overwrite(log,
+      (1L to 20L).map(i => (i, (i % 3).toString)).toDF("n", "p"),
+      partitionBy = Some(Seq("p"))) // orphans the v0 files
+    val orphans = log.snapshotAt(0).activeFiles.length
+    val deleted = Maintenance.vacuum(log, retentionMs = 0L,
+      allowZeroRetention = true, distributed = true)
+    assert(deleted.length == orphans && deleted.toSet.size == deleted.length,
+      s"expected the $orphans v0 files exactly once, got $deleted")
+    assertSameRows(log.snapshot.read(),
+      (1L to 20L).map(i => (i, (i % 3).toString)).toDF("n", "p"))
+  }
+
   test("vacuum deletes orphaned files only") {
     val log = freshLog()
     TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("n", "s"))
