@@ -262,4 +262,41 @@ object Maintenance {
     * removing existing ones. */
   def append(log: DeltaLog, df: org.apache.spark.sql.DataFrame): Long =
     TransactionWriter.append(log, df)
+
+  /** RESTORE to a previous version (delta-rs `restore`): a metadata-only
+    * commit that re-adds the target version's files and removes files
+    * added since — NO data is rewritten or copied, so restoring a
+    * 100 TB table costs one commit. Time travel to the interim versions
+    * keeps working (their files stay on disk until vacuumed). */
+  def restore(log: DeltaLog, version: Long): Long = {
+    val current = log.snapshot
+    require(version < current.version,
+      s"cannot restore to version $version: current version is ${current.version}")
+    val target = log.snapshotAt(version)
+    val targetFiles = target.activeFiles
+    val currentFiles = current.activeFiles
+    val targetPaths = targetFiles.map(_.path).toSet
+    val currentPaths = currentFiles.map(_.path).toSet
+    val missing = targetFiles.filterNot(f =>
+      log.fs.exists(new Path(log.rootPath, DeltaLog.decodePath(f.path))))
+    require(missing.isEmpty,
+      s"cannot restore to version $version: ${missing.size} of its data " +
+        s"files were vacuumed (e.g. ${missing.take(3).map(_.path)})")
+    val now = System.currentTimeMillis()
+    val actions = ArrayBuffer[Action](
+      CommitInfoAction(CommitInfo(now, "RESTORE",
+        Map("version" -> version.toString))))
+    // schema may have changed since — restore pins the target metadata
+    if (target.metadata.schemaString != current.metadata.schemaString ||
+        target.metadata.partitionColumns != current.metadata.partitionColumns)
+      actions += MetadataAction(target.metadata)
+    actions ++= targetFiles.filterNot(f => currentPaths.contains(f.path))
+      .map(f => AddAction(f.copy(dataChange = true)))
+    actions ++= currentFiles.filterNot(f => targetPaths.contains(f.path))
+      .map(f => RemoveAction(RemoveFile(f.path, now, dataChange = true,
+        partitionValues = f.partitionValues, size = Some(f.size))))
+    val v = current.version + 1
+    log.commit(v, actions.toSeq)
+    v
+  }
 }

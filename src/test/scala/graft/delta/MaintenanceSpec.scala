@@ -87,6 +87,25 @@ class MaintenanceSpec extends SparkTestBase {
       (1L to 20L).map(i => (i, (i % 3).toString)).toDF("n", "p"))
   }
 
+  test("restore rolls back to a prior version without copying data") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log, Seq((1L, "a"), (2L, "b")).toDF("n", "s"))
+    Maintenance.append(log, Seq((3L, "c")).toDF("n", "s"))
+    TransactionWriter.overwrite(log, Seq((9L, "z")).toDF("n", "s")) // v2
+    val v = Maintenance.restore(log, 1L)
+    assert(v == 3L)
+    assertSameRows(log.snapshot.read(),
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("n", "s"))
+    // the restore commit re-added v1's files by path — no new data files
+    assert(log.snapshot.activeFiles.map(_.path).toSet ==
+      log.snapshotAt(1).activeFiles.map(_.path).toSet)
+    // interim version still time-travelable
+    assertSameRows(log.snapshotAt(2).read(), Seq((9L, "z")).toDF("n", "s"))
+    // restoring after vacuum removed the target's files must fail
+    Maintenance.vacuum(log, retentionMs = 0L, allowZeroRetention = true)
+    intercept[IllegalArgumentException](Maintenance.restore(log, 2L))
+  }
+
   test("vacuum deletes orphaned files only") {
     val log = freshLog()
     TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("n", "s"))
