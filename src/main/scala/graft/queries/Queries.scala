@@ -566,6 +566,15 @@ object Queries {
   // n×C expansion collapses map-side, no shuffle of the expansion);
   // candidates shuffle only on the cell id.
 
+  /** Unrolled 64-term dot product: higher-order functions are
+    * CodegenFallback (interpreted per element); a flat element_at sum
+    * stays inside whole-stage codegen with the SAME left-associated
+    * double arithmetic (oracle list_sum order). One ~130-node expression
+    * — far below the plane-matrix unroll that was measured and rejected
+    * for codegen blowup (docs/SCALE.md). */
+  private def dot64(a: String, b: String): String =
+    (1 to 64).map(i => s"element_at($a, $i) * element_at($b, $i)").mkString(" + ")
+
   /** Cached stages (Spark inlines CTEs — g_ivf_sims is read by both the
     * assignment and the probe, g_ivf_n three more times by the rerank). */
   private val ivfStages: Seq[(String, String)] = Seq(
@@ -575,12 +584,11 @@ object Queries {
         |  SQRT(aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)) AS nrm
         |FROM e""".stripMargin,
     "g_ivf_sims" ->
-      """SELECT /*+ BROADCAST(cent) */ n.vec_id, cent.cid,
-        |  ROUND(aggregate(zip_with(n.v, cent.cv, (a, b) -> a * b),
-        |      CAST(0 AS DOUBLE), (acc, y) -> acc + y) / (n.nrm * cent.cnrm), 4) AS sim
-        |FROM g_ivf_n n CROSS JOIN (
-        |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM g_ivf_n
-        |  WHERE vec_id % 25 = 13) cent""".stripMargin)
+      s"""SELECT /*+ BROADCAST(cent) */ n.vec_id, cent.cid,
+         |  ROUND((${dot64("n.v", "cent.cv")}) / (n.nrm * cent.cnrm), 4) AS sim
+         |FROM g_ivf_n n CROSS JOIN (
+         |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM g_ivf_n
+         |  WHERE vec_id % 25 = 13) cent""".stripMargin)
 
   private val qIvfKnnSparkFinal: String =
     """WITH assign AS (SELECT vec_id, max_by(cid, struct(sim, -cid)) AS cid
@@ -593,8 +601,7 @@ object Queries {
       |  FROM probe p JOIN assign a ON p.cid = a.cid
       |  WHERE p.query_id <> a.vec_id),
       |px AS (SELECT c.query_id, c.neighbor_id,
-      |    ROUND(aggregate(zip_with(a.v, b.v, (x, y) -> x * y),
-      |        CAST(0 AS DOUBLE), (acc, y) -> acc + y) / (a.nrm * b.nrm), 4) AS sim
+      |    ROUND((""".stripMargin + dot64("a.v", "b.v") + """) / (a.nrm * b.nrm), 4) AS sim
       |  FROM cand c
       |  JOIN g_ivf_n a ON a.vec_id = c.query_id
       |  JOIN g_ivf_n b ON b.vec_id = c.neighbor_id),
