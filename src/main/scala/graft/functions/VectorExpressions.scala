@@ -1,0 +1,22 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftshims.{DotProduct, L2Norm, SqlShims}
+import org.apache.spark.sql.graftshims.SqlShims.{column, expression}
+
+/** Public facade over the native Catalyst vector expressions
+  * ([[org.apache.spark.sql.graftshims.DotProduct]] /
+  * [[org.apache.spark.sql.graftshims.L2Norm]]) — codegen'd primitive
+  * loops replacing the CodegenFallback `aggregate(zip_with(...))` HOF
+  * form on the embedding hot path, with identical index-ordered double
+  * arithmetic (so DuckDB-oracle parity is preserved). */
+object VectorExpressions {
+
+  /** `Σ a[i]*b[i]` over `array<double>` columns (length = min of the
+    * two; null array → null). */
+  def dot(a: Column, b: Column): Column =
+    column(DotProduct(expression(a), expression(b)))
+
+  /** L2 norm — `sqrt(Σ v[i]²)` fused in one pass. */
+  def l2Norm(v: Column): Column = column(L2Norm(expression(v)))
+}

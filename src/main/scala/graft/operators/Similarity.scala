@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.VectorExpressions
 
 /** Embedding similarity search over an `Array[Float]`/`Array[Double]`
   * column: brute-force cosine top-k as the correctness baseline, and a
@@ -12,14 +13,13 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Index-ordered cosine similarity (deterministic accumulation order —
-    * reproducible across engines). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    dot / (norm(a) * norm(b))
-  }
+    * reproducible across engines). Backed by the native codegen'd
+    * [[graft.functions.VectorExpressions]] (same left-fold arithmetic as
+    * the HOF form it replaced). */
+  def cosine(a: Column, b: Column): Column =
+    VectorExpressions.dot(a, b) / (norm(a) * norm(b))
 
-  def norm(v: Column): Column =
-    sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+  def norm(v: Column): Column = VectorExpressions.l2Norm(v)
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
@@ -108,9 +108,7 @@ object Similarity {
     val bandStructs = (0 until bands).map { b =>
       val bits = (0 until planesPerBand).map { p =>
         val plane = typedLit(planes(b * planesPerBand + p).toSeq)
-        val proj = round(
-          aggregate(zip_with(col("v"), plane, (x, c) => x * c),
-            lit(0.0), (acc, y) => acc + y), 6)
+        val proj = round(VectorExpressions.dot(col("v"), plane), 6)
         when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
       }
       struct(lit(b).as("band"), bits.reduce(_ + _).as("k"))
@@ -139,8 +137,7 @@ object Similarity {
     val b = n.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     cand.join(a, "id_a").join(b, "id_b")
       .withColumn("sim", round(
-        aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
-          lit(0.0), (acc, y) => acc + y) / (col("na") * col("nb")), 4))
+        VectorExpressions.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .where(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }
@@ -168,8 +165,7 @@ object Similarity {
     val cs = c.select(col("id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
     val sims = cand.join(qs, "query_id").join(cs, "neighbor_id")
       .withColumn("sim", round(
-        aggregate(zip_with(col("qv"), col("cv"), (x, y) => x * y),
-          lit(0.0), (acc, y) => acc + y) / (col("qn") * col("cn")), 4))
+        VectorExpressions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     sims.withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)

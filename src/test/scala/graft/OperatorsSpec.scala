@@ -108,6 +108,29 @@ class OperatorsSpec extends SparkTestBase {
     assert(frames.where($"asset_id" === 2L).count() > 0)
   }
 
+  test("native vec_dot / vec_l2norm match the HOF fold bit-for-bit") {
+    import graft.functions.VectorExpressions
+    val df = Seq(
+      (1L, Seq(1.0, 2.0, 3.0), Seq(0.5, -1.0, 2.0)),
+      (2L, Seq(0.1, 0.2, 0.3), Seq(0.9, 0.8, 0.7))).toDF("id", "a", "b")
+    val r = df.select(
+      VectorExpressions.dot(col("a"), col("b")).as("nd"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, y) => acc + y).as("hd"),
+      VectorExpressions.l2Norm(col("a")).as("nn"),
+      sqrt(aggregate(col("a"), lit(0.0), (acc, x) => acc + x * x)).as("hn"))
+      .collect()
+    r.foreach { row =>
+      assert(row.getDouble(0) == row.getDouble(1), "dot mismatch")
+      assert(row.getDouble(2) == row.getDouble(3), "norm mismatch")
+    }
+    // null array → null
+    val n = Seq((1L, null.asInstanceOf[Seq[Double]], Seq(1.0)))
+      .toDF("id", "a", "b")
+      .select(VectorExpressions.dot(col("a"), col("b"))).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("salted dedup matches unsalted on a planted hot key") {
     import graft.operators.Dedup
     // 20k rows on ONE hot key + 1k scattered — the shape that OOMs a
