@@ -104,6 +104,19 @@ object TransactionWriter {
     require(partCols.forall(schema.fieldNames.contains),
       s"partition columns $partCols missing from ${schema.fieldNames.toSeq}")
 
+    // Writer protocol gates: this writer emits LOGICAL column names, so
+    // writing to a column-mapped table would corrupt it (files/adds must
+    // use physical names there); delta.appendOnly forbids removing files.
+    prev.foreach { s =>
+      require(s.columnMappingMode == "none",
+        s"cannot write to ${log.tablePath}: table uses column mapping " +
+          s"(mode=${s.columnMappingMode}) and this writer emits logical names " +
+          "— writing would corrupt it")
+      require(removes.isEmpty ||
+          !s.metadata.configuration.get("delta.appendOnly").contains("true"),
+        s"cannot remove files from ${log.tablePath}: table is delta.appendOnly")
+    }
+
     // Schema ENFORCEMENT (Delta writer invariant): appends and targeted
     // rewrites must match the table schema — silently swapping the
     // metaData would re-type every existing file. Only a full overwrite
@@ -176,6 +189,16 @@ object TransactionWriter {
       }
       log.commit(version, actions.toSeq)
       spark.catalog.clearCache()
+      // delta.checkpointInterval: periodic checkpoints keep snapshot
+      // resolution O(tail) forever (delta-spark defaults to every 10
+      // commits; here opt-in via table property).
+      val effectiveConf =
+        if (configuration.nonEmpty) configuration
+        else prev.map(_.metadata.configuration).getOrElse(Map.empty)
+      effectiveConf.get("delta.checkpointInterval")
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+        .filter(_ > 0)
+        .foreach { n => if (version > 0 && version % n == 0) Maintenance.checkpoint(log) }
       version
     } finally fs.delete(staging, true)
   }

@@ -160,6 +160,47 @@ class HardeningSpec extends SparkTestBase {
     assert(log.snapshot.schema.fieldNames.toSeq == Seq("x", "y"))
   }
 
+  test("writer refuses column-mapped and append-only violations") {
+    // column-mapped table: writer emits logical names → must refuse
+    val cmPath = Files.createTempDirectory("graft-hard").resolve("t").toString
+    val cmLog = DeltaLog.forPath(spark, cmPath)
+    val mb = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", "col-x").putLong("delta.columnMapping.id", 1)
+      .build()
+    val cmSchema = StructType(Seq(StructField("n", LongType, nullable = true, mb)))
+    cmLog.commit(0, Seq(
+      ProtocolAction(Protocol(2, 5)),
+      MetadataAction(Metadata(java.util.UUID.randomUUID.toString, cmSchema.json,
+        Nil, Map("delta.columnMapping.mode" -> "name"), Some(0L))),
+      CommitInfoAction(CommitInfo(0L, "WRITE"))))
+    val e = intercept[IllegalArgumentException](
+      TransactionWriter.append(cmLog, Seq(1L).toDF("n")))
+    assert(e.getMessage.contains("column mapping"))
+
+    // appendOnly table: append fine, overwrite (removes) refused
+    val log = freshLog()
+    TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("n", "s"),
+      configuration = Map("delta.appendOnly" -> "true"))
+    TransactionWriter.append(log, Seq((2L, "b")).toDF("n", "s"))
+    val e2 = intercept[IllegalArgumentException](
+      TransactionWriter.overwrite(log, Seq((9L, "z")).toDF("n", "s")))
+    assert(e2.getMessage.contains("appendOnly"))
+  }
+
+  test("delta.checkpointInterval writes periodic checkpoints") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("n", "s"),
+      configuration = Map("delta.checkpointInterval" -> "2"))
+    Maintenance.append(log, Seq((2L, "b")).toDF("n", "s")) // v1
+    Maintenance.append(log, Seq((3L, "c")).toDF("n", "s")) // v2 → checkpoint
+    Maintenance.append(log, Seq((4L, "d")).toDF("n", "s")) // v3
+    assert(log.checkpointFiles(2L).nonEmpty, "checkpoint at v2 expected")
+    assert(log.checkpointFiles(3L).isEmpty)
+    assert(log.lastCheckpointHint().map(_._1).contains(2L))
+    // bootstrap path reads it
+    assert(DeltaLog.forPath(spark, log.tablePath).snapshot.checkpointVersion.contains(2L))
+  }
+
   test("snapshotAsOf picks the latest version at or before the timestamp") {
     val log = freshLog()
     TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("n", "s"))
