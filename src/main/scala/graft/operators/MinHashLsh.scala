@@ -41,10 +41,27 @@ object MinHashLsh {
     sig.select(col(idCol), posexplode(bandKeys).as(Seq("band", "k")))
   }
 
-  /** Candidate pairs: docs sharing any band bucket (deduplicated). */
-  def candidatePairs(buckets: DataFrame, idCol: String): DataFrame = {
-    val a = buckets.as("x")
-    val b = buckets.as("y")
+  /** Candidate pairs: docs sharing any band bucket (deduplicated).
+    *
+    * `maxBucketSize` is the skew guard: a degenerate bucket (e.g. every
+    * empty/boilerplate doc hashing identically) of size m contributes
+    * m²/2 pairs and concentrates them in ONE join task. Buckets above
+    * the cap are dropped from CANDIDATE GENERATION (their members still
+    * pair through their other, selective bands) — the standard
+    * LSH-at-scale mitigation. 0 disables the cap. */
+  def candidatePairs(
+      buckets: DataFrame, idCol: String, maxBucketSize: Int = 0): DataFrame = {
+    val capped =
+      if (maxBucketSize <= 0) buckets
+      else {
+        val sizes = buckets.groupBy("band", "k")
+          .agg(count(lit(1)).as("__bsz"))
+          .where(col("__bsz") <= maxBucketSize)
+          .select("band", "k")
+        buckets.join(sizes, Seq("band", "k"))
+      }
+    val a = capped.as("x")
+    val b = capped.as("y")
     a.join(b,
         col("x.band") === col("y.band") && col("x.k") === col("y.k") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
@@ -56,9 +73,10 @@ object MinHashLsh {
     * hashed shingle sets of candidates only. */
   def nearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = 0): DataFrame = {
     val hashed = hashedShingles(df, idCol, textCol).cache()
-    val cand = candidatePairs(bandBuckets(withSignature(hashed), idCol), idCol)
+    val cand = candidatePairs(
+      bandBuckets(withSignature(hashed), idCol), idCol, maxBucketSize)
     val ha = hashed.select(col(idCol).as("id_a"), col("hs").as("hs_a"))
     val hb = hashed.select(col(idCol).as("id_b"), col("hs").as("hs_b"))
     cand.join(ha, "id_a").join(hb, "id_b")

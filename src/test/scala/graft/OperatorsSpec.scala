@@ -108,6 +108,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(frames.where($"asset_id" === 2L).count() > 0)
   }
 
+  test("minhash bucket-size cap drops only degenerate-bucket pairs") {
+    import graft.operators.MinHashLsh
+    // 6 identical boilerplate docs (one degenerate bucket per band) +
+    // one true near-dup pair with distinct-but-similar text
+    val boiler = (1L to 6L).map(i => (i, "aa bb cc dd ee ff gg hh"))
+    val pairDocs = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog today"),
+      (102L, "the quick brown fox jumps over the lazy dog tonight"))
+    val df = (boiler ++ pairDocs).toDF("doc_id", "text")
+    val uncapped = MinHashLsh.nearDupPairs(df, "doc_id", "text", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((101L, 102L)))
+    assert(uncapped.count { case (a, b) => a <= 6 && b <= 6 } == 15) // 6 choose 2
+    val capped = MinHashLsh.nearDupPairs(df, "doc_id", "text", 0.3, maxBucketSize = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((101L, 102L)), "selective-bucket pairs must survive the cap")
+    assert(!capped.exists { case (a, b) => a <= 6 && b <= 6 },
+      "degenerate-bucket pairs should be dropped by the cap")
+  }
+
   test("native vec_dot / vec_l2norm match the HOF fold bit-for-bit") {
     import graft.functions.VectorExpressions
     val df = Seq(
