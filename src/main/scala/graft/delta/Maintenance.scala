@@ -263,6 +263,57 @@ object Maintenance {
   def append(log: DeltaLog, df: org.apache.spark.sql.DataFrame): Long =
     TransactionWriter.append(log, df)
 
+  /** OPTIMIZE ZORDER BY: rewrite the table ordered along a Z-curve
+    * (Morton interleave) over `zCols`, so each output file covers a
+    * small hyper-rectangle of the key space and min/max stats skipping
+    * prunes on EVERY z-column, not just a lexicographic prefix.
+    *
+    * Normalization is linear min/max scaling to 16 bits per column (one
+    * cheap global agg); the interleave itself is a map-only Column
+    * expression, and file assignment is a range partition on the
+    * z-value — fully distributed, no global sort on the driver. */
+  def zorder(
+      log: DeltaLog, zCols: Seq[String],
+      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    require(zCols.nonEmpty && zCols.size <= 4, "zorder needs 1-4 columns")
+    val snap = log.snapshot
+    val df = snap.read()
+    zCols.foreach(c => require(df.columns.contains(c), s"unknown zorder column $c"))
+    val bounds = df.agg(
+      zCols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"__mn_$c"),
+        max(col(c).cast("double")).as(s"__mx_$c"))).head,
+      zCols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"__mn_$c"),
+        max(col(c).cast("double")).as(s"__mx_$c"))).tail: _*).collect()(0)
+    val bits = 16
+    val nc = zCols.size
+    val zParts = zCols.zipWithIndex.map { case (c, ci) =>
+      val mn = Option(bounds.getAs[java.lang.Double](s"__mn_$c")).map(_.toDouble).getOrElse(0.0)
+      val mx = Option(bounds.getAs[java.lang.Double](s"__mx_$c")).map(_.toDouble).getOrElse(0.0)
+      val range = if (mx > mn) mx - mn else 1.0
+      // linear 16-bit normalization; nulls sort first (scaled 0)
+      val scaled = least(greatest(
+        ((col(c).cast("double") - lit(mn)) / lit(range) * lit((1 << bits) - 1)),
+        lit(0.0)), lit(((1 << bits) - 1).toDouble))
+      val v = coalesce(floor(scaled).cast("long"), lit(0L))
+      (0 until bits).map { i =>
+        (floor(v / math.pow(2, i).toLong) % 2).cast("long") *
+          lit(math.pow(2, i * nc + ci).toLong)
+      }.reduce(_ + _)
+    }
+    val zval = zParts.reduce(_ + _)
+    val totalBytes = math.max(snap.activeFiles.map(_.size).sum, 1L)
+    val targetFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val ordered = df.withColumn("__z", zval)
+      .repartitionByRange(targetFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    TransactionWriter.overwrite(log, ordered,
+      partitionBy = Some(snap.metadata.partitionColumns),
+      operation = "OPTIMIZE ZORDER BY")
+  }
+
   /** RESTORE to a previous version (delta-rs `restore`): a metadata-only
     * commit that re-adds the target version's files and removes files
     * added since — NO data is rewritten or copied, so restoring a

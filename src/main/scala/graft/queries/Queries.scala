@@ -429,6 +429,21 @@ object Queries {
         |    i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 7))::BIGINT)) AS rh_fingerprint
         |FROM documents""".stripMargin
 
+  /** Deterministic train/val/test split assignment (80/10/10) from the
+    * md5-prefix of the doc id — the standard reproducible-split move for
+    * training pipelines (no RNG state, stable under reshuffles and
+    * incremental reruns; any engine computes the same assignment). */
+  private def qSplitAssign(dialect: String): String = {
+    val h =
+      if (dialect == "spark") h28("spark", "CAST(doc_id AS STRING)")
+      else h28("duck", "doc_id::VARCHAR")
+    s"""SELECT doc_id,
+       |  CASE WHEN $h % 100 < 80 THEN 'train'
+       |       WHEN $h % 100 < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents""".stripMargin
+  }
+
   private def qLangId(dialect: String): String = {
     val size_ = if (dialect == "spark") "size" else "len"
     val filt = if (dialect == "spark") "filter" else "list_filter"
@@ -764,6 +779,7 @@ object Queries {
     "q_token_count" -> sqlQuery(qTokenCount("spark")),
     "q_token_bpe" -> sqlQuery(qTokenBpe("spark")),
     "q_rolling_fingerprint" -> sqlQuery(qRollingFingerprint("spark")),
+    "q_split_assign" -> sqlQuery(qSplitAssign("spark")),
     "q_quality_score" -> sqlQuery(qQualityScore("spark")),
     "q_lang_id" -> sqlQuery(qLangId("spark")),
     "q_ngram_jaccard" -> cachedStagesQuery(minhashStages, sparkNgramJaccardFinal),
@@ -826,6 +842,7 @@ object Queries {
     "q_token_count" -> qTokenCount("duck"),
     "q_token_bpe" -> qTokenBpe("duck"),
     "q_rolling_fingerprint" -> qRollingFingerprint("duck"),
+    "q_split_assign" -> qSplitAssign("duck"),
     "q_quality_score" -> qQualityScore("duck"),
     "q_lang_id" -> qLangId("duck"),
     "q_ngram_jaccard" -> qNgramJaccard("duck"),

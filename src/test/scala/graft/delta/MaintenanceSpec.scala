@@ -87,6 +87,29 @@ class MaintenanceSpec extends SparkTestBase {
       (1L to 20L).map(i => (i, (i % 3).toString)).toDF("n", "p"))
   }
 
+  test("zorder clustering improves multi-column stats skipping") {
+    val log = freshLog()
+    // two decorrelated uniform columns; random row order → every file's
+    // [min,max] spans ~the full domain on both columns → no pruning
+    val rows = (1 to 4096).map { i =>
+      (i.toLong, (i % 64).toLong, ((i * 2654435761L) % 64))
+    }
+    TransactionWriter.overwrite(log,
+      rows.toDF("id", "n1", "n2").repartition(8))
+    assert(log.snapshot.numFiles == 8L)
+    val corner = Seq(("n1", "<", 8), ("n2", "<", 8))
+    val before = graft.Levi.skippedStats(log.snapshot, corner)
+    val perFile = math.max(log.snapshot.activeFiles.map(_.size).sum / 8, 1L)
+    Maintenance.zorder(log, Seq("n1", "n2"), targetFileBytes = perFile)
+    val snap = log.snapshot
+    assert(snap.numFiles >= 4L, s"expected multiple z-files, got ${snap.numFiles}")
+    val after = graft.Levi.skippedStats(snap, corner)
+    assert(after("num_files_skipped") > before("num_files_skipped"),
+      s"zorder should increase pruning: before=$before after=$after")
+    // data unchanged
+    assertSameRows(snap.read(), rows.toDF("id", "n1", "n2"))
+  }
+
   test("restore rolls back to a prior version without copying data") {
     val log = freshLog()
     TransactionWriter.overwrite(log, Seq((1L, "a"), (2L, "b")).toDF("n", "s"))
