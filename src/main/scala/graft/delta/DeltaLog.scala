@@ -149,6 +149,11 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
       .map(_.getPath.toString).toSeq
   }
 
+  /** Parsed actions of one commit file (used by the streaming source to
+    * read a commit range incrementally). */
+  def commitActions(version: Long): Seq[Action] =
+    readCommitLines(version).flatMap(JsonUtil.parseAction)
+
   private def readCommitLines(version: Long): Seq[String] = {
     val p = new Path(logPath, f"$version%020d.json")
     val in = new BufferedReader(

@@ -56,6 +56,28 @@ object TransactionWriter {
       operation = operation, mode = "Append")
   }
 
+  /** Idempotent append: rides a `txn` action (appId, version) in the
+    * same commit. If the snapshot already records `version` (or later)
+    * for `appId`, the batch was committed before — skip. This is the
+    * exactly-once contract streaming sinks need across retries
+    * (Delta spec: SetTransaction). Returns the committed (or
+    * already-committed) table version. */
+  def appendWithTxn(
+      log: DeltaLog,
+      df: DataFrame,
+      appId: String,
+      txnVersion: Long,
+      partitionBy: Option[Seq[String]] = None): Long = {
+    val snap = log.snapshot
+    val already = snap.setTransactions.get(appId).exists(_.version >= txnVersion)
+    if (already) snap.version
+    else writeAndCommit(log, df, Some(snap), removes = Nil,
+      partitionBy = partitionBy, configuration = Map.empty,
+      operation = "STREAMING UPDATE", mode = "Append",
+      txn = Some(SetTransaction(appId, txnVersion,
+        Some(System.currentTimeMillis()))))
+  }
+
   /** MERGE-style targeted rewrite: replace only `touched` files with
     * `replacement` rows; every other active file stays untouched in the
     * log. This is what keeps mutations affordable at scale — a dedup
@@ -95,7 +117,8 @@ object TransactionWriter {
       partitionBy: Option[Seq[String]],
       configuration: Map[String, String],
       operation: String,
-      mode: String): Long = {
+      mode: String,
+      txn: Option[SetTransaction] = None): Long = {
     val spark = log.spark
     val fs = log.fs
     val partCols: Seq[String] =
@@ -168,6 +191,7 @@ object TransactionWriter {
       actions += CommitInfoAction(CommitInfo(now, operation,
         Map("mode" -> mode,
           "partitionBy" -> partCols.mkString("[\"", "\",\"", "\"]"))))
+      txn.foreach(t => actions += TxnAction(t))
       if (prev.isEmpty) actions += ProtocolAction(Protocol())
       if (metaChanged) actions += MetadataAction(Metadata(
         id = prev.map(_.metadata.id)

@@ -80,6 +80,26 @@ object StreamingOps {
       }
   }
 
+  /** Exactly-once streaming sink into a graft Delta table: each
+    * micro-batch appends under a `txn` (appId, batchId) action, so a
+    * replayed batch (restart between commit and checkpoint advance) is
+    * detected from the snapshot's SetTransaction state and skipped —
+    * the idempotent-writer contract the Delta spec defines for
+    * streaming. One Delta commit per micro-batch. */
+  def deltaAppendSink(
+      stream: DataFrame,
+      log: graft.delta.DeltaLog,
+      appId: String,
+      checkpointLocation: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.delta.TransactionWriter.appendWithTxn(log, batch, appId, batchId)
+        ()
+      }
+      .start()
+
   /** Tumbling-window per-type event counts with late-data handling. */
   def windowedEventCounts(
       stream: DataFrame, tsCol: String, typeCol: String,

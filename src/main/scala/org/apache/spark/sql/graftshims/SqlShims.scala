@@ -17,6 +17,16 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
 object SqlShims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Build the streaming-tagged DataFrame a DSv1 `Source.getBatch` must
+    * return (MicroBatchExecution asserts `isStreaming`); same move as
+    * delta-spark's DeltaSource. */
+  def asStreamingDataFrame(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val classicDf = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val spark = classicDf.sparkSession
+    spark.internalCreateDataFrame(
+      classicDf.queryExecution.toRdd, classicDf.schema, isStreaming = true)
+  }
 }
 
 /** `Σ a[i]*b[i]` over two `array<double>` values, compiled by

@@ -56,6 +56,63 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("delta sink appends exactly-once per micro-batch") {
+    import graft.delta.{DeltaLog, TransactionWriter}
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink")
+    val log = DeltaLog.forPath(spark, dir.resolve("t").toString)
+    TransactionWriter.overwrite(log, Seq((0L, "seed")).toDF("n", "s"))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.deltaAppendSink(
+      input.toDF().toDF("n", "s"), log, "app-test", dir.resolve("cp").toString)
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      input.addData((3L, "c"))
+      q.processAllAvailable()
+      assertSameRows(log.snapshot.read(),
+        Seq((0L, "seed"), (1L, "a"), (2L, "b"), (3L, "c")).toDF("n", "s"))
+      assert(log.snapshot.setTransactions("app-test").version == 1L)
+      // replaying an already-committed batch is a no-op (exactly-once)
+      val vBefore = log.latestVersion()
+      TransactionWriter.appendWithTxn(log, Seq((9L, "dup")).toDF("n", "s"),
+        "app-test", 1L)
+      assert(log.latestVersion() == vBefore, "replayed batch must not commit")
+      // a NEW batch id commits
+      TransactionWriter.appendWithTxn(log, Seq((4L, "d")).toDF("n", "s"),
+        "app-test", 2L)
+      assert(log.snapshot.setTransactions("app-test").version == 2L)
+      assert(log.snapshot.read().count() == 5L)
+    } finally q.stop()
+  }
+
+  test("delta streaming source reads the snapshot then incremental appends") {
+    import graft.delta.{DeltaLog, TransactionWriter, Maintenance}
+    val dir = java.nio.file.Files.createTempDirectory("graft-src")
+    val log = DeltaLog.forPath(spark, dir.resolve("t").toString)
+    TransactionWriter.overwrite(log, Seq((1L, "a"), (2L, "b")).toDF("n", "s"))
+    val stream = spark.readStream
+      .format(classOf[graft.sources.DeltaSourceProvider].getName)
+      .option("path", log.tablePath)
+      .load()
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("delta_src_out")
+      .outputMode("append")
+      .option("checkpointLocation", dir.resolve("cp").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("delta_src_out").count() == 2L) // initial snapshot
+      Maintenance.append(log, Seq((3L, "c")).toDF("n", "s"))
+      q.processAllAvailable()
+      assertSameRows(spark.table("delta_src_out"),
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("n", "s"))
+      Maintenance.append(log, Seq((4L, "d")).toDF("n", "s"))
+      q.processAllAvailable()
+      assert(spark.table("delta_src_out").count() == 4L)
+    } finally q.stop()
+  }
+
   test("windowed event counts aggregate per tumbling window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
