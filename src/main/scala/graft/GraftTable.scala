@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.delta.{DeltaLog, Maintenance, Merge, Mutations, Skipping, Snapshot, TransactionWriter}
+
+/** User-facing handle over one Delta table — the ergonomic equivalent of
+  * the reference's `DeltaTable(path)` + levi module functions
+  * (/root/reference/levi/__init__.py), binding graft's whole surface to
+  * a path: reads (batch, time travel, pruned scans, streaming), the 10
+  * levi analytics/mutations, general MERGE, and maintenance.
+  *
+  * {{{
+  * val t = GraftTable(spark, "/data/events")
+  * t.read().where(...)                       // batch scan
+  * t.skippedStats(Seq(("ts", ">=", x)))      // log-plane analytics
+  * t.dropDuplicatesPkey("id", Seq("payload"))
+  * t.merge(updates, col("t.id") === col("s.id"))
+  *   .whenMatchedUpdate(Map("v" -> col("s.v"))).execute()
+  * t.zorder(Seq("user_id", "ts")); t.vacuum()
+  * spark.readStream.format(classOf[graft.sources.DeltaSourceProvider].getName)
+  *   .option("path", t.path).load()          // streaming source
+  * }}}
+  */
+final case class GraftTable(spark: SparkSession, path: String) {
+
+  val log: DeltaLog = DeltaLog.forPath(spark, path)
+
+  // ---- reads ---------------------------------------------------------------
+  def snapshot: Snapshot = log.snapshot
+  def read(): DataFrame = log.snapshot.read()
+  def readAt(version: Long): DataFrame = log.snapshotAt(version).read()
+  def readAsOf(ts: java.time.Instant): DataFrame = log.snapshotAsOf(ts).read()
+  /** Stats-pruned scan: file skipping + pushed row predicate. */
+  def readWhere(filters: Seq[(String, String, Any)]): DataFrame =
+    Skipping.readWhere(log.snapshot, filters)
+
+  // ---- levi analytics ------------------------------------------------------
+  def version: Long = Levi.latestVersion(log)
+  def skippedStats(filters: Seq[(String, String, Any)]): Map[String, Long] =
+    Levi.skippedStats(log.snapshot, filters)
+  def fileSizes(boundaries: Seq[String] = Levi.DefaultBoundaries): Map[String, Long] =
+    Levi.deltaFileSizes(log.snapshot, boundaries)
+  def updatedPartitions(
+      start: Option[java.time.Instant] = None,
+      end: Option[java.time.Instant] = None): Seq[Map[String, String]] =
+    Levi.updatedPartitions(log.snapshot, start, end)
+  def history(): DataFrame = Maintenance.history(log)
+
+  // ---- writes / mutations --------------------------------------------------
+  def overwrite(df: DataFrame, partitionBy: Option[Seq[String]] = None): Long =
+    TransactionWriter.overwrite(log, df, partitionBy)
+  def append(df: DataFrame): Long = TransactionWriter.append(log, df)
+  def killDuplicates(cols: Seq[String]): Long = Mutations.killDuplicates(log, cols)
+  def dropDuplicates(cols: Seq[String], orderBy: Seq[String]): Long =
+    Mutations.dropDuplicatesOrdered(log, cols, orderBy)
+  def dropDuplicatesPkey(pkey: String, cols: Seq[String]): Long =
+    Mutations.dropDuplicatesPkey(log, pkey, cols)
+  def type2ScdUpsert(
+      updates: DataFrame, primaryKey: String, attrs: Seq[String],
+      isCurrentCol: String = "is_current",
+      effectiveTimeCol: String = "effective_time",
+      endTimeCol: String = "end_time"): Long =
+    Mutations.type2ScdUpsert(log, updates, primaryKey, attrs,
+      isCurrentCol, effectiveTimeCol, endTimeCol)
+  def merge(source: DataFrame, condition: Column): Merge =
+    Merge.into(log, source, condition)
+
+  // ---- maintenance ---------------------------------------------------------
+  def checkpoint(): Long = Maintenance.checkpoint(log)
+  def compact(targetFileBytes: Long = 128L * 1024 * 1024): Long =
+    Maintenance.compact(log, targetFileBytes)
+  def zorder(cols: Seq[String], targetFileBytes: Long = 128L * 1024 * 1024): Long =
+    Maintenance.zorder(log, cols, targetFileBytes)
+  def vacuum(retentionMs: Long = Maintenance.DefaultVacuumRetentionMs,
+      allowZeroRetention: Boolean = false, distributed: Boolean = false): Seq[String] =
+    Maintenance.vacuum(log, retentionMs, allowZeroRetention, distributed)
+  def restore(version: Long): Long = Maintenance.restore(log, version)
+}

@@ -60,9 +60,21 @@ object JsonUtil {
         p.get("minReaderVersion").asInt(1), p.get("minWriterVersion").asInt(2))))
     } else if (root.has("commitInfo")) {
       val c = root.get("commitInfo")
+      // operationParameters values may be nested JSON (other writers
+      // store arrays there) — render containers as their JSON text
+      val params = Option(c.get("operationParameters")).filterNot(_.isNull)
+        .map { m =>
+          m.properties().asScala.map { e =>
+            val v = e.getValue
+            e.getKey -> (if (v.isNull) null
+                         else if (v.isTextual) v.asText()
+                         else v.toString)
+          }.toMap
+        }.getOrElse(Map.empty[String, String])
       Some(CommitInfoAction(CommitInfo(
         timestamp = optLong(c, "timestamp").getOrElse(0L),
-        operation = optText(c, "operation").getOrElse(""))))
+        operation = optText(c, "operation").getOrElse(""),
+        operationParameters = params)))
     } else if (root.has("txn")) {
       val t = root.get("txn")
       Some(TxnAction(SetTransaction(

@@ -263,6 +263,31 @@ object Maintenance {
   def append(log: DeltaLog, df: org.apache.spark.sql.DataFrame): Long =
     TransactionWriter.append(log, df)
 
+  /** DESCRIBE HISTORY (delta-rs `history()`): one row per commit with
+    * version, timestamp, operation, and operation parameters — parsed
+    * from the commitInfo actions of the JSON commits (checkpointed-away
+    * commits no longer have history, as in other engines). */
+  def history(log: DeltaLog): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val (commits, _) = log.listLog()
+    val rows = commits.sorted.reverse.map { v =>
+      val ci = log.commitActions(v).collectFirst { case CommitInfoAction(c) => c }
+      Row(v,
+        ci.map(c => new java.sql.Timestamp(c.timestamp)).orNull,
+        ci.map(_.operation).orNull,
+        ci.map(_.operationParameters).orNull)
+    }
+    val schema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("timestamp", TimestampType),
+      StructField("operation", StringType),
+      StructField("operationParameters", MapType(StringType, StringType))))
+    log.spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      schema)
+  }
+
   /** OPTIMIZE ZORDER BY: rewrite the table ordered along a Z-curve
     * (Morton interleave) over `zCols`, so each output file covers a
     * small hyper-rectangle of the key space and min/max stats skipping
