@@ -64,9 +64,13 @@ object Mutations {
     TransactionWriter.rewriteFiles(log, snap, touched, replacement, "DELETE")
   }
 
-  /** drop_duplicates (ordered survivor) with targeted rewrite. */
+  /** drop_duplicates (ordered survivor) with targeted rewrite.
+    * `salts > 1` routes survivor selection through the skew-hardened
+    * two-phase plan ([[Dedup.dropDuplicatesOrderedSalted]]) — use when a
+    * dup group can be hot; requires `orderBy` to be a total order. */
   def dropDuplicatesOrdered(
-      log: DeltaLog, duplicationColumns: Seq[String], orderBy: Seq[String]): Long = {
+      log: DeltaLog, duplicationColumns: Seq[String], orderBy: Seq[String],
+      salts: Int = 0): Long = {
     val snap = log.snapshot
     val data = snap.read()
     Dedup.requireCols(data, duplicationColumns, "duplication_columns")
@@ -76,8 +80,13 @@ object Mutations {
       .select(duplicationColumns.map(col): _*)
     val touched = touchedFiles(log, snap, dupKeys, duplicationColumns)
     if (touched.isEmpty) return snap.version
-    val replacement = Dedup.dropDuplicatesOrdered(
-      snap.readFiles(touched), duplicationColumns, orderBy.map(col(_).asc))
+    val scan = snap.readFiles(touched)
+    val replacement =
+      if (salts > 1)
+        Dedup.dropDuplicatesOrderedSalted(scan, duplicationColumns,
+          orderBy.map(col(_).asc), salts)
+      else
+        Dedup.dropDuplicatesOrdered(scan, duplicationColumns, orderBy.map(col(_).asc))
     TransactionWriter.rewriteFiles(log, snap, touched, replacement, "DELETE")
   }
 
