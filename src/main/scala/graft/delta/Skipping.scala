@@ -58,17 +58,43 @@ object Skipping {
   def filtersToSql(filters: Seq[(String, String, Any)]): String =
     filters.map { case (c, op, v) => filterToSql(c, op, v) }.mkString(" and ")
 
-  /** Execute skipping: the active files whose stats interval intersects
-    * the predicate (files without stats are conservatively kept — an
-    * absent min/max proves nothing). */
+  /** Execute skipping: the active files that may contain matches —
+    * partition columns prune EXACTLY on the log's `partitionValues`
+    * (delta-style partition pruning: a partition predicate eliminates
+    * whole partitions before any IO), other columns prune on the
+    * min/max stats interval (files without stats are conservatively
+    * kept — an absent min/max proves nothing). */
   def prunedFiles(snap: Snapshot, filters: Seq[(String, String, Any)]): Seq[AddFile] = {
     if (filters.isEmpty) return snap.activeFiles
-    val mayMatch = filtersToColumn(filters)
-    val haveStats = filters.map { case (c, _, _) =>
-      col(s"min.$c").isNotNull && col(s"max.$c").isNotNull
-    }.reduceLeft(_ && _)
+    val partCols = snap.metadata.partitionColumns.toSet
+    val (partFilters, statsFilters) = filters.partition(f => partCols.contains(f._1))
+    val partPredicate: Option[Column] =
+      if (partFilters.isEmpty) None
+      else Some(partFilters.map { case (c, op, v) =>
+        val dt = snap.schema(c).dataType
+        val pv = element_at(col("partition_values"), snap.physicalNameOf(c)).cast(dt)
+        op match {
+          case "=" => pv === lit(v)
+          case "<" => pv < lit(v)
+          case "<=" => pv <= lit(v)
+          case ">" => pv > lit(v)
+          case ">=" => pv >= lit(v)
+          case other => throw new IllegalArgumentException(
+            s"filter operator '$other' is not supported (=, <, <=, >, >=)")
+        }
+      }.reduceLeft(_ && _))
+    val statsPredicate: Option[Column] =
+      if (statsFilters.isEmpty) None
+      else {
+        val mayMatch = filtersToColumn(statsFilters)
+        val haveStats = statsFilters.map { case (c, _, _) =>
+          col(s"min.$c").isNotNull && col(s"max.$c").isNotNull
+        }.reduceLeft(_ && _)
+        Some(!haveStats || mayMatch)
+      }
+    val predicate = (partPredicate.toSeq ++ statsPredicate.toSeq).reduceLeft(_ && _)
     val keep = snap.addsFlat
-      .where(!haveStats || mayMatch)
+      .where(predicate)
       .select("path").collect().map(_.getString(0)).toSet
     snap.activeFiles.filter(f => keep.contains(f.path))
   }

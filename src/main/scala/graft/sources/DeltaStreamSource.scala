@@ -39,24 +39,48 @@ class DeltaSourceProvider extends StreamSourceProvider {
   override def createSource(
       sqlContext: SQLContext, metadataPath: String, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): Source =
-    new DeltaStreamSource(sqlContext.sparkSession, path(parameters))
+    new DeltaStreamSource(sqlContext.sparkSession, path(parameters),
+      parameters.get("maxCommitsPerTrigger").map(_.toLong).filter(_ > 0))
 }
 
-class DeltaStreamSource(spark: SparkSession, tablePath: String) extends Source {
+class DeltaStreamSource(
+    spark: SparkSession, tablePath: String,
+    maxCommitsPerTrigger: Option[Long] = None) extends Source {
 
   private val log = DeltaLog.forPath(spark, tablePath)
 
   override val schema: StructType = log.snapshot.schema
+
+  /** Highest offset already handed to the engine (advanced by getBatch
+    * too, so rate limiting stays correct across restarts). */
+  private var lastOffered: Option[Long] = None
 
   private def versionOf(o: Offset): Long = o match {
     case l: LongOffset => l.offset
     case other => other.json().trim.toLong // SerializedOffset after restart
   }
 
-  override def getOffset: Option[Offset] = Some(LongOffset(log.latestVersion()))
+  override def getOffset: Option[Offset] = {
+    val latest = log.latestVersion()
+    // Backfill control: with a rate limit, the first offer is the
+    // earliest reconstructible version (small initial snapshot), then at
+    // most maxCommitsPerTrigger versions per trigger. getBatch raises
+    // lastOffered to any checkpoint-recovered position, so a stale first
+    // offer after restart only yields one empty catch-up batch.
+    val target = (maxCommitsPerTrigger, lastOffered) match {
+      case (Some(n), Some(lo)) => math.min(latest, lo + n)
+      case (Some(_), None) =>
+        val (commits, cps) = log.listLog()
+        math.min(latest, (commits ++ cps).min)
+      case _ => latest
+    }
+    lastOffered = Some(math.max(target, lastOffered.getOrElse(-1L)))
+    Some(LongOffset(lastOffered.get))
+  }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = versionOf(end)
+    lastOffered = Some(math.max(lastOffered.getOrElse(-1L), endV))
     val snap = log.snapshotAt(endV)
     val batch = start match {
       case None =>

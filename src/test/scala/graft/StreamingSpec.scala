@@ -113,6 +113,31 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("delta source rate limit advances one commit per trigger") {
+    import graft.delta.{DeltaLog, TransactionWriter, Maintenance}
+    val dir = java.nio.file.Files.createTempDirectory("graft-rate")
+    val log = DeltaLog.forPath(spark, dir.resolve("t").toString)
+    TransactionWriter.overwrite(log, Seq((0L, "seed")).toDF("n", "s"))
+    (1L to 3L).foreach(i => Maintenance.append(log, Seq((i, s"v$i")).toDF("n", "s")))
+    val stream = spark.readStream
+      .format(classOf[graft.sources.DeltaSourceProvider].getName)
+      .option("path", log.tablePath)
+      .option("maxCommitsPerTrigger", "1")
+      .load()
+    val q = stream.writeStream.format("memory").queryName("rate_out")
+      .outputMode("append")
+      .option("checkpointLocation", dir.resolve("cp").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // all rows arrive, spread over >= 3 micro-batches (initial snapshot
+      // at the first offered offset, then one commit per trigger)
+      assert(spark.table("rate_out").count() == 4L)
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      assert(batches >= 3, s"expected >=3 rate-limited batches, got $batches")
+    } finally q.stop()
+  }
+
   test("windowed event counts aggregate per tumbling window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]

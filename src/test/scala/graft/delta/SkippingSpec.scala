@@ -20,6 +20,26 @@ class SkippingSpec extends SparkTestBase {
     log
   }
 
+  test("partition predicates prune exactly on partitionValues") {
+    val path = Files.createTempDirectory("graft-skip").resolve("t").toString
+    val log = DeltaLog.forPath(spark, path)
+    TransactionWriter.overwrite(log,
+      (1L to 30L).map(i => (i, (i % 3).toString)).toDF("n", "p").coalesce(1),
+      partitionBy = Some(Seq("p")))
+    val snap = log.snapshot
+    assert(snap.activeFiles.size == 3)
+    // pure partition filter: exact pruning, no stats involved
+    val pruned = Skipping.prunedFiles(snap, Seq(("p", "=", "1")))
+    assert(pruned.size == 1, s"expected the p=1 file only, got ${pruned.map(_.path)}")
+    assert(pruned.head.partitionValues("p") == "1")
+    // combined partition + stats filter
+    val both = Skipping.prunedFiles(snap, Seq(("p", "=", "1"), ("n", ">=", 1000)))
+    assert(both.isEmpty, "stats filter should eliminate the remaining file")
+    // readWhere returns exactly the partition's rows
+    val rows = Skipping.readWhere(snap, Seq(("p", "=", "1")))
+    assert(rows.count() == 10L)
+  }
+
   test("prunedFiles keeps only stats-overlapping files") {
     val log = makeTable()
     val snap = log.snapshot
