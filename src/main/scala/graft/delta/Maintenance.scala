@@ -263,6 +263,30 @@ object Maintenance {
   def append(log: DeltaLog, df: org.apache.spark.sql.DataFrame): Long =
     TransactionWriter.append(log, df)
 
+  /** Log retention: delete commit JSONs and checkpoints that are no
+    * longer needed to reconstruct any version newer than the latest
+    * checkpoint minus `retainVersions` (delta's logRetention idea, by
+    * version count). Never deletes past the newest checkpoint — every
+    * remaining version stays reconstructible. Returns deleted names. */
+  def cleanupLog(log: DeltaLog, retainVersions: Long = 0L): Seq[String] = {
+    val (commits, cps) = log.listLog()
+    if (cps.isEmpty) return Nil // nothing to anchor reconstruction
+    val anchor = cps.max - retainVersions
+    val fs = log.fs
+    val deleted = ArrayBuffer.empty[String]
+    commits.filter(_ < anchor).foreach { v =>
+      val p = new Path(log.logPath, f"$v%020d.json")
+      if (fs.delete(p, false)) deleted += p.getName
+    }
+    cps.filter(_ < anchor).foreach { v =>
+      log.checkpointFiles(v).foreach { f =>
+        val p = new Path(f)
+        if (fs.delete(p, false)) deleted += p.getName
+      }
+    }
+    deleted.toSeq
+  }
+
   /** DESCRIBE HISTORY (delta-rs `history()`): one row per commit with
     * version, timestamp, operation, and operation parameters — parsed
     * from the commitInfo actions of the JSON commits (checkpointed-away

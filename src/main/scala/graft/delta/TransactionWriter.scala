@@ -56,6 +56,29 @@ object TransactionWriter {
       operation = operation, mode = "Append")
   }
 
+  /** Append with optimistic-concurrency retry: a blind append conflicts
+    * with NOTHING (it removes no files and reads no prior state), so on
+    * a lost commit race the only correction needed is re-resolving the
+    * next version — the Delta conflict matrix's always-safe cell.
+    * Overwrites/rewrites are NOT auto-retried: they must re-validate
+    * that their removed files are still active. */
+  def appendWithRetry(
+      log: DeltaLog,
+      df: DataFrame,
+      partitionBy: Option[Seq[String]] = None,
+      maxRetries: Int = 3): Long = {
+    var attempt = 0
+    while (true) {
+      try return append(log, df, partitionBy)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Idempotent append: rides a `txn` action (appId, version) in the
     * same commit. If the snapshot already records `version` (or later)
     * for `appId`, the batch was committed before — skip. This is the

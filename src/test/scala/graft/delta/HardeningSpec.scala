@@ -215,6 +215,46 @@ class HardeningSpec extends SparkTestBase {
     }
   }
 
+  test("log cleanup keeps everything reconstructible from the checkpoint") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("n", "s"))
+    Maintenance.append(log, Seq((2L, "b")).toDF("n", "s"))
+    Maintenance.append(log, Seq((3L, "c")).toDF("n", "s"))
+    Maintenance.checkpoint(log) // at v2
+    Maintenance.append(log, Seq((4L, "d")).toDF("n", "s")) // v3 tail
+    val deleted = Maintenance.cleanupLog(log)
+    assert(deleted.toSet == Set(f"${0L}%020d.json", f"${1L}%020d.json"), deleted)
+    val snap = DeltaLog.forPath(spark, log.tablePath).snapshot
+    assert(snap.version == 3L)
+    assert(snap.read().count() == 4L)
+    // v2 (the checkpoint) and v3 still time-travelable; v0 is gone
+    assert(log.snapshotAt(2L).read().count() == 3L)
+    intercept[IllegalArgumentException](log.snapshotAt(0L))
+  }
+
+  test("append retries through a lost commit race") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("n", "s"))
+    // first commit attempt loses the race (injected); the retry
+    // re-resolves the snapshot and succeeds
+    var injected = 1
+    val flaky = new DeltaLog(spark, log.tablePath) {
+      override def commit(version: Long, actions: Seq[Action]): Unit = {
+        if (injected > 0) {
+          injected -= 1
+          // the racing writer takes this version for real...
+          super.commit(version, Seq(CommitInfoAction(CommitInfo(0L, "RACER"))))
+          // ...so our attempt hits the conflict
+          throw new java.util.ConcurrentModificationException("lost race (injected)")
+        }
+        super.commit(version, actions)
+      }
+    }
+    val v = TransactionWriter.appendWithRetry(flaky, Seq((2L, "b")).toDF("n", "s"))
+    assert(injected == 0 && v == 2L)
+    assertSameRows(log.snapshot.read(), Seq((1L, "a"), (2L, "b")).toDF("n", "s"))
+  }
+
   test("racing commits to the same version: exactly one wins") {
     val log = freshLog()
     TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("n", "s"))
