@@ -56,6 +56,38 @@ object TransactionWriter {
       operation = operation, mode = "Append")
   }
 
+  /** Schema-evolution append (delta mergeSchema): new columns in `df`
+    * are added to the table schema (nullable); existing files read them
+    * as null through the schema-driven scan. Overlapping columns must
+    * keep their types — widening/retyping still requires an overwrite.
+    * The commit carries the merged metaData alongside the adds. */
+  def appendMergeSchema(
+      log: DeltaLog,
+      df: DataFrame,
+      partitionBy: Option[Seq[String]] = None): Long = {
+    val prev = log.snapshot
+    val existing = prev.metadata.schema
+    val incoming = df.schema
+    val incompatible = incoming.fields.flatMap { f =>
+      existing.fields.find(_.name == f.name)
+        .filter(e => forceNullable(e.dataType) != forceNullable(f.dataType))
+        .map(e => s"${f.name}: table ${e.dataType.simpleString} vs incoming ${f.dataType.simpleString}")
+    }
+    require(incompatible.isEmpty,
+      s"mergeSchema cannot change column types (${incompatible.mkString("; ")}); " +
+        "use overwrite to retype")
+    val newFields = incoming.fields.filterNot(f => existing.fieldNames.contains(f.name))
+      .map(_.copy(nullable = true))
+    val merged = StructType(existing.fields ++ newFields)
+    val shaped = df.select(merged.fields.map { f =>
+      if (incoming.fieldNames.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+    writeAndCommit(log, shaped, Some(prev), removes = Nil,
+      partitionBy = partitionBy, configuration = Map.empty,
+      operation = "WRITE", mode = "AppendEvolve")
+  }
+
   /** Append with optimistic-concurrency retry: a blind append conflicts
     * with NOTHING (it removes no files and reads no prior state), so on
     * a lost commit race the only correction needed is re-resolving the
@@ -172,8 +204,11 @@ object TransactionWriter {
       require(normalizedFields(schema) == normalizedFields(s.metadata.schema),
         s"schema mismatch: cannot $mode ${schema.simpleString} into table " +
           s"with schema ${s.metadata.schema.simpleString}; use overwrite to " +
-          "change the schema")
+          "change the schema, or appendMergeSchema to add columns")
     }
+    // AppendEvolve: df is pre-shaped to the merged schema by
+    // appendMergeSchema (existing-compatible, new columns nullable);
+    // metaChanged below emits the merged metaData.
 
     // 1. Materialize data into a staging dir under the table root.
     val staging = new Path(log.rootPath, s".graft-staging-${java.util.UUID.randomUUID}")

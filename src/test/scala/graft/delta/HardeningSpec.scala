@@ -232,6 +232,22 @@ class HardeningSpec extends SparkTestBase {
     intercept[IllegalArgumentException](log.snapshotAt(0L))
   }
 
+  test("appendMergeSchema adds columns; old files read them as null") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("n", "s"))
+    TransactionWriter.appendMergeSchema(log,
+      Seq((2L, "b", 3.5)).toDF("n", "s", "score"))
+    val snap = log.snapshot
+    assert(snap.schema.fieldNames.toSeq == Seq("n", "s", "score"))
+    assertSameRows(snap.read(),
+      Seq((1L, "a", null.asInstanceOf[java.lang.Double]),
+        (2L, "b", java.lang.Double.valueOf(3.5))).toDF("n", "s", "score"))
+    // retyping an existing column is still refused
+    val e = intercept[IllegalArgumentException](
+      TransactionWriter.appendMergeSchema(log, Seq(("x", "y")).toDF("n", "s")))
+    assert(e.getMessage.contains("cannot change column types"))
+  }
+
   test("append retries through a lost commit race") {
     val log = freshLog()
     TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("n", "s"))
