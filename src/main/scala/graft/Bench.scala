@@ -14,10 +14,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "WARN"))
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val rowCounts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val results = SparkEntry.queries.map { case (name, fn) =>
       System.err.println(s"[bench] start $name @ ${java.time.Instant.now()}")
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      try { rowCounts(name) = fn(spark, sfDir).count() } catch {
         case e: Throwable =>
           // A failed query must be VISIBLE, not a quietly-fast timing.
           errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
@@ -34,9 +35,11 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
+    val rows = rowCounts.map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"errors":$errs,"n_errors":${errors.size},"sf":"$sfDir"}"""
     println(line)
     // Belt-and-braces for driver parsing: also drop the line in a file.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), line + "\n")
