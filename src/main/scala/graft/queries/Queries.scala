@@ -696,6 +696,82 @@ object Queries {
       |  CAST((h * 34) % 1000 AS BIGINT) AS f3
       |FROM h""".stripMargin
 
+  // ---- capstone: end-to-end corpus-curation pipeline -----------------------
+  //
+  // The full training-data flow COMPOSED: exact dedup (md5 survivor) ∩
+  // fuzzy dedup (MinHash-LSH survivor) → quality gate → deterministic
+  // split assignment → per-split doc/token counts. Every stage reuses
+  // the verified building blocks; the oracle composes the same stages in
+  // DuckDB. Quality is computed via nested subqueries (not CTEs) to stay
+  // clear of the Catalyst nested-WITH CTE-pruning bug.
+
+  private def pipelineQualityCte(dialect: String): String = {
+    val size_ = if (dialect == "spark") "size" else "len"
+    val dedup = if (dialect == "spark") "array_distinct" else "list_distinct"
+    s"""pq AS (SELECT doc_id,
+       |  CAST(FLOOR((0.4e0 * LEAST(nt / 100.0e0, 1.0e0)
+       |      + 0.3e0 * (nd / nt)
+       |      + 0.3e0 * LEAST(((nc - nt + 1.0e0) / nt) / 8.0e0, 1.0e0)) * 1000000.0e0) AS BIGINT) AS quality_e6
+       |  FROM (SELECT doc_id,
+       |      CAST($size_(${toks(dialect)}) AS DOUBLE) AS nt,
+       |      CAST($size_($dedup(${toks(dialect)})) AS DOUBLE) AS nd,
+       |      CAST(length(text) AS DOUBLE) AS nc
+       |    FROM documents) qt)""".stripMargin
+  }
+
+  private def pipelineTailCtes(dialect: String): String = {
+    val h = if (dialect == "spark") h28("spark", "CAST(doc_id AS STRING)")
+      else h28("duck", "doc_id::VARCHAR")
+    val size_ = if (dialect == "spark") "size" else "len"
+    s"""exact_keep AS (SELECT doc_id FROM (
+       |    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |    FROM documents) ek WHERE rn = 1),
+       |${pipelineQualityCte(dialect)},
+       |ps AS (SELECT doc_id,
+       |    CASE WHEN $h % 100 < 80 THEN 'train'
+       |         WHEN $h % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split FROM documents),
+       |ptok AS (SELECT doc_id, CAST($size_(${toks(dialect)}) AS BIGINT) AS n_tokens FROM documents)""".stripMargin
+  }
+
+  private val pipelineFinalSelect: String =
+    """SELECT ps.split, COUNT(*) AS n_docs,
+      |  CAST(SUM(ptok.n_tokens) AS BIGINT) AS n_tokens
+      |FROM mh_keep
+      |JOIN exact_keep ON mh_keep.doc_id = exact_keep.doc_id
+      |JOIN pq ON pq.doc_id = mh_keep.doc_id AND pq.quality_e6 >= 500000
+      |JOIN ps ON ps.doc_id = mh_keep.doc_id
+      |JOIN ptok ON ptok.doc_id = mh_keep.doc_id
+      |GROUP BY ps.split""".stripMargin
+
+  /** Spark side rides the cached minhash stages (g_buckets). */
+  private val sparkPipelineFinal: String =
+    s"""WITH mins AS (SELECT band, k, MIN(doc_id) AS m FROM g_buckets GROUP BY band, k),
+       |keep AS (SELECT b.doc_id, MIN(m.m) AS mm FROM g_buckets b
+       |  JOIN mins m ON b.band = m.band AND b.k = m.k GROUP BY b.doc_id),
+       |mh_keep AS (SELECT doc_id FROM keep WHERE doc_id = mm),
+       |${pipelineTailCtes("spark")}
+       |$pipelineFinalSelect""".stripMargin
+
+  private val qPipelineDuck: String = {
+    val mhs = (0 until 16).map(j => s"  ${minhashExpr("duck", j)} AS mh$j").mkString(",\n")
+    def bandKey(b: Int): String =
+      s"concat_ws(',', mh${4 * b}::VARCHAR, mh${4 * b + 1}::VARCHAR, mh${4 * b + 2}::VARCHAR, mh${4 * b + 3}::VARCHAR)"
+    val buckets = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, ${bandKey(b)} AS k FROM sig").mkString("\n  UNION ALL ")
+    s"""WITH ${hashedShinglesCte("duck")},
+       |sig AS (SELECT doc_id,
+       |$mhs
+       |FROM hsh),
+       |buckets AS ($buckets),
+       |mins AS (SELECT band, k, MIN(doc_id) AS m FROM buckets GROUP BY band, k),
+       |keep AS (SELECT b.doc_id, MIN(m.m) AS mm FROM buckets b
+       |  JOIN mins m ON b.band = m.band AND b.k = m.k GROUP BY b.doc_id),
+       |mh_keep AS (SELECT doc_id FROM keep WHERE doc_id = mm),
+       |${pipelineTailCtes("duck")}
+       |$pipelineFinalSelect""".stripMargin
+  }
+
   // ---- cached-stage Spark variants of the minhash pipeline -----------------
 
   // REPARTITION spreads the (single-file) documents scan across cores —
@@ -788,6 +864,7 @@ object Queries {
     "q_minhash_signature" -> cachedStagesQuery(minhashStages.take(2),
       "SELECT doc_id, mh0, mh1, mh2, mh3 FROM g_sig"),
     "q_minhash_dedup" -> cachedStagesQuery(minhashStages, sparkMinhashDedupFinal),
+    "q_corpus_pipeline" -> cachedStagesQuery(minhashStages, sparkPipelineFinal),
     "q_simhash" -> sqlQuery(qSimhash("spark")),
     "q_embedding_knn" -> sqlQuery(qKnn("spark")),
     "q_embedding_neardup" -> sqlQuery(qEmbeddingNeardup("spark")),
@@ -848,6 +925,7 @@ object Queries {
     "q_ngram_jaccard" -> qNgramJaccard("duck"),
     "q_minhash_signature" -> qMinhashSignature("duck"),
     "q_minhash_dedup" -> qMinhashDedup("duck"),
+    "q_corpus_pipeline" -> qPipelineDuck,
     "q_simhash" -> qSimhash("duck"),
     "q_embedding_knn" -> qKnn("duck"),
     "q_embedding_neardup" -> qEmbeddingNeardup("duck"),
