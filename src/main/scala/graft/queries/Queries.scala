@@ -696,6 +696,41 @@ object Queries {
       |  CAST((h * 34) % 1000 AS BIGINT) AS f3
       |FROM h""".stripMargin
 
+  // ---- streaming query with a batch oracle ---------------------------------
+  //
+  // A REAL Structured Streaming job, driver-verified: the events table
+  // is consumed through the file stream source with Trigger.AvailableNow
+  // into a windowed aggregation; once the bounded stream drains, the
+  // final state must equal the batch (DuckDB) group-by — the
+  // batch/streaming unification contract.
+
+  private def qStreamCountsSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir) // sets nanosAsLong before any schema read
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // glob form: the file source derives basePath from the non-glob
+      // prefix, which must be a directory (the table is a single file)
+      val agg = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
+        .selectExpr("timestamp_micros(ts DIV 1000) AS ets", "event_type")
+        .withWatermark("ets", "1 hour")
+        .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_micros(col("window.start")).as("window_us"),
+          col("event_type"), col("n_events"))
+      val name = "stream_counts_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    }
+
+  private val qStreamCountsDuck: String =
+    """SELECT epoch_us(date_trunc('hour', ts)) AS window_us, event_type,
+      |  COUNT(*) AS n_events
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   // ---- capstone: end-to-end corpus-curation pipeline -----------------------
   //
   // The full training-data flow COMPOSED: exact dedup (md5 survivor) ∩
@@ -865,6 +900,7 @@ object Queries {
       "SELECT doc_id, mh0, mh1, mh2, mh3 FROM g_sig"),
     "q_minhash_dedup" -> cachedStagesQuery(minhashStages, sparkMinhashDedupFinal),
     "q_corpus_pipeline" -> cachedStagesQuery(minhashStages, sparkPipelineFinal),
+    "q_stream_counts" -> qStreamCountsSpark,
     "q_simhash" -> sqlQuery(qSimhash("spark")),
     "q_embedding_knn" -> sqlQuery(qKnn("spark")),
     "q_embedding_neardup" -> sqlQuery(qEmbeddingNeardup("spark")),
@@ -926,6 +962,7 @@ object Queries {
     "q_minhash_signature" -> qMinhashSignature("duck"),
     "q_minhash_dedup" -> qMinhashDedup("duck"),
     "q_corpus_pipeline" -> qPipelineDuck,
+    "q_stream_counts" -> qStreamCountsDuck,
     "q_simhash" -> qSimhash("duck"),
     "q_embedding_knn" -> qKnn("duck"),
     "q_embedding_neardup" -> qEmbeddingNeardup("duck"),
