@@ -160,8 +160,11 @@ object Maintenance {
       if (partCols.isEmpty) snap.read().repartition(targetFiles)
       else snap.read().repartition(targetFiles,
         partCols.map(org.apache.spark.sql.functions.col): _*)
+    // dataChange = false: pure layout rewrite — streaming consumers
+    // must not re-emit or fail on an OPTIMIZE (Delta spec)
     TransactionWriter.overwrite(log, df,
-      partitionBy = Some(partCols), operation = "OPTIMIZE")
+      partitionBy = Some(partCols), operation = "OPTIMIZE",
+      dataChange = false)
   }
 
   /** Production-default retention: 7 days, as in delta-spark. */
@@ -229,12 +232,21 @@ object Maintenance {
         }
         val sc = log.spark.sparkContext
         val depth = rootDepth
+        // ship the session's Hadoop conf (credentials, endpoints, fs
+        // impls) — a blank Configuration would break on object stores
+        val confEntries: Array[(String, String)] = {
+          import scala.jdk.CollectionConverters._
+          log.spark.sessionState.newHadoopConf().asScala
+            .map(e => e.getKey -> e.getValue).toArray
+        }
         val fromDirs =
           if (topDirs.isEmpty) Nil
           else sc.parallelize(topDirs, math.min(topDirs.size, sc.defaultParallelism))
             .flatMap { d =>
+              val conf = new org.apache.hadoop.conf.Configuration(false)
+              confEntries.foreach { case (k, v) => conf.set(k, v) }
               val p = new Path(new java.net.URI(d))
-              val fsx = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+              val fsx = p.getFileSystem(conf)
               val out = ArrayBuffer.empty[(String, Long)]
               val it = fsx.listFiles(p, true)
               while (it.hasNext) {
@@ -271,7 +283,14 @@ object Maintenance {
   def cleanupLog(log: DeltaLog, retainVersions: Long = 0L): Seq[String] = {
     val (commits, cps) = log.listLog()
     if (cps.isEmpty) return Nil // nothing to anchor reconstruction
-    val anchor = cps.max - retainVersions
+    // The anchor must itself be a CHECKPOINT at or below the retain
+    // horizon: every retained version v >= anchor replays from that
+    // checkpoint + commits (anchor, v]. Using the horizon directly would
+    // delete the checkpoint the retained window depends on.
+    val horizon = cps.max - retainVersions
+    val anchorOpt = cps.filter(_ <= horizon).maxOption
+    if (anchorOpt.isEmpty) return Nil
+    val anchor = anchorOpt.get
     val fs = log.fs
     val deleted = ArrayBuffer.empty[String]
     commits.filter(_ < anchor).foreach { v =>
@@ -335,8 +354,11 @@ object Maintenance {
       zCols.flatMap(c => Seq(
         min(col(c).cast("double")).as(s"__mn_$c"),
         max(col(c).cast("double")).as(s"__mx_$c"))).tail: _*).collect()(0)
-    val bits = 16
     val nc = zCols.size
+    // total interleaved bits must stay < 63 (Long, positive): 16 bits
+    // per column up to 3 columns, 15 for 4 — math.pow at bit 63 would
+    // saturate and wrap the z-value negative
+    val bits = math.min(16, 62 / nc)
     val zParts = zCols.zipWithIndex.map { case (c, ci) =>
       val mn = Option(bounds.getAs[java.lang.Double](s"__mn_$c")).map(_.toDouble).getOrElse(0.0)
       val mx = Option(bounds.getAs[java.lang.Double](s"__mx_$c")).map(_.toDouble).getOrElse(0.0)
@@ -347,8 +369,7 @@ object Maintenance {
         lit(0.0)), lit(((1 << bits) - 1).toDouble))
       val v = coalesce(floor(scaled).cast("long"), lit(0L))
       (0 until bits).map { i =>
-        (floor(v / math.pow(2, i).toLong) % 2).cast("long") *
-          lit(math.pow(2, i * nc + ci).toLong)
+        (floor(v / lit(1L << i)) % 2).cast("long") * lit(1L << (i * nc + ci))
       }.reduce(_ + _)
     }
     val zval = zParts.reduce(_ + _)
@@ -360,7 +381,8 @@ object Maintenance {
       .drop("__z")
     TransactionWriter.overwrite(log, ordered,
       partitionBy = Some(snap.metadata.partitionColumns),
-      operation = "OPTIMIZE ZORDER BY")
+      operation = "OPTIMIZE ZORDER BY",
+      dataChange = false)
   }
 
   /** RESTORE to a previous version (delta-rs `restore`): a metadata-only

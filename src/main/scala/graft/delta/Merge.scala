@@ -70,21 +70,27 @@ final case class Merge(
     val tagged = snap.read().withColumn("__file", input_file_name())
       .withColumn("__rid", monotonically_increasing_id())
       .alias("t")
+    // one cached pass feeds both the guard and the touched-file set —
+    // without it the full target-source join runs twice
     val matches = tagged.join(src, condition)
-    val multi = matches.groupBy(col("t.__rid")).agg(count(lit(1)).as("__c"))
-      .where(col("__c") > 1).limit(1).count()
-    require(multi == 0L,
-      "merge aborted: at least one target row matches multiple source rows " +
-        "— the result would be nondeterministic (same error as delta-rs)")
+      .select(col("t.__rid"), col("t.__file")).persist()
+    try {
+      val multi = matches.groupBy(col("__rid")).agg(count(lit(1)).as("__c"))
+        .where(col("__c") > 1).limit(1).count()
+      require(multi == 0L,
+        "merge aborted: at least one target row matches multiple source rows " +
+          "— the result would be nondeterministic (same error as delta-rs)")
+    } catch { case e: Throwable => matches.unpersist(); throw e }
 
     // -- touched files -------------------------------------------------------
     val idx: Map[String, AddFile] =
       snap.activeFiles.map(f => Merge.qualify(log, snap, f) -> f).toMap
     val touched: Seq[AddFile] =
       if (matchedDelete.isEmpty && matchedUpdate.isEmpty) Nil // insert-only merge
-      else matches.select(col("t.__file")).distinct().collect()
+      else matches.select(col("__file")).distinct().collect()
         .map(r => Merge.normalize(r.getString(0)))
         .flatMap(idx.get).toSeq
+    matches.unpersist()
 
     // -- rewrite touched files ----------------------------------------------
     val survivorsOpt: Option[DataFrame] =
@@ -93,11 +99,14 @@ final case class Merge(
         val scan = snap.readFiles(touched).alias("t")
         val joined = scan.join(src.withColumn("__smatch", lit(true)), condition, "left")
         val isMatched = col("__smatch").isNotNull
+        // Delta MERGE clause conditions apply only when TRUE — a NULL
+        // condition must behave as false, so coalesce before negating
+        // (NOT(NULL) is NULL and WHERE would silently drop the row).
         val delCond = matchedDelete.map { c =>
-          isMatched && c.getOrElse(lit(true))
+          isMatched && coalesce(c.getOrElse(lit(true)), lit(false))
         }.getOrElse(lit(false))
         val updCond = matchedUpdate.map { case (c, _) =>
-          isMatched && !delCond && c.getOrElse(lit(true))
+          isMatched && !delCond && coalesce(c.getOrElse(lit(true)), lit(false))
         }.getOrElse(lit(false))
         val sets: Map[String, Column] = matchedUpdate.map(_._2).getOrElse(Map.empty)
         val projected = joined.where(!delCond).select(targetCols.map { c =>

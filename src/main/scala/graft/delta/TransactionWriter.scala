@@ -30,7 +30,8 @@ object TransactionWriter {
       df: DataFrame,
       partitionBy: Option[Seq[String]] = None,
       configuration: Map[String, String] = Map.empty,
-      operation: String = "WRITE"): Long = {
+      operation: String = "WRITE",
+      dataChange: Boolean = true): Long = {
     val prev: Option[Snapshot] =
       if (log.fs.exists(log.logPath) &&
           { val (c, p) = log.listLog(); c.nonEmpty || p.nonEmpty })
@@ -40,7 +41,8 @@ object TransactionWriter {
       removes = prev.toSeq.flatMap(_.activeFiles),
       partitionBy = partitionBy, configuration = configuration,
       operation = operation,
-      mode = if (prev.isEmpty) "ErrorIfExists" else "Overwrite")
+      mode = if (prev.isEmpty) "ErrorIfExists" else "Overwrite",
+      dataChange = dataChange)
   }
 
   /** Append commit: add new files (with full per-file stats) without
@@ -85,7 +87,11 @@ object TransactionWriter {
     }.toSeq: _*)
     writeAndCommit(log, shaped, Some(prev), removes = Nil,
       partitionBy = partitionBy, configuration = Map.empty,
-      operation = "WRITE", mode = "AppendEvolve")
+      operation = "WRITE", mode = "AppendEvolve",
+      // the committed metaData must carry the MERGED schema (existing
+      // fields keep their declared nullability) — the runtime schema of
+      // `shaped` could silently flip a nullable column to non-nullable
+      declaredSchema = Some(merged))
   }
 
   /** Append with optimistic-concurrency retry: a blind append conflicts
@@ -173,7 +179,9 @@ object TransactionWriter {
       configuration: Map[String, String],
       operation: String,
       mode: String,
-      txn: Option[SetTransaction] = None): Long = {
+      txn: Option[SetTransaction] = None,
+      declaredSchema: Option[StructType] = None,
+      dataChange: Boolean = true): Long = {
     val spark = log.spark
     val fs = log.fs
     val partCols: Seq[String] =
@@ -254,7 +262,7 @@ object TransactionWriter {
       if (metaChanged) actions += MetadataAction(Metadata(
         id = prev.map(_.metadata.id)
           .getOrElse(java.util.UUID.randomUUID.toString),
-        schemaString = schema.json,
+        schemaString = declaredSchema.getOrElse(schema).json,
         partitionColumns = partCols,
         configuration =
           if (configuration.nonEmpty) configuration
@@ -262,11 +270,11 @@ object TransactionWriter {
         createdTime = Some(prev.flatMap(_.metadata.createdTime).getOrElse(now))))
       actions ++= moved.map { m =>
         AddAction(AddFile(DeltaLog.encodePath(m.rel), m.partitionValues,
-          m.size, m.modificationTime, dataChange = true,
+          m.size, m.modificationTime, dataChange = dataChange,
           stats = stats.get(m.rel)))
       }
       actions ++= removes.map { f =>
-        RemoveAction(RemoveFile(f.path, now, dataChange = true,
+        RemoveAction(RemoveFile(f.path, now, dataChange = dataChange,
           partitionValues = f.partitionValues, size = Some(f.size)))
       }
       log.commit(version, actions.toSeq)

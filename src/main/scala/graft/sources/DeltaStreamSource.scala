@@ -80,7 +80,11 @@ class DeltaStreamSource(
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = versionOf(end)
-    lastOffered = Some(math.max(lastOffered.getOrElse(-1L), endV))
+    // raise past BOTH bounds: after a restart the checkpoint-recovered
+    // start may exceed a stale first offer; regressing below it would
+    // re-emit already-processed commits
+    lastOffered = Some((Seq(lastOffered.getOrElse(-1L), endV) ++
+      start.map(versionOf)).max)
     val snap = log.snapshotAt(endV)
     val batch = start match {
       case None =>
@@ -98,7 +102,9 @@ class DeltaStreamSource(
                 "the stream is append-only; restart from a fresh checkpoint " +
                 "for a full refresh")
         }
-        val adds = actions.collect { case AddAction(a) => a }
+        // dataChange=false adds are pure layout rewrites (OPTIMIZE):
+        // their rows were already emitted from the original files
+        val adds = actions.collect { case AddAction(a) if a.dataChange => a }
         snap.readFiles(adds)
     }
     SqlShims.asStreamingDataFrame(batch)

@@ -62,7 +62,12 @@ object StreamingOps {
             sorted.foreach { us =>
               cur match {
                 case Some(s) if us - s.lastUs <= gapUs =>
-                  cur = Some(s.copy(lastUs = us, nEvents = s.nEvents + 1))
+                  // allowed-late events (earlier micro-batch boundary) must
+                  // widen, never regress, the session bounds
+                  cur = Some(s.copy(
+                    startUs = math.min(s.startUs, us),
+                    lastUs = math.max(s.lastUs, us),
+                    nEvents = s.nEvents + 1))
                 case Some(s) =>
                   closed ::= ClosedSession(userId, s.startUs, s.lastUs, s.nEvents)
                   cur = Some(SessionState(us, us, 1L))

@@ -113,6 +113,30 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("delta source survives OPTIMIZE (dataChange=false rewrite)") {
+    import graft.delta.{DeltaLog, TransactionWriter, Maintenance}
+    val dir = java.nio.file.Files.createTempDirectory("graft-opt")
+    val log = DeltaLog.forPath(spark, dir.resolve("t").toString)
+    TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("n", "s"))
+    Maintenance.append(log, Seq((2L, "b")).toDF("n", "s"))
+    val q = spark.readStream
+      .format(classOf[graft.sources.DeltaSourceProvider].getName)
+      .option("path", log.tablePath).load()
+      .writeStream.format("memory").queryName("opt_out")
+      .outputMode("append")
+      .option("checkpointLocation", dir.resolve("cp").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("opt_out").count() == 2L)
+      Maintenance.compact(log) // layout-only rewrite mid-stream
+      Maintenance.append(log, Seq((3L, "c")).toDF("n", "s"))
+      q.processAllAvailable() // must neither fail nor re-emit rows 1-2
+      assertSameRows(spark.table("opt_out"),
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("n", "s"))
+    } finally q.stop()
+  }
+
   test("delta source rate limit advances one commit per trigger") {
     import graft.delta.{DeltaLog, TransactionWriter, Maintenance}
     val dir = java.nio.file.Files.createTempDirectory("graft-rate")

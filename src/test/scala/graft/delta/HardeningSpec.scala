@@ -248,6 +248,35 @@ class HardeningSpec extends SparkTestBase {
     assert(e.getMessage.contains("cannot change column types"))
   }
 
+  test("cleanupLog with retainVersions anchors at a real checkpoint") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("n", "s")) // v0
+    Maintenance.append(log, Seq((2L, "b")).toDF("n", "s")) // v1
+    Maintenance.checkpoint(log) // cp at v1
+    Maintenance.append(log, Seq((3L, "c")).toDF("n", "s")) // v2
+    Maintenance.append(log, Seq((4L, "d")).toDF("n", "s")) // v3
+    Maintenance.checkpoint(log) // cp at v3
+    // retain 2 versions back from cp v3 → horizon v1; anchor = cp v1;
+    // only commits < v1 may go, and v1..v3 must stay reconstructible
+    val deleted = Maintenance.cleanupLog(log, retainVersions = 2L)
+    assert(deleted == Seq(f"${0L}%020d.json"), deleted)
+    assert(log.snapshotAt(1L).read().count() == 2L)
+    assert(log.snapshotAt(2L).read().count() == 3L)
+    assert(log.snapshotAt(3L).read().count() == 4L)
+  }
+
+  test("appendMergeSchema keeps existing columns' declared nullability") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("n", "s"))
+    assert(log.snapshot.schema("s").nullable)
+    // incoming df's columns are non-nullable (primitive Seq) — the
+    // committed schema must NOT flip existing columns to non-nullable
+    TransactionWriter.appendMergeSchema(log, Seq((2L, "b", 5L)).toDF("n", "s", "x"))
+    val schema = log.snapshot.schema
+    assert(schema("s").nullable, "existing nullability must be preserved")
+    assert(schema("x").nullable, "new columns must be nullable")
+  }
+
   test("append retries through a lost commit race") {
     val log = freshLog()
     TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("n", "s"))

@@ -75,6 +75,19 @@ class MergeSpec extends SparkTestBase {
       .select("attr").collect()(0).getString(0) == "X")
   }
 
+  test("NULL clause conditions behave as false, never as delete/update") {
+    val log = freshLog(Seq((1L, "a", 10L), (2L, "b", 20L)))
+    // source row for id=1 carries a NULL flag → delete condition is NULL
+    val source = Seq((1L, null.asInstanceOf[java.lang.Long]),
+      (2L, java.lang.Long.valueOf(1L))).toDF("id", "flag")
+    Merge.into(log, source, col("t.id") === col("s.id"))
+      .whenMatchedDelete(condition = Some(col("s.flag") > 0L))
+      .execute()
+    // id=2 (flag=1) deleted; id=1 (flag=NULL) must SURVIVE
+    assertSameRows(log.snapshot.read(),
+      Seq((1L, "a", 10L)).toDF("id", "attr", "v"))
+  }
+
   test("multiple source rows matching one target row is an error") {
     val log = freshLog(Seq((1L, "a", 10L)))
     val source = Seq((1L, "x"), (1L, "y")).toDF("id", "attr")
