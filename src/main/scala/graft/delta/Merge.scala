@@ -36,7 +36,9 @@ final case class Merge(
     condition: Column,
     matchedDelete: Option[Option[Column]] = None,
     matchedUpdate: Option[(Option[Column], Map[String, Column])] = None,
-    notMatchedInsert: Option[(Option[Column], Map[String, Column])] = None) {
+    notMatchedInsert: Option[(Option[Column], Map[String, Column])] = None,
+    notMatchedBySourceDelete: Option[Option[Column]] = None,
+    notMatchedBySourceUpdate: Option[(Option[Column], Map[String, Column])] = None) {
 
   def whenMatchedDelete(condition: Option[Column] = None): Merge =
     copy(matchedDelete = Some(condition))
@@ -47,14 +49,32 @@ final case class Merge(
   def whenNotMatchedInsert(values: Map[String, Column], condition: Option[Column] = None): Merge =
     copy(notMatchedInsert = Some((condition, values)))
 
+  /** Sync-style clause: delete target rows with NO matching source row.
+    * Forces a full-table rewrite (every file may hold unmatched rows). */
+  def whenNotMatchedBySourceDelete(condition: Option[Column] = None): Merge =
+    copy(notMatchedBySourceDelete = Some(condition))
+
+  /** Sync-style clause: update target rows with NO matching source row
+    * (set expressions may reference `t` only). Full-table rewrite. */
+  def whenNotMatchedBySourceUpdate(
+      set: Map[String, Column], condition: Option[Column] = None): Merge =
+    copy(notMatchedBySourceUpdate = Some((condition, set)))
+
   /** Run the merge; returns the committed version (the current version
     * when the merge is a no-op). */
   def execute(): Long = {
-    require(matchedDelete.nonEmpty || matchedUpdate.nonEmpty || notMatchedInsert.nonEmpty,
+    require(matchedDelete.nonEmpty || matchedUpdate.nonEmpty ||
+        notMatchedInsert.nonEmpty || notMatchedBySourceDelete.nonEmpty ||
+        notMatchedBySourceUpdate.nonEmpty,
       "merge needs at least one WHEN clause")
+    val hasBySource = notMatchedBySourceDelete.nonEmpty || notMatchedBySourceUpdate.nonEmpty
     val snap = log.snapshot
     val targetSchema = snap.schema
     val targetCols = targetSchema.fieldNames.toSeq
+    notMatchedBySourceUpdate.foreach { case (_, set) =>
+      val unknown = set.keySet -- targetCols
+      require(unknown.isEmpty, s"by-source update sets unknown columns: $unknown")
+    }
     matchedUpdate.foreach { case (_, set) =>
       val unknown = set.keySet -- targetCols
       require(unknown.isEmpty, s"update sets unknown columns: $unknown")
@@ -86,7 +106,8 @@ final case class Merge(
     val idx: Map[String, AddFile] =
       snap.activeFiles.map(f => Merge.qualify(log, snap, f) -> f).toMap
     val touched: Seq[AddFile] =
-      if (matchedDelete.isEmpty && matchedUpdate.isEmpty) Nil // insert-only merge
+      if (hasBySource) snap.activeFiles // every file may hold unmatched rows
+      else if (matchedDelete.isEmpty && matchedUpdate.isEmpty) Nil // insert-only
       else matches.select(col("__file")).distinct().collect()
         .map(r => Merge.normalize(r.getString(0)))
         .flatMap(idx.get).toSeq
@@ -108,13 +129,26 @@ final case class Merge(
         val updCond = matchedUpdate.map { case (c, _) =>
           isMatched && !delCond && coalesce(c.getOrElse(lit(true)), lit(false))
         }.getOrElse(lit(false))
+        val bsDelCond = notMatchedBySourceDelete.map { c =>
+          !isMatched && coalesce(c.getOrElse(lit(true)), lit(false))
+        }.getOrElse(lit(false))
+        val bsUpdCond = notMatchedBySourceUpdate.map { case (c, _) =>
+          !isMatched && !bsDelCond && coalesce(c.getOrElse(lit(true)), lit(false))
+        }.getOrElse(lit(false))
         val sets: Map[String, Column] = matchedUpdate.map(_._2).getOrElse(Map.empty)
-        val projected = joined.where(!delCond).select(targetCols.map { c =>
+        val bsSets: Map[String, Column] =
+          notMatchedBySourceUpdate.map(_._2).getOrElse(Map.empty)
+        val projected = joined.where(!delCond && !bsDelCond).select(targetCols.map { c =>
           val dt = targetSchema(c).dataType
-          sets.get(c) match {
-            case Some(e) => when(updCond, e.cast(dt)).otherwise(col(s"t.$c")).as(c)
-            case None => col(s"t.$c").as(c)
+          val base = col(s"t.$c")
+          val afterMatched = sets.get(c) match {
+            case Some(e) => when(updCond, e.cast(dt)).otherwise(base)
+            case None => base
           }
+          (bsSets.get(c) match {
+            case Some(e) => when(bsUpdCond, e.cast(dt)).otherwise(afterMatched)
+            case None => afterMatched
+          }).as(c)
         }: _*)
         Some(projected)
       }

@@ -99,6 +99,20 @@ class MergeSpec extends SparkTestBase {
     assert(e.getMessage.contains("multiple source rows"))
   }
 
+  test("not-matched-by-source clauses sync the target to the source") {
+    val log = freshLog(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+    val source = Seq((1L, "A")).toDF("id", "nattr")
+    // full sync: matched rows update, unmatched-by-source rows with
+    // v < 25 are deleted, the rest are flagged stale
+    Merge.into(log, source, col("t.id") === col("s.id"))
+      .whenMatchedUpdate(Map("attr" -> col("s.nattr")))
+      .whenNotMatchedBySourceDelete(condition = Some(col("t.v") < 25L))
+      .whenNotMatchedBySourceUpdate(Map("attr" -> lit("stale")))
+      .execute()
+    assertSameRows(log.snapshot.read(),
+      Seq((1L, "A", 10L), (3L, "stale", 30L)).toDF("id", "attr", "v"))
+  }
+
   test("no-op merge commits nothing") {
     val log = freshLog(Seq((1L, "a", 10L)))
     val v0 = log.latestVersion()
