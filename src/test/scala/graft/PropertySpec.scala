@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import graft.delta.{DeltaLog, Skipping, TransactionWriter}
+
+/** Property-style randomized tests (seeded — deterministic across runs).
+  * Spark jobs are expensive, so each property runs a small fixed number
+  * of generated cases rather than scalacheck's default 100. */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(seed)).get
+
+  test("str_to_bytes / boundary_parser round-trip on generated specs") {
+    val unitGen = Gen.oneOf("b", "kb", "mb", "gb", "tb")
+    val mult = Map("b" -> 1L, "kb" -> 1000L, "mb" -> 1000000L,
+      "gb" -> 1000000000L, "tb" -> 1000000000000L)
+    (1 to 100).foreach { i =>
+      val n = sample(Gen.choose(0L, 9999L), i * 7L)
+      val u = sample(unitGen, i * 13L)
+      assert(Levi.strToBytes(s"$n$u") == n * mult(u))
+      val (lo, hi) = Levi.boundaryParser(s"${n}$u-${n * 2}$u")
+      assert(lo == n * mult(u) && hi == 2 * n * mult(u))
+      assert(Levi.boundaryParser(s"<=$n$u") == ((0L, n * mult(u))))
+      assert(Levi.boundaryParser(s">$n$u") == ((n * mult(u) + 1, Levi.MaxFileSize)))
+    }
+  }
+
+  test("stats skipping is SOUND: pruned files never contain matches") {
+    (1 to 6).foreach { caseId =>
+      val path = Files.createTempDirectory("graft-prop").resolve("t").toString
+      val log = DeltaLog.forPath(spark, path)
+      val rows = (1 to 200).map { i =>
+        val v = sample(Gen.choose(-1000L, 1000L), caseId * 1000L + i)
+        (i.toLong, v)
+      }
+      TransactionWriter.overwrite(log, rows.toDF("id", "v").repartition(5))
+      val snap = log.snapshot
+      Seq("=", "<", "<=", ">", ">=").foreach { op =>
+        val pivot = sample(Gen.choose(-1200L, 1200L), caseId * 31L + op.hashCode)
+        val filters = Seq(("v", op, pivot))
+        // rows from the FULL scan that satisfy the predicate...
+        val expected = Skipping.readWhere(snap, Nil).where(op match {
+          case "=" => col("v") === pivot
+          case "<" => col("v") < pivot
+          case "<=" => col("v") <= pivot
+          case ">" => col("v") > pivot
+          case ">=" => col("v") >= pivot
+        }).collect().map(_.getLong(0)).toSet
+        // ...must ALL survive the pruned scan (soundness; completeness
+        // of pruning is best-effort, correctness is not)
+        val got = Skipping.readWhere(snap, filters).collect().map(_.getLong(0)).toSet
+        assert(got == expected,
+          s"case $caseId op $op pivot $pivot: pruned scan lost/added rows " +
+            s"(missing=${expected -- got}, extra=${got -- expected})")
+      }
+    }
+  }
+
+  test("writer round-trip preserves random data incl. nulls and partitions") {
+    (1 to 5).foreach { caseId =>
+      val path = Files.createTempDirectory("graft-prop").resolve("t").toString
+      val log = DeltaLog.forPath(spark, path)
+      val rows = (1 to 80).map { i =>
+        val s = if (sample(Gen.choose(0, 5), caseId * 97L + i) == 0) null
+          else sample(Gen.alphaNumStr.map(_.take(8)), caseId * 101L + i)
+        val p = sample(Gen.oneOf("x", "y", null.asInstanceOf[String]), caseId * 103L + i)
+        val d = sample(Gen.choose(-1e6, 1e6), caseId * 107L + i)
+        (i.toLong, s, p, d)
+      }
+      val df = rows.toDF("id", "s", "p", "d")
+      TransactionWriter.overwrite(log, df, partitionBy = Some(Seq("p")))
+      // null partition values → __HIVE_DEFAULT_PARTITION__ round-trip
+      assertSameRows(log.snapshot.read(), df, s"case $caseId")
+    }
+  }
+
+  test("salted dedup equals unsalted for random data under a total order") {
+    import graft.operators.Dedup
+    (1 to 4).foreach { caseId =>
+      val rows = (1 to 500).map { i =>
+        val k = sample(Gen.choose(0, 20), caseId * 11L + i)
+        (s"k$k", i.toLong)
+      }
+      val df = rows.toDF("k", "id").repartition(7)
+      val plain = Dedup.dropDuplicatesOrdered(df, Seq("k"), Seq(col("id").asc))
+      val salted = Dedup.dropDuplicatesOrderedSalted(df, Seq("k"), Seq(col("id").asc),
+        salts = 2 + caseId)
+      assertSameRows(salted, plain, s"case $caseId")
+    }
+  }
+}
