@@ -113,6 +113,38 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("delta source resumes from the checkpoint after a restart") {
+    import graft.delta.{DeltaLog, TransactionWriter, Maintenance}
+    val dir = java.nio.file.Files.createTempDirectory("graft-restart")
+    val log = DeltaLog.forPath(spark, dir.resolve("t").toString)
+    TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("n", "s"))
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    def startQuery() = spark.readStream
+      .format(classOf[graft.sources.DeltaSourceProvider].getName)
+      .option("path", log.tablePath).load()
+      .writeStream
+      // memory sink cannot recover from a checkpoint; foreachBatch can
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r => received.add((r.getLong(0), r.getString(1))))
+        ()
+      }
+      .option("checkpointLocation", dir.resolve("cp").toString)
+      .start()
+    val q1 = startQuery()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(received.size == 1)
+    Maintenance.append(log, Seq((2L, "b")).toDF("n", "s"))
+    // a NEW source instance recovers the serialized offset from the
+    // checkpoint (exercises versionOf on SerializedOffset) and must emit
+    // ONLY the new commit — no snapshot re-read, no duplicates
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      assert(received.toArray.toSet ==
+        Set((1L, "a"), (2L, "b")), received.toArray.mkString(","))
+    } finally q2.stop()
+  }
+
   test("delta source survives OPTIMIZE (dataChange=false rewrite)") {
     import graft.delta.{DeltaLog, TransactionWriter, Maintenance}
     val dir = java.nio.file.Files.createTempDirectory("graft-opt")
