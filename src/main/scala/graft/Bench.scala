@@ -25,7 +25,13 @@ object Bench {
     } catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val rowCounts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional subset filter for local iteration (comma-separated name
+    // prefixes); the driver never sets it, so official runs time everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.exists(n.startsWith))
+    }
+    val results = selected.map { case (name, fn) =>
       System.err.println(s"[bench] start $name @ ${java.time.Instant.now()}")
       val t0 = System.nanoTime()
       try { rowCounts(name) = fn(spark, sfDir).count() } catch {

@@ -24,6 +24,12 @@ object Queries {
   val tables = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // (sessionUUID, dir) of the last registration — registering the same
+  // tables again costs ~1 s/query (10 parquet footer reads + 10 view
+  // replacements) across a 33-query bench run for no behavior change.
+  private val lastRegistered =
+    new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
+
   def registerViews(spark: SparkSession, dir: String): Unit = {
     // events.parquet carries TIMESTAMP(NANOS); ensure the session reads
     // it as raw longs even when the caller (e.g. the driver's smoke
@@ -33,8 +39,13 @@ object Queries {
     // make every later createOrReplaceTempView pay a cascade-invalidation
     // walk over their (huge) canonicalized minhash expression trees.
     spark.catalog.clearCache()
-    tables.foreach { t =>
-      spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+    org.apache.spark.sql.graftshims.SqlShims.registerVectorFunctions(spark)
+    val key = (System.identityHashCode(spark).toString, dir)
+    if (lastRegistered.get != key) {
+      tables.foreach { t =>
+        spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+      }
+      lastRegistered.set(key)
     }
   }
 
@@ -465,13 +476,10 @@ object Queries {
   private def qKnn(dialect: String): String =
     if (dialect == "spark")
       """WITH e AS (SELECT /*+ REPARTITION(32) */ vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
-        |n AS (SELECT vec_id, v,
-        |    SQRT(aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)) AS nrm
-        |  FROM e),
+        |n AS (SELECT vec_id, v, vec_l2norm(v) AS nrm FROM e),
         |q AS (SELECT * FROM n WHERE vec_id % 25 = 0),
         |p AS (SELECT /*+ BROADCAST(q) */ q.vec_id AS query_id, x.vec_id AS neighbor_id,
-        |    ROUND(aggregate(zip_with(q.v, x.v, (a, b) -> a * b),
-        |        CAST(0 AS DOUBLE), (acc, y) -> acc + y) / (q.nrm * x.nrm), 4) AS sim
+        |    ROUND(vec_dot(q.v, x.v) / (q.nrm * x.nrm), 4) AS sim
         |  FROM n x JOIN q ON q.vec_id <> x.vec_id),
         |r AS (SELECT query_id, neighbor_id, sim,
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
@@ -494,12 +502,9 @@ object Queries {
   private def qEmbeddingNeardup(dialect: String): String =
     if (dialect == "spark")
       """WITH e AS (SELECT /*+ REPARTITION(32) */ vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
-        |n AS (SELECT vec_id, label, v,
-        |    SQRT(aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)) AS nrm
-        |  FROM e),
+        |n AS (SELECT vec_id, label, v, vec_l2norm(v) AS nrm FROM e),
         |p AS (SELECT /*+ BROADCAST(b) */ a.vec_id AS id_a, b.vec_id AS id_b,
-        |    ROUND(aggregate(zip_with(a.v, b.v, (x, y) -> x * y),
-        |        CAST(0 AS DOUBLE), (acc, y) -> acc + y) / (a.nrm * b.nrm), 4) AS sim
+        |    ROUND(vec_dot(a.v, b.v) / (a.nrm * b.nrm), 4) AS sim
         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.4e0""".stripMargin
     else
@@ -581,26 +586,21 @@ object Queries {
   // n×C expansion collapses map-side, no shuffle of the expansion);
   // candidates shuffle only on the cell id.
 
-  /** Unrolled 64-term dot product: higher-order functions are
-    * CodegenFallback (interpreted per element); a flat element_at sum
-    * stays inside whole-stage codegen with the SAME left-associated
-    * double arithmetic (oracle list_sum order). One ~130-node expression
-    * — far below the plane-matrix unroll that was measured and rejected
-    * for codegen blowup (docs/SCALE.md). */
-  private def dot64(a: String, b: String): String =
-    (1 to 64).map(i => s"element_at($a, $i) * element_at($b, $i)").mkString(" + ")
-
   /** Cached stages (Spark inlines CTEs — g_ivf_sims is read by both the
-    * assignment and the probe, g_ivf_n three more times by the rerank). */
+    * assignment and the probe, g_ivf_n three more times by the rerank).
+    * Dot products / norms run on the registered native `vec_dot` /
+    * `vec_l2norm` kernels (same index-ordered left-fold arithmetic as
+    * the oracle's list_sum; see SqlShims.registerVectorFunctions) — the
+    * earlier 130-node element_at unroll cost more in analysis + janino
+    * than in execution. */
   private val ivfStages: Seq[(String, String)] = Seq(
     "g_ivf_n" ->
       """WITH e AS (SELECT /*+ REPARTITION(32) */ vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings)
-        |SELECT vec_id, v,
-        |  SQRT(aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)) AS nrm
+        |SELECT vec_id, v, vec_l2norm(v) AS nrm
         |FROM e""".stripMargin,
     "g_ivf_sims" ->
       s"""SELECT /*+ BROADCAST(cent) */ n.vec_id, cent.cid,
-         |  ROUND((${dot64("n.v", "cent.cv")}) / (n.nrm * cent.cnrm), 4) AS sim
+         |  ROUND(vec_dot(n.v, cent.cv) / (n.nrm * cent.cnrm), 4) AS sim
          |FROM g_ivf_n n CROSS JOIN (
          |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM g_ivf_n
          |  WHERE vec_id % 25 = 13) cent""".stripMargin)
@@ -616,7 +616,7 @@ object Queries {
       |  FROM probe p JOIN assign a ON p.cid = a.cid
       |  WHERE p.query_id <> a.vec_id),
       |px AS (SELECT c.query_id, c.neighbor_id,
-      |    ROUND((""".stripMargin + dot64("a.v", "b.v") + """) / (a.nrm * b.nrm), 4) AS sim
+      |    ROUND(vec_dot(a.v, b.v) / (a.nrm * b.nrm), 4) AS sim
       |  FROM cand c
       |  JOIN g_ivf_n a ON a.vec_id = c.query_id
       |  JOIN g_ivf_n b ON b.vec_id = c.neighbor_id),

@@ -18,6 +18,19 @@ object SqlShims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Register the native vector kernels as session SQL functions so the
+    * SQL-text queries get the same codegen'd tight loops as the Column
+    * API (`aggregate(zip_with(...))` HOFs are CodegenFallback, and a
+    * fully unrolled element_at sum costs ~130 expression nodes per use
+    * in analysis + janino time). Idempotent per session. */
+  def registerVectorFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "vec_l2norm", exprs => L2Norm(exprs(0)), "built-in")
+  }
+
   /** Build the streaming-tagged DataFrame a DSv1 `Source.getBatch` must
     * return (MicroBatchExecution asserts `isStreaming`); same move as
     * delta-spark's DeltaSource. */
