@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between ingestion and tokenization: benchmark decontamination,
+  * Gopher/C4-style repetition and quality filters, exact-quota
+  * stratified sampling, and PII redaction. All pure `Column` algebra
+  * (no UDFs) — pushdown, pruning, and whole-stage codegen survive, and
+  * every derived value is md5-anchored so the DuckDB oracle reproduces
+  * it bit-for-bit.
+  */
+object Curation {
+
+  /** Distinct 28-bit hashes of the word `n`-grams of `text` — one
+    * truncated gram when the document is shorter than `n` tokens
+    * (mirrors `GREATEST(len-n+1, 1)` on the oracle side). */
+  def gramHashes(text: Column, n: Int): Column = {
+    val t = TextFunctions.tokens(text)
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(t) - (n - 1), lit(1))),
+      i => TextFunctions.hash28(array_join(slice(t, i, lit(n)), " "))))
+  }
+
+  /** Benchmark decontamination: flag every training document sharing at
+    * least one word `gramSize`-gram with the benchmark set.
+    *
+    * Scale shape: the benchmark side is tiny relative to the corpus
+    * (eval suites are thousands of documents), so its distinct-gram set
+    * is broadcast and the corpus side stays map-local — one partial
+    * aggregate per doc, no corpus shuffle beyond the per-doc count.
+    * Contamination counts track shared grams, never corpus size.
+    */
+  def decontaminate(
+      train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+      gramSize: Int = 8): DataFrame = {
+    val dg = train.select(col(idCol),
+      explode(gramHashes(col(textCol), gramSize)).as("gr"))
+    val bg = bench.select(explode(gramHashes(col(textCol), gramSize)).as("gr"))
+      .distinct()
+    val hits = dg.join(broadcast(bg), Seq("gr"))
+      .groupBy(idCol).agg(count(lit(1)).as("hits"))
+    train.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("hits"), lit(0L)).as("n_hit_grams"))
+      .withColumn("contaminated", col("n_hit_grams") > 0)
+  }
+
+  /** Gopher-style repetition/quality metrics per document, as scaled
+    * integers (floor ×1e6 — engines with different round-half rules
+    * agree): mean word length, most-frequent-token ratio, duplicate
+    * word-3-gram fraction.
+    *
+    * Scale shape: the token histogram is explode → two-level aggregate —
+    * partial (map-side) combine collapses the explosion before the
+    * exchange, so the shuffle carries one row per (doc, distinct token),
+    * bounded by vocabulary, not document length.
+    */
+  def gopherQuality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("tk"))
+    val topc = t.select(col(idCol), explode(col("tk")).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(max("c").as("topc"))
+    val g3 = transform(
+      sequence(lit(1), greatest(size(col("tk")) - 2, lit(1))),
+      i => array_join(slice(col("tk"), i, lit(3)), " "))
+    val m = t.select(col(idCol),
+      size(col("tk")).cast("double").as("nt"),
+      aggregate(transform(col("tk"), x => length(x).cast("long")),
+        lit(0L), (a, x) => a + x).cast("double").as("sumlen"),
+      g3.as("g3"))
+    m.join(topc, Seq(idCol))
+      .select(col(idCol),
+        floor(col("sumlen") / col("nt") * 1000000.0).cast("long").as("mean_word_len_e6"),
+        floor(col("topc").cast("double") / col("nt") * 1000000.0).cast("long").as("top_tok_e6"),
+        floor((lit(1.0) - size(array_distinct(col("g3"))).cast("double")
+          / size(col("g3")).cast("double")) * 1000000.0).cast("long").as("dup_3gram_e6"))
+  }
+
+  /** Exact-quota stratified sample: the first `perStratum` rows of each
+    * stratum in deterministic md5 order (stable under reshuffles and
+    * engine changes — the standard reproducible-sampling move).
+    *
+    * Scale shape: one shuffle on the strata columns + a rank that
+    * `WindowGroupLimit` evaluates partially on the map side (only
+    * `perStratum` rows per stratum survive each partial), so a huge
+    * stratum never materializes its full sorted run. For strata too
+    * large even for that, pre-filter with `hash28(id) % k < p` first —
+    * approximate quota, no window at all. */
+  def stratifiedSample(
+      df: DataFrame, strataCols: Seq[String], idCol: String,
+      perStratum: Int): DataFrame = {
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.select((idCol +: strataCols).map(col): _*)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= perStratum)
+  }
+
+  /** Regex PII scrub (email-shaped, then runs of digits), returning the
+    * redacted text plus per-pattern match counts. Patterns use only
+    * character classes — Java regex and RE2 agree byte-for-byte.
+    * Map-only: codegen'd `RegExpReplace`/`RegExpExtractAll`, no shuffle. */
+  val EmailPattern = "[a-z0-9]+@[a-z]+[.][a-z]+"
+  val DigitRunPattern = "[0-9][0-9]+"
+
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      expr(s"CAST(size(regexp_extract_all($textCol, '$EmailPattern', 0)) AS BIGINT)")
+        .as("n_emails"),
+      expr(s"CAST(size(regexp_extract_all($textCol, '$DigitRunPattern', 0)) AS BIGINT)")
+        .as("n_ids"),
+      regexp_replace(
+        regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+        DigitRunPattern, "<ID>").as("redacted"))
+}

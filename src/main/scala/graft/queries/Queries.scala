@@ -846,6 +846,76 @@ object Queries {
       |  JOIN g_hsh hb ON hb.doc_id = c.doc_b)
       |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.5e0""".stripMargin
 
+  // ---- corpus-curation queries (graft.operators.Curation) ------------------
+  //
+  // Spark side runs the Curation operator API; oracles re-derive the
+  // same md5-anchored values in DuckDB.
+
+  private val qDecontaminateDuck: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |g AS (SELECT doc_id, list_distinct(list_transform(range(1, GREATEST(len(tk)-7, 1)+1),
+      |      i -> ('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 7))::BIGINT)) AS gs FROM t),
+      |dg AS (SELECT doc_id, unnest(gs) AS gr FROM g WHERE doc_id % 10 <> 3),
+      |bg AS (SELECT DISTINCT unnest(gs) AS gr FROM g WHERE doc_id % 10 = 3),
+      |hits AS (SELECT doc_id, COUNT(*) AS n FROM dg JOIN bg USING (gr) GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_hit_grams,
+      |  COALESCE(hits.n, 0) > 0 AS contaminated
+      |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+      |WHERE d.doc_id % 10 <> 3""".stripMargin
+
+  private val qQualityGopherDuck: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |u AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+      |c AS (SELECT doc_id, tok, COUNT(*) AS c FROM u GROUP BY doc_id, tok),
+      |topc AS (SELECT doc_id, MAX(c) AS topc FROM c GROUP BY doc_id),
+      |m AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS nt,
+      |    CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE) AS sumlen,
+      |    list_transform(range(1, GREATEST(len(tk)-2, 1)+1),
+      |      i -> array_to_string(tk[i:i+2], ' ')) AS g3
+      |  FROM t)
+      |SELECT m.doc_id,
+      |  CAST(FLOOR(sumlen / nt * 1000000.0e0) AS BIGINT) AS mean_word_len_e6,
+      |  CAST(FLOOR(topc / nt * 1000000.0e0) AS BIGINT) AS top_tok_e6,
+      |  CAST(FLOOR((1.0e0 - CAST(len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE))
+      |    * 1000000.0e0) AS BIGINT) AS dup_3gram_e6
+      |FROM m JOIN topc ON m.doc_id = topc.doc_id""".stripMargin
+
+  private val qStratifiedSampleDuck: String =
+    """SELECT doc_id, lang, source, rn FROM (
+      |  SELECT doc_id, lang, source,
+      |    ROW_NUMBER() OVER (PARTITION BY lang, source
+      |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+      |  FROM documents) t WHERE rn <= 20""".stripMargin
+
+  /** Deterministic synthetic PII (the corpus text is a clean word soup):
+    * every 7th doc gets an email + numeric id appended, identically in
+    * both engines, so the redaction has something real to find. */
+  private val piiAugSparkSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 7 = 0
+      |    THEN concat(text, ' contact user', CAST(doc_id AS STRING),
+      |      '@example.com id ', CAST(doc_id * 7919 % 100000 AS STRING))
+      |    ELSE text END AS aug
+      |FROM documents""".stripMargin
+
+  private val qPiiRedactDuck: String =
+    """WITH a AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0
+      |      THEN text || ' contact user' || doc_id::VARCHAR
+      |        || '@example.com id ' || (doc_id * 7919 % 100000)::VARCHAR
+      |      ELSE text END AS aug
+      |  FROM documents),
+      |r AS (SELECT doc_id, aug,
+      |    regexp_replace(regexp_replace(aug, '[a-z0-9]+@[a-z]+[.][a-z]+', '<EMAIL>', 'g'),
+      |      '[0-9][0-9]+', '<ID>', 'g') AS red
+      |  FROM a)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(aug, '[a-z0-9]+@[a-z]+[.][a-z]+')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(aug, '[0-9][0-9]+')) AS BIGINT) AS n_ids,
+      |  CAST(length(red) AS BIGINT) AS red_len,
+      |  ('0x' || substr(md5(red), 1, 7))::BIGINT AS red_hash
+      |FROM r""".stripMargin
+
   // ---- assembled maps ------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -918,6 +988,31 @@ object Queries {
         "vec_id", "embedding", 3, LshBands, LshPlanesPerBand, 64)
     }),
     "q_embedding_ivf_knn" -> cachedStagesQuery(ivfStages, qIvfKnnSparkFinal),
+    "q_decontaminate" -> ((s, dir) => {
+      registerViews(s, dir)
+      val docs = s.table("documents").repartition(s.sparkContext.defaultParallelism)
+      graft.operators.Curation.decontaminate(
+        docs.where(col("doc_id") % 10 =!= 3),
+        docs.where(col("doc_id") % 10 === 3), "doc_id", "text", 8)
+    }),
+    "q_quality_gopher" -> ((s, dir) => {
+      registerViews(s, dir)
+      graft.operators.Curation.gopherQuality(
+        s.table("documents").repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text")
+    }),
+    "q_stratified_sample" -> ((s, dir) => {
+      registerViews(s, dir)
+      graft.operators.Curation.stratifiedSample(
+        s.table("documents"), Seq("lang", "source"), "doc_id", 20)
+    }),
+    "q_pii_redact" -> ((s, dir) => {
+      registerViews(s, dir)
+      graft.operators.Curation.redactPii(s.sql(piiAugSparkSql), "doc_id", "aug")
+        .select(col("doc_id"), col("n_emails"), col("n_ids"),
+          length(col("redacted")).cast("long").as("red_len"),
+          graft.functions.TextFunctions.hash28(col("redacted")).as("red_hash"))
+    }),
     "q_media_meta" -> ((s, dir) => {
       registerViews(s, dir)
       import s.implicits._
@@ -970,5 +1065,9 @@ object Queries {
     "q_embedding_knn_lsh" -> qKnnLshDuck,
     "q_embedding_ivf_knn" -> qIvfKnnDuck,
     "q_media_meta" -> qMediaMetaDuck,
-    "q_media_features" -> qMediaFeaturesDuck)
+    "q_media_features" -> qMediaFeaturesDuck,
+    "q_decontaminate" -> qDecontaminateDuck,
+    "q_quality_gopher" -> qQualityGopherDuck,
+    "q_stratified_sample" -> qStratifiedSampleDuck,
+    "q_pii_redact" -> qPiiRedactDuck)
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+
+/** Library-level semantics of the corpus-curation operators (the
+  * driver-facing query counterparts are gated by the DuckDB oracle). */
+class CurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("decontaminate flags docs sharing an 8-gram with the benchmark") {
+    val overlap = "one two three four five six seven eight"
+    val train = Seq(
+      (1L, s"prefix words $overlap suffix words here"),
+      (2L, "totally different content with no shared gram at all xx"),
+      (3L, s"another carrier of $overlap indeed")).toDF("doc_id", "text")
+    val bench = Seq((100L, s"benchmark holds $overlap and more")).toDF("doc_id", "text")
+    val out = Curation.decontaminate(train, bench, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getBoolean(2)).toSeq == Seq(true, false, true))
+    assert(out(0).getLong(1) >= 1 && out(1).getLong(1) == 0)
+  }
+
+  test("decontaminate handles docs shorter than the gram size") {
+    val train = Seq((1L, "tiny doc"), (2L, "tiny doc")).toDF("doc_id", "text")
+    val bench = Seq((9L, "tiny doc")).toDF("doc_id", "text")
+    val out = Curation.decontaminate(train, bench, "doc_id", "text")
+    // whole-doc truncated gram matches the identical benchmark doc
+    assert(out.where(col("contaminated")).count() == 2)
+  }
+
+  test("gopherQuality computes exact metrics on a crafted doc") {
+    // tokens: aa aa aa bb (nt=4, sumlen=8, top=3); 3-grams: "aa aa aa","aa aa bb" (2 distinct of 2)
+    val df = Seq((7L, "aa aa aa bb")).toDF("doc_id", "text")
+    val r = Curation.gopherQuality(df, "doc_id", "text").collect()(0)
+    assert(r.getLong(1) == 2000000L) // mean word len 2.0
+    assert(r.getLong(2) == 750000L)  // 3/4
+    assert(r.getLong(3) == 0L)       // no duplicate 3-grams
+    val rep = Seq((8L, "x x x x x x")).toDF("doc_id", "text")
+    val r2 = Curation.gopherQuality(rep, "doc_id", "text").collect()(0)
+    assert(r2.getLong(3) == 750000L) // 4 grams, 1 distinct -> 0.75
+  }
+
+  test("stratifiedSample takes an exact deterministic quota per stratum") {
+    val df = (0 until 300).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "grp")
+    val a = Curation.stratifiedSample(df, Seq("grp"), "id", 10)
+    assert(a.count() == 30)
+    assert(a.groupBy("grp").count().collect().forall(_.getLong(1) == 10))
+    val b = Curation.stratifiedSample(df.repartition(7), Seq("grp"), "id", 10)
+    assert(a.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      b.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("redactPii counts and replaces emails and digit runs") {
+    val df = Seq((1L, "reach me at bob99@mail.com or 12345 ext 77"),
+                 (2L, "nothing to hide")).toDF("doc_id", "text")
+    val out = Curation.redactPii(df, "doc_id", "text").orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 1 && out(0).getLong(2) == 3)
+    assert(out(0).getString(3) == "reach me at <EMAIL> or <ID> ext <ID>")
+    assert(out(1).getLong(1) == 0 && out(1).getLong(2) == 0)
+    assert(out(1).getString(3) == "nothing to hide")
+  }
+}
