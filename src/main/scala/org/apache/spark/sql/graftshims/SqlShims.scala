@@ -47,8 +47,15 @@ object SqlShims {
   * `aggregate(zip_with(...))` HOF form is CodegenFallback: interpreted
   * lambda dispatch per element plus a materialized zipped array).
   * Accumulation is sequential in index order — bit-identical to the
-  * left-fold HOF form and the oracle's index-ordered list_sum. Length =
-  * min of the two arrays; null array → null. */
+  * left-fold HOF form and the oracle's index-ordered list_sum.
+  *
+  * NULL semantics intentionally match the HOF fold exactly, so
+  * [[graft.plans.VectorKernelRule]]'s rewrite is semantics-preserving:
+  * null array → null; unequal lengths → null (`zip_with` pads the
+  * shorter side with nulls, poisoning the sum); any null element →
+  * null. The element null checks are emitted only when the input types
+  * admit nulls — packed `containsNull=false` arrays keep the branchless
+  * loop. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
@@ -56,14 +63,33 @@ case class DotProduct(left: Expression, right: Expression)
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
+  override def nullable: Boolean = true
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
+  private def leftMayHoldNulls: Boolean = left.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+  private def rightMayHoldNulls: Boolean = right.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -72,13 +98,22 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val elemNullCheck =
+        if (leftMayHoldNulls || rightMayHoldNulls)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $elemNullCheck
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -88,20 +123,33 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 /** L2 norm of an `array<double>` — `sqrt(Σ v[i]²)` fused in one
-  * codegen'd pass. */
+  * codegen'd pass. Null semantics match `sqrt(aggregate(...))`: null
+  * array → null, any null element → null (checked only when the input
+  * type admits element nulls). */
 case class L2Norm(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_l2norm"
+  override def nullable: Boolean = true
+
+  private def mayHoldNulls: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
 
   override protected def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
     val n = x.numElements()
     var s = 0.0
     var i = 0
-    while (i < n) { val e = x.getDouble(i); s += e * e; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val e = x.getDouble(i)
+      s += e * e
+      i += 1
+    }
     math.sqrt(s)
   }
 
@@ -111,14 +159,21 @@ case class L2Norm(child: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       val e = ctx.freshName("e")
+      val elemNullCheck =
+        if (mayHoldNulls)
+          s"if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = $v.numElements();
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $elemNullCheck
          |  double $e = $v.getDouble($i);
          |  $s += $e * $e;
          |}
-         |${ev.value} = java.lang.Math.sqrt($s);
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = java.lang.Math.sqrt($s);
+         |}
        """.stripMargin
     })
 

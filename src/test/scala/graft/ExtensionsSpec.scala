@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions: injected SQL functions + the VectorKernelRule
+  * HOF→native rewrite, on a dedicated session built the way a user
+  * would (`withExtensions`). */
+class ExtensionsSpec extends AnyFunSuite {
+
+  // `getOrCreate` returns any pre-existing default session and silently
+  // ignores `withExtensions`, so when the full suite runs we must step
+  // around the shared SparkTestBase session (the SparkContext itself is
+  // reused) and then restore the previous default for later suites.
+  private lazy val spark: SparkSession = {
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-extensions-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    prior.foreach(SparkSession.setDefaultSession)
+    s
+  }
+
+  private def plan(sql: String): String =
+    spark.sql(sql).queryExecution.executedPlan.toString
+
+  test("injected vec_dot / vec_l2norm work in plain SQL") {
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+        "vec_l2norm(array(3.0d, 4.0d)) AS n").collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 5.0)
+  }
+
+  // Non-foldable inputs (VALUES literals would be constant-folded away
+  // before the plan string could show the kernel).
+  private def mkView(): Unit = {
+    spark.range(0, 4)
+      .selectExpr(
+        "id",
+        "array(cast(id as double), cast(id + 1 as double)) AS a",
+        "CASE WHEN id = 1 THEN array(cast(id as double)) " + // unequal length
+          "WHEN id = 2 THEN array(cast(id as double), cast(null as double)) " +
+          "WHEN id = 3 THEN cast(null as array<double>) " +
+          "ELSE array(cast(id as double), cast(id + 2 as double)) END AS b")
+      .createOrReplaceTempView("ext_vec")
+  }
+
+  test("VectorKernelRule rewrites the dot-product HOF to vec_dot") {
+    mkView()
+    val sql =
+      """SELECT aggregate(zip_with(a, b, (x, y) -> x * y),
+        |  cast(0 as double), (acc, v) -> acc + v) AS d
+        |FROM ext_vec WHERE id = 0""".stripMargin
+    assert(plan(sql).contains("vec_dot"))
+    assert(spark.sql(sql).collect()(0).getDouble(0) == 2.0) // 0*0 + 1*2
+  }
+
+  test("VectorKernelRule rewrites the l2-norm HOF to vec_l2norm") {
+    mkView()
+    val sql =
+      """SELECT sqrt(aggregate(a, cast(0 as double), (acc, x) -> acc + x * x)) AS n
+        |FROM ext_vec WHERE id = 3""".stripMargin
+    assert(plan(sql).contains("vec_l2norm"))
+    assert(spark.sql(sql).collect()(0).getDouble(0) == 5.0) // sqrt(9 + 16)
+  }
+
+  test("rewrite preserves HOF null semantics exactly") {
+    mkView()
+    // id=1 unequal lengths (zip_with pads with null), id=2 null element,
+    // id=3 null array — all three must stay null after the rewrite
+    val sql =
+      """SELECT aggregate(zip_with(a, b, (x, y) -> x * y),
+        |  cast(0 as double), (acc, v) -> acc + v) AS d
+        |FROM ext_vec WHERE id >= 1""".stripMargin
+    assert(plan(sql).contains("vec_dot"))
+    val rows = spark.sql(sql).collect()
+    assert(rows.length == 3 && rows.forall(_.isNullAt(0)))
+  }
+
+  test("non-matching folds are left alone") {
+    mkView()
+    val sql =
+      """SELECT aggregate(zip_with(a, b, (x, y) -> x + y),
+        |  cast(0 as double), (acc, v) -> acc + v) AS d
+        |FROM ext_vec WHERE id = 0""".stripMargin
+    assert(!plan(sql).contains("vec_dot"))
+    assert(spark.sql(sql).collect()(0).getDouble(0) == 3.0) // (0+0) + (1+2)
+  }
+
+  test("rewritten kernel matches the interpreted HOF on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) AS v")
+      .limit(50).cache()
+    emb.createOrReplaceTempView("ext_emb")
+    val hof = spark.sql(
+      """SELECT vec_id, sqrt(aggregate(v, cast(0 as double), (acc, x) -> acc + x * x)) AS n
+        |FROM ext_emb""".stripMargin).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val native = spark.sql("SELECT vec_id, vec_l2norm(v) AS n FROM ext_emb")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(hof == native) // bit-exact, not approximate
+  }
+}
