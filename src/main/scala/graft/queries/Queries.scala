@@ -35,9 +35,11 @@ object Queries {
     // it as raw longs even when the caller (e.g. the driver's smoke
     // test) didn't configure it at build time.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // Drop any stage caches left by a previous query: stale cached plans
-    // make every later createOrReplaceTempView pay a cascade-invalidation
-    // walk over their (huge) canonicalized minhash expression trees.
+    // Drop any stage caches left by a previous query. Keeping them was
+    // measured SLOWER suite-wide (41.5s -> 71.5s at sf0.1): CacheManager
+    // compares every new plan against every cached entry, and the huge
+    // canonicalized minhash stage trees make each comparison expensive —
+    // every query pays the walk, not just the minhash family.
     spark.catalog.clearCache()
     org.apache.spark.sql.graftshims.SqlShims.registerVectorFunctions(spark)
     val key = (System.identityHashCode(spark).toString, dir)
