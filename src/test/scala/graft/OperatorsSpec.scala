@@ -76,6 +76,58 @@ class OperatorsSpec extends SparkTestBase {
     assert(bad == 0)
   }
 
+  /** Sign-LSH theory: a pair at cosine sim s agrees on one hyperplane
+    * with prob r = 1 - acos(s)/π, survives a band of P planes with r^P,
+    * and is recalled by B bands with 1-(1-r^P)^B. */
+  private def predictedRecall(sims: Seq[Double], planes: Int, bands: Int): Double =
+    sims.map { s =>
+      val r = 1.0 - math.acos(math.min(s, 1.0)) / math.Pi
+      1.0 - math.pow(1.0 - math.pow(r, planes), bands)
+    }.sum / math.max(sims.size, 1)
+
+  test("banded LSH near-dup recall matches the (1-(1-r^P)^B) prediction") {
+    // The synthetic corpus has NO true near-dups (max pairwise sim
+    // ~0.5); at that sim level selective LSH params cannot recall
+    // everything, so the meaningful check is precision (subset, exact
+    // rerank) + recall agreeing with theory. On a real corpus with
+    // sim>=0.9 dups these params predict recall 0.996.
+    val exactPairs = {
+      val e = emb.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .withColumn("sim", round(Similarity.cosine(col("a.v"), col("b.v")), 4))
+        .where($"sim" >= 0.4)
+        .select(col("a.vec_id"), col("b.vec_id"), col("sim"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    }
+    val banded = Similarity.bandedNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded.subsetOf(exactPairs.keySet)) // precision 1.0 by construction
+    val measured = banded.size.toDouble / math.max(exactPairs.size, 1)
+    val predicted = predictedRecall(exactPairs.values.toSeq, planes = 8, bands = 16)
+    info(f"near-dup recall measured=$measured%.3f predicted=$predicted%.3f (n=${exactPairs.size})")
+    assert(math.abs(measured - predicted) <= 0.15,
+      s"measured recall $measured deviates from theory $predicted")
+    // sanity: the theory DOES promise near-total recall for real dups
+    assert(predictedRecall(Seq(0.9), 8, 16) > 0.99)
+  }
+
+  test("banded LSH top-k candidate recall matches theory") {
+    val queries = emb.where($"vec_id" % 25 === 0)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val banded = Similarity.bandedTopK(emb, queries, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = bf.count(p => banded.contains(p._1)).toDouble / bf.length
+    val predicted = predictedRecall(bf.map(_._2).toSeq, planes = 8, bands = 16)
+    info(f"top-k overlap measured=$overlap%.3f predicted=$predicted%.3f (n=${bf.length})")
+    // overlap can only fall below candidate recall (rank displacement),
+    // and not by much since the rerank is exact
+    assert(overlap <= predicted + 0.1 && overlap >= predicted - 0.25,
+      s"overlap $overlap inconsistent with candidate-recall theory $predicted")
+  }
+
   test("lshNearDupPairs is a subset of brute-force pairs at the same threshold") {
     val lsh = Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 0.4)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
