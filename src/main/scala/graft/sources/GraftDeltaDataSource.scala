@@ -1,0 +1,116 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import graft.delta.{DeltaLog, Skipping, Snapshot, TransactionWriter}
+
+/** `spark.read.format("graftdelta")` / `df.write.format("graftdelta")`
+  * / `spark.readStream.format("graftdelta")` — the standard Spark
+  * data-source surface over the native Delta implementation (the same
+  * DSv1 relation shape delta-spark exposes for batch reads):
+  *
+  * {{{
+  * spark.read.format("graftdelta").load(tablePath)                  // latest
+  * spark.read.format("graftdelta").option("versionAsOf", 2).load(p) // time travel
+  * spark.read.format("graftdelta").option("timestampAsOf", "2024-01-01T00:00:00Z").load(p)
+  * df.write.format("graftdelta").mode("append"|"overwrite").save(p)
+  * df.write.format("graftdelta").partitionBy("dt").mode("overwrite").save(p)
+  * }}}
+  *
+  * Reads go through [[graft.delta.Skipping.readWhere]], so pushed-down
+  * comparison filters drive partition pruning + min/max stats file
+  * skipping BEFORE any parquet IO, then reach the parquet reader as
+  * row-group predicates; column pruning reaches the scan via
+  * `requiredColumns`. Writes are full transactional commits (stats
+  * collection, schema enforcement, atomic no-clobber commit files).
+  */
+class GraftDeltaDataSource extends DeltaSourceProvider
+    with RelationProvider with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graftdelta"
+
+  private def tablePath(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException("graftdelta requires a path (use .load(path)/.save(path))"))
+
+  override def createRelation(
+      sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation = {
+    val log = DeltaLog.forPath(sqlContext.sparkSession, tablePath(parameters))
+    val snap = (parameters.get("versionAsOf"), parameters.get("timestampAsOf")) match {
+      case (Some(v), None) => log.snapshotAt(v.toLong)
+      case (None, Some(ts)) => log.snapshotAsOf(java.time.Instant.parse(ts))
+      case (None, None) => log.snapshot
+      case _ => throw new IllegalArgumentException(
+        "specify at most one of versionAsOf / timestampAsOf")
+    }
+    GraftDeltaRelation(sqlContext, snap)
+  }
+
+  override def createRelation(
+      sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val log = DeltaLog.forPath(sqlContext.sparkSession, tablePath(parameters))
+    val partitionBy = parameters.get("__partition_columns").map(parsePartitionColumns)
+    val exists = log.fs.exists(log.logPath) &&
+      { val (c, p) = log.listLog(); c.nonEmpty || p.nonEmpty }
+    mode match {
+      case SaveMode.Append =>
+        if (exists) TransactionWriter.append(log, data, partitionBy)
+        else TransactionWriter.overwrite(log, data, partitionBy)
+      case SaveMode.Overwrite =>
+        TransactionWriter.overwrite(log, data, partitionBy)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"graftdelta table already exists at ${log.tablePath} (mode ErrorIfExists)")
+        TransactionWriter.overwrite(log, data, partitionBy)
+      case SaveMode.Ignore =>
+        if (!exists) TransactionWriter.overwrite(log, data, partitionBy)
+    }
+    GraftDeltaRelation(sqlContext, log.snapshot)
+  }
+
+  /** DataFrameWriter.partitionBy serializes to a JSON string array under
+    * `__partition_columns` (the DSv1 contract delta-spark also parses). */
+  private def parsePartitionColumns(json: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    graft.delta.JsonUtil.mapper.readTree(json).elements().asScala
+      .map(_.asText()).toSeq
+  }
+}
+
+/** Batch relation: schema from the snapshot, scans through the pruned
+  * stats-skipping read path, rows handed back as InternalRow
+  * (`needConversion = false`) so no external-Row round-trip is paid. */
+case class GraftDeltaRelation(sqlContext: SQLContext, snap: Snapshot)
+    extends BaseRelation with PrunedFilteredScan {
+
+  override val schema: StructType = snap.schema
+  override val needConversion: Boolean = false
+
+  /** Comparison filters become (col, op, value) triples for file
+    * skipping; everything else is left for Spark's post-scan Filter
+    * (`unhandledFilters` default keeps every filter, so correctness
+    * never depends on the translation). */
+  private def toTriple(f: Filter): Option[(String, String, Any)] = f match {
+    case EqualTo(a, v) => Some((a, "=", v))
+    case GreaterThan(a, v) => Some((a, ">", v))
+    case GreaterThanOrEqual(a, v) => Some((a, ">=", v))
+    case LessThan(a, v) => Some((a, "<", v))
+    case LessThanOrEqual(a, v) => Some((a, "<=", v))
+    case _ => None
+  }
+
+  override def buildScan(
+      requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    val triples = filters.flatMap(toTriple).toSeq
+    val pruned = Skipping.readWhere(snap, triples)
+    val projected =
+      if (requiredColumns.isEmpty) pruned.select()
+      else pruned.select(requiredColumns.map(col).toSeq: _*)
+    // needConversion=false contract: the RDD actually carries InternalRow
+    projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
+}
