@@ -19,4 +19,14 @@ object VectorExpressions {
 
   /** L2 norm — `sqrt(Σ v[i]²)` fused in one pass. */
   def l2Norm(v: Column): Column = column(L2Norm(expression(v)))
+
+  /** All banded sign-LSH keys in one pass: element b =
+    * `Σ_p (round(v·plane[b·P+p], 6) >= 0 ? 1<<p : 0)`. The plane matrix
+    * ships once as a codegen reference object instead of B×P literal
+    * arrays. */
+  def lshBandKeys(
+      v: Column, planes: Array[Array[Double]],
+      bands: Int, planesPerBand: Int): Column =
+    column(org.apache.spark.sql.graftshims.BandedLshKeys(
+      expression(v), planes, bands, planesPerBand))
 }

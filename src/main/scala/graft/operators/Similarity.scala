@@ -100,21 +100,18 @@ object Similarity {
 
   /** (id, band, k) bucket rows: one row per input row per band. The
     * projection is rounded to 6 decimals before the sign test so both
-    * engines agree near zero. */
+    * engines agree near zero. One [[VectorExpressions.lshBandKeys]]
+    * evaluation per row (single codegen'd loop over the constant plane
+    * matrix) + posexplode — replaces the earlier B×P-separate-dot
+    * projection that dominated these queries' janino and execution
+    * cost. */
   private def bandedBuckets(
       n: DataFrame, idCol: String, bands: Int, planesPerBand: Int,
       dims: Int): DataFrame = {
     val planes = planeMatrix(bands * planesPerBand, dims)
-    val bandStructs = (0 until bands).map { b =>
-      val bits = (0 until planesPerBand).map { p =>
-        val plane = typedLit(planes(b * planesPerBand + p).toSeq)
-        val proj = round(VectorExpressions.dot(col("v"), plane), 6)
-        when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-      }
-      struct(lit(b).as("band"), bits.reduce(_ + _).as("k"))
-    }
-    n.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
-      .select(col(idCol), col("bk.band").as("band"), col("bk.k").as("k"))
+    n.select(col(idCol),
+      posexplode(VectorExpressions.lshBandKeys(col("v"), planes, bands, planesPerBand)))
+      .toDF(idCol, "band", "k")
   }
 
   /** Near-dup pairs via banded LSH candidates + exact cosine rerank.

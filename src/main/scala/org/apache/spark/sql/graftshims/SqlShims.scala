@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, LongType}
 
 /** Spark 4 moved the Expression↔Column bridge and several expression
   * support types (`AbstractDataType`, ...) behind `private[sql]`.
@@ -120,6 +120,117 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
+}
+
+/** All `bands` sign-LSH band keys of a vector in ONE codegen'd pass:
+  * element b of the result is `Σ_p (round(v·plane[b*P+p], 6) >= 0 ?
+  * 1<<p : 0)` — the same arithmetic as the per-plane
+  * `when(round(DotProduct(v, plane), 6) >= 0, ...)` Column spelling
+  * (`java.math.BigDecimal.valueOf(x).setScale(6, HALF_UP)` is exactly
+  * Spark's `Round` on DoubleType), but with the plane matrix shipped
+  * once as a reference object instead of `bands × P` separate literal
+  * arrays, and one Janino method instead of ~128 inlined loop bodies.
+  * Null array → null; null element → null (the HOF-equivalent
+  * semantics the other kernels follow).
+  *
+  * `planes` is indexed `[band * planesPerBand + p][dim]`; vectors
+  * shorter than a plane use the overlapping prefix (same as
+  * [[DotProduct]]'s equal-length contract — callers validate dims). */
+case class BandedLshKeys(
+    child: Expression, planes: Array[Array[Double]],
+    bands: Int, planesPerBand: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(planes.length == bands * planesPerBand,
+    s"need ${bands * planesPerBand} planes, got ${planes.length}")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "vec_lsh_bands"
+  override def nullable: Boolean = true
+
+  private def mayHoldNulls: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
+  /** round-half-up at 6 decimals, then sign test — bit-identical to
+    * `Round(proj, 6) >= 0`. */
+  private def signBit(proj: Double): Boolean =
+    java.math.BigDecimal.valueOf(proj)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() >= 0
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var k = 0L
+      var p = 0
+      while (p < planesPerBand) {
+        val plane = planes(b * planesPerBand + p)
+        val m = math.min(n, plane.length)
+        var s = 0.0
+        var i = 0
+        while (i < m) {
+          if (x.isNullAt(i)) return null
+          s += x.getDouble(i) * plane(i)
+          i += 1
+        }
+        if (signBit(s)) k |= (1L << p)
+        p += 1
+      }
+      out(b) = k
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
+    val b = ctx.freshName("b")
+    val p = ctx.freshName("p")
+    val i = ctx.freshName("i")
+    val m = ctx.freshName("m")
+    val s = ctx.freshName("s")
+    val k = ctx.freshName("k")
+    val out = ctx.freshName("out")
+    val plane = ctx.freshName("plane")
+    nullSafeCodeGen(ctx, ev, v => {
+      val check =
+        if (mayHoldNulls)
+          s"if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      s"""
+         |long[] $out = new long[$bands];
+         |for (int $b = 0; $b < $bands && !${ev.isNull}; $b++) {
+         |  long $k = 0L;
+         |  for (int $p = 0; $p < $planesPerBand && !${ev.isNull}; $p++) {
+         |    double[] $plane = $planesRef[$b * $planesPerBand + $p];
+         |    int $m = java.lang.Math.min($v.numElements(), $plane.length);
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $m; $i++) {
+         |      $check
+         |      $s += $v.getDouble($i) * $plane[$i];
+         |    }
+         |    if (!${ev.isNull} &&
+         |        java.math.BigDecimal.valueOf($s)
+         |          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() >= 0) {
+         |      $k |= (1L << $p);
+         |    }
+         |  }
+         |  $out[$b] = $k;
+         |}
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BandedLshKeys =
+    copy(child = newChild)
 }
 
 /** L2 norm of an `array<double>` — `sqrt(Σ v[i]²)` fused in one
