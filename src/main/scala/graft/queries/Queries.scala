@@ -733,6 +733,32 @@ object Queries {
       |  COUNT(*) AS n_events
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Streaming exact dedup, driver-verified: watermarked
+    * `dropDuplicates` over the event stream emitting the distinct key
+    * set (keys only — first-arrival payloads would be
+    * partition-order-dependent; the key SET is deterministic). Once the
+    * bounded stream drains, it must equal the batch DISTINCT. */
+  private def qStreamDedupSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val distinctKeys = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
+        .selectExpr("timestamp_micros(ts DIV 1000) AS ets", "user_id", "event_type")
+        .withWatermark("ets", "1 hour")
+        .dropDuplicates("user_id", "event_type")
+        .select("user_id", "event_type")
+      val name = "stream_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = distinctKeys.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    }
+
+  private val qStreamDedupDuck: String =
+    "SELECT DISTINCT user_id, event_type FROM events"
+
   // ---- capstone: end-to-end corpus-curation pipeline -----------------------
   //
   // The full training-data flow COMPOSED: exact dedup (md5 survivor) ∩
@@ -973,6 +999,7 @@ object Queries {
     "q_minhash_dedup" -> cachedStagesQuery(minhashStages, sparkMinhashDedupFinal),
     "q_corpus_pipeline" -> cachedStagesQuery(minhashStages, sparkPipelineFinal),
     "q_stream_counts" -> qStreamCountsSpark,
+    "q_stream_dedup" -> qStreamDedupSpark,
     "q_simhash" -> sqlQuery(qSimhash("spark")),
     "q_embedding_knn" -> sqlQuery(qKnn("spark")),
     "q_embedding_neardup" -> sqlQuery(qEmbeddingNeardup("spark")),
@@ -1060,6 +1087,7 @@ object Queries {
     "q_minhash_dedup" -> qMinhashDedup("duck"),
     "q_corpus_pipeline" -> qPipelineDuck,
     "q_stream_counts" -> qStreamCountsDuck,
+    "q_stream_dedup" -> qStreamDedupDuck,
     "q_simhash" -> qSimhash("duck"),
     "q_embedding_knn" -> qKnn("duck"),
     "q_embedding_neardup" -> qEmbeddingNeardup("duck"),

@@ -92,4 +92,42 @@ class PropertySpec extends SparkTestBase {
       assertSameRows(salted, plain, s"case $caseId")
     }
   }
+
+  test("decontaminate always flags a doc carrying a planted benchmark gram") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    (0 until 3).foreach { caseId =>
+      def words(n: Int, seed: Long): String =
+        (0 until n).map(i => vocab(sample(Gen.choose(0, vocab.size - 1), seed + i))).mkString(" ")
+      val benchText = words(12, caseId * 1000L)
+      val plant = benchText.split(" ").slice(2, 10).mkString(" ") // an 8-gram of the benchmark
+      val carrier = words(5, caseId * 2000L) + " " + plant + " " + words(4, caseId * 3000L)
+      val clean = "one two three four five six seven eight nine ten eleven twelve"
+      val train = Seq((1L, carrier), (2L, clean)).toDF("doc_id", "text")
+      val bench = Seq((9L, benchText)).toDF("doc_id", "text")
+      val out = operators.Curation.decontaminate(train, bench, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(out(1L), s"case $caseId: planted gram not flagged")
+      assert(!out(2L), s"case $caseId: clean doc falsely flagged")
+    }
+  }
+
+  test("redactPii leaves no pattern match behind (idempotent fixpoint)") {
+    (0 until 3).foreach { caseId =>
+      val docs = (0 until 20).map { i =>
+        val base = sample(Gen.alphaLowerStr.map(_.take(12)), caseId * 500L + i)
+        val s = (caseId + i) % 3 match {
+          case 0 => s"$base user${i}@mail$i.com tail"
+          case 1 => s"$base ${1000 + i * 37} and ${i}9 tail"
+          case 2 => base
+        }
+        (i.toLong, s)
+      }.toDF("doc_id", "text")
+      val red = operators.Curation.redactPii(docs, "doc_id", "text")
+      // re-running redaction on already-redacted text changes nothing
+      val twice = operators.Curation.redactPii(
+        red.select(col("doc_id"), col("redacted").as("text")), "doc_id", "text")
+      assert(twice.where(col("n_emails") > 0 || col("n_ids") > 0).count() == 0,
+        s"case $caseId: residual PII patterns after redaction")
+    }
+  }
 }

@@ -76,6 +76,19 @@ class GraftDeltaDataSourceSpec extends SparkTestBase {
     assert(df.collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
   }
 
+  test("SQL DDL surface: CREATE TABLE ... USING graftdelta") {
+    val path = tmpTable()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.format("graftdelta").mode("overwrite").save(path)
+    val tbl = "graftdelta_sql_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING graftdelta OPTIONS (path '$path')")
+    try {
+      assert(spark.sql(s"SELECT count(*) FROM $tbl").collect()(0).getLong(0) == 2)
+      assert(spark.sql(s"SELECT s FROM $tbl WHERE id = 2").collect()(0).getString(0) == "b")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("partitioned write via partitionBy lands in the delta log") {
     val path = tmpTable()
     Seq((1L, "x", "p1"), (2L, "y", "p2"), (3L, "z", "p1")).toDF("id", "s", "part")
