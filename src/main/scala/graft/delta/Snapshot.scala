@@ -79,36 +79,53 @@ class Snapshot(
     * rejected. */
   def requireReadable(): Unit = {
     val v = protocol.minReaderVersion
-    val ok = v <= 1 || (v == 2 && (columnMappingMode == "name" || columnMappingMode == "none"))
+    val ok = v <= 1 ||
+      (v == 2 && Set("name", "id", "none").contains(columnMappingMode))
     require(ok,
       s"unsupported Delta protocol: table ${log.tablePath} requires " +
         s"minReaderVersion=$v with columnMapping.mode=$columnMappingMode " +
-        "(supported: v1, or v2 with columnMapping in name mode); refusing " +
-        "to read rather than silently returning wrong rows")
+        "(supported: v1, or v2 with columnMapping in name or id mode); " +
+        "refusing to read rather than silently returning wrong rows")
   }
 
-  // ---- column mapping (name mode) ------------------------------------------
+  // ---- column mapping (name + id modes) ------------------------------------
 
   private val PhysicalNameKey = "delta.columnMapping.physicalName"
+  private val ColumnIdKey = "delta.columnMapping.id"
+  /** Spark's parquet reader resolves a read-schema field by parquet
+    * field id instead of by name when this metadata key is present and
+    * `spark.sql.parquet.fieldId.read.enabled` is on. */
+  private val ParquetFieldIdKey = "parquet.field.id"
 
   private def physicalName(f: StructField): String =
     if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
     else f.name
 
-  private def toPhysical(dt: DataType): DataType = dt match {
+  private def toPhysical(dt: DataType, withIds: Boolean): DataType = dt match {
     case s: StructType =>
-      StructType(s.fields.map(f =>
-        StructField(physicalName(f), toPhysical(f.dataType), f.nullable)))
-    case a: ArrayType => a.copy(elementType = toPhysical(a.elementType))
+      StructType(s.fields.map { f =>
+        val md =
+          if (withIds && f.metadata.contains(ColumnIdKey))
+            new MetadataBuilder()
+              .putLong(ParquetFieldIdKey, f.metadata.getLong(ColumnIdKey)).build()
+          else org.apache.spark.sql.types.Metadata.empty
+        StructField(physicalName(f), toPhysical(f.dataType, withIds), f.nullable, md)
+      })
+    case a: ArrayType => a.copy(elementType = toPhysical(a.elementType, withIds))
     case m: MapType =>
-      m.copy(keyType = toPhysical(m.keyType), valueType = toPhysical(m.valueType))
+      m.copy(keyType = toPhysical(m.keyType, withIds),
+        valueType = toPhysical(m.valueType, withIds))
     case other => other
   }
 
   /** The schema as stored in data files: logical names replaced by
     * `delta.columnMapping.physicalName` recursively (identity when the
-    * table doesn't use column mapping). */
-  def physicalSchema: StructType = toPhysical(schema).asInstanceOf[StructType]
+    * table doesn't use column mapping). In `id` mode every mapped field
+    * additionally carries `parquet.field.id` so the parquet reader
+    * resolves it by the Delta column id — per the spec, id-mode files
+    * may name their columns anything. */
+  def physicalSchema: StructType =
+    toPhysical(schema, columnMappingMode == "id").asInstanceOf[StructType]
 
   /** Physical name of a top-level (e.g. partition) column. */
   def physicalNameOf(logicalCol: String): String = physicalName(schema(logicalCol))
@@ -286,6 +303,13 @@ class Snapshot(
     val partCols = metadata.partitionColumns
     if (files.isEmpty) {
       return spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    }
+    // id-mode resolution is by parquet field id; the flag is a session
+    // conf (no per-read option exists) and only affects read schemas
+    // that carry parquet.field.id metadata — ours do only for id-mode
+    // tables.
+    if (columnMappingMode == "id") {
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     }
     val dataFieldsLogical = schema.filterNot(f => partCols.contains(f.name))
     val dataSchemaPhysical = StructType(

@@ -100,9 +100,89 @@ class ColumnMappingSpec extends SparkTestBase {
     assert(parts.toSet == Set(Map("p" -> "x"), Map("p" -> "y")))
   }
 
-  test("id-mode column mapping is rejected") {
-    val log = buildTable(mode = "id")
+  // ---- id mode: resolution by parquet field id, not by name ---------------
+
+  /** Data file whose column NAMES deliberately differ from the log's
+    * physicalName — only the parquet field ids line up, so a read that
+    * succeeds proves id-based resolution. */
+  private def writeIdDataFile(
+      root: Path, rel: String, rows: Seq[(Long, String, Int)]): (String, Long, Long) = {
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val staging = new Path(root, s".cm-staging-${java.util.UUID.randomUUID}")
+    def fid(id: Long): Metadata =
+      new MetadataBuilder().putLong("parquet.field.id", id).build()
+    val fileSchema = StructType(Seq(
+      StructField("whatever_1", LongType, nullable = true, fid(1)),
+      StructField("whatever_2", StringType, nullable = true, fid(2)),
+      StructField("whatever_3", StructType(Seq(
+        StructField("inner", IntegerType, nullable = true, fid(4)))),
+        nullable = true, fid(3))))
+    val df = rows.toDF("a", "b", "x")
+      .select(col("a"), col("b"), struct(col("x").as("inner")).as("st"))
+    spark.createDataFrame(df.rdd, fileSchema)
+      .coalesce(1).write.parquet(staging.toString)
+    val part = fs.listStatus(staging).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    val dest = new Path(root, rel)
+    fs.mkdirs(dest.getParent)
+    fs.rename(part, dest)
+    fs.delete(staging, true)
+    val st = fs.getFileStatus(dest)
+    (rel, st.getLen, st.getModificationTime)
+  }
+
+  private def buildIdTable(): DeltaLog = {
+    val path = Files.createTempDirectory("graft-cm-id").resolve("t").toString
+    val log = DeltaLog.forPath(spark, path)
+    val (r1, sz1, mt1) = writeIdDataFile(log.rootPath, "f1.parquet",
+      Seq((1L, "a", 10), (2L, "b", 20)))
+    val (r2, sz2, mt2) = writeIdDataFile(log.rootPath, "f2.parquet",
+      Seq((3L, "c", 30)))
+    val meta = graft.delta.Metadata(
+      id = java.util.UUID.randomUUID.toString,
+      schemaString = logicalSchema.json,
+      partitionColumns = Seq("p"),
+      configuration = Map(
+        "delta.columnMapping.mode" -> "id",
+        "delta.columnMapping.maxColumnId" -> "5"),
+      createdTime = Some(0L))
+    log.commit(0, Seq(
+      ProtocolAction(Protocol(minReaderVersion = 2, minWriterVersion = 5)),
+      MetadataAction(meta),
+      AddAction(AddFile(r1, Map("col-ppp" -> "x"), sz1, mt1, stats = None)),
+      AddAction(AddFile(r2, Map("col-ppp" -> "y"), sz2, mt2, stats = None)),
+      CommitInfoAction(CommitInfo(0L, "WRITE"))))
+    log
+  }
+
+  test("id-mode table resolves columns by parquet field id") {
+    val snap = buildIdTable().snapshot
+    assert(snap.columnMappingMode == "id")
+    // physical read schema carries parquet.field.id for every mapped field
+    val ps = snap.physicalSchema
+    assert(ps("col-aaa").metadata.getLong("parquet.field.id") == 1L)
+    assert(ps("col-sss").dataType.asInstanceOf[StructType]("col-xxx")
+      .metadata.getLong("parquet.field.id") == 4L)
+    val df = snap.read()
+    assert(df.schema.fieldNames.toSeq == Seq("n", "s", "st", "p"))
+    val rows = df.select(col("n"), col("s"), col("st.x"), col("p"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3)))
+      .toSet
+    assert(rows == Set((1L, "a", 10, "x"), (2L, "b", 20, "x"), (3L, "c", 30, "y")))
+  }
+
+  test("reader v3 (e.g. deletion vectors) stays rejected") {
+    val path = Files.createTempDirectory("graft-cm-v3").resolve("t").toString
+    val log = DeltaLog.forPath(spark, path)
+    val meta = graft.delta.Metadata(
+      id = java.util.UUID.randomUUID.toString,
+      schemaString = StructType(Seq(StructField("n", LongType))).json,
+      partitionColumns = Nil, configuration = Map.empty, createdTime = Some(0L))
+    log.commit(0, Seq(
+      ProtocolAction(Protocol(minReaderVersion = 3, minWriterVersion = 7)),
+      MetadataAction(meta),
+      CommitInfoAction(CommitInfo(0L, "WRITE"))))
     val e = intercept[IllegalArgumentException](log.snapshot)
-    assert(e.getMessage.contains("columnMapping.mode=id"))
+    assert(e.getMessage.contains("minReaderVersion=3"))
   }
 }
