@@ -75,4 +75,9 @@ final case class GraftTable(spark: SparkSession, path: String) {
       allowZeroRetention: Boolean = false, distributed: Boolean = false): Seq[String] =
     Maintenance.vacuum(log, retentionMs, allowZeroRetention, distributed)
   def restore(version: Long): Long = Maintenance.restore(log, version)
+
+  /** Rows appended in `(fromVersionExclusive, toInclusive]` (latest when
+    * omitted) — incremental-ETL reads without a full snapshot scan. */
+  def readChanges(fromVersionExclusive: Long, toVersionInclusive: Long = -1L) =
+    log.readChanges(fromVersionExclusive, toVersionInclusive)
 }

@@ -154,6 +154,36 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
   def commitActions(version: Long): Seq[Action] =
     readCommitLines(version).flatMap(JsonUtil.parseAction)
 
+  /** Incremental batch read: the rows APPENDED in the commit range
+    * `(fromVersionExclusive, toVersionInclusive]` — the batch
+    * counterpart of the streaming source, for backfills and
+    * incremental ETL ("give me everything since the version I last
+    * processed"). Cost is O(files added in the range), never a full
+    * snapshot scan.
+    *
+    * Append-only contract (same as the streaming source): a dataChange
+    * remove in the range fails the read — those commits rewrote or
+    * deleted rows, so "what changed" is no longer just additions.
+    * dataChange=false adds/removes (OPTIMIZE/compaction layout
+    * rewrites) pass through without re-emission. */
+  def readChanges(
+      fromVersionExclusive: Long,
+      toVersionInclusive: Long = -1L): org.apache.spark.sql.DataFrame = {
+    val endV = if (toVersionInclusive < 0) latestVersion() else toVersionInclusive
+    require(fromVersionExclusive <= endV,
+      s"empty/invalid change range ($fromVersionExclusive, $endV]")
+    val snap = snapshotAt(endV) // also enforces protocol readability
+    val actions = ((fromVersionExclusive + 1) to endV).flatMap(commitActions)
+    actions.collect {
+      case RemoveAction(r) if r.dataChange =>
+        throw new IllegalStateException(
+          s"readChanges($fromVersionExclusive, $endV] of $tablePath: commit " +
+            s"range contains a dataChange remove (${r.path}) — not an " +
+            "append-only range; read a full snapshot instead")
+    }
+    snap.readFiles(actions.collect { case AddAction(a) if a.dataChange => a })
+  }
+
   private def readCommitLines(version: Long): Seq[String] = {
     val p = new Path(logPath, f"$version%020d.json")
     val in = new BufferedReader(

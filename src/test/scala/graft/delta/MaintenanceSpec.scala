@@ -24,6 +24,25 @@ class MaintenanceSpec extends SparkTestBase {
     assert(log.snapshotAt(0).read().count() == 2L)
   }
 
+  test("readChanges returns exactly the rows appended in the range") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("n", "s"))   // v0
+    Maintenance.append(log, Seq((2L, "b")).toDF("n", "s"))            // v1
+    Maintenance.append(log, Seq((3L, "c"), (4L, "d")).toDF("n", "s")) // v2
+    assertSameRows(log.readChanges(0L, 2L),
+      Seq((2L, "b"), (3L, "c"), (4L, "d")).toDF("n", "s"))
+    assertSameRows(log.readChanges(1L), Seq((3L, "c"), (4L, "d")).toDF("n", "s"))
+    // a compaction in the range (dataChange=false) passes through silently
+    Maintenance.compact(log)                                          // v3
+    assertSameRows(log.readChanges(2L, 3L),
+      spark.emptyDataFrame.selectExpr("CAST(1 AS BIGINT) n", "'x' s").limit(0))
+    // a dataChange rewrite poisons the range
+    Mutations.killDuplicates(log, Seq("n"))                           // v4 (no dups -> still commits? guard)
+    TransactionWriter.overwrite(log, Seq((9L, "z")).toDF("n", "s"))
+    val e = intercept[IllegalStateException](log.readChanges(0L))
+    assert(e.getMessage.contains("dataChange remove"))
+  }
+
   test("checkpoint lets the reader bootstrap without the JSON tail") {
     val log = freshLog()
     TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("n", "s"))
