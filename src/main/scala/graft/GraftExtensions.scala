@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftshims.{DotProduct, L2Norm}
+import org.apache.spark.sql.graftshims.{DotProduct, Hash28Array, L2Norm}
 
 /** Library entry point for Spark's extension mechanism — install with
   * `spark.sql.extensions=graft.GraftExtensions` (or
@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_l2norm"),
       new ExpressionInfo(classOf[L2Norm].getName, "vec_l2norm"),
       (exprs: Seq[Expression]) => L2Norm(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_hash28"),
+      new ExpressionInfo(classOf[Hash28Array].getName, "vec_hash28"),
+      (exprs: Seq[Expression]) => Hash28Array(exprs(0))))
     ext.injectOptimizerRule(_ => graft.plans.VectorKernelRule)
   }
 }

@@ -20,6 +20,18 @@ object VectorExpressions {
   /** L2 norm — `sqrt(Σ v[i]²)` fused in one pass. */
   def l2Norm(v: Column): Column = column(L2Norm(expression(v)))
 
+  /** 28-bit md5-prefix hash of every string element in one codegen'd
+    * pass (replaces the interpreted `transform(arr, s -> hash28(s))`). */
+  def hash28Array(arr: Column): Column =
+    column(org.apache.spark.sql.graftshims.Hash28Array(expression(arr)))
+
+  /** All k MinHash signature entries in one pass over the hashed
+    * shingles: entry j = `min_h ((a(j)*h + b(j)) % p)`. */
+  def minhashSignatures(
+      hashedShingles: Column, a: Array[Long], b: Array[Long], p: Long): Column =
+    column(org.apache.spark.sql.graftshims.MinHashSignatures(
+      expression(hashedShingles), a, b, p))
+
   /** All banded sign-LSH keys in one pass: element b =
     * `Σ_p (round(v·plane[b·P+p], 6) >= 0 ? 1<<p : 0)`. The plane matrix
     * ships once as a codegen reference object instead of B×P literal

@@ -19,18 +19,23 @@ object MinHashLsh {
   val RowsPerBand: Int = NumHashes / Bands
 
   /** doc frame → (id, hs) where hs = 28-bit hashes of the distinct word
-    * 3-gram shingles. */
+    * 3-gram shingles (fused [[graft.functions.VectorExpressions.hash28Array]]
+    * — one codegen'd md5 loop instead of an interpreted transform). */
   def hashedShingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     df.select(col(idCol),
-      transform(array_distinct(TextFunctions.wordNgrams(col(textCol), n)),
-        s => TextFunctions.hash28(s)).as("hs"))
+      graft.functions.VectorExpressions.hash28Array(
+        array_distinct(TextFunctions.wordNgrams(col(textCol), n))).as("hs"))
 
-  /** Append mh0..mh15 signature columns. */
-  def withSignature(hashed: DataFrame): DataFrame =
-    (0 until NumHashes).foldLeft(hashed) { (d, j) =>
-      d.withColumn(s"mh$j",
-        TextFunctions.minhash(col("hs"), MinhashA(j), MinhashB(j), MinhashP))
-    }
+  /** Append mh0..mh15 signature columns (all 16 mins from ONE fused
+    * pass over the shingle array — [[graft.functions.VectorExpressions
+    * .minhashSignatures]] — instead of 16 interpreted array_min walks). */
+  def withSignature(hashed: DataFrame): DataFrame = {
+    val sig = graft.functions.VectorExpressions.minhashSignatures(
+      col("hs"), MinhashA.toArray, MinhashB.toArray, MinhashP)
+    hashed.withColumn("_sig", sig)
+      .select(hashed.columns.map(col) ++
+        (0 until NumHashes).map(j => element_at(col("_sig"), j + 1).as(s"mh$j")): _*)
+  }
 
   /** (id, band, bucketKey) — one row per band per doc. */
   def bandBuckets(sig: DataFrame, idCol: String): DataFrame = {

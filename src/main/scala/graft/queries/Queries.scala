@@ -42,6 +42,8 @@ object Queries {
     // every query pays the walk, not just the minhash family.
     spark.catalog.clearCache()
     org.apache.spark.sql.graftshims.SqlShims.registerVectorFunctions(spark)
+    org.apache.spark.sql.graftshims.SqlShims.registerMinHash(
+      spark, "minhash16", MinhashA.toArray, MinhashB.toArray, MinhashP)
     val key = (System.identityHashCode(spark).toString, dir)
     if (lastRegistered.get != key) {
       tables.foreach { t =>
@@ -272,11 +274,15 @@ object Queries {
   private def hashedShinglesCte(dialect: String): String = {
     val tks = toks(dialect)
     val ng = ngrams3(dialect)
-    val tf = if (dialect == "spark") "transform" else "list_transform"
     val dedup = if (dialect == "spark") "array_distinct" else "list_distinct"
+    // spark: fused codegen'd md5 loop (vec_hash28); duck: the same
+    // arithmetic via list_transform md5-prefix
+    val hashed =
+      if (dialect == "spark") "vec_hash28(ng)"
+      else s"list_transform(ng, s -> ${h28(dialect, "s")})"
     s"""t AS (SELECT /*+ REPARTITION(32) */ doc_id, lang, $tks AS toks FROM documents),
        |n AS (SELECT doc_id, lang, $dedup($ng) AS ng FROM t),
-       |hsh AS (SELECT doc_id, lang, $tf(ng, s -> ${h28(dialect, "s")}) AS hs FROM n)"""
+       |hsh AS (SELECT doc_id, lang, $hashed AS hs FROM n)"""
       .stripMargin
   }
 
@@ -844,8 +850,10 @@ object Queries {
 
   private val sparkSigStage: (String, String) =
     "g_sig" -> {
-      val mhs = (0 until 16).map(j => s"  ${minhashExpr("spark", j)} AS mh$j").mkString(",\n")
-      s"SELECT doc_id,\n$mhs\nFROM g_hsh"
+      // all 16 signature entries from ONE fused pass (minhash16) rather
+      // than 16 interpreted array_min(transform(...)) walks
+      val mhs = (0 until 16).map(j => s"  element_at(_sig, ${j + 1}) AS mh$j").mkString(",\n")
+      s"SELECT doc_id,\n$mhs\nFROM (SELECT doc_id, minhash16(hs) AS _sig FROM g_hsh)"
     }
 
   private val sparkBucketsStage: (String, String) =

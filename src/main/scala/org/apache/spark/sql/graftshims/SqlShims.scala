@@ -29,7 +29,18 @@ object SqlShims {
       "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "vec_l2norm", exprs => L2Norm(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "vec_hash28", exprs => Hash28Array(exprs(0)), "built-in")
   }
+
+  /** Register a fused k-entry MinHash signature function with the given
+    * coefficient vectors bound (SQL can't pass long-array literals
+    * cheaply). */
+  def registerMinHash(
+      spark: org.apache.spark.sql.SparkSession, name: String,
+      a: Array[Long], b: Array[Long], p: Long): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => MinHashSignatures(exprs(0), a, b, p), "built-in")
 
   /** Build the streaming-tagged DataFrame a DSv1 `Source.getBatch` must
     * return (MicroBatchExecution asserts `isStreaming`); same move as
@@ -120,6 +131,156 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
+}
+
+/** 28-bit md5-prefix hash of every string element of an array in one
+  * codegen'd pass — replaces the CodegenFallback
+  * `transform(arr, s -> conv(substring(md5(s), 1, 7), 16, 10))` lambda
+  * walk. The value is the integer of the leading 7 hex digits of the
+  * md5, i.e. the first 28 bits of the digest, computed with bit math
+  * (no hex-string round trip): identical to the HOF form and to the
+  * DuckDB oracle's `('0x' || substr(md5(s), 1, 7))::BIGINT`.
+  * Null array → null; a null ELEMENT maps to a null element (as
+  * `transform` does). */
+case class Hash28Array(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "vec_hash28"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        out(i) = Hash28Array.first28Bits(d)
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val md = ctx.addMutableState("java.security.MessageDigest", "graftMd5",
+      v => s"""try { $v = java.security.MessageDigest.getInstance("MD5"); }
+              |catch (java.security.NoSuchAlgorithmException e) { throw new RuntimeException(e); }
+              |""".stripMargin)
+    val i = ctx.freshName("i")
+    val n = ctx.freshName("n")
+    val out = ctx.freshName("out")
+    val d = ctx.freshName("digest")
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+         |int $n = $v.numElements();
+         |Object[] $out = new Object[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$v.isNullAt($i)) {
+         |    $md.reset();
+         |    byte[] $d = $md.digest($v.getUTF8String($i).getBytes());
+         |    $out[$i] = Long.valueOf(org.apache.spark.sql.graftshims.Hash28Array.first28Bits($d));
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Hash28Array =
+    copy(child = newChild)
+}
+
+object Hash28Array {
+  /** Integer value of the md5's leading 7 hex digits = the digest's
+    * first 28 bits, big-endian. */
+  def first28Bits(d: Array[Byte]): Long =
+    ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+      ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >>> 4)
+}
+
+/** All `k` MinHash signature entries in one codegen'd pass over the
+  * hashed-shingle array: entry j = `min_h ((a(j)*h + b(j)) % p)` —
+  * replaces k separate CodegenFallback `array_min(transform(...))`
+  * walks. Null array → null; null ELEMENTS are skipped (as `array_min`
+  * skips the nulls `transform` produced); an empty/all-null array
+  * yields null entries (array_min of nothing). */
+case class MinHashSignatures(
+    child: Expression, a: Array[Long], b: Array[Long], p: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(a.length == b.length && a.nonEmpty, "coefficient arrays must match")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "vec_minhash"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val k = a.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    var any = false
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        any = true
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < k) { val x = (a(j) * h + b(j)) % p; if (x < mins(j)) mins(j) = x; j += 1 }
+      }
+      i += 1
+    }
+    if (!any) new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](k))
+    else org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhA", a, "long[]")
+    val bRef = ctx.addReferenceObj("mhB", b, "long[]")
+    val k = a.length
+    val i = ctx.freshName("i")
+    val j = ctx.freshName("j")
+    val n = ctx.freshName("n")
+    val h = ctx.freshName("h")
+    val x = ctx.freshName("x")
+    val mins = ctx.freshName("mins")
+    val any = ctx.freshName("any")
+    val out = ctx.freshName("out")
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+         |int $n = $v.numElements();
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |boolean $any = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$v.isNullAt($i)) {
+         |    $any = true;
+         |    long $h = $v.getLong($i);
+         |    for (int $j = 0; $j < $k; $j++) {
+         |      long $x = ($aRef[$j] * $h + $bRef[$j]) % ${p}L;
+         |      if ($x < $mins[$j]) $mins[$j] = $x;
+         |    }
+         |  }
+         |}
+         |if (!$any) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new Object[$k]);
+         |} else {
+         |  ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($mins);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignatures =
+    copy(child = newChild)
 }
 
 /** All `bands` sign-LSH band keys of a vector in ONE codegen'd pass:

@@ -76,6 +76,35 @@ class OperatorsSpec extends SparkTestBase {
     assert(bad == 0)
   }
 
+  test("hash28Array matches the per-element HOF form incl. null elements") {
+    import graft.functions.VectorExpressions
+    val df = Seq(
+      (1L, Seq("abc", "def", null, "xyz q")),
+      (2L, Seq.empty[String])).toDF("id", "arr")
+    val both = df.select($"id",
+      VectorExpressions.hash28Array($"arr").as("fused"),
+      expr("transform(arr, s -> CAST(conv(substring(md5(s), 1, 7), 16, 10) AS BIGINT))").as("hof"))
+      .collect()
+    both.foreach(r => assert(r.getSeq[Any](1) == r.getSeq[Any](2), s"row ${r.getLong(0)}"))
+    // null array -> null
+    val nr = Seq(Tuple1(null.asInstanceOf[Seq[String]])).toDF("arr")
+      .select(VectorExpressions.hash28Array($"arr")).collect()(0)
+    assert(nr.isNullAt(0))
+  }
+
+  test("minhashSignatures matches the 16 array_min(transform) walks") {
+    import graft.functions.VectorExpressions
+    import graft.queries.Queries.{MinhashA, MinhashB, MinhashP}
+    val hs = MinHashLsh.hashedShingles(docs, "doc_id", "text")
+    val fused = hs.select($"doc_id",
+      VectorExpressions.minhashSignatures($"hs", MinhashA.toArray, MinhashB.toArray, MinhashP).as("sig"))
+    val checks = (0 until 16).map(j =>
+      s"element_at(sig, ${j + 1}) = array_min(transform(hs, h -> (${MinhashA(j)} * h + ${MinhashB(j)}) % $MinhashP))")
+    val bad = fused.join(hs, "doc_id")
+      .where(not(checks.map(expr).reduce(_ && _))).count()
+    assert(bad == 0)
+  }
+
   /** Sign-LSH theory: a pair at cosine sim s agrees on one hyperplane
     * with prob r = 1 - acos(s)/π, survives a band of P planes with r^P,
     * and is recalled by B bands with 1-(1-r^P)^B. */
