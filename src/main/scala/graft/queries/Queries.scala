@@ -765,6 +765,26 @@ object Queries {
   private val qStreamDedupDuck: String =
     "SELECT DISTINCT user_id, event_type FROM events"
 
+  /** Incremental read, driver-verified END-TO-END through the real
+    * Delta layer: write orders in two transactional commits to a
+    * scratch table, then `readChanges(0)` must return exactly the
+    * second commit's rows (the oracle recomputes that slice from the
+    * source parquet). */
+  private def qReadChangesSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_rc_")
+        .resolve("t").toString
+      val log = graft.delta.DeltaLog.forPath(s, tmp)
+      val base = s.table("orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      graft.delta.TransactionWriter.overwrite(log, base.where(col("o_orderkey") % 2 === 0))
+      graft.delta.TransactionWriter.append(log, base.where(col("o_orderkey") % 2 === 1))
+      log.readChanges(0L)
+    }
+
+  private val qReadChangesDuck: String =
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 1"
+
   // ---- capstone: end-to-end corpus-curation pipeline -----------------------
   //
   // The full training-data flow COMPOSED: exact dedup (md5 survivor) ∩
@@ -1008,6 +1028,7 @@ object Queries {
     "q_corpus_pipeline" -> cachedStagesQuery(minhashStages, sparkPipelineFinal),
     "q_stream_counts" -> qStreamCountsSpark,
     "q_stream_dedup" -> qStreamDedupSpark,
+    "q_read_changes" -> qReadChangesSpark,
     "q_simhash" -> sqlQuery(qSimhash("spark")),
     "q_embedding_knn" -> sqlQuery(qKnn("spark")),
     "q_embedding_neardup" -> sqlQuery(qEmbeddingNeardup("spark")),
@@ -1096,6 +1117,7 @@ object Queries {
     "q_corpus_pipeline" -> qPipelineDuck,
     "q_stream_counts" -> qStreamCountsDuck,
     "q_stream_dedup" -> qStreamDedupDuck,
+    "q_read_changes" -> qReadChangesDuck,
     "q_simhash" -> qSimhash("duck"),
     "q_embedding_knn" -> qKnn("duck"),
     "q_embedding_neardup" -> qEmbeddingNeardup("duck"),
