@@ -785,6 +785,25 @@ object Queries {
   private val qReadChangesDuck: String =
     "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 1"
 
+  /** Frame-sampling oracle: the corpus text is pure ASCII, so VARCHAR
+    * slicing in DuckDB sees the same bytes as the binary slices the
+    * Spark side's `Multimodal.sampleFrames` emits. */
+  private val qMediaFramesDuck: String =
+    """WITH v AS (SELECT doc_id AS asset_id, text,
+      |    ('0x' || substr(md5(text), 1, 7))::BIGINT AS h,
+      |    length(text) AS len
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |d AS (SELECT asset_id, text, len,
+      |    LEAST((1000 + h % 600000) // 1000, 32) AS n FROM v),
+      |f AS (SELECT asset_id, text, len, n, unnest(range(0, n)) AS frame_idx FROM d),
+      |s AS (SELECT asset_id, CAST(frame_idx AS INT) AS frame_idx,
+      |    CAST((frame_idx * GREATEST(len // GREATEST(n, 1), 1)) % GREATEST(len, 1) AS INT) AS st,
+      |    text, len FROM f)
+      |SELECT asset_id, frame_idx,
+      |  CAST(LEAST(16, len - st) AS BIGINT) AS frame_len,
+      |  ('0x' || substr(md5(substr(text, st + 1, 16)), 1, 7))::BIGINT AS frame_hash
+      |FROM s""".stripMargin
+
   // ---- capstone: end-to-end corpus-curation pipeline -----------------------
   //
   // The full training-data flow COMPOSED: exact dedup (md5 survivor) ∩
@@ -1029,6 +1048,17 @@ object Queries {
     "q_stream_counts" -> qStreamCountsSpark,
     "q_stream_dedup" -> qStreamDedupSpark,
     "q_read_changes" -> qReadChangesSpark,
+    "q_media_frames" -> ((s, dir) => {
+      registerViews(s, dir)
+      import s.implicits._
+      val assets = s.sql(mediaAssetsSparkSql)
+        .repartition(s.sparkContext.defaultParallelism)
+        .as[graft.operators.Multimodal.MediaAsset]
+      graft.operators.Multimodal.sampleFrames(assets)
+        .select(col("asset_id"), col("frame_idx"),
+          length(col("frame_bytes")).cast("long").as("frame_len"),
+          graft.functions.TextFunctions.hash28(col("frame_bytes")).as("frame_hash"))
+    }),
     "q_simhash" -> sqlQuery(qSimhash("spark")),
     "q_embedding_knn" -> sqlQuery(qKnn("spark")),
     "q_embedding_neardup" -> sqlQuery(qEmbeddingNeardup("spark")),
@@ -1118,6 +1148,7 @@ object Queries {
     "q_stream_counts" -> qStreamCountsDuck,
     "q_stream_dedup" -> qStreamDedupDuck,
     "q_read_changes" -> qReadChangesDuck,
+    "q_media_frames" -> qMediaFramesDuck,
     "q_simhash" -> qSimhash("duck"),
     "q_embedding_knn" -> qKnn("duck"),
     "q_embedding_neardup" -> qEmbeddingNeardup("duck"),
