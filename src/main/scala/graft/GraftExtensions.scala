@@ -30,5 +30,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Hash28Array].getName, "vec_hash28"),
       (exprs: Seq[Expression]) => Hash28Array(exprs(0))))
     ext.injectOptimizerRule(_ => graft.plans.VectorKernelRule)
+    ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
   }
 }

@@ -98,6 +98,30 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(spark.sql(sql).collect()(0).getDouble(0) == 3.0) // (0+0) + (1+2)
   }
 
+  test("GRAFT SQL maintenance commands via the injected parser") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_sqlcmd_")
+      .resolve("t").toString
+    Seq((1L, "a"), (2L, "b")).toDF("n", "s")
+      .write.format("graftdelta").mode("overwrite").save(path)
+    Seq((3L, "c")).toDF("n", "s")
+      .write.format("graftdelta").mode("append").save(path)
+
+    val hist = spark.sql(s"GRAFT HISTORY '$path'").collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(1L, 0L))
+    assert(hist.forall(_.getString(1) == "WRITE"))
+
+    assert(spark.sql(s"GRAFT CHECKPOINT '$path'").collect()(0).getLong(0) == 1L)
+    assert(spark.sql(s"GRAFT OPTIMIZE '$path'").collect()(0).getLong(0) == 2L)
+    val restored = spark.sql(s"GRAFT RESTORE '$path' TO VERSION 1").collect()(0).getLong(0)
+    assert(restored == 3L)
+    assert(spark.read.format("graftdelta").load(path).count() == 3)
+    // vacuum with explicit retention parses and runs (nothing young deleted)
+    assert(spark.sql(s"GRAFT VACUUM '$path' RETAIN 168 HOURS").collect()(0).getLong(0) == 0L)
+    // ordinary SQL still parses through the delegate
+    assert(spark.sql("SELECT 1 + 1").collect()(0).getInt(0) == 2)
+  }
+
   test("rewritten kernel matches the interpreted HOF on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .selectExpr("vec_id", "cast(embedding as array<double>) AS v")
