@@ -68,13 +68,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case _ => delegate.parsePlan(sqlText)
   }
 
+  private val GraftPrefix = """(?is)\s*GRAFT\s.*""".r
+
   override def parsePlanWithParameters(
       sqlText: String,
       parameterContext: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan =
-    parsePlan(sqlText) match {
-      case c: GraftMaintenanceCommand => c
-      case _ => delegate.parsePlanWithParameters(sqlText, parameterContext)
-    }
+    // cheap prefix check first — matching through parsePlan would parse
+    // every ordinary parameterized statement twice
+    if (GraftPrefix.matches(sqlText)) parsePlan(sqlText)
+    else delegate.parsePlanWithParameters(sqlText, parameterContext)
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

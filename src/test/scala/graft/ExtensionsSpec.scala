@@ -120,6 +120,10 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(spark.sql(s"GRAFT VACUUM '$path' RETAIN 168 HOURS").collect()(0).getLong(0) == 0L)
     // ordinary SQL still parses through the delegate
     assert(spark.sql("SELECT 1 + 1").collect()(0).getInt(0) == 2)
+    // ...including parameterized statements (parsePlanWithParameters path)
+    assert(spark.sql("SELECT ? + 1", Array(41)).collect()(0).getInt(0) == 42)
+    // and a non-command statement mentioning GRAFT errors like normal SQL
+    intercept[Exception](spark.sql("GRAFT FROBNICATE 'x'"))
   }
 
   test("rewritten kernel matches the interpreted HOF on real embeddings") {
