@@ -100,6 +100,15 @@ object Curation {
       .where(col("rn") <= perStratum)
   }
 
+  /** Canonical text normalization for dedup/tokenizer front-ends:
+    * lower-case, strip characters outside printable ASCII, collapse
+    * whitespace runs, trim. Map-only codegen'd string ops; character
+    * classes only, so Java regex and RE2 agree byte-for-byte. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^ -~]", " "), // non-printable-ASCII -> space
+      "[ ]+", " "))
+
   /** Regex PII scrub (email-shaped, then runs of digits), returning the
     * redacted text plus per-pattern match counts. Patterns use only
     * character classes — Java regex and RE2 agree byte-for-byte.

@@ -991,6 +991,28 @@ object Queries {
       |  ('0x' || substr(md5(red), 1, 7))::BIGINT AS red_hash
       |FROM r""".stripMargin
 
+  /** Deterministic mess for the normalization demo: every 3rd doc
+    * upper-cased, every 3rd+1 doc gets padded/tripled spaces + a tab. */
+  private def normalizeMessySql(dialect: String): String = {
+    val tab = if (dialect == "spark") "CHAR(9)" else "chr(9)"
+    s"""SELECT doc_id,
+       |  CASE CAST(doc_id % 3 AS INT)
+       |    WHEN 0 THEN upper(text)
+       |    WHEN 1 THEN concat('  ', replace(text, ' ', '   '), $tab, ' end')
+       |    ELSE text END AS messy
+       |FROM documents""".stripMargin
+  }
+
+  private val qNormalizeDuck: String =
+    s"""WITH a AS (${normalizeMessySql("duck")}),
+       |n AS (SELECT doc_id,
+       |    trim(regexp_replace(regexp_replace(lower(messy), '[^ -~]', ' ', 'g'),
+       |      '[ ]+', ' ', 'g')) AS norm
+       |  FROM a)
+       |SELECT doc_id, CAST(length(norm) AS BIGINT) AS norm_len,
+       |  ('0x' || substr(md5(norm), 1, 7))::BIGINT AS norm_hash
+       |FROM n""".stripMargin
+
   // ---- assembled maps ------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1094,6 +1116,15 @@ object Queries {
       graft.operators.Curation.stratifiedSample(
         s.table("documents"), Seq("lang", "source"), "doc_id", 20)
     }),
+    "q_normalize" -> ((s, dir) => {
+      registerViews(s, dir)
+      s.sql(normalizeMessySql("spark"))
+        .select(col("doc_id"),
+          graft.operators.Curation.normalizeText(col("messy")).as("norm"))
+        .select(col("doc_id"),
+          length(col("norm")).cast("long").as("norm_len"),
+          graft.functions.TextFunctions.hash28(col("norm")).as("norm_hash"))
+    }),
     "q_pii_redact" -> ((s, dir) => {
       registerViews(s, dir)
       graft.operators.Curation.redactPii(s.sql(piiAugSparkSql), "doc_id", "aug")
@@ -1160,5 +1191,6 @@ object Queries {
     "q_decontaminate" -> qDecontaminateDuck,
     "q_quality_gopher" -> qQualityGopherDuck,
     "q_stratified_sample" -> qStratifiedSampleDuck,
-    "q_pii_redact" -> qPiiRedactDuck)
+    "q_pii_redact" -> qPiiRedactDuck,
+    "q_normalize" -> qNormalizeDuck)
 }

@@ -39,6 +39,14 @@ class GraftDeltaDataSource extends DeltaSourceProvider
   override def createRelation(
       sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation = {
     val log = DeltaLog.forPath(sqlContext.sparkSession, tablePath(parameters))
+    parameters.get("readChangesFrom") match {
+      case Some(from) =>
+        // incremental read: rows appended in (from, readChangesTo]
+        val to = parameters.get("readChangesTo").map(_.toLong).getOrElse(-1L)
+        val df = log.readChanges(from.toLong, to)
+        return DataFrameRelation(sqlContext, df)
+      case None => ()
+    }
     val snap = (parameters.get("versionAsOf"), parameters.get("timestampAsOf")) match {
       case (Some(v), None) => log.snapshotAt(v.toLong)
       case (None, Some(ts)) => log.snapshotAsOf(java.time.Instant.parse(ts))
@@ -79,6 +87,18 @@ class GraftDeltaDataSource extends DeltaSourceProvider
     graft.delta.JsonUtil.mapper.readTree(json).elements().asScala
       .map(_.asText()).toSeq
   }
+}
+
+/** Relation over an already-built DataFrame (the incremental
+  * `readChangesFrom` path — the file set is fixed by the commit range,
+  * so there is nothing further to prune at this layer). */
+case class DataFrameRelation(
+    sqlContext: SQLContext, df: org.apache.spark.sql.DataFrame)
+    extends BaseRelation with TableScan {
+  override val schema: StructType = df.schema
+  override val needConversion: Boolean = false
+  override def buildScan(): RDD[Row] =
+    df.queryExecution.toRdd.asInstanceOf[RDD[Row]]
 }
 
 /** Batch relation: schema from the snapshot, scans through the pruned

@@ -51,6 +51,12 @@ class CurationSpec extends SparkTestBase {
       b.select("id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("normalizeText lower-cases, strips non-printables, collapses spaces") {
+    val df = Seq("  Hello\tWORLD  é  x  ").toDF("t")
+      .select(Curation.normalizeText(col("t")).as("n"))
+    assert(df.collect()(0).getString(0) == "hello world x")
+  }
+
   test("redactPii counts and replaces emails and digit runs") {
     val df = Seq((1L, "reach me at bob99@mail.com or 12345 ext 77"),
                  (2L, "nothing to hide")).toDF("doc_id", "text")

@@ -76,6 +76,19 @@ class GraftDeltaDataSourceSpec extends SparkTestBase {
     assert(df.collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
   }
 
+  test("readChangesFrom option returns only the appended commit range") {
+    val path = tmpTable()
+    Seq((1L, "a")).toDF("id", "s").write.format("graftdelta").mode("overwrite").save(path)
+    Seq((2L, "b"), (3L, "c")).toDF("id", "s").write.format("graftdelta").mode("append").save(path)
+    Seq((4L, "d")).toDF("id", "s").write.format("graftdelta").mode("append").save(path)
+    val changes = spark.read.format("graftdelta")
+      .option("readChangesFrom", "0").load(path)
+    assert(changes.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L, 4L))
+    val bounded = spark.read.format("graftdelta")
+      .option("readChangesFrom", "0").option("readChangesTo", "1").load(path)
+    assert(bounded.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+  }
+
   test("SQL DDL surface: CREATE TABLE ... USING graftdelta") {
     val path = tmpTable()
     Seq((1L, "a"), (2L, "b")).toDF("id", "s")
