@@ -36,22 +36,31 @@ object Bench {
     // measurement notes); min-of-2 bounds that distortion while both
     // pass totals stay visible in the output for honesty.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    require(passes >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $passes")
+    // (time, succeeded) per query per pass
     val passTimes = (1 to passes).map { pass =>
       selected.map { case (name, fn) =>
         System.err.println(s"[bench] pass $pass $name @ ${java.time.Instant.now()}")
         val t0 = System.nanoTime()
-        try { rowCounts(name) = fn(spark, sfDir).count() } catch {
-          case e: Throwable =>
-            // A failed query must be VISIBLE, not a quietly-fast timing.
-            errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
-            System.err.println(s"[bench] FAIL $name: $e")
-        }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { rowCounts(name) = fn(spark, sfDir).count(); true } catch {
+            case e: Throwable =>
+              // A failed query must be VISIBLE, not a quietly-fast timing.
+              errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+              System.err.println(s"[bench] FAIL $name: $e")
+              false
+          }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
       }
     }
+    // min over SUCCESSFUL passes only — a transient failure's fast-fail
+    // time must not become the official number (the error stays visible
+    // in `errors` either way); all-passes-failed keeps the max duration.
     val results = passTimes.head.indices.map { i =>
       val name = passTimes.head(i)._1
-      name -> passTimes.map(_(i)._2).min
+      val runs = passTimes.map(_(i))
+      val good = runs.filter(_._3).map(_._2)
+      name -> (if (good.nonEmpty) good.min else runs.map(_._2).max)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {

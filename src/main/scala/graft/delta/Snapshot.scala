@@ -305,9 +305,12 @@ class Snapshot(
       return spark.createDataFrame(new java.util.ArrayList[Row](), schema)
     }
     // id-mode resolution is by parquet field id; the flag is a session
-    // conf (no per-read option exists) and only affects read schemas
-    // that carry parquet.field.id metadata — ours do only for id-mode
-    // tables.
+    // conf (no per-read option exists) and STAYS SET for the session —
+    // restoring it after this call would race the lazy scan. Known
+    // scope: it only changes resolution for read schemas that carry
+    // parquet.field.id metadata, which ours do only for id-mode tables;
+    // a user-supplied schema with that metadata on an unrelated read
+    // would also switch to id resolution in this session.
     if (columnMappingMode == "id") {
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     }

@@ -28,7 +28,7 @@ object VectorExpressions {
   /** All k MinHash signature entries in one pass over the hashed
     * shingles: entry j = `min_h ((a(j)*h + b(j)) % p)`. */
   def minhashSignatures(
-      hashedShingles: Column, a: Array[Long], b: Array[Long], p: Long): Column =
+      hashedShingles: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
     column(org.apache.spark.sql.graftshims.MinHashSignatures(
       expression(hashedShingles), a, b, p))
 
@@ -37,7 +37,7 @@ object VectorExpressions {
     * ships once as a codegen reference object instead of B×P literal
     * arrays. */
   def lshBandKeys(
-      v: Column, planes: Array[Array[Double]],
+      v: Column, planes: Seq[Seq[Double]],
       bands: Int, planesPerBand: Int): Column =
     column(org.apache.spark.sql.graftshims.BandedLshKeys(
       expression(v), planes, bands, planesPerBand))

@@ -118,10 +118,10 @@ object Curation {
 
   def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
-      expr(s"CAST(size(regexp_extract_all($textCol, '$EmailPattern', 0)) AS BIGINT)")
-        .as("n_emails"),
-      expr(s"CAST(size(regexp_extract_all($textCol, '$DigitRunPattern', 0)) AS BIGINT)")
-        .as("n_ids"),
+      size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(DigitRunPattern), lit(0)))
+        .cast("long").as("n_ids"),
       regexp_replace(
         regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
         DigitRunPattern, "<ID>").as("redacted"))

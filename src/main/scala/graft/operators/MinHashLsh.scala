@@ -31,7 +31,7 @@ object MinHashLsh {
     * .minhashSignatures]] — instead of 16 interpreted array_min walks). */
   def withSignature(hashed: DataFrame): DataFrame = {
     val sig = graft.functions.VectorExpressions.minhashSignatures(
-      col("hs"), MinhashA.toArray, MinhashB.toArray, MinhashP)
+      col("hs"), MinhashA, MinhashB, MinhashP)
     hashed.withColumn("_sig", sig)
       .select(hashed.columns.map(col) ++
         (0 until NumHashes).map(j => element_at(col("_sig"), j + 1).as(s"mh$j")): _*)

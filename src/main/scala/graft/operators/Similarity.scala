@@ -15,7 +15,10 @@ object Similarity {
   /** Index-ordered cosine similarity (deterministic accumulation order —
     * reproducible across engines). Backed by the native codegen'd
     * [[graft.functions.VectorExpressions]] (same left-fold arithmetic as
-    * the HOF form it replaced). */
+    * the HOF form it replaced). NULL on ragged input: unequal-length or
+    * null-element vectors yield null (the `aggregate(zip_with(...))`
+    * contract), so such pairs drop out of every thresholded result —
+    * validate embedding dims upstream if raggedness is possible. */
   def cosine(a: Column, b: Column): Column =
     VectorExpressions.dot(a, b) / (norm(a) * norm(b))
 
@@ -110,7 +113,8 @@ object Similarity {
       dims: Int): DataFrame = {
     val planes = planeMatrix(bands * planesPerBand, dims)
     n.select(col(idCol),
-      posexplode(VectorExpressions.lshBandKeys(col("v"), planes, bands, planesPerBand)))
+      posexplode(VectorExpressions.lshBandKeys(col("v"),
+        planes.map(_.toSeq).toSeq, bands, planesPerBand)))
       .toDF(idCol, "band", "k")
   }
 

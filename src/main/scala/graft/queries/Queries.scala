@@ -24,11 +24,14 @@ object Queries {
   val tables = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  // (sessionUUID, dir) of the last registration — registering the same
-  // tables again costs ~1 s/query (10 parquet footer reads + 10 view
-  // replacements) across a 33-query bench run for no behavior change.
+  // Session -> last-registered dir: registering the same tables again
+  // costs ~1 s/query (10 parquet footer reads + 10 view replacements)
+  // across the bench run for no behavior change. Weak keys: identity of
+  // the LIVE session object (no hash-collision risk across sessions),
+  // entries vanish with the session.
   private val lastRegistered =
-    new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
 
   def registerViews(spark: SparkSession, dir: String): Unit = {
     // events.parquet carries TIMESTAMP(NANOS); ensure the session reads
@@ -43,13 +46,12 @@ object Queries {
     spark.catalog.clearCache()
     org.apache.spark.sql.graftshims.SqlShims.registerVectorFunctions(spark)
     org.apache.spark.sql.graftshims.SqlShims.registerMinHash(
-      spark, "minhash16", MinhashA.toArray, MinhashB.toArray, MinhashP)
-    val key = (System.identityHashCode(spark).toString, dir)
-    if (lastRegistered.get != key) {
+      spark, "minhash16", MinhashA, MinhashB, MinhashP)
+    if (lastRegistered.get(spark) != dir) {
       tables.foreach { t =>
         spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
       }
-      lastRegistered.set(key)
+      lastRegistered.put(spark, dir)
     }
   }
 

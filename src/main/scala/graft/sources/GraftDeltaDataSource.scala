@@ -45,7 +45,10 @@ class GraftDeltaDataSource extends DeltaSourceProvider
         val to = parameters.get("readChangesTo").map(_.toLong).getOrElse(-1L)
         val df = log.readChanges(from.toLong, to)
         return DataFrameRelation(sqlContext, df)
-      case None => ()
+      case None =>
+        require(!parameters.contains("readChangesTo"),
+          "readChangesTo requires readChangesFrom — without it the read " +
+            "would silently return the full table")
     }
     val snap = (parameters.get("versionAsOf"), parameters.get("timestampAsOf")) match {
       case (Some(v), None) => log.snapshotAt(v.toLong)

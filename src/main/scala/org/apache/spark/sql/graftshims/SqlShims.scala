@@ -38,7 +38,7 @@ object SqlShims {
     * cheaply). */
   def registerMinHash(
       spark: org.apache.spark.sql.SparkSession, name: String,
-      a: Array[Long], b: Array[Long], p: Long): Unit =
+      a: Seq[Long], b: Seq[Long], p: Long): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, exprs => MinHashSignatures(exprs(0), a, b, p), "built-in")
 
@@ -212,10 +212,16 @@ object Hash28Array {
   * skips the nulls `transform` produced); an empty/all-null array
   * yields null entries (array_min of nothing). */
 case class MinHashSignatures(
-    child: Expression, a: Array[Long], b: Array[Long], p: Long)
+    child: Expression, a: Seq[Long], b: Seq[Long], p: Long)
     extends UnaryExpression with ExpectsInputTypes {
 
   require(a.length == b.length && a.nonEmpty, "coefficient arrays must match")
+
+  // Seq parameters (not Array) so case-class equality is structural:
+  // semanticEquals/CSE/cache plan matching would always miss on
+  // reference-compared Array fields.
+  @transient private lazy val aArr: Array[Long] = a.toArray
+  @transient private lazy val bArr: Array[Long] = b.toArray
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
@@ -234,7 +240,7 @@ case class MinHashSignatures(
         any = true
         val h = arr.getLong(i)
         var j = 0
-        while (j < k) { val x = (a(j) * h + b(j)) % p; if (x < mins(j)) mins(j) = x; j += 1 }
+        while (j < k) { val x = (aArr(j) * h + bArr(j)) % p; if (x < mins(j)) mins(j) = x; j += 1 }
       }
       i += 1
     }
@@ -243,8 +249,8 @@ case class MinHashSignatures(
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val aRef = ctx.addReferenceObj("mhA", a, "long[]")
-    val bRef = ctx.addReferenceObj("mhB", b, "long[]")
+    val aRef = ctx.addReferenceObj("mhA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("mhB", bArr, "long[]")
     val k = a.length
     val i = ctx.freshName("i")
     val j = ctx.freshName("j")
@@ -295,15 +301,21 @@ case class MinHashSignatures(
   * semantics the other kernels follow).
   *
   * `planes` is indexed `[band * planesPerBand + p][dim]`; vectors
-  * shorter than a plane use the overlapping prefix (same as
-  * [[DotProduct]]'s equal-length contract — callers validate dims). */
+  * shorter than a plane project on the overlapping prefix (unlike
+  * [[DotProduct]], which since the HOF-parity change returns null on
+  * length mismatch — callers validate dims up front). */
 case class BandedLshKeys(
-    child: Expression, planes: Array[Array[Double]],
+    child: Expression, planes: Seq[Seq[Double]],
     bands: Int, planesPerBand: Int)
     extends UnaryExpression with ExpectsInputTypes {
 
   require(planes.length == bands * planesPerBand,
     s"need ${bands * planesPerBand} planes, got ${planes.length}")
+
+  // Seq parameters for structural case-class equality (see
+  // MinHashSignatures); dense arrays only at eval/codegen time.
+  @transient private lazy val planesArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -330,7 +342,7 @@ case class BandedLshKeys(
       var k = 0L
       var p = 0
       while (p < planesPerBand) {
-        val plane = planes(b * planesPerBand + p)
+        val plane = planesArr(b * planesPerBand + p)
         val m = math.min(n, plane.length)
         var s = 0.0
         var i = 0
@@ -349,7 +361,7 @@ case class BandedLshKeys(
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
+    val planesRef = ctx.addReferenceObj("lshPlanes", planesArr, "double[][]")
     val b = ctx.freshName("b")
     val p = ctx.freshName("p")
     val i = ctx.freshName("i")

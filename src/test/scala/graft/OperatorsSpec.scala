@@ -97,7 +97,7 @@ class OperatorsSpec extends SparkTestBase {
     import graft.queries.Queries.{MinhashA, MinhashB, MinhashP}
     val hs = MinHashLsh.hashedShingles(docs, "doc_id", "text")
     val fused = hs.select($"doc_id",
-      VectorExpressions.minhashSignatures($"hs", MinhashA.toArray, MinhashB.toArray, MinhashP).as("sig"))
+      VectorExpressions.minhashSignatures($"hs", MinhashA, MinhashB, MinhashP).as("sig"))
     val checks = (0 until 16).map(j =>
       s"element_at(sig, ${j + 1}) = array_min(transform(hs, h -> (${MinhashA(j)} * h + ${MinhashB(j)}) % $MinhashP))")
     val bad = fused.join(hs, "doc_id")
