@@ -346,7 +346,17 @@ object Maintenance {
     require(zCols.nonEmpty && zCols.size <= 4, "zorder needs 1-4 columns")
     val snap = log.snapshot
     val df = snap.read()
-    zCols.foreach(c => require(df.columns.contains(c), s"unknown zorder column $c"))
+    zCols.foreach { c =>
+      require(df.columns.contains(c), s"unknown zorder column $c")
+      val dt = df.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+        dt == org.apache.spark.sql.types.DateType ||
+        dt == org.apache.spark.sql.types.TimestampType ||
+        dt == org.apache.spark.sql.types.BooleanType,
+        s"zorder column $c has type ${dt.simpleString}: the interleave " +
+          "uses linear min/max normalization, which needs a numeric-like " +
+          "type (numeric, date, timestamp, boolean)")
+    }
     val bounds = df.agg(
       zCols.flatMap(c => Seq(
         min(col(c).cast("double")).as(s"__mn_$c"),

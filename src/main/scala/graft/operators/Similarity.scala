@@ -143,6 +143,47 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
+  /** IVF-Flat approximate top-k (the second scale path besides banded
+    * LSH): assign every corpus vector to its nearest centroid via a
+    * broadcast join + `max_by` (the n×C expansion collapses map-side —
+    * partial aggregation — before any exchange), probe each query's
+    * `nprobe` nearest cells, and rerank exactly within them. Candidates
+    * shuffle only on the cell id. `centroids` is caller-provided
+    * (trained k-means, or any deterministic coarse quantizer); at scale
+    * grow it ~√n so cells stay bounded. */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 2): DataFrame = {
+    val n = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val cent = centroids.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cnrm", norm(col("cv")))
+    val sims = n.crossJoin(broadcast(cent))
+      .withColumn("csim", round(
+        VectorExpressions.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 4))
+      .select("id", "cid", "csim")
+    val assign = sims.groupBy("id")
+      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"))
+    val qids = queries.select(col(idCol).as("id")).distinct()
+    val qw = Window.partitionBy("id").orderBy(col("csim").desc, col("cid"))
+    val probe = sims.join(broadcast(qids), "id")
+      .withColumn("cr", row_number().over(qw)).where(col("cr") <= nprobe)
+      .select(col("id").as("query_id"), col("cid"))
+    val cand = probe.join(assign, "cid")
+      .where(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"))
+      .distinct()
+    val qs = n.select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val cs = n.select(col("id").as("neighbor_id"), col("v").as("cv2"), col("nrm").as("cn"))
+    val rer = cand.join(qs, "query_id").join(cs, "neighbor_id")
+      .withColumn("sim", round(
+        VectorExpressions.dot(col("qv"), col("cv2")) / (col("qn") * col("cn")), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    rer.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "sim", "rnk")
+  }
+
   /** Approximate top-k: banded-LSH candidates (queries join the corpus
     * only within shared buckets) + exact cosine rerank + per-query
     * window. The corpus is never broadcast-nested-looped; both sides

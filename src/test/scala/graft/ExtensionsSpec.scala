@@ -112,7 +112,10 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(hist.forall(_.getString(1) == "WRITE"))
 
     assert(spark.sql(s"GRAFT CHECKPOINT '$path'").collect()(0).getLong(0) == 1L)
-    assert(spark.sql(s"GRAFT OPTIMIZE '$path'").collect()(0).getLong(0) == 2L)
+    assert(spark.sql(s"GRAFT OPTIMIZE '$path' ZORDER BY (n)").collect()(0).getLong(0) == 2L)
+    // non-numeric zorder columns are rejected with a clear error
+    val ze = intercept[Exception](spark.sql(s"GRAFT OPTIMIZE '$path' ZORDER BY (s)").collect())
+    assert(ze.getMessage.contains("numeric-like"))
     val restored = spark.sql(s"GRAFT RESTORE '$path' TO VERSION 1").collect()(0).getLong(0)
     assert(restored == 3L)
     assert(spark.read.format("graftdelta").load(path).count() == 3)

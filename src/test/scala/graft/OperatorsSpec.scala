@@ -157,6 +157,15 @@ class OperatorsSpec extends SparkTestBase {
       s"overlap $overlap inconsistent with candidate-recall theory $predicted")
   }
 
+  test("ivfTopK operator matches the oracle-verified SQL query") {
+    val queries = emb.where($"vec_id" % 25 === 0)
+    val cent = emb.where($"vec_id" % 25 === 13)
+    val api = Similarity.ivfTopK(emb, queries, cent, "vec_id", "embedding", k = 3)
+    val sql = graft.SparkEntry.queries("q_embedding_ivf_knn")(
+      spark, "/root/testdata/sf0.001")
+    assertSameRows(api, sql)
+  }
+
   test("lshNearDupPairs is a subset of brute-force pairs at the same threshold") {
     val lsh = Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 0.4)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
