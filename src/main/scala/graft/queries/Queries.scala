@@ -485,7 +485,7 @@ object Queries {
   // accumulate in the same sequence; compare/rank only on ROUND(.,4).
   private def qKnn(dialect: String): String =
     if (dialect == "spark")
-      """WITH e AS (SELECT /*+ REPARTITION(32) */ vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, vec_l2norm(v) AS nrm FROM e),
         |q AS (SELECT * FROM n WHERE vec_id % 25 = 0),
         |p AS (SELECT /*+ BROADCAST(q) */ q.vec_id AS query_id, x.vec_id AS neighbor_id,
@@ -511,7 +511,7 @@ object Queries {
 
   private def qEmbeddingNeardup(dialect: String): String =
     if (dialect == "spark")
-      """WITH e AS (SELECT /*+ REPARTITION(32) */ vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
         |n AS (SELECT vec_id, label, v, vec_l2norm(v) AS nrm FROM e),
         |p AS (SELECT /*+ BROADCAST(b) */ a.vec_id AS id_a, b.vec_id AS id_b,
         |    ROUND(vec_dot(a.v, b.v) / (a.nrm * b.nrm), 4) AS sim
@@ -605,9 +605,8 @@ object Queries {
     * than in execution. */
   private val ivfStages: Seq[(String, String)] = Seq(
     "g_ivf_n" ->
-      """WITH e AS (SELECT /*+ REPARTITION(32) */ vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings)
-        |SELECT vec_id, v, vec_l2norm(v) AS nrm
-        |FROM e""".stripMargin,
+      """SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v, vec_l2norm(CAST(embedding AS ARRAY<DOUBLE>)) AS nrm
+        |FROM embeddings""".stripMargin,
     "g_ivf_sims" ->
       s"""SELECT /*+ BROADCAST(cent) */ n.vec_id, cent.cid,
          |  ROUND(vec_dot(n.v, cent.cv) / (n.nrm * cent.cnrm), 4) AS sim
@@ -1086,15 +1085,21 @@ object Queries {
     "q_simhash" -> sqlQuery(qSimhash("spark")),
     "q_embedding_knn" -> sqlQuery(qKnn("spark")),
     "q_embedding_neardup" -> sqlQuery(qEmbeddingNeardup("spark")),
+    // No forced repartition: the fused bucket kernels made per-row work
+    // cheap, and an explicit REPARTITION(32) both adds an exchange of the
+    // full vectors and pins every downstream stage at 32 tasks (AQE won't
+    // coalesce user-specified repartitions). At sf0.1 that cost ~10x wall
+    // (tiny-task + shuffle-file churn); at scale the parquet source's own
+    // split partitioning provides the parallelism.
     "q_embedding_lsh_neardup" -> ((s, dir) => {
       registerViews(s, dir)
       graft.operators.Similarity.bandedNearDupPairs(
-        s.table("embeddings").repartition(s.sparkContext.defaultParallelism),
+        s.table("embeddings"),
         "vec_id", "embedding", 0.4, LshBands, LshPlanesPerBand, 64)
     }),
     "q_embedding_knn_lsh" -> ((s, dir) => {
       registerViews(s, dir)
-      val emb = s.table("embeddings").repartition(s.sparkContext.defaultParallelism)
+      val emb = s.table("embeddings")
       graft.operators.Similarity.bandedTopK(
         emb, emb.where(col("vec_id") % 25 === 0),
         "vec_id", "embedding", 3, LshBands, LshPlanesPerBand, 64)

@@ -1,10 +1,13 @@
 package graft.tools
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Scratch profiler: run one named SparkEntry query N times in the same
-  * session and print per-iteration wall time — separates one-off
-  * planning/codegen cost from steady-state execution.
+  * session and print per-iteration wall time split into DataFrame build,
+  * physical planning, and execution — plus the summed executor task time
+  * per iteration, which separates driver-side planning pathologies from
+  * genuinely slow tasks.
   * Usage: runMain graft.tools.ProfileQuery <queryName> [iters]
   */
 object ProfileQuery {
@@ -19,17 +22,40 @@ object ProfileQuery {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.locality.wait", "0")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.constraintPropagation.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_CONSTRAINTS", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val taskTime = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) taskTime.addAndGet(t.taskMetrics.executorRunTime)
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val info = s.stageInfo
+        val rt = info.taskMetrics.executorRunTime
+        if (rt > 1000) println(f"[stage] id=${info.stageId} tasks=${info.numTasks} " +
+          f"runTime=${rt / 1e3}%.1fs name=${info.name.take(80)}")
+      }
+    })
     spark.range(1000000L).selectExpr("sum(id)").collect()
     val fn = graft.SparkEntry.queries(name)
     (1 to iters).foreach { i =>
+      taskTime.set(0L)
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
+      val tBuild = System.nanoTime()
+      // Forces analysis + optimization + physical planning (the count()
+      // below plans its own Aggregate-on-top tree, but shares the cost
+      // profile; this isolates driver-side plan work for THIS tree).
+      df.queryExecution.executedPlan
       val tPlan = System.nanoTime()
       val n = df.count()
       val tExec = System.nanoTime()
-      println(f"[profile] $name iter $i: build=${(tPlan - t0) / 1e9}%.2fs exec=${(tExec - tPlan) / 1e9}%.2fs rows=$n")
+      Thread.sleep(200) // let listener events drain
+      println(f"[profile] $name iter $i: build=${(tBuild - t0) / 1e9}%.2fs " +
+        f"plan=${(tPlan - tBuild) / 1e9}%.2fs exec=${(tExec - tPlan) / 1e9}%.2fs " +
+        f"taskTime=${taskTime.get() / 1e3}%.2fs rows=$n")
     }
     spark.stop()
   }
