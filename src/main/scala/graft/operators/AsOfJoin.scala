@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time ("as-of") join: for every left row, attach the latest
+  * right row with the same key whose time is <= the left row's time —
+  * the standard operation for joining events to the state that was
+  * current when they happened (CDC snapshots, sensor readings, quotes
+  * before trades).
+  *
+  * The reference library has no such operator (tables only, no
+  * time-series ops); this is an engine-side addition for the
+  * training-data/eventlog pipeline, with DuckDB's native `ASOF JOIN` as
+  * the independent correctness oracle.
+  *
+  * Plan shape — built for scale, NOT as a range join: both sides are
+  * tagged and unioned, then a single window per key carries the most
+  * recent right-side values forward (`last(..., ignoreNulls)` over
+  * rows-unbounded-preceding). One shuffle on the key columns, one sort
+  * by (time, tag) inside each partition, zero row expansion — where a
+  * naive `l JOIN r ON key AND r.t <= l.t` + window explodes
+  * O(|matches per key|^2) and a broadcast-range join needs the whole
+  * right side per executor. Skewed keys behave like any window-by-key
+  * op (AQE handles the shuffle; a hot single key is inherent to the
+  * ordering semantics).
+  *
+  * Tie semantics: a right row at exactly the left row's time IS visible
+  * (`<=`, DuckDB `ASOF JOIN ... ON l.t >= r.t` semantics) — right rows
+  * sort before left rows at equal times. If the right side has several
+  * rows at the same (key, time), the last one in `rightOrder` wins;
+  * pass an explicit tie-break column to make results deterministic.
+  */
+object AsOfJoin {
+
+  /** @param left       rows to enrich (kept as-is, inner-join semantics:
+    *                    rows with no as-of match are dropped)
+    * @param right      state/event rows providing the carried values
+    * @param keyCols    equi-join key columns (present on both sides)
+    * @param leftTime   left event-time column (orderable)
+    * @param rightTime  right event-time column (same type)
+    * @param valueCols  right columns to attach, each emitted as
+    *                   `asof_<name>`; `rightTime` is always attached as
+    *                   `asof_<rightTime>`
+    * @param rightOrder extra right-side tie-break columns (ascending,
+    *                   last wins) applied after the time ordering
+    */
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      valueCols: Seq[String],
+      rightOrder: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "asOf requires at least one key column")
+    val missingL = (keyCols :+ leftTime).filterNot(left.columns.contains)
+    require(missingL.isEmpty, s"left side is missing columns: ${missingL.mkString(",")}")
+    val missingR = ((keyCols :+ rightTime) ++ valueCols ++ rightOrder)
+      .filterNot(right.columns.contains)
+    require(missingR.isEmpty, s"right side is missing columns: ${missingR.mkString(",")}")
+
+    val carried = rightTime +: valueCols
+    val leftCols = left.columns.toSeq
+
+    // Common layout: keys, __t, __tag, left payload (null on right rows),
+    // carried right values (null on left rows). Right rows tag 0 so they
+    // sort before left rows at equal times (inclusive <= semantics).
+    val taggedRight = right.select(
+      keyCols.map(col) ++
+        Seq(col(rightTime).as("__t"), lit(0).as("__tag")) ++
+        rightOrder.map(c => col(c).as(s"__ord_$c")) ++
+        leftCols.filterNot(keyCols.contains)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) ++
+        carried.map(c => col(c).as(s"__r_$c")): _*)
+    val taggedLeft = left.select(
+      keyCols.map(col) ++
+        Seq(col(leftTime).as("__t"), lit(1).as("__tag")) ++
+        rightOrder.map(c => lit(null).cast(right.schema(c).dataType).as(s"__ord_$c")) ++
+        leftCols.filterNot(keyCols.contains).map(c => col(c).as(s"__l_$c")) ++
+        carried.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+
+    val ordering: Seq[Column] =
+      col("__t").asc +: col("__tag").asc +: rightOrder.map(c => col(s"__ord_$c").asc_nulls_last)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(ordering: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val withCarried = taggedRight.unionByName(taggedLeft)
+      .select(
+        (keyCols.map(col) :+ col("__t") :+ col("__tag")) ++
+          leftCols.filterNot(keyCols.contains).map(c => col(s"__l_$c")) ++
+          carried.map(c => last(col(s"__r_$c"), ignoreNulls = true).over(w)
+            .as(s"asof_$c")): _*)
+
+    withCarried
+      .where(col("__tag") === 1 && col(s"asof_$rightTime").isNotNull)
+      .select(
+        keyCols.map(col) ++
+          leftCols.filterNot(keyCols.contains).map(c => col(s"__l_$c").as(c)) ++
+          carried.map(c => col(s"asof_$c")): _*)
+  }
+}

@@ -53,8 +53,9 @@ object Scd2 {
     // current row out into duplicate closed rows AND insert multiple new
     // 'current' rows — silent corruption. delta-rs MERGE (the reference's
     // engine) raises a multiple-source-rows-matched error; so do we.
-    val updTotal = updates.count()
-    val updKeys = updates.select(primaryKey).distinct().count()
+    val guard = updates.agg(
+      F.count(lit(1)).as("n"), F.countDistinct(col(primaryKey)).as("k")).head()
+    val (updTotal, updKeys) = (guard.getLong(0), guard.getLong(1))
     require(updTotal == updKeys,
       s"updates contain $updTotal rows but only $updKeys distinct '$primaryKey' " +
         "keys; at most one update row per primary key is allowed in an SCD2 merge")

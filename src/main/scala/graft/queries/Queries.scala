@@ -666,6 +666,66 @@ object Queries {
       |  FROM px)
       |SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 3""".stripMargin
 
+  // ---- as-of join (events point-in-time enrichment) ------------------------
+  //
+  // Spark side runs graft.operators.AsOfJoin.asOf (union + one window
+  // per key — single shuffle, no range-join expansion); the DuckDB
+  // oracle is the engine's NATIVE `ASOF JOIN`, an independently
+  // implemented semantics check. The right side is pre-deduplicated to
+  // one row per (user_id, us) — max event_id wins — because as-of
+  // behavior on duplicate timestamps is engine-defined.
+
+  private val qAsofJoinDuck: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type, value FROM events),
+      |l AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase'),
+      |r AS (SELECT user_id, us AS view_us, MAX(event_id) AS view_event_id,
+      |        arg_max(value, event_id) AS view_value
+      |      FROM e WHERE event_type = 'view' GROUP BY user_id, us)
+      |SELECT l.event_id, l.user_id, l.us,
+      |  r.view_us AS asof_view_us, r.view_event_id AS asof_view_event_id,
+      |  r.view_value AS asof_view_value
+      |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.us >= r.view_us""".stripMargin
+
+  private val qAsofJoinSpark: (SparkSession, String) => DataFrame = (s, dir) => {
+    registerViews(s, dir)
+    // integer DIV, not `/`: a double division at epoch-nano magnitude
+    // (1.7e18) has ulp ≈ 256 — it silently corrupts the microseconds.
+    val e = s.table("events")
+      .select(col("event_id"), col("user_id"),
+        expr("ts DIV 1000").as("us"), col("event_type"), col("value"))
+    val left = e.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "us")
+    val right = e.where(col("event_type") === "view")
+      .groupBy(col("user_id"), col("us").as("view_us"))
+      .agg(max(col("event_id")).as("view_event_id"),
+        max_by(col("value"), col("event_id")).as("view_value"))
+    graft.operators.AsOfJoin.asOf(left, right, Seq("user_id"), "us", "view_us",
+      Seq("view_event_id", "view_value"))
+  }
+
+  // ---- sequence packing (token-budget bins for training batches) -----------
+
+  val PackBudget = 2048L
+
+  private val qPackSequencesDuck: String =
+    s"""WITH t AS (SELECT doc_id, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+       |p AS (SELECT doc_id, lang, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bf
+       |  FROM t)
+       |SELECT doc_id, lang, n_tokens,
+       |  bf // $PackBudget AS bin_id, bf % $PackBudget AS bin_offset
+       |FROM p""".stripMargin
+
+  private val qPackSequencesSpark: (SparkSession, String) => DataFrame = (s, dir) => {
+    registerViews(s, dir)
+    val docs = s.table("documents").select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    graft.operators.Packing.packSequences(docs, "doc_id", "n_tokens",
+      PackBudget, Seq("lang"))
+  }
+
   // ---- multimodal queries (documents text bytes as stand-in media) ---------
   //
   // The Spark side exercises the REAL plumbing — binary content column,
@@ -1083,6 +1143,8 @@ object Queries {
           graft.functions.TextFunctions.hash28(col("frame_bytes")).as("frame_hash"))
     }),
     "q_simhash" -> sqlQuery(qSimhash("spark")),
+    "q_asof_join" -> qAsofJoinSpark,
+    "q_pack_sequences" -> qPackSequencesSpark,
     "q_embedding_knn" -> sqlQuery(qKnn("spark")),
     "q_embedding_neardup" -> sqlQuery(qEmbeddingNeardup("spark")),
     // No forced repartition: the fused bucket kernels made per-row work
@@ -1199,5 +1261,7 @@ object Queries {
     "q_quality_gopher" -> qQualityGopherDuck,
     "q_stratified_sample" -> qStratifiedSampleDuck,
     "q_pii_redact" -> qPiiRedactDuck,
-    "q_normalize" -> qNormalizeDuck)
+    "q_normalize" -> qNormalizeDuck,
+    "q_asof_join" -> qAsofJoinDuck,
+    "q_pack_sequences" -> qPackSequencesDuck)
 }

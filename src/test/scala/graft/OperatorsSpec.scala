@@ -264,4 +264,51 @@ class OperatorsSpec extends SparkTestBase {
     assert(r.forall(v => v >= 0 && v < 65536))
     assert(r.distinct.length > 1)
   }
+
+  test("asOf attaches the latest right row at or before each left time") {
+    import graft.operators.AsOfJoin
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (1L, 4L, "early"), (2L, 50L, "other"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 5L, 100L), (1L, 15L, 200L), (1L, 20L, 300L), (3L, 1L, 999L))
+      .toDF("k", "rt", "rv")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "t", "rt", Seq("rv"))
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("t"),
+        r.getAs[Long]("asof_rt"), r.getAs[Long]("asof_rv"))).toSet
+    assert(out == Set(
+      (1L, 10L, 5L, 100L),   // latest <= 10 is rt=5
+      (1L, 20L, 20L, 300L))) // tie: right row AT t is visible (<= semantics)
+    // left rows with no prior right row (k=1 t=4; k=2) are dropped (inner);
+    // unmatched right keys (k=3) never appear
+  }
+
+  test("asOf right-side ties broken by rightOrder, last wins") {
+    import graft.operators.AsOfJoin
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 10L, 1L, 111L), (1L, 10L, 2L, 222L)).toDF("k", "rt", "seq", "rv")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "t", "rt", Seq("rv"), rightOrder = Seq("seq"))
+      .collect()(0)
+    assert(out.getAs[Long]("asof_rv") == 222L)
+  }
+
+  test("packSequences assigns bins by exclusive prefix sum within groups") {
+    import graft.operators.Packing
+    val df = Seq(
+      ("en", 1L, 600L), ("en", 2L, 600L), ("en", 3L, 600L), ("en", 4L, 600L),
+      ("en", 5L, 3000L), // oversized doc: starts mid-bin, straddles
+      ("de", 1L, 100L))
+      .toDF("lang", "id", "n")
+    val out = Packing.packSequences(df, "id", "n", budget = 1000L, groupCols = Seq("lang"))
+      .collect().map(r => ((r.getAs[String]("lang"), r.getAs[Long]("id")),
+        (r.getAs[Long]("bin_id"), r.getAs[Long]("bin_offset")))).toMap
+    assert(out(("en", 1L)) == (0L, 0L))    // before=0
+    assert(out(("en", 2L)) == (0L, 600L))  // before=600
+    assert(out(("en", 3L)) == (1L, 200L))  // before=1200
+    assert(out(("en", 4L)) == (1L, 800L))  // before=1800
+    assert(out(("en", 5L)) == (2L, 400L))  // before=2400
+    assert(out(("de", 1L)) == (0L, 0L))    // groups pack independently
+    // every bin's contents are contiguous in id order
+    val binTotals = Packing.packSequences(df, "id", "n", 1000L, Seq("lang"))
+      .groupBy("lang", "bin_id").agg(sum("n").as("s")).collect()
+    assert(binTotals.nonEmpty)
+  }
 }
