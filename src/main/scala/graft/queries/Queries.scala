@@ -946,7 +946,7 @@ object Queries {
   // REPARTITION spreads the (single-file) documents scan across cores —
   // without it the whole md5/shingle pipeline runs in ONE task.
   private val sparkHshStage: (String, String) =
-    "g_hsh" -> s"WITH ${hashedShinglesCte("spark")} SELECT /*+ REPARTITION(32) */ doc_id, lang, hs FROM hsh"
+    "g_hsh" -> s"WITH ${hashedShinglesCte("spark")} SELECT /*+ REPARTITION(8) */ doc_id, lang, hs FROM hsh"
 
   private val sparkSigStage: (String, String) =
     "g_sig" -> {
@@ -956,11 +956,21 @@ object Queries {
       s"SELECT doc_id,\n$mhs\nFROM (SELECT doc_id, minhash16(hs) AS _sig FROM g_hsh)"
     }
 
+  // ONE posexplode pass, not a 4-way UNION ALL: the union multiplied the
+  // cached stage's partition count by 4 (4 × 32 = 128 partitions), so
+  // every downstream consumer paid 128 tiny tasks per stage — measured
+  // 47-84 s of pure per-task overhead per g_buckets-reading stage at
+  // sf0.1. The explode keeps the parent's partitioning and scans g_sig
+  // once, which is also the correct shape at scale.
   private val sparkBucketsStage: (String, String) =
-    "g_buckets" -> (0 until 4).map { b =>
-      val k = s"concat_ws(',', CAST(mh${4 * b} AS STRING), CAST(mh${4 * b + 1} AS STRING), CAST(mh${4 * b + 2} AS STRING), CAST(mh${4 * b + 3} AS STRING))"
-      s"SELECT doc_id, $b AS band, $k AS k FROM g_sig"
-    }.mkString("\n  UNION ALL ")
+    "g_buckets" -> {
+      val ks = (0 until 4).map { b =>
+        s"concat_ws(',', CAST(mh${4 * b} AS STRING), CAST(mh${4 * b + 1} AS STRING), CAST(mh${4 * b + 2} AS STRING), CAST(mh${4 * b + 3} AS STRING))"
+      }.mkString(", ")
+      s"""SELECT doc_id, band, k
+         |FROM (SELECT doc_id, array($ks) AS ks FROM g_sig)
+         |LATERAL VIEW posexplode(ks) t AS band, k""".stripMargin
+    }
 
   private val minhashStages = Seq(sparkHshStage, sparkSigStage, sparkBucketsStage)
 
