@@ -125,4 +125,27 @@ object Curation {
       regexp_replace(
         regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
         DigitRunPattern, "<ID>").as("redacted"))
+
+  /** Top `k` tokens per group by count (vocabulary building / corpus
+    * inspection), deterministic via (count desc, token asc) ordering.
+    *
+    * Scale shape: explode → two-level aggregate — map-side partial
+    * combine collapses the token explosion before the exchange, so the
+    * shuffle carries one row per (group, distinct token); the final
+    * rank's `WindowGroupLimit` keeps only k rows per group per partial.
+    * Result: token counts shuffle bounded by vocabulary × groups, never
+    * by corpus token volume. */
+  def topTerms(
+      df: DataFrame, groupCols: Seq[String], textCol: String,
+      k: Int): DataFrame = {
+    val counts = df
+      .select(groupCols.map(col) :+
+        explode(TextFunctions.tokens(col(textCol))).as("tok"): _*)
+      .where(col("tok") =!= "")
+      .groupBy(groupCols.map(col) :+ col("tok"): _*)
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("n").desc, col("tok").asc)
+    counts.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
 }

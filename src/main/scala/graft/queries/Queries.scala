@@ -703,6 +703,56 @@ object Queries {
       Seq("view_event_id", "view_value"))
   }
 
+  // ---- top terms per language (vocabulary building) ------------------------
+
+  private val qTopTermsDuck: String =
+    """WITH u AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |c AS (SELECT lang, tok, COUNT(*) AS n FROM u WHERE tok <> '' GROUP BY lang, tok),
+      |r AS (SELECT lang, tok, n,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rnk
+      |  FROM c)
+      |SELECT lang, tok, n, rnk FROM r WHERE rnk <= 10""".stripMargin
+
+  private val qTopTermsSpark: (SparkSession, String) => DataFrame = (s, dir) => {
+    registerViews(s, dir)
+    graft.operators.Curation.topTerms(
+      s.table("documents"), Seq("lang"), "text", 10)
+      .select("lang", "tok", "n", "rnk")
+  }
+
+  // ---- range join (errors inside post-purchase windows) --------------------
+  //
+  // Spark side runs graft.operators.RangeJoin.pointInInterval (bin-join:
+  // intervals explode to covered fixed-width bins, points equi-join
+  // their single bin — no quadratic per-key point×interval blow-up);
+  // the DuckDB oracle is the plain inequality join.
+
+  private val RangeWindowUs = 7200000000L // 2 hours
+
+  private val qRangeJoinDuck: String =
+    s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events),
+       |p AS (SELECT event_id AS purchase_id, user_id, us AS start_us,
+       |    us + $RangeWindowUs AS end_us FROM e WHERE event_type = 'purchase'),
+       |x AS (SELECT event_id AS error_id, user_id, us AS error_us FROM e WHERE event_type = 'error')
+       |SELECT x.user_id, p.purchase_id, x.error_id, x.error_us, p.start_us
+       |FROM p JOIN x ON p.user_id = x.user_id
+       |  AND x.error_us BETWEEN p.start_us AND p.end_us""".stripMargin
+
+  private val qRangeJoinSpark: (SparkSession, String) => DataFrame = (s, dir) => {
+    registerViews(s, dir)
+    val e = s.table("events")
+      .select(col("event_id"), col("user_id"),
+        expr("ts DIV 1000").as("us"), col("event_type"))
+    val intervals = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("us").as("start_us"), (col("us") + RangeWindowUs).as("end_us"))
+    val points = e.where(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"), col("us").as("error_us"))
+    graft.operators.RangeJoin.pointInInterval(points, intervals, Seq("user_id"),
+      "error_us", "start_us", "end_us", binWidth = RangeWindowUs)
+      .select("user_id", "purchase_id", "error_id", "error_us", "start_us")
+  }
+
   // ---- sequence packing (token-budget bins for training batches) -----------
 
   val PackBudget = 2048L
@@ -1154,6 +1204,8 @@ object Queries {
     }),
     "q_simhash" -> sqlQuery(qSimhash("spark")),
     "q_asof_join" -> qAsofJoinSpark,
+    "q_range_join" -> qRangeJoinSpark,
+    "q_top_terms" -> qTopTermsSpark,
     "q_pack_sequences" -> qPackSequencesSpark,
     "q_embedding_knn" -> sqlQuery(qKnn("spark")),
     "q_embedding_neardup" -> sqlQuery(qEmbeddingNeardup("spark")),
@@ -1273,5 +1325,7 @@ object Queries {
     "q_pii_redact" -> qPiiRedactDuck,
     "q_normalize" -> qNormalizeDuck,
     "q_asof_join" -> qAsofJoinDuck,
+    "q_range_join" -> qRangeJoinDuck,
+    "q_top_terms" -> qTopTermsDuck,
     "q_pack_sequences" -> qPackSequencesDuck)
 }

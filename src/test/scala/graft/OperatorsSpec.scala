@@ -290,6 +290,27 @@ class OperatorsSpec extends SparkTestBase {
     assert(out.getAs[Long]("asof_rv") == 222L)
   }
 
+  test("pointInInterval matches the naive inequality join exactly") {
+    import graft.operators.RangeJoin
+    // random-ish deterministic intervals/points incl. bin-boundary cases
+    val intervals = (1L to 40L).map { i =>
+      val s0 = (i * 37) % 200
+      (i % 3, i, s0, s0 + (i * 13) % 60)
+    }.toDF("k", "iid", "s", "e")
+    val points = (1L to 120L).map { p => (p % 3, p, (p * 29) % 260) }
+      .toDF("k", "pid", "t")
+    val got = RangeJoin.pointInInterval(points, intervals, Seq("k"), "t", "s", "e", binWidth = 50)
+      .select("k", "iid", "pid").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = points.join(intervals, Seq("k"))
+      .where(col("t") >= col("s") && col("t") <= col("e"))
+      .select("k", "iid", "pid").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+    // exactly-once: no duplicate (interval, point) pairs from multi-bin intervals
+    val n = RangeJoin.pointInInterval(points, intervals, Seq("k"), "t", "s", "e", 50).count()
+    assert(n == got.size)
+  }
+
   test("packSequences assigns bins by exclusive prefix sum within groups") {
     import graft.operators.Packing
     val df = Seq(
