@@ -64,22 +64,32 @@ object AsOfJoin {
     val carried = rightTime +: valueCols
     val leftCols = left.columns.toSeq
 
+    // The carried right values travel as ONE struct, not per-column:
+    // per-column last(..., ignoreNulls) would skip a legitimately-NULL
+    // value back to an older right row, stitching together a row that
+    // never existed. The struct is non-null exactly when the row IS a
+    // right row, so one last(ignoreNulls) carries the whole latest row
+    // atomically, NULL members included.
+    val carriedStructType = org.apache.spark.sql.types.StructType(
+      carried.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType, nullable = true)))
+
     // Common layout: keys, __t, __tag, left payload (null on right rows),
-    // carried right values (null on left rows). Right rows tag 0 so they
+    // carried right struct (null on left rows). Right rows tag 0 so they
     // sort before left rows at equal times (inclusive <= semantics).
     val taggedRight = right.select(
       keyCols.map(col) ++
         Seq(col(rightTime).as("__t"), lit(0).as("__tag")) ++
         rightOrder.map(c => col(c).as(s"__ord_$c")) ++
         leftCols.filterNot(keyCols.contains)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) ++
-        carried.map(c => col(c).as(s"__r_$c")): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) :+
+        struct(carried.map(c => col(c).as(c)): _*).as("__r"): _*)
     val taggedLeft = left.select(
       keyCols.map(col) ++
         Seq(col(leftTime).as("__t"), lit(1).as("__tag")) ++
         rightOrder.map(c => lit(null).cast(right.schema(c).dataType).as(s"__ord_$c")) ++
-        leftCols.filterNot(keyCols.contains).map(c => col(c).as(s"__l_$c")) ++
-        carried.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+        leftCols.filterNot(keyCols.contains).map(c => col(c).as(s"__l_$c")) :+
+        lit(null).cast(carriedStructType).as("__r"): _*)
 
     val ordering: Seq[Column] =
       col("__t").asc +: col("__tag").asc +: rightOrder.map(c => col(s"__ord_$c").asc_nulls_last)
@@ -90,15 +100,14 @@ object AsOfJoin {
     val withCarried = taggedRight.unionByName(taggedLeft)
       .select(
         (keyCols.map(col) :+ col("__t") :+ col("__tag")) ++
-          leftCols.filterNot(keyCols.contains).map(c => col(s"__l_$c")) ++
-          carried.map(c => last(col(s"__r_$c"), ignoreNulls = true).over(w)
-            .as(s"asof_$c")): _*)
+          leftCols.filterNot(keyCols.contains).map(c => col(s"__l_$c")) :+
+          last(col("__r"), ignoreNulls = true).over(w).as("__asof"): _*)
 
     withCarried
-      .where(col("__tag") === 1 && col(s"asof_$rightTime").isNotNull)
+      .where(col("__tag") === 1 && col("__asof").isNotNull)
       .select(
         keyCols.map(col) ++
           leftCols.filterNot(keyCols.contains).map(c => col(s"__l_$c").as(c)) ++
-          carried.map(c => col(s"asof_$c")): _*)
+          carried.map(c => col("__asof").getField(c).as(s"asof_$c")): _*)
   }
 }

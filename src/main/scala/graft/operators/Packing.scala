@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   * Engine-side addition (the reference has no training-pipeline ops);
   * the assignment is the standard deterministic greedy fill: documents
   * are taken in a stable order and bin `b` holds the rows whose
-  * exclusive prefix token sum lands in `[b*budget, (b+1)*budget)`.
-  * A document longer than the budget gets a bin of its own (its
-  * `bin_offset` is 0 and downstream truncates/chunks it — truncation
-  * policy is deliberately NOT this operator's job).
+  * exclusive prefix token sum lands in `[b*budget, (b+1)*budget)` —
+  * concat-then-chunk semantics, so a document may START mid-bin and
+  * straddle the boundary into following bins (an over-budget document
+  * always does). How straddling rows are split/truncated at bin edges
+  * is downstream's tokenizer policy, deliberately NOT this operator's
+  * job; `bin_offset` tells it where inside the bin the row begins.
   *
   * Plan shape: one shuffle on `groupCols` + one in-partition sort — a
   * single window, no self-joins, no iteration. The serial constraint is
@@ -49,7 +51,12 @@ object Packing {
     val w = w0.orderBy(col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val before: Column = coalesce(sum(col(tokensCol)).over(w), lit(0L))
-    df.withColumn("bin_id", floor(before / budget))
-      .withColumn("bin_offset", before - col("bin_id") * budget)
+    // Integral DIV, not floor(a/b): long/long Divide is a DOUBLE
+    // division in Spark, which mis-bins once a group's prefix sum
+    // passes 2^53 (and diverges from an integer-`//` oracle).
+    df.withColumn("__bf", before.cast("long"))
+      .withColumn("bin_id", expr(s"__bf DIV ${budget}L"))
+      .withColumn("bin_offset", col("__bf") - col("bin_id") * budget)
+      .drop("__bf")
   }
 }

@@ -53,8 +53,15 @@ object Scd2 {
     // current row out into duplicate closed rows AND insert multiple new
     // 'current' rows — silent corruption. delta-rs MERGE (the reference's
     // engine) raises a multiple-source-rows-matched error; so do we.
+    // countDistinct ignores NULL, but `select(pk).distinct().count()`
+    // semantics (one distinct NULL group) are the contract — add the
+    // NULL group back so a single NULL-keyed update row stays legal and
+    // two of them still fail the guard.
     val guard = updates.agg(
-      F.count(lit(1)).as("n"), F.countDistinct(col(primaryKey)).as("k")).head()
+      F.count(lit(1)).as("n"),
+      (F.countDistinct(col(primaryKey)) +
+        F.coalesce(F.max(when(col(primaryKey).isNull, 1L).otherwise(0L)),
+          lit(0L))).as("k")).head()
     val (updTotal, updKeys) = (guard.getLong(0), guard.getLong(1))
     require(updTotal == updKeys,
       s"updates contain $updTotal rows but only $updKeys distinct '$primaryKey' " +

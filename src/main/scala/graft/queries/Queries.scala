@@ -686,13 +686,16 @@ object Queries {
       |  r.view_value AS asof_view_value
       |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.us >= r.view_us""".stripMargin
 
+  /** events with `ts` converted nanos→micros. Integer DIV, not `/`: a
+    * double division at epoch-nano magnitude (1.7e18) has ulp ≈ 256 —
+    * it silently corrupts the microseconds. */
+  private def eventsUs(s: SparkSession): DataFrame =
+    s.table("events").select(col("event_id"), col("user_id"),
+      expr("ts DIV 1000").as("us"), col("event_type"), col("value"))
+
   private val qAsofJoinSpark: (SparkSession, String) => DataFrame = (s, dir) => {
     registerViews(s, dir)
-    // integer DIV, not `/`: a double division at epoch-nano magnitude
-    // (1.7e18) has ulp ≈ 256 — it silently corrupts the microseconds.
-    val e = s.table("events")
-      .select(col("event_id"), col("user_id"),
-        expr("ts DIV 1000").as("us"), col("event_type"), col("value"))
+    val e = eventsUs(s)
     val left = e.where(col("event_type") === "purchase")
       .select("event_id", "user_id", "us")
     val right = e.where(col("event_type") === "view")
@@ -740,9 +743,7 @@ object Queries {
 
   private val qRangeJoinSpark: (SparkSession, String) => DataFrame = (s, dir) => {
     registerViews(s, dir)
-    val e = s.table("events")
-      .select(col("event_id"), col("user_id"),
-        expr("ts DIV 1000").as("us"), col("event_type"))
+    val e = eventsUs(s)
     val intervals = e.where(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("us").as("start_us"), (col("us") + RangeWindowUs).as("end_us"))

@@ -290,6 +290,18 @@ class OperatorsSpec extends SparkTestBase {
     assert(out.getAs[Long]("asof_rv") == 222L)
   }
 
+  test("asOf carries the latest right ROW atomically when a value is NULL") {
+    import graft.operators.AsOfJoin
+    // the latest right row has rv=NULL; a per-column carry would stitch
+    // the older row's rv=100 onto the newer row's time (a row that
+    // never existed) — the DuckDB ASOF JOIN contract returns (15, NULL)
+    val left = Seq((1L, 20L)).toDF("k", "t")
+    val right = Seq((1L, 5L, Some(100L)), (1L, 15L, None)).toDF("k", "rt", "rv")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "t", "rt", Seq("rv")).collect()(0)
+    assert(out.getAs[Long]("asof_rt") == 15L)
+    assert(out.isNullAt(out.fieldIndex("asof_rv")), "NULL value must come through, not an older row's value")
+  }
+
   test("pointInInterval matches the naive inequality join exactly") {
     import graft.operators.RangeJoin
     // random-ish deterministic intervals/points incl. bin-boundary cases
@@ -327,9 +339,14 @@ class OperatorsSpec extends SparkTestBase {
     assert(out(("en", 4L)) == (1L, 800L))  // before=1800
     assert(out(("en", 5L)) == (2L, 400L))  // before=2400
     assert(out(("de", 1L)) == (0L, 0L))    // groups pack independently
-    // every bin's contents are contiguous in id order
-    val binTotals = Packing.packSequences(df, "id", "n", 1000L, Seq("lang"))
-      .groupBy("lang", "bin_id").agg(sum("n").as("s")).collect()
-    assert(binTotals.nonEmpty)
+    // bins are contiguous in id order: ids sorted per group must have
+    // non-decreasing bin_id with no gaps
+    val byGroup = Packing.packSequences(df, "id", "n", 1000L, Seq("lang"))
+      .collect().groupBy(_.getAs[String]("lang"))
+    byGroup.values.foreach { rows =>
+      val bins = rows.sortBy(_.getAs[Long]("id")).map(_.getAs[Long]("bin_id")).toSeq
+      assert(bins == bins.sorted, s"bin ids must be non-decreasing in id order: $bins")
+      assert(bins.distinct == (bins.min to bins.max).toSeq, s"bin ids must be gap-free: $bins")
+    }
   }
 }
