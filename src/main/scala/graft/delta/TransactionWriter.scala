@@ -198,6 +198,14 @@ object TransactionWriter {
         s"cannot write to ${log.tablePath}: table uses column mapping " +
           s"(mode=${s.columnMappingMode}) and this writer emits logical names " +
           "— writing would corrupt it")
+      // minWriterVersion > 2 tables carry writer-enforced features this
+      // writer does not implement (CHECK constraints, generated columns,
+      // deletion vectors, ...) — writing while ignoring them silently
+      // violates the table's invariants, so refuse, as the spec requires.
+      require(s.protocol.minWriterVersion <= 2,
+        s"cannot write to ${log.tablePath}: table requires " +
+          s"minWriterVersion=${s.protocol.minWriterVersion} (supported: <= 2); " +
+          "refusing to write rather than ignore writer-enforced features")
       require(removes.isEmpty ||
           !s.metadata.configuration.get("delta.appendOnly").contains("true"),
         s"cannot remove files from ${log.tablePath}: table is delta.appendOnly")

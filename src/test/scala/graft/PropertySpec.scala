@@ -111,6 +111,45 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("asOf equals the naive per-row latest-match on random data") {
+    import graft.operators.AsOfJoin
+    (1 to 4).foreach { caseId =>
+      // random keys/times with deliberate collisions; ~1/6 right values NULL
+      val left = (1 to 60).map { i =>
+        (sample(Gen.choose(0, 5), caseId * 11L + i).toLong, // k
+          sample(Gen.choose(0L, 40L), caseId * 13L + i),    // t
+          i.toLong)                                          // lid
+      }
+      val right = (1 to 50).map { i =>
+        val v = if (sample(Gen.choose(0, 5), caseId * 17L + i) == 0) None
+          else Some(sample(Gen.choose(0L, 999L), caseId * 19L + i))
+        (sample(Gen.choose(0, 5), caseId * 23L + i).toLong, // k
+          sample(Gen.choose(0L, 40L), caseId * 29L + i),    // rt
+          i.toLong,                                          // seq (tie-break)
+          v)                                                 // rv (nullable)
+      }
+      val got = AsOfJoin.asOf(
+        left.toDF("k", "t", "lid").repartition(5),
+        right.toDF("k", "rt", "seq", "rv").repartition(3),
+        Seq("k"), "t", "rt", Seq("seq", "rv"), rightOrder = Seq("seq"))
+        .collect()
+        .map(r => (r.getAs[Long]("lid"),
+          (r.getAs[Long]("asof_rt"), r.getAs[Long]("asof_seq"),
+            Option(r.getAs[Any]("asof_rv"))))).toMap
+      // naive reference: per left row, the max-(rt, seq) right row with rt <= t
+      val want = left.flatMap { case (k, t, lid) =>
+        val matches = right.filter(r => r._1 == k && r._2 <= t)
+        if (matches.isEmpty) None
+        else {
+          val m = matches.maxBy(r => (r._2, r._3))
+          Some(lid -> ((m._2, m._3, m._4.map(_.asInstanceOf[Any]))))
+        }
+      }.toMap
+      assert(got == want, s"case $caseId")
+      assert(want.nonEmpty, s"case $caseId degenerate")
+    }
+  }
+
   test("redactPii leaves no pattern match behind (idempotent fixpoint)") {
     (0 until 3).foreach { caseId =>
       val docs = (0 until 20).map { i =>

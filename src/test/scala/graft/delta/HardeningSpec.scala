@@ -185,6 +185,20 @@ class HardeningSpec extends SparkTestBase {
     val e2 = intercept[IllegalArgumentException](
       TransactionWriter.overwrite(log, Seq((9L, "z")).toDF("n", "s")))
     assert(e2.getMessage.contains("appendOnly"))
+
+    // writer-version gate: minWriterVersion > 2 means writer-enforced
+    // features (constraints, generated columns, ...) we don't implement
+    val wvPath = Files.createTempDirectory("graft-hard").resolve("t").toString
+    val wvLog = DeltaLog.forPath(spark, wvPath)
+    val wvSchema = StructType(Seq(StructField("n", LongType)))
+    wvLog.commit(0, Seq(
+      ProtocolAction(Protocol(1, 4)),
+      MetadataAction(Metadata(java.util.UUID.randomUUID.toString, wvSchema.json,
+        Nil, Map.empty, Some(0L))),
+      CommitInfoAction(CommitInfo(0L, "WRITE"))))
+    val e3 = intercept[IllegalArgumentException](
+      TransactionWriter.append(wvLog, Seq(1L).toDF("n")))
+    assert(e3.getMessage.contains("minWriterVersion"))
   }
 
   test("delta.checkpointInterval writes periodic checkpoints") {
