@@ -167,6 +167,40 @@ object Maintenance {
       dataChange = false)
   }
 
+  /** Targeted OPTIMIZE: rewrite ONLY the active files smaller than
+    * `smallThreshold` into ~`targetFileBytes` files, leaving right-sized
+    * files untouched in the log. This is the shape an OPTIMIZE pass
+    * needs at scale — cost O(small-file bytes), not O(table): a 100 TB
+    * table with 1% small-file debt rewrites 1 TB, where [[compact]]
+    * (full rewrite) is the layout-reset sledgehammer. Returns the new
+    * version, or the current one when fewer than `minSmallFiles` small
+    * files exist (no commit — OPTIMIZE on a healthy table is a no-op).
+    *
+    * Partitioned tables compact per partition value (the repartition by
+    * partition key sends each value to one task → one output file per
+    * touched partition). dataChange = false: streaming consumers skip
+    * pure layout rewrites. */
+  def compactSmall(
+      log: DeltaLog,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      smallThresholdBytes: Long = -1L,
+      minSmallFiles: Int = 2): Long = {
+    val threshold =
+      if (smallThresholdBytes > 0) smallThresholdBytes else targetFileBytes / 2
+    val snap = log.snapshot
+    val small = snap.activeFiles.filter(_.size < threshold)
+    if (small.size < minSmallFiles) return snap.version
+    val smallBytes = math.max(small.map(_.size).sum, 1L)
+    val targetFiles = math.max(1, math.ceil(smallBytes.toDouble / targetFileBytes).toInt)
+    val partCols = snap.metadata.partitionColumns
+    val df =
+      if (partCols.isEmpty) snap.readFiles(small).repartition(targetFiles)
+      else snap.readFiles(small).repartition(targetFiles,
+        partCols.map(org.apache.spark.sql.functions.col): _*)
+    TransactionWriter.rewriteFiles(log, snap, small, df, "OPTIMIZE",
+      dataChange = false)
+  }
+
   /** Production-default retention: 7 days, as in delta-spark. */
   val DefaultVacuumRetentionMs: Long = 7L * 24 * 60 * 60 * 1000
 

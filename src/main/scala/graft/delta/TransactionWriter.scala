@@ -148,10 +148,12 @@ object TransactionWriter {
       snap: Snapshot,
       touched: Seq[AddFile],
       replacement: DataFrame,
-      operation: String): Long =
+      operation: String,
+      dataChange: Boolean = true): Long =
     writeAndCommit(log, replacement, Some(snap), removes = touched,
       partitionBy = Some(snap.metadata.partitionColumns),
-      configuration = Map.empty, operation = operation, mode = "Rewrite")
+      configuration = Map.empty, operation = operation, mode = "Rewrite",
+      dataChange = dataChange)
 
   /** Structural schema equality ignoring nullability, field order, and
     * metadata — what matters for whether existing + new files can be

@@ -97,6 +97,28 @@ object Queries {
       |JOIN nation n ON c.c_nationkey = n.n_nationkey
       |GROUP BY n.n_name""".stripMargin
 
+  /** ROLLUP grouping-sets aggregate (identical SQL in both dialects;
+    * the subtotal rows carry NULL group keys in both engines). */
+  private val qRollupRevenue: String =
+    """SELECT n.n_name, c.c_mktsegment,
+      |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_orders
+      |FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY ROLLUP(n.n_name, c.c_mktsegment)""".stripMargin
+
+  /** Moving-window average (ROWS frame). The sum goes through exact
+    * DECIMAL then one double division — both engines do the identical
+    * IEEE division, so ROUND(.,4) agrees. */
+  private val qMovingAvg: String =
+    """SELECT o_custkey, o_orderkey,
+      |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |    / COUNT(*) OVER w, 4) AS avg_3
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+      |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin
+
   private val qTopkBrand: String =
     """SELECT p_brand, p_partkey, p_retailprice, rank_in_brand FROM (
       |  SELECT p_brand, p_partkey, p_retailprice,
@@ -1140,6 +1162,8 @@ object Queries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_lineitem" -> sqlQuery(qAggLineitemSpark),
     "q_join_revenue" -> sqlQuery(qJoinRevenue),
+    "q_rollup_revenue" -> sqlQuery(qRollupRevenue),
+    "q_moving_avg" -> sqlQuery(qMovingAvg),
     "q_topk_brand" -> sqlQuery(qTopkBrand),
     "q_kill_duplicates" -> ((s, dir) => {
       registerViews(s, dir)
@@ -1286,6 +1310,8 @@ object Queries {
   val oracleSql: Map[String, String] = Map(
     "q_agg_lineitem" -> qAggLineitemSpark,
     "q_join_revenue" -> qJoinRevenue,
+    "q_rollup_revenue" -> qRollupRevenue,
+    "q_moving_avg" -> qMovingAvg,
     "q_topk_brand" -> qTopkBrand,
     "q_kill_duplicates" -> qKillDuplicatesOracle,
     "q_drop_duplicates" -> qDropDuplicatesOracle,

@@ -39,6 +39,12 @@ object LeviDemo {
       println(s"== time travel back to v0: ${log.snapshotAt(0).read().count()} rows ==")
 
       graft.delta.Maintenance.append(log, Seq((7L, "E", "E")).toDF("col1", "col2", "col3"))
+      // targeted small-file OPTIMIZE first (everything here is tiny, so
+      // all files coalesce), then the full-rewrite variant as a no-op-ish
+      // layout reset
+      val beforeFiles = log.snapshot.numFiles
+      graft.delta.Maintenance.compactSmall(log, smallThresholdBytes = 10L * 1024 * 1024)
+      println(s"== compactSmall: $beforeFiles file(s) -> ${log.snapshot.numFiles} ==")
       graft.delta.Maintenance.compact(log)
       val cpV = graft.delta.Maintenance.checkpoint(log)
       val vacuumed = graft.delta.Maintenance.vacuum(log, retentionMs = 0L, allowZeroRetention = true)

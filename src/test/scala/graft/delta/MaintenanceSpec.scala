@@ -43,6 +43,29 @@ class MaintenanceSpec extends SparkTestBase {
     assert(e.getMessage.contains("dataChange remove"))
   }
 
+  test("compactSmall rewrites only sub-threshold files, keeps big ones") {
+    val log = freshLog()
+    // one "big" file (500 rows in one task) + four tiny appends
+    TransactionWriter.overwrite(log,
+      (1L to 500L).map(i => (i, s"v$i")).toDF("n", "s").coalesce(1))
+    (1 to 4).foreach(i => Maintenance.append(log,
+      Seq((1000L + i, s"t$i")).toDF("n", "s").coalesce(1)))
+    val before = log.snapshot
+    assert(before.activeFiles.size == 5)
+    val big = before.activeFiles.maxBy(_.size)
+    // threshold between the tiny files and the big one
+    val v = Maintenance.compactSmall(log,
+      targetFileBytes = 64L * 1024 * 1024, smallThresholdBytes = big.size)
+    assert(v == before.version + 1)
+    val after = log.snapshot
+    // the big file survives untouched; the 4 tiny ones became 1
+    assert(after.activeFiles.map(_.path).contains(big.path), "big file must not be rewritten")
+    assert(after.activeFiles.size == 2, s"expected big + 1 compacted, got ${after.activeFiles.size}")
+    assertSameRows(after.read(), before.read())
+    // no-op when nothing is small enough: no new commit
+    assert(Maintenance.compactSmall(log, smallThresholdBytes = 1L) == v)
+  }
+
   test("checkpoint lets the reader bootstrap without the JSON tail") {
     val log = freshLog()
     TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("n", "s"))
