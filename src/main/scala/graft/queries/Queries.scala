@@ -119,6 +119,21 @@ object Queries {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
       |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** Set operation (EXCEPT distinct) — customers who never placed an
+    * 'F'-status order. Shared-dialect SQL. */
+  private val qExceptCustomers: String =
+    """SELECT c_custkey FROM customer
+      |EXCEPT
+      |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin
+
+  /** Fixed-width histogram of order totals (deterministic bucketing —
+    * no engine-defined quantile algorithms). */
+  private val qHistogram: String =
+    """SELECT CAST(FLOOR(o_totalprice / 50000.0e0) AS BIGINT) AS bucket,
+      |  COUNT(*) AS n,
+      |  CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+      |FROM orders GROUP BY 1""".stripMargin
+
   private val qTopkBrand: String =
     """SELECT p_brand, p_partkey, p_retailprice, rank_in_brand FROM (
       |  SELECT p_brand, p_partkey, p_retailprice,
@@ -1164,6 +1179,8 @@ object Queries {
     "q_join_revenue" -> sqlQuery(qJoinRevenue),
     "q_rollup_revenue" -> sqlQuery(qRollupRevenue),
     "q_moving_avg" -> sqlQuery(qMovingAvg),
+    "q_except_customers" -> sqlQuery(qExceptCustomers),
+    "q_histogram" -> sqlQuery(qHistogram),
     "q_topk_brand" -> sqlQuery(qTopkBrand),
     "q_kill_duplicates" -> ((s, dir) => {
       registerViews(s, dir)
@@ -1312,6 +1329,8 @@ object Queries {
     "q_join_revenue" -> qJoinRevenue,
     "q_rollup_revenue" -> qRollupRevenue,
     "q_moving_avg" -> qMovingAvg,
+    "q_except_customers" -> qExceptCustomers,
+    "q_histogram" -> qHistogram,
     "q_topk_brand" -> qTopkBrand,
     "q_kill_duplicates" -> qKillDuplicatesOracle,
     "q_drop_duplicates" -> qDropDuplicatesOracle,

@@ -62,6 +62,9 @@ class MaintenanceSpec extends SparkTestBase {
     assert(after.activeFiles.map(_.path).contains(big.path), "big file must not be rewritten")
     assert(after.activeFiles.size == 2, s"expected big + 1 compacted, got ${after.activeFiles.size}")
     assertSameRows(after.read(), before.read())
+    // layout-only commit: invisible to incremental/streaming readers
+    assertSameRows(log.readChanges(before.version, v),
+      spark.emptyDataFrame.selectExpr("CAST(1 AS BIGINT) n", "'x' s").limit(0))
     // no-op when nothing is small enough: no new commit
     assert(Maintenance.compactSmall(log, smallThresholdBytes = 1L) == v)
   }
