@@ -134,6 +134,31 @@ object Queries {
       |  CAST(MIN(o_orderkey) AS BIGINT) AS min_key
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** Correlated EXISTS (decorrelates to a left-semi join) — customers
+    * with at least one high-value order. Shared-dialect SQL. */
+  private val qExistsBigOrder: String =
+    """SELECT c_custkey, c_mktsegment FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""".stripMargin
+
+  /** Exact median (avg of the two middle values) per brand, spelled
+    * with windows so both engines compute the identical value — no
+    * engine-defined interpolation. The DECIMAL sum of <= 2 exact
+    * values divided once in double is IEEE-identical cross-engine. */
+  private val qMedianPrice: String =
+    """WITH r AS (SELECT p_brand, CAST(p_retailprice AS DECIMAL(18,2)) AS price,
+      |    ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey) AS rn,
+      |    COUNT(*) OVER (PARTITION BY p_brand) AS n
+      |  FROM part),
+      |m AS (SELECT p_brand, price,
+      |    CAST(FLOOR((n + 1) / 2.0e0) AS BIGINT) AS lo,
+      |    CAST(FLOOR((n + 2) / 2.0e0) AS BIGINT) AS hi, rn
+      |  FROM r)
+      |SELECT p_brand,
+      |  ROUND(CAST(SUM(CASE WHEN rn = lo OR rn = hi THEN price END) AS DOUBLE)
+      |    / COUNT(CASE WHEN rn = lo OR rn = hi THEN 1 END), 4) AS median_price
+      |FROM m GROUP BY p_brand""".stripMargin
+
   private val qTopkBrand: String =
     """SELECT p_brand, p_partkey, p_retailprice, rank_in_brand FROM (
       |  SELECT p_brand, p_partkey, p_retailprice,
@@ -914,6 +939,56 @@ object Queries {
   private val qStreamDedupDuck: String =
     "SELECT DISTINCT user_id, event_type FROM events"
 
+  /** Stateful streaming sessionization (flatMapGroupsWithState),
+    * driver-verified: drain the bounded event stream with a 0-second
+    * watermark and 30-minute gap; the emitted CLOSED sessions must
+    * equal the batch gap-window sessions that are closed at drain —
+    * i.e. every session except, per user, a final one whose
+    * event-time timeout (`end + gap`) is still beyond the final
+    * watermark (= max event time). */
+  private def qStreamSessionizeSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      import s.implicits._
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val ev = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
+        .selectExpr("user_id", "timestamp_micros(ts DIV 1000) AS ts",
+          "ts DIV 1000 AS event_us")
+        .as[(Long, java.sql.Timestamp, Long)]
+      val sess = graft.streaming.StreamingOps.streamingSessionize(
+        ev, gapUs = SessionGapUs, watermark = "0 seconds")
+      val name = "stream_sess_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = sess.toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    }
+
+  val SessionGapUs: Long = 1800000000L // 30 min
+
+  private val qStreamSessionizeDuck: String =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+       |m AS (SELECT user_id, us,
+       |    CASE WHEN LAG(us) OVER w IS NULL OR us - LAG(us) OVER w > $SessionGapUs
+       |         THEN 1 ELSE 0 END AS new_s
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+       |s AS (SELECT user_id, us,
+       |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+       |  FROM m),
+       |g AS (SELECT user_id, sess,
+       |    MIN(us) AS session_start_us, MAX(us) AS session_end_us,
+       |    CAST(COUNT(*) AS BIGINT) AS n_events
+       |  FROM s GROUP BY user_id, sess),
+       |lastg AS (SELECT user_id, MAX(sess) AS last_sess FROM g GROUP BY user_id),
+       |mx AS (SELECT MAX(us) AS maxus FROM e)
+       |SELECT g.user_id, g.session_start_us, g.session_end_us, g.n_events
+       |FROM g JOIN lastg ON g.user_id = lastg.user_id, mx
+       |WHERE g.sess < lastg.last_sess
+       |   OR g.session_end_us + $SessionGapUs <= mx.maxus""".stripMargin
+
   /** Incremental read, driver-verified END-TO-END through the real
     * Delta layer: write orders in two transactional commits to a
     * scratch table, then `readChanges(0)` must return exactly the
@@ -1181,6 +1256,8 @@ object Queries {
     "q_moving_avg" -> sqlQuery(qMovingAvg),
     "q_except_customers" -> sqlQuery(qExceptCustomers),
     "q_histogram" -> sqlQuery(qHistogram),
+    "q_exists_big_order" -> sqlQuery(qExistsBigOrder),
+    "q_median_price" -> sqlQuery(qMedianPrice),
     "q_topk_brand" -> sqlQuery(qTopkBrand),
     "q_kill_duplicates" -> ((s, dir) => {
       registerViews(s, dir)
@@ -1232,6 +1309,7 @@ object Queries {
     "q_corpus_pipeline" -> cachedStagesQuery(minhashStages, sparkPipelineFinal),
     "q_stream_counts" -> qStreamCountsSpark,
     "q_stream_dedup" -> qStreamDedupSpark,
+    "q_stream_sessionize" -> qStreamSessionizeSpark,
     "q_read_changes" -> qReadChangesSpark,
     "q_media_frames" -> ((s, dir) => {
       registerViews(s, dir)
@@ -1331,6 +1409,8 @@ object Queries {
     "q_moving_avg" -> qMovingAvg,
     "q_except_customers" -> qExceptCustomers,
     "q_histogram" -> qHistogram,
+    "q_exists_big_order" -> qExistsBigOrder,
+    "q_median_price" -> qMedianPrice,
     "q_topk_brand" -> qTopkBrand,
     "q_kill_duplicates" -> qKillDuplicatesOracle,
     "q_drop_duplicates" -> qDropDuplicatesOracle,
@@ -1355,6 +1435,7 @@ object Queries {
     "q_corpus_pipeline" -> qPipelineDuck,
     "q_stream_counts" -> qStreamCountsDuck,
     "q_stream_dedup" -> qStreamDedupDuck,
+    "q_stream_sessionize" -> qStreamSessionizeDuck,
     "q_read_changes" -> qReadChangesDuck,
     "q_media_frames" -> qMediaFramesDuck,
     "q_simhash" -> qSimhash("duck"),
