@@ -321,6 +321,14 @@ class OperatorsSpec extends SparkTestBase {
     // exactly-once: no duplicate (interval, point) pairs from multi-bin intervals
     val n = RangeJoin.pointInInterval(points, intervals, Seq("k"), "t", "s", "e", 50).count()
     assert(n == got.size)
+    // negative coordinates: floor-division binning must stay monotonic
+    // (Spark floor(-1/50.0) = -1, not 0 — truncation would mis-bin)
+    val negI = Seq((1L, 1L, -120L, -30L), (1L, 2L, -10L, 40L)).toDF("k", "iid", "s", "e")
+    val negP = Seq((1L, 1L, -100L), (1L, 2L, -40L), (1L, 3L, 0L), (1L, 4L, -121L))
+      .toDF("k", "pid", "t")
+    val negGot = RangeJoin.pointInInterval(negP, negI, Seq("k"), "t", "s", "e", 50)
+      .select("iid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(negGot == Set((1L, 1L), (1L, 2L), (2L, 3L)))
   }
 
   test("packSequences assigns bins by exclusive prefix sum within groups") {
