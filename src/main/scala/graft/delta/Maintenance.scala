@@ -146,24 +146,30 @@ object Maintenance {
   /** OPTIMIZE-style small-file compaction: rewrite the current snapshot
     * into ~`targetFileBytes` files (per partition for partitioned
     * tables). Data is unchanged — pure file-layout commit. */
+  /** Shared OPTIMIZE layout: size the output file count from the bytes
+    * being rewritten. Partitioned tables must repartition BY the
+    * partition columns: a round-robin repartition(n) followed by
+    * partitionBy(...) writes up to n files per partition value —
+    * fragmentation, not compaction. Hashing by partition key sends
+    * each value to exactly one task → one output file per partition
+    * value. */
+  private def layoutFor(
+      df: org.apache.spark.sql.DataFrame, bytes: Long,
+      targetFileBytes: Long, partCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val targetFiles =
+      math.max(1, math.ceil(math.max(bytes, 1L).toDouble / targetFileBytes).toInt)
+    if (partCols.isEmpty) df.repartition(targetFiles)
+    else df.repartition(targetFiles, partCols.map(org.apache.spark.sql.functions.col): _*)
+  }
+
   def compact(log: DeltaLog, targetFileBytes: Long = 128L * 1024 * 1024): Long = {
     val snap = log.snapshot
-    val totalBytes = math.max(snap.activeFiles.map(_.size).sum, 1L)
-    val targetFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val partCols = snap.metadata.partitionColumns
-    // Partitioned tables must repartition BY the partition columns:
-    // a round-robin repartition(n) followed by partitionBy(...) writes
-    // up to n files per partition value — fragmentation, not compaction.
-    // Hashing by partition key sends each value to exactly one task →
-    // one output file per partition value.
-    val df =
-      if (partCols.isEmpty) snap.read().repartition(targetFiles)
-      else snap.read().repartition(targetFiles,
-        partCols.map(org.apache.spark.sql.functions.col): _*)
+    val df = layoutFor(snap.read(), snap.activeFiles.map(_.size).sum,
+      targetFileBytes, snap.metadata.partitionColumns)
     // dataChange = false: pure layout rewrite — streaming consumers
     // must not re-emit or fail on an OPTIMIZE (Delta spec)
     TransactionWriter.overwrite(log, df,
-      partitionBy = Some(partCols), operation = "OPTIMIZE",
+      partitionBy = Some(snap.metadata.partitionColumns), operation = "OPTIMIZE",
       dataChange = false)
   }
 
@@ -188,16 +194,18 @@ object Maintenance {
     val threshold =
       if (smallThresholdBytes > 0) smallThresholdBytes else targetFileBytes / 2
     val snap = log.snapshot
-    val small = snap.activeFiles.filter(_.size < threshold)
-    if (small.size < minSmallFiles) return snap.version
-    val smallBytes = math.max(small.map(_.size).sum, 1L)
-    val targetFiles = math.max(1, math.ceil(smallBytes.toDouble / targetFileBytes).toInt)
-    val partCols = snap.metadata.partitionColumns
-    val df =
-      if (partCols.isEmpty) snap.readFiles(small).repartition(targetFiles)
-      else snap.readFiles(small).repartition(targetFiles,
-        partCols.map(org.apache.spark.sql.functions.col): _*)
-    TransactionWriter.rewriteFiles(log, snap, small, df, "OPTIMIZE",
+    // The minSmallFiles floor applies PER PARTITION VALUE: a lone small
+    // file in a partition rewrites to itself (one output file per
+    // value), so including it would commit a useless identical rewrite
+    // on every invocation — the pass must converge to a no-op.
+    val touched = snap.activeFiles.filter(_.size < threshold)
+      .groupBy(_.partitionValues).values
+      .filter(_.size >= minSmallFiles)
+      .flatten.toSeq
+    if (touched.isEmpty) return snap.version
+    val df = layoutFor(snap.readFiles(touched), touched.map(_.size).sum,
+      targetFileBytes, snap.metadata.partitionColumns)
+    TransactionWriter.rewriteFiles(log, snap, touched, df, "OPTIMIZE",
       dataChange = false)
   }
 

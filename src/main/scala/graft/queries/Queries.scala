@@ -944,8 +944,16 @@ object Queries {
     * watermark and 30-minute gap; the emitted CLOSED sessions must
     * equal the batch gap-window sessions that are closed at drain —
     * i.e. every session except, per user, a final one whose
-    * event-time timeout (`end + gap`) is still beyond the final
-    * watermark (= max event time). */
+    * event-time timeout (`end + gap`, ms-truncated as GroupState
+    * timeouts are) has not fallen STRICTLY below the final watermark
+    * (= ms-truncated max event time; timeouts fire when the watermark
+    * advances beyond the set timestamp).
+    *
+    * The zero watermark is verification-only: it is exact because the
+    * single-file AvailableNow drain is ONE micro-batch (no event can
+    * arrive behind the watermark). A production stream sets a real
+    * delay, under which the operator's widen-don't-regress late
+    * branch applies. */
   private def qStreamSessionizeSpark: (SparkSession, String) => DataFrame =
     (s, dir) => {
       registerViews(s, dir)
@@ -987,7 +995,7 @@ object Queries {
        |SELECT g.user_id, g.session_start_us, g.session_end_us, g.n_events
        |FROM g JOIN lastg ON g.user_id = lastg.user_id, mx
        |WHERE g.sess < lastg.last_sess
-       |   OR g.session_end_us + $SessionGapUs <= mx.maxus""".stripMargin
+       |   OR (g.session_end_us + $SessionGapUs) // 1000 < mx.maxus // 1000""".stripMargin
 
   /** Incremental read, driver-verified END-TO-END through the real
     * Delta layer: write orders in two transactional commits to a

@@ -69,6 +69,30 @@ class MaintenanceSpec extends SparkTestBase {
     assert(Maintenance.compactSmall(log, smallThresholdBytes = 1L) == v)
   }
 
+  test("compactSmall converges on partitioned tables (per-partition floor)") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log,
+      Seq((1L, "x"), (2L, "y")).toDF("n", "p").repartition(1),
+      partitionBy = Some(Seq("p")))
+    // one small file per partition value — nothing to merge anywhere
+    val v0 = log.snapshot.version
+    assert(Maintenance.compactSmall(log, smallThresholdBytes = 10L * 1024 * 1024) == v0,
+      "a lone small file per partition must NOT trigger a rewrite")
+    // two small files in partition x -> merged; y's lone file untouched
+    Maintenance.append(log, Seq((3L, "x")).toDF("n", "p"))
+    val before = log.snapshot
+    val yFile = before.activeFiles.filter(_.partitionValues.get("p").contains("y"))
+    val v = Maintenance.compactSmall(log, smallThresholdBytes = 10L * 1024 * 1024)
+    assert(v == before.version + 1)
+    val after = log.snapshot
+    assert(after.activeFiles.count(_.partitionValues.get("p").contains("x")) == 1)
+    assert(after.activeFiles.filter(_.partitionValues.get("p").contains("y"))
+      .map(_.path) == yFile.map(_.path), "untouched partition keeps its file")
+    assertSameRows(after.read(), before.read())
+    // and now a healthy table: further passes are no-ops
+    assert(Maintenance.compactSmall(log, smallThresholdBytes = 10L * 1024 * 1024) == v)
+  }
+
   test("checkpoint lets the reader bootstrap without the JSON tail") {
     val log = freshLog()
     TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("n", "s"))
