@@ -24,6 +24,20 @@ object JsonUtil {
       }.toMap
     }.getOrElse(Map.empty)
 
+  private def optDv(n: JsonNode): Option[DeletionVectorDescriptor] =
+    Option(n.get("deletionVector")).filterNot(_.isNull).map { d =>
+      DeletionVectorDescriptor(
+        storageType = d.get("storageType").asText(),
+        pathOrInlineDv = d.get("pathOrInlineDv").asText(),
+        offset = Option(d.get("offset")).filterNot(_.isNull).map(_.asInt()),
+        sizeInBytes = d.get("sizeInBytes").asInt(),
+        cardinality = d.get("cardinality").asLong())
+    }
+
+  private def optStrSet(n: JsonNode, f: String): Set[String] =
+    Option(n.get(f)).filterNot(_.isNull)
+      .map(_.elements().asScala.map(_.asText()).toSet).getOrElse(Set.empty)
+
   /** Parse one NDJSON commit line into an [[Action]] (None for lines we
     * don't model, e.g. `cdc`). */
   def parseAction(line: String): Option[Action] = {
@@ -36,7 +50,8 @@ object JsonUtil {
         size = optLong(a, "size").getOrElse(0L),
         modificationTime = optLong(a, "modificationTime").getOrElse(0L),
         dataChange = Option(a.get("dataChange")).forall(_.asBoolean(true)),
-        stats = optText(a, "stats"))))
+        stats = optText(a, "stats"),
+        deletionVector = optDv(a))))
     } else if (root.has("remove")) {
       val r = root.get("remove")
       Some(RemoveAction(RemoveFile(
@@ -44,7 +59,8 @@ object JsonUtil {
         deletionTimestamp = optLong(r, "deletionTimestamp").getOrElse(0L),
         dataChange = Option(r.get("dataChange")).forall(_.asBoolean(true)),
         partitionValues = strMap(r, "partitionValues"),
-        size = optLong(r, "size"))))
+        size = optLong(r, "size"),
+        deletionVector = optDv(r))))
     } else if (root.has("metaData")) {
       val m = root.get("metaData")
       Some(MetadataAction(Metadata(
@@ -57,7 +73,8 @@ object JsonUtil {
     } else if (root.has("protocol")) {
       val p = root.get("protocol")
       Some(ProtocolAction(Protocol(
-        p.get("minReaderVersion").asInt(1), p.get("minWriterVersion").asInt(2))))
+        p.get("minReaderVersion").asInt(1), p.get("minWriterVersion").asInt(2),
+        optStrSet(p, "readerFeatures"), optStrSet(p, "writerFeatures"))))
     } else if (root.has("commitInfo")) {
       val c = root.get("commitInfo")
       // operationParameters values may be nested JSON (other writers
@@ -89,6 +106,15 @@ object JsonUtil {
     m.foreach { case (k, v) => if (v == null) mn.putNull(k) else mn.put(k, v) }
   }
 
+  private def putDv(o: ObjectNode, dv: DeletionVectorDescriptor): Unit = {
+    val d = o.putObject("deletionVector")
+    d.put("storageType", dv.storageType)
+    d.put("pathOrInlineDv", dv.pathOrInlineDv)
+    dv.offset.foreach(d.put("offset", _))
+    d.put("sizeInBytes", dv.sizeInBytes)
+    d.put("cardinality", dv.cardinality)
+  }
+
   /** Render one action as a single commit JSON line. */
   def renderAction(action: Action): String = {
     val root = mapper.createObjectNode()
@@ -101,6 +127,7 @@ object JsonUtil {
         o.put("modificationTime", a.modificationTime)
         o.put("dataChange", a.dataChange)
         a.stats.foreach(o.put("stats", _))
+        a.deletionVector.foreach(putDv(o, _))
       case RemoveAction(r) =>
         val o = root.putObject("remove")
         o.put("path", r.path)
@@ -109,6 +136,7 @@ object JsonUtil {
         o.put("extendedFileMetadata", true)
         putStrMap(o, "partitionValues", r.partitionValues)
         r.size.foreach(o.put("size", _))
+        r.deletionVector.foreach(putDv(o, _))
       case MetadataAction(m) =>
         val o = root.putObject("metaData")
         o.put("id", m.id)
@@ -123,6 +151,16 @@ object JsonUtil {
         val o = root.putObject("protocol")
         o.put("minReaderVersion", p.minReaderVersion)
         o.put("minWriterVersion", p.minWriterVersion)
+        // Table-features protocol: reader 3 / writer 7 MUST list their
+        // feature sets explicitly (Delta spec, Table Features).
+        if (p.minReaderVersion >= 3 || p.readerFeatures.nonEmpty) {
+          val a = o.putArray("readerFeatures")
+          p.readerFeatures.toSeq.sorted.foreach(a.add)
+        }
+        if (p.minWriterVersion >= 7 || p.writerFeatures.nonEmpty) {
+          val a = o.putArray("writerFeatures")
+          p.writerFeatures.toSeq.sorted.foreach(a.add)
+        }
       case CommitInfoAction(c) =>
         val o = root.putObject("commitInfo")
         o.put("timestamp", c.timestamp)

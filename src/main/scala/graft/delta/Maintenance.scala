@@ -44,8 +44,12 @@ object Maintenance {
         Row(t.appId, t.version, t.lastUpdated.map(java.lang.Long.valueOf).orNull))
     }
     rows ++= snap.activeFiles.map { f =>
+      val dv = f.deletionVector.map { d =>
+        Row(d.storageType, d.pathOrInlineDv,
+          d.offset.map(java.lang.Integer.valueOf).orNull, d.sizeInBytes, d.cardinality)
+      }.orNull
       Row(Row(f.path, f.partitionValues, f.size, f.modificationTime, false,
-        f.stats.orNull), null, null, null, null)
+        f.stats.orNull, dv), null, null, null, null)
     }
     rows ++= snap.tombstones.collect().toSeq.map { r =>
       Row(null, null, null,
@@ -63,10 +67,17 @@ object Maintenance {
   private[delta] val checkpointSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     val strMap = MapType(StringType, StringType)
+    val dvT = StructType(Seq(
+      StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", IntegerType),
+      StructField("sizeInBytes", IntegerType),
+      StructField("cardinality", LongType)))
     val addT = StructType(Seq(
       StructField("path", StringType), StructField("partitionValues", strMap),
       StructField("size", LongType), StructField("modificationTime", LongType),
-      StructField("dataChange", BooleanType), StructField("stats", StringType)))
+      StructField("dataChange", BooleanType), StructField("stats", StringType),
+      StructField("deletionVector", dvT)))
     val metaT = StructType(Seq(
       StructField("id", StringType),
       StructField("format", StructType(Seq(

@@ -23,29 +23,33 @@ import graft.operators.Dedup
   */
 object Mutations {
 
-  /** Normalize an `input_file_name()` URI to the qualified-path form. */
+  /** Normalize a file-path URI string to the qualified-path form. */
   private def normalize(s: String): String =
     try new org.apache.hadoop.fs.Path(new java.net.URI(s)).toString
     catch { case _: Exception => s }
 
-  private def qualified(log: DeltaLog, snap: Snapshot, f: AddFile): String =
-    normalize(log.fs.makeQualified(
-      new org.apache.hadoop.fs.Path(snap.absolutePath(f))).toString)
+  /** Lookup from every observable `_metadata.file_path` spelling
+    * (normalized) back to the AddFile it names. */
+  private def fileIndex(snap: Snapshot, files: Seq[AddFile]): Map[String, AddFile] =
+    files.flatMap(f => snap.pathCandidates(f).map(c => normalize(c) -> f)).toMap
 
   /** Files whose rows (optionally pre-filtered) satisfy a semi-join
-    * against `keys` on `cols`. */
+    * against `keys` on `cols`. Attribution uses the scan's row-lineage
+    * column (a real column, not `input_file_name()`), so it stays
+    * correct when the scan contains a deletion-vector anti-join or any
+    * other post-scan operator. */
   private def touchedFiles(
       log: DeltaLog, snap: Snapshot, keys: DataFrame, cols: Seq[String],
       rowFilter: org.apache.spark.sql.Column = lit(true)): Seq[AddFile] = {
-    val taggedScan = snap.readFiles(snap.activeFiles)
-      .withColumn("__file", input_file_name())
+    val taggedScan = snap.readFilesLineage(snap.activeFiles)
+      .drop("__row")
       .where(rowFilter)
-    val idx: Map[String, AddFile] =
-      snap.activeFiles.map(f => qualified(log, snap, f) -> f).toMap
+    val idx = fileIndex(snap, snap.activeFiles)
     taggedScan.join(keys, cols, "left_semi")
       .select("__file").distinct().collect()
       .map(r => normalize(r.getString(0)))
       .flatMap(idx.get)
+      .distinct
       .toSeq
   }
 
@@ -126,5 +130,77 @@ object Mutations {
       isCurrentColName, endTimeColName)
     val replacement = closedTouched.unionByName(inserts)
     TransactionWriter.rewriteFiles(log, snap, touched, replacement, "MERGE")
+  }
+
+  /** DELETE via deletion vectors: mark matching rows deleted in a
+    * sidecar bitmap instead of rewriting their files — the modern
+    * delta-spark default. Cost is O(matched rows) bitmap bytes + one
+    * metadata commit; a predicate touching 0.001% of a 100 TB table
+    * writes KBs where the rewrite path writes the touched files.
+    * Upgrades the table protocol to reader 3 / writer 7 with the
+    * `deletionVectors` feature on first use (as delta-spark does when
+    * `delta.enableDeletionVectors` turns on).
+    *
+    * Sizing note: the matched (file, row) set is aggregated per file and
+    * streamed to the driver to build bitmaps — right for SELECTIVE
+    * deletes. Deleting most of a table should use the rewrite paths
+    * above instead (same guidance delta-spark gives).
+    *
+    * Returns the committed version (current version when no row
+    * matches). */
+  def deleteWithDv(log: DeltaLog, predicate: org.apache.spark.sql.Column): Long = {
+    val snap = log.snapshot
+    require(!snap.metadata.configuration.get("delta.appendOnly").contains("true"),
+      s"cannot delete from ${log.tablePath}: table is delta.appendOnly")
+    val matched = snap.readFilesLineage(snap.activeFiles)
+      .where(predicate)
+      .groupBy(col("__file"))
+      .agg(sort_array(collect_list(col("__row"))).as("__rows"))
+    val idx = fileIndex(snap, snap.activeFiles)
+    val perFile: Seq[(AddFile, Array[Long])] = matched.collect().toSeq.flatMap { r =>
+      idx.get(normalize(r.getString(0))).map(f => f -> r.getSeq[Long](1).toArray)
+    }
+    if (perFile.isEmpty) return snap.version
+    // Merge with any existing DV (the lineage scan already excludes
+    // previously-deleted rows, so the union is disjoint).
+    val mergedRows: Seq[(AddFile, Array[Long])] = perFile.map { case (f, rows) =>
+      val existing = f.deletionVector.toSeq.flatMap(dv =>
+        DeletionVectors.readRows(log.fs, log.rootPath, dv))
+      f -> (existing ++ rows).toArray.distinct.sorted
+    }
+    val descriptors = DeletionVectors.writeFile(
+      log.fs, log.rootPath, mergedRows.map(_._2))
+    val now = System.currentTimeMillis()
+    val actions = scala.collection.mutable.ArrayBuffer.empty[Action]
+    actions += CommitInfoAction(CommitInfo(now, "DELETE",
+      Map("mode" -> "deletionVectors")))
+    // Protocol upgrade on first DV write (Table Features: reader 3 /
+    // writer 7 list every active feature explicitly, including the ones
+    // the legacy version numbers implied).
+    val p = snap.protocol
+    if (p.minReaderVersion < 3 || p.minWriterVersion < 7 ||
+        !p.readerFeatures.contains("deletionVectors")) {
+      val legacyWriter = Set("appendOnly", "invariants")
+      val cmFeature =
+        if (snap.columnMappingMode != "none") Set("columnMapping") else Set.empty[String]
+      actions += ProtocolAction(Protocol(
+        minReaderVersion = 3,
+        minWriterVersion = 7,
+        readerFeatures = p.readerFeatures ++ cmFeature + "deletionVectors",
+        writerFeatures = p.writerFeatures ++ legacyWriter ++ cmFeature + "deletionVectors"))
+    }
+    mergedRows.zip(descriptors).foreach { case ((f, rows), desc) =>
+      actions += AddAction(f.copy(
+        modificationTime = now,
+        dataChange = true,
+        deletionVector = Some(desc)))
+      actions += RemoveAction(RemoveFile(f.path, now, dataChange = true,
+        partitionValues = f.partitionValues, size = Some(f.size),
+        deletionVector = f.deletionVector))
+    }
+    val v = snap.version + 1
+    log.commit(v, actions.toSeq)
+    log.spark.catalog.clearCache()
+    v
   }
 }

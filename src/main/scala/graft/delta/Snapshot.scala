@@ -59,7 +59,12 @@ class Snapshot(
     df.select("protocol").where(col("protocol.minReaderVersion").isNotNull)
       .limit(1).collect().headOption.map { row =>
         val p = row.getStruct(0)
-        Protocol(p.getInt(0), p.getInt(1))
+        def idx(f: String) = p.schema.fieldIndex(f)
+        def featSet(f: String): Set[String] =
+          if (!p.schema.fieldNames.contains(f) || p.isNullAt(idx(f))) Set.empty
+          else p.getSeq[String](idx(f)).toSet
+        Protocol(p.getInt(idx("minReaderVersion")), p.getInt(idx("minWriterVersion")),
+          featSet("readerFeatures"), featSet("writerFeatures"))
       }
   }
 
@@ -72,19 +77,25 @@ class Snapshot(
   /** Fail when the table requires reader features this engine doesn't
     * implement — reading anyway would SILENTLY return wrong rows (e.g.
     * resurrect DV-deleted rows), so fail like delta-rs instead. Called
-    * eagerly by [[DeltaLog.snapshotAt]]. Supported: reader v1, and
-    * reader v2 with column mapping in `name` mode (physical-name
-    * indirection, implemented below). `id` mode (parquet field-id
-    * resolution) and v3 reader features (deletion vectors, ...) are
-    * rejected. */
+    * eagerly by [[DeltaLog.snapshotAt]]. Supported: reader v1; reader
+    * v2 (column mapping in name or id mode, implemented below); and
+    * reader v3 when every listed reader feature is one we implement
+    * (column mapping, deletion vectors, timestampNtz). Anything else is
+    * rejected rather than misread. */
   def requireReadable(): Unit = {
     val v = protocol.minReaderVersion
+    val supportedFeatures = Set("columnMapping", "deletionVectors", "timestampNtz")
+    val unsupported = protocol.readerFeatures.diff(supportedFeatures)
     val ok = v <= 1 ||
-      (v == 2 && Set("name", "id", "none").contains(columnMappingMode))
+      (v == 2 && Set("name", "id", "none").contains(columnMappingMode)) ||
+      (v == 3 && unsupported.isEmpty &&
+        Set("name", "id", "none").contains(columnMappingMode))
     require(ok,
       s"unsupported Delta protocol: table ${log.tablePath} requires " +
-        s"minReaderVersion=$v with columnMapping.mode=$columnMappingMode " +
-        "(supported: v1, or v2 with columnMapping in name or id mode); " +
+        s"minReaderVersion=$v with columnMapping.mode=$columnMappingMode" +
+        (if (unsupported.nonEmpty) s" and reader features $unsupported" else "") +
+        " (supported: v1, v2 with columnMapping in name or id mode, or v3 " +
+        s"with reader features within $supportedFeatures); " +
         "refusing to read rather than silently returning wrong rows")
   }
 
@@ -132,6 +143,13 @@ class Snapshot(
 
   // ---- active-file reconciliation ------------------------------------------
 
+  private val dvStructType = StructType(Seq(
+    StructField("storageType", StringType),
+    StructField("pathOrInlineDv", StringType),
+    StructField("offset", IntegerType),
+    StructField("sizeInBytes", IntegerType),
+    StructField("cardinality", LongType)))
+
   private val actionSchema = StructType(Seq(
     StructField("version", LongType, nullable = false),
     StructField("is_add", BooleanType, nullable = false),
@@ -140,16 +158,22 @@ class Snapshot(
     StructField("size_bytes", LongType, nullable = true),
     StructField("modification_time", LongType, nullable = true),
     StructField("stats", StringType, nullable = true),
-    StructField("deletion_timestamp", LongType, nullable = true)))
+    StructField("deletion_timestamp", LongType, nullable = true),
+    StructField("deletion_vector", dvStructType, nullable = true)))
+
+  private def dvRow(dv: Option[DeletionVectorDescriptor]): Row = dv.map { d =>
+    Row(d.storageType, d.pathOrInlineDv,
+      d.offset.map(java.lang.Integer.valueOf).orNull, d.sizeInBytes, d.cardinality)
+  }.orNull
 
   private def tailActionsDf: DataFrame = {
     val rows: Seq[Row] = tail.collect {
       case (v, AddAction(a)) =>
         Row(v, true, a.path, a.partitionValues, a.size, a.modificationTime,
-          a.stats.orNull, null)
+          a.stats.orNull, null, dvRow(a.deletionVector))
       case (v, RemoveAction(r)) =>
         Row(v, false, r.path, r.partitionValues, r.size.getOrElse(0L), 0L, null,
-          java.lang.Long.valueOf(r.deletionTimestamp))
+          java.lang.Long.valueOf(r.deletionTimestamp), null)
     }
     spark.createDataFrame(rows.asJava, actionSchema)
   }
@@ -165,6 +189,18 @@ class Snapshot(
         else if (addFields.contains("stats")) col("add.stats")
         else if (addFields.contains("stats_parsed")) to_json(col("add.stats_parsed"))
         else lit(null).cast(StringType)
+      // DV descriptor survives checkpointing (without it a checkpoint
+      // of a DV table would silently resurrect deleted rows).
+      val dvCol =
+        if (addFields.contains("deletionVector"))
+          when(col("add.deletionVector.storageType").isNotNull,
+            struct(
+              col("add.deletionVector.storageType").as("storageType"),
+              col("add.deletionVector.pathOrInlineDv").as("pathOrInlineDv"),
+              col("add.deletionVector.offset").cast(IntegerType).as("offset"),
+              col("add.deletionVector.sizeInBytes").cast(IntegerType).as("sizeInBytes"),
+              col("add.deletionVector.cardinality").cast(LongType).as("cardinality")))
+        else lit(null).cast(dvStructType)
       val adds = df.where(col("add.path").isNotNull).select(
         lit(checkpointVersion.get).as("version"),
         lit(true).as("is_add"),
@@ -173,7 +209,8 @@ class Snapshot(
         col("add.size").as("size_bytes"),
         col("add.modificationTime").as("modification_time"),
         statsCol.as("stats"),
-        lit(null).cast(LongType).as("deletion_timestamp"))
+        lit(null).cast(LongType).as("deletion_timestamp"),
+        dvCol.cast(dvStructType).as("deletion_vector"))
       // Checkpoints carry unexpired remove tombstones too; without them
       // a post-checkpoint re-add of the same path would resolve wrong
       // and vacuum-retention state would be lost.
@@ -190,7 +227,8 @@ class Snapshot(
           coalesce(rmCol("size", LongType), lit(0L)).as("size_bytes"),
           lit(0L).as("modification_time"),
           lit(null).cast(StringType).as("stats"),
-          rmCol("deletionTimestamp", LongType).as("deletion_timestamp"))
+          rmCol("deletionTimestamp", LongType).as("deletion_timestamp"),
+          lit(null).cast(dvStructType).as("deletion_vector"))
         adds.unionByName(removes)
       }
     }
@@ -267,17 +305,28 @@ class Snapshot(
         col("__stats.nullCount").cast(logicalType("nullCount")).as("null_count"))
   }
 
-  /** Driver-side active-file list (collected once, for scan planning —
-    * the same move delta-spark's file index makes). */
-  lazy val activeFiles: Seq[AddFile] = adds.collect().toSeq.map { r =>
+  private def rowToAddFile(r: Row): AddFile = {
+    val dv = Option(r.getAs[Row]("deletion_vector")).map { d =>
+      DeletionVectorDescriptor(
+        storageType = d.getAs[String]("storageType"),
+        pathOrInlineDv = d.getAs[String]("pathOrInlineDv"),
+        offset = Option(d.getAs[java.lang.Integer]("offset")).map(_.intValue),
+        sizeInBytes = d.getAs[Int]("sizeInBytes"),
+        cardinality = d.getAs[Long]("cardinality"))
+    }
     AddFile(
       path = r.getAs[String]("path"),
       partitionValues = Option(r.getAs[scala.collection.Map[String, String]]("partition_values"))
         .map(_.toMap).getOrElse(Map.empty),
       size = r.getAs[Long]("size_bytes"),
       modificationTime = r.getAs[Long]("modification_time"),
-      stats = Option(r.getAs[String]("stats")))
+      stats = Option(r.getAs[String]("stats")),
+      deletionVector = dv)
   }
+
+  /** Driver-side active-file list (collected once, for scan planning —
+    * the same move delta-spark's file index makes). */
+  lazy val activeFiles: Seq[AddFile] = adds.collect().toSeq.map(rowToAddFile)
 
   def numFiles: Long = adds.count()
 
@@ -300,10 +349,47 @@ class Snapshot(
     * schema and renames back to logical via positional struct casts
     * (identity when mapping is off). */
   def readFiles(files: Seq[AddFile]): DataFrame = {
-    val partCols = metadata.partitionColumns
     if (files.isEmpty) {
       return spark.createDataFrame(new java.util.ArrayList[Row](), schema)
     }
+    // DV-free scans (the overwhelmingly common case) skip row lineage
+    // entirely — requesting `_metadata.row_index` just to drop it would
+    // put a generated column in the hot scan path for nothing.
+    if (!files.exists(_.deletionVector.exists(_.cardinality > 0)))
+      scanFiles(files, withRowLineage = false)
+        .select(schema.fieldNames.map(col).toSeq: _*)
+    else
+      readFilesLineage(files).select(schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** [[readFiles]] plus per-row lineage columns `__file`
+    * (`_metadata.file_path` of the scan) and `__row`
+    * (`_metadata.row_index`) — the handle targeted mutations need to
+    * attribute rows to files. Unlike `input_file_name()` the lineage is
+    * a real column, so it survives the deletion-vector anti-join (and
+    * any later shuffle). */
+  private[graft] def readFilesLineage(files: Seq[AddFile]): DataFrame = {
+    if (files.isEmpty) {
+      val withLineage = StructType(schema.fields ++ Seq(
+        StructField("__file", StringType), StructField("__row", LongType)))
+      return spark.createDataFrame(new java.util.ArrayList[Row](), withLineage)
+    }
+    val (dved, clean) = files.partition(_.deletionVector.exists(_.cardinality > 0))
+    val cleanDf =
+      if (clean.isEmpty) None else Some(scanFiles(clean, withRowLineage = true))
+    val dvDf = if (dved.isEmpty) None else Some(applyDeletionVectors(dved))
+    (cleanDf.toSeq ++ dvDf.toSeq).reduce(_.unionByName(_))
+      .withColumnRenamed("__dv_path", "__file")
+      .withColumnRenamed("__dv_row", "__row")
+      .select((schema.fieldNames.toSeq :+ "__file" :+ "__row").map(col): _*)
+  }
+
+  /** Scan a file subset with partition-value attachment; when
+    * `withRowLineage` the result additionally carries `__dv_path`
+    * (the scan's `_metadata.file_path`) and `__dv_row`
+    * (`_metadata.row_index`) for deletion-vector filtering. */
+  private def scanFiles(files: Seq[AddFile], withRowLineage: Boolean): DataFrame = {
+    val partCols = metadata.partitionColumns
     // id-mode resolution is by parquet field id; the flag is a session
     // conf (no per-read option exists) and STAYS SET for the session —
     // restoring it after this call would race the lazy scan. Known
@@ -325,17 +411,73 @@ class Snapshot(
     val groups = files.groupBy(_.partitionValues).toSeq
     val parts = groups.map { case (pv, fs) =>
       val scanned = spark.read.schema(dataSchemaPhysical).parquet(fs.map(absolutePath): _*)
-      val renamed = scanned.select(
-        dataSchemaPhysical.fields.zip(dataFieldsLogical).map { case (pf, lf) =>
-          col(s"`${pf.name}`").cast(lf.dataType).as(lf.name)
-        }.toSeq: _*)
+      val renames = dataSchemaPhysical.fields.zip(dataFieldsLogical).map { case (pf, lf) =>
+        col(s"`${pf.name}`").cast(lf.dataType).as(lf.name)
+      }.toSeq
+      val lineage =
+        if (withRowLineage)
+          Seq(col("_metadata.file_path").as("__dv_path"),
+            col("_metadata.row_index").as("__dv_row"))
+        else Nil
+      val renamed = scanned.select(renames ++ lineage: _*)
       partCols.foldLeft(renamed) { (df, pc) =>
         val dt = schema(pc).dataType
         val raw = pv.get(physicalNameOf(pc)).orNull
         df.withColumn(pc, (if (raw == null) lit(null) else lit(raw)).cast(dt))
       }
     }
-    parts.reduce(_.unionByName(_)).select(schema.fieldNames.map(col).toSeq: _*)
+    parts.reduce(_.unionByName(_))
+  }
+
+  /** Candidate `_metadata.file_path` spellings of an active file — the
+    * qualified Hadoop path and its URI form (they differ in scheme
+    * slash count, e.g. `file:/x` vs `file:///x`). The deleted-row
+    * relation emits every candidate; extra spellings are harmless on
+    * the anti-join side because they can only re-name the SAME file. */
+  private[graft] def pathCandidates(f: AddFile): Seq[String] = {
+    val q = log.fs.makeQualified(
+      new org.apache.hadoop.fs.Path(log.rootPath, DeltaLog.decodePath(f.path)))
+    val forms = Seq(q.toString, q.toUri.toString)
+    (forms ++ forms.map(_.replaceFirst("^([a-zA-Z][a-zA-Z0-9+.-]*):/(?!/)", "$1:///")))
+      .distinct
+  }
+
+  /** Scan files that carry deletion vectors and drop their deleted
+    * rows: the scan exposes per-row lineage (`_metadata.file_path`,
+    * `_metadata.row_index`) and anti-joins the deleted-(file,row) set,
+    * which is decoded from the DV bitmaps ON EXECUTORS (one task per
+    * descriptor) — the driver never holds a deleted-row list. Spark
+    * broadcasts the deleted relation when small (the common case:
+    * deletes touch a fraction of rows), so the filter adds no shuffle
+    * to the scan side. */
+  private def applyDeletionVectors(dved: Seq[AddFile]): DataFrame = {
+    val scanned = scanFiles(dved, withRowLineage = true)
+    val descs: Seq[(Seq[String], DeletionVectorDescriptor)] =
+      dved.map(f => (pathCandidates(f), f.deletionVector.get))
+    val confEntries: Array[(String, String)] = {
+      import scala.jdk.CollectionConverters._
+      spark.sessionState.newHadoopConf().asScala
+        .map(e => e.getKey -> e.getValue).toArray
+    }
+    val rootUri = log.fs.makeQualified(log.rootPath).toUri.toString
+    val deletedRows = spark.sparkContext
+      .parallelize(descs, math.max(1, math.min(descs.size, 32)))
+      .flatMap { case (cands, dv) =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        val root = new org.apache.hadoop.fs.Path(new java.net.URI(rootUri))
+        val fsx = root.getFileSystem(conf)
+        val rows = DeletionVectors.readRows(fsx, root, dv)
+        for (c <- cands; r <- rows) yield Row(c, r)
+      }
+    val deletedDf = spark.createDataFrame(deletedRows, StructType(Seq(
+      StructField("__del_path", StringType, nullable = false),
+      StructField("__del_row", LongType, nullable = false))))
+    scanned
+      .join(deletedDf,
+        scanned("__dv_path") === deletedDf("__del_path") &&
+          scanned("__dv_row") === deletedDf("__del_row"),
+        "left_anti")
   }
 }
 

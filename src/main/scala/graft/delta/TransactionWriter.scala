@@ -202,11 +202,20 @@ object TransactionWriter {
           "— writing would corrupt it")
       // minWriterVersion > 2 tables carry writer-enforced features this
       // writer does not implement (CHECK constraints, generated columns,
-      // deletion vectors, ...) — writing while ignoring them silently
-      // violates the table's invariants, so refuse, as the spec requires.
-      require(s.protocol.minWriterVersion <= 2,
+      // ...) — writing while ignoring them silently violates the table's
+      // invariants, so refuse, as the spec requires. Exception: writer
+      // v7 whose listed features are all ones this writer honors —
+      // deletionVectors (reads are DV-aware and rewrites remove the
+      // whole (file, DV) pair), appendOnly (enforced above via the
+      // table property), invariants (vacuous unless declared).
+      val supportedWriterFeatures = Set("deletionVectors", "appendOnly", "invariants")
+      val unsupportedW = s.protocol.writerFeatures.diff(supportedWriterFeatures)
+      require(s.protocol.minWriterVersion <= 2 ||
+          (s.protocol.minWriterVersion == 7 && unsupportedW.isEmpty),
         s"cannot write to ${log.tablePath}: table requires " +
-          s"minWriterVersion=${s.protocol.minWriterVersion} (supported: <= 2); " +
+          s"minWriterVersion=${s.protocol.minWriterVersion}" +
+          (if (unsupportedW.nonEmpty) s" with writer features $unsupportedW" else "") +
+          s" (supported: <= 2, or 7 with features within $supportedWriterFeatures); " +
           "refusing to write rather than ignore writer-enforced features")
       require(removes.isEmpty ||
           !s.metadata.configuration.get("delta.appendOnly").contains("true"),
@@ -285,7 +294,8 @@ object TransactionWriter {
       }
       actions ++= removes.map { f =>
         RemoveAction(RemoveFile(f.path, now, dataChange = dataChange,
-          partitionValues = f.partitionValues, size = Some(f.size)))
+          partitionValues = f.partitionValues, size = Some(f.size),
+          deletionVector = f.deletionVector))
       }
       log.commit(version, actions.toSeq)
       spark.catalog.clearCache()

@@ -12,7 +12,24 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * top-level keys `protocol | metaData | add | remove | commitInfo`, one
   * JSON object per line.
   */
-final case class Protocol(minReaderVersion: Int = 1, minWriterVersion: Int = 2)
+final case class Protocol(
+    minReaderVersion: Int = 1,
+    minWriterVersion: Int = 2,
+    readerFeatures: Set[String] = Set.empty,
+    writerFeatures: Set[String] = Set.empty)
+
+/** Reference to a deletion vector attached to a data file (Delta
+  * protocol "Deletion Vector Descriptor Schema"). `storageType`:
+  * `"u"` = relative file named by a z85-encoded UUID (with optional
+  * random prefix), `"i"` = bitmap inlined z85 in `pathOrInlineDv`,
+  * `"p"` = absolute file path. `offset` is the byte position of the
+  * DV's length header inside the file (absent for inline). */
+final case class DeletionVectorDescriptor(
+    storageType: String,
+    pathOrInlineDv: String,
+    offset: Option[Int],
+    sizeInBytes: Int,
+    cardinality: Long)
 
 final case class Metadata(
     id: String,
@@ -36,14 +53,16 @@ final case class AddFile(
     size: Long,
     modificationTime: Long,
     dataChange: Boolean = true,
-    stats: Option[String] = None)
+    stats: Option[String] = None,
+    deletionVector: Option[DeletionVectorDescriptor] = None)
 
 final case class RemoveFile(
     path: String,
     deletionTimestamp: Long,
     dataChange: Boolean = true,
     partitionValues: Map[String, String] = Map.empty,
-    size: Option[Long] = None)
+    size: Option[Long] = None,
+    deletionVector: Option[DeletionVectorDescriptor] = None)
 
 final case class CommitInfo(
     timestamp: Long,

@@ -1017,6 +1017,30 @@ object Queries {
   private val qReadChangesDuck: String =
     "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 1"
 
+  /** Deletion-vector DELETE, driver-verified END-TO-END through the
+    * real Delta layer: write documents to a scratch table, run two
+    * DV deletes (the second merges bitmaps into the first's), read the
+    * table back through the DV-filtered scan. The oracle recomputes the
+    * surviving set from the source parquet. */
+  private def qDeleteDvSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dv_")
+        .resolve("t").toString
+      val log = graft.delta.DeltaLog.forPath(s, tmp)
+      graft.delta.TransactionWriter.overwrite(log,
+        s.table("documents").select(col("doc_id"), col("lang"), col("text")))
+      graft.delta.Mutations.deleteWithDv(log, col("doc_id") % 7 === 0)
+      graft.delta.Mutations.deleteWithDv(log, col("doc_id") % 11 === 0)
+      log.snapshot.read()
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("len"))
+    }
+
+  private val qDeleteDvDuck: String =
+    """SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS len
+      |FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 0""".stripMargin
+
   /** Frame-sampling oracle: the corpus text is pure ASCII, so VARCHAR
     * slicing in DuckDB sees the same bytes as the binary slices the
     * Spark side's `Multimodal.sampleFrames` emits. */
@@ -1319,6 +1343,7 @@ object Queries {
     "q_stream_dedup" -> qStreamDedupSpark,
     "q_stream_sessionize" -> qStreamSessionizeSpark,
     "q_read_changes" -> qReadChangesSpark,
+    "q_delete_dv" -> qDeleteDvSpark,
     "q_media_frames" -> ((s, dir) => {
       registerViews(s, dir)
       import s.implicits._
@@ -1445,6 +1470,7 @@ object Queries {
     "q_stream_dedup" -> qStreamDedupDuck,
     "q_stream_sessionize" -> qStreamSessionizeDuck,
     "q_read_changes" -> qReadChangesDuck,
+    "q_delete_dv" -> qDeleteDvDuck,
     "q_media_frames" -> qMediaFramesDuck,
     "q_simhash" -> qSimhash("duck"),
     "q_embedding_knn" -> qKnn("duck"),

@@ -171,7 +171,7 @@ class ColumnMappingSpec extends SparkTestBase {
     assert(rows == Set((1L, "a", 10, "x"), (2L, "b", 20, "x"), (3L, "c", 30, "y")))
   }
 
-  test("reader v3 (e.g. deletion vectors) stays rejected") {
+  test("reader v3 with unsupported features stays rejected") {
     val path = Files.createTempDirectory("graft-cm-v3").resolve("t").toString
     val log = DeltaLog.forPath(spark, path)
     val meta = graft.delta.Metadata(
@@ -179,10 +179,12 @@ class ColumnMappingSpec extends SparkTestBase {
       schemaString = StructType(Seq(StructField("n", LongType))).json,
       partitionColumns = Nil, configuration = Map.empty, createdTime = Some(0L))
     log.commit(0, Seq(
-      ProtocolAction(Protocol(minReaderVersion = 3, minWriterVersion = 7)),
+      ProtocolAction(Protocol(minReaderVersion = 3, minWriterVersion = 7,
+        readerFeatures = Set("variantType"), writerFeatures = Set("variantType"))),
       MetadataAction(meta),
       CommitInfoAction(CommitInfo(0L, "WRITE"))))
     val e = intercept[IllegalArgumentException](log.snapshot)
     assert(e.getMessage.contains("minReaderVersion=3"))
+    assert(e.getMessage.contains("variantType"))
   }
 }

@@ -1,0 +1,182 @@
+package graft.delta
+
+import graft.SparkTestBase
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.Files
+
+/** Deletion-vector conformance: codec round trips against the public
+  * format constants (z85 per the ZeroMQ spec; RoaringBitmapArray
+  * portable per the Delta protocol's Deletion Vectors section), plus
+  * end-to-end write → read → time-travel → checkpoint behavior of
+  * [[Mutations.deleteWithDv]]. */
+class DeletionVectorSpec extends SparkTestBase {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-dv").toString
+
+  // ---- z85 ------------------------------------------------------------------
+
+  test("z85 matches the ZeroMQ reference vector and round-trips") {
+    // The Z85 spec's worked example: 0x86 4F D2 6F B5 59 F7 5B <-> "HelloWorld"
+    val ref = Array(0x86, 0x4f, 0xd2, 0x6f, 0xb5, 0x59, 0xf7, 0x5b).map(_.toByte)
+    assert(DeletionVectors.z85Encode(ref) == "HelloWorld")
+    assert(DeletionVectors.z85Decode("HelloWorld").toSeq == ref.toSeq)
+    val rnd = new scala.util.Random(7)
+    (1 to 20).foreach { i =>
+      val bytes = Array.fill(4 * i)(rnd.nextInt().toByte)
+      assert(DeletionVectors.z85Decode(DeletionVectors.z85Encode(bytes)).toSeq == bytes.toSeq)
+    }
+    val u = new java.util.UUID(0x0123456789abcdefL, 0xfedcba9876543210L)
+    assert(DeletionVectors.encodeUuid(u).length == 20)
+    assert(DeletionVectors.decodeUuid(DeletionVectors.encodeUuid(u)) == u)
+  }
+
+  // ---- roaring bitmap array -------------------------------------------------
+
+  test("roaring round-trips array, bitset, and multi-key shapes") {
+    val cases: Seq[Array[Long]] = Seq(
+      Array.empty[Long],
+      Array(0L),
+      Array(1L, 5L, 65535L, 65536L, 131071L), // two containers
+      (0L until 5000L).map(_ * 2).toArray, // > 4096 in one container -> bitset
+      Array((1L << 32) | 7L, (1L << 32) | 9L, (5L << 32) | 123L, 42L), // multi high key
+      (0L until 70000L).toArray) // dense bitset spanning containers
+    cases.foreach { rows =>
+      val sorted = rows.distinct.sorted
+      val bytes = DeletionVectors.serialize(sorted)
+      assert(DeletionVectors.deserialize(bytes).toSeq == sorted.toSeq,
+        s"case of ${rows.length} rows")
+    }
+  }
+
+  test("roaring reads run containers (hand-built SERIAL_COOKIE form)") {
+    // one 32-bit bitmap under key 0, one run container [10, 14] ∪ [100, 101]
+    val runPayload = {
+      val bb = ByteBuffer.allocate(4 + 1 + 4 + 2 + 8).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(12347 | (0 << 16)) // SERIAL_COOKIE, size-1 = 0
+      bb.put(1.toByte) // run flags: container 0 is a run
+      bb.putShort(0.toShort) // key
+      bb.putShort(6.toShort) // cardinality - 1 = 6
+      // < 4 containers -> no offset header
+      bb.putShort(2.toShort) // number of runs
+      bb.putShort(10.toShort); bb.putShort(4.toShort) // 10..14
+      bb.putShort(100.toShort); bb.putShort(1.toShort) // 100..101
+      bb.array()
+    }
+    val full = {
+      val head = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      head.putInt(DeletionVectors.PortableMagic).putLong(1L).putInt(0)
+      head.array() ++ runPayload
+    }
+    assert(DeletionVectors.deserialize(full).toSeq ==
+      Seq(10L, 11L, 12L, 13L, 14L, 100L, 101L))
+  }
+
+  test("DV file write/read round trip with offsets and checksums") {
+    val dir = tmpDir()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val sets = Seq(Array(1L, 3L, 9L), (0L until 6000L).toArray, Array(7L))
+    val descs = DeletionVectors.writeFile(fs, root, sets)
+    assert(descs.size == 3)
+    assert(descs.map(_.pathOrInlineDv).distinct.size == 1) // one physical file
+    descs.zip(sets).foreach { case (d, expect) =>
+      assert(d.storageType == "u")
+      assert(d.cardinality == expect.distinct.length.toLong)
+      val got = DeletionVectors.readRows(fs, root, d)
+      assert(got.toSeq == expect.distinct.sorted.toSeq)
+    }
+    // corrupted byte -> checksum failure, loud
+    val p = DeletionVectors.filePath(root, descs.head)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(p.toUri.getPath))
+    bytes(6) = (bytes(6) ^ 0x5a).toByte
+    Files.write(java.nio.file.Paths.get(p.toUri.getPath), bytes)
+    // either our CRC check or Hadoop's local-FS .crc sidecar must fail it
+    val e = intercept[Exception] {
+      DeletionVectors.readRows(fs, root, descs.head)
+    }
+    assert(e.isInstanceOf[IllegalArgumentException] ||
+      e.isInstanceOf[org.apache.hadoop.fs.ChecksumException])
+  }
+
+  // ---- end to end -----------------------------------------------------------
+
+  test("deleteWithDv: delete, merge-delete, time travel, checkpoint, rewrite") {
+    val dir = tmpDir()
+    import spark.implicits._
+    val df = (0 until 200).map(i => (i.toLong, s"row_$i", i % 5)).toDF("id", "s", "bucket")
+      .repartition(3)
+    val log = DeltaLog.forPath(spark, dir)
+    TransactionWriter.overwrite(log, df)
+
+    // v1: delete multiples of 7
+    val v1 = Mutations.deleteWithDv(log, col("id") % 7 === 0)
+    assert(v1 == 1L)
+    val snap1 = log.snapshot
+    assert(snap1.protocol.minReaderVersion == 3)
+    assert(snap1.protocol.readerFeatures.contains("deletionVectors"))
+    val got1 = snap1.read().select("id").as[Long].collect().sorted
+    assert(got1.toSeq == (0L until 200L).filter(_ % 7 != 0))
+    // physical files unchanged: DELETE wrote no data files
+    assert(snap1.activeFiles.map(_.path).toSet ==
+      log.snapshotAt(0).activeFiles.map(_.path).toSet)
+
+    // v2: second delete merges into existing DVs
+    Mutations.deleteWithDv(log, col("id") % 11 === 0)
+    val got2 = log.snapshot.read().select("id").as[Long].collect().sorted
+    assert(got2.toSeq == (0L until 200L).filter(i => i % 7 != 0 && i % 11 != 0))
+
+    // no-match delete is a no-op commit-wise
+    val vSame = Mutations.deleteWithDv(log, col("id") === -1L)
+    assert(vSame == log.snapshot.version)
+
+    // time travel: v0 still shows all rows
+    assert(log.snapshotAt(0).read().count() == 200)
+
+    // checkpoint round trip preserves DVs
+    Maintenance.checkpoint(log)
+    val fresh = DeltaLog.forPath(spark, dir).snapshot
+    assert(fresh.checkpointVersion.nonEmpty)
+    assert(fresh.read().select("id").as[Long].collect().sorted.toSeq == got2.toSeq)
+
+    // a rewrite mutation on the DV table stays correct (DV-aware scan,
+    // writer v7 feature gate accepts deletionVectors)
+    val dup = log.snapshot.read().where(col("id") === 3L)
+    TransactionWriter.append(log, dup)
+    Mutations.killDuplicates(log, Seq("id"))
+    val got3 = log.snapshot.read().select("id").as[Long].collect().sorted
+    assert(got3.toSeq == got2.filter(_ != 3L).toSeq)
+  }
+
+  test("inline ('i') deletion vectors and unsupported features still refuse") {
+    val dir = tmpDir()
+    import spark.implicits._
+    val log = DeltaLog.forPath(spark, dir)
+    TransactionWriter.overwrite(log, (0 until 50).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+      .coalesce(1))
+    val snap0 = log.snapshot
+    val f = snap0.activeFiles.head
+    // inline DV deleting rows 0, 2, 4 of the single file; z85 needs
+    // 4-byte groups so pad and record the true size in sizeInBytes
+    val data = DeletionVectors.serialize(Array(0L, 2L, 4L))
+    val padded = data ++ Array.fill((4 - data.length % 4) % 4)(0.toByte)
+    val inline = DeletionVectorDescriptor(
+      "i", DeletionVectors.z85Encode(padded), None, data.length, 3L)
+    log.commit(1L, Seq(
+      CommitInfoAction(CommitInfo(System.currentTimeMillis(), "DELETE")),
+      ProtocolAction(Protocol(3, 7, Set("deletionVectors"),
+        Set("deletionVectors", "appendOnly", "invariants"))),
+      AddAction(f.copy(deletionVector = Some(inline))),
+      RemoveAction(RemoveFile(f.path, System.currentTimeMillis()))))
+    val ids = log.snapshot.read().select("id").as[Long].collect().sorted
+    assert(ids.toSeq == (0L until 50L).filterNot(Set(0L, 2L, 4L)))
+
+    // unsupported reader feature: still refused, loudly
+    log.commit(2L, Seq(ProtocolAction(Protocol(3, 7,
+      Set("deletionVectors", "somethingNew"), Set("deletionVectors")))))
+    val e = intercept[IllegalArgumentException] { log.snapshot }
+    assert(e.getMessage.contains("somethingNew"))
+  }
+}

@@ -26,17 +26,20 @@ class HardeningSpec extends SparkTestBase {
     createdTime = Some(0L))
 
   test("unsupported reader protocol is rejected, not silently misread") {
-    // v3 (reader features: deletion vectors, ...) is beyond what this
-    // engine implements; v2 is allowed only for column mapping name mode
+    // v3 is accepted only when every listed reader feature is one we
+    // implement (deletionVectors / columnMapping / timestampNtz —
+    // DeletionVectorSpec covers the accept side); an unknown feature
+    // must refuse. v2 is allowed only for column mapping modes
     // (ColumnMappingSpec covers the v2 matrix).
     val log = freshLog()
     log.commit(0, Seq(
-      ProtocolAction(Protocol(minReaderVersion = 3, minWriterVersion = 7)),
+      ProtocolAction(Protocol(minReaderVersion = 3, minWriterVersion = 7,
+        readerFeatures = Set("v2Checkpoint"), writerFeatures = Set("v2Checkpoint"))),
       MetadataAction(meta()),
       CommitInfoAction(CommitInfo(0L, "WRITE"))))
     val e = intercept[IllegalArgumentException](log.snapshot)
     assert(e.getMessage.contains("unsupported Delta protocol"))
-    assert(e.getMessage.contains("minReaderVersion=3"))
+    assert(e.getMessage.contains("v2Checkpoint"))
   }
 
   test("checkpoint preserves remove tombstones and txn state") {
