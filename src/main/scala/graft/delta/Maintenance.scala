@@ -161,21 +161,58 @@ object Maintenance {
     * being rewritten. Partitioned tables must repartition BY the
     * partition columns: a round-robin repartition(n) followed by
     * partitionBy(...) writes up to n files per partition value —
-    * fragmentation, not compaction. Hashing by partition key sends
-    * each value to exactly one task → one output file per partition
-    * value. */
+    * fragmentation, not compaction. Hashing by partition key alone,
+    * though, merges ALL of a value's bytes into ONE file regardless of
+    * `targetFileBytes`; so partition values whose rewritten bytes
+    * exceed the target additionally get a per-value salt sized
+    * `ceil(bytes_p / targetFileBytes)`, splitting just the oversized
+    * values into ~target-sized files while small values keep exactly
+    * one. The per-value byte totals come from the (driver-resident)
+    * file list being rewritten — no extra Spark job. */
   private def layoutFor(
-      df: org.apache.spark.sql.DataFrame, bytes: Long,
+      df: org.apache.spark.sql.DataFrame, files: Seq[AddFile],
       targetFileBytes: Long, partCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val bytes = math.max(files.map(_.size).sum, 1L)
     val targetFiles =
-      math.max(1, math.ceil(math.max(bytes, 1L).toDouble / targetFileBytes).toInt)
-    if (partCols.isEmpty) df.repartition(targetFiles)
-    else df.repartition(targetFiles, partCols.map(org.apache.spark.sql.functions.col): _*)
+      math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    if (partCols.isEmpty) return df.repartition(targetFiles)
+    val perPart: Seq[(Map[String, String], Int)] =
+      files.groupBy(_.partitionValues).toSeq.map { case (pv, fs) =>
+        pv -> math.max(1,
+          math.ceil(fs.map(_.size).sum.toDouble / targetFileBytes).toInt)
+      }
+    if (perPart.forall(_._2 <= 1))
+      return df.repartition(math.max(perPart.size, 1),
+        partCols.map(col): _*)
+    // Broadcast the tiny (partition value -> split count) relation and
+    // salt rows of oversized values; repartition on (partCols, salt).
+    val spark = df.sparkSession
+    val pvSchema = org.apache.spark.sql.types.StructType(
+      partCols.map(c => org.apache.spark.sql.types.StructField(
+        s"__pvs_$c", org.apache.spark.sql.types.StringType)) :+
+        org.apache.spark.sql.types.StructField(
+          "__np", org.apache.spark.sql.types.IntegerType, nullable = false))
+    val pvRows = perPart.map { case (pv, n) =>
+      org.apache.spark.sql.Row.fromSeq(partCols.map(c => pv.get(c).orNull) :+ n)
+    }
+    val pvDf = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(pvRows).asJava), pvSchema)
+    val cond = partCols.map { c =>
+      df(c) <=> col(s"__pvs_$c").cast(df.schema(c).dataType)
+    }.reduce(_ && _)
+    val nTotal = perPart.map(_._2).sum
+    df.join(broadcast(pvDf), cond, "left")
+      .withColumn("__salt",
+        pmod(hash(monotonically_increasing_id()), coalesce(col("__np"), lit(1))))
+      .repartition(nTotal, partCols.map(col) :+ col("__salt"): _*)
+      .drop(("__salt" +: "__np" +: partCols.map(c => s"__pvs_$c")): _*)
   }
 
   def compact(log: DeltaLog, targetFileBytes: Long = 128L * 1024 * 1024): Long = {
     val snap = log.snapshot
-    val df = layoutFor(snap.read(), snap.activeFiles.map(_.size).sum,
+    val df = layoutFor(snap.read(), snap.activeFiles,
       targetFileBytes, snap.metadata.partitionColumns)
     // dataChange = false: pure layout rewrite — streaming consumers
     // must not re-emit or fail on an OPTIMIZE (Delta spec)
@@ -193,10 +230,12 @@ object Maintenance {
     * version, or the current one when fewer than `minSmallFiles` small
     * files exist (no commit — OPTIMIZE on a healthy table is a no-op).
     *
-    * Partitioned tables compact per partition value (the repartition by
-    * partition key sends each value to one task → one output file per
-    * touched partition). dataChange = false: streaming consumers skip
-    * pure layout rewrites. */
+    * Partitioned tables compact per partition value; a value whose
+    * small-file debt exceeds `targetFileBytes` is split across
+    * ~`ceil(bytes/targetFileBytes)` output files via a per-value salt
+    * (see [[layoutFor]]) instead of collapsing into one oversized file.
+    * dataChange = false: streaming consumers skip pure layout
+    * rewrites. */
   def compactSmall(
       log: DeltaLog,
       targetFileBytes: Long = 128L * 1024 * 1024,
@@ -214,7 +253,7 @@ object Maintenance {
       .filter(_.size >= minSmallFiles)
       .flatten.toSeq
     if (touched.isEmpty) return snap.version
-    val df = layoutFor(snap.readFiles(touched), touched.map(_.size).sum,
+    val df = layoutFor(snap.readFiles(touched), touched,
       targetFileBytes, snap.metadata.partitionColumns)
     TransactionWriter.rewriteFiles(log, snap, touched, df, "OPTIMIZE",
       dataChange = false)

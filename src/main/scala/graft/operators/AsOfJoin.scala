@@ -60,6 +60,26 @@ object AsOfJoin {
     val missingR = ((keyCols :+ rightTime) ++ valueCols ++ rightOrder)
       .filterNot(right.columns.contains)
     require(missingR.isEmpty, s"right side is missing columns: ${missingR.mkString(",")}")
+    // Reserved-name guards (mirroring RangeJoin's disjointness check):
+    // the operator stages `__t/__tag/__r/__l_<c>/__ord_<c>` internally
+    // and emits `asof_<c>` — an input column already spelled one of
+    // those ways would collide into duplicate output columns or a
+    // confusing analysis error deep inside the plan.
+    val reservedL = left.columns.filter(c =>
+      c == "__t" || c == "__tag" || c == "__r" || c.startsWith("__l_") ||
+        c.startsWith("__ord_") || c.startsWith("asof_"))
+    require(reservedL.isEmpty,
+      s"left columns collide with asOf's reserved names: ${reservedL.mkString(",")}")
+    val reservedR = right.columns.filter(c =>
+      c == "__t" || c == "__tag" || c == "__r" || c.startsWith("__l_") ||
+        c.startsWith("__ord_"))
+    require(reservedR.isEmpty,
+      s"right columns collide with asOf's reserved names: ${reservedR.mkString(",")}")
+    require(!valueCols.contains(rightTime),
+      s"valueCols must not repeat rightTime ($rightTime): it is always " +
+        s"attached as asof_$rightTime")
+    require(valueCols.distinct == valueCols,
+      s"valueCols contains duplicates: ${valueCols.diff(valueCols.distinct).mkString(",")}")
 
     val carried = rightTime +: valueCols
     val leftCols = left.columns.toSeq

@@ -62,7 +62,15 @@ object Dedup {
     * materializes a whole hot group. Correct for rank-1 survivor
     * semantics ONLY when `orderBy` is a total order within each group
     * (e.g. includes a unique key) — with ties, phase composition could
-    * pick a different (still valid) survivor than the single-phase plan. */
+    * pick a different (still valid) survivor than the single-phase plan.
+    *
+    * The salt is a CONTENT hash of the order-key values, not a
+    * positional id: `monotonically_increasing_id()` changes with input
+    * partitioning, so reruns over a repartitioned input could route
+    * rows differently and (under non-total orderings) flip the
+    * survivor; a content-derived salt makes the whole plan a pure
+    * function of the data. The order keys are exactly the values that
+    * distinguish rows within a hot group, so they spread it evenly. */
   def dropDuplicatesOrderedSalted(
       df: DataFrame, duplicationColumns: Seq[String], orderBy: Seq[Column],
       salts: Int = 16): DataFrame = {
@@ -70,8 +78,10 @@ object Dedup {
     require(orderBy.nonEmpty, "orderBy must be non-empty for a deterministic survivor")
     require(salts >= 2, s"salts must be >= 2, got $salts")
     val dupCols = duplicationColumns.map(col)
+    val orderKeyCols: Seq[Column] =
+      orderBy.map(org.apache.spark.sql.graftshims.SqlShims.sortChild)
     val salted = df.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(salts.toLong)))
+      pmod(hash(orderKeyCols: _*), lit(salts)))
     val w1 = Window.partitionBy(dupCols :+ col("__salt"): _*).orderBy(orderBy: _*)
     val perSalt = salted.withColumn("__rn", row_number().over(w1))
       .where(col("__rn") === 1).drop("__rn")

@@ -47,11 +47,23 @@ object RangeJoin {
     val clash = (points.columns.toSet -- keyCols) intersect (intervals.columns.toSet -- keyCols)
     require(clash.isEmpty, s"non-key columns must be disjoint, both sides have: ${clash.mkString(",")}")
 
-    val p = points.withColumn("__bin", floor(col(pointCol) / binWidth))
+    val p = points.withColumn("__bin", binOf(pointCol, binWidth))
     val i = intervals.withColumn("__bin",
-      explode(sequence(floor(col(startCol) / binWidth), floor(col(endCol) / binWidth))))
+      explode(sequence(binOf(startCol, binWidth), binOf(endCol, binWidth))))
     p.join(i, keyCols :+ "__bin")
       .where(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bin")
+  }
+
+  /** Floor-division bin, computed in INTEGER arithmetic. `floor(col/w)`
+    * divides in DOUBLE, which above 2^53 (e.g. raw epoch-nanos) can
+    * round point and interval coordinates into different bins and
+    * silently drop true matches — the same hazard Packing guards with
+    * integer DIV. Coordinates are cast to BIGINT (they are integral in
+    * every supported use; fractional inputs would truncate). */
+  private def binOf(colName: String, w: Long): org.apache.spark.sql.Column = {
+    val v = col(colName).cast("long")
+    when(v >= 0, expr(s"CAST(`$colName` AS BIGINT) DIV ${w}L"))
+      .otherwise(expr(s"((CAST(`$colName` AS BIGINT) + 1) DIV ${w}L) - 1"))
   }
 }

@@ -18,6 +18,15 @@ object SqlShims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** The value a sort expression orders by: `col("x").asc` →
+    * `col("x")`; a plain column passes through. Sort direction lives in
+    * a ColumnNode-level SortOrder wrapper in Spark 4 (not a Catalyst
+    * SortOrder), so unwrapping needs this sql-internal view. */
+  def sortChild(c: Column): Column = c.node match {
+    case so: org.apache.spark.sql.internal.SortOrder => Column(so.child)
+    case _ => c
+  }
+
   /** Register the native vector kernels as session SQL functions so the
     * SQL-text queries get the same codegen'd tight loops as the Column
     * API (`aggregate(zip_with(...))` HOFs are CodegenFallback, and a

@@ -329,6 +329,36 @@ class OperatorsSpec extends SparkTestBase {
     val negGot = RangeJoin.pointInInterval(negP, negI, Seq("k"), "t", "s", "e", 50)
       .select("iid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(negGot == Set((1L, 1L), (1L, 2L), (2L, 3L)))
+    // coordinates beyond 2^53 (raw epoch-nanos territory): double
+    // division rounds adjacent longs to the same quotient, so integer
+    // DIV binning is required for point and interval bins to agree
+    val base = (1L << 60) + 12345L // not representable exactly as double
+    val bigI = Seq((1L, 1L, base, base + 10L), (1L, 2L, base + 100L, base + 120L))
+      .toDF("k", "iid", "s", "e")
+    val bigP = Seq((1L, 1L, base + 5L), (1L, 2L, base + 110L), (1L, 3L, base + 50L))
+      .toDF("k", "pid", "t")
+    val bigGot = RangeJoin.pointInInterval(bigP, bigI, Seq("k"), "t", "s", "e", 7L)
+      .select("iid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bigGot == Set((1L, 1L), (2L, 2L)))
+  }
+
+  test("asOf rejects inputs colliding with its reserved/output names") {
+    import graft.operators.AsOfJoin
+    val right = Seq((1L, 10L, "a")).toDF("k", "rt", "rv")
+    val badLeft = Seq((1L, 11L, "x")).toDF("k", "t", "asof_rt")
+    val e1 = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(badLeft, right, Seq("k"), "t", "rt", Seq("rv"))
+    }
+    assert(e1.getMessage.contains("asof_rt"))
+    val badLeft2 = Seq((1L, 11L, "x")).toDF("k", "t", "__tag")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(badLeft2, right, Seq("k"), "t", "rt", Seq("rv"))
+    }
+    val left = Seq((1L, 11L)).toDF("k", "t")
+    val e3 = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left, right, Seq("k"), "t", "rt", Seq("rv", "rt"))
+    }
+    assert(e3.getMessage.contains("rightTime"))
   }
 
   test("packSequences assigns bins by exclusive prefix sum within groups") {

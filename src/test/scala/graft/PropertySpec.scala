@@ -93,6 +93,29 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("salted dedup is stable across input repartitioning (content salt)") {
+    import graft.operators.Dedup
+    val rows = (1 to 400).map { i =>
+      val k = sample(Gen.choose(0, 10), 31L + i)
+      (s"k$k", i.toLong, sample(Gen.choose(0, 5), 77L + i))
+    }
+    val df = rows.toDF("k", "id", "v")
+    // total order: identical survivors regardless of physical layout
+    val a = Dedup.dropDuplicatesOrderedSalted(df.repartition(3), Seq("k"),
+      Seq(col("id").asc), salts = 8)
+    val b = Dedup.dropDuplicatesOrderedSalted(df.repartition(13), Seq("k"),
+      Seq(col("id").asc), salts = 8)
+    assertSameRows(a, b, "total order, different layouts")
+    // non-total order (ties in v): the survivor must still be one row
+    // per group holding the group-minimal order value
+    val c = Dedup.dropDuplicatesOrderedSalted(df.repartition(5), Seq("k"),
+      Seq(col("v").asc), salts = 8).collect()
+    val minV = rows.groupBy(_._1).map { case (k, rs) => k -> rs.map(_._3).min }
+    assert(c.length == minV.size)
+    c.foreach(r => assert(r.getInt(2) == minV(r.getString(0)),
+      s"survivor of ${r.getString(0)} does not carry the minimal order value"))
+  }
+
   test("decontaminate always flags a doc carrying a planted benchmark gram") {
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
     (0 until 3).foreach { caseId =>

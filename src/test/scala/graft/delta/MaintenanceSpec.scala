@@ -93,6 +93,33 @@ class MaintenanceSpec extends SparkTestBase {
     assert(Maintenance.compactSmall(log, smallThresholdBytes = 10L * 1024 * 1024) == v)
   }
 
+  test("compactSmall splits an oversized partition value toward targetFileBytes") {
+    val log = freshLog()
+    // partition "hot" carries ~40x the bytes of "cold", planted as many
+    // small files (1000:1-style skew); target is sized so hot needs
+    // several output files while cold still collapses to one.
+    val hot = (1L to 8000L).map(i => (i, "hot", "x" * 64)).toDF("n", "p", "pad")
+    val cold = Seq((1L, "cold", "y"), (2L, "cold", "z")).toDF("n", "p", "pad")
+    TransactionWriter.overwrite(log, hot.repartition(8).unionByName(cold.repartition(2)),
+      partitionBy = Some(Seq("p")))
+    val before = log.snapshot
+    val hotBytes = before.activeFiles
+      .filter(_.partitionValues.get("p").contains("hot")).map(_.size).sum
+    val target = hotBytes / 4 // hot should split into ~4-5 files
+    Maintenance.compactSmall(log,
+      targetFileBytes = target, smallThresholdBytes = 10L * 1024 * 1024)
+    val after = log.snapshot
+    val hotFiles = after.activeFiles.filter(_.partitionValues.get("p").contains("hot"))
+    val coldFiles = after.activeFiles.filter(_.partitionValues.get("p").contains("cold"))
+    assert(coldFiles.size == 1, s"cold must collapse to one file, got ${coldFiles.size}")
+    assert(hotFiles.size >= 3 && hotFiles.size <= 8,
+      s"hot must split into ~hotBytes/target files, got ${hotFiles.size}")
+    // no output file wildly above target (allow parquet overhead slack)
+    assert(hotFiles.forall(_.size <= target * 2),
+      s"an output file exceeds 2x target: ${hotFiles.map(_.size)}")
+    assertSameRows(after.read(), before.read())
+  }
+
   test("checkpoint lets the reader bootstrap without the JSON tail") {
     val log = freshLog()
     TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("n", "s"))
