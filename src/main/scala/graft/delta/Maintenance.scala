@@ -20,48 +20,63 @@ object Maintenance {
     */
   def checkpoint(log: DeltaLog): Long = {
     val snap = log.snapshot
-    writeCheckpointRows(log, snap, checkpointRows(log, snap), parts = 1)
+    writeCheckpointDf(log, snap, checkpointDf(log, snap), parts = 1)
     snap.version
   }
 
-  /** The full checkpoint row set per the Delta checkpoint spec:
+  /** The full checkpoint relation per the Delta checkpoint spec:
     * metaData + protocol + every active add + unexpired remove
     * tombstones + txn (idempotent-writer) state. Dropping the latter two
     * would lose other engines' vacuum-retention safety and appId/version
-    * exactly-once state. */
-  private[delta] def checkpointRows(
-      log: DeltaLog, snap: Snapshot): Seq[org.apache.spark.sql.Row] = {
+    * exactly-once state.
+    *
+    * The add/remove sections are SPARK-SIDE transforms of the
+    * snapshot's metadata relations — the driver never materializes the
+    * file list, so checkpointing a 10⁷-file table is a distributed job
+    * with O(1) driver rows (metaData/protocol/txn only). */
+  private[delta] def checkpointDf(
+      log: DeltaLog, snap: Snapshot): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.Row
+    val spark = log.spark
     val m = snap.metadata
-    val rows = ArrayBuffer[Row](
+    val small = ArrayBuffer[Row](
       Row(null, Row(m.id, Row("parquet", Map.empty[String, String]), m.schemaString,
         m.partitionColumns, m.configuration, m.createdTime.getOrElse(0L)), null, null, null),
       Row(null, null,
         Row(snap.protocol.minReaderVersion, snap.protocol.minWriterVersion),
         null, null))
-    rows ++= snap.setTransactions.values.toSeq.sortBy(_.appId).map { t =>
+    small ++= snap.setTransactions.values.toSeq.sortBy(_.appId).map { t =>
       Row(null, null, null, null,
         Row(t.appId, t.version, t.lastUpdated.map(java.lang.Long.valueOf).orNull))
     }
-    rows ++= snap.activeFiles.map { f =>
-      val dv = f.deletionVector.map { d =>
-        Row(d.storageType, d.pathOrInlineDv,
-          d.offset.map(java.lang.Integer.valueOf).orNull, d.sizeInBytes, d.cardinality)
-      }.orNull
-      Row(Row(f.path, f.partitionValues, f.size, f.modificationTime, false,
-        f.stats.orNull, dv), null, null, null, null)
-    }
-    rows ++= snap.tombstones.collect().toSeq.map { r =>
-      Row(null, null, null,
-        Row(r.getAs[String]("path"),
-          Option(r.getAs[java.lang.Long]("deletion_timestamp")).orNull,
-          true, true,
-          Option(r.getAs[scala.collection.Map[String, String]]("partition_values"))
-            .map(_.toMap).orNull,
-          Option(r.getAs[java.lang.Long]("size_bytes")).orNull),
-        null)
-    }
-    rows.toSeq
+    val smallDf = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(small.toSeq).asJava),
+      checkpointSchema)
+    val addT = checkpointSchema("add").dataType
+    val removeT = checkpointSchema("remove").dataType
+    def nul(f: String) = lit(null).cast(checkpointSchema(f).dataType).as(f)
+    val addsDf = snap.adds.select(
+      struct(
+        col("path"),
+        col("partition_values").as("partitionValues"),
+        col("size_bytes").as("size"),
+        col("modification_time").as("modificationTime"),
+        lit(false).as("dataChange"),
+        col("stats"),
+        col("deletion_vector").as("deletionVector")).cast(addT).as("add"),
+      nul("metaData"), nul("protocol"), nul("remove"), nul("txn"))
+    val removesDf = snap.tombstones.select(
+      nul("add"), nul("metaData"), nul("protocol"),
+      struct(
+        col("path"),
+        col("deletion_timestamp").as("deletionTimestamp"),
+        lit(true).as("dataChange"),
+        lit(true).as("extendedFileMetadata"),
+        col("partition_values").as("partitionValues"),
+        col("size_bytes").as("size")).cast(removeT).as("remove"),
+      nul("txn"))
+    smallDf.unionByName(addsDf).unionByName(removesDf)
   }
 
   private[delta] val checkpointSchema: org.apache.spark.sql.types.StructType = {
@@ -107,15 +122,10 @@ object Maintenance {
   }
 
   /** Write checkpoint parquet (single- or multi-part) + `_last_checkpoint`. */
-  private[delta] def writeCheckpointRows(
-      log: DeltaLog, snap: Snapshot, rows: Seq[org.apache.spark.sql.Row],
+  private[delta] def writeCheckpointDf(
+      log: DeltaLog, snap: Snapshot, df: org.apache.spark.sql.DataFrame,
       parts: Int): Unit = {
-    val spark = log.spark
     val fs = log.fs
-    val df = spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](
-        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-      checkpointSchema)
     val tmpDir = new Path(log.logPath, s".cp-${java.util.UUID.randomUUID}")
     df.repartition(parts).write.mode("overwrite").parquet(tmpDir.toString)
     val written = fs.listStatus(tmpDir).map(_.getPath)
@@ -138,9 +148,11 @@ object Maintenance {
     fs.delete(tmpDir, true)
     val lastCp = new Path(log.logPath, "_last_checkpoint")
     val partsField = if (parts == 1) "" else s""","parts":${written.length}"""
+    // action count, from metadata-relation aggregates (never a driver list)
+    val size = 2 + snap.setTransactions.size + snap.numFiles + snap.tombstones.count()
     val out = fs.create(lastCp, true)
     try out.write(
-      s"""{"version":${snap.version},"size":${rows.size}$partsField}""".getBytes("UTF-8"))
+      s"""{"version":${snap.version},"size":$size$partsField}""".getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -150,7 +162,7 @@ object Maintenance {
   def checkpointMultiPart(log: DeltaLog, parts: Int): Long = {
     require(parts >= 2, s"multi-part checkpoint needs parts >= 2, got $parts")
     val snap = log.snapshot
-    writeCheckpointRows(log, snap, checkpointRows(log, snap), parts)
+    writeCheckpointDf(log, snap, checkpointDf(log, snap), parts)
     snap.version
   }
 

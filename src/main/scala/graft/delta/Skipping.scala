@@ -93,10 +93,13 @@ object Skipping {
         Some(!haveStats || mayMatch)
       }
     val predicate = (partPredicate.toSeq ++ statsPredicate.toSeq).reduceLeft(_ && _)
-    val keep = snap.addsFlat
-      .where(predicate)
-      .select("path").collect().map(_.getString(0)).toSet
-    snap.activeFiles.filter(f => keep.contains(f.path))
+    // Pruning runs IN SPARK over the metadata relation; only surviving
+    // AddFiles are collected to the driver. At 10⁷ files with a
+    // selective predicate this is the difference between collecting a
+    // handful of rows and collecting hundreds of driver MB.
+    val survivors = snap.addsFlat.where(predicate).select("path")
+    snap.adds.join(survivors, Seq("path"), "left_semi")
+      .collect().toSeq.map(snap.rowToAddFile)
   }
 
   /** Pruned scan: stats-based file pruning + row-level predicate pushed

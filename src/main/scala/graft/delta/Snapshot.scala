@@ -305,7 +305,7 @@ class Snapshot(
         col("__stats.nullCount").cast(logicalType("nullCount")).as("null_count"))
   }
 
-  private def rowToAddFile(r: Row): AddFile = {
+  private[delta] def rowToAddFile(r: Row): AddFile = {
     val dv = Option(r.getAs[Row]("deletion_vector")).map { d =>
       DeletionVectorDescriptor(
         storageType = d.getAs[String]("storageType"),
@@ -325,8 +325,29 @@ class Snapshot(
   }
 
   /** Driver-side active-file list (collected once, for scan planning —
-    * the same move delta-spark's file index makes). */
+    * the same move delta-spark's file index makes). Prefer
+    * [[collectAddFiles]] with a predicate (pruning runs in Spark, only
+    * survivors reach the driver) or [[iterateAddFiles]] (bounded driver
+    * memory) when the full list isn't needed. */
   lazy val activeFiles: Seq[AddFile] = adds.collect().toSeq.map(rowToAddFile)
+
+  /** Collect only the active files matching `pred` (evaluated over the
+    * [[adds]] relation IN SPARK — the driver never holds the non-matching
+    * files). This is the scan-planning shape for 10⁷-file tables: stats
+    * and partition pruning cut the candidate set before collection. */
+  def collectAddFiles(pred: org.apache.spark.sql.Column): Seq[AddFile] =
+    adds.where(pred).collect().toSeq.map(rowToAddFile)
+
+  /** Stream the active files (optionally filtered) one Spark partition
+    * at a time — O(partition) driver memory instead of O(table files).
+    * For planners that batch work per partition-value group or page
+    * through very large file sets. */
+  def iterateAddFiles(
+      pred: Option[org.apache.spark.sql.Column] = None): Iterator[AddFile] = {
+    val src = pred.map(adds.where).getOrElse(adds)
+    import scala.jdk.CollectionConverters._
+    src.toLocalIterator().asScala.map(rowToAddFile)
+  }
 
   def numFiles: Long = adds.count()
 
