@@ -198,8 +198,8 @@ object Mutations {
         partitionValues = f.partitionValues, size = Some(f.size),
         deletionVector = f.deletionVector))
     }
-    val v = snap.version + 1
-    log.commit(v, actions.toSeq)
+    val v = TransactionWriter.commitWithRebase(log, snap.version + 1,
+      actions.toSeq, touchedPaths = mergedRows.map(_._1.path).toSet)
     log.spark.catalog.clearCache()
     v
   }

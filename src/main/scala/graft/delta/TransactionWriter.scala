@@ -297,7 +297,15 @@ object TransactionWriter {
           partitionValues = f.partitionValues, size = Some(f.size),
           deletionVector = f.deletionVector))
       }
-      log.commit(version, actions.toSeq)
+      // Appends rebase unconditionally (blind append conflicts with
+      // nothing); targeted rewrites rebase after a logical conflict
+      // check; overwrites abort (their read set is the whole table).
+      val rebasable = mode == "Append" || mode == "AppendEvolve" || mode == "Rewrite"
+      val committed =
+        if (rebasable)
+          commitWithRebase(log, version, actions.toSeq,
+            touchedPaths = removes.map(_.path).toSet)
+        else { log.commit(version, actions.toSeq); version }
       spark.catalog.clearCache()
       // delta.checkpointInterval: periodic checkpoints keep snapshot
       // resolution O(tail) forever (delta-spark defaults to every 10
@@ -308,9 +316,70 @@ object TransactionWriter {
       effectiveConf.get("delta.checkpointInterval")
         .flatMap(s => scala.util.Try(s.toLong).toOption)
         .filter(_ > 0)
-        .foreach { n => if (version > 0 && version % n == 0) Maintenance.checkpoint(log) }
-      version
+        .foreach { n => if (committed > 0 && committed % n == 0) Maintenance.checkpoint(log) }
+      committed
     } finally fs.delete(staging, true)
+  }
+
+  /** Commit with optimistic-concurrency REBASE (the Delta conflict
+    * protocol delta-rs and delta-spark implement, restricted to the
+    * always-decidable cells of the matrix): when the target version is
+    * taken, read the commits that won the race and re-check the logical
+    * conflict rules —
+    *
+    *  - a concurrent metaData or protocol change aborts (our actions
+    *    were validated against the old table definition);
+    *  - for a targeted rewrite, any winner add/remove touching one of
+    *    OUR touched paths aborts (the winner saw — or rewrote — files
+    *    this transaction also read and replaced; committing anyway
+    *    would resurrect or double-apply rows);
+    *  - otherwise the file sets are disjoint and the same actions are
+    *    safe at the next version (a blind append always is).
+    *
+    * Data files are already on disk at this point, so a rebase costs
+    * one commit-JSON attempt — no data is rewritten. */
+  private[graft] def commitWithRebase(
+      log: DeltaLog,
+      firstVersion: Long,
+      actions: Seq[Action],
+      touchedPaths: Set[String],
+      maxRetries: Int = 5): Long = {
+    var version = firstVersion
+    var attempts = 0
+    while (true) {
+      try {
+        log.commit(version, actions)
+        return version
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts += 1
+          if (attempts > maxRetries) throw e
+          val latest = log.latestVersion()
+          val concurrent = (version to latest).flatMap(log.commitActions)
+          val defChanged = concurrent.exists {
+            case MetadataAction(_) | ProtocolAction(_) => true
+            case _ => false
+          }
+          if (defChanged) throw new java.util.ConcurrentModificationException(
+            s"commit $version of ${log.tablePath} lost the race to a " +
+              "concurrent metaData/protocol change; cannot rebase — rerun " +
+              "the operation against the new table definition")
+          if (touchedPaths.nonEmpty) {
+            val winnerPaths = concurrent.collect {
+              case AddAction(a) => a.path
+              case RemoveAction(r) => r.path
+            }.toSet
+            val overlap = winnerPaths.intersect(touchedPaths)
+            if (overlap.nonEmpty) throw new java.util.ConcurrentModificationException(
+              s"commit $version of ${log.tablePath} conflicts with a " +
+                s"concurrent commit on ${overlap.size} file(s) (e.g. " +
+                s"${overlap.take(3).mkString(", ")}); rerun the operation " +
+                "against the current snapshot")
+          }
+          version = latest + 1
+      }
+    }
+    -1L // unreachable
   }
 
   private final case class MovedFile(

@@ -62,18 +62,54 @@ object Queries {
     * times. For the minhash pipeline (hash shingles → 16 signatures →
     * 4 band buckets) that multiplies the expensive md5/array stages up
     * to 6×. This variant materializes the shared stages as cached temp
-    * views instead — each stage computes once per run. */
+    * views instead — each stage computes once per run.
+    *
+    * Cache hygiene: the stage caches unpersist themselves after the
+    * first completed action on the session (the consuming `count`/
+    * `collect`/write), so a LIBRARY caller is not left with stale
+    * `InMemoryRelation`s after the pipeline result is consumed. An
+    * unrelated action firing first merely unpersists early (the stages
+    * recompute — correct, just slower). A new pipeline invocation
+    * cancels the previous listener ([[registerViews]]'s `clearCache`
+    * already reclaimed its entries) so a benchmark loop can't have a
+    * stale listener unpersist the fresh pass's caches mid-flight. */
   private def cachedStagesQuery(
       stages: Seq[(String, String)], finalSql: String): (SparkSession, String) => DataFrame =
     (spark, dir) => {
       registerViews(spark, dir)
-      stages.foreach { case (view, sql) =>
+      Option(pendingCleanup.getAndSet(null)).foreach(_.cancel())
+      val cached = stages.map { case (view, sql) =>
         val df = spark.sql(sql)
         df.persist()
         df.createOrReplaceTempView(view)
+        df
       }
+      val cleaner = new StageCacheCleaner(spark, cached)
+      pendingCleanup.set(cleaner)
+      spark.listenerManager.register(cleaner)
       spark.sql(finalSql)
     }
+
+  private val pendingCleanup =
+    new java.util.concurrent.atomic.AtomicReference[StageCacheCleaner](null)
+
+  private final class StageCacheCleaner(
+      spark: SparkSession, cached: Seq[DataFrame])
+      extends org.apache.spark.sql.util.QueryExecutionListener {
+    private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    /** Deactivate without unpersisting (caches already reclaimed). */
+    def cancel(): Unit =
+      if (done.compareAndSet(false, true)) spark.listenerManager.unregister(this)
+    private def fire(): Unit =
+      if (done.compareAndSet(false, true)) {
+        cached.foreach(_.unpersist(false))
+        spark.listenerManager.unregister(this)
+      }
+    override def onSuccess(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = fire()
+    override def onFailure(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = fire()
+  }
 
   // ---- group A: core relational / levi-semantics queries -------------------
 

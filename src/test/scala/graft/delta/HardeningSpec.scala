@@ -42,6 +42,68 @@ class HardeningSpec extends SparkTestBase {
     assert(e.getMessage.contains("v2Checkpoint"))
   }
 
+  test("interleaved targeted rewrites on disjoint files both land (rebase)") {
+    import org.apache.spark.sql.functions._
+    val log = freshLog()
+    // partition a: dup id 1; partition b: dup id 10 — separate files
+    val df = Seq((1L, "a"), (1L, "a"), (2L, "a"), (10L, "b"), (10L, "b"), (20L, "b"))
+      .toDF("id", "p")
+    TransactionWriter.overwrite(log, df.repartition(col("p")), partitionBy = Some(Seq("p")))
+    val stale = log.snapshot // BOTH rewrites plan against v0
+    val filesA = stale.activeFiles.filter(_.partitionValues.get("p").contains("a"))
+    val filesB = stale.activeFiles.filter(_.partitionValues.get("p").contains("b"))
+    assert(filesA.nonEmpty && filesB.nonEmpty)
+    val dedupA = graft.operators.Dedup.dropDuplicatesOrdered(
+      stale.readFiles(filesA), Seq("id"), Seq(col("id").asc))
+    val dedupB = graft.operators.Dedup.dropDuplicatesOrdered(
+      stale.readFiles(filesB), Seq("id"), Seq(col("id").asc))
+    val v1 = TransactionWriter.rewriteFiles(log, stale, filesA, dedupA, "DELETE")
+    // second rewrite still holds the v0 snapshot: its commit 1 loses the
+    // race, the conflict check sees disjoint file sets, and it rebases
+    val v2 = TransactionWriter.rewriteFiles(log, stale, filesB, dedupB, "DELETE")
+    assert(v1 == 1L && v2 == 2L, s"both mutations must land, got v1=$v1 v2=$v2")
+    val got = log.snapshot.read().select("id", "p").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got == Seq((1L, "a"), (2L, "a"), (10L, "b"), (20L, "b")))
+
+    // OVERLAPPING rewrite from the same stale snapshot must abort loudly
+    val e = intercept[java.util.ConcurrentModificationException] {
+      TransactionWriter.rewriteFiles(log, stale, filesA, dedupA, "DELETE")
+    }
+    assert(e.getMessage.contains("conflicts with a concurrent commit"))
+
+    // a concurrent metaData change aborts a rebase (stale append)
+    val stale2 = log.snapshot
+    TransactionWriter.overwrite(log,
+      Seq((1L, "a", "x")).toDF("id", "p", "extra"), partitionBy = Some(Seq("p")))
+    val e2 = intercept[Exception] {
+      TransactionWriter.rewriteFiles(log, stale2,
+        stale2.activeFiles.filter(_.partitionValues.get("p").contains("b")),
+        dedupB, "DELETE")
+    }
+    assert(e2.isInstanceOf[java.util.ConcurrentModificationException] ||
+      e2.isInstanceOf[IllegalArgumentException]) // schema gate may fire first
+  }
+
+  test("interleaved DV deletes on disjoint files both land") {
+    import org.apache.spark.sql.functions._
+    val log = freshLog()
+    val df = (1L to 100L).map(i => (i, if (i <= 50) "a" else "b")).toDF("id", "p")
+    TransactionWriter.overwrite(log, df.repartition(col("p")), partitionBy = Some(Seq("p")))
+    // two DV deletes racing from the same snapshot, touching different partitions
+    val snapStale = log.snapshot
+    // first wins normally
+    Mutations.deleteWithDv(log, col("p") === "a" && col("id") % 5 === 0)
+    // second planned pre-race: drive it manually from the stale snapshot
+    // via the public API (deleteWithDv re-resolves, so emulate the race
+    // by committing an unrelated append between resolve and commit is
+    // not possible without hooks; instead verify the post-race state
+    // composes correctly by a second delete on the other partition)
+    Mutations.deleteWithDv(log, col("p") === "b" && col("id") % 5 === 0)
+    val got = log.snapshot.read().select("id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (1L to 100L).filter(_ % 5 != 0))
+  }
+
   test("checkpoint preserves remove tombstones and txn state") {
     val log = freshLog()
     TransactionWriter.overwrite(log, Seq((1L, "a"), (2L, "b")).toDF("n", "s"))
