@@ -116,13 +116,68 @@ object Multimodal {
     }.toDF("asset_id", "frame_idx", "frame_bytes")
   }
 
-  /** Media-aware repartitioning: pack assets into tasks by cumulative
+  /** Media-aware repartitioning: pack assets into tasks by CUMULATIVE
     * byte size (a 100 TB media table must not put 2 GB videos and 2 KB
-    * icons in the same fixed-row-count partitions). */
+    * icons in the same fixed-row-count partitions). Round-robin over a
+    * byte-derived partition COUNT — the old shape — still lets one task
+    * collect several huge assets; this is a true prefix-sum bin
+    * assignment: rows are laid out in input order, every row gets the
+    * exclusive running byte total before it, and bin `b` holds the rows
+    * whose prefix lands in `[b*target, (b+1)*target)` (Packing-style
+    * concat-then-chunk). The prefix sum is two-phase so no single task
+    * ever sorts the whole table: per-input-partition sums (tiny: one row
+    * per partition) are collected and turned into broadcast offsets,
+    * then each partition windows only over itself. Assets larger than
+    * `targetBytesPerTask` get a bin of their own (rows don't split). */
   def repartitionBySize(df: DataFrame, targetBytesPerTask: Long): DataFrame = {
-    val sized = df.withColumn("__bytes", length(col("content")).cast("long"))
-    val total = sized.agg(sum("__bytes")).collect()(0).getLong(0)
-    val parts = math.max(1, (total / targetBytesPerTask).toInt)
-    sized.drop("__bytes").repartition(parts)
+    require(targetBytesPerTask > 0, s"targetBytesPerTask must be > 0, got $targetBytesPerTask")
+    import org.apache.spark.sql.expressions.Window
+    val sized = df
+      .withColumn("__bytes", coalesce(length(col("content")).cast("long"), lit(0L)))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
+    // Phase 1: per-input-partition byte totals -> exclusive global offsets.
+    // Column pruning keeps `content` out of this pass (only lengths flow).
+    val partTotals = sized.groupBy("__pid").agg(sum("__bytes").as("__b"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    if (partTotals.isEmpty) return df
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      partTotals.map { case (pid, b) => val o = pid -> acc; acc += b; o }.toMap
+    }
+    val total = partTotals.map(_._2).sum
+    val nBins = math.max(1L, (total + targetBytesPerTask - 1) / targetBytesPerTask)
+    // Phase 2: in-partition exclusive prefix + broadcast offset = global
+    // prefix; integral DIV (double division mis-bins past 2^53).
+    val w = Window.partitionBy("__pid").orderBy("__mid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val binned = sized
+      .withColumn("__cum",
+        coalesce(sum(col("__bytes")).over(w), lit(0L)) +
+          // offsets are keyed by the phase-1 pids; if an upstream
+          // exchange were re-planned between the two jobs an unseen pid
+          // falls back to offset 0 — bins may skew but no row is lost
+          // (this operator is pure layout)
+          coalesce(element_at(typedLit(offsets), col("__pid")), lit(0L)))
+      .withColumn("__bin", expr(s"__cum DIV ${targetBytesPerTask}L"))
+    // Exact bin -> partition mapping. Neither DataFrame repartitioner
+    // fits here: hash repartition collides bins into shared tasks, and
+    // repartitionByRange balances ROW counts (it would re-stack the few
+    // huge assets into one partition precisely because they are few).
+    // A trivial identity Partitioner is the one genuine RDD use in this
+    // codebase — there is no Dataset API for value-addressed partitions.
+    val nP = math.min(nBins, Int.MaxValue.toLong / 2).toInt
+    val out = binned.select(col("__bin") +: df.columns.map(col): _*)
+    val spark = df.sparkSession
+    val schema = df.schema
+    val rdd = out.rdd
+      .map(r => (r.getLong(0), org.apache.spark.sql.Row.fromSeq(r.toSeq.tail)))
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = nP
+        override def getPartition(key: Any): Int =
+          math.min(key.asInstanceOf[Long], (nP - 1).toLong).toInt
+      })
+      .map(_._2)
+    spark.createDataFrame(rdd, schema)
   }
 }

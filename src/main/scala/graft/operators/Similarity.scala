@@ -184,6 +184,67 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rnk")
   }
 
+  /** Deterministic k-means training for the IVF coarse quantizer.
+    *
+    * - Seeding is data-derived and fixed: the k rows whose ids hash
+    *   lowest under md5 (no RNG state, same seed set every run).
+    * - Assignment matches [[ivfTopK]]'s rule exactly (max cosine,
+    *   ties to the lower centroid id), so a corpus vector trains
+    *   toward the same cell it will later be probed in.
+    * - Each iteration is one broadcast-join assignment pass plus one
+    *   (cid, dim) average — both map-side partial-aggregable; the
+    *   driver only ever holds k×dims doubles.
+    * - Centroid components are rounded to `roundDp` decimals per
+    *   iteration, absorbing float reduce-order noise so the trained
+    *   quantizer is reproducible run to run.
+    *
+    * Returns (cid 0..k-1, centroid) pairs; empty cells keep their
+    * previous centroid. */
+  def trainKMeans(
+      df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iterations: Int = 3, roundDp: Int = 6): Seq[(Long, Array[Double])] = {
+    require(k > 0 && iterations >= 0, s"need k > 0, iterations >= 0 (got $k, $iterations)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    var centroids: Seq[(Long, Array[Double])] = n
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(k)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => i.toLong -> r.getSeq[Double](1).toArray }
+      .toSeq
+    val dims = centroids.headOption.map(_._2.length).getOrElse(0)
+    (1 to iterations).foreach { _ =>
+      val centDf = centroids.map { case (cid, cv) => (cid, cv.toSeq) }
+        .toDF("cid", "cv")
+        .withColumn("cnrm", norm(col("cv")))
+      val assign = n.crossJoin(broadcast(centDf))
+        .withColumn("csim", round(
+          VectorExpressions.dot(col("v"), col("cv")) / (norm(col("v")) * col("cnrm")), 4))
+        .groupBy("id")
+        .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"),
+          first(col("v")).as("v"))
+      val means = assign
+        .select(col("cid"), posexplode(col("v")))
+        .groupBy("cid", "pos")
+        .agg(avg(col("col")).as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          val arr = new Array[Double](dims)
+          rows.foreach { r =>
+            arr(r.getInt(1)) =
+              BigDecimal(r.getDouble(2)).setScale(roundDp, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble
+          }
+          cid -> arr
+        }
+      centroids = centroids.map { case (cid, old) => cid -> means.getOrElse(cid, old) }
+    }
+    centroids
+  }
+
   /** Approximate top-k: banded-LSH candidates (queries join the corpus
     * only within shared buckets) + exact cosine rerank + per-query
     * window. The corpus is never broadcast-nested-looped; both sides

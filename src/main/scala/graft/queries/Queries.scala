@@ -764,6 +764,68 @@ object Queries {
       |  FROM px)
       |SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 3""".stripMargin
 
+  /** Trained-quantizer IVF: deterministic k-means centroids are trained
+    * Spark-side, EXPORTED to a fixed parquet path, and read back by both
+    * engines — the DuckDB oracle replays the identical assign/probe/
+    * rerank pipeline over the identical centroid values (the driver
+    * always runs the Spark side before the oracle, so the export
+    * exists). This closes the round-3 gap where the only verified IVF
+    * query used a caller-provided `vec_id % 25 = 13` quantizer. */
+  private val ivfCentroidsPath = "/tmp/graft_ivf_trained_centroids.parquet"
+
+  private def qIvfTrainedSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      val emb = s.table("embeddings")
+      val trained = graft.operators.Similarity.trainKMeans(
+        emb, "vec_id", "embedding", k = 16, iterations = 3)
+      import s.implicits._
+      trained.map { case (cid, cv) => (cid, cv.toSeq) }
+        .toDF("vec_id", "embedding")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(ivfCentroidsPath)
+      // both engines read the centroids back from the export, so they
+      // rerank against bit-identical quantizer values
+      val cents = s.read.parquet(ivfCentroidsPath)
+      graft.operators.Similarity.ivfTopK(
+        emb, emb.where(col("vec_id") % 25 === 0), cents,
+        "vec_id", "embedding", k = 3, nprobe = 2)
+    }
+
+  private val qIvfTrainedDuck: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v,
+       |    SQRT(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |cent AS (SELECT vec_id AS cid, embedding AS cv,
+       |    SQRT(list_sum(list_transform(embedding, x -> x * x))) AS cnrm
+       |  FROM read_parquet('$ivfCentroidsPath/*.parquet')),
+       |sims_all AS (SELECT n.vec_id, cent.cid,
+       |    ROUND(list_sum(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * cent.cv[i]))
+       |      / (n.nrm * cent.cnrm), 4) AS sim
+       |  FROM n CROSS JOIN cent),
+       |assign AS (SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+       |    FROM sims_all) t WHERE rn = 1),
+       |qsims AS (SELECT vec_id AS query_id, cid, sim FROM sims_all WHERE vec_id % 25 = 0),
+       |probe AS (SELECT query_id, cid FROM (
+       |    SELECT query_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cid) AS cr
+       |    FROM qsims) t WHERE cr <= 2),
+       |cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probe p JOIN assign a ON p.cid = a.cid
+       |  WHERE p.query_id <> a.vec_id),
+       |px AS (SELECT c.query_id, c.neighbor_id,
+       |    ROUND(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+       |      / (a.nrm * b.nrm), 4) AS sim
+       |  FROM cand c
+       |  JOIN n a ON a.vec_id = c.query_id
+       |  JOIN n b ON b.vec_id = c.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+       |  FROM px)
+       |SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 3""".stripMargin
+
   // ---- as-of join (events point-in-time enrichment) ------------------------
   //
   // Spark side runs graft.operators.AsOfJoin.asOf (union + one window
@@ -1418,6 +1480,7 @@ object Queries {
         "vec_id", "embedding", 3, LshBands, LshPlanesPerBand, 64)
     }),
     "q_embedding_ivf_knn" -> cachedStagesQuery(ivfStages, qIvfKnnSparkFinal),
+    "q_embedding_ivf_trained" -> qIvfTrainedSpark,
     "q_decontaminate" -> ((s, dir) => {
       registerViews(s, dir)
       val docs = s.table("documents").repartition(s.sparkContext.defaultParallelism)
@@ -1514,6 +1577,7 @@ object Queries {
     "q_embedding_lsh_neardup" -> qLshNeardupDuck,
     "q_embedding_knn_lsh" -> qKnnLshDuck,
     "q_embedding_ivf_knn" -> qIvfKnnDuck,
+    "q_embedding_ivf_trained" -> qIvfTrainedDuck,
     "q_media_meta" -> qMediaMetaDuck,
     "q_media_features" -> qMediaFeaturesDuck,
     "q_decontaminate" -> qDecontaminateDuck,

@@ -198,6 +198,62 @@ class OperatorsSpec extends SparkTestBase {
     assert(frames.where($"asset_id" === 2L).count() > 0)
   }
 
+  test("trainKMeans is deterministic and assignment-consistent with ivfTopK") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 300L).map { i =>
+      // three planted clusters around orthogonal-ish directions
+      val base = (i % 3).toInt
+      val v = Array.tabulate(8)(d =>
+        (if (d % 3 == base) 1.0 else 0.05) + rnd.nextDouble() * 0.1)
+      (i, v.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding").repartition(5)
+    val a = Similarity.trainKMeans(df, "vec_id", "embedding", k = 3, iterations = 3)
+    val b = Similarity.trainKMeans(df.repartition(2), "vec_id", "embedding", k = 3, iterations = 3)
+    assert(a.size == 3 && a.forall(_._2.length == 8))
+    assert(a.map(_._1) == Seq(0L, 1L, 2L))
+    assert(a.map(_._2.toSeq) == b.map(_._2.toSeq),
+      "training must be reproducible across input layouts")
+    // trained quantizer plugs into ivfTopK and returns valid top-k rows
+    val cents = a.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("vec_id", "embedding")
+    val knn = Similarity.ivfTopK(df, df.where($"vec_id" < 10), cents,
+      "vec_id", "embedding", k = 2, nprobe = 2)
+    val rows = knn.collect()
+    assert(rows.nonEmpty)
+    assert(rows.groupBy(_.getLong(0)).forall(_._2.length <= 2))
+  }
+
+  test("repartitionBySize bounds partition bytes under 1000:1 asset skew") {
+    // 4 giant assets (256 KB) among 400 tiny ones (256 B): round-robin
+    // by count could stack giants in one task; prefix-sum binning must
+    // keep every partition near the byte target.
+    val giants = (1L to 4L).map(i =>
+      Multimodal.MediaAsset(i, "video", Array.fill(256 * 1024)((i % 100).toByte)))
+    val tinies = (100L to 499L).map(i =>
+      Multimodal.MediaAsset(i, "image", Array.fill(256)((i % 100).toByte)))
+    val df = (giants ++ tinies).toDS().toDF().repartition(3)
+    val target = 300L * 1024
+    val out = Multimodal.repartitionBySize(df, target)
+    val perPartition = out
+      .select(length($"content").cast("long").as("b"))
+      .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+      .groupBy("pid").agg(org.apache.spark.sql.functions.sum("b").as("bytes"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("rows"))
+      .collect()
+    val totalBytes = 4L * 256 * 1024 + 400L * 256
+    assert(perPartition.map(_.getAs[Long]("bytes")).sum == totalBytes)
+    assert(perPartition.map(_.getAs[Long]("rows")).sum == 404L)
+    // every partition stays within target + one max asset (a row can't split)
+    val maxAsset = 256L * 1024
+    perPartition.foreach { r =>
+      assert(r.getAs[Long]("bytes") <= target + maxAsset,
+        s"partition ${r.getAs[Int]("pid")} holds ${r.getAs[Long]("bytes")} bytes " +
+          s"(> target $target + maxAsset $maxAsset)")
+    }
+    // and the work actually spread: more than one partition carries bytes
+    assert(perPartition.count(_.getAs[Long]("bytes") > 0) >= 3)
+  }
+
   test("minhash bucket-size cap drops only degenerate-bucket pairs") {
     import graft.operators.MinHashLsh
     // 6 identical boilerplate docs (one degenerate bucket per band) +
