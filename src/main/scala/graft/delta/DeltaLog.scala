@@ -29,18 +29,26 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
 
   /** (commit versions present, complete checkpoint versions present) */
   def listLog(): (Seq[Long], Seq[Long]) = {
-    val files =
-      if (!fs.exists(logPath)) Array.empty[org.apache.hadoop.fs.FileStatus]
-      else fs.listStatus(logPath)
-    val names = files.map(_.getPath.getName)
+    val names = listLogNames()
     val commits = names.collect { case CommitFileRe(v) => v.toLong }.sorted.toSeq
+    (commits, checkpointVersions(names))
+  }
+
+  private def listLogNames(): Seq[String] = {
+    if (!fs.exists(logPath)) Nil
+    else fs.listStatus(logPath).map(_.getPath.getName).toSeq
+  }
+
+  private def checkpointVersions(names: Seq[String]): Seq[Long] = {
     val singleCps = names.collect { case CheckpointFileRe(v) => v.toLong }
     val multiParts = names.collect { case MultiPartCheckpointRe(v, _, n) => (v.toLong, n.toInt) }
     val completeMulti = multiParts.groupBy(identity).collect {
       case ((v, n), parts) if parts.length == n => v
     }
-    val cps = (singleCps ++ completeMulti).distinct.sorted.toSeq
-    (commits, cps)
+    // A v2 checkpoint is complete by existence of its top-level manifest
+    // (sidecars are written before it and referenced from it).
+    val v2 = names.collect { case V2CheckpointRe(v, _, _) => v.toLong }
+    (singleCps ++ completeMulti ++ v2).distinct.sorted.toSeq
   }
 
   def latestVersion(): Long = {
@@ -142,11 +150,38 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     snapshotAt(eligible.map(_._1).max)
   }
 
-  def checkpointFiles(version: Long): Seq[String] = {
+  def checkpointFiles(version: Long): Seq[String] = checkpointFormAt(version) match {
+    case Some(ClassicCheckpoint(files)) => files
+    case Some(V2Checkpoint(top, _)) => Seq(top)
+    case None => Nil
+  }
+
+  /** Resolve which checkpoint layout exists at `version`: classic
+    * single-file, classic multi-part, or a v2 manifest
+    * (`v.checkpoint.<uuid>.{json|parquet}` + sidecars). When several
+    * forms coexist (writers may produce both during migration) classic
+    * wins — it is self-contained — and among multiple v2 manifests the
+    * lexicographically last name is picked deterministically. */
+  def checkpointFormAt(version: Long): Option[CheckpointForm] = {
     val single = new Path(logPath, f"$version%020d.checkpoint.parquet")
-    if (fs.exists(single)) Seq(single.toString)
-    else fs.globStatus(new Path(logPath, f"$version%020d.checkpoint.*.parquet"))
-      .map(_.getPath.toString).toSeq
+    if (fs.exists(single)) return Some(ClassicCheckpoint(Seq(single.toString)))
+    val glob = fs.globStatus(new Path(logPath, f"$version%020d.checkpoint.*"))
+      .map(_.getPath.getName).sorted
+    val multi = glob.collect { case n @ MultiPartCheckpointRe(_, _, _) => n }
+    if (multi.nonEmpty)
+      return Some(ClassicCheckpoint(multi.map(new Path(logPath, _).toString).toSeq))
+    glob.collect { case n @ V2CheckpointRe(_, _, _) => n }.lastOption.map { n =>
+      V2Checkpoint(new Path(logPath, n).toString, isJson = n.endsWith(".json"))
+    }
+  }
+
+  /** Resolve a v2-checkpoint sidecar reference: bare names live under
+    * `_delta_log/_sidecars/`; anything else is taken as a full path/URI
+    * (the spec allows absolute sidecar paths). */
+  def sidecarPath(s: SidecarFile): Path = {
+    val decoded = DeltaLog.decodePath(s.path)
+    if (decoded.contains("/")) new Path(decoded)
+    else new Path(new Path(logPath, "_sidecars"), decoded)
   }
 
   /** Parsed actions of one commit file (used by the streaming source to
@@ -236,10 +271,19 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
   }
 }
 
+/** Which files make up the checkpoint at one version. */
+sealed trait CheckpointForm
+final case class ClassicCheckpoint(files: Seq[String]) extends CheckpointForm
+final case class V2Checkpoint(topFile: String, isJson: Boolean) extends CheckpointForm
+
 object DeltaLog {
   private val CommitFileRe = """(\d{20})\.json""".r
   private val CheckpointFileRe = """(\d{20})\.checkpoint\.parquet""".r
   private val MultiPartCheckpointRe = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+  /** V2 manifest: `v.checkpoint.<uuid>.{json|parquet}` — the single
+    * `[^.]+` segment cannot match a multi-part name (two dot-separated
+    * numeric segments), so the patterns are disjoint. */
+  private val V2CheckpointRe = """(\d{20})\.checkpoint\.([^.]+)\.(json|parquet)""".r
 
   def forPath(spark: SparkSession, path: String): DeltaLog = new DeltaLog(spark, path)
 

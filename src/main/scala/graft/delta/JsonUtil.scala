@@ -91,13 +91,25 @@ object JsonUtil {
       Some(CommitInfoAction(CommitInfo(
         timestamp = optLong(c, "timestamp").getOrElse(0L),
         operation = optText(c, "operation").getOrElse(""),
-        operationParameters = params)))
+        operationParameters = params,
+        inCommitTimestamp = optLong(c, "inCommitTimestamp"))))
     } else if (root.has("txn")) {
       val t = root.get("txn")
       Some(TxnAction(SetTransaction(
         appId = t.get("appId").asText(),
         version = optLong(t, "version").getOrElse(0L),
         lastUpdated = optLong(t, "lastUpdated"))))
+    } else if (root.has("checkpointMetadata")) {
+      val cm = root.get("checkpointMetadata")
+      Some(CheckpointMetadataAction(CheckpointMetadata(
+        version = optLong(cm, "version").getOrElse(-1L),
+        tags = strMap(cm, "tags"))))
+    } else if (root.has("sidecar")) {
+      val s = root.get("sidecar")
+      Some(SidecarAction(SidecarFile(
+        path = s.get("path").asText(),
+        sizeInBytes = optLong(s, "sizeInBytes"),
+        modificationTime = optLong(s, "modificationTime"))))
     } else None
   }
 
@@ -164,6 +176,7 @@ object JsonUtil {
       case CommitInfoAction(c) =>
         val o = root.putObject("commitInfo")
         o.put("timestamp", c.timestamp)
+        c.inCommitTimestamp.foreach(o.put("inCommitTimestamp", _))
         o.put("operation", c.operation)
         val op = o.putObject("operationParameters")
         c.operationParameters.foreach { case (k, v) => op.put(k, v) }
@@ -173,6 +186,15 @@ object JsonUtil {
         o.put("appId", t.appId)
         o.put("version", t.version)
         t.lastUpdated.foreach(o.put("lastUpdated", _))
+      case CheckpointMetadataAction(cm) =>
+        val o = root.putObject("checkpointMetadata")
+        o.put("version", cm.version)
+        if (cm.tags.nonEmpty) putStrMap(o, "tags", cm.tags)
+      case SidecarAction(s) =>
+        val o = root.putObject("sidecar")
+        o.put("path", s.path)
+        s.sizeInBytes.foreach(o.put("sizeInBytes", _))
+        s.modificationTime.foreach(o.put("modificationTime", _))
     }
     mapper.writeValueAsString(root)
   }

@@ -42,9 +42,7 @@ object Maintenance {
     val small = ArrayBuffer[Row](
       Row(null, Row(m.id, Row("parquet", Map.empty[String, String]), m.schemaString,
         m.partitionColumns, m.configuration, m.createdTime.getOrElse(0L)), null, null, null),
-      Row(null, null,
-        Row(snap.protocol.minReaderVersion, snap.protocol.minWriterVersion),
-        null, null))
+      Row(null, null, protocolRow(snap.protocol), null, null))
     small ++= snap.setTransactions.values.toSeq.sortBy(_.appId).map { t =>
       Row(null, null, null, null,
         Row(t.appId, t.version, t.lastUpdated.map(java.lang.Long.valueOf).orNull))
@@ -57,27 +55,37 @@ object Maintenance {
     val removeT = checkpointSchema("remove").dataType
     def nul(f: String) = lit(null).cast(checkpointSchema(f).dataType).as(f)
     val addsDf = snap.adds.select(
-      struct(
-        col("path"),
-        col("partition_values").as("partitionValues"),
-        col("size_bytes").as("size"),
-        col("modification_time").as("modificationTime"),
-        lit(false).as("dataChange"),
-        col("stats"),
-        col("deletion_vector").as("deletionVector")).cast(addT).as("add"),
+      addStructCol(addT),
       nul("metaData"), nul("protocol"), nul("remove"), nul("txn"))
     val removesDf = snap.tombstones.select(
       nul("add"), nul("metaData"), nul("protocol"),
-      struct(
-        col("path"),
-        col("deletion_timestamp").as("deletionTimestamp"),
-        lit(true).as("dataChange"),
-        lit(true).as("extendedFileMetadata"),
-        col("partition_values").as("partitionValues"),
-        col("size_bytes").as("size")).cast(removeT).as("remove"),
+      removeStructCol(removeT),
       nul("txn"))
     smallDf.unionByName(addsDf).unionByName(removesDf)
   }
+
+  /** The `add` struct column of a checkpoint row, from the snapshot's
+    * [[Snapshot.adds]] relation. */
+  private def addStructCol(addT: org.apache.spark.sql.types.DataType) =
+    struct(
+      col("path"),
+      col("partition_values").as("partitionValues"),
+      col("size_bytes").as("size"),
+      col("modification_time").as("modificationTime"),
+      lit(false).as("dataChange"),
+      col("stats"),
+      col("deletion_vector").as("deletionVector")).cast(addT).as("add")
+
+  /** The `remove` struct column of a checkpoint row, from
+    * [[Snapshot.tombstones]]. */
+  private def removeStructCol(removeT: org.apache.spark.sql.types.DataType) =
+    struct(
+      col("path"),
+      col("deletion_timestamp").as("deletionTimestamp"),
+      lit(true).as("dataChange"),
+      lit(true).as("extendedFileMetadata"),
+      col("partition_values").as("partitionValues"),
+      col("size_bytes").as("size")).cast(removeT).as("remove")
 
   private[delta] val checkpointSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
@@ -101,9 +109,14 @@ object Maintenance {
       StructField("partitionColumns", ArrayType(StringType)),
       StructField("configuration", strMap),
       StructField("createdTime", LongType)))
+    // Feature lists must survive checkpointing: a v3/v7 table whose
+    // checkpoint dropped them would advertise a featureless protocol to
+    // readers that bootstrap from it.
     val protoT = StructType(Seq(
       StructField("minReaderVersion", IntegerType),
-      StructField("minWriterVersion", IntegerType)))
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))
     val removeT = StructType(Seq(
       StructField("path", StringType),
       StructField("deletionTimestamp", LongType),
@@ -119,6 +132,17 @@ object Maintenance {
       StructField("add", addT), StructField("metaData", metaT),
       StructField("protocol", protoT), StructField("remove", removeT),
       StructField("txn", txnT)))
+  }
+
+  private def protocolRow(p: Protocol): org.apache.spark.sql.Row = {
+    import org.apache.spark.sql.Row
+    // Spec: reader v3 / writer v7 protocols MUST list features; lower
+    // versions must NOT carry the fields (null here).
+    Row(p.minReaderVersion, p.minWriterVersion,
+      if (p.minReaderVersion >= 3 || p.readerFeatures.nonEmpty)
+        p.readerFeatures.toSeq.sorted else null,
+      if (p.minWriterVersion >= 7 || p.writerFeatures.nonEmpty)
+        p.writerFeatures.toSeq.sorted else null)
   }
 
   /** Write checkpoint parquet (single- or multi-part) + `_last_checkpoint`. */
@@ -164,6 +188,138 @@ object Maintenance {
     val snap = log.snapshot
     writeCheckpointDf(log, snap, checkpointDf(log, snap), parts)
     snap.version
+  }
+
+  /** Write a v2 checkpoint (Delta spec "V2 Checkpoints"): parquet
+    * sidecar file(s) holding the file actions under
+    * `_delta_log/_sidecars/`, plus a top-level manifest
+    * `v.checkpoint.<uuid>.{parquet|json}` carrying checkpointMetadata,
+    * protocol, metaData, txn state and the sidecar references, plus the
+    * `_last_checkpoint` pointer. File-action rows are written by a
+    * Spark job (never a driver list); `sidecarParts` shards them so a
+    * 10⁷-file table's checkpoint writes in parallel and reads back with
+    * per-sidecar task granularity. */
+  def checkpointV2(
+      log: DeltaLog, sidecarParts: Int = 1, jsonManifest: Boolean = false): Long = {
+    require(sidecarParts >= 1, s"sidecarParts must be >= 1, got $sidecarParts")
+    val snap = log.snapshot
+    val fs = log.fs
+    val sidecarDir = new Path(log.logPath, "_sidecars")
+    if (!fs.exists(sidecarDir)) fs.mkdirs(sidecarDir)
+    val tmp = new Path(log.logPath, s".cp2-${java.util.UUID.randomUUID}")
+    val addT = checkpointSchema("add").dataType
+    val removeT = checkpointSchema("remove").dataType
+    // Sidecars carry ONLY file actions (spec): add + remove columns.
+    val addsDf = snap.adds.select(
+      addStructCol(addT), lit(null).cast(removeT).as("remove"))
+    val removesDf = snap.tombstones.select(
+      lit(null).cast(addT).as("add"), removeStructCol(removeT))
+    addsDf.unionByName(removesDf)
+      .repartition(sidecarParts).write.mode("overwrite").parquet(tmp.toString)
+    val written = fs.listStatus(tmp).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    require(written.nonEmpty, "v2 checkpoint sidecar write produced no parquet")
+    val sidecars = written.toSeq.map { p =>
+      val name = s"${java.util.UUID.randomUUID}.parquet"
+      val dest = new Path(sidecarDir, name)
+      if (!fs.rename(p, dest))
+        throw new java.io.IOException(s"rename $p -> $dest failed")
+      val st = fs.getFileStatus(dest)
+      SidecarFile(name, Some(st.getLen), Some(st.getModificationTime))
+    }
+    fs.delete(tmp, true)
+    val uuid = java.util.UUID.randomUUID.toString
+    if (jsonManifest) {
+      val manifestActions: Seq[Action] =
+        Seq(CheckpointMetadataAction(CheckpointMetadata(snap.version)),
+          ProtocolAction(snap.protocol), MetadataAction(snap.metadata)) ++
+          snap.setTransactions.values.toSeq.sortBy(_.appId).map(TxnAction.apply) ++
+          sidecars.map(SidecarAction.apply)
+      val target = new Path(log.logPath, f"${snap.version}%020d.checkpoint.$uuid.json")
+      val out = fs.create(target, true)
+      try out.write(manifestActions.map(JsonUtil.renderAction)
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+    } else writeManifestParquet(log, snap, sidecars, uuid)
+    // V2 `_last_checkpoint` pointers carry no `parts` field.
+    val size = 3 + snap.setTransactions.size + sidecars.size +
+      snap.numFiles + snap.tombstones.count()
+    val lastCp = new Path(log.logPath, "_last_checkpoint")
+    val out = fs.create(lastCp, true)
+    try out.write(s"""{"version":${snap.version},"size":$size}""".getBytes("UTF-8"))
+    finally out.close()
+    snap.version
+  }
+
+  private def writeManifestParquet(
+      log: DeltaLog, snap: Snapshot, sidecars: Seq[SidecarFile],
+      uuid: String): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val strMap = MapType(StringType, StringType)
+    val cmT = StructType(Seq(
+      StructField("version", LongType), StructField("tags", strMap)))
+    val scT = StructType(Seq(
+      StructField("path", StringType), StructField("sizeInBytes", LongType),
+      StructField("modificationTime", LongType)))
+    val schema = StructType(Seq(
+      StructField("checkpointMetadata", cmT),
+      StructField("sidecar", scT),
+      StructField("metaData", checkpointSchema("metaData").dataType),
+      StructField("protocol", checkpointSchema("protocol").dataType),
+      StructField("txn", checkpointSchema("txn").dataType)))
+    val m = snap.metadata
+    val rows = ArrayBuffer[Row](
+      Row(Row(snap.version, Map.empty[String, String]), null, null, null, null),
+      Row(null, null,
+        Row(m.id, Row("parquet", Map.empty[String, String]), m.schemaString,
+          m.partitionColumns, m.configuration, m.createdTime.getOrElse(0L)),
+        null, null),
+      Row(null, null, null, protocolRow(snap.protocol), null))
+    rows ++= snap.setTransactions.values.toSeq.sortBy(_.appId).map { t =>
+      Row(null, null, null, null,
+        Row(t.appId, t.version, t.lastUpdated.map(java.lang.Long.valueOf).orNull))
+    }
+    rows ++= sidecars.map { s =>
+      Row(null,
+        Row(s.path, s.sizeInBytes.map(java.lang.Long.valueOf).orNull,
+          s.modificationTime.map(java.lang.Long.valueOf).orNull),
+        null, null, null)
+    }
+    val df = log.spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava),
+      schema).coalesce(1)
+    val fs = log.fs
+    val tmp = new Path(log.logPath, s".cp2m-${java.util.UUID.randomUUID}")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    require(part.length == 1, s"manifest write produced ${part.length} files")
+    val target = new Path(log.logPath,
+      f"${snap.version}%020d.checkpoint.$uuid.parquet")
+    if (fs.exists(target)) fs.delete(target, false)
+    if (!fs.rename(part.head, target))
+      throw new java.io.IOException(s"rename ${part.head} -> $target failed")
+    fs.delete(tmp, true)
+  }
+
+  /** Sidecar file names a v2 checkpoint manifest references. */
+  private def manifestSidecarNames(
+      log: DeltaLog, form: V2Checkpoint): Seq[String] = {
+    if (form.isJson) {
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        log.fs.open(new Path(form.topFile)), "UTF-8"))
+      try Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .filter(_.trim.nonEmpty).flatMap(JsonUtil.parseAction)
+        .collect { case SidecarAction(s) => s.path }.toVector
+      finally in.close()
+    } else {
+      val df = log.spark.read.parquet(form.topFile)
+      if (!df.schema.fieldNames.contains("sidecar")) Nil
+      else df.where(org.apache.spark.sql.functions.col("sidecar.path").isNotNull)
+        .select("sidecar.path").collect().map(_.getString(0)).toSeq
+    }
   }
 
   /** OPTIMIZE-style small-file compaction: rewrite the current snapshot
@@ -401,9 +557,24 @@ object Maintenance {
       val p = new Path(log.logPath, f"$v%020d.json")
       if (fs.delete(p, false)) deleted += p.getName
     }
-    cps.filter(_ < anchor).foreach { v =>
+    // Sidecars may be SHARED between v2 checkpoints (the spec allows
+    // incremental checkpoints to reuse unchanged sidecars), so a
+    // deletable checkpoint's sidecars are removed only when no
+    // surviving checkpoint still references them. Read refs BEFORE
+    // deleting any manifest.
+    val (deadCps, liveCps) = cps.partition(_ < anchor)
+    def v2FormAt(v: Long): Option[V2Checkpoint] =
+      log.checkpointFormAt(v).collect { case f: V2Checkpoint => f }
+    val liveSidecars: Set[String] =
+      liveCps.flatMap(v => v2FormAt(v).toSeq.flatMap(manifestSidecarNames(log, _))).toSet
+    deadCps.foreach { v =>
+      val deadSidecars = v2FormAt(v).toSeq.flatMap(manifestSidecarNames(log, _))
       log.checkpointFiles(v).foreach { f =>
         val p = new Path(f)
+        if (fs.delete(p, false)) deleted += p.getName
+      }
+      deadSidecars.filterNot(liveSidecars).foreach { name =>
+        val p = log.sidecarPath(SidecarFile(name))
         if (fs.delete(p, false)) deleted += p.getName
       }
     }

@@ -24,23 +24,70 @@ class Snapshot(
 
   // ---- metadata / protocol -------------------------------------------------
 
-  private lazy val checkpointDf: Option[DataFrame] =
-    checkpointVersion.map { v =>
-      spark.read.parquet(log.checkpointFiles(v): _*)
-    }
+  private lazy val checkpointForm: Option[CheckpointForm] =
+    checkpointVersion.flatMap(log.checkpointFormAt)
+
+  /** Driver-parsed actions of a v2 JSON checkpoint manifest. Manifests
+    * are driver-scale by construction — protocol/metaData/txn/sidecar
+    * references, with file actions normally in the parquet sidecars;
+    * inline file actions are handled too, bounded by the manifest file
+    * size. */
+  private lazy val v2ManifestActions: Seq[Action] = checkpointForm match {
+    case Some(V2Checkpoint(top, true)) =>
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        log.fs.open(new org.apache.hadoop.fs.Path(top)),
+        java.nio.charset.StandardCharsets.UTF_8))
+      val actions =
+        try Iterator.continually(in.readLine()).takeWhile(_ != null)
+          .filter(_.trim.nonEmpty).flatMap(JsonUtil.parseAction).toVector
+        finally in.close()
+      actions.collectFirst { case CheckpointMetadataAction(cm) => cm }.foreach { cm =>
+        require(cm.version == checkpointVersion.get,
+          s"v2 checkpoint manifest $top declares version ${cm.version}, " +
+            s"expected ${checkpointVersion.get}")
+      }
+      actions
+    case _ => Nil
+  }
+
+  /** Parquet-backed checkpoint relation: the classic part files, or —
+    * for a v2 checkpoint — the parquet manifest (when parquet) plus
+    * every referenced sidecar, unioned by name. */
+  private lazy val checkpointDf: Option[DataFrame] = checkpointForm.map {
+    case ClassicCheckpoint(files) => spark.read.parquet(files: _*)
+    case V2Checkpoint(top, isJson) =>
+      val topDf = if (isJson) None else Some(spark.read.parquet(top))
+      val sidecarRefs: Seq[SidecarFile] =
+        if (isJson) v2ManifestActions.collect { case SidecarAction(s) => s }
+        else topDf.toSeq.flatMap { df =>
+          if (!df.schema.fieldNames.contains("sidecar")) Nil
+          else df.where(col("sidecar.path").isNotNull).select("sidecar.path")
+            .collect().map(r => SidecarFile(r.getString(0))).toSeq
+        }
+      val sidecarDf =
+        if (sidecarRefs.isEmpty) None
+        else Some(spark.read.parquet(
+          sidecarRefs.map(s => log.sidecarPath(s).toString): _*))
+      (topDf.toSeq ++ sidecarDf.toSeq)
+        .reduceOption(_.unionByName(_, allowMissingColumns = true))
+        .getOrElse(spark.emptyDataFrame)
+  }
 
   lazy val metadata: Metadata =
     tail.collect { case (_, MetadataAction(m)) => m }.lastOption
+      .orElse(v2ManifestActions.collectFirst { case MetadataAction(m) => m })
       .orElse(checkpointMetadata)
       .getOrElse(throw new IllegalStateException(
         s"no metaData action found for ${log.tablePath} @ v$version"))
 
   lazy val protocol: Protocol =
     tail.collect { case (_, ProtocolAction(p)) => p }.lastOption
+      .orElse(v2ManifestActions.collectFirst { case ProtocolAction(p) => p })
       .orElse(checkpointProtocol)
       .getOrElse(Protocol())
 
-  private def checkpointMetadata: Option[Metadata] = checkpointDf.flatMap { df =>
+  private def checkpointMetadata: Option[Metadata] = checkpointDf
+    .filter(_.schema.fieldNames.contains("metaData")).flatMap { df =>
     df.select("metaData").where(col("metaData.id").isNotNull).limit(1)
       .collect().headOption.map { row =>
         val m = row.getStruct(0)
@@ -55,7 +102,8 @@ class Snapshot(
       }
   }
 
-  private def checkpointProtocol: Option[Protocol] = checkpointDf.flatMap { df =>
+  private def checkpointProtocol: Option[Protocol] = checkpointDf
+    .filter(_.schema.fieldNames.contains("protocol")).flatMap { df =>
     df.select("protocol").where(col("protocol.minReaderVersion").isNotNull)
       .limit(1).collect().headOption.map { row =>
         val p = row.getStruct(0)
@@ -84,7 +132,8 @@ class Snapshot(
     * rejected rather than misread. */
   def requireReadable(): Unit = {
     val v = protocol.minReaderVersion
-    val supportedFeatures = Set("columnMapping", "deletionVectors", "timestampNtz")
+    val supportedFeatures =
+      Set("columnMapping", "deletionVectors", "timestampNtz", "v2Checkpoint")
     val unsupported = protocol.readerFeatures.diff(supportedFeatures)
     val ok = v <= 1 ||
       (v == 2 && Set("name", "id", "none").contains(columnMappingMode)) ||
@@ -166,8 +215,13 @@ class Snapshot(
       d.offset.map(java.lang.Integer.valueOf).orNull, d.sizeInBytes, d.cardinality)
   }.orNull
 
-  private def tailActionsDf: DataFrame = {
-    val rows: Seq[Row] = tail.collect {
+  private def tailActionsDf: DataFrame = actionsDf(tail)
+
+  /** Driver-held (version, action) pairs as the normalized action
+    * relation (used for the commit tail, and for file actions inlined
+    * in a v2 JSON checkpoint manifest). */
+  private def actionsDf(pairs: Seq[(Long, Action)]): DataFrame = {
+    val rows: Seq[Row] = pairs.collect {
       case (v, AddAction(a)) =>
         Row(v, true, a.path, a.partitionValues, a.size, a.modificationTime,
           a.stats.orNull, null, dvRow(a.deletionVector))
@@ -178,8 +232,24 @@ class Snapshot(
     spark.createDataFrame(rows.asJava, actionSchema)
   }
 
+  /** File actions inlined in a v2 JSON checkpoint manifest (rare — the
+    * spec prefers sidecars — but legal), at the checkpoint's version. */
+  private def v2InlineActionsDf: Option[DataFrame] = {
+    val inline = v2ManifestActions.collect {
+      case a @ AddAction(_) => (checkpointVersion.get, a: Action)
+      case a @ RemoveAction(_) => (checkpointVersion.get, a: Action)
+    }
+    if (inline.isEmpty) None else Some(actionsDf(inline))
+  }
+
   private def checkpointActionsDf: Option[DataFrame] =
-    checkpointDf.map { df =>
+    checkpointDf.map { df => checkpointFileActions(df) }
+
+  private def checkpointFileActions(df: DataFrame): DataFrame = {
+    // A v2 JSON manifest with inline file actions (or no sidecars) may
+    // leave the parquet-backed side without an `add` column entirely.
+    val parquetSide: Option[DataFrame] = if (!df.schema.fieldNames.contains("add")) None
+    else Some {
       val addFields = df.schema("add").dataType.asInstanceOf[StructType].fieldNames.toSet
       // `writeStatsAsStruct` tables carry stats only as a typed struct
       // (`stats_parsed`) in the checkpoint — normalize back to the JSON form.
@@ -232,6 +302,10 @@ class Snapshot(
         adds.unionByName(removes)
       }
     }
+    (parquetSide.toSeq ++ v2InlineActionsDf.toSeq)
+      .reduceOption(_.unionByName(_))
+      .getOrElse(spark.createDataFrame(new java.util.ArrayList[Row](), actionSchema))
+  }
 
   /** All checkpoint+tail file actions reconciled per path: the row with
     * `is_add=true` is a live file, `is_add=false` an unexpired remove
@@ -282,8 +356,10 @@ class Snapshot(
         }.toMap
       case _ => Map.empty
     }
+    val fromManifest = v2ManifestActions.collect { case TxnAction(t) => t }
+      .map(t => t.appId -> t).toMap
     tail.collect { case (_, TxnAction(t)) => t }
-      .foldLeft(fromCp)((m, t) => m + (t.appId -> t))
+      .foldLeft(fromCp ++ fromManifest)((m, t) => m + (t.appId -> t))
   }
 
   /** `adds` with `add.stats` JSON exploded into typed columns:

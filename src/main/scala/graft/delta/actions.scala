@@ -67,7 +67,26 @@ final case class RemoveFile(
 final case class CommitInfo(
     timestamp: Long,
     operation: String,
-    operationParameters: Map[String, String] = Map.empty)
+    operationParameters: Map[String, String] = Map.empty,
+    /** Monotonic commit timestamp (ms) per the in-commit-timestamps
+      * writer feature; when present it — not the commit file's
+      * modification time — is the table's time-travel clock. */
+    inCommitTimestamp: Option[Long] = None)
+
+/** V2-checkpoint manifest marker (Delta spec "V2 spec checkpoints"):
+  * the top-level checkpoint file carries exactly one of these; its
+  * `version` must equal the checkpoint's version. */
+final case class CheckpointMetadata(
+    version: Long,
+    tags: Map[String, String] = Map.empty)
+
+/** Reference from a v2 checkpoint manifest to a sidecar parquet file
+  * holding add/remove actions. `path` is either a bare file name
+  * (resolved under `_delta_log/_sidecars/`) or an absolute URI. */
+final case class SidecarFile(
+    path: String,
+    sizeInBytes: Option[Long] = None,
+    modificationTime: Option[Long] = None)
 
 /** Idempotent-writer state: the highest `version` an application
   * (streaming query, external loader) has committed. Checkpoints must
@@ -86,3 +105,5 @@ final case class AddAction(a: AddFile) extends Action
 final case class RemoveAction(r: RemoveFile) extends Action
 final case class CommitInfoAction(c: CommitInfo) extends Action
 final case class TxnAction(t: SetTransaction) extends Action
+final case class CheckpointMetadataAction(cm: CheckpointMetadata) extends Action
+final case class SidecarAction(s: SidecarFile) extends Action

@@ -27,19 +27,20 @@ class HardeningSpec extends SparkTestBase {
 
   test("unsupported reader protocol is rejected, not silently misread") {
     // v3 is accepted only when every listed reader feature is one we
-    // implement (deletionVectors / columnMapping / timestampNtz —
-    // DeletionVectorSpec covers the accept side); an unknown feature
-    // must refuse. v2 is allowed only for column mapping modes
-    // (ColumnMappingSpec covers the v2 matrix).
+    // implement (deletionVectors / columnMapping / timestampNtz /
+    // v2Checkpoint — DeletionVectorSpec and CheckpointV2Spec cover the
+    // accept side); an unknown feature must refuse. v2 is allowed only
+    // for column mapping modes (ColumnMappingSpec covers the v2 matrix).
     val log = freshLog()
     log.commit(0, Seq(
       ProtocolAction(Protocol(minReaderVersion = 3, minWriterVersion = 7,
-        readerFeatures = Set("v2Checkpoint"), writerFeatures = Set("v2Checkpoint"))),
+        readerFeatures = Set("variantType-preview"),
+        writerFeatures = Set("variantType-preview"))),
       MetadataAction(meta()),
       CommitInfoAction(CommitInfo(0L, "WRITE"))))
     val e = intercept[IllegalArgumentException](log.snapshot)
     assert(e.getMessage.contains("unsupported Delta protocol"))
-    assert(e.getMessage.contains("v2Checkpoint"))
+    assert(e.getMessage.contains("variantType-preview"))
   }
 
   test("interleaved targeted rewrites on disjoint files both land (rebase)") {
