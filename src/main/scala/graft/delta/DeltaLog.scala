@@ -134,20 +134,47 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
   }
 
   /** Time travel by timestamp (delta-rs `load_with_datetime`): the
-    * latest version whose commit happened at or before `ts`, measured by
-    * commit-file modification time as the Delta spec prescribes for
-    * tables without in-commit timestamps. */
+    * latest version whose commit happened at or before `ts`. The clock
+    * is the commit file's modification time, as the spec prescribes —
+    * EXCEPT for versions covered by the in-commit-timestamps feature,
+    * whose commitInfo `inCommitTimestamp` is authoritative (file
+    * modification times are rewritten by copies/restores; ICT is not).
+    * ICT is monotonic by spec, so the post-enablement range resolves
+    * with an O(log n) binary search over first-line peeks. */
   def snapshotAsOf(ts: java.time.Instant): Snapshot = {
     val (commits, _) = listLog()
     require(commits.nonEmpty, s"$tablePath has no commit files to time-travel over")
-    val withTimes = commits.map { v =>
-      v -> fs.getFileStatus(new Path(logPath, f"$v%020d.json")).getModificationTime
+    val tsMs = ts.toEpochMilli
+    val conf = snapshot.metadata.configuration
+    val ictEnabled = conf.get("delta.enableInCommitTimestamps").contains("true")
+    val enableV: Long =
+      if (!ictEnabled) Long.MaxValue
+      else conf.get("delta.inCommitTimestampEnablementVersion")
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+        .getOrElse(commits.min)
+    val (pre, post) = commits.sorted.partition(_ < enableV)
+    def ictOf(v: Long): Long = inCommitTimestampOf(v).getOrElse(
+      fs.getFileStatus(new Path(logPath, f"$v%020d.json")).getModificationTime)
+    if (post.nonEmpty && tsMs >= ictOf(post.head)) {
+      // binary search: largest post-enablement version with ict <= ts
+      var lo = 0
+      var hi = post.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi + 1) / 2
+        if (ictOf(post(mid)) <= tsMs) lo = mid else hi = mid - 1
+      }
+      snapshotAt(post(lo))
+    } else {
+      val withTimes = pre.map { v =>
+        v -> fs.getFileStatus(new Path(logPath, f"$v%020d.json")).getModificationTime
+      }
+      val eligible = withTimes.filter(_._2 <= tsMs)
+      require(eligible.nonEmpty,
+        s"no version of $tablePath existed at or before $ts (earliest " +
+          s"commit: ${(withTimes.map(_._2) ++ post.headOption.map(ictOf))
+            .minOption.map(java.time.Instant.ofEpochMilli)})")
+      snapshotAt(eligible.map(_._1).max)
     }
-    val eligible = withTimes.filter(_._2 <= ts.toEpochMilli)
-    require(eligible.nonEmpty,
-      s"no version of $tablePath existed at or before $ts " +
-        s"(earliest commit: ${java.time.Instant.ofEpochMilli(withTimes.map(_._2).min)})")
-    snapshotAt(eligible.map(_._1).max)
   }
 
   def checkpointFiles(version: Long): Seq[String] = checkpointFormAt(version) match {
@@ -234,9 +261,41 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     } finally in.close()
   }
 
+  /** First action line of a commit, parsed — a cheap peek used for
+    * in-commit timestamps (which the spec requires to be carried by the
+    * FIRST action, a commitInfo). */
+  def firstAction(version: Long): Option[Action] = {
+    val p = new Path(logPath, f"$version%020d.json")
+    if (!fs.exists(p)) None
+    else {
+      val in = new BufferedReader(
+        new InputStreamReader(fs.open(p), StandardCharsets.UTF_8))
+      try {
+        var line = in.readLine()
+        while (line != null && line.trim.isEmpty) line = in.readLine()
+        Option(line).flatMap(JsonUtil.parseAction)
+      } finally in.close()
+    }
+  }
+
+  /** The in-commit timestamp a commit advertises, when it has one. */
+  def inCommitTimestampOf(version: Long): Option[Long] =
+    firstAction(version).collect {
+      case CommitInfoAction(c) => c.inCommitTimestamp
+    }.flatten
+
   /** Atomically create commit file `version`. Throws if it already
     * exists (single-writer optimistic concurrency; the loser must
     * re-resolve and retry).
+    *
+    * `ictEnabled`: the table carries the in-commit-timestamps writer
+    * feature (callers read it off the snapshot they resolved). The
+    * commitInfo is then (re)stamped with a monotonic
+    * `inCommitTimestamp` — `max(now, previous ICT + 1)` — and moved to
+    * the FIRST line as the spec requires. Stamping lives HERE so a
+    * rebase retry at a new version restamps against the commit that
+    * actually precedes it. A commit whose own metaData turns the
+    * feature on is stamped too, without the flag.
     *
     * Uses FileContext rename WITHOUT Rename.OVERWRITE: on HDFS-like
     * stores this is an atomic no-clobber rename, so two racing writers
@@ -244,7 +303,30 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     * overwrites, making exists()-then-rename check-then-act). On the
     * local FS the guard is as strong as java.nio Files.move without
     * REPLACE_EXISTING — best-effort but far narrower than before. */
-  def commit(version: Long, actions: Seq[Action]): Unit = {
+  def commit(version: Long, actions: Seq[Action], ictEnabled: Boolean = false): Unit = {
+    val enabledHere = actions.exists {
+      case MetadataAction(m) =>
+        m.configuration.get("delta.enableInCommitTimestamps").contains("true")
+      case _ => false
+    }
+    val stamped =
+      if (!ictEnabled && !enabledHere) actions
+      else {
+        val prevIct = if (version == 0) None else inCommitTimestampOf(version - 1)
+        val ci = actions.collectFirst { case CommitInfoAction(c) => c }
+        val floor = prevIct.map(_ + 1).getOrElse(0L)
+        // keep a caller-chosen ICT when it is already monotone (the
+        // enablement commit pins its ICT into the table properties)
+        val ict = ci.flatMap(_.inCommitTimestamp).filter(_ >= floor)
+          .getOrElse(math.max(System.currentTimeMillis(), floor))
+        CommitInfoAction(
+          ci.getOrElse(CommitInfo(ict, "UNKNOWN")).copy(inCommitTimestamp = Some(ict))) +:
+          actions.filterNot(_.isInstanceOf[CommitInfoAction])
+      }
+    commitRaw(version, stamped)
+  }
+
+  private def commitRaw(version: Long, actions: Seq[Action]): Unit = {
     if (!fs.exists(logPath)) fs.mkdirs(logPath)
     val target = new Path(logPath, f"$version%020d.json")
     val tmp = new Path(logPath, f".$version%020d.json.${java.util.UUID.randomUUID}.tmp")

@@ -581,6 +581,47 @@ object Maintenance {
     deleted.toSeq
   }
 
+  /** Turn on the in-commit-timestamps writer feature (Delta spec
+    * "In-Commit Timestamps"): after this commit, every commit's
+    * commitInfo carries a monotonic `inCommitTimestamp` as its FIRST
+    * action, and timestamp time travel reads that instead of file
+    * modification times (which object-store copies/restores rewrite).
+    * The enablement commit pins `delta.inCommitTimestampEnablementVersion`
+    * / `...EnablementTimestamp` so readers know where the ICT clock
+    * starts. Writer-only feature: the reader protocol is unchanged. */
+  def enableInCommitTimestamps(log: DeltaLog): Long = {
+    val snap = log.snapshot
+    if (snap.metadata.configuration
+        .get("delta.enableInCommitTimestamps").contains("true"))
+      return snap.version
+    val v = snap.version + 1
+    val prevIct = if (v == 0) None else log.inCommitTimestampOf(v - 1)
+    val ict = math.max(System.currentTimeMillis(),
+      prevIct.map(_ + 1).getOrElse(0L))
+    val p = snap.protocol
+    // Upgrading a legacy writer version to table features must list the
+    // features the old version implied (same move as the DV writer).
+    val legacyWriter = if (p.minWriterVersion < 7) Set("appendOnly", "invariants")
+      else Set.empty[String]
+    val proto = Protocol(
+      minReaderVersion = p.minReaderVersion,
+      minWriterVersion = 7,
+      readerFeatures = p.readerFeatures,
+      writerFeatures = p.writerFeatures ++ legacyWriter + "inCommitTimestamp")
+    val m = snap.metadata
+    val newMeta = m.copy(configuration = m.configuration ++ Map(
+      "delta.enableInCommitTimestamps" -> "true",
+      "delta.inCommitTimestampEnablementVersion" -> v.toString,
+      "delta.inCommitTimestampEnablementTimestamp" -> ict.toString))
+    log.commit(v, Seq(
+      CommitInfoAction(CommitInfo(ict, "SET TBLPROPERTIES",
+        Map("delta.enableInCommitTimestamps" -> "true"),
+        inCommitTimestamp = Some(ict))),
+      ProtocolAction(proto),
+      MetadataAction(newMeta)))
+    v
+  }
+
   /** DESCRIBE HISTORY (delta-rs `history()`): one row per commit with
     * version, timestamp, operation, and operation parameters — parsed
     * from the commitInfo actions of the JSON commits (checkpointed-away
@@ -592,7 +633,9 @@ object Maintenance {
     val rows = commits.sorted.reverse.map { v =>
       val ci = log.commitActions(v).collectFirst { case CommitInfoAction(c) => c }
       Row(v,
-        ci.map(c => new java.sql.Timestamp(c.timestamp)).orNull,
+        // ICT, when present, is the table's authoritative clock
+        ci.map(c => new java.sql.Timestamp(
+          c.inCommitTimestamp.getOrElse(c.timestamp))).orNull,
         ci.map(_.operation).orNull,
         ci.map(_.operationParameters).orNull)
     }
@@ -693,17 +736,27 @@ object Maintenance {
     val actions = ArrayBuffer[Action](
       CommitInfoAction(CommitInfo(now, "RESTORE",
         Map("version" -> version.toString))))
-    // schema may have changed since — restore pins the target metadata
+    // schema may have changed since — restore pins the target metadata.
+    // In-commit-timestamp properties are carried FORWARD, not restored:
+    // once the ICT clock started it must keep ticking (pinning a
+    // pre-enablement configuration would silently switch time travel
+    // back to file mtimes mid-history).
+    val ictProps = current.metadata.configuration.filter { case (k, _) =>
+      k == "delta.enableInCommitTimestamps" || k.startsWith("delta.inCommitTimestamp")
+    }
     if (target.metadata.schemaString != current.metadata.schemaString ||
         target.metadata.partitionColumns != current.metadata.partitionColumns)
-      actions += MetadataAction(target.metadata)
+      actions += MetadataAction(target.metadata.copy(
+        configuration = target.metadata.configuration ++ ictProps))
     actions ++= targetFiles.filterNot(f => currentPaths.contains(f.path))
       .map(f => AddAction(f.copy(dataChange = true)))
     actions ++= currentFiles.filterNot(f => targetPaths.contains(f.path))
       .map(f => RemoveAction(RemoveFile(f.path, now, dataChange = true,
         partitionValues = f.partitionValues, size = Some(f.size))))
     val v = current.version + 1
-    log.commit(v, actions.toSeq)
+    log.commit(v, actions.toSeq,
+      ictEnabled = current.metadata.configuration
+        .get("delta.enableInCommitTimestamps").contains("true"))
     v
   }
 }

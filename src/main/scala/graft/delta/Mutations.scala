@@ -199,7 +199,9 @@ object Mutations {
         deletionVector = f.deletionVector))
     }
     val v = TransactionWriter.commitWithRebase(log, snap.version + 1,
-      actions.toSeq, touchedPaths = mergedRows.map(_._1.path).toSet)
+      actions.toSeq, touchedPaths = mergedRows.map(_._1.path).toSet,
+      ictEnabled = snap.metadata.configuration
+        .get("delta.enableInCommitTimestamps").contains("true"))
     log.spark.catalog.clearCache()
     v
   }

@@ -207,8 +207,13 @@ object TransactionWriter {
       // v7 whose listed features are all ones this writer honors —
       // deletionVectors (reads are DV-aware and rewrites remove the
       // whole (file, DV) pair), appendOnly (enforced above via the
-      // table property), invariants (vacuous unless declared).
-      val supportedWriterFeatures = Set("deletionVectors", "appendOnly", "invariants")
+      // table property), invariants (vacuous unless declared),
+      // inCommitTimestamp (every commit path stamps a monotonic ICT —
+      // see DeltaLog.commit), v2Checkpoint (checkpoint layout only,
+      // commits are unaffected).
+      val supportedWriterFeatures = Set(
+        "deletionVectors", "appendOnly", "invariants",
+        "inCommitTimestamp", "v2Checkpoint")
       val unsupportedW = s.protocol.writerFeatures.diff(supportedWriterFeatures)
       require(s.protocol.minWriterVersion <= 2 ||
           (s.protocol.minWriterVersion == 7 && unsupportedW.isEmpty),
@@ -297,6 +302,10 @@ object TransactionWriter {
           partitionValues = f.partitionValues, size = Some(f.size),
           deletionVector = f.deletionVector))
       }
+      val effectiveConf =
+        if (configuration.nonEmpty) configuration
+        else prev.map(_.metadata.configuration).getOrElse(Map.empty)
+      val ict = effectiveConf.get("delta.enableInCommitTimestamps").contains("true")
       // Appends rebase unconditionally (blind append conflicts with
       // nothing); targeted rewrites rebase after a logical conflict
       // check; overwrites abort (their read set is the whole table).
@@ -304,15 +313,12 @@ object TransactionWriter {
       val committed =
         if (rebasable)
           commitWithRebase(log, version, actions.toSeq,
-            touchedPaths = removes.map(_.path).toSet)
-        else { log.commit(version, actions.toSeq); version }
+            touchedPaths = removes.map(_.path).toSet, ictEnabled = ict)
+        else { log.commit(version, actions.toSeq, ictEnabled = ict); version }
       spark.catalog.clearCache()
       // delta.checkpointInterval: periodic checkpoints keep snapshot
       // resolution O(tail) forever (delta-spark defaults to every 10
       // commits; here opt-in via table property).
-      val effectiveConf =
-        if (configuration.nonEmpty) configuration
-        else prev.map(_.metadata.configuration).getOrElse(Map.empty)
       effectiveConf.get("delta.checkpointInterval")
         .flatMap(s => scala.util.Try(s.toLong).toOption)
         .filter(_ > 0)
@@ -343,12 +349,13 @@ object TransactionWriter {
       firstVersion: Long,
       actions: Seq[Action],
       touchedPaths: Set[String],
-      maxRetries: Int = 5): Long = {
+      maxRetries: Int = 5,
+      ictEnabled: Boolean = false): Long = {
     var version = firstVersion
     var attempts = 0
     while (true) {
       try {
-        log.commit(version, actions)
+        log.commit(version, actions, ictEnabled = ictEnabled)
         return version
       } catch {
         case e: java.util.ConcurrentModificationException =>

@@ -364,7 +364,8 @@ class HardeningSpec extends SparkTestBase {
     // re-resolves the snapshot and succeeds
     var injected = 1
     val flaky = new DeltaLog(spark, log.tablePath) {
-      override def commit(version: Long, actions: Seq[Action]): Unit = {
+      override def commit(version: Long, actions: Seq[Action],
+          ictEnabled: Boolean): Unit = {
         if (injected > 0) {
           injected -= 1
           // the racing writer takes this version for real...
@@ -372,7 +373,7 @@ class HardeningSpec extends SparkTestBase {
           // ...so our attempt hits the conflict
           throw new java.util.ConcurrentModificationException("lost race (injected)")
         }
-        super.commit(version, actions)
+        super.commit(version, actions, ictEnabled)
       }
     }
     val v = TransactionWriter.appendWithRetry(flaky, Seq((2L, "b")).toDF("n", "s"))
