@@ -449,16 +449,27 @@ object Maintenance {
         "breaks time travel; pass allowZeroRetention = true to confirm")
     val fs = log.fs
     val snap = log.snapshot
+    // Live files = active data files PLUS the deletion-vector files
+    // their descriptors reference — deleting a live DV would silently
+    // resurrect deleted rows, strictly worse than leaking space.
     val active: Set[String] = snap.activeFiles.map { f =>
       fs.makeQualified(new Path(log.rootPath, DeltaLog.decodePath(f.path))).toString
-    }.toSet
+    }.toSet ++ snap.activeFiles.flatMap(_.deletionVector).collect {
+      case dv if dv.storageType == "u" || dv.storageType == "p" =>
+        fs.makeQualified(DeletionVectors.filePath(log.rootPath, dv)).toString
+    }
     val rootDepth = fs.makeQualified(log.rootPath).toUri.getPath
       .split('/').count(_.nonEmpty)
     val cutoff = System.currentTimeMillis() - retentionMs
 
     // (qualified path, mtime) of every data-file candidate under `dir`,
     // skipping dot/underscore-prefixed components BELOW the table root
-    // (in-flight staging dirs, _delta_log).
+    // (in-flight staging dirs, _delta_log). Candidates are parquet data
+    // files and deletion-vector .bin files (orphaned when the file they
+    // covered was rewritten or their delete was superseded).
+    def isCandidate(name: String): Boolean =
+      name.endsWith(".parquet") ||
+        (name.startsWith("deletion_vector_") && name.endsWith(".bin"))
     def listCandidates(fsLocal: org.apache.hadoop.fs.FileSystem,
         dir: Path): Seq[(String, Long)] = {
       val out = ArrayBuffer.empty[(String, Long)]
@@ -469,7 +480,7 @@ object Maintenance {
         val comps = fsLocal.makeQualified(p).toUri.getPath
           .split('/').filter(_.nonEmpty).drop(rootDepth)
         val hidden = comps.exists(c => c.startsWith(".") || c.startsWith("_"))
-        if (st.isFile && p.getName.endsWith(".parquet") && !hidden)
+        if (st.isFile && isCandidate(p.getName) && !hidden)
           out += ((fsLocal.makeQualified(p).toString, st.getModificationTime))
       }
       out.toSeq
@@ -487,7 +498,7 @@ object Maintenance {
         val topDirs = rootEntries.filter(_.isDirectory)
           .map(st => fs.makeQualified(st.getPath).toUri.toString)
         val rootFiles = rootEntries.collect {
-          case st if st.isFile && st.getPath.getName.endsWith(".parquet") =>
+          case st if st.isFile && isCandidate(st.getPath.getName) =>
             (fs.makeQualified(st.getPath).toString, st.getModificationTime)
         }
         val sc = log.spark.sparkContext
@@ -515,7 +526,9 @@ object Maintenance {
                 val comps = fsx.makeQualified(f).toUri.getPath
                   .split('/').filter(_.nonEmpty).drop(depth)
                 val hidden = comps.exists(c => c.startsWith(".") || c.startsWith("_"))
-                if (st.isFile && f.getName.endsWith(".parquet") && !hidden)
+                val cand = f.getName.endsWith(".parquet") ||
+                  (f.getName.startsWith("deletion_vector_") && f.getName.endsWith(".bin"))
+                if (st.isFile && cand && !hidden)
                   out += ((fsx.makeQualified(f).toString, st.getModificationTime))
               }
               out

@@ -322,7 +322,14 @@ object TransactionWriter {
       effectiveConf.get("delta.checkpointInterval")
         .flatMap(s => scala.util.Try(s.toLong).toOption)
         .filter(_ > 0)
-        .foreach { n => if (committed > 0 && committed % n == 0) Maintenance.checkpoint(log) }
+        .foreach { n =>
+          if (committed > 0 && committed % n == 0) {
+            // delta.checkpointPolicy=v2 selects the manifest+sidecar layout
+            if (effectiveConf.get("delta.checkpointPolicy").contains("v2"))
+              Maintenance.checkpointV2(log)
+            else Maintenance.checkpoint(log)
+          }
+        }
       committed
     } finally fs.delete(staging, true)
   }

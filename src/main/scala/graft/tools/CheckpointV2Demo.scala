@@ -55,6 +55,19 @@ object CheckpointV2Demo {
         val minN = snap.read().agg(org.apache.spark.sql.functions.min("n")).as[Long].head()
         println(s"  rows=$n (expect 901) min_n=$minN (expect 101 — DV survived)")
         require(n == 901 && minN == 101L, "v2 checkpoint replay returned wrong rows")
+        // vacuum safety: the live DV file must survive even a
+        // zero-retention vacuum; after a compaction orphans it, the same
+        // vacuum reclaims it — and the data stays correct throughout.
+        def dvCount = log.fs.listStatus(log.rootPath).map(_.getPath.getName)
+          .count(f => f.startsWith("deletion_vector_") && f.endsWith(".bin"))
+        Maintenance.vacuum(log, retentionMs = 0L, allowZeroRetention = true)
+        require(dvCount == 1 && log.snapshot.read().count() == 901,
+          "vacuum must keep the referenced DV file")
+        Maintenance.compact(log)
+        Maintenance.vacuum(log, retentionMs = 0L, allowZeroRetention = true)
+        require(dvCount == 0 && log.snapshot.read().count() == 901,
+          "vacuum must reclaim the orphaned DV file after compaction")
+        println(s"  vacuum: live DV kept, orphaned DV reclaimed, rows still 901")
       }
       println("CheckpointV2Demo OK")
     } finally spark.stop()

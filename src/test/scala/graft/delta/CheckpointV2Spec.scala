@@ -172,6 +172,20 @@ class CheckpointV2Spec extends SparkTestBase {
     assert(e.getMessage.contains("declares version"))
   }
 
+  test("delta.checkpointPolicy=v2 makes the auto-checkpoint write v2 layout") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("n", "s"),
+      configuration = Map(
+        "delta.checkpointInterval" -> "2", "delta.checkpointPolicy" -> "v2"))
+    Maintenance.append(log, Seq((2L, "b")).toDF("n", "s"))            // v1
+    Maintenance.append(log, Seq((3L, "c")).toDF("n", "s"))            // v2 -> auto-cp
+    val names = log.fs.listStatus(log.logPath).map(_.getPath.getName)
+    assert(names.exists(_.matches("""0*2\.checkpoint\.[^.]+\.parquet""")),
+      s"expected a v2 checkpoint at version 2, log contains: ${names.mkString(", ")}")
+    assert(!names.exists(_.matches("""\d{20}\.checkpoint\.parquet""")))
+    assert(log.snapshot.read().count() == 3L)
+  }
+
   test("requireReadable accepts reader v3 with the v2Checkpoint feature") {
     val log = freshLog()
     TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("n", "s"))

@@ -150,6 +150,32 @@ class DeletionVectorSpec extends SparkTestBase {
     assert(got3.toSeq == got2.filter(_ != 3L).toSeq)
   }
 
+  test("vacuum keeps live DV files and reclaims orphaned ones") {
+    val dir = tmpDir()
+    import spark.implicits._
+    val log = DeltaLog.forPath(spark, dir)
+    TransactionWriter.overwrite(log,
+      (0 until 100).map(i => (i.toLong, s"r$i")).toDF("id", "s").coalesce(1))
+    Mutations.deleteWithDv(log, col("id") < 10L)                      // v1: live DV
+    def dvFiles(): Set[String] = log.fs.listStatus(log.rootPath)
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("deletion_vector_") && n.endsWith(".bin")).toSet
+    val liveDv = dvFiles()
+    assert(liveDv.size == 1)
+    // Live DV must survive an aggressive vacuum.
+    Maintenance.vacuum(log, retentionMs = 0L, allowZeroRetention = true)
+    assert(dvFiles() == liveDv, "vacuum must never delete a referenced DV")
+    assert(log.snapshot.read().count() == 90L)
+    // Rewrite the table (compaction drops the (file, DV) pair) — the DV
+    // file is now orphaned and an aggressive vacuum reclaims it.
+    Maintenance.compact(log)
+    assert(log.snapshot.read().count() == 90L)
+    val deleted = Maintenance.vacuum(log, retentionMs = 0L, allowZeroRetention = true)
+    assert(dvFiles().isEmpty, "orphaned DV file should be vacuumed")
+    assert(deleted.exists(_.contains("deletion_vector_")))
+    assert(log.snapshot.read().count() == 90L)
+  }
+
   test("inline ('i') deletion vectors and unsupported features still refuse") {
     val dir = tmpDir()
     import spark.implicits._
