@@ -502,6 +502,19 @@ class Snapshot(
       physicalSchema.fields.zip(schema.fields).collect {
         case (pf, lf) if !partCols.contains(lf.name) => pf
       })
+    // The physical→logical rename is a struct cast; cast to a NOT NULL
+    // nested field is rejected by the analyzer, so the cast target
+    // relaxes nullability (the declared schema still governs metadata —
+    // Spark itself treats parquet-sourced columns as nullable).
+    def relaxNullable(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        StructField(f.name, relaxNullable(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        ArrayType(relaxNullable(a.elementType), containsNull = true)
+      case m: MapType => MapType(relaxNullable(m.keyType),
+        relaxNullable(m.valueType), valueContainsNull = true)
+      case other => other
+    }
     // One parquet scan per distinct partition tuple (bounded by live
     // partition count), each with its literal partition values attached;
     // unpartitioned tables collapse to a single multi-file scan.
@@ -509,7 +522,7 @@ class Snapshot(
     val parts = groups.map { case (pv, fs) =>
       val scanned = spark.read.schema(dataSchemaPhysical).parquet(fs.map(absolutePath): _*)
       val renames = dataSchemaPhysical.fields.zip(dataFieldsLogical).map { case (pf, lf) =>
-        col(s"`${pf.name}`").cast(lf.dataType).as(lf.name)
+        col(s"`${pf.name}`").cast(relaxNullable(lf.dataType)).as(lf.name)
       }.toSeq
       val lineage =
         if (withRowLineage)

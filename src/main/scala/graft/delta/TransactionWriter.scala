@@ -155,6 +155,71 @@ object TransactionWriter {
       configuration = Map.empty, operation = operation, mode = "Rewrite",
       dataChange = dataChange)
 
+  /** Assign fresh column-mapping ids + physical names to every struct
+    * field (recursively, depth-first — the Delta assignment order),
+    * returning the annotated logical schema and the highest id used
+    * (`delta.columnMapping.maxColumnId`). */
+  private def assignMapping(schema: StructType): (StructType, Long) = {
+    var nextId = 0L
+    def walk(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map { f =>
+        nextId += 1
+        val md = new MetadataBuilder().withMetadata(f.metadata)
+          .putLong("delta.columnMapping.id", nextId)
+          .putString("delta.columnMapping.physicalName",
+            s"col-${java.util.UUID.randomUUID}")
+          .build()
+        StructField(f.name, walk(f.dataType), f.nullable, md)
+      })
+      case a: ArrayType => a.copy(elementType = walk(a.elementType))
+      case m: MapType =>
+        m.copy(keyType = walk(m.keyType), valueType = walk(m.valueType))
+      case other => other
+    }
+    (walk(schema).asInstanceOf[StructType], nextId)
+  }
+
+  /** Logical→physical schema rename (mirror of Snapshot.physicalSchema
+    * for schemas not yet committed): physical names substituted
+    * recursively; in id mode each mapped field carries `parquet.field.id`
+    * so the parquet writer stamps the Delta column id into the footer. */
+  private def physicalizeSchema(schema: StructType, withIds: Boolean): StructType = {
+    def physName(f: StructField): String =
+      if (f.metadata.contains("delta.columnMapping.physicalName"))
+        f.metadata.getString("delta.columnMapping.physicalName")
+      else f.name
+    def walk(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map { f =>
+        val md =
+          if (withIds && f.metadata.contains("delta.columnMapping.id"))
+            new MetadataBuilder()
+              .putLong("parquet.field.id", f.metadata.getLong("delta.columnMapping.id"))
+              .build()
+          else org.apache.spark.sql.types.Metadata.empty
+        StructField(physName(f), walk(f.dataType), f.nullable, md)
+      })
+      case a: ArrayType => a.copy(elementType = walk(a.elementType))
+      case m: MapType =>
+        m.copy(keyType = walk(m.keyType), valueType = walk(m.valueType))
+      case other => other
+    }
+    walk(schema).asInstanceOf[StructType]
+  }
+
+  /** Nullability-relaxed variant of a type that KEEPS field metadata —
+    * the logical→physical rename is a struct cast, and the analyzer
+    * rejects casts to NOT NULL nested fields, while the metadata
+    * (nested `parquet.field.id`) must survive into the written footer. */
+  private def relaxKeepMeta(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      StructField(f.name, relaxKeepMeta(f.dataType), nullable = true, f.metadata)))
+    case a: ArrayType =>
+      a.copy(elementType = relaxKeepMeta(a.elementType), containsNull = true)
+    case m: MapType => m.copy(keyType = relaxKeepMeta(m.keyType),
+      valueType = relaxKeepMeta(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
   /** Structural schema equality ignoring nullability, field order, and
     * metadata — what matters for whether existing + new files can be
     * read under one declared schema. */
@@ -192,35 +257,60 @@ object TransactionWriter {
     require(partCols.forall(schema.fieldNames.contains),
       s"partition columns $partCols missing from ${schema.fieldNames.toSeq}")
 
-    // Writer protocol gates: this writer emits LOGICAL column names, so
-    // writing to a column-mapped table would corrupt it (files/adds must
-    // use physical names there); delta.appendOnly forbids removing files.
+    // Writer protocol gates. Column-mapped tables ARE writable — data
+    // files, partition values, and stats are emitted under PHYSICAL
+    // names (see `writeDf` below) — but only schema-preserving modes:
+    // evolving a mapped schema means assigning fresh column ids, which
+    // only the overwrite-with-new-mapping path does.
     prev.foreach { s =>
-      require(s.columnMappingMode == "none",
-        s"cannot write to ${log.tablePath}: table uses column mapping " +
-          s"(mode=${s.columnMappingMode}) and this writer emits logical names " +
-          "— writing would corrupt it")
-      // minWriterVersion > 2 tables carry writer-enforced features this
-      // writer does not implement (CHECK constraints, generated columns,
-      // ...) — writing while ignoring them silently violates the table's
-      // invariants, so refuse, as the spec requires. Exception: writer
-      // v7 whose listed features are all ones this writer honors —
-      // deletionVectors (reads are DV-aware and rewrites remove the
-      // whole (file, DV) pair), appendOnly (enforced above via the
+      require(s.columnMappingMode == "none" || mode != "AppendEvolve",
+        s"cannot evolve the schema of ${log.tablePath}: table uses column " +
+          s"mapping (mode=${s.columnMappingMode}) and mergeSchema would " +
+          "need fresh column ids; overwrite with an explicitly-mapped " +
+          "schema instead")
+      // minWriterVersion 3..6 tables carry writer-enforced features
+      // (CHECK constraints v3, generated columns v4, column mapping v5,
+      // identity columns v6). Ignoring a DECLARED one silently violates
+      // the table's invariants — but when none are declared the
+      // enforcement is vacuous, so refuse only on declared use. Writer
+      // v7 lists its features explicitly: all must be ones this writer
+      // honors — deletionVectors (reads are DV-aware and rewrites
+      // remove the whole (file, DV) pair), appendOnly (enforced via the
       // table property), invariants (vacuous unless declared),
-      // inCommitTimestamp (every commit path stamps a monotonic ICT —
-      // see DeltaLog.commit), v2Checkpoint (checkpoint layout only,
-      // commits are unaffected).
+      // columnMapping (physical-name writes below), inCommitTimestamp
+      // (every commit path stamps a monotonic ICT — see
+      // DeltaLog.commit), v2Checkpoint (checkpoint layout only).
+      val declaredConstraints = s.metadata.configuration.keys
+        .filter(_.startsWith("delta.constraints.")).toSeq
+      def fieldMetaDeclared(key: String): Boolean = {
+        def walk(dt: DataType): Boolean = dt match {
+          case st: StructType => st.fields.exists(f =>
+            f.metadata.contains(key) || walk(f.dataType))
+          case a: ArrayType => walk(a.elementType)
+          case m: MapType => walk(m.keyType) || walk(m.valueType)
+          case _ => false
+        }
+        walk(s.metadata.schema)
+      }
+      val declared = declaredConstraints.map(c => s"CHECK constraint $c") ++
+        (if (fieldMetaDeclared("delta.generationExpression"))
+           Seq("generated columns") else Nil) ++
+        (if (fieldMetaDeclared("delta.identity.start") ||
+             fieldMetaDeclared("delta.identity.allowExplicitInsert"))
+           Seq("identity columns") else Nil)
       val supportedWriterFeatures = Set(
-        "deletionVectors", "appendOnly", "invariants",
+        "deletionVectors", "appendOnly", "invariants", "columnMapping",
         "inCommitTimestamp", "v2Checkpoint")
       val unsupportedW = s.protocol.writerFeatures.diff(supportedWriterFeatures)
-      require(s.protocol.minWriterVersion <= 2 ||
-          (s.protocol.minWriterVersion == 7 && unsupportedW.isEmpty),
+      val v = s.protocol.minWriterVersion
+      require((v <= 6 && declared.isEmpty) || (v <= 2) ||
+          (v == 7 && unsupportedW.isEmpty),
         s"cannot write to ${log.tablePath}: table requires " +
-          s"minWriterVersion=${s.protocol.minWriterVersion}" +
+          s"minWriterVersion=$v" +
+          (if (declared.nonEmpty) s" and declares ${declared.mkString(", ")}" else "") +
           (if (unsupportedW.nonEmpty) s" with writer features $unsupportedW" else "") +
-          s" (supported: <= 2, or 7 with features within $supportedWriterFeatures); " +
+          s" (supported: <= 6 with no declared constraints/generated/identity " +
+          s"columns, or 7 with features within $supportedWriterFeatures); " +
           "refusing to write rather than ignore writer-enforced features")
       require(removes.isEmpty ||
           !s.metadata.configuration.get("delta.appendOnly").contains("true"),
@@ -242,11 +332,56 @@ object TransactionWriter {
     // appendMergeSchema (existing-compatible, new columns nullable);
     // metaChanged below emits the merged metaData.
 
+    // Column mapping: data files, partition directories, and stats all
+    // live under PHYSICAL names; the logical df is translated here and
+    // translated back on read (Snapshot.physicalSchema). Two shapes:
+    // writing INTO a mapped table (physical schema from the snapshot),
+    // and CREATING one (fresh ids + physical names assigned when the
+    // creating overwrite's configuration asks for a mapping mode).
+    val prevMapped = prev.exists(_.columnMappingMode != "none")
+    val createMode =
+      if (prev.isEmpty) configuration.getOrElse("delta.columnMapping.mode", "none")
+      else "none"
+    val createMapping: Option[(StructType, Long)] =
+      if (createMode == "name" || createMode == "id")
+        Some(assignMapping(declaredSchema.getOrElse(schema)))
+      else None
+    if (prevMapped && mode == "Overwrite")
+      require(normalizedFields(schema) == normalizedFields(prev.get.metadata.schema),
+        s"cannot change the schema of ${log.tablePath}: table uses column " +
+          "mapping and a new schema would need fresh column ids; write to a " +
+          "new table (or extend the mapping explicitly) instead")
+    val (writeDf, writePartCols): (DataFrame, Seq[String]) =
+      if (prevMapped) {
+        val s = prev.get
+        if (s.columnMappingMode == "id")
+          spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        val logical = s.metadata.schema
+        val phys = s.physicalSchema
+        val renamed = df.select(logical.fields.zip(phys.fields).map {
+          case (lf, pf) =>
+            col(lf.name).cast(relaxKeepMeta(pf.dataType)).as(pf.name, pf.metadata)
+        }.toSeq: _*)
+        (renamed, partCols.map(s.physicalNameOf))
+      } else createMapping match {
+        case Some((mappedSchema, _)) =>
+          if (createMode == "id")
+            spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+          val phys = physicalizeSchema(mappedSchema, withIds = createMode == "id")
+          val renamed = df.select(mappedSchema.fields.zip(phys.fields).map {
+            case (lf, pf) =>
+              col(lf.name).cast(relaxKeepMeta(pf.dataType)).as(pf.name, pf.metadata)
+          }.toSeq: _*)
+          (renamed, partCols.map(pc =>
+            mappedSchema(pc).metadata.getString("delta.columnMapping.physicalName")))
+        case None => (df, partCols)
+      }
+
     // 1. Materialize data into a staging dir under the table root.
     val staging = new Path(log.rootPath, s".graft-staging-${java.util.UUID.randomUUID}")
     try {
-      val w = df.write.mode("overwrite")
-      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+      val w = writeDf.write.mode("overwrite")
+      (if (writePartCols.nonEmpty) w.partitionBy(writePartCols: _*) else w)
         .parquet(staging.toString)
 
       // 2. Rename staged part files into place (keeps partition subdirs).
@@ -262,8 +397,11 @@ object TransactionWriter {
           partitionValuesOf(rel))
       }
 
-      // 3. Per-file stats in one grouped pass over the written files.
-      val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
+      // 3. Per-file stats in one grouped pass over the written files
+      // (under physical names for mapped tables — stats in the log are
+      // keyed physically, see Snapshot.addsFlat).
+      val dataSchema = StructType(
+        writeDf.schema.filterNot(f => writePartCols.contains(f.name)))
       val stats = computeStats(log, dataSchema, moved)
 
       // 4. Commit.
@@ -271,26 +409,47 @@ object TransactionWriter {
       val now = System.currentTimeMillis()
       // Append/Rewrite never change table metadata (enforced equal up to
       // order/nullability above — re-emitting the df's variant would
-      // churn the declared field order).
-      val metaChanged = mode != "Append" && mode != "Rewrite" && prev.forall { s =>
-        s.metadata.schemaString != schema.json ||
-          s.metadata.partitionColumns != partCols ||
-          (configuration.nonEmpty && s.metadata.configuration != configuration)
-      }
+      // churn the declared field order). An overwrite of a MAPPED table
+      // keeps the stored schemaString verbatim (it carries the column
+      // ids/physical names the data files are written under); only a
+      // configuration change re-emits metaData there.
+      val metaChanged =
+        if (prevMapped)
+          mode == "Overwrite" && configuration.nonEmpty &&
+            prev.get.metadata.configuration != configuration
+        else mode != "Append" && mode != "Rewrite" && prev.forall { s =>
+          s.metadata.schemaString != schema.json ||
+            s.metadata.partitionColumns != partCols ||
+            (configuration.nonEmpty && s.metadata.configuration != configuration)
+        }
       val actions = ArrayBuffer.empty[Action]
       actions += CommitInfoAction(CommitInfo(now, operation,
         Map("mode" -> mode,
           "partitionBy" -> partCols.mkString("[\"", "\",\"", "\"]"))))
       txn.foreach(t => actions += TxnAction(t))
-      if (prev.isEmpty) actions += ProtocolAction(Protocol())
+      if (prev.isEmpty) actions += ProtocolAction(
+        // creating a mapped table: column mapping is a legacy
+        // reader-2/writer-5 protocol (what delta-spark emits for it)
+        if (createMapping.isDefined) Protocol(2, 5) else Protocol())
       if (metaChanged) actions += MetadataAction(Metadata(
         id = prev.map(_.metadata.id)
           .getOrElse(java.util.UUID.randomUUID.toString),
-        schemaString = declaredSchema.getOrElse(schema).json,
+        schemaString = (prevMapped, createMapping) match {
+          case (true, _) => prev.get.metadata.schemaString
+          case (_, Some((mappedSchema, _))) => mappedSchema.json
+          case _ => declaredSchema.getOrElse(schema).json
+        },
         partitionColumns = partCols,
-        configuration =
-          if (configuration.nonEmpty) configuration
-          else prev.map(_.metadata.configuration).getOrElse(Map.empty),
+        configuration = {
+          val base =
+            if (configuration.nonEmpty) configuration
+            else prev.map(_.metadata.configuration).getOrElse(Map.empty)
+          createMapping match {
+            case Some((_, maxId)) =>
+              base + ("delta.columnMapping.maxColumnId" -> maxId.toString)
+            case None => base
+          }
+        },
         createdTime = Some(prev.flatMap(_.metadata.createdTime).getOrElse(now))))
       actions ++= moved.map { m =>
         AddAction(AddFile(DeltaLog.encodePath(m.rel), m.partitionValues,

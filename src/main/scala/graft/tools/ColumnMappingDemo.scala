@@ -1,0 +1,78 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.delta.{DeltaLog, TransactionWriter}
+
+/** End-to-end drive of column-mapping writes:
+  * `runMain graft.tools.ColumnMappingDemo [tableDir]`.
+  *
+  * Creates a name-mode mapped partitioned table through the writer,
+  * appends to it, shows that the DATA FILES and log entries live under
+  * physical `col-<uuid>` names while every read surfaces logical names,
+  * then repeats in id mode and proves footer field-id resolution by
+  * reading a data file under deliberately wrong names. */
+object ColumnMappingDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-cm-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.locality.wait", "0")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    try {
+      val base = if (args.nonEmpty) args(0)
+        else java.nio.file.Files.createTempDirectory("graft-cm-demo").toString
+
+      // -- name mode: create + append, physical layout, logical reads --
+      val nameDir = s"$base/name-mode"
+      val log = DeltaLog.forPath(spark, nameDir)
+      TransactionWriter.overwrite(log,
+        Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("n", "s", "p"),
+        partitionBy = Some(Seq("p")),
+        configuration = Map("delta.columnMapping.mode" -> "name"))
+      TransactionWriter.append(log,
+        Seq((3L, "c", "p1")).toDF("n", "s", "p"))
+      val snap = DeltaLog.forPath(spark, nameDir).snapshot
+      println(s"== name-mode mapped table at $nameDir ==")
+      println(s"protocol: ${snap.protocol}  mode: ${snap.columnMappingMode}")
+      println(s"logical schema: ${snap.schema.simpleString}")
+      val f0 = snap.activeFiles.head
+      println(s"add.partitionValues keys: ${f0.partitionValues.keys.mkString(",")}")
+      println(s"add.stats: ${f0.stats.getOrElse("").take(80)}…")
+      val raw = spark.read.parquet(snap.absolutePath(f0))
+      println(s"raw file columns: ${raw.schema.fieldNames.mkString(", ")}")
+      val rows = snap.read().orderBy("n")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      println(s"logical read: $rows")
+      require(rows == Seq((1L, "a", "p1"), (2L, "b", "p2"), (3L, "c", "p1")),
+        "mapped read returned wrong rows")
+      require(f0.partitionValues.keys.forall(_.startsWith("col-")),
+        "partitionValues must be physically keyed")
+      require(raw.schema.fieldNames.forall(_.startsWith("col-")),
+        "data files must carry physical names")
+
+      // -- id mode: field ids in the footer --
+      val idDir = s"$base/id-mode"
+      val idLog = DeltaLog.forPath(spark, idDir)
+      TransactionWriter.overwrite(idLog, Seq((7L, "x")).toDF("n", "s"),
+        configuration = Map("delta.columnMapping.mode" -> "id"))
+      val idSnap = DeltaLog.forPath(spark, idDir).snapshot
+      val fid = idSnap.activeFiles.head
+      import org.apache.spark.sql.types._
+      def withId(id: Long) = new MetadataBuilder().putLong("parquet.field.id", id).build()
+      val wrongNames = StructType(Seq(
+        StructField("whatever_a", LongType, nullable = true, withId(1)),
+        StructField("whatever_b", StringType, nullable = true, withId(2))))
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      val byId = spark.read.schema(wrongNames).parquet(idSnap.absolutePath(fid))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      println(s"== id-mode at $idDir: read under WRONG names via field ids: $byId")
+      require(byId == Seq((7L, "x")), "footer field ids must resolve the read")
+      println("ColumnMappingDemo OK")
+    } finally spark.stop()
+  }
+}

@@ -171,6 +171,137 @@ class ColumnMappingSpec extends SparkTestBase {
     assert(rows == Set((1L, "a", 10, "x"), (2L, "b", 20, "x"), (3L, "c", 30, "y")))
   }
 
+  // ---- writer side: physical-name writes ----------------------------------
+
+  test("append into a name-mapped table writes physical names end-to-end") {
+    val log = buildTable()
+    val incoming = Seq((100L, "zz", 99, "z")).toDF("n", "s", "x", "p")
+      .select(col("n"), col("s"), struct(col("x")).as("st"), col("p"))
+    TransactionWriter.append(log, incoming)
+    val snap = DeltaLog.forPath(spark, log.tablePath).snapshot
+    assert(snap.version == 1L)
+    val rows = snap.read().select(col("n"), col("s"), col("st.x"), col("p"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3)))
+      .toSet
+    assert(rows == Set((1L, "a", 10, "x"), (2L, "b", 20, "x"),
+      (3L, "c", 30, "y"), (100L, "zz", 99, "z")))
+    // the new add's partitionValues and stats are keyed PHYSICALLY
+    val added = snap.activeFiles.find(_.partitionValues.values.toSeq.contains("z")).get
+    assert(added.partitionValues.keySet == Set("col-ppp"))
+    assert(added.stats.exists(_.contains("\"col-aaa\"")),
+      s"stats must use physical names, got: ${added.stats}")
+    assert(added.stats.forall(!_.contains("\"n\"")))
+    // the data file itself carries physical column names
+    val raw = spark.read.parquet(
+      new Path(log.rootPath, DeltaLog.decodePath(added.path)).toString)
+    assert(raw.schema.fieldNames.toSet == Set("col-aaa", "col-bbb", "col-sss"))
+    // and logical-column skipping still prunes the new file
+    val stats = graft.Levi.skippedStats(snap, Seq(("n", "=", 100)))
+    assert(stats("num_files") == 3L && stats("num_files_skipped") == 2L)
+  }
+
+  test("targeted rewrite (killDuplicates) works on a mapped table") {
+    val log = buildTable()
+    val dup = log.snapshot.read().where(col("n") === 2L)
+    TransactionWriter.append(log, dup)
+    assert(log.snapshot.read().where(col("n") === 2L).count() == 2L)
+    Mutations.killDuplicates(log, Seq("n"))
+    val left = log.snapshot.read().select("n").as[Long].collect().sorted.toSeq
+    assert(left == Seq(1L, 3L), s"both copies of n=2 must die, got $left")
+  }
+
+  test("overwrite with a mapping mode CREATES a mapped table") {
+    val path = Files.createTempDirectory("graft-cm-new").resolve("t").toString
+    val log = DeltaLog.forPath(spark, path)
+    val df = Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("n", "s", "p")
+    TransactionWriter.overwrite(log, df, partitionBy = Some(Seq("p")),
+      configuration = Map("delta.columnMapping.mode" -> "name"))
+    val snap = DeltaLog.forPath(spark, path).snapshot
+    assert(snap.columnMappingMode == "name")
+    assert(snap.protocol.minReaderVersion == 2 && snap.protocol.minWriterVersion == 5)
+    assert(snap.metadata.configuration("delta.columnMapping.maxColumnId") == "3")
+    // every field annotated with id + physical name
+    snap.schema.fields.foreach { f =>
+      assert(f.metadata.contains("delta.columnMapping.id"), f.name)
+      assert(f.metadata.getString("delta.columnMapping.physicalName")
+        .startsWith("col-"), f.name)
+    }
+    // reads surface logical names; files + adds hold physical ones
+    assert(snap.read().schema.fieldNames.toSeq == Seq("n", "s", "p"))
+    assert(snap.read().select("n").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    val f0 = snap.activeFiles.head
+    assert(f0.partitionValues.keys.forall(_.startsWith("col-")))
+    // append keeps working against the created mapping
+    TransactionWriter.append(log, Seq((3L, "c", "p1")).toDF("n", "s", "p"))
+    assert(DeltaLog.forPath(spark, path).snapshot.read().count() == 3L)
+  }
+
+  test("id-mode create stamps parquet field ids readers can resolve by") {
+    val path = Files.createTempDirectory("graft-cm-newid").resolve("t").toString
+    val log = DeltaLog.forPath(spark, path)
+    TransactionWriter.overwrite(log, Seq((7L, "x")).toDF("n", "s"),
+      configuration = Map("delta.columnMapping.mode" -> "id"))
+    val snap = DeltaLog.forPath(spark, path).snapshot
+    assert(snap.columnMappingMode == "id")
+    // read the data file with WRONG names but matching field ids: only
+    // footer-stamped ids can make this resolve
+    val f = snap.activeFiles.head
+    def fid(id: Long): Metadata =
+      new MetadataBuilder().putLong("parquet.field.id", id).build()
+    val wrongNames = StructType(Seq(
+      StructField("w1", LongType, nullable = true, fid(1)),
+      StructField("w2", StringType, nullable = true, fid(2))))
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val got = spark.read.schema(wrongNames).parquet(
+      new Path(log.rootPath, DeltaLog.decodePath(f.path)).toString)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((7L, "x")), "field ids must be stamped in the footer")
+    // and the normal logical read works
+    assert(snap.read().select("n").as[Long].head() == 7L)
+  }
+
+  test("id-mode create stamps NESTED field ids too") {
+    val path = Files.createTempDirectory("graft-cm-nested").resolve("t").toString
+    val log = DeltaLog.forPath(spark, path)
+    val df = Seq((7L, 42)).toDF("n", "x")
+      .select(col("n"), struct(col("x")).as("st"))
+    TransactionWriter.overwrite(log, df,
+      configuration = Map("delta.columnMapping.mode" -> "id"))
+    val snap = DeltaLog.forPath(spark, path).snapshot
+    val f = snap.activeFiles.head
+    def fid(id: Long): Metadata =
+      new MetadataBuilder().putLong("parquet.field.id", id).build()
+    // ids assigned depth-first: n=1, st=2, st.x=3
+    val wrongNames = StructType(Seq(
+      StructField("w1", LongType, nullable = true, fid(1)),
+      StructField("w2", StructType(Seq(
+        StructField("inner", IntegerType, nullable = true, fid(3)))),
+        nullable = true, fid(2))))
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val got = spark.read.schema(wrongNames).parquet(
+      new Path(log.rootPath, DeltaLog.decodePath(f.path)).toString)
+      .select(col("w1"), col("w2.inner"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == Set((7L, 42)),
+      "nested field ids must be stamped in the parquet footer")
+    assert(snap.read().select("st.x").as[Int].head() == 42)
+  }
+
+  test("schema evolution on mapped tables is refused with guidance") {
+    val log = buildTable()
+    val e1 = intercept[IllegalArgumentException] {
+      TransactionWriter.appendMergeSchema(log,
+        Seq((1L, "a", 1, "x", "new")).toDF("n", "s", "x", "p", "extra")
+          .select(col("n"), col("s"), struct(col("x")).as("st"), col("p"), col("extra")))
+    }
+    assert(e1.getMessage.contains("column"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      TransactionWriter.overwrite(log,
+        Seq((1L, "x", "p1")).toDF("different", "schema", "p"))
+    }
+    assert(e2.getMessage.contains("column mapping"), e2.getMessage)
+  }
+
   test("reader v3 with unsupported features stays rejected") {
     val path = Files.createTempDirectory("graft-cm-v3").resolve("t").toString
     val log = DeltaLog.forPath(spark, path)

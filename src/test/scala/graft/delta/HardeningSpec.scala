@@ -226,8 +226,10 @@ class HardeningSpec extends SparkTestBase {
     assert(log.snapshot.schema.fieldNames.toSeq == Seq("x", "y"))
   }
 
-  test("writer refuses column-mapped and append-only violations") {
-    // column-mapped table: writer emits logical names → must refuse
+  test("writer gates: mapped appends allowed, declared constraints refused") {
+    // column-mapped table: the writer now emits PHYSICAL names, so an
+    // append succeeds and lands under the mapping (ColumnMappingSpec
+    // covers the full matrix)
     val cmPath = Files.createTempDirectory("graft-hard").resolve("t").toString
     val cmLog = DeltaLog.forPath(spark, cmPath)
     val mb = new org.apache.spark.sql.types.MetadataBuilder()
@@ -239,9 +241,10 @@ class HardeningSpec extends SparkTestBase {
       MetadataAction(Metadata(java.util.UUID.randomUUID.toString, cmSchema.json,
         Nil, Map("delta.columnMapping.mode" -> "name"), Some(0L))),
       CommitInfoAction(CommitInfo(0L, "WRITE"))))
-    val e = intercept[IllegalArgumentException](
-      TransactionWriter.append(cmLog, Seq(1L).toDF("n")))
-    assert(e.getMessage.contains("column mapping"))
+    TransactionWriter.append(cmLog, Seq(1L).toDF("n"))
+    val cmSnap = cmLog.snapshot
+    assert(cmSnap.read().select("n").as[Long].head() == 1L)
+    assert(cmSnap.activeFiles.head.stats.exists(_.contains("\"col-x\"")))
 
     // appendOnly table: append fine, overwrite (removes) refused
     val log = freshLog()
@@ -252,8 +255,9 @@ class HardeningSpec extends SparkTestBase {
       TransactionWriter.overwrite(log, Seq((9L, "z")).toDF("n", "s")))
     assert(e2.getMessage.contains("appendOnly"))
 
-    // writer-version gate: minWriterVersion > 2 means writer-enforced
-    // features (constraints, generated columns, ...) we don't implement
+    // writer-version gate: legacy versions 3..6 are fine while their
+    // enforcement features are vacuous — but a DECLARED CHECK
+    // constraint or generated column must refuse
     val wvPath = Files.createTempDirectory("graft-hard").resolve("t").toString
     val wvLog = DeltaLog.forPath(spark, wvPath)
     val wvSchema = StructType(Seq(StructField("n", LongType)))
@@ -262,9 +266,32 @@ class HardeningSpec extends SparkTestBase {
       MetadataAction(Metadata(java.util.UUID.randomUUID.toString, wvSchema.json,
         Nil, Map.empty, Some(0L))),
       CommitInfoAction(CommitInfo(0L, "WRITE"))))
+    TransactionWriter.append(wvLog, Seq(1L).toDF("n")) // vacuous v4: ok
+    assert(wvLog.snapshot.read().count() == 1L)
+    wvLog.commit(2L, Seq(
+      MetadataAction(Metadata(java.util.UUID.randomUUID.toString, wvSchema.json,
+        Nil, Map("delta.constraints.positive" -> "n > 0"), Some(0L))),
+      CommitInfoAction(CommitInfo(0L, "ADD CONSTRAINT"))))
     val e3 = intercept[IllegalArgumentException](
-      TransactionWriter.append(wvLog, Seq(1L).toDF("n")))
-    assert(e3.getMessage.contains("minWriterVersion"))
+      TransactionWriter.append(wvLog, Seq(2L).toDF("n")))
+    assert(e3.getMessage.contains("CHECK constraint"))
+
+    // declared generated column refuses too
+    val gcPath = Files.createTempDirectory("graft-hard").resolve("t").toString
+    val gcLog = DeltaLog.forPath(spark, gcPath)
+    val gcMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("delta.generationExpression", "n + 1").build()
+    val gcSchema = StructType(Seq(
+      StructField("n", LongType),
+      StructField("n1", LongType, nullable = true, gcMeta)))
+    gcLog.commit(0, Seq(
+      ProtocolAction(Protocol(1, 4)),
+      MetadataAction(Metadata(java.util.UUID.randomUUID.toString, gcSchema.json,
+        Nil, Map.empty, Some(0L))),
+      CommitInfoAction(CommitInfo(0L, "WRITE"))))
+    val e4 = intercept[IllegalArgumentException](
+      TransactionWriter.append(gcLog, Seq((1L, 2L)).toDF("n", "n1")))
+    assert(e4.getMessage.contains("generated columns"))
   }
 
   test("delta.checkpointInterval writes periodic checkpoints") {
