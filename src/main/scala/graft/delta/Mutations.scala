@@ -53,6 +53,59 @@ object Mutations {
       .toSeq
   }
 
+  /** Files containing at least one row matching `predicate`. */
+  private def filesMatching(
+      snap: Snapshot, predicate: org.apache.spark.sql.Column): Seq[AddFile] = {
+    val idx = fileIndex(snap, snap.activeFiles)
+    snap.readFilesLineage(snap.activeFiles)
+      .where(predicate)
+      .select("__file").distinct().collect()
+      .map(r => normalize(r.getString(0)))
+      .flatMap(idx.get).distinct.toSeq
+  }
+
+  /** DELETE by targeted rewrite: only files containing matching rows
+    * are rewritten, keeping their non-matching rows (NULL-predicate
+    * rows are kept, SQL DELETE semantics). The right shape for LARGE
+    * deletes; selective deletes should prefer [[deleteWithDv]], which
+    * rewrites no data at all. Returns the committed version (current
+    * version when no row matches). */
+  def delete(log: DeltaLog, predicate: org.apache.spark.sql.Column): Long = {
+    val snap = log.snapshot
+    val touched = filesMatching(snap, predicate)
+    if (touched.isEmpty) return snap.version
+    val replacement = snap.readFiles(touched)
+      .where(!coalesce(predicate, lit(false)))
+    TransactionWriter.rewriteFiles(log, snap, touched, replacement, "DELETE")
+  }
+
+  /** UPDATE by targeted rewrite: SET `set` columns on rows matching
+    * `predicate`; only files containing matching rows are rewritten,
+    * and their non-matching rows ride along unchanged. Returns the
+    * committed version (current version when no row matches). */
+  def update(
+      log: DeltaLog,
+      predicate: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    val snap = log.snapshot
+    val schema = snap.schema
+    require(set.nonEmpty, "UPDATE needs at least one SET column")
+    set.keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"SET column '$k' not in table schema ${schema.fieldNames.toSeq}"))
+    val touched = filesMatching(snap, predicate)
+    if (touched.isEmpty) return snap.version
+    val scan = snap.readFiles(touched)
+    val replacement = scan.select(schema.fieldNames.toSeq.map { c =>
+      set.get(c) match {
+        case Some(expr) =>
+          when(coalesce(predicate, lit(false)), expr.cast(schema(c).dataType))
+            .otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }: _*)
+    TransactionWriter.rewriteFiles(log, snap, touched, replacement, "UPDATE")
+  }
+
   /** kill_duplicates with targeted rewrite. Returns the committed
     * version (current version when nothing matched). */
   def killDuplicates(log: DeltaLog, duplicationColumns: Seq[String]): Long = {

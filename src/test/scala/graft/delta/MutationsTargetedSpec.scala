@@ -30,6 +30,54 @@ class MutationsTargetedSpec extends SparkTestBase {
       Seq((1L, "x"), (2L, "y"), (12L, "z")).toDF("k", "v"))
   }
 
+  test("delete rewrites only matching files; NULL-predicate rows survive") {
+    import org.apache.spark.sql.functions._
+    val path = Files.createTempDirectory("graft-targeted").resolve("t").toString
+    val log = DeltaLog.forPath(spark, path)
+    // file A: ids 1-2 (untouched); file B: ids 10-12 incl. a NULL v
+    TransactionWriter.overwrite(log,
+      Seq((1L, "x"), (2L, "y")).toDF("k", "v").coalesce(1))
+    Maintenance.append(log,
+      Seq((10L, "kill"), (11L, null), (12L, "keep")).toDF("k", "v").coalesce(1))
+    val before = log.snapshot.activeFiles.map(_.path).toSet
+    val v = Mutations.delete(log, col("v") === "kill")
+    val snap = log.snapshotAt(v)
+    // untouched file path-identical; NULL row kept (SQL DELETE semantics)
+    assert(before.intersect(snap.activeFiles.map(_.path).toSet).size == 1)
+    assertSameRows(snap.read(),
+      Seq((1L, "x"), (2L, "y"), (11L, null), (12L, "keep")).toDF("k", "v"))
+    // no-match delete commits nothing
+    assert(Mutations.delete(log, col("v") === "absent") == v)
+  }
+
+  test("update sets columns on matching rows only, targeted") {
+    import org.apache.spark.sql.functions._
+    val path = Files.createTempDirectory("graft-targeted").resolve("t").toString
+    val log = DeltaLog.forPath(spark, path)
+    TransactionWriter.overwrite(log,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "v", "amt").coalesce(1))
+    Maintenance.append(log,
+      Seq((3L, "c", 30L), (4L, "b", 40L)).toDF("k", "v", "amt").coalesce(1))
+    val before = log.snapshot.activeFiles.map(_.path).toSet
+    val v = Mutations.update(log, col("v") === "b",
+      Map("amt" -> (col("amt") * 10), "v" -> lit("B")))
+    val snap = log.snapshotAt(v)
+    assertSameRows(snap.read(),
+      Seq((1L, "a", 10L), (2L, "B", 200L), (3L, "c", 30L), (4L, "B", 400L))
+        .toDF("k", "v", "amt"))
+    // both files contained a 'b' row here — but a SET on an unknown
+    // column refuses before any scan
+    val e = intercept[IllegalArgumentException](
+      Mutations.update(log, col("v") === "B", Map("nope" -> lit(1))))
+    assert(e.getMessage.contains("not in table schema"))
+    // targeted: an update matching only file B leaves file A alone
+    val v2 = Mutations.update(log, col("k") === 4L, Map("amt" -> lit(0L)))
+    val after2 = log.snapshotAt(v2).activeFiles.map(_.path).toSet
+    assert(log.snapshotAt(v2).read().where(col("k") === 4L)
+      .select("amt").as[Long].head() == 0L)
+    assert(after2.intersect(log.snapshotAt(v).activeFiles.map(_.path).toSet).nonEmpty)
+  }
+
   test("no-op mutation commits nothing") {
     val path = Files.createTempDirectory("graft-targeted").resolve("t").toString
     val log = DeltaLog.forPath(spark, path)
