@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import graft.delta.{DeltaLog, Maintenance, Merge, Mutations, Skipping, Snapshot, TransactionWriter}
+import graft.delta.{ChangeDataFeed, Constraints, DeltaLog, Maintenance, Merge, Mutations, Skipping, Snapshot, TransactionWriter}
 
 /** User-facing handle over one Delta table — the ergonomic equivalent of
   * the reference's `DeltaTable(path)` + levi module functions
@@ -64,9 +64,44 @@ final case class GraftTable(spark: SparkSession, path: String) {
       isCurrentCol, effectiveTimeCol, endTimeCol)
   def merge(source: DataFrame, condition: Column): Merge =
     Merge.into(log, source, condition)
+  /** DELETE by targeted rewrite (large deletes); see also
+    * [[deleteWithDv]] for selective deletes with no data rewrite. */
+  def delete(predicate: Column): Long = Mutations.delete(log, predicate)
+  /** DELETE via deletion vectors: marks rows in a roaring bitmap,
+    * rewrites no data files. */
+  def deleteWithDv(predicate: Column): Long = Mutations.deleteWithDv(log, predicate)
+  /** UPDATE by targeted rewrite: SET columns on matching rows. */
+  def update(predicate: Column, set: Map[String, Column]): Long =
+    Mutations.update(log, predicate, set)
+  /** UPDATE via deletion vectors: marks old row versions in a bitmap
+    * and appends only the updated rows — no file rewrite. */
+  def updateWithDv(predicate: Column, set: Map[String, Column]): Long =
+    Mutations.updateWithDv(log, predicate, set)
+
+  /** SET TBLPROPERTIES delta.enableChangeDataFeed=true: mutation
+    * commits start carrying row-level change files. */
+  def enableChangeDataFeed(): Long = ChangeDataFeed.enable(log)
+  /** The row-level change feed of versions [from, to] (delta-spark's
+    * `table_changes`): current table columns + `_change_type`,
+    * `_commit_version`, `_commit_timestamp`. */
+  def changeFeed(from: Long, to: Option[Long] = None): DataFrame =
+    ChangeDataFeed.tableChanges(log, from, to)
+
+  /** ALTER TABLE ADD CONSTRAINT <name> CHECK (<sqlExpr>): validates
+    * existing rows, then enforces on every future write. */
+  def addCheckConstraint(name: String, sqlExpr: String): Long =
+    Constraints.addCheckConstraint(log, name, sqlExpr)
+  /** ALTER TABLE DROP CONSTRAINT <name>. */
+  def dropCheckConstraint(name: String): Long =
+    Constraints.dropCheckConstraint(log, name)
 
   // ---- maintenance ---------------------------------------------------------
   def checkpoint(): Long = Maintenance.checkpoint(log)
+  /** V2 checkpoint (manifest + sidecars under `_delta_log/_sidecars/`). */
+  def checkpointV2(sidecarParts: Int = 1, jsonManifest: Boolean = false): Long =
+    Maintenance.checkpointV2(log, sidecarParts, jsonManifest)
+  /** Turn on monotonic in-commit timestamps (writer feature). */
+  def enableInCommitTimestamps(): Long = Maintenance.enableInCommitTimestamps(log)
   def compact(targetFileBytes: Long = 128L * 1024 * 1024): Long =
     Maintenance.compact(log, targetFileBytes)
   def zorder(cols: Seq[String], targetFileBytes: Long = 128L * 1024 * 1024): Long =

@@ -39,7 +39,7 @@ object JsonUtil {
       .map(_.elements().asScala.map(_.asText()).toSet).getOrElse(Set.empty)
 
   /** Parse one NDJSON commit line into an [[Action]] (None for lines we
-    * don't model, e.g. `cdc`). */
+    * don't model, e.g. `domainMetadata`). */
   def parseAction(line: String): Option[Action] = {
     val root = mapper.readTree(line)
     if (root.has("add")) {
@@ -110,6 +110,13 @@ object JsonUtil {
         path = s.get("path").asText(),
         sizeInBytes = optLong(s, "sizeInBytes"),
         modificationTime = optLong(s, "modificationTime"))))
+    } else if (root.has("cdc")) {
+      val c = root.get("cdc")
+      Some(CdcAction(AddCDCFile(
+        path = c.get("path").asText(),
+        partitionValues = strMap(c, "partitionValues"),
+        size = optLong(c, "size").getOrElse(0L),
+        dataChange = Option(c.get("dataChange")).exists(_.asBoolean(false)))))
     } else None
   }
 
@@ -195,6 +202,12 @@ object JsonUtil {
         o.put("path", s.path)
         s.sizeInBytes.foreach(o.put("sizeInBytes", _))
         s.modificationTime.foreach(o.put("modificationTime", _))
+      case CdcAction(c) =>
+        val o = root.putObject("cdc")
+        o.put("path", c.path)
+        putStrMap(o, "partitionValues", c.partitionValues)
+        o.put("size", c.size)
+        o.put("dataChange", c.dataChange)
     }
     mapper.writeValueAsString(root)
   }

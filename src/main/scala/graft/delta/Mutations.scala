@@ -76,7 +76,13 @@ object Mutations {
     if (touched.isEmpty) return snap.version
     val replacement = snap.readFiles(touched)
       .where(!coalesce(predicate, lit(false)))
-    TransactionWriter.rewriteFiles(log, snap, touched, replacement, "DELETE")
+    val cdc =
+      if (ChangeDataFeed.enabled(snap))
+        ChangeDataFeed.writeCdcFiles(log, ChangeDataFeed.deleteChanges(
+          snap.readFiles(touched).where(coalesce(predicate, lit(false)))))
+      else Nil
+    TransactionWriter.rewriteFiles(log, snap, touched, replacement, "DELETE",
+      extraActions = cdc)
   }
 
   /** UPDATE by targeted rewrite: SET `set` columns on rows matching
@@ -103,7 +109,20 @@ object Mutations {
         case None => col(c)
       }
     }: _*)
-    TransactionWriter.rewriteFiles(log, snap, touched, replacement, "UPDATE")
+    val cdc =
+      if (ChangeDataFeed.enabled(snap)) {
+        val pre = snap.readFiles(touched).where(coalesce(predicate, lit(false)))
+        val post = pre.select(schema.fieldNames.toSeq.map { c =>
+          set.get(c) match {
+            case Some(expr) => expr.cast(schema(c).dataType).as(c)
+            case None => col(c)
+          }
+        }: _*)
+        ChangeDataFeed.writeCdcFiles(log,
+          ChangeDataFeed.updateChanges(pre, post))
+      } else Nil
+    TransactionWriter.rewriteFiles(log, snap, touched, replacement, "UPDATE",
+      extraActions = cdc)
   }
 
   /** kill_duplicates with targeted rewrite. Returns the committed
@@ -201,10 +220,14 @@ object Mutations {
     *
     * Returns the committed version (current version when no row
     * matches). */
-  def deleteWithDv(log: DeltaLog, predicate: org.apache.spark.sql.Column): Long = {
-    val snap = log.snapshot
-    require(!snap.metadata.configuration.get("delta.appendOnly").contains("true"),
-      s"cannot delete from ${log.tablePath}: table is delta.appendOnly")
+  /** Actions marking every row matching `predicate` as deleted via
+    * per-file deletion vectors (merged into any existing DV), plus the
+    * protocol upgrade on first DV use. Returns None when no row
+    * matches. The lineage scan already excludes previously-deleted
+    * rows, so the merge union is disjoint. */
+  private def dvMarkActions(
+      log: DeltaLog, snap: Snapshot,
+      predicate: org.apache.spark.sql.Column): Option[(Seq[Action], Seq[AddFile])] = {
     val matched = snap.readFilesLineage(snap.activeFiles)
       .where(predicate)
       .groupBy(col("__file"))
@@ -213,9 +236,7 @@ object Mutations {
     val perFile: Seq[(AddFile, Array[Long])] = matched.collect().toSeq.flatMap { r =>
       idx.get(normalize(r.getString(0))).map(f => f -> r.getSeq[Long](1).toArray)
     }
-    if (perFile.isEmpty) return snap.version
-    // Merge with any existing DV (the lineage scan already excludes
-    // previously-deleted rows, so the union is disjoint).
+    if (perFile.isEmpty) return None
     val mergedRows: Seq[(AddFile, Array[Long])] = perFile.map { case (f, rows) =>
       val existing = f.deletionVector.toSeq.flatMap(dv =>
         DeletionVectors.readRows(log.fs, log.rootPath, dv))
@@ -225,8 +246,6 @@ object Mutations {
       log.fs, log.rootPath, mergedRows.map(_._2))
     val now = System.currentTimeMillis()
     val actions = scala.collection.mutable.ArrayBuffer.empty[Action]
-    actions += CommitInfoAction(CommitInfo(now, "DELETE",
-      Map("mode" -> "deletionVectors")))
     // Protocol upgrade on first DV write (Table Features: reader 3 /
     // writer 7 list every active feature explicitly, including the ones
     // the legacy version numbers implied).
@@ -251,11 +270,69 @@ object Mutations {
         partitionValues = f.partitionValues, size = Some(f.size),
         deletionVector = f.deletionVector))
     }
+    Some((actions.toSeq, mergedRows.map(_._1)))
+  }
+
+  def deleteWithDv(log: DeltaLog, predicate: org.apache.spark.sql.Column): Long = {
+    val snap = log.snapshot
+    require(!snap.metadata.configuration.get("delta.appendOnly").contains("true"),
+      s"cannot delete from ${log.tablePath}: table is delta.appendOnly")
+    val (dvActions, touched) = dvMarkActions(log, snap, predicate)
+      .getOrElse(return snap.version)
+    val cdc =
+      if (ChangeDataFeed.enabled(snap))
+        ChangeDataFeed.writeCdcFiles(log, ChangeDataFeed.deleteChanges(
+          snap.readFiles(touched).where(coalesce(predicate, lit(false)))))
+      else Nil
+    val actions = CommitInfoAction(CommitInfo(System.currentTimeMillis(),
+      "DELETE", Map("mode" -> "deletionVectors"))) +: (dvActions ++ cdc)
     val v = TransactionWriter.commitWithRebase(log, snap.version + 1,
-      actions.toSeq, touchedPaths = mergedRows.map(_._1.path).toSet,
+      actions, touchedPaths = touched.map(_.path).toSet,
       ictEnabled = snap.metadata.configuration
         .get("delta.enableInCommitTimestamps").contains("true"))
     log.spark.catalog.clearCache()
     v
+  }
+
+  /** UPDATE via deletion vectors (the delta-spark DV-update shape):
+    * matched rows are marked deleted in their files' DVs — no data
+    * rewrite — and their updated versions land as NEW files in the same
+    * commit. Cost is O(matched rows), not O(touched files): updating 10
+    * rows of a 1 GB file writes a KB bitmap plus a 10-row file where
+    * [[update]] rewrites the GB. Returns the committed version (current
+    * version when no row matches). */
+  def updateWithDv(
+      log: DeltaLog,
+      predicate: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    val snap = log.snapshot
+    require(!snap.metadata.configuration.get("delta.appendOnly").contains("true"),
+      s"cannot update ${log.tablePath}: table is delta.appendOnly")
+    val schema = snap.schema
+    require(set.nonEmpty, "UPDATE needs at least one SET column")
+    set.keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"SET column '$k' not in table schema ${schema.fieldNames.toSeq}"))
+    val (dvActions, touched) = dvMarkActions(log, snap, predicate)
+      .getOrElse(return snap.version)
+    // Updated versions of the matched rows, scanned from ONLY the
+    // touched files of the PRE-mutation snapshot.
+    val pre = snap.readFiles(touched).where(coalesce(predicate, lit(false)))
+    val updated = pre
+      .select(schema.fieldNames.toSeq.map { c =>
+        set.get(c) match {
+          case Some(expr) => expr.cast(schema(c).dataType).as(c)
+          case None => col(c)
+        }
+      }: _*)
+    val cdc =
+      if (ChangeDataFeed.enabled(snap))
+        ChangeDataFeed.writeCdcFiles(log,
+          ChangeDataFeed.updateChanges(pre, updated))
+      else Nil
+    TransactionWriter.writeAndCommit(log, updated, Some(snap),
+      removes = Nil, partitionBy = Some(snap.metadata.partitionColumns),
+      configuration = Map.empty, operation = "UPDATE", mode = "Rewrite",
+      extraActions = dvActions ++ cdc,
+      extraTouched = touched.map(_.path).toSet)
   }
 }

@@ -149,11 +149,12 @@ object TransactionWriter {
       touched: Seq[AddFile],
       replacement: DataFrame,
       operation: String,
-      dataChange: Boolean = true): Long =
+      dataChange: Boolean = true,
+      extraActions: Seq[Action] = Nil): Long =
     writeAndCommit(log, replacement, Some(snap), removes = touched,
       partitionBy = Some(snap.metadata.partitionColumns),
       configuration = Map.empty, operation = operation, mode = "Rewrite",
-      dataChange = dataChange)
+      dataChange = dataChange, extraActions = extraActions)
 
   /** Assign fresh column-mapping ids + physical names to every struct
     * field (recursively, depth-first — the Delta assignment order),
@@ -237,7 +238,7 @@ object TransactionWriter {
   private def normalizedFields(st: StructType): Seq[(String, DataType)] =
     st.fields.toSeq.map(f => (f.name, forceNullable(f.dataType))).sortBy(_._1)
 
-  private def writeAndCommit(
+  private[delta] def writeAndCommit(
       log: DeltaLog,
       df: DataFrame,
       prev: Option[Snapshot],
@@ -248,7 +249,13 @@ object TransactionWriter {
       mode: String,
       txn: Option[SetTransaction] = None,
       declaredSchema: Option[StructType] = None,
-      dataChange: Boolean = true): Long = {
+      dataChange: Boolean = true,
+      /** Pre-built actions riding the same commit (DV add/remove pairs
+        * of a DV update, cdc files, a protocol upgrade). */
+      extraActions: Seq[Action] = Nil,
+      /** Extra paths the logical-conflict rebase check must treat as
+        * read-and-replaced by this transaction. */
+      extraTouched: Set[String] = Set.empty): Long = {
     val spark = log.spark
     val fs = log.fs
     val partCols: Seq[String] =
@@ -270,18 +277,17 @@ object TransactionWriter {
           "schema instead")
       // minWriterVersion 3..6 tables carry writer-enforced features
       // (CHECK constraints v3, generated columns v4, column mapping v5,
-      // identity columns v6). Ignoring a DECLARED one silently violates
-      // the table's invariants — but when none are declared the
-      // enforcement is vacuous, so refuse only on declared use. Writer
-      // v7 lists its features explicitly: all must be ones this writer
-      // honors — deletionVectors (reads are DV-aware and rewrites
-      // remove the whole (file, DV) pair), appendOnly (enforced via the
-      // table property), invariants (vacuous unless declared),
-      // columnMapping (physical-name writes below), inCommitTimestamp
-      // (every commit path stamps a monotonic ICT — see
-      // DeltaLog.commit), v2Checkpoint (checkpoint layout only).
-      val declaredConstraints = s.metadata.configuration.keys
-        .filter(_.startsWith("delta.constraints.")).toSeq
+      // identity columns v6). CHECK constraints and NOT NULL invariants
+      // are ENFORCED below (Constraints.enforced rides the write job);
+      // generated/identity columns are not, so a declared one still
+      // refuses — ignoring it would silently violate the table's
+      // contract. Writer v7 lists its features explicitly: all must be
+      // ones this writer honors — deletionVectors (reads are DV-aware
+      // and rewrites remove the whole (file, DV) pair), appendOnly
+      // (enforced via the table property), invariants/checkConstraints
+      // (enforced below), columnMapping (physical-name writes below),
+      // inCommitTimestamp (every commit path stamps a monotonic ICT —
+      // see DeltaLog.commit), v2Checkpoint (checkpoint layout only).
       def fieldMetaDeclared(key: String): Boolean = {
         def walk(dt: DataType): Boolean = dt match {
           case st: StructType => st.fields.exists(f =>
@@ -292,7 +298,7 @@ object TransactionWriter {
         }
         walk(s.metadata.schema)
       }
-      val declared = declaredConstraints.map(c => s"CHECK constraint $c") ++
+      val declared =
         (if (fieldMetaDeclared("delta.generationExpression"))
            Seq("generated columns") else Nil) ++
         (if (fieldMetaDeclared("delta.identity.start") ||
@@ -300,7 +306,8 @@ object TransactionWriter {
            Seq("identity columns") else Nil)
       val supportedWriterFeatures = Set(
         "deletionVectors", "appendOnly", "invariants", "columnMapping",
-        "inCommitTimestamp", "v2Checkpoint")
+        "inCommitTimestamp", "v2Checkpoint", "checkConstraints",
+        "changeDataFeed")
       val unsupportedW = s.protocol.writerFeatures.diff(supportedWriterFeatures)
       val v = s.protocol.minWriterVersion
       require((v <= 6 && declared.isEmpty) || (v <= 2) ||
@@ -332,6 +339,22 @@ object TransactionWriter {
     // appendMergeSchema (existing-compatible, new columns nullable);
     // metaChanged below emits the merged metaData.
 
+    // CHECK constraints + NOT NULL invariants ride the write job
+    // itself (Constraints.enforced wraps the plan in an assert_true
+    // probe — zero extra passes; the first violating row aborts before
+    // the commit). Applied on LOGICAL names, before any column-mapping
+    // physical rename. An overwrite that supplies a new configuration
+    // is checked against THAT configuration (its constraints are the
+    // ones being committed).
+    val checkedDf = {
+      val conf =
+        if (configuration.nonEmpty) configuration
+        else prev.map(_.metadata.configuration).getOrElse(Map.empty)
+      val declaredNotNull = declaredSchema
+        .orElse(prev.map(_.metadata.schema)).getOrElse(schema)
+      Constraints.enforced(df, Constraints.of(conf), declaredNotNull)
+    }
+
     // Column mapping: data files, partition directories, and stats all
     // live under PHYSICAL names; the logical df is translated here and
     // translated back on read (Snapshot.physicalSchema). Two shapes:
@@ -358,7 +381,7 @@ object TransactionWriter {
           spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
         val logical = s.metadata.schema
         val phys = s.physicalSchema
-        val renamed = df.select(logical.fields.zip(phys.fields).map {
+        val renamed = checkedDf.select(logical.fields.zip(phys.fields).map {
           case (lf, pf) =>
             col(lf.name).cast(relaxKeepMeta(pf.dataType)).as(pf.name, pf.metadata)
         }.toSeq: _*)
@@ -368,13 +391,13 @@ object TransactionWriter {
           if (createMode == "id")
             spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
           val phys = physicalizeSchema(mappedSchema, withIds = createMode == "id")
-          val renamed = df.select(mappedSchema.fields.zip(phys.fields).map {
+          val renamed = checkedDf.select(mappedSchema.fields.zip(phys.fields).map {
             case (lf, pf) =>
               col(lf.name).cast(relaxKeepMeta(pf.dataType)).as(pf.name, pf.metadata)
           }.toSeq: _*)
           (renamed, partCols.map(pc =>
             mappedSchema(pc).metadata.getString("delta.columnMapping.physicalName")))
-        case None => (df, partCols)
+        case None => (checkedDf, partCols)
       }
 
     // 1. Materialize data into a staging dir under the table root.
@@ -461,6 +484,7 @@ object TransactionWriter {
           partitionValues = f.partitionValues, size = Some(f.size),
           deletionVector = f.deletionVector))
       }
+      actions ++= extraActions
       val effectiveConf =
         if (configuration.nonEmpty) configuration
         else prev.map(_.metadata.configuration).getOrElse(Map.empty)
@@ -472,7 +496,8 @@ object TransactionWriter {
       val committed =
         if (rebasable)
           commitWithRebase(log, version, actions.toSeq,
-            touchedPaths = removes.map(_.path).toSet, ictEnabled = ict)
+            touchedPaths = removes.map(_.path).toSet ++ extraTouched,
+            ictEnabled = ict)
         else { log.commit(version, actions.toSeq, ictEnabled = ict); version }
       spark.catalog.clearCache()
       // delta.checkpointInterval: periodic checkpoints keep snapshot

@@ -97,6 +97,18 @@ final case class SetTransaction(
     version: Long,
     lastUpdated: Option[Long] = None)
 
+/** Change-data file of one commit (Delta protocol "Add CDC File"):
+  * holds the change rows (table columns + `_change_type`) of a
+  * DELETE/UPDATE/MERGE when the table has
+  * `delta.enableChangeDataFeed=true`. CDC files never affect the table
+  * state — replay ignores them; only [[DeltaLog.tableChanges]] reads
+  * them. `dataChange` is always false per the spec. */
+final case class AddCDCFile(
+    path: String,
+    partitionValues: Map[String, String],
+    size: Long,
+    dataChange: Boolean = false)
+
 /** Sum type for everything a commit line can carry. */
 sealed trait Action
 final case class ProtocolAction(p: Protocol) extends Action
@@ -107,3 +119,4 @@ final case class CommitInfoAction(c: CommitInfo) extends Action
 final case class TxnAction(t: SetTransaction) extends Action
 final case class CheckpointMetadataAction(cm: CheckpointMetadata) extends Action
 final case class SidecarAction(s: SidecarFile) extends Action
+final case class CdcAction(cdc: AddCDCFile) extends Action

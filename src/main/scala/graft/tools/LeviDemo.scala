@@ -38,6 +38,29 @@ object LeviDemo {
 
       println(s"== time travel back to v0: ${log.snapshotAt(0).read().count()} rows ==")
 
+      import org.apache.spark.sql.functions.{col, lit}
+      graft.delta.Mutations.update(log, col("col2") === "A",
+        Map("col3" -> lit("updated")))
+      println(s"== v${log.latestVersion()} after UPDATE set col3='updated' where col2='A' ==")
+      log.snapshot.read().orderBy("col1").show()
+      require(log.snapshot.read().where(col("col3") === "updated").count() == 1L,
+        "UPDATE must hit exactly the surviving col2='A' row")
+
+      graft.delta.Mutations.delete(log, col("col2") === "D")
+      println(s"== v${log.latestVersion()} after DELETE where col2='D' ==")
+      log.snapshot.read().orderBy("col1").show()
+      require(log.snapshot.read().where(col("col2") === "D").count() == 0L,
+        "DELETE must remove the col2='D' row")
+
+      graft.delta.Constraints.addCheckConstraint(log, "col2_not_e", "col2 <> 'E'")
+      val violated =
+        try { graft.delta.Maintenance.append(log,
+          Seq((8L, "E", "X")).toDF("col1", "col2", "col3")); false }
+        catch { case _: Exception => true }
+      require(violated, "CHECK constraint must abort the violating append")
+      println(s"== CHECK col2<>'E' enforced: violating append aborted, still v${log.latestVersion()} ==")
+      graft.delta.Constraints.dropCheckConstraint(log, "col2_not_e")
+
       graft.delta.Maintenance.append(log, Seq((7L, "E", "E")).toDF("col1", "col2", "col3"))
       // targeted small-file OPTIMIZE first (everything here is tiny, so
       // all files coalesce), then the full-rewrite variant as a no-op-ish

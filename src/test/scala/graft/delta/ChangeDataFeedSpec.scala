@@ -1,0 +1,114 @@
+package graft.delta
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Change Data Feed: cdc actions on mutation commits, derived
+  * insert/delete for plain appends/removes, and the versioned feed
+  * reader. */
+class ChangeDataFeedSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshLog(): DeltaLog = {
+    val path = Files.createTempDirectory("graft-cdf").resolve("t").toString
+    DeltaLog.forPath(spark, path)
+  }
+
+  private def feed(log: DeltaLog, from: Long, to: Long) =
+    ChangeDataFeed.tableChanges(log, from, Some(to))
+      .select("id", "v", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSeq.sorted
+
+  test("targeted DELETE and UPDATE write row-level cdc; feed reads them") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log,
+      (0L until 10L).map(i => (i, s"v$i")).toDF("id", "v").repartition(2))
+    ChangeDataFeed.enable(log)                       // v1
+    assert(log.snapshot.protocol.minWriterVersion >= 4)
+
+    Mutations.delete(log, col("id") === 3L)          // v2: cdc delete
+    Mutations.update(log, col("id") === 4L,          // v3: cdc pre+post
+      Map("v" -> lit("updated")))
+
+    // the delete commit carries ONLY the one deleted row as change data
+    val v2 = ChangeDataFeed.tableChanges(log, 2, Some(2))
+    assert(v2.select("_change_type").as[String].collect().toSeq == Seq("delete"))
+    assert(v2.select("id").as[Long].head() == 3L)
+
+    val v3 = feed(log, 3, 3)
+    assert(v3 == Seq(
+      (4L, "updated", "update_postimage", 3L),
+      (4L, "v4", "update_preimage", 3L)))
+
+    // the table itself is correct after both mutations
+    assert(log.snapshot.read().count() == 9)
+    assert(log.snapshot.read().where(col("v") === "updated").count() == 1)
+  }
+
+  test("appends derive inserts; DV mutations write cdc; range unions") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log,
+      (0L until 6L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)) // v0
+    ChangeDataFeed.enable(log)                                         // v1
+    TransactionWriter.append(log, Seq((6L, "v6")).toDF("id", "v"))     // v2
+    Mutations.deleteWithDv(log, col("id") === 0L)                      // v3
+    Mutations.updateWithDv(log, col("id") === 6L,
+      Map("v" -> lit("U6")))                                           // v4
+
+    // v0 (before CDF): derived insert of the initial rows still works
+    val v0 = feed(log, 0, 0)
+    assert(v0.map(_._3).distinct == Seq("insert") && v0.size == 6)
+
+    // v2 derived insert, v3 cdc delete (NOT whole-file derived pairs),
+    // v4 cdc update pre+post
+    assert(feed(log, 2, 2) == Seq((6L, "v6", "insert", 2L)))
+    assert(feed(log, 3, 3) == Seq((0L, "v0", "delete", 3L)))
+    assert(feed(log, 4, 4) == Seq(
+      (6L, "U6", "update_postimage", 4L),
+      (6L, "v6", "update_preimage", 4L)))
+
+    // full range unions with commit timestamps attached
+    val all = ChangeDataFeed.tableChanges(log, 0, Some(4))
+    assert(all.where(col("_commit_timestamp").isNull).count() == 0)
+    assert(all.count() == 6 + 1 + 1 + 2)
+
+    // OPTIMIZE (dataChange=false) contributes nothing to the feed
+    Maintenance.compact(log)                                           // v5
+    assert(ChangeDataFeed.tableChanges(log, 5, Some(5)).count() == 0)
+
+    // table state is unaffected by cdc plumbing
+    assert(log.snapshot.read().orderBy("id").select("v").as[String]
+      .collect().toSeq == Seq("v1", "v2", "v3", "v4", "v5", "U6"))
+  }
+
+  test("overwrite-without-cdc derives file-level insert+delete pairs") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("id", "v"))   // v0
+    TransactionWriter.overwrite(log, Seq((2L, "b")).toDF("id", "v"))   // v1
+    val v1 = feed(log, 1, 1)
+    assert(v1 == Seq((1L, "a", "delete", 1L), (2L, "b", "insert", 1L)))
+  }
+
+  test("feed survives a fresh log handle and vacuum keeps cdc files") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log,
+      (0L until 4L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    ChangeDataFeed.enable(log)
+    Mutations.delete(log, col("id") === 2L)
+    Maintenance.vacuum(log, retentionMs = 0L, allowZeroRetention = true)
+    val fresh = DeltaLog.forPath(spark, log.tablePath)
+    assert(feed(fresh, 2, 2) == Seq((2L, "v2", "delete", 2L)))
+  }
+
+  test("bad ranges refuse; empty range yields empty typed frame") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("id", "v"))
+    intercept[IllegalArgumentException] {
+      ChangeDataFeed.tableChanges(log, 2, Some(3))
+    }
+    intercept[IllegalArgumentException] {
+      ChangeDataFeed.tableChanges(log, 1, Some(0))
+    }
+  }
+}

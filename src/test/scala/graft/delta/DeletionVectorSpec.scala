@@ -150,6 +150,45 @@ class DeletionVectorSpec extends SparkTestBase {
     assert(got3.toSeq == got2.filter(_ != 3L).toSeq)
   }
 
+  test("updateWithDv: no rewrite of old files, updated rows in new files") {
+    val dir = tmpDir()
+    import spark.implicits._
+    val df = (0 until 100).map(i => (i.toLong, s"v_$i")).toDF("id", "v")
+      .repartition(2)
+    val log = DeltaLog.forPath(spark, dir)
+    TransactionWriter.overwrite(log, df)
+    val before = log.snapshot.activeFiles.map(_.path).toSet
+
+    val v1 = Mutations.updateWithDv(log, col("id") % 10 === 0,
+      Map("v" -> concat(lit("upd_"), col("id"))))
+    assert(v1 == 1L)
+    val snap = log.snapshot
+    // every original file survives path-identical (now DV'd), plus new
+    // files holding only the 10 updated rows
+    val after = snap.activeFiles.map(_.path).toSet
+    assert(before.subsetOf(after), "DV update must not rewrite old files")
+    assert((after -- before).nonEmpty, "updated rows must land in new files")
+    val got = snap.read().select("id", "v").as[(Long, String)].collect().sorted
+    val want = (0L until 100L).map(i =>
+      (i, if (i % 10 == 0) s"upd_$i" else s"v_$i"))
+    assert(got.toSeq == want)
+    // time travel preserves the pre-update values
+    assert(log.snapshotAt(0).read().where(col("v").startsWith("upd_")).count() == 0)
+
+    // a second DV update touching already-updated rows merges correctly
+    Mutations.updateWithDv(log, col("v") === "upd_0", Map("v" -> lit("twice")))
+    val got2 = log.snapshot.read().where(col("id") === 0L)
+      .select("v").as[String].collect().toSeq
+    assert(got2 == Seq("twice"))
+
+    // no-match update commits nothing; unknown SET column refuses
+    assert(Mutations.updateWithDv(log, col("id") === -1L,
+      Map("v" -> lit("x"))) == log.snapshot.version)
+    intercept[IllegalArgumentException] {
+      Mutations.updateWithDv(log, col("id") === 1L, Map("nope" -> lit("x")))
+    }
+  }
+
   test("vacuum keeps live DV files and reclaims orphaned ones") {
     val dir = tmpDir()
     import spark.implicits._

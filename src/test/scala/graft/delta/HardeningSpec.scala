@@ -226,7 +226,7 @@ class HardeningSpec extends SparkTestBase {
     assert(log.snapshot.schema.fieldNames.toSeq == Seq("x", "y"))
   }
 
-  test("writer gates: mapped appends allowed, declared constraints refused") {
+  test("writer gates: mapped appends allowed, declared constraints enforced") {
     // column-mapped table: the writer now emits PHYSICAL names, so an
     // append succeeds and lands under the mapping (ColumnMappingSpec
     // covers the full matrix)
@@ -256,8 +256,8 @@ class HardeningSpec extends SparkTestBase {
     assert(e2.getMessage.contains("appendOnly"))
 
     // writer-version gate: legacy versions 3..6 are fine while their
-    // enforcement features are vacuous — but a DECLARED CHECK
-    // constraint or generated column must refuse
+    // enforcement features are vacuous — and a DECLARED CHECK
+    // constraint is ENFORCED (Constraints.enforced), not refused
     val wvPath = Files.createTempDirectory("graft-hard").resolve("t").toString
     val wvLog = DeltaLog.forPath(spark, wvPath)
     val wvSchema = StructType(Seq(StructField("n", LongType)))
@@ -272,9 +272,13 @@ class HardeningSpec extends SparkTestBase {
       MetadataAction(Metadata(java.util.UUID.randomUUID.toString, wvSchema.json,
         Nil, Map("delta.constraints.positive" -> "n > 0"), Some(0L))),
       CommitInfoAction(CommitInfo(0L, "ADD CONSTRAINT"))))
-    val e3 = intercept[IllegalArgumentException](
-      TransactionWriter.append(wvLog, Seq(2L).toDF("n")))
-    assert(e3.getMessage.contains("CHECK constraint"))
+    TransactionWriter.append(wvLog, Seq(2L).toDF("n")) // satisfies n > 0
+    assert(wvLog.snapshot.read().count() == 2L)
+    val vBefore = wvLog.latestVersion()
+    intercept[Exception](
+      TransactionWriter.append(wvLog, Seq(-2L).toDF("n")))
+    assert(wvLog.latestVersion() == vBefore,
+      "violating append must not commit")
 
     // declared generated column refuses too
     val gcPath = Files.createTempDirectory("graft-hard").resolve("t").toString
