@@ -95,6 +95,13 @@ final case class GraftTable(spark: SparkSession, path: String) {
   def dropCheckConstraint(name: String): Long =
     Constraints.dropCheckConstraint(log, name)
 
+  /** CREATE TABLE <target> SHALLOW CLONE this: metadata-only copy
+    * referencing this table's files by absolute path. */
+  def shallowCloneTo(targetPath: String, version: Option[Long] = None): GraftTable = {
+    graft.delta.Clone.shallow(log, targetPath, version)
+    GraftTable(spark, targetPath)
+  }
+
   // ---- maintenance ---------------------------------------------------------
   def checkpoint(): Long = Maintenance.checkpoint(log)
   /** V2 checkpoint (manifest + sidecars under `_delta_log/_sidecars/`). */

@@ -1,0 +1,61 @@
+package graft.delta
+
+import org.apache.hadoop.fs.Path
+
+/** Shallow CLONE (delta-spark `CREATE TABLE ... SHALLOW CLONE src`):
+  * a new table whose version-0 log references the SOURCE table's data
+  * files by absolute path — zero data copied, metadata-only commit.
+  * The clone then evolves independently: appends land under the clone
+  * root, targeted rewrites remove absolute-path entries and add local
+  * ones, and vacuuming the CLONE never deletes source files (its
+  * candidate listing is rooted under the clone). The standing hazard
+  * delta-spark documents applies equally: VACUUM on the SOURCE can
+  * reclaim files the clone still references.
+  *
+  * Deletion vectors survive cloning: relative (`u`) descriptors are
+  * rewritten as absolute (`p`) descriptors pointing into the source
+  * tree, so the cloned scan applies the same row filter.
+  */
+object Clone {
+
+  /** Create `targetPath` as a shallow clone of `src`'s current
+    * snapshot (or of `version` when given). Returns the clone's
+    * committed version (always 0). */
+  def shallow(src: DeltaLog, targetPath: String, version: Option[Long] = None): Long = {
+    val snap = version.map(src.snapshotAt).getOrElse(src.snapshot)
+    val dst = DeltaLog.forPath(src.spark, targetPath)
+    require(!dst.fs.exists(dst.logPath) ||
+        { val (c, p) = dst.listLog(); c.isEmpty && p.isEmpty },
+      s"cannot clone into $targetPath: a Delta table already exists there")
+    val srcRoot = src.fs.makeQualified(src.rootPath)
+
+    def absolutize(rel: String): String = {
+      // store the absolute filesystem path (URI path form, no scheme):
+      // decodePath recovers it and Path(root, "/abs") resolves on the
+      // root's filesystem — spec-legal "absolute path" spelling
+      val abs = new Path(srcRoot, DeltaLog.decodePath(rel))
+      DeltaLog.encodePath(abs.toUri.getPath)
+    }
+
+    val adds: Seq[Action] = snap.activeFiles.map { f =>
+      val dv = f.deletionVector.map { d =>
+        if (d.storageType == "u")
+          d.copy(storageType = "p",
+            pathOrInlineDv = DeletionVectors.filePath(srcRoot, d).toString,
+            offset = d.offset)
+        else d
+      }
+      AddAction(f.copy(path = absolutize(f.path), deletionVector = dv))
+    }
+    val now = System.currentTimeMillis()
+    val meta = snap.metadata.copy(
+      id = java.util.UUID.randomUUID.toString,
+      createdTime = Some(now))
+    dst.commit(0L, Seq(
+      CommitInfoAction(CommitInfo(now, "CLONE",
+        Map("source" -> src.tablePath, "sourceVersion" -> snap.version.toString))),
+      ProtocolAction(snap.protocol),
+      MetadataAction(meta)) ++ adds)
+    0L
+  }
+}

@@ -1139,6 +1139,88 @@ object Queries {
     """SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS len
       |FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 0""".stripMargin
 
+  /** Deletion-vector UPDATE, driver-verified END-TO-END: write orders
+    * to a scratch table, DV-update one slice (old versions bitmapped,
+    * updated rows appended — no rewrite), read back through the
+    * DV-filtered scan. The oracle recomputes the post-update state
+    * from the source parquet. */
+  private def qUpdateDvSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dvu_")
+        .resolve("t").toString
+      val log = graft.delta.DeltaLog.forPath(s, tmp)
+      graft.delta.TransactionWriter.overwrite(log,
+        s.table("orders").select("o_orderkey", "o_custkey", "o_totalprice"))
+      graft.delta.Mutations.updateWithDv(log, col("o_orderkey") % 13 === 0,
+        Map("o_totalprice" -> (col("o_totalprice") * 2)))
+      log.snapshot.read()
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").as("price"))
+    }
+
+  private val qUpdateDvDuck: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 2
+      |       ELSE o_totalprice END AS price
+      |FROM orders""".stripMargin
+
+  /** Change Data Feed, driver-verified END-TO-END: scratch table from
+    * customer, enable CDF, run a targeted DELETE (v2) and UPDATE (v3),
+    * then read the row-level feed back through `tableChanges`. The
+    * oracle recomputes the exact change rows (type + version) from the
+    * source parquet. */
+  private def qChangeFeedSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cdf_")
+        .resolve("t").toString
+      val log = graft.delta.DeltaLog.forPath(s, tmp)
+      graft.delta.TransactionWriter.overwrite(log,
+        s.table("customer").select("c_custkey", "c_acctbal"))        // v0
+      graft.delta.ChangeDataFeed.enable(log)                          // v1
+      graft.delta.Mutations.delete(log, col("c_custkey") % 10 === 3)  // v2
+      graft.delta.Mutations.update(log, col("c_custkey") % 10 === 4,  // v3
+        Map("c_acctbal" -> lit(-1.0)))
+      graft.delta.ChangeDataFeed.tableChanges(log, 2, Some(3))
+        .select(col("c_custkey"), col("c_acctbal").as("acct"),
+          col("_change_type").as("change_type"),
+          col("_commit_version").as("ver"))
+    }
+
+  private val qChangeFeedDuck: String =
+    """SELECT c_custkey, c_acctbal AS acct, 'delete' AS change_type,
+      |  CAST(2 AS BIGINT) AS ver FROM customer WHERE c_custkey % 10 = 3
+      |UNION ALL
+      |SELECT c_custkey, c_acctbal, 'update_preimage', 3
+      |  FROM customer WHERE c_custkey % 10 = 4
+      |UNION ALL
+      |SELECT c_custkey, -1.0, 'update_postimage', 3
+      |  FROM customer WHERE c_custkey % 10 = 4""".stripMargin
+
+  /** Shallow clone, driver-verified END-TO-END: clone a scratch nation
+    * table (zero data copied), DELETE on the clone, read the clone —
+    * while the source must still read its full row set. The oracle
+    * recomputes the clone's post-delete state from the source
+    * parquet. */
+  private def qShallowCloneSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft_clone_")
+      val src = graft.delta.DeltaLog.forPath(s, base.resolve("src").toString)
+      graft.delta.TransactionWriter.overwrite(src,
+        s.table("nation").select("n_nationkey", "n_name", "n_regionkey"))
+      val dst = graft.delta.DeltaLog.forPath(s, base.resolve("dst").toString)
+      graft.delta.Clone.shallow(src, dst.tablePath)
+      graft.delta.Mutations.delete(dst, col("n_regionkey") === 2)
+      require(src.snapshot.read().count() ==
+        s.table("nation").count(), "clone mutation must not touch source")
+      dst.snapshot.read()
+    }
+
+  private val qShallowCloneDuck: String =
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey <> 2"
+
   /** Frame-sampling oracle: the corpus text is pure ASCII, so VARCHAR
     * slicing in DuckDB sees the same bytes as the binary slices the
     * Spark side's `Multimodal.sampleFrames` emits. */
@@ -1442,6 +1524,9 @@ object Queries {
     "q_stream_sessionize" -> qStreamSessionizeSpark,
     "q_read_changes" -> qReadChangesSpark,
     "q_delete_dv" -> qDeleteDvSpark,
+    "q_update_dv" -> qUpdateDvSpark,
+    "q_change_feed" -> qChangeFeedSpark,
+    "q_shallow_clone" -> qShallowCloneSpark,
     "q_media_frames" -> ((s, dir) => {
       registerViews(s, dir)
       import s.implicits._
@@ -1570,6 +1655,9 @@ object Queries {
     "q_stream_sessionize" -> qStreamSessionizeDuck,
     "q_read_changes" -> qReadChangesDuck,
     "q_delete_dv" -> qDeleteDvDuck,
+    "q_update_dv" -> qUpdateDvDuck,
+    "q_change_feed" -> qChangeFeedDuck,
+    "q_shallow_clone" -> qShallowCloneDuck,
     "q_media_frames" -> qMediaFramesDuck,
     "q_simhash" -> qSimhash("duck"),
     "q_embedding_knn" -> qKnn("duck"),

@@ -1,0 +1,81 @@
+package graft.delta
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Shallow clone: zero-copy create, independent evolution, DV
+  * preservation, and vacuum isolation. */
+class CloneSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-clone").resolve("t").toString
+
+  test("shallow clone reads the source snapshot without copying data") {
+    val src = DeltaLog.forPath(spark, tmp())
+    TransactionWriter.overwrite(src,
+      (0L until 20L).map(i => (i, s"v$i")).toDF("id", "v").repartition(2))
+    TransactionWriter.append(src, Seq((20L, "v20")).toDF("id", "v"))
+
+    val clonePath = tmp()
+    val v = Clone.shallow(src, clonePath)
+    assert(v == 0L)
+    val dst = DeltaLog.forPath(spark, clonePath)
+    assertSameRows(dst.snapshot.read(), src.snapshot.read())
+    // zero data files under the clone root
+    val dataFiles = dst.fs.listStatus(dst.rootPath).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    assert(dataFiles.isEmpty, "shallow clone must not copy data")
+    // stats survive: file pruning still works on the clone
+    assert(dst.snapshot.activeFiles.forall(_.stats.nonEmpty))
+  }
+
+  test("clone of an older version; clone evolves independently") {
+    val src = DeltaLog.forPath(spark, tmp())
+    TransactionWriter.overwrite(src, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    TransactionWriter.append(src, Seq((3L, "c")).toDF("id", "v"))
+
+    val dst = DeltaLog.forPath(spark, tmp())
+    Clone.shallow(src, dst.tablePath, version = Some(0L))
+    assert(dst.snapshot.read().count() == 2) // pre-append snapshot
+
+    // clone-side mutations don't touch the source
+    TransactionWriter.append(dst, Seq((9L, "z")).toDF("id", "v"))
+    Mutations.delete(dst, col("id") === 1L)
+    assertSameRows(dst.snapshot.read(), Seq((2L, "b"), (9L, "z")).toDF("id", "v"))
+    assert(src.snapshot.read().count() == 3, "source must be untouched")
+
+    // source-side append after the clone is invisible to the clone
+    TransactionWriter.append(src, Seq((4L, "d")).toDF("id", "v"))
+    assert(dst.snapshot.read().count() == 2)
+
+    // cloning onto an existing table refuses
+    intercept[IllegalArgumentException] {
+      Clone.shallow(src, dst.tablePath)
+    }
+  }
+
+  test("deletion vectors survive the clone; clone vacuum spares source files") {
+    val src = DeltaLog.forPath(spark, tmp())
+    TransactionWriter.overwrite(src,
+      (0L until 30L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    Mutations.deleteWithDv(src, col("id") % 3 === 0)
+
+    val dst = DeltaLog.forPath(spark, tmp())
+    Clone.shallow(src, dst.tablePath)
+    val got = dst.snapshot.read().select("id").as[Long].collect().sorted
+    assert(got.toSeq == (0L until 30L).filter(_ % 3 != 0))
+    assert(dst.snapshot.activeFiles.exists(_.deletionVector.exists(_.storageType == "p")))
+
+    // vacuum on the clone finds nothing of the source's to delete
+    val deleted = Maintenance.vacuum(dst, retentionMs = 0L, allowZeroRetention = true)
+    assert(deleted.isEmpty)
+    assert(src.snapshot.read().count() == 20, "source still reads fine")
+
+    // a clone-side targeted rewrite localizes the touched file
+    Mutations.update(dst, col("id") === 1L, Map("v" -> lit("upd")))
+    assert(dst.snapshot.read().where(col("v") === "upd").count() == 1)
+    assert(src.snapshot.read().where(col("v") === "upd").count() == 0)
+  }
+}
