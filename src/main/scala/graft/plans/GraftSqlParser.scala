@@ -6,9 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference,
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.{Command, LogicalPlan}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
-import graft.delta.{DeltaLog, Maintenance}
+import graft.delta.{Clone, Constraints, DeltaLog, Maintenance, Mutations}
 
-/** SQL surface for table maintenance, injected through
+/** SQL surface for table maintenance and mutations, injected through
   * `SparkSessionExtensions.injectParser` (the same extension point
   * delta-spark uses for VACUUM/OPTIMIZE). Recognized statements —
   * everything else delegates verbatim to Spark's parser:
@@ -19,6 +19,12 @@ import graft.delta.{DeltaLog, Maintenance}
   * GRAFT CHECKPOINT '<path>'
   * GRAFT HISTORY '<path>'
   * GRAFT RESTORE '<path>' TO VERSION <v>
+  * GRAFT DELETE FROM '<path>' WHERE <predicate>        -- targeted rewrite
+  * GRAFT DELETE FROM '<path>' USING DV WHERE <pred>    -- deletion vectors
+  * GRAFT UPDATE '<path>' SET c1 = <expr>[, ...] WHERE <predicate>
+  * GRAFT CLONE '<src>' TO '<dst>'                      -- shallow
+  * GRAFT ALTER '<path>' ADD CONSTRAINT <name> CHECK (<expr>)
+  * GRAFT ALTER '<path>' DROP CONSTRAINT <name>
   * }}}
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
@@ -31,6 +37,35 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val History = """(?is)\s*GRAFT\s+HISTORY\s+'([^']+)'\s*""".r
   private val Restore =
     """(?is)\s*GRAFT\s+RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*""".r
+  private val Delete =
+    """(?is)\s*GRAFT\s+DELETE\s+FROM\s+'([^']+)'(\s+USING\s+DV)?\s+WHERE\s+(.+?)\s*""".r
+  private val Update =
+    """(?is)\s*GRAFT\s+UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*""".r
+  private val CloneStmt =
+    """(?is)\s*GRAFT\s+CLONE\s+'([^']+)'\s+TO\s+'([^']+)'\s*""".r
+  private val AddConstraint =
+    """(?is)\s*GRAFT\s+ALTER\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*""".r
+  private val DropConstraint =
+    """(?is)\s*GRAFT\s+ALTER\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+(\w+)\s*""".r
+
+  /** Split a SET list on top-level commas only (commas inside
+    * parentheses — function calls — don't separate assignments). */
+  private def splitAssignments(s: String): Seq[(String, String)] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var start = 0
+    s.zipWithIndex.foreach {
+      case ('(', _) => depth += 1
+      case (')', _) => depth -= 1
+      case (',', i) if depth == 0 => parts += s.substring(start, i); start = i + 1
+      case _ =>
+    }
+    parts += s.substring(start)
+    parts.toSeq.map { a =>
+      val eq = a.indexOf('=')
+      require(eq > 0, s"bad SET assignment '$a' (expected col = expr)")
+      (a.take(eq).trim, a.drop(eq + 1).trim)
+    }
+  }
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Vacuum(path, hours) =>
@@ -65,6 +100,36 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case Restore(path, v) =>
       GraftMaintenanceCommand(path, "restore",
         Seq("version"), s => Seq(Row(Maintenance.restore(DeltaLog.forPath(s, path), v.toLong))))
+    case Delete(path, dv, pred) =>
+      GraftMaintenanceCommand(path, "delete",
+        Seq("version"), s => {
+          val log = DeltaLog.forPath(s, path)
+          val p = org.apache.spark.sql.functions.expr(pred)
+          Seq(Row(if (dv != null) Mutations.deleteWithDv(log, p)
+                  else Mutations.delete(log, p)))
+        })
+    case Update(path, setList, pred) =>
+      val assigns = splitAssignments(setList)
+      GraftMaintenanceCommand(path, "update",
+        Seq("version"), s => {
+          val log = DeltaLog.forPath(s, path)
+          val set = assigns.map { case (c, e) =>
+            c -> org.apache.spark.sql.functions.expr(e)
+          }.toMap
+          Seq(Row(Mutations.update(log,
+            org.apache.spark.sql.functions.expr(pred), set)))
+        })
+    case CloneStmt(src, dst) =>
+      GraftMaintenanceCommand(src, "clone",
+        Seq("version"), s => Seq(Row(Clone.shallow(DeltaLog.forPath(s, src), dst))))
+    case AddConstraint(path, name, check) =>
+      GraftMaintenanceCommand(path, "add_constraint",
+        Seq("version"), s =>
+          Seq(Row(Constraints.addCheckConstraint(DeltaLog.forPath(s, path), name, check))))
+    case DropConstraint(path, name) =>
+      GraftMaintenanceCommand(path, "drop_constraint",
+        Seq("version"), s =>
+          Seq(Row(Constraints.dropCheckConstraint(DeltaLog.forPath(s, path), name))))
     case _ => delegate.parsePlan(sqlText)
   }
 

@@ -1,0 +1,47 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** End-to-end demo of the GRAFT SQL command surface:
+  * `runMain graft.tools.SqlDemo [dir]` — builds a table through the
+  * graftdelta DataSource, then drives UPDATE / DELETE / constraint /
+  * CLONE / OPTIMIZE / HISTORY entirely via `spark.sql`.
+  */
+object SqlDemo {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse(
+      java.nio.file.Files.createTempDirectory("sql-demo").toString)
+    val spark = SparkSession.builder()
+      .master("local[4]").appName("sql-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    try {
+      val path = s"$dir/sql_table"
+      (1L to 5L).map(i => (i, s"row_$i")).toDF("n", "s")
+        .write.format("graftdelta").mode("overwrite").save(path)
+
+      spark.sql(s"GRAFT UPDATE '$path' SET s = concat(s, '_upd') WHERE n <= 2")
+      spark.sql(s"GRAFT DELETE FROM '$path' WHERE n = 5")
+      spark.sql(s"GRAFT DELETE FROM '$path' USING DV WHERE n = 4")
+      spark.sql(s"GRAFT ALTER '$path' ADD CONSTRAINT n_pos CHECK (n > 0)")
+      println("== table after SQL UPDATE/DELETE/DV-DELETE, constraint added ==")
+      spark.read.format("graftdelta").load(path).orderBy("n").show()
+      require(spark.read.format("graftdelta").load(path).count() == 3L)
+
+      val clonePath = s"$dir/sql_clone"
+      spark.sql(s"GRAFT CLONE '$path' TO '$clonePath'")
+      spark.sql(s"GRAFT OPTIMIZE '$clonePath'")
+      require(spark.read.format("graftdelta").load(clonePath).count() == 3L,
+        "clone must read the source snapshot")
+
+      println("== clone history ==")
+      spark.sql(s"GRAFT HISTORY '$clonePath'").show(truncate = false)
+      println("SqlDemo OK")
+    } finally spark.stop()
+  }
+}

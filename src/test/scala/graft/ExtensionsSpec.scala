@@ -121,6 +121,34 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(spark.read.format("graftdelta").load(path).count() == 3)
     // vacuum with explicit retention parses and runs (nothing young deleted)
     assert(spark.sql(s"GRAFT VACUUM '$path' RETAIN 168 HOURS").collect()(0).getLong(0) == 0L)
+    // mutation statements: UPDATE (multi-assignment with a function
+    // call containing commas), targeted DELETE, DV DELETE
+    spark.sql(s"GRAFT UPDATE '$path' SET s = concat(s, '!'), n = n + 10 WHERE n = 1")
+    val upd = spark.read.format("graftdelta").load(path)
+      .where("n = 11").select("s").collect()
+    assert(upd.map(_.getString(0)).toSeq == Seq("a!"))
+    spark.sql(s"GRAFT DELETE FROM '$path' WHERE n = 2")
+    assert(spark.read.format("graftdelta").load(path).count() == 2)
+    spark.sql(s"GRAFT DELETE FROM '$path' USING DV WHERE n = 3")
+    assert(spark.read.format("graftdelta").load(path).count() == 1)
+
+    // constraints: add enforces, drop restores
+    spark.sql(s"GRAFT ALTER '$path' ADD CONSTRAINT n_small CHECK (n < 100)")
+    intercept[Exception] {
+      Seq((200L, "z")).toDF("n", "s")
+        .write.format("graftdelta").mode("append").save(path)
+    }
+    spark.sql(s"GRAFT ALTER '$path' DROP CONSTRAINT n_small")
+    Seq((200L, "z")).toDF("n", "s")
+      .write.format("graftdelta").mode("append").save(path)
+    assert(spark.read.format("graftdelta").load(path).count() == 2)
+
+    // shallow clone via SQL
+    val clonePath = java.nio.file.Files.createTempDirectory("graft_sqlcmd_")
+      .resolve("c").toString
+    assert(spark.sql(s"GRAFT CLONE '$path' TO '$clonePath'").collect()(0).getLong(0) == 0L)
+    assert(spark.read.format("graftdelta").load(clonePath).count() == 2)
+
     // ordinary SQL still parses through the delegate
     assert(spark.sql("SELECT 1 + 1").collect()(0).getInt(0) == 2)
     // ...including parameterized statements (parsePlanWithParameters path)
