@@ -1221,6 +1221,54 @@ object Queries {
   private val qShallowCloneDuck: String =
     "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey <> 2"
 
+  /** STREAMING Change Data Feed, driver-verified END-TO-END: a real
+    * micro-batch query over the `readChangeFeed` source drains the
+    * initial snapshot (insert rows), then a targeted DELETE and UPDATE
+    * land and drain as row-level changes. The oracle recomputes every
+    * change row (type + commit version) from the source parquet. */
+  private def qStreamChangesSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft_scdf_")
+      val log = graft.delta.DeltaLog.forPath(s, base.resolve("t").toString)
+      graft.delta.TransactionWriter.overwrite(log,
+        s.table("supplier").select("s_suppkey", "s_acctbal"))         // v0
+      graft.delta.ChangeDataFeed.enable(log)                          // v1
+      val name = "stream_changes_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = s.readStream
+        .format(classOf[graft.sources.DeltaSourceProvider].getName)
+        .option("path", log.tablePath)
+        .option("readChangeFeed", "true")
+        .load()
+        .select(col("s_suppkey"), col("s_acctbal").as("acct"),
+          col("_change_type").as("change_type"),
+          col("_commit_version").as("ver"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", base.resolve("cp").toString)
+        .start()
+      q.processAllAvailable()                                         // snapshot @v1
+      graft.delta.Mutations.delete(log, col("s_suppkey") % 7 === 1)   // v2
+      graft.delta.Mutations.update(log, col("s_suppkey") % 7 === 2,   // v3
+        Map("s_acctbal" -> lit(0.0)))
+      q.processAllAvailable()
+      q.stop()
+      s.table(name)
+    }
+
+  private val qStreamChangesDuck: String =
+    """SELECT s_suppkey, s_acctbal AS acct, 'insert' AS change_type,
+      |  CAST(1 AS BIGINT) AS ver FROM supplier
+      |UNION ALL
+      |SELECT s_suppkey, s_acctbal, 'delete', 2
+      |  FROM supplier WHERE s_suppkey % 7 = 1
+      |UNION ALL
+      |SELECT s_suppkey, s_acctbal, 'update_preimage', 3
+      |  FROM supplier WHERE s_suppkey % 7 = 2
+      |UNION ALL
+      |SELECT s_suppkey, 0.0, 'update_postimage', 3
+      |  FROM supplier WHERE s_suppkey % 7 = 2""".stripMargin
+
   /** Frame-sampling oracle: the corpus text is pure ASCII, so VARCHAR
     * slicing in DuckDB sees the same bytes as the binary slices the
     * Spark side's `Multimodal.sampleFrames` emits. */
@@ -1527,6 +1575,7 @@ object Queries {
     "q_update_dv" -> qUpdateDvSpark,
     "q_change_feed" -> qChangeFeedSpark,
     "q_shallow_clone" -> qShallowCloneSpark,
+    "q_stream_changes" -> qStreamChangesSpark,
     "q_media_frames" -> ((s, dir) => {
       registerViews(s, dir)
       import s.implicits._
@@ -1658,6 +1707,7 @@ object Queries {
     "q_update_dv" -> qUpdateDvDuck,
     "q_change_feed" -> qChangeFeedDuck,
     "q_shallow_clone" -> qShallowCloneDuck,
+    "q_stream_changes" -> qStreamChangesDuck,
     "q_media_frames" -> qMediaFramesDuck,
     "q_simhash" -> qSimhash("duck"),
     "q_embedding_knn" -> qKnn("duck"),

@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graftshims.SqlShims
 import org.apache.spark.sql.sources.StreamSourceProvider
 import org.apache.spark.sql.types.StructType
-import graft.delta.{AddAction, DeltaLog, RemoveAction}
+import graft.delta.{AddAction, ChangeDataFeed, DeltaLog, RemoveAction}
 
 /** Structured-Streaming SOURCE over a graft Delta table: offsets are
   * table versions; each micro-batch reads the files ADDED by the commit
@@ -15,6 +15,14 @@ import graft.delta.{AddAction, DeltaLog, RemoveAction}
   * remove inside the range fails the stream rather than silently
   * re-emitting or dropping rows (same default as delta-spark without
   * ignoreChanges).
+  *
+  * With `.option("readChangeFeed", "true")` the source emits the
+  * row-level CHANGE FEED instead (delta-spark's streaming CDF): table
+  * columns + `_change_type` / `_commit_version` / `_commit_timestamp`,
+  * the initial snapshot surfacing as `insert` rows and each commit
+  * range reading [[ChangeDataFeed.tableChanges]] — mutation commits
+  * (DELETE/UPDATE, DV or rewrite) stream their changed rows rather
+  * than failing the append-only contract.
   *
   * Usage:
   * {{{
@@ -30,26 +38,48 @@ class DeltaSourceProvider extends StreamSourceProvider {
     parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-delta source requires option 'path'"))
 
+  private def cdf(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").contains("true")
+
   override def sourceSchema(
       sqlContext: SQLContext, schema: Option[StructType],
-      providerName: String, parameters: Map[String, String]): (String, StructType) =
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    val base = DeltaLog
+      .forPath(sqlContext.sparkSession, path(parameters)).snapshot.schema
     ("graft-delta",
-      DeltaLog.forPath(sqlContext.sparkSession, path(parameters)).snapshot.schema)
+      if (cdf(parameters)) DeltaStreamSource.withCdfColumns(base) else base)
+  }
 
   override def createSource(
       sqlContext: SQLContext, metadataPath: String, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): Source =
     new DeltaStreamSource(sqlContext.sparkSession, path(parameters),
-      parameters.get("maxCommitsPerTrigger").map(_.toLong).filter(_ > 0))
+      parameters.get("maxCommitsPerTrigger").map(_.toLong).filter(_ > 0),
+      readChangeFeed = cdf(parameters))
+}
+
+object DeltaStreamSource {
+  private[sources] def withCdfColumns(base: StructType): StructType =
+    StructType(base.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(
+        ChangeDataFeed.ChangeTypeCol, org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(
+        ChangeDataFeed.CommitVersionCol, org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(
+        ChangeDataFeed.CommitTimestampCol, org.apache.spark.sql.types.TimestampType)))
 }
 
 class DeltaStreamSource(
     spark: SparkSession, tablePath: String,
-    maxCommitsPerTrigger: Option[Long] = None) extends Source {
+    maxCommitsPerTrigger: Option[Long] = None,
+    readChangeFeed: Boolean = false) extends Source {
 
   private val log = DeltaLog.forPath(spark, tablePath)
 
-  override val schema: StructType = log.snapshot.schema
+  override val schema: StructType = {
+    val base = log.snapshot.schema
+    if (readChangeFeed) DeltaStreamSource.withCdfColumns(base) else base
+  }
 
   /** Highest offset already handed to the engine (advanced by getBatch
     * too, so rate limiting stays correct across restarts). */
@@ -86,11 +116,28 @@ class DeltaStreamSource(
     lastOffered = Some((Seq(lastOffered.getOrElse(-1L), endV) ++
       start.map(versionOf)).max)
     val snap = log.snapshotAt(endV)
-    val batch = start match {
-      case None =>
+    import org.apache.spark.sql.functions.lit
+    val batch = (start, readChangeFeed) match {
+      case (None, false) =>
         // initial load: the whole snapshot at the end offset
         snap.read()
-      case Some(s) =>
+      case (None, true) =>
+        // CDF initial load: the snapshot surfaces as insert rows
+        // stamped with the end-offset version (delta-spark's
+        // streaming-CDF initial-snapshot shape)
+        snap.read()
+          .withColumn(ChangeDataFeed.ChangeTypeCol, lit("insert"))
+          .withColumn(ChangeDataFeed.CommitVersionCol, lit(endV))
+          .withColumn(ChangeDataFeed.CommitTimestampCol,
+            lit(new java.sql.Timestamp(log.inCommitTimestampOf(endV).getOrElse(
+              System.currentTimeMillis()))))
+      case (Some(s), true) =>
+        val sv = versionOf(s)
+        if (sv >= endV) // restart catch-up with no new commits
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        else ChangeDataFeed.tableChanges(log, sv + 1, Some(endV))
+      case (Some(s), false) =>
         val startV = versionOf(s)
         val versions = (startV + 1) to endV
         val actions = versions.flatMap(log.commitActions)

@@ -145,6 +145,46 @@ class StreamingSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("delta source readChangeFeed streams row-level changes") {
+    import graft.delta.{ChangeDataFeed, DeltaLog, Maintenance, Mutations, TransactionWriter}
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdfsrc")
+    val log = DeltaLog.forPath(spark, dir.resolve("t").toString)
+    TransactionWriter.overwrite(log, Seq((1L, "a"), (2L, "b")).toDF("n", "s"))
+    ChangeDataFeed.enable(log)
+    val stream = spark.readStream
+      .format(classOf[graft.sources.DeltaSourceProvider].getName)
+      .option("path", log.tablePath)
+      .option("readChangeFeed", "true")
+      .load()
+    assert(stream.columns.toSeq ==
+      Seq("n", "s", "_change_type", "_commit_version", "_commit_timestamp"))
+    val q = stream.writeStream.format("memory").queryName("cdf_src_out")
+      .outputMode("append")
+      .option("checkpointLocation", dir.resolve("cp").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // initial snapshot surfaces as inserts
+      assert(spark.table("cdf_src_out")
+        .where(col("_change_type") === "insert").count() == 2L)
+      // a mutation streams its changed rows instead of failing the
+      // append-only contract
+      Mutations.update(log, col("n") === 1L, Map("s" -> lit("A")))
+      Maintenance.append(log, Seq((3L, "c")).toDF("n", "s"))
+      q.processAllAvailable()
+      val got = spark.table("cdf_src_out")
+        .select("n", "s", "_change_type")
+        .as[(Long, String, String)].collect().toSet
+      assert(got == Set(
+        (1L, "a", "insert"), (2L, "b", "insert"),
+        (1L, "a", "update_preimage"), (1L, "A", "update_postimage"),
+        (3L, "c", "insert")))
+      assert(spark.table("cdf_src_out")
+        .where(col("_commit_timestamp").isNull).count() == 0L)
+    } finally q.stop()
+  }
+
   test("delta source survives OPTIMIZE (dataChange=false rewrite)") {
     import graft.delta.{DeltaLog, TransactionWriter, Maintenance}
     val dir = java.nio.file.Files.createTempDirectory("graft-opt")
