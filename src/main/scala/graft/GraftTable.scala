@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import graft.delta.{ChangeDataFeed, Constraints, DeltaLog, Maintenance, Merge, Mutations, Skipping, Snapshot, TransactionWriter}
+import graft.delta.{ChangeDataFeed, Constraints, DeltaLog, Maintenance, Merge, Mutations, SchemaEvolution, Skipping, Snapshot, TransactionWriter}
 
 /** User-facing handle over one Delta table — the ergonomic equivalent of
   * the reference's `DeltaTable(path)` + levi module functions
@@ -86,6 +86,18 @@ final case class GraftTable(spark: SparkSession, path: String) {
     * `_commit_version`, `_commit_timestamp`. */
   def changeFeed(from: Long, to: Option[Long] = None): DataFrame =
     ChangeDataFeed.tableChanges(log, from, to)
+
+  /** Upgrade to name-mode column mapping in place (metadata-only);
+    * unlocks free column rename/drop. */
+  def enableColumnMapping(): Long = SchemaEvolution.enableColumnMapping(log)
+  /** ALTER TABLE RENAME COLUMN — metadata-only (requires mapping). */
+  def renameColumn(oldName: String, newName: String): Long =
+    SchemaEvolution.renameColumn(log, oldName, newName)
+  /** ALTER TABLE DROP COLUMN — metadata-only (requires mapping). */
+  def dropColumn(name: String): Long = SchemaEvolution.dropColumn(log, name)
+  /** ALTER TABLE ADD COLUMN (nullable; existing rows read null). */
+  def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType): Long =
+    SchemaEvolution.addColumn(log, name, dataType)
 
   /** ALTER TABLE ADD CONSTRAINT <name> CHECK (<sqlExpr>): validates
     * existing rows, then enforces on every future write. */

@@ -86,6 +86,9 @@ object Skipping {
     val statsPredicate: Option[Column] =
       if (statsFilters.isEmpty) None
       else {
+        // addsFlat exposes stats under LOGICAL names (it casts the
+        // physical-keyed JSON positionally), so logical filter names are
+        // correct here even across column mapping and ALTER RENAME
         val mayMatch = filtersToColumn(statsFilters)
         val haveStats = statsFilters.map { case (c, _, _) =>
           col(s"min.$c").isNotNull && col(s"max.$c").isNotNull

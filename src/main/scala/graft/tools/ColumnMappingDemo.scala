@@ -72,6 +72,28 @@ object ColumnMappingDemo {
         .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
       println(s"== id-mode at $idDir: read under WRONG names via field ids: $byId")
       require(byId == Seq((7L, "x")), "footer field ids must resolve the read")
+
+      // -- ALTER evolution: upgrade an UNMAPPED table in place, then
+      // rename/drop/add as metadata-only commits --
+      val evDir = s"$base/evolve"
+      val evLog = DeltaLog.forPath(spark, evDir)
+      TransactionWriter.overwrite(evLog,
+        Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "name", "score"))
+      graft.delta.SchemaEvolution.enableColumnMapping(evLog)
+      graft.delta.SchemaEvolution.renameColumn(evLog, "score", "points")
+      graft.delta.SchemaEvolution.dropColumn(evLog, "name")
+      graft.delta.SchemaEvolution.addColumn(evLog, "tag",
+        org.apache.spark.sql.types.StringType)
+      val evSnap = DeltaLog.forPath(spark, evDir).snapshot
+      println(s"== evolved schema: ${evSnap.schema.simpleString} " +
+        s"(physical of points: ${evSnap.physicalNameOf("points")}) ==")
+      evSnap.read().orderBy("id").show()
+      val ev = evSnap.read().orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.isNullAt(2))).toSeq
+      require(ev == Seq((1L, 10L, true), (2L, 20L, true)),
+        s"evolved read wrong: $ev")
+      require(evSnap.physicalNameOf("points") == "score",
+        "rename must keep the physical name pinned")
       println("ColumnMappingDemo OK")
     } finally spark.stop()
   }
