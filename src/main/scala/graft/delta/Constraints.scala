@@ -49,15 +49,17 @@ object Constraints {
       .map(f => s"NOT NULL constraint on ${f.name}" -> col(f.name).isNull)
 
   /** Wrap `df` so that the write job itself throws on the first
-    * violating row. No-op when nothing is declared. */
+    * violating row. No-op when nothing is declared. `extraProbes` lets
+    * other invariants (generated-column equality) ride the same guard. */
   def enforced(
       df: DataFrame,
       checks: Map[String, String],
-      declaredSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+      declaredSchema: org.apache.spark.sql.types.StructType,
+      extraProbes: Seq[(String, Column)] = Nil): DataFrame = {
     val probes: Seq[(String, Column)] =
       checks.toSeq.sortBy(_._1).map { case (name, sql) =>
         s"CHECK constraint $name ($sql)" -> violates(sql)
-      } ++ notNullChecks(declaredSchema, df)
+      } ++ notNullChecks(declaredSchema, df) ++ extraProbes
     if (probes.isEmpty) df
     else {
       // assert_true(cond) is NULL when cond holds and throws otherwise;

@@ -45,6 +45,31 @@ object TransactionWriter {
       dataChange = dataChange)
   }
 
+  /** Overwrite/create with an explicitly DECLARED schema — the way to
+    * create tables whose fields carry metadata the frame's runtime
+    * schema can't express: generated columns
+    * ([[GeneratedColumns.field]]), NOT NULL (nullable = false), column
+    * invariants. The frame may omit generated columns entirely; they
+    * are computed during the write. */
+  def overwriteWithSchema(
+      log: DeltaLog,
+      df: DataFrame,
+      declared: StructType,
+      partitionBy: Option[Seq[String]] = None,
+      configuration: Map[String, String] = Map.empty): Long = {
+    val prev: Option[Snapshot] =
+      if (log.fs.exists(log.logPath) &&
+          { val (c, p) = log.listLog(); c.nonEmpty || p.nonEmpty })
+        Some(log.snapshot)
+      else None
+    writeAndCommit(log, df, prev,
+      removes = prev.toSeq.flatMap(_.activeFiles),
+      partitionBy = partitionBy, configuration = configuration,
+      operation = "WRITE",
+      mode = if (prev.isEmpty) "ErrorIfExists" else "Overwrite",
+      declaredSchema = Some(declared))
+  }
+
   /** Append commit: add new files (with full per-file stats) without
     * removing any existing ones. */
   def append(
@@ -260,7 +285,16 @@ object TransactionWriter {
     val fs = log.fs
     val partCols: Seq[String] =
       partitionBy.orElse(prev.map(_.metadata.partitionColumns)).getOrElse(Nil)
-    val schema = df.schema
+    // Generated columns: omitted ones are COMPUTED from their
+    // expressions (a projection — no extra pass); explicitly-provided
+    // ones get a null-safe-equality probe that rides the constraint
+    // guard below. Declared shape comes from the table (or the
+    // creating declaredSchema).
+    val genDeclared: StructType = declaredSchema
+      .orElse(prev.map(_.metadata.schema)).getOrElse(df.schema)
+    val genProbes = GeneratedColumns.probes(df, genDeclared)
+    val df1 = GeneratedColumns.fill(df, genDeclared)
+    val schema = df1.schema
     require(partCols.forall(schema.fieldNames.contains),
       s"partition columns $partCols missing from ${schema.fieldNames.toSeq}")
 
@@ -299,15 +333,13 @@ object TransactionWriter {
         walk(s.metadata.schema)
       }
       val declared =
-        (if (fieldMetaDeclared("delta.generationExpression"))
-           Seq("generated columns") else Nil) ++
-        (if (fieldMetaDeclared("delta.identity.start") ||
-             fieldMetaDeclared("delta.identity.allowExplicitInsert"))
-           Seq("identity columns") else Nil)
+        if (fieldMetaDeclared("delta.identity.start") ||
+            fieldMetaDeclared("delta.identity.allowExplicitInsert"))
+          Seq("identity columns") else Nil
       val supportedWriterFeatures = Set(
         "deletionVectors", "appendOnly", "invariants", "columnMapping",
         "inCommitTimestamp", "v2Checkpoint", "checkConstraints",
-        "changeDataFeed")
+        "changeDataFeed", "generatedColumns")
       val unsupportedW = s.protocol.writerFeatures.diff(supportedWriterFeatures)
       val v = s.protocol.minWriterVersion
       require((v <= 6 && declared.isEmpty) || (v <= 2) ||
@@ -352,7 +384,7 @@ object TransactionWriter {
         else prev.map(_.metadata.configuration).getOrElse(Map.empty)
       val declaredNotNull = declaredSchema
         .orElse(prev.map(_.metadata.schema)).getOrElse(schema)
-      Constraints.enforced(df, Constraints.of(conf), declaredNotNull)
+      Constraints.enforced(df1, Constraints.of(conf), declaredNotNull, genProbes)
     }
 
     // Column mapping: data files, partition directories, and stats all
@@ -452,8 +484,12 @@ object TransactionWriter {
       txn.foreach(t => actions += TxnAction(t))
       if (prev.isEmpty) actions += ProtocolAction(
         // creating a mapped table: column mapping is a legacy
-        // reader-2/writer-5 protocol (what delta-spark emits for it)
-        if (createMapping.isDefined) Protocol(2, 5) else Protocol())
+        // reader-2/writer-5 protocol (what delta-spark emits for it);
+        // generated columns need writer 4 (legacy versions are
+        // cumulative, so 5 covers 4)
+        if (createMapping.isDefined) Protocol(2, 5)
+        else if (GeneratedColumns.of(genDeclared).nonEmpty) Protocol(1, 4)
+        else Protocol())
       if (metaChanged) actions += MetadataAction(Metadata(
         id = prev.map(_.metadata.id)
           .getOrElse(java.util.UUID.randomUUID.toString),

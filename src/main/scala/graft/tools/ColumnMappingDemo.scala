@@ -94,6 +94,30 @@ object ColumnMappingDemo {
         s"evolved read wrong: $ev")
       require(evSnap.physicalNameOf("points") == "score",
         "rename must keep the physical name pinned")
+
+      // -- generated columns: declared schema computes the omitted
+      // partition column during the write --
+      val genDir = s"$base/generated"
+      val genLog = DeltaLog.forPath(spark, genDir)
+      val genSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        graft.delta.GeneratedColumns.field("day",
+          org.apache.spark.sql.types.DateType, "CAST(ts AS DATE)")))
+      TransactionWriter.overwriteWithSchema(genLog,
+        Seq((1L, java.sql.Timestamp.valueOf("2026-02-01 08:00:00")),
+          (2L, java.sql.Timestamp.valueOf("2026-02-02 09:30:00")))
+          .toDF("id", "ts"),
+        genSchema, partitionBy = Some(Seq("day")))
+      val genSnap = DeltaLog.forPath(spark, genDir).snapshot
+      println(s"== generated-column table (writer v${genSnap.protocol.minWriterVersion}): " +
+        s"partitions ${genSnap.activeFiles.map(_.partitionValues).mkString(", ")} ==")
+      genSnap.read().orderBy("id").show()
+      require(genSnap.activeFiles.flatMap(_.partitionValues.values).toSet ==
+        Set("2026-02-01", "2026-02-02"),
+        "omitted generated partition column must be computed on write")
       println("ColumnMappingDemo OK")
     } finally spark.stop()
   }

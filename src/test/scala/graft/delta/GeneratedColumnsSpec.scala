@@ -1,0 +1,85 @@
+package graft.delta
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, LongType, StringType, StructField, StructType, TimestampType}
+import graft.SparkTestBase
+
+/** Generated columns: omitted → computed in the write job; provided →
+  * null-safe-equality validated; protocol recorded at writer 4. */
+class GeneratedColumnsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshLog(): DeltaLog = {
+    val path = Files.createTempDirectory("graft-gen").resolve("t").toString
+    DeltaLog.forPath(spark, path)
+  }
+
+  test("create with a generated partition column; omitted writes fill it") {
+    val log = freshLog()
+    val declared = StructType(Seq(
+      StructField("id", LongType),
+      StructField("ts", TimestampType),
+      GeneratedColumns.field("day", DateType, "CAST(ts AS DATE)")))
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2026-01-02 23:59:59")))
+      .toDF("id", "ts")
+    // the classic delta shape: partition by the GENERATED day column,
+    // which the frame omits entirely
+    val log2 = log
+    TransactionWriter.overwriteWithSchema(log2, df, declared,
+      partitionBy = Some(Seq("day")))
+    val snap = log2.snapshot
+    assert(snap.protocol.minWriterVersion >= 4)
+    assert(GeneratedColumns.of(snap.schema) == Map("day" -> "CAST(ts AS DATE)"))
+    assert(snap.metadata.partitionColumns == Seq("day"))
+    val got = snap.read().select("id", "day").as[(Long, java.sql.Date)]
+      .collect().sortBy(_._1)
+    assert(got.map(_._2.toString).toSeq == Seq("2026-01-01", "2026-01-02"))
+
+    // an append omitting `day` fills it; partition pruning then works
+    TransactionWriter.append(log2,
+      Seq((3L, java.sql.Timestamp.valueOf("2026-01-01 05:00:00"))).toDF("id", "ts"))
+    assert(log2.snapshot.read().where(col("day") === lit("2026-01-01")).count() == 2)
+    val pruned = Skipping.prunedFiles(log2.snapshot,
+      Seq(("day", "=", java.sql.Date.valueOf("2026-01-01"))))
+    assert(pruned.size < log2.snapshot.activeFiles.size)
+
+    // explicit CONSISTENT value passes; inconsistent aborts
+    TransactionWriter.append(log2, Seq(
+      (4L, java.sql.Timestamp.valueOf("2026-01-03 00:00:01"),
+        java.sql.Date.valueOf("2026-01-03"))).toDF("id", "ts", "day"))
+    assert(log2.snapshot.read().count() == 4)
+    val before = log2.snapshot.version
+    intercept[Exception] {
+      TransactionWriter.append(log2, Seq(
+        (5L, java.sql.Timestamp.valueOf("2026-01-04 00:00:01"),
+          java.sql.Date.valueOf("1999-01-01"))).toDF("id", "ts", "day"))
+    }
+    assert(log2.latestVersion() == before)
+  }
+
+  test("generated column interacts with constraints and mutations") {
+    val log = freshLog()
+    val declared = StructType(Seq(
+      StructField("s", StringType),
+      GeneratedColumns.field("s_len", LongType, "length(s)")))
+    val base = Seq("abc", "de").toDF("s")
+    TransactionWriter.overwriteWithSchema(log, base, declared)
+    assertSameRows(log.snapshot.read(),
+      Seq(("abc", 3L), ("de", 2L)).toDF("s", "s_len"))
+    // a targeted UPDATE that changes s must supply a consistent s_len
+    // (the rewrite recomputes nothing by itself — the probe catches it)
+    Mutations.update(log, col("s") === "de",
+      Map("s" -> lit("xyzw"), "s_len" -> lit(4L)))
+    assertSameRows(log.snapshot.read(),
+      Seq(("abc", 3L), ("xyzw", 4L)).toDF("s", "s_len"))
+    val before = log.snapshot.version
+    intercept[Exception] {
+      Mutations.update(log, col("s") === "abc", Map("s" -> lit("changed")))
+    }
+    assert(log.latestVersion() == before,
+      "update breaking the generation invariant must not commit")
+  }
+}

@@ -280,7 +280,9 @@ class HardeningSpec extends SparkTestBase {
     assert(wvLog.latestVersion() == vBefore,
       "violating append must not commit")
 
-    // declared generated column refuses too
+    // declared generated column is enforced: a consistent explicit
+    // value lands, an inconsistent one aborts (GeneratedColumnsSpec
+    // covers the full matrix incl. omission-fill)
     val gcPath = Files.createTempDirectory("graft-hard").resolve("t").toString
     val gcLog = DeltaLog.forPath(spark, gcPath)
     val gcMeta = new org.apache.spark.sql.types.MetadataBuilder()
@@ -293,9 +295,28 @@ class HardeningSpec extends SparkTestBase {
       MetadataAction(Metadata(java.util.UUID.randomUUID.toString, gcSchema.json,
         Nil, Map.empty, Some(0L))),
       CommitInfoAction(CommitInfo(0L, "WRITE"))))
+    TransactionWriter.append(gcLog, Seq((1L, 2L)).toDF("n", "n1"))
+    assert(gcLog.snapshot.read().count() == 1L)
+    intercept[Exception](
+      TransactionWriter.append(gcLog, Seq((5L, 99L)).toDF("n", "n1")))
+    assert(gcLog.snapshot.read().count() == 1L,
+      "inconsistent generated value must not commit")
+    // identity columns still refuse
+    val idPath = Files.createTempDirectory("graft-hard").resolve("t").toString
+    val idLog = DeltaLog.forPath(spark, idPath)
+    val idMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("delta.identity.start", 1L).build()
+    val idSchema = StructType(Seq(
+      StructField("n", LongType, nullable = true, idMeta),
+      StructField("s", StringType)))
+    idLog.commit(0, Seq(
+      ProtocolAction(Protocol(1, 6)),
+      MetadataAction(Metadata(java.util.UUID.randomUUID.toString, idSchema.json,
+        Nil, Map.empty, Some(0L))),
+      CommitInfoAction(CommitInfo(0L, "WRITE"))))
     val e4 = intercept[IllegalArgumentException](
-      TransactionWriter.append(gcLog, Seq((1L, 2L)).toDF("n", "n1")))
-    assert(e4.getMessage.contains("generated columns"))
+      TransactionWriter.append(idLog, Seq((1L, "a")).toDF("n", "s")))
+    assert(e4.getMessage.contains("identity columns"))
   }
 
   test("delta.checkpointInterval writes periodic checkpoints") {
