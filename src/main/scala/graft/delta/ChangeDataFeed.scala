@@ -173,6 +173,25 @@ object ChangeDataFeed {
   private[delta] def deleteChanges(matched: DataFrame): DataFrame =
     matched.withColumn(ChangeTypeCol, lit("delete"))
 
+  private[delta] def insertChanges(rows: DataFrame): DataFrame =
+    rows.withColumn(ChangeTypeCol, lit("insert"))
+
+  /** cdc actions for a delete-only targeted rewrite: the deleted rows
+    * are EXACTLY the multiset difference scan − replacement (computed
+    * over the touched files only, and only when CDF is on).
+    * `replacement` is realigned to `scan`'s column order first —
+    * `exceptAll` resolves by POSITION, and e.g. a using-join puts the
+    * join columns first, which would silently coerce mismatched
+    * columns. */
+  private[delta] def rewriteDeleteCdc(
+      log: DeltaLog, snap: Snapshot,
+      scan: DataFrame, replacement: DataFrame): Seq[CdcAction] =
+    if (!enabled(snap)) Nil
+    else {
+      val aligned = replacement.select(scan.columns.map(col): _*)
+      writeCdcFiles(log, deleteChanges(scan.exceptAll(aligned)))
+    }
+
   /** Pre/post-image change rows for an UPDATE: `pre` are the matched
     * rows as stored; `post` the same rows with SET applied. */
   private[delta] def updateChanges(pre: DataFrame, post: DataFrame): DataFrame =

@@ -38,7 +38,7 @@ object Mutations {
     * column (a real column, not `input_file_name()`), so it stays
     * correct when the scan contains a deletion-vector anti-join or any
     * other post-scan operator. */
-  private def touchedFiles(
+  private[delta] def touchedFiles(
       log: DeltaLog, snap: Snapshot, keys: DataFrame, cols: Seq[String],
       rowFilter: org.apache.spark.sql.Column = lit(true)): Seq[AddFile] = {
     val taggedScan = snap.readFilesLineage(snap.activeFiles)
@@ -136,8 +136,11 @@ object Mutations {
       .select(duplicationColumns.map(col): _*)
     val touched = touchedFiles(log, snap, dupKeys, duplicationColumns)
     if (touched.isEmpty) return snap.version
-    val replacement = Dedup.killDuplicates(snap.readFiles(touched), duplicationColumns)
-    TransactionWriter.rewriteFiles(log, snap, touched, replacement, "DELETE")
+    val scan = snap.readFiles(touched)
+    val replacement = Dedup.killDuplicates(scan, duplicationColumns)
+    val cdc = ChangeDataFeed.rewriteDeleteCdc(log, snap, scan, replacement)
+    TransactionWriter.rewriteFiles(log, snap, touched, replacement, "DELETE",
+      extraActions = cdc)
   }
 
   /** drop_duplicates (ordered survivor) with targeted rewrite.
@@ -163,7 +166,9 @@ object Mutations {
           orderBy.map(col(_).asc), salts)
       else
         Dedup.dropDuplicatesOrdered(scan, duplicationColumns, orderBy.map(col(_).asc))
-    TransactionWriter.rewriteFiles(log, snap, touched, replacement, "DELETE")
+    val cdc = ChangeDataFeed.rewriteDeleteCdc(log, snap, scan, replacement)
+    TransactionWriter.rewriteFiles(log, snap, touched, replacement, "DELETE",
+      extraActions = cdc)
   }
 
   /** drop_duplicates_pkey with targeted rewrite (pkey must be unique —
@@ -197,11 +202,25 @@ object Mutations {
       Seq(primaryKey), rowFilter = col(isCurrentColName))
     val inserts = plan.inserts
     if (touched.isEmpty && inserts.isEmpty) return snap.version
+    val touchedScan = snap.readFiles(touched)
     val closedTouched = graft.operators.Scd2.applyCloses(
-      snap.readFiles(touched), changedKeys, primaryKey,
+      touchedScan, changedKeys, primaryKey,
       isCurrentColName, endTimeColName)
     val replacement = closedTouched.unionByName(inserts)
-    TransactionWriter.rewriteFiles(log, snap, touched, replacement, "MERGE")
+    val cdc =
+      if (ChangeDataFeed.enabled(snap)) {
+        // pre = the CURRENT rows being closed; post = their closed
+        // versions (exact diff over touched files); inserts as inserts.
+        // exceptAll is positional — realign to the scan's column order.
+        val closedAligned = closedTouched.select(touchedScan.columns.map(col): _*)
+        val pre = touchedScan.exceptAll(closedAligned)
+        val post = closedAligned.exceptAll(touchedScan)
+        ChangeDataFeed.writeCdcFiles(log,
+          ChangeDataFeed.updateChanges(pre, post)
+            .unionByName(ChangeDataFeed.insertChanges(inserts)))
+      } else Nil
+    TransactionWriter.rewriteFiles(log, snap, touched, replacement, "MERGE",
+      extraActions = cdc)
   }
 
   /** DELETE via deletion vectors: mark matching rows deleted in a

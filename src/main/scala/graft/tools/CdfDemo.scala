@@ -47,6 +47,39 @@ object CdfDemo {
         "update_postimage" -> 2L, "delete" -> 1L),
         s"unexpected change-type histogram: $byType")
       println(s"change-type histogram OK: $byType")
+
+      // Targeted-rewrite mutations also emit row-level cdc: dedup
+      // commits carry exactly the dropped rows as deletes, SCD2 carries
+      // close pre/post pairs plus the new versions as inserts.
+      val t2 = GraftTable(spark, s"$dir/cdf_dedup")
+      TransactionWriter.overwrite(t2.log,
+        Seq((1L, "dup"), (2L, "dup"), (3L, "keep")).toDF("id", "v").coalesce(1))
+      t2.enableChangeDataFeed()
+      t2.killDuplicates(Seq("v"))
+      println("== killDuplicates change feed ==")
+      t2.changeFeed(2).show(10, truncate = false)
+      val dedupTypes = t2.changeFeed(2).groupBy("_change_type").count()
+        .as[(String, Long)].collect().toMap
+      require(dedupTypes == Map("delete" -> 2L),
+        s"unexpected dedup cdc: $dedupTypes")
+
+      val t3 = GraftTable(spark, s"$dir/cdf_scd2")
+      TransactionWriter.overwrite(t3.log,
+        Seq((10L, "old", true, 100L, Option.empty[Long]))
+          .toDF("pk", "attr", "is_current", "effective_time", "end_time")
+          .coalesce(1))
+      t3.enableChangeDataFeed()
+      t3.type2ScdUpsert(
+        Seq((10L, "new", 200L)).toDF("pk", "attr", "effective_time"),
+        "pk", Seq("attr"))
+      println("== SCD2 upsert change feed ==")
+      t3.changeFeed(2).show(10, truncate = false)
+      val scdTypes = t3.changeFeed(2).groupBy("_change_type").count()
+        .as[(String, Long)].collect().toMap
+      require(scdTypes == Map("update_preimage" -> 1L,
+        "update_postimage" -> 1L, "insert" -> 1L),
+        s"unexpected scd2 cdc: $scdTypes")
+      println(s"mutation cdc histograms OK: dedup=$dedupTypes scd2=$scdTypes")
     } finally spark.stop()
   }
 }

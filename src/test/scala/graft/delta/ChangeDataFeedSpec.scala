@@ -82,6 +82,46 @@ class ChangeDataFeedSpec extends SparkTestBase {
       .collect().toSeq == Seq("v1", "v2", "v3", "v4", "v5", "U6"))
   }
 
+  test("dedup and SCD2 mutations write exact row-level cdc") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log,
+      Seq((1L, "dup"), (2L, "dup"), (3L, "keep"), (4L, "x"), (5L, "x"))
+        .toDF("id", "v").coalesce(1))                                 // v0
+    ChangeDataFeed.enable(log)                                        // v1
+    Mutations.killDuplicates(log, Seq("v"))                           // v2
+    // all members of both dup groups are deletes — nothing else
+    assert(feed(log, 2, 2) == Seq(
+      (1L, "dup", "delete", 2L), (2L, "dup", "delete", 2L),
+      (4L, "x", "delete", 2L), (5L, "x", "delete", 2L)))
+    assert(log.snapshot.read().count() == 1)
+
+    // dropDuplicatesOrdered: only NON-SURVIVORS are deletes
+    val log2 = freshLog()
+    TransactionWriter.overwrite(log2,
+      Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "v").coalesce(1))
+    ChangeDataFeed.enable(log2)
+    Mutations.dropDuplicatesOrdered(log2, Seq("v"), Seq("id"))        // keeps min id
+    assert(feed(log2, 2, 2) == Seq((2L, "a", "delete", 2L)))
+
+    // SCD2: closed row as update pre/post + the new version as insert
+    val log3 = freshLog()
+    TransactionWriter.overwrite(log3,
+      Seq((10L, "old", true, 100L, Option.empty[Long]))
+        .toDF("pk", "attr", "is_current", "effective_time", "end_time")
+        .coalesce(1))
+    ChangeDataFeed.enable(log3)
+    Mutations.type2ScdUpsert(log3,
+      Seq((10L, "new", 200L)).toDF("pk", "attr", "effective_time"),
+      "pk", Seq("attr"))
+    val v2 = ChangeDataFeed.tableChanges(log3, 2, Some(2))
+      .select("pk", "attr", "is_current", "_change_type")
+      .as[(Long, String, Boolean, String)].collect().toSet
+    assert(v2 == Set(
+      (10L, "old", true, "update_preimage"),
+      (10L, "old", false, "update_postimage"),
+      (10L, "new", true, "insert")))
+  }
+
   test("overwrite-without-cdc derives file-level insert+delete pairs") {
     val log = freshLog()
     TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("id", "v"))   // v0
