@@ -125,6 +125,10 @@ final case class GraftTable(spark: SparkSession, path: String) {
     Maintenance.compact(log, targetFileBytes)
   def zorder(cols: Seq[String], targetFileBytes: Long = 128L * 1024 * 1024): Long =
     Maintenance.zorder(log, cols, targetFileBytes)
+  /** REORG TABLE ... APPLY (PURGE): rewrite only DV-carrying files,
+    * retiring deletion-vector debt; orphaned DVs become vacuumable. */
+  def purgeDeletionVectors(targetFileBytes: Long = 128L * 1024 * 1024): Long =
+    Maintenance.purgeDeletionVectors(log, targetFileBytes)
   def vacuum(retentionMs: Long = Maintenance.DefaultVacuumRetentionMs,
       allowZeroRetention: Boolean = false, distributed: Boolean = false): Seq[String] =
     Maintenance.vacuum(log, retentionMs, allowZeroRetention, distributed)

@@ -427,6 +427,31 @@ object Maintenance {
       dataChange = false)
   }
 
+  /** REORG TABLE ... APPLY (PURGE): rewrite ONLY the active files that
+    * carry a live deletion vector, materializing their surviving rows
+    * into clean files; DV-free files are untouched in the log. This
+    * retires deletion-vector debt accumulated by DV DELETE/UPDATE —
+    * after the commit no active file references a DV, and the orphaned
+    * DV bitmaps become reclaimable by [[vacuum]].
+    *
+    * Cost is O(DV'd-file bytes), not O(table): a 100 TB table where
+    * 0.5% of files carry DVs rewrites 500 GB. `dataChange = false` —
+    * the logical content is unchanged (the deleted rows were already
+    * logically gone), so streaming consumers skip the commit, same as
+    * OPTIMIZE. Returns the new version, or the current one when no
+    * file carries a DV (no-op commit avoided). */
+  def purgeDeletionVectors(
+      log: DeltaLog, targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val snap = log.snapshot
+    val dved = snap.activeFiles
+      .filter(_.deletionVector.exists(_.cardinality > 0))
+    if (dved.isEmpty) return snap.version
+    val df = layoutFor(snap.readFiles(dved), dved,
+      targetFileBytes, snap.metadata.partitionColumns)
+    TransactionWriter.rewriteFiles(log, snap, dved, df, "REORG",
+      dataChange = false)
+  }
+
   /** Production-default retention: 7 days, as in delta-spark. */
   val DefaultVacuumRetentionMs: Long = 7L * 24 * 60 * 60 * 1000
 

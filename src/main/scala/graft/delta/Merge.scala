@@ -114,11 +114,18 @@ final case class Merge(
     matches.unpersist()
 
     // -- rewrite touched files ----------------------------------------------
+    val cdfOn = ChangeDataFeed.enabled(snap)
+    var joinedCache: Option[DataFrame] = None
+    var changeRows: Option[DataFrame] = None // excl. inserts; added below
     val survivorsOpt: Option[DataFrame] =
       if (touched.isEmpty) None
       else {
         val scan = snap.readFiles(touched).alias("t")
-        val joined = scan.join(src.withColumn("__smatch", lit(true)), condition, "left")
+        val joined0 = scan.join(src.withColumn("__smatch", lit(true)), condition, "left")
+        // CDC derives three more frames from the same join — cache it so
+        // the touched-file scan + join runs once, not four times.
+        val joined = if (cdfOn) { val j = joined0.persist(); joinedCache = Some(j); j }
+                     else joined0
         val isMatched = col("__smatch").isNotNull
         // Delta MERGE clause conditions apply only when TRUE — a NULL
         // condition must behave as false, so coalesce before negating
@@ -138,7 +145,8 @@ final case class Merge(
         val sets: Map[String, Column] = matchedUpdate.map(_._2).getOrElse(Map.empty)
         val bsSets: Map[String, Column] =
           notMatchedBySourceUpdate.map(_._2).getOrElse(Map.empty)
-        val projected = joined.where(!delCond && !bsDelCond).select(targetCols.map { c =>
+        // post-image projection: target columns with UPDATE sets applied
+        val postProjection: Seq[Column] = targetCols.map { c =>
           val dt = targetSchema(c).dataType
           val base = col(s"t.$c")
           val afterMatched = sets.get(c) match {
@@ -149,8 +157,19 @@ final case class Merge(
             case Some(e) => when(bsUpdCond, e.cast(dt)).otherwise(afterMatched)
             case None => afterMatched
           }).as(c)
-        }: _*)
-        Some(projected)
+        }
+        if (cdfOn) {
+          val preProjection = targetCols.map(c => col(s"t.$c").as(c))
+          val ct = ChangeDataFeed.ChangeTypeCol
+          val deletes = joined.where(delCond || bsDelCond)
+            .select(preProjection: _*).withColumn(ct, lit("delete"))
+          val pre = joined.where(updCond || bsUpdCond)
+            .select(preProjection: _*).withColumn(ct, lit("update_preimage"))
+          val post = joined.where(updCond || bsUpdCond)
+            .select(postProjection: _*).withColumn(ct, lit("update_postimage"))
+          changeRows = Some(deletes.unionByName(pre).unionByName(post))
+        }
+        Some(joined.where(!delCond && !bsDelCond).select(postProjection: _*))
       }
 
     // -- inserts (source rows matching NO target row, globally) -------------
@@ -169,12 +188,28 @@ final case class Merge(
       case (None, Some(i)) => Some(i)
       case (None, None) => None
     }
-    replacement match {
+    try replacement match {
       case None => snap.version
       case Some(df) if touched.isEmpty && df.isEmpty => snap.version
       case Some(df) =>
-        TransactionWriter.rewriteFiles(log, snap, touched, df, "MERGE")
-    }
+        // Change Data Feed: rewrite commits carry exact row-level cdc
+        // (deletes + update pre/post pairs + inserts). Insert-ONLY
+        // merges skip cdc files — the commit's adds derive as inserts,
+        // same rows for free (delta-spark does the same).
+        val cdc: Seq[CdcAction] =
+          if (!cdfOn || touched.isEmpty) Nil
+          else {
+            val ct = ChangeDataFeed.ChangeTypeCol
+            val insertRows = insertsOpt.map(_.withColumn(ct, lit("insert")))
+            val all = (changeRows, insertRows) match {
+              case (Some(a), Some(b)) => a.unionByName(b)
+              case (a, b) => a.orElse(b).get
+            }
+            ChangeDataFeed.writeCdcFiles(log, all)
+          }
+        TransactionWriter.rewriteFiles(log, snap, touched, df, "MERGE",
+          extraActions = cdc)
+    } finally joinedCache.foreach(_.unpersist())
   }
 }
 

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an undirected edge list via
+  * the alternating large-star / small-star algorithm (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC 2014 — public
+  * algorithm, also the basis of GraphFrames' implementation).
+  *
+  * Why not plain min-label propagation: that converges in O(diameter)
+  * rounds — a duplicate CHAIN of length k (doc₁≈doc₂≈…≈docₖ, common in
+  * boilerplate corpora) needs k rounds. Large-star/small-star halves
+  * tree heights every round → O(log n) rounds regardless of shape.
+  *
+  * Scale shape per round: two shuffles (groupBy u for the neighborhood
+  * min, join back), both keyed on node id — no neighborhood list is
+  * ever materialized on one task beyond the min aggregation, which is
+  * map-side combined. A hot node (one doc near-dup to millions) costs
+  * one skewed JOIN key, which AQE skew-split handles; the aggregation
+  * side stays balanced. Lineage is truncated with `localCheckpoint`
+  * every round (an iterative plan otherwise grows exponentially); on a
+  * real cluster with a configured `spark.sparkContext.setCheckpointDir`
+  * a reliable `checkpoint` would be the drop-in upgrade.
+  */
+object ConnectedComponents {
+
+  /** Component assignment for every node that appears in `edges`:
+    * (id, component) where component = the MINIMUM node id reachable —
+    * deterministic, total. Nodes absent from `edges` (singletons) are
+    * the caller's to union in (they map to themselves).
+    *
+    * `edges` rows are (srcCol, dstCol) pairs; direction and duplicates
+    * are irrelevant (symmetrized + deduplicated internally).
+    */
+  def components(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIterations: Int = 30): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    var e = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .where(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    // Fixed point when the canonical (u > v) edge set stops changing;
+    // (count, xor-of-hashes) is an order-insensitive fingerprint — one
+    // cheap agg action per round on the already-checkpointed frame.
+    // bit_xor, not sum: sum(xxhash64) overflows int64 under ANSI.
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var fp = fingerprint(e)
+    var it = 0
+    var converged = e.isEmpty
+    while (!converged && it < maxIterations) {
+      // -- large-star: ∀v ∈ Γ(u) with v > u, emit (v, min(Γ⁺(u))) -----
+      val nbrs = e.select($"u", $"v")
+        .union(e.select($"v".as("u"), $"u".as("v")))
+      val mins = nbrs.groupBy($"u")
+        .agg(min($"v").as("mn"))
+        .select($"u", least($"u", $"mn").as("m"))
+      val large = nbrs.join(mins, "u")
+        .where($"v" > $"u")
+        .select($"v".as("u"), $"m".as("v"))
+        .where($"u" =!= $"v")
+      // -- small-star: orient u > v; ∀v ∈ N⁻(u) ∪ {u}, emit (v, min) --
+      val or = large
+        .select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
+        .distinct()
+      val smins = or.groupBy($"u").agg(min($"v").as("m"))
+      val next = or.join(smins, "u")
+        .select($"v".as("u"), $"m".as("v"))
+        .union(smins.select($"u", $"m".as("v")))
+        .where($"u" =!= $"v")
+        .select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      fp = nfp
+      e = next
+      it += 1
+    }
+
+    // At the fixed point every component is a star: edges (member, root)
+    // with root = component minimum. min() for safety on the final
+    // non-converged iteration (maxIterations hit).
+    e.groupBy($"u".as("id")).agg(min($"v").as("component"))
+      .union(e.select($"v").distinct()
+        .join(e.select($"u").distinct(), $"v" === $"u", "left_anti")
+        .select($"v".as("id"), $"v".as("component")))
+  }
+}

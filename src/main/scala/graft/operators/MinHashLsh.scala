@@ -92,6 +92,38 @@ object MinHashLsh {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Cluster assignment over the TRANSITIVE CLOSURE of the verified
+    * near-dup graph: every doc mapped to the minimum doc id reachable
+    * through Jaccard-≥-threshold chains (A≈B≈C lands A and C in one
+    * cluster even when they share no band). Connected components run
+    * with alternating large-star/small-star ([[ConnectedComponents]],
+    * O(log n) rounds); docs with no near-dup map to themselves.
+    * Output: (idCol, component). */
+  def nearDupComponents(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, maxBucketSize: Int = 0): DataFrame = {
+    val pairs = nearDupPairs(df, idCol, textCol, threshold, maxBucketSize)
+    val comp = ConnectedComponents.components(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", idCol)
+    df.select(col(idCol)).join(comp, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("component"))
+  }
+
+  /** Component-wise dedup: keep exactly ONE doc (the component-minimum
+    * id) per transitive near-dup cluster. Stricter than [[dedup]]'s
+    * bucket-local rule on chained duplicates; costs the CC iterations
+    * on top of the pair join. */
+  def dedupConnected(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, maxBucketSize: Int = 0): DataFrame = {
+    val comp = ConnectedComponents.components(
+      nearDupPairs(df, idCol, textCol, threshold, maxBucketSize), "id_a", "id_b")
+    val drop = comp.where(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** LSH dedup: a doc survives iff it is the minimum id in every bucket
     * it lands in (single-pass, transitive-closure-free — deterministic
     * and shuffle-bounded; matches q_minhash_dedup). */

@@ -17,6 +17,7 @@ import graft.delta.{Clone, Constraints, DeltaLog, Maintenance, Mutations}
   * GRAFT VACUUM '<path>' [RETAIN <n> HOURS]
   * GRAFT OPTIMIZE '<path>' [ZORDER BY (c1, c2)]
   * GRAFT CHECKPOINT '<path>'
+  * GRAFT REORG '<path>' APPLY PURGE                    -- drop DV debt
   * GRAFT HISTORY '<path>'
   * GRAFT RESTORE '<path>' TO VERSION <v>
   * GRAFT DELETE FROM '<path>' WHERE <predicate>        -- targeted rewrite
@@ -34,6 +35,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Optimize =
     """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*""".r
   private val Checkpoint = """(?is)\s*GRAFT\s+CHECKPOINT\s+'([^']+)'\s*""".r
+  private val Reorg =
+    """(?is)\s*GRAFT\s+REORG\s+'([^']+)'\s+APPLY\s+PURGE\s*""".r
   private val History = """(?is)\s*GRAFT\s+HISTORY\s+'([^']+)'\s*""".r
   private val Restore =
     """(?is)\s*GRAFT\s+RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*""".r
@@ -90,6 +93,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case Checkpoint(path) =>
       GraftMaintenanceCommand(path, "checkpoint",
         Seq("version"), s => Seq(Row(Maintenance.checkpoint(DeltaLog.forPath(s, path)))))
+    case Reorg(path) =>
+      GraftMaintenanceCommand(path, "reorg",
+        Seq("version"), s =>
+          Seq(Row(Maintenance.purgeDeletionVectors(DeltaLog.forPath(s, path)))))
     case History(path) =>
       GraftMaintenanceCommand(path, "history",
         Seq("version", "operation"), s => {

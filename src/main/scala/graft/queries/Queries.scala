@@ -476,6 +476,39 @@ object Queries {
        |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.5e0""".stripMargin
   }
 
+  /** DuckDB oracle for q_minhash_cc: the SAME candidate + jaccard
+    * pipeline as [[qNgramJaccard]], then the transitive closure via a
+    * recursive CTE (min reachable id per node) — the brute-force
+    * counterpart of the Spark side's large-star/small-star components. */
+  private def qMinhashCcDuck: String = {
+    def bandKey(b: Int): String =
+      s"concat_ws(',', mh${4 * b}::VARCHAR, mh${4 * b + 1}::VARCHAR, mh${4 * b + 2}::VARCHAR, mh${4 * b + 3}::VARCHAR)"
+    val mhs = (0 until 16).map(j => s"  ${minhashExpr("duck", j)} AS mh$j").mkString(",\n")
+    val buckets = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, ${bandKey(b)} AS k FROM sig").mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE ${hashedShinglesCte("duck")},
+       |sig AS (SELECT doc_id,
+       |$mhs
+       |FROM hsh),
+       |buckets AS ($buckets),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM buckets x JOIN buckets y
+       |    ON x.band = y.band AND x.k = y.k AND x.doc_id < y.doc_id),
+       |p AS (SELECT c.doc_a, c.doc_b,
+       |    ROUND(CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+       |      / CAST(len(list_distinct(list_concat(ha.hs, hb.hs))) AS DOUBLE), 6) AS jaccard
+       |  FROM cand c
+       |  JOIN hsh ha ON ha.doc_id = c.doc_a
+       |  JOIN hsh hb ON hb.doc_id = c.doc_b),
+       |bi AS (SELECT doc_a AS u, doc_b AS v FROM p WHERE jaccard >= 0.5e0
+       |  UNION SELECT doc_b, doc_a FROM p WHERE jaccard >= 0.5e0),
+       |reach(u, v) AS (SELECT u, v FROM bi
+       |  UNION SELECT r.u, b.v FROM reach r JOIN bi b ON r.v = b.u WHERE b.v <> r.u),
+       |comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u)
+       |SELECT d.doc_id, CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component
+       |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin
+  }
+
   private def qDedupExactOracle: String =
     """SELECT doc_id, lang, source FROM (
       |  SELECT doc_id, lang, source,
@@ -1566,6 +1599,17 @@ object Queries {
     "q_minhash_signature" -> cachedStagesQuery(minhashStages.take(2),
       "SELECT doc_id, mh0, mh1, mh2, mh3 FROM g_sig"),
     "q_minhash_dedup" -> cachedStagesQuery(minhashStages, sparkMinhashDedupFinal),
+    // transitive closure of the verified near-dup graph: cached-stage
+    // pair generation, then alternating large-star/small-star CC
+    "q_minhash_cc" -> ((s, dir) => {
+      val edges = cachedStagesQuery(minhashStages, sparkNgramJaccardFinal)(s, dir)
+      val comp = graft.operators.ConnectedComponents
+        .components(edges, "doc_a", "doc_b")
+        .withColumnRenamed("id", "doc_id")
+      s.table("documents").select("doc_id").join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+    }),
     "q_corpus_pipeline" -> cachedStagesQuery(minhashStages, sparkPipelineFinal),
     "q_stream_counts" -> qStreamCountsSpark,
     "q_stream_dedup" -> qStreamDedupSpark,
@@ -1698,6 +1742,7 @@ object Queries {
     "q_ngram_jaccard" -> qNgramJaccard("duck"),
     "q_minhash_signature" -> qMinhashSignature("duck"),
     "q_minhash_dedup" -> qMinhashDedup("duck"),
+    "q_minhash_cc" -> qMinhashCcDuck,
     "q_corpus_pipeline" -> qPipelineDuck,
     "q_stream_counts" -> qStreamCountsDuck,
     "q_stream_dedup" -> qStreamDedupDuck,

@@ -33,6 +33,17 @@ object SqlDemo {
       spark.read.format("graftdelta").load(path).orderBy("n").show()
       require(spark.read.format("graftdelta").load(path).count() == 3L)
 
+      // REORG APPLY PURGE retires the DV debt left by the DV DELETE
+      val dvBefore = graft.delta.DeltaLog.forPath(spark, path).snapshot
+        .activeFiles.count(_.deletionVector.exists(_.cardinality > 0))
+      require(dvBefore > 0, "expected DV debt before REORG")
+      spark.sql(s"GRAFT REORG '$path' APPLY PURGE")
+      val dvAfter = graft.delta.DeltaLog.forPath(spark, path).snapshot
+        .activeFiles.count(_.deletionVector.exists(_.cardinality > 0))
+      require(dvAfter == 0, "REORG must clear all deletion vectors")
+      require(spark.read.format("graftdelta").load(path).count() == 3L)
+      println(s"== REORG APPLY PURGE: $dvBefore DV'd file(s) -> $dvAfter ==")
+
       val clonePath = s"$dir/sql_clone"
       spark.sql(s"GRAFT CLONE '$path' TO '$clonePath'")
       spark.sql(s"GRAFT OPTIMIZE '$clonePath'")

@@ -443,4 +443,52 @@ class OperatorsSpec extends SparkTestBase {
       assert(bins.distinct == (bins.min to bins.max).toSeq, s"bin ids must be gap-free: $bins")
     }
   }
+
+  test("connected components: chains, cycles, stars, and determinism") {
+    import graft.operators.ConnectedComponents
+    import spark.implicits._
+    // long chain (worst case for plain label propagation), a cycle,
+    // a star, an isolated pair — mixed ids, duplicate + reversed edges
+    val chain = (0L until 20L).map(i => (100L + i, 101L + i))   // 100..120
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val star = Seq((50L, 60L), (50L, 61L), (50L, 62L))
+    val pair = Seq((900L, 800L))                                // reversed order
+    val edges = (chain ++ cycle ++ star ++ pair ++ chain.map(_.swap))
+      .toDF("a", "b")
+    val comp = ConnectedComponents.components(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert((100L to 120L).forall(comp(_) == 100L), s"chain: $comp")
+    assert(Seq(1L, 2L, 3L).forall(comp(_) == 1L))
+    assert(Seq(50L, 60L, 61L, 62L).forall(comp(_) == 50L))
+    assert(comp(800L) == 800L && comp(900L) == 800L)
+    assert(comp.size == 21 + 3 + 4 + 2, "every node exactly once")
+    // empty edge list → empty assignment
+    assert(ConnectedComponents.components(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").count() == 0L)
+  }
+
+  test("dedupConnected keeps one doc per transitive near-dup chain") {
+    import graft.operators.MinHashLsh
+    import spark.implicits._
+    // A≈B, B≈C by construction (shared shingles), A and C farther apart;
+    // unique docs survive untouched.
+    val base = (0 until 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " extraB"),
+      (3L, base + " extraB extraC"),
+      (10L, (100 until 140).map(i => s"zz$i").mkString(" ")),
+      (11L, (200 until 240).map(i => s"qq$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val kept = MinHashLsh.dedupConnected(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(10L) && kept.contains(11L))
+    assert(kept.intersect(Set(1L, 2L, 3L)) == Set(1L),
+      s"one survivor for the 1-2-3 chain, the min id: $kept")
+    // components view maps every doc, chain collapsed to min id
+    val comps = MinHashLsh.nearDupComponents(docs, "doc_id", "text", 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(comps(1L) == 1L && comps(2L) == 1L && comps(3L) == 1L)
+    assert(comps(10L) == 10L && comps(11L) == 11L)
+  }
 }

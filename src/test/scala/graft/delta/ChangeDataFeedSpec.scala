@@ -122,6 +122,36 @@ class ChangeDataFeedSpec extends SparkTestBase {
       (10L, "new", true, "insert")))
   }
 
+  test("general MERGE writes row-level cdc for all three clause kinds") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log,
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+        .toDF("id", "v").coalesce(1))                                  // v0
+    ChangeDataFeed.enable(log)                                        // v1
+    val source = Seq((1L, "A"), (2L, "del"), (9L, "new")).toDF("sid", "sv")
+    Merge.into(log, source, col("t.id") === col("s.sid"))
+      .whenMatchedDelete(Some(col("s.sv") === "del"))
+      .whenMatchedUpdate(Map("v" -> col("s.sv")))
+      .whenNotMatchedInsert(Map("id" -> col("s.sid"), "v" -> col("s.sv")))
+      .execute()                                                      // v2
+    assert(feed(log, 2, 2) == Seq(
+      (1L, "A", "update_postimage", 2L),
+      (1L, "a", "update_preimage", 2L),
+      (2L, "b", "delete", 2L),
+      (9L, "new", "insert", 2L)))
+    // table state agrees with the feed
+    assert(log.snapshot.read().orderBy("id").as[(Long, String)].collect().toSeq
+      == Seq((1L, "A"), (3L, "c"), (4L, "d"), (9L, "new")))
+
+    // insert-only merge: no cdc files, derivation covers it
+    Merge.into(log, Seq((7L, "x")).toDF("sid", "sv"),
+        col("t.id") === col("s.sid"))
+      .whenNotMatchedInsert(Map("id" -> col("s.sid"), "v" -> col("s.sv")))
+      .execute()                                                      // v3
+    assert(log.commitActions(3).collect { case CdcAction(c) => c }.isEmpty)
+    assert(feed(log, 3, 3) == Seq((7L, "x", "insert", 3L)))
+  }
+
   test("overwrite-without-cdc derives file-level insert+delete pairs") {
     val log = freshLog()
     TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("id", "v"))   // v0

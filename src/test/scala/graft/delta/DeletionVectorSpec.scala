@@ -215,6 +215,41 @@ class DeletionVectorSpec extends SparkTestBase {
     assert(log.snapshot.read().count() == 90L)
   }
 
+  test("purgeDeletionVectors rewrites only DV'd files; clean files survive") {
+    val dir = tmpDir()
+    import spark.implicits._
+    val log = DeltaLog.forPath(spark, dir)
+    TransactionWriter.overwrite(log,
+      (0 until 100).map(i => (i.toLong, s"r$i")).toDF("id", "s").coalesce(1)) // v0
+    TransactionWriter.append(log,
+      (100 until 200).map(i => (i.toLong, s"r$i")).toDF("id", "s").coalesce(1)) // v1
+    Mutations.deleteWithDv(log, col("id") < 10L)                      // v2: DV on file 0
+    assert(log.snapshot.activeFiles.count(_.deletionVector.exists(_.cardinality > 0)) == 1)
+    val cleanPath = log.snapshot.activeFiles
+      .find(!_.deletionVector.exists(_.cardinality > 0)).map(_.path)
+
+    val v = Maintenance.purgeDeletionVectors(log)                     // v3: REORG
+    assert(v == 3L)
+    val after = log.snapshot
+    assert(after.activeFiles.forall(_.deletionVector.forall(_.cardinality == 0L)),
+      "no active file may reference a DV after purge")
+    // the untouched clean file is still in the active set, same path
+    assert(after.activeFiles.map(_.path).exists(p => cleanPath.contains(p)),
+      "purge must not rewrite DV-free files")
+    assert(after.read().count() == 190L)
+    assert(after.read().where(col("id") < 10L).count() == 0L)
+    // time travel to the DV version still honors the bitmap
+    assert(log.snapshotAt(2).read().count() == 190L)
+    // purge on a DV-free table is a no-op (no commit)
+    assert(Maintenance.purgeDeletionVectors(log) == 3L)
+    // the orphaned DV bitmap is now reclaimable
+    Maintenance.vacuum(log, retentionMs = 0L, allowZeroRetention = true)
+    val dvLeft = log.fs.listStatus(log.rootPath).map(_.getPath.getName)
+      .filter(n => n.startsWith("deletion_vector_") && n.endsWith(".bin"))
+    assert(dvLeft.isEmpty, "purged DV should be vacuumable")
+    assert(log.snapshot.read().count() == 190L)
+  }
+
   test("inline ('i') deletion vectors and unsupported features still refuse") {
     val dir = tmpDir()
     import spark.implicits._
