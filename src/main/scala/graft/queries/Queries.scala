@@ -1070,6 +1070,45 @@ object Queries {
   private val qStreamDedupDuck: String =
     "SELECT DISTINCT user_id, event_type FROM events"
 
+  /** Stream-stream interval join, driver-verified: views joined to the
+    * same user's clicks within the following hour, both sides consumed
+    * as watermarked streams; after the AvailableNow drain the result
+    * must equal the batch interval join — the stream-stream state
+    * machine (buffer + watermark eviction) reduced to the batch
+    * semantics it promises. */
+  private def qStreamJoinSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      def src = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
+      val views = src.where(col("event_type") === "view")
+        .selectExpr("user_id", "event_id AS view_event",
+          "timestamp_micros(ts DIV 1000) AS view_ts")
+      val clicks = src.where(col("event_type") === "click")
+        .selectExpr("user_id AS c_user_id", "event_id AS click_event",
+          "timestamp_micros(ts DIV 1000) AS click_ts")
+      val joined = graft.streaming.StreamingOps.intervalJoin(
+          views, clicks, "user_id", "c_user_id", "view_ts", "click_ts",
+          maxSpan = "1 hour", watermark = "1 hour")
+        .select(col("user_id"), col("view_event"),
+          unix_micros(col("view_ts")).as("view_us"),
+          col("click_event"), unix_micros(col("click_ts")).as("click_us"))
+      val name = "stream_join_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    }
+
+  private val qStreamJoinDuck: String =
+    """SELECT v.user_id, v.event_id AS view_event, epoch_us(v.ts) AS view_us,
+      |  c.event_id AS click_event, epoch_us(c.ts) AS click_us
+      |FROM events v JOIN events c ON v.user_id = c.user_id
+      |  AND v.event_type = 'view' AND c.event_type = 'click'
+      |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR""".stripMargin
+
   /** Stateful streaming sessionization (flatMapGroupsWithState),
     * driver-verified: drain the bounded event stream with a 0-second
     * watermark and 30-minute gap; the emitted CLOSED sessions must
@@ -1613,6 +1652,7 @@ object Queries {
     "q_corpus_pipeline" -> cachedStagesQuery(minhashStages, sparkPipelineFinal),
     "q_stream_counts" -> qStreamCountsSpark,
     "q_stream_dedup" -> qStreamDedupSpark,
+    "q_stream_join" -> qStreamJoinSpark,
     "q_stream_sessionize" -> qStreamSessionizeSpark,
     "q_read_changes" -> qReadChangesSpark,
     "q_delete_dv" -> qDeleteDvSpark,
@@ -1745,6 +1785,7 @@ object Queries {
     "q_minhash_cc" -> qMinhashCcDuck,
     "q_corpus_pipeline" -> qPipelineDuck,
     "q_stream_counts" -> qStreamCountsDuck,
+    "q_stream_join" -> qStreamJoinDuck,
     "q_stream_dedup" -> qStreamDedupDuck,
     "q_stream_sessionize" -> qStreamSessionizeDuck,
     "q_read_changes" -> qReadChangesDuck,

@@ -105,6 +105,27 @@ object StreamingOps {
       }
       .start()
 
+  /** Watermarked stream-stream INNER interval join: left rows match
+    * right rows with the same key whose event time falls in
+    * `[leftTs, leftTs + maxSpan]`. Both sides carry a watermark and the
+    * join condition bounds the time range in BOTH directions, so Spark
+    * derives state-eviction watermarks for each side — buffered state
+    * is O(rows inside the watermark+span window), not O(stream). The
+    * columns of the two inputs must be disjoint (rename before calling,
+    * as with any self-join). */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTsCol: String, rightTsCol: String,
+      maxSpan: String = "1 hour", watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTsCol, watermark)
+    val r = right.withWatermark(rightTsCol, watermark)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTsCol) >= col(leftTsCol) &&
+        col(rightTsCol) <= col(leftTsCol) + expr(s"INTERVAL $maxSpan"))
+  }
+
   /** Tumbling-window per-type event counts with late-data handling. */
   def windowedEventCounts(
       stream: DataFrame, tsCol: String, typeCol: String,

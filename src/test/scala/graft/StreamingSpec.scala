@@ -28,6 +28,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches in-window pairs across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Long, Timestamp)]   // (user, event, ts)
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val joined = StreamingOps.intervalJoin(
+      views.toDF().toDF("user_id", "view_event", "view_ts"),
+      clicks.toDF().toDF("c_user_id", "click_event", "click_ts"),
+      "user_id", "c_user_id", "view_ts", "click_ts",
+      maxSpan = "10 minutes", watermark = "0 seconds")
+      .select("user_id", "view_event", "click_event")
+    val q = joined.writeStream.format("memory").queryName("join_out")
+      .outputMode("append").start()
+    try {
+      views.addData((1L, 100L, ts(0)), (2L, 101L, ts(0)))
+      q.processAllAvailable()
+      // click for user 1 inside the window arrives a LATER batch — the
+      // buffered view row must still match it
+      clicks.addData((1L, 200L, ts(5)))
+      q.processAllAvailable()
+      // outside the 10-minute span: no match; wrong user: no match
+      clicks.addData((1L, 201L, ts(20)), (3L, 202L, ts(1)))
+      q.processAllAvailable()
+      val rows = spark.table("join_out")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(rows == Set((1L, 100L, 200L)), rows.mkString(","))
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions on gap and timeout") {
     implicit val sqlCtx = spark.sqlContext
     def us(m: Int): Long = ts(m).getTime * 1000L
