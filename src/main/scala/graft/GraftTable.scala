@@ -129,6 +129,23 @@ final case class GraftTable(spark: SparkSession, path: String) {
     * retiring deletion-vector debt; orphaned DVs become vacuumable. */
   def purgeDeletionVectors(targetFileBytes: Long = 128L * 1024 * 1024): Long =
     Maintenance.purgeDeletionVectors(log, targetFileBytes)
+
+  /** ALTER TABLE ... CLUSTER BY: declare clustering columns
+    * (metadata-only; [[compact]] / GRAFT OPTIMIZE then Z-orders along
+    * them). */
+  def clusterBy(cols: Seq[String]): Long = graft.delta.Clustering.clusterBy(log, cols)
+  def clusteringColumns: Seq[String] =
+    graft.delta.Clustering.clusteringColumns(log.snapshot)
+  def removeClustering(): Long = graft.delta.Clustering.removeClustering(log)
+
+  /** Domain metadata: set/get/remove a named metadata domain
+    * (`domainMetadata` writer feature). */
+  def setDomainMetadata(domain: String, configuration: String): Long =
+    graft.delta.Domains.set(log, domain, configuration)
+  def domainMetadata(domain: String): Option[String] =
+    graft.delta.Domains.get(log.snapshot, domain)
+  def removeDomainMetadata(domain: String): Long =
+    graft.delta.Domains.remove(log, domain)
   def vacuum(retentionMs: Long = Maintenance.DefaultVacuumRetentionMs,
       allowZeroRetention: Boolean = false, distributed: Boolean = false): Seq[String] =
     Maintenance.vacuum(log, retentionMs, allowZeroRetention, distributed)

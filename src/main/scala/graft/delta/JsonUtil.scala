@@ -117,6 +117,12 @@ object JsonUtil {
         partitionValues = strMap(c, "partitionValues"),
         size = optLong(c, "size").getOrElse(0L),
         dataChange = Option(c.get("dataChange")).exists(_.asBoolean(false)))))
+    } else if (root.has("domainMetadata")) {
+      val d = root.get("domainMetadata")
+      Some(DomainMetadataAction(DomainMetadata(
+        domain = d.get("domain").asText(),
+        configuration = optText(d, "configuration").getOrElse(""),
+        removed = Option(d.get("removed")).exists(_.asBoolean(false)))))
     } else None
   }
 
@@ -208,6 +214,11 @@ object JsonUtil {
         putStrMap(o, "partitionValues", c.partitionValues)
         o.put("size", c.size)
         o.put("dataChange", c.dataChange)
+      case DomainMetadataAction(d) =>
+        val o = root.putObject("domainMetadata")
+        o.put("domain", d.domain)
+        o.put("configuration", d.configuration)
+        o.put("removed", d.removed)
     }
     mapper.writeValueAsString(root)
   }

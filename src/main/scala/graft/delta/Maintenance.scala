@@ -41,11 +41,15 @@ object Maintenance {
     val m = snap.metadata
     val small = ArrayBuffer[Row](
       Row(null, Row(m.id, Row("parquet", Map.empty[String, String]), m.schemaString,
-        m.partitionColumns, m.configuration, m.createdTime.getOrElse(0L)), null, null, null),
-      Row(null, null, protocolRow(snap.protocol), null, null))
+        m.partitionColumns, m.configuration, m.createdTime.getOrElse(0L)),
+        null, null, null, null),
+      Row(null, null, protocolRow(snap.protocol), null, null, null))
     small ++= snap.setTransactions.values.toSeq.sortBy(_.appId).map { t =>
       Row(null, null, null, null,
-        Row(t.appId, t.version, t.lastUpdated.map(java.lang.Long.valueOf).orNull))
+        Row(t.appId, t.version, t.lastUpdated.map(java.lang.Long.valueOf).orNull), null)
+    }
+    small ++= snap.domainMetadata.values.toSeq.sortBy(_.domain).map { d =>
+      Row(null, null, null, null, null, Row(d.domain, d.configuration, d.removed))
     }
     val smallDf = spark.createDataFrame(
       new java.util.ArrayList[Row](
@@ -56,11 +60,12 @@ object Maintenance {
     def nul(f: String) = lit(null).cast(checkpointSchema(f).dataType).as(f)
     val addsDf = snap.adds.select(
       addStructCol(addT),
-      nul("metaData"), nul("protocol"), nul("remove"), nul("txn"))
+      nul("metaData"), nul("protocol"), nul("remove"), nul("txn"),
+      nul("domainMetadata"))
     val removesDf = snap.tombstones.select(
       nul("add"), nul("metaData"), nul("protocol"),
       removeStructCol(removeT),
-      nul("txn"))
+      nul("txn"), nul("domainMetadata"))
     smallDf.unionByName(addsDf).unionByName(removesDf)
   }
 
@@ -128,10 +133,14 @@ object Maintenance {
       StructField("appId", StringType),
       StructField("version", LongType),
       StructField("lastUpdated", LongType)))
+    val dmT = StructType(Seq(
+      StructField("domain", StringType),
+      StructField("configuration", StringType),
+      StructField("removed", BooleanType)))
     StructType(Seq(
       StructField("add", addT), StructField("metaData", metaT),
       StructField("protocol", protoT), StructField("remove", removeT),
-      StructField("txn", txnT)))
+      StructField("txn", txnT), StructField("domainMetadata", dmT)))
   }
 
   private def protocolRow(p: Protocol): org.apache.spark.sql.Row = {
@@ -234,6 +243,8 @@ object Maintenance {
         Seq(CheckpointMetadataAction(CheckpointMetadata(snap.version)),
           ProtocolAction(snap.protocol), MetadataAction(snap.metadata)) ++
           snap.setTransactions.values.toSeq.sortBy(_.appId).map(TxnAction.apply) ++
+          snap.domainMetadata.values.toSeq.sortBy(_.domain)
+            .map(DomainMetadataAction.apply) ++
           sidecars.map(SidecarAction.apply)
       val target = new Path(log.logPath, f"${snap.version}%020d.checkpoint.$uuid.json")
       val out = fs.create(target, true)
@@ -242,8 +253,8 @@ object Maintenance {
       finally out.close()
     } else writeManifestParquet(log, snap, sidecars, uuid)
     // V2 `_last_checkpoint` pointers carry no `parts` field.
-    val size = 3 + snap.setTransactions.size + sidecars.size +
-      snap.numFiles + snap.tombstones.count()
+    val size = 3 + snap.setTransactions.size + snap.domainMetadata.size +
+      sidecars.size + snap.numFiles + snap.tombstones.count()
     val lastCp = new Path(log.logPath, "_last_checkpoint")
     val out = fs.create(lastCp, true)
     try out.write(s"""{"version":${snap.version},"size":$size}""".getBytes("UTF-8"))
@@ -267,24 +278,28 @@ object Maintenance {
       StructField("sidecar", scT),
       StructField("metaData", checkpointSchema("metaData").dataType),
       StructField("protocol", checkpointSchema("protocol").dataType),
-      StructField("txn", checkpointSchema("txn").dataType)))
+      StructField("txn", checkpointSchema("txn").dataType),
+      StructField("domainMetadata", checkpointSchema("domainMetadata").dataType)))
     val m = snap.metadata
     val rows = ArrayBuffer[Row](
-      Row(Row(snap.version, Map.empty[String, String]), null, null, null, null),
+      Row(Row(snap.version, Map.empty[String, String]), null, null, null, null, null),
       Row(null, null,
         Row(m.id, Row("parquet", Map.empty[String, String]), m.schemaString,
           m.partitionColumns, m.configuration, m.createdTime.getOrElse(0L)),
-        null, null),
-      Row(null, null, null, protocolRow(snap.protocol), null))
+        null, null, null),
+      Row(null, null, null, protocolRow(snap.protocol), null, null))
     rows ++= snap.setTransactions.values.toSeq.sortBy(_.appId).map { t =>
       Row(null, null, null, null,
-        Row(t.appId, t.version, t.lastUpdated.map(java.lang.Long.valueOf).orNull))
+        Row(t.appId, t.version, t.lastUpdated.map(java.lang.Long.valueOf).orNull), null)
+    }
+    rows ++= snap.domainMetadata.values.toSeq.sortBy(_.domain).map { d =>
+      Row(null, null, null, null, null, Row(d.domain, d.configuration, d.removed))
     }
     rows ++= sidecars.map { s =>
       Row(null,
         Row(s.path, s.sizeInBytes.map(java.lang.Long.valueOf).orNull,
           s.modificationTime.map(java.lang.Long.valueOf).orNull),
-        null, null, null)
+        null, null, null, null)
     }
     val df = log.spark.createDataFrame(
       new java.util.ArrayList[Row](
@@ -380,6 +395,11 @@ object Maintenance {
 
   def compact(log: DeltaLog, targetFileBytes: Long = 128L * 1024 * 1024): Long = {
     val snap = log.snapshot
+    // Clustered table: OPTIMIZE restores clustering locality (Z-order
+    // along the declared columns) instead of plain compaction — the
+    // delta-spark behavior for liquid-clustered tables.
+    val clusterCols = Clustering.clusteringColumns(snap)
+    if (clusterCols.nonEmpty) return zorder(log, clusterCols, targetFileBytes)
     val df = layoutFor(snap.read(), snap.activeFiles,
       targetFileBytes, snap.metadata.partitionColumns)
     // dataChange = false: pure layout rewrite — streaming consumers

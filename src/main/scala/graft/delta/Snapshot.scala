@@ -362,6 +362,34 @@ class Snapshot(
       .foldLeft(fromCp ++ fromManifest)((m, t) => m + (t.appId -> t))
   }
 
+  /** Live domain-metadata state: latest action per domain wins,
+    * tombstones (`removed`) delete the domain; tail over manifest over
+    * checkpoint, same precedence as [[setTransactions]]. Checkpoints
+    * carry live domains only (tombstones have no readers to protect —
+    * unlike remove actions there is no file to vacuum). */
+  lazy val domainMetadata: Map[String, DomainMetadata] = {
+    val fromCp: Map[String, DomainMetadata] = checkpointDf match {
+      case Some(df) if df.schema.fieldNames.contains("domainMetadata") =>
+        df.where(col("domainMetadata.domain").isNotNull)
+          .select("domainMetadata.*").collect().map { r =>
+            def idx(f: String) = r.schema.fieldIndex(f)
+            val d = DomainMetadata(
+              r.getString(idx("domain")),
+              Option(r.getString(idx("configuration"))).getOrElse(""),
+              r.schema.fieldNames.contains("removed") &&
+                !r.isNullAt(idx("removed")) && r.getBoolean(idx("removed")))
+            d.domain -> d
+          }.toMap
+      case _ => Map.empty
+    }
+    val fromManifest = v2ManifestActions
+      .collect { case DomainMetadataAction(d) => d }
+      .map(d => d.domain -> d).toMap
+    tail.collect { case (_, DomainMetadataAction(d)) => d }
+      .foldLeft(fromCp ++ fromManifest)((m, d) => m + (d.domain -> d))
+      .filterNot(_._2.removed)
+  }
+
   /** `adds` with `add.stats` JSON exploded into typed columns:
     * `num_records`, `min.<col>`, `max.<col>`, `null_count.<col>`.
     * Stats in the log are keyed by PHYSICAL column names; the exposed

@@ -339,7 +339,11 @@ object TransactionWriter {
       val supportedWriterFeatures = Set(
         "deletionVectors", "appendOnly", "invariants", "columnMapping",
         "inCommitTimestamp", "v2Checkpoint", "checkConstraints",
-        "changeDataFeed", "generatedColumns")
+        "changeDataFeed", "generatedColumns",
+        // domain metadata survives every commit path (checkpoints carry
+        // live domains; replay keeps latest-per-domain) and OPTIMIZE
+        // honors the delta.clustering domain (Maintenance.compact)
+        "domainMetadata", "clustering")
       val unsupportedW = s.protocol.writerFeatures.diff(supportedWriterFeatures)
       val v = s.protocol.minWriterVersion
       require((v <= 6 && declared.isEmpty) || (v <= 2) ||

@@ -109,6 +109,18 @@ final case class AddCDCFile(
     size: Long,
     dataChange: Boolean = false)
 
+/** Named metadata domain of the table (Delta protocol "Domain
+  * Metadata"): `configuration` is an arbitrary (usually JSON) string
+  * owned by the domain; replay keeps the LATEST action per domain;
+  * `removed = true` is a tombstone that deletes the domain. Requires
+  * the `domainMetadata` writer feature. System domains (`delta.*`,
+  * e.g. `delta.clustering`) are controlled by their features; user
+  * domains are free-form. */
+final case class DomainMetadata(
+    domain: String,
+    configuration: String,
+    removed: Boolean = false)
+
 /** Sum type for everything a commit line can carry. */
 sealed trait Action
 final case class ProtocolAction(p: Protocol) extends Action
@@ -120,3 +132,4 @@ final case class TxnAction(t: SetTransaction) extends Action
 final case class CheckpointMetadataAction(cm: CheckpointMetadata) extends Action
 final case class SidecarAction(s: SidecarFile) extends Action
 final case class CdcAction(cdc: AddCDCFile) extends Action
+final case class DomainMetadataAction(d: DomainMetadata) extends Action

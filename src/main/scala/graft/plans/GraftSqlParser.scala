@@ -26,6 +26,7 @@ import graft.delta.{Clone, Constraints, DeltaLog, Maintenance, Mutations}
   * GRAFT CLONE '<src>' TO '<dst>'                      -- shallow
   * GRAFT ALTER '<path>' ADD CONSTRAINT <name> CHECK (<expr>)
   * GRAFT ALTER '<path>' DROP CONSTRAINT <name>
+  * GRAFT ALTER '<path>' CLUSTER BY (c1, c2) | CLUSTER BY NONE
   * }}}
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
@@ -50,6 +51,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+ALTER\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*""".r
   private val DropConstraint =
     """(?is)\s*GRAFT\s+ALTER\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+(\w+)\s*""".r
+  private val ClusterBy =
+    """(?is)\s*GRAFT\s+ALTER\s+'([^']+)'\s+CLUSTER\s+BY\s*\(([^)]+)\)\s*""".r
+  private val ClusterByNone =
+    """(?is)\s*GRAFT\s+ALTER\s+'([^']+)'\s+CLUSTER\s+BY\s+NONE\s*""".r
 
   /** Split a SET list on top-level commas only (commas inside
     * parentheses — function calls — don't separate assignments). */
@@ -137,6 +142,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftMaintenanceCommand(path, "drop_constraint",
         Seq("version"), s =>
           Seq(Row(Constraints.dropCheckConstraint(DeltaLog.forPath(s, path), name))))
+    case ClusterByNone(path) =>
+      GraftMaintenanceCommand(path, "cluster_by_none",
+        Seq("version"), s =>
+          Seq(Row(graft.delta.Clustering.removeClustering(DeltaLog.forPath(s, path)))))
+    case ClusterBy(path, cols) =>
+      GraftMaintenanceCommand(path, "cluster_by",
+        Seq("version"), s =>
+          Seq(Row(graft.delta.Clustering.clusterBy(DeltaLog.forPath(s, path),
+            cols.split(",").map(_.trim).toSeq))))
     case _ => delegate.parsePlan(sqlText)
   }
 

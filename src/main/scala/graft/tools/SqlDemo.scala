@@ -52,6 +52,24 @@ object SqlDemo {
 
       println("== clone history ==")
       spark.sql(s"GRAFT HISTORY '$clonePath'").show(truncate = false)
+
+      // clustered table: CLUSTER BY then plain OPTIMIZE Z-orders
+      val clusterPath = s"$dir/clustered"
+      (1 to 2048).map(i => (i.toLong, (i % 32).toLong, ((i * 2654435761L) % 32)))
+        .toDF("id", "n1", "n2").repartition(4)
+        .write.format("graftdelta").mode("overwrite").save(clusterPath)
+      spark.sql(s"GRAFT ALTER '$clusterPath' CLUSTER BY (n1, n2)")
+      val clog = graft.delta.DeltaLog.forPath(spark, clusterPath)
+      require(graft.delta.Clustering.clusteringColumns(clog.snapshot) == Seq("n1", "n2"))
+      spark.sql(s"GRAFT OPTIMIZE '$clusterPath'")
+      val fresh = graft.delta.DeltaLog.forPath(spark, clusterPath)
+      val lastOp = graft.delta.Maintenance.history(fresh)
+        .orderBy(org.apache.spark.sql.functions.desc("version"))
+        .select("operation").as[String].head()
+      require(lastOp == "OPTIMIZE ZORDER BY",
+        s"clustered OPTIMIZE must Z-order, got $lastOp")
+      println(s"== clustered OPTIMIZE ran: $lastOp on ${fresh.snapshot.numFiles} file(s) ==")
+      require(spark.read.format("graftdelta").load(clusterPath).count() == 2048L)
       println("SqlDemo OK")
     } finally spark.stop()
   }

@@ -1,0 +1,132 @@
+package graft.delta
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Domain metadata: set/replace/remove replay, checkpoint persistence
+  * (classic + v2), protocol upgrades, foreign-line parsing — and the
+  * clustered-table domain driving OPTIMIZE. */
+class DomainMetadataSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshLog(): DeltaLog = {
+    val path = Files.createTempDirectory("graft-dm").resolve("t").toString
+    DeltaLog.forPath(spark, path)
+  }
+
+  test("set/replace/remove with latest-wins replay and protocol upgrade") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("id", "v"))   // v0
+    assert(log.snapshot.domainMetadata.isEmpty)
+
+    Domains.set(log, "app.retention", """{"days":30}""")              // v1
+    val p = log.snapshot.protocol
+    assert(p.minWriterVersion == 7 && p.writerFeatures.contains("domainMetadata"))
+    assert(Domains.get(log.snapshot, "app.retention").contains("""{"days":30}"""))
+
+    Domains.set(log, "app.retention", """{"days":7}""")               // v2: replace
+    Domains.set(log, "app.other", "x")                                // v3
+    assert(Domains.get(log.snapshot, "app.retention").contains("""{"days":7}"""))
+    assert(log.snapshot.domainMetadata.keySet == Set("app.retention", "app.other"))
+
+    Domains.remove(log, "app.other")                                  // v4: tombstone
+    assert(log.snapshot.domainMetadata.keySet == Set("app.retention"))
+    // no-op remove: no commit
+    assert(Domains.remove(log, "app.other") == log.latestVersion())
+
+    // time travel sees the historical domain state
+    assert(log.snapshotAt(3).domainMetadata.keySet ==
+      Set("app.retention", "app.other"))
+    // table data is untouched by domain commits
+    assert(log.snapshot.read().count() == 1L)
+  }
+
+  test("domains survive classic and v2 checkpoints") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("id", "v"))
+    Domains.set(log, "keep.me", "cfg1")
+    Domains.set(log, "drop.me", "cfg2")
+    Domains.remove(log, "drop.me")
+    Maintenance.checkpoint(log)
+    Maintenance.cleanupLog(log)   // force bootstrap from the checkpoint
+    val fresh = DeltaLog.forPath(spark, log.tablePath)
+    assert(fresh.snapshot.domainMetadata.keySet == Set("keep.me"),
+      s"live domains only: ${fresh.snapshot.domainMetadata}")
+    assert(Domains.get(fresh.snapshot, "keep.me").contains("cfg1"))
+
+    // v2 checkpoint (parquet manifest) carries the domain too
+    Domains.set(fresh, "second.domain", "cfg3")
+    Maintenance.checkpointV2(fresh)
+    Maintenance.cleanupLog(fresh)
+    val fresh2 = DeltaLog.forPath(spark, log.tablePath)
+    assert(fresh2.snapshot.domainMetadata.keySet == Set("keep.me", "second.domain"))
+
+    // v2 JSON manifest round trip
+    Domains.set(fresh2, "third.domain", "cfg4")
+    Maintenance.checkpointV2(fresh2, jsonManifest = true)
+    Maintenance.cleanupLog(fresh2)
+    val fresh3 = DeltaLog.forPath(spark, log.tablePath)
+    assert(fresh3.snapshot.domainMetadata.keySet ==
+      Set("keep.me", "second.domain", "third.domain"))
+  }
+
+  test("clusterBy records physical paths; OPTIMIZE z-orders along them") {
+    val log = freshLog()
+    val rows = (1 to 4096).map { i =>
+      (i.toLong, (i % 64).toLong, ((i * 2654435761L) % 64))
+    }
+    TransactionWriter.overwrite(log, rows.toDF("id", "n1", "n2").repartition(8))
+    Clustering.clusterBy(log, Seq("n1", "n2"))
+    assert(log.snapshot.protocol.writerFeatures.contains("clustering"))
+    assert(Clustering.clusteringColumns(log.snapshot) == Seq("n1", "n2"))
+    assert(Domains.get(log.snapshot, "delta.clustering")
+      .contains("""{"clusteringColumns":[["n1"],["n2"]]}"""))
+
+    val corner = Seq(("n1", "<", 8), ("n2", "<", 8))
+    val before = graft.Levi.skippedStats(log.snapshot, corner)
+    val perFile = math.max(log.snapshot.activeFiles.map(_.size).sum / 8, 1L)
+    // plain OPTIMIZE on a clustered table must Z-order, not round-robin
+    Maintenance.compact(log, targetFileBytes = perFile)
+    val after = graft.Levi.skippedStats(log.snapshot, corner)
+    assert(after("num_files_skipped") > before("num_files_skipped"),
+      s"clustered OPTIMIZE should improve pruning: before=$before after=$after")
+    assertSameRows(log.snapshot.read(), rows.toDF("id", "n1", "n2"))
+
+    // guards: unknown / partition columns refuse
+    intercept[IllegalArgumentException] {
+      Clustering.clusterBy(log, Seq("nope"))
+    }
+    // un-cluster: OPTIMIZE reverts to plain compaction
+    Clustering.removeClustering(log)
+    assert(Clustering.clusteringColumns(log.snapshot).isEmpty)
+  }
+
+  test("clustering columns resolve through column mapping") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log, Seq((1L, 2L)).toDF("a", "b"))
+    SchemaEvolution.enableColumnMapping(log)
+    Clustering.clusterBy(log, Seq("b"))
+    // in-place mapping upgrade assigns physicalName = current name (no
+    // file rewrite), so the stored path is "b" — but it is the PHYSICAL
+    // "b": renaming the logical column keeps clustering attached
+    assert(Clustering.clusteringColumns(log.snapshot) == Seq("b"))
+    SchemaEvolution.renameColumn(log, "b", "renamed")
+    val cfg = Domains.get(log.snapshot, "delta.clustering").get
+    assert(cfg.contains("\"b\""), s"physical path unchanged by rename: $cfg")
+    assert(Clustering.clusteringColumns(log.snapshot) == Seq("renamed"))
+  }
+
+  test("foreign domainMetadata commit lines parse and replay") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("id", "v"))
+    val v = log.latestVersion() + 1
+    // hand-written line in another engine's field order + extra field
+    val line =
+      """{"domainMetadata":{"removed":false,"domain":"ext.engine","configuration":"{\"k\":1}","extra":"ignored"}}"""
+    val target = new org.apache.hadoop.fs.Path(log.logPath, f"$v%020d.json")
+    val out = log.fs.create(target, false)
+    try out.write((line + "\n").getBytes("UTF-8")) finally out.close()
+    assert(Domains.get(log.snapshot, "ext.engine").contains("""{"k":1}"""))
+  }
+}
