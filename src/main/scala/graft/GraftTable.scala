@@ -138,6 +138,14 @@ final case class GraftTable(spark: SparkSession, path: String) {
     graft.delta.Clustering.clusteringColumns(log.snapshot)
   def removeClustering(): Long = graft.delta.Clustering.removeClustering(log)
 
+  /** Row tracking: fresh row ids (`baseRowId + row_index`) on every
+    * file; [[enableRowTracking]] backfills existing files without a
+    * data rewrite, [[readWithRowIds]] attaches `_row_id` /
+    * `_row_commit_version`. DV-based mutations preserve ids. */
+  def enableRowTracking(): Long = graft.delta.RowTracking.enable(log)
+  def readWithRowIds(): DataFrame =
+    graft.delta.RowTracking.readWithRowIds(log.snapshot)
+
   /** Domain metadata: set/get/remove a named metadata domain
     * (`domainMetadata` writer feature). */
   def setDomainMetadata(domain: String, configuration: String): Long =

@@ -51,7 +51,9 @@ object JsonUtil {
         modificationTime = optLong(a, "modificationTime").getOrElse(0L),
         dataChange = Option(a.get("dataChange")).forall(_.asBoolean(true)),
         stats = optText(a, "stats"),
-        deletionVector = optDv(a))))
+        deletionVector = optDv(a),
+        baseRowId = optLong(a, "baseRowId"),
+        defaultRowCommitVersion = optLong(a, "defaultRowCommitVersion"))))
     } else if (root.has("remove")) {
       val r = root.get("remove")
       Some(RemoveAction(RemoveFile(
@@ -153,6 +155,8 @@ object JsonUtil {
         o.put("dataChange", a.dataChange)
         a.stats.foreach(o.put("stats", _))
         a.deletionVector.foreach(putDv(o, _))
+        a.baseRowId.foreach(o.put("baseRowId", _))
+        a.defaultRowCommitVersion.foreach(o.put("defaultRowCommitVersion", _))
       case RemoveAction(r) =>
         val o = root.putObject("remove")
         o.put("path", r.path)

@@ -79,7 +79,10 @@ object Maintenance {
       col("modification_time").as("modificationTime"),
       lit(false).as("dataChange"),
       col("stats"),
-      col("deletion_vector").as("deletionVector")).cast(addT).as("add")
+      col("deletion_vector").as("deletionVector"),
+      col("base_row_id").as("baseRowId"),
+      col("default_row_commit_version").as("defaultRowCommitVersion"))
+      .cast(addT).as("add")
 
   /** The `remove` struct column of a checkpoint row, from
     * [[Snapshot.tombstones]]. */
@@ -105,7 +108,9 @@ object Maintenance {
       StructField("path", StringType), StructField("partitionValues", strMap),
       StructField("size", LongType), StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType), StructField("stats", StringType),
-      StructField("deletionVector", dvT)))
+      StructField("deletionVector", dvT),
+      StructField("baseRowId", LongType),
+      StructField("defaultRowCommitVersion", LongType)))
     val metaT = StructType(Seq(
       StructField("id", StringType),
       StructField("format", StructType(Seq(

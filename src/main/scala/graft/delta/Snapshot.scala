@@ -132,8 +132,12 @@ class Snapshot(
     * rejected rather than misread. */
   def requireReadable(): Unit = {
     val v = protocol.minReaderVersion
+    // vacuumProtocolCheck asks vacuum to verify the protocol before
+    // deleting files — Maintenance.vacuum resolves a snapshot first,
+    // which runs this very check, so the contract holds by design.
     val supportedFeatures =
-      Set("columnMapping", "deletionVectors", "timestampNtz", "v2Checkpoint")
+      Set("columnMapping", "deletionVectors", "timestampNtz", "v2Checkpoint",
+        "vacuumProtocolCheck")
     val unsupported = protocol.readerFeatures.diff(supportedFeatures)
     val ok = v <= 1 ||
       (v == 2 && Set("name", "id", "none").contains(columnMappingMode)) ||
@@ -208,7 +212,9 @@ class Snapshot(
     StructField("modification_time", LongType, nullable = true),
     StructField("stats", StringType, nullable = true),
     StructField("deletion_timestamp", LongType, nullable = true),
-    StructField("deletion_vector", dvStructType, nullable = true)))
+    StructField("deletion_vector", dvStructType, nullable = true),
+    StructField("base_row_id", LongType, nullable = true),
+    StructField("default_row_commit_version", LongType, nullable = true)))
 
   private def dvRow(dv: Option[DeletionVectorDescriptor]): Row = dv.map { d =>
     Row(d.storageType, d.pathOrInlineDv,
@@ -224,10 +230,12 @@ class Snapshot(
     val rows: Seq[Row] = pairs.collect {
       case (v, AddAction(a)) =>
         Row(v, true, a.path, a.partitionValues, a.size, a.modificationTime,
-          a.stats.orNull, null, dvRow(a.deletionVector))
+          a.stats.orNull, null, dvRow(a.deletionVector),
+          a.baseRowId.map(java.lang.Long.valueOf).orNull,
+          a.defaultRowCommitVersion.map(java.lang.Long.valueOf).orNull)
       case (v, RemoveAction(r)) =>
         Row(v, false, r.path, r.partitionValues, r.size.getOrElse(0L), 0L, null,
-          java.lang.Long.valueOf(r.deletionTimestamp), null)
+          java.lang.Long.valueOf(r.deletionTimestamp), null, null, null)
     }
     spark.createDataFrame(rows.asJava, actionSchema)
   }
@@ -271,6 +279,8 @@ class Snapshot(
               col("add.deletionVector.sizeInBytes").cast(IntegerType).as("sizeInBytes"),
               col("add.deletionVector.cardinality").cast(LongType).as("cardinality")))
         else lit(null).cast(dvStructType)
+      def addCol(f: String, dt: DataType): org.apache.spark.sql.Column =
+        if (addFields.contains(f)) col(s"add.$f").cast(dt) else lit(null).cast(dt)
       val adds = df.where(col("add.path").isNotNull).select(
         lit(checkpointVersion.get).as("version"),
         lit(true).as("is_add"),
@@ -280,7 +290,9 @@ class Snapshot(
         col("add.modificationTime").as("modification_time"),
         statsCol.as("stats"),
         lit(null).cast(LongType).as("deletion_timestamp"),
-        dvCol.cast(dvStructType).as("deletion_vector"))
+        dvCol.cast(dvStructType).as("deletion_vector"),
+        addCol("baseRowId", LongType).as("base_row_id"),
+        addCol("defaultRowCommitVersion", LongType).as("default_row_commit_version"))
       // Checkpoints carry unexpired remove tombstones too; without them
       // a post-checkpoint re-add of the same path would resolve wrong
       // and vacuum-retention state would be lost.
@@ -298,7 +310,9 @@ class Snapshot(
           lit(0L).as("modification_time"),
           lit(null).cast(StringType).as("stats"),
           rmCol("deletionTimestamp", LongType).as("deletion_timestamp"),
-          lit(null).cast(dvStructType).as("deletion_vector"))
+          lit(null).cast(dvStructType).as("deletion_vector"),
+          lit(null).cast(LongType).as("base_row_id"),
+          lit(null).cast(LongType).as("default_row_commit_version"))
         adds.unionByName(removes)
       }
     }
@@ -425,7 +439,10 @@ class Snapshot(
       size = r.getAs[Long]("size_bytes"),
       modificationTime = r.getAs[Long]("modification_time"),
       stats = Option(r.getAs[String]("stats")),
-      deletionVector = dv)
+      deletionVector = dv,
+      baseRowId = Option(r.getAs[java.lang.Long]("base_row_id")).map(_.longValue),
+      defaultRowCommitVersion =
+        Option(r.getAs[java.lang.Long]("default_row_commit_version")).map(_.longValue))
   }
 
   /** Driver-side active-file list (collected once, for scan planning —

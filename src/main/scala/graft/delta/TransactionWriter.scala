@@ -342,8 +342,11 @@ object TransactionWriter {
         "changeDataFeed", "generatedColumns",
         // domain metadata survives every commit path (checkpoints carry
         // live domains; replay keeps latest-per-domain) and OPTIMIZE
-        // honors the delta.clustering domain (Maintenance.compact)
-        "domainMetadata", "clustering")
+        // honors the delta.clustering domain (Maintenance.compact);
+        // rowTracking: fresh ids allocated below from the domain hwm
+        "domainMetadata", "clustering", "rowTracking",
+        // vacuum always resolves (and so protocol-checks) a snapshot
+        "vacuumProtocolCheck")
       val unsupportedW = s.protocol.writerFeatures.diff(supportedWriterFeatures)
       val v = s.protocol.minWriterVersion
       require((v <= 6 && declared.isEmpty) || (v <= 2) ||
@@ -514,11 +517,33 @@ object TransactionWriter {
           }
         },
         createdTime = Some(prev.flatMap(_.metadata.createdTime).getOrElse(now))))
+      // Row tracking: allocate fresh ids for the new files from the
+      // domain's high-water mark; the bump rides this commit, so a
+      // concurrent allocator conflicts on the domain and aborts
+      // (commitWithRebase's same-domain rule) instead of double-
+      // allocating.
+      val rtOn = prev.exists(s => RowTracking.supported(s.protocol))
+      val (rowIdBase: Map[String, Long], newHwm: Long) =
+        if (!rtOn) (Map.empty[String, Long], -1L)
+        else {
+          var next = RowTracking.highWaterMark(prev.get) + 1
+          val bases = moved.map { m =>
+            val base = next
+            next += stats.get(m.rel)
+              .map(s => JsonUtil.mapper.readTree(s).path("numRecords").asLong(0L))
+              .getOrElse(0L)
+            m.rel -> base
+          }.toMap
+          (bases, next - 1)
+        }
       actions ++= moved.map { m =>
         AddAction(AddFile(DeltaLog.encodePath(m.rel), m.partitionValues,
           m.size, m.modificationTime, dataChange = dataChange,
-          stats = stats.get(m.rel)))
+          stats = stats.get(m.rel),
+          baseRowId = rowIdBase.get(m.rel),
+          defaultRowCommitVersion = if (rtOn) Some(version) else None))
       }
+      if (rtOn && moved.nonEmpty) actions += RowTracking.domainAction(newHwm)
       actions ++= removes.map { f =>
         RemoveAction(RemoveFile(f.path, now, dataChange = dataChange,
           partitionValues = f.partitionValues, size = Some(f.size),
@@ -584,9 +609,24 @@ object TransactionWriter {
       ictEnabled: Boolean = false): Long = {
     var version = firstVersion
     var attempts = 0
+    // Domains this commit writes: a concurrent write to the SAME domain
+    // cannot be rebased blindly (e.g. two row-id allocators reading the
+    // same high-water mark would hand out overlapping ids).
+    val ourDomains = actions.collect {
+      case DomainMetadataAction(d) => d.domain
+    }.toSet
     while (true) {
       try {
-        log.commit(version, actions, ictEnabled = ictEnabled)
+        // Row tracking stamps the files' default row commit version with
+        // the version actually committed — restamp after a rebase bump.
+        val stamped =
+          if (version == firstVersion) actions
+          else actions.map {
+            case AddAction(a) if a.defaultRowCommitVersion.nonEmpty =>
+              AddAction(a.copy(defaultRowCommitVersion = Some(version)))
+            case other => other
+          }
+        log.commit(version, stamped, ictEnabled = ictEnabled)
         return version
       } catch {
         case e: java.util.ConcurrentModificationException =>
@@ -602,6 +642,16 @@ object TransactionWriter {
             s"commit $version of ${log.tablePath} lost the race to a " +
               "concurrent metaData/protocol change; cannot rebase — rerun " +
               "the operation against the new table definition")
+          if (ourDomains.nonEmpty) {
+            val theirDomains = concurrent.collect {
+              case DomainMetadataAction(d) => d.domain
+            }.toSet
+            val dOverlap = ourDomains.intersect(theirDomains)
+            if (dOverlap.nonEmpty) throw new java.util.ConcurrentModificationException(
+              s"commit $version of ${log.tablePath} conflicts with a " +
+                s"concurrent write to domain(s) ${dOverlap.mkString(", ")}; " +
+                "rerun the operation against the current snapshot")
+          }
           if (touchedPaths.nonEmpty) {
             val winnerPaths = concurrent.collect {
               case AddAction(a) => a.path

@@ -54,7 +54,14 @@ final case class AddFile(
     modificationTime: Long,
     dataChange: Boolean = true,
     stats: Option[String] = None,
-    deletionVector: Option[DeletionVectorDescriptor] = None)
+    deletionVector: Option[DeletionVectorDescriptor] = None,
+    /** Row tracking (writer feature `rowTracking`): the file's rows
+      * carry fresh row ids `baseRowId + row_index`; assigned from the
+      * `delta.rowTracking` domain's high-water mark at commit. */
+    baseRowId: Option[Long] = None,
+    /** The commit version stamped on this file's rows as their default
+      * row commit version (row tracking). */
+    defaultRowCommitVersion: Option[Long] = None)
 
 final case class RemoveFile(
     path: String,
