@@ -293,7 +293,13 @@ object TransactionWriter {
     val genDeclared: StructType = declaredSchema
       .orElse(prev.map(_.metadata.schema)).getOrElse(df.schema)
     val genProbes = GeneratedColumns.probes(df, genDeclared)
-    val df1 = GeneratedColumns.fill(df, genDeclared)
+    // Identity columns fill AFTER generated ones (a generation
+    // expression may not reference an identity value, per the spec's
+    // no-identity-in-generation rule, so order is free; declared-order
+    // reshaping happens in whichever fill runs last).
+    val df1 = IdentityColumns.fill(
+      GeneratedColumns.fill(df, genDeclared), genDeclared,
+      internalRewrite = mode == "Rewrite")
     val schema = df1.schema
     require(partCols.forall(schema.fieldNames.contains),
       s"partition columns $partCols missing from ${schema.fieldNames.toSeq}")
@@ -311,31 +317,17 @@ object TransactionWriter {
           "schema instead")
       // minWriterVersion 3..6 tables carry writer-enforced features
       // (CHECK constraints v3, generated columns v4, column mapping v5,
-      // identity columns v6). CHECK constraints and NOT NULL invariants
-      // are ENFORCED below (Constraints.enforced rides the write job);
-      // generated/identity columns are not, so a declared one still
-      // refuses — ignoring it would silently violate the table's
-      // contract. Writer v7 lists its features explicitly: all must be
-      // ones this writer honors — deletionVectors (reads are DV-aware
-      // and rewrites remove the whole (file, DV) pair), appendOnly
-      // (enforced via the table property), invariants/checkConstraints
-      // (enforced below), columnMapping (physical-name writes below),
-      // inCommitTimestamp (every commit path stamps a monotonic ICT —
-      // see DeltaLog.commit), v2Checkpoint (checkpoint layout only).
-      def fieldMetaDeclared(key: String): Boolean = {
-        def walk(dt: DataType): Boolean = dt match {
-          case st: StructType => st.fields.exists(f =>
-            f.metadata.contains(key) || walk(f.dataType))
-          case a: ArrayType => walk(a.elementType)
-          case m: MapType => walk(m.keyType) || walk(m.valueType)
-          case _ => false
-        }
-        walk(s.metadata.schema)
-      }
-      val declared =
-        if (fieldMetaDeclared("delta.identity.start") ||
-            fieldMetaDeclared("delta.identity.allowExplicitInsert"))
-          Seq("identity columns") else Nil
+      // identity columns v6), ALL enforced on this path: CHECK/NOT NULL
+      // via Constraints.enforced in the write job, generated columns
+      // via fill-or-probe, identity columns via fill + same-commit
+      // high-water-mark bump (IdentityColumns). Writer v7 lists its
+      // features explicitly: all must be ones this writer honors —
+      // deletionVectors (reads are DV-aware and rewrites remove the
+      // whole (file, DV) pair), appendOnly (enforced via the table
+      // property), invariants/checkConstraints (enforced below),
+      // columnMapping (physical-name writes below), inCommitTimestamp
+      // (every commit path stamps a monotonic ICT — see
+      // DeltaLog.commit), v2Checkpoint (checkpoint layout only).
       val supportedWriterFeatures = Set(
         "deletionVectors", "appendOnly", "invariants", "columnMapping",
         "inCommitTimestamp", "v2Checkpoint", "checkConstraints",
@@ -344,19 +336,17 @@ object TransactionWriter {
         // live domains; replay keeps latest-per-domain) and OPTIMIZE
         // honors the delta.clustering domain (Maintenance.compact);
         // rowTracking: fresh ids allocated below from the domain hwm
-        "domainMetadata", "clustering", "rowTracking",
+        "domainMetadata", "clustering", "rowTracking", "identityColumns",
         // vacuum always resolves (and so protocol-checks) a snapshot
         "vacuumProtocolCheck")
       val unsupportedW = s.protocol.writerFeatures.diff(supportedWriterFeatures)
       val v = s.protocol.minWriterVersion
-      require((v <= 6 && declared.isEmpty) || (v <= 2) ||
-          (v == 7 && unsupportedW.isEmpty),
+      require(v <= 6 || (v == 7 && unsupportedW.isEmpty),
         s"cannot write to ${log.tablePath}: table requires " +
           s"minWriterVersion=$v" +
-          (if (declared.nonEmpty) s" and declares ${declared.mkString(", ")}" else "") +
           (if (unsupportedW.nonEmpty) s" with writer features $unsupportedW" else "") +
-          s" (supported: <= 6 with no declared constraints/generated/identity " +
-          s"columns, or 7 with features within $supportedWriterFeatures); " +
+          s" (supported: <= 6, or 7 with features within " +
+          s"$supportedWriterFeatures); " +
           "refusing to write rather than ignore writer-enforced features")
       require(removes.isEmpty ||
           !s.metadata.configuration.get("delta.appendOnly").contains("true"),
@@ -489,12 +479,15 @@ object TransactionWriter {
         Map("mode" -> mode,
           "partitionBy" -> partCols.mkString("[\"", "\",\"", "\"]"))))
       txn.foreach(t => actions += TxnAction(t))
+      val idDeclared = IdentityColumns.of(genDeclared).nonEmpty
       if (prev.isEmpty) actions += ProtocolAction(
         // creating a mapped table: column mapping is a legacy
         // reader-2/writer-5 protocol (what delta-spark emits for it);
-        // generated columns need writer 4 (legacy versions are
-        // cumulative, so 5 covers 4)
-        if (createMapping.isDefined) Protocol(2, 5)
+        // generated columns need writer 4, identity columns writer 6
+        // (legacy versions are cumulative)
+        if (createMapping.isDefined && idDeclared) Protocol(2, 6)
+        else if (createMapping.isDefined) Protocol(2, 5)
+        else if (idDeclared) Protocol(1, 6)
         else if (GeneratedColumns.of(genDeclared).nonEmpty) Protocol(1, 4)
         else Protocol())
       if (metaChanged) actions += MetadataAction(Metadata(
@@ -517,6 +510,38 @@ object TransactionWriter {
           }
         },
         createdTime = Some(prev.flatMap(_.metadata.createdTime).getOrElse(now))))
+      // Identity columns: the high-water mark advances in the SAME
+      // commit via an updated metaData action — its value is read off
+      // the per-file stats already computed (zero extra passes). A
+      // concurrent identity writer then loses at the metaData-conflict
+      // gate instead of double-allocating.
+      if (idDeclared) {
+        val storedSchema: StructType = (prevMapped, createMapping) match {
+          case (true, _) => prev.get.metadata.schema
+          case (_, Some((m, _))) => m
+          case _ => declaredSchema.orElse(prev.map(_.metadata.schema)).getOrElse(schema)
+        }
+        val statsNameOf: String => String =
+          if (prevMapped) prev.get.physicalNameOf
+          else createMapping match {
+            case Some((m, _)) => (n: String) =>
+              if (m(n).metadata.contains("delta.columnMapping.physicalName"))
+                m(n).metadata.getString("delta.columnMapping.physicalName")
+              else n
+            case None => (n: String) => n
+          }
+        IdentityColumns.bumpHwm(storedSchema,
+          moved.flatMap(m => stats.get(m.rel)), statsNameOf).foreach { bumped =>
+          val idx = actions.indexWhere(_.isInstanceOf[MetadataAction])
+          if (idx >= 0) {
+            val m0 = actions(idx).asInstanceOf[MetadataAction].m
+            actions(idx) = MetadataAction(m0.copy(schemaString = bumped.json))
+          } else {
+            actions += MetadataAction(
+              prev.get.metadata.copy(schemaString = bumped.json))
+          }
+        }
+      }
       // Row tracking: allocate fresh ids for the new files from the
       // domain's high-water mark; the bump rides this commit, so a
       // concurrent allocator conflicts on the domain and aborts

@@ -301,7 +301,8 @@ class HardeningSpec extends SparkTestBase {
       TransactionWriter.append(gcLog, Seq((5L, 99L)).toDF("n", "n1")))
     assert(gcLog.snapshot.read().count() == 1L,
       "inconsistent generated value must not commit")
-    // identity columns still refuse
+    // identity columns: explicit values refuse (GENERATED ALWAYS),
+    // omitted values generate — full semantics in IdentityColumnsSpec
     val idPath = Files.createTempDirectory("graft-hard").resolve("t").toString
     val idLog = DeltaLog.forPath(spark, idPath)
     val idMeta = new org.apache.spark.sql.types.MetadataBuilder()
@@ -316,7 +317,9 @@ class HardeningSpec extends SparkTestBase {
       CommitInfoAction(CommitInfo(0L, "WRITE"))))
     val e4 = intercept[IllegalArgumentException](
       TransactionWriter.append(idLog, Seq((1L, "a")).toDF("n", "s")))
-    assert(e4.getMessage.contains("identity columns"))
+    assert(e4.getMessage.contains("identity column n"))
+    TransactionWriter.append(idLog, Seq("a", "b").toDF("s").coalesce(1))
+    assert(idLog.snapshot.read().select("n").as[Long].collect().toSet == Set(1L, 2L))
   }
 
   test("delta.checkpointInterval writes periodic checkpoints") {

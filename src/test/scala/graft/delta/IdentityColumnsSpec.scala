@@ -1,0 +1,93 @@
+package graft.delta
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkTestBase
+
+/** Identity columns: generation on the start+k·step lattice beyond the
+  * high-water mark, same-commit hwm advance, explicit-insert gating,
+  * negative steps, rewrite passthrough, and protocol versioning. */
+class IdentityColumnsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshLog(): DeltaLog = {
+    val path = Files.createTempDirectory("graft-idc").resolve("t").toString
+    DeltaLog.forPath(spark, path)
+  }
+
+  test("create with identity: generation, lattice, hwm advance, uniqueness") {
+    val log = freshLog()
+    TransactionWriter.overwriteWithSchema(log,
+      Seq("a", "b", "c").toDF("s").repartition(2),
+      StructType(Seq(
+        IdentityColumns.field("id", start = 100L, step = 10L),
+        StructField("s", StringType))))
+    assert(log.snapshot.protocol.minWriterVersion == 6)
+    val ids0 = log.snapshot.read().select("id").as[Long].collect().toSeq
+    assert(ids0.size == 3 && ids0.distinct.size == 3)
+    // lattice: every value is start + k*step, beyond (or at) start
+    assert(ids0.forall(v => v >= 100L && (v - 100L) % 10L == 0L), ids0.toString)
+    val hwm0 = IdentityColumns.of(log.snapshot.metadata.schema)
+      .head.highWaterMark.get
+    assert(hwm0 == ids0.max, "hwm must advance to the max written value")
+
+    // second append allocates strictly beyond the recorded hwm
+    TransactionWriter.append(log, Seq("d", "e").toDF("s").coalesce(1))
+    val ids1 = log.snapshot.read().select("id").as[Long].collect().toSeq
+    assert(ids1.size == 5 && ids1.distinct.size == 5)
+    assert(ids1.filterNot(ids0.contains).forall(_ > hwm0))
+    assert(ids1.forall(v => (v - 100L) % 10L == 0L))
+  }
+
+  test("explicit insert refused unless allowed; allowed values move hwm") {
+    val log = freshLog()
+    TransactionWriter.overwriteWithSchema(log,
+      Seq("a").toDF("s"),
+      StructType(Seq(
+        IdentityColumns.field("id", allowExplicitInsert = true),
+        StructField("s", StringType))))
+    // allowed: explicit values pass through and the hwm tracks them
+    TransactionWriter.append(log,
+      Seq((500L, "explicit")).toDF("id", "s").coalesce(1))
+    assert(log.snapshot.read().where(col("s") === "explicit")
+      .select("id").as[Long].head() == 500L)
+    assert(IdentityColumns.of(log.snapshot.metadata.schema)
+      .head.highWaterMark.contains(500L))
+    // generation continues beyond the explicit value
+    TransactionWriter.append(log, Seq("after").toDF("s").coalesce(1))
+    assert(log.snapshot.read().where(col("s") === "after")
+      .select("id").as[Long].head() > 500L)
+
+    val strict = freshLog()
+    TransactionWriter.overwriteWithSchema(strict,
+      Seq("a").toDF("s"),
+      StructType(Seq(
+        IdentityColumns.field("id"),
+        StructField("s", StringType))))
+    val e = intercept[IllegalArgumentException](
+      TransactionWriter.append(strict, Seq((9L, "x")).toDF("id", "s")))
+    assert(e.getMessage.contains("identity column id"))
+  }
+
+  test("negative step descends; targeted rewrite keeps existing ids") {
+    val log = freshLog()
+    TransactionWriter.overwriteWithSchema(log,
+      Seq("a", "b").toDF("s").coalesce(1),
+      StructType(Seq(
+        IdentityColumns.field("id", start = 0L, step = -5L),
+        StructField("s", StringType))))
+    val ids0 = log.snapshot.read().select("id").as[Long].collect().toSeq
+    assert(ids0.toSet == Set(0L, -5L), ids0.toString)
+    assert(IdentityColumns.of(log.snapshot.metadata.schema)
+      .head.highWaterMark.contains(-5L))
+    TransactionWriter.append(log, Seq("c").toDF("s").coalesce(1))
+    assert(log.snapshot.read().select("id").as[Long].collect().min == -10L)
+
+    // a DELETE (targeted rewrite) re-emits surviving rows unchanged
+    Mutations.delete(log, col("s") === "a")
+    val after = log.snapshot.read()
+      .select("id", "s").as[(Long, String)].collect().toSet
+    assert(after == Set((-5L, "b"), (-10L, "c")), after.toString)
+  }
+}
