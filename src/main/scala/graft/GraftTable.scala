@@ -86,6 +86,11 @@ final case class GraftTable(spark: SparkSession, path: String) {
     * `_commit_version`, `_commit_timestamp`. */
   def changeFeed(from: Long, to: Option[Long] = None): DataFrame =
     ChangeDataFeed.tableChanges(log, from, to)
+  /** The change feed selected by commit TIMESTAMP (ICT-aware). */
+  def changeFeedByTimestamp(
+      startTs: java.time.Instant,
+      endTs: Option[java.time.Instant] = None): DataFrame =
+    ChangeDataFeed.tableChangesByTimestamp(log, startTs, endTs)
 
   /** Upgrade to name-mode column mapping in place (metadata-only);
     * unlocks free column rename/drop. */
@@ -158,6 +163,8 @@ final case class GraftTable(spark: SparkSession, path: String) {
       allowZeroRetention: Boolean = false, distributed: Boolean = false): Seq[String] =
     Maintenance.vacuum(log, retentionMs, allowZeroRetention, distributed)
   def restore(version: Long): Long = Maintenance.restore(log, version)
+  /** FSCK: drop log entries for data files missing from storage. */
+  def fsck(dryRun: Boolean = false): Seq[String] = Maintenance.fsck(log, dryRun)
 
   /** Rows appended in `(fromVersionExclusive, toInclusive]` (latest when
     * omitted) — incremental-ETL reads without a full snapshot scan. */

@@ -168,6 +168,39 @@ object ChangeDataFeed {
     }
   }
 
+  /** [[tableChanges]] with a TIMESTAMP range (delta-spark's
+    * `table_changes(..., startingTimestamp, endingTimestamp)`): the
+    * range covers every commit whose timestamp falls in
+    * `[startTs, endTs]` (endTs defaults to now). Timestamps resolve the
+    * same way time travel does — in-commit timestamps when the feature
+    * is on, commit-file modification times otherwise — so the two
+    * surfaces can never disagree about what existed when. An empty
+    * window yields the typed empty frame. */
+  def tableChangesByTimestamp(
+      log: DeltaLog,
+      startTs: java.time.Instant,
+      endTs: Option[java.time.Instant] = None): DataFrame = {
+    val latest = log.latestVersion()
+    val endMs = endTs.map(_.toEpochMilli).getOrElse(Long.MaxValue)
+    val startMs = startTs.toEpochMilli
+    require(startMs <= endMs, s"bad timestamp range [$startTs, $endTs]")
+    def tsOfVersion(v: Long): Long = log.inCommitTimestampOf(v).getOrElse(
+      log.fs.getFileStatus(
+        new Path(log.logPath, f"$v%020d.json")).getModificationTime)
+    // the replayable range is [earliest commit file, latest]
+    val (commits, _) = log.listLog()
+    require(commits.nonEmpty, s"${log.tablePath} has no commit files")
+    val versions = commits.sorted.map(v => v -> tsOfVersion(v))
+    val inWindow = versions.filter { case (_, t) => t >= startMs && t <= endMs }
+    inWindow.map(_._1) match {
+      case vs if vs.isEmpty =>
+        // typed empty frame via an empty version range
+        tableChanges(log, latest, Some(latest))
+          .limit(0)
+      case vs => tableChanges(log, vs.min, Some(vs.max))
+    }
+  }
+
   /** Change rows (with `_change_type`) for a DELETE of `matched` rows,
     * ready for [[writeCdcFiles]]. */
   private[delta] def deleteChanges(matched: DataFrame): DataFrame =

@@ -477,6 +477,36 @@ object Maintenance {
       dataChange = false)
   }
 
+  /** FSCK REPAIR TABLE (delta-rs `FSCK`): drop add entries whose data
+    * files are MISSING from storage (deleted out-of-band — a premature
+    * vacuum from another engine, manual cleanup, a storage incident),
+    * so scans stop failing on FileNotFound. Returns the repaired
+    * (removed) relative paths; `dryRun` only reports them. The repair
+    * commit removes with `dataChange = true` — rows genuinely
+    * disappeared from the table's visible state.
+    *
+    * Existence checks run on the driver (one `exists` per active
+    * file) — fine to ~10⁶ files; beyond that, run the same check as a
+    * Spark job over [[Snapshot.addsFlat]] and pass the survivors
+    * through a targeted commit. */
+  def fsck(log: DeltaLog, dryRun: Boolean = false): Seq[String] = {
+    val snap = log.snapshot
+    val fs = log.fs
+    val missing = snap.activeFiles
+      .filterNot(f => fs.exists(new Path(snap.absolutePath(f))))
+    if (missing.isEmpty || dryRun) return missing.map(_.path)
+    val now = System.currentTimeMillis()
+    log.commit(snap.version + 1,
+      CommitInfoAction(CommitInfo(now, "FSCK",
+        Map("numRemovedFiles" -> missing.size.toString))) +:
+        missing.map(f => RemoveAction(RemoveFile(f.path, now,
+          dataChange = true, partitionValues = f.partitionValues,
+          size = Some(f.size), deletionVector = f.deletionVector))),
+      ictEnabled = snap.metadata.configuration
+        .get("delta.enableInCommitTimestamps").contains("true"))
+    missing.map(_.path)
+  }
+
   /** Production-default retention: 7 days, as in delta-spark. */
   val DefaultVacuumRetentionMs: Long = 7L * 24 * 60 * 60 * 1000
 

@@ -18,6 +18,7 @@ import graft.delta.{Clone, Constraints, DeltaLog, Maintenance, Mutations}
   * GRAFT OPTIMIZE '<path>' [ZORDER BY (c1, c2)]
   * GRAFT CHECKPOINT '<path>'
   * GRAFT REORG '<path>' APPLY PURGE                    -- drop DV debt
+  * GRAFT FSCK '<path>' [DRY RUN]                       -- repair missing files
   * GRAFT HISTORY '<path>'
   * GRAFT RESTORE '<path>' TO VERSION <v>
   * GRAFT DELETE FROM '<path>' WHERE <predicate>        -- targeted rewrite
@@ -38,6 +39,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Checkpoint = """(?is)\s*GRAFT\s+CHECKPOINT\s+'([^']+)'\s*""".r
   private val Reorg =
     """(?is)\s*GRAFT\s+REORG\s+'([^']+)'\s+APPLY\s+PURGE\s*""".r
+  private val Fsck =
+    """(?is)\s*GRAFT\s+FSCK\s+'([^']+)'(\s+DRY\s+RUN)?\s*""".r
   private val History = """(?is)\s*GRAFT\s+HISTORY\s+'([^']+)'\s*""".r
   private val Restore =
     """(?is)\s*GRAFT\s+RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*""".r
@@ -102,6 +105,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftMaintenanceCommand(path, "reorg",
         Seq("version"), s =>
           Seq(Row(Maintenance.purgeDeletionVectors(DeltaLog.forPath(s, path)))))
+    case Fsck(path, dry) =>
+      GraftMaintenanceCommand(path, "fsck",
+        Seq("repaired_path"), s =>
+          Maintenance.fsck(DeltaLog.forPath(s, path), dryRun = dry != null)
+            .map(Row(_)))
     case History(path) =>
       GraftMaintenanceCommand(path, "history",
         Seq("version", "operation"), s => {
@@ -190,7 +198,8 @@ case class GraftMaintenanceCommand(
     body: SparkSession => Seq[Row])
     extends org.apache.spark.sql.execution.command.RunnableCommand {
   override def output: Seq[Attribute] = outCols.map { c =>
-    val dt = if (c == "operation") StringType else LongType
+    val dt =
+      if (c == "operation" || c == "repaired_path") StringType else LongType
     AttributeReference(c, dt, nullable = true)()
   }
   override def run(sparkSession: SparkSession): Seq[Row] = body(sparkSession)

@@ -70,6 +70,21 @@ object SqlDemo {
         s"clustered OPTIMIZE must Z-order, got $lastOp")
       println(s"== clustered OPTIMIZE ran: $lastOp on ${fresh.snapshot.numFiles} file(s) ==")
       require(spark.read.format("graftdelta").load(clusterPath).count() == 2048L)
+
+      // FSCK repairs a table whose data file vanished out-of-band
+      val fsckPath = s"$dir/fsck_table"
+      Seq((1L, "x"), (2L, "y")).toDF("n", "s").coalesce(1)
+        .write.format("graftdelta").mode("overwrite").save(fsckPath)
+      Seq((3L, "z")).toDF("n", "s").coalesce(1)
+        .write.format("graftdelta").mode("append").save(fsckPath)
+      val flog = graft.delta.DeltaLog.forPath(spark, fsckPath)
+      val victim = flog.snapshot.activeFiles.minBy(_.path)
+      flog.fs.delete(new org.apache.hadoop.fs.Path(
+        flog.snapshot.absolutePath(victim)), false)
+      val repaired = spark.sql(s"GRAFT FSCK '$fsckPath'").count()
+      require(repaired == 1L, s"expected 1 repaired file, got $repaired")
+      require(spark.read.format("graftdelta").load(fsckPath).count() >= 1L)
+      println(s"== FSCK repaired $repaired missing file(s); table readable again ==")
       println("SqlDemo OK")
     } finally spark.stop()
   }

@@ -171,6 +171,33 @@ class ChangeDataFeedSpec extends SparkTestBase {
     assert(feed(fresh, 2, 2) == Seq((2L, "v2", "delete", 2L)))
   }
 
+  test("timestamp-ranged feed selects commits by ICT") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("id", "v"))   // v0
+    Maintenance.enableInCommitTimestamps(log)                          // v1
+    ChangeDataFeed.enable(log)                                         // v2
+    TransactionWriter.append(log, Seq((2L, "b")).toDF("id", "v"))      // v3
+    val t3 = log.inCommitTimestampOf(3).get
+    TransactionWriter.append(log, Seq((3L, "c")).toDF("id", "v"))      // v4
+    val t4 = log.inCommitTimestampOf(4).get
+    // window covering exactly v3
+    val only3 = ChangeDataFeed.tableChangesByTimestamp(log,
+      java.time.Instant.ofEpochMilli(t3),
+      Some(java.time.Instant.ofEpochMilli(math.max(t3, t4 - 1))))
+    if (t4 > t3) {
+      assert(only3.select("id").as[Long].collect().toSeq == Seq(2L))
+    }
+    // window covering v3..v4
+    val both = ChangeDataFeed.tableChangesByTimestamp(log,
+      java.time.Instant.ofEpochMilli(t3), Some(java.time.Instant.ofEpochMilli(t4)))
+    assert(both.select("id").as[Long].collect().toSet == Set(2L, 3L))
+    // empty window: typed empty frame
+    val none = ChangeDataFeed.tableChangesByTimestamp(log,
+      java.time.Instant.ofEpochMilli(t4 + 60000),
+      Some(java.time.Instant.ofEpochMilli(t4 + 120000)))
+    assert(none.count() == 0L && none.columns.contains("_change_type"))
+  }
+
   test("bad ranges refuse; empty range yields empty typed frame") {
     val log = freshLog()
     TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("id", "v"))

@@ -206,6 +206,31 @@ class MaintenanceSpec extends SparkTestBase {
     assertSameRows(snap.read(), rows.toDF("id", "n1", "n2"))
   }
 
+  test("fsck drops entries for out-of-band-deleted files; dry run reports only") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log,
+      Seq((1L, "a"), (2L, "b")).toDF("n", "s").coalesce(1))
+    Maintenance.append(log, Seq((3L, "c")).toDF("n", "s").coalesce(1))
+    assert(log.snapshot.numFiles == 2L)
+    // sabotage: delete one data file behind the log's back
+    val victim = log.snapshot.activeFiles.minBy(_.path)
+    log.fs.delete(new org.apache.hadoop.fs.Path(
+      log.snapshot.absolutePath(victim)), false)
+    intercept[Exception] { log.snapshot.read().count() }
+
+    val dry = Maintenance.fsck(log, dryRun = true)
+    assert(dry == Seq(victim.path))
+    assert(log.snapshot.numFiles == 2L, "dry run must not commit")
+
+    val repaired = Maintenance.fsck(log)
+    assert(repaired == Seq(victim.path))
+    assert(log.snapshot.numFiles == 1L)
+    assert(log.snapshot.read().count() >= 1L) // scans work again
+    // healthy table: no-op, no commit
+    val v = log.latestVersion()
+    assert(Maintenance.fsck(log).isEmpty && log.latestVersion() == v)
+  }
+
   test("restore rolls back to a prior version without copying data") {
     val log = freshLog()
     TransactionWriter.overwrite(log, Seq((1L, "a"), (2L, "b")).toDF("n", "s"))
