@@ -100,6 +100,41 @@ object Curation {
       .where(col("rn") <= perStratum)
   }
 
+  /** Training-mixture assembly: take a deterministic, md5-ranked
+    * fraction of each source so the output hits the requested mixture
+    * WEIGHTS (relative sampling rates per source, each in [0,1] — the
+    * "sample 100% of wiki, 30% of crawl" knob of a pretraining data
+    * recipe). Per-source quota = ceil(weight × n_source), so a weight
+    * of 1.0 keeps a source whole and tiny sources never round to
+    * zero. Selection order is a pure function of the data (md5 of the
+    * id), making the mixture reproducible across runs and layouts.
+    *
+    * Scale shape: one count aggregate (map-side combined, |sources|
+    * rows) broadcast back, then ONE hash-shuffle window per source
+    * partition — rank-k selection, no global sort. Sources absent from
+    * `weights` are dropped (explicit recipe, no silent passthrough). */
+  def mixSources(
+      df: DataFrame, sourceCol: String, idCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty, "mixture weights must be non-empty")
+    weights.foreach { case (s, w) =>
+      require(w >= 0.0 && w <= 1.0, s"weight for $s must be in [0,1], got $w")
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wdf = broadcast(weights.toSeq.toDF(sourceCol, "__w"))
+    val counts = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("__n"))
+    val quotas = broadcast(counts.join(wdf, sourceCol)
+      .select(col(sourceCol), ceil(col("__w") * col("__n")).as("__quota")))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.join(quotas, sourceCol)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= col("__quota"))
+      .drop("__rn", "__quota")
+  }
+
   /** Canonical text normalization for dedup/tokenizer front-ends:
     * lower-case, strip characters outside printable ASCII, collapse
     * whitespace runs, trim. Map-only codegen'd string ops; character

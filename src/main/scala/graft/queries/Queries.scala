@@ -509,6 +509,26 @@ object Queries {
        |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin
   }
 
+  /** Training-mixture recipe for q_mix_sources: keep src0 whole,
+    * sample the rest at falling rates, drop everything else. */
+  val MixWeights: Map[String, Double] =
+    Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.2, "src3" -> 0.04)
+
+  private val qMixSourcesDuck: String = {
+    val vals = MixWeights.toSeq.sortBy(_._1)
+      .map { case (s, w) => s"('$s', ${w}e0)" }.mkString(", ")
+    s"""WITH wts(source, w) AS (VALUES $vals),
+       |n AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+       |q AS (SELECT source, CAST(CEIL(w * n) AS BIGINT) AS quota
+       |  FROM n JOIN wts USING (source)),
+       |r AS (SELECT d.doc_id, d.source,
+       |    ROW_NUMBER() OVER (PARTITION BY d.source
+       |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+       |  FROM documents d JOIN q USING (source))
+       |SELECT doc_id, source FROM r JOIN q USING (source)
+       |WHERE rn <= quota""".stripMargin
+  }
+
   private def qDedupExactOracle: String =
     """SELECT doc_id, lang, source FROM (
       |  SELECT doc_id, lang, source,
@@ -1717,6 +1737,12 @@ object Queries {
       graft.operators.Curation.stratifiedSample(
         s.table("documents"), Seq("lang", "source"), "doc_id", 20)
     }),
+    "q_mix_sources" -> ((s, dir) => {
+      registerViews(s, dir)
+      graft.operators.Curation.mixSources(
+        s.table("documents"), "source", "doc_id", MixWeights)
+        .select("doc_id", "source")
+    }),
     "q_normalize" -> ((s, dir) => {
       registerViews(s, dir)
       s.sql(normalizeMessySql("spark"))
@@ -1807,6 +1833,7 @@ object Queries {
     "q_decontaminate" -> qDecontaminateDuck,
     "q_quality_gopher" -> qQualityGopherDuck,
     "q_stratified_sample" -> qStratifiedSampleDuck,
+    "q_mix_sources" -> qMixSourcesDuck,
     "q_pii_redact" -> qPiiRedactDuck,
     "q_normalize" -> qNormalizeDuck,
     "q_asof_join" -> qAsofJoinDuck,

@@ -57,6 +57,29 @@ class CurationSpec extends SparkTestBase {
     assert(df.collect()(0).getString(0) == "hello world x")
   }
 
+  test("mixSources hits per-source quotas deterministically") {
+    import graft.operators.Curation
+    val docs = ((0 until 100).map(i => (i.toLong, "keep")) ++
+      (100 until 200).map(i => (i.toLong, "half")) ++
+      (200 until 210).map(i => (i.toLong, "tiny")) ++
+      (300 until 320).map(i => (i.toLong, "dropped")))
+      .toDF("doc_id", "source")
+    val weights = Map("keep" -> 1.0, "half" -> 0.5, "tiny" -> 0.01)
+    val out = Curation.mixSources(docs, "source", "doc_id", weights)
+    val bySource = out.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    // ceil(1.0*100)=100, ceil(0.5*100)=50, ceil(0.01*10)=1, dropped absent
+    assert(bySource == Map("keep" -> 100L, "half" -> 50L, "tiny" -> 1L),
+      bySource.toString)
+    // layout-independent: same selection after a repartition
+    val out2 = Curation.mixSources(docs.repartition(7), "source", "doc_id", weights)
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq ==
+      out2.select("doc_id").as[Long].collect().sorted.toSeq)
+    intercept[IllegalArgumentException] {
+      Curation.mixSources(docs, "source", "doc_id", Map("keep" -> 1.5))
+    }
+  }
+
   test("redactPii counts and replaces emails and digit runs") {
     val df = Seq((1L, "reach me at bob99@mail.com or 12345 ext 77"),
                  (2L, "nothing to hide")).toDF("doc_id", "text")
