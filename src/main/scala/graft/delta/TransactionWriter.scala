@@ -516,11 +516,28 @@ object TransactionWriter {
       // concurrent identity writer then loses at the metaData-conflict
       // gate instead of double-allocating.
       if (idDeclared) {
-        val storedSchema: StructType = (prevMapped, createMapping) match {
+        // Base = the schema this commit's metaData will store (or the
+        // table's when none is re-emitted), with identity METADATA
+        // grafted back from the previous schema for same-named fields —
+        // a plain overwrite passes a runtime frame whose schema lost
+        // the declaration metadata, and committing that verbatim would
+        // silently drop the identity contract.
+        val base: StructType = (prevMapped, createMapping) match {
           case (true, _) => prev.get.metadata.schema
           case (_, Some((m, _))) => m
-          case _ => declaredSchema.orElse(prev.map(_.metadata.schema)).getOrElse(schema)
+          case _ =>
+            if (metaChanged) declaredSchema.getOrElse(schema)
+            else prev.map(_.metadata.schema).getOrElse(schema)
         }
+        val prevIdMeta: Map[String, org.apache.spark.sql.types.Metadata] =
+          prev.map(_.metadata.schema).getOrElse(genDeclared).fields
+            .filter(_.metadata.contains(IdentityColumns.StartKey))
+            .map(f => f.name -> f.metadata).toMap
+        val storedSchema = StructType(base.fields.map { f =>
+          if (f.metadata.contains(IdentityColumns.StartKey)) f
+          else prevIdMeta.get(f.name).map(m => f.copy(metadata = m,
+            dataType = LongType, nullable = false)).getOrElse(f)
+        })
         val statsNameOf: String => String =
           if (prevMapped) prev.get.physicalNameOf
           else createMapping match {
@@ -530,16 +547,17 @@ object TransactionWriter {
               else n
             case None => (n: String) => n
           }
-        IdentityColumns.bumpHwm(storedSchema,
-          moved.flatMap(m => stats.get(m.rel)), statsNameOf).foreach { bumped =>
-          val idx = actions.indexWhere(_.isInstanceOf[MetadataAction])
-          if (idx >= 0) {
-            val m0 = actions(idx).asInstanceOf[MetadataAction].m
-            actions(idx) = MetadataAction(m0.copy(schemaString = bumped.json))
-          } else {
-            actions += MetadataAction(
-              prev.get.metadata.copy(schemaString = bumped.json))
-          }
+        val toStore = IdentityColumns.bumpHwm(storedSchema,
+          moved.flatMap(m => stats.get(m.rel)), statsNameOf)
+          .getOrElse(storedSchema)
+        val idx = actions.indexWhere(_.isInstanceOf[MetadataAction])
+        if (idx >= 0) {
+          val m0 = actions(idx).asInstanceOf[MetadataAction].m
+          if (m0.schemaString != toStore.json)
+            actions(idx) = MetadataAction(m0.copy(schemaString = toStore.json))
+        } else if (prev.exists(_.metadata.schemaString != toStore.json)) {
+          actions += MetadataAction(
+            prev.get.metadata.copy(schemaString = toStore.json))
         }
       }
       // Row tracking: allocate fresh ids for the new files from the

@@ -37,6 +37,14 @@ object IdentityDemo {
       require(ids.distinct.length == 5, "ids must be unique")
       require(ids.forall(i => i >= 1000L), "ids on the lattice beyond start")
       require(spec.highWaterMark.contains(ids.max), "hwm tracks the max")
+
+      // a plain overwrite keeps the declaration and allocates onward
+      TransactionWriter.overwrite(log, Seq("reset").toDF("payload"))
+      val spec2 = IdentityColumns.of(log.snapshot.metadata.schema)
+      require(spec2.nonEmpty, "overwrite must keep the identity declaration")
+      val afterId = log.snapshot.read().select("id").as[Long].head()
+      require(afterId > ids.max, s"post-overwrite id beyond hwm: $afterId")
+      println(s"== after overwrite: id=$afterId hwm=${spec2.head.highWaterMark} ==")
       println("IdentityDemo OK")
     } finally spark.stop()
   }

@@ -70,6 +70,26 @@ class IdentityColumnsSpec extends SparkTestBase {
     assert(e.getMessage.contains("identity column id"))
   }
 
+  test("plain overwrite keeps the identity declaration and allocates on") {
+    val log = freshLog()
+    TransactionWriter.overwriteWithSchema(log,
+      Seq("a", "b").toDF("s").coalesce(1),
+      StructType(Seq(
+        IdentityColumns.field("id"),
+        StructField("s", StringType))))
+    // overwrite WITHOUT a declared schema: the runtime frame carries no
+    // identity metadata, but the stored schema must keep the contract
+    TransactionWriter.overwrite(log, Seq("x", "y", "z").toDF("s").coalesce(1))
+    val spec = IdentityColumns.of(log.snapshot.metadata.schema)
+    assert(spec.nonEmpty, "overwrite must not drop the identity declaration")
+    val ids = log.snapshot.read().select("id").as[Long].collect().toSeq
+    assert(ids.size == 3 && ids.distinct.size == 3)
+    assert(ids.forall(_ > 2L), s"post-overwrite ids allocate beyond the hwm: $ids")
+    // and the contract still enforces on the next append
+    intercept[IllegalArgumentException](
+      TransactionWriter.append(log, Seq((1L, "w")).toDF("id", "s")))
+  }
+
   test("negative step descends; targeted rewrite keeps existing ids") {
     val log = freshLog()
     TransactionWriter.overwriteWithSchema(log,
