@@ -405,13 +405,14 @@ object Maintenance {
     // delta-spark behavior for liquid-clustered tables.
     val clusterCols = Clustering.clusteringColumns(snap)
     if (clusterCols.nonEmpty) return zorder(log, clusterCols, targetFileBytes)
-    val df = layoutFor(snap.read(), snap.activeFiles,
+    val (scan, preserved) = RowTracking.preservingScan(snap, snap.activeFiles)
+    val df = layoutFor(scan, snap.activeFiles,
       targetFileBytes, snap.metadata.partitionColumns)
     // dataChange = false: pure layout rewrite — streaming consumers
     // must not re-emit or fail on an OPTIMIZE (Delta spec)
     TransactionWriter.overwrite(log, df,
       partitionBy = Some(snap.metadata.partitionColumns), operation = "OPTIMIZE",
-      dataChange = false)
+      dataChange = false, preservedCols = preserved)
   }
 
   /** Targeted OPTIMIZE: rewrite ONLY the active files smaller than
@@ -446,10 +447,11 @@ object Maintenance {
       .filter(_.size >= minSmallFiles)
       .flatten.toSeq
     if (touched.isEmpty) return snap.version
-    val df = layoutFor(snap.readFiles(touched), touched,
+    val (scan, preserved) = RowTracking.preservingScan(snap, touched)
+    val df = layoutFor(scan, touched,
       targetFileBytes, snap.metadata.partitionColumns)
     TransactionWriter.rewriteFiles(log, snap, touched, df, "OPTIMIZE",
-      dataChange = false)
+      dataChange = false, preservedCols = preserved)
   }
 
   /** REORG TABLE ... APPLY (PURGE): rewrite ONLY the active files that
@@ -471,10 +473,11 @@ object Maintenance {
     val dved = snap.activeFiles
       .filter(_.deletionVector.exists(_.cardinality > 0))
     if (dved.isEmpty) return snap.version
-    val df = layoutFor(snap.readFiles(dved), dved,
+    val (scan, preserved) = RowTracking.preservingScan(snap, dved)
+    val df = layoutFor(scan, dved,
       targetFileBytes, snap.metadata.partitionColumns)
     TransactionWriter.rewriteFiles(log, snap, dved, df, "REORG",
-      dataChange = false)
+      dataChange = false, preservedCols = preserved)
   }
 
   /** FSCK REPAIR TABLE (delta-rs `FSCK`): drop add entries whose data
@@ -756,7 +759,7 @@ object Maintenance {
       targetFileBytes: Long = 128L * 1024 * 1024): Long = {
     require(zCols.nonEmpty && zCols.size <= 4, "zorder needs 1-4 columns")
     val snap = log.snapshot
-    val df = snap.read()
+    val (df, preserved) = RowTracking.preservingScan(snap, snap.activeFiles)
     zCols.foreach { c =>
       require(df.columns.contains(c), s"unknown zorder column $c")
       val dt = df.schema(c).dataType
@@ -803,7 +806,7 @@ object Maintenance {
     TransactionWriter.overwrite(log, ordered,
       partitionBy = Some(snap.metadata.partitionColumns),
       operation = "OPTIMIZE ZORDER BY",
-      dataChange = false)
+      dataChange = false, preservedCols = preserved)
   }
 
   /** RESTORE to a previous version (delta-rs `restore`): a metadata-only

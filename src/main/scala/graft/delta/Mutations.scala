@@ -74,15 +74,17 @@ object Mutations {
     val snap = log.snapshot
     val touched = filesMatching(snap, predicate)
     if (touched.isEmpty) return snap.version
-    val replacement = snap.readFiles(touched)
-      .where(!coalesce(predicate, lit(false)))
+    // survivors keep their row ids (preservingScan attaches them as
+    // materialized columns; the filter passes them through untouched)
+    val (scan, preserved) = RowTracking.preservingScan(snap, touched)
+    val replacement = scan.where(!coalesce(predicate, lit(false)))
     val cdc =
       if (ChangeDataFeed.enabled(snap))
         ChangeDataFeed.writeCdcFiles(log, ChangeDataFeed.deleteChanges(
           snap.readFiles(touched).where(coalesce(predicate, lit(false)))))
       else Nil
     TransactionWriter.rewriteFiles(log, snap, touched, replacement, "DELETE",
-      extraActions = cdc)
+      extraActions = cdc, preservedCols = preserved)
   }
 
   /** UPDATE by targeted rewrite: SET `set` columns on rows matching
@@ -100,15 +102,17 @@ object Mutations {
       s"SET column '$k' not in table schema ${schema.fieldNames.toSeq}"))
     val touched = filesMatching(snap, predicate)
     if (touched.isEmpty) return snap.version
-    val scan = snap.readFiles(touched)
-    val replacement = scan.select(schema.fieldNames.toSeq.map { c =>
+    // an UPDATE keeps row identity (same logical row, new values) —
+    // the materialized ids ride the projection unchanged
+    val (scan, preserved) = RowTracking.preservingScan(snap, touched)
+    val replacement = scan.select((schema.fieldNames.toSeq.map { c =>
       set.get(c) match {
         case Some(expr) =>
           when(coalesce(predicate, lit(false)), expr.cast(schema(c).dataType))
             .otherwise(col(c)).as(c)
         case None => col(c)
       }
-    }: _*)
+    } ++ preserved.map(p => col(s"`$p`"))): _*)
     val cdc =
       if (ChangeDataFeed.enabled(snap)) {
         val pre = snap.readFiles(touched).where(coalesce(predicate, lit(false)))
@@ -122,7 +126,7 @@ object Mutations {
           ChangeDataFeed.updateChanges(pre, post))
       } else Nil
     TransactionWriter.rewriteFiles(log, snap, touched, replacement, "UPDATE",
-      extraActions = cdc)
+      extraActions = cdc, preservedCols = preserved)
   }
 
   /** kill_duplicates with targeted rewrite. Returns the committed

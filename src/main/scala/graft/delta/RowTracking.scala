@@ -16,22 +16,37 @@ import org.apache.spark.sql.functions._
   *    abort — see TransactionWriter's rebase rules);
   *  - DV-based DELETE/UPDATE preserve ids exactly (the files — and so
   *    `baseRowId` — are untouched; only the bitmap changes);
+  *  - row-preserving REWRITES keep ids: OPTIMIZE (compact /
+  *    compactSmall / zorder), REORG PURGE, and targeted DELETE/UPDATE
+  *    write the current ids into MATERIALIZED columns (physical names
+  *    recorded in the table config at enable time), and reads prefer a
+  *    materialized id over the fresh `baseRowId + row_index`
+  *    derivation;
   *  - ids survive checkpoints, time travel, and clone.
   *
-  * Documented divergence from delta-spark: REWRITE commits (OPTIMIZE /
-  * REORG / targeted mutations) re-assign fresh ids to the rewritten
-  * rows instead of carrying them through materialized id columns —
-  * tracking across rewrites needs the materialized-column machinery
-  * this engine does not implement yet. Readers needing stable
-  * identity across rewrites should pin versions (time travel) or use
-  * DV-based mutations, which preserve ids.
+  * Documented divergence from delta-spark: the reshaping mutations
+  * (dedup survivors, SCD2 closes, general MERGE projections)
+  * re-assign fresh ids to rewritten rows — their operator pipelines
+  * (windows, aggregations) don't carry the materialized columns
+  * through. Materialized preservation is also skipped on column-mapped
+  * tables (fresh ids there).
   */
 object RowTracking {
 
   val Domain = "delta.rowTracking"
+  val MatIdKey = "delta.rowTracking.materializedRowIdColumnName"
+  val MatVerKey = "delta.rowTracking.materializedRowCommitVersionColumnName"
 
   def supported(p: Protocol): Boolean =
     p.minWriterVersion >= 7 && p.writerFeatures.contains("rowTracking")
+
+  /** The physical names of the materialized row-id / row-commit-version
+    * columns (assigned at [[enable]] time, delta-spark's convention). */
+  def materializedCols(snap: Snapshot): Option[(String, String)] =
+    for {
+      id <- snap.metadata.configuration.get(MatIdKey)
+      ver <- snap.metadata.configuration.get(MatVerKey)
+    } yield (id, ver)
 
   /** Highest allocated row id, -1 when none allocated yet. */
   def highWaterMark(snap: Snapshot): Long =
@@ -71,30 +86,48 @@ object RowTracking {
           defaultRowCommitVersion = Some(v))))
       }
     }
+    // Materialized column names (stable, uuid-suffixed so they can
+    // never collide with user columns) — rewrites write current ids
+    // under these physical names to carry them across file boundaries.
+    val m = snap.metadata
+    val conf2 = m.configuration +
+      (MatIdKey -> m.configuration.getOrElse(MatIdKey,
+        s"_row-id-col-${java.util.UUID.randomUUID}")) +
+      (MatVerKey -> m.configuration.getOrElse(MatVerKey,
+        s"_row-commit-version-col-${java.util.UUID.randomUUID}"))
     val actions =
       Seq(CommitInfoAction(CommitInfo(System.currentTimeMillis(),
-        "ENABLE ROW TRACKING"))) ++
+        "ENABLE ROW TRACKING")),
+        MetadataAction(m.copy(configuration = conf2))) ++
         Domains.featureUpgrade(snap, Set("rowTracking", "domainMetadata")) ++
         backfilled :+ domainAction(next - 1)
-    log.commit(v, actions, ictEnabled = snap.metadata.configuration
+    log.commit(v, actions, ictEnabled = m.configuration
       .get("delta.enableInCommitTimestamps").contains("true"))
     v
   }
 
   /** The table with `_row_id` and `_row_commit_version` columns
-    * attached (fresh derivation: `baseRowId + row_index`, honoring
-    * deletion vectors — a DV-deleted row's id is simply absent, and
-    * surviving rows keep theirs). */
+    * attached. Per row, a MATERIALIZED id (written by a preserving
+    * rewrite into the configured physical columns) wins over the fresh
+    * derivation `baseRowId + row_index` — that precedence is what
+    * makes ids stable across OPTIMIZE/REORG. Deletion vectors are
+    * honored (a DV-deleted row's id is simply absent). */
   def readWithRowIds(snap: Snapshot): DataFrame = {
     require(supported(snap.protocol),
       s"row tracking is not enabled on ${snap.log.tablePath}")
-    val files = snap.activeFiles
+    readWithRowIds(snap, snap.activeFiles)
+  }
+
+  /** [[readWithRowIds]] restricted to a file subset. */
+  private[delta] def readWithRowIds(
+      snap: Snapshot, files: Seq[AddFile]): DataFrame = {
     val missing = files.filterNot(_.baseRowId.nonEmpty)
     require(missing.isEmpty,
       s"${missing.size} file(s) lack baseRowId (foreign writer without " +
         "row tracking?); run RowTracking.enable to backfill")
+    val spark = snap.log.spark
+    import spark.implicits._
     if (files.isEmpty) {
-      val spark = snap.log.spark
       val withIds = org.apache.spark.sql.types.StructType(snap.schema.fields ++ Seq(
         org.apache.spark.sql.types.StructField("_row_id",
           org.apache.spark.sql.types.LongType),
@@ -103,17 +136,58 @@ object RowTracking {
       return spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), withIds)
     }
-    // (file-path spelling → baseRowId, dcv) broadcast-joined against the
-    // lineage scan — same path-candidate trick as the DV filter.
-    val spark = snap.log.spark
-    import spark.implicits._
+    // (file-path spelling → baseRowId, dcv) broadcast-joined against
+    // the lineage scan — same path-candidate trick as the DV filter.
     val lookup = files.flatMap(f => snap.pathCandidates(f).map(p =>
       (p, f.baseRowId.get, f.defaultRowCommitVersion.getOrElse(-1L))))
       .toDF("__rt_path", "__rt_base", "__rt_dcv")
-    snap.readFilesLineage(files)
+    val extraCols = materializedCols(snap).toSeq.flatMap { case (idC, verC) =>
+      Seq(org.apache.spark.sql.types.StructField(idC,
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField(verC,
+            org.apache.spark.sql.types.LongType))
+    }
+    val scanned = snap.readFilesLineage(files, extraCols)
       .join(broadcast(lookup), col("__file") === col("__rt_path"))
-      .select(snap.schema.fieldNames.map(col).toSeq ++ Seq(
-        (col("__rt_base") + col("__row")).as("_row_id"),
-        col("__rt_dcv").as("_row_commit_version")): _*)
+    val (ridCol, rverCol) = materializedCols(snap) match {
+      case Some((idC, verC)) =>
+        (coalesce(col(s"`$idC`"), col("__rt_base") + col("__row")),
+         coalesce(col(s"`$verC`"), col("__rt_dcv")))
+      case None =>
+        (col("__rt_base") + col("__row"), col("__rt_dcv"))
+    }
+    scanned.select(snap.schema.fieldNames.map(col).toSeq ++ Seq(
+      ridCol.as("_row_id"), rverCol.as("_row_commit_version")): _*)
   }
+
+  /** The table rows of `files` with the CURRENT row ids attached under
+    * the table's MATERIALIZED column names — the input a row-preserving
+    * rewrite (OPTIMIZE / REORG / filter-shaped mutation) feeds to the
+    * writer (with `preservedCols` naming the two columns) so the
+    * rewritten files carry the ids forward. */
+  private[delta] def withMaterializedRowIds(
+      snap: Snapshot, files: Seq[AddFile]): (DataFrame, Seq[String]) = {
+    val (idC, verC) = materializedCols(snap).getOrElse(
+      throw new IllegalStateException(
+        s"row tracking not fully enabled on ${snap.log.tablePath} " +
+          "(no materialized column names); run RowTracking.enable"))
+    (readWithRowIds(snap, files)
+      .withColumnRenamed("_row_id", idC)
+      .withColumnRenamed("_row_commit_version", verC),
+      Seq(idC, verC))
+  }
+
+  /** The scan a row-preserving rewrite should start from: when row
+    * tracking is fully on (and unmapped — materialized columns are not
+    * supported under column mapping), the rows come with their current
+    * ids attached under the materialized names, and the caller passes
+    * the returned names as the writer's `preservedCols`; otherwise a
+    * plain scan with no preservation. */
+  private[graft] def preservingScan(
+      snap: Snapshot, files: Seq[AddFile]): (DataFrame, Seq[String]) =
+    if (supported(snap.protocol) && materializedCols(snap).nonEmpty &&
+        snap.columnMappingMode == "none" &&
+        files.forall(_.baseRowId.nonEmpty))
+      withMaterializedRowIds(snap, files)
+    else (snap.readFiles(files), Nil)
 }

@@ -510,27 +510,36 @@ class Snapshot(
     * attribute rows to files. Unlike `input_file_name()` the lineage is
     * a real column, so it survives the deletion-vector anti-join (and
     * any later shuffle). */
-  private[graft] def readFilesLineage(files: Seq[AddFile]): DataFrame = {
+  private[graft] def readFilesLineage(
+      files: Seq[AddFile],
+      extraDataCols: Seq[StructField] = Nil): DataFrame = {
     if (files.isEmpty) {
-      val withLineage = StructType(schema.fields ++ Seq(
+      val withLineage = StructType(schema.fields ++ extraDataCols ++ Seq(
         StructField("__file", StringType), StructField("__row", LongType)))
       return spark.createDataFrame(new java.util.ArrayList[Row](), withLineage)
     }
     val (dved, clean) = files.partition(_.deletionVector.exists(_.cardinality > 0))
     val cleanDf =
-      if (clean.isEmpty) None else Some(scanFiles(clean, withRowLineage = true))
-    val dvDf = if (dved.isEmpty) None else Some(applyDeletionVectors(dved))
+      if (clean.isEmpty) None
+      else Some(scanFiles(clean, withRowLineage = true, extraDataCols))
+    val dvDf =
+      if (dved.isEmpty) None else Some(applyDeletionVectors(dved, extraDataCols))
     (cleanDf.toSeq ++ dvDf.toSeq).reduce(_.unionByName(_))
       .withColumnRenamed("__dv_path", "__file")
       .withColumnRenamed("__dv_row", "__row")
-      .select((schema.fieldNames.toSeq :+ "__file" :+ "__row").map(col): _*)
+      .select((schema.fieldNames.toSeq ++ extraDataCols.map(_.name) ++
+        Seq("__file", "__row")).map(col): _*)
   }
 
   /** Scan a file subset with partition-value attachment; when
     * `withRowLineage` the result additionally carries `__dv_path`
     * (the scan's `_metadata.file_path`) and `__dv_row`
-    * (`_metadata.row_index`) for deletion-vector filtering. */
-  private def scanFiles(files: Seq[AddFile], withRowLineage: Boolean): DataFrame = {
+    * (`_metadata.row_index`) for deletion-vector filtering.
+    * `extraDataCols` are NON-schema physical columns to read as-is
+    * (nullable — files lacking them yield null): the materialized
+    * row-tracking columns. */
+  private def scanFiles(files: Seq[AddFile], withRowLineage: Boolean,
+      extraDataCols: Seq[StructField] = Nil): DataFrame = {
     val partCols = metadata.partitionColumns
     // id-mode resolution is by parquet field id; the flag is a session
     // conf (no per-read option exists) and STAYS SET for the session —
@@ -564,17 +573,20 @@ class Snapshot(
     // partition count), each with its literal partition values attached;
     // unpartitioned tables collapse to a single multi-file scan.
     val groups = files.groupBy(_.partitionValues).toSeq
+    val readSchema = StructType(dataSchemaPhysical.fields ++
+      extraDataCols.map(_.copy(nullable = true)))
     val parts = groups.map { case (pv, fs) =>
-      val scanned = spark.read.schema(dataSchemaPhysical).parquet(fs.map(absolutePath): _*)
+      val scanned = spark.read.schema(readSchema).parquet(fs.map(absolutePath): _*)
       val renames = dataSchemaPhysical.fields.zip(dataFieldsLogical).map { case (pf, lf) =>
         col(s"`${pf.name}`").cast(relaxNullable(lf.dataType)).as(lf.name)
       }.toSeq
+      val extras = extraDataCols.map(f => col(s"`${f.name}`"))
       val lineage =
         if (withRowLineage)
           Seq(col("_metadata.file_path").as("__dv_path"),
             col("_metadata.row_index").as("__dv_row"))
         else Nil
-      val renamed = scanned.select(renames ++ lineage: _*)
+      val renamed = scanned.select(renames ++ extras ++ lineage: _*)
       partCols.foldLeft(renamed) { (df, pc) =>
         val dt = schema(pc).dataType
         val raw = pv.get(physicalNameOf(pc)).orNull
@@ -605,8 +617,10 @@ class Snapshot(
     * broadcasts the deleted relation when small (the common case:
     * deletes touch a fraction of rows), so the filter adds no shuffle
     * to the scan side. */
-  private def applyDeletionVectors(dved: Seq[AddFile]): DataFrame = {
-    val scanned = scanFiles(dved, withRowLineage = true)
+  private def applyDeletionVectors(
+      dved: Seq[AddFile],
+      extraDataCols: Seq[StructField] = Nil): DataFrame = {
+    val scanned = scanFiles(dved, withRowLineage = true, extraDataCols)
     val descs: Seq[(Seq[String], DeletionVectorDescriptor)] =
       dved.map(f => (pathCandidates(f), f.deletionVector.get))
     val confEntries: Array[(String, String)] = {

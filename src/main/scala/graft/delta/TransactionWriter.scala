@@ -31,7 +31,8 @@ object TransactionWriter {
       partitionBy: Option[Seq[String]] = None,
       configuration: Map[String, String] = Map.empty,
       operation: String = "WRITE",
-      dataChange: Boolean = true): Long = {
+      dataChange: Boolean = true,
+      preservedCols: Seq[String] = Nil): Long = {
     val prev: Option[Snapshot] =
       if (log.fs.exists(log.logPath) &&
           { val (c, p) = log.listLog(); c.nonEmpty || p.nonEmpty })
@@ -42,7 +43,7 @@ object TransactionWriter {
       partitionBy = partitionBy, configuration = configuration,
       operation = operation,
       mode = if (prev.isEmpty) "ErrorIfExists" else "Overwrite",
-      dataChange = dataChange)
+      dataChange = dataChange, preservedCols = preservedCols)
   }
 
   /** Overwrite/create with an explicitly DECLARED schema — the way to
@@ -175,11 +176,13 @@ object TransactionWriter {
       replacement: DataFrame,
       operation: String,
       dataChange: Boolean = true,
-      extraActions: Seq[Action] = Nil): Long =
+      extraActions: Seq[Action] = Nil,
+      preservedCols: Seq[String] = Nil): Long =
     writeAndCommit(log, replacement, Some(snap), removes = touched,
       partitionBy = Some(snap.metadata.partitionColumns),
       configuration = Map.empty, operation = operation, mode = "Rewrite",
-      dataChange = dataChange, extraActions = extraActions)
+      dataChange = dataChange, extraActions = extraActions,
+      preservedCols = preservedCols)
 
   /** Assign fresh column-mapping ids + physical names to every struct
     * field (recursively, depth-first — the Delta assignment order),
@@ -280,9 +283,17 @@ object TransactionWriter {
       extraActions: Seq[Action] = Nil,
       /** Extra paths the logical-conflict rebase check must treat as
         * read-and-replaced by this transaction. */
-      extraTouched: Set[String] = Set.empty): Long = {
+      extraTouched: Set[String] = Set.empty,
+      /** Columns of `df` that are NOT table schema — written into the
+        * parquet files verbatim but excluded from schema enforcement,
+        * metaData, and stats. Used for the materialized row-tracking
+        * columns a preserving rewrite carries. */
+      preservedCols: Seq[String] = Nil): Long = {
     val spark = log.spark
     val fs = log.fs
+    require(preservedCols.isEmpty || prev.forall(_.columnMappingMode == "none"),
+      "preserved (materialized) columns are not supported on " +
+        "column-mapped tables")
     val partCols: Seq[String] =
       partitionBy.orElse(prev.map(_.metadata.partitionColumns)).getOrElse(Nil)
     // Generated columns: omitted ones are COMPUTED from their
@@ -300,7 +311,10 @@ object TransactionWriter {
     val df1 = IdentityColumns.fill(
       GeneratedColumns.fill(df, genDeclared), genDeclared,
       internalRewrite = mode == "Rewrite")
-    val schema = df1.schema
+    // the TABLE schema: preserved (materialized) columns ride the
+    // parquet files but are invisible to the log's schema contract
+    val schema = StructType(
+      df1.schema.filterNot(f => preservedCols.contains(f.name)))
     require(partCols.forall(schema.fieldNames.contains),
       s"partition columns $partCols missing from ${schema.fieldNames.toSeq}")
 
@@ -452,8 +466,8 @@ object TransactionWriter {
       // 3. Per-file stats in one grouped pass over the written files
       // (under physical names for mapped tables — stats in the log are
       // keyed physically, see Snapshot.addsFlat).
-      val dataSchema = StructType(
-        writeDf.schema.filterNot(f => writePartCols.contains(f.name)))
+      val dataSchema = StructType(writeDf.schema.filterNot(f =>
+        writePartCols.contains(f.name) || preservedCols.contains(f.name)))
       val stats = computeStats(log, dataSchema, moved)
 
       // 4. Commit.

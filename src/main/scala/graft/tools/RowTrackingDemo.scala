@@ -38,6 +38,16 @@ object RowTrackingDemo {
       require(rids.length == 7, s"expected 7 live rows, got ${rids.length}")
       require(RowTracking.highWaterMark(t.snapshot) == 7L,
         s"hwm should be 7 after 8 allocations, got ${RowTracking.highWaterMark(t.snapshot)}")
+
+      // OPTIMIZE preserves every id through the materialized columns
+      val beforeOpt = t.readWithRowIds().select("id", "_row_id")
+        .as[(Long, Long)].collect().toMap
+      graft.delta.Maintenance.compact(t.log)
+      val afterOpt = t.readWithRowIds().select("id", "_row_id")
+        .as[(Long, Long)].collect().toMap
+      require(beforeOpt == afterOpt,
+        s"OPTIMIZE must preserve row ids: $beforeOpt vs $afterOpt")
+      println(s"== OPTIMIZE preserved all ${afterOpt.size} row ids ==")
       println("RowTrackingDemo OK")
     } finally spark.stop()
   }

@@ -72,7 +72,7 @@ class RowTrackingSpec extends SparkTestBase {
     assert(RowTracking.highWaterMark(fresh.snapshot) == 19L)
   }
 
-  test("rewrites reallocate (documented); unenabled tables refuse") {
+  test("OPTIMIZE and targeted DELETE/UPDATE preserve ids via materialized cols") {
     val log = freshLog()
     TransactionWriter.overwrite(log,
       (0L until 8L).map(i => (i, s"v$i")).toDF("id", "v").repartition(2))
@@ -80,11 +80,30 @@ class RowTrackingSpec extends SparkTestBase {
       RowTracking.readWithRowIds(log.snapshot)
     }
     RowTracking.enable(log)
+    val before = ids(log).map { case (k, v, _) => k -> v }.toMap
+
     Maintenance.compact(log)
-    val after = ids(log)
-    // fresh ids, still unique, hwm advanced past both generations
-    assert(after.map(_._2).distinct.size == 8)
-    assert(after.map(_._2).forall(_ >= 8L))
-    assert(RowTracking.highWaterMark(log.snapshot) == 15L)
+    val afterCompact = ids(log)
+    assert(afterCompact.map { case (k, v, _) => k -> v }.toMap == before,
+      "OPTIMIZE must preserve every row id")
+    // the merged file carries fresh baseRowId (spec), ids come from the
+    // materialized column — hwm advanced for the rewrite's allocation
+    assert(RowTracking.highWaterMark(log.snapshot) >= 7L)
+
+    // targeted DELETE: survivors keep their ids
+    Mutations.delete(log, col("id") < 3L)
+    val afterDelete = ids(log)
+    assert(afterDelete.map(_._1).toSet == (3L until 8L).toSet)
+    afterDelete.foreach { case (id, rid, _) => assert(before(id) == rid) }
+
+    // targeted UPDATE: updated rows keep identity, new values
+    Mutations.update(log, col("id") === 5L, Map("v" -> lit("changed")))
+    val afterUpdate = ids(log)
+    afterUpdate.foreach { case (id, rid, _) => assert(before(id) == rid) }
+    assert(log.snapshot.read().where(col("v") === "changed").count() == 1L)
+
+    // and another OPTIMIZE still reads the materialized ids through
+    Maintenance.compact(log)
+    ids(log).foreach { case (id, rid, _) => assert(before(id) == rid) }
   }
 }
