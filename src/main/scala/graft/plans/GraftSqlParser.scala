@@ -28,6 +28,8 @@ import graft.delta.{Clone, Constraints, DeltaLog, Maintenance, Mutations}
   * GRAFT ALTER '<path>' ADD CONSTRAINT <name> CHECK (<expr>)
   * GRAFT ALTER '<path>' DROP CONSTRAINT <name>
   * GRAFT ALTER '<path>' CLUSTER BY (c1, c2) | CLUSTER BY NONE
+  * GRAFT ALTER '<path>' ENABLE CHANGE DATA FEED | ROW TRACKING |
+  *                             IN COMMIT TIMESTAMPS | COLUMN MAPPING
   * }}}
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
@@ -58,6 +60,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+ALTER\s+'([^']+)'\s+CLUSTER\s+BY\s*\(([^)]+)\)\s*""".r
   private val ClusterByNone =
     """(?is)\s*GRAFT\s+ALTER\s+'([^']+)'\s+CLUSTER\s+BY\s+NONE\s*""".r
+  private val AlterEnable =
+    """(?is)\s*GRAFT\s+ALTER\s+'([^']+)'\s+ENABLE\s+(CHANGE\s+DATA\s+FEED|ROW\s+TRACKING|IN\s+COMMIT\s+TIMESTAMPS|COLUMN\s+MAPPING)\s*""".r
 
   /** Split a SET list on top-level commas only (commas inside
     * parentheses — function calls — don't separate assignments). */
@@ -150,6 +154,19 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftMaintenanceCommand(path, "drop_constraint",
         Seq("version"), s =>
           Seq(Row(Constraints.dropCheckConstraint(DeltaLog.forPath(s, path), name))))
+    case AlterEnable(path, what) =>
+      GraftMaintenanceCommand(path, "alter_enable",
+        Seq("version"), s => {
+          val log = DeltaLog.forPath(s, path)
+          val v = what.toUpperCase.replaceAll("\\s+", " ") match {
+            case "CHANGE DATA FEED" => graft.delta.ChangeDataFeed.enable(log)
+            case "ROW TRACKING" => graft.delta.RowTracking.enable(log)
+            case "IN COMMIT TIMESTAMPS" => Maintenance.enableInCommitTimestamps(log)
+            case "COLUMN MAPPING" =>
+              graft.delta.SchemaEvolution.enableColumnMapping(log)
+          }
+          Seq(Row(v))
+        })
     case ClusterByNone(path) =>
       GraftMaintenanceCommand(path, "cluster_by_none",
         Seq("version"), s =>

@@ -85,6 +85,15 @@ object SqlDemo {
       require(repaired == 1L, s"expected 1 repaired file, got $repaired")
       require(spark.read.format("graftdelta").load(fsckPath).count() >= 1L)
       println(s"== FSCK repaired $repaired missing file(s); table readable again ==")
+
+      // feature enablement via SQL
+      spark.sql(s"GRAFT ALTER '$fsckPath' ENABLE CHANGE DATA FEED")
+      spark.sql(s"GRAFT ALTER '$fsckPath' ENABLE ROW TRACKING")
+      val fsnap = graft.delta.DeltaLog.forPath(spark, fsckPath).snapshot
+      require(graft.delta.ChangeDataFeed.enabled(fsnap))
+      require(graft.delta.RowTracking.supported(fsnap.protocol))
+      println(s"== ENABLE CHANGE DATA FEED / ROW TRACKING: " +
+        s"protocol=${fsnap.protocol.minWriterVersion} ==")
       println("SqlDemo OK")
     } finally spark.stop()
   }

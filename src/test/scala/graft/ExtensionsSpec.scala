@@ -149,6 +149,14 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(spark.sql(s"GRAFT CLONE '$path' TO '$clonePath'").collect()(0).getLong(0) == 0L)
     assert(spark.read.format("graftdelta").load(clonePath).count() == 2)
 
+    // ALTER ENABLE statements flip the features on
+    spark.sql(s"GRAFT ALTER '$path' ENABLE CHANGE DATA FEED")
+    spark.sql(s"GRAFT ALTER '$path' ENABLE ROW TRACKING")
+    val snap = graft.delta.DeltaLog.forPath(spark, path).snapshot
+    assert(graft.delta.ChangeDataFeed.enabled(snap))
+    assert(graft.delta.RowTracking.supported(snap.protocol))
+    assert(snap.activeFiles.forall(_.baseRowId.nonEmpty))
+
     // ordinary SQL still parses through the delegate
     assert(spark.sql("SELECT 1 + 1").collect()(0).getInt(0) == 2)
     // ...including parameterized statements (parsePlanWithParameters path)
