@@ -135,7 +135,17 @@ object ChangeDataFeed {
           Some(spark.read.schema(readSchema).parquet(paths: _*))
         } else {
           val adds = actions.collect { case AddAction(a) if a.dataChange => a }
-          val removes = actions.collect { case RemoveAction(r) if r.dataChange => r }
+          // FSCK removes entries for files MISSING from storage — their
+          // rows are unrecoverable, so deriving deletes would fail on
+          // FileNotFound and make every spanning range unreadable. The
+          // repair contributes nothing to the feed (documented on
+          // Maintenance.fsck).
+          val isFsck = actions.collectFirst {
+            case CommitInfoAction(ci) => ci.operation
+          }.contains("FSCK")
+          val removes =
+            if (isFsck) Nil
+            else actions.collect { case RemoveAction(r) if r.dataChange => r }
           val inserts =
             if (adds.isEmpty) None
             else Some(align(log.snapshotAt(v).readFiles(adds)
@@ -192,13 +202,18 @@ object ChangeDataFeed {
     require(commits.nonEmpty, s"${log.tablePath} has no commit files")
     val versions = commits.sorted.map(v => v -> tsOfVersion(v))
     val inWindow = versions.filter { case (_, t) => t >= startMs && t <= endMs }
-    inWindow.map(_._1) match {
-      case vs if vs.isEmpty =>
-        // typed empty frame via an empty version range
-        tableChanges(log, latest, Some(latest))
-          .limit(0)
-      case vs => tableChanges(log, vs.min, Some(vs.max))
-    }
+      .map(_._1)
+    if (inWindow.isEmpty)
+      return tableChanges(log, latest, Some(latest)).limit(0)
+    // mtime-based timestamps need not be monotonic (copied logs, clock
+    // skew) — spanning [min, max] would smuggle in out-of-window
+    // commits, so union one feed per CONTIGUOUS in-window run instead.
+    val runs = inWindow.foldLeft(List.empty[(Long, Long)]) {
+      case ((s, e) :: rest, v) if v == e + 1 => (s, v) :: rest
+      case (acc, v) => (v, v) :: acc
+    }.reverse
+    runs.map { case (s, e) => tableChanges(log, s, Some(e)) }
+      .reduce(_.unionByName(_))
   }
 
   /** Change rows (with `_change_type`) for a DELETE of `matched` rows,

@@ -491,7 +491,12 @@ object Maintenance {
     * Existence checks run on the driver (one `exists` per active
     * file) — fine to ~10⁶ files; beyond that, run the same check as a
     * Spark job over [[Snapshot.addsFlat]] and pass the survivors
-    * through a targeted commit. */
+    * through a targeted commit.
+    *
+    * Change Data Feed: an FSCK commit contributes NOTHING to the feed
+    * (the removed rows' content is unrecoverable — there is no file to
+    * read the deleted rows from), and [[ChangeDataFeed.tableChanges]]
+    * skips its removes so ranges spanning a repair stay readable. */
   def fsck(log: DeltaLog, dryRun: Boolean = false): Seq[String] = {
     val snap = log.snapshot
     val fs = log.fs

@@ -174,11 +174,26 @@ final case class Merge(
 
     // -- inserts (source rows matching NO target row, globally) -------------
     val insertsOpt: Option[DataFrame] = notMatchedInsert.map { case (cOpt, values) =>
+      // Identity columns: omitted ones are GENERATED here (the writer's
+      // fill cannot — the projection below would otherwise materialize
+      // them as NULL, tripping the NOT NULL invariant); explicitly
+      // provided ones follow the allowExplicitInsert gate.
+      val idSpecs = IdentityColumns.of(targetSchema).map(s => s.name -> s).toMap
+      idSpecs.values.foreach { s =>
+        require(!values.contains(s.name) || s.allowExplicitInsert,
+          s"cannot insert values for identity column ${s.name}: it is " +
+            "GENERATED ALWAYS (declare allowExplicitInsert to override)")
+      }
       val unmatched = src.join(snap.read().alias("t"), condition, "left_anti")
       val filtered = cOpt.map(unmatched.where).getOrElse(unmatched)
       filtered.select(targetCols.map { c =>
         val dt = targetSchema(c).dataType
-        values.get(c).map(_.cast(dt)).getOrElse(lit(null).cast(dt)).as(c)
+        values.get(c).map(_.cast(dt))
+          .orElse(idSpecs.get(c).map { s =>
+            val base = s.highWaterMark.getOrElse(s.start - s.step)
+            (lit(base) + (monotonically_increasing_id() + 1L) * s.step).cast(dt)
+          })
+          .getOrElse(lit(null).cast(dt)).as(c)
       }: _*)
     }
 

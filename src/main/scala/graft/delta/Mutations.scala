@@ -75,16 +75,23 @@ object Mutations {
     val touched = filesMatching(snap, predicate)
     if (touched.isEmpty) return snap.version
     // survivors keep their row ids (preservingScan attaches them as
-    // materialized columns; the filter passes them through untouched)
-    val (scan, preserved) = RowTracking.preservingScan(snap, touched)
-    val replacement = scan.where(!coalesce(predicate, lit(false)))
-    val cdc =
-      if (ChangeDataFeed.enabled(snap))
-        ChangeDataFeed.writeCdcFiles(log, ChangeDataFeed.deleteChanges(
-          snap.readFiles(touched).where(coalesce(predicate, lit(false)))))
-      else Nil
-    TransactionWriter.rewriteFiles(log, snap, touched, replacement, "DELETE",
-      extraActions = cdc, preservedCols = preserved)
+    // materialized columns; the filter passes them through untouched).
+    // With CDF on, the scan feeds BOTH the survivors and the deleted
+    // change rows — cache it so the touched files are read once.
+    val cdfOn = ChangeDataFeed.enabled(snap)
+    val (scan0, preserved) = RowTracking.preservingScan(snap, touched)
+    val scan = if (cdfOn) scan0.persist() else scan0
+    try {
+      val replacement = scan.where(!coalesce(predicate, lit(false)))
+      val cdc =
+        if (cdfOn)
+          ChangeDataFeed.writeCdcFiles(log, ChangeDataFeed.deleteChanges(
+            scan.where(coalesce(predicate, lit(false)))
+              .select(snap.schema.fieldNames.map(col).toSeq: _*)))
+        else Nil
+      TransactionWriter.rewriteFiles(log, snap, touched, replacement, "DELETE",
+        extraActions = cdc, preservedCols = preserved)
+    } finally if (cdfOn) scan.unpersist()
   }
 
   /** UPDATE by targeted rewrite: SET `set` columns on rows matching
@@ -102,31 +109,43 @@ object Mutations {
       s"SET column '$k' not in table schema ${schema.fieldNames.toSeq}"))
     val touched = filesMatching(snap, predicate)
     if (touched.isEmpty) return snap.version
-    // an UPDATE keeps row identity (same logical row, new values) —
-    // the materialized ids ride the projection unchanged
-    val (scan, preserved) = RowTracking.preservingScan(snap, touched)
-    val replacement = scan.select((schema.fieldNames.toSeq.map { c =>
-      set.get(c) match {
-        case Some(expr) =>
-          when(coalesce(predicate, lit(false)), expr.cast(schema(c).dataType))
-            .otherwise(col(c)).as(c)
-        case None => col(c)
-      }
-    } ++ preserved.map(p => col(s"`$p`"))): _*)
-    val cdc =
-      if (ChangeDataFeed.enabled(snap)) {
-        val pre = snap.readFiles(touched).where(coalesce(predicate, lit(false)))
-        val post = pre.select(schema.fieldNames.toSeq.map { c =>
-          set.get(c) match {
-            case Some(expr) => expr.cast(schema(c).dataType).as(c)
-            case None => col(c)
-          }
-        }: _*)
-        ChangeDataFeed.writeCdcFiles(log,
-          ChangeDataFeed.updateChanges(pre, post))
-      } else Nil
-    TransactionWriter.rewriteFiles(log, snap, touched, replacement, "UPDATE",
-      extraActions = cdc, preservedCols = preserved)
+    // An UPDATE keeps row IDENTITY (the materialized row id rides the
+    // projection unchanged) but a MODIFIED row's commit version must
+    // advance: nulling its materialized version makes the read fall
+    // back to the new file's defaultRowCommitVersion — this commit.
+    val cdfOn = ChangeDataFeed.enabled(snap)
+    val (scan0, preserved) = RowTracking.preservingScan(snap, touched)
+    val scan = if (cdfOn) scan0.persist() else scan0
+    try {
+      val hit = coalesce(predicate, lit(false))
+      val matVer = preserved.drop(1).headOption // (idCol, verCol)
+      val replacement = scan.select((schema.fieldNames.toSeq.map { c =>
+        set.get(c) match {
+          case Some(expr) =>
+            when(hit, expr.cast(schema(c).dataType)).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      } ++ preserved.map { p =>
+        if (matVer.contains(p))
+          when(hit, lit(null).cast("long")).otherwise(col(s"`$p`")).as(p)
+        else col(s"`$p`")
+      }): _*)
+      val cdc =
+        if (cdfOn) {
+          val pre = scan.where(hit)
+            .select(schema.fieldNames.map(col).toSeq: _*)
+          val post = pre.select(schema.fieldNames.toSeq.map { c =>
+            set.get(c) match {
+              case Some(expr) => expr.cast(schema(c).dataType).as(c)
+              case None => col(c)
+            }
+          }: _*)
+          ChangeDataFeed.writeCdcFiles(log,
+            ChangeDataFeed.updateChanges(pre, post))
+        } else Nil
+      TransactionWriter.rewriteFiles(log, snap, touched, replacement, "UPDATE",
+        extraActions = cdc, preservedCols = preserved)
+    } finally if (cdfOn) scan.unpersist()
   }
 
   /** kill_duplicates with targeted rewrite. Returns the committed
@@ -164,12 +183,20 @@ object Mutations {
     val touched = touchedFiles(log, snap, dupKeys, duplicationColumns)
     if (touched.isEmpty) return snap.version
     val scan = snap.readFiles(touched)
-    val replacement =
+    val replacement0 =
       if (salts > 1)
         Dedup.dropDuplicatesOrderedSalted(scan, duplicationColumns,
           orderBy.map(col(_).asc), salts)
       else
         Dedup.dropDuplicatesOrdered(scan, duplicationColumns, orderBy.map(col(_).asc))
+    // With CDF on, the survivor set is consumed TWICE (cdc diff + the
+    // committed rewrite). Under a non-total orderBy the window's
+    // tie-break is plan-nondeterministic, so a re-execution could pick
+    // a DIFFERENT (still valid) survivor and the feed would disagree
+    // with the table — pin one materialization before both uses.
+    val cdfOn = ChangeDataFeed.enabled(snap)
+    val replacement =
+      if (cdfOn) replacement0.localCheckpoint(true) else replacement0
     val cdc = ChangeDataFeed.rewriteDeleteCdc(log, snap, scan, replacement)
     TransactionWriter.rewriteFiles(log, snap, touched, replacement, "DELETE",
       extraActions = cdc)

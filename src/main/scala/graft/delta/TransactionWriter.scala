@@ -308,9 +308,18 @@ object TransactionWriter {
     // expression may not reference an identity value, per the spec's
     // no-identity-in-generation rule, so order is free; declared-order
     // reshaping happens in whichever fill runs last).
+    // Rewrite commits AND dataChange=false overwrites (OPTIMIZE/zorder
+    // layout rewrites) re-emit EXISTING rows — their identity values
+    // ride along and must not trip the GENERATED ALWAYS gate.
     val df1 = IdentityColumns.fill(
       GeneratedColumns.fill(df, genDeclared), genDeclared,
-      internalRewrite = mode == "Rewrite")
+      internalRewrite = mode == "Rewrite" || !dataChange)
+    IdentityColumns.of(genDeclared).foreach { s =>
+      require(!partCols.contains(s.name),
+        s"identity column ${s.name} cannot be a partition column: " +
+          "partition columns carry no per-file stats, so the high-water " +
+          "mark could not advance and values would silently repeat")
+    }
     // the TABLE schema: preserved (materialized) columns ride the
     // parquet files but are invisible to the log's schema contract
     val schema = StructType(
@@ -494,6 +503,18 @@ object TransactionWriter {
           "partitionBy" -> partCols.mkString("[\"", "\",\"", "\"]"))))
       txn.foreach(t => actions += TxnAction(t))
       val idDeclared = IdentityColumns.of(genDeclared).nonEmpty
+      // Declaring identity columns on an EXISTING table must upgrade
+      // the writer protocol too, or legacy writers would keep writing
+      // without generating values / advancing the mark.
+      if (idDeclared) prev.foreach { s =>
+        val p = s.protocol
+        val licensed = (p.minWriterVersion >= 6 && p.minWriterVersion < 7) ||
+          (p.minWriterVersion >= 7 && p.writerFeatures.contains("identityColumns"))
+        if (!licensed) actions += ProtocolAction(
+          if (p.minWriterVersion >= 7)
+            p.copy(writerFeatures = p.writerFeatures + "identityColumns")
+          else p.copy(minWriterVersion = 6))
+      }
       if (prev.isEmpty) actions += ProtocolAction(
         // creating a mapped table: column mapping is a legacy
         // reader-2/writer-5 protocol (what delta-spark emits for it);

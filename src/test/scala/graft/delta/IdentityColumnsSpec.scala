@@ -90,6 +90,65 @@ class IdentityColumnsSpec extends SparkTestBase {
       TransactionWriter.append(log, Seq((1L, "w")).toDF("id", "s")))
   }
 
+  test("OPTIMIZE, declare-on-existing protocol upgrade, MERGE insert, partition guard") {
+    // layout maintenance must work on identity tables (re-emitting
+    // existing rows is not an explicit insert)
+    val log = freshLog()
+    TransactionWriter.overwriteWithSchema(log,
+      Seq("a", "b", "c", "d").toDF("s").repartition(2),
+      StructType(Seq(
+        IdentityColumns.field("id"),
+        StructField("s", StringType))))
+    val before = log.snapshot.read()
+      .select("id", "s").as[(Long, String)].collect().toSet
+    Maintenance.compact(log)
+    assert(log.snapshot.read().select("id", "s")
+      .as[(Long, String)].collect().toSet == before)
+    Maintenance.zorder(log, Seq("id"))
+    assert(log.snapshot.read().select("id", "s")
+      .as[(Long, String)].collect().toSet == before)
+
+    // MERGE insert generates omitted identity values beyond the hwm
+    val hwm0 = IdentityColumns.of(log.snapshot.metadata.schema)
+      .head.highWaterMark.get
+    Merge.into(log, Seq("merged").toDF("sv"), col("t.s") === col("s.sv"))
+      .whenNotMatchedInsert(Map("s" -> col("s.sv")))
+      .execute()
+    val mergedId = log.snapshot.read().where(col("s") === "merged")
+      .select("id").as[Long].head()
+    assert(mergedId > hwm0, s"merge-inserted id beyond hwm: $mergedId")
+    // explicit identity value in a merge insert refuses
+    val e = intercept[IllegalArgumentException] {
+      Merge.into(log, Seq((99L, "x")).toDF("sid", "sv"),
+          col("t.s") === col("s.sv"))
+        .whenNotMatchedInsert(Map("id" -> col("s.sid"), "s" -> col("s.sv")))
+        .execute()
+    }
+    assert(e.getMessage.contains("identity column id"))
+
+    // declaring identity on an EXISTING plain table upgrades the protocol
+    val log2 = freshLog()
+    TransactionWriter.overwrite(log2, Seq("x").toDF("s"))
+    assert(log2.snapshot.protocol.minWriterVersion == 2)
+    TransactionWriter.overwriteWithSchema(log2, Seq("y").toDF("s"),
+      StructType(Seq(
+        IdentityColumns.field("id"),
+        StructField("s", StringType))))
+    assert(log2.snapshot.protocol.minWriterVersion == 6,
+      s"identity declaration must upgrade the writer: ${log2.snapshot.protocol}")
+
+    // identity partition column refuses (hwm could never advance)
+    val log3 = freshLog()
+    val e3 = intercept[IllegalArgumentException] {
+      TransactionWriter.overwriteWithSchema(log3, Seq("z").toDF("s"),
+        StructType(Seq(
+          IdentityColumns.field("id"),
+          StructField("s", StringType))),
+        partitionBy = Some(Seq("id")))
+    }
+    assert(e3.getMessage.contains("partition column"))
+  }
+
   test("negative step descends; targeted rewrite keeps existing ids") {
     val log = freshLog()
     TransactionWriter.overwriteWithSchema(log,

@@ -231,6 +231,27 @@ class MaintenanceSpec extends SparkTestBase {
     assert(Maintenance.fsck(log).isEmpty && log.latestVersion() == v)
   }
 
+  test("fsck on a CDF table keeps the change feed readable across the repair") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log,
+      Seq((1L, "a")).toDF("n", "s").coalesce(1))                       // v0
+    ChangeDataFeed.enable(log)                                         // v1
+    Maintenance.append(log, Seq((2L, "b")).toDF("n", "s").coalesce(1)) // v2
+    val victim = log.snapshot.activeFiles.maxBy(_.modificationTime)
+    log.fs.delete(new org.apache.hadoop.fs.Path(
+      log.snapshot.absolutePath(victim)), false)
+    Maintenance.fsck(log)                                              // v3
+    // the repair commit itself contributes nothing and reads fine
+    assert(ChangeDataFeed.tableChanges(log, 3, Some(3)).count() == 0L)
+    // ranges avoiding the vanished file's own ADD also read fine
+    assert(ChangeDataFeed.tableChanges(log, 0, Some(1)).count() == 1L)
+    // the vanished file's insert is genuinely unrecoverable — its own
+    // commit's derivation fails loudly rather than fabricating rows
+    intercept[Exception] {
+      ChangeDataFeed.tableChanges(log, 2, Some(2)).count()
+    }
+  }
+
   test("restore rolls back to a prior version without copying data") {
     val log = freshLog()
     TransactionWriter.overwrite(log, Seq((1L, "a"), (2L, "b")).toDF("n", "s"))
