@@ -186,7 +186,7 @@ final case class Merge(
       }
       val unmatched = src.join(snap.read().alias("t"), condition, "left_anti")
       val filtered = cOpt.map(unmatched.where).getOrElse(unmatched)
-      filtered.select(targetCols.map { c =>
+      val projected = filtered.select(targetCols.map { c =>
         val dt = targetSchema(c).dataType
         values.get(c).map(_.cast(dt))
           .orElse(idSpecs.get(c).map { s =>
@@ -195,6 +195,15 @@ final case class Merge(
           })
           .getOrElse(lit(null).cast(dt)).as(c)
       }: _*)
+      // Generated columns omitted from `values` are COMPUTED from their
+      // expressions over the projected row (a NULL would both violate
+      // the generation probe and fabricate wrong data).
+      GeneratedColumns.of(targetSchema)
+        .filterNot { case (n, _) => values.contains(n) }
+        .foldLeft(projected) { case (acc, (n, gen)) =>
+          acc.withColumn(n, expr(gen).cast(targetSchema(n).dataType))
+        }
+        .select(targetCols.map(col): _*)
     }
 
     val replacement = (survivorsOpt, insertsOpt) match {

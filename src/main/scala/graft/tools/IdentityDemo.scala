@@ -45,6 +45,20 @@ object IdentityDemo {
       val afterId = log.snapshot.read().select("id").as[Long].head()
       require(afterId > ids.max, s"post-overwrite id beyond hwm: $afterId")
       println(s"== after overwrite: id=$afterId hwm=${spec2.head.highWaterMark} ==")
+
+      // MERGE insert generates the omitted identity value
+      graft.delta.Merge.into(log,
+          Seq("from-merge").toDF("pv"),
+          org.apache.spark.sql.functions.col("t.payload") ===
+            org.apache.spark.sql.functions.col("s.pv"))
+        .whenNotMatchedInsert(Map(
+          "payload" -> org.apache.spark.sql.functions.col("s.pv")))
+        .execute()
+      val mergedId = log.snapshot.read()
+        .where(org.apache.spark.sql.functions.col("payload") === "from-merge")
+        .select("id").as[Long].head()
+      require(mergedId > afterId, s"merge-inserted id beyond hwm: $mergedId")
+      println(s"== MERGE insert generated id=$mergedId ==")
       println("IdentityDemo OK")
     } finally spark.stop()
   }

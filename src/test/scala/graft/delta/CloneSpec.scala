@@ -78,4 +78,26 @@ class CloneSpec extends SparkTestBase {
     assert(dst.snapshot.read().where(col("v") === "upd").count() == 1)
     assert(src.snapshot.read().where(col("v") === "upd").count() == 0)
   }
+
+  test("row tracking survives the clone: ids identical on both sides") {
+    import spark.implicits._
+    val srcPath = java.nio.file.Files.createTempDirectory("graft-clone-rt")
+      .resolve("s").toString
+    val src = DeltaLog.forPath(spark, srcPath)
+    TransactionWriter.overwrite(src,
+      (0L until 6L).map(i => (i, s"v$i")).toDF("id", "v").repartition(2))
+    RowTracking.enable(src)
+    val srcIds = RowTracking.readWithRowIds(src.snapshot)
+      .select("id", "_row_id").as[(Long, Long)].collect().toMap
+
+    val dstPath = java.nio.file.Files.createTempDirectory("graft-clone-rt")
+      .resolve("d").toString
+    Clone.shallow(src, dstPath)
+    val dst = DeltaLog.forPath(spark, dstPath)
+    assert(dst.snapshot.activeFiles.forall(_.baseRowId.nonEmpty),
+      "clone must carry baseRowId on every add")
+    val dstIds = RowTracking.readWithRowIds(dst.snapshot)
+      .select("id", "_row_id").as[(Long, Long)].collect().toMap
+    assert(dstIds == srcIds, s"clone ids must match source: $dstIds vs $srcIds")
+  }
 }

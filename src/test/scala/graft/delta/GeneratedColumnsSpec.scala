@@ -82,4 +82,29 @@ class GeneratedColumnsSpec extends SparkTestBase {
     assert(log.latestVersion() == before,
       "update breaking the generation invariant must not commit")
   }
+
+  test("MERGE insert computes omitted generated columns from the row") {
+    val log = freshLog()
+    TransactionWriter.overwriteWithSchema(log,
+      Seq((1L, "aa")).toDF("id", "s"),
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("s", StringType),
+        GeneratedColumns.field("slen", LongType, "length(s)"))))
+    Merge.into(log, Seq((2L, "merged")).toDF("sid", "sv"),
+        col("t.id") === col("s.sid"))
+      .whenNotMatchedInsert(Map("id" -> col("s.sid"), "s" -> col("s.sv")))
+      .execute()
+    val got = log.snapshot.read().orderBy("id")
+      .select("id", "s", "slen").as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "aa", 2L), (2L, "merged", 6L)), got.toString)
+    // inconsistent explicit value still aborts through the probe
+    intercept[Exception] {
+      Merge.into(log, Seq((3L, "x")).toDF("sid", "sv"),
+          col("t.id") === col("s.sid"))
+        .whenNotMatchedInsert(Map("id" -> col("s.sid"), "s" -> col("s.sv"),
+          "slen" -> lit(999L)))
+        .execute()
+    }
+  }
 }
