@@ -849,7 +849,18 @@ object Maintenance {
         target.metadata.partitionColumns != current.metadata.partitionColumns)
       actions += MetadataAction(target.metadata.copy(
         configuration = target.metadata.configuration ++ ictProps))
-    actions ++= targetFiles.filterNot(f => currentPaths.contains(f.path))
+    // Files are matched on (path, DV identity), not path alone: a path
+    // present in both snapshots but whose deletion vector changed since
+    // the target version (DV DELETE/UPDATE) must be re-added so the
+    // target's DV state is reinstated — replay's newest-add-wins
+    // reconciliation then supersedes the current DV-carrying entry.
+    def dvId(dv: Option[DeletionVectorDescriptor]): String =
+      dv.map(d => s"${d.storageType}:${d.pathOrInlineDv}:${d.offset.getOrElse(-1)}")
+        .getOrElse("")
+    val currentDvByPath = currentFiles.map(f => f.path -> dvId(f.deletionVector)).toMap
+    actions ++= targetFiles.filter(f =>
+        !currentPaths.contains(f.path) ||
+          currentDvByPath(f.path) != dvId(f.deletionVector))
       .map(f => AddAction(f.copy(dataChange = true)))
     actions ++= currentFiles.filterNot(f => targetPaths.contains(f.path))
       .map(f => RemoveAction(RemoveFile(f.path, now, dataChange = true,

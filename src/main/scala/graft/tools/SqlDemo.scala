@@ -44,6 +44,21 @@ object SqlDemo {
       require(spark.read.format("graftdelta").load(path).count() == 3L)
       println(s"== REORG APPLY PURGE: $dvBefore DV'd file(s) -> $dvAfter ==")
 
+      // RESTORE across a DV delete: the file's path is unchanged but its
+      // DV is — restore must re-add the target version's DV-free entry
+      val restorePath = s"$dir/restore_table"
+      (1L to 5L).map(i => (i, s"r_$i")).toDF("n", "s").coalesce(1)
+        .write.format("graftdelta").mode("overwrite").save(restorePath)      // v0
+      spark.sql(s"GRAFT DELETE FROM '$restorePath' USING DV WHERE n = 3")    // v1
+      require(spark.read.format("graftdelta").load(restorePath).count() == 4L)
+      spark.sql(s"GRAFT RESTORE '$restorePath' TO VERSION 0")                // v2
+      val rsnap = graft.delta.DeltaLog.forPath(spark, restorePath).snapshot
+      require(spark.read.format("graftdelta").load(restorePath).count() == 5L,
+        "RESTORE across a DV delete must reinstate the deleted rows")
+      require(rsnap.activeFiles.forall(_.deletionVector.isEmpty),
+        "restored snapshot must carry the target version's (absent) DV state")
+      println("== RESTORE TO VERSION 0 across a DV delete: 4 -> 5 rows ==")
+
       val clonePath = s"$dir/sql_clone"
       spark.sql(s"GRAFT CLONE '$path' TO '$clonePath'")
       spark.sql(s"GRAFT OPTIMIZE '$clonePath'")

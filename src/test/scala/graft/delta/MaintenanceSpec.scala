@@ -2,6 +2,7 @@ package graft.delta
 
 import java.nio.file.Files
 import graft.SparkTestBase
+import org.apache.spark.sql.functions.col
 
 /** Checkpoint / append / compact / vacuum roundtrips against tables
   * created by our own writer. */
@@ -269,6 +270,24 @@ class MaintenanceSpec extends SparkTestBase {
     // restoring after vacuum removed the target's files must fail
     Maintenance.vacuum(log, retentionMs = 0L, allowZeroRetention = true)
     intercept[IllegalArgumentException](Maintenance.restore(log, 2L))
+  }
+
+  test("restore across a DV delete reinstates the target version's rows") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("n", "s").coalesce(1)) // v0
+    Mutations.deleteWithDv(log, col("n") === 2L)                       // v1: DV delete
+    assert(log.snapshot.read().count() == 2L)
+    val dataPathsBefore = log.snapshot.activeFiles.map(_.path).toSet
+    val v = Maintenance.restore(log, 0L)                               // v2
+    // the deleted row is back — the file was re-added with the target's
+    // (absent) DV, not skipped because its path matched
+    assertSameRows(log.snapshot.read(),
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("n", "s"))
+    assert(log.snapshot.activeFiles.forall(_.deletionVector.isEmpty))
+    // no data was copied: same physical paths as before the restore
+    assert(log.snapshot.activeFiles.map(_.path).toSet == dataPathsBefore)
+    assert(v == 2L)
   }
 
   test("vacuum deletes orphaned files only") {
