@@ -381,7 +381,10 @@ object TransactionWriter {
     // metaData would re-type every existing file. Only a full overwrite
     // may change the schema (the `with_schema_change` corpus shape /
     // delta-rs overwrite_schema).
-    if (mode == "Append" || mode == "Rewrite") prev.foreach { s =>
+    // dataChange=false overwrites are layout rewrites of EXISTING rows —
+    // they keep the stored metaData verbatim (see internalRewrite below),
+    // so their runtime schema must be compatible too.
+    if (mode == "Append" || mode == "Rewrite" || !dataChange) prev.foreach { s =>
       require(normalizedFields(schema) == normalizedFields(s.metadata.schema),
         s"schema mismatch: cannot $mode ${schema.simpleString} into table " +
           s"with schema ${s.metadata.schema.simpleString}; use overwrite to " +
@@ -488,8 +491,16 @@ object TransactionWriter {
       // keeps the stored schemaString verbatim (it carries the column
       // ids/physical names the data files are written under); only a
       // configuration change re-emits metaData there.
+      // dataChange=false overwrites (OPTIMIZE / zorder layout rewrites)
+      // re-emit the scan's RUNTIME schema, which has lost declared
+      // nullability and field metadata (NOT NULL invariants,
+      // generationExpression, identity declarations); committing that
+      // would silently drop those contracts. Internal rewrites keep the
+      // stored schemaString verbatim — only a configuration change
+      // re-emits metaData, same as the column-mapped branch.
+      val internalRewrite = !dataChange && prev.isDefined
       val metaChanged =
-        if (prevMapped)
+        if (prevMapped || internalRewrite)
           mode == "Overwrite" && configuration.nonEmpty &&
             prev.get.metadata.configuration != configuration
         else mode != "Append" && mode != "Rewrite" && prev.forall { s =>
@@ -528,11 +539,12 @@ object TransactionWriter {
       if (metaChanged) actions += MetadataAction(Metadata(
         id = prev.map(_.metadata.id)
           .getOrElse(java.util.UUID.randomUUID.toString),
-        schemaString = (prevMapped, createMapping) match {
-          case (true, _) => prev.get.metadata.schemaString
-          case (_, Some((mappedSchema, _))) => mappedSchema.json
-          case _ => declaredSchema.getOrElse(schema).json
-        },
+        schemaString =
+          if (prevMapped || internalRewrite) prev.get.metadata.schemaString
+          else createMapping match {
+            case Some((mappedSchema, _)) => mappedSchema.json
+            case None => declaredSchema.getOrElse(schema).json
+          },
         partitionColumns = partCols,
         configuration = {
           val base =
@@ -557,7 +569,7 @@ object TransactionWriter {
         // a plain overwrite passes a runtime frame whose schema lost
         // the declaration metadata, and committing that verbatim would
         // silently drop the identity contract.
-        val base: StructType = (prevMapped, createMapping) match {
+        val base: StructType = (prevMapped || internalRewrite, createMapping) match {
           case (true, _) => prev.get.metadata.schema
           case (_, Some((m, _))) => m
           case _ =>

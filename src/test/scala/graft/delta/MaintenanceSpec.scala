@@ -272,6 +272,33 @@ class MaintenanceSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Maintenance.restore(log, 2L))
   }
 
+  test("OPTIMIZE keeps NOT NULL and generation metadata in the schema") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val log = freshLog()
+    val declared = StructType(Seq(
+      StructField("s", StringType, nullable = false),
+      GeneratedColumns.field("s_len", LongType, "length(s)")))
+    TransactionWriter.overwriteWithSchema(log, Seq("abc", "de").toDF("s"), declared)
+    val schemaBefore = log.snapshot.metadata.schemaString
+    assert(schemaBefore.contains("delta.generationExpression"))
+    Maintenance.compact(log)
+    // the layout rewrite's runtime schema has lost nullable=false and
+    // field metadata; the commit must keep the stored schema verbatim
+    assert(log.snapshot.metadata.schemaString == schemaBefore,
+      "OPTIMIZE must not rewrite the table schema")
+    // ...so later writes still enforce the generation invariant
+    intercept[Exception] {
+      TransactionWriter.append(log, Seq(("x", 999L)).toDF("s", "s_len"))
+    }
+    // ...and the NOT NULL invariant
+    intercept[Exception] {
+      TransactionWriter.append(log,
+        Seq(Some("y"), None).toDF("s").where(col("s").isNull))
+    }
+    assertSameRows(log.snapshot.read(),
+      Seq(("abc", 3L), ("de", 2L)).toDF("s", "s_len"))
+  }
+
   test("restore across a DV delete reinstates the target version's rows") {
     val log = freshLog()
     TransactionWriter.overwrite(log,
