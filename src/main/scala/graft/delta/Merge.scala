@@ -87,15 +87,20 @@ final case class Merge(
     val src = source.alias("s")
 
     // -- guard: a target row may match at most one source row ---------------
-    val tagged = snap.read().withColumn("__file", input_file_name())
-      .withColumn("__rid", monotonically_increasing_id())
-      .alias("t")
+    // Attribution uses the scan's materialized row-lineage columns
+    // (`__file`/`__row` from readFilesLineage), NOT input_file_name():
+    // when the table carries deletion vectors the scan contains a DV
+    // anti-join, and input_file_name() returns empty past that shuffle —
+    // touched files would be silently missed. (__file,__row) doubles as
+    // the stable per-row id for the multi-match guard.
+    val tagged = snap.readFilesLineage(snap.activeFiles).alias("t")
     // one cached pass feeds both the guard and the touched-file set —
     // without it the full target-source join runs twice
     val matches = tagged.join(src, condition)
-      .select(col("t.__rid"), col("t.__file")).persist()
+      .select(col("t.__file"), col("t.__row")).persist()
     try {
-      val multi = matches.groupBy(col("__rid")).agg(count(lit(1)).as("__c"))
+      val multi = matches.groupBy(col("__file"), col("__row"))
+        .agg(count(lit(1)).as("__c"))
         .where(col("__c") > 1).limit(1).count()
       require(multi == 0L,
         "merge aborted: at least one target row matches multiple source rows " +
@@ -103,13 +108,12 @@ final case class Merge(
     } catch { case e: Throwable => matches.unpersist(); throw e }
 
     // -- touched files -------------------------------------------------------
-    val idx: Map[String, AddFile] =
-      snap.activeFiles.map(f => Merge.qualify(log, snap, f) -> f).toMap
+    val idx: Map[String, AddFile] = Mutations.fileIndex(snap, snap.activeFiles)
     val touched: Seq[AddFile] =
       if (hasBySource) snap.activeFiles // every file may hold unmatched rows
       else if (matchedDelete.isEmpty && matchedUpdate.isEmpty) Nil // insert-only
       else matches.select(col("__file")).distinct().collect()
-        .map(r => Merge.normalize(r.getString(0)))
+        .map(r => Mutations.normalize(r.getString(0)))
         .flatMap(idx.get).toSeq
     matches.unpersist()
 
@@ -242,12 +246,4 @@ object Merge {
     * `condition` (target alias `t`, source alias `s`). */
   def into(log: DeltaLog, source: DataFrame, condition: Column): Merge =
     Merge(log, source, condition)
-
-  private[delta] def normalize(s: String): String =
-    try new org.apache.hadoop.fs.Path(new java.net.URI(s)).toString
-    catch { case _: Exception => s }
-
-  private[delta] def qualify(log: DeltaLog, snap: Snapshot, f: AddFile): String =
-    normalize(log.fs.makeQualified(
-      new org.apache.hadoop.fs.Path(snap.absolutePath(f))).toString)
 }

@@ -24,13 +24,13 @@ import graft.operators.Dedup
 object Mutations {
 
   /** Normalize a file-path URI string to the qualified-path form. */
-  private def normalize(s: String): String =
+  private[delta] def normalize(s: String): String =
     try new org.apache.hadoop.fs.Path(new java.net.URI(s)).toString
     catch { case _: Exception => s }
 
   /** Lookup from every observable `_metadata.file_path` spelling
     * (normalized) back to the AddFile it names. */
-  private def fileIndex(snap: Snapshot, files: Seq[AddFile]): Map[String, AddFile] =
+  private[delta] def fileIndex(snap: Snapshot, files: Seq[AddFile]): Map[String, AddFile] =
     files.flatMap(f => snap.pathCandidates(f).map(c => normalize(c) -> f)).toMap
 
   /** Files whose rows (optionally pre-filtered) satisfy a semi-join

@@ -75,6 +75,21 @@ class MergeSpec extends SparkTestBase {
       .select("attr").collect()(0).getString(0) == "X")
   }
 
+  test("merge applies matched clauses on a table carrying deletion vectors") {
+    // the DV anti-join in the scan breaks input_file_name() attribution;
+    // the __file lineage column must keep touched-file detection working
+    val log = freshLog(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+    Mutations.deleteWithDv(log, col("id") === 3L)
+    assert(log.snapshot.activeFiles.exists(_.deletionVector.exists(_.cardinality > 0)))
+    val source = Seq((1L, "upd"), (2L, "gone")).toDF("sid", "sattr")
+    Merge.into(log, source, col("t.id") === col("s.sid"))
+      .whenMatchedDelete(condition = Some(col("s.sattr") === "gone"))
+      .whenMatchedUpdate(Map("attr" -> col("s.sattr")))
+      .execute()
+    assertSameRows(log.snapshot.read(),
+      Seq((1L, "upd", 10L)).toDF("id", "attr", "v"))
+  }
+
   test("NULL clause conditions behave as false, never as delete/update") {
     val log = freshLog(Seq((1L, "a", 10L), (2L, "b", 20L)))
     // source row for id=1 carries a NULL flag → delete condition is NULL
