@@ -30,11 +30,13 @@ object Clone {
     val srcRoot = src.fs.makeQualified(src.rootPath)
 
     def absolutize(rel: String): String = {
-      // store the absolute filesystem path (URI path form, no scheme):
-      // decodePath recovers it and Path(root, "/abs") resolves on the
-      // root's filesystem — spec-legal "absolute path" spelling
+      // store the FULLY QUALIFIED URI (scheme + authority + path), the
+      // same spelling the 'p' DV descriptor below uses: a clone created
+      // under a different filesystem/bucket must resolve the source's
+      // paths against the SOURCE's filesystem, and a bare /path would
+      // re-root on the clone's (s3a://other-bucket/path — wrong data).
       val abs = new Path(srcRoot, DeltaLog.decodePath(rel))
-      DeltaLog.encodePath(abs.toUri.getPath)
+      DeltaLog.encodePath(abs.toString)
     }
 
     val adds: Seq[Action] = snap.activeFiles.map { f =>

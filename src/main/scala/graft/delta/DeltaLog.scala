@@ -372,8 +372,15 @@ object DeltaLog {
   /** Decode a percent-encoded Delta log path (spec: `add.path` is
     * URI-encoded). */
   def decodePath(p: String): String =
-    try new java.net.URI(p).getPath
-    catch { case _: java.net.URISyntaxException => p }
+    try {
+      val u = new java.net.URI(p)
+      // an absolute-URI path (scheme-qualified, e.g. a shallow clone's
+      // s3a://bucket/... entry) keeps scheme + authority — stripping to
+      // the bare path would re-root it on the READER's filesystem;
+      // Path(parent, child) resolution then honors the child's scheme
+      if (u.getScheme != null) new org.apache.hadoop.fs.Path(u).toString
+      else u.getPath
+    } catch { case _: java.net.URISyntaxException => p }
 
   /** Percent-encode a relative file path for use in `add.path`. */
   def encodePath(p: String): String =

@@ -624,8 +624,20 @@ object Maintenance {
         rootFiles ++ fromDirs
       }
 
+    // Retention is measured from the REMOVE tombstone's deletionTimestamp
+    // when one exists, not the file's mtime: a file created long ago but
+    // removed seconds ago (overwrite/rewrite) is still inside the
+    // retention window for time travel and concurrent readers. mtime is
+    // the fallback for true orphans (no tombstone — aborted writes,
+    // superseded DV .bin files).
+    val tombstoneTs: Map[String, Long] = snap.tombstones
+      .select("path", "deletion_timestamp").collect().flatMap { r =>
+        Option(r.get(1)).map(_ => fs.makeQualified(new Path(log.rootPath,
+          DeltaLog.decodePath(r.getString(0)))).toString -> r.getLong(1))
+      }.toMap
     val toDelete = candidates.collect {
-      case (p, mtime) if !active.contains(p) && mtime < cutoff => p
+      case (p, mtime) if !active.contains(p) &&
+          tombstoneTs.getOrElse(p, mtime) < cutoff => p
     }
     toDelete.foreach(p => fs.delete(new Path(new java.net.URI(p)), false))
     toDelete

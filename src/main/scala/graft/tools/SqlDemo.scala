@@ -59,6 +59,15 @@ object SqlDemo {
         "restored snapshot must carry the target version's (absent) DV state")
       println("== RESTORE TO VERSION 0 across a DV delete: 4 -> 5 rows ==")
 
+      // VACUUM retention runs from the remove tombstone: the DV-delete
+      // rewrite just orphaned files seconds ago, so RETAIN 1 HOURS must
+      // reclaim nothing and time travel inside the window must survive
+      spark.sql(s"GRAFT VACUUM '$restorePath' RETAIN 1 HOURS")
+      require(spark.read.format("graftdelta")
+          .option("versionAsOf", "1").load(restorePath).count() == 4L,
+        "time travel within the retention window must survive VACUUM")
+      println("== VACUUM RETAIN 1 HOURS: kept the retention window intact ==")
+
       val clonePath = s"$dir/sql_clone"
       spark.sql(s"GRAFT CLONE '$path' TO '$clonePath'")
       spark.sql(s"GRAFT OPTIMIZE '$clonePath'")

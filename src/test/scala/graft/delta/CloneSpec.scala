@@ -29,6 +29,15 @@ class CloneSpec extends SparkTestBase {
     assert(dataFiles.isEmpty, "shallow clone must not copy data")
     // stats survive: file pruning still works on the clone
     assert(dst.snapshot.activeFiles.forall(_.stats.nonEmpty))
+    // add.path entries are FULLY QUALIFIED URIs (scheme kept), matching
+    // the 'p' DV descriptor spelling — a clone on a different filesystem
+    // must resolve them against the SOURCE's filesystem, and decodePath
+    // must round-trip the scheme instead of re-rooting on the reader's
+    assert(dst.snapshot.activeFiles.forall(_.path.startsWith("file:")),
+      dst.snapshot.activeFiles.map(_.path).mkString(", "))
+    dst.snapshot.activeFiles.foreach { f =>
+      assert(dst.snapshot.absolutePath(f).startsWith("file:"))
+    }
   }
 
   test("clone of an older version; clone evolves independently") {

@@ -334,4 +334,25 @@ class MaintenanceSpec extends SparkTestBase {
     // table still reads fine; time travel to v0 is now broken by design
     assertSameRows(log.snapshot.read(), Seq((2L, "b")).toDF("n", "s"))
   }
+
+  test("vacuum retention runs from the remove tombstone, not file mtime") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("n", "s"))      // v0
+    // backdate the v0 data file far past any retention window
+    val old = System.currentTimeMillis() - 30L * 24 * 3600 * 1000
+    log.snapshot.activeFiles.foreach { f =>
+      log.fs.setTimes(new org.apache.hadoop.fs.Path(
+        log.snapshot.absolutePath(f)), old, old)
+    }
+    TransactionWriter.overwrite(log, Seq((2L, "b")).toDF("n", "s"))      // v1: v0 removed NOW
+    // the file is ancient by mtime but its tombstone is seconds old —
+    // a 1h retention must keep it (time travel to v0 still works)
+    val deleted = Maintenance.vacuum(log, retentionMs = 3600L * 1000)
+    assert(deleted.isEmpty,
+      s"freshly-removed file must survive its retention window, deleted=$deleted")
+    assertSameRows(log.snapshotAt(0).read(), Seq((1L, "a")).toDF("n", "s"))
+    // zero retention reclaims it
+    assert(Maintenance.vacuum(log, retentionMs = 0L,
+      allowZeroRetention = true).length == 1)
+  }
 }
