@@ -154,7 +154,10 @@ object ChangeDataFeed {
             if (removes.isEmpty) None
             else {
               val prior = log.snapshotAt(v - 1)
-              val byPath = prior.activeFiles.map(f => f.path -> f).toMap
+              // only the REMOVED entries are fetched — pruned in Spark
+              val byPath = prior.planFiles(Some(
+                col("path").isin(removes.map(_.path): _*)))
+                .map(f => f.path -> f).toMap
               val removedAdds = removes.flatMap(r => byPath.get(r.path))
               if (removedAdds.isEmpty) None
               else Some(align(prior.readFiles(removedAdds)

@@ -405,8 +405,9 @@ object Maintenance {
     // delta-spark behavior for liquid-clustered tables.
     val clusterCols = Clustering.clusteringColumns(snap)
     if (clusterCols.nonEmpty) return zorder(log, clusterCols, targetFileBytes)
-    val (scan, preserved) = RowTracking.preservingScan(snap, snap.activeFiles)
-    val df = layoutFor(scan, snap.activeFiles,
+    val planned = snap.planFiles()
+    val (scan, preserved) = RowTracking.preservingScan(snap, planned)
+    val df = layoutFor(scan, planned,
       targetFileBytes, snap.metadata.partitionColumns)
     // dataChange = false: pure layout rewrite — streaming consumers
     // must not re-emit or fail on an OPTIMIZE (Delta spec)
@@ -442,7 +443,10 @@ object Maintenance {
     // file in a partition rewrites to itself (one output file per
     // value), so including it would commit a useless identical rewrite
     // on every invocation — the pass must converge to a no-op.
-    val touched = snap.activeFiles.filter(_.size < threshold)
+    // size pruning runs IN SPARK: only the small-file candidates are
+    // ever collected (at scale the small-file debt is a sliver of the
+    // table, which is the whole point of this pass)
+    val touched = snap.planFiles(Some(col("size_bytes") < threshold))
       .groupBy(_.partitionValues).values
       .filter(_.size >= minSmallFiles)
       .flatten.toSeq
@@ -470,8 +474,8 @@ object Maintenance {
   def purgeDeletionVectors(
       log: DeltaLog, targetFileBytes: Long = 128L * 1024 * 1024): Long = {
     val snap = log.snapshot
-    val dved = snap.activeFiles
-      .filter(_.deletionVector.exists(_.cardinality > 0))
+    // DV pruning runs IN SPARK — only the DV-carrying sliver collects
+    val dved = snap.planFiles(Some(col("deletion_vector.cardinality") > 0))
     if (dved.isEmpty) return snap.version
     val (scan, preserved) = RowTracking.preservingScan(snap, dved)
     val df = layoutFor(scan, dved,
@@ -500,7 +504,7 @@ object Maintenance {
   def fsck(log: DeltaLog, dryRun: Boolean = false): Seq[String] = {
     val snap = log.snapshot
     val fs = log.fs
-    val missing = snap.activeFiles
+    val missing = snap.planFiles()
       .filterNot(f => fs.exists(new Path(snap.absolutePath(f))))
     if (missing.isEmpty || dryRun) return missing.map(_.path)
     val now = System.currentTimeMillis()
@@ -540,9 +544,10 @@ object Maintenance {
     // Live files = active data files PLUS the deletion-vector files
     // their descriptors reference — deleting a live DV would silently
     // resurrect deleted rows, strictly worse than leaking space.
-    val active: Set[String] = snap.activeFiles.map { f =>
+    val planned = snap.planFiles()
+    val active: Set[String] = planned.map { f =>
       fs.makeQualified(new Path(log.rootPath, DeltaLog.decodePath(f.path))).toString
-    }.toSet ++ snap.activeFiles.flatMap(_.deletionVector).collect {
+    }.toSet ++ planned.flatMap(_.deletionVector).collect {
       case dv if dv.storageType == "u" || dv.storageType == "p" =>
         fs.makeQualified(DeletionVectors.filePath(log.rootPath, dv)).toString
     }
@@ -776,7 +781,8 @@ object Maintenance {
       targetFileBytes: Long = 128L * 1024 * 1024): Long = {
     require(zCols.nonEmpty && zCols.size <= 4, "zorder needs 1-4 columns")
     val snap = log.snapshot
-    val (df, preserved) = RowTracking.preservingScan(snap, snap.activeFiles)
+    val planned = snap.planFiles()
+    val (df, preserved) = RowTracking.preservingScan(snap, planned)
     zCols.foreach { c =>
       require(df.columns.contains(c), s"unknown zorder column $c")
       val dt = df.schema(c).dataType
@@ -814,7 +820,7 @@ object Maintenance {
       }.reduce(_ + _)
     }
     val zval = zParts.reduce(_ + _)
-    val totalBytes = math.max(snap.activeFiles.map(_.size).sum, 1L)
+    val totalBytes = math.max(planned.map(_.size).sum, 1L)
     val targetFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val ordered = df.withColumn("__z", zval)
       .repartitionByRange(targetFiles, col("__z"))

@@ -93,7 +93,8 @@ final case class Merge(
     // anti-join, and input_file_name() returns empty past that shuffle —
     // touched files would be silently missed. (__file,__row) doubles as
     // the stable per-row id for the multi-match guard.
-    val tagged = snap.readFilesLineage(snap.activeFiles).alias("t")
+    val planned = snap.planFiles()
+    val tagged = snap.readFilesLineage(planned).alias("t")
     // one cached pass feeds both the guard and the touched-file set —
     // without it the full target-source join runs twice
     val matches = tagged.join(src, condition)
@@ -108,9 +109,9 @@ final case class Merge(
     } catch { case e: Throwable => matches.unpersist(); throw e }
 
     // -- touched files -------------------------------------------------------
-    val idx: Map[String, AddFile] = Mutations.fileIndex(snap, snap.activeFiles)
+    val idx: Map[String, AddFile] = Mutations.fileIndex(snap, planned)
     val touched: Seq[AddFile] =
-      if (hasBySource) snap.activeFiles // every file may hold unmatched rows
+      if (hasBySource) planned // every file may hold unmatched rows
       else if (matchedDelete.isEmpty && matchedUpdate.isEmpty) Nil // insert-only
       else matches.select(col("__file")).distinct().collect()
         .map(r => Mutations.normalize(r.getString(0)))

@@ -41,10 +41,11 @@ object Mutations {
   private[delta] def touchedFiles(
       log: DeltaLog, snap: Snapshot, keys: DataFrame, cols: Seq[String],
       rowFilter: org.apache.spark.sql.Column = lit(true)): Seq[AddFile] = {
-    val taggedScan = snap.readFilesLineage(snap.activeFiles)
+    val candidates = snap.planFiles()
+    val taggedScan = snap.readFilesLineage(candidates)
       .drop("__row")
       .where(rowFilter)
-    val idx = fileIndex(snap, snap.activeFiles)
+    val idx = fileIndex(snap, candidates)
     taggedScan.join(keys, cols, "left_semi")
       .select("__file").distinct().collect()
       .map(r => normalize(r.getString(0)))
@@ -53,11 +54,17 @@ object Mutations {
       .toSeq
   }
 
-  /** Files containing at least one row matching `predicate`. */
+  /** Files containing at least one row matching `predicate`. Candidate
+    * files are stats/partition-pruned IN SPARK from the predicate
+    * ([[Snapshot.planFilesForPredicate]]) before the row-level scan —
+    * a selective DELETE/UPDATE on a huge table plans and scans only
+    * the files whose stats interval straddles the predicate. */
   private def filesMatching(
       snap: Snapshot, predicate: org.apache.spark.sql.Column): Seq[AddFile] = {
-    val idx = fileIndex(snap, snap.activeFiles)
-    snap.readFilesLineage(snap.activeFiles)
+    val candidates = snap.planFilesForPredicate(predicate)
+    if (candidates.isEmpty) return Nil
+    val idx = fileIndex(snap, candidates)
+    snap.readFilesLineage(candidates)
       .where(predicate)
       .select("__file").distinct().collect()
       .map(r => normalize(r.getString(0)))
@@ -270,23 +277,74 @@ object Mutations {
     *
     * Returns the committed version (current version when no row
     * matches). */
+  /** Per-plan outcome of [[dvMarkActions]]: no matching row, a bounded
+    * action set, or a refusal because the match set is too large to
+    * driver-materialize as bitmaps (caller falls back to the targeted
+    * rewrite path, which never holds rows on the driver). */
+  private sealed trait DvPlan
+  private case object DvNoMatch extends DvPlan
+  private final case class DvActions(
+      actions: Seq[Action], touched: Seq[AddFile]) extends DvPlan
+  private final case class DvTooBroad(matchedRows: Long) extends DvPlan
+
+  /** Matched-row caps for the DV path (driver bitmap memory guard):
+    * absolute rows and fraction of the table's rows (from stats; files
+    * without numRecords are ignored by the fraction check). */
+  private def dvMaxMatchedRows(log: DeltaLog): Long =
+    log.spark.conf.getOption("spark.graft.dv.maxMatchedRows")
+      .map(_.toLong).getOrElse(10000000L)
+  private def dvMaxMatchedFraction(log: DeltaLog): Double =
+    log.spark.conf.getOption("spark.graft.dv.maxMatchedFraction")
+      .map(_.toDouble).getOrElse(0.5)
+
   /** Actions marking every row matching `predicate` as deleted via
     * per-file deletion vectors (merged into any existing DV), plus the
-    * protocol upgrade on first DV use. Returns None when no row
-    * matches. The lineage scan already excludes previously-deleted
-    * rows, so the merge union is disjoint. */
+    * protocol upgrade on first DV use. The matched-row count is
+    * computed IN THE SAME aggregation and checked against the caps
+    * BEFORE any row list reaches the driver — a broad predicate returns
+    * [[DvTooBroad]] instead of OOMing the driver. The lineage scan
+    * already excludes previously-deleted rows, so the merge union is
+    * disjoint. */
   private def dvMarkActions(
       log: DeltaLog, snap: Snapshot,
-      predicate: org.apache.spark.sql.Column): Option[(Seq[Action], Seq[AddFile])] = {
-    val matched = snap.readFilesLineage(snap.activeFiles)
+      predicate: org.apache.spark.sql.Column): DvPlan = {
+    // candidates pruned by stats in Spark; only straddling files scanned
+    val candidates = snap.planFilesForPredicate(predicate)
+    if (candidates.isEmpty) return DvNoMatch
+    val grouped = snap.readFilesLineage(candidates)
       .where(predicate)
       .groupBy(col("__file"))
-      .agg(sort_array(collect_list(col("__row"))).as("__rows"))
-    val idx = fileIndex(snap, snap.activeFiles)
-    val perFile: Seq[(AddFile, Array[Long])] = matched.collect().toSeq.flatMap { r =>
-      idx.get(normalize(r.getString(0))).map(f => f -> r.getSeq[Long](1).toArray)
-    }
-    if (perFile.isEmpty) return None
+      .agg(count(lit(1)).as("__cnt"),
+        sort_array(collect_list(col("__row"))).as("__rows"))
+      .persist()
+    val perFileSlim: Seq[(AddFile, Array[Long])] = try {
+      val matchedRows = grouped.agg(sum(col("__cnt"))).collect()(0) match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+      if (matchedRows == 0L) return DvNoMatch
+      val maxRows = dvMaxMatchedRows(log)
+      val maxFrac = dvMaxMatchedFraction(log)
+      lazy val tableRows: Option[Long] = {
+        val r = snap.addsFlat.agg(sum(col("num_records"))).collect()(0)
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      }
+      if (matchedRows > maxRows ||
+          tableRows.exists(t => t > 0 && matchedRows > t * maxFrac))
+        return DvTooBroad(matchedRows)
+      val idx = fileIndex(snap, candidates)
+      grouped.select(col("__file"), col("__rows"))
+        .collect().toSeq.flatMap { r =>
+          idx.get(normalize(r.getString(0))).map(f => f -> r.getSeq[Long](1).toArray)
+        }
+    } finally grouped.unpersist()
+    if (perFileSlim.isEmpty) return DvNoMatch
+    // the DV commit RE-ADDS the touched entries verbatim — fetch their
+    // FULL add rows (stats included) so skipping keeps working on them
+    val fullByPath = snap.collectAddFiles(
+      col("path").isin(perFileSlim.map(_._1.path): _*))
+      .map(f => f.path -> f).toMap
+    val perFile = perFileSlim.map { case (f, rows) => fullByPath(f.path) -> rows }
     val mergedRows: Seq[(AddFile, Array[Long])] = perFile.map { case (f, rows) =>
       val existing = f.deletionVector.toSeq.flatMap(dv =>
         DeletionVectors.readRows(log.fs, log.rootPath, dv))
@@ -320,15 +378,20 @@ object Mutations {
         partitionValues = f.partitionValues, size = Some(f.size),
         deletionVector = f.deletionVector))
     }
-    Some((actions.toSeq, mergedRows.map(_._1)))
+    DvActions(actions.toSeq, mergedRows.map(_._1))
   }
 
   def deleteWithDv(log: DeltaLog, predicate: org.apache.spark.sql.Column): Long = {
     val snap = log.snapshot
     require(!snap.metadata.configuration.get("delta.appendOnly").contains("true"),
       s"cannot delete from ${log.tablePath}: table is delta.appendOnly")
-    val (dvActions, touched) = dvMarkActions(log, snap, predicate)
-      .getOrElse(return snap.version)
+    val (dvActions, touched) = dvMarkActions(log, snap, predicate) match {
+      case DvNoMatch => return snap.version
+      // too many matched rows to bitmap on the driver — the targeted
+      // rewrite deletes the same rows with executor-side state only
+      case DvTooBroad(_) => return delete(log, predicate)
+      case DvActions(a, t) => (a, t)
+    }
     val cdc =
       if (ChangeDataFeed.enabled(snap))
         ChangeDataFeed.writeCdcFiles(log, ChangeDataFeed.deleteChanges(
@@ -362,8 +425,11 @@ object Mutations {
     require(set.nonEmpty, "UPDATE needs at least one SET column")
     set.keys.foreach(k => require(schema.fieldNames.contains(k),
       s"SET column '$k' not in table schema ${schema.fieldNames.toSeq}"))
-    val (dvActions, touched) = dvMarkActions(log, snap, predicate)
-      .getOrElse(return snap.version)
+    val (dvActions, touched) = dvMarkActions(log, snap, predicate) match {
+      case DvNoMatch => return snap.version
+      case DvTooBroad(_) => return update(log, predicate, set)
+      case DvActions(a, t) => (a, t)
+    }
     // Updated versions of the matched rows, scanned from ONLY the
     // touched files of the PRE-mutation snapshot.
     val pre = snap.readFiles(touched).where(coalesce(predicate, lit(false)))

@@ -115,7 +115,7 @@ object RowTracking {
   def readWithRowIds(snap: Snapshot): DataFrame = {
     require(supported(snap.protocol),
       s"row tracking is not enabled on ${snap.log.tablePath}")
-    readWithRowIds(snap, snap.activeFiles)
+    readWithRowIds(snap, snap.planFiles())
   }
 
   /** [[readWithRowIds]] restricted to a file subset. */

@@ -65,7 +65,7 @@ object Skipping {
     * min/max stats interval (files without stats are conservatively
     * kept — an absent min/max proves nothing). */
   def prunedFiles(snap: Snapshot, filters: Seq[(String, String, Any)]): Seq[AddFile] = {
-    if (filters.isEmpty) return snap.activeFiles
+    if (filters.isEmpty) return snap.planFiles()
     val partCols = snap.metadata.partitionColumns.toSet
     val (partFilters, statsFilters) = filters.partition(f => partCols.contains(f._1))
     val partPredicate: Option[Column] =
@@ -101,9 +101,132 @@ object Skipping {
     // selective predicate this is the difference between collecting a
     // handful of rows and collecting hundreds of driver MB.
     val survivors = snap.addsFlat.where(predicate).select("path")
-    snap.adds.join(survivors, Seq("path"), "left_semi")
+    val out = snap.slimAdds.join(survivors, Seq("path"), "left_semi")
       .collect().toSeq.map(snap.rowToAddFile)
+    Snapshot.driverFileRowsCollected.addAndGet(out.size)
+    out
   }
+
+  /** Best-effort translation of a ROW predicate (an arbitrary
+    * `Column`, e.g. a DELETE/UPDATE WHERE clause) into a FILE-pruning
+    * predicate over [[Snapshot.addsFlat]] (`min.<c>` / `max.<c>` /
+    * `null_count.<c>` / `partition_values`). Soundness rule: a file may
+    * be excluded only when NO row in it can satisfy the predicate —
+    * untranslatable conjuncts prune nothing (dropped from an AND), an
+    * untranslatable OR branch poisons the whole OR, files without stats
+    * are kept. Returns None when nothing is translatable (caller plans
+    * over all files). This is what lets a targeted mutation on a
+    * 10⁷-file table plan against the handful of files whose stats
+    * interval straddles the predicate. */
+  def pruningPredicate(
+      snap: Snapshot, rowPredicate: Column): Option[Column] = try {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    val partCols = snap.metadata.partitionColumns.toSet
+    val statsFields: Set[String] = {
+      val mm = Snapshot.statsSchema(snap.schema)("minValues").dataType
+      mm match {
+        case s: org.apache.spark.sql.types.StructType => s.fieldNames.toSet
+        case _ => Set.empty
+      }
+    }
+    def attrOf(e: ce.Expression): Option[String] = (e match {
+      case a: ce.AttributeReference => Some(a.name)
+      case _ => None
+    }).filter(c => partCols.contains(c) || statsFields.contains(c))
+    def litOf(e: ce.Expression): Option[Any] = e match {
+      case l: ce.Literal if l.value != null =>
+        Some(CatalystTypeConverters.convertToScala(l.value, l.dataType))
+      // the analyzer's implicit type-coercion cast around a literal is
+      // itself foldable — evaluate it to the coerced value
+      case c: ce.Cast if c.foldable =>
+        Option(c.eval(org.apache.spark.sql.catalyst.InternalRow.empty))
+          .map(v => CatalystTypeConverters.convertToScala(v, c.dataType))
+      case _ => None
+    }
+    def partValue(c: String): Column =
+      element_at(col("partition_values"), snap.physicalNameOf(c))
+        .cast(snap.schema(c).dataType)
+    def cmp(c: String, op: String, v: Any): Column =
+      if (partCols.contains(c)) {
+        val pv = partValue(c)
+        op match {
+          case "=" => pv === lit(v)
+          case "<" => pv < lit(v)
+          case "<=" => pv <= lit(v)
+          case ">" => pv > lit(v)
+          case ">=" => pv >= lit(v)
+        }
+      } else {
+        val have = col(s"min.$c").isNotNull && col(s"max.$c").isNotNull
+        val may = op match {
+          case "=" => col(s"min.$c") <= lit(v) && col(s"max.$c") >= lit(v)
+          case "<" => col(s"min.$c") < lit(v)
+          case "<=" => col(s"min.$c") <= lit(v)
+          case ">" => col(s"max.$c") > lit(v)
+          case ">=" => col(s"max.$c") >= lit(v)
+        }
+        !have || may
+      }
+    // attr-op-lit in either order ("5 > n" prunes as "n < 5")
+    def binary(l: ce.Expression, r: ce.Expression,
+        op: String, flipped: String): Option[Column] =
+      (attrOf(l), litOf(r), attrOf(r), litOf(l)) match {
+        case (Some(c), Some(v), _, _) => Some(cmp(c, op, v))
+        case (_, _, Some(c), Some(v)) => Some(cmp(c, flipped, v))
+        case _ => None
+      }
+    def walk(e: ce.Expression): Option[Column] = e match {
+      case ce.And(l, r) => (walk(l), walk(r)) match {
+        case (Some(a), Some(b)) => Some(a && b)
+        case (a, b) => a.orElse(b)
+      }
+      case ce.Or(l, r) => for { a <- walk(l); b <- walk(r) } yield a || b
+      case ce.EqualTo(l, r) => binary(l, r, "=", "=")
+      case ce.EqualNullSafe(l, r) => binary(l, r, "=", "=")
+      case ce.LessThan(l, r) => binary(l, r, "<", ">")
+      case ce.LessThanOrEqual(l, r) => binary(l, r, "<=", ">=")
+      case ce.GreaterThan(l, r) => binary(l, r, ">", "<")
+      case ce.GreaterThanOrEqual(l, r) => binary(l, r, ">=", "<=")
+      case ce.In(a, list) if list.nonEmpty && list.forall(litOf(_).nonEmpty) =>
+        attrOf(a).map(c => list.flatMap(litOf).map(v => cmp(c, "=", v))
+          .reduce(_ || _))
+      case ce.IsNull(a) => attrOf(a).map { c =>
+        if (partCols.contains(c)) partValue(c).isNull
+        else !col(s"null_count.$c").isNotNull || col(s"null_count.$c") > 0
+      }
+      case ce.IsNotNull(a) => attrOf(a).map { c =>
+        if (partCols.contains(c)) partValue(c).isNotNull
+        else {
+          val have = col(s"null_count.$c").isNotNull && col("num_records").isNotNull
+          !have || col(s"null_count.$c") < col("num_records")
+        }
+      }
+      // a != literal excludes only single-value files pinned to that value
+      case ce.Not(ce.EqualTo(l, r)) =>
+        (attrOf(l), litOf(r), attrOf(r), litOf(l)) match {
+          case (Some(c), Some(v), _, _) if !partCols.contains(c) =>
+            Some(!(col(s"min.$c") === lit(v) && col(s"max.$c") === lit(v)))
+          case (_, _, Some(c), Some(v)) if !partCols.contains(c) =>
+            Some(!(col(s"min.$c") === lit(v) && col(s"max.$c") === lit(v)))
+          case (Some(c), Some(v), _, _) => Some(!(partValue(c) === lit(v)))
+          case (_, _, Some(c), Some(v)) => Some(!(partValue(c) === lit(v)))
+          case _ => None
+        }
+      case _ => None
+    }
+    // Spark 4 Columns are ColumnNode-backed (unresolved function nodes,
+    // not Catalyst comparisons) — resolve the predicate against the
+    // TABLE schema via an empty-frame analysis first. This also applies
+    // type coercion, so the literals compared against min/max are
+    // already the column's type. Any resolution failure → no pruning.
+    val spark = snap.log.spark
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), snap.schema)
+    empty.where(rowPredicate).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.flatMap(walk)
+  } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Pruned scan: stats-based file pruning + row-level predicate pushed
     * to the parquet reader by Catalyst. */

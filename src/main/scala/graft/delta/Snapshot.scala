@@ -445,19 +445,65 @@ class Snapshot(
         Option(r.getAs[java.lang.Long]("default_row_commit_version")).map(_.longValue))
   }
 
-  /** Driver-side active-file list (collected once, for scan planning —
-    * the same move delta-spark's file index makes). Prefer
-    * [[collectAddFiles]] with a predicate (pruning runs in Spark, only
-    * survivors reach the driver) or [[iterateAddFiles]] (bounded driver
-    * memory) when the full list isn't needed. */
-  lazy val activeFiles: Seq[AddFile] = adds.collect().toSeq.map(rowToAddFile)
+  /** FULL driver-side active-file list, per-file stats JSON included.
+    * This is the expensive planner — stats dominate driver memory at
+    * large file counts (KBs per file vs ~100 B for everything else) —
+    * so it is reserved for the paths that re-emit add entries verbatim
+    * and must carry the stats forward: checkpointing, CLONE, RESTORE,
+    * row-tracking backfill. Scans and mutations plan via [[planFiles]] /
+    * [[planFilesForPredicate]] instead. */
+  lazy val activeFiles: Seq[AddFile] = {
+    val out = adds.collect().toSeq.map(rowToAddFile)
+    Snapshot.driverFileRowsCollected.addAndGet(out.size)
+    out
+  }
+
+  /** [[adds]] with the stats JSON projected out — the scan/mutation
+    * PLANNING relation. Building a scan or a rewrite needs path,
+    * partition values, size, and the DV descriptor, never the stats
+    * string; stats-based pruning runs in Spark over [[addsFlat]]
+    * BEFORE anything is collected. */
+  private[graft] lazy val slimAdds: DataFrame =
+    adds.withColumn("stats", lit(null).cast(StringType))
+
+  /** Bounded planning collect: the (slim) active files, optionally
+    * pruned IN SPARK by `pred` over the adds columns (`path`,
+    * `partition_values`, `size_bytes`, `deletion_vector`, ...). The
+    * default planner for reads, mutations, and maintenance. */
+  def planFiles(pred: Option[org.apache.spark.sql.Column] = None): Seq[AddFile] = {
+    val out = pred.map(slimAdds.where).getOrElse(slimAdds)
+      .collect().toSeq.map(rowToAddFile)
+    Snapshot.driverFileRowsCollected.addAndGet(out.size)
+    out
+  }
+
+  /** Planning collect pruned by a best-effort stats/partition
+    * translation of a ROW predicate ([[Skipping.pruningPredicate]]):
+    * only files that MAY contain matching rows are collected — the
+    * delta-spark data-skipping move, applied to mutation planning. A
+    * predicate with no translatable conjunct falls back to all (slim)
+    * files. */
+  private[graft] def planFilesForPredicate(
+      rowPredicate: org.apache.spark.sql.Column): Seq[AddFile] =
+    Skipping.pruningPredicate(this, rowPredicate) match {
+      case Some(p) =>
+        val survivors = addsFlat.where(p).select("path")
+        val out = slimAdds.join(survivors, Seq("path"), "left_semi")
+          .collect().toSeq.map(rowToAddFile)
+        Snapshot.driverFileRowsCollected.addAndGet(out.size)
+        out
+      case None => planFiles()
+    }
 
   /** Collect only the active files matching `pred` (evaluated over the
     * [[adds]] relation IN SPARK — the driver never holds the non-matching
-    * files). This is the scan-planning shape for 10⁷-file tables: stats
-    * and partition pruning cut the candidate set before collection. */
-  def collectAddFiles(pred: org.apache.spark.sql.Column): Seq[AddFile] =
-    adds.where(pred).collect().toSeq.map(rowToAddFile)
+    * files), stats included: the shape for fetching FULL entries of a
+    * small, already-identified path set. */
+  def collectAddFiles(pred: org.apache.spark.sql.Column): Seq[AddFile] = {
+    val out = adds.where(pred).collect().toSeq.map(rowToAddFile)
+    Snapshot.driverFileRowsCollected.addAndGet(out.size)
+    out
+  }
 
   /** Stream the active files (optionally filtered) one Spark partition
     * at a time — O(partition) driver memory instead of O(table files).
@@ -481,7 +527,7 @@ class Snapshot(
     * listing), with partition columns re-attached from the log's
     * `partitionValues` and cast from their string encoding to the
     * declared type. */
-  def read(): DataFrame = readFiles(activeFiles)
+  def read(): DataFrame = readFiles(planFiles())
 
   /** Scan a chosen subset of the active files (used by stats/partition
     * file pruning — see [[graft.delta.Skipping]]).
@@ -651,6 +697,12 @@ class Snapshot(
 }
 
 object Snapshot {
+  /** Running count of add-file rows materialized to the driver across
+    * all snapshots — the observable FileIndexSpec uses to assert that
+    * planning stays bounded (a full 10⁵-add collect is visible here). */
+  private[graft] val driverFileRowsCollected =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Schema of the `add.stats` JSON document, derived from the table
     * schema: `minValues`/`maxValues` mirror the table's atomic columns
     * (nested structs recursed; array/map/binary carry no stats),

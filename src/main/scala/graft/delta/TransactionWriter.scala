@@ -39,7 +39,7 @@ object TransactionWriter {
         Some(log.snapshot)
       else None
     writeAndCommit(log, df, prev,
-      removes = prev.toSeq.flatMap(_.activeFiles),
+      removes = prev.toSeq.flatMap(_.planFiles()),
       partitionBy = partitionBy, configuration = configuration,
       operation = operation,
       mode = if (prev.isEmpty) "ErrorIfExists" else "Overwrite",
@@ -64,7 +64,7 @@ object TransactionWriter {
         Some(log.snapshot)
       else None
     writeAndCommit(log, df, prev,
-      removes = prev.toSeq.flatMap(_.activeFiles),
+      removes = prev.toSeq.flatMap(_.planFiles()),
       partitionBy = partitionBy, configuration = configuration,
       operation = "WRITE",
       mode = if (prev.isEmpty) "ErrorIfExists" else "Overwrite",
