@@ -150,6 +150,51 @@ class DeletionVectorSpec extends SparkTestBase {
     assert(got3.toSeq == got2.filter(_ != 3L).toSeq)
   }
 
+  test("cardinality guard: broad DELETE USING DV falls back to the rewrite path") {
+    val dir = tmpDir()
+    import spark.implicits._
+    val log = DeltaLog.forPath(spark, dir)
+    TransactionWriter.overwrite(log,
+      (0 until 100).map(i => (i.toLong, s"r_$i")).toDF("id", "s").repartition(2))
+    // deleting 90% of rows exceeds the default 0.5 matched-fraction cap:
+    // the DV path must refuse (no driver bitmap) and route through the
+    // targeted rewrite — same visible result, no deletion vector written
+    val v1 = Mutations.deleteWithDv(log, col("id") >= 10L)
+    assert(v1 == 1L)
+    val snap1 = log.snapshot
+    assert(snap1.read().select("id").as[Long].collect().sorted.toSeq ==
+      (0L until 10L))
+    assert(snap1.activeFiles.forall(_.deletionVector.isEmpty),
+      "broad delete must not materialize deletion vectors")
+    assert(snap1.activeFiles.map(_.path).toSet !=
+      log.snapshotAt(0).activeFiles.map(_.path).toSet,
+      "broad delete must rewrite the touched files")
+
+    // a selective delete on the same table still takes the DV path
+    val v2 = Mutations.deleteWithDv(log, col("id") === 3L)
+    assert(v2 == 2L)
+    val snap2 = log.snapshot
+    assert(snap2.read().select("id").as[Long].collect().sorted.toSeq ==
+      (0L until 10L).filterNot(_ == 3L))
+    assert(snap2.activeFiles.exists(_.deletionVector.exists(_.cardinality > 0)),
+      "selective delete must write a deletion vector")
+    assert(snap2.activeFiles.map(_.path).toSet == snap1.activeFiles.map(_.path).toSet,
+      "selective DV delete must not rewrite data files")
+
+    // the absolute cap works too (set lower than the match count)
+    spark.conf.set("spark.graft.dv.maxMatchedRows", "1")
+    try {
+      val before = log.snapshot.activeFiles
+        .count(_.deletionVector.exists(_.cardinality > 0))
+      Mutations.deleteWithDv(log, col("id").isin(4L, 5L))
+      val after = log.snapshot
+      assert(after.read().select("id").as[Long].collect().sorted.toSeq ==
+        Seq(0L, 1L, 2L, 6L, 7L, 8L, 9L))
+      assert(after.activeFiles.count(_.deletionVector.exists(_.cardinality > 0))
+        <= before, "capped delete must not add new deletion vectors")
+    } finally spark.conf.unset("spark.graft.dv.maxMatchedRows")
+  }
+
   test("updateWithDv: no rewrite of old files, updated rows in new files") {
     val dir = tmpDir()
     import spark.implicits._
