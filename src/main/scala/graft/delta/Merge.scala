@@ -95,10 +95,18 @@ final case class Merge(
     // the stable per-row id for the multi-match guard.
     val planned = snap.planFiles()
     val tagged = snap.readFilesLineage(planned).alias("t")
-    // one cached pass feeds both the guard and the touched-file set —
-    // without it the full target-source join runs twice
+    // clause conditions evaluated ON THE JOIN (they may reference s.*),
+    // ridden along so one cached pass feeds the guard, the touched-file
+    // set, and the DV fast path's affected-row set
+    val delCondJ = matchedDelete.map { c =>
+      coalesce(c.getOrElse(lit(true)), lit(false))
+    }.getOrElse(lit(false))
+    val updCondJ = matchedUpdate.map { case (c, _) =>
+      !delCondJ && coalesce(c.getOrElse(lit(true)), lit(false))
+    }.getOrElse(lit(false))
     val matches = tagged.join(src, condition)
-      .select(col("t.__file"), col("t.__row")).persist()
+      .select(col("t.__file"), col("t.__row"),
+        delCondJ.as("__del"), updCondJ.as("__upd")).persist()
     try {
       val multi = matches.groupBy(col("__file"), col("__row"))
         .agg(count(lit(1)).as("__c"))
@@ -106,6 +114,22 @@ final case class Merge(
       require(multi == 0L,
         "merge aborted: at least one target row matches multiple source rows " +
           "— the result would be nondeterministic (same error as delta-rs)")
+
+      // -- DV fast path ------------------------------------------------------
+      // Matched DELETE/UPDATE on a deletion-vector-enabled table marks
+      // the affected rows in per-file bitmaps and writes ONLY the
+      // updated/inserted rows as new files — no touched-file rewrite
+      // (the delta-spark low-shuffle merge shape). The cardinality
+      // guard inside the DV planner falls back to the rewrite path for
+      // broad matches.
+      if (!hasBySource && (matchedDelete.nonEmpty || matchedUpdate.nonEmpty) &&
+          Merge.dvEnabled(snap)) {
+        executeDvPath(snap, planned, matches) match {
+          case Some(v) => matches.unpersist(); return v
+          case None => () // too broad — continue into the rewrite path
+        }
+      }
+
     } catch { case e: Throwable => matches.unpersist(); throw e }
 
     // -- touched files -------------------------------------------------------
@@ -178,7 +202,47 @@ final case class Merge(
       }
 
     // -- inserts (source rows matching NO target row, globally) -------------
-    val insertsOpt: Option[DataFrame] = notMatchedInsert.map { case (cOpt, values) =>
+    val insertsOpt: Option[DataFrame] = insertRows(snap)
+
+    val replacement = (survivorsOpt, insertsOpt) match {
+      case (Some(s), Some(i)) => Some(s.unionByName(i))
+      case (Some(s), None) => Some(s)
+      case (None, Some(i)) => Some(i)
+      case (None, None) => None
+    }
+    try replacement match {
+      case None => snap.version
+      case Some(df) if touched.isEmpty && df.isEmpty => snap.version
+      case Some(df) =>
+        // Change Data Feed: rewrite commits carry exact row-level cdc
+        // (deletes + update pre/post pairs + inserts). Insert-ONLY
+        // merges skip cdc files — the commit's adds derive as inserts,
+        // same rows for free (delta-spark does the same).
+        val cdc: Seq[CdcAction] =
+          if (!cdfOn || touched.isEmpty) Nil
+          else {
+            val ct = ChangeDataFeed.ChangeTypeCol
+            val insertRows = insertsOpt.map(_.withColumn(ct, lit("insert")))
+            val all = (changeRows, insertRows) match {
+              case (Some(a), Some(b)) => a.unionByName(b)
+              case (a, b) => a.orElse(b).get
+            }
+            ChangeDataFeed.writeCdcFiles(log, all)
+          }
+        TransactionWriter.rewriteFiles(log, snap, touched, df, "MERGE",
+          extraActions = cdc)
+    } finally joinedCache.foreach(_.unpersist())
+  }
+
+  /** Rows to INSERT: source rows matching no target row, projected to
+    * the table schema with identity values generated and omitted
+    * generated columns computed. None when the merge has no
+    * not-matched-insert clause. */
+  private def insertRows(snap: Snapshot): Option[DataFrame] = {
+    val targetSchema = snap.schema
+    val targetCols = targetSchema.fieldNames.toSeq
+    val src = source.alias("s")
+    notMatchedInsert.map { case (cOpt, values) =>
       // Identity columns: omitted ones are GENERATED here (the writer's
       // fill cannot — the projection below would otherwise materialize
       // them as NULL, tripping the NOT NULL invariant); explicitly
@@ -210,35 +274,92 @@ final case class Merge(
         }
         .select(targetCols.map(col): _*)
     }
+  }
 
-    val replacement = (survivorsOpt, insertsOpt) match {
-      case (Some(s), Some(i)) => Some(s.unionByName(i))
-      case (Some(s), None) => Some(s)
-      case (None, Some(i)) => Some(i)
-      case (None, None) => None
-    }
-    try replacement match {
-      case None => snap.version
-      case Some(df) if touched.isEmpty && df.isEmpty => snap.version
-      case Some(df) =>
-        // Change Data Feed: rewrite commits carry exact row-level cdc
-        // (deletes + update pre/post pairs + inserts). Insert-ONLY
-        // merges skip cdc files — the commit's adds derive as inserts,
-        // same rows for free (delta-spark does the same).
+  /** DV fast path for matched clauses: mark affected rows in per-file
+    * deletion vectors and write ONLY the updated/inserted rows as new
+    * files — the touched data files are never rewritten. Returns
+    * Some(committedVersion) when handled; None when the affected-row
+    * set exceeds the DV cardinality caps (caller falls back to the
+    * targeted rewrite, which holds no row state on the driver). */
+  private def executeDvPath(
+      snap: Snapshot, planned: Seq[AddFile], matches: DataFrame): Option[Long] = {
+    val targetSchema = snap.schema
+    val targetCols = targetSchema.fieldNames.toSeq
+    val src = source.alias("s")
+    val affected = matches.where(col("__del") || col("__upd"))
+      .select(col("__file"), col("__row"))
+    Mutations.dvPlanFromMatches(log, snap, affected, planned) match {
+      case Mutations.DvTooBroad(_) => None
+      case Mutations.DvNoMatch =>
+        // no matched row passes a clause condition — only inserts remain
+        insertRows(snap) match {
+          case Some(ins) if !ins.isEmpty =>
+            // insert-only commits skip cdc files: the feed derives the
+            // same rows from the commit's adds (delta-spark behavior)
+            Some(TransactionWriter.rewriteFiles(log, snap, Nil, ins, "MERGE"))
+          case _ => Some(snap.version)
+        }
+      case Mutations.DvActions(dvActions, dvTouched) =>
+        val cdfOn = ChangeDataFeed.enabled(snap)
+        // re-scan ONLY the DV-touched files joined against the source
+        // for updated post-images and cdc pre-images (inner join: every
+        // row here is matched, so no __smatch bookkeeping is needed)
+        val joinedT = snap.readFiles(dvTouched).alias("t").join(src, condition)
+        val delC = matchedDelete.map { c =>
+          coalesce(c.getOrElse(lit(true)), lit(false))
+        }.getOrElse(lit(false))
+        val updC = matchedUpdate.map { case (c, _) =>
+          !delC && coalesce(c.getOrElse(lit(true)), lit(false))
+        }.getOrElse(lit(false))
+        val sets: Map[String, Column] = matchedUpdate.map(_._2).getOrElse(Map.empty)
+        val preProj = targetCols.map(c => col(s"t.$c").as(c))
+        val postProj = targetCols.map { c =>
+          val dt = targetSchema(c).dataType
+          sets.get(c).map(_.cast(dt)).getOrElse(col(s"t.$c")).as(c)
+        }
+        val updated: Option[DataFrame] =
+          if (matchedUpdate.isEmpty) None
+          else Some(joinedT.where(updC).select(postProj: _*))
+        val inserts = insertRows(snap)
         val cdc: Seq[CdcAction] =
-          if (!cdfOn || touched.isEmpty) Nil
+          if (!cdfOn) Nil
           else {
             val ct = ChangeDataFeed.ChangeTypeCol
-            val insertRows = insertsOpt.map(_.withColumn(ct, lit("insert")))
-            val all = (changeRows, insertRows) match {
-              case (Some(a), Some(b)) => a.unionByName(b)
-              case (a, b) => a.orElse(b).get
-            }
+            val deletes = joinedT.where(delC).select(preProj: _*)
+              .withColumn(ct, lit("delete"))
+            val pre = joinedT.where(updC).select(preProj: _*)
+              .withColumn(ct, lit("update_preimage"))
+            val post = joinedT.where(updC).select(postProj: _*)
+              .withColumn(ct, lit("update_postimage"))
+            val all = (Seq(deletes, pre, post) ++
+              inserts.map(_.withColumn(ct, lit("insert"))).toSeq)
+              .reduce(_.unionByName(_))
             ChangeDataFeed.writeCdcFiles(log, all)
           }
-        TransactionWriter.rewriteFiles(log, snap, touched, df, "MERGE",
-          extraActions = cdc)
-    } finally joinedCache.foreach(_.unpersist())
+        val newData: Option[DataFrame] = (updated, inserts) match {
+          case (Some(u), Some(i)) => Some(u.unionByName(i))
+          case (u, i) => u.orElse(i)
+        }
+        newData match {
+          case Some(df) =>
+            Some(TransactionWriter.writeAndCommit(log, df, Some(snap),
+              removes = Nil, partitionBy = Some(snap.metadata.partitionColumns),
+              configuration = Map.empty, operation = "MERGE", mode = "Rewrite",
+              extraActions = dvActions ++ cdc,
+              extraTouched = dvTouched.map(_.path).toSet))
+          case None =>
+            val actions = CommitInfoAction(CommitInfo(
+              System.currentTimeMillis(), "MERGE",
+              Map("mode" -> "deletionVectors"))) +: (dvActions ++ cdc)
+            val v = TransactionWriter.commitWithRebase(log, snap.version + 1,
+              actions, touchedPaths = dvTouched.map(_.path).toSet,
+              ictEnabled = snap.metadata.configuration
+                .get("delta.enableInCommitTimestamps").contains("true"))
+            log.spark.catalog.clearCache()
+            Some(v)
+        }
+    }
   }
 }
 
@@ -247,4 +368,13 @@ object Merge {
     * `condition` (target alias `t`, source alias `s`). */
   def into(log: DeltaLog, source: DataFrame, condition: Column): Merge =
     Merge(log, source, condition)
+
+  /** Deletion vectors are used by MERGE only when the table already
+    * carries the feature or has opted in via table property — a merge
+    * must not silently upgrade a plain table's protocol (delta-spark
+    * gates DV writes on `delta.enableDeletionVectors` the same way). */
+  private[delta] def dvEnabled(snap: Snapshot): Boolean =
+    snap.protocol.readerFeatures.contains("deletionVectors") ||
+      snap.metadata.configuration
+        .get("delta.enableDeletionVectors").contains("true")
 }

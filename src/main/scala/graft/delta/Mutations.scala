@@ -281,11 +281,11 @@ object Mutations {
     * action set, or a refusal because the match set is too large to
     * driver-materialize as bitmaps (caller falls back to the targeted
     * rewrite path, which never holds rows on the driver). */
-  private sealed trait DvPlan
-  private case object DvNoMatch extends DvPlan
-  private final case class DvActions(
+  private[delta] sealed trait DvPlan
+  private[delta] case object DvNoMatch extends DvPlan
+  private[delta] final case class DvActions(
       actions: Seq[Action], touched: Seq[AddFile]) extends DvPlan
-  private final case class DvTooBroad(matchedRows: Long) extends DvPlan
+  private[delta] final case class DvTooBroad(matchedRows: Long) extends DvPlan
 
   /** Matched-row caps for the DV path (driver bitmap memory guard):
     * absolute rows and fraction of the table's rows (from stats; files
@@ -311,8 +311,22 @@ object Mutations {
     // candidates pruned by stats in Spark; only straddling files scanned
     val candidates = snap.planFilesForPredicate(predicate)
     if (candidates.isEmpty) return DvNoMatch
-    val grouped = snap.readFilesLineage(candidates)
-      .where(predicate)
+    dvPlanFromMatches(log, snap,
+      snap.readFilesLineage(candidates).where(predicate)
+        .select(col("__file"), col("__row")),
+      candidates)
+  }
+
+  /** [[dvMarkActions]] generalized to a pre-computed matched
+    * `(__file, __row)` frame — the entry point DV-backed MERGE uses
+    * (its match set comes from a join against the source, not a
+    * standalone predicate). Same cardinality guard, same bitmap merge,
+    * same protocol upgrade. */
+  private[delta] def dvPlanFromMatches(
+      log: DeltaLog, snap: Snapshot,
+      matchedRowsDf: org.apache.spark.sql.DataFrame,
+      candidates: Seq[AddFile]): DvPlan = {
+    val grouped = matchedRowsDf
       .groupBy(col("__file"))
       .agg(count(lit(1)).as("__cnt"),
         sort_array(collect_list(col("__row"))).as("__rows"))

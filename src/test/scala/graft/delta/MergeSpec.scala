@@ -90,6 +90,48 @@ class MergeSpec extends SparkTestBase {
       Seq((1L, "upd", 10L)).toDF("id", "attr", "v"))
   }
 
+  test("DV-backed merge: matched clauses mark bitmaps, no data-file rewrite") {
+    val path = Files.createTempDirectory("graft-merge").resolve("t").toString
+    val log = DeltaLog.forPath(spark, path)
+    TransactionWriter.overwrite(log,
+      (0L until 1000L).map(i => (i, s"a$i", i)).toDF("id", "attr", "v").coalesce(1),
+      configuration = Map("delta.enableDeletionVectors" -> "true"))
+    val before = log.snapshot.activeFiles.map(_.path).toSet
+    // 3-row matched delete on the single large file: DV path must mark
+    // the rows in a bitmap without rewriting the data file
+    Merge.into(log, Seq(3L, 500L, 999L).toDF("sid"),
+        col("t.id") === col("s.sid"))
+      .whenMatchedDelete()
+      .execute()
+    val snap = log.snapshot
+    assert(snap.activeFiles.map(_.path).toSet == before,
+      "matched delete must not rewrite or add data files")
+    assert(snap.activeFiles.exists(_.deletionVector.exists(_.cardinality == 3L)))
+    assert(snap.read().count() == 997L)
+
+    // matched update: affected row DV-marked, updated version in a NEW
+    // file; the original file's path survives
+    Merge.into(log, Seq((10L, "upd")).toDF("sid", "sattr"),
+        col("t.id") === col("s.sid"))
+      .whenMatchedUpdate(Map("attr" -> col("s.sattr")))
+      .execute()
+    val snap2 = log.snapshot
+    assert(before.subsetOf(snap2.activeFiles.map(_.path).toSet),
+      "matched update must keep the original file; only new files may be added")
+    assert(snap2.read().where(col("id") === 10L)
+      .select("attr").as[String].head() == "upd")
+    assert(snap2.read().count() == 997L)
+
+    // a broad matched delete exceeds the fraction cap and falls back to
+    // the rewrite path — correct result, no driver bitmap
+    Merge.into(log, (0L until 1000L).map(Seq(_)).map(_.head).toDF("sid"),
+        col("t.id") === col("s.sid"))
+      .whenMatchedDelete(condition = Some(col("t.id") >= 100L))
+      .execute()
+    assert(log.snapshot.read().select("id").as[Long].collect().sorted.toSeq ==
+      (0L until 100L).filterNot(_ == 3L))
+  }
+
   test("NULL clause conditions behave as false, never as delete/update") {
     val log = freshLog(Seq((1L, "a", 10L), (2L, "b", 20L)))
     // source row for id=1 carries a NULL flag → delete condition is NULL
