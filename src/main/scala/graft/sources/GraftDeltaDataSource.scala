@@ -50,14 +50,20 @@ class GraftDeltaDataSource extends DeltaSourceProvider
           "readChangesTo requires readChangesFrom — without it the read " +
             "would silently return the full table")
     }
-    val snap = (parameters.get("versionAsOf"), parameters.get("timestampAsOf")) match {
-      case (Some(v), None) => log.snapshotAt(v.toLong)
-      case (None, Some(ts)) => log.snapshotAsOf(java.time.Instant.parse(ts))
-      case (None, None) => log.snapshot
+    (parameters.get("versionAsOf"), parameters.get("timestampAsOf")) match {
+      case (Some(v), None) =>
+        GraftDeltaRelation(sqlContext, log.snapshotAt(v.toLong), pinned = true)
+      case (None, Some(ts)) =>
+        GraftDeltaRelation(sqlContext,
+          log.snapshotAsOf(java.time.Instant.parse(ts)), pinned = true)
+      case (None, None) =>
+        // latest-version relations re-resolve at SCAN time: a relation
+        // cached by the session catalog (name-addressed tables) keeps
+        // seeing new commits without a REFRESH TABLE
+        GraftDeltaRelation(sqlContext, log.snapshot, pinned = false)
       case _ => throw new IllegalArgumentException(
         "specify at most one of versionAsOf / timestampAsOf")
     }
-    GraftDeltaRelation(sqlContext, snap)
   }
 
   override def createRelation(
@@ -80,7 +86,7 @@ class GraftDeltaDataSource extends DeltaSourceProvider
       case SaveMode.Ignore =>
         if (!exists) TransactionWriter.overwrite(log, data, partitionBy)
     }
-    GraftDeltaRelation(sqlContext, log.snapshot)
+    GraftDeltaRelation(sqlContext, log.snapshot, pinned = false)
   }
 
   /** DataFrameWriter.partitionBy serializes to a JSON string array under
@@ -106,9 +112,29 @@ case class DataFrameRelation(
 
 /** Batch relation: schema from the snapshot, scans through the pruned
   * stats-skipping read path, rows handed back as InternalRow
-  * (`needConversion = false`) so no external-Row round-trip is paid. */
-case class GraftDeltaRelation(sqlContext: SQLContext, snap: Snapshot)
-    extends BaseRelation with PrunedFilteredScan {
+  * (`needConversion = false`) so no external-Row round-trip is paid.
+  *
+  * [[InsertableRelation]] makes NAME-ADDRESSED tables writable: after
+  * `CREATE TABLE t USING graftdelta LOCATION '<path>'` (the session
+  * catalog resolves the registered short name), `INSERT INTO t ...`
+  * lands as a transactional graft commit. Reads via the name go
+  * through this same relation, so plain `SELECT ... FROM t` needs no
+  * temp view; `pinned = false` (every non-time-travel read) resolves
+  * the CURRENT snapshot at scan time, so the catalog-cached relation
+  * keeps seeing new commits — including out-of-band GRAFT mutations —
+  * without a REFRESH TABLE. Time-travel relations stay pinned to
+  * their resolved version. */
+case class GraftDeltaRelation(
+    sqlContext: SQLContext, snap: Snapshot, pinned: Boolean = true)
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
+
+  private def scanSnap: Snapshot = if (pinned) snap else snap.log.snapshot
+
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    val log = snap.log
+    if (overwrite) TransactionWriter.overwrite(log, data)
+    else TransactionWriter.append(log, data)
+  }
 
   override val schema: StructType = snap.schema
   override val needConversion: Boolean = false
@@ -129,7 +155,7 @@ case class GraftDeltaRelation(sqlContext: SQLContext, snap: Snapshot)
   override def buildScan(
       requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
     val triples = filters.flatMap(toTriple).toSeq
-    val pruned = Skipping.readWhere(snap, triples)
+    val pruned = Skipping.readWhere(scanSnap, triples)
     val projected =
       if (requiredColumns.isEmpty) pruned.select()
       else pruned.select(requiredColumns.map(col).toSeq: _*)

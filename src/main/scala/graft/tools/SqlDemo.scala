@@ -110,6 +110,20 @@ object SqlDemo {
       require(spark.read.format("graftdelta").load(fsckPath).count() >= 1L)
       println(s"== FSCK repaired $repaired missing file(s); table readable again ==")
 
+      // name-addressed table: CREATE TABLE ... USING graftdelta, then
+      // plain SQL reads/writes through the session catalog — no temp view
+      spark.sql(s"CREATE TABLE demo_named USING graftdelta LOCATION '$restorePath'")
+      require(spark.sql("SELECT count(*) FROM demo_named")
+        .collect()(0).getLong(0) == 5L)
+      spark.sql("INSERT INTO demo_named VALUES (6, 'r_6')")
+      require(spark.sql("SELECT count(*) FROM demo_named")
+        .collect()(0).getLong(0) == 6L)
+      spark.sql(s"GRAFT DELETE FROM '$restorePath' WHERE n = 6")
+      require(spark.sql("SELECT count(*) FROM demo_named")
+        .collect()(0).getLong(0) == 5L,
+        "catalog-cached relation must see out-of-band commits")
+      println("== named table: CREATE/SELECT/INSERT via session catalog ==")
+
       // feature enablement via SQL
       spark.sql(s"GRAFT ALTER '$fsckPath' ENABLE CHANGE DATA FEED")
       spark.sql(s"GRAFT ALTER '$fsckPath' ENABLE ROW TRACKING")

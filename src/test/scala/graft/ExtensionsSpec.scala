@@ -165,6 +165,30 @@ class ExtensionsSpec extends AnyFunSuite {
     intercept[Exception](spark.sql("GRAFT FROBNICATE 'x'"))
   }
 
+  test("name-addressed tables: CREATE TABLE USING graftdelta, plain SELECT + INSERT") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_named_")
+      .resolve("t").toString
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("n", "s")
+      .write.format("graftdelta").mode("overwrite").save(path)
+    spark.sql(s"CREATE TABLE t_named USING graftdelta LOCATION '$path'")
+    try {
+      // temp-view-free reads through the session catalog
+      assert(spark.sql("SELECT count(*) FROM t_named").collect()(0).getLong(0) == 3L)
+      assert(spark.sql("SELECT s FROM t_named WHERE n = 2")
+        .collect()(0).getString(0) == "b")
+      // INSERT INTO the name lands as a transactional graft commit
+      spark.sql("INSERT INTO t_named VALUES (4, 'd')")
+      assert(spark.sql("SELECT count(*) FROM t_named").collect()(0).getLong(0) == 4L)
+      assert(graft.delta.DeltaLog.forPath(spark, path).snapshot.version == 1L)
+      // out-of-band mutation on the path + REFRESH TABLE (standard V1
+      // external-table contract) is visible through the name
+      spark.sql(s"GRAFT DELETE FROM '$path' WHERE n = 1")
+      spark.sql("REFRESH TABLE t_named")
+      assert(spark.sql("SELECT count(*) FROM t_named").collect()(0).getLong(0) == 3L)
+    } finally spark.sql("DROP TABLE IF EXISTS t_named")
+  }
+
   test("rewritten kernel matches the interpreted HOF on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .selectExpr("vec_id", "cast(embedding as array<double>) AS v")
