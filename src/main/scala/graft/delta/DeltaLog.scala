@@ -303,7 +303,8 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     * overwrites, making exists()-then-rename check-then-act). On the
     * local FS the guard is as strong as java.nio Files.move without
     * REPLACE_EXISTING — best-effort but far narrower than before. */
-  def commit(version: Long, actions: Seq[Action], ictEnabled: Boolean = false): Unit = {
+  def commit(version: Long, actions: Seq[Action], ictEnabled: Boolean = false,
+      recomputeChecksum: Boolean = false): Unit = {
     val enabledHere = actions.exists {
       case MetadataAction(m) =>
         m.configuration.get("delta.enableInCommitTimestamps").contains("true")
@@ -323,10 +324,11 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
           ci.getOrElse(CommitInfo(ict, "UNKNOWN")).copy(inCommitTimestamp = Some(ict))) +:
           actions.filterNot(_.isInstanceOf[CommitInfoAction])
       }
-    commitRaw(version, stamped)
+    commitRaw(version, stamped, recomputeChecksum)
   }
 
-  private def commitRaw(version: Long, actions: Seq[Action]): Unit = {
+  private def commitRaw(version: Long, actions: Seq[Action],
+      recomputeChecksum: Boolean = false): Unit = {
     if (!fs.exists(logPath)) fs.mkdirs(logPath)
     val target = new Path(logPath, f"$version%020d.json")
     val tmp = new Path(logPath, f".$version%020d.json.${java.util.UUID.randomUUID}.tmp")
@@ -350,6 +352,12 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
         throw new java.util.ConcurrentModificationException(
           s"commit $version already exists in $logPath (${e.getMessage})")
     }
+    // the commit is durable — record its table checksum (best-effort;
+    // never fails a successful commit). Re-add-style commits (RESTORE,
+    // row-tracking backfill) recompute from replayed state because
+    // their action delta double-counts superseded-in-place paths.
+    if (recomputeChecksum) Checksum.recompute(this, version)
+    else Checksum.write(this, version, actions)
   }
 }
 

@@ -20,6 +20,11 @@ object Maintenance {
     */
   def checkpoint(log: DeltaLog): Long = {
     val snap = log.snapshot
+    // a checkpoint scans the whole state anyway — the natural point to
+    // validate the incremental .crc chain against actual replay
+    Checksum.validate(log, snap.version).foreach(err =>
+      throw new IllegalStateException(
+        s"refusing to checkpoint ${log.tablePath}: $err"))
     writeCheckpointDf(log, snap, checkpointDf(log, snap), parts = 1)
     snap.version
   }
@@ -217,6 +222,9 @@ object Maintenance {
       log: DeltaLog, sidecarParts: Int = 1, jsonManifest: Boolean = false): Long = {
     require(sidecarParts >= 1, s"sidecarParts must be >= 1, got $sidecarParts")
     val snap = log.snapshot
+    Checksum.validate(log, snap.version).foreach(err =>
+      throw new IllegalStateException(
+        s"refusing to checkpoint ${log.tablePath}: $err"))
     val fs = log.fs
     val sidecarDir = new Path(log.logPath, "_sidecars")
     if (!fs.exists(sidecarDir)) fs.mkdirs(sidecarDir)
@@ -886,7 +894,11 @@ object Maintenance {
     val v = current.version + 1
     log.commit(v, actions.toSeq,
       ictEnabled = current.metadata.configuration
-        .get("delta.enableInCommitTimestamps").contains("true"))
+        .get("delta.enableInCommitTimestamps").contains("true"),
+      // restore re-adds paths still live in the current snapshot (the
+      // DV-changed case) — the incremental checksum delta would
+      // double-count them, so recompute from replayed state
+      recomputeChecksum = true)
     v
   }
 }

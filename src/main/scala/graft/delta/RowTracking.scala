@@ -102,7 +102,10 @@ object RowTracking {
         Domains.featureUpgrade(snap, Set("rowTracking", "domainMetadata")) ++
         backfilled :+ domainAction(next - 1)
     log.commit(v, actions, ictEnabled = m.configuration
-      .get("delta.enableInCommitTimestamps").contains("true"))
+      .get("delta.enableInCommitTimestamps").contains("true"),
+      // the backfill re-adds every live path without removes — the
+      // incremental checksum delta would double-count the table
+      recomputeChecksum = true)
     v
   }
 

@@ -420,7 +420,7 @@ class HardeningSpec extends SparkTestBase {
     var injected = 1
     val flaky = new DeltaLog(spark, log.tablePath) {
       override def commit(version: Long, actions: Seq[Action],
-          ictEnabled: Boolean): Unit = {
+          ictEnabled: Boolean, recomputeChecksum: Boolean): Unit = {
         if (injected > 0) {
           injected -= 1
           // the racing writer takes this version for real...
@@ -428,7 +428,7 @@ class HardeningSpec extends SparkTestBase {
           // ...so our attempt hits the conflict
           throw new java.util.ConcurrentModificationException("lost race (injected)")
         }
-        super.commit(version, actions, ictEnabled)
+        super.commit(version, actions, ictEnabled, recomputeChecksum)
       }
     }
     val v = TransactionWriter.appendWithRetry(flaky, Seq((2L, "b")).toDF("n", "s"))
