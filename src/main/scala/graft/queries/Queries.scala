@@ -824,7 +824,14 @@ object Queries {
     * always runs the Spark side before the oracle, so the export
     * exists). This closes the round-3 gap where the only verified IVF
     * query used a caller-provided `vec_id % 25 = 13` quantizer. */
-  private val ivfCentroidsPath = "/tmp/graft_ivf_trained_centroids.parquet"
+  // Per-process export path: the oracle SQL embeds this literal (the
+  // driver's DuckDB replays the SQL dumped by THIS process, so the
+  // spelling matches), while two CONCURRENT verify/bench runs — separate
+  // JVMs — get distinct paths and cannot clobber each other's quantizer
+  // mid-oracle. Override via GRAFT_IVF_CENTROIDS_PATH if needed.
+  private val ivfCentroidsPath = sys.env.getOrElse("GRAFT_IVF_CENTROIDS_PATH",
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_trained_centroids_" +
+      s"${ProcessHandle.current().pid()}.parquet")
 
   private def qIvfTrainedSpark: (SparkSession, String) => DataFrame =
     (s, dir) => {
