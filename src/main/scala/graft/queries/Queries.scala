@@ -1044,8 +1044,23 @@ object Queries {
   // final state must equal the batch (DuckDB) group-by — the
   // batch/streaming unification contract.
 
+  /** Run `body` with a temporarily reduced shuffle-partition count.
+    * Each stateful streaming operator keeps one state store PER shuffle
+    * partition PER micro-batch (a stream-stream join keeps FOUR per
+    * partition), and at verification scale the per-store fixed cost
+    * (HDFS-backed provider files, snapshots, commit syncs) dwarfs the
+    * actual data — the state machine is identical at any partition
+    * count, so results don't change. A production stream sizes this to
+    * its key cardinality; the drain here sizes it to its state count. */
+  private def withStreamShuffle[T](s: SparkSession, n: Int = 4)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   private def qStreamCountsSpark: (SparkSession, String) => DataFrame =
-    (s, dir) => {
+    (s, dir) => withStreamShuffle(s) {
       registerViews(s, dir) // sets nanosAsLong before any schema read
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       // glob form: the file source derives basePath from the non-glob
@@ -1077,7 +1092,7 @@ object Queries {
     * partition-order-dependent; the key SET is deterministic). Once the
     * bounded stream drains, it must equal the batch DISTINCT. */
   private def qStreamDedupSpark: (SparkSession, String) => DataFrame =
-    (s, dir) => {
+    (s, dir) => withStreamShuffle(s) {
       registerViews(s, dir)
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val distinctKeys = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
@@ -1104,7 +1119,7 @@ object Queries {
     * machine (buffer + watermark eviction) reduced to the batch
     * semantics it promises. */
   private def qStreamJoinSpark: (SparkSession, String) => DataFrame =
-    (s, dir) => {
+    (s, dir) => withStreamShuffle(s) {
       registerViews(s, dir)
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       def src = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
@@ -1152,7 +1167,7 @@ object Queries {
     * delay, under which the operator's widen-don't-regress late
     * branch applies. */
   private def qStreamSessionizeSpark: (SparkSession, String) => DataFrame =
-    (s, dir) => {
+    (s, dir) => withStreamShuffle(s) {
       registerViews(s, dir)
       import s.implicits._
       val schema = s.read.parquet(s"$dir/events.parquet").schema
