@@ -98,9 +98,7 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
           tailVersions :+= next
           next += 1
         }
-        val tail: Seq[(Long, Action)] = tailVersions.flatMap { tv =>
-          readCommitLines(tv).flatMap(JsonUtil.parseAction).map(tv -> _)
-        }
+        val tail = readTail(tailVersions)
         val snap = new Snapshot(this, tailVersions.lastOption.getOrElse(v),
           Some(v), tail)
         snap.requireReadable()
@@ -123,10 +121,7 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
         require(tailVersions == ((c + 1) to version),
           s"cannot reconstruct version $version: commits ${(c + 1) to version} incomplete, found $tailVersions")
     }
-    val tail: Seq[(Long, Action)] = tailVersions.flatMap { v =>
-      readCommitLines(v).flatMap(JsonUtil.parseAction).map(v -> _)
-    }
-    val snap = new Snapshot(this, version, cp, tail)
+    val snap = new Snapshot(this, version, cp, readTail(tailVersions))
     // Eager: a table demanding reader features we lack (column mapping,
     // deletion vectors) must fail here, not silently misread later.
     snap.requireReadable()
@@ -244,6 +239,54 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
             "append-only range; read a full snapshot instead")
     }
     snap.readFiles(actions.collect { case AddAction(a) if a.dataChange => a })
+  }
+
+  /** Commit ranges `[start, end]` covered by minor log-compaction files
+    * (`<x>.<y>.compacted.json`, Delta protocol "Log Compaction Files"). */
+  def compactedRanges(): Seq[(Long, Long)] =
+    listLogNames().collect { case CompactedFileRe(a, b) => (a.toLong, b.toLong) }
+      .sorted.toSeq
+
+  /** Reconciled actions of a compacted file, read driver-side like a
+    * commit tail (compaction ranges are bounded by the compaction
+    * interval, same scale as the tail itself). */
+  def compactedActions(start: Long, end: Long): Seq[Action] = {
+    val p = new Path(logPath, f"$start%020d.$end%020d.compacted.json")
+    val in = new BufferedReader(
+      new InputStreamReader(fs.open(p), StandardCharsets.UTF_8))
+    try Iterator.continually(in.readLine()).takeWhile(_ != null)
+      .filter(_.trim.nonEmpty).flatMap(JsonUtil.parseAction).toVector
+    finally in.close()
+  }
+
+  /** Materialize the commit tail, substituting a log-compaction file
+    * for each commit sub-range one covers: replay cost drops from
+    * O(commits since checkpoint) file opens to O(tail / compaction
+    * interval). Compacted actions are tagged with the range's END
+    * version — within the range they are already reconciled (at most
+    * one file action per path), and relative to commits outside the
+    * range the end version orders them correctly. Commits the selected
+    * ranges cover are not opened at all. */
+  private def readTail(tailVersions: Seq[Long]): Seq[(Long, Action)] = {
+    if (tailVersions.isEmpty) return Nil
+    val last = tailVersions.last
+    // usable = fully inside the tail; at each start keep the longest
+    val usable: Map[Long, Long] = compactedRanges()
+      .filter { case (a, b) => a >= tailVersions.head && b <= last }
+      .groupBy(_._1).map { case (a, rs) => a -> rs.map(_._2).max }
+    val buf = Vector.newBuilder[(Long, Action)]
+    var v = tailVersions.head
+    while (v <= last) {
+      usable.get(v) match {
+        case Some(b) =>
+          buf ++= compactedActions(v, b).map(b -> _)
+          v = b + 1
+        case None =>
+          buf ++= readCommitLines(v).flatMap(JsonUtil.parseAction).map(v -> _)
+          v += 1
+      }
+    }
+    buf.result()
   }
 
   private def readCommitLines(version: Long): Seq[String] = {
@@ -368,6 +411,7 @@ final case class V2Checkpoint(topFile: String, isJson: Boolean) extends Checkpoi
 
 object DeltaLog {
   private val CommitFileRe = """(\d{20})\.json""".r
+  private val CompactedFileRe = """(\d{20})\.(\d{20})\.compacted\.json""".r
   private val CheckpointFileRe = """(\d{20})\.checkpoint\.parquet""".r
   private val MultiPartCheckpointRe = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
   /** V2 manifest: `v.checkpoint.<uuid>.{json|parquet}` — the single

@@ -199,6 +199,73 @@ object Maintenance {
     finally out.close()
   }
 
+  /** Minor log compaction (Delta protocol "Log Compaction Files"):
+    * write `<start>.<end>.compacted.json` holding the RECONCILED
+    * actions of the commit range — latest protocol/metaData, latest
+    * txn per appId, latest domainMetadata per domain (tombstones
+    * kept), and per-path file-action resolution (add beats remove at
+    * the same version; remove tombstones kept). commitInfo and cdc
+    * actions are dropped — they never affect replayed state, and CDF
+    * readers go to the individual commits, which compaction leaves in
+    * place (log cleanup stays governed by checkpoints).
+    *
+    * Readers then replay a long checkpoint-to-head tail in
+    * O(tail / interval) file opens instead of O(tail) — the difference
+    * between hundreds of object-store GETs and a handful when
+    * checkpointing is infrequent ([[DeltaLog.readTail]]).
+    *
+    * The range is driver-parsed like the commit tail it replaces —
+    * bounded by the compaction interval, not table size. Idempotent:
+    * an existing file for the same range is kept (contents are a pure
+    * function of the immutable commits). */
+  def compactLog(log: DeltaLog, startVersion: Long, endVersion: Long): String = {
+    require(startVersion <= endVersion,
+      s"invalid compaction range [$startVersion, $endVersion]")
+    val fs = log.fs
+    val target = new Path(log.logPath,
+      f"$startVersion%020d.$endVersion%020d.compacted.json")
+    if (fs.exists(target)) return target.getName
+    val pairs: Seq[(Long, Action)] = (startVersion to endVersion).flatMap { v =>
+      require(fs.exists(new Path(log.logPath, f"$v%020d.json")),
+        s"cannot compact [$startVersion, $endVersion]: commit $v missing")
+      log.commitActions(v).map(v -> _)
+    }
+    val protocol = pairs.collect { case (_, a: ProtocolAction) => a }.lastOption
+    val metadata = pairs.collect { case (_, a: MetadataAction) => a }.lastOption
+    val txns = pairs.collect { case (_, TxnAction(t)) => t }
+      .foldLeft(Map.empty[String, SetTransaction])((m, t) => m + (t.appId -> t))
+    val domains = pairs.collect { case (_, DomainMetadataAction(d)) => d }
+      .foldLeft(Map.empty[String, DomainMetadata])((m, d) => m + (d.domain -> d))
+    // per path: last version wins, add beats its tombstone at equal version
+    val files = pairs.collect {
+      case (v, a @ AddAction(add)) => (add.path, v, true, a: Action)
+      case (v, r @ RemoveAction(rm)) => (rm.path, v, false, r: Action)
+    }.groupBy(_._1).map { case (_, acts) =>
+      acts.maxBy { case (_, v, isAdd, _) => (v, isAdd) }._4
+    }.toSeq.sortBy {
+      case AddAction(a) => a.path
+      case RemoveAction(r) => r.path
+      case _ => ""
+    }
+    val actions: Seq[Action] =
+      protocol.toSeq ++ metadata.toSeq ++
+        txns.values.toSeq.sortBy(_.appId).map(TxnAction) ++
+        domains.values.toSeq.sortBy(_.domain).map(DomainMetadataAction) ++
+        files
+    val tmp = new Path(log.logPath,
+      s".${target.getName}.${java.util.UUID.randomUUID}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(actions.map(JsonUtil.renderAction)
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, target)) { // lost a race: same content either way
+      fs.delete(tmp, false)
+      require(fs.exists(target),
+        s"log compaction rename failed for ${target.getName}")
+    }
+    target.getName
+  }
+
   /** Multi-part checkpoint: same rows split across `parts` files — the
     * shape a 10⁷-file table needs (one driver-written file would not
     * scale; here the row set is written by a Spark job). */
@@ -681,6 +748,13 @@ object Maintenance {
     val deleted = ArrayBuffer.empty[String]
     commits.filter(_ < anchor).foreach { v =>
       val p = new Path(log.logPath, f"$v%020d.json")
+      if (fs.delete(p, false)) deleted += p.getName
+    }
+    // A compaction file is usable only for tails starting past a
+    // retained checkpoint (>= anchor + 1); once its range dips at or
+    // below the anchor it can never be spliced again.
+    log.compactedRanges().filter(_._1 <= anchor).foreach { case (a, b) =>
+      val p = new Path(log.logPath, f"$a%020d.$b%020d.compacted.json")
       if (fs.delete(p, false)) deleted += p.getName
     }
     // Sidecars may be SHARED between v2 checkpoints (the spec allows

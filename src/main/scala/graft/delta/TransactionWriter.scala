@@ -669,6 +669,16 @@ object TransactionWriter {
             else Maintenance.checkpoint(log)
           }
         }
+      // graft.logCompaction.interval=N: every N commits, write a minor
+      // log-compaction file covering the last N — keeps replay of a
+      // long checkpoint-to-head tail to O(tail/N) file opens.
+      effectiveConf.get("graft.logCompaction.interval")
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+        .filter(_ > 0)
+        .foreach { n =>
+          if ((committed + 1) % n == 0 && committed >= n - 1)
+            Maintenance.compactLog(log, committed - n + 1, committed)
+        }
       committed
     } finally fs.delete(staging, true)
   }
