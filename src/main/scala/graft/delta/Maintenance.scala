@@ -448,16 +448,25 @@ object Maintenance {
     if (perPart.forall(_._2 <= 1))
       return df.repartition(math.max(perPart.size, 1),
         partCols.map(col): _*)
-    // Broadcast the tiny (partition value -> split count) relation and
-    // salt rows of oversized values; repartition on (partCols, salt).
+    // Broadcast the tiny (partition value -> split count, dense bin
+    // offset) relation, salt rows of oversized values, and place each
+    // (value, salt) bucket in ITS OWN task by dense bin index. A hash
+    // repartition on (partCols, salt) is not enough: two distinct
+    // buckets colliding into one task write one merged 2x-target file
+    // (tasks emit one file per partition dir), so the output layout
+    // would depend on hash luck. Same justified identity-partitioner
+    // use as Multimodal.repartitionBySize.
     val spark = df.sparkSession
     val pvSchema = org.apache.spark.sql.types.StructType(
       partCols.map(c => org.apache.spark.sql.types.StructField(
         s"__pvs_$c", org.apache.spark.sql.types.StringType)) :+
         org.apache.spark.sql.types.StructField(
-          "__np", org.apache.spark.sql.types.IntegerType, nullable = false))
-    val pvRows = perPart.map { case (pv, n) =>
-      org.apache.spark.sql.Row.fromSeq(partCols.map(c => pv.get(c).orNull) :+ n)
+          "__np", org.apache.spark.sql.types.IntegerType, nullable = false) :+
+        org.apache.spark.sql.types.StructField(
+          "__off", org.apache.spark.sql.types.IntegerType, nullable = false))
+    val offsets = perPart.map(_._2).scanLeft(0)(_ + _)
+    val pvRows = perPart.zip(offsets).map { case ((pv, n), off) =>
+      org.apache.spark.sql.Row.fromSeq(partCols.map(c => pv.get(c).orNull) :+ n :+ off)
     }
     val pvDf = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](
@@ -466,11 +475,24 @@ object Maintenance {
       df(c) <=> col(s"__pvs_$c").cast(df.schema(c).dataType)
     }.reduce(_ && _)
     val nTotal = perPart.map(_._2).sum
-    df.join(broadcast(pvDf), cond, "left")
-      .withColumn("__salt",
-        pmod(hash(monotonically_increasing_id()), coalesce(col("__np"), lit(1))))
-      .repartition(nTotal, partCols.map(col) :+ col("__salt"): _*)
-      .drop(("__salt" +: "__np" +: partCols.map(c => s"__pvs_$c")): _*)
+    val binned = df.join(broadcast(pvDf), cond, "left")
+      .withColumn("__bin",
+        (coalesce(col("__off"), lit(0)) +
+          pmod(hash(monotonically_increasing_id()), coalesce(col("__np"), lit(1))))
+          .cast("int"))
+      .drop(("__np" +: "__off" +: partCols.map(c => s"__pvs_$c")): _*)
+    val keepSchema = org.apache.spark.sql.types.StructType(
+      binned.schema.filterNot(_.name == "__bin"))
+    val rdd = binned
+      .select(col("__bin") +: keepSchema.fieldNames.map(col).toSeq: _*)
+      .rdd.map(r => (r.getInt(0), org.apache.spark.sql.Row.fromSeq(r.toSeq.tail)))
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = nTotal
+        override def getPartition(key: Any): Int =
+          math.min(math.max(key.asInstanceOf[Int], 0), nTotal - 1)
+      })
+      .map(_._2)
+    spark.createDataFrame(rdd, keepSchema)
   }
 
   def compact(log: DeltaLog, targetFileBytes: Long = 128L * 1024 * 1024): Long = {
@@ -606,11 +628,55 @@ object Maintenance {
     * would corrupt an in-flight commit; `_delta_log` likewise).
     * `retentionMs = 0` instantly breaks time travel to prior versions,
     * so it requires an explicit opt-in. */
+  /** VACUUM inventory mode (the "VACUUM ... USING INVENTORY" idea):
+    * candidates come from a caller-supplied relation instead of a
+    * recursive filesystem listing. At 10⁷+ files on an object store the
+    * LIST itself is the dominant vacuum cost, and deployments usually
+    * already maintain a file inventory (S3 Inventory reports, a
+    * metastore export) — this reuses it. Required columns: `path`
+    * (absolute URI or relative to the table root) and
+    * `modificationTime` (epoch ms — the orphan-retention clock);
+    * optional `isDir`. Rows outside the table root, directories,
+    * hidden paths, and non-data files are ignored. Filtering runs in
+    * Spark; the driver sees only surviving candidates. */
+  private def inventoryCandidates(
+      log: DeltaLog,
+      inv: org.apache.spark.sql.DataFrame,
+      rootDepth: Int,
+      isCandidate: String => Boolean): Seq[(String, Long)] = {
+    val cols = inv.schema.fieldNames.toSet
+    require(Set("path", "modificationTime").subsetOf(cols),
+      "vacuum inventory needs 'path' and 'modificationTime' columns, " +
+        s"got ${cols.mkString(", ")}")
+    val isDirCol =
+      if (cols.contains("isDir")) col("isDir").cast("boolean") else lit(false)
+    val fs = log.fs
+    val rootQ = fs.makeQualified(log.rootPath).toString
+    val out = ArrayBuffer.empty[(String, Long)]
+    val it = inv.where(!isDirCol && col("path").isNotNull &&
+        col("modificationTime").isNotNull)
+      .select(col("path").cast("string"), col("modificationTime").cast("long"))
+      .toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      val q = fs.makeQualified(new Path(log.rootPath, r.getString(0))).toString
+      if ((q == rootQ || q.startsWith(rootQ + "/")) &&
+          isCandidate(new Path(q).getName)) {
+        val comps = new Path(q).toUri.getPath
+          .split('/').filter(_.nonEmpty).drop(rootDepth)
+        if (!comps.exists(c => c.startsWith(".") || c.startsWith("_")))
+          out += ((q, r.getLong(1)))
+      }
+    }
+    out.toSeq
+  }
+
   def vacuum(
       log: DeltaLog,
       retentionMs: Long = DefaultVacuumRetentionMs,
       allowZeroRetention: Boolean = false,
-      distributed: Boolean = false): Seq[String] = {
+      distributed: Boolean = false,
+      inventory: Option[org.apache.spark.sql.DataFrame] = None): Seq[String] = {
     require(retentionMs > 0 || allowZeroRetention,
       "retentionMs = 0 deletes every unreferenced file immediately and " +
         "breaks time travel; pass allowZeroRetention = true to confirm")
@@ -655,7 +721,9 @@ object Maintenance {
     }
 
     val candidates: Seq[(String, Long)] =
-      if (!distributed) listCandidates(fs, log.rootPath)
+      if (inventory.isDefined) inventoryCandidates(log, inventory.get,
+        rootDepth, isCandidate)
+      else if (!distributed) listCandidates(fs, log.rootPath)
       else {
         // 10⁷-file shape: fan the recursive listing out over executors,
         // one task per top-level entry (≈ first partition level). The

@@ -14,7 +14,7 @@ import graft.delta.{Clone, Constraints, DeltaLog, Maintenance, Mutations}
   * everything else delegates verbatim to Spark's parser:
   *
   * {{{
-  * GRAFT VACUUM '<path>' [RETAIN <n> HOURS]
+  * GRAFT VACUUM '<path>' [RETAIN <n> HOURS] [USING INVENTORY '<parquet>']
   * GRAFT OPTIMIZE '<path>' [ZORDER BY (c1, c2)]
   * GRAFT CHECKPOINT '<path>'
   * GRAFT REORG '<path>' APPLY PURGE                    -- drop DV debt
@@ -35,7 +35,7 @@ import graft.delta.{Clone, Constraints, DeltaLog, Maintenance, Mutations}
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private val Vacuum =
-    """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*""".r
+    """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+HOURS)?(?:\s+USING\s+INVENTORY\s+'([^']+)')?\s*""".r
   private val Optimize =
     """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*""".r
   private val Checkpoint = """(?is)\s*GRAFT\s+CHECKPOINT\s+'([^']+)'\s*""".r
@@ -83,12 +83,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   }
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case Vacuum(path, hours) =>
+    case Vacuum(path, hours, invPath) =>
       val retention = Option(hours).map(_.toLong * 3600 * 1000L)
         .getOrElse(Maintenance.DefaultVacuumRetentionMs)
       GraftMaintenanceCommand(path, "vacuum",
         Seq("deleted_files"), s => {
-          val n = Maintenance.vacuum(DeltaLog.forPath(s, path), retention).size
+          // USING INVENTORY '<parquet path>': candidate files from a
+          // pre-built inventory relation instead of a recursive listing
+          val inv = Option(invPath).map(p => s.read.parquet(p))
+          val n = Maintenance.vacuum(DeltaLog.forPath(s, path), retention,
+            inventory = inv).size
           Seq(Row(n.toLong))
         })
     case Optimize(path, zcols) =>

@@ -124,6 +124,35 @@ object SqlDemo {
         "catalog-cached relation must see out-of-band commits")
       println("== named table: CREATE/SELECT/INSERT via session catalog ==")
 
+      // inventory-sourced VACUUM: candidates from a parquet relation
+      // (the object-store shape — no recursive listing), inventory
+      // mtime as the orphan clock
+      val invTable = s"$dir/inv_table"
+      Seq((1L, "a")).toDF("n", "s").coalesce(1)
+        .write.format("graftdelta").mode("overwrite").save(invTable)
+      val strayP = new org.apache.hadoop.fs.Path(invTable, "stray.parquet")
+      val invFs = strayP.getFileSystem(spark.sessionState.newHadoopConf())
+      invFs.create(strayP, false).close()
+      val invPath = s"$dir/inventory.parquet"
+      Seq(("stray.parquet", System.currentTimeMillis() - 200L * 3600 * 1000, false))
+        .toDF("path", "modificationTime", "isDir").write.parquet(invPath)
+      val reclaimed = spark.sql(
+        s"GRAFT VACUUM '$invTable' RETAIN 168 HOURS USING INVENTORY '$invPath'")
+        .collect()(0).getLong(0)
+      require(reclaimed == 1L && !invFs.exists(strayP),
+        s"inventory vacuum must reclaim exactly the inventoried stray, got $reclaimed")
+      require(spark.read.format("graftdelta").load(invTable).count() == 1L)
+      println("== VACUUM USING INVENTORY: reclaimed the inventoried stray ==")
+
+      // minor log compaction: replay splices the compacted range
+      val lcLog = graft.delta.DeltaLog.forPath(spark, invTable)
+      (2 to 4).foreach(i => Seq((i.toLong, s"a$i")).toDF("n", "s")
+        .write.format("graftdelta").mode("append").save(invTable))   // v1..v3
+      graft.delta.Maintenance.compactLog(lcLog, 1, 3)
+      require(lcLog.compactedRanges() == Seq((1L, 3L)))
+      require(spark.read.format("graftdelta").load(invTable).count() == 4L)
+      println("== compactLog [1,3]: replay through the compacted range OK ==")
+
       // feature enablement via SQL
       spark.sql(s"GRAFT ALTER '$fsckPath' ENABLE CHANGE DATA FEED")
       spark.sql(s"GRAFT ALTER '$fsckPath' ENABLE ROW TRACKING")

@@ -121,6 +121,18 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(spark.read.format("graftdelta").load(path).count() == 3)
     // vacuum with explicit retention parses and runs (nothing young deleted)
     assert(spark.sql(s"GRAFT VACUUM '$path' RETAIN 168 HOURS").collect()(0).getLong(0) == 0L)
+    // inventory-sourced vacuum: candidates come from a parquet relation
+    val invPath = java.nio.file.Files.createTempDirectory("graft-inv")
+      .resolve("inv.parquet").toString
+    Seq(("stray.parquet", System.currentTimeMillis() - 200L * 3600 * 1000, false))
+      .toDF("path", "modificationTime", "isDir").write.parquet(invPath)
+    val strayP = new org.apache.hadoop.fs.Path(path, "stray.parquet")
+    val strayFs = strayP.getFileSystem(spark.sessionState.newHadoopConf())
+    strayFs.create(strayP, false).close()
+    assert(spark.sql(
+      s"GRAFT VACUUM '$path' RETAIN 168 HOURS USING INVENTORY '$invPath'")
+      .collect()(0).getLong(0) == 1L)
+    assert(!strayFs.exists(strayP))
     // mutation statements: UPDATE (multi-assignment with a function
     // call containing commas), targeted DELETE, DV DELETE
     spark.sql(s"GRAFT UPDATE '$path' SET s = concat(s, '!'), n = n + 10 WHERE n = 1")

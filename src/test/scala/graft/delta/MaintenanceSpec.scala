@@ -355,4 +355,60 @@ class MaintenanceSpec extends SparkTestBase {
     assert(Maintenance.vacuum(log, retentionMs = 0L,
       allowZeroRetention = true).length == 1)
   }
+
+  test("vacuum USING INVENTORY deletes only inventoried orphans") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("n", "s"))  // v0
+    TransactionWriter.overwrite(log, Seq((2L, "b")).toDF("n", "s"))  // v1: v0 orphaned
+    TransactionWriter.overwrite(log, Seq((3L, "c")).toDF("n", "s"))  // v2: v1 orphaned
+    val fs = log.fs
+    def allData(): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = fs.listFiles(log.rootPath, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet") &&
+          !st.getPath.toString.contains("_delta_log"))
+          out += fs.makeQualified(st.getPath).toString
+      }
+      out.toSeq
+    }
+    val before = allData()
+    assert(before.size == 3)
+    val active = log.snapshot.activeFiles.map(f =>
+      fs.makeQualified(new org.apache.hadoop.fs.Path(
+        log.rootPath, DeltaLog.decodePath(f.path))).toString).toSet
+    val orphans = before.filterNot(active)
+    // inventory lists ONE of the two orphans (plus the active file, a
+    // directory row, and a foreign path — all must be ignored/kept)
+    val inv = Seq(
+      (orphans.head, 0L, false),
+      (active.head, 0L, false),
+      (log.rootPath.toString, 0L, true),
+      ("/somewhere/else/data.parquet", 0L, false)
+    ).toDF("path", "modificationTime", "isDir")
+    val deleted = Maintenance.vacuum(log, retentionMs = 0L,
+      allowZeroRetention = true, inventory = Some(inv))
+    assert(deleted == Seq(orphans.head))
+    // the un-inventoried orphan survives (inventory is the candidate
+    // universe), the active file survives (it's live)
+    val left = allData().toSet
+    assert(left == before.toSet - orphans.head)
+    assertSameRows(log.snapshot.read(), Seq((3L, "c")).toDF("n", "s"))
+    // relative paths, and the retention clock is the INVENTORY mtime
+    // (never an fs stat): a stray tombstone-less file whose real mtime
+    // is recent but whose inventoried mtime is ancient gets reclaimed
+    val stray = new org.apache.hadoop.fs.Path(log.rootPath, "stray.parquet")
+    fs.create(stray, false).close()
+    val old = System.currentTimeMillis() - 48L * 3600 * 1000
+    val inv2 = Seq(("stray.parquet", old)).toDF("path", "modificationTime")
+    assert(Maintenance.vacuum(log, retentionMs = 24L * 3600 * 1000,
+      inventory = Some(inv2)) == Seq(fs.makeQualified(stray).toString))
+    assert(!fs.exists(stray))
+    // missing modificationTime column is refused
+    val e = intercept[IllegalArgumentException](Maintenance.vacuum(log,
+      retentionMs = 0L, allowZeroRetention = true,
+      inventory = Some(Seq("x.parquet").toDF("path"))))
+    assert(e.getMessage.contains("modificationTime"))
+  }
 }
