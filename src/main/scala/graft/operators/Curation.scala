@@ -49,6 +49,49 @@ object Curation {
       .withColumn("contaminated", col("n_hit_grams") > 0)
   }
 
+  /** C4/Dolma-style PARAGRAPH-level exact dedup: chunk each document
+    * into fixed `chunkWords`-word windows (the paragraph unit for
+    * corpora whose text carries no newline structure), drop every
+    * chunk whose content already occurred earlier in the corpus —
+    * first occurrence by (`idCol`, chunk position) survives, including
+    * intra-document repeats — and reassemble the survivors in order.
+    * Documents whose every chunk was seen elsewhere disappear.
+    *
+    * Scale shape: two shuffles, both irreducible for exact corpus-wide
+    * dedup — one hash-partitioned window over md5(chunk) (survivor
+    * election; map-side nothing to combine, but the exchange carries
+    * (id, pos, hash, chunk), bounded by corpus size not n²), one
+    * groupBy(id) for reassembly. Chunk election uses a window rather
+    * than min-join so each chunk row is read once. The probabilistic
+    * alternative at extreme scale is a bloom-filter pass (Dolma); this
+    * is the exact Spark-native shape.
+    */
+  def dedupParagraphs(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunkWords: Int = 15): DataFrame = {
+    require(chunkWords > 0, s"chunkWords must be > 0, got $chunkWords")
+    val w = split(col(textCol), " ")
+    val chunks = docs
+      .select(col(idCol), w.as("__w"))
+      .select(col(idCol),
+        explode(expr(s"sequence(0, (size(__w) - 1) DIV $chunkWords)")).as("__ck"),
+        col("__w"))
+      .select(col(idCol), col("__ck"),
+        array_join(slice(col("__w"), col("__ck") * chunkWords + 1,
+          lit(chunkWords)), " ").as("__para"))
+    val win = Window.partitionBy(md5(col("__para")))
+      .orderBy(col(idCol), col("__ck"))
+    chunks
+      .withColumn("__rn", row_number().over(win))
+      .where(col("__rn") === 1)
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("kept_chunks"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__ck"), col("__para")))),
+          x => x.getField("__para"))).as(textCol))
+  }
+
   /** Gopher-style repetition/quality metrics per document, as scaled
     * integers (floor ×1e6 — engines with different round-half rules
     * agree): mean word length, most-frequent-token ratio, duplicate

@@ -536,6 +536,26 @@ object Queries {
       |  FROM documents) t
       |WHERE rn = 1""".stripMargin
 
+  /** C4/Dolma paragraph-level exact dedup, paragraph = 15-word chunk
+    * (this corpus has no newline structure): first corpus-wide
+    * occurrence of a chunk survives, docs reassemble in order. The
+    * oracle recomputes the whole election + reassembly in DuckDB. */
+  private def qParagraphDedupOracle: String =
+    """WITH words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |),
+      |chunks AS (
+      |  SELECT doc_id, ck, array_to_string(w[ck*15+1 : ck*15+15], ' ') AS para
+      |  FROM words, unnest(range(0, ((len(w)-1)//15)+1)) AS t(ck)
+      |),
+      |kept AS (
+      |  SELECT doc_id, ck, para,
+      |    ROW_NUMBER() OVER (PARTITION BY md5(para) ORDER BY doc_id, ck) AS rn
+      |  FROM chunks)
+      |SELECT doc_id, count(*) AS kept_chunks,
+      |  string_agg(para, ' ' ORDER BY ck) AS text
+      |FROM kept WHERE rn = 1 GROUP BY doc_id""".stripMargin
+
   private def qFingerprint(dialect: String): String =
     if (dialect == "spark")
       """SELECT doc_id,
@@ -1667,6 +1687,11 @@ object Queries {
         |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         |  FROM documents) t
         |WHERE rn = 1""".stripMargin),
+    "q_paragraph_dedup" -> ((s, dir) => {
+      registerViews(s, dir)
+      graft.operators.Curation.dedupParagraphs(
+        s.table("documents"), "doc_id", "text")
+    }),
     "q_fingerprint" -> sqlQuery(qFingerprint("spark")),
     "q_token_count" -> sqlQuery(qTokenCount("spark")),
     "q_token_bpe" -> sqlQuery(qTokenBpe("spark")),
@@ -1820,6 +1845,7 @@ object Queries {
     "q_sessionize" -> qSessionize("epoch_us(ts)"),
     "q_json_extract" -> qJsonExtractDuck,
     "q_dedup_exact" -> qDedupExactOracle,
+    "q_paragraph_dedup" -> qParagraphDedupOracle,
     "q_fingerprint" -> qFingerprint("duck"),
     "q_token_count" -> qTokenCount("duck"),
     "q_token_bpe" -> qTokenBpe("duck"),

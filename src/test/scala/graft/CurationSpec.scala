@@ -21,6 +21,30 @@ class CurationSpec extends SparkTestBase {
     assert(out(0).getLong(1) >= 1 && out(1).getLong(1) == 0)
   }
 
+  test("dedupParagraphs keeps first occurrence, drops repeats, reassembles in order") {
+    // chunk size 2: doc 1 = [a b][c d], doc 2 = [c d][e f], doc 3 = [a b]
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "c d e f"),
+      (3L, "a b")).toDF("doc_id", "text")
+    val out = Curation.dedupParagraphs(docs, "doc_id", "text", chunkWords = 2)
+      .orderBy("doc_id").collect()
+    // doc 3's only chunk duplicates doc 1's first -> doc 3 disappears
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out(0).getString(2) == "a b c d" && out(0).getLong(1) == 2L)
+    assert(out(1).getString(2) == "e f" && out(1).getLong(1) == 1L)
+  }
+
+  test("dedupParagraphs removes intra-document repeats and ragged tails") {
+    // doc 1 = [x y][x y][z] -> second [x y] is an intra-doc repeat;
+    // trailing chunk shorter than chunkWords survives on its own
+    val docs = Seq((1L, "x y x y z"), (2L, "z")).toDF("doc_id", "text")
+    val out = Curation.dedupParagraphs(docs, "doc_id", "text", chunkWords = 2)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(out(0).getString(2) == "x y z" && out(0).getLong(1) == 2L)
+  }
+
   test("decontaminate handles docs shorter than the gram size") {
     val train = Seq((1L, "tiny doc"), (2L, "tiny doc")).toDF("doc_id", "text")
     val bench = Seq((9L, "tiny doc")).toDF("doc_id", "text")
