@@ -165,6 +165,32 @@ object TransactionWriter {
         Some(System.currentTimeMillis()))))
   }
 
+  /** Record an idempotent-writer marker WITHOUT data: a commit carrying
+    * only the `txn` action. For sinks whose data commit cannot carry
+    * the marker atomically (MERGE-based apply) but whose per-batch
+    * application is idempotent — the marker turns restarts into no-ops;
+    * a crash between data commit and marker merely re-applies one
+    * idempotent batch. Retries past concurrent writers (a txn marker
+    * conflicts with nothing). */
+  def recordTxn(log: DeltaLog, appId: String, version: Long): Long = {
+    val ict = log.snapshot.metadata.configuration
+      .get("delta.enableInCommitTimestamps").contains("true")
+    var attempt = log.latestVersion() + 1
+    var committed = -1L
+    while (committed < 0) {
+      try {
+        log.commit(attempt, Seq(
+          CommitInfoAction(CommitInfo(System.currentTimeMillis(), "SET TXN")),
+          TxnAction(SetTransaction(appId, version,
+            Some(System.currentTimeMillis())))), ictEnabled = ict)
+        committed = attempt
+      } catch {
+        case _: java.util.ConcurrentModificationException => attempt += 1
+      }
+    }
+    committed
+  }
+
   /** MERGE-style targeted rewrite: replace only `touched` files with
     * `replacement` rows; every other active file stays untouched in the
     * log. This is what keeps mutations affordable at scale — a dedup

@@ -556,6 +556,37 @@ object Queries {
       |  string_agg(para, ' ' ORDER BY ck) AS text
       |FROM kept WHERE rn = 1 GROUP BY doc_id""".stripMargin
 
+  /** TF-IDF top keywords per document: tf from a (doc, word) aggregate,
+    * df from the vocabulary-sized roll-up of that aggregate, score as a
+    * floor-scaled integer (engines with different double-formatting
+    * agree), deterministic word tie-break. Scale shape: the (doc, word)
+    * aggregate map-side combines the explosion; the df relation is
+    * vocabulary-sized (broadcastable) and joins back on word. */
+  private def qTfidf(dialect: String): String = {
+    val wordsRel =
+      if (dialect == "spark")
+        "SELECT doc_id, explode(split(text, ' ')) AS word FROM documents"
+      else
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents"
+    s"""WITH tf AS (
+       |  SELECT doc_id, word, count(*) AS tf
+       |  FROM ($wordsRel)
+       |  GROUP BY doc_id, word
+       |),
+       |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.word,
+       |    CAST(floor(1000000.0 * tf.tf * ln(CAST(n.n AS DOUBLE) / df.df)) AS BIGINT) AS score_e6
+       |  FROM tf JOIN df USING (word) CROSS JOIN n
+       |)
+       |SELECT doc_id, word, score_e6, rnk FROM (
+       |  SELECT doc_id, word, score_e6,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_e6 DESC, word) AS rnk
+       |  FROM scored) t
+       |WHERE rnk <= 3""".stripMargin
+  }
+
   private def qFingerprint(dialect: String): String =
     if (dialect == "spark")
       """SELECT doc_id,
@@ -1403,6 +1434,46 @@ object Queries {
       |SELECT s_suppkey, 0.0, 'update_postimage', 3
       |  FROM supplier WHERE s_suppkey % 7 = 2""".stripMargin
 
+  /** Streaming CDC APPLY: replicate a mutating source table into a
+    * target by draining its change feed through the MERGE-apply sink.
+    * The target starts EMPTY — the CDF initial snapshot arrives as
+    * insert rows — and two drains split the snapshot batch from the
+    * mutation batch, so the per-batch key reduction and the
+    * matched/not-matched clause routing are both exercised. The oracle
+    * recomputes the terminal state of the source mutations directly. */
+  private def qStreamCdcApplySpark: (SparkSession, String) => DataFrame =
+    (s, dir) => withStreamShuffle(s) {
+      registerViews(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft_cdcapply_")
+      val srcLog = graft.delta.DeltaLog.forPath(s, base.resolve("src").toString)
+      graft.delta.TransactionWriter.overwrite(srcLog,
+        s.table("supplier").select("s_suppkey", "s_acctbal"))         // v0
+      graft.delta.ChangeDataFeed.enable(srcLog)                       // v1
+      val tgtLog = graft.delta.DeltaLog.forPath(s, base.resolve("tgt").toString)
+      graft.delta.TransactionWriter.overwrite(tgtLog,
+        s.table("supplier").select("s_suppkey", "s_acctbal").limit(0))
+      val changes = s.readStream
+        .format(classOf[graft.sources.DeltaSourceProvider].getName)
+        .option("path", srcLog.tablePath)
+        .option("readChangeFeed", "true")
+        .load()
+      val q = graft.streaming.StreamingOps.deltaCdcApplySink(
+        changes, tgtLog, Seq("s_suppkey"), "q_stream_cdc_apply",
+        base.resolve("cp").toString)
+      q.processAllAvailable()                                         // snapshot batch
+      graft.delta.Mutations.delete(srcLog, col("s_suppkey") % 7 === 1)
+      graft.delta.Mutations.update(srcLog, col("s_suppkey") % 7 === 2,
+        Map("s_acctbal" -> lit(0.0)))
+      q.processAllAvailable()                                         // mutation batch
+      q.stop()
+      graft.delta.DeltaLog.forPath(s, tgtLog.tablePath).snapshot.read()
+    }
+
+  private val qStreamCdcApplyDuck: String =
+    """SELECT s_suppkey,
+      |  CASE WHEN s_suppkey % 7 = 2 THEN 0.0 ELSE s_acctbal END AS s_acctbal
+      |FROM supplier WHERE s_suppkey % 7 <> 1""".stripMargin
+
   /** Frame-sampling oracle: the corpus text is pure ASCII, so VARCHAR
     * slicing in DuckDB sees the same bytes as the binary slices the
     * Spark side's `Multimodal.sampleFrames` emits. */
@@ -1692,6 +1763,7 @@ object Queries {
       graft.operators.Curation.dedupParagraphs(
         s.table("documents"), "doc_id", "text")
     }),
+    "q_tfidf" -> sqlQuery(qTfidf("spark")),
     "q_fingerprint" -> sqlQuery(qFingerprint("spark")),
     "q_token_count" -> sqlQuery(qTokenCount("spark")),
     "q_token_bpe" -> sqlQuery(qTokenBpe("spark")),
@@ -1727,6 +1799,7 @@ object Queries {
     "q_change_feed" -> qChangeFeedSpark,
     "q_shallow_clone" -> qShallowCloneSpark,
     "q_stream_changes" -> qStreamChangesSpark,
+    "q_stream_cdc_apply" -> qStreamCdcApplySpark,
     "q_media_frames" -> ((s, dir) => {
       registerViews(s, dir)
       import s.implicits._
@@ -1846,6 +1919,7 @@ object Queries {
     "q_json_extract" -> qJsonExtractDuck,
     "q_dedup_exact" -> qDedupExactOracle,
     "q_paragraph_dedup" -> qParagraphDedupOracle,
+    "q_tfidf" -> qTfidf("duck"),
     "q_fingerprint" -> qFingerprint("duck"),
     "q_token_count" -> qTokenCount("duck"),
     "q_token_bpe" -> qTokenBpe("duck"),
@@ -1868,6 +1942,7 @@ object Queries {
     "q_change_feed" -> qChangeFeedDuck,
     "q_shallow_clone" -> qShallowCloneDuck,
     "q_stream_changes" -> qStreamChangesDuck,
+    "q_stream_cdc_apply" -> qStreamCdcApplyDuck,
     "q_media_frames" -> qMediaFramesDuck,
     "q_simhash" -> qSimhash("duck"),
     "q_embedding_knn" -> qKnn("duck"),

@@ -105,6 +105,71 @@ object StreamingOps {
       }
       .start()
 
+  /** Apply one change-data-feed batch onto a target table (the unit of
+    * [[deltaCdcApplySink]], also usable for batch backfills): reduce
+    * the batch to the NEWEST change per key (`update_preimage` rows
+    * dropped, `_commit_version` orders — the CDF contract emits at most
+    * one effective change per key per commit), then MERGE — delete
+    * rows delete, everything else upserts. Returns the target version.
+    *
+    * Restart contract: when `appId` is set, a batch at or below the
+    * recorded txn version is skipped; the marker is recorded AFTER the
+    * merge commit, and a crash between the two re-applies the same
+    * reduced batch — idempotent by key (same terminal state), so the
+    * target converges exactly-once even though work may repeat. */
+  def applyCdcBatch(
+      target: graft.delta.DeltaLog,
+      batch: DataFrame,
+      keyCols: Seq[String],
+      appId: Option[String] = None,
+      batchId: Long = -1L): Long = {
+    require(keyCols.nonEmpty, "applyCdcBatch needs at least one key column")
+    val snap = target.snapshot
+    val applied = appId.exists(a =>
+      snap.setTransactions.get(a).exists(_.version >= batchId))
+    if (applied) return snap.version
+    val dataCols = snap.schema.fieldNames.toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(desc("_commit_version"))
+    val reduced = batch
+      .where(col("_change_type") =!= "update_preimage")
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+    val cond = keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+    val sets = dataCols.map(c => c -> col(s"s.$c")).toMap
+    val notDelete = col("s._change_type") =!= "delete"
+    val v = graft.delta.Merge.into(target, reduced, cond)
+      .whenMatchedDelete(Some(col("s._change_type") === "delete"))
+      .whenMatchedUpdate(sets, Some(notDelete))
+      .whenNotMatchedInsert(sets, Some(notDelete))
+      .execute()
+    appId.foreach(a =>
+      graft.delta.TransactionWriter.recordTxn(target, a, batchId))
+    v
+  }
+
+  /** Continuously APPLY a change-data-feed stream onto a target table —
+    * the streaming-CDC materialization pattern (DLT `apply_changes` /
+    * "merge into" foreachBatch idiom): each micro-batch of CDF rows is
+    * reduced per key and MERGEd into the target via [[applyCdcBatch]].
+    * Pair with the Delta source's `readChangeFeed` option to replicate
+    * one table's mutations into another incrementally. */
+  def deltaCdcApplySink(
+      changes: DataFrame,
+      target: graft.delta.DeltaLog,
+      keyCols: Seq[String],
+      appId: String,
+      checkpointLocation: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCdcBatch(target, batch, keyCols, Some(appId), batchId)
+        ()
+      }
+      .start()
+
   /** Watermarked stream-stream INNER interval join: left rows match
     * right rows with the same key whose event time falls in
     * `[leftTs, leftTs + maxSpan]`. Both sides carry a watermark and the

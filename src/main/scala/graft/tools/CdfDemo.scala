@@ -80,6 +80,31 @@ object CdfDemo {
         "update_postimage" -> 1L, "insert" -> 1L),
         s"unexpected scd2 cdc: $scdTypes")
       println(s"mutation cdc histograms OK: dedup=$dedupTypes scd2=$scdTypes")
+
+      // CDC APPLY: replicate a mutating table into a follower by
+      // draining its change feed through the MERGE-apply sink
+      val leader = graft.delta.DeltaLog.forPath(spark, s"$dir/cdc_leader")
+      TransactionWriter.overwrite(leader,
+        Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1))
+      graft.delta.ChangeDataFeed.enable(leader)
+      val follower = graft.delta.DeltaLog.forPath(spark, s"$dir/cdc_follower")
+      TransactionWriter.overwrite(follower, Seq.empty[(Long, String)].toDF("k", "v"))
+      val stream = spark.readStream
+        .format(classOf[graft.sources.DeltaSourceProvider].getName)
+        .option("path", leader.tablePath)
+        .option("readChangeFeed", "true").load()
+      val apply = graft.streaming.StreamingOps.deltaCdcApplySink(
+        stream, follower, Seq("k"), "cdf-demo-apply", s"$dir/cdc_cp")
+      apply.processAllAvailable()
+      graft.delta.Mutations.delete(leader, org.apache.spark.sql.functions.col("k") === 1L)
+      TransactionWriter.append(leader, Seq((3L, "c")).toDF("k", "v"))
+      apply.processAllAvailable()
+      apply.stop()
+      val got = graft.delta.DeltaLog.forPath(spark, follower.tablePath)
+        .snapshot.read().orderBy("k").as[(Long, String)].collect().toSeq
+      require(got == Seq((2L, "b"), (3L, "c")),
+        s"follower must mirror the leader's terminal state, got $got")
+      println(s"== CDC apply: follower mirrors leader $got ==")
     } finally spark.stop()
   }
 }

@@ -114,6 +114,55 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("CDC apply sink replicates mutations; replays converge exactly-once") {
+    import graft.delta.{DeltaLog, TransactionWriter, Mutations, ChangeDataFeed}
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdcapply")
+    val src = DeltaLog.forPath(spark, dir.resolve("src").toString)
+    TransactionWriter.overwrite(src,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))           // v0
+    ChangeDataFeed.enable(src)                                       // v1
+    val tgt = DeltaLog.forPath(spark, dir.resolve("tgt").toString)
+    TransactionWriter.overwrite(tgt, Seq.empty[(Long, String)].toDF("k", "v"))
+    val changes = spark.readStream
+      .format(classOf[graft.sources.DeltaSourceProvider].getName)
+      .option("path", src.tablePath)
+      .option("readChangeFeed", "true")
+      .load()
+    val q = StreamingOps.deltaCdcApplySink(
+      changes, tgt, Seq("k"), "cdc-app", dir.resolve("cp").toString)
+    try {
+      q.processAllAvailable() // initial snapshot as inserts
+      assertSameRows(DeltaLog.forPath(spark, tgt.tablePath).snapshot.read(),
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+      Mutations.delete(src, col("k") === 2L)
+      Mutations.update(src, col("k") === 3L, Map("v" -> lit("c2")))
+      TransactionWriter.append(src, Seq((4L, "d")).toDF("k", "v"))
+      q.processAllAvailable()
+      val expect = Seq((1L, "a"), (3L, "c2"), (4L, "d")).toDF("k", "v")
+      assertSameRows(DeltaLog.forPath(spark, tgt.tablePath).snapshot.read(), expect)
+    } finally q.stop()
+    // replay an already-applied batch id -> marker skips, no commit
+    val tgt2 = DeltaLog.forPath(spark, tgt.tablePath)
+    val applied = tgt2.snapshot.setTransactions("cdc-app").version
+    val vBefore = tgt2.latestVersion()
+    val replay = Seq((2L, "b", "insert", 1L))
+      .toDF("k", "v", "_change_type", "_commit_version")
+    StreamingOps.applyCdcBatch(tgt2, replay, Seq("k"), Some("cdc-app"), applied)
+    assert(tgt2.latestVersion() == vBefore, "replayed batch must be skipped")
+    // crash-sim: the same batch WITHOUT a marker re-applies idempotently
+    val batch = Seq(
+      (5L, "e", "insert", 9L),
+      (5L, "e2", "update_postimage", 10L),  // newest change per key wins
+      (1L, "a", "delete", 9L))
+      .toDF("k", "v", "_change_type", "_commit_version")
+    StreamingOps.applyCdcBatch(tgt2, batch, Seq("k"))
+    StreamingOps.applyCdcBatch(DeltaLog.forPath(spark, tgt2.tablePath),
+      batch, Seq("k"))
+    assertSameRows(DeltaLog.forPath(spark, tgt2.tablePath).snapshot.read(),
+      Seq((3L, "c2"), (4L, "d"), (5L, "e2")).toDF("k", "v"))
+  }
+
   test("delta streaming source reads the snapshot then incremental appends") {
     import graft.delta.{DeltaLog, TransactionWriter, Maintenance}
     val dir = java.nio.file.Files.createTempDirectory("graft-src")
