@@ -184,6 +184,47 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rnk")
   }
 
+  /** SemDeDup-style cluster-bucketed embedding near-dedup (the k-means
+    * bucketing shape of Abbas et al., "SemDeDup", arXiv:2303.09540):
+    * assign every vector to its max-cosine centroid, compute pairwise
+    * cosine ONLY within a cluster, and drop every row whose similarity
+    * to a LOWER-id row of the same cluster reaches `threshold` — the
+    * deterministic keep-lowest-id variant of the paper's
+    * keep-one-per-duplicate-group. Returns surviving (id, cid).
+    *
+    * Scale shape: candidates are cluster-bucketed — Σ cluster² work,
+    * tunable via k — the semantic-bucket analogue of the banded-LSH
+    * path (which buckets by random hyperplane signs instead).
+    * Assignment is one broadcast pass; the in-cluster self-join
+    * shuffles on cid only. The largest cluster bounds the worst task:
+    * raise k (or pre-split hot cells) to cap it. Assignment ties break
+    * to the lower centroid id, matching [[ivfTopK]]. */
+  def semDedup(
+      corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val n = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val cent = centroids.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cnrm", norm(col("cv")))
+    val assign = n.crossJoin(broadcast(cent))
+      .withColumn("csim", round(
+        VectorExpressions.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 4))
+      .groupBy("id")
+      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+    val a = assign.select(col("cid"), col("id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assign.select(col("cid"), col("id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val dropped = a.join(b, Seq("cid"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("sim", round(
+        VectorExpressions.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .where(col("sim") >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    assign.join(dropped, Seq("id"), "left_anti").select(col("id"), col("cid"))
+  }
+
   /** Deterministic k-means training for the IVF coarse quantizer.
     *
     * - Seeding is data-derived and fixed: the k rows whose ids hash

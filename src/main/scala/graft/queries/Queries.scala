@@ -884,6 +884,55 @@ object Queries {
     s"${System.getProperty("java.io.tmpdir")}/graft_ivf_trained_centroids_" +
       s"${ProcessHandle.current().pid()}.parquet")
 
+  /** SemDeDup centroids get their own per-process export (never shared
+    * with the IVF query's path — same content today, but an overwrite
+    * race on one file would couple two oracles). */
+  private val semDedupCentroidsPath = sys.env.getOrElse(
+    "GRAFT_SEMDEDUP_CENTROIDS_PATH",
+    s"${System.getProperty("java.io.tmpdir")}/graft_semdedup_centroids_" +
+      s"${ProcessHandle.current().pid()}.parquet")
+
+  private def qSemDedupSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      val emb = s.table("embeddings")
+      val trained = graft.operators.Similarity.trainKMeans(
+        emb, "vec_id", "embedding", k = 16, iterations = 3)
+      import s.implicits._
+      trained.map { case (cid, cv) => (cid, cv.toSeq) }
+        .toDF("vec_id", "embedding")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(semDedupCentroidsPath)
+      val cents = s.read.parquet(semDedupCentroidsPath)
+      graft.operators.Similarity.semDedup(
+        emb, cents, "vec_id", "embedding", threshold = 0.4)
+        .withColumnRenamed("id", "vec_id")
+    }
+
+  private def qSemDedupDuck: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v,
+       |    SQRT(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |cent AS (SELECT vec_id AS cid, embedding AS cv,
+       |    SQRT(list_sum(list_transform(embedding, x -> x * x))) AS cnrm
+       |  FROM read_parquet('$semDedupCentroidsPath/*.parquet')),
+       |sims AS (SELECT n.vec_id, cent.cid,
+       |    ROUND(list_sum(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * cent.cv[i]))
+       |      / (n.nrm * cent.cnrm), 4) AS csim
+       |  FROM n CROSS JOIN cent),
+       |assign AS (SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+       |    FROM sims) t WHERE rn = 1),
+       |av AS (SELECT a.vec_id, a.cid, n.v, n.nrm
+       |  FROM assign a JOIN n ON a.vec_id = n.vec_id),
+       |dropped AS (SELECT DISTINCT y.vec_id
+       |  FROM av x JOIN av y ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |  WHERE ROUND(list_sum(list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i]))
+       |      / (x.nrm * y.nrm), 4) >= 0.4)
+       |SELECT vec_id, cid FROM av
+       |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
+
   private def qIvfTrainedSpark: (SparkSession, String) => DataFrame =
     (s, dir) => {
       registerViews(s, dir)
@@ -1839,6 +1888,7 @@ object Queries {
     }),
     "q_embedding_ivf_knn" -> cachedStagesQuery(ivfStages, qIvfKnnSparkFinal),
     "q_embedding_ivf_trained" -> qIvfTrainedSpark,
+    "q_embedding_semdedup" -> qSemDedupSpark,
     "q_decontaminate" -> ((s, dir) => {
       registerViews(s, dir)
       val docs = s.table("documents").repartition(s.sparkContext.defaultParallelism)
@@ -1951,6 +2001,7 @@ object Queries {
     "q_embedding_knn_lsh" -> qKnnLshDuck,
     "q_embedding_ivf_knn" -> qIvfKnnDuck,
     "q_embedding_ivf_trained" -> qIvfTrainedDuck,
+    "q_embedding_semdedup" -> qSemDedupDuck,
     "q_media_meta" -> qMediaMetaDuck,
     "q_media_features" -> qMediaFeaturesDuck,
     "q_decontaminate" -> qDecontaminateDuck,

@@ -166,6 +166,24 @@ class OperatorsSpec extends SparkTestBase {
     assertSameRows(api, sql)
   }
 
+  test("semDedup drops only in-cluster near-dups, keeps lowest id") {
+    // two orthogonal clusters; ids 1/2/3 are near-identical in cluster A
+    // (1 survives as lowest), 10 is alone near centroid B, 11 is in A's
+    // cell but dissimilar to everything -> survives
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(0.999, 0.01, 0.0)),
+      (3L, Seq(0.998, 0.02, 0.0)),
+      (10L, Seq(0.0, 1.0, 0.0)),
+      (11L, Seq(0.6, 0.0, 0.8))).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.0))).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(vecs, cents, "vec_id", "embedding", 0.95)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 0L), (10L, 1L), (11L, 0L)), s"got $out")
+  }
+
   test("lshNearDupPairs is a subset of brute-force pairs at the same threshold") {
     val lsh = Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 0.4)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
