@@ -199,6 +199,134 @@ object Maintenance {
     finally out.close()
   }
 
+  /** ALTER TABLE SET/UNSET TBLPROPERTIES: commit the metadata with
+    * `set` entries applied and `unset` keys removed. Feature-gating
+    * properties (delta.enable*) only flip the FLAG here — protocol
+    * upgrades belong to the dedicated enable APIs, protocol downgrades
+    * to [[dropFeature]]. */
+  def setTableProperties(
+      log: DeltaLog, set: Map[String, String],
+      unset: Seq[String] = Nil): Long = {
+    val snap = log.snapshot
+    val m = snap.metadata
+    val conf = (m.configuration ++ set) -- unset
+    if (conf == m.configuration) return snap.version
+    val v = snap.version + 1
+    log.commit(v, Seq(
+      CommitInfoAction(CommitInfo(System.currentTimeMillis(),
+        "SET TBLPROPERTIES", set ++ unset.map(_ -> "<unset>"))),
+      MetadataAction(m.copy(configuration = conf))),
+      ictEnabled = conf.get("delta.enableInCommitTimestamps").contains("true"))
+    v
+  }
+
+  /** Features whose TRACES live in data/history a reader must
+    * understand (not just a writer): dropping one makes older
+    * commits/checkpoints unreadable-by-contract, so the drop demands
+    * history truncation. */
+  private val readerBorneFeatures =
+    Set("deletionVectors", "columnMapping", "v2Checkpoint", "timestampNtz")
+
+  /** ALTER TABLE ... DROP FEATURE (delta-spark's feature-removal flow,
+    * compressed): validate the table no longer USES the feature,
+    * optionally truncate history (checkpoint now + delete the
+    * pre-checkpoint log — required for reader-borne features whose
+    * traces persist in old commits), then commit the downgraded
+    * protocol. Feature lists shrink; when a list empties the version
+    * collapses to the legacy equivalent. Retention responsibility for
+    * truncated history sits with the caller (delta-spark enforces a
+    * 24h double-confirm; a library API refuses nothing it was
+    * explicitly asked to do). */
+  def dropFeature(
+      log: DeltaLog, feature: String, truncateHistory: Boolean = false): Long = {
+    val snap = log.snapshot
+    val p = snap.protocol
+    // A legacy protocol (writer < 7) IMPLIES features without listing
+    // them; normalize to the table-features representation so an
+    // implied feature is droppable (the remaining implied set stays
+    // listed on the upgraded v7 protocol — delta-spark does the same
+    // normalize-then-drop).
+    val legacyWriterImplied: Set[String] =
+      if (p.minWriterVersion >= 7) Set.empty
+      else Seq(
+        2 -> Set("appendOnly", "invariants"),
+        3 -> Set("checkConstraints"),
+        4 -> Set("changeDataFeed", "generatedColumns"),
+        5 -> Set("columnMapping"),
+        6 -> Set("identityColumns"))
+        .collect { case (v, fs) if p.minWriterVersion >= v => fs }
+        .flatten.toSet
+    val legacyReaderImplied: Set[String] =
+      if (p.minReaderVersion == 2) Set("columnMapping") else Set.empty
+    val effReader = p.readerFeatures ++ legacyReaderImplied
+    val effWriter = p.writerFeatures ++ legacyWriterImplied
+    require(effReader.contains(feature) || effWriter.contains(feature),
+      s"table ${log.tablePath} does not list feature '$feature' " +
+        s"(reader=$effReader, writer=$effWriter)")
+    val conf = snap.metadata.configuration
+    def refuse(msg: String): Nothing =
+      throw new IllegalStateException(s"cannot drop feature '$feature': $msg")
+    feature match {
+      case "deletionVectors" =>
+        if (conf.get("delta.enableDeletionVectors").contains("true"))
+          refuse("unset delta.enableDeletionVectors first")
+        val dved = snap.planFiles(Some(col("deletion_vector.cardinality") > 0))
+        if (dved.nonEmpty)
+          refuse(s"${dved.size} active file(s) still carry deletion vectors — " +
+            "run GRAFT REORG ... APPLY PURGE first")
+      case "columnMapping" =>
+        if (snap.columnMappingMode != "none")
+          refuse(s"column mapping mode is '${snap.columnMappingMode}'")
+      case "v2Checkpoint" =>
+        if (conf.get("delta.checkpointPolicy").contains("v2"))
+          refuse("unset delta.checkpointPolicy first")
+      case "changeDataFeed" =>
+        if (conf.get("delta.enableChangeDataFeed").contains("true"))
+          refuse("unset delta.enableChangeDataFeed first")
+      case "rowTracking" =>
+        if (conf.get("delta.enableRowTracking").contains("true"))
+          refuse("unset delta.enableRowTracking first")
+      case "inCommitTimestamp" =>
+        if (conf.get("delta.enableInCommitTimestamps").contains("true"))
+          refuse("unset delta.enableInCommitTimestamps first")
+      case "checkConstraints" =>
+        val live = conf.keys.filter(_.startsWith("delta.constraints."))
+        if (live.nonEmpty) refuse(s"constraints still defined: ${live.mkString(", ")}")
+      case "identityColumns" =>
+        if (snap.schema.fields.exists(_.metadata.contains("delta.identity.start")))
+          refuse("schema still declares identity columns")
+      case _ => ()
+    }
+    if (readerBorneFeatures.contains(feature)) {
+      require(truncateHistory,
+        s"'$feature' is reader-borne: older commits/checkpoints still carry " +
+          "its traces, so dropping it requires truncateHistory = true " +
+          "(SQL: DROP FEATURE ... TRUNCATE HISTORY)")
+      checkpoint(log)
+      cleanupLog(log)
+    }
+    val rf = effReader - feature
+    val wf = effWriter - feature
+    val downgraded = Protocol(
+      minReaderVersion =
+        if (rf.isEmpty) 1
+        else if (rf == Set("columnMapping") && p.minReaderVersion <= 2) 2
+        else 3,
+      minWriterVersion = if (wf.isEmpty) 2 else 7,
+      readerFeatures = if (rf.isEmpty ||
+          (rf == Set("columnMapping") && p.minReaderVersion <= 2)) Set.empty
+        else rf,
+      writerFeatures = if (wf.isEmpty) Set.empty else wf)
+    val cur = log.snapshot // truncation may have advanced nothing, but re-resolve
+    val v = cur.version + 1
+    log.commit(v, Seq(
+      CommitInfoAction(CommitInfo(System.currentTimeMillis(),
+        "DROP FEATURE", Map("feature" -> feature))),
+      ProtocolAction(downgraded)),
+      ictEnabled = conf.get("delta.enableInCommitTimestamps").contains("true"))
+    v
+  }
+
   /** Minor log compaction (Delta protocol "Log Compaction Files"):
     * write `<start>.<end>.compacted.json` holding the RECONCILED
     * actions of the commit range — latest protocol/metaData, latest

@@ -30,6 +30,9 @@ import graft.delta.{Clone, Constraints, DeltaLog, Maintenance, Mutations}
   * GRAFT ALTER '<path>' CLUSTER BY (c1, c2) | CLUSTER BY NONE
   * GRAFT ALTER '<path>' ENABLE CHANGE DATA FEED | ROW TRACKING |
   *                             IN COMMIT TIMESTAMPS | COLUMN MAPPING
+  * GRAFT ALTER '<path>' DROP FEATURE <name> [TRUNCATE HISTORY]
+  * GRAFT ALTER '<path>' SET TBLPROPERTIES ('k' = 'v', ...)
+  * GRAFT ALTER '<path>' UNSET TBLPROPERTIES ('k', ...)
   * }}}
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
@@ -62,6 +65,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+ALTER\s+'([^']+)'\s+CLUSTER\s+BY\s+NONE\s*""".r
   private val AlterEnable =
     """(?is)\s*GRAFT\s+ALTER\s+'([^']+)'\s+ENABLE\s+(CHANGE\s+DATA\s+FEED|ROW\s+TRACKING|IN\s+COMMIT\s+TIMESTAMPS|COLUMN\s+MAPPING)\s*""".r
+  private val DropFeature =
+    """(?is)\s*GRAFT\s+ALTER\s+'([^']+)'\s+DROP\s+FEATURE\s+(\w+)(\s+TRUNCATE\s+HISTORY)?\s*""".r
+  private val SetProps =
+    """(?is)\s*GRAFT\s+ALTER\s+'([^']+)'\s+SET\s+TBLPROPERTIES\s*\(([^)]+)\)\s*""".r
+  private val UnsetProps =
+    """(?is)\s*GRAFT\s+ALTER\s+'([^']+)'\s+UNSET\s+TBLPROPERTIES\s*\(([^)]+)\)\s*""".r
 
   /** Split a SET list on top-level commas only (commas inside
     * parentheses — function calls — don't separate assignments). */
@@ -170,6 +179,30 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
               graft.delta.SchemaEvolution.enableColumnMapping(log)
           }
           Seq(Row(v))
+        })
+    case DropFeature(path, feature, truncate) =>
+      GraftMaintenanceCommand(path, "drop_feature",
+        Seq("version"), s =>
+          Seq(Row(Maintenance.dropFeature(DeltaLog.forPath(s, path), feature,
+            truncateHistory = truncate != null))))
+    case SetProps(path, kvs) =>
+      GraftMaintenanceCommand(path, "set_tblproperties",
+        Seq("version"), s => {
+          val set = kvs.split(",").map(_.trim).map { kv =>
+            kv.split("=", 2).map(_.trim.stripPrefix("'").stripSuffix("'")) match {
+              case Array(k, v) => k -> v
+              case other => throw new IllegalArgumentException(
+                s"bad TBLPROPERTIES entry '$kv' (expected 'k' = 'v')")
+            }
+          }.toMap
+          Seq(Row(Maintenance.setTableProperties(DeltaLog.forPath(s, path), set)))
+        })
+    case UnsetProps(path, ks) =>
+      GraftMaintenanceCommand(path, "unset_tblproperties",
+        Seq("version"), s => {
+          val unset = ks.split(",").map(_.trim.stripPrefix("'").stripSuffix("'")).toSeq
+          Seq(Row(Maintenance.setTableProperties(DeltaLog.forPath(s, path),
+            Map.empty, unset)))
         })
     case ClusterByNone(path) =>
       GraftMaintenanceCommand(path, "cluster_by_none",

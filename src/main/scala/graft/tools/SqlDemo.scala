@@ -161,6 +161,19 @@ object SqlDemo {
       require(graft.delta.RowTracking.supported(fsnap.protocol))
       println(s"== ENABLE CHANGE DATA FEED / ROW TRACKING: " +
         s"protocol=${fsnap.protocol.minWriterVersion} ==")
+
+      // property management + feature retirement via SQL: turn the
+      // flag off, then drop the feature from the protocol
+      spark.sql(s"GRAFT ALTER '$fsckPath' SET TBLPROPERTIES ('custom.owner' = 'demo')")
+      spark.sql(s"GRAFT ALTER '$fsckPath' UNSET TBLPROPERTIES ('delta.enableChangeDataFeed')")
+      spark.sql(s"GRAFT ALTER '$fsckPath' DROP FEATURE changeDataFeed")
+      val dsnap = graft.delta.DeltaLog.forPath(spark, fsckPath).snapshot
+      require(dsnap.metadata.configuration.get("custom.owner").contains("demo"))
+      require(!dsnap.protocol.writerFeatures.contains("changeDataFeed"),
+        s"changeDataFeed must be dropped, got ${dsnap.protocol}")
+      require(spark.read.format("graftdelta").load(fsckPath).count() >= 1L)
+      println(s"== SET/UNSET TBLPROPERTIES + DROP FEATURE changeDataFeed: " +
+        s"writerFeatures=${dsnap.protocol.writerFeatures} ==")
       println("SqlDemo OK")
     } finally spark.stop()
   }

@@ -356,6 +356,62 @@ class MaintenanceSpec extends SparkTestBase {
       allowZeroRetention = true).length == 1)
   }
 
+  test("DROP FEATURE: full deletion-vectors retirement lifecycle") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log,
+      (1L to 10L).map(i => (i, s"v$i")).toDF("n", "s").coalesce(1))
+    Mutations.deleteWithDv(log, col("n") === 3L)
+    assert(log.snapshot.protocol.readerFeatures.contains("deletionVectors"))
+    // refused while a live DV exists
+    val e1 = intercept[IllegalStateException](
+      Maintenance.dropFeature(log, "deletionVectors", truncateHistory = true))
+    assert(e1.getMessage.contains("APPLY PURGE"))
+    Maintenance.purgeDeletionVectors(log)
+    // reader-borne: refused without history truncation
+    val e2 = intercept[IllegalArgumentException](
+      Maintenance.dropFeature(log, "deletionVectors"))
+    assert(e2.getMessage.contains("truncateHistory"))
+    val v = Maintenance.dropFeature(log, "deletionVectors", truncateHistory = true)
+    val snap = DeltaLog.forPath(spark, log.tablePath).snapshot
+    assert(!snap.protocol.readerFeatures.contains("deletionVectors"))
+    assert(!snap.protocol.writerFeatures.contains("deletionVectors"))
+    assert(snap.protocol.minReaderVersion == 1,
+      s"empty reader feature set must collapse to legacy, got ${snap.protocol}")
+    assert(snap.version == v)
+    assert(snap.read().count() == 9)
+    // pre-checkpoint history is gone (truncated)
+    val (commits, _) = log.listLog()
+    assert(commits.min >= v - 1, s"old commits must be truncated, got $commits")
+    // unknown feature refused
+    val e3 = intercept[IllegalArgumentException](
+      Maintenance.dropFeature(log, "nope"))
+    assert(e3.getMessage.contains("does not list"))
+  }
+
+  test("SET/UNSET TBLPROPERTIES round-trip gates a writer-feature drop") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("n", "s"))
+    ChangeDataFeed.enable(log)
+    assert(ChangeDataFeed.enabled(log.snapshot))
+    // drop refused while the property is on
+    val e = intercept[IllegalStateException](
+      Maintenance.dropFeature(log, "changeDataFeed"))
+    assert(e.getMessage.contains("enableChangeDataFeed"))
+    Maintenance.setTableProperties(log,
+      Map("custom.tag" -> "x"), unset = Seq("delta.enableChangeDataFeed"))
+    val m = log.snapshot.metadata.configuration
+    assert(m.get("custom.tag").contains("x") &&
+      !m.contains("delta.enableChangeDataFeed"))
+    // writer-only feature: drops without truncation
+    Maintenance.dropFeature(log, "changeDataFeed")
+    assert(!log.snapshot.protocol.writerFeatures.contains("changeDataFeed"))
+    assert(log.snapshot.read().count() == 1)
+    // no-op property change commits nothing
+    val vBefore = log.latestVersion()
+    Maintenance.setTableProperties(log, Map("custom.tag" -> "x"))
+    assert(log.latestVersion() == vBefore)
+  }
+
   test("vacuum USING INVENTORY deletes only inventoried orphans") {
     val log = freshLog()
     TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("n", "s"))  // v0
