@@ -35,7 +35,8 @@ object ConnectedComponents {
     */
   def components(
       edges: DataFrame, srcCol: String, dstCol: String,
-      maxIterations: Int = 30): DataFrame = {
+      maxIterations: Int = 30,
+      smallGraphThreshold: Long = 500000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -57,6 +58,14 @@ object ConnectedComponents {
     }
 
     var fp = fingerprint(e)
+    // Small-graph fast path: the edge list here is VERIFIED near-dup
+    // pairs — a sliver of the corpus even at 100 TB (the fingerprint
+    // count is already on hand, so the check is free). Below the
+    // threshold, per-round distributed iteration spends multiples of
+    // the actual work on job scheduling; a driver union-find finishes
+    // in microseconds and returns the identical (id, min-id component)
+    // contract. The distributed O(log n) path stays the default above.
+    if (fp._1 <= smallGraphThreshold) return localComponents(spark, e)
     var it = 0
     var converged = e.isEmpty
     while (!converged && it < maxIterations) {
@@ -96,5 +105,34 @@ object ConnectedComponents {
       .union(e.select($"v").distinct()
         .join(e.select($"u").distinct(), $"v" === $"u", "left_anti")
         .select($"v".as("id"), $"v".as("component")))
+  }
+
+  /** Driver union-find (path compression + union by attachment to the
+    * smaller root id) for edge lists known to be small. Same output
+    * contract as the distributed path: (id, component) with component
+    * = minimum reachable id, one row per node appearing in an edge. */
+  private def localComponents(
+      spark: org.apache.spark.sql.SparkSession, e: DataFrame): DataFrame = {
+    import spark.implicits._
+    val pairs = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root) root = parent(root)
+      var cur = x
+      while (parent.getOrElse(cur, cur) != root) {
+        val next = parent(cur); parent(cur) = root; cur = next
+      }
+      root
+    }
+    pairs.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      // attach the larger root under the smaller: roots stay component
+      // minima, so no remap pass is needed at the end
+      if (ru < rv) parent(rv) = ru
+      else if (rv < ru) parent(ru) = rv
+    }
+    val nodes = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+    nodes.toSeq.sorted.map(n => (n, find(n))).toDF("id", "component")
   }
 }

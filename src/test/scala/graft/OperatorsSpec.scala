@@ -473,13 +473,18 @@ class OperatorsSpec extends SparkTestBase {
     val pair = Seq((900L, 800L))                                // reversed order
     val edges = (chain ++ cycle ++ star ++ pair ++ chain.map(_.swap))
       .toDF("a", "b")
-    val comp = ConnectedComponents.components(edges, "a", "b")
-      .as[(Long, Long)].collect().toMap
-    assert((100L to 120L).forall(comp(_) == 100L), s"chain: $comp")
-    assert(Seq(1L, 2L, 3L).forall(comp(_) == 1L))
-    assert(Seq(50L, 60L, 61L, 62L).forall(comp(_) == 50L))
-    assert(comp(800L) == 800L && comp(900L) == 800L)
-    assert(comp.size == 21 + 3 + 4 + 2, "every node exactly once")
+    // threshold default -> driver union-find; 0 -> distributed
+    // large-star/small-star; identical contract required of both
+    for (threshold <- Seq(500000L, 0L)) {
+      val comp = ConnectedComponents.components(edges, "a", "b",
+        smallGraphThreshold = threshold)
+        .as[(Long, Long)].collect().toMap
+      assert((100L to 120L).forall(comp(_) == 100L), s"chain($threshold): $comp")
+      assert(Seq(1L, 2L, 3L).forall(comp(_) == 1L))
+      assert(Seq(50L, 60L, 61L, 62L).forall(comp(_) == 50L))
+      assert(comp(800L) == 800L && comp(900L) == 800L)
+      assert(comp.size == 21 + 3 + 4 + 2, "every node exactly once")
+    }
     // empty edge list → empty assignment
     assert(ConnectedComponents.components(
       Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").count() == 0L)
