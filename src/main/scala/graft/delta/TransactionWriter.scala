@@ -506,7 +506,12 @@ object TransactionWriter {
       // keyed physically, see Snapshot.addsFlat).
       val dataSchema = StructType(writeDf.schema.filterNot(f =>
         writePartCols.contains(f.name) || preservedCols.contains(f.name)))
-      val stats = computeStats(log, dataSchema, moved)
+      val numIndexed = (if (configuration.nonEmpty) configuration
+        else prev.map(_.metadata.configuration).getOrElse(Map.empty))
+        .get("delta.dataSkippingNumIndexedCols")
+        .flatMap(s => scala.util.Try(s.toInt).toOption)
+        .getOrElse(32)
+      val stats = computeStats(log, dataSchema, moved, numIndexed)
 
       // 4. Commit.
       val version = prev.map(_.version + 1).getOrElse(0L)
@@ -705,6 +710,25 @@ object TransactionWriter {
           if ((committed + 1) % n == 0 && committed >= n - 1)
             Maintenance.compactLog(log, committed - n + 1, committed)
         }
+      // delta.autoOptimize.autoCompact: after a data commit, fold
+      // accumulated small files (streaming sinks and frequent small
+      // appends otherwise bury a table in KB-scale files). Rides
+      // compactSmall, so it converges: the OPTIMIZE it commits is
+      // excluded from re-triggering, and once files fold past the
+      // threshold the pass is a planning-only no-op. Thresholds:
+      // graft.autoCompact.targetFileBytes (128 MiB default) /
+      // minNumFiles (8).
+      if (dataChange && operation != "OPTIMIZE" && operation != "REORG" &&
+          effectiveConf.get("delta.autoOptimize.autoCompact").contains("true")) {
+        val target = effectiveConf.get("graft.autoCompact.targetFileBytes")
+          .flatMap(s => scala.util.Try(s.toLong).toOption)
+          .getOrElse(128L * 1024 * 1024)
+        val minN = effectiveConf.get("graft.autoCompact.minNumFiles")
+          .flatMap(s => scala.util.Try(s.toInt).toOption)
+          .getOrElse(8)
+        Maintenance.compactSmall(log, targetFileBytes = target,
+          minSmallFiles = minN)
+      }
       committed
     } finally fs.delete(staging, true)
   }
@@ -849,11 +873,29 @@ object TransactionWriter {
 
   /** numRecords / per-leaf min / max / nullCount for each written file,
     * rendered as the `add.stats` JSON string. One Spark job grouped by
-    * `input_file_name()`. */
+    * `input_file_name()`.
+    *
+    * `numIndexedCols` (`delta.dataSkippingNumIndexedCols`, default 32,
+    * -1 = all): stats cover only the first N leaf columns in schema
+    * order — on a 1000-column table, per-file min/max on every column
+    * bloats the log and the write-side aggregation for columns nobody
+    * filters on. Identity columns are always included regardless (the
+    * same-commit high-water-mark advance reads their max from these
+    * stats). */
   private def computeStats(
-      log: DeltaLog, dataSchema: StructType, moved: Seq[MovedFile]): Map[String, String] = {
+      log: DeltaLog, dataSchema: StructType, moved: Seq[MovedFile],
+      numIndexedCols: Int = -1): Map[String, String] = {
     if (moved.isEmpty) return Map.empty
-    val leaves = statLeaves(dataSchema)
+    val allLeaves = statLeaves(dataSchema)
+    val leaves =
+      if (numIndexedCols < 0) allLeaves
+      else {
+        val idCols = dataSchema.fields
+          .filter(_.metadata.contains(IdentityColumns.StartKey))
+          .map(_.name).toSet
+        (allLeaves.take(numIndexedCols) ++
+          allLeaves.filter { case (p, _) => idCols.contains(p) }).distinct
+      }
     val aggs =
       count(lit(1)).as("__num") +:
         leaves.zipWithIndex.flatMap { case ((p, _), i) =>

@@ -20,6 +20,25 @@ class SkippingSpec extends SparkTestBase {
     log
   }
 
+  test("dataSkippingNumIndexedCols limits stats to the first N leaves") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-nidx")
+      .resolve("t").toString
+    val log = DeltaLog.forPath(spark, path)
+    TransactionWriter.overwrite(log,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("c1", "c2", "c3").coalesce(1),
+      configuration = Map("delta.dataSkippingNumIndexedCols" -> "1"))
+    val statsJson = log.snapshot.activeFiles.head.stats.get
+    val node = JsonUtil.mapper.readTree(statsJson)
+    assert(node.path("numRecords").asLong() == 2L)
+    assert(node.path("minValues").has("c1") && !node.path("minValues").has("c2")
+      && !node.path("minValues").has("c3"), s"stats: $statsJson")
+    // un-indexed columns can't prune but still read correctly
+    assert(Skipping.readWhere(log.snapshot, Seq(("c3", ">", 15.0))).count() == 1L)
+    assert(Skipping.prunedFiles(log.snapshot, Seq(("c3", ">", 15.0))).size == 1,
+      "a file without stats on the predicate column must be kept")
+  }
+
   test("partition predicates prune exactly on partitionValues") {
     val path = Files.createTempDirectory("graft-skip").resolve("t").toString
     val log = DeltaLog.forPath(spark, path)
