@@ -11,8 +11,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects
-      // unless read as raw nanos longs (queries convert explicitly)
+      // Older testdata wrote events.ts as TIMESTAMP(NANOS), which Spark 4
+      // rejects unless read as raw nanos longs; a no-op for µs files.
+      // Queries pick their accessor from the actual read schema.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.locality.wait", "0")
       .config("spark.ui.enabled", "false")

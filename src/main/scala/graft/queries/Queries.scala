@@ -34,10 +34,16 @@ object Queries {
       new java.util.WeakHashMap[SparkSession, String]())
 
   def registerViews(spark: SparkSession, dir: String): Unit = {
-    // events.parquet carries TIMESTAMP(NANOS); ensure the session reads
-    // it as raw longs even when the caller (e.g. the driver's smoke
-    // test) didn't configure it at build time.
+    // Older testdata generations wrote events.ts as parquet
+    // TIMESTAMP(NANOS); keep the nanos-as-long read path available so
+    // those files still load (it is a no-op for µs-timestamp files).
+    // The actual `ts` physical type is INSPECTED, not assumed — see
+    // [[eventEpochUsSql]].
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The event-time queries compare epoch-µs values against a DuckDB
+    // oracle that reads the same column naively; pin UTC so a
+    // TIMESTAMP_NTZ → TIMESTAMP cast is the identity on the epoch.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     // Drop any stage caches left by a previous query. Keeping them was
     // measured SLOWER suite-wide (41.5s -> 71.5s at sf0.1): CacheManager
     // compares every new plan against every cached entry, and the huge
@@ -57,6 +63,51 @@ object Queries {
 
   private def sqlQuery(text: String): (SparkSession, String) => DataFrame =
     (spark, dir) => { registerViews(spark, dir); spark.sql(text) }
+
+  // ---- schema-adaptive event-time accessors --------------------------------
+  //
+  // The driver has regenerated events.parquet with different physical
+  // types for `ts` across rounds (TIMESTAMP(NANOS) read as BIGINT nanos
+  // under nanosAsLong; later timestamp[us] read as TIMESTAMP_NTZ). Every
+  // event-time query works in epoch MICROSECONDS internally, so the only
+  // schema-dependent piece is the accessor expression — inspect the read
+  // schema ONCE per dir and emit the right SQL. Cached by dir: the
+  // footer read costs ~10 ms and the type is stable for a given dataset.
+  private val eventEpochUsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** SQL expression yielding `ts` as epoch microseconds (BIGINT),
+    * chosen from the actual read schema of `events.parquet`. Integer
+    * arithmetic throughout — a double division at epoch magnitude has
+    * ulp ≈ 256 µs and silently corrupts timestamps. */
+  private[graft] def eventEpochUsSql(spark: SparkSession, dir: String): String =
+    eventEpochUsCache.computeIfAbsent(dir, d => {
+      import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+      val tsType = spark.read.parquet(s"$d/events.parquet").schema("ts").dataType
+      tsType match {
+        case LongType => "ts DIV 1000" // TIMESTAMP(NANOS) under nanosAsLong
+        case TimestampType => "unix_micros(ts)"
+        // NTZ: cast interprets the wall-clock in the session zone; the
+        // session is pinned UTC (registerViews), so the cast is exact
+        // and agrees with DuckDB's naive epoch_us(ts).
+        case TimestampNTZType => "unix_micros(CAST(ts AS TIMESTAMP))"
+        case other => throw new IllegalStateException(
+          s"events.ts has unsupported type $other (expected LONG/TIMESTAMP/TIMESTAMP_NTZ)")
+      }
+    })
+
+  /** SQL expression yielding `ts` as a session-zone TIMESTAMP (what the
+    * streaming watermark/window operators want), derived from the same
+    * schema branch as [[eventEpochUsSql]]. */
+  private[graft] def eventTsSql(spark: SparkSession, dir: String): String =
+    s"timestamp_micros(${eventEpochUsSql(spark, dir)})"
+
+  /** sqlQuery variant whose text depends on the events `ts` accessor. */
+  private def eventSqlQuery(build: String => String): (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      registerViews(spark, dir)
+      spark.sql(build(eventEpochUsSql(spark, dir)))
+    }
 
   /** Spark inlines CTEs, so a CTE referenced k times is computed k
     * times. For the minhash pipeline (hash shingles → 16 signatures →
@@ -102,8 +153,19 @@ object Queries {
       if (done.compareAndSet(false, true)) spark.listenerManager.unregister(this)
     private def fire(): Unit =
       if (done.compareAndSet(false, true)) {
-        cached.foreach(_.unpersist(false))
-        spark.listenerManager.unregister(this)
+        // Per-frame defensive unpersist: uncacheQuery walks the WHOLE
+        // shared CacheManager to recache dependent entries, and a
+        // FOREIGN entry (cached by another session on the shared
+        // context, possibly since stopped) can throw from that walk.
+        // One bad foreign entry must not leave our remaining stages
+        // pinned — each frame's entry is already removed before the
+        // recache walk runs, so catch-and-continue is safe.
+        if (!spark.sparkContext.isStopped)
+          cached.foreach { df =>
+            try df.unpersist(false) catch { case _: Throwable => () }
+          }
+        try spark.listenerManager.unregister(this)
+        catch { case _: Throwable => () }
       }
     override def onSuccess(funcName: String,
         qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = fire()
@@ -285,14 +347,14 @@ object Queries {
       |  CAST(SUM(CASE WHEN NOT (mn <= 30000 AND mx >= 30000) THEN rows_in_file ELSE 0 END) AS BIGINT) AS num_rows_skipped
       |FROM files""".stripMargin
 
-  // events.ts is parquet TIMESTAMP(NANOS): Spark reads it as BIGINT
-  // nanos (spark.sql.legacy.parquet.nanosAsLong=true in our sessions),
-  // DuckDB as a µs-truncated TIMESTAMP — hence per-dialect accessors.
-  private val qUpdatedPartitionsSpark: String =
-    """SELECT DISTINCT event_type,
-      |  CAST(timestamp_micros(ts DIV 1000) AS DATE) AS event_day
-      |FROM events
-      |WHERE ts >= 1704844800000000000 AND ts < 1705708800000000000""".stripMargin
+  // Spark side filters/derives through the schema-adaptive epoch-µs
+  // accessor (events.ts has changed physical type across testdata
+  // generations); DuckDB reads it as a TIMESTAMP either way.
+  private def qUpdatedPartitionsSpark(epochUs: String): String =
+    s"""SELECT DISTINCT event_type,
+       |  CAST(timestamp_micros($epochUs) AS DATE) AS event_day
+       |FROM events
+       |WHERE $epochUs >= 1704844800000000 AND $epochUs < 1705708800000000""".stripMargin
 
   private val qUpdatedPartitionsDuck: String =
     """SELECT DISTINCT event_type, CAST(ts AS DATE) AS event_day
@@ -1006,16 +1068,15 @@ object Queries {
       |  r.view_value AS asof_view_value
       |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.us >= r.view_us""".stripMargin
 
-  /** events with `ts` converted nanos→micros. Integer DIV, not `/`: a
-    * double division at epoch-nano magnitude (1.7e18) has ulp ≈ 256 —
-    * it silently corrupts the microseconds. */
-  private def eventsUs(s: SparkSession): DataFrame =
+  /** events with `ts` as epoch-µs, via the schema-adaptive accessor
+    * ([[eventEpochUsSql]] — integer arithmetic end to end). */
+  private def eventsUs(s: SparkSession, dir: String): DataFrame =
     s.table("events").select(col("event_id"), col("user_id"),
-      expr("ts DIV 1000").as("us"), col("event_type"), col("value"))
+      expr(eventEpochUsSql(s, dir)).as("us"), col("event_type"), col("value"))
 
   private val qAsofJoinSpark: (SparkSession, String) => DataFrame = (s, dir) => {
     registerViews(s, dir)
-    val e = eventsUs(s)
+    val e = eventsUs(s, dir)
     val left = e.where(col("event_type") === "purchase")
       .select("event_id", "user_id", "us")
     val right = e.where(col("event_type") === "view")
@@ -1063,7 +1124,7 @@ object Queries {
 
   private val qRangeJoinSpark: (SparkSession, String) => DataFrame = (s, dir) => {
     registerViews(s, dir)
-    val e = eventsUs(s)
+    val e = eventsUs(s, dir)
     val intervals = e.where(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("us").as("start_us"), (col("us") + RangeWindowUs).as("end_us"))
@@ -1161,12 +1222,12 @@ object Queries {
 
   private def qStreamCountsSpark: (SparkSession, String) => DataFrame =
     (s, dir) => withStreamShuffle(s) {
-      registerViews(s, dir) // sets nanosAsLong before any schema read
+      registerViews(s, dir) // sets nanosAsLong + UTC before any schema read
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       // glob form: the file source derives basePath from the non-glob
       // prefix, which must be a directory (the table is a single file)
       val agg = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
-        .selectExpr("timestamp_micros(ts DIV 1000) AS ets", "event_type")
+        .selectExpr(s"${eventTsSql(s, dir)} AS ets", "event_type")
         .withWatermark("ets", "1 hour")
         .groupBy(window(col("ets"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"))
@@ -1196,7 +1257,7 @@ object Queries {
       registerViews(s, dir)
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val distinctKeys = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
-        .selectExpr("timestamp_micros(ts DIV 1000) AS ets", "user_id", "event_type")
+        .selectExpr(s"${eventTsSql(s, dir)} AS ets", "user_id", "event_type")
         .withWatermark("ets", "1 hour")
         .dropDuplicates("user_id", "event_type")
         .select("user_id", "event_type")
@@ -1225,10 +1286,10 @@ object Queries {
       def src = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
       val views = src.where(col("event_type") === "view")
         .selectExpr("user_id", "event_id AS view_event",
-          "timestamp_micros(ts DIV 1000) AS view_ts")
+          s"${eventTsSql(s, dir)} AS view_ts")
       val clicks = src.where(col("event_type") === "click")
         .selectExpr("user_id AS c_user_id", "event_id AS click_event",
-          "timestamp_micros(ts DIV 1000) AS click_ts")
+          s"${eventTsSql(s, dir)} AS click_ts")
       val joined = graft.streaming.StreamingOps.intervalJoin(
           views, clicks, "user_id", "c_user_id", "view_ts", "click_ts",
           maxSpan = "1 hour", watermark = "1 hour")
@@ -1272,8 +1333,8 @@ object Queries {
       import s.implicits._
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val ev = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
-        .selectExpr("user_id", "timestamp_micros(ts DIV 1000) AS ts",
-          "ts DIV 1000 AS event_us")
+        .selectExpr("user_id", s"${eventTsSql(s, dir)} AS ts",
+          s"${eventEpochUsSql(s, dir)} AS event_us")
         .as[(Long, java.sql.Timestamp, Long)]
       val sess = graft.streaming.StreamingOps.streamingSessionize(
         ev, gapUs = SessionGapUs, watermark = "0 seconds")
@@ -1798,8 +1859,8 @@ object Queries {
     }),
     "q_file_sizes" -> sqlQuery(qFileSizesText),
     "q_skipped_stats" -> sqlQuery(qSkippedStats),
-    "q_updated_partitions" -> sqlQuery(qUpdatedPartitionsSpark),
-    "q_sessionize" -> sqlQuery(qSessionize("ts DIV 1000")),
+    "q_updated_partitions" -> eventSqlQuery(qUpdatedPartitionsSpark),
+    "q_sessionize" -> eventSqlQuery(qSessionize),
     "q_json_extract" -> sqlQuery(qJsonExtractSpark),
     "q_dedup_exact" -> sqlQuery(
       """SELECT doc_id, lang, source FROM (
