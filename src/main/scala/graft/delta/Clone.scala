@@ -39,7 +39,12 @@ object Clone {
       DeltaLog.encodePath(abs.toString)
     }
 
-    val adds: Seq[Action] = snap.activeFiles.map { f =>
+    // Stream the source's add entries straight into the clone's commit
+    // file (one Spark partition on the driver at a time): cloning a
+    // 10⁷-file table never materializes the file list — the stats JSON
+    // (KBs/file) must be carried VERBATIM into the clone, which is
+    // exactly what makes the collected form expensive.
+    val adds: Iterator[Action] = snap.iterateAddFiles().map { f =>
       val dv = f.deletionVector.map { d =>
         if (d.storageType == "u")
           d.copy(storageType = "p",
@@ -53,11 +58,11 @@ object Clone {
     val meta = snap.metadata.copy(
       id = java.util.UUID.randomUUID.toString,
       createdTime = Some(now))
-    dst.commit(0L, Seq(
+    dst.commitStreamed(0L, Seq(
       CommitInfoAction(CommitInfo(now, "CLONE",
         Map("source" -> src.tablePath, "sourceVersion" -> snap.version.toString))),
       ProtocolAction(snap.protocol),
-      MetadataAction(meta)) ++ adds)
+      MetadataAction(meta)), adds)
     0L
   }
 }

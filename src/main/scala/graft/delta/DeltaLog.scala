@@ -348,38 +348,69 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     * REPLACE_EXISTING — best-effort but far narrower than before. */
   def commit(version: Long, actions: Seq[Action], ictEnabled: Boolean = false,
       recomputeChecksum: Boolean = false): Unit = {
+    val stamped = stampIct(version, actions, ictEnabled)
+    writeCommitFile(version) { w =>
+      stamped.foreach { a => w.write(JsonUtil.renderAction(a)); w.write("\n") }
+    }
+    // the commit is durable — record its table checksum (best-effort;
+    // never fails a successful commit). Re-add-style commits (RESTORE,
+    // row-tracking backfill) recompute from replayed state because
+    // their action delta double-counts superseded-in-place paths.
+    if (recomputeChecksum) Checksum.recompute(this, version)
+    else Checksum.write(this, version, stamped)
+  }
+
+  /** Commit variant for O(table-files) re-add commits (CLONE, RESTORE,
+    * row-tracking backfill): `head` carries the commitInfo / protocol /
+    * metaData actions; `files` streams the add/remove entries straight
+    * into the commit file, so the driver never materializes the file
+    * list. ICT stamping consults `head` only (file actions cannot
+    * enable the feature). The checksum is always recomputed from the
+    * committed snapshot — one Spark agg — because the action stream is
+    * consumed by the write (and these commits re-add superseded paths,
+    * which the incremental delta would double-count anyway). */
+  def commitStreamed(version: Long, head: Seq[Action],
+      files: Iterator[Action], ictEnabled: Boolean = false): Unit = {
+    val stamped = stampIct(version, head, ictEnabled)
+    writeCommitFile(version) { w =>
+      (stamped.iterator ++ files).foreach { a =>
+        w.write(JsonUtil.renderAction(a)); w.write("\n")
+      }
+    }
+    Checksum.recompute(this, version)
+  }
+
+  private def stampIct(version: Long, actions: Seq[Action],
+      ictEnabled: Boolean): Seq[Action] = {
     val enabledHere = actions.exists {
       case MetadataAction(m) =>
         m.configuration.get("delta.enableInCommitTimestamps").contains("true")
       case _ => false
     }
-    val stamped =
-      if (!ictEnabled && !enabledHere) actions
-      else {
-        val prevIct = if (version == 0) None else inCommitTimestampOf(version - 1)
-        val ci = actions.collectFirst { case CommitInfoAction(c) => c }
-        val floor = prevIct.map(_ + 1).getOrElse(0L)
-        // keep a caller-chosen ICT when it is already monotone (the
-        // enablement commit pins its ICT into the table properties)
-        val ict = ci.flatMap(_.inCommitTimestamp).filter(_ >= floor)
-          .getOrElse(math.max(System.currentTimeMillis(), floor))
-        CommitInfoAction(
-          ci.getOrElse(CommitInfo(ict, "UNKNOWN")).copy(inCommitTimestamp = Some(ict))) +:
-          actions.filterNot(_.isInstanceOf[CommitInfoAction])
-      }
-    commitRaw(version, stamped, recomputeChecksum)
+    if (!ictEnabled && !enabledHere) actions
+    else {
+      val prevIct = if (version == 0) None else inCommitTimestampOf(version - 1)
+      val ci = actions.collectFirst { case CommitInfoAction(c) => c }
+      val floor = prevIct.map(_ + 1).getOrElse(0L)
+      // keep a caller-chosen ICT when it is already monotone (the
+      // enablement commit pins its ICT into the table properties)
+      val ict = ci.flatMap(_.inCommitTimestamp).filter(_ >= floor)
+        .getOrElse(math.max(System.currentTimeMillis(), floor))
+      CommitInfoAction(
+        ci.getOrElse(CommitInfo(ict, "UNKNOWN")).copy(inCommitTimestamp = Some(ict))) +:
+        actions.filterNot(_.isInstanceOf[CommitInfoAction])
+    }
   }
 
-  private def commitRaw(version: Long, actions: Seq[Action],
-      recomputeChecksum: Boolean = false): Unit = {
+  /** Write the commit body to a hidden tmp file and promote it with an
+    * atomic no-clobber rename (see [[commit]] for the race rules). */
+  private def writeCommitFile(version: Long)(body: java.io.Writer => Unit): Unit = {
     if (!fs.exists(logPath)) fs.mkdirs(logPath)
     val target = new Path(logPath, f"$version%020d.json")
     val tmp = new Path(logPath, f".$version%020d.json.${java.util.UUID.randomUUID}.tmp")
-    val out = fs.create(tmp, false)
-    try {
-      val body = actions.map(JsonUtil.renderAction).mkString("", "\n", "\n")
-      out.write(body.getBytes(StandardCharsets.UTF_8))
-    } finally out.close()
+    val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      fs.create(tmp, false), StandardCharsets.UTF_8), 1 << 20)
+    try body(w) finally w.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       logPath.toUri, spark.sessionState.newHadoopConf())
     try fc.rename(tmp, target) // default Rename.NONE: fail if target exists
@@ -395,12 +426,6 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
         throw new java.util.ConcurrentModificationException(
           s"commit $version already exists in $logPath (${e.getMessage})")
     }
-    // the commit is durable — record its table checksum (best-effort;
-    // never fails a successful commit). Re-add-style commits (RESTORE,
-    // row-tracking backfill) recompute from replayed state because
-    // their action delta double-counts superseded-in-place paths.
-    if (recomputeChecksum) Checksum.recompute(this, version)
-    else Checksum.write(this, version, actions)
   }
 }
 

@@ -1120,19 +1120,7 @@ object Maintenance {
     require(version < current.version,
       s"cannot restore to version $version: current version is ${current.version}")
     val target = log.snapshotAt(version)
-    val targetFiles = target.activeFiles
-    val currentFiles = current.activeFiles
-    val targetPaths = targetFiles.map(_.path).toSet
-    val currentPaths = currentFiles.map(_.path).toSet
-    val missing = targetFiles.filterNot(f =>
-      log.fs.exists(new Path(log.rootPath, DeltaLog.decodePath(f.path))))
-    require(missing.isEmpty,
-      s"cannot restore to version $version: ${missing.size} of its data " +
-        s"files were vacuumed (e.g. ${missing.take(3).map(_.path)})")
     val now = System.currentTimeMillis()
-    val actions = ArrayBuffer[Action](
-      CommitInfoAction(CommitInfo(now, "RESTORE",
-        Map("version" -> version.toString))))
     // schema may have changed since — restore pins the target metadata.
     // In-commit-timestamp properties are carried FORWARD, not restored:
     // once the ICT clock started it must keep ticking (pinning a
@@ -1141,34 +1129,69 @@ object Maintenance {
     val ictProps = current.metadata.configuration.filter { case (k, _) =>
       k == "delta.enableInCommitTimestamps" || k.startsWith("delta.inCommitTimestamp")
     }
+    val head = ArrayBuffer[Action](
+      CommitInfoAction(CommitInfo(now, "RESTORE",
+        Map("version" -> version.toString))))
     if (target.metadata.schemaString != current.metadata.schemaString ||
         target.metadata.partitionColumns != current.metadata.partitionColumns)
-      actions += MetadataAction(target.metadata.copy(
+      head += MetadataAction(target.metadata.copy(
         configuration = target.metadata.configuration ++ ictProps))
     // Files are matched on (path, DV identity), not path alone: a path
     // present in both snapshots but whose deletion vector changed since
     // the target version (DV DELETE/UPDATE) must be re-added so the
     // target's DV state is reinstated — replay's newest-add-wins
     // reconciliation then supersedes the current DV-carrying entry.
-    def dvId(dv: Option[DeletionVectorDescriptor]): String =
-      dv.map(d => s"${d.storageType}:${d.pathOrInlineDv}:${d.offset.getOrElse(-1)}")
-        .getOrElse("")
-    val currentDvByPath = currentFiles.map(f => f.path -> dvId(f.deletionVector)).toMap
-    actions ++= targetFiles.filter(f =>
-        !currentPaths.contains(f.path) ||
-          currentDvByPath(f.path) != dvId(f.deletionVector))
-      .map(f => AddAction(f.copy(dataChange = true)))
-    actions ++= currentFiles.filterNot(f => targetPaths.contains(f.path))
-      .map(f => RemoveAction(RemoveFile(f.path, now, dataChange = true,
-        partitionValues = f.partitionValues, size = Some(f.size))))
+    // The whole diff runs IN SPARK over the two adds relations; the
+    // driver only streams the surviving action rows into the commit
+    // file (O(partition) memory — a 10⁷-file restore never collects).
+    def dvIdCol: org.apache.spark.sql.Column =
+      when(col("deletion_vector").isNull, lit(""))
+        .otherwise(concat_ws(":",
+          col("deletion_vector.storageType"),
+          col("deletion_vector.pathOrInlineDv"),
+          coalesce(col("deletion_vector.offset"), lit(-1)).cast("string")))
+    val currentKeyed = current.adds.select(col("path"), dvIdCol.as("__cur_dv"))
+    val reAdds = target.adds.withColumn("__dv", dvIdCol)
+      .join(currentKeyed, Seq("path"), "left_outer")
+      .where(col("__cur_dv").isNull || col("__cur_dv") =!= col("__dv"))
+      .drop("__cur_dv", "__dv")
+    val removes = current.adds
+      .select(col("path"), col("partition_values"), col("size_bytes"))
+      .join(target.adds.select("path"), Seq("path"), "left_anti")
+    // Vacuum check: only files ABSENT from the current snapshot can
+    // have been reclaimed (files still active in `current` are
+    // vacuum-protected by definition), and every such file is in the
+    // re-add set — so existence-check exactly the re-adds not in
+    // current. Streamed: O(1) driver memory, first examples kept.
+    import scala.jdk.CollectionConverters._
+    var nMissing = 0L
+    val missingExamples = ArrayBuffer[String]()
+    reAdds.join(currentKeyed.select("path"), Seq("path"), "left_anti")
+      .select("path").toLocalIterator().asScala.foreach { r =>
+        val p = r.getString(0)
+        if (!log.fs.exists(new Path(log.rootPath, DeltaLog.decodePath(p)))) {
+          nMissing += 1
+          if (missingExamples.size < 3) missingExamples += p
+        }
+      }
+    require(nMissing == 0,
+      s"cannot restore to version $version: $nMissing of its data " +
+        s"files were vacuumed (e.g. $missingExamples)")
+    val fileActions: Iterator[Action] =
+      reAdds.toLocalIterator().asScala
+        .map(r => AddAction(target.rowToAddFile(r).copy(dataChange = true))) ++
+      removes.toLocalIterator().asScala.map { r =>
+        RemoveAction(RemoveFile(r.getAs[String]("path"), now, dataChange = true,
+          partitionValues = Option(r.getAs[scala.collection.Map[String, String]](
+            "partition_values")).map(_.toMap).getOrElse(Map.empty),
+          size = Some(r.getAs[Long]("size_bytes"))))
+      }
     val v = current.version + 1
-    log.commit(v, actions.toSeq,
+    // streamed commit recomputes the checksum from replayed state (the
+    // DV-changed re-adds would double-count in an incremental delta)
+    log.commitStreamed(v, head.toSeq, fileActions,
       ictEnabled = current.metadata.configuration
-        .get("delta.enableInCommitTimestamps").contains("true"),
-      // restore re-adds paths still live in the current snapshot (the
-      // DV-changed case) — the incremental checksum delta would
-      // double-count them, so recompute from replayed state
-      recomputeChecksum = true)
+        .get("delta.enableInCommitTimestamps").contains("true"))
     v
   }
 }

@@ -74,18 +74,27 @@ object RowTracking {
   def enable(log: DeltaLog): Long = {
     val snap = log.snapshot
     if (supported(snap.protocol) &&
-        snap.activeFiles.forall(_.baseRowId.nonEmpty)) return snap.version
+        snap.adds.where(org.apache.spark.sql.functions
+          .col("base_row_id").isNull).isEmpty) return snap.version
     val v = snap.version + 1
     var next = highWaterMark(snap) + 1
-    val backfilled = snap.activeFiles.sortBy(_.path).flatMap { f =>
-      if (f.baseRowId.nonEmpty) None
-      else {
-        val base = next
-        next += numRecords(f)
-        Some(AddAction(f.copy(dataChange = false, baseRowId = Some(base),
-          defaultRowCommitVersion = Some(v))))
-      }
-    }
+    // Deterministic id assignment (path order), STREAMED: the prefix
+    // sum over numRecords is inherently sequential, but the driver only
+    // holds one partition of the path-sorted adds relation at a time —
+    // a 10⁷-file backfill never materializes the file list.
+    import scala.jdk.CollectionConverters._
+    val backfilled: Iterator[Action] =
+      snap.adds.orderBy("path").toLocalIterator().asScala
+        .map(snap.rowToAddFile)
+        .flatMap { f =>
+          if (f.baseRowId.nonEmpty) None
+          else {
+            val base = next
+            next += numRecords(f)
+            Some(AddAction(f.copy(dataChange = false, baseRowId = Some(base),
+              defaultRowCommitVersion = Some(v))))
+          }
+        }
     // Materialized column names (stable, uuid-suffixed so they can
     // never collide with user columns) — rewrites write current ids
     // under these physical names to carry them across file boundaries.
@@ -95,17 +104,20 @@ object RowTracking {
         s"_row-id-col-${java.util.UUID.randomUUID}")) +
       (MatVerKey -> m.configuration.getOrElse(MatVerKey,
         s"_row-commit-version-col-${java.util.UUID.randomUUID}"))
-    val actions =
+    val head =
       Seq(CommitInfoAction(CommitInfo(System.currentTimeMillis(),
         "ENABLE ROW TRACKING")),
         MetadataAction(m.copy(configuration = conf2))) ++
-        Domains.featureUpgrade(snap, Set("rowTracking", "domainMetadata")) ++
-        backfilled :+ domainAction(next - 1)
-    log.commit(v, actions, ictEnabled = m.configuration
-      .get("delta.enableInCommitTimestamps").contains("true"),
-      // the backfill re-adds every live path without removes — the
-      // incremental checksum delta would double-count the table
-      recomputeChecksum = true)
+        Domains.featureUpgrade(snap, Set("rowTracking", "domainMetadata"))
+    // the hwm domain action trails the stream: Iterator.++'s by-name
+    // argument evaluates AFTER the backfill is fully consumed, so
+    // `next` holds the final high-water mark by then. commitStreamed
+    // recomputes the checksum (the backfill re-adds every live path
+    // without removes — an incremental delta would double-count).
+    log.commitStreamed(v, head,
+      backfilled ++ Iterator.single(domainAction(next - 1)),
+      ictEnabled = m.configuration
+        .get("delta.enableInCommitTimestamps").contains("true"))
     v
   }
 
