@@ -91,6 +91,53 @@ object Dedup {
       .drop("__rn", "__salt")
   }
 
+  /** EXACT dedup of a NEW batch against a PRIOR corpus — the
+    * incremental-ingestion shape: yesterday's (huge, already-deduped)
+    * corpus is `prior`, today's batch must drop documents whose content
+    * was already seen — WITHOUT shuffling either full side.
+    *
+    * Plan shape (two-sided bloom pre-filter around one exact anti-join):
+    *  1. one column-pruned scan of `prior` builds a bloom filter over
+    *     `xxhash64(text)` (map-side partial merges; the driver holds
+    *     only the filter bytes, sized by `expectedPriorItems` and capped
+    *     by `spark.sql.optimizer.runtime.bloomFilter.maxNumBits`);
+    *  2. the new batch splits MAP-ONLY: bloom-negative rows are
+    *     definitely novel and never shuffle; bloom-positive candidates
+    *     (true dups + ~fpp of the batch) continue;
+    *  3. a second bloom over the candidates filters `prior` down to
+    *     rows that could match a candidate, so the exact anti-join
+    *     shuffles candidate-sized hash sets on BOTH sides instead of
+    *     the full corpus.
+    * Bloom filters have no false negatives and the join removes the
+    * false positives, so the result is exactly the content-anti-join
+    * semantics at a small fraction of its shuffle volume. Cost: two
+    * scans of each side (all map-only but the final join) — at scale
+    * scans of one pruned column are cheap against corpus-sized
+    * shuffles. Intra-batch duplicates are NOT collapsed (chain
+    * [[killDuplicates]]/[[dropDuplicatesOrdered]] for that). */
+  def dedupAgainstCorpus(newBatch: DataFrame, prior: DataFrame, textCol: String,
+      expectedPriorItems: Long = 1L << 22): DataFrame = {
+    import org.apache.spark.sql.graftshims.SqlShims
+    require(newBatch.columns.contains(textCol) && prior.columns.contains(textCol),
+      s"column $textCol must exist on both sides")
+    val h = xxhash64(col(textCol))
+    val priorBloom = prior
+      .select(SqlShims.bloomFilterAgg(h, expectedPriorItems).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    if (priorBloom == null) return newBatch // empty prior: all novel
+    val candidates = newBatch.where(SqlShims.mightContain(priorBloom, h))
+    val clean = newBatch.where(!SqlShims.mightContain(priorBloom, h))
+    val candBloom = candidates
+      .select(SqlShims.bloomFilterAgg(h, expectedPriorItems).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    if (candBloom == null) return newBatch // no candidates: clean == batch
+    val priorHashes = prior.where(SqlShims.mightContain(candBloom, h))
+      .select(md5(col(textCol)).as("__graft_prior_h")).distinct()
+    val survivors = candidates.join(priorHashes,
+      md5(col(textCol)) === col("__graft_prior_h"), "left_anti")
+    clean.unionByName(survivors)
+  }
+
   /** Keep, per duplicate group, the row with the smallest primary key;
     * the pkey must be unique table-wide (reference:
     * `drop_duplicates_pkey`, levi/__init__.py:354-426). */

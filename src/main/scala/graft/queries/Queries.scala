@@ -51,6 +51,7 @@ object Queries {
     // every query pays the walk, not just the minhash family.
     spark.catalog.clearCache()
     org.apache.spark.sql.graftshims.SqlShims.registerVectorFunctions(spark)
+    org.apache.spark.sql.graftshims.SqlShims.registerBloomFunctions(spark)
     org.apache.spark.sql.graftshims.SqlShims.registerMinHash(
       spark, "minhash16", MinhashA, MinhashB, MinhashP)
     if (lastRegistered.get(spark) != dir) {
@@ -1873,6 +1874,19 @@ object Queries {
       graft.operators.Curation.dedupParagraphs(
         s.table("documents"), "doc_id", "text")
     }),
+    // Incremental-ingestion dedup: the "new batch" is doc_id % 3 == 0;
+    // the "prior corpus" additionally contains copies of the texts of
+    // doc_id % 6 == 0, so exactly that half of the batch must drop.
+    "q_dedup_incremental" -> ((s, dir) => {
+      registerViews(s, dir)
+      val docs = s.table("documents")
+      val prior = docs.where(col("doc_id") % 3 =!= 0).select("text")
+        .unionByName(docs.where(col("doc_id") % 6 === 0).select("text"))
+      val batch = docs.where(col("doc_id") % 3 === 0)
+        .select("doc_id", "lang", "source", "text")
+      Dedup.dedupAgainstCorpus(batch, prior, "text")
+        .select("doc_id", "lang", "source")
+    }),
     "q_tfidf" -> sqlQuery(qTfidf("spark")),
     "q_fingerprint" -> sqlQuery(qFingerprint("spark")),
     "q_token_count" -> sqlQuery(qTokenCount("spark")),
@@ -2029,6 +2043,13 @@ object Queries {
     "q_sessionize" -> qSessionize("epoch_us(ts)"),
     "q_json_extract" -> qJsonExtractDuck,
     "q_dedup_exact" -> qDedupExactOracle,
+    "q_dedup_incremental" ->
+      """WITH prior AS (SELECT text FROM documents WHERE doc_id % 3 <> 0
+        |               UNION ALL
+        |               SELECT text FROM documents WHERE doc_id % 6 = 0),
+        |newb AS (SELECT doc_id, lang, source, text FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id, lang, source FROM newb n
+        |WHERE NOT EXISTS (SELECT 1 FROM prior p WHERE p.text = n.text)""".stripMargin,
     "q_paragraph_dedup" -> qParagraphDedupOracle,
     "q_tfidf" -> qTfidf("duck"),
     "q_fingerprint" -> qFingerprint("duck"),

@@ -51,6 +51,45 @@ object SqlShims {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, exprs => MinHashSignatures(exprs(0), a, b, p), "built-in")
 
+  /** Bloom-filter membership kernels — Spark's own runtime-filter
+    * expressions (`BloomFilterAggregate` / `BloomFilterMightContain`,
+    * the machinery behind `spark.sql.optimizer.runtime.bloomFilter`),
+    * surfaced for [[graft.operators.Dedup.dedupAgainstCorpus]] and as
+    * session SQL functions. The aggregate builds an
+    * `org.apache.spark.util.sketch.BloomFilter` with map-side partial
+    * merges; the membership probe is codegen-compiled. Inputs must be
+    * LONG — hash first (`xxhash64`). */
+  def bloomFilterAgg(values: Column, expectedItems: Long): Column =
+    column(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(expression(values), expectedItems)
+      .toAggregateExpression())
+
+  def mightContain(bloom: Array[Byte], value: Column): Column =
+    column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal
+        .create(bloom, org.apache.spark.sql.types.BinaryType),
+      expression(value)))
+
+  /** SQL surface: `bloom_filter_agg(xxhash64(x)[, items[, bits]])` and
+    * `might_contain(bloom, xxhash64(x))` (bloom side must be foldable
+    * or a scalar subquery — same rule as Spark's runtime filters). */
+  def registerBloomFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("bloom_filter_agg", {
+      case Seq(c) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+      case Seq(c, n) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n)
+      case Seq(c, n, b) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n, b)
+      case args => throw new IllegalArgumentException(
+        s"bloom_filter_agg takes 1-3 arguments, got ${args.size}")
+    }, "built-in")
+    reg.createOrReplaceTempFunction("might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
+  }
+
   /** Build the streaming-tagged DataFrame a DSv1 `Source.getBatch` must
     * return (MicroBatchExecution asserts `isStreaming`); same move as
     * delta-spark's DeltaSource. */
