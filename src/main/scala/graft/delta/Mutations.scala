@@ -339,12 +339,21 @@ object Mutations {
       if (matchedRows == 0L) return DvNoMatch
       val maxRows = dvMaxMatchedRows(log)
       val maxFrac = dvMaxMatchedFraction(log)
+      // The fraction cap guards against DV-ing most of a LARGE table
+      // (write-amplification: better to rewrite). Below this floor the
+      // bitmaps are KB-scale and either route is fine — skip the
+      // table-rows stats aggregation, one whole Spark job on the
+      // mutation hot path.
+      val fracCheckFloor = log.spark.conf
+        .getOption("spark.graft.dv.fractionCheckMinRows")
+        .map(_.toLong).getOrElse(65536L)
       lazy val tableRows: Option[Long] = {
         val r = snap.addsFlat.agg(sum(col("num_records"))).collect()(0)
         if (r.isNullAt(0)) None else Some(r.getLong(0))
       }
       if (matchedRows > maxRows ||
-          tableRows.exists(t => t > 0 && matchedRows > t * maxFrac))
+          (matchedRows > fracCheckFloor &&
+            tableRows.exists(t => t > 0 && matchedRows > t * maxFrac)))
         return DvTooBroad(matchedRows)
       val idx = fileIndex(snap, candidates)
       grouped.select(col("__file"), col("__rows"))

@@ -321,11 +321,30 @@ class Snapshot(
       .getOrElse(spark.createDataFrame(new java.util.ArrayList[Row](), actionSchema))
   }
 
+  /** True when every file action of this snapshot is driver-held (the
+    * JSON tail / inline manifest) — no parquet-backed checkpoint state.
+    * Gates the local reconciliation fast path below. */
+  private lazy val tailOnlyState: Boolean = checkpointDf.isEmpty
+
   /** All checkpoint+tail file actions reconciled per path: the row with
     * `is_add=true` is a live file, `is_add=false` an unexpired remove
     * tombstone. Last action per path wins; at equal version an add
-    * (re-add) beats its tombstone. */
+    * (re-add) beats its tombstone.
+    *
+    * Two strategies with identical semantics:
+    *  - checkpoint-backed state reconciles IN SPARK (window over the
+    *    parquet checkpoint relation ∪ tail) — the file list is never
+    *    driver-materialized;
+    *  - checkpoint-less state (new/small tables, and every table in its
+    *    first `checkpointInterval` commits) reconciles on the DRIVER
+    *    over the already-parsed tail and hands Spark a LocalRelation:
+    *    planning collects then run driver-only (zero shuffles, zero
+    *    executor tasks) — measured ~1.2 s of per-snapshot task time on
+    *    the mutation queries, pure scheduling overhead at 32 shuffle
+    *    partitions for a handful of rows. */
   private def reconciledActions: DataFrame = {
+    // no checkpointForm → no v2 manifest either: `tail` IS the state
+    if (tailOnlyState) return localReconciled(tail)
     val all = checkpointActionsDf match {
       case Some(cp) => cp.unionByName(tailActionsDf)
       case None => tailActionsDf
@@ -336,14 +355,55 @@ class Snapshot(
       .drop("__rn", "version")
   }
 
-  /** Active add-actions: one row per live data file. Cached — every
-    * log-plane analytic runs off this small relation without touching
-    * data files. */
-  lazy val adds: DataFrame =
-    reconciledActions
+  /** Driver-side newest-action-per-path reconciliation (same rules as
+    * the window form: version desc, add beats remove at equal version),
+    * emitted as a LocalRelation in [[reconciledActions]]' post-drop
+    * column layout. */
+  private def localReconciled(pairs: Seq[(Long, Action)]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    def rank(v: Long, a: Action): (Long, Int) =
+      (v, a match { case AddAction(_) => 1; case _ => 0 })
+    val best = scala.collection.mutable.HashMap.empty[String, (Long, Action)]
+    pairs.foreach {
+      case p @ (v, a @ AddAction(x)) =>
+        if (best.get(x.path).forall { case (bv, ba) =>
+          Ordering[(Long, Int)].lt(rank(bv, ba), rank(v, a)) }) best(x.path) = p
+      case p @ (v, a @ RemoveAction(x)) =>
+        if (best.get(x.path).forall { case (bv, ba) =>
+          Ordering[(Long, Int)].lt(rank(bv, ba), rank(v, a)) }) best(x.path) = p
+      case _ => ()
+    }
+    val rows: Seq[Row] = best.values.toSeq.sortBy(_._2 match {
+      case AddAction(a) => a.path
+      case RemoveAction(r) => r.path
+      case _ => ""
+    }).map {
+      case (_, AddAction(a)) =>
+        Row(true, a.path, a.partitionValues, a.size, a.modificationTime,
+          a.stats.orNull, null, dvRow(a.deletionVector),
+          a.baseRowId.map(java.lang.Long.valueOf).orNull,
+          a.defaultRowCommitVersion.map(java.lang.Long.valueOf).orNull)
+      case (_, RemoveAction(r)) =>
+        Row(false, r.path, r.partitionValues, r.size.getOrElse(0L), 0L, null,
+          java.lang.Long.valueOf(r.deletionTimestamp), null, null, null)
+      case other => throw new IllegalStateException(s"unexpected action $other")
+    }
+    spark.createDataFrame(rows.asJava,
+      StructType(actionSchema.filterNot(_.name == "version")))
+  }
+
+  /** Active add-actions: one row per live data file. Checkpoint-backed
+    * state is cached (every log-plane analytic runs off this relation
+    * without touching data files); the LocalRelation fast path is NOT —
+    * caching would promote driver-only collects back into executor
+    * cache-scan tasks, re-adding exactly the scheduling overhead the
+    * fast path removes. */
+  lazy val adds: DataFrame = {
+    val df = reconciledActions
       .where(col("is_add"))
       .drop("is_add", "deletion_timestamp")
-      .cache()
+    if (tailOnlyState) df else df.cache()
+  }
 
   /** Unexpired remove tombstones (paths whose latest action is a
     * remove): checkpointed so other engines keep vacuum-retention

@@ -114,21 +114,35 @@ object Dedup {
     * scans of each side (all map-only but the final join) — at scale
     * scans of one pruned column are cheap against corpus-sized
     * shuffles. Intra-batch duplicates are NOT collapsed (chain
-    * [[killDuplicates]]/[[dropDuplicatesOrdered]] for that). */
+    * [[killDuplicates]]/[[dropDuplicatesOrdered]] for that).
+    *
+    * Bloom SIZING matters: every input partition serializes a full
+    * sketch into the partial-merge, so an oversized filter turns the
+    * map-only aggregation into partitions × sketch-bytes of merge
+    * traffic (a 4M-item default cost ~2 s on a 6k-row corpus). Pass
+    * `expectedPriorItems` when the corpus scale is known; the default
+    * (0 = auto) spends one column-pruned `count()` per side to size
+    * each filter to its actual input. */
   def dedupAgainstCorpus(newBatch: DataFrame, prior: DataFrame, textCol: String,
-      expectedPriorItems: Long = 1L << 22): DataFrame = {
+      expectedPriorItems: Long = 0L): DataFrame = {
     import org.apache.spark.sql.graftshims.SqlShims
     require(newBatch.columns.contains(textCol) && prior.columns.contains(textCol),
       s"column $textCol must exist on both sides")
     val h = xxhash64(col(textCol))
+    val priorItems =
+      if (expectedPriorItems > 0) expectedPriorItems
+      else math.max(64L, prior.count())
     val priorBloom = prior
-      .select(SqlShims.bloomFilterAgg(h, expectedPriorItems).as("bf"))
+      .select(SqlShims.bloomFilterAgg(h, priorItems).as("bf"))
       .head().getAs[Array[Byte]]("bf")
     if (priorBloom == null) return newBatch // empty prior: all novel
     val candidates = newBatch.where(SqlShims.mightContain(priorBloom, h))
     val clean = newBatch.where(!SqlShims.mightContain(priorBloom, h))
+    val candItems =
+      if (expectedPriorItems > 0) expectedPriorItems
+      else math.max(64L, candidates.count())
     val candBloom = candidates
-      .select(SqlShims.bloomFilterAgg(h, expectedPriorItems).as("bf"))
+      .select(SqlShims.bloomFilterAgg(h, candItems).as("bf"))
       .head().getAs[Array[Byte]]("bf")
     if (candBloom == null) return newBatch // no candidates: clean == batch
     val priorHashes = prior.where(SqlShims.mightContain(candBloom, h))

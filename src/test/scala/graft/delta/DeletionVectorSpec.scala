@@ -153,6 +153,11 @@ class DeletionVectorSpec extends SparkTestBase {
   test("cardinality guard: broad DELETE USING DV falls back to the rewrite path") {
     val dir = tmpDir()
     import spark.implicits._
+    // the fraction check normally engages only above its 64k-row floor
+    // (below it either route is fine and the table-rows agg is skipped);
+    // drop the floor so the 100-row scenario exercises the cap
+    spark.conf.set("spark.graft.dv.fractionCheckMinRows", "0")
+    try {
     val log = DeltaLog.forPath(spark, dir)
     TransactionWriter.overwrite(log,
       (0 until 100).map(i => (i.toLong, s"r_$i")).toDF("id", "s").repartition(2))
@@ -193,6 +198,7 @@ class DeletionVectorSpec extends SparkTestBase {
       assert(after.activeFiles.count(_.deletionVector.exists(_.cardinality > 0))
         <= before, "capped delete must not add new deletion vectors")
     } finally spark.conf.unset("spark.graft.dv.maxMatchedRows")
+    } finally spark.conf.unset("spark.graft.dv.fractionCheckMinRows")
   }
 
   test("updateWithDv: no rewrite of old files, updated rows in new files") {
