@@ -124,6 +124,65 @@ object MinHashLsh {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Drop from `newBatch` every doc that is a NEAR-duplicate (exact
+    * Jaccard ≥ `threshold` on hashed 3-gram shingle sets) of ANY doc in
+    * the `prior` corpus — the fuzzy sibling of
+    * [[Dedup.dedupAgainstCorpus]] (RefinedWeb/Dolma-style incremental
+    * ingestion: today's batch vs yesterday's deduped corpus). CROSS
+    * pairs only; intra-batch near-dups are kept (chain [[dedup]]).
+    *
+    * Scale shape: the prior corpus is scanned (narrow map-only
+    * signature passes) but never fully shuffled — its band rows are
+    * semi-joined against the BATCH's bucket-key set BEFORE any
+    * exchange, and the verification join touches only candidate prior
+    * docs, so shuffle volume tracks the true cross near-dup count.
+    * With `broadcastKeys` (default) the batch's (band, bucket) key set
+    * and candidate prior-id set ship as broadcasts (~a few dozen bytes
+    * per batch doc) — right whenever the batch is much smaller than
+    * the corpus; pass false for batch sizes past the broadcast budget
+    * and the semi-joins become shuffles of the SMALL side instead.
+    * `maxBucketSize` caps degenerate prior buckets exactly like
+    * [[candidatePairs]]. */
+  def dedupAgainstCorpus(
+      newBatch: DataFrame, prior: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, broadcastKeys: Boolean = true,
+      maxBucketSize: Int = 0): DataFrame = {
+    def hinted(df: DataFrame): DataFrame = if (broadcastKeys) broadcast(df) else df
+    val hNew = hashedShingles(newBatch, idCol, textCol).cache()
+    val bNew = bandBuckets(withSignature(hNew), idCol)
+    val newKeys = hinted(bNew.select("band", "k").distinct())
+    // ONE pass over the prior corpus: band rows carry the shingle set
+    // forward, so verification never re-runs the (dominant-cost) md5
+    // shingle pipeline. The semi-join prunes to the batch's bucket keys
+    // BEFORE any exchange, so the carried hs arrays only ever ship for
+    // candidate buckets.
+    val sigPrior = withSignature(hashedShingles(prior, idCol, textCol))
+    val bandKeysCol: Column = array((0 until Bands).map { b =>
+      concat_ws(",", (0 until RowsPerBand).map(r =>
+        col(s"mh${b * RowsPerBand + r}").cast("string")): _*)
+    }: _*)
+    val bPriorAll = sigPrior
+      .select(col(idCol), col("hs"), posexplode(bandKeysCol).as(Seq("band", "k")))
+      .join(newKeys, Seq("band", "k"), "left_semi")
+    val bPrior =
+      if (maxBucketSize <= 0) bPriorAll
+      else bPriorAll.join(
+        bPriorAll.groupBy("band", "k").agg(count(lit(1)).as("__bsz"))
+          .where(col("__bsz") <= maxBucketSize).select("band", "k"),
+        Seq("band", "k"))
+    val cand = bNew.as("x").join(bPrior.as("y"),
+        col("x.band") === col("y.band") && col("x.k") === col("y.k"))
+      .select(col(s"x.$idCol").as("__new_id"), col(s"y.$idCol").as("__prior_id"),
+        col("y.hs").as("__hs_p"))
+      .dropDuplicates("__new_id", "__prior_id")
+    val dupIds = cand
+      .join(hNew.select(col(idCol).as("__new_id"), col("hs").as("__hs_n")), "__new_id")
+      .where(size(array_intersect(col("__hs_n"), col("__hs_p"))).cast("double") /
+        size(array_union(col("__hs_n"), col("__hs_p"))).cast("double") >= threshold)
+      .select(col("__new_id").as(idCol)).distinct()
+    newBatch.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** LSH dedup: a doc survives iff it is the minimum id in every bucket
     * it lands in (single-pass, transitive-closure-free — deterministic
     * and shuffle-bounded; matches q_minhash_dedup). */

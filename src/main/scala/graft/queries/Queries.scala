@@ -482,6 +482,42 @@ object Queries {
        |SELECT doc_id FROM keep WHERE doc_id = mm""".stripMargin
   }
 
+  /** Fuzzy incremental dedup oracle: batch docs (doc_id % 5 = 0) that
+    * near-duplicate (Jaccard ≥ 0.5) NO prior-corpus doc, via the same
+    * signature/banding pipeline as [[qNgramJaccard]] restricted to
+    * CROSS (batch × prior) candidate pairs. */
+  private def qDedupIncrementalFuzzy(dialect: String): String = {
+    val size_ = if (dialect == "spark") "size" else "len"
+    val inter = if (dialect == "spark") "array_intersect(ha.hs, hb.hs)"
+    else "list_intersect(ha.hs, hb.hs)"
+    val uni = if (dialect == "spark") "array_union(ha.hs, hb.hs)"
+    else "list_distinct(list_concat(ha.hs, hb.hs))"
+    def bandKey(b: Int): String =
+      if (dialect == "spark")
+        s"concat_ws(',', CAST(mh${4 * b} AS STRING), CAST(mh${4 * b + 1} AS STRING), CAST(mh${4 * b + 2} AS STRING), CAST(mh${4 * b + 3} AS STRING))"
+      else
+        s"concat_ws(',', mh${4 * b}::VARCHAR, mh${4 * b + 1}::VARCHAR, mh${4 * b + 2}::VARCHAR, mh${4 * b + 3}::VARCHAR)"
+    val mhs = (0 until 16).map(j => s"  ${minhashExpr(dialect, j)} AS mh$j").mkString(",\n")
+    val buckets = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, ${bandKey(b)} AS k FROM sig").mkString("\n  UNION ALL ")
+    s"""WITH ${hashedShinglesCte(dialect)},
+       |sig AS (SELECT doc_id,
+       |$mhs
+       |FROM hsh),
+       |buckets AS ($buckets),
+       |cand AS (SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS prior_id
+       |  FROM buckets x JOIN buckets y
+       |    ON x.band = y.band AND x.k = y.k
+       |  WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0),
+       |dup AS (SELECT DISTINCT c.new_id FROM cand c
+       |  JOIN hsh ha ON ha.doc_id = c.new_id
+       |  JOIN hsh hb ON hb.doc_id = c.prior_id
+       |  WHERE CAST($size_($inter) AS DOUBLE) / CAST($size_($uni) AS DOUBLE) >= 0.5e0)
+       |SELECT d.doc_id, d.lang, d.source FROM documents d
+       |WHERE d.doc_id % 5 = 0
+       |  AND NOT EXISTS (SELECT 1 FROM dup WHERE dup.new_id = d.doc_id)""".stripMargin
+  }
+
   /** 16-bit SimHash over distinct tokens. */
   private def qSimhash(dialect: String): String = {
     val tks = toks(dialect)
@@ -1887,6 +1923,18 @@ object Queries {
       Dedup.dedupAgainstCorpus(batch, prior, "text")
         .select("doc_id", "lang", "source")
     }),
+    // Fuzzy (MinHash-LSH) incremental dedup: the operator must agree
+    // with the oracle's cross-pair pipeline exactly (same shingle
+    // hashing + banding via the fused kernels, same Jaccard verify).
+    "q_dedup_incremental_fuzzy" -> ((s, dir) => {
+      registerViews(s, dir)
+      val docs = s.table("documents")
+      graft.operators.MinHashLsh.dedupAgainstCorpus(
+        docs.where(col("doc_id") % 5 === 0).select("doc_id", "lang", "source", "text"),
+        docs.where(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", threshold = 0.5)
+        .select("doc_id", "lang", "source")
+    }),
     "q_tfidf" -> sqlQuery(qTfidf("spark")),
     "q_fingerprint" -> sqlQuery(qFingerprint("spark")),
     "q_token_count" -> sqlQuery(qTokenCount("spark")),
@@ -2051,6 +2099,7 @@ object Queries {
         |SELECT doc_id, lang, source FROM newb n
         |WHERE NOT EXISTS (SELECT 1 FROM prior p WHERE p.text = n.text)""".stripMargin,
     "q_paragraph_dedup" -> qParagraphDedupOracle,
+    "q_dedup_incremental_fuzzy" -> qDedupIncrementalFuzzy("duck"),
     "q_tfidf" -> qTfidf("duck"),
     "q_fingerprint" -> qFingerprint("duck"),
     "q_token_count" -> qTokenCount("duck"),

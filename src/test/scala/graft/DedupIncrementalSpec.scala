@@ -35,6 +35,24 @@ class DedupIncrementalSpec extends SparkTestBase {
     assertSameRows(got, batch, "no-overlap prior")
   }
 
+  test("fuzzy variant drops cross near-dups only, keeps intra-batch dups") {
+    val mkDoc = (id: Long, text: String) => (id, text)
+    // 8+ tokens so the 3-gram shingle sets are meaningful
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val tweaked = "the quick brown fox jumps over the lazy dog again and then"
+    val fresh = "completely different content with no overlap whatsoever in any gram here"
+    val newB = Seq(mkDoc(1, base), mkDoc(2, tweaked), mkDoc(3, fresh),
+      mkDoc(4, fresh)).toDF("id", "text")
+    val priorB = Seq(mkDoc(100, base), mkDoc(101, "other prior text entirely unrelated to anything else written here today"))
+      .toDF("id", "text")
+    val got = graft.operators.MinHashLsh
+      .dedupAgainstCorpus(newB, priorB, "id", "text", threshold = 0.5)
+      .select("id").as[Long].collect().sorted.toSeq
+    // 1 (exact match) and 2 (near-dup of prior 100) drop; the two
+    // intra-batch copies of `fresh` BOTH survive (cross pairs only)
+    assert(got == Seq(3L, 4L), s"got $got")
+  }
+
   test("SQL surface: bloom_filter_agg + might_contain round-trip") {
     graft.queries.Queries.registerViews(spark, "/root/testdata/sf0.001")
     prior.createOrReplaceTempView("bloom_prior_v")
