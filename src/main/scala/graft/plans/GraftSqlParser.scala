@@ -33,6 +33,9 @@ import graft.delta.{Clone, Constraints, DeltaLog, Maintenance, Mutations}
   * GRAFT ALTER '<path>' DROP FEATURE <name> [TRUNCATE HISTORY]
   * GRAFT ALTER '<path>' SET TBLPROPERTIES ('k' = 'v', ...)
   * GRAFT ALTER '<path>' UNSET TBLPROPERTIES ('k', ...)
+  * GRAFT REGISTER TABLE <name> LOCATION '<path>'   -- persisted across sessions
+  * GRAFT UNREGISTER TABLE <name>
+  * GRAFT RESTORE TABLES                            -- re-register persisted names
   * }}}
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
@@ -71,6 +74,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+ALTER\s+'([^']+)'\s+SET\s+TBLPROPERTIES\s*\(([^)]+)\)\s*""".r
   private val UnsetProps =
     """(?is)\s*GRAFT\s+ALTER\s+'([^']+)'\s+UNSET\s+TBLPROPERTIES\s*\(([^)]+)\)\s*""".r
+  private val RegisterTable =
+    """(?is)\s*GRAFT\s+REGISTER\s+TABLE\s+([\w.]+)\s+LOCATION\s+'([^']+)'\s*""".r
+  private val UnregisterTable =
+    """(?is)\s*GRAFT\s+UNREGISTER\s+TABLE\s+([\w.]+)\s*""".r
+  private val RestoreTables =
+    """(?is)\s*GRAFT\s+RESTORE\s+TABLES\s*""".r
 
   /** Split a SET list on top-level commas only (commas inside
     * parentheses — function calls — don't separate assignments). */
@@ -204,6 +213,21 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           Seq(Row(Maintenance.setTableProperties(DeltaLog.forPath(s, path),
             Map.empty, unset)))
         })
+    // persistent name → location registry (GraftCatalog): survives the
+    // session; RESTORE TABLES re-registers in a fresh one
+    case RegisterTable(name, path) =>
+      GraftMaintenanceCommand(path, "register_table",
+        Seq("registered"), s => {
+          graft.delta.GraftCatalog.register(s, name, path); Seq(Row(1L))
+        })
+    case UnregisterTable(name) =>
+      GraftMaintenanceCommand(name, "unregister_table",
+        Seq("unregistered"), s => {
+          graft.delta.GraftCatalog.unregister(s, name); Seq(Row(1L))
+        })
+    case RestoreTables() =>
+      GraftMaintenanceCommand("", "restore_tables",
+        Seq("restored"), s => Seq(Row(graft.delta.GraftCatalog.restore(s))))
     case ClusterByNone(path) =>
       GraftMaintenanceCommand(path, "cluster_by_none",
         Seq("version"), s =>

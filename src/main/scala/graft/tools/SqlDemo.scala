@@ -124,6 +124,18 @@ object SqlDemo {
         "catalog-cached relation must see out-of-band commits")
       println("== named table: CREATE/SELECT/INSERT via session catalog ==")
 
+      // persistent catalog: the registration survives catalog loss via
+      // the registry file; GRAFT RESTORE TABLES re-creates the name
+      spark.conf.set("spark.graft.catalog.path", s"$dir/_graft_catalog.json")
+      spark.sql(s"GRAFT REGISTER TABLE demo_persisted LOCATION '$restorePath'")
+      spark.sql("DROP TABLE demo_persisted") // simulate a fresh session
+      require(spark.sql("GRAFT RESTORE TABLES").collect()(0).getLong(0) == 1L)
+      require(spark.sql("SELECT count(*) FROM demo_persisted")
+        .collect()(0).getLong(0) == 5L)
+      spark.sql("GRAFT UNREGISTER TABLE demo_persisted")
+      require(graft.delta.GraftCatalog.entries(spark).isEmpty)
+      println("== persistent catalog: REGISTER / RESTORE TABLES / UNREGISTER ==")
+
       // inventory-sourced VACUUM: candidates from a parquet relation
       // (the object-store shape — no recursive listing), inventory
       // mtime as the orphan clock

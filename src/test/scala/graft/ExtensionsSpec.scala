@@ -201,6 +201,35 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS t_named")
   }
 
+  test("persistent catalog: REGISTER TABLE survives catalog loss, RESTORE TABLES recovers") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_cat_")
+    val path = base.resolve("t").toString
+    spark.conf.set("spark.graft.catalog.path",
+      base.resolve("_graft_catalog.json").toString)
+    try {
+      Seq((1L, "a"), (2L, "b")).toDF("n", "s")
+        .write.format("graftdelta").mode("overwrite").save(path)
+      spark.sql(s"GRAFT REGISTER TABLE t_persisted LOCATION '$path'")
+      assert(spark.sql("SELECT count(*) FROM t_persisted").collect()(0).getLong(0) == 2L)
+      assert(graft.delta.GraftCatalog.entries(spark) == Map("t_persisted" -> path))
+      // simulate a fresh session: the catalog registration is gone but
+      // the persisted registry re-creates it
+      spark.sql("DROP TABLE t_persisted")
+      assert(!spark.catalog.tableExists("t_persisted"))
+      assert(spark.sql("GRAFT RESTORE TABLES").collect()(0).getLong(0) == 1L)
+      assert(spark.sql("SELECT count(*) FROM t_persisted").collect()(0).getLong(0) == 2L)
+      // restore is idempotent; unregister drops both registry and name
+      assert(spark.sql("GRAFT RESTORE TABLES").collect()(0).getLong(0) == 0L)
+      spark.sql("GRAFT UNREGISTER TABLE t_persisted")
+      assert(graft.delta.GraftCatalog.entries(spark).isEmpty)
+      assert(!spark.catalog.tableExists("t_persisted"))
+    } finally {
+      spark.conf.unset("spark.graft.catalog.path")
+      spark.sql("DROP TABLE IF EXISTS t_persisted")
+    }
+  }
+
   test("rewritten kernel matches the interpreted HOF on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .selectExpr("vec_id", "cast(embedding as array<double>) AS v")
