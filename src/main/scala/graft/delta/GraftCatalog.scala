@@ -96,13 +96,23 @@ object GraftCatalog {
   }
 
   /** Re-register every persisted table missing from the session
-    * catalog; returns how many were (re-)created. */
+    * catalog; returns how many were (re-)created. A stale entry (table
+    * deleted/moved out-of-band since registration) is skipped with a
+    * warning instead of aborting the rest of the restore — the registry
+    * itself is left untouched so the operator can inspect and
+    * `unregister` deliberately. */
   def restore(spark: SparkSession): Long = {
     var n = 0L
     entries(spark).toSeq.sortBy(_._1).foreach { case (name, path) =>
       if (!spark.catalog.tableExists(name)) {
-        spark.sql(s"CREATE TABLE ${quoted(name)} USING graftdelta LOCATION '$path'")
-        n += 1
+        try {
+          spark.sql(s"CREATE TABLE ${quoted(name)} USING graftdelta LOCATION '$path'")
+          n += 1
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[graft-catalog] skipping '$name' -> $path: ${e.getMessage}")
+        }
       }
     }
     n

@@ -221,6 +221,18 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(spark.sql("SELECT count(*) FROM t_persisted").collect()(0).getLong(0) == 2L)
       // restore is idempotent; unregister drops both registry and name
       assert(spark.sql("GRAFT RESTORE TABLES").collect()(0).getLong(0) == 0L)
+      // a stale entry (table files wiped out-of-band) is skipped, not
+      // fatal, and doesn't block restoring the rest of the registry
+      val stalePath = base.resolve("stale_t").toString
+      Seq((1L, "x")).toDF("n", "s")
+        .write.format("graftdelta").mode("overwrite").save(stalePath)
+      graft.delta.GraftCatalog.register(spark, "t_stale", stalePath)
+      spark.sql("DROP TABLE t_stale")
+      val sp = new org.apache.hadoop.fs.Path(stalePath)
+      sp.getFileSystem(spark.sessionState.newHadoopConf()).delete(sp, true)
+      assert(spark.sql("GRAFT RESTORE TABLES").collect()(0).getLong(0) == 0L)
+      assert(!spark.catalog.tableExists("t_stale"))
+      graft.delta.GraftCatalog.unregister(spark, "t_stale")
       spark.sql("GRAFT UNREGISTER TABLE t_persisted")
       assert(graft.delta.GraftCatalog.entries(spark).isEmpty)
       assert(!spark.catalog.tableExists("t_persisted"))
