@@ -92,6 +92,38 @@ object Curation {
           x => x.getField("__para"))).as(textCol))
   }
 
+  /** Split each document into fixed-token-window chunks with overlap —
+    * the RAG-indexing / context-packing shape. Chunk i covers tokens
+    * `[i·stride, i·stride + chunkTokens)` where
+    * `stride = chunkTokens - overlapTokens`; every document yields at
+    * least one chunk; the final chunk is the (possibly short) tail.
+    *
+    * Scale shape: map-only — one narrow projection and a generator
+    * expression per row, no shuffle, no UDF; at 100 TB chunking rides
+    * the scan. Integer arithmetic end-to-end (cross-engine ceil-div via
+    * `(n - overlap + stride - 1) DIV stride`).
+    * Output: (idCol, chunk_id, chunk_text, n_tokens). */
+  def chunkDocuments(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be > 0, got $chunkTokens")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlapTokens must be in [0, chunkTokens), got $overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    val toks = TextFunctions.tokens(col(textCol))
+    docs
+      .select(col(idCol), toks.as("__tk"), size(toks).as("__n"))
+      .select(col(idCol), col("__tk"), col("__n"),
+        posexplode(expr(
+          s"transform(sequence(0, greatest(1, (__n - $overlapTokens + $stride - 1) DIV $stride) - 1)," +
+            s" i -> array_join(slice(__tk, i * $stride + 1, $chunkTokens), ' '))"))
+          .as(Seq("chunk_id", "chunk_text")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        col("chunk_text"),
+        least(lit(chunkTokens), col("__n") - col("chunk_id") * stride)
+          .cast("long").as("n_tokens"))
+  }
+
   /** Gopher-style repetition/quality metrics per document, as scaled
     * integers (floor ×1e6 — engines with different round-half rules
     * agree): mean word length, most-frequent-token ratio, duplicate

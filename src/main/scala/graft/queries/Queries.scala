@@ -1935,6 +1935,17 @@ object Queries {
         "doc_id", "text", threshold = 0.5)
         .select("doc_id", "lang", "source")
     }),
+    // Fixed-token-window chunking with overlap (RAG indexing shape):
+    // 64-token chunks, 16-token overlap
+    "q_chunk_documents" -> ((s, dir) => {
+      registerViews(s, dir)
+      graft.operators.Curation.chunkDocuments(
+        s.table("documents"), "doc_id", "text",
+        chunkTokens = 64, overlapTokens = 16)
+        .select(col("doc_id"), col("chunk_id"),
+          graft.functions.TextFunctions.hash28(col("chunk_text")).as("chunk_hash"),
+          col("n_tokens"))
+    }),
     "q_tfidf" -> sqlQuery(qTfidf("spark")),
     "q_fingerprint" -> sqlQuery(qFingerprint("spark")),
     "q_token_count" -> sqlQuery(qTokenCount("spark")),
@@ -2100,6 +2111,16 @@ object Queries {
         |WHERE NOT EXISTS (SELECT 1 FROM prior p WHERE p.text = n.text)""".stripMargin,
     "q_paragraph_dedup" -> qParagraphDedupOracle,
     "q_dedup_incremental_fuzzy" -> qDedupIncrementalFuzzy("duck"),
+    "q_chunk_documents" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |d AS (SELECT doc_id, toks, len(toks) AS n,
+        |    GREATEST(1, (len(toks) - 16 + 47) // 48) AS nch FROM t),
+        |f AS (SELECT doc_id, toks, n,
+        |    CAST(unnest(range(0, nch)) AS BIGINT) AS chunk_id FROM d)
+        |SELECT doc_id, chunk_id,
+        |  ('0x' || substr(md5(array_to_string(toks[chunk_id*48+1 : chunk_id*48+64], ' ')), 1, 7))::BIGINT AS chunk_hash,
+        |  CAST(LEAST(64, n - chunk_id*48) AS BIGINT) AS n_tokens
+        |FROM f""".stripMargin,
     "q_tfidf" -> qTfidf("duck"),
     "q_fingerprint" -> qFingerprint("duck"),
     "q_token_count" -> qTokenCount("duck"),

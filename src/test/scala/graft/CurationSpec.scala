@@ -8,6 +8,25 @@ import graft.operators.Curation
 class CurationSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("chunkDocuments: overlapping windows cover every token exactly") {
+    val text = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
+    val docs = Seq((1L, text), (2L, "a b")).toDF("doc_id", "text")
+    val chunks = graft.operators.Curation
+      .chunkDocuments(docs, "doc_id", "text", chunkTokens = 4, overlapTokens = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val d1 = chunks.filter(_._1 == 1L).sortBy(_._2)
+    // stride 3: [w1..w4], [w4..w7], [w7..w10]
+    assert(d1.map(_._3).toSeq == Seq("w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    assert(d1.map(_._4).toSeq == Seq(4L, 4L, 4L))
+    // short doc: one chunk, the whole text
+    val d2 = chunks.filter(_._1 == 2L)
+    assert(d2.toSeq == Seq((2L, 0L, "a b", 2L)))
+    // consecutive chunks overlap by exactly overlapTokens
+    d1.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3.split(" ").last == b._3.split(" ").head)
+    }
+  }
+
   test("decontaminate flags docs sharing an 8-gram with the benchmark") {
     val overlap = "one two three four five six seven eight"
     val train = Seq(
