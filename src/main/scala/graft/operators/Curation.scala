@@ -210,6 +210,42 @@ object Curation {
       .drop("__rn", "__quota")
   }
 
+  /** Temperature-based mixture sampling (the mT5/XLM-R multilingual
+    * rebalancing rule): group g is kept at rate
+    * `min(1, target · n_g^α / Σ n^α / n_g)` — α < 1 flattens the
+    * distribution toward low-resource groups, α = 1 is proportional.
+    * Row selection is a deterministic md5-fraction threshold on the id,
+    * so the sample is a pure function of the data (reproducible across
+    * runs/layouts) and EXPECTED group sizes hit the temperature
+    * weights (threshold sampling, not exact-k — chain
+    * [[stratifiedSample]]/[[mixSources]] for exact quotas).
+    *
+    * Scale shape: one map-side-combined count aggregate (|groups|
+    * rows), rates broadcast back, then a MAP-ONLY hash-threshold
+    * filter — no window, no per-group shuffle. Rates round to 1e-6 so
+    * cross-engine pow/sum ulp noise cannot flip a row. */
+  def temperatureSample(
+      df: DataFrame, groupCol: String, idCol: String,
+      alpha: Double, targetRows: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(targetRows > 0, s"targetRows must be > 0, got $targetRows")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", pow(col("__n").cast("double"), lit(alpha)))
+      .cache()
+    // grand total is a SCALAR aggregate over the |groups|-sized count
+    // relation — a planner-sized driver value, like a join threshold
+    val bigW = counts.agg(sum(col("__w"))).head().getDouble(0)
+    val rates = counts
+      .select(col(groupCol),
+        round(least(lit(1.0),
+          lit(targetRows.toDouble) * col("__w") / lit(bigW) / col("__n").cast("double")),
+          6).as("__rate"))
+    df.join(broadcast(rates), Seq(groupCol))
+      .where(TextFunctions.hash28(col(idCol).cast("string")).cast("double") /
+        lit(268435456.0) < col("__rate")) // 2^28
+      .drop("__rate")
+  }
+
   /** Canonical text normalization for dedup/tokenizer front-ends:
     * lower-case, strip characters outside printable ASCII, collapse
     * whitespace runs, trim. Map-only codegen'd string ops; character

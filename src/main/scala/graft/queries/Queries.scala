@@ -1935,6 +1935,13 @@ object Queries {
         "doc_id", "text", threshold = 0.5)
         .select("doc_id", "lang", "source")
     }),
+    // Temperature sampling at α=0.5 toward a 300-row target over langs
+    "q_temperature_sample" -> ((s, dir) => {
+      registerViews(s, dir)
+      graft.operators.Curation.temperatureSample(
+        s.table("documents"), "lang", "doc_id", alpha = 0.5, targetRows = 300L)
+        .select("doc_id", "lang", "source")
+    }),
     // Fixed-token-window chunking with overlap (RAG indexing shape):
     // 64-token chunks, 16-token overlap
     "q_chunk_documents" -> ((s, dir) => {
@@ -2111,6 +2118,14 @@ object Queries {
         |WHERE NOT EXISTS (SELECT 1 FROM prior p WHERE p.text = n.text)""".stripMargin,
     "q_paragraph_dedup" -> qParagraphDedupOracle,
     "q_dedup_incremental_fuzzy" -> qDedupIncrementalFuzzy("duck"),
+    "q_temperature_sample" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |r AS (SELECT lang,
+        |    ROUND(LEAST(1.0, 300.0 * POW(n, 0.5e0) / SUM(POW(n, 0.5e0)) OVER () / n), 6) AS rate
+        |  FROM c)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN r USING (lang)
+        |WHERE CAST(('0x' || substr(md5(d.doc_id::VARCHAR), 1, 7))::BIGINT AS DOUBLE) / 268435456.0 < r.rate""".stripMargin,
     "q_chunk_documents" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |d AS (SELECT doc_id, toks, len(toks) AS n,

@@ -8,6 +8,24 @@ import graft.operators.Curation
 class CurationSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("temperatureSample: flattens toward low-resource groups, deterministic") {
+    val rows = (1 to 100).map(i => (i.toLong, "big")) ++
+      (101 to 110).map(i => (i.toLong, "small"))
+    val df = rows.toDF("id", "grp")
+    val got = graft.operators.Curation
+      .temperatureSample(df, "grp", "id", alpha = 0.5, targetRows = 50L)
+    val byGrp = got.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rate_small = min(1, 50·√10/(√100+√10)/10) = 1.0 → fully kept
+    assert(byGrp("small") == 10L, s"small group must be fully kept: $byGrp")
+    // rate_big ≈ 0.38 — threshold sampling lands NEAR the expectation
+    assert(byGrp("big") > 20L && byGrp("big") < 55L, s"big ≈ 38%: $byGrp")
+    // pure function of the data: identical on a second run
+    val again = graft.operators.Curation
+      .temperatureSample(df, "grp", "id", alpha = 0.5, targetRows = 50L)
+    assertSameRows(got, again, "temperature sample determinism")
+  }
+
   test("chunkDocuments: overlapping windows cover every token exactly") {
     val text = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
     val docs = Seq((1L, text), (2L, "a b")).toDF("doc_id", "text")
