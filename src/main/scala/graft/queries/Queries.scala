@@ -1310,6 +1310,33 @@ object Queries {
   private val qStreamDedupDuck: String =
     "SELECT DISTINCT user_id, event_type FROM events"
 
+  /** Continuous-ingestion dedup vs a static prior corpus,
+    * driver-verified: the doc stream drains through the bloom-prefilter
+    * + stream-static anti-join and must equal the batch content
+    * anti-join (same construction as q_dedup_incremental). */
+  private def qStreamDedupPriorSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => withStreamShuffle(s) {
+      registerViews(s, dir)
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val docs = s.table("documents")
+      val prior = docs.where(col("doc_id") % 3 =!= 0).select("text")
+        .unionByName(docs.where(col("doc_id") % 6 === 0).select("text"))
+      val batchStream = s.readStream.schema(schema)
+        .parquet(s"$dir/documents.parque*")
+        .where(col("doc_id") % 3 === 0)
+        .select("doc_id", "lang", "source", "text")
+      val out = graft.streaming.StreamingOps
+        .streamDedupAgainstCorpus(batchStream, prior, "text")
+        .select("doc_id", "lang", "source")
+      val name = "stream_dedup_prior_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    }
+
   /** Stream-stream interval join, driver-verified: views joined to the
     * same user's clicks within the following hour, both sides consumed
     * as watermarked streams; after the AvailableNow drain the result
@@ -1981,6 +2008,7 @@ object Queries {
     "q_corpus_pipeline" -> cachedStagesQuery(minhashStages, sparkPipelineFinal),
     "q_stream_counts" -> qStreamCountsSpark,
     "q_stream_dedup" -> qStreamDedupSpark,
+    "q_stream_dedup_prior" -> qStreamDedupPriorSpark,
     "q_stream_join" -> qStreamJoinSpark,
     "q_stream_sessionize" -> qStreamSessionizeSpark,
     "q_read_changes" -> qReadChangesSpark,
@@ -2152,6 +2180,13 @@ object Queries {
     "q_stream_counts" -> qStreamCountsDuck,
     "q_stream_join" -> qStreamJoinDuck,
     "q_stream_dedup" -> qStreamDedupDuck,
+    "q_stream_dedup_prior" ->
+      """WITH prior AS (SELECT text FROM documents WHERE doc_id % 3 <> 0
+        |               UNION ALL
+        |               SELECT text FROM documents WHERE doc_id % 6 = 0),
+        |newb AS (SELECT doc_id, lang, source, text FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id, lang, source FROM newb n
+        |WHERE NOT EXISTS (SELECT 1 FROM prior p WHERE p.text = n.text)""".stripMargin,
     "q_stream_sessionize" -> qStreamSessionizeDuck,
     "q_read_changes" -> qReadChangesDuck,
     "q_delete_dv" -> qDeleteDvDuck,

@@ -22,6 +22,36 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicates(fingerprintCol, tsCol)
 
+  /** EXACT continuous-ingestion dedup of a document STREAM against a
+    * STATIC prior corpus — the streaming face of
+    * [[graft.operators.Dedup.dedupAgainstCorpus]]. A bloom filter over
+    * the prior's content hashes (built ONCE at stream setup, shipped as
+    * a literal in the plan) splits each micro-batch map-only:
+    * bloom-negative rows are definitely novel and bypass the join
+    * entirely; only bloom-positive candidates (true dups + ~fpp) run
+    * the stream-static anti-join against the prior hash set, which
+    * removes the false positives — exact output, stateless operators,
+    * no watermark needed. Intra-stream duplicates are NOT collapsed
+    * (chain [[streamingExactDedup]]). */
+  def streamDedupAgainstCorpus(
+      stream: DataFrame, prior: DataFrame, textCol: String,
+      expectedPriorItems: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.graftshims.SqlShims
+    val h = xxhash64(col(textCol))
+    val priorItems =
+      if (expectedPriorItems > 0) expectedPriorItems
+      else math.max(64L, prior.count())
+    val priorBloom = prior
+      .select(SqlShims.bloomFilterAgg(h, priorItems).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    if (priorBloom == null) return stream // empty prior: all novel
+    val clean = stream.where(!SqlShims.mightContain(priorBloom, h))
+    val priorHashes = prior.select(md5(col(textCol)).as("__graft_prior_h")).distinct()
+    val survivors = stream.where(SqlShims.mightContain(priorBloom, h))
+      .join(priorHashes, md5(col(textCol)) === col("__graft_prior_h"), "left_anti")
+    clean.unionByName(survivors)
+  }
+
   /** One user's open session while the stream runs. */
   final case class SessionState(startUs: Long, lastUs: Long, nEvents: Long)
 

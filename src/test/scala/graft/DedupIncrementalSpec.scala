@@ -53,6 +53,13 @@ class DedupIncrementalSpec extends SparkTestBase {
     assert(got == Seq(3L, 4L), s"got $got")
   }
 
+  test("streaming drain equals the batch incremental dedup") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = graft.queries.Queries.queries("q_stream_dedup_prior")(spark, sf)
+    val batch = graft.queries.Queries.queries("q_dedup_incremental")(spark, sf)
+    assertSameRows(streamed, batch, "stream vs batch incremental dedup")
+  }
+
   test("SQL surface: bloom_filter_agg + might_contain round-trip") {
     graft.queries.Queries.registerViews(spark, "/root/testdata/sf0.001")
     prior.createOrReplaceTempView("bloom_prior_v")
