@@ -92,6 +92,57 @@ object Curation {
           x => x.getField("__para"))).as(textCol))
   }
 
+  /** RefinedWeb/C4-style BOILERPLATE removal: delete every fixed
+    * `chunkWords`-word chunk whose content occurs in at least `minDocs`
+    * DISTINCT documents (navigation bars, cookie banners, license
+    * footers — text repeated across pages rather than merely repeated
+    * within one), then reassemble each document from its surviving
+    * chunks in order. Unlike [[dedupParagraphs]] no survivor is
+    * elected: a frequent chunk is removed from EVERY document,
+    * including its first occurrence. Documents left with no chunks
+    * disappear.
+    *
+    * Scale shape: the frequent-chunk relation is the corpus-wide
+    * distinct-doc count per chunk hash — one hash-partitioned
+    * aggregate whose input the map side pre-shrinks via per-partition
+    * (hash, id) dedup, and whose OUTPUT after the `>= minDocs` filter
+    * is tiny (boilerplate is by definition a small set of distinct
+    * strings), so the removal join broadcasts it; no second data-sized
+    * shuffle until the groupBy(id) reassembly. At 100 TB the same plan
+    * holds: frequent-set size scales with distinct boilerplate, not
+    * corpus size.
+    */
+  def removeBoilerplate(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunkWords: Int = 15, minDocs: Int = 2): DataFrame = {
+    require(chunkWords > 0, s"chunkWords must be > 0, got $chunkWords")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val w = split(col(textCol), " ")
+    val chunks = docs
+      .select(col(idCol), w.as("__w"))
+      .select(col(idCol),
+        explode(expr(s"sequence(0, (size(__w) - 1) DIV $chunkWords)")).as("__ck"),
+        col("__w"))
+      .select(col(idCol), col("__ck"),
+        array_join(slice(col("__w"), col("__ck") * chunkWords + 1,
+          lit(chunkWords)), " ").as("__para"),
+        md5(array_join(slice(col("__w"), col("__ck") * chunkWords + 1,
+          lit(chunkWords)), " ")).as("__h"))
+    val frequent = chunks
+      .groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .where(col("__nd") >= minDocs)
+      .select(col("__h").as("__fh"))
+    chunks
+      .join(broadcast(frequent), col("__h") === col("__fh"), "left_anti")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("kept_chunks"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__ck"), col("__para")))),
+          x => x.getField("__para"))).as(textCol))
+  }
+
   /** Split each document into fixed-token-window chunks with overlap —
     * the RAG-indexing / context-packing shape. Chunk i covers tokens
     * `[i·stride, i·stride + chunkTokens)` where
@@ -244,6 +295,32 @@ object Curation {
       .where(TextFunctions.hash28(col(idCol).cast("string")).cast("double") /
         lit(268435456.0) < col("__rate")) // 2^28
       .drop("__rate")
+  }
+
+  /** DSIR-style deterministic importance sampling: keep each row with
+    * probability `min(1, targetFraction · w / mean(w))` — rows whose
+    * `weight` (a quality or domain-relevance score) exceeds the corpus
+    * mean are over-sampled, low-weight rows under-sampled, and the
+    * EXPECTED kept fraction is ~`targetFraction`. Selection is the same
+    * md5-threshold rule as [[temperatureSample]]: a pure function of
+    * the row id, reproducible across runs, layouts, and cluster sizes.
+    *
+    * Scale shape: one map-side-combined scalar aggregate (the mean —
+    * a planner-sized driver value like a broadcast-join threshold),
+    * then a MAP-ONLY filter; no shuffle of the data itself. Rates
+    * round to 1e-6 so cross-engine ulp noise cannot flip a row. */
+  def importanceSample(
+      df: DataFrame, idCol: String, weight: Column,
+      targetFraction: Double): DataFrame = {
+    require(targetFraction > 0.0 && targetFraction <= 1.0,
+      s"targetFraction must be in (0,1], got $targetFraction")
+    val meanW = df.agg(avg(weight.cast("double"))).head().getDouble(0)
+    require(meanW > 0.0, s"mean weight must be > 0, got $meanW")
+    df.where(
+      TextFunctions.hash28(col(idCol).cast("string")).cast("double") /
+        lit(268435456.0) < // 2^28
+      round(least(lit(1.0),
+        lit(targetFraction) * weight.cast("double") / lit(meanW)), 6))
   }
 
   /** Canonical text normalization for dedup/tokenizer front-ends:

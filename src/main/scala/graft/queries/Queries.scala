@@ -655,6 +655,26 @@ object Queries {
       |  string_agg(para, ' ' ORDER BY ck) AS text
       |FROM kept WHERE rn = 1 GROUP BY doc_id""".stripMargin
 
+  /** Boilerplate removal oracle: same chunk unit as paragraph dedup,
+    * but chunks occurring in >= 2 distinct docs are dropped from ALL
+    * docs (no survivor). */
+  private def qRemoveBoilerplateOracle: String =
+    """WITH words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |),
+      |chunks AS (
+      |  SELECT doc_id, ck, array_to_string(w[ck*15+1 : ck*15+15], ' ') AS para
+      |  FROM words, unnest(range(0, ((len(w)-1)//15)+1)) AS t(ck)
+      |),
+      |freq AS (
+      |  SELECT md5(para) AS h FROM chunks
+      |  GROUP BY md5(para) HAVING count(DISTINCT doc_id) >= 2)
+      |SELECT doc_id, count(*) AS kept_chunks,
+      |  string_agg(para, ' ' ORDER BY ck) AS text
+      |FROM chunks
+      |WHERE md5(para) NOT IN (SELECT h FROM freq)
+      |GROUP BY doc_id""".stripMargin
+
   /** TF-IDF top keywords per document: tf from a (doc, word) aggregate,
     * df from the vocabulary-sized roll-up of that aggregate, score as a
     * floor-scaled integer (engines with different double-formatting
@@ -1937,6 +1957,21 @@ object Queries {
       graft.operators.Curation.dedupParagraphs(
         s.table("documents"), "doc_id", "text")
     }),
+    "q_remove_boilerplate" -> ((s, dir) => {
+      registerViews(s, dir)
+      graft.operators.Curation.removeBoilerplate(
+        s.table("documents"), "doc_id", "text", chunkWords = 15, minDocs = 2)
+    }),
+    // Importance sampling toward lexically diverse docs: weight = the
+    // distinct-token count, expected keep rate 50%.
+    "q_importance_sample" -> ((s, dir) => {
+      registerViews(s, dir)
+      graft.operators.Curation.importanceSample(
+        s.table("documents"), "doc_id",
+        size(array_distinct(split(col("text"), " "))),
+        targetFraction = 0.5)
+        .select("doc_id", "lang", "source")
+    }),
     // Incremental-ingestion dedup: the "new batch" is doc_id % 3 == 0;
     // the "prior corpus" additionally contains copies of the texts of
     // doc_id % 6 == 0, so exactly that half of the batch must drop.
@@ -2145,6 +2180,15 @@ object Queries {
         |SELECT doc_id, lang, source FROM newb n
         |WHERE NOT EXISTS (SELECT 1 FROM prior p WHERE p.text = n.text)""".stripMargin,
     "q_paragraph_dedup" -> qParagraphDedupOracle,
+    "q_remove_boilerplate" -> qRemoveBoilerplateOracle,
+    "q_importance_sample" ->
+      """WITH w AS (SELECT doc_id, lang, source,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS wt
+        |  FROM documents),
+        |m AS (SELECT avg(wt) AS mw FROM w)
+        |SELECT doc_id, lang, source FROM w, m
+        |WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT AS DOUBLE) / 268435456.0
+        |  < ROUND(LEAST(1.0, 0.5 * wt / mw), 6)""".stripMargin,
     "q_dedup_incremental_fuzzy" -> qDedupIncrementalFuzzy("duck"),
     "q_temperature_sample" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),

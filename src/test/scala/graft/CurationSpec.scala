@@ -82,6 +82,57 @@ class CurationSpec extends SparkTestBase {
     assert(out(0).getString(2) == "x y z" && out(0).getLong(1) == 2L)
   }
 
+  test("removeBoilerplate drops cross-doc frequent chunks from every doc") {
+    // chunk size 2: [a b] appears in docs 1, 2, 3 -> boilerplate, removed
+    // everywhere (no survivor); intra-doc repeat [c d][c d] in doc 1 is
+    // ONE distinct doc -> kept, both copies.
+    val docs = Seq(
+      (1L, "a b c d c d"),
+      (2L, "a b e f"),
+      (3L, "a b")).toDF("doc_id", "text")
+    val out = Curation.removeBoilerplate(docs, "doc_id", "text",
+      chunkWords = 2, minDocs = 2).orderBy("doc_id").collect()
+    // doc 3 was pure boilerplate -> disappears
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out(0).getString(2) == "c d c d" && out(0).getLong(1) == 2L)
+    assert(out(1).getString(2) == "e f" && out(1).getLong(1) == 1L)
+  }
+
+  test("removeBoilerplate honors the minDocs threshold") {
+    val docs = Seq(
+      (1L, "a b x y"),
+      (2L, "a b"),
+      (3L, "a b")).toDF("doc_id", "text")
+    // minDocs = 4: nothing is frequent enough, all docs intact
+    val out = Curation.removeBoilerplate(docs, "doc_id", "text",
+      chunkWords = 2, minDocs = 4).orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(out(0).getString(2) == "a b x y")
+  }
+
+  test("importanceSample keeps high-weight rows preferentially and is deterministic") {
+    val docs = (1L to 400L).map(i => (i, if (i % 4 == 0) 100.0 else 1.0))
+      .toDF("doc_id", "w")
+    val out = Curation.importanceSample(docs, "doc_id", col("w"), 0.25)
+    val kept = out.collect().map(_.getLong(0)).toSet
+    // weight 100 vs mean ~25.75 -> heavy rows rate ~0.97, light ~0.0097
+    val heavy = kept.count(_ % 4 == 0)
+    val light = kept.size - heavy
+    assert(heavy > 80 && light < 10, s"heavy=$heavy light=$light")
+    // pure function of the data: a second run selects the same rows
+    assert(Curation.importanceSample(docs, "doc_id", col("w"), 0.25)
+      .collect().map(_.getLong(0)).toSet == kept)
+  }
+
+  test("importanceSample caps the rate at 1 and validates inputs") {
+    val docs = Seq((1L, 5.0), (2L, 5.0)).toDF("doc_id", "w")
+    // uniform weights at fraction 1.0 -> rate 1 -> everything kept
+    assert(Curation.importanceSample(docs, "doc_id", col("w"), 1.0).count() == 2)
+    intercept[IllegalArgumentException] {
+      Curation.importanceSample(docs, "doc_id", col("w"), 0.0)
+    }
+  }
+
   test("decontaminate handles docs shorter than the gram size") {
     val train = Seq((1L, "tiny doc"), (2L, "tiny doc")).toDF("doc_id", "text")
     val bench = Seq((9L, "tiny doc")).toDF("doc_id", "text")
