@@ -1494,6 +1494,51 @@ object Queries {
           length(col("text")).cast("long").as("len"))
     }
 
+  /** Bucket-co-located join, driver-verified END-TO-END: write the two
+    * join sides to scratch BUCKETED tables (8 buckets on the join key,
+    * sorted within buckets), then sort-merge-join them. Identical
+    * bucketing on both sides lets Spark plan the join with ZERO
+    * Exchange — the shape that makes repeated fact-fact joins
+    * affordable at 100 TB, where shuffling the large side would
+    * dominate (bucket once at ingest, join shuffle-free forever
+    * after; the remaining SMJ sorts are bucket-local and
+    * exchange-free). The merge hint pins SMJ so bucket metadata, not
+    * a broadcast, is what the plan exercises; BucketedJoinSpec
+    * asserts the no-Exchange physical plan. The oracle recomputes the
+    * same aggregate from the source parquet. */
+  private def qBucketedJoinSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bkt_").toString
+      s.sql("DROP TABLE IF EXISTS graft_b_lineitem")
+      s.sql("DROP TABLE IF EXISTS graft_b_orders")
+      // one file per bucket (repartition on the key) so the per-bucket
+      // sort order is trusted and the SMJ needs no Sort either
+      s.table("lineitem").select("l_orderkey", "l_extendedprice")
+        .repartition(8, col("l_orderkey"))
+        .write.format("parquet").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", tmp + "/l").saveAsTable("graft_b_lineitem")
+      s.table("orders").select("o_orderkey", "o_orderpriority")
+        .repartition(8, col("o_orderkey"))
+        .write.format("parquet").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", tmp + "/o").saveAsTable("graft_b_orders")
+      s.table("graft_b_lineitem").hint("merge")
+        .join(s.table("graft_b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }
+
+  private val qBucketedJoinDuck: String =
+    """SELECT o.o_orderpriority,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY o.o_orderpriority""".stripMargin
+
   private val qDeleteDvDuck: String =
     """SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS len
       |FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 0""".stripMargin
@@ -1911,6 +1956,7 @@ object Queries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_lineitem" -> sqlQuery(qAggLineitemSpark),
     "q_join_revenue" -> sqlQuery(qJoinRevenue),
+    "q_bucketed_join" -> qBucketedJoinSpark,
     "q_rollup_revenue" -> sqlQuery(qRollupRevenue),
     "q_moving_avg" -> sqlQuery(qMovingAvg),
     "q_except_customers" -> sqlQuery(qExceptCustomers),
@@ -2155,6 +2201,7 @@ object Queries {
   val oracleSql: Map[String, String] = Map(
     "q_agg_lineitem" -> qAggLineitemSpark,
     "q_join_revenue" -> qJoinRevenue,
+    "q_bucketed_join" -> qBucketedJoinDuck,
     "q_rollup_revenue" -> qRollupRevenue,
     "q_moving_avg" -> qMovingAvg,
     "q_except_customers" -> qExceptCustomers,
