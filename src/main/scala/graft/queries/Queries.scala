@@ -2008,6 +2008,12 @@ object Queries {
       graft.operators.Curation.removeBoilerplate(
         s.table("documents"), "doc_id", "text", chunkWords = 15, minDocs = 2)
     }),
+    // Round-0 BPE statistic: top-20 frequency-weighted adjacent char
+    // pairs over the word-frequency relation (corpus touched once).
+    "q_bpe_pairs" -> ((s, dir) => {
+      registerViews(s, dir)
+      graft.operators.Bpe.bpePairCounts(s.table("documents"), "text", topK = 20)
+    }),
     // Importance sampling toward lexically diverse docs: weight = the
     // distinct-token count, expected keep rate 50%.
     "q_importance_sample" -> ((s, dir) => {
@@ -2228,6 +2234,17 @@ object Queries {
         |WHERE NOT EXISTS (SELECT 1 FROM prior p WHERE p.text = n.text)""".stripMargin,
     "q_paragraph_dedup" -> qParagraphDedupOracle,
     "q_remove_boilerplate" -> qRemoveBoilerplateOracle,
+    "q_bpe_pairs" ->
+      """WITH wf AS (
+        |  SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE word <> '' GROUP BY word),
+        |p AS (
+        |  SELECT substr(word, i, 1) AS lhs, substr(word, i + 1, 1) AS rhs, freq
+        |  FROM wf, unnest(range(1, len(word))) AS t(i)
+        |  WHERE len(word) > 1)
+        |SELECT lhs, rhs, SUM(freq) AS n FROM p GROUP BY lhs, rhs
+        |ORDER BY n DESC, lhs, rhs LIMIT 20""".stripMargin,
     "q_importance_sample" ->
       """WITH w AS (SELECT doc_id, lang, source,
         |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS wt
