@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for embedding columns — the ANN shape
+  * that actually fits 100 TB: raw float vectors (256 B at dim 64, KBs
+  * at dim 1k+) compress to `m` one-byte codes, so the scan side of a
+  * similarity query reads codes + a tiny codebook instead of the
+  * vectors themselves (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011).
+  *
+  * Pipeline: [[trainCodebooks]] (k-means per subspace over the
+  * corpus — the only pass that touches raw vectors), [[encode]]
+  * (map-only nearest-centroid assignment per subspace, codebooks as
+  * literals — NO join, NO shuffle), [[adcTopK]] (asymmetric distance:
+  * query stays raw, corpus stays codes; distance is the sum of
+  * subspace distances to the coded centroids).
+  *
+  * Everything is deterministic (md5-seeded centroid init, round-4
+  * distance compare, lowest-id tie-breaks) so the DuckDB oracle can
+  * replay encode + ADC bit-for-bit from the exported codebooks. All
+  * pure Column algebra — no UDFs.
+  */
+object Pq {
+
+  private def asDouble(c: Column): Column =
+    transform(c, x => x.cast("double"))
+
+  /** Sequential-order squared L2 distance between two double arrays
+    * (matches DuckDB's `list_sum(list_transform(...))` evaluation
+    * order; compare only after ROUND(.,4)). */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc: Column, x: Column) => acc + x)
+
+  /** Train per-subspace codebooks: for each of `m` equal slices of the
+    * vector, k-means with squared-L2 assignment. Returns
+    * (subspace, cid, centroid) rows — `m·k` entries, a driver-sized
+    * value like any broadcast-join build side. Centroid init is the
+    * md5-ordered first k subvectors (layout-independent); means round
+    * to `roundDp` so retraining anywhere reproduces the same books. */
+  def trainCodebooks(
+      df: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iterations: Int = 3,
+      roundDp: Int = 6): Seq[(Int, Long, Array[Double])] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dims = df.select(size(col(vecCol))).head().getInt(0)
+    require(m > 0 && dims % m == 0, s"m=$m must divide dims=$dims")
+    require(k > 0 && iterations >= 0, s"need k > 0, iterations >= 0")
+    val dsub = dims / m
+    (0 until m).flatMap { j =>
+      val sub = df.select(col(idCol).as("id"),
+        asDouble(slice(col(vecCol), lit(j * dsub + 1), lit(dsub))).as("v"))
+      var centroids: Seq[(Long, Array[Double])] = sub
+        .orderBy(md5(col("id").cast("string")), col("id"))
+        .limit(k)
+        .collect()
+        .zipWithIndex
+        .map { case (r, i) => i.toLong -> r.getSeq[Double](1).toArray }
+        .toSeq
+      (1 to iterations).foreach { _ =>
+        val centDf = centroids.map { case (cid, cv) => (cid, cv.toSeq) }
+          .toDF("cid", "cv")
+        val assign = sub.crossJoin(broadcast(centDf))
+          .withColumn("d", round(l2sq(col("v"), col("cv")), 4))
+          .groupBy("id")
+          .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("cid"),
+            first(col("v")).as("v"))
+        val means = assign
+          .select(col("cid"), posexplode(col("v")))
+          .groupBy("cid", "pos")
+          .agg(avg(col("col")).as("mu"))
+          .collect()
+          .groupBy(_.getLong(0))
+          .map { case (cid, rows) =>
+            val arr = new Array[Double](dsub)
+            rows.foreach { r =>
+              arr(r.getInt(1)) = BigDecimal(r.getDouble(2))
+                .setScale(roundDp, BigDecimal.RoundingMode.HALF_UP).toDouble
+            }
+            cid -> arr
+          }
+        centroids = centroids.map { case (cid, old) =>
+          cid -> means.getOrElse(cid, old)
+        }
+      }
+      centroids.map { case (cid, cv) => (j, cid, cv) }
+    }
+  }
+
+  /** The codebook for one subspace as a literal
+    * `array<array<double>>`, index = cid + 1 (1-based). */
+  private def bookLit(
+      books: Seq[(Int, Long, Array[Double])], j: Int): Column =
+    typedLit(books.filter(_._1 == j).sortBy(_._2).map(_._3.toSeq))
+
+  /** Map-only PQ encoding: per subspace, the (1-based) index of the
+    * nearest codebook centroid by round-4 squared L2; ties take the
+    * first (= lowest cid). Output: `idCol | codes array<int>` with
+    * `codes[j] = cid_j + 1`. Zero shuffle, zero join — the codebooks
+    * ride along as literals (the executor-side footprint is m·k·dsub
+    * doubles, same as a broadcast, without the join machinery). */
+  def encode(
+      df: DataFrame, idCol: String, vecCol: String,
+      books: Seq[(Int, Long, Array[Double])]): DataFrame = {
+    val m = books.map(_._1).max + 1
+    val dsub = books.head._3.length
+    val codeCols = (0 until m).map { j =>
+      val dists = transform(bookLit(books, j),
+        c => round(l2sq(
+          asDouble(slice(col(vecCol), lit(j * dsub + 1), lit(dsub))), c), 4))
+      array_position(dists, array_min(dists)).cast("int")
+    }
+    df.select(col(idCol), array(codeCols: _*).as("codes"))
+  }
+
+  /** Asymmetric-distance top-k: queries keep raw vectors, the corpus
+    * is only its codes. Approximate distance = Σ_j ||q_j − c_{j,code_j}||²
+    * (round-4). The corpus side never rehydrates vectors — at scale
+    * the scan is m bytes/row instead of 4·dims, and the expansion is
+    * the same broadcast shape as any small-queries/big-corpus rerank.
+    * Returns (query_id, neighbor_id, adist, rnk ≤ kNeighbors). */
+  def adcTopK(
+      codes: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      books: Seq[(Int, Long, Array[Double])], kNeighbors: Int): DataFrame = {
+    require(kNeighbors > 0, s"kNeighbors must be > 0, got $kNeighbors")
+    val m = books.map(_._1).max + 1
+    val dsub = books.head._3.length
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("__qv"))
+    val dist = (0 until m).map { j =>
+      round(l2sq(
+        slice(col("__qv"), lit(j * dsub + 1), lit(dsub)),
+        element_at(bookLit(books, j), element_at(col("codes"), j + 1))), 4)
+    }.reduce(_ + _)
+    import org.apache.spark.sql.expressions.Window
+    codes.join(broadcast(q), col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        round(dist, 4).as("adist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("adist"), col("neighbor_id"))))
+      .where(col("rnk") <= kNeighbors)
+  }
+}

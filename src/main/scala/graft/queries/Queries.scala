@@ -1052,6 +1052,60 @@ object Queries {
        |SELECT vec_id, cid FROM av
        |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
 
+  /** PQ codebooks get their own per-process export (same isolation
+    * reasoning as the IVF/SemDeDup centroid paths). */
+  private val pqBooksPath = sys.env.getOrElse(
+    "GRAFT_PQ_BOOKS_PATH",
+    s"${System.getProperty("java.io.tmpdir")}/graft_pq_books_" +
+      s"${ProcessHandle.current().pid()}.parquet")
+
+  /** Product-quantized ANN: codebooks trained Spark-side and EXPORTED,
+    * corpus encoded to 4 one-byte-scale codes (64× smaller than the
+    * raw 64-dim floats), queries ranked by asymmetric distance against
+    * the coded centroids. The DuckDB oracle replays encode + ADC from
+    * the exported books. */
+  private def qPqKnnSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      val emb = s.table("embeddings")
+      val books = graft.operators.Pq.trainCodebooks(
+        emb, "vec_id", "embedding", m = 4, k = 16, iterations = 2)
+      import s.implicits._
+      books.map { case (j, cid, cv) => (j, cid, cv.toSeq) }
+        .toDF("subspace", "cid", "cv")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(pqBooksPath)
+      val codes = graft.operators.Pq.encode(emb, "vec_id", "embedding", books)
+      graft.operators.Pq.adcTopK(
+        codes, emb.where(col("vec_id") % 25 === 0),
+        "vec_id", "embedding", books, kNeighbors = 3)
+    }
+
+  private def qPqKnnDuck: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |bk AS (SELECT subspace, cid, cv
+       |  FROM read_parquet('$pqBooksPath/*.parquet')),
+       |cd AS (SELECT e.vec_id, bk.subspace, bk.cid,
+       |    ROUND(list_sum(list_transform(range(1, 17),
+       |      i -> (e.v[bk.subspace*16 + i] - bk.cv[i]) * (e.v[bk.subspace*16 + i] - bk.cv[i]))), 4) AS d
+       |  FROM e CROSS JOIN bk),
+       |codes AS (SELECT vec_id, subspace, cid FROM (
+       |    SELECT vec_id, subspace, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY d, cid) AS rn
+       |    FROM cd) t WHERE rn = 1),
+       |pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ROUND(SUM(ROUND(list_sum(list_transform(range(1, 17),
+       |      i -> (q.v[c.subspace*16 + i] - bk.cv[i]) * (q.v[c.subspace*16 + i] - bk.cv[i]))), 4)), 4) AS adist
+       |  FROM e q
+       |  JOIN codes c ON c.vec_id <> q.vec_id
+       |  JOIN bk ON bk.subspace = c.subspace AND bk.cid = c.cid
+       |  WHERE q.vec_id % 25 = 0
+       |  GROUP BY q.vec_id, c.vec_id),
+       |r AS (SELECT query_id, neighbor_id, adist,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rnk
+       |  FROM pairs)
+       |SELECT query_id, neighbor_id, adist, rnk FROM r WHERE rnk <= 3""".stripMargin
+
   private def qIvfTrainedSpark: (SparkSession, String) => DataFrame =
     (s, dir) => {
       registerViews(s, dir)
@@ -2144,6 +2198,7 @@ object Queries {
     }),
     "q_embedding_ivf_knn" -> cachedStagesQuery(ivfStages, qIvfKnnSparkFinal),
     "q_embedding_ivf_trained" -> qIvfTrainedSpark,
+    "q_embedding_pq_knn" -> qPqKnnSpark,
     "q_embedding_semdedup" -> qSemDedupSpark,
     "q_decontaminate" -> ((s, dir) => {
       registerViews(s, dir)
@@ -2311,6 +2366,7 @@ object Queries {
     "q_embedding_knn_lsh" -> qKnnLshDuck,
     "q_embedding_ivf_knn" -> qIvfKnnDuck,
     "q_embedding_ivf_trained" -> qIvfTrainedDuck,
+    "q_embedding_pq_knn" -> qPqKnnDuck,
     "q_embedding_semdedup" -> qSemDedupDuck,
     "q_media_meta" -> qMediaMetaDuck,
     "q_media_features" -> qMediaFeaturesDuck,

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Pq
+
+class PqSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // two well-separated clusters per half of the vector
+  private def vecs = Seq(
+    (1L, Seq(0.0, 0.0, 10.0, 10.0)),
+    (2L, Seq(0.1, 0.0, 10.0, 10.1)),
+    (3L, Seq(5.0, 5.0, 0.0, 0.0)),
+    (4L, Seq(5.1, 5.0, 0.1, 0.0))).toDF("vec_id", "embedding")
+
+  test("trainCodebooks produces m*k deterministic entries") {
+    val b1 = Pq.trainCodebooks(vecs, "vec_id", "embedding", m = 2, k = 2,
+      iterations = 2)
+    val b2 = Pq.trainCodebooks(vecs, "vec_id", "embedding", m = 2, k = 2,
+      iterations = 2)
+    assert(b1.size == 4)
+    assert(b1.map(x => (x._1, x._2, x._3.toSeq)) ==
+      b2.map(x => (x._1, x._2, x._3.toSeq)))
+    assert(b1.forall(_._3.length == 2))
+  }
+
+  test("encode groups near-identical vectors to the same codes") {
+    val books = Pq.trainCodebooks(vecs, "vec_id", "embedding", m = 2, k = 2,
+      iterations = 2)
+    val codes = Pq.encode(vecs, "vec_id", "embedding", books)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes(1L) == codes(2L), s"${codes(1L)} vs ${codes(2L)}")
+    assert(codes(3L) == codes(4L))
+    assert(codes(1L) != codes(3L))
+  }
+
+  test("adcTopK ranks the true near neighbor first") {
+    val books = Pq.trainCodebooks(vecs, "vec_id", "embedding", m = 2, k = 2,
+      iterations = 2)
+    val codes = Pq.encode(vecs, "vec_id", "embedding", books)
+    val out = Pq.adcTopK(codes, vecs.where(col("vec_id") === 1L),
+      "vec_id", "embedding", books, kNeighbors = 2).collect()
+    assert(out.length == 2)
+    val first = out.find(_.getInt(3) == 1).get
+    assert(first.getLong(1) == 2L,
+      s"expected neighbor 2 first, got ${first.getLong(1)}")
+  }
+}
