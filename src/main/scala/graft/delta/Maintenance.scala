@@ -199,6 +199,94 @@ object Maintenance {
     finally out.close()
   }
 
+  /** Widenings the Delta `typeWidening` feature allows AND Spark's
+    * parquet reader performs in-scan (narrow physical files read under
+    * the widened logical schema — probed by WidenProbeSpec). */
+  private val supportedWidenings: Set[(String, String)] = Set(
+    ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+    ("byte", "double"),
+    ("short", "integer"), ("short", "long"), ("short", "double"),
+    ("integer", "long"), ("integer", "double"),
+    ("float", "double"))
+
+  /** ALTER TABLE ... ALTER COLUMN <c> TYPE <wider>: the Delta
+    * `typeWidening` table feature. Metadata-only commit — existing
+    * narrow parquet files are NOT rewritten; reads apply the widened
+    * logical schema over them (Spark's parquet scan upcasts
+    * byte/short/int→long-chain and float→double natively), and the
+    * field's `delta.typeChanges` metadata records each change with the
+    * version it landed at, per the protocol, so other readers can
+    * decide file-level convertibility. Upgrades the protocol to
+    * reader 3 / writer 7 with `typeWidening` in BOTH feature lists
+    * (a reader that ignores it would mis-type narrow files); legacy
+    * implied features are normalized onto the v7 lists the same way
+    * [[dropFeature]] does. Refuses anything that is not a pure
+    * widening. */
+  def widenColumnType(
+      log: DeltaLog, column: String, newTypeName: String): Long = {
+    val snap = log.snapshot
+    val m = snap.metadata
+    val schema = m.schema
+    val idx = schema.fieldIndex(column)
+    val field = schema(idx)
+    val from = field.dataType.typeName
+    val to = newTypeName.toLowerCase(java.util.Locale.ROOT) match {
+      case "int" => "integer" case "bigint" => "long" case t => t
+    }
+    require(supportedWidenings.contains((from, to)),
+      s"cannot widen $column: $from -> $to is not a supported widening " +
+        s"(supported: $supportedWidenings)")
+    val v = snap.version + 1
+    val change = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("fromType", from)
+      .putString("toType", to)
+      .putLong("tableVersion", v)
+      .build()
+    val prior =
+      if (field.metadata.contains("delta.typeChanges"))
+        field.metadata.getMetadataArray("delta.typeChanges")
+      else Array.empty[org.apache.spark.sql.types.Metadata]
+    val newMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(field.metadata)
+      .putMetadataArray("delta.typeChanges", prior :+ change)
+      .build()
+    val newField = field.copy(
+      dataType = org.apache.spark.sql.types.DataType.fromJson(s""""$to""""),
+      metadata = newMeta)
+    val newSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.updated(idx, newField))
+    // normalize a legacy protocol onto v7/v3 feature lists (implied
+    // features stay listed — same shape dropFeature produces)
+    val p = snap.protocol
+    val impliedW: Set[String] =
+      if (p.minWriterVersion >= 7) Set.empty
+      else Seq(
+        2 -> Set("appendOnly", "invariants"),
+        3 -> Set("checkConstraints"),
+        4 -> Set("changeDataFeed", "generatedColumns"),
+        5 -> Set("columnMapping"),
+        6 -> Set("identityColumns"))
+        .collect { case (mv, fs) if p.minWriterVersion >= mv => fs }
+        .flatten.toSet
+    val impliedR: Set[String] =
+      if (p.minReaderVersion >= 3) Set.empty
+      else if (p.minReaderVersion == 2) Set("columnMapping")
+      else Set.empty
+    val proto = Protocol(
+      minReaderVersion = 3, minWriterVersion = 7,
+      readerFeatures = p.readerFeatures ++ impliedR + "typeWidening",
+      writerFeatures = p.writerFeatures ++ impliedW + "typeWidening")
+    log.commit(v, Seq(
+      CommitInfoAction(CommitInfo(System.currentTimeMillis(),
+        "ALTER COLUMN TYPE",
+        Map("column" -> column, "from" -> from, "to" -> to))),
+      ProtocolAction(proto),
+      MetadataAction(m.copy(schemaString = newSchema.json))),
+      ictEnabled = m.configuration
+        .get("delta.enableInCommitTimestamps").contains("true"))
+    v
+  }
+
   /** ALTER TABLE SET/UNSET TBLPROPERTIES: commit the metadata with
     * `set` entries applied and `unset` keys removed. Feature-gating
     * properties (delta.enable*) only flip the FLAG here — protocol

@@ -137,7 +137,10 @@ class Snapshot(
     // which runs this very check, so the contract holds by design.
     val supportedFeatures =
       Set("columnMapping", "deletionVectors", "timestampNtz", "v2Checkpoint",
-        "vacuumProtocolCheck")
+        "vacuumProtocolCheck",
+        // typeWidening: reads apply the widened logical schema over
+        // narrow physical files (Spark's parquet scan upcasts)
+        "typeWidening")
     val unsupported = protocol.readerFeatures.diff(supportedFeatures)
     val ok = v <= 1 ||
       (v == 2 && Set("name", "id", "none").contains(columnMappingMode)) ||

@@ -387,7 +387,12 @@ object TransactionWriter {
         // rowTracking: fresh ids allocated below from the domain hwm
         "domainMetadata", "clustering", "rowTracking", "identityColumns",
         // vacuum always resolves (and so protocol-checks) a snapshot
-        "vacuumProtocolCheck")
+        "vacuumProtocolCheck",
+        // typeWidening: widening commits go through
+        // Maintenance.widenColumnType (which maintains the
+        // delta.typeChanges field metadata); data writes under the
+        // widened schema need no special handling
+        "typeWidening")
       val unsupportedW = s.protocol.writerFeatures.diff(supportedWriterFeatures)
       val v = s.protocol.minWriterVersion
       require(v <= 6 || (v == 7 && unsupportedW.isEmpty),

@@ -31,6 +31,7 @@ import graft.delta.{Clone, Constraints, DeltaLog, Maintenance, Mutations}
   * GRAFT ALTER '<path>' ENABLE CHANGE DATA FEED | ROW TRACKING |
   *                             IN COMMIT TIMESTAMPS | COLUMN MAPPING
   * GRAFT ALTER '<path>' DROP FEATURE <name> [TRUNCATE HISTORY]
+  * GRAFT ALTER '<path>' ALTER COLUMN <col> TYPE <widerType>
   * GRAFT ALTER '<path>' SET TBLPROPERTIES ('k' = 'v', ...)
   * GRAFT ALTER '<path>' UNSET TBLPROPERTIES ('k', ...)
   * GRAFT REGISTER TABLE <name> LOCATION '<path>'   -- persisted across sessions
@@ -70,6 +71,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+ALTER\s+'([^']+)'\s+ENABLE\s+(CHANGE\s+DATA\s+FEED|ROW\s+TRACKING|IN\s+COMMIT\s+TIMESTAMPS|COLUMN\s+MAPPING)\s*""".r
   private val DropFeature =
     """(?is)\s*GRAFT\s+ALTER\s+'([^']+)'\s+DROP\s+FEATURE\s+(\w+)(\s+TRUNCATE\s+HISTORY)?\s*""".r
+  private val AlterColumnType =
+    """(?is)\s*GRAFT\s+ALTER\s+'([^']+)'\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+(\w+)\s*""".r
   private val SetProps =
     """(?is)\s*GRAFT\s+ALTER\s+'([^']+)'\s+SET\s+TBLPROPERTIES\s*\(([^)]+)\)\s*""".r
   private val UnsetProps =
@@ -194,6 +197,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Seq("version"), s =>
           Seq(Row(Maintenance.dropFeature(DeltaLog.forPath(s, path), feature,
             truncateHistory = truncate != null))))
+    case AlterColumnType(path, column, newType) =>
+      GraftMaintenanceCommand(path, "alter_column_type",
+        Seq("version"), s =>
+          Seq(Row(Maintenance.widenColumnType(
+            DeltaLog.forPath(s, path), column, newType))))
     case SetProps(path, kvs) =>
       GraftMaintenanceCommand(path, "set_tblproperties",
         Seq("version"), s => {

@@ -186,6 +186,20 @@ object SqlDemo {
       require(spark.read.format("graftdelta").load(fsckPath).count() >= 1L)
       println(s"== SET/UNSET TBLPROPERTIES + DROP FEATURE changeDataFeed: " +
         s"writerFeatures=${dsnap.protocol.writerFeatures} ==")
+
+      // type widening: int table -> bigint, old file read upcast
+      val widenPath = s"$dir/widen_table"
+      Seq((1, 10), (2, 20)).toDF("k", "v")
+        .write.format("graftdelta").save(widenPath)
+      spark.sql(s"GRAFT ALTER '$widenPath' ALTER COLUMN v TYPE bigint")
+      val wsnap = graft.delta.DeltaLog.forPath(spark, widenPath).snapshot
+      require(wsnap.metadata.schema("v").dataType ==
+        org.apache.spark.sql.types.LongType)
+      require(wsnap.protocol.readerFeatures.contains("typeWidening"))
+      require(spark.read.format("graftdelta").load(widenPath)
+        .agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0) == 30L)
+      println(s"== ALTER COLUMN v TYPE bigint: typeWidening on, " +
+        s"narrow files upcast ==")
       println("SqlDemo OK")
     } finally spark.stop()
   }

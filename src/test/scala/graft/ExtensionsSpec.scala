@@ -169,6 +169,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(graft.delta.RowTracking.supported(snap.protocol))
     assert(snap.activeFiles.forall(_.baseRowId.nonEmpty))
 
+    // ALTER COLUMN TYPE widens through the parser (int table -> long)
+    val widenPath = java.nio.file.Files.createTempDirectory("graft_sqlcmd_")
+      .resolve("w").toString
+    Seq((1, 7)).toDF("k", "v")
+      .write.format("graftdelta").save(widenPath)
+    spark.sql(s"GRAFT ALTER '$widenPath' ALTER COLUMN v TYPE bigint")
+    assert(graft.delta.DeltaLog.forPath(spark, widenPath).snapshot
+      .metadata.schema("v").dataType ==
+      org.apache.spark.sql.types.LongType)
+
     // ordinary SQL still parses through the delegate
     assert(spark.sql("SELECT 1 + 1").collect()(0).getInt(0) == 2)
     // ...including parameterized statements (parsePlanWithParameters path)
