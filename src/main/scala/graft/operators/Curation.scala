@@ -323,6 +323,50 @@ object Curation {
         lit(targetFraction) * weight.cast("double") / lit(meanW)), 6))
   }
 
+  /** CCNet-style language-model quality scoring: a bigram LM with
+    * add-one smoothing is "trained" on the corpus itself (two
+    * aggregates: unigram and bigram counts), then every document is
+    * scored by its average negative log-likelihood — high-NLL docs are
+    * the gibberish/boilerplate candidates a perplexity filter drops.
+    *
+    * Cross-engine exactness: each bigram's NLL is floor-scaled to an
+    * integer (`floor(-1e6·ln p)`) BEFORE the per-document sum, so the
+    * aggregation is integer arithmetic — order-free, no float-sum
+    * divergence between engines (the same trick as TF-IDF's score_e6).
+    *
+    * Scale shape: the LM relations are vocabulary- and bigram-bounded
+    * (map-side combined); scoring joins the exploded corpus back on
+    * the bigram key — one hash join whose build side is the LM, one
+    * groupBy(doc). No UDFs, no iteration. */
+  def perplexityScore(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bigrams = df
+      .select(col(idCol), split(col(textCol), " ").as("__w"))
+      .where(size(col("__w")) >= 2)
+      .select(col(idCol),
+        explode(expr(
+          "transform(sequence(1, size(__w) - 1), " +
+            "i -> struct(element_at(__w, i) AS w1, element_at(__w, i + 1) AS w2))"))
+          .as("__b"))
+      .select(col(idCol), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+    val uni = bigrams.groupBy("w1").agg(count(lit(1)).as("u_n"))
+    val bi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("b_n"))
+    val vocabSize = bigrams.select(col("w1")).union(
+      bigrams.select(col("w2"))).distinct().count()
+    bigrams
+      .join(bi, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .select(col(idCol),
+        floor(lit(-1e6) *
+          log((col("b_n") + 1).cast("double") /
+            (col("u_n") + lit(vocabSize)).cast("double")))
+          .cast("long").as("nll_e6"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        // integer DIV keeps the average exact and order-free too
+        expr("CAST(sum(nll_e6) DIV count(1) AS BIGINT)").as("avg_nll_e6"))
+  }
+
   /** Canonical text normalization for dedup/tokenizer front-ends:
     * lower-case, strip characters outside printable ASCII, collapse
     * whitespace runs, trim. Map-only codegen'd string ops; character

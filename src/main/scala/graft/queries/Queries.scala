@@ -2062,6 +2062,13 @@ object Queries {
       graft.operators.Curation.removeBoilerplate(
         s.table("documents"), "doc_id", "text", chunkWords = 15, minDocs = 2)
     }),
+    // CCNet-style self-trained bigram-LM scoring: integer-scaled NLL
+    // per bigram summed exactly per doc (order-free, engine-exact).
+    "q_perplexity" -> ((s, dir) => {
+      registerViews(s, dir)
+      graft.operators.Curation.perplexityScore(
+        s.table("documents"), "doc_id", "text")
+    }),
     // Round-0 BPE statistic: top-20 frequency-weighted adjacent char
     // pairs over the word-frequency relation (corpus touched once).
     "q_bpe_pairs" -> ((s, dir) => {
@@ -2289,6 +2296,23 @@ object Queries {
         |WHERE NOT EXISTS (SELECT 1 FROM prior p WHERE p.text = n.text)""".stripMargin,
     "q_paragraph_dedup" -> qParagraphDedupOracle,
     "q_remove_boilerplate" -> qRemoveBoilerplateOracle,
+    "q_perplexity" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM w, unnest(range(1, len(t))) AS r(i)),
+        |uni AS (SELECT w1, count(*) AS u_n FROM bg GROUP BY w1),
+        |bi AS (SELECT w1, w2, count(*) AS b_n FROM bg GROUP BY w1, w2),
+        |v AS (SELECT count(DISTINCT x) AS vs FROM
+        |  (SELECT w1 AS x FROM bg UNION ALL SELECT w2 AS x FROM bg)),
+        |s AS (SELECT bg.doc_id,
+        |    CAST(floor(-1e6 * ln((bi.b_n + 1)::DOUBLE / (uni.u_n + v.vs)::DOUBLE)) AS BIGINT) AS nll
+        |  FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(SUM(nll) // count(*) AS BIGINT) AS avg_nll_e6
+        |FROM s GROUP BY doc_id""".stripMargin,
     "q_bpe_pairs" ->
       """WITH wf AS (
         |  SELECT word, count(*) AS freq FROM (

@@ -133,6 +133,21 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("perplexityScore matches a hand-computed bigram LM") {
+    // corpus bigrams: doc1 "a b a b": (a,b)x2 (b,a)x1; doc2 "a b": (a,b)
+    // uni: a->3, b->1 (as bigram-left); V = distinct{a,b} = 2
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    val out = Curation.perplexityScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def nll(bn: Long, un: Long): Long =
+      math.floor(-1e6 * math.log((bn + 1).toDouble / (un + 2).toDouble)).toLong
+    val ab = nll(3, 3) // (a,b) count 3, u(a)=3
+    val ba = nll(1, 1) // (b,a) count 1, u(b)=1
+    assert(out(1L) == ((3L, (ab + ba + ab) / 3)), out(1L).toString)
+    assert(out(2L) == ((1L, ab)))
+    assert(!out.contains(3L), "single-token docs have no bigrams")
+  }
+
   test("decontaminate handles docs shorter than the gram size") {
     val train = Seq((1L, "tiny doc"), (2L, "tiny doc")).toDF("doc_id", "text")
     val bench = Seq((9L, "tiny doc")).toDF("doc_id", "text")
