@@ -46,48 +46,63 @@ object Pq {
       roundDp: Int = 6): Seq[(Int, Long, Array[Double])] = {
     val spark = df.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     val dims = df.select(size(col(vecCol))).head().getInt(0)
     require(m > 0 && dims % m == 0, s"m=$m must divide dims=$dims")
     require(k > 0 && iterations >= 0, s"need k > 0, iterations >= 0")
     val dsub = dims / m
-    (0 until m).flatMap { j =>
-      val sub = df.select(col(idCol).as("id"),
-        asDouble(slice(col(vecCol), lit(j * dsub + 1), lit(dsub))).as("v"))
-      var centroids: Seq[(Long, Array[Double])] = sub
-        .orderBy(md5(col("id").cast("string")), col("id"))
-        .limit(k)
+    // all subspaces train in the SAME jobs: explode (id, j, subvector)
+    // once, then every iteration is one assignment+means pass over the
+    // whole relation instead of m separate job chains
+    val sub = df.select(col(idCol).as("id"),
+      explode(expr(
+        s"transform(sequence(0, ${m - 1}), " +
+          s"j -> struct(j AS j, slice($vecCol, j * $dsub + 1, $dsub) AS sv))"))
+        .as("e"))
+      .select(col("id"), col("e.j").cast("int").as("j"),
+        asDouble(col("e.sv")).as("v"))
+      .localCheckpoint()
+    // init: the md5-ordered first k subvectors PER SUBSPACE (identical
+    // selection to ordering each subspace independently)
+    var centroids: Map[(Int, Long), Array[Double]] = sub
+      .withColumn("rn", row_number().over(Window.partitionBy("j")
+        .orderBy(md5(col("id").cast("string")), col("id"))))
+      .where(col("rn") <= k)
+      .collect()
+      .map(r => (r.getInt(1), r.getInt(3).toLong - 1L) ->
+        r.getSeq[Double](2).toArray)
+      .toMap
+    (1 to iterations).foreach { _ =>
+      val centDf = centroids.toSeq
+        .map { case ((j, cid), cv) => (j, cid, cv.toSeq) }
+        .toDF("j", "cid", "cv")
+      val assign = sub.join(broadcast(centDf), Seq("j"))
+        .withColumn("d", round(l2sq(col("v"), col("cv")), 4))
+        .groupBy("id", "j")
+        .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("cid"),
+          first(col("v")).as("v"))
+      val means = assign
+        .select(col("j"), col("cid"), posexplode(col("v")))
+        .groupBy("j", "cid", "pos")
+        .agg(avg(col("col")).as("mu"))
         .collect()
-        .zipWithIndex
-        .map { case (r, i) => i.toLong -> r.getSeq[Double](1).toArray }
-        .toSeq
-      (1 to iterations).foreach { _ =>
-        val centDf = centroids.map { case (cid, cv) => (cid, cv.toSeq) }
-          .toDF("cid", "cv")
-        val assign = sub.crossJoin(broadcast(centDf))
-          .withColumn("d", round(l2sq(col("v"), col("cv")), 4))
-          .groupBy("id")
-          .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("cid"),
-            first(col("v")).as("v"))
-        val means = assign
-          .select(col("cid"), posexplode(col("v")))
-          .groupBy("cid", "pos")
-          .agg(avg(col("col")).as("mu"))
-          .collect()
-          .groupBy(_.getLong(0))
-          .map { case (cid, rows) =>
-            val arr = new Array[Double](dsub)
-            rows.foreach { r =>
-              arr(r.getInt(1)) = BigDecimal(r.getDouble(2))
-                .setScale(roundDp, BigDecimal.RoundingMode.HALF_UP).toDouble
-            }
-            cid -> arr
+        .groupBy(r => (r.getInt(0), r.getLong(1)))
+        .map { case (key, rows) =>
+          val arr = new Array[Double](dsub)
+          rows.foreach { r =>
+            arr(r.getInt(2)) = BigDecimal(r.getDouble(3))
+              .setScale(roundDp, BigDecimal.RoundingMode.HALF_UP).toDouble
           }
-        centroids = centroids.map { case (cid, old) =>
-          cid -> means.getOrElse(cid, old)
+          key -> arr
         }
+      centroids = centroids.map { case (key, old) =>
+        key -> means.getOrElse(key, old)
       }
-      centroids.map { case (cid, cv) => (j, cid, cv) }
     }
+    sub.unpersist()
+    centroids.toSeq
+      .map { case ((j, cid), cv) => (j, cid, cv) }
+      .sortBy(x => (x._1, x._2))
   }
 
   /** The codebook for one subspace as a literal
@@ -117,28 +132,35 @@ object Pq {
   }
 
   /** Asymmetric-distance top-k: queries keep raw vectors, the corpus
-    * is only its codes. Approximate distance = Σ_j ||q_j − c_{j,code_j}||²
-    * (round-4). The corpus side never rehydrates vectors — at scale
-    * the scan is m bytes/row instead of 4·dims, and the expansion is
-    * the same broadcast shape as any small-queries/big-corpus rerank.
+    * is only its codes. Approximate distance = ||q − recon||² where
+    * `recon` is the code's centroid reconstruction (identical to
+    * Σ_j ||q_j − c_{j,code_j}||² since subspaces concatenate) —
+    * evaluated as `|q|² − 2·q·recon + |recon|²` so the million-pair
+    * hot loop runs through the codegen'd `vec_dot` kernel instead of
+    * an interpreted HOF fold. Each neighbor decodes ONCE (map-only,
+    * corpus-sized); the corpus scan itself stays m bytes/row at rest.
     * Returns (query_id, neighbor_id, adist, rnk ≤ kNeighbors). */
   def adcTopK(
       codes: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       books: Seq[(Int, Long, Array[Double])], kNeighbors: Int): DataFrame = {
     require(kNeighbors > 0, s"kNeighbors must be > 0, got $kNeighbors")
     val m = books.map(_._1).max + 1
-    val dsub = books.head._3.length
+    import graft.functions.VectorExpressions
+    val recon = (0 until m).map { j =>
+      element_at(bookLit(books, j), element_at(col("codes"), j + 1))
+    }.reduce(concat(_, _))
+    val decoded = codes.select(col(idCol).as("neighbor_id"),
+      recon.as("__rv"))
+      .withColumn("__rn2", VectorExpressions.dot(col("__rv"), col("__rv")))
     val q = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("__qv"))
-    val dist = (0 until m).map { j =>
-      round(l2sq(
-        slice(col("__qv"), lit(j * dsub + 1), lit(dsub)),
-        element_at(bookLit(books, j), element_at(col("codes"), j + 1))), 4)
-    }.reduce(_ + _)
+      .withColumn("__qn2", VectorExpressions.dot(col("__qv"), col("__qv")))
     import org.apache.spark.sql.expressions.Window
-    codes.join(broadcast(q), col("query_id") =!= col(idCol))
-      .select(col("query_id"), col(idCol).as("neighbor_id"),
-        round(dist, 4).as("adist"))
+    decoded.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("__qn2") -
+          lit(2.0) * VectorExpressions.dot(col("__qv"), col("__rv")) +
+          col("__rn2"), 4).as("adist"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("adist"), col("neighbor_id"))))

@@ -1093,14 +1093,19 @@ object Queries {
        |    SELECT vec_id, subspace, cid,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY d, cid) AS rn
        |    FROM cd) t WHERE rn = 1),
-       |pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |    ROUND(SUM(ROUND(list_sum(list_transform(range(1, 17),
-       |      i -> (q.v[c.subspace*16 + i] - bk.cv[i]) * (q.v[c.subspace*16 + i] - bk.cv[i]))), 4)), 4) AS adist
-       |  FROM e q
-       |  JOIN codes c ON c.vec_id <> q.vec_id
-       |  JOIN bk ON bk.subspace = c.subspace AND bk.cid = c.cid
-       |  WHERE q.vec_id % 25 = 0
-       |  GROUP BY q.vec_id, c.vec_id),
+       |recon AS (
+       |  SELECT c.vec_id, flatten(list(bk.cv ORDER BY c.subspace)) AS rv
+       |  FROM codes c JOIN bk ON bk.subspace = c.subspace AND bk.cid = c.cid
+       |  GROUP BY c.vec_id),
+       |rn AS (SELECT vec_id, rv,
+       |    list_sum(list_transform(rv, x -> x * x)) AS rn2 FROM recon),
+       |qn AS (SELECT vec_id, v,
+       |    list_sum(list_transform(v, x -> x * x)) AS qn2
+       |  FROM e WHERE vec_id % 25 = 0),
+       |pairs AS (SELECT qn.vec_id AS query_id, rn.vec_id AS neighbor_id,
+       |    ROUND(qn.qn2 - 2 * list_sum(list_transform(range(1, 65),
+       |      i -> qn.v[i] * rn.rv[i])) + rn.rn2, 4) AS adist
+       |  FROM qn JOIN rn ON rn.vec_id <> qn.vec_id),
        |r AS (SELECT query_id, neighbor_id, adist,
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rnk
        |  FROM pairs)
