@@ -308,13 +308,16 @@ object Mutations {
   private def dvMarkActions(
       log: DeltaLog, snap: Snapshot,
       predicate: org.apache.spark.sql.Column): DvPlan = {
-    // candidates pruned by stats in Spark; only straddling files scanned
-    val candidates = snap.planFilesForPredicate(predicate)
+    // candidates pruned by stats in Spark; only straddling files
+    // scanned. FULL rows when the candidate set is small — the DV
+    // re-add needs their stats anyway, and fetching them here saves
+    // the per-mutation refetch job.
+    val (candidates, haveStats) = snap.planFilesForPredicateFull(predicate)
     if (candidates.isEmpty) return DvNoMatch
     dvPlanFromMatches(log, snap,
       snap.readFilesLineage(candidates).where(predicate)
         .select(col("__file"), col("__row")),
-      candidates)
+      candidates, candidatesHaveStats = haveStats)
   }
 
   /** [[dvMarkActions]] generalized to a pre-computed matched
@@ -325,7 +328,8 @@ object Mutations {
   private[delta] def dvPlanFromMatches(
       log: DeltaLog, snap: Snapshot,
       matchedRowsDf: org.apache.spark.sql.DataFrame,
-      candidates: Seq[AddFile]): DvPlan = {
+      candidates: Seq[AddFile],
+      candidatesHaveStats: Boolean = false): DvPlan = {
     val grouped = matchedRowsDf
       .groupBy(col("__file"))
       .agg(count(lit(1)).as("__cnt"),
@@ -362,11 +366,16 @@ object Mutations {
         }
     } finally grouped.unpersist()
     if (perFileSlim.isEmpty) return DvNoMatch
-    // the DV commit RE-ADDS the touched entries verbatim — fetch their
-    // FULL add rows (stats included) so skipping keeps working on them
-    val fullByPath = snap.collectAddFiles(
-      col("path").isin(perFileSlim.map(_._1.path): _*))
-      .map(f => f.path -> f).toMap
+    // the DV commit RE-ADDS the touched entries verbatim — when the
+    // planner already collected full rows (stats included) they are
+    // reusable as-is; otherwise (slim MERGE planning) fetch the
+    // touched files' full entries so skipping keeps working on them
+    val fullByPath =
+      if (candidatesHaveStats)
+        candidates.map(f => f.path -> f).toMap
+      else snap.collectAddFiles(
+        col("path").isin(perFileSlim.map(_._1.path): _*))
+        .map(f => f.path -> f).toMap
     val perFile = perFileSlim.map { case (f, rows) => fullByPath(f.path) -> rows }
     val mergedRows: Seq[(AddFile, Array[Long])] = perFile.map { case (f, rows) =>
       val existing = f.deletionVector.toSeq.flatMap(dv =>

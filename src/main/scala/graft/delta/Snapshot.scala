@@ -558,6 +558,28 @@ class Snapshot(
       case None => planFiles()
     }
 
+  /** Like [[planFilesForPredicate]] but returns FULL rows (stats
+    * included) when the pruned candidate set is small enough to hold
+    * its stats on the driver (`cap` files) — selective-mutation
+    * planners that must RE-EMIT touched adds verbatim (DV marking)
+    * skip a second full-row fetch this way. The Boolean reports
+    * whether the rows actually carry stats: an over-cap candidate set
+    * or an unprunable predicate falls back to slim planning and the
+    * caller refetches just its touched files. */
+  private[graft] def planFilesForPredicateFull(
+      rowPredicate: org.apache.spark.sql.Column,
+      cap: Int = 65536): (Seq[AddFile], Boolean) =
+    Skipping.pruningPredicate(this, rowPredicate) match {
+      case Some(p) =>
+        val survivors = addsFlat.where(p).select("path")
+        val full = adds.join(survivors, Seq("path"), "left_semi")
+          .limit(cap + 1).collect().toSeq.map(rowToAddFile)
+        Snapshot.driverFileRowsCollected.addAndGet(full.size)
+        if (full.size <= cap) (full, true)
+        else (planFilesForPredicate(rowPredicate), false)
+      case None => (planFiles(), false)
+    }
+
   /** Collect only the active files matching `pred` (evaluated over the
     * [[adds]] relation IN SPARK — the driver never holds the non-matching
     * files), stats included: the shape for fetching FULL entries of a
