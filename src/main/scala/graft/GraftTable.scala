@@ -36,6 +36,9 @@ final case class GraftTable(spark: SparkSession, path: String) {
 
   // ---- levi analytics ------------------------------------------------------
   def version: Long = Levi.latestVersion(log)
+  /** Exact COUNT(*) from log stats (no data scan); None if a file
+    * lacks numRecords — see [[Levi.rowCountFromLog]]. */
+  def rowCount(): Option[Long] = Levi.rowCountFromLog(log.snapshot)
   def skippedStats(filters: Seq[(String, String, Any)]): Map[String, Long] =
     Levi.skippedStats(log.snapshot, filters)
   def fileSizes(boundaries: Seq[String] = Levi.DefaultBoundaries): Map[String, Long] =

@@ -38,6 +38,28 @@ object Levi {
   /** Current table version (reference :50-51). */
   def latestVersion(log: DeltaLog): Long = log.latestVersion()
 
+  /** EXACT row count from the transaction log alone — Σ per-file
+    * `numRecords` stats minus Σ live deletion-vector cardinalities; no
+    * data file is opened. `None` when any active file lacks the
+    * numRecords stat (the count would be a lie — caller falls back to
+    * a data scan). The aggregate runs IN SPARK over the log relation,
+    * so it stays one small job at 10⁷ files; at 100 TB this answers
+    * `COUNT(*)` in log-read time instead of a table scan (the same
+    * stats shortcut engines implement as aggregate pushdown). */
+  def rowCountFromLog(snap: graft.delta.Snapshot): Option[Long] = {
+    val r = snap.adds
+      .withColumn("__nr",
+        get_json_object(col("stats"), "$.numRecords").cast("long"))
+      .agg(
+        count(lit(1)).as("nf"),
+        count(col("__nr")).as("nstats"),
+        coalesce(sum(col("__nr")), lit(0L)).as("nr"),
+        coalesce(sum(col("deletion_vector.cardinality")), lit(0L)).as("dv"))
+      .collect()(0)
+    if (r.getLong(0) != r.getLong(1)) None
+    else Some(r.getLong(2) - r.getLong(3))
+  }
+
   val DefaultBoundaries: Seq[String] =
     Seq("<1mb", "1mb-500mb", "500mb-1gb", "1gb-2gb", ">2gb")
 

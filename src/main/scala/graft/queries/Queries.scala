@@ -1602,6 +1602,29 @@ object Queries {
     """SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS len
       |FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 0""".stripMargin
 
+  /** Log-plane exact COUNT(*), driver-verified END-TO-END: scratch
+    * table, DV-delete a slice, then answer the count from stats minus
+    * DV cardinalities WITHOUT opening a data file. The oracle
+    * recomputes the surviving count from the source parquet. */
+  private def qFastCountSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_fc_")
+        .resolve("t").toString
+      val log = graft.delta.DeltaLog.forPath(s, tmp)
+      graft.delta.TransactionWriter.overwrite(log,
+        s.table("lineitem").select("l_orderkey", "l_partkey", "l_linenumber"))
+      graft.delta.Mutations.deleteWithDv(log, col("l_orderkey") % 9 === 0)
+      val n = graft.Levi.rowCountFromLog(log.snapshot)
+        .getOrElse(sys.error("expected stats-complete table"))
+      import s.implicits._
+      Seq(n).toDF("n_rows")
+    }
+
+  private val qFastCountDuck: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows
+      |FROM lineitem WHERE l_orderkey % 9 <> 0""".stripMargin
+
   /** Deletion-vector UPDATE, driver-verified END-TO-END: write orders
     * to a scratch table, DV-update one slice (old versions bitmapped,
     * updated rows appended — no rewrite), read back through the
@@ -2166,6 +2189,7 @@ object Queries {
     "q_stream_sessionize" -> qStreamSessionizeSpark,
     "q_read_changes" -> qReadChangesSpark,
     "q_delete_dv" -> qDeleteDvSpark,
+    "q_fast_count" -> qFastCountSpark,
     "q_update_dv" -> qUpdateDvSpark,
     "q_change_feed" -> qChangeFeedSpark,
     "q_shallow_clone" -> qShallowCloneSpark,
@@ -2382,6 +2406,7 @@ object Queries {
     "q_stream_sessionize" -> qStreamSessionizeDuck,
     "q_read_changes" -> qReadChangesDuck,
     "q_delete_dv" -> qDeleteDvDuck,
+    "q_fast_count" -> qFastCountDuck,
     "q_update_dv" -> qUpdateDvDuck,
     "q_change_feed" -> qChangeFeedDuck,
     "q_shallow_clone" -> qShallowCloneDuck,

@@ -69,4 +69,27 @@ class LeviSpec extends SparkTestBase {
     assert(Levi.boundaryParser(">1kb") == ((1001L, tenTb)))
     assert(Levi.boundaryParser("10kb-4gb") == ((10000L, 4000000000L)))
   }
+
+  test("rowCountFromLog: exact from stats, DV-aware, None without stats") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("graft-rowcount")
+      .resolve("t").toString
+    val log = DeltaLog.forPath(spark, path)
+    graft.delta.TransactionWriter.overwrite(log,
+      (1L to 1000L).map(i => (i, s"r$i")).toDF("k", "s"))
+    assert(Levi.rowCountFromLog(log.snapshot).contains(1000L))
+    // DV delete subtracts cardinality without touching data files
+    graft.delta.Mutations.deleteWithDv(log, col("k") % 10 === 0)
+    assert(Levi.rowCountFromLog(log.snapshot).contains(900L))
+    assert(log.snapshot.read().count() == 900L)
+    // a stats-less add poisons exactness -> None
+    val f = log.snapshot.activeFiles.head
+    log.commit(log.snapshot.version + 1, Seq(
+      graft.delta.CommitInfoAction(graft.delta.CommitInfo(
+        System.currentTimeMillis(), "TEST", Map.empty)),
+      graft.delta.AddAction(f.copy(path = f.path + ".nostats.parquet",
+        stats = None))))
+    assert(Levi.rowCountFromLog(log.snapshot).isEmpty)
+  }
 }
