@@ -402,8 +402,11 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     }
   }
 
-  /** Write the commit body to a hidden tmp file and promote it with an
-    * atomic no-clobber rename (see [[commit]] for the race rules). */
+  /** Write the commit body to a hidden tmp file, then PUBLISH it
+    * through the session's [[CommitCoordinator]] (default: atomic
+    * no-clobber rename — see [[commit]] for the race rules; stores
+    * without that primitive plug in a locking/external coordinator
+    * via `spark.graft.commitCoordinator`). */
   private def writeCommitFile(version: Long)(body: java.io.Writer => Unit): Unit = {
     if (!fs.exists(logPath)) fs.mkdirs(logPath)
     val target = new Path(logPath, f"$version%020d.json")
@@ -411,21 +414,7 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
       fs.create(tmp, false), StandardCharsets.UTF_8), 1 << 20)
     try body(w) finally w.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      logPath.toUri, spark.sessionState.newHadoopConf())
-    try fc.rename(tmp, target) // default Rename.NONE: fail if target exists
-    catch {
-      case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
-                _: java.nio.file.FileAlreadyExistsException) =>
-        fs.delete(tmp, false)
-        throw new java.util.ConcurrentModificationException(
-          s"commit $version already exists in $logPath (${e.getMessage})")
-      case e: java.io.IOException if fs.exists(target) =>
-        // Some FileContext impls surface the clobber as a plain IOException.
-        fs.delete(tmp, false)
-        throw new java.util.ConcurrentModificationException(
-          s"commit $version already exists in $logPath (${e.getMessage})")
-    }
+    CommitCoordinator.forLog(this).publish(this, version, tmp, target)
   }
 }
 
