@@ -323,6 +323,41 @@ object Curation {
         lit(targetFraction) * weight.cast("double") / lit(meanW)), 6))
   }
 
+  /** Fractional-epoch UP-sampling (the other half of mixture building
+    * from [[temperatureSample]]'s down-sampling): each row is emitted
+    * `floor(f)` times plus one more with probability `frac(f)`, where
+    * `f` is its group's epoch factor — so a source marked 2.3 epochs
+    * contributes each row 2 times and a deterministic 30% of rows a
+    * 3rd time, and EXPECTED volume is exactly `f·n`. The fractional
+    * choice is the md5-threshold rule (pure function of the id —
+    * reproducible across runs and layouts); `copy` (1-based) lets
+    * downstream shuffles/packing treat repeats as distinct rows.
+    *
+    * Scale shape: broadcast the |groups|-row factor relation, then a
+    * MAP-ONLY `explode(sequence(...))` — no shuffle, output size is
+    * the only cost (as it must be: the repeats are the product). */
+  def upsampleEpochs(
+      df: DataFrame, groupCol: String, idCol: String,
+      factors: Map[String, Double]): DataFrame = {
+    require(factors.nonEmpty && factors.values.forall(f => f > 0 && f <= 100),
+      s"epoch factors must be in (0, 100], got $factors")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fdf = factors.toSeq.toDF(groupCol, "__f")
+    df.join(broadcast(fdf), Seq(groupCol))
+      .withColumn("__base", floor(col("__f")).cast("int"))
+      .withColumn("__extra",
+        when(TextFunctions.hash28(col(idCol).cast("string")).cast("double") /
+          lit(268435456.0) < // 2^28
+          round(col("__f") - floor(col("__f")), 6), 1).otherwise(0))
+      .withColumn("copy", explode(
+        // sequence(1, 0) would count DOWN in Spark — empty array out
+        when(col("__base") + col("__extra") >= 1,
+          expr("sequence(1, __base + __extra)"))
+          .otherwise(array().cast("array<int>"))))
+      .drop("__f", "__base", "__extra")
+  }
+
   /** CCNet-style language-model quality scoring: a bigram LM with
     * add-one smoothing is "trained" on the corpus itself (two
     * aggregates: unigram and bigram counts), then every document is

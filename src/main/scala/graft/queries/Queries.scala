@@ -2090,6 +2090,16 @@ object Queries {
       graft.operators.Curation.removeBoilerplate(
         s.table("documents"), "doc_id", "text", chunkWords = 15, minDocs = 2)
     }),
+    // Fractional-epoch up-sampling: per-source factors 1.0/1.5/2.0/2.5
+    // (source index mod 4) — expected volume f*n, deterministic repeats.
+    "q_upsample_epochs" -> ((s, dir) => {
+      registerViews(s, dir)
+      val factors = (0 until 20)
+        .map(i => s"src$i" -> (1.0 + (i % 4) * 0.5)).toMap
+      graft.operators.Curation.upsampleEpochs(
+        s.table("documents"), "source", "doc_id", factors)
+        .select("doc_id", "source", "copy")
+    }),
     // CCNet-style self-trained bigram-LM scoring: integer-scaled NLL
     // per bigram summed exactly per doc (order-free, engine-exact).
     "q_perplexity" -> ((s, dir) => {
@@ -2325,6 +2335,18 @@ object Queries {
         |WHERE NOT EXISTS (SELECT 1 FROM prior p WHERE p.text = n.text)""".stripMargin,
     "q_paragraph_dedup" -> qParagraphDedupOracle,
     "q_remove_boilerplate" -> qRemoveBoilerplateOracle,
+    "q_upsample_epochs" ->
+      """WITH f AS (SELECT doc_id, source,
+        |    1.0 + (CAST(substr(source, 4) AS INT) % 4) * 0.5 AS fac
+        |  FROM documents),
+        |n AS (SELECT doc_id, source,
+        |    CAST(floor(fac) AS INT) +
+        |    CASE WHEN CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT AS DOUBLE)
+        |        / 268435456.0 < ROUND(fac - floor(fac), 6)
+        |      THEN 1 ELSE 0 END AS reps
+        |  FROM f)
+        |SELECT doc_id, source, CAST(unnest(range(1, reps + 1)) AS INT) AS copy
+        |FROM n WHERE reps >= 1""".stripMargin,
     "q_perplexity" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -133,6 +133,29 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("upsampleEpochs repeats whole epochs and samples the fraction") {
+    val docs = (1L to 400L).map(i => (if (i <= 200) "a" else "b", i))
+      .toDF("src", "doc_id")
+    val out = Curation.upsampleEpochs(docs, "src", "doc_id",
+      Map("a" -> 2.0, "b" -> 1.5)).cache()
+    // integer factor: exactly 2 copies of every 'a' row, copies 1..2
+    assert(out.where(col("src") === "a").count() == 400L)
+    assert(out.where(col("src") === "a").groupBy("doc_id").count()
+      .where(col("count") =!= 2).count() == 0)
+    // fractional: between 1 and 2 copies, expected ~300 total
+    val bCnt = out.where(col("src") === "b").count()
+    assert(bCnt > 250 && bCnt < 350, s"b=$bCnt")
+    // deterministic: same rows again
+    val again = Curation.upsampleEpochs(docs, "src", "doc_id",
+      Map("a" -> 2.0, "b" -> 1.5))
+    assert(again.count() == out.count())
+    out.unpersist()
+    // factor < 1 down-samples without error
+    val down = Curation.upsampleEpochs(docs, "src", "doc_id",
+      Map("a" -> 0.5, "b" -> 0.5)).count()
+    assert(down > 120 && down < 280, s"down=$down")
+  }
+
   test("perplexityScore matches a hand-computed bigram LM") {
     // corpus bigrams: doc1 "a b a b": (a,b)x2 (b,a)x1; doc2 "a b": (a,b)
     // uni: a->3, b->1 (as bigram-left); V = distinct{a,b} = 2
