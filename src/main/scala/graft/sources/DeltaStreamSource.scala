@@ -55,7 +55,9 @@ class DeltaSourceProvider extends StreamSourceProvider {
       providerName: String, parameters: Map[String, String]): Source =
     new DeltaStreamSource(sqlContext.sparkSession, path(parameters),
       parameters.get("maxCommitsPerTrigger").map(_.toLong).filter(_ > 0),
-      readChangeFeed = cdf(parameters))
+      readChangeFeed = cdf(parameters),
+      maxBytesPerTrigger =
+        parameters.get("maxBytesPerTrigger").map(_.toLong).filter(_ > 0))
 }
 
 object DeltaStreamSource {
@@ -72,9 +74,20 @@ object DeltaStreamSource {
 class DeltaStreamSource(
     spark: SparkSession, tablePath: String,
     maxCommitsPerTrigger: Option[Long] = None,
-    readChangeFeed: Boolean = false) extends Source {
+    readChangeFeed: Boolean = false,
+    maxBytesPerTrigger: Option[Long] = None) extends Source {
 
   private val log = DeltaLog.forPath(spark, tablePath)
+
+  /** Added bytes per commit (log-plane, cached — each commit JSON is
+    * read once per source lifetime for admission control). */
+  private val commitBytes =
+    scala.collection.mutable.LongMap.empty[Long]
+  private def bytesOf(v: Long): Long =
+    commitBytes.getOrElseUpdate(v,
+      log.commitActions(v).collect {
+        case graft.delta.AddAction(a) => a.size
+      }.sum)
 
   override val schema: StructType = {
     val base = log.snapshot.schema
@@ -97,12 +110,25 @@ class DeltaStreamSource(
     // most maxCommitsPerTrigger versions per trigger. getBatch raises
     // lastOffered to any checkpoint-recovered position, so a stale first
     // offer after restart only yields one empty catch-up batch.
-    val target = (maxCommitsPerTrigger, lastOffered) match {
+    val commitCapped = (maxCommitsPerTrigger, lastOffered) match {
       case (Some(n), Some(lo)) => math.min(latest, lo + n)
       case (Some(_), None) =>
         val (commits, cps) = log.listLog()
         math.min(latest, (commits ++ cps).min)
       case _ => latest
+    }
+    // byte-based admission: extend from the last offered version while
+    // the cumulative ADDED bytes stay under the cap — always at least
+    // one commit so the stream can't starve on a single large commit
+    val target = (maxBytesPerTrigger, lastOffered) match {
+      case (Some(cap), Some(lo)) if commitCapped > lo =>
+        var v = lo + 1
+        var cum = bytesOf(v)
+        while (v < commitCapped && cum + bytesOf(v + 1) <= cap) {
+          v += 1; cum += bytesOf(v)
+        }
+        v
+      case _ => commitCapped
     }
     lastOffered = Some(math.max(target, lastOffered.getOrElse(-1L)))
     Some(LongOffset(lastOffered.get))

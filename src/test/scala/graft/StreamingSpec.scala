@@ -311,6 +311,51 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("delta source maxBytesPerTrigger paces batches by added bytes") {
+    import graft.delta.{DeltaLog, TransactionWriter, Maintenance}
+    val dir = java.nio.file.Files.createTempDirectory("graft-bytes")
+    val log = DeltaLog.forPath(spark, dir.resolve("t").toString)
+    TransactionWriter.overwrite(log, Seq((0L, "seed")).toDF("n", "s"))
+    (1L to 4L).foreach(i => Maintenance.append(log, Seq((i, s"v$i")).toDF("n", "s")))
+    // each commit's file is ~1 KB parquet; cap of 1 byte forces the
+    // one-commit-minimum path every trigger (no starvation)
+    val stream = spark.readStream
+      .format(classOf[graft.sources.DeltaSourceProvider].getName)
+      .option("path", log.tablePath)
+      .option("maxCommitsPerTrigger", "10")
+      .option("maxBytesPerTrigger", "1")
+      .load()
+    val q = stream.writeStream.format("memory").queryName("bytes_out")
+      .outputMode("append")
+      .option("checkpointLocation", dir.resolve("cp").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("bytes_out").count() == 5L)
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      assert(batches >= 4, s"expected >=4 byte-capped batches, got $batches")
+    } finally q.stop()
+
+    // a generous cap drains everything in one follow-up batch
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-bytes2")
+    val log2 = DeltaLog.forPath(spark, dir2.resolve("t").toString)
+    TransactionWriter.overwrite(log2, Seq((0L, "seed")).toDF("n", "s"))
+    (1L to 3L).foreach(i => Maintenance.append(log2, Seq((i, s"v$i")).toDF("n", "s")))
+    val q2 = spark.readStream
+      .format(classOf[graft.sources.DeltaSourceProvider].getName)
+      .option("path", log2.tablePath)
+      .option("maxBytesPerTrigger", (64L * 1024 * 1024).toString)
+      .load()
+      .writeStream.format("memory").queryName("bytes_out2")
+      .outputMode("append")
+      .option("checkpointLocation", dir2.resolve("cp").toString)
+      .start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("bytes_out2").count() == 4L)
+    } finally q2.stop()
+  }
+
   test("windowed event counts aggregate per tumbling window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
