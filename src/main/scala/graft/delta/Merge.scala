@@ -38,7 +38,16 @@ final case class Merge(
     matchedUpdate: Option[(Option[Column], Map[String, Column])] = None,
     notMatchedInsert: Option[(Option[Column], Map[String, Column])] = None,
     notMatchedBySourceDelete: Option[Option[Column]] = None,
-    notMatchedBySourceUpdate: Option[(Option[Column], Map[String, Column])] = None) {
+    notMatchedBySourceUpdate: Option[(Option[Column], Map[String, Column])] = None,
+    schemaEvolution: Boolean = false) {
+
+  /** Enable automatic schema evolution (delta-spark's
+    * `withSchemaEvolution`): UPDATE-set / INSERT-values keys naming
+    * columns the target lacks ADD those columns (nullable, type
+    * resolved against the source) in a metadata commit immediately
+    * before the merge commit — existing files read NULL for them.
+    * New-column expressions must resolve against the source alone. */
+  def withSchemaEvolution(): Merge = copy(schemaEvolution = true)
 
   def whenMatchedDelete(condition: Option[Column] = None): Merge =
     copy(matchedDelete = Some(condition))
@@ -68,6 +77,19 @@ final case class Merge(
         notMatchedBySourceUpdate.nonEmpty,
       "merge needs at least one WHEN clause")
     val hasBySource = notMatchedBySourceDelete.nonEmpty || notMatchedBySourceUpdate.nonEmpty
+    if (schemaEvolution) {
+      val existing = log.snapshot.schema.fieldNames.toSet
+      val srcAliased = source.alias("s")
+      val candidates =
+        matchedUpdate.map(_._2).getOrElse(Map.empty) ++
+          notMatchedInsert.map(_._2).getOrElse(Map.empty)
+      candidates.filterNot { case (k, _) => existing(k) }
+        .toSeq.sortBy(_._1)
+        .foreach { case (name, e) =>
+          val dt = srcAliased.select(e).schema.head.dataType
+          SchemaEvolution.addColumn(log, name, dt)
+        }
+    }
     val snap = log.snapshot
     val targetSchema = snap.schema
     val targetCols = targetSchema.fieldNames.toSeq

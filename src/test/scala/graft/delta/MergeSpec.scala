@@ -180,4 +180,37 @@ class MergeSpec extends SparkTestBase {
     assert(v == v0)
     assert(log.latestVersion() == v0)
   }
+
+  test("withSchemaEvolution adds source-only columns; old rows read NULL") {
+    val log = freshLog(Seq((1L, "a", 10L), (2L, "b", 20L)))
+    val source = Seq((2L, "B2", "extra2"), (9L, "NEW", "extra9"))
+      .toDF("id", "attr", "note")
+    Merge.into(log, source, col("t.id") === col("s.id"))
+      .whenMatchedUpdate(Map("attr" -> col("s.attr"), "note" -> col("s.note")))
+      .whenNotMatchedInsert(Map("id" -> col("s.id"), "attr" -> col("s.attr"),
+        "v" -> lit(0L), "note" -> col("s.note")))
+      .withSchemaEvolution()
+      .execute()
+    val snap = log.snapshot
+    assert(snap.schema.fieldNames.contains("note"))
+    assert(snap.schema("note").nullable)
+    val out = snap.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.getString(3)))).toSeq
+    // untouched row 1: note NULL (its file was not rewritten for note)
+    assert(out == Seq(
+      (1L, "a", 10L, None),
+      (2L, "B2", 20L, Some("extra2")),
+      (9L, "NEW", 0L, Some("extra9"))), out.toString)
+  }
+
+  test("without schema evolution unknown columns still error") {
+    val log = freshLog(Seq((1L, "a", 10L)))
+    val source = Seq((1L, "x")).toDF("id", "note")
+    intercept[IllegalArgumentException] {
+      Merge.into(log, source, col("t.id") === col("s.id"))
+        .whenMatchedUpdate(Map("note" -> col("s.note")))
+        .execute()
+    }
+  }
 }
