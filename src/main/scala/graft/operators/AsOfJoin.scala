@@ -53,8 +53,12 @@ object AsOfJoin {
       leftTime: String,
       rightTime: String,
       valueCols: Seq[String],
-      rightOrder: Seq[String] = Nil): DataFrame = {
+      rightOrder: Seq[String] = Nil,
+      direction: String = "backward",
+      tolerance: Option[Column] = None): DataFrame = {
     require(keyCols.nonEmpty, "asOf requires at least one key column")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val missingL = (keyCols :+ leftTime).filterNot(left.columns.contains)
     require(missingL.isEmpty, s"left side is missing columns: ${missingL.mkString(",")}")
     val missingR = ((keyCols :+ rightTime) ++ valueCols ++ rightOrder)
@@ -111,8 +115,13 @@ object AsOfJoin {
         leftCols.filterNot(keyCols.contains).map(c => col(c).as(s"__l_$c")) :+
         lit(null).cast(carriedStructType).as("__r"): _*)
 
+    // forward direction scans time DESC, so the carried "last right row
+    // seen" is the EARLIEST right row at-or-after the left time; the
+    // tag tie keeps an equal-time right row visible in both directions
+    val timeOrd =
+      if (direction == "backward") col("__t").asc else col("__t").desc
     val ordering: Seq[Column] =
-      col("__t").asc +: col("__tag").asc +: rightOrder.map(c => col(s"__ord_$c").asc_nulls_last)
+      timeOrd +: col("__tag").asc +: rightOrder.map(c => col(s"__ord_$c").asc_nulls_last)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -123,11 +132,23 @@ object AsOfJoin {
           leftCols.filterNot(keyCols.contains).map(c => col(s"__l_$c")) :+
           last(col("__r"), ignoreNulls = true).over(w).as("__asof"): _*)
 
-    withCarried
+    val joined = withCarried
       .where(col("__tag") === 1 && col("__asof").isNotNull)
       .select(
         keyCols.map(col) ++
           leftCols.filterNot(keyCols.contains).map(c => col(s"__l_$c").as(c)) ++
           carried.map(c => col("__asof").getField(c).as(s"asof_$c")): _*)
+    // tolerance: drop matches farther than `tolerance` in the time
+    // columns' own subtraction semantics (long epoch diff stays a
+    // long; timestamp diff is a day-time interval — pass an INTERVAL
+    // literal then)
+    tolerance match {
+      case None => joined
+      case Some(tol) =>
+        val lt = col(leftTime)
+        val rt = col(s"asof_$rightTime")
+        joined.where(
+          if (direction == "backward") lt - rt <= tol else rt - lt <= tol)
+    }
   }
 }

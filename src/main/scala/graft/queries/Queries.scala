@@ -1203,6 +1203,35 @@ object Queries {
       Seq("view_event_id", "view_value"))
   }
 
+  // Forward as-of with tolerance: each purchase joined to the EARLIEST
+  // view at-or-after it within 1 hour (pandas merge_asof
+  // direction='forward' semantics). DuckDB has no forward ASOF, so the
+  // oracle spells the window explicitly.
+  private val qAsofForwardDuck: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type, value FROM events),
+      |l AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase'),
+      |r AS (SELECT user_id, us AS view_us, MAX(event_id) AS view_event_id
+      |      FROM e WHERE event_type = 'view' GROUP BY user_id, us),
+      |cand AS (SELECT l.event_id, l.user_id, l.us, r.view_us, r.view_event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY l.event_id ORDER BY r.view_us) AS rn
+      |  FROM l JOIN r ON l.user_id = r.user_id AND r.view_us >= l.us)
+      |SELECT event_id, user_id, us,
+      |  view_us AS asof_view_us, view_event_id AS asof_view_event_id
+      |FROM cand WHERE rn = 1 AND view_us - us <= 3600000000""".stripMargin
+
+  private val qAsofForwardSpark: (SparkSession, String) => DataFrame = (s, dir) => {
+    registerViews(s, dir)
+    val e = eventsUs(s, dir)
+    val left = e.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "us")
+    val right = e.where(col("event_type") === "view")
+      .groupBy(col("user_id"), col("us").as("view_us"))
+      .agg(max(col("event_id")).as("view_event_id"))
+    graft.operators.AsOfJoin.asOf(left, right, Seq("user_id"), "us", "view_us",
+      Seq("view_event_id"), direction = "forward",
+      tolerance = Some(lit(3600000000L)))
+  }
+
   // ---- top terms per language (vocabulary building) ------------------------
 
   private val qTopTermsDuck: String =
@@ -2218,6 +2247,7 @@ object Queries {
     }),
     "q_simhash" -> sqlQuery(qSimhash("spark")),
     "q_asof_join" -> qAsofJoinSpark,
+    "q_asof_forward" -> qAsofForwardSpark,
     "q_range_join" -> qRangeJoinSpark,
     "q_top_terms" -> qTopTermsSpark,
     "q_pack_sequences" -> qPackSequencesSpark,
@@ -2453,6 +2483,7 @@ object Queries {
     "q_pii_redact" -> qPiiRedactDuck,
     "q_normalize" -> qNormalizeDuck,
     "q_asof_join" -> qAsofJoinDuck,
+    "q_asof_forward" -> qAsofForwardDuck,
     "q_range_join" -> qRangeJoinDuck,
     "q_top_terms" -> qTopTermsDuck,
     "q_pack_sequences" -> qPackSequencesDuck)

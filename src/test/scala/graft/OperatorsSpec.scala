@@ -376,6 +376,33 @@ class OperatorsSpec extends SparkTestBase {
     assert(out.isNullAt(out.fieldIndex("asof_rv")), "NULL value must come through, not an older row's value")
   }
 
+  test("asOf forward direction attaches the earliest right row at or after") {
+    import graft.operators.AsOfJoin
+    val left = Seq((1L, 10L), (1L, 21L), (1L, 99L)).toDF("k", "t")
+    val right = Seq((1L, 5L, 100L), (1L, 15L, 200L), (1L, 21L, 300L))
+      .toDF("k", "rt", "rv")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "t", "rt", Seq("rv"),
+      direction = "forward")
+      .collect().map(r => (r.getAs[Long]("t"), r.getAs[Long]("asof_rt"),
+        r.getAs[Long]("asof_rv"))).toSet
+    assert(out == Set(
+      (10L, 15L, 200L),  // earliest >= 10 is rt=15
+      (21L, 21L, 300L))) // equal time visible in forward too
+    // t=99 has no later right row -> dropped (inner semantics)
+  }
+
+  test("asOf tolerance drops matches beyond the window") {
+    import graft.operators.AsOfJoin
+    val left = Seq((1L, 10L), (1L, 100L)).toDF("k", "t")
+    val right = Seq((1L, 8L, 100L), (1L, 50L, 200L)).toDF("k", "rt", "rv")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "t", "rt", Seq("rv"),
+      tolerance = Some(lit(5L)))
+      .collect().map(r => (r.getAs[Long]("t"), r.getAs[Long]("asof_rt"))).toSet
+    // t=10 matches rt=8 (distance 2 <= 5); t=100's latest is rt=50
+    // (distance 50 > 5) -> dropped
+    assert(out == Set((10L, 8L)))
+  }
+
   test("pointInInterval matches the naive inequality join exactly") {
     import graft.operators.RangeJoin
     // random-ish deterministic intervals/points incl. bin-boundary cases
