@@ -51,6 +51,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Fsck =
     """(?is)\s*GRAFT\s+FSCK\s+'([^']+)'(\s+DRY\s+RUN)?\s*""".r
   private val History = """(?is)\s*GRAFT\s+HISTORY\s+'([^']+)'\s*""".r
+  private val DescribeDetail =
+    """(?is)\s*GRAFT\s+DESCRIBE\s+DETAIL\s+'([^']+)'\s*""".r
   private val Restore =
     """(?is)\s*GRAFT\s+RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*""".r
   private val Delete =
@@ -139,6 +141,28 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Seq("repaired_path"), s =>
           Maintenance.fsck(DeltaLog.forPath(s, path), dryRun = dry != null)
             .map(Row(_)))
+    case DescribeDetail(path) =>
+      GraftMaintenanceCommand(path, "describe_detail",
+        Seq("format", "id", "location", "partitionColumns",
+          "clusteringColumns", "numFiles", "sizeInBytes",
+          "minReaderVersion", "minWriterVersion", "tableFeatures",
+          "properties"), s => {
+          val log = DeltaLog.forPath(s, path)
+          val snap = log.snapshot
+          import org.apache.spark.sql.functions.{count, lit, sum, coalesce}
+          val agg = snap.addsFlat
+            .agg(count(lit(1)), coalesce(sum("size_bytes"), lit(0L)))
+            .collect()(0)
+          val p = snap.protocol
+          Seq(Row("delta", snap.metadata.id, log.tablePath,
+            snap.metadata.partitionColumns.mkString(","),
+            graft.delta.Clustering.clusteringColumns(snap).mkString(","),
+            agg.getLong(0), agg.getLong(1),
+            p.minReaderVersion.toLong, p.minWriterVersion.toLong,
+            (p.readerFeatures ++ p.writerFeatures).toSeq.sorted.mkString(","),
+            snap.metadata.configuration.toSeq.sorted
+              .map { case (k, v) => s"$k=$v" }.mkString(";")))
+        })
     case History(path) =>
       GraftMaintenanceCommand(path, "history",
         Seq("version", "operation"), s => {
@@ -284,8 +308,10 @@ case class GraftMaintenanceCommand(
     body: SparkSession => Seq[Row])
     extends org.apache.spark.sql.execution.command.RunnableCommand {
   override def output: Seq[Attribute] = outCols.map { c =>
-    val dt =
-      if (c == "operation" || c == "repaired_path") StringType else LongType
+    val stringCols = Set("operation", "repaired_path", "format", "id",
+      "location", "partitionColumns", "clusteringColumns",
+      "tableFeatures", "properties")
+    val dt = if (stringCols(c)) StringType else LongType
     AttributeReference(c, dt, nullable = true)()
   }
   override def run(sparkSession: SparkSession): Seq[Row] = body(sparkSession)

@@ -200,6 +200,14 @@ object SqlDemo {
         .agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0) == 30L)
       println(s"== ALTER COLUMN v TYPE bigint: typeWidening on, " +
         s"narrow files upcast ==")
+
+      // DESCRIBE DETAIL: one-row table summary from the log plane
+      val detail = spark.sql(s"GRAFT DESCRIBE DETAIL '$widenPath'").head()
+      require(detail.getAs[String]("format") == "delta")
+      require(detail.getAs[Long]("numFiles") >= 1L)
+      require(detail.getAs[String]("tableFeatures").contains("typeWidening"))
+      println(s"== DESCRIBE DETAIL: numFiles=${detail.getAs[Long]("numFiles")} " +
+        s"sizeInBytes=${detail.getAs[Long]("sizeInBytes")} ==")
       println("SqlDemo OK")
     } finally spark.stop()
   }

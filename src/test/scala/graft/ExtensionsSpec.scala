@@ -179,6 +179,13 @@ class ExtensionsSpec extends AnyFunSuite {
       .metadata.schema("v").dataType ==
       org.apache.spark.sql.types.LongType)
 
+    // DESCRIBE DETAIL summarizes the table from the log plane
+    val detail = spark.sql(s"GRAFT DESCRIBE DETAIL '$path'").head()
+    assert(detail.getAs[String]("format") == "delta")
+    assert(detail.getAs[Long]("numFiles") >= 1L)
+    assert(detail.getAs[Long]("sizeInBytes") > 0L)
+    assert(detail.getAs[Long]("minWriterVersion") >= 1L)
+
     // ordinary SQL still parses through the delegate
     assert(spark.sql("SELECT 1 + 1").collect()(0).getInt(0) == 2)
     // ...including parameterized statements (parsePlanWithParameters path)
