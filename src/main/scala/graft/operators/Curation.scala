@@ -92,6 +92,51 @@ object Curation {
           x => x.getField("__para"))).as(textCol))
   }
 
+  /** SPAN-level decontamination: instead of dropping whole documents
+    * that touch the benchmark ([[decontaminate]]), cut out only the
+    * contaminated fixed-word chunks — a chunk is contaminated when any
+    * of its word `gramSize`-grams appears in the benchmark set — and
+    * reassemble the rest. Keeps the uncontaminated 95% of a long doc
+    * that merely quotes one benchmark passage. Documents whose every
+    * chunk is contaminated disappear.
+    *
+    * Scale shape: benchmark gram set broadcast (eval suites are tiny
+    * vs the corpus); chunk gram explosion is map-only and the
+    * contaminated-(id, chunk) relation is hit-sized; one reassembly
+    * groupBy — the same shuffle bound as [[dedupParagraphs]]. */
+  def scrubContamination(
+      train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+      chunkWords: Int = 15, gramSize: Int = 8): DataFrame = {
+    require(chunkWords > 0 && gramSize > 0,
+      s"chunkWords/gramSize must be > 0, got $chunkWords/$gramSize")
+    val w = split(col(textCol), " ")
+    val chunks = train
+      .select(col(idCol), w.as("__w"))
+      .select(col(idCol),
+        explode(expr(s"sequence(0, (size(__w) - 1) DIV $chunkWords)")).as("__ck"),
+        col("__w"))
+      .select(col(idCol), col("__ck"),
+        array_join(slice(col("__w"), col("__ck") * chunkWords + 1,
+          lit(chunkWords)), " ").as("__para"))
+    val benchGrams = bench
+      .select(explode(gramHashes(col(textCol), gramSize)).as("gr"))
+      .distinct()
+    val contaminated = chunks
+      .select(col(idCol), col("__ck"),
+        explode(gramHashes(col("__para"), gramSize)).as("gr"))
+      .join(broadcast(benchGrams), Seq("gr"))
+      .select(col(idCol), col("__ck"))
+      .distinct()
+    chunks
+      .join(contaminated, Seq(idCol, "__ck"), "left_anti")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("kept_chunks"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__ck"), col("__para")))),
+          x => x.getField("__para"))).as(textCol))
+  }
+
   /** RefinedWeb/C4-style BOILERPLATE removal: delete every fixed
     * `chunkWords`-word chunk whose content occurs in at least `minDocs`
     * DISTINCT documents (navigation bars, cookie banners, license

@@ -2114,6 +2114,16 @@ object Queries {
       graft.operators.Curation.dedupParagraphs(
         s.table("documents"), "doc_id", "text")
     }),
+    // Span-level decontamination: bench = doc_id % 10 == 3 (same split
+    // as q_decontaminate) but only the touching CHUNKS are cut.
+    "q_scrub_contamination" -> ((s, dir) => {
+      registerViews(s, dir)
+      val docs = s.table("documents")
+      graft.operators.Curation.scrubContamination(
+        docs.where(col("doc_id") % 10 =!= 3),
+        docs.where(col("doc_id") % 10 === 3),
+        "doc_id", "text")
+    }),
     "q_remove_boilerplate" -> ((s, dir) => {
       registerViews(s, dir)
       graft.operators.Curation.removeBoilerplate(
@@ -2365,6 +2375,33 @@ object Queries {
         |WHERE NOT EXISTS (SELECT 1 FROM prior p WHERE p.text = n.text)""".stripMargin,
     "q_paragraph_dedup" -> qParagraphDedupOracle,
     "q_remove_boilerplate" -> qRemoveBoilerplateOracle,
+    "q_scrub_contamination" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE doc_id % 10 <> 3
+        |),
+        |chunks AS (
+        |  SELECT doc_id, ck, array_to_string(w[ck*15+1 : ck*15+15], ' ') AS para
+        |  FROM words, unnest(range(0, ((len(w)-1)//15)+1)) AS t(ck)
+        |),
+        |ctk AS (SELECT doc_id, ck, string_split(para, ' ') AS tk FROM chunks),
+        |cg AS (
+        |  SELECT doc_id, ck,
+        |    unnest(list_distinct(list_transform(range(1, GREATEST(len(tk)-7, 1)+1),
+        |      i -> ('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 7))::BIGINT))) AS gr
+        |  FROM ctk),
+        |bt AS (SELECT string_split(text, ' ') AS tk FROM documents WHERE doc_id % 10 = 3),
+        |bg AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, GREATEST(len(tk)-7, 1)+1),
+        |    i -> ('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 7))::BIGINT))) AS gr
+        |  FROM bt),
+        |bad AS (SELECT DISTINCT doc_id, ck FROM cg JOIN bg USING (gr))
+        |SELECT c.doc_id, count(*) AS kept_chunks,
+        |  string_agg(c.para, ' ' ORDER BY c.ck) AS text
+        |FROM chunks c
+        |WHERE NOT EXISTS (SELECT 1 FROM bad b
+        |  WHERE b.doc_id = c.doc_id AND b.ck = c.ck)
+        |GROUP BY c.doc_id""".stripMargin,
     "q_upsample_epochs" ->
       """WITH f AS (SELECT doc_id, source,
         |    1.0 + (CAST(substr(source, 4) AS INT) % 4) * 0.5 AS fac

@@ -82,6 +82,18 @@ class CurationSpec extends SparkTestBase {
     assert(out(0).getString(2) == "x y z" && out(0).getLong(1) == 2L)
   }
 
+  test("scrubContamination cuts only the touching chunks") {
+    // chunk 2 words, grams 2 words: doc 1 = [a b][c d][e f]; bench
+    // contains "c d" -> only the middle chunk is cut
+    val train = Seq((1L, "a b c d e f"), (2L, "c d")).toDF("doc_id", "text")
+    val bench = Seq((9L, "x c d y")).toDF("doc_id", "text")
+    val out = Curation.scrubContamination(train, bench, "doc_id", "text",
+      chunkWords = 2, gramSize = 2).orderBy("doc_id").collect()
+    // doc 2 was entirely contaminated -> disappears
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(out(0).getString(2) == "a b e f" && out(0).getLong(1) == 2L)
+  }
+
   test("removeBoilerplate drops cross-doc frequent chunks from every doc") {
     // chunk size 2: [a b] appears in docs 1, 2, 3 -> boilerplate, removed
     // everywhere (no survivor); intra-doc repeat [c d][c d] in doc 1 is
