@@ -130,10 +130,64 @@ object Skipping {
         case _ => Set.empty
       }
     }
+    // ---- generated-column partition pruning ------------------------------
+    // A table partitioned on a GENERATED column g = f(base) can prune
+    // partitions from predicates on `base` (the delta-spark
+    // generated-partition-column optimization; the classic shape is
+    // day = CAST(ts AS DATE)). Equality maps through ANY deterministic
+    // f (evaluate f at the literal); ranges map only through the known
+    // MONOTONIC shapes (cast-to-date, to_date, year, date_trunc/trunc)
+    // where lo <= base <= hi implies f(lo) <= g <= f(hi).
+    val spark0 = snap.log.spark
+    val genPartsByBase: Map[String, Seq[(String, String, Boolean)]] =
+      GeneratedColumns.of(snap.schema)
+        .filter { case (name, _) => partCols.contains(name) }
+        .toSeq
+        .flatMap { case (name, exprStr) =>
+          try {
+            val pe = spark0.sessionState.sqlParser.parseExpression(exprStr)
+            val attrs = pe.collect {
+              case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+                a.name
+            }.distinct
+            val monotonic = pe match {
+              case c: ce.Cast =>
+                c.dataType == org.apache.spark.sql.types.DateType
+              case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+                Set("year", "to_date", "date_trunc", "trunc")
+                  .contains(f.nameParts.last.toLowerCase(java.util.Locale.ROOT))
+              case _ => false
+            }
+            if (attrs.size == 1) Some(attrs.head -> (name, exprStr, monotonic))
+            else None
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    def evalGenAt(exprStr: String, base: String, v: Any): Option[Any] =
+      try Option(spark0.range(1)
+        .select(lit(v).cast(snap.schema(base).dataType).as(base))
+        .selectExpr(exprStr).head().get(0))
+      catch { case scala.util.control.NonFatal(_) => None }
+    /** extra partition conjunct derived from `base op v` via the
+      * generated partition columns of `base` (true = no constraint) */
+    def genConstraint(base: String, op: String, v: Any): Column =
+      genPartsByBase.getOrElse(base, Nil).map { case (g, exprStr, mono) =>
+        lazy val fv = evalGenAt(exprStr, base, v)
+        op match {
+          case "=" =>
+            fv.map(x => partValue(g) === lit(x)).getOrElse(lit(true))
+          case "<" | "<=" if mono =>
+            fv.map(x => partValue(g) <= lit(x)).getOrElse(lit(true))
+          case ">" | ">=" if mono =>
+            fv.map(x => partValue(g) >= lit(x)).getOrElse(lit(true))
+          case _ => lit(true)
+        }
+      }.foldLeft(lit(true))(_ && _)
     def attrOf(e: ce.Expression): Option[String] = (e match {
       case a: ce.AttributeReference => Some(a.name)
       case _ => None
-    }).filter(c => partCols.contains(c) || statsFields.contains(c))
+    }).filter(c => partCols.contains(c) || statsFields.contains(c) ||
+      genPartsByBase.contains(c))
     def litOf(e: ce.Expression): Option[Any] = e match {
       case l: ce.Literal if l.value != null =>
         Some(CatalystTypeConverters.convertToScala(l.value, l.dataType))
@@ -158,15 +212,20 @@ object Skipping {
           case ">=" => pv >= lit(v)
         }
       } else {
-        val have = col(s"min.$c").isNotNull && col(s"max.$c").isNotNull
-        val may = op match {
-          case "=" => col(s"min.$c") <= lit(v) && col(s"max.$c") >= lit(v)
-          case "<" => col(s"min.$c") < lit(v)
-          case "<=" => col(s"min.$c") <= lit(v)
-          case ">" => col(s"max.$c") > lit(v)
-          case ">=" => col(s"max.$c") >= lit(v)
-        }
-        !have || may
+        val statsMay =
+          if (!statsFields.contains(c)) lit(true)
+          else {
+            val have = col(s"min.$c").isNotNull && col(s"max.$c").isNotNull
+            val may = op match {
+              case "=" => col(s"min.$c") <= lit(v) && col(s"max.$c") >= lit(v)
+              case "<" => col(s"min.$c") < lit(v)
+              case "<=" => col(s"min.$c") <= lit(v)
+              case ">" => col(s"max.$c") > lit(v)
+              case ">=" => col(s"max.$c") >= lit(v)
+            }
+            !have || may
+          }
+        statsMay && genConstraint(c, op, v)
       }
     // attr-op-lit in either order ("5 > n" prunes as "n < 5")
     def binary(l: ce.Expression, r: ce.Expression,
@@ -193,10 +252,12 @@ object Skipping {
           .reduce(_ || _))
       case ce.IsNull(a) => attrOf(a).map { c =>
         if (partCols.contains(c)) partValue(c).isNull
+        else if (!statsFields.contains(c)) lit(true) // gen-base only: no null stats
         else !col(s"null_count.$c").isNotNull || col(s"null_count.$c") > 0
       }
       case ce.IsNotNull(a) => attrOf(a).map { c =>
         if (partCols.contains(c)) partValue(c).isNotNull
+        else if (!statsFields.contains(c)) lit(true)
         else {
           val have = col(s"null_count.$c").isNotNull && col("num_records").isNotNull
           !have || col(s"null_count.$c") < col("num_records")
@@ -205,10 +266,14 @@ object Skipping {
       // a != literal excludes only single-value files pinned to that value
       case ce.Not(ce.EqualTo(l, r)) =>
         (attrOf(l), litOf(r), attrOf(r), litOf(l)) match {
-          case (Some(c), Some(v), _, _) if !partCols.contains(c) =>
+          case (Some(c), Some(v), _, _)
+              if !partCols.contains(c) && statsFields.contains(c) =>
             Some(!(col(s"min.$c") === lit(v) && col(s"max.$c") === lit(v)))
-          case (_, _, Some(c), Some(v)) if !partCols.contains(c) =>
+          case (_, _, Some(c), Some(v))
+              if !partCols.contains(c) && statsFields.contains(c) =>
             Some(!(col(s"min.$c") === lit(v) && col(s"max.$c") === lit(v)))
+          case (Some(c), Some(v), _, _) if !partCols.contains(c) => None
+          case (_, _, Some(c), Some(v)) if !partCols.contains(c) => None
           case (Some(c), Some(v), _, _) => Some(!(partValue(c) === lit(v)))
           case (_, _, Some(c), Some(v)) => Some(!(partValue(c) === lit(v)))
           case _ => None

@@ -107,4 +107,40 @@ class GeneratedColumnsSpec extends SparkTestBase {
         .execute()
     }
   }
+
+  test("predicates on the base column prune generated partition columns") {
+    import org.apache.spark.sql.functions._
+    val log = freshLog()
+    val declared = StructType(Seq(
+      StructField("id", LongType),
+      StructField("ts", TimestampType),
+      GeneratedColumns.field("day", DateType, "CAST(ts AS DATE)")))
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2026-01-02 08:00:00")),
+      (3L, java.sql.Timestamp.valueOf("2026-01-03 23:59:59")))
+      .toDF("id", "ts")
+    TransactionWriter.overwriteWithSchema(log, df, declared,
+      partitionBy = Some(Seq("day")))
+    val snap = log.snapshot
+    assert(snap.numFiles == 3, "one file per day partition expected")
+
+    // equality on ts maps through ANY generated expr: only day=01-02
+    val eq = snap.planFilesForPredicate(
+      col("ts") === java.sql.Timestamp.valueOf("2026-01-02 08:00:00"))
+    assert(eq.size == 1, s"eq pruned to ${eq.size} files")
+    assert(eq.head.partitionValues("day") == "2026-01-02")
+
+    // range on ts maps through the monotonic CAST-to-date: days 02..03
+    val range = snap.planFilesForPredicate(
+      col("ts") >= java.sql.Timestamp.valueOf("2026-01-02 00:00:00"))
+    assert(range.size == 2, s"range pruned to ${range.size} files")
+    assert(!range.exists(_.partitionValues("day") == "2026-01-01"))
+
+    // correctness: the pruned scan still returns exactly the rows
+    val rows = snap.read()
+      .where(col("ts") >= java.sql.Timestamp.valueOf("2026-01-02 00:00:00"))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == Seq(2L, 3L))
+  }
 }
