@@ -486,10 +486,37 @@ object TransactionWriter {
         case None => (checkedDf, partCols)
       }
 
+    // Optimized write (delta.autoOptimize.optimizeWrite): right-size
+    // the write job's partitioning so output files approach the target
+    // size instead of inheriting the input's task count — the at-source
+    // answer to small-file pressure (auto-compaction is the after-the-
+    // fact one). Size estimate from Catalyst plan stats (clamped:
+    // sources without stats report huge defaults). Partitioned tables
+    // hash on the partition columns so each partition dir gets at most
+    // the chosen task count of files.
+    val outDf = {
+      val owConf =
+        if (configuration.nonEmpty) configuration
+        else prev.map(_.metadata.configuration).getOrElse(Map.empty)
+      if (!owConf.get("delta.autoOptimize.optimizeWrite").contains("true")) writeDf
+      else {
+        val targetBytes = owConf.get("graft.optimizeWrite.targetFileBytes")
+          .flatMap(s => scala.util.Try(s.toLong).toOption)
+          .getOrElse(128L * 1024 * 1024)
+        val est = writeDf.queryExecution.optimizedPlan.stats.sizeInBytes
+          .min(BigInt(1L << 50)).toLong
+        val n = math.max(1L, math.min(est / math.max(1L, targetBytes) + 1,
+          100000L)).toInt
+        if (writePartCols.nonEmpty)
+          writeDf.repartition(n, writePartCols.map(col): _*)
+        else writeDf.repartition(n)
+      }
+    }
+
     // 1. Materialize data into a staging dir under the table root.
     val staging = new Path(log.rootPath, s".graft-staging-${java.util.UUID.randomUUID}")
     try {
-      val w = writeDf.write.mode("overwrite")
+      val w = outDf.write.mode("overwrite")
       (if (writePartCols.nonEmpty) w.partitionBy(writePartCols: _*) else w)
         .parquet(staging.toString)
 

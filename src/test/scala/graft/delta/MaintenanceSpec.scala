@@ -491,4 +491,26 @@ class MaintenanceSpec extends SparkTestBase {
       inventory = Some(Seq("x.parquet").toDF("path"))))
     assert(e.getMessage.contains("modificationTime"))
   }
+
+  test("optimizeWrite folds a many-partition input into few files") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("graft-ow")
+      .resolve("t").toString
+    val log = DeltaLog.forPath(spark, path)
+    // 64 input partitions of tiny rows -> without optimizeWrite this
+    // writes ~64 files; with it, the plan-stats estimate (KBs) folds
+    // to a single write task
+    val df = spark.range(0, 2000, 1, 64)
+      .select(col("id"), (col("id") % 7).as("v"))
+    TransactionWriter.overwrite(log, df,
+      configuration = Map("delta.autoOptimize.optimizeWrite" -> "true"))
+    assert(log.snapshot.numFiles <= 4,
+      s"expected few files, got ${log.snapshot.numFiles}")
+    assert(log.snapshot.read().count() == 2000L)
+    // conf off -> input partitioning passes through
+    val log2 = DeltaLog.forPath(spark,
+      java.nio.file.Files.createTempDirectory("graft-ow2").resolve("t").toString)
+    TransactionWriter.overwrite(log2, df)
+    assert(log2.snapshot.numFiles > 4)
+  }
 }
