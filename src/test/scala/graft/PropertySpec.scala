@@ -192,4 +192,54 @@ class PropertySpec extends SparkTestBase {
         s"case $caseId: residual PII patterns after redaction")
     }
   }
+
+  test("removeBoilerplate equals the naive frequent-chunk filter") {
+    import graft.operators.Curation
+    val words = Seq("a", "b", "c", "d", "e")
+    (1 to 4).foreach { caseId =>
+      val docs = (1L to 20L).map { i =>
+        val n = sample(Gen.choose(1, 12), caseId * 100 + i)
+        val txt = (1 to n).map(j =>
+          words(sample(Gen.choose(0, words.size - 1), caseId * 1000 + i * 31 + j)))
+          .mkString(" ")
+        (i, txt)
+      }
+      val df = docs.toDF("doc_id", "text")
+      val cw = 3
+      val out = Curation.removeBoilerplate(df, "doc_id", "text",
+        chunkWords = cw, minDocs = 2)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      // naive reference in plain Scala
+      def chunksOf(t: String) = t.split(" ").grouped(cw).map(_.mkString(" ")).toSeq
+      val freq = docs.flatMap { case (id, t) => chunksOf(t).distinct.map(_ -> id) }
+        .groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+      val expected = docs.map { case (id, t) =>
+        id -> chunksOf(t).filterNot(freq).mkString(" ")
+      }.filter(_._2.nonEmpty).toMap
+      assert(out == expected, s"case $caseId")
+    }
+  }
+
+  test("upsampleEpochs total copies equal the per-row closed form") {
+    import graft.operators.Curation
+    import graft.functions.TextFunctions
+    (1 to 3).foreach { caseId =>
+      val rows = (1L to 50L).map(i => (if (i % 2 == 0) "g1" else "g2", i))
+      val df = rows.toDF("g", "id")
+      val f = Map("g1" -> 1.7, "g2" -> 2.0)
+      val out = Curation.upsampleEpochs(df, "g", "id", f)
+      // closed form per row: floor(f) + [md5frac(id) < round(frac(f),6)]
+      val fracs = df.select(col("id"),
+        (TextFunctions.hash28(col("id").cast("string")).cast("double") /
+          268435456.0).as("u")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val expected = rows.map { case (g, id) =>
+        val fv = f(g)
+        math.floor(fv).toLong +
+          (if (fracs(id) < BigDecimal(fv - math.floor(fv))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) 1L else 0L)
+      }.sum
+      assert(out.count() == expected, s"case $caseId")
+    }
+  }
 }
