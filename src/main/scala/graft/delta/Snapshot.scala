@@ -140,7 +140,9 @@ class Snapshot(
         "vacuumProtocolCheck",
         // typeWidening: reads apply the widened logical schema over
         // narrow physical files (Spark's parquet scan upcasts)
-        "typeWidening")
+        "typeWidening",
+        // variantType: Spark 4's native variant parquet encoding
+        "variantType")
     val unsupported = protocol.readerFeatures.diff(supportedFeatures)
     val ok = v <= 1 ||
       (v == 2 && Set("name", "id", "none").contains(columnMappingMode)) ||

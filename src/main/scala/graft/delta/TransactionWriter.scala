@@ -392,7 +392,9 @@ object TransactionWriter {
         // Maintenance.widenColumnType (which maintains the
         // delta.typeChanges field metadata); data writes under the
         // widened schema need no special handling
-        "typeWidening")
+        "typeWidening",
+        // variantType: written/read via Spark's native variant support
+        "variantType")
       val unsupportedW = s.protocol.writerFeatures.diff(supportedWriterFeatures)
       val v = s.protocol.minWriterVersion
       require(v <= 6 || (v == 7 && unsupportedW.isEmpty),
@@ -589,12 +591,53 @@ object TransactionWriter {
             p.copy(writerFeatures = p.writerFeatures + "identityColumns")
           else p.copy(minWriterVersion = 6))
       }
+      // Variant columns are a TABLE FEATURE (reader+writer): a reader
+      // unaware of the encoding must refuse, so the schema containing
+      // one forces the r3/w7 feature lists on create and upgrades on
+      // first variant write into an existing table.
+      def hasVariant(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+        case _: org.apache.spark.sql.types.VariantType => true
+        case s: StructType => s.fields.exists(f => hasVariant(f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType => hasVariant(a.elementType)
+        case m: org.apache.spark.sql.types.MapType =>
+          hasVariant(m.keyType) || hasVariant(m.valueType)
+        case _ => false
+      }
+      val variantDeclared =
+        hasVariant(declaredSchema.getOrElse(schema)) || hasVariant(schema)
+      if (variantDeclared) prev.foreach { s =>
+        val p = s.protocol
+        if (!(p.minReaderVersion >= 3 && p.readerFeatures.contains("variantType")))
+          actions += ProtocolAction(Protocol(
+            minReaderVersion = 3, minWriterVersion = 7,
+            readerFeatures = p.readerFeatures + "variantType" ++
+              (if (p.minReaderVersion == 2) Set("columnMapping") else Set.empty),
+            writerFeatures = p.writerFeatures + "variantType" ++
+              (if (p.minWriterVersion >= 7) Set.empty[String]
+               else Seq(
+                 2 -> Set("appendOnly", "invariants"),
+                 3 -> Set("checkConstraints"),
+                 4 -> Set("changeDataFeed", "generatedColumns"),
+                 5 -> Set("columnMapping"),
+                 6 -> Set("identityColumns"))
+                 .collect { case (mv, fs) if p.minWriterVersion >= mv => fs }
+                 .flatten.toSet)))
+      }
       if (prev.isEmpty) actions += ProtocolAction(
         // creating a mapped table: column mapping is a legacy
         // reader-2/writer-5 protocol (what delta-spark emits for it);
         // generated columns need writer 4, identity columns writer 6
-        // (legacy versions are cumulative)
-        if (createMapping.isDefined && idDeclared) Protocol(2, 6)
+        // (legacy versions are cumulative); a variant column forces the
+        // feature-list protocol
+        if (variantDeclared) Protocol(3, 7,
+          readerFeatures = Set("variantType") ++
+            (if (createMapping.isDefined) Set("columnMapping") else Set.empty),
+          writerFeatures = Set("variantType") ++
+            (if (createMapping.isDefined) Set("columnMapping") else Set.empty) ++
+            (if (idDeclared) Set("identityColumns") else Set.empty) ++
+            (if (GeneratedColumns.of(genDeclared).nonEmpty)
+               Set("generatedColumns") else Set.empty))
+        else if (createMapping.isDefined && idDeclared) Protocol(2, 6)
         else if (createMapping.isDefined) Protocol(2, 5)
         else if (idDeclared) Protocol(1, 6)
         else if (GeneratedColumns.of(genDeclared).nonEmpty) Protocol(1, 4)
@@ -960,6 +1003,9 @@ object TransactionWriter {
       f.dataType match {
         case s: StructType => statLeaves(s, p)
         case _: ArrayType | _: MapType | BinaryType => Nil
+        // variant is not orderable — no min/max stats (delta-spark
+        // records nullCount only; we skip the leaf entirely)
+        case dt if dt.typeName == "variant" => Nil
         case dt => Seq((p, dt))
       }
     }
