@@ -391,6 +391,16 @@ object Queries {
       |  COUNT(*) AS n
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Same aggregate through Spark 4's VARIANT path (parse once, typed
+    * extraction) — the semi-structured shape a metadata/props column
+    * takes at scale, where per-access JSON string re-parsing
+    * (q_json_extract) loses to the binary variant encoding. */
+  private val qVariantExtractSpark: String =
+    """SELECT event_type,
+      |  SUM(variant_get(parse_json(props), '$.k', 'long')) AS sum_k,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY event_type""".stripMargin
+
   // ---- group B: training-data pipeline over documents/embeddings -----------
 
   /** Tokenization / 3-gram shingling / hashing building blocks, written
@@ -2103,6 +2113,7 @@ object Queries {
     "q_updated_partitions" -> eventSqlQuery(qUpdatedPartitionsSpark),
     "q_sessionize" -> eventSqlQuery(qSessionize),
     "q_json_extract" -> sqlQuery(qJsonExtractSpark),
+    "q_variant_extract" -> sqlQuery(qVariantExtractSpark),
     "q_dedup_exact" -> sqlQuery(
       """SELECT doc_id, lang, source FROM (
         |  SELECT doc_id, lang, source,
@@ -2365,6 +2376,7 @@ object Queries {
     "q_updated_partitions" -> qUpdatedPartitionsDuck,
     "q_sessionize" -> qSessionize("epoch_us(ts)"),
     "q_json_extract" -> qJsonExtractDuck,
+    "q_variant_extract" -> qJsonExtractDuck,
     "q_dedup_exact" -> qDedupExactOracle,
     "q_dedup_incremental" ->
       """WITH prior AS (SELECT text FROM documents WHERE doc_id % 3 <> 0

@@ -309,13 +309,16 @@ class ColumnMappingSpec extends SparkTestBase {
       id = java.util.UUID.randomUUID.toString,
       schemaString = StructType(Seq(StructField("n", LongType))).json,
       partitionColumns = Nil, configuration = Map.empty, createdTime = Some(0L))
+    // a reader feature this engine genuinely does not implement
+    // (variantType/typeWidening graduated to supported in round 6)
     log.commit(0, Seq(
       ProtocolAction(Protocol(minReaderVersion = 3, minWriterVersion = 7,
-        readerFeatures = Set("variantType"), writerFeatures = Set("variantType"))),
+        readerFeatures = Set("futureCompression"),
+        writerFeatures = Set("futureCompression"))),
       MetadataAction(meta),
       CommitInfoAction(CommitInfo(0L, "WRITE"))))
     val e = intercept[IllegalArgumentException](log.snapshot)
     assert(e.getMessage.contains("minReaderVersion=3"))
-    assert(e.getMessage.contains("variantType"))
+    assert(e.getMessage.contains("futureCompression"))
   }
 }
