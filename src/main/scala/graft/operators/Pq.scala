@@ -131,6 +131,72 @@ object Pq {
     df.select(col(idCol), array(codeCols: _*).as("codes"))
   }
 
+  /** Per-query nearest `nprobe` coarse cells by round-4 squared L2
+    * (ties: lowest cell id) — the IVF probe step. `coarse` is a
+    * full-vector codebook ([[trainCodebooks]] with m = 1); output
+    * cells are 1-based to match [[encode]]'s code values. */
+  def probeCells(
+      queries: DataFrame, idCol: String, vecCol: String,
+      coarse: Seq[(Int, Long, Array[Double])], nprobe: Int): DataFrame = {
+    require(nprobe > 0, s"nprobe must be > 0, got $nprobe")
+    require(coarse.forall(_._1 == 0), "coarse codebook must be m=1")
+    import org.apache.spark.sql.expressions.Window
+    queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+      .select(col("query_id"),
+        posexplode(transform(bookLit(coarse, 0),
+          c => round(l2sq(col("__qv"), c), 4))))
+      .select(col("query_id"), (col("pos") + 1).as("cell"),
+        col("col").as("__d"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("__d"), col("cell"))))
+      .where(col("__r") <= nprobe)
+      .select("query_id", "cell")
+  }
+
+  /** IVF-PQ: the production ANN shape — a coarse quantizer bounds each
+    * query's candidates to `nprobe` cells, and candidates rank by
+    * asymmetric distance over their PQ codes. The corpus at rest is
+    * (cell, codes): m+1 small ints per vector. The expansion is
+    * per-cell, ≈ corpus·nprobe/k_coarse pairs instead of the full
+    * corpus — with codes, not vectors, flowing through it.
+    * Both quantizers come from [[trainCodebooks]] (coarse: m = 1). */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      coarse: Seq[(Int, Long, Array[Double])],
+      books: Seq[(Int, Long, Array[Double])],
+      kNeighbors: Int, nprobe: Int): DataFrame = {
+    require(kNeighbors > 0, s"kNeighbors must be > 0, got $kNeighbors")
+    val m = books.map(_._1).max + 1
+    import graft.functions.VectorExpressions
+    import org.apache.spark.sql.expressions.Window
+    val cells = encode(corpus, idCol, vecCol, coarse)
+      .select(col(idCol).as("neighbor_id"),
+        element_at(col("codes"), 1).as("cell"))
+    val recon = (0 until m).map { j =>
+      element_at(bookLit(books, j), element_at(col("codes"), j + 1))
+    }.reduce(concat(_, _))
+    val decoded = encode(corpus, idCol, vecCol, books)
+      .select(col(idCol).as("neighbor_id"), recon.as("__rv"))
+      .withColumn("__rn2", VectorExpressions.dot(col("__rv"), col("__rv")))
+      .join(cells, Seq("neighbor_id"))
+    val q = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+      .withColumn("__qn2", VectorExpressions.dot(col("__qv"), col("__qv")))
+      .join(probeCells(queries, idCol, vecCol, coarse, nprobe), Seq("query_id"))
+      .withColumnRenamed("cell", "qcell")
+    decoded.join(broadcast(q),
+        col("cell") === col("qcell") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("__qn2") -
+          lit(2.0) * VectorExpressions.dot(col("__qv"), col("__rv")) +
+          col("__rn2"), 4).as("adist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("adist"), col("neighbor_id"))))
+      .where(col("rnk") <= kNeighbors)
+  }
+
   /** Asymmetric-distance top-k: queries keep raw vectors, the corpus
     * is only its codes. Approximate distance = ||q − recon||² where
     * `recon` is the code's centroid reconstruction (identical to

@@ -1121,6 +1121,82 @@ object Queries {
        |  FROM pairs)
        |SELECT query_id, neighbor_id, adist, rnk FROM r WHERE rnk <= 3""".stripMargin
 
+  private val ivfPqBooksPath = sys.env.getOrElse(
+    "GRAFT_IVFPQ_BOOKS_PATH",
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_books_" +
+      s"${ProcessHandle.current().pid()}.parquet")
+
+  /** IVF-PQ: coarse cells bound candidates (nprobe=2 of 8), ADC over
+    * PQ codes ranks them — the composition that holds at 100 TB
+    * (cells cut the pair expansion, codes cut the bytes per pair).
+    * Both quantizers exported; DuckDB replays cell assignment, probe,
+    * code assignment, and ADC bit-for-bit. */
+  private def qIvfPqKnnSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      val emb = s.table("embeddings")
+      val coarse = graft.operators.Pq.trainCodebooks(
+        emb, "vec_id", "embedding", m = 1, k = 8, iterations = 2)
+      val books = graft.operators.Pq.trainCodebooks(
+        emb, "vec_id", "embedding", m = 4, k = 16, iterations = 2)
+      import s.implicits._
+      (coarse.map { case (j, cid, cv) => ("c", j, cid, cv.toSeq) } ++
+        books.map { case (j, cid, cv) => ("p", j, cid, cv.toSeq) })
+        .toDF("book", "subspace", "cid", "cv")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(ivfPqBooksPath)
+      graft.operators.Pq.ivfPqTopK(
+        emb, emb.where(col("vec_id") % 25 === 0),
+        "vec_id", "embedding", coarse, books,
+        kNeighbors = 3, nprobe = 2)
+    }
+
+  private def qIvfPqKnnDuck: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cb AS (SELECT cid, cv FROM read_parquet('$ivfPqBooksPath/*.parquet')
+       |  WHERE book = 'c'),
+       |pb AS (SELECT subspace, cid, cv
+       |  FROM read_parquet('$ivfPqBooksPath/*.parquet') WHERE book = 'p'),
+       |celld AS (SELECT e.vec_id, cb.cid,
+       |    ROUND(list_sum(list_transform(range(1, 65),
+       |      i -> (e.v[i] - cb.cv[i]) * (e.v[i] - cb.cv[i]))), 4) AS d
+       |  FROM e CROSS JOIN cb),
+       |cells AS (SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM celld) t WHERE rn = 1),
+       |probe AS (SELECT vec_id AS query_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM celld WHERE vec_id % 25 = 0) t WHERE rn <= 2),
+       |cd AS (SELECT e.vec_id, pb.subspace, pb.cid,
+       |    ROUND(list_sum(list_transform(range(1, 17),
+       |      i -> (e.v[pb.subspace*16 + i] - pb.cv[i]) * (e.v[pb.subspace*16 + i] - pb.cv[i]))), 4) AS d
+       |  FROM e CROSS JOIN pb),
+       |codes AS (SELECT vec_id, subspace, cid FROM (
+       |    SELECT vec_id, subspace, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY d, cid) AS rn
+       |    FROM cd) t WHERE rn = 1),
+       |recon AS (
+       |  SELECT c.vec_id, flatten(list(pb.cv ORDER BY c.subspace)) AS rv
+       |  FROM codes c JOIN pb ON pb.subspace = c.subspace AND pb.cid = c.cid
+       |  GROUP BY c.vec_id),
+       |rn AS (SELECT r.vec_id, r.rv,
+       |    list_sum(list_transform(r.rv, x -> x * x)) AS rn2,
+       |    cells.cell
+       |  FROM recon r JOIN cells ON cells.vec_id = r.vec_id),
+       |qn AS (SELECT p.query_id, e.v, p.cell,
+       |    list_sum(list_transform(e.v, x -> x * x)) AS qn2
+       |  FROM probe p JOIN e ON e.vec_id = p.query_id),
+       |pairs AS (SELECT qn.query_id, rn.vec_id AS neighbor_id,
+       |    ROUND(qn.qn2 - 2 * list_sum(list_transform(range(1, 65),
+       |      i -> qn.v[i] * rn.rv[i])) + rn.rn2, 4) AS adist
+       |  FROM qn JOIN rn ON rn.cell = qn.cell AND rn.vec_id <> qn.query_id),
+       |r AS (SELECT query_id, neighbor_id, adist,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rnk
+       |  FROM pairs)
+       |SELECT query_id, neighbor_id, adist, rnk FROM r WHERE rnk <= 3""".stripMargin
+
   private def qIvfTrainedSpark: (SparkSession, String) => DataFrame =
     (s, dir) => {
       registerViews(s, dir)
@@ -2296,6 +2372,7 @@ object Queries {
     "q_embedding_ivf_knn" -> cachedStagesQuery(ivfStages, qIvfKnnSparkFinal),
     "q_embedding_ivf_trained" -> qIvfTrainedSpark,
     "q_embedding_pq_knn" -> qPqKnnSpark,
+    "q_embedding_ivfpq_knn" -> qIvfPqKnnSpark,
     "q_embedding_semdedup" -> qSemDedupSpark,
     "q_decontaminate" -> ((s, dir) => {
       registerViews(s, dir)
@@ -2522,6 +2599,7 @@ object Queries {
     "q_embedding_ivf_knn" -> qIvfKnnDuck,
     "q_embedding_ivf_trained" -> qIvfTrainedDuck,
     "q_embedding_pq_knn" -> qPqKnnDuck,
+    "q_embedding_ivfpq_knn" -> qIvfPqKnnDuck,
     "q_embedding_semdedup" -> qSemDedupDuck,
     "q_media_meta" -> qMediaMetaDuck,
     "q_media_features" -> qMediaFeaturesDuck,

@@ -45,4 +45,34 @@ class PqSpec extends SparkTestBase {
     assert(first.getLong(1) == 2L,
       s"expected neighbor 2 first, got ${first.getLong(1)}")
   }
+
+  test("ivfPqTopK agrees with brute-force ADC when probing all cells") {
+    val books = Pq.trainCodebooks(vecs, "vec_id", "embedding", m = 2, k = 2,
+      iterations = 2)
+    val coarse = Pq.trainCodebooks(vecs, "vec_id", "embedding", m = 1, k = 2,
+      iterations = 2)
+    val codes = Pq.encode(vecs, "vec_id", "embedding", books)
+    val queries = vecs.where(col("vec_id") === 1L)
+    val full = Pq.adcTopK(codes, queries, "vec_id", "embedding", books,
+      kNeighbors = 3).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toMap
+    // nprobe = k_coarse: every cell probed -> candidate set is the
+    // whole corpus, so results must equal the brute-force ADC ranking
+    val ivf = Pq.ivfPqTopK(vecs, queries, "vec_id", "embedding",
+      coarse, books, kNeighbors = 3, nprobe = 2).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(ivf == full, s"ivf=$ivf full=$full")
+  }
+
+  test("ivfPqTopK with nprobe=1 bounds candidates to the query cell") {
+    val coarse = Pq.trainCodebooks(vecs, "vec_id", "embedding", m = 1, k = 2,
+      iterations = 2)
+    val books = Pq.trainCodebooks(vecs, "vec_id", "embedding", m = 2, k = 2,
+      iterations = 2)
+    val out = Pq.ivfPqTopK(vecs, vecs.where(col("vec_id") === 1L),
+      "vec_id", "embedding", coarse, books, kNeighbors = 3, nprobe = 1)
+      .collect().map(_.getLong(1)).toSet
+    // vectors 1,2 cluster together; 3,4 in the other cell -> only 2
+    assert(out == Set(2L), out.toString)
+  }
 }
