@@ -170,16 +170,25 @@ object Pq {
     val m = books.map(_._1).max + 1
     import graft.functions.VectorExpressions
     import org.apache.spark.sql.expressions.Window
-    val cells = encode(corpus, idCol, vecCol, coarse)
-      .select(col(idCol).as("neighbor_id"),
-        element_at(col("codes"), 1).as("cell"))
+    // ONE corpus pass computes the coarse cell AND the PQ decode —
+    // no second scan, no cells join
+    val dims = coarse.head._3.length
+    val coarseDists = transform(bookLit(coarse, 0),
+      c => round(l2sq(
+        asDouble(slice(col(vecCol), lit(1), lit(dims))), c), 4))
+    val dsub = books.head._3.length
     val recon = (0 until m).map { j =>
-      element_at(bookLit(books, j), element_at(col("codes"), j + 1))
+      val dists = transform(bookLit(books, j),
+        c => round(l2sq(
+          asDouble(slice(col(vecCol), lit(j * dsub + 1), lit(dsub))), c), 4))
+      element_at(bookLit(books, j),
+        array_position(dists, array_min(dists)).cast("int"))
     }.reduce(concat(_, _))
-    val decoded = encode(corpus, idCol, vecCol, books)
-      .select(col(idCol).as("neighbor_id"), recon.as("__rv"))
+    val decoded = corpus.select(col(idCol).as("neighbor_id"),
+        array_position(coarseDists, array_min(coarseDists)).cast("int")
+          .as("cell"),
+        recon.as("__rv"))
       .withColumn("__rn2", VectorExpressions.dot(col("__rv"), col("__rv")))
-      .join(cells, Seq("neighbor_id"))
     val q = queries
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
       .withColumn("__qn2", VectorExpressions.dot(col("__qv"), col("__qv")))
