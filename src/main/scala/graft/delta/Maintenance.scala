@@ -748,10 +748,37 @@ object Maintenance {
       log: DeltaLog,
       targetFileBytes: Long = 128L * 1024 * 1024,
       smallThresholdBytes: Long = -1L,
-      minSmallFiles: Int = 2): Long = {
+      minSmallFiles: Int = 2,
+      where: Option[org.apache.spark.sql.Column] = None): Long = {
     val threshold =
       if (smallThresholdBytes > 0) smallThresholdBytes else targetFileBytes / 2
     val snap = log.snapshot
+    // OPTIMIZE ... WHERE: scope the pass to partitions matching a
+    // PARTITION predicate (delta-spark's contract — at 100 TB you
+    // compact the partitions that just ingested, not the table).
+    // Non-partition columns are refused: a row predicate cannot select
+    // whole files.
+    val partitionPred: Option[org.apache.spark.sql.Column] = where.map { w =>
+      val spark = log.spark
+      val empty = spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        snap.schema)
+      val attrs = empty.where(w).queryExecution.analyzed.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.collect {
+            case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+              a.name
+          }
+      }.flatten.distinct
+      require(attrs.nonEmpty &&
+        attrs.forall(snap.metadata.partitionColumns.contains),
+        s"OPTIMIZE WHERE accepts partition-column predicates only " +
+          s"(partitions: ${snap.metadata.partitionColumns.mkString(",")}; " +
+          s"predicate references: ${attrs.mkString(",")})")
+      Skipping.pruningPredicate(snap, w).getOrElse(
+        throw new IllegalArgumentException(
+          s"OPTIMIZE WHERE predicate is not translatable to partition pruning: $w"))
+    }
     // The minSmallFiles floor applies PER PARTITION VALUE: a lone small
     // file in a partition rewrites to itself (one output file per
     // value), so including it would commit a useless identical rewrite
@@ -759,7 +786,9 @@ object Maintenance {
     // size pruning runs IN SPARK: only the small-file candidates are
     // ever collected (at scale the small-file debt is a sliver of the
     // table, which is the whole point of this pass)
-    val touched = snap.planFiles(Some(col("size_bytes") < threshold))
+    val sizeFilter = col("size_bytes") < threshold
+    val touched = snap.planFiles(
+      Some(partitionPred.map(sizeFilter && _).getOrElse(sizeFilter)))
       .groupBy(_.partitionValues).values
       .filter(_.size >= minSmallFiles)
       .flatten.toSeq

@@ -15,7 +15,7 @@ import graft.delta.{Clone, Constraints, DeltaLog, Maintenance, Mutations}
   *
   * {{{
   * GRAFT VACUUM '<path>' [RETAIN <n> HOURS] [USING INVENTORY '<parquet>']
-  * GRAFT OPTIMIZE '<path>' [ZORDER BY (c1, c2)]
+  * GRAFT OPTIMIZE '<path>' [ZORDER BY (c1, c2)] [WHERE <partition predicate>]
   * GRAFT CHECKPOINT '<path>'
   * GRAFT REORG '<path>' APPLY PURGE                    -- drop DV debt
   * GRAFT FSCK '<path>' [DRY RUN]                       -- repair missing files
@@ -44,7 +44,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Vacuum =
     """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+HOURS)?(?:\s+USING\s+INVENTORY\s+'([^']+)')?\s*""".r
   private val Optimize =
-    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*""".r
+    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?(?:\s+WHERE\s+(.+?))?\s*""".r
   private val Checkpoint = """(?is)\s*GRAFT\s+CHECKPOINT\s+'([^']+)'\s*""".r
   private val Reorg =
     """(?is)\s*GRAFT\s+REORG\s+'([^']+)'\s+APPLY\s+PURGE\s*""".r
@@ -118,14 +118,18 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             inventory = inv).size
           Seq(Row(n.toLong))
         })
-    case Optimize(path, zcols) =>
+    case Optimize(path, zcols, whereSql) =>
       GraftMaintenanceCommand(path, "optimize",
         Seq("version"), s => {
           val log = DeltaLog.forPath(s, path)
-          val v = Option(zcols) match {
-            case Some(cs) =>
+          val v = (Option(zcols), Option(whereSql)) match {
+            case (Some(cs), _) =>
               Maintenance.zorder(log, cs.split(",").map(_.trim).toSeq)
-            case None => Maintenance.compact(log)
+            case (None, Some(w)) =>
+              // partition-scoped small-file pass (delta's OPTIMIZE WHERE)
+              Maintenance.compactSmall(log,
+                where = Some(org.apache.spark.sql.functions.expr(w)))
+            case (None, None) => Maintenance.compact(log)
           }
           Seq(Row(v))
         })

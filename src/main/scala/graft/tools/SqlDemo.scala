@@ -201,6 +201,19 @@ object SqlDemo {
       println(s"== ALTER COLUMN v TYPE bigint: typeWidening on, " +
         s"narrow files upcast ==")
 
+      // OPTIMIZE WHERE: partition-scoped small-file pass
+      val optwPath = s"$dir/optw_table"
+      (1L to 40L).map(i => (i, if (i % 2 == 0) "x" else "y"))
+        .toDF("id", "p").repartition(4)
+        .write.format("graftdelta").partitionBy("p").save(optwPath)
+      spark.sql(s"GRAFT OPTIMIZE '$optwPath' WHERE p = 'x'")
+      val optwFiles = graft.delta.DeltaLog.forPath(spark, optwPath)
+        .snapshot.activeFiles.groupBy(_.partitionValues("p"))
+        .view.mapValues(_.size).toMap
+      require(optwFiles("x") == 1 && optwFiles("y") > 1,
+        s"OPTIMIZE WHERE must fold only partition x: $optwFiles")
+      println(s"== OPTIMIZE WHERE p='x': files per partition $optwFiles ==")
+
       // DESCRIBE DETAIL: one-row table summary from the log plane
       val detail = spark.sql(s"GRAFT DESCRIBE DETAIL '$widenPath'").head()
       require(detail.getAs[String]("format") == "delta")

@@ -513,4 +513,30 @@ class MaintenanceSpec extends SparkTestBase {
     TransactionWriter.overwrite(log2, df)
     assert(log2.snapshot.numFiles > 4)
   }
+
+  test("compactSmall WHERE scopes the pass to matching partitions") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("graft-optw")
+      .resolve("t").toString
+    val log = DeltaLog.forPath(spark, path)
+    // 2 partitions x 4 tiny files each
+    val df = (1L to 80L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "p").repartition(4)
+    TransactionWriter.overwrite(log, df, partitionBy = Some(Seq("p")))
+    val before = log.snapshot.activeFiles.groupBy(_.partitionValues("p"))
+      .view.mapValues(_.size).toMap
+    assert(before("a") >= 2 && before("b") >= 2)
+
+    Maintenance.compactSmall(log, where = Some(col("p") === "a"))
+    val after = log.snapshot.activeFiles.groupBy(_.partitionValues("p"))
+      .view.mapValues(_.size).toMap
+    assert(after("a") == 1, s"partition a must fold to 1 file, got $after")
+    assert(after("b") == before("b"), "partition b must be untouched")
+    assert(log.snapshot.read().count() == 80L)
+
+    // non-partition predicate refused
+    intercept[IllegalArgumentException] {
+      Maintenance.compactSmall(log, where = Some(col("id") > 10L))
+    }
+  }
 }
