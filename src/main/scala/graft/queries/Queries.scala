@@ -550,6 +550,53 @@ object Queries {
          |FROM h""".stripMargin
   }
 
+  /** SimHash near-dup pairs: 16-bit fingerprints band into 4 nibbles;
+    * pairs sharing a (band, value) bucket are candidates (pigeonhole:
+    * hamming ≤ 2 over 4 bands forces ≥ 2 identical bands, so ≥ 1
+    * bucket hit — candidate generation is COMPLETE for the verify
+    * threshold); exact verify is one xor + popcount. 100 TB shape:
+    * shuffle on (band, value) buckets only, no all-pairs join, and
+    * the verify operand is a single long per side instead of a
+    * shingle set. */
+  private def qSimhashNearDup(dialect: String): String = {
+    val tks = toks(dialect)
+    if (dialect == "spark")
+      s"""WITH t AS (SELECT /*+ REPARTITION(32) */ doc_id, array_distinct($tks) AS toks FROM documents),
+         |h AS (SELECT doc_id, transform(toks, tk -> ${h28(dialect, "tk")}) AS hs FROM t),
+         |sh AS (SELECT doc_id,
+         |  aggregate(transform(sequence(0, 15), j ->
+         |      CASE WHEN 2 * size(filter(hs, v -> CAST(FLOOR(v / POW(2, j)) AS BIGINT) % 2 = 1)) > size(hs)
+         |           THEN CAST(POW(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+         |    CAST(0 AS BIGINT), (acc, x) -> acc + x) AS simhash
+         |  FROM h),
+         |bands AS (SELECT doc_id, simhash, j,
+         |    CAST(FLOOR(simhash / POW(2, 4 * j)) AS BIGINT) % 16 AS k
+         |  FROM sh LATERAL VIEW explode(sequence(0, 3)) bt AS j),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.simhash AS sa, b.simhash AS sb
+         |  FROM bands a JOIN bands b ON a.j = b.j AND a.k = b.k
+         |    AND a.doc_id < b.doc_id)
+         |SELECT CAST(bit_count(sa ^ sb) AS BIGINT) AS hamming,
+         |  COUNT(*) AS n_pairs
+         |FROM cand WHERE bit_count(sa ^ sb) <= 2
+         |GROUP BY bit_count(sa ^ sb)""".stripMargin
+    else
+      s"""WITH t AS (SELECT doc_id, list_distinct($tks) AS toks FROM documents),
+         |h AS (SELECT doc_id, list_transform(toks, tk -> ${h28(dialect, "tk")}) AS hs FROM t),
+         |sh AS (SELECT doc_id,
+         |  CAST(list_sum(list_transform(range(0, 16), j ->
+         |      CASE WHEN 2 * len(list_filter(hs, v -> CAST(FLOOR(v / POW(2, j)) AS BIGINT) % 2 = 1)) > len(hs)
+         |           THEN CAST(POW(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+         |  FROM h),
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.simhash AS sa, b.simhash AS sb
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming,
+         |  COUNT(*) AS n_pairs
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 2
+         |GROUP BY bit_count(xor(sa, sb))""".stripMargin
+  }
+
   /** Near-dup pairs: MinHash-LSH candidate generation (16 hashes, 4
     * bands — same signature pipeline as q_minhash_dedup) followed by
     * EXACT jaccard verification on the hashed shingle sets of the
@@ -2343,6 +2390,7 @@ object Queries {
           graft.functions.TextFunctions.hash28(col("frame_bytes")).as("frame_hash"))
     }),
     "q_simhash" -> sqlQuery(qSimhash("spark")),
+    "q_simhash_neardup" -> sqlQuery(qSimhashNearDup("spark")),
     "q_asof_join" -> qAsofJoinSpark,
     "q_asof_forward" -> qAsofForwardSpark,
     "q_range_join" -> qRangeJoinSpark,
@@ -2592,6 +2640,7 @@ object Queries {
     "q_stream_cdc_apply" -> qStreamCdcApplyDuck,
     "q_media_frames" -> qMediaFramesDuck,
     "q_simhash" -> qSimhash("duck"),
+    "q_simhash_neardup" -> qSimhashNearDup("duck"),
     "q_embedding_knn" -> qKnn("duck"),
     "q_embedding_neardup" -> qEmbeddingNeardup("duck"),
     "q_embedding_lsh_neardup" -> qLshNeardupDuck,
