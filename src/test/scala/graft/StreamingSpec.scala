@@ -356,6 +356,43 @@ class StreamingSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("Trigger.AvailableNow drains the delta source and terminates") {
+    import graft.delta.{DeltaLog, TransactionWriter, Maintenance}
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft-avnow")
+    val log = DeltaLog.forPath(spark, dir.resolve("t").toString)
+    TransactionWriter.overwrite(log, Seq((0L, "seed")).toDF("n", "s"))
+    (1L to 3L).foreach(i => Maintenance.append(log, Seq((i, s"v$i")).toDF("n", "s")))
+    // NOTE: no rate limit here — AvailableNow fixes its end offset at
+    // the FIRST getOffset, so a rate-limited first offer (backfill
+    // control) would cap the drain at one commit. Rate limits are for
+    // continuous streams; one-shot drains omit them.
+    val outDir = dir.resolve("out").toString
+    def drainOnce(): Unit = {
+      val q = spark.readStream
+        .format(classOf[graft.sources.DeltaSourceProvider].getName)
+        .option("path", log.tablePath)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", dir.resolve("cp").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      // AvailableNow must terminate ON ITS OWN once caught up
+      assert(q.awaitTermination(120000),
+        "AvailableNow query did not self-terminate")
+    }
+    drainOnce()
+    assert(spark.read.parquet(outDir).count() == 4L)
+    // a second AvailableNow run picks up ONLY the new commit
+    Maintenance.append(log, Seq((9L, "late")).toDF("n", "s"))
+    drainOnce()
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 5L,
+      "restart from the checkpoint must append only the new commit")
+    assert(out.where(col("n") === 9L).count() == 1L)
+  }
+
   test("windowed event counts aggregate per tumbling window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
