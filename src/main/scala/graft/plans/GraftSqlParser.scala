@@ -20,6 +20,8 @@ import graft.delta.{Clone, Constraints, DeltaLog, Maintenance, Mutations}
   * GRAFT REORG '<path>' APPLY PURGE                    -- drop DV debt
   * GRAFT FSCK '<path>' [DRY RUN]                       -- repair missing files
   * GRAFT HISTORY '<path>'
+  * GRAFT DESCRIBE DETAIL '<path>'
+  * GRAFT SHOW PARTITIONS '<path>'
   * GRAFT RESTORE '<path>' TO VERSION <v>
   * GRAFT DELETE FROM '<path>' WHERE <predicate>        -- targeted rewrite
   * GRAFT DELETE FROM '<path>' USING DV WHERE <pred>    -- deletion vectors
@@ -53,6 +55,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val History = """(?is)\s*GRAFT\s+HISTORY\s+'([^']+)'\s*""".r
   private val DescribeDetail =
     """(?is)\s*GRAFT\s+DESCRIBE\s+DETAIL\s+'([^']+)'\s*""".r
+  private val ShowPartitions =
+    """(?is)\s*GRAFT\s+SHOW\s+PARTITIONS\s+'([^']+)'\s*""".r
   private val Restore =
     """(?is)\s*GRAFT\s+RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*""".r
   private val Delete =
@@ -145,6 +149,28 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Seq("repaired_path"), s =>
           Maintenance.fsck(DeltaLog.forPath(s, path), dryRun = dry != null)
             .map(Row(_)))
+    case ShowPartitions(path) =>
+      // log-plane partition inventory: values + file/byte/row counts
+      // from the adds relation, no data scan; one small agg collect
+      GraftMaintenanceCommand(path, "show_partitions",
+        Seq("partition", "numFiles", "sizeInBytes", "numRecords"), s => {
+          val snap = DeltaLog.forPath(s, path).snapshot
+          require(snap.metadata.partitionColumns.nonEmpty,
+            s"table $path is not partitioned")
+          import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum, map_entries, concat_ws, transform => tf}
+          snap.addsFlat
+            .withColumn("__p", concat_ws("/",
+              tf(map_entries(col("partition_values")),
+                e => concat_ws("=", e.getField("key"), e.getField("value")))))
+            .groupBy("__p")
+            .agg(count(lit(1)).as("nf"),
+              coalesce(sum("size_bytes"), lit(0L)).as("sb"),
+              coalesce(sum("num_records"), lit(0L)).as("nr"))
+            .orderBy("__p")
+            .collect().toSeq
+            .map(r => Row(r.getString(0), r.getLong(1), r.getLong(2),
+              r.getLong(3)))
+        })
     case DescribeDetail(path) =>
       GraftMaintenanceCommand(path, "describe_detail",
         Seq("format", "id", "location", "partitionColumns",
@@ -314,7 +340,7 @@ case class GraftMaintenanceCommand(
   override def output: Seq[Attribute] = outCols.map { c =>
     val stringCols = Set("operation", "repaired_path", "format", "id",
       "location", "partitionColumns", "clusteringColumns",
-      "tableFeatures", "properties")
+      "tableFeatures", "properties", "partition")
     val dt = if (stringCols(c)) StringType else LongType
     AttributeReference(c, dt, nullable = true)()
   }

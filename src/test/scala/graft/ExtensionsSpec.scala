@@ -186,6 +186,15 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(detail.getAs[Long]("sizeInBytes") > 0L)
     assert(detail.getAs[Long]("minWriterVersion") >= 1L)
 
+    // SHOW PARTITIONS on a partitioned scratch table
+    val spPath = java.nio.file.Files.createTempDirectory("graft_sqlcmd_")
+      .resolve("sp").toString
+    Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("n", "p")
+      .write.format("graftdelta").partitionBy("p").save(spPath)
+    val parts = spark.sql(s"GRAFT SHOW PARTITIONS '$spPath'")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(parts == Map("p=a" -> 2L, "p=b" -> 1L), parts.toString)
+
     // ordinary SQL still parses through the delegate
     assert(spark.sql("SELECT 1 + 1").collect()(0).getInt(0) == 2)
     // ...including parameterized statements (parsePlanWithParameters path)
