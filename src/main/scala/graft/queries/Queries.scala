@@ -550,6 +550,22 @@ object Queries {
          |FROM h""".stripMargin
   }
 
+  /** Corpus report card: doc/token/char totals per language, per
+    * source, and overall in ONE pass (GROUPING SETS — the profile a
+    * mixture designer reads before setting rates). Map-side-combined
+    * aggregate; subtotal rows carry NULL keys in both engines. */
+  private def qCorpusProfile(dialect: String): String = {
+    val ntok =
+      if (dialect == "spark") "size(split(text, ' '))"
+      else "len(string_split(text, ' '))"
+    s"""SELECT lang, source,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM($ntok) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       |FROM documents
+       |GROUP BY GROUPING SETS ((lang), (source), ())""".stripMargin
+  }
+
   /** SimHash near-dup pairs: 16-bit fingerprints band into 4 nibbles;
     * pairs sharing a (band, value) bucket are candidates (pigeonhole:
     * hamming ≤ 2 over 4 bands forces ≥ 2 identical bands, so ≥ 1
@@ -2391,6 +2407,7 @@ object Queries {
     }),
     "q_simhash" -> sqlQuery(qSimhash("spark")),
     "q_simhash_neardup" -> sqlQuery(qSimhashNearDup("spark")),
+    "q_corpus_profile" -> sqlQuery(qCorpusProfile("spark")),
     "q_asof_join" -> qAsofJoinSpark,
     "q_asof_forward" -> qAsofForwardSpark,
     "q_range_join" -> qRangeJoinSpark,
@@ -2641,6 +2658,7 @@ object Queries {
     "q_media_frames" -> qMediaFramesDuck,
     "q_simhash" -> qSimhash("duck"),
     "q_simhash_neardup" -> qSimhashNearDup("duck"),
+    "q_corpus_profile" -> qCorpusProfile("duck"),
     "q_embedding_knn" -> qKnn("duck"),
     "q_embedding_neardup" -> qEmbeddingNeardup("duck"),
     "q_embedding_lsh_neardup" -> qLshNeardupDuck,
