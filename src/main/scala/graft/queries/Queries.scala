@@ -588,13 +588,19 @@ object Queries {
          |bands AS (SELECT doc_id, simhash, j,
          |    CAST(FLOOR(simhash / POW(2, 4 * j)) AS BIGINT) % 16 AS k
          |  FROM sh LATERAL VIEW explode(sequence(0, 3)) bt AS j),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    a.simhash AS sa, b.simhash AS sb
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.simhash AS sa, b.simhash AS sb, a.j AS j
          |  FROM bands a JOIN bands b ON a.j = b.j AND a.k = b.k
-         |    AND a.doc_id < b.doc_id)
+         |    AND a.doc_id < b.doc_id),
+         |-- each pair surfaces once: only from its FIRST matching band
+         |-- (earlier bands must differ) -- no distinct exchange needed
+         |firsts AS (SELECT sa, sb FROM cand
+         |  WHERE j = 0 OR forall(sequence(0, j - 1), jj ->
+         |    CAST(FLOOR(sa / POW(2, 4 * jj)) AS BIGINT) % 16 !=
+         |    CAST(FLOOR(sb / POW(2, 4 * jj)) AS BIGINT) % 16))
          |SELECT CAST(bit_count(sa ^ sb) AS BIGINT) AS hamming,
          |  COUNT(*) AS n_pairs
-         |FROM cand WHERE bit_count(sa ^ sb) <= 2
+         |FROM firsts WHERE bit_count(sa ^ sb) <= 2
          |GROUP BY bit_count(sa ^ sb)""".stripMargin
     else
       s"""WITH t AS (SELECT doc_id, list_distinct($tks) AS toks FROM documents),
