@@ -566,57 +566,84 @@ object Queries {
        |GROUP BY GROUPING SETS ((lang), (source), ())""".stripMargin
   }
 
-  /** SimHash near-dup pairs: 16-bit fingerprints band into 4 nibbles;
-    * pairs sharing a (band, value) bucket are candidates (pigeonhole:
-    * hamming ≤ 2 over 4 bands forces ≥ 2 identical bands, so ≥ 1
-    * bucket hit — candidate generation is COMPLETE for the verify
-    * threshold); exact verify is one xor + popcount. 100 TB shape:
-    * shuffle on (band, value) buckets only, no all-pairs join, and
-    * the verify operand is a single long per side instead of a
-    * shingle set. */
+  /** SimHash near-dup pairs over a 64-bit fingerprint banded into
+    * 4×16-bit bands. Each band's per-token hash is a distinct
+    * 4-hex-char slice of ONE md5 per token (bands stay independent;
+    * one digest amortized across all four), and each band value is
+    * the 16-bit per-bit-majority vector of those hashes. Pairs
+    * sharing a (band, value) bucket are candidates — pigeonhole:
+    * hamming ≤ 3 over 4 bands forces ≥ 1 identical band, so
+    * candidate generation is COMPLETE for the verify threshold —
+    * and the exact verify is four xor+popcounts. 100 TB shape: each
+    * band key has 65,536 possible values, so bucket population
+    * tracks DATA similarity, not corpus size (the earlier 16-bit
+    * variant's 4-bit nibble bands had 16 values each, making
+    * candidates O(n²/64)); shuffle is on (band, value) only, and
+    * each surviving pair is emitted exactly once — from its first
+    * matching band — so no distinct exchange is needed. */
   private def qSimhashNearDup(dialect: String): String = {
     val tks = toks(dialect)
-    if (dialect == "spark")
+    if (dialect == "spark") {
+      val hbCols = (0 until 4).map { b =>
+        s"    transform(ms, m -> CAST(conv(substring(m, ${1 + 4 * b}, 4), 16, 10) AS BIGINT)) AS h$b"
+      }.mkString(",\n")
+      def bandVal(b: Int): String =
+        s"""aggregate(transform(sequence(0, 15), j ->
+           |      CASE WHEN 2 * size(filter(h$b, v -> CAST(FLOOR(v / POW(2, j)) AS BIGINT) % 2 = 1)) > size(h$b)
+           |           THEN CAST(POW(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+           |    CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin
+      val bandCols = (0 until 4).map(b => s"  ${bandVal(b)} AS b$b").mkString(",\n")
       s"""WITH t AS (SELECT /*+ REPARTITION(32) */ doc_id, array_distinct($tks) AS toks FROM documents),
-         |h AS (SELECT doc_id, transform(toks, tk -> ${h28(dialect, "tk")}) AS hs FROM t),
-         |sh AS (SELECT doc_id,
-         |  aggregate(transform(sequence(0, 15), j ->
-         |      CASE WHEN 2 * size(filter(hs, v -> CAST(FLOOR(v / POW(2, j)) AS BIGINT) % 2 = 1)) > size(hs)
-         |           THEN CAST(POW(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
-         |    CAST(0 AS BIGINT), (acc, x) -> acc + x) AS simhash
+         |h AS (SELECT doc_id, transform(toks, tk -> md5(tk)) AS ms FROM t),
+         |hb AS (SELECT doc_id,
+         |$hbCols
          |  FROM h),
-         |bands AS (SELECT doc_id, simhash, j,
-         |    CAST(FLOOR(simhash / POW(2, 4 * j)) AS BIGINT) % 16 AS k
+         |f AS (SELECT doc_id,
+         |$bandCols
+         |  FROM hb),
+         |sh AS (SELECT doc_id, array(b0, b1, b2, b3) AS bs FROM f),
+         |bands AS (SELECT doc_id, bs, j, element_at(bs, j + 1) AS k
          |  FROM sh LATERAL VIEW explode(sequence(0, 3)) bt AS j),
-         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    a.simhash AS sa, b.simhash AS sb, a.j AS j
+         |cand AS (SELECT a.bs AS ba, b.bs AS bb, a.j AS j
          |  FROM bands a JOIN bands b ON a.j = b.j AND a.k = b.k
          |    AND a.doc_id < b.doc_id),
          |-- each pair surfaces once: only from its FIRST matching band
          |-- (earlier bands must differ) -- no distinct exchange needed
-         |firsts AS (SELECT sa, sb FROM cand
+         |firsts AS (SELECT ba, bb FROM cand
          |  WHERE j = 0 OR forall(sequence(0, j - 1), jj ->
-         |    CAST(FLOOR(sa / POW(2, 4 * jj)) AS BIGINT) % 16 !=
-         |    CAST(FLOOR(sb / POW(2, 4 * jj)) AS BIGINT) % 16))
-         |SELECT CAST(bit_count(sa ^ sb) AS BIGINT) AS hamming,
-         |  COUNT(*) AS n_pairs
-         |FROM firsts WHERE bit_count(sa ^ sb) <= 2
-         |GROUP BY bit_count(sa ^ sb)""".stripMargin
-    else
+         |    element_at(ba, jj + 1) != element_at(bb, jj + 1))),
+         |hd AS (SELECT aggregate(zip_with(ba, bb, (x, y) -> CAST(bit_count(x ^ y) AS BIGINT)),
+         |    CAST(0 AS BIGINT), (acc, x) -> acc + x) AS hamming FROM firsts)
+         |SELECT hamming, COUNT(*) AS n_pairs
+         |FROM hd WHERE hamming <= 3
+         |GROUP BY hamming""".stripMargin
+    } else {
+      val hbCols = (0 until 4).map { b =>
+        s"    list_transform(ms, m -> ('0x' || substr(m, ${1 + 4 * b}, 4))::BIGINT) AS h$b"
+      }.mkString(",\n")
+      def bandVal(b: Int): String =
+        s"""CAST(list_sum(list_transform(range(0, 16), j ->
+           |      CASE WHEN 2 * len(list_filter(h$b, v -> CAST(FLOOR(v / POW(2, j)) AS BIGINT) % 2 = 1)) > len(h$b)
+           |           THEN CAST(POW(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
+      val bandCols = (0 until 4).map(b => s"  ${bandVal(b)} AS b$b").mkString(",\n")
       s"""WITH t AS (SELECT doc_id, list_distinct($tks) AS toks FROM documents),
-         |h AS (SELECT doc_id, list_transform(toks, tk -> ${h28(dialect, "tk")}) AS hs FROM t),
-         |sh AS (SELECT doc_id,
-         |  CAST(list_sum(list_transform(range(0, 16), j ->
-         |      CASE WHEN 2 * len(list_filter(hs, v -> CAST(FLOOR(v / POW(2, j)) AS BIGINT) % 2 = 1)) > len(hs)
-         |           THEN CAST(POW(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+         |h AS (SELECT doc_id, list_transform(toks, tk -> md5(tk)) AS ms FROM t),
+         |hb AS (SELECT doc_id,
+         |$hbCols
          |  FROM h),
-         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    a.simhash AS sa, b.simhash AS sb
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-         |SELECT CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming,
-         |  COUNT(*) AS n_pairs
-         |FROM cand WHERE bit_count(xor(sa, sb)) <= 2
-         |GROUP BY bit_count(xor(sa, sb))""".stripMargin
+         |f AS (SELECT doc_id,
+         |$bandCols
+         |  FROM hb),
+         |cand AS (SELECT a.b0 AS a0, a.b1 AS a1, a.b2 AS a2, a.b3 AS a3,
+         |    b.b0 AS c0, b.b1 AS c1, b.b2 AS c2, b.b3 AS c3
+         |  FROM f a JOIN f b ON a.doc_id < b.doc_id),
+         |hd AS (SELECT CAST(bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+         |    + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) AS BIGINT) AS hamming
+         |  FROM cand)
+         |SELECT hamming, COUNT(*) AS n_pairs
+         |FROM hd WHERE hamming <= 3
+         |GROUP BY hamming""".stripMargin
+    }
   }
 
   /** Near-dup pairs: MinHash-LSH candidate generation (16 hashes, 4
@@ -2600,7 +2627,7 @@ object Queries {
         |  SELECT substr(word, i, 1) AS lhs, substr(word, i + 1, 1) AS rhs, freq
         |  FROM wf, unnest(range(1, len(word))) AS t(i)
         |  WHERE len(word) > 1)
-        |SELECT lhs, rhs, SUM(freq) AS n FROM p GROUP BY lhs, rhs
+        |SELECT lhs, rhs, CAST(SUM(freq) AS BIGINT) AS n FROM p GROUP BY lhs, rhs
         |ORDER BY n DESC, lhs, rhs LIMIT 20""".stripMargin,
     "q_importance_sample" ->
       """WITH w AS (SELECT doc_id, lang, source,
