@@ -729,6 +729,36 @@ object Maintenance {
       dataChange = false, preservedCols = preserved)
   }
 
+  /** OPTIMIZE ... WHERE: validate and translate a user predicate that
+    * scopes a maintenance pass to matching partitions (delta-spark's
+    * contract — at 100 TB you optimize the partitions that just
+    * ingested, not the table). Non-partition columns are refused: a
+    * row predicate cannot select whole files. Returns the file-level
+    * pruning predicate over the adds relation. */
+  private def partitionScope(
+      log: DeltaLog, snap: Snapshot,
+      w: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val spark = log.spark
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      snap.schema)
+    val attrs = empty.where(w).queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.collect {
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+            a.name
+        }
+    }.flatten.distinct
+    require(attrs.nonEmpty &&
+      attrs.forall(snap.metadata.partitionColumns.contains),
+      s"OPTIMIZE WHERE accepts partition-column predicates only " +
+        s"(partitions: ${snap.metadata.partitionColumns.mkString(",")}; " +
+        s"predicate references: ${attrs.mkString(",")})")
+    Skipping.pruningPredicate(snap, w).getOrElse(
+      throw new IllegalArgumentException(
+        s"OPTIMIZE WHERE predicate is not translatable to partition pruning: $w"))
+  }
+
   /** Targeted OPTIMIZE: rewrite ONLY the active files smaller than
     * `smallThreshold` into ~`targetFileBytes` files, leaving right-sized
     * files untouched in the log. This is the shape an OPTIMIZE pass
@@ -753,32 +783,8 @@ object Maintenance {
     val threshold =
       if (smallThresholdBytes > 0) smallThresholdBytes else targetFileBytes / 2
     val snap = log.snapshot
-    // OPTIMIZE ... WHERE: scope the pass to partitions matching a
-    // PARTITION predicate (delta-spark's contract — at 100 TB you
-    // compact the partitions that just ingested, not the table).
-    // Non-partition columns are refused: a row predicate cannot select
-    // whole files.
-    val partitionPred: Option[org.apache.spark.sql.Column] = where.map { w =>
-      val spark = log.spark
-      val empty = spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        snap.schema)
-      val attrs = empty.where(w).queryExecution.analyzed.collect {
-        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-          f.condition.collect {
-            case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
-              a.name
-          }
-      }.flatten.distinct
-      require(attrs.nonEmpty &&
-        attrs.forall(snap.metadata.partitionColumns.contains),
-        s"OPTIMIZE WHERE accepts partition-column predicates only " +
-          s"(partitions: ${snap.metadata.partitionColumns.mkString(",")}; " +
-          s"predicate references: ${attrs.mkString(",")})")
-      Skipping.pruningPredicate(snap, w).getOrElse(
-        throw new IllegalArgumentException(
-          s"OPTIMIZE WHERE predicate is not translatable to partition pruning: $w"))
-    }
+    val partitionPred: Option[org.apache.spark.sql.Column] =
+      where.map(w => partitionScope(log, snap, w))
     // The minSmallFiles floor applies PER PARTITION VALUE: a lone small
     // file in a partition rewrites to itself (one output file per
     // value), so including it would commit a useless identical rewrite
@@ -1170,13 +1176,22 @@ object Maintenance {
     * Normalization is linear min/max scaling to 16 bits per column (one
     * cheap global agg); the interleave itself is a map-only Column
     * expression, and file assignment is a range partition on the
-    * z-value — fully distributed, no global sort on the driver. */
+    * z-value — fully distributed, no global sort on the driver.
+    *
+    * `where` scopes the pass to partitions matching a PARTITION
+    * predicate (same contract as [[compactSmall]]): only the matching
+    * files are rewritten — at 100 TB you z-order the partitions that
+    * just ingested, not the table — with z-value normalization bounds
+    * computed over the scoped rows. */
   def zorder(
       log: DeltaLog, zCols: Seq[String],
-      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      where: Option[org.apache.spark.sql.Column] = None): Long = {
     require(zCols.nonEmpty && zCols.size <= 4, "zorder needs 1-4 columns")
     val snap = log.snapshot
-    val planned = snap.planFiles()
+    val scopePred = where.map(w => partitionScope(log, snap, w))
+    val planned = snap.planFiles(scopePred)
+    if (planned.isEmpty) return snap.version
     val (df, preserved) = RowTracking.preservingScan(snap, planned)
     zCols.foreach { c =>
       require(df.columns.contains(c), s"unknown zorder column $c")
@@ -1221,10 +1236,16 @@ object Maintenance {
       .repartitionByRange(targetFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-    TransactionWriter.overwrite(log, ordered,
-      partitionBy = Some(snap.metadata.partitionColumns),
-      operation = "OPTIMIZE ZORDER BY",
-      dataChange = false, preservedCols = preserved)
+    if (scopePred.isDefined)
+      // scoped pass: swap ONLY the matched files, like compactSmall —
+      // the rest of the table's layout (and log entries) are untouched
+      TransactionWriter.rewriteFiles(log, snap, planned, ordered,
+        "OPTIMIZE ZORDER BY", dataChange = false, preservedCols = preserved)
+    else
+      TransactionWriter.overwrite(log, ordered,
+        partitionBy = Some(snap.metadata.partitionColumns),
+        operation = "OPTIMIZE ZORDER BY",
+        dataChange = false, preservedCols = preserved)
   }
 
   /** RESTORE to a previous version (delta-rs `restore`): a metadata-only

@@ -83,12 +83,19 @@ final case class Merge(
       val candidates =
         matchedUpdate.map(_._2).getOrElse(Map.empty) ++
           notMatchedInsert.map(_._2).getOrElse(Map.empty)
-      candidates.filterNot { case (k, _) => existing(k) }
+      // ALL new columns land in ONE metadata commit (not one per
+      // column): a failed/aborted merge leaves at most one extra log
+      // version, and the evolution is never partially visible.
+      // Divergence vs delta-spark (which folds evolution into the
+      // merge commit itself): here the schema commit precedes the
+      // merge commit, so an aborted merge retains the added columns —
+      // harmless (nullable, unreferenced) but visible in history.
+      val added = candidates.filterNot { case (k, _) => existing(k) }
         .toSeq.sortBy(_._1)
-        .foreach { case (name, e) =>
-          val dt = srcAliased.select(e).schema.head.dataType
-          SchemaEvolution.addColumn(log, name, dt)
+        .map { case (name, e) =>
+          name -> srcAliased.select(e).schema.head.dataType
         }
+      if (added.nonEmpty) SchemaEvolution.addColumns(log, added)
     }
     val snap = log.snapshot
     val targetSchema = snap.schema

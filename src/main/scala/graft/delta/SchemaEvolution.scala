@@ -110,26 +110,46 @@ object SchemaEvolution {
     * files surface null). On a mapped table the field gets a fresh id
     * and uuid physical name; on an unmapped table this is the explicit
     * single-column form of mergeSchema. */
-  def addColumn(log: DeltaLog, name: String, dataType: DataType): Long = {
+  def addColumn(log: DeltaLog, name: String, dataType: DataType): Long =
+    addColumns(log, Seq(name -> dataType))
+
+  /** Add several nullable columns in ONE metadata commit. Schema
+    * evolution that touches N columns must not burn N log versions
+    * (history/CDF consumers see every version; at 100 TB the log is
+    * the contended resource, not the data) — and a multi-column
+    * evolution is either all-visible or not-visible, never partial. */
+  def addColumns(log: DeltaLog, cols: Seq[(String, DataType)]): Long = {
+    require(cols.nonEmpty, "addColumns needs at least one column")
     val snap = log.snapshot
     val schema = snap.schema
-    require(!schema.fieldNames.contains(name), s"column '$name' already exists")
+    cols.foreach { case (name, _) =>
+      require(!schema.fieldNames.contains(name), s"column '$name' already exists") }
+    require(cols.map(_._1).distinct.size == cols.size,
+      s"duplicate column names in ${cols.map(_._1)}")
     val m = snap.metadata
-    val (field, conf) =
-      if (snap.columnMappingMode != "none") {
-        val maxId = m.configuration.get("delta.columnMapping.maxColumnId")
-          .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(0L)
+    val mapped = snap.columnMappingMode != "none"
+    val maxId0 = m.configuration.get("delta.columnMapping.maxColumnId")
+      .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(0L)
+    val fields = cols.zipWithIndex.map { case ((name, dataType), i) =>
+      if (mapped) {
         val md = new MetadataBuilder()
-          .putLong(IdKey, maxId + 1)
+          .putLong(IdKey, maxId0 + i + 1)
           .putString(PhysKey, s"col-${java.util.UUID.randomUUID}")
           .build()
-        (StructField(name, dataType, nullable = true, md),
-          m.configuration + ("delta.columnMapping.maxColumnId" -> (maxId + 1).toString))
-      } else (StructField(name, dataType, nullable = true), m.configuration)
+        StructField(name, dataType, nullable = true, md)
+      } else StructField(name, dataType, nullable = true)
+    }
+    val conf =
+      if (mapped)
+        m.configuration +
+          ("delta.columnMapping.maxColumnId" -> (maxId0 + cols.size).toString)
+      else m.configuration
     commitMeta(log, snap, m.copy(
-      schemaString = StructType(schema.fields :+ field).json,
+      schemaString = StructType(schema.fields ++ fields).json,
       configuration = conf),
-      "ADD COLUMN", Map("column" -> name, "type" -> dataType.simpleString))
+      "ADD COLUMNS",
+      Map("columns" -> cols.map { case (n, dt) => s"$n ${dt.simpleString}" }
+        .mkString(", ")))
   }
 
   private def requireMapped(log: DeltaLog, snap: Snapshot, what: String): Unit =

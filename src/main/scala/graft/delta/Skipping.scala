@@ -150,7 +150,7 @@ object Skipping {
               case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
                 a.name
             }.distinct
-            val monotonic = pe match {
+            val monotonicShape = pe match {
               case c: ce.Cast =>
                 c.dataType == org.apache.spark.sql.types.DateType
               case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
@@ -158,8 +158,23 @@ object Skipping {
                   .contains(f.nameParts.last.toLowerCase(java.util.Locale.ROOT))
               case _ => false
             }
-            if (attrs.size == 1) Some(attrs.head -> (name, exprStr, monotonic))
-            else None
+            if (attrs.size == 1) {
+              // the shape alone is not enough: to_date/CAST over a
+              // STRING base is NOT monotonic in the base's string
+              // order (e.g. 'MM/dd/yyyy' text), so range mapping
+              // would prune files that contain matching rows. Only a
+              // temporal base orders consistently with the derived
+              // value; anything else falls back to equality-only.
+              val baseType =
+                try snap.schema(attrs.head).dataType
+                catch { case scala.util.control.NonFatal(_) =>
+                  org.apache.spark.sql.types.NullType }
+              val monotonic = monotonicShape &&
+                (baseType == org.apache.spark.sql.types.DateType ||
+                  baseType == org.apache.spark.sql.types.TimestampType ||
+                  baseType == org.apache.spark.sql.types.TimestampNTZType)
+              Some(attrs.head -> (name, exprStr, monotonic))
+            } else None
           } catch { case scala.util.control.NonFatal(_) => None }
         }
         .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }

@@ -579,18 +579,6 @@ object TransactionWriter {
           "partitionBy" -> partCols.mkString("[\"", "\",\"", "\"]"))))
       txn.foreach(t => actions += TxnAction(t))
       val idDeclared = IdentityColumns.of(genDeclared).nonEmpty
-      // Declaring identity columns on an EXISTING table must upgrade
-      // the writer protocol too, or legacy writers would keep writing
-      // without generating values / advancing the mark.
-      if (idDeclared) prev.foreach { s =>
-        val p = s.protocol
-        val licensed = (p.minWriterVersion >= 6 && p.minWriterVersion < 7) ||
-          (p.minWriterVersion >= 7 && p.writerFeatures.contains("identityColumns"))
-        if (!licensed) actions += ProtocolAction(
-          if (p.minWriterVersion >= 7)
-            p.copy(writerFeatures = p.writerFeatures + "identityColumns")
-          else p.copy(minWriterVersion = 6))
-      }
       // Variant columns are a TABLE FEATURE (reader+writer): a reader
       // unaware of the encoding must refuse, so the schema containing
       // one forces the r3/w7 feature lists on create and upgrades on
@@ -605,10 +593,31 @@ object TransactionWriter {
       }
       val variantDeclared =
         hasVariant(declaredSchema.getOrElse(schema)) || hasVariant(schema)
-      if (variantDeclared) prev.foreach { s =>
-        val p = s.protocol
-        if (!(p.minReaderVersion >= 3 && p.readerFeatures.contains("variantType")))
-          actions += ProtocolAction(Protocol(
+      // Protocol upgrades on an EXISTING table accumulate into ONE
+      // ProtocolAction: a write that both licenses identity columns
+      // (legacy writers would keep writing without generating values /
+      // advancing the mark) and introduces the first variant column
+      // must apply the identity upgrade FIRST and derive the variant
+      // feature lists from that result — two actions computed from the
+      // stale snapshot protocol would drop identityColumns on the
+      // log's last-wins replay.
+      prev.foreach { s =>
+        var p = s.protocol
+        var upgraded = false
+        if (idDeclared) {
+          val licensed = (p.minWriterVersion >= 6 && p.minWriterVersion < 7) ||
+            (p.minWriterVersion >= 7 && p.writerFeatures.contains("identityColumns"))
+          if (!licensed) {
+            p =
+              if (p.minWriterVersion >= 7)
+                p.copy(writerFeatures = p.writerFeatures + "identityColumns")
+              else p.copy(minWriterVersion = 6)
+            upgraded = true
+          }
+        }
+        if (variantDeclared &&
+            !(p.minReaderVersion >= 3 && p.readerFeatures.contains("variantType"))) {
+          p = Protocol(
             minReaderVersion = 3, minWriterVersion = 7,
             readerFeatures = p.readerFeatures + "variantType" ++
               (if (p.minReaderVersion == 2) Set("columnMapping") else Set.empty),
@@ -621,7 +630,10 @@ object TransactionWriter {
                  5 -> Set("columnMapping"),
                  6 -> Set("identityColumns"))
                  .collect { case (mv, fs) if p.minWriterVersion >= mv => fs }
-                 .flatten.toSet)))
+                 .flatten.toSet))
+          upgraded = true
+        }
+        if (upgraded) actions += ProtocolAction(p)
       }
       if (prev.isEmpty) actions += ProtocolAction(
         // creating a mapped table: column mapping is a legacy

@@ -127,8 +127,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Seq("version"), s => {
           val log = DeltaLog.forPath(s, path)
           val v = (Option(zcols), Option(whereSql)) match {
-            case (Some(cs), _) =>
-              Maintenance.zorder(log, cs.split(",").map(_.trim).toSeq)
+            case (Some(cs), w) =>
+              // WHERE scopes the z-order pass to matching partitions
+              // (round-6 advice: it was silently dropped here)
+              Maintenance.zorder(log, cs.split(",").map(_.trim).toSeq,
+                where = w.map(org.apache.spark.sql.functions.expr))
             case (None, Some(w)) =>
               // partition-scoped small-file pass (delta's OPTIMIZE WHERE)
               Maintenance.compactSmall(log,

@@ -128,6 +128,20 @@ class DeltaStreamSource(
           v += 1; cum += bytesOf(v)
         }
         v
+      case (Some(cap), None) if maxCommitsPerTrigger.isEmpty =>
+        // first offer with ONLY the byte cap configured: without this
+        // branch commitCapped = latest and the entire table history
+        // would be admitted as one batch — defeating admission control
+        // exactly when the backlog is largest. Mirror the commit-capped
+        // path: start the byte walk at the earliest reconstructible
+        // version and extend while cumulative added bytes fit.
+        val (commits, cps) = log.listLog()
+        var v = math.min(latest, (commits ++ cps).min)
+        var cum = bytesOf(v)
+        while (v < commitCapped && cum + bytesOf(v + 1) <= cap) {
+          v += 1; cum += bytesOf(v)
+        }
+        v
       case _ => commitCapped
     }
     lastOffered = Some(math.max(target, lastOffered.getOrElse(-1L)))

@@ -214,6 +214,22 @@ object SqlDemo {
         s"OPTIMIZE WHERE must fold only partition x: $optwFiles")
       println(s"== OPTIMIZE WHERE p='x': files per partition $optwFiles ==")
 
+      // ZORDER BY + WHERE: partition-scoped Z-order (round-7; the WHERE
+      // was silently dropped before) — y files rewritten, x untouched
+      val zwBefore = graft.delta.DeltaLog.forPath(spark, optwPath)
+        .snapshot.activeFiles.groupBy(_.partitionValues("p"))
+        .view.mapValues(_.map(_.path).toSet).toMap
+      spark.sql(s"GRAFT OPTIMIZE '$optwPath' ZORDER BY (id) WHERE p = 'y'")
+      val zwAfter = graft.delta.DeltaLog.forPath(spark, optwPath)
+        .snapshot.activeFiles.groupBy(_.partitionValues("p"))
+        .view.mapValues(_.map(_.path).toSet).toMap
+      require(zwAfter("y").intersect(zwBefore("y")).isEmpty,
+        "ZORDER WHERE must rewrite the matching partition")
+      require(zwAfter("x") == zwBefore("x"),
+        "ZORDER WHERE must not touch non-matching partitions")
+      require(spark.read.format("graftdelta").load(optwPath).count() == 40L)
+      println(s"== OPTIMIZE ZORDER BY (id) WHERE p='y': scoped rewrite OK ==")
+
       // DESCRIBE DETAIL: one-row table summary from the log plane
       val detail = spark.sql(s"GRAFT DESCRIBE DETAIL '$widenPath'").head()
       require(detail.getAs[String]("format") == "delta")

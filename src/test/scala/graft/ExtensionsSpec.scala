@@ -203,6 +203,31 @@ class ExtensionsSpec extends AnyFunSuite {
     intercept[Exception](spark.sql("GRAFT FROBNICATE 'x'"))
   }
 
+  test("GRAFT OPTIMIZE ZORDER BY + WHERE scopes the pass (round-6 advice: WHERE was dropped)") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_zorderw_")
+      .resolve("t").toString
+    (1L to 40L).map(i => (i, i % 5, if (i % 2 == 0) "a" else "b"))
+      .toDF("n", "m", "p")
+      .write.format("graftdelta").partitionBy("p").mode("overwrite").save(path)
+    val log = graft.delta.DeltaLog.forPath(spark, path)
+    val before = log.snapshot.activeFiles
+      .groupBy(_.partitionValues("p")).view.mapValues(_.map(_.path).toSet).toMap
+
+    spark.sql(s"GRAFT OPTIMIZE '$path' ZORDER BY (n, m) WHERE p = 'a'").collect()
+    val after = graft.delta.DeltaLog.forPath(spark, path).snapshot.activeFiles
+      .groupBy(_.partitionValues("p")).view.mapValues(_.map(_.path).toSet).toMap
+    assert(after("a").intersect(before("a")).isEmpty, "partition a rewritten")
+    assert(after("b") == before("b"), "partition b untouched")
+    assert(spark.read.format("graftdelta").load(path).count() == 40L)
+
+    // a non-partition WHERE must fail loudly, not silently full-scan
+    val e = intercept[Exception] {
+      spark.sql(s"GRAFT OPTIMIZE '$path' ZORDER BY (n) WHERE n > 3").collect()
+    }
+    assert(e.getMessage.contains("partition"), e.getMessage)
+  }
+
   test("name-addressed tables: CREATE TABLE USING graftdelta, plain SELECT + INSERT") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_named_")

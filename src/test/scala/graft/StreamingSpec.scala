@@ -356,6 +356,33 @@ class StreamingSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("byte cap ALONE paces the FIRST batch too (round-6 advice: backlog admission)") {
+    import graft.delta.{DeltaLog, TransactionWriter, Maintenance}
+    // only maxBytesPerTrigger configured, with a pre-existing backlog of
+    // 5 commits: before the fix the first getOffset admitted the whole
+    // history as one batch — exactly when the backlog is largest
+    val dir = java.nio.file.Files.createTempDirectory("graft-bytes-first")
+    val log = DeltaLog.forPath(spark, dir.resolve("t").toString)
+    TransactionWriter.overwrite(log, Seq((0L, "seed")).toDF("n", "s"))
+    (1L to 4L).foreach(i => Maintenance.append(log, Seq((i, s"v$i")).toDF("n", "s")))
+    val q = spark.readStream
+      .format(classOf[graft.sources.DeltaSourceProvider].getName)
+      .option("path", log.tablePath)
+      .option("maxBytesPerTrigger", "1")
+      .load()
+      .writeStream.format("memory").queryName("bytes_first_out")
+      .outputMode("append")
+      .option("checkpointLocation", dir.resolve("cp").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("bytes_first_out").count() == 5L)
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      assert(batches >= 4,
+        s"first batch must respect the byte cap: got $batches batches")
+    } finally q.stop()
+  }
+
   test("Trigger.AvailableNow drains the delta source and terminates") {
     import graft.delta.{DeltaLog, TransactionWriter, Maintenance}
     import org.apache.spark.sql.streaming.Trigger

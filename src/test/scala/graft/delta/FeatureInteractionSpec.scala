@@ -75,4 +75,37 @@ class FeatureInteractionSpec extends SparkTestBase {
     // checksum chain validates at the head
     assert(Checksum.read(fresh, fresh.snapshot.version).nonEmpty)
   }
+
+  test("identity + first variant in ONE write emit ONE combined ProtocolAction (round-6 advice)") {
+    import org.apache.spark.sql.types._
+    val path = Files.createTempDirectory("graft-proto2").resolve("t").toString
+    val log = DeltaLog.forPath(spark, path)
+    // plain table, legacy protocol, no identity / variant features
+    TransactionWriter.overwrite(log, Seq((1L, "x")).toDF("k", "s"))
+    assert(log.snapshot.protocol.minWriterVersion < 6)
+
+    // one write that BOTH declares an identity column on the existing
+    // table AND introduces the first variant column: the two upgrades
+    // must accumulate into a single ProtocolAction (two actions would
+    // drop identityColumns on last-wins replay)
+    val declared = StructType(Seq(
+      IdentityColumns.field("id"),
+      StructField("k", LongType),
+      StructField("s", StringType),
+      StructField("meta", VariantType)))
+    TransactionWriter.overwriteWithSchema(log,
+      Seq((2L, "y", """{"a": 1}""")).toDF("k", "s", "j")
+        .select(col("k"), col("s"), parse_json(col("j")).as("meta")),
+      declared)
+    val v = log.latestVersion()
+    val protoActions = log.commitActions(v).collect {
+      case ProtocolAction(p) => p
+    }
+    assert(protoActions.size == 1,
+      s"expected ONE ProtocolAction, got ${protoActions.size}")
+    val p = log.snapshot.protocol
+    assert(p.writerFeatures.contains("identityColumns"), p.toString)
+    assert(p.writerFeatures.contains("variantType"), p.toString)
+    assert(p.readerFeatures.contains("variantType"), p.toString)
+  }
 }

@@ -143,4 +143,41 @@ class GeneratedColumnsSpec extends SparkTestBase {
       .select("id").collect().map(_.getLong(0)).sorted.toSeq
     assert(rows == Seq(2L, 3L))
   }
+
+  test("STRING-base generated column: range predicates must NOT prune (round-6 advice)") {
+    import org.apache.spark.sql.functions._
+    val log = freshLog()
+    // day = to_date over a STRING in 'MM/dd/yyyy' order: the string
+    // order of s disagrees with the parsed date order ('06/01/2024' <
+    // '12/01/2023' as strings), so range mapping through the generated
+    // expr would prune files that contain matching rows.
+    val declared = StructType(Seq(
+      StructField("id", LongType),
+      StructField("s", StringType),
+      GeneratedColumns.field("day", DateType, "to_date(s, 'MM/dd/yyyy')")))
+    val df = Seq(
+      (1L, "12/01/2023"),
+      (2L, "06/01/2024"),
+      (3L, "11/15/2024"))
+      .toDF("id", "s")
+    TransactionWriter.overwriteWithSchema(log, df, declared,
+      partitionBy = Some(Seq("day")))
+    val snap = log.snapshot
+    assert(snap.numFiles == 3, "one file per day partition expected")
+
+    // equality still maps (evaluate the expr at the literal): one file
+    val eq = snap.planFilesForPredicate(col("s") === "06/01/2024")
+    assert(eq.size == 1, s"eq pruned to ${eq.size} files")
+    assert(eq.head.partitionValues("day") == "2024-06-01")
+
+    // RANGE on the string base must keep every file: '12/01/2023' rows
+    // satisfy s >= '06/01/2024' in string order but live in the
+    // 2023-12-01 partition, which monotonic mapping would drop
+    val range = snap.planFilesForPredicate(col("s") >= "06/01/2024")
+    assert(range.size == 3,
+      s"string-base range must not prune, kept ${range.size} files")
+    val rows = snap.read().where(col("s") >= "06/01/2024")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == Seq(1L, 2L, 3L))
+  }
 }

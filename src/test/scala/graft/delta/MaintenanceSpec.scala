@@ -539,4 +539,29 @@ class MaintenanceSpec extends SparkTestBase {
       Maintenance.compactSmall(log, where = Some(col("id") > 10L))
     }
   }
+
+  test("zorder WHERE scopes the rewrite to matching partitions") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("graft-zw")
+      .resolve("t").toString
+    val log = DeltaLog.forPath(spark, path)
+    val df = (1L to 80L).map(i => (i, i % 7, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "n", "p").repartition(4)
+    TransactionWriter.overwrite(log, df, partitionBy = Some(Seq("p")))
+    val before = log.snapshot.activeFiles
+      .groupBy(_.partitionValues("p")).view.mapValues(_.map(_.path).toSet).toMap
+
+    Maintenance.zorder(log, Seq("id", "n"), where = Some(col("p") === "a"))
+    val after = log.snapshot.activeFiles
+      .groupBy(_.partitionValues("p")).view.mapValues(_.map(_.path).toSet).toMap
+    assert(after("a").intersect(before("a")).isEmpty,
+      "all partition-a files must be rewritten")
+    assert(after("b") == before("b"), "partition b must be untouched")
+    assert(log.snapshot.read().count() == 80L)
+
+    // non-partition predicate refused for zorder too
+    intercept[IllegalArgumentException] {
+      Maintenance.zorder(log, Seq("id"), where = Some(col("id") > 10L))
+    }
+  }
 }

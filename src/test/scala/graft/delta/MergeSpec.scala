@@ -204,6 +204,33 @@ class MergeSpec extends SparkTestBase {
       (9L, "NEW", 0L, Some("extra9"))), out.toString)
   }
 
+  test("withSchemaEvolution batches ALL new columns into one metadata commit") {
+    val log = freshLog(Seq((1L, "a", 10L)))
+    val v0 = log.latestVersion()
+    val source = Seq((1L, "A", "x", 5L), (2L, "B", "y", 6L))
+      .toDF("id", "attr", "note", "score")
+    // two new columns (note, score) -> exactly ONE schema commit plus
+    // the merge commit (round-6 advice: was one commit per column)
+    Merge.into(log, source, col("t.id") === col("s.id"))
+      .whenMatchedUpdate(Map("attr" -> col("s.attr"),
+        "note" -> col("s.note"), "score" -> col("s.score")))
+      .whenNotMatchedInsert(Map("id" -> col("s.id"), "attr" -> col("s.attr"),
+        "v" -> lit(0L), "note" -> col("s.note"), "score" -> col("s.score")))
+      .withSchemaEvolution()
+      .execute()
+    assert(log.latestVersion() == v0 + 2,
+      s"expected one ADD COLUMNS + one MERGE commit after v$v0, " +
+        s"got latest ${log.latestVersion()}")
+    val snap = log.snapshot
+    assert(snap.schema.fieldNames.toSeq.takeRight(2) == Seq("note", "score"))
+    val out = snap.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(3)),
+        Option(r.get(4)))).toSeq
+    assert(out == Seq(
+      (1L, "A", Some("x"), Some(5L)),
+      (2L, "B", Some("y"), Some(6L))), out.toString)
+  }
+
   test("without schema evolution unknown columns still error") {
     val log = freshLog(Seq((1L, "a", 10L)))
     val source = Seq((1L, "x")).toDF("id", "note")
