@@ -1,0 +1,51 @@
+package graft
+
+/** Guards the documents/embeddings query families against testdata
+  * regeneration, the same failure mode EventsQueriesSpec guards for
+  * events.parquet (round-5: a driver-side type change broke 8 queries
+  * invisibly, because `sbt test` never read the regenerated file).
+  * One representative query per family/accessor shape, limit(1) at
+  * sf0.001 — together they touch every documents column (doc_id,
+  * text, lang, source, n_chars) and every embeddings column (vec_id,
+  * embedding, label), so any driver regeneration that changes a type
+  * or drops a column fails here first, not at the correctness gate. */
+class DocsEmbeddingsQueriesSpec extends SparkTestBase {
+  private val sf = "/root/testdata/sf0.001"
+
+  private val documentFamilies = Seq(
+    "q_token_count",        // tokenization over text
+    "q_quality_gopher",     // quality stats over text + n_chars
+    "q_lang_id",            // n-gram language heuristic over text, lang
+    "q_dedup_exact",        // hash-groupBy over text, doc_id
+    "q_minhash_dedup",      // shingle -> minhash -> LSH bands
+    "q_simhash_neardup",    // 64-bit simhash banding
+    "q_ngram_jaccard",      // LSH candidates + exact jaccard verify
+    "q_paragraph_dedup",    // chunk-hash family
+    "q_token_bpe",          // BPE apply over text
+    "q_tfidf",              // tf-idf over doc_id, text
+    "q_corpus_profile",     // GROUPING SETS over lang, source, n_chars
+    "q_pack_sequences",     // packing lattice over doc_id, lang
+    "q_split_assign",       // hash-threshold sampling over doc_id
+    "q_temperature_sample", // per-lang rates
+    "q_mix_sources",        // per-source rates
+    "q_fingerprint")        // bag fingerprint over text
+
+  private val embeddingFamilies = Seq(
+    "q_embedding_knn_lsh",    // banded LSH top-k over embedding
+    "q_embedding_semdedup",   // cluster-then-dedup over embedding
+    "q_embedding_ivf_knn",    // IVF cells over embedding, vec_id
+    "q_embedding_ivfpq_knn",  // PQ codebooks + IVF fused pass
+    "q_embedding_neardup")    // label-blocked pairs over label
+
+  for (q <- documentFamilies)
+    test(s"$q analyzes and returns rows against the current documents schema") {
+      val df = graft.queries.Queries.queries(q)(spark, sf)
+      assert(df.limit(1).collect().nonEmpty, s"$q returned no rows at sf0.001")
+    }
+
+  for (q <- embeddingFamilies)
+    test(s"$q analyzes and returns rows against the current embeddings schema") {
+      val df = graft.queries.Queries.queries(q)(spark, sf)
+      assert(df.limit(1).collect().nonEmpty, s"$q returned no rows at sf0.001")
+    }
+}
