@@ -188,6 +188,48 @@ object Curation {
           x => x.getField("__para"))).as(textCol))
   }
 
+  /** Cross-document repeated-span detection — the ExactSubstr shape of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (2021): hash every SLIDING `k`-token window (stride 1,
+    * unlike [[removeBoilerplate]]'s disjoint chunks) and mark a window
+    * duplicated when the same hash occurs in ≥ 2 DISTINCT documents.
+    * Returns per-document `(idCol, n_windows, n_dup_windows)` — the
+    * statistic a pipeline thresholds to drop or mask span-duplicated
+    * documents. Documents shorter than `k` tokens have no windows and
+    * no output row.
+    *
+    * Scale shape: the span relation is one generator expression per
+    * row — O(total tokens) rows of (id, 60-bit hash), no text on the
+    * wire. Cross-doc detection is `min(id) != max(id)` per hash (NOT
+    * `countDistinct`): min/max combine map-side, so the exchange
+    * carries one row per distinct window per map partition even for a
+    * boilerplate window hit by millions of documents. The dup relation
+    * is duplicated-content-sized — data-dependent, so it joins back on
+    * the window hash (a shuffle join; its build side arrives already
+    * partitioned by the groupBy) rather than a broadcast. */
+  def repeatedSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k > 0, s"window size must be > 0, got $k")
+    val t = TextFunctions.tokens(col(textCol))
+    val wins = transform(
+      sequence(lit(1), size(col("__t")) - (k - 1)),
+      i => TextFunctions.hash60(array_join(slice(col("__t"), i, lit(k)), " ")))
+    val spans = docs
+      .select(col(idCol), t.as("__t"))
+      .where(size(col("__t")) >= k)
+      .select(col(idCol), explode(wins).as("__wh"))
+    val dup = spans
+      .groupBy(col("__wh"))
+      .agg((min(col(idCol)) =!= max(col(idCol))).as("__crossdup"))
+    spans.join(dup, "__wh")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("__crossdup"), lit(1L)).otherwise(lit(0L)))
+          .as("n_dup_windows"))
+  }
+
   /** Split each document into fixed-token-window chunks with overlap —
     * the RAG-indexing / context-packing shape. Chunk i covers tokens
     * `[i·stride, i·stride + chunkTokens)` where

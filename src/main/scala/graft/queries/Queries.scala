@@ -2312,6 +2312,14 @@ object Queries {
       graft.operators.Curation.removeBoilerplate(
         s.table("documents"), "doc_id", "text", chunkWords = 15, minDocs = 2)
     }),
+    // ExactSubstr-shaped repeated-span stats: sliding 8-token windows,
+    // a window duplicated iff it occurs in >= 2 distinct docs.
+    "q_substring_dedup" -> ((s, dir) => {
+      registerViews(s, dir)
+      graft.operators.Curation.repeatedSpans(
+          s.table("documents"), "doc_id", "text", k = 8)
+        .where(col("n_dup_windows") > 0)
+    }),
     // Fractional-epoch up-sampling: per-source factors 1.0/1.5/2.0/2.5
     // (source index mod 4) — expected volume f*n, deterministic repeats.
     "q_upsample_epochs" -> ((s, dir) => {
@@ -2562,6 +2570,20 @@ object Queries {
         |WHERE NOT EXISTS (SELECT 1 FROM prior p WHERE p.text = n.text)""".stripMargin,
     "q_paragraph_dedup" -> qParagraphDedupOracle,
     "q_remove_boilerplate" -> qRemoveBoilerplateOracle,
+    "q_substring_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |w AS (SELECT doc_id,
+        |    ('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15))::BIGINT AS wh
+        |  FROM t, unnest(range(1, len(toks) - 6)) AS r(i)
+        |  WHERE len(toks) >= 8),
+        |d AS (SELECT wh, (min(doc_id) <> max(doc_id)) AS crossdup
+        |  FROM w GROUP BY wh)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |  CAST(SUM(CASE WHEN crossdup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+        |FROM w JOIN d USING (wh)
+        |GROUP BY doc_id
+        |HAVING SUM(CASE WHEN crossdup THEN 1 ELSE 0 END) > 0""".stripMargin,
     "q_scrub_contamination" ->
       """WITH words AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents

@@ -110,6 +110,25 @@ class CurationSpec extends SparkTestBase {
     assert(out(1).getString(2) == "e f" && out(1).getLong(1) == 1L)
   }
 
+  test("repeatedSpans counts cross-doc sliding windows, ignores intra-doc repeats") {
+    // k = 3: doc 1 and 2 share the span "a b c" (doc 2 shifted by one
+    // token — sliding windows catch it, disjoint chunks would not);
+    // doc 3's "x y z x y z" repeats only WITHIN itself -> not
+    // duplicated; doc 4 is shorter than k -> no output row.
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "q a b c"),
+      (3L, "x y z x y z"),
+      (4L, "t u")).toDF("doc_id", "text")
+    val out = Curation.repeatedSpans(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      (1L, 2L, 1L), // windows: [a b c][b c d]; dup: [a b c]
+      (2L, 2L, 1L), // windows: [q a b][a b c]; dup: [a b c]
+      (3L, 4L, 0L)), out.toString) // 4 windows, all intra-doc only
+  }
+
   test("removeBoilerplate honors the minDocs threshold") {
     val docs = Seq(
       (1L, "a b x y"),

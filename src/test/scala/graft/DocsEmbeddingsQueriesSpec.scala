@@ -21,6 +21,7 @@ class DocsEmbeddingsQueriesSpec extends SparkTestBase {
     "q_simhash_neardup",    // 64-bit simhash banding
     "q_ngram_jaccard",      // LSH candidates + exact jaccard verify
     "q_paragraph_dedup",    // chunk-hash family
+    "q_substring_dedup",    // sliding-window repeated spans
     "q_token_bpe",          // BPE apply over text
     "q_tfidf",              // tf-idf over doc_id, text
     "q_corpus_profile",     // GROUPING SETS over lang, source, n_chars
