@@ -2343,6 +2343,31 @@ object Queries {
       registerViews(s, dir)
       graft.operators.Bpe.bpePairCounts(s.table("documents"), "text", topK = 20)
     }),
+    // CCNet/DCLM-style model-based filtering: multinomial NB trained on
+    // the doc_id%5!=0 split predicting `source`, confusion matrix over
+    // the held-out fifth. Integer-quantized log scores -> exact argmin.
+    "q_nb_classifier" -> ((s, dir) => {
+      registerViews(s, dir)
+      val docs = s.table("documents")
+      graft.operators.Classifier.naiveBayesConfusion(
+        docs.where(col("doc_id") % 5 =!= 0),
+        docs.where(col("doc_id") % 5 === 0),
+        "source", "doc_id", "text")
+    }),
+    // Hashing-trick featurization (signed 1024-bucket sparse vectors),
+    // the input representation for any linear filter model at scale.
+    "q_hashed_features" -> ((s, dir) => {
+      registerViews(s, dir)
+      graft.operators.Classifier.hashedFeatures(
+        s.table("documents"), "doc_id", "text", numBuckets = 1024)
+    }),
+    // Skip-gram PMI co-occurrence statistics (word2vec/GloVe prep):
+    // window 2, minCount 5, integer-quantized PMI.
+    "q_pmi_cooccur" -> ((s, dir) => {
+      registerViews(s, dir)
+      graft.operators.Classifier.pmiCooccurrence(
+        s.table("documents"), "text", window = 2, minCount = 5L)
+    }),
     // Importance sampling toward lexically diverse docs: weight = the
     // distinct-token count, expected keep rate 50%.
     "q_importance_sample" -> ((s, dir) => {
@@ -2651,6 +2676,69 @@ object Queries {
         |  WHERE len(word) > 1)
         |SELECT lhs, rhs, CAST(SUM(freq) AS BIGINT) AS n FROM p GROUP BY lhs, rhs
         |ORDER BY n DESC, lhs, rhs LIMIT 20""".stripMargin,
+    "q_nb_classifier" ->
+      """WITH tr AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS t
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |cnt AS (SELECT source AS cls, t, count(*) AS n FROM tr GROUP BY 1, 2),
+        |tot AS (SELECT cls, CAST(SUM(n) AS BIGINT) AS tc FROM cnt GROUP BY cls),
+        |v AS (SELECT count(DISTINCT t) AS vs FROM tr),
+        |pri AS (SELECT source AS cls, count(*) AS docs
+        |  FROM documents WHERE doc_id % 5 <> 0 GROUP BY source),
+        |alld AS (SELECT count(*) AS alldocs FROM documents WHERE doc_id % 5 <> 0),
+        |classes AS (
+        |  SELECT tot.cls, tc, vs,
+        |    CAST(floor(-1e6 * ln(CAST(1 AS DOUBLE) / CAST(tc + vs AS DOUBLE))) AS BIGINT) AS default_e6,
+        |    CAST(floor(-1e6 * ln(CAST(docs AS DOUBLE) / CAST(alldocs AS DOUBLE))) AS BIGINT) AS prior_e6
+        |  FROM tot, v, pri, alld WHERE tot.cls = pri.cls),
+        |model AS (
+        |  SELECT cls, t,
+        |    CAST(floor(-1e6 * ln(CAST(n + 1 AS DOUBLE) / CAST(tc + vs AS DOUBLE))) AS BIGINT) AS score_e6
+        |  FROM cnt JOIN classes USING (cls)),
+        |te AS (
+        |  SELECT doc_id, source AS lab, unnest(string_split(text, ' ')) AS t
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |scored AS (
+        |  SELECT te.doc_id, te.lab, k.cls,
+        |    CAST(SUM(COALESCE(m.score_e6, k.default_e6)) AS BIGINT) + k.prior_e6 AS nll
+        |  FROM te CROSS JOIN classes k
+        |  LEFT JOIN model m ON m.cls = k.cls AND m.t = te.t
+        |  GROUP BY te.doc_id, te.lab, k.cls, k.prior_e6),
+        |best AS (
+        |  SELECT lab, cls,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY nll, cls) AS rn
+        |  FROM scored)
+        |SELECT lab AS label, cls AS predicted, COUNT(*) AS n_docs
+        |FROM best WHERE rn = 1 GROUP BY lab, cls""".stripMargin,
+    "q_hashed_features" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(tok), 1, 7))::BIGINT % 1024 AS bucket,
+        |    CASE WHEN ('0x' || substr(md5('s|' || tok), 1, 7))::BIGINT % 2 = 0
+        |      THEN 1 ELSE -1 END AS sgn
+        |  FROM t)
+        |SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS val
+        |FROM h GROUP BY doc_id, bucket HAVING SUM(sgn) <> 0""".stripMargin,
+    "q_pmi_cooccur" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |p AS (
+        |  SELECT least(t[i], t[i + d]) AS w1, greatest(t[i], t[i + d]) AS w2
+        |  FROM w, unnest(range(1, len(t) + 1)) AS a(i), (VALUES (1), (2)) AS b(d)
+        |  WHERE i + d <= len(t)),
+        |pc AS (SELECT w1, w2, count(*) AS n_pair FROM p
+        |  GROUP BY w1, w2 HAVING count(*) >= 5),
+        |uni AS (SELECT tok, count(*) AS c FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok),
+        |nt AS (SELECT CAST(SUM(c) AS BIGINT) AS ntok FROM uni),
+        |np AS (SELECT count(*) AS npair FROM p)
+        |SELECT w1, w2, n_pair,
+        |  CAST(floor(1e6 * ln(CAST(n_pair AS DOUBLE) * CAST(ntok AS DOUBLE) * CAST(ntok AS DOUBLE)
+        |    / (CAST(npair AS DOUBLE) * CAST(c1.c AS DOUBLE) * CAST(c2.c AS DOUBLE)))) AS BIGINT) AS pmi_e6
+        |FROM pc JOIN uni c1 ON c1.tok = pc.w1 JOIN uni c2 ON c2.tok = pc.w2
+        |CROSS JOIN nt CROSS JOIN np""".stripMargin,
     "q_importance_sample" ->
       """WITH w AS (SELECT doc_id, lang, source,
         |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS wt

@@ -27,6 +27,9 @@ class DocsEmbeddingsQueriesSpec extends SparkTestBase {
     "q_corpus_profile",     // GROUPING SETS over lang, source, n_chars
     "q_pack_sequences",     // packing lattice over doc_id, lang
     "q_split_assign",       // hash-threshold sampling over doc_id
+    "q_nb_classifier",      // NB model over source, doc_id, text
+    "q_hashed_features",    // hashing-trick featurization over text
+    "q_pmi_cooccur",        // skip-gram PMI statistics over text
     "q_temperature_sample", // per-lang rates
     "q_mix_sources",        // per-source rates
     "q_fingerprint")        // bag fingerprint over text
