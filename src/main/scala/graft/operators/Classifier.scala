@@ -119,6 +119,42 @@ object Classifier {
       .where(col("val") =!= 0)
   }
 
+  /** Frequency-ranked dense vocabulary: `(token, id)` with ids 0..V-1
+    * assigned by (count DESC, token ASC) — the id assignment every
+    * tokenizer export needs before a corpus ships as integer arrays.
+    *
+    * The ranking window is intentionally global (single partition):
+    * the input is the VOCABULARY relation, which is bounded by distinct
+    * token count (~10⁶ for word-level, ~10⁵ for BPE vocabularies), not
+    * the corpus — at 100 TB the corpus-sized work is the one count
+    * aggregate that precedes it, which shuffles on the token key. */
+  def vocabIndex(df: DataFrame, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("token"))
+    df.select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .select(col("token"), col("n"),
+        (row_number().over(w) - 1).cast("long").as("id"))
+  }
+
+  /** Encode each document's text as the integer-id sequence under
+    * `vocab` (the output of [[vocabIndex]]): posexplode keeps token
+    * positions through the vocabulary join, and the id array is
+    * reassembled in position order. One corpus-side shuffle on the
+    * token key (or a broadcast when the vocabulary fits), one (doc)
+    * re-aggregation — the export step that turns curated text into
+    * training-ready token ids. */
+  def encodeTokens(
+      df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame =
+    df.select(col(idCol),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("__pos", "token")))
+      .join(vocab.select(col("token"), col("id")), Seq("token"))
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__pos"), col("id")))),
+        s => s.getField("id")).as("token_ids"))
+
   /** Skip-gram co-occurrence PMI over a `window`-token context (the
     * word2vec/GloVe preprocessing statistic): pairs are unordered
     * (lexicographically normalized), counted at distances 1..window,

@@ -2368,6 +2368,63 @@ object Queries {
       graft.operators.Classifier.pmiCooccurrence(
         s.table("documents"), "text", window = 2, minCount = 5L)
     }),
+    // Skew-salted join: orders spread over 8 salt buckets per custkey,
+    // customer side replicated x8 — result identical to the plain join
+    // (the oracle IS the plain join); revenue kept integer-exact as
+    // cents so the aggregate is order-free.
+    "q_salted_join" -> ((s, dir) => {
+      registerViews(s, dir)
+      val probe = s.table("orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val build = s.table("customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      graft.operators.SkewJoin.saltedJoin(
+        probe, build, "o_custkey", "o_orderkey", salts = 8)
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+            .as("cents"))
+    }),
+    // Tokenizer export: frequency-ranked dense vocabulary ids, corpus
+    // re-encoded as position-ordered id sequences (flattened for the
+    // scalar-typed driver compare; array assembly exercised in-query).
+    "q_vocab_encode" -> ((s, dir) => {
+      registerViews(s, dir)
+      val docs = s.table("documents")
+      val vocab = graft.operators.Classifier.vocabIndex(docs, "text")
+      graft.operators.Classifier.encodeTokens(
+        docs.where(col("doc_id") % 50 === 0), "doc_id", "text", vocab)
+        .select(col("doc_id"),
+          posexplode(col("token_ids")).as(Seq("pos", "id")))
+    }),
+    // Incremental materialized-aggregate maintenance, driver-verified
+    // END-TO-END through the Delta layer: base rollup at v1, then CDF
+    // deltas from an append + DELETE + UPDATE folded in — the oracle
+    // recomputes the FINAL state from the source parquet, so the
+    // signed-delta math must land exactly.
+    "q_incr_agg" -> ((s, dir) => {
+      registerViews(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ia_")
+        .resolve("t").toString
+      val log = graft.delta.DeltaLog.forPath(s, tmp)
+      val docs = s.table("documents").select("doc_id", "source", "n_chars")
+      graft.delta.TransactionWriter.overwrite(log,
+        docs.where(col("doc_id") % 3 =!= 2))                           // v0
+      graft.delta.ChangeDataFeed.enable(log)                           // v1
+      graft.delta.TransactionWriter.append(log,
+        docs.where(col("doc_id") % 3 === 2))                           // v2
+      graft.delta.Mutations.delete(log, col("doc_id") % 7 === 0)       // v3
+      graft.delta.Mutations.update(log, col("doc_id") % 10 === 5,
+        Map("n_chars" -> lit(0L)))                                     // v4
+      val base = log.snapshotAt(1).read()
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      val delta = graft.operators.IncrementalAgg.aggDelta(
+        graft.delta.ChangeDataFeed.tableChanges(log, 2),
+        Seq("source"), "n_chars")
+      graft.operators.IncrementalAgg.applyDelta(
+        base, delta, Seq("source"), "n_docs", "sum_chars")
+    }),
     // Importance sampling toward lexically diverse docs: weight = the
     // distinct-token count, expected keep rate 50%.
     "q_importance_sample" -> ((s, dir) => {
@@ -2739,6 +2796,24 @@ object Queries {
         |    / (CAST(npair AS DOUBLE) * CAST(c1.c AS DOUBLE) * CAST(c2.c AS DOUBLE)))) AS BIGINT) AS pmi_e6
         |FROM pc JOIN uni c1 ON c1.tok = pc.w1 JOIN uni c2 ON c2.tok = pc.w2
         |CROSS JOIN nt CROSS JOIN np""".stripMargin,
+    "q_salted_join" ->
+      """SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q_vocab_encode" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tok AS (SELECT doc_id, i, t[i] AS tk
+        |  FROM w, unnest(range(1, len(t) + 1)) AS a(i)),
+        |cnt AS (SELECT tk, count(*) AS n FROM tok GROUP BY tk),
+        |vocab AS (SELECT tk, ROW_NUMBER() OVER (ORDER BY n DESC, tk) - 1 AS id
+        |  FROM cnt)
+        |SELECT doc_id, CAST(i - 1 AS INT) AS pos, CAST(id AS BIGINT) AS id
+        |FROM tok JOIN vocab USING (tk) WHERE doc_id % 50 = 0""".stripMargin,
+    "q_incr_agg" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN doc_id % 10 = 5 THEN 0 ELSE n_chars END) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 7 <> 0 GROUP BY source""".stripMargin,
     "q_importance_sample" ->
       """WITH w AS (SELECT doc_id, lang, source,
         |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS wt

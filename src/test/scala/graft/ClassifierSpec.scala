@@ -68,6 +68,24 @@ class ClassifierSpec extends SparkTestBase {
       ("b", "b") -> (1L, pmiE6(1, 2, 2))))
   }
 
+  test("vocabIndex ranks by frequency then token, ids dense from 0") {
+    val df = Seq((1L, "b b b a a c")).toDF("doc_id", "text")
+    val v = Classifier.vocabIndex(df, "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(v == Set(("b", 3L, 0L), ("a", 2L, 1L), ("c", 1L, 2L)))
+  }
+
+  test("encodeTokens preserves token order through the vocabulary join") {
+    val df = Seq((1L, "b b b a a c"), (2L, "c a b")).toDF("doc_id", "text")
+    val vocab = Classifier.vocabIndex(df, "text")
+    val enc = Classifier.encodeTokens(df, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // Corpus counts: b=4, a=3, c=2 -> ids b=0, a=1, c=2.
+    assert(enc == Map(
+      1L -> Seq(0L, 0L, 0L, 1L, 1L, 2L),
+      2L -> Seq(2L, 1L, 0L)))
+  }
+
   test("pmiCooccurrence respects minCount") {
     val df = Seq((1L, "a b a b")).toDF("doc_id", "text")
     val rows = Classifier.pmiCooccurrence(df, "text", window = 2, minCount = 2L)

@@ -30,6 +30,8 @@ class DocsEmbeddingsQueriesSpec extends SparkTestBase {
     "q_nb_classifier",      // NB model over source, doc_id, text
     "q_hashed_features",    // hashing-trick featurization over text
     "q_pmi_cooccur",        // skip-gram PMI statistics over text
+    "q_vocab_encode",       // dense vocab ids + ordered re-encoding
+    "q_incr_agg",           // CDF-maintained rollup over source, n_chars
     "q_temperature_sample", // per-lang rates
     "q_mix_sources",        // per-source rates
     "q_fingerprint")        // bag fingerprint over text

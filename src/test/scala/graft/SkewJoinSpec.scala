@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SkewJoin
+
+class SkewJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def probe = Seq(
+    (1L, 10L, "a"), (2L, 10L, "b"), (3L, 10L, "c"), (4L, 10L, "d"),
+    (5L, 20L, "e"), (6L, 30L, "f"))
+    .toDF("row_id", "k", "payload")
+  private def build = Seq((10L, "hot"), (20L, "warm"), (40L, "unmatched"))
+    .toDF("k", "tag")
+
+  test("saltedJoin equals the plain inner join") {
+    val salted = SkewJoin.saltedJoin(probe, build, "k", "row_id", salts = 4)
+    assertSameRows(
+      salted.select("row_id", "k", "payload", "tag"),
+      probe.join(build, "k").select("row_id", "k", "payload", "tag"))
+  }
+
+  test("saltedJoin spreads one hot key across salt buckets") {
+    // With 4 rows of key 10 and 4 salts, the deterministic hash28 salt
+    // must produce at least 2 distinct buckets (verified constant for
+    // this fixture — the point is rows of ONE key no longer share one
+    // reducer key).
+    val salted = probe.withColumn("__salt",
+      (graft.functions.TextFunctions.hash28(col("row_id").cast("string")) % 4)
+        .cast("int"))
+      .where(col("k") === 10)
+      .select("__salt").distinct().count()
+    assert(salted >= 2, s"expected >=2 salt buckets for the hot key, got $salted")
+  }
+
+  test("saltedJoin joins on (key, salt) in the physical plan") {
+    val salted = SkewJoin.saltedJoin(probe, build, "k", "row_id", salts = 4)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"salt column missing from plan:\n$plan")
+  }
+
+  test("saltedJoin rejects a non-positive salt count") {
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(probe, build, "k", "row_id", salts = 0)
+    }
+  }
+}
