@@ -36,6 +36,32 @@ object IncrementalAgg {
         sum(sign * col(valueCol)).as("__d_sum"))
   }
 
+  /** MERGE a signed delta into a rollup stored as a Delta table —
+    * the persistent form of [[applyDelta]], O(changed keys) per fold:
+    * matched keys update in place (and drop when their count reaches
+    * zero), new keys insert. The target must exist with schema
+    * `(keys..., countCol, sumCol)`; seed it with an empty or initial
+    * rollup. Idempotent replay protection comes from the caller's txn
+    * marker (see `StreamingOps.incrementalAggSink`). */
+  def mergeDelta(
+      aggLog: graft.delta.DeltaLog, delta: DataFrame, keyCols: Seq[String],
+      countCol: String, sumCol: String): Long = {
+    val cond = keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+    val newCount = col(s"t.$countCol") + col(s"s.__d_n")
+    graft.delta.Merge.into(aggLog, delta, cond)
+      .whenMatchedDelete(Some(newCount <= 0))
+      .whenMatchedUpdate(Map(
+        countCol -> newCount,
+        sumCol -> (col(s"t.$sumCol") + col(s"s.__d_sum"))),
+        Some(newCount > 0))
+      .whenNotMatchedInsert(
+        (keyCols.map(k => k -> col(s"s.$k")) ++ Seq(
+          countCol -> col(s"s.__d_n"),
+          sumCol -> col(s"s.__d_sum"))).toMap,
+        Some(col("s.__d_n") > 0))
+      .execute()
+  }
+
   /** Fold a signed delta into a base aggregate `(keys..., countCol,
     * sumCol)`: full-outer join on the keys (new keys appear, retracted
     * keys leave when their count reaches zero). */

@@ -2343,15 +2343,18 @@ object Queries {
       registerViews(s, dir)
       graft.operators.Bpe.bpePairCounts(s.table("documents"), "text", topK = 20)
     }),
-    // CCNet/DCLM-style model-based filtering: multinomial NB trained on
-    // the doc_id%5!=0 split predicting `source`, confusion matrix over
-    // the held-out fifth. Integer-quantized log scores -> exact argmin.
+    // CCNet/DCLM-style model-based filtering: multinomial NB predicting
+    // `source`, confusion matrix over a held-out fifth. The split is
+    // HASH-based (md5 of doc_id), not modulo: the synthetic `source` is
+    // a function of doc_id, so a modulo split would put whole classes
+    // exclusively in test. Integer-quantized log scores -> exact argmin.
     "q_nb_classifier" -> ((s, dir) => {
       registerViews(s, dir)
       val docs = s.table("documents")
+      val isTest = graft.functions.TextFunctions
+        .hash28(col("doc_id").cast("string")) % 5 === 0
       graft.operators.Classifier.naiveBayesConfusion(
-        docs.where(col("doc_id") % 5 =!= 0),
-        docs.where(col("doc_id") % 5 === 0),
+        docs.where(!isTest), docs.where(isTest),
         "source", "doc_id", "text")
     }),
     // Hashing-trick featurization (signed 1024-bucket sparse vectors),
@@ -2424,6 +2427,39 @@ object Queries {
         Seq("source"), "n_chars")
       graft.operators.IncrementalAgg.applyDelta(
         base, delta, Seq("source"), "n_docs", "sum_chars")
+    }),
+    // Streaming-maintained materialized rollup: the CDF stream of a
+    // scratch table (initial snapshot as inserts, then a DELETE and an
+    // UPDATE) MERGEs signed per-key deltas into a rollup Delta table
+    // exactly-once; the oracle recomputes the final rollup from parquet.
+    "q_stream_incr_agg" -> ((s, dir) => {
+      registerViews(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft_sia_")
+      val src = graft.delta.DeltaLog.forPath(s, base.resolve("t").toString)
+      graft.delta.TransactionWriter.overwrite(src,
+        s.table("documents").select("doc_id", "source", "n_chars"))   // v0
+      graft.delta.ChangeDataFeed.enable(src)                          // v1
+      val agg = graft.delta.DeltaLog.forPath(s, base.resolve("agg").toString)
+      graft.delta.TransactionWriter.overwrite(agg,
+        s.table("documents")
+          .select(col("source"), lit(0L).as("n_docs"), lit(0L).as("sum_chars"))
+          .limit(0))
+      val changes = s.readStream
+        .format(classOf[graft.sources.DeltaSourceProvider].getName)
+        .option("path", src.tablePath)
+        .option("readChangeFeed", "true")
+        .load()
+      val q = graft.streaming.StreamingOps.incrementalAggSink(
+        changes, agg, Seq("source"), "n_chars", "n_docs", "sum_chars",
+        appId = "q_stream_incr_agg",
+        checkpointLocation = base.resolve("cp").toString)
+      q.processAllAvailable()                                         // snapshot @v1
+      graft.delta.Mutations.delete(src, col("doc_id") % 6 === 1)      // v2
+      graft.delta.Mutations.update(src, col("doc_id") % 9 === 4,
+        Map("n_chars" -> lit(100L)))                                  // v3
+      q.processAllAvailable()
+      q.stop()
+      agg.snapshot.read()
     }),
     // Importance sampling toward lexically diverse docs: weight = the
     // distinct-token count, expected keep rate 50%.
@@ -2736,13 +2772,16 @@ object Queries {
     "q_nb_classifier" ->
       """WITH tr AS (
         |  SELECT source, unnest(string_split(text, ' ')) AS t
-        |  FROM documents WHERE doc_id % 5 <> 0),
+        |  FROM documents
+        |  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT % 5 <> 0),
         |cnt AS (SELECT source AS cls, t, count(*) AS n FROM tr GROUP BY 1, 2),
         |tot AS (SELECT cls, CAST(SUM(n) AS BIGINT) AS tc FROM cnt GROUP BY cls),
         |v AS (SELECT count(DISTINCT t) AS vs FROM tr),
-        |pri AS (SELECT source AS cls, count(*) AS docs
-        |  FROM documents WHERE doc_id % 5 <> 0 GROUP BY source),
-        |alld AS (SELECT count(*) AS alldocs FROM documents WHERE doc_id % 5 <> 0),
+        |pri AS (SELECT source AS cls, count(*) AS docs FROM documents
+        |  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT % 5 <> 0
+        |  GROUP BY source),
+        |alld AS (SELECT count(*) AS alldocs FROM documents
+        |  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT % 5 <> 0),
         |classes AS (
         |  SELECT tot.cls, tc, vs,
         |    CAST(floor(-1e6 * ln(CAST(1 AS DOUBLE) / CAST(tc + vs AS DOUBLE))) AS BIGINT) AS default_e6,
@@ -2754,7 +2793,8 @@ object Queries {
         |  FROM cnt JOIN classes USING (cls)),
         |te AS (
         |  SELECT doc_id, source AS lab, unnest(string_split(text, ' ')) AS t
-        |  FROM documents WHERE doc_id % 5 = 0),
+        |  FROM documents
+        |  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT % 5 = 0),
         |scored AS (
         |  SELECT te.doc_id, te.lab, k.cls,
         |    CAST(SUM(COALESCE(m.score_e6, k.default_e6)) AS BIGINT) + k.prior_e6 AS nll
@@ -2814,6 +2854,10 @@ object Queries {
       """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(CASE WHEN doc_id % 10 = 5 THEN 0 ELSE n_chars END) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id % 7 <> 0 GROUP BY source""".stripMargin,
+    "q_stream_incr_agg" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN doc_id % 9 = 4 THEN 100 ELSE n_chars END) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 6 <> 1 GROUP BY source""".stripMargin,
     "q_importance_sample" ->
       """WITH w AS (SELECT doc_id, lang, source,
         |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS wt

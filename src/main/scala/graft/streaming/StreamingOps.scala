@@ -200,6 +200,40 @@ object StreamingOps {
       }
       .start()
 
+  /** Continuously-maintained materialized rollup: each micro-batch of
+    * CDF rows (from the Delta source's `readChangeFeed`) reduces to a
+    * signed per-key delta and MERGEs into the rollup Delta table —
+    * the streaming face of [[graft.operators.IncrementalAgg]], keeping
+    * a 100 TB table's aggregate fresh for O(changes per trigger) +
+    * O(changed keys) merge work. A txn (appId, batchId) marker makes
+    * replayed batches no-ops, so the rollup converges exactly-once
+    * across restarts. */
+  def incrementalAggSink(
+      changes: DataFrame,
+      aggLog: graft.delta.DeltaLog,
+      keyCols: Seq[String],
+      valueCol: String,
+      countCol: String,
+      sumCol: String,
+      appId: String,
+      checkpointLocation: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val applied = aggLog.snapshot.setTransactions
+          .get(appId).exists(_.version >= batchId)
+        if (!applied) {
+          val delta = graft.operators.IncrementalAgg
+            .aggDelta(batch, keyCols, valueCol)
+          graft.operators.IncrementalAgg
+            .mergeDelta(aggLog, delta, keyCols, countCol, sumCol)
+          graft.delta.TransactionWriter.recordTxn(aggLog, appId, batchId)
+        }
+        ()
+      }
+      .start()
+
   /** Watermarked stream-stream INNER interval join: left rows match
     * right rows with the same key whose event time falls in
     * `[leftTs, leftTs + maxSpan]`. Both sides carry a watermark and the

@@ -32,6 +32,7 @@ class DocsEmbeddingsQueriesSpec extends SparkTestBase {
     "q_pmi_cooccur",        // skip-gram PMI statistics over text
     "q_vocab_encode",       // dense vocab ids + ordered re-encoding
     "q_incr_agg",           // CDF-maintained rollup over source, n_chars
+    "q_stream_incr_agg",    // streaming CDF rollup over source, n_chars
     "q_temperature_sample", // per-lang rates
     "q_mix_sources",        // per-source rates
     "q_fingerprint")        // bag fingerprint over text

@@ -33,6 +33,52 @@ class IncrementalAggSpec extends SparkTestBase {
     assert(out == Map("s1" -> ((3L, 35L)), "s2" -> ((2L, 9L))))
   }
 
+  test("mergeDelta updates, inserts, and retracts keys in the Delta rollup") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_iam_spec_")
+      .resolve("agg").toString
+    val log = graft.delta.DeltaLog.forPath(spark, tmp)
+    graft.delta.TransactionWriter.overwrite(log,
+      Seq(("s1", 2L, 30L), ("s3", 1L, 4L)).toDF("source", "n", "s"))
+    val delta = Seq(
+      ("s1", 1L, 5L), ("s2", 2L, 9L), ("s3", -1L, -4L))
+      .toDF("source", "__d_n", "__d_sum")
+    IncrementalAgg.mergeDelta(log, delta, Seq("source"), "n", "s")
+    val out = log.snapshot.read()
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map("s1" -> ((3L, 35L)), "s2" -> ((2L, 9L))))
+  }
+
+  test("incrementalAggSink maintains the rollup from a CDF stream") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sia_spec_")
+    val src = graft.delta.DeltaLog.forPath(spark, base.resolve("t").toString)
+    val rows = (0L until 30L).map(i => (i, s"s${i % 3}", i))
+      .toDF("id", "source", "v")
+    graft.delta.TransactionWriter.overwrite(src, rows)         // v0
+    graft.delta.ChangeDataFeed.enable(src)                     // v1
+    val agg = graft.delta.DeltaLog.forPath(spark, base.resolve("agg").toString)
+    graft.delta.TransactionWriter.overwrite(agg,
+      rows.select(col("source"), lit(0L).as("n"), lit(0L).as("s")).limit(0))
+    val q = graft.streaming.StreamingOps.incrementalAggSink(
+      spark.readStream
+        .format(classOf[graft.sources.DeltaSourceProvider].getName)
+        .option("path", src.tablePath)
+        .option("readChangeFeed", "true").load(),
+      agg, Seq("source"), "v", "n", "s",
+      appId = "sia_spec", checkpointLocation = base.resolve("cp").toString)
+    try {
+      q.processAllAvailable()
+      graft.delta.Mutations.delete(src, col("id") % 2 === 0)   // v2
+      graft.delta.Mutations.update(src, col("id") === 1L,
+        Map("v" -> lit(1000L)))                                // v3
+      q.processAllAvailable()
+    } finally q.stop()
+    assertSameRows(
+      agg.snapshot.read(),
+      src.snapshot.read().groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("v").as("s")),
+      "streamed rollup vs full recompute")
+  }
+
   test("base + change feed equals a full recompute (end-to-end Delta)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_ia_spec_")
       .resolve("t").toString
