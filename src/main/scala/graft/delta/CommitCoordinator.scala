@@ -83,10 +83,22 @@ object LockingCommitCoordinator extends CommitCoordinator {
 }
 
 object CommitCoordinator {
-  /** Resolve the session's coordinator (see trait doc for values). */
+  /** Resolve the session's coordinator (see trait doc for values).
+    *
+    * Unset defaults BY SCHEME: `file:` tables get the locking
+    * coordinator — the local filesystem's FileContext rename is
+    * check-then-act, NOT atomic no-clobber, so two same-version racers
+    * can both pass the existence check and the second rename(2)
+    * clobbers the first (observed as a torn commit json / checksum
+    * mismatch under concurrent appenders). Every other scheme keeps
+    * the rename coordinator (atomic on HDFS/ABFS/GCS-style stores).
+    * An explicit `rename` setting still forces it. */
   def forLog(log: DeltaLog): CommitCoordinator =
     log.spark.conf.getOption("spark.graft.commitCoordinator") match {
-      case None | Some("rename") => RenameCommitCoordinator
+      case None =>
+        if (log.fs.getUri.getScheme == "file") LockingCommitCoordinator
+        else RenameCommitCoordinator
+      case Some("rename") => RenameCommitCoordinator
       case Some("locking") => LockingCommitCoordinator
       case Some(fqcn) =>
         Class.forName(fqcn).getDeclaredConstructor()

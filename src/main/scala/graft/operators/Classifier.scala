@@ -57,11 +57,15 @@ object Classifier {
 
     val trainTok = tok(train, Nil)
     // (token, class) count relation + per-class totals + vocab size.
+    // tot and vocab both derive from cnt — vocabulary×classes sized —
+    // so the corpus is tokenized ONCE for the whole model (the
+    // remaining corpus passes are the priors scan, which prunes to the
+    // label column alone, and the test side).
     val cnt = trainTok.groupBy(col(labelCol), col("__t"))
       .agg(count(lit(1)).as("__n"))
     val tot = cnt.groupBy(col(labelCol))
       .agg(sum(col("__n")).as("__tot"))
-    val vocab = trainTok.select(countDistinct(col("__t")).as("__v"))
+    val vocab = cnt.select(countDistinct(col("__t")).as("__v"))
     val priors = train.groupBy(col(labelCol))
       .agg(count(lit(1)).as("__docs"))
       .crossJoin(train.select(count(lit(1)).as("__alldocs")))

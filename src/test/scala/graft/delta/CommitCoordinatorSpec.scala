@@ -68,13 +68,23 @@ class CommitCoordinatorSpec extends SparkTestBase {
   }
 
   test("rename coordinator rejects the second same-version commit") {
-    val log = freshLog()
-    TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("k", "s"))
-    val actions = Seq(
-      CommitInfoAction(CommitInfo(System.currentTimeMillis(), "TEST", Map.empty)))
-    log.commit(1L, actions)
-    intercept[java.util.ConcurrentModificationException] {
+    withCoordinator("rename") {
+      val log = freshLog()
+      TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("k", "s"))
+      val actions = Seq(
+        CommitInfoAction(CommitInfo(System.currentTimeMillis(), "TEST", Map.empty)))
       log.commit(1L, actions)
+      intercept[java.util.ConcurrentModificationException] {
+        log.commit(1L, actions)
+      }
+    }
+  }
+
+  test("file: tables default to the locking coordinator") {
+    val log = freshLog()
+    assert(CommitCoordinator.forLog(log) eq LockingCommitCoordinator)
+    withCoordinator("rename") {
+      assert(CommitCoordinator.forLog(log) eq RenameCommitCoordinator)
     }
   }
 
