@@ -489,6 +489,65 @@ object Curation {
         expr("CAST(sum(nll_e6) DIV count(1) AS BIGINT)").as("avg_nll_e6"))
   }
 
+  /** Training-export shuffle: assign every document a deterministic
+    * pseudo-random shard and a dense position within it — the
+    * corpus-wide "random" permutation a training run reads, WITHOUT a
+    * global sort: the permutation key is a hash, sharding is a hash
+    * bucket, and ordering is shard-LOCAL (each shard's window sorts
+    * 1/shards of the corpus in parallel). Deterministic: re-running
+    * the export yields the identical order, so a resumed training job
+    * sees the same data sequence. */
+  def shuffleExport(df: DataFrame, idCol: String, shards: Int): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val pk = TextFunctions.hash28(
+      concat(lit("perm|"), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__k"), col(idCol))
+    df.select(col(idCol), (pk % shards).cast("int").as("shard"), pk.as("__k"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("__k")
+  }
+
+  /** Token-budget data selection: keep the highest-quality documents
+    * whose running token total stays within `fraction` of the corpus'
+    * tokens — the "best N tokens" selection step of quality-first
+    * training recipes.
+    *
+    * The running total over the (quality DESC, id) order is computed
+    * as a DISTRIBUTED prefix sum: range-partition by the sort key,
+    * window WITHIN each partition, then one tiny per-partition-totals
+    * relation (numPartitions rows) turns local sums into global ones.
+    * No single-reducer global window — the per-doc relation at 100 TB
+    * is billions of rows, and the classic two-phase prefix sum keeps
+    * every stage parallel. */
+  def tokenBudgetSelect(
+      df: DataFrame, idCol: String, textCol: String,
+      fraction: Double, prefixParts: Int = 32): DataFrame = {
+    val r = df.select(col(idCol),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      TextFunctions.qualityScoreE6(col(textCol)).as("quality_e6"))
+    val budget = r.agg(floor(sum(col("n_tokens")) * fraction)
+      .cast("long").as("__budget"))
+    val localW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid"))
+      .orderBy(col("quality_e6").desc, col(idCol))
+    val part = r
+      .repartitionByRange(prefixParts, col("quality_e6").desc, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__local", sum(col("n_tokens")).over(localW))
+    val offW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = part.groupBy(col("__pid"))
+      .agg(sum(col("n_tokens")).as("__ptot"))
+      .select(col("__pid"),
+        coalesce(sum(col("__ptot")).over(offW), lit(0L)).as("__off"))
+    part.join(broadcast(offsets), "__pid")
+      .crossJoin(broadcast(budget))
+      .where(col("__local") + col("__off") <= col("__budget"))
+      .select(col(idCol), col("quality_e6"), col("n_tokens"))
+  }
+
   /** Canonical text normalization for dedup/tokenizer front-ends:
     * lower-case, strip characters outside printable ASCII, collapse
     * whitespace runs, trim. Map-only codegen'd string ops; character

@@ -845,6 +845,19 @@ object Queries {
        |FROM t""".stripMargin
   }
 
+  /** Inline DuckDB scalar for `TextFunctions.qualityScoreE6` over a
+    * row of `table` (same FP evaluation order as the Spark Column and
+    * the qQualityScore CTE form — engines agree bit-for-bit). */
+  private def qualityE6Duck(table: String): String = {
+    val nt = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
+    val nd = "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)"
+    val nc = "CAST(length(text) AS DOUBLE)"
+    s"CAST(FLOOR((0.4e0 * LEAST($nt / 100.0e0, 1.0e0) " +
+      s"+ 0.3e0 * ($nd / $nt) " +
+      s"+ 0.3e0 * LEAST((($nc - $nt + 1.0e0) / $nt) / 8.0e0, 1.0e0)) " +
+      s"* 1000000.0e0) AS BIGINT)"
+  }
+
   /** BPE-ish regex tokenization (letters run | digit run | punct run):
     * the pattern uses only character classes so Java regex (Spark) and
     * RE2 (DuckDB) agree byte-for-byte. */
@@ -2461,6 +2474,42 @@ object Queries {
       q.stop()
       agg.snapshot.read()
     }),
+    // Training-export shuffle: deterministic pseudo-random permutation
+    // via hash shard + shard-local ordering — no global sort.
+    "q_shuffle_export" -> ((s, dir) => {
+      registerViews(s, dir)
+      graft.operators.Curation.shuffleExport(
+        s.table("documents"), "doc_id", shards = 16)
+    }),
+    // Token-budget selection: best-quality docs until 40% of corpus
+    // tokens — distributed two-phase prefix sum, no global window.
+    "q_token_budget" -> ((s, dir) => {
+      registerViews(s, dir)
+      graft.operators.Curation.tokenBudgetSelect(
+        s.table("documents"), "doc_id", "text", fraction = 0.4)
+    }),
+    // Canonical document per near-dup cluster: the LSH+jaccard+CC
+    // pipeline of q_minhash_cc, electing the best-quality member
+    // (ties to the smallest doc_id) as each component's survivor.
+    "q_canonical_docs" -> ((s, dir) => {
+      registerViews(s, dir)
+      val edges = cachedStagesQuery(minhashStages, sparkNgramJaccardFinal)(s, dir)
+      val comp = graft.operators.ConnectedComponents
+        .components(edges, "doc_a", "doc_b")
+        .withColumnRenamed("id", "doc_id")
+      val docs = s.table("documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.qualityScoreE6(col("text"))
+            .as("quality_e6"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("quality_e6"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("component"))
+        .orderBy(col("quality_e6").desc, col("doc_id"))
+      docs.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("__rn")
+    }),
     // Importance sampling toward lexically diverse docs: weight = the
     // distinct-token count, expected keep rate 50%.
     "q_importance_sample" -> ((s, dir) => {
@@ -2858,6 +2907,33 @@ object Queries {
       """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(CASE WHEN doc_id % 9 = 4 THEN 100 ELSE n_chars END) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id % 6 <> 1 GROUP BY source""".stripMargin,
+    "q_shuffle_export" ->
+      """WITH k AS (SELECT doc_id,
+        |    ('0x' || substr(md5('perm|' || doc_id::VARCHAR), 1, 7))::BIGINT AS pk
+        |  FROM documents)
+        |SELECT doc_id, CAST(pk % 16 AS INT) AS shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY pk % 16 ORDER BY pk, doc_id) - 1 AS BIGINT) AS pos
+        |FROM k""".stripMargin,
+    "q_token_budget" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(string_split(text, ' ')) END AS BIGINT) AS n_tokens,
+         |    (${qualityE6Duck("documents")}) AS quality_e6
+         |  FROM documents),
+         |b AS (SELECT CAST(FLOOR(CAST(SUM(n_tokens) AS BIGINT) * 0.4e0) AS BIGINT) AS budget FROM t),
+         |c AS (SELECT doc_id, quality_e6, n_tokens,
+         |    SUM(n_tokens) OVER (ORDER BY quality_e6 DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT doc_id, quality_e6, n_tokens FROM c, b WHERE cum <= budget""".stripMargin,
+    "q_canonical_docs" ->
+      s"""WITH cc AS ($qMinhashCcDuck),
+         |q AS (SELECT doc_id, (${qualityE6Duck("documents")}) AS quality_e6 FROM documents),
+         |j AS (SELECT cc.doc_id, q.quality_e6, cc.component,
+         |    ROW_NUMBER() OVER (PARTITION BY cc.component
+         |      ORDER BY q.quality_e6 DESC, cc.doc_id) AS rn
+         |  FROM cc JOIN q USING (doc_id))
+         |SELECT doc_id, quality_e6, component FROM j WHERE rn = 1""".stripMargin,
     "q_importance_sample" ->
       """WITH w AS (SELECT doc_id, lang, source,
         |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS wt

@@ -261,6 +261,45 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("shuffleExport: dense per-shard positions, deterministic, total") {
+    val docs = (0L until 100L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val out = Curation.shuffleExport(docs, "doc_id", shards = 8).cache()
+    assert(out.count() == 100)
+    // positions are dense 0..n-1 within each shard
+    val byShard = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"))
+      .collect()
+    byShard.foreach { r =>
+      assert(r.getLong(2) == 0L && r.getLong(3) == r.getLong(1) - 1, r.toString)
+    }
+    // deterministic across runs and layouts
+    val again = Curation.shuffleExport(docs.repartition(7), "doc_id", 8)
+    assertSameRows(out, again, "shuffleExport determinism")
+    out.unpersist()
+  }
+
+  test("tokenBudgetSelect matches a single-window greedy selection") {
+    val docs = (0L until 60L)
+      .map(i => (i, Seq.fill((i % 7 + 1).toInt)(s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Curation.tokenBudgetSelect(docs, "doc_id", "text", 0.4)
+    // oracle: the same selection with a plain global window
+    val t = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+      graft.functions.TextFunctions.qualityScoreE6(col("text")).as("quality_e6"))
+    val budget = t.agg(floor(sum("n_tokens") * 0.4).cast("long")).first().getLong(0)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("quality_e6").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val expect = t.withColumn("cum", sum("n_tokens").over(w))
+      .where(col("cum") <= budget)
+      .select("doc_id", "quality_e6", "n_tokens")
+    assertSameRows(out, expect, "distributed vs single-window prefix sum")
+    // the budget is actually binding: selected tokens <= budget < selected + 1 more
+    val sel = out.agg(coalesce(sum("n_tokens"), lit(0L))).first().getLong(0)
+    assert(sel <= budget)
+  }
+
   test("redactPii counts and replaces emails and digit runs") {
     val df = Seq((1L, "reach me at bob99@mail.com or 12345 ext 77"),
                  (2L, "nothing to hide")).toDF("doc_id", "text")

@@ -33,6 +33,9 @@ class DocsEmbeddingsQueriesSpec extends SparkTestBase {
     "q_vocab_encode",       // dense vocab ids + ordered re-encoding
     "q_incr_agg",           // CDF-maintained rollup over source, n_chars
     "q_stream_incr_agg",    // streaming CDF rollup over source, n_chars
+    "q_shuffle_export",     // hash-shard training permutation over doc_id
+    "q_token_budget",       // distributed prefix-sum selection over text
+    "q_canonical_docs",     // CC + quality canonical election
     "q_temperature_sample", // per-lang rates
     "q_mix_sources",        // per-source rates
     "q_fingerprint")        // bag fingerprint over text
