@@ -548,6 +548,56 @@ object Curation {
       .select(col(idCol), col("quality_e6"), col("n_tokens"))
   }
 
+  /** BM25 (Okapi) top-k retrieval for a constant query — the lexical
+    * half of a hybrid (BM25 + vector) search stack. One corpus pass
+    * builds per-(doc, term) frequencies for the query terms only
+    * (map-side filter on the broadcast term set), document-frequency
+    * and average-length statistics are term-/scalar-sized, and each
+    * per-term contribution is integer-quantized (`floor(1e6·idf·tfnorm)`)
+    * so the per-doc sum is order-free and engine-exact. Robertson idf
+    * (`ln((N-df+0.5)/(df+0.5) + 1)`) keeps scores positive. */
+  def bm25TopK(
+      df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], topK: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    val toks = df.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("__w"))
+    val stats = toks.agg(
+      count(lit(1)).as("__n"),
+      sum(size(col("__w"))).as("__toktot"))
+    val terms = {
+      import df.sparkSession.implicits._
+      queryTerms.distinct.toDF("__term")
+    }
+    // per-(doc, term) tf + doc length; corpus side map-only before the
+    // (doc,term) aggregate — the broadcast term set prunes everything else
+    val tf = toks
+      .select(col(idCol), size(col("__w")).cast("long").as("__dl"),
+        explode(col("__w")).as("__t"))
+      .join(broadcast(terms), col("__t") === col("__term"))
+      .groupBy(col(idCol), col("__term"), col("__dl"))
+      .agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy(col("__term"))
+      .agg(count(lit(1)).as("__df"))
+    val contrib = tf
+      .join(broadcast(dfreq), "__term")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        floor(lit(1e6) *
+          log((col("__n").cast("double") - col("__df").cast("double") + 0.5) /
+            (col("__df").cast("double") + 0.5) + 1.0) *
+          (col("__tf").cast("double") * lit(k1 + 1.0) /
+            (col("__tf").cast("double") + lit(k1) *
+              (lit(1.0 - b) + lit(b) * (col("__dl").cast("double") /
+                (col("__toktot").cast("double") / col("__n").cast("double")))))))
+          .cast("long").as("__s_e6"))
+    contrib.groupBy(col(idCol))
+      .agg(sum(col("__s_e6")).as("score_e6"))
+      .orderBy(col("score_e6").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** Canonical text normalization for dedup/tokenizer front-ends:
     * lower-case, strip characters outside printable ASCII, collapse
     * whitespace runs, trim. Map-only codegen'd string ops; character

@@ -2488,6 +2488,15 @@ object Queries {
       graft.operators.Curation.tokenBudgetSelect(
         s.table("documents"), "doc_id", "text", fraction = 0.4)
     }),
+    // BM25 top-25 for a fixed query — the lexical half of a hybrid
+    // search stack; per-term contributions integer-quantized so the
+    // per-doc sum is order-free, ties broken by doc_id.
+    "q_bm25_topk" -> ((s, dir) => {
+      registerViews(s, dir)
+      graft.operators.Curation.bm25TopK(
+        s.table("documents"), "doc_id", "text",
+        Seq("spark", "table", "merge", "fast", "query"), topK = 25)
+    }),
     // Canonical document per near-dup cluster: the LSH+jaccard+CC
     // pipeline of q_minhash_cc, electing the best-quality member
     // (ties to the smallest doc_id) as each component's survivor.
@@ -2926,6 +2935,25 @@ object Queries {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
          |  FROM t)
          |SELECT doc_id, quality_e6, n_tokens FROM c, b WHERE cum <= budget""".stripMargin,
+    "q_bm25_topk" ->
+      """WITH qt(term) AS (VALUES ('spark'), ('table'), ('merge'), ('fast'), ('query')),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(len(t)) AS BIGINT) AS toktot FROM w),
+        |tf AS (SELECT doc_id, term, CAST(len(t) AS BIGINT) AS dl, count(*) AS tf
+        |  FROM w, unnest(t) AS u(tok) JOIN qt ON u.tok = qt.term
+        |  GROUP BY doc_id, term, len(t)),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |c AS (SELECT tf.doc_id,
+        |    CAST(FLOOR(1e6
+        |      * ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0)
+        |        / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75
+        |          * (CAST(dl AS DOUBLE) / (CAST(toktot AS DOUBLE) / CAST(n AS DOUBLE))))))) AS BIGINT) AS s
+        |  FROM tf JOIN dfq USING (term), st)
+        |SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score_e6
+        |FROM c GROUP BY doc_id
+        |ORDER BY score_e6 DESC, doc_id LIMIT 25""".stripMargin,
     "q_canonical_docs" ->
       s"""WITH cc AS ($qMinhashCcDuck),
          |q AS (SELECT doc_id, (${qualityE6Duck("documents")}) AS quality_e6 FROM documents),

@@ -300,6 +300,22 @@ class CurationSpec extends SparkTestBase {
     assert(sel <= budget)
   }
 
+  test("bm25TopK matches a hand-evaluated Okapi formula") {
+    // 3 docs, term "x": tf 2/1/0, dl 4/2/3 -> doc 1 then doc 2; doc 3 absent.
+    val docs = Seq(
+      (1L, "x x y z"), (2L, "x y"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val got = Curation.bm25TopK(docs, "doc_id", "text", Seq("x"), topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def s(tf: Double, dl: Double): Long = {
+      val n = 3.0; val df0 = 2.0; val avg = 9.0 / 3.0
+      val idf = math.log((n - df0 + 0.5) / (df0 + 0.5) + 1.0)
+      val tfn = tf * (1.2 + 1.0) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / avg)))
+      math.floor(1e6 * idf * tfn).toLong
+    }
+    assert(got.toSeq == Seq((1L, s(2, 4)), (2L, s(1, 2))))
+  }
+
   test("redactPii counts and replaces emails and digit runs") {
     val df = Seq((1L, "reach me at bob99@mail.com or 12345 ext 77"),
                  (2L, "nothing to hide")).toDF("doc_id", "text")
