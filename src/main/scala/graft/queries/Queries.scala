@@ -2497,6 +2497,36 @@ object Queries {
         s.table("documents"), "doc_id", "text",
         Seq("spark", "table", "merge", "fast", "query"), topK = 25)
     }),
+    // Hybrid search capstone: reciprocal-rank fusion of the BM25
+    // lexical top-50 and the cosine top-50 for one query vector
+    // (vec_id 0; the synthetic vec_id/doc_id spaces are aligned 1:1).
+    // Per-list contributions floor(1e6/(60+rank)) are integers, so
+    // fusion sums and the final (rrf, doc_id) top-20 are engine-exact.
+    "q_hybrid_rrf" -> ((s, dir) => {
+      registerViews(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score_e6").desc, col("doc_id"))
+      val lex = graft.operators.Curation.bm25TopK(
+        s.table("documents"), "doc_id", "text",
+        Seq("spark", "table", "merge", "fast", "query"), topK = 50)
+        .select(col("doc_id"), row_number().over(w).cast("long").as("rnk"))
+      val vec = s.sql(
+        """WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
+          |n AS (SELECT vec_id, v, vec_l2norm(v) AS nrm FROM e),
+          |q AS (SELECT * FROM n WHERE vec_id = 0),
+          |p AS (SELECT /*+ BROADCAST(q) */ x.vec_id AS doc_id,
+          |    ROUND(vec_dot(q.v, x.v) / (q.nrm * x.nrm), 4) AS sim
+          |  FROM n x JOIN q ON q.vec_id <> x.vec_id),
+          |r AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS BIGINT) AS rnk FROM p)
+          |SELECT doc_id, rnk FROM r WHERE rnk <= 50""".stripMargin)
+      val contrib = (d: org.apache.spark.sql.DataFrame) => d.select(
+        col("doc_id"),
+        floor(lit(1e6) / (col("rnk") + 60)).cast("long").as("__c"))
+      contrib(lex).union(contrib(vec))
+        .groupBy("doc_id")
+        .agg(sum(col("__c")).as("rrf_e6"), count(lit(1)).as("n_lists"))
+        .orderBy(col("rrf_e6").desc, col("doc_id")).limit(20)
+    }),
     // Canonical document per near-dup cluster: the LSH+jaccard+CC
     // pipeline of q_minhash_cc, electing the best-quality member
     // (ties to the smallest doc_id) as each component's survivor.
@@ -2954,6 +2984,44 @@ object Queries {
         |SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score_e6
         |FROM c GROUP BY doc_id
         |ORDER BY score_e6 DESC, doc_id LIMIT 25""".stripMargin,
+    "q_hybrid_rrf" ->
+      """WITH qt(term) AS (VALUES ('spark'), ('table'), ('merge'), ('fast'), ('query')),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(len(t)) AS BIGINT) AS toktot FROM w),
+        |tf AS (SELECT doc_id, term, CAST(len(t) AS BIGINT) AS dl, count(*) AS tf
+        |  FROM w, unnest(t) AS u(tok) JOIN qt ON u.tok = qt.term
+        |  GROUP BY doc_id, term, len(t)),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |c AS (SELECT tf.doc_id,
+        |    CAST(FLOOR(1e6
+        |      * ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0)
+        |        / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75
+        |          * (CAST(dl AS DOUBLE) / (CAST(toktot AS DOUBLE) / CAST(n AS DOUBLE))))))) AS BIGINT) AS s
+        |  FROM tf JOIN dfq USING (term), st),
+        |lexs AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score
+        |  FROM c GROUP BY doc_id),
+        |lex AS (SELECT doc_id, rnk FROM (
+        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+        |  FROM lexs) WHERE rnk <= 50),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |nv AS (SELECT vec_id, v,
+        |    SQRT(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |p AS (SELECT x.vec_id AS doc_id,
+        |    ROUND(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * x.v[i]))
+        |      / (q.nrm * x.nrm), 4) AS sim
+        |  FROM nv q JOIN nv x ON q.vec_id = 0 AND x.vec_id <> 0),
+        |vec AS (SELECT doc_id, rnk FROM (
+        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS rnk
+        |  FROM p) WHERE rnk <= 50),
+        |u AS (SELECT doc_id, CAST(FLOOR(1e6 / (rnk + 60)) AS BIGINT) AS cc FROM lex
+        |  UNION ALL
+        |  SELECT doc_id, CAST(FLOOR(1e6 / (rnk + 60)) AS BIGINT) AS cc FROM vec)
+        |SELECT doc_id, CAST(SUM(cc) AS BIGINT) AS rrf_e6,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lists
+        |FROM u GROUP BY doc_id
+        |ORDER BY rrf_e6 DESC, doc_id LIMIT 20""".stripMargin,
     "q_canonical_docs" ->
       s"""WITH cc AS ($qMinhashCcDuck),
          |q AS (SELECT doc_id, (${qualityE6Duck("documents")}) AS quality_e6 FROM documents),

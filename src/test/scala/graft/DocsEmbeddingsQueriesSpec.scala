@@ -37,6 +37,7 @@ class DocsEmbeddingsQueriesSpec extends SparkTestBase {
     "q_token_budget",       // distributed prefix-sum selection over text
     "q_canonical_docs",     // CC + quality canonical election
     "q_bm25_topk",          // Okapi BM25 lexical retrieval over text
+    "q_hybrid_rrf",         // BM25 + cosine reciprocal-rank fusion
     "q_temperature_sample", // per-lang rates
     "q_mix_sources",        // per-source rates
     "q_fingerprint")        // bag fingerprint over text
