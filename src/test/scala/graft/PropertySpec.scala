@@ -242,4 +242,63 @@ class PropertySpec extends SparkTestBase {
       assert(out.count() == expected, s"case $caseId")
     }
   }
+
+  test("shuffleExport is a bijection for generated corpora") {
+    (1 to 4).foreach { caseId =>
+      val n = sample(Gen.choose(20, 120), caseId * 97L)
+      val shards = sample(Gen.choose(1, 9), caseId * 101L)
+      val docs = (0 until n).map(i => (i.toLong * 3 + caseId, s"d$i"))
+        .toDF("doc_id", "text")
+      val out = graft.operators.Curation.shuffleExport(docs, "doc_id", shards)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      assert(out.length == n)
+      assert(out.map(_._1).distinct.length == n, "every doc exactly once")
+      // (shard, pos) is a key and positions are dense per shard
+      val byShard = out.groupBy(_._2)
+      byShard.foreach { case (sh, rows) =>
+        assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq,
+          s"case $caseId shard $sh positions not dense")
+      }
+    }
+  }
+
+  test("aggDelta of an insert-only feed equals the full aggregate") {
+    (1 to 4).foreach { caseId =>
+      val rows = (1 to 150).map { i =>
+        val k = sample(Gen.oneOf("a", "b", "c", "d"), caseId * 503L + i)
+        val v = sample(Gen.choose(-50L, 50L), caseId * 509L + i)
+        (k, v, "insert")
+      }
+      val delta = graft.operators.IncrementalAgg.aggDelta(
+        rows.toDF("k", "v", "_change_type"), Seq("k"), "v")
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val expected = rows.groupBy(_._1).map { case (k, rs) =>
+        k -> ((rs.size.toLong, rs.map(_._2).sum))
+      }
+      assert(delta == expected, s"case $caseId")
+    }
+  }
+
+  test("hashedFeatures: total signed mass is bounded by the token count") {
+    (1 to 4).foreach { caseId =>
+      val words = Seq("red", "blue", "green", "gold", "iron", "clay")
+      val docs = (0 until 30).map { i =>
+        val len = sample(Gen.choose(1, 20), caseId * 701L + i)
+        val text = (0 until len)
+          .map(j => sample(Gen.oneOf(words), caseId * 709L + i * 31L + j))
+          .mkString(" ")
+        (i.toLong, text)
+      }.toDF("doc_id", "text")
+      val feats = graft.operators.Classifier
+        .hashedFeatures(docs, "doc_id", "text", 64)
+        .groupBy("doc_id").agg(sum(abs(col("val"))).as("mass"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val lens = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      feats.foreach { case (id, m) =>
+        assert(m <= lens(id), s"case $caseId doc $id mass $m > ${lens(id)}")
+      }
+    }
+  }
 }
