@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFunctions
+
+/** Sketch-based corpus profiling — the sublinear-state statistics a
+  * 100 TB pipeline runs where an exact `GROUP BY` would shuffle the
+  * whole corpus: Count-Min frequency estimation, HyperLogLog distinct
+  * counting, and sample-derived range-partition boundaries.
+  *
+  * All three are DETERMINISTIC (md5-derived hashing, integer or
+  * exact-selection arithmetic throughout), so unlike Spark's built-in
+  * `approx_count_distinct`/`count_min_sketch` the results are
+  * reproducible bit-for-bit by any engine — which is what lets the
+  * DuckDB oracle verify them, and what makes reruns/stage-retries at
+  * scale produce identical statistics.
+  *
+  * Scale shapes:
+  *  - CMS: one map-only pass over the corpus; the only shuffle carries
+  *    at most `depth × width` partially-aggregated cells per map task
+  *    (the sketch relation itself is depth×width rows — broadcastable).
+  *  - HLL: one map-only pass; the shuffle carries at most `m` register
+  *    cells per map task (map-side MAX partial aggregation), final
+  *    state is `m` rows regardless of corpus size.
+  *  - Range bounds: the corpus is touched map-only twice (hash-sample,
+  *    then bucket assignment against broadcast-sized boundaries); the
+  *    only sort is over the bounded sample. This is the
+  *    RangePartitioner recipe: sample → boundaries → broadcast.
+  */
+object Sketches {
+
+  // ---- Count-Min Sketch ----------------------------------------------------
+
+  /** The (row, bucket) cell coordinates of `key` under `depth`
+    * independent md5-seeded hash rows. */
+  private def cmsCells(key: Column, depth: Int, width: Int): Column =
+    array((0 until depth).map { r =>
+      struct(lit(r).as("row"),
+        (TextFunctions.hash28(concat(lit(s"cms|$r|"), key)) % width).as("bucket"))
+    }: _*)
+
+  /** Build a depth×width Count-Min sketch over `key` occurrences
+    * (each input row counts once). Returns the sketch as a relation
+    * `(row INT, bucket INT, cnt BIGINT)` of at most depth×width rows
+    * — small enough to broadcast, checkpoint, or merge across shards
+    * (CMS cells are sums, so sketches of corpus shards add). */
+  def cmsSketch(df: DataFrame, key: Column, depth: Int, width: Int): DataFrame =
+    df.select(explode(cmsCells(key, depth, width)).as("cell"))
+      .groupBy(col("cell.row").as("row"), col("cell.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point-estimate the frequency of each distinct key in `keys`
+    * (a one-column DataFrame) from a sketch built with the same
+    * depth/width: the classic min over the key's `depth` cells.
+    * The sketch side is broadcast — estimation never shuffles the
+    * key relation. */
+  def cmsEstimate(keys: DataFrame, sketch: DataFrame,
+      depth: Int, width: Int): DataFrame = {
+    val k = keys.columns.head
+    keys.select(col(k).as("key"))
+      .distinct()
+      .select(col("key"), explode(cmsCells(col("key"), depth, width)).as("cell"))
+      .join(broadcast(sketch),
+        col("cell.row") === col("row") && col("cell.bucket") === col("bucket"))
+      .groupBy(col("key"))
+      .agg(min(col("cnt")).as("est"))
+  }
+
+  // ---- HyperLogLog ---------------------------------------------------------
+
+  /** Deterministic HyperLogLog distinct-count summary over `key`, with
+    * `m = 2^b` registers (b in [4, 16]).
+    *
+    * Hash layout: 60 md5-derived bits (TextFunctions.hash60) split into
+    * a bucket index (`h mod m`) and a (60−b)-bit pattern word whose
+    * leading-zero rank feeds the register. Register update is MAX, so
+    * duplicate keys are absorbed map-side and the shuffle carries at
+    * most m cells per map task. The raw estimate α·m²/Σ2^−M is computed
+    * over an EXACT integer harmonic sum (terms scaled by 2^(50) as
+    * dyadic integers; a register above 50 — pattern word of 50+ leading
+    * zeros, probability ≈ 2^−50 per bucket — contributes 0 in both
+    * engines identically), and the only floating-point step is one
+    * constant-by-integer division, reproducible bit-for-bit on any
+    * IEEE-754 engine.
+    *
+    * Returns one row: `(m, zero_buckets, harmonic_s, est_distinct)`.
+    * Small-range linear counting (`m·ln(m/V)` when the raw estimate is
+    * under 2.5m and V buckets are empty) is left to the caller: `ln` is
+    * libm-dependent and would break cross-engine determinism, and at
+    * the corpus sizes this engine targets the branch never triggers. */
+  def hllSummary(df: DataFrame, key: Column, b: Int = 10): DataFrame = {
+    require(b >= 4 && b <= 16, s"b must be in [4,16], got $b")
+    val m = 1 << b
+    val patBits = 60 - b
+    val h = TextFunctions.hash60(concat(lit("hll|"), key))
+    val bucket = (h % m).as("bucket")
+    // pattern word: the remaining 60-b bits, extracted with an integer
+    // shift (a double division would corrupt bits past 2^53); rho =
+    // leading zeros + 1 = (patBits + 1) - msb position (length of
+    // bin(w), identical in DuckDB).
+    val w = shiftright(h, b)
+    val rho = when(w === 0, lit(patBits + 1))
+      .otherwise(lit(patBits + 1) - length(bin(w)))
+    val registers = df
+      .select(bucket, rho.cast("int").as("rho"))
+      .groupBy("bucket").agg(max("rho").as("reg"))
+    // Dense register lattice: empty buckets carry register 0 (term 2^50).
+    val lattice = registers.sparkSession
+      .range(0, m).select(col("id").as("bucket"))
+      .join(registers, Seq("bucket"), "left")
+      .select(coalesce(col("reg"), lit(0)).as("reg"))
+    val term = expr(
+      "CASE WHEN reg <= 50 THEN shiftleft(CAST(1 AS BIGINT), 50 - reg) " +
+        "ELSE CAST(0 AS BIGINT) END")
+    // α_m · m² · 2^50 precomputed to one double constant; the oracle
+    // embeds the same shortest-repr literal, so the single division
+    // below is the whole cross-engine floating-point surface.
+    lattice.agg(
+        sum(when(col("reg") === 0, 1L).otherwise(0L)).as("zero_buckets"),
+        sum(term).as("harmonic_s"))
+      .select(lit(m.toLong).as("m"), col("zero_buckets"), col("harmonic_s"))
+      .withColumn("est_distinct",
+        floor(lit(hllAlphaNum(b)) / col("harmonic_s").cast("double")).cast("long"))
+  }
+
+  /** The α·m²·2^50 numerator for `hllSummary(b)`, exposed so oracles
+    * can embed the identical double constant. */
+  def hllAlphaNum(b: Int): Double = {
+    val m = 1 << b
+    0.7213 / (1.0 + 1.079 / m) * m.toDouble * m.toDouble * 1125899906842624.0
+  }
+
+  // ---- Range-partition boundaries ------------------------------------------
+
+  /** Sample-derived range-partition boundaries plus the full-table
+    * bucket census — the planning step of a 100 TB global sort /
+    * sorted export (Spark's own RangePartitioner shape, made
+    * deterministic and engine-replayable).
+    *
+    * 1. Hash-sample `rate` of the table on md5(idCol) — map-only,
+    *    reproducible across retries, no sampling RNG.
+    * 2. NTILE(buckets) over the SAMPLE (the only sort in the job, and
+    *    it sorts `rate · |table|` rows — bounded by construction; at
+    *    1000 executors you pick `rate` so the sample is a few 100k
+    *    rows) → per-bucket upper bound `hi` = max sampled value.
+    * 3. The first `buckets−1` bounds — partitioner metadata, not data
+    *    — are collected and inlined as an array literal; assignment is
+    *    a map-only `size(filter(bounds, b -> b < x))` per row, the
+    *    broadcast-binary-search every range shuffle does.
+    *
+    * Returns `(bucket, hi, n_sample, n_table)` — skew in `n_table`
+    * across buckets is exactly the partition skew the sampled sort
+    * would have. Values tie to bounds go to the LOWER bucket
+    * (assignment is `hi < x`, strict). */
+  def rangeBounds(df: DataFrame, idCol: String, valueCol: String,
+      buckets: Int, rate: Double): DataFrame = {
+    val sample = df.where(
+      TextFunctions.hash28(concat(lit("rb|"), col(idCol).cast("string")))
+        .cast("double") / 268435456.0 < rate)
+    val w = Window.orderBy(col(valueCol), col(idCol))
+    val bounds = sample
+      .select(col(idCol), col(valueCol), ntile(buckets).over(w).as("bucket"))
+      .groupBy("bucket")
+      .agg(max(col(valueCol)).as("hi"), count(lit(1)).as("n_sample"))
+    // buckets-1 boundary values: partitioner metadata (the one collect
+    // in this module — bounded at `buckets` doubles, like broadcast
+    // codebooks/centroids elsewhere in the engine).
+    val cuts = bounds.where(col("bucket") < buckets)
+      .orderBy("bucket").select("hi").collect().map(_.getDouble(0))
+    val cutsArr = array(cuts.map(lit(_)): _*)
+    val census = df.select((size(filter(cutsArr,
+        b => b < col(valueCol))) + 1).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_table"))
+    bounds.join(census, Seq("bucket"), "left")
+      .select(col("bucket").cast("int").as("bucket"), col("hi"),
+        col("n_sample"), coalesce(col("n_table"), lit(0L)).as("n_table"))
+  }
+}

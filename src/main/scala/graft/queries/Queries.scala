@@ -2743,6 +2743,46 @@ object Queries {
       graft.operators.Multimodal.extractFeatures(assets, dim = 4).toDF()
         .select(col("asset_id") +: (0 until 4).map(i =>
           round(element_at(col("feature"), i + 1) * 1000, 0).cast("bigint").as(s"f$i")): _*)
+    }),
+    // Count-Min heavy hitters over word-3-gram shingles (the corpus
+    // vocabulary is ~31 tokens, so grams are where cardinality lives):
+    // the corpus-wide state is ONE 4×2048-cell sketch (broadcastable;
+    // shard sketches add); candidate grams come from a deterministic 2%
+    // doc shard and are scored by the sketch's min-over-rows estimate,
+    // never by an exact global count.
+    "q_cms_heavy_hitters" -> ((s, dir) => {
+      registerViews(s, dir)
+      val grams = s.table("documents").select(explode(
+        graft.functions.TextFunctions.wordNgrams(col("text"), 3)).as("tk"))
+      val sketch = graft.operators.Sketches.cmsSketch(
+        grams, col("tk"), depth = 4, width = 2048)
+      val cand = s.table("documents").where(col("doc_id") % 50 === 0)
+        .select(explode(
+          graft.functions.TextFunctions.wordNgrams(col("text"), 3)).as("tk"))
+      graft.operators.Sketches.cmsEstimate(cand, sketch, depth = 4, width = 2048)
+        .select(col("key").as("term"), col("est"))
+        .orderBy(col("est").desc, col("term")).limit(20)
+    }),
+    // Deterministic HyperLogLog (m=1024) distinct-shingle summary: one
+    // map-only corpus pass, ≤1024 register cells per map task, exact
+    // integer harmonic sum — the engine-replayable approx_count_distinct.
+    // 16k-27k distinct 3-grams across SFs keeps the raw estimator in its
+    // valid regime (≥ 2.5m); the small-range branch is documented in
+    // Sketches.hllSummary.
+    "q_hll_distinct" -> ((s, dir) => {
+      registerViews(s, dir)
+      val grams = s.table("documents").select(explode(
+        graft.functions.TextFunctions.wordNgrams(col("text"), 3)).as("tk"))
+      graft.operators.Sketches.hllSummary(grams, col("tk"), b = 10)
+    }),
+    // Range-partition boundaries for a global sort of orders by price:
+    // hash-sample 12.5%, NTILE(32) over the sample only, boundaries
+    // inlined as partitioner metadata, full-table bucket census map-only.
+    "q_range_bounds" -> ((s, dir) => {
+      registerViews(s, dir)
+      graft.operators.Sketches.rangeBounds(
+        s.table("orders"), "o_orderkey", "o_totalprice",
+        buckets = 32, rate = 0.125)
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -3114,5 +3154,53 @@ object Queries {
     "q_asof_forward" -> qAsofForwardDuck,
     "q_range_join" -> qRangeJoinDuck,
     "q_top_terms" -> qTopTermsDuck,
-    "q_pack_sequences" -> qPackSequencesDuck)
+    "q_pack_sequences" -> qPackSequencesDuck,
+    "q_cms_heavy_hitters" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |tok AS (SELECT unnest(${ngrams3("duck")}) AS tk FROM t),
+         |cells AS (SELECT r,
+         |    ('0x' || substr(md5('cms|' || r::VARCHAR || '|' || tk), 1, 7))::BIGINT % 2048 AS bucket
+         |  FROM tok, (VALUES (0), (1), (2), (3)) AS rr(r)),
+         |sk AS (SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM cells GROUP BY r, bucket),
+         |cand AS (SELECT DISTINCT unnest(${ngrams3("duck")}) AS term
+         |  FROM t WHERE doc_id % 50 = 0),
+         |ce AS (SELECT term, r,
+         |    ('0x' || substr(md5('cms|' || r::VARCHAR || '|' || term), 1, 7))::BIGINT % 2048 AS bucket
+         |  FROM cand, (VALUES (0), (1), (2), (3)) AS rr(r)),
+         |est AS (SELECT term, CAST(MIN(cnt) AS BIGINT) AS est
+         |  FROM ce JOIN sk USING (r, bucket) GROUP BY term)
+         |SELECT term, est FROM est ORDER BY est DESC, term LIMIT 20""".stripMargin,
+    "q_hll_distinct" ->
+      s"""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+         |tok AS (SELECT unnest(${ngrams3("duck")}) AS tk FROM t),
+         |h AS (SELECT ('0x' || substr(md5('hll|' || tk), 1, 15))::BIGINT AS h FROM tok),
+         |r AS (SELECT h % 1024 AS bucket,
+         |    CASE WHEN h // 1024 = 0 THEN 51
+         |      ELSE 51 - length(bin(h // 1024)) END AS rho FROM h),
+         |reg AS (SELECT bucket, MAX(rho) AS reg FROM r GROUP BY bucket),
+         |lat AS (SELECT COALESCE(reg.reg, 0) AS reg
+         |  FROM range(0, 1024) AS g(bucket) LEFT JOIN reg USING (bucket)),
+         |s AS (SELECT
+         |    CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_buckets,
+         |    CAST(SUM(CASE WHEN reg <= 50 THEN (1::BIGINT << (50 - reg)) ELSE 0 END) AS BIGINT) AS harmonic_s
+         |  FROM lat)
+         |SELECT CAST(1024 AS BIGINT) AS m, zero_buckets, harmonic_s,
+         |  CAST(FLOOR(${graft.operators.Sketches.hllAlphaNum(10)} / CAST(harmonic_s AS DOUBLE)) AS BIGINT) AS est_distinct
+         |FROM s""".stripMargin,
+    "q_range_bounds" ->
+      """WITH samp AS (SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE CAST(('0x' || substr(md5('rb|' || o_orderkey::VARCHAR), 1, 7))::BIGINT AS DOUBLE) / 268435456.0 < 0.125),
+        |nt AS (SELECT o_totalprice,
+        |    ntile(32) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket FROM samp),
+        |bounds AS (SELECT bucket, MAX(o_totalprice) AS hi,
+        |    CAST(COUNT(*) AS BIGINT) AS n_sample FROM nt GROUP BY bucket),
+        |cuts AS (SELECT hi FROM bounds WHERE bucket < 32),
+        |asg AS (SELECT 1 + (SELECT COUNT(*) FROM cuts c WHERE c.hi < o.o_totalprice) AS bucket
+        |  FROM orders o),
+        |census AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_table
+        |  FROM asg GROUP BY bucket)
+        |SELECT CAST(b.bucket AS INT) AS bucket, b.hi, b.n_sample,
+        |  COALESCE(census.n_table, 0::BIGINT) AS n_table
+        |FROM bounds b LEFT JOIN census ON b.bucket = census.bucket""".stripMargin)
 }

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sketches
+
+/** Sketch-profiling operators: Count-Min invariants, HyperLogLog
+  * accuracy against exact distinct counts, and range-boundary census
+  * conservation — the sublinear statistics of Sketches.scala. */
+class SketchesSpec extends SparkTestBase {
+
+  private def tokensDf(rows: Seq[String]) = {
+    import spark.implicits._
+    rows.toDF("tk")
+  }
+
+  test("CMS estimates never undercount and each row conserves total mass") {
+    // 3 heavy keys + 200 light keys, known exact frequencies.
+    val data = Seq.fill(500)("alpha") ++ Seq.fill(300)("beta") ++
+      Seq.fill(100)("gamma") ++ (0 until 200).flatMap(i => Seq(s"t$i"))
+    val df = tokensDf(data)
+    val sketch = Sketches.cmsSketch(df, col("tk"), depth = 4, width = 1024)
+    // Every row of the sketch holds the full stream mass.
+    val rowMass = sketch.groupBy("row").agg(sum("cnt").as("mass"))
+      .collect().map(_.getLong(1)).toSeq
+    assert(rowMass == Seq.fill(4)(data.size.toLong), s"row mass $rowMass")
+    val keys = tokensDf(data.distinct)
+    val est = Sketches.cmsEstimate(keys, sketch, depth = 4, width = 1024)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    exact.foreach { case (k, n) =>
+      assert(est(k) >= n, s"CMS undercounted $k: est ${est(k)} < exact $n")
+    }
+    // The heavy keys dominate any collision noise from 203 keys in
+    // 1024 buckets: their estimates must rank them correctly.
+    assert(est("alpha") > est("beta") && est("beta") > est("gamma"))
+  }
+
+  test("CMS sketches of shards add up to the sketch of the union") {
+    val a = tokensDf(Seq.fill(50)("x") ++ (0 until 40).map(i => s"a$i"))
+    val b = tokensDf(Seq.fill(30)("x") ++ (0 until 40).map(i => s"b$i"))
+    val merged = Sketches.cmsSketch(a, col("tk"), 4, 256)
+      .unionByName(Sketches.cmsSketch(b, col("tk"), 4, 256))
+      .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+    val whole = Sketches.cmsSketch(a.unionByName(b), col("tk"), 4, 256)
+    assertSameRows(merged, whole, "shard-sum vs union sketch")
+  }
+
+  test("HLL estimate lands within 10% of the exact distinct count") {
+    // 1.04/sqrt(1024) ≈ 3.25% expected standard error; 10% is ~3σ.
+    for (n <- Seq(5000, 20000)) {
+      val df = spark.range(n).select(concat(lit("v"), col("id")).as("tk"))
+        .unionAll(spark.range(n / 10).select(concat(lit("v"), col("id")).as("tk")))
+      val row = Sketches.hllSummary(df, col("tk"), b = 10).collect().head
+      val (m, zero, s, est) =
+        (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      assert(m == 1024L && s > 0L)
+      // E[empty buckets] = m·(1−1/m)^n ≈ 7.7 at n=5000, ≈ 0 at n=20000.
+      assert(zero < 30L, s"implausibly many empty buckets at n=$n: $zero")
+      val err = math.abs(est - n).toDouble / n
+      assert(err < 0.10, s"HLL est $est vs exact $n: ${err * 100}%")
+    }
+  }
+
+  test("HLL is duplicate-insensitive: registers depend on the distinct set") {
+    val once = spark.range(2000).select(concat(lit("k"), col("id")).as("tk"))
+    val thrice = once.unionAll(once).unionAll(once)
+    assertSameRows(Sketches.hllSummary(once, col("tk")),
+      Sketches.hllSummary(thrice, col("tk")), "duplicates changed the summary")
+  }
+
+  test("range bounds census conserves the table and orders the buckets") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val out = Sketches.rangeBounds(orders, "o_orderkey", "o_totalprice",
+      buckets = 16, rate = 0.25).orderBy("bucket").collect()
+    assert(out.map(_.getInt(0)).toSeq == (1 to 16), "buckets not contiguous")
+    assert(out.map(_.getLong(3)).sum == orders.count(),
+      "bucket census does not sum to the table row count")
+    val his = out.map(_.getDouble(1)).toSeq
+    assert(his == his.sorted, "boundaries not nondecreasing")
+    // Sample counts balance to within the NTILE ±1 guarantee.
+    val ns = out.map(_.getLong(2))
+    assert(ns.max - ns.min <= 1, s"NTILE imbalance: ${ns.toSeq}")
+  }
+}
