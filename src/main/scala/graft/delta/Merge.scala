@@ -39,7 +39,23 @@ final case class Merge(
     notMatchedInsert: Option[(Option[Column], Map[String, Column])] = None,
     notMatchedBySourceDelete: Option[Option[Column]] = None,
     notMatchedBySourceUpdate: Option[(Option[Column], Map[String, Column])] = None,
-    schemaEvolution: Boolean = false) {
+    schemaEvolution: Boolean = false,
+    txn: Option[(String, Long)] = None) {
+
+  /** Ride an idempotent-writer `txn` marker (appId, version) INSIDE the
+    * merge's own commit. Required when the per-batch application is NOT
+    * idempotent (e.g. folding a signed aggregate delta): a separate
+    * marker commit would leave a crash window in which a restart
+    * re-applies the already-committed batch. No-op merges (nothing
+    * matched, nothing inserted) still record the marker, as their
+    * replay is trivially idempotent. */
+  def withTxn(appId: String, version: Long): Merge =
+    copy(txn = Some((appId, version)))
+
+  /** The SetTransaction action(s) to ride along in the data commit. */
+  private def txnActions: Seq[Action] = txn.toSeq.map { case (a, v) =>
+    TxnAction(SetTransaction(a, v, Some(System.currentTimeMillis())))
+  }
 
   /** Enable automatic schema evolution (delta-spark's
     * `withSchemaEvolution`): UPDATE-set / INSERT-values keys naming
@@ -240,8 +256,14 @@ final case class Merge(
       case (None, None) => None
     }
     try replacement match {
-      case None => snap.version
-      case Some(df) if touched.isEmpty && df.isEmpty => snap.version
+      // no-op merges: no data commit to ride in, so a marker-only commit
+      // is safe (replaying a no-op batch is trivially idempotent)
+      case None =>
+        txn.map { case (a, v) => TransactionWriter.recordTxn(log, a, v) }
+          .getOrElse(snap.version)
+      case Some(df) if touched.isEmpty && df.isEmpty =>
+        txn.map { case (a, v) => TransactionWriter.recordTxn(log, a, v) }
+          .getOrElse(snap.version)
       case Some(df) =>
         // Change Data Feed: rewrite commits carry exact row-level cdc
         // (deletes + update pre/post pairs + inserts). Insert-ONLY
@@ -259,7 +281,7 @@ final case class Merge(
             ChangeDataFeed.writeCdcFiles(log, all)
           }
         TransactionWriter.rewriteFiles(log, snap, touched, df, "MERGE",
-          extraActions = cdc)
+          extraActions = cdc ++ txnActions)
     } finally joinedCache.foreach(_.unpersist())
   }
 
@@ -375,12 +397,12 @@ final case class Merge(
             Some(TransactionWriter.writeAndCommit(log, df, Some(snap),
               removes = Nil, partitionBy = Some(snap.metadata.partitionColumns),
               configuration = Map.empty, operation = "MERGE", mode = "Rewrite",
-              extraActions = dvActions ++ cdc,
+              extraActions = dvActions ++ cdc ++ txnActions,
               extraTouched = dvTouched.map(_.path).toSet))
           case None =>
             val actions = CommitInfoAction(CommitInfo(
               System.currentTimeMillis(), "MERGE",
-              Map("mode" -> "deletionVectors"))) +: (dvActions ++ cdc)
+              Map("mode" -> "deletionVectors"))) +: (dvActions ++ cdc ++ txnActions)
             val v = TransactionWriter.commitWithRebase(log, snap.version + 1,
               actions, touchedPaths = dvTouched.map(_.path).toSet,
               ictEnabled = snap.metadata.configuration

@@ -15,6 +15,36 @@ import graft.functions.TextFunctions
   */
 object Curation {
 
+  /** Persist `df` and register a one-shot listener that unpersists it
+    * after the first completed action on the session — so an operator
+    * whose plan consumes an expensive stage twice (e.g. the two-phase
+    * prefix sum) computes it once, without leaving the caller a pinned
+    * `InMemoryRelation` after the result is consumed. An unrelated
+    * action firing first merely unpersists early (the stage recomputes
+    * — correct, just slower). */
+  private def selfUnpersisting(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    df.persist()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      private def fire(): Unit =
+        if (done.compareAndSet(false, true)) {
+          if (!spark.sparkContext.isStopped)
+            try df.unpersist(false) catch { case _: Throwable => () }
+          try spark.listenerManager.unregister(this)
+          catch { case _: Throwable => () }
+        }
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = fire()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = fire()
+    }
+    spark.listenerManager.register(listener)
+    df
+  }
+
   /** Distinct 28-bit hashes of the word `n`-grams of `text` — one
     * truncated gram when the document is shorter than `n` tokens
     * (mirrors `GREATEST(len-n+1, 1)` on the oracle side). */
@@ -531,10 +561,15 @@ object Curation {
     val localW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__pid"))
       .orderBy(col("quality_e6").desc, col(idCol))
-    val part = r
+    // `part` carries the tokenize + quality + range-exchange work and
+    // is consumed TWICE (offsets aggregate + final join): persist the
+    // narrow (id, counts, pid) relation so the corpus pipeline runs
+    // once — the self-unpersisting cache frees it after the caller's
+    // action completes.
+    val part = selfUnpersisting(r
       .repartitionByRange(prefixParts, col("quality_e6").desc, col(idCol))
       .withColumn("__pid", spark_partition_id())
-      .withColumn("__local", sum(col("n_tokens")).over(localW))
+      .withColumn("__local", sum(col("n_tokens")).over(localW)))
     val offW = org.apache.spark.sql.expressions.Window
       .orderBy(col("__pid"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)

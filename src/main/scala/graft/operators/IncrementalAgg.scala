@@ -41,14 +41,19 @@ object IncrementalAgg {
     * matched keys update in place (and drop when their count reaches
     * zero), new keys insert. The target must exist with schema
     * `(keys..., countCol, sumCol)`; seed it with an empty or initial
-    * rollup. Idempotent replay protection comes from the caller's txn
-    * marker (see `StreamingOps.incrementalAggSink`). */
+    * rollup. A signed-delta fold is NOT idempotent, so replay
+    * protection must be atomic with the data: pass `txn` to ride the
+    * (appId, batchId) marker inside the merge commit itself (see
+    * `StreamingOps.incrementalAggSink`) — a separate marker commit
+    * would leave a crash window that double-applies the batch. */
   def mergeDelta(
       aggLog: graft.delta.DeltaLog, delta: DataFrame, keyCols: Seq[String],
-      countCol: String, sumCol: String): Long = {
+      countCol: String, sumCol: String,
+      txn: Option[(String, Long)] = None): Long = {
     val cond = keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
     val newCount = col(s"t.$countCol") + col(s"s.__d_n")
-    graft.delta.Merge.into(aggLog, delta, cond)
+    val m = graft.delta.Merge.into(aggLog, delta, cond)
+    txn.fold(m) { case (a, v) => m.withTxn(a, v) }
       .whenMatchedDelete(Some(newCount <= 0))
       .whenMatchedUpdate(Map(
         countCol -> newCount,

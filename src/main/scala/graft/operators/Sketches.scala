@@ -62,10 +62,15 @@ object Sketches {
     keys.select(col(k).as("key"))
       .distinct()
       .select(col("key"), explode(cmsCells(col("key"), depth, width)).as("cell"))
+      // LEFT join: the sketch stores only occupied cells, and an absent
+      // cell is evidence of count 0 — an inner join would drop it from
+      // the min and inflate the estimate (or lose never-seen keys
+      // entirely), breaking the CMS point-estimate contract.
       .join(broadcast(sketch),
-        col("cell.row") === col("row") && col("cell.bucket") === col("bucket"))
+        col("cell.row") === col("row") && col("cell.bucket") === col("bucket"),
+        "left")
       .groupBy(col("key"))
-      .agg(min(col("cnt")).as("est"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
   // ---- HyperLogLog ---------------------------------------------------------
@@ -91,7 +96,10 @@ object Sketches {
     * libm-dependent and would break cross-engine determinism, and at
     * the corpus sizes this engine targets the branch never triggers. */
   def hllSummary(df: DataFrame, key: Column, b: Int = 10): DataFrame = {
-    require(b >= 4 && b <= 16, s"b must be in [4,16], got $b")
+    // Upper bound 12, not 16: the harmonic sum's worst case is m·2^50
+    // (every register 0), which for m = 2^13 reaches 2^63 and wraps
+    // Long. b=12 keeps the worst case at 2^62 with the exactness intact.
+    require(b >= 4 && b <= 12, s"b must be in [4,12], got $b")
     val m = 1 << b
     val patBits = 60 - b
     val h = TextFunctions.hash60(concat(lit("hll|"), key))
@@ -165,13 +173,19 @@ object Sketches {
       .groupBy("bucket")
       .agg(max(col(valueCol)).as("hi"), count(lit(1)).as("n_sample"))
     // buckets-1 boundary values: partitioner metadata (the one collect
-    // in this module — bounded at `buckets` doubles, like broadcast
-    // codebooks/centroids elsewhere in the engine).
+    // in this module — bounded at `buckets` values, like broadcast
+    // codebooks/centroids elsewhere in the engine). Collected untyped so
+    // any orderable valueCol (long, double, decimal, string) works.
     val cuts = bounds.where(col("bucket") < buckets)
-      .orderBy("bucket").select("hi").collect().map(_.getDouble(0))
-    val cutsArr = array(cuts.map(lit(_)): _*)
-    val census = df.select((size(filter(cutsArr,
-        b => b < col(valueCol))) + 1).as("bucket"))
+      .orderBy("bucket").select("hi").collect().map(_.get(0))
+    // Degenerate sample (0–1 rows) yields no interior cuts; array() of
+    // zero columns is NullType-typed and would poison the comparison,
+    // so assign everything to bucket 1 directly.
+    val bucketExpr =
+      if (cuts.isEmpty) lit(1)
+      else size(filter(array(cuts.map(lit(_)).toSeq: _*),
+        b => b < col(valueCol))) + 1
+    val census = df.select(bucketExpr.as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n_table"))
     bounds.join(census, Seq("bucket"), "left")
       .select(col("bucket").cast("int").as("bucket"), col("hi"),

@@ -39,9 +39,13 @@ object SkewJoin {
       probe: DataFrame, build: DataFrame,
       key: String, discriminator: String, salts: Int): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
+    // NULL discriminator must still salt (md5(NULL) is NULL, and a NULL
+    // salt would silently drop the row from the equi-join, breaking the
+    // plain-join equivalence) — all-null rows share bucket 0, which is
+    // the plain join's behavior for them anyway.
     val salted = probe.withColumn("__salt",
-      (TextFunctions.hash28(col(discriminator).cast("string")) % salts)
-        .cast("int"))
+      (coalesce(TextFunctions.hash28(col(discriminator).cast("string")), lit(0L))
+        % salts).cast("int"))
     val replicated = build.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

@@ -117,31 +117,28 @@ class DeltaStreamSource(
         math.min(latest, (commits ++ cps).min)
       case _ => latest
     }
-    // byte-based admission: extend from the last offered version while
-    // the cumulative ADDED bytes stay under the cap — always at least
-    // one commit so the stream can't starve on a single large commit
+    // byte-based admission: extend from a start version while the
+    // cumulative ADDED bytes stay under the cap — always at least one
+    // commit so the stream can't starve on a single large commit. The
+    // start is the next unoffered version, or — on the first offer with
+    // ONLY the byte cap configured — the earliest reconstructible
+    // version (otherwise commitCapped = latest and the entire table
+    // history would be admitted as one batch, defeating admission
+    // control exactly when the backlog is largest). ONE shared walk: a
+    // future admission-control fix must not have two copies to diverge.
+    def byteWalk(cap: Long, startV: Long): Long = {
+      var v = startV
+      var cum = bytesOf(v)
+      while (v < commitCapped && cum + bytesOf(v + 1) <= cap) {
+        v += 1; cum += bytesOf(v)
+      }
+      v
+    }
     val target = (maxBytesPerTrigger, lastOffered) match {
-      case (Some(cap), Some(lo)) if commitCapped > lo =>
-        var v = lo + 1
-        var cum = bytesOf(v)
-        while (v < commitCapped && cum + bytesOf(v + 1) <= cap) {
-          v += 1; cum += bytesOf(v)
-        }
-        v
+      case (Some(cap), Some(lo)) if commitCapped > lo => byteWalk(cap, lo + 1)
       case (Some(cap), None) if maxCommitsPerTrigger.isEmpty =>
-        // first offer with ONLY the byte cap configured: without this
-        // branch commitCapped = latest and the entire table history
-        // would be admitted as one batch — defeating admission control
-        // exactly when the backlog is largest. Mirror the commit-capped
-        // path: start the byte walk at the earliest reconstructible
-        // version and extend while cumulative added bytes fit.
         val (commits, cps) = log.listLog()
-        var v = math.min(latest, (commits ++ cps).min)
-        var cum = bytesOf(v)
-        while (v < commitCapped && cum + bytesOf(v + 1) <= cap) {
-          v += 1; cum += bytesOf(v)
-        }
-        v
+        byteWalk(cap, math.min(latest, (commits ++ cps).min))
       case _ => commitCapped
     }
     lastOffered = Some(math.max(target, lastOffered.getOrElse(-1L)))

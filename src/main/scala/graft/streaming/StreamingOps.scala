@@ -226,9 +226,13 @@ object StreamingOps {
         if (!applied) {
           val delta = graft.operators.IncrementalAgg
             .aggDelta(batch, keyCols, valueCol)
-          graft.operators.IncrementalAgg
-            .mergeDelta(aggLog, delta, keyCols, countCol, sumCol)
-          graft.delta.TransactionWriter.recordTxn(aggLog, appId, batchId)
+          // The (appId, batchId) marker rides INSIDE the merge commit:
+          // a signed-delta fold is additive, not idempotent, so a
+          // separate marker commit would leave a crash window in which
+          // a restart re-applies the already-committed batch.
+          graft.operators.IncrementalAgg.mergeDelta(
+            aggLog, delta, keyCols, countCol, sumCol,
+            txn = Some((appId, batchId)))
         }
         ()
       }

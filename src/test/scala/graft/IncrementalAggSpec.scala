@@ -48,6 +48,28 @@ class IncrementalAggSpec extends SparkTestBase {
     assert(out == Map("s1" -> ((3L, 35L)), "s2" -> ((2L, 9L))))
   }
 
+  test("mergeDelta rides the txn marker inside the merge commit itself") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_iam_txn_")
+      .resolve("agg").toString
+    val log = graft.delta.DeltaLog.forPath(spark, tmp)
+    graft.delta.TransactionWriter.overwrite(log,
+      Seq(("s1", 2L, 30L)).toDF("source", "n", "s"))
+    val before = log.latestVersion()
+    val delta = Seq(("s1", 1L, 5L)).toDF("source", "__d_n", "__d_sum")
+    val v = IncrementalAgg.mergeDelta(log, delta, Seq("source"), "n", "s",
+      txn = Some(("app_x", 7L)))
+    // ONE commit carries both the fold and the marker: a separate
+    // marker commit would leave a crash window that double-applies the
+    // (non-idempotent) signed delta on restart.
+    assert(v == before + 1, s"expected one commit, got ${v - before}")
+    assert(log.snapshot.setTransactions.get("app_x").exists(_.version == 7L))
+    // A no-op fold (empty delta) still records its marker.
+    val v2 = IncrementalAgg.mergeDelta(log, delta.limit(0),
+      Seq("source"), "n", "s", txn = Some(("app_x", 8L)))
+    assert(v2 > v &&
+      log.snapshot.setTransactions.get("app_x").exists(_.version == 8L))
+  }
+
   test("incrementalAggSink maintains the rollup from a CDF stream") {
     val base = java.nio.file.Files.createTempDirectory("graft_sia_spec_")
     val src = graft.delta.DeltaLog.forPath(spark, base.resolve("t").toString)

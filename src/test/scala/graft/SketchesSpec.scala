@@ -35,6 +35,31 @@ class SketchesSpec extends SparkTestBase {
     assert(est("alpha") > est("beta") && est("beta") > est("gamma"))
   }
 
+  test("CMS reports 0 for a key absent from the build corpus") {
+    // The sketch stores only occupied cells; an absent cell must count
+    // as 0 in the min (left join), not vanish from it — and a key with
+    // no occupied cells must still appear with est 0.
+    val sketch = Sketches.cmsSketch(tokensDf(Seq("present")), col("tk"), 4, 4096)
+    val est = Sketches.cmsEstimate(
+      tokensDf(Seq("never-seen-key")), sketch, 4, 4096).collect()
+    assert(est.length == 1 && est.head.getLong(1) == 0L,
+      s"unseen key must estimate 0, got ${est.toSeq}")
+  }
+
+  test("HLL rejects register counts whose harmonic sum could wrap Long") {
+    // m·2^50 reaches 2^63 at b=13 — the require() bound is load-bearing.
+    intercept[IllegalArgumentException] {
+      Sketches.hllSummary(tokensDf(Seq("x")), col("tk"), b = 13)
+    }
+  }
+
+  test("range bounds work on a non-double value column") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i, i * 3 % 997)).toDF("id", "v")
+    val out = Sketches.rangeBounds(df, "id", "v", buckets = 8, rate = 0.5)
+    assert(out.agg(sum("n_table")).collect().head.getLong(0) == 1000L)
+  }
+
   test("CMS sketches of shards add up to the sketch of the union") {
     val a = tokensDf(Seq.fill(50)("x") ++ (0 until 40).map(i => s"a$i"))
     val b = tokensDf(Seq.fill(30)("x") ++ (0 until 40).map(i => s"b$i"))

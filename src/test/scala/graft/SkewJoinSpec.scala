@@ -20,6 +20,16 @@ class SkewJoinSpec extends SparkTestBase {
       probe.join(build, "k").select("row_id", "k", "payload", "tag"))
   }
 
+  test("saltedJoin keeps probe rows with a NULL discriminator") {
+    val p = Seq((Some(1L), 10L, "a"), (None, 10L, "b"))
+      .toDF("row_id", "k", "payload")
+    val salted = SkewJoin.saltedJoin(p, build, "k", "row_id", salts = 4)
+    assertSameRows(
+      salted.select("row_id", "k", "payload", "tag"),
+      p.join(build, "k").select("row_id", "k", "payload", "tag"),
+      "null-discriminator row dropped")
+  }
+
   test("saltedJoin spreads one hot key across salt buckets") {
     // With 4 rows of key 10 and 4 salts, the deterministic hash28 salt
     // must produce at least 2 distinct buckets (verified constant for
