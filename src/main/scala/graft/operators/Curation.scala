@@ -27,6 +27,16 @@ object Curation {
     df.persist()
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      // async bus: ignore events from actions that STARTED before this
+      // listener existed — they would unpersist the stage before the
+      // operator's own consuming action runs (recompute, not wrong, but
+      // exactly the double-compute this cache exists to avoid).
+      private val registeredAtMs = System.currentTimeMillis()
+      private def stale(qe: org.apache.spark.sql.execution.QueryExecution): Boolean =
+        try {
+          val phases = qe.tracker.phases
+          phases.nonEmpty && phases.values.map(_.startTimeMs).min < registeredAtMs
+        } catch { case _: Throwable => false }
       private def fire(): Unit =
         if (done.compareAndSet(false, true)) {
           if (!spark.sparkContext.isStopped)
@@ -36,10 +46,10 @@ object Curation {
         }
       override def onSuccess(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
-          durationNs: Long): Unit = fire()
+          durationNs: Long): Unit = if (!stale(qe)) fire()
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
-          exception: Exception): Unit = fire()
+          exception: Exception): Unit = if (!stale(qe)) fire()
     }
     spark.listenerManager.register(listener)
     df

@@ -95,7 +95,17 @@ object Sketches {
     * under 2.5m and V buckets are empty) is left to the caller: `ln` is
     * libm-dependent and would break cross-engine determinism, and at
     * the corpus sizes this engine targets the branch never triggers. */
-  def hllSummary(df: DataFrame, key: Column, b: Int = 10): DataFrame = {
+  def hllSummary(df: DataFrame, key: Column, b: Int = 10): DataFrame =
+    hllSummarize(hllRegisters(df, key, b), b)
+
+  /** The HLL register relation `(bucket, reg)` for `key` — at most
+    * `m = 2^b` rows, built by a MAX aggregate over per-occurrence rank
+    * rows. MAX is monotonic and duplicate-insensitive, which is what
+    * makes the registers maintainable by a Structured Streaming
+    * aggregate with bounded (m-row) state and mergeable across corpus
+    * shards (`unionByName` + re-max) — feed either form to
+    * [[hllSummarize]]. */
+  def hllRegisters(df: DataFrame, key: Column, b: Int = 10): DataFrame = {
     // Upper bound 12, not 16: the harmonic sum's worst case is m·2^50
     // (every register 0), which for m = 2^13 reaches 2^63 and wraps
     // Long. b=12 keeps the worst case at 2^62 with the exactness intact.
@@ -111,13 +121,23 @@ object Sketches {
     val w = shiftright(h, b)
     val rho = when(w === 0, lit(patBits + 1))
       .otherwise(lit(patBits + 1) - length(bin(w)))
-    val registers = df
-      .select(bucket, rho.cast("int").as("rho"))
+    df.select(bucket, rho.cast("int").as("rho"))
       .groupBy("bucket").agg(max("rho").as("reg"))
+  }
+
+  /** Collapse a register relation from [[hllRegisters]] (possibly
+    * re-maxed from several shards/micro-batches) into the one-row
+    * summary described at [[hllSummary]]. */
+  def hllSummarize(registers: DataFrame, b: Int = 10): DataFrame = {
+    require(b >= 4 && b <= 12, s"b must be in [4,12], got $b")
+    val m = 1 << b
+    // Re-max first: a shard union may carry several rows per bucket,
+    // and a plain lattice join would duplicate those buckets' terms.
+    val merged = registers.groupBy("bucket").agg(max("reg").as("reg"))
     // Dense register lattice: empty buckets carry register 0 (term 2^50).
-    val lattice = registers.sparkSession
+    val lattice = merged.sparkSession
       .range(0, m).select(col("id").as("bucket"))
-      .join(registers, Seq("bucket"), "left")
+      .join(merged, Seq("bucket"), "left")
       .select(coalesce(col("reg"), lit(0)).as("reg"))
     val term = expr(
       "CASE WHEN reg <= 50 THEN shiftleft(CAST(1 AS BIGINT), 50 - reg) " +

@@ -149,6 +149,17 @@ object Queries {
       spark: SparkSession, cached: Seq[DataFrame])
       extends org.apache.spark.sql.util.QueryExecutionListener {
     private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // The listener bus is async: an event from an action that COMPLETED
+    // before this cleaner was registered can be delivered after — and
+    // must not fire the cleanup (it would unpersist the fresh stages
+    // before the pipeline's own action consumes them). Filter by the
+    // query's planning-tracker start time vs the registration instant.
+    private val registeredAtMs = System.currentTimeMillis()
+    private def stale(qe: org.apache.spark.sql.execution.QueryExecution): Boolean =
+      try {
+        val phases = qe.tracker.phases
+        phases.nonEmpty && phases.values.map(_.startTimeMs).min < registeredAtMs
+      } catch { case _: Throwable => false }
     /** Deactivate without unpersisting (caches already reclaimed). */
     def cancel(): Unit =
       if (done.compareAndSet(false, true)) spark.listenerManager.unregister(this)
@@ -169,9 +180,11 @@ object Queries {
         catch { case _: Throwable => () }
       }
     override def onSuccess(funcName: String,
-        qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = fire()
+        qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+      if (!stale(qe)) fire()
     override def onFailure(funcName: String,
-        qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = fire()
+        qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit =
+      if (!stale(qe)) fire()
   }
 
   // ---- group A: core relational / levi-semantics queries -------------------
@@ -2783,7 +2796,49 @@ object Queries {
       graft.operators.Sketches.rangeBounds(
         s.table("orders"), "o_orderkey", "o_totalprice",
         buckets = 32, rate = 0.125)
+    }),
+    // Streaming-maintained HLL: the register MAX aggregate is monotonic
+    // and duplicate-insensitive, so Structured Streaming maintains it
+    // with bounded (m=1024 rows) state across micro-batches — and the
+    // final summary must equal the batch q_hll_distinct BIT-FOR-BIT
+    // (same registers), which is why the oracle is literally the batch
+    // one. The continuous-cardinality-monitoring pattern at any scale.
+    "q_stream_hll" -> ((s, dir) => withStreamShuffle(s) {
+      registerViews(s, dir)
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val grams = s.readStream.schema(schema).parquet(s"$dir/documents.parque*")
+        .select(explode(
+          graft.functions.TextFunctions.wordNgrams(col("text"), 3)).as("tk"))
+      val regs = graft.operators.Sketches.hllRegisters(grams, col("tk"), b = 10)
+      val name = "stream_hll_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = regs.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Sketches.hllSummarize(s.table(name), b = 10)
     }))
+
+  /** Shared batch/stream HLL oracle: 60-bit md5 hash split into bucket
+    * and pattern word, exact dyadic harmonic sum, one constant/integer
+    * division (see Sketches.hllSummary for the determinism argument). */
+  private val qHllDistinctDuck: String =
+    s"""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+       |tok AS (SELECT unnest(${ngrams3("duck")}) AS tk FROM t),
+       |h AS (SELECT ('0x' || substr(md5('hll|' || tk), 1, 15))::BIGINT AS h FROM tok),
+       |r AS (SELECT h % 1024 AS bucket,
+       |    CASE WHEN h // 1024 = 0 THEN 51
+       |      ELSE 51 - length(bin(h // 1024)) END AS rho FROM h),
+       |reg AS (SELECT bucket, MAX(rho) AS reg FROM r GROUP BY bucket),
+       |lat AS (SELECT COALESCE(reg.reg, 0) AS reg
+       |  FROM range(0, 1024) AS g(bucket) LEFT JOIN reg USING (bucket)),
+       |s AS (SELECT
+       |    CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_buckets,
+       |    CAST(SUM(CASE WHEN reg <= 50 THEN (1::BIGINT << (50 - reg)) ELSE 0 END) AS BIGINT) AS harmonic_s
+       |  FROM lat)
+       |SELECT CAST(1024 AS BIGINT) AS m, zero_buckets, harmonic_s,
+       |  CAST(FLOOR(${graft.operators.Sketches.hllAlphaNum(10)} / CAST(harmonic_s AS DOUBLE)) AS BIGINT) AS est_distinct
+       |FROM s""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q_agg_lineitem" -> qAggLineitemSpark,
@@ -3171,23 +3226,10 @@ object Queries {
          |est AS (SELECT term, CAST(MIN(cnt) AS BIGINT) AS est
          |  FROM ce JOIN sk USING (r, bucket) GROUP BY term)
          |SELECT term, est FROM est ORDER BY est DESC, term LIMIT 20""".stripMargin,
-    "q_hll_distinct" ->
-      s"""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
-         |tok AS (SELECT unnest(${ngrams3("duck")}) AS tk FROM t),
-         |h AS (SELECT ('0x' || substr(md5('hll|' || tk), 1, 15))::BIGINT AS h FROM tok),
-         |r AS (SELECT h % 1024 AS bucket,
-         |    CASE WHEN h // 1024 = 0 THEN 51
-         |      ELSE 51 - length(bin(h // 1024)) END AS rho FROM h),
-         |reg AS (SELECT bucket, MAX(rho) AS reg FROM r GROUP BY bucket),
-         |lat AS (SELECT COALESCE(reg.reg, 0) AS reg
-         |  FROM range(0, 1024) AS g(bucket) LEFT JOIN reg USING (bucket)),
-         |s AS (SELECT
-         |    CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_buckets,
-         |    CAST(SUM(CASE WHEN reg <= 50 THEN (1::BIGINT << (50 - reg)) ELSE 0 END) AS BIGINT) AS harmonic_s
-         |  FROM lat)
-         |SELECT CAST(1024 AS BIGINT) AS m, zero_buckets, harmonic_s,
-         |  CAST(FLOOR(${graft.operators.Sketches.hllAlphaNum(10)} / CAST(harmonic_s AS DOUBLE)) AS BIGINT) AS est_distinct
-         |FROM s""".stripMargin,
+    "q_hll_distinct" -> qHllDistinctDuck,
+    // batch == stream on sketches: the streaming registers MUST land on
+    // the identical summary, so the oracle is literally the batch one
+    "q_stream_hll" -> qHllDistinctDuck,
     "q_range_bounds" ->
       """WITH samp AS (SELECT o_orderkey, o_totalprice FROM orders
         |  WHERE CAST(('0x' || substr(md5('rb|' || o_orderkey::VARCHAR), 1, 7))::BIGINT AS DOUBLE) / 268435456.0 < 0.125),

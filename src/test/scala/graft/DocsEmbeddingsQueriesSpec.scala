@@ -40,8 +40,9 @@ class DocsEmbeddingsQueriesSpec extends SparkTestBase {
     "q_hybrid_rrf",         // BM25 + cosine reciprocal-rank fusion
     "q_temperature_sample", // per-lang rates
     "q_mix_sources",        // per-source rates
-    "q_cms_heavy_hitters",  // Count-Min sketch over text tokens
-    "q_hll_distinct",       // HyperLogLog registers over text tokens
+    "q_cms_heavy_hitters",  // Count-Min sketch over text 3-grams
+    "q_hll_distinct",       // HyperLogLog registers over text 3-grams
+    "q_stream_hll",         // streaming-maintained HLL registers
     "q_fingerprint")        // bag fingerprint over text
 
   private val embeddingFamilies = Seq(

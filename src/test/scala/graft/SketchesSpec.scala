@@ -93,6 +93,24 @@ class SketchesSpec extends SparkTestBase {
       Sketches.hllSummary(thrice, col("tk")), "duplicates changed the summary")
   }
 
+  test("streaming HLL registers equal the batch summary bit-for-bit") {
+    val batch = graft.queries.Queries.queries("q_hll_distinct")(
+      spark, "/root/testdata/sf0.001")
+    val stream = graft.queries.Queries.queries("q_stream_hll")(
+      spark, "/root/testdata/sf0.001")
+    assertSameRows(stream, batch, "stream registers diverged from batch")
+  }
+
+  test("hllSummarize re-maxes a union of shard registers") {
+    val a = spark.range(100).select(concat(lit("a"), col("id")).as("tk"))
+    val b = spark.range(100, 300).select(concat(lit("a"), col("id")).as("tk"))
+    val whole = Sketches.hllSummary(a.unionAll(b), col("tk"))
+    val sharded = Sketches.hllSummarize(
+      Sketches.hllRegisters(a, col("tk"))
+        .unionByName(Sketches.hllRegisters(b, col("tk"))))
+    assertSameRows(sharded, whole, "shard-merged registers diverged")
+  }
+
   test("range bounds census conserves the table and orders the buckets") {
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val out = Sketches.rangeBounds(orders, "o_orderkey", "o_totalprice",
