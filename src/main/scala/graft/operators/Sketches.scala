@@ -184,31 +184,78 @@ object Sketches {
     * (assignment is `hi < x`, strict). */
   def rangeBounds(df: DataFrame, idCol: String, valueCol: String,
       buckets: Int, rate: Double): DataFrame = {
+    val bounds = sampleBounds(df, idCol, valueCol, buckets, rate)
+    val census = df.select(
+        bucketAssign(bounds, buckets, col(valueCol)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_table"))
+    bounds.join(census, Seq("bucket"), "left")
+      .select(col("bucket").cast("int").as("bucket"), col("hi"),
+        col("n_sample"), coalesce(col("n_table"), lit(0L)).as("n_table"))
+  }
+
+  /** NTILE boundaries over the deterministic hash-sample: `(bucket,
+    * hi, n_sample)`, one row per sampled bucket. */
+  private def sampleBounds(df: DataFrame, idCol: String, valueCol: String,
+      buckets: Int, rate: Double): DataFrame = {
     val sample = df.where(
       TextFunctions.hash28(concat(lit("rb|"), col(idCol).cast("string")))
         .cast("double") / 268435456.0 < rate)
     val w = Window.orderBy(col(valueCol), col(idCol))
-    val bounds = sample
+    sample
       .select(col(idCol), col(valueCol), ntile(buckets).over(w).as("bucket"))
       .groupBy("bucket")
       .agg(max(col(valueCol)).as("hi"), count(lit(1)).as("n_sample"))
-    // buckets-1 boundary values: partitioner metadata (the one collect
-    // in this module — bounded at `buckets` values, like broadcast
-    // codebooks/centroids elsewhere in the engine). Collected untyped so
-    // any orderable valueCol (long, double, decimal, string) works.
+  }
+
+  /** Map-only bucket assignment against the collected boundary values.
+    * The collect is partitioner metadata — bounded at `buckets` values,
+    * like broadcast codebooks/centroids elsewhere in the engine; values
+    * are collected untyped so any orderable valueCol (long, double,
+    * decimal, string) works. Ties to a boundary go to the LOWER bucket
+    * (strict `hi < x`), so equal values always share a bucket. */
+  private def bucketAssign(bounds: DataFrame, buckets: Int,
+      value: Column): Column = {
     val cuts = bounds.where(col("bucket") < buckets)
       .orderBy("bucket").select("hi").collect().map(_.get(0))
     // Degenerate sample (0–1 rows) yields no interior cuts; array() of
     // zero columns is NullType-typed and would poison the comparison,
     // so assign everything to bucket 1 directly.
-    val bucketExpr =
-      if (cuts.isEmpty) lit(1)
-      else size(filter(array(cuts.map(lit(_)).toSeq: _*),
-        b => b < col(valueCol))) + 1
-    val census = df.select(bucketExpr.as("bucket"))
-      .groupBy("bucket").agg(count(lit(1)).as("n_table"))
-    bounds.join(census, Seq("bucket"), "left")
-      .select(col("bucket").cast("int").as("bucket"), col("hi"),
-        col("n_sample"), coalesce(col("n_table"), lit(0L)).as("n_table"))
+    if (cuts.isEmpty) lit(1)
+    else size(filter(array(cuts.map(lit(_)).toSeq: _*), b => b < value)) + 1
+  }
+
+  /** Global sort positions computed WITHOUT a global sort — the export
+    * layout step of a 100 TB sorted write. Every row gets its 0-based
+    * rank under `(valueCol, idCol)` built from three parallel pieces:
+    *
+    * 1. bucket assignment against the sampled boundaries (map-only);
+    * 2. a per-BUCKET window for local positions — `buckets` independent
+    *    sorts of ~1/buckets of the data each, not one global one;
+    * 3. a `buckets`-row census prefix sum, broadcast back, turning
+    *    local positions into global ranks.
+    *
+    * Equal to `ROW_NUMBER() OVER (ORDER BY valueCol, idCol) - 1` (the
+    * oracle computes exactly that): bucket k's values never exceed
+    * bucket k+1's (strict-cut assignment keeps ties co-located), so
+    * concatenating buckets in order IS the total order. */
+  def sortedExport(df: DataFrame, idCol: String, valueCol: String,
+      buckets: Int, rate: Double): DataFrame = {
+    val bounds = sampleBounds(df, idCol, valueCol, buckets, rate)
+    val assigned = df.select(col(idCol), col(valueCol),
+      bucketAssign(bounds, buckets, col(valueCol)).cast("int").as("bucket"))
+    val localW = Window.partitionBy(col("bucket"))
+      .orderBy(col(valueCol), col(idCol))
+    val local = assigned
+      .withColumn("__local", row_number().over(localW).cast("long") - 1L)
+    // prefix sum over the ≤buckets-row census — planner-sized window
+    val offW = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = assigned.groupBy("bucket")
+      .agg(count(lit(1)).as("__n"))
+      .select(col("bucket"),
+        coalesce(sum(col("__n")).over(offW), lit(0L)).as("__off"))
+    local.join(broadcast(offsets), "bucket")
+      .select(col(idCol), col("bucket"),
+        (col("__local") + col("__off")).as("pos"))
   }
 }

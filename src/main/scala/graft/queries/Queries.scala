@@ -2797,6 +2797,16 @@ object Queries {
         s.table("orders"), "o_orderkey", "o_totalprice",
         buckets = 32, rate = 0.125)
     }),
+    // Global sort order with NO global sort: sampled boundaries assign
+    // buckets map-only, each bucket window-sorts its own slice in
+    // parallel, a 32-row census prefix sum turns local positions into
+    // global ranks — the oracle checks against a true global ROW_NUMBER.
+    "q_sorted_export" -> ((s, dir) => {
+      registerViews(s, dir)
+      graft.operators.Sketches.sortedExport(
+        s.table("orders"), "o_orderkey", "o_totalprice",
+        buckets = 32, rate = 0.125)
+    }),
     // Streaming-maintained HLL: the register MAX aggregate is monotonic
     // and duplicate-insensitive, so Structured Streaming maintains it
     // with bounded (m=1024 rows) state across micro-batches — and the
@@ -3244,5 +3254,16 @@ object Queries {
         |  FROM asg GROUP BY bucket)
         |SELECT CAST(b.bucket AS INT) AS bucket, b.hi, b.n_sample,
         |  COALESCE(census.n_table, 0::BIGINT) AS n_table
-        |FROM bounds b LEFT JOIN census ON b.bucket = census.bucket""".stripMargin)
+        |FROM bounds b LEFT JOIN census ON b.bucket = census.bucket""".stripMargin,
+    "q_sorted_export" ->
+      """WITH samp AS (SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE CAST(('0x' || substr(md5('rb|' || o_orderkey::VARCHAR), 1, 7))::BIGINT AS DOUBLE) / 268435456.0 < 0.125),
+        |nt AS (SELECT o_totalprice, o_orderkey,
+        |    ntile(32) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket FROM samp),
+        |bounds AS (SELECT bucket, MAX(o_totalprice) AS hi FROM nt GROUP BY bucket),
+        |cuts AS (SELECT hi FROM bounds WHERE bucket < 32)
+        |SELECT o_orderkey,
+        |  CAST(1 + (SELECT COUNT(*) FROM cuts c WHERE c.hi < o.o_totalprice) AS INT) AS bucket,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS BIGINT) AS pos
+        |FROM orders o""".stripMargin)
 }

@@ -111,6 +111,23 @@ class SketchesSpec extends SparkTestBase {
     assertSameRows(sharded, whole, "shard-merged registers diverged")
   }
 
+  test("sorted export equals the global row_number without a global sort") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val out = Sketches.sortedExport(orders, "o_orderkey", "o_totalprice",
+      buckets = 16, rate = 0.25)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val oracle = orders.select(col("o_orderkey"),
+      (row_number().over(w).cast("long") - 1L).as("pos"))
+    assertSameRows(out.select("o_orderkey", "pos"), oracle,
+      "decomposed ranks diverge from the global order")
+    // The plan's windows partition by bucket — parallel slice sorts,
+    // never one global range sort of the table.
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning(o_totalprice"),
+      s"table-wide range sort found in plan:\n$plan")
+  }
+
   test("range bounds census conserves the table and orders the buckets") {
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val out = Sketches.rangeBounds(orders, "o_orderkey", "o_totalprice",
