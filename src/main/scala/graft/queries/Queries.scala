@@ -2765,8 +2765,14 @@ object Queries {
     // never by an exact global count.
     "q_cms_heavy_hitters" -> ((s, dir) => {
       registerViews(s, dir)
-      val grams = s.table("documents").select(explode(
-        graft.functions.TextFunctions.wordNgrams(col("text"), 3)).as("tk"))
+      // The testdata corpus is ONE small parquet file = one input split;
+      // repartition before the gram+digest map so the sketch build uses
+      // every core (the minhash family's REPARTITION(32) precedent). At
+      // scale the parquet source's own splits provide this for free.
+      val grams = s.table("documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(explode(
+          graft.functions.TextFunctions.wordNgrams(col("text"), 3)).as("tk"))
       val sketch = graft.operators.Sketches.cmsSketch(
         grams, col("tk"), depth = 4, width = 2048)
       val cand = s.table("documents").where(col("doc_id") % 50 === 0)
@@ -2816,7 +2822,10 @@ object Queries {
     "q_stream_hll" -> ((s, dir) => withStreamShuffle(s) {
       registerViews(s, dir)
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      // single-file source = one input split; spread the gram+digest map
+      // across cores before the register aggregate (see q_cms note)
       val grams = s.readStream.schema(schema).parquet(s"$dir/documents.parque*")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(explode(
           graft.functions.TextFunctions.wordNgrams(col("text"), 3)).as("tk"))
       val regs = graft.operators.Sketches.hllRegisters(grams, col("tk"), b = 10)
@@ -3222,16 +3231,16 @@ object Queries {
     "q_pack_sequences" -> qPackSequencesDuck,
     "q_cms_heavy_hitters" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |tok AS (SELECT unnest(${ngrams3("duck")}) AS tk FROM t),
+         |tok AS (SELECT md5('cms|' || unnest(${ngrams3("duck")})) AS h FROM t),
          |cells AS (SELECT r,
-         |    ('0x' || substr(md5('cms|' || r::VARCHAR || '|' || tk), 1, 7))::BIGINT % 2048 AS bucket
+         |    ('0x' || substr(h, 1 + 7 * r, 7))::BIGINT % 2048 AS bucket
          |  FROM tok, (VALUES (0), (1), (2), (3)) AS rr(r)),
          |sk AS (SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
          |  FROM cells GROUP BY r, bucket),
          |cand AS (SELECT DISTINCT unnest(${ngrams3("duck")}) AS term
          |  FROM t WHERE doc_id % 50 = 0),
          |ce AS (SELECT term, r,
-         |    ('0x' || substr(md5('cms|' || r::VARCHAR || '|' || term), 1, 7))::BIGINT % 2048 AS bucket
+         |    ('0x' || substr(md5('cms|' || term), 1 + 7 * r, 7))::BIGINT % 2048 AS bucket
          |  FROM cand, (VALUES (0), (1), (2), (3)) AS rr(r)),
          |est AS (SELECT term, CAST(MIN(cnt) AS BIGINT) AS est
          |  FROM ce JOIN sk USING (r, bucket) GROUP BY term)
