@@ -1087,6 +1087,93 @@ object Queries {
       |  FROM px)
       |SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 3""".stripMargin
 
+  /** ANN index-quality evaluation — recall@3 of the IVF pipeline vs
+    * the exact brute ranking for the same query set: the measurement a
+    * pipeline runs before trusting an index at scale. The IVF half is
+    * the q_embedding_ivf_knn pipeline verbatim; the brute half ranks
+    * queries×corpus (bounded by the query subset — at 100 TB you
+    * evaluate on a sampled query set exactly like this). Integer
+    * hit-counts per query, so the result is engine-exact. */
+  private val qAnnRecallSparkFinal: String =
+    """WITH assign AS (SELECT vec_id, max_by(cid, struct(sim, -cid)) AS cid
+      |  FROM g_ivf_sims GROUP BY vec_id),
+      |probe AS (SELECT query_id, cid FROM (
+      |    SELECT vec_id AS query_id, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS cr
+      |    FROM g_ivf_sims WHERE vec_id % 25 = 0) t WHERE cr <= 2),
+      |cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      |  FROM probe p JOIN assign a ON p.cid = a.cid
+      |  WHERE p.query_id <> a.vec_id),
+      |px AS (SELECT c.query_id, c.neighbor_id,
+      |    ROUND(vec_dot(a.v, b.v) / (a.nrm * b.nrm), 4) AS sim
+      |  FROM cand c
+      |  JOIN g_ivf_n a ON a.vec_id = c.query_id
+      |  JOIN g_ivf_n b ON b.vec_id = c.neighbor_id),
+      |ivf AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+      |    FROM px) t WHERE rnk <= 3),
+      |bp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    ROUND(vec_dot(a.v, b.v) / (a.nrm * b.nrm), 4) AS sim
+      |  FROM g_ivf_n a JOIN g_ivf_n b
+      |    ON a.vec_id % 25 = 0 AND b.vec_id <> a.vec_id),
+      |brute AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+      |    FROM bp) t WHERE rnk <= 3),
+      |hits AS (SELECT query_id, COUNT(*) AS n
+      |  FROM brute JOIN ivf USING (query_id, neighbor_id) GROUP BY query_id),
+      |qs AS (SELECT DISTINCT vec_id AS query_id FROM g_ivf_n WHERE vec_id % 25 = 0)
+      |SELECT q.query_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+      |  CAST(3 AS BIGINT) AS k
+      |FROM qs q LEFT JOIN hits h ON q.query_id = h.query_id""".stripMargin
+
+  private val qAnnRecallDuck: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |    SQRT(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 25 = 13),
+      |sims_all AS (SELECT n.vec_id, cent.cid,
+      |    ROUND(list_sum(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * cent.cv[i]))
+      |      / (n.nrm * cent.cnrm), 4) AS sim
+      |  FROM n CROSS JOIN cent),
+      |assign AS (SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+      |    FROM sims_all) t WHERE rn = 1),
+      |qsims AS (SELECT vec_id AS query_id, cid, sim FROM sims_all WHERE vec_id % 25 = 0),
+      |probe AS (SELECT query_id, cid FROM (
+      |    SELECT query_id, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cid) AS cr
+      |    FROM qsims) t WHERE cr <= 2),
+      |cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      |  FROM probe p JOIN assign a ON p.cid = a.cid
+      |  WHERE p.query_id <> a.vec_id),
+      |px AS (SELECT c.query_id, c.neighbor_id,
+      |    ROUND(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+      |      / (a.nrm * b.nrm), 4) AS sim
+      |  FROM cand c
+      |  JOIN n a ON a.vec_id = c.query_id
+      |  JOIN n b ON b.vec_id = c.neighbor_id),
+      |ivf AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+      |    FROM px) t WHERE rnk <= 3),
+      |bp AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    ROUND(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+      |      / (a.nrm * b.nrm), 4) AS sim
+      |  FROM n a JOIN n b ON a.vec_id % 25 = 0 AND b.vec_id <> a.vec_id),
+      |brute AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+      |    FROM bp) t WHERE rnk <= 3),
+      |hits AS (SELECT query_id, COUNT(*) AS n
+      |  FROM brute JOIN ivf USING (query_id, neighbor_id) GROUP BY query_id),
+      |qs AS (SELECT DISTINCT vec_id AS query_id FROM n WHERE vec_id % 25 = 0)
+      |SELECT q.query_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+      |  CAST(3 AS BIGINT) AS k
+      |FROM qs q LEFT JOIN hits h ON q.query_id = h.query_id""".stripMargin
+
   private val qIvfKnnDuck: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |n AS (SELECT vec_id, v,
@@ -2695,6 +2782,7 @@ object Queries {
         "vec_id", "embedding", 3, LshBands, LshPlanesPerBand, 64)
     }),
     "q_embedding_ivf_knn" -> cachedStagesQuery(ivfStages, qIvfKnnSparkFinal),
+    "q_ann_recall" -> cachedStagesQuery(ivfStages, qAnnRecallSparkFinal),
     "q_embedding_ivf_trained" -> qIvfTrainedSpark,
     "q_embedding_pq_knn" -> qPqKnnSpark,
     "q_embedding_ivfpq_knn" -> qIvfPqKnnSpark,
@@ -3212,6 +3300,7 @@ object Queries {
     "q_embedding_lsh_neardup" -> qLshNeardupDuck,
     "q_embedding_knn_lsh" -> qKnnLshDuck,
     "q_embedding_ivf_knn" -> qIvfKnnDuck,
+    "q_ann_recall" -> qAnnRecallDuck,
     "q_embedding_ivf_trained" -> qIvfTrainedDuck,
     "q_embedding_pq_knn" -> qPqKnnDuck,
     "q_embedding_ivfpq_knn" -> qIvfPqKnnDuck,
