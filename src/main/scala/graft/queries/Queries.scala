@@ -2891,6 +2891,20 @@ object Queries {
         s.table("orders"), "o_orderkey", "o_totalprice",
         buckets = 32, rate = 0.125)
     }),
+    // Per-group exact quantiles (p25/p50/p75/p90 of n_chars per source)
+    // via integer rank selection — rank = ceil(q·n) computed as
+    // rn·100 ≥ q_e2·n ∧ (rn−1)·100 < q_e2·n, no floats anywhere. Groups
+    // partition the data, so each group's sort is group-local: the
+    // profiling pattern that scales to any corpus with bounded groups.
+    "q_group_quantiles" -> sqlQuery(
+      """WITH r AS (SELECT source, n_chars, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT source, q_e2, CAST(n_chars AS BIGINT) AS value
+        |FROM r CROSS JOIN (SELECT CAST(q AS INT) AS q_e2
+        |  FROM VALUES (25), (50), (75), (90) AS t(q)) q
+        |WHERE rn * 100 >= q_e2 * n AND (rn - 1) * 100 < q_e2 * n""".stripMargin),
     // Global sort order with NO global sort: sampled boundaries assign
     // buckets map-only, each bucket window-sorts its own slice in
     // parallel, a 32-row census prefix sum turns local positions into
@@ -3301,6 +3315,15 @@ object Queries {
     "q_embedding_knn_lsh" -> qKnnLshDuck,
     "q_embedding_ivf_knn" -> qIvfKnnDuck,
     "q_ann_recall" -> qAnnRecallDuck,
+    "q_group_quantiles" ->
+      """WITH r AS (SELECT source, n_chars, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT source, q_e2, CAST(n_chars AS BIGINT) AS value
+        |FROM r CROSS JOIN (SELECT CAST(q AS INT) AS q_e2
+        |  FROM (VALUES (25), (50), (75), (90)) t(q)) q
+        |WHERE rn * 100 >= q_e2 * n AND (rn - 1) * 100 < q_e2 * n""".stripMargin,
     "q_embedding_ivf_trained" -> qIvfTrainedDuck,
     "q_embedding_pq_knn" -> qPqKnnDuck,
     "q_embedding_ivfpq_knn" -> qIvfPqKnnDuck,
