@@ -343,13 +343,21 @@ final case class Merge(
     Mutations.dvPlanFromMatches(log, snap, affected, planned) match {
       case Mutations.DvTooBroad(_) => None
       case Mutations.DvNoMatch =>
-        // no matched row passes a clause condition — only inserts remain
+        // no matched row passes a clause condition — only inserts remain.
+        // The txn marker must still ride/record here: an insert-only
+        // micro-batch of a rollup sink is exactly as replayable as any
+        // other, and dropping the marker on this branch alone would
+        // double-apply it on restart.
         insertRows(snap) match {
           case Some(ins) if !ins.isEmpty =>
             // insert-only commits skip cdc files: the feed derives the
             // same rows from the commit's adds (delta-spark behavior)
-            Some(TransactionWriter.rewriteFiles(log, snap, Nil, ins, "MERGE"))
-          case _ => Some(snap.version)
+            Some(TransactionWriter.rewriteFiles(log, snap, Nil, ins, "MERGE",
+              extraActions = txnActions))
+          case _ =>
+            Some(txn.map { case (a, v) =>
+              TransactionWriter.recordTxn(log, a, v)
+            }.getOrElse(snap.version))
         }
       case Mutations.DvActions(dvActions, dvTouched) =>
         val cdfOn = ChangeDataFeed.enabled(snap)

@@ -15,46 +15,6 @@ import graft.functions.TextFunctions
   */
 object Curation {
 
-  /** Persist `df` and register a one-shot listener that unpersists it
-    * after the first completed action on the session — so an operator
-    * whose plan consumes an expensive stage twice (e.g. the two-phase
-    * prefix sum) computes it once, without leaving the caller a pinned
-    * `InMemoryRelation` after the result is consumed. An unrelated
-    * action firing first merely unpersists early (the stage recomputes
-    * — correct, just slower). */
-  private def selfUnpersisting(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    df.persist()
-    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
-      private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
-      // async bus: ignore events from actions that STARTED before this
-      // listener existed — they would unpersist the stage before the
-      // operator's own consuming action runs (recompute, not wrong, but
-      // exactly the double-compute this cache exists to avoid).
-      private val registeredAtMs = System.currentTimeMillis()
-      private def stale(qe: org.apache.spark.sql.execution.QueryExecution): Boolean =
-        try {
-          val phases = qe.tracker.phases
-          phases.nonEmpty && phases.values.map(_.startTimeMs).min < registeredAtMs
-        } catch { case _: Throwable => false }
-      private def fire(): Unit =
-        if (done.compareAndSet(false, true)) {
-          if (!spark.sparkContext.isStopped)
-            try df.unpersist(false) catch { case _: Throwable => () }
-          try spark.listenerManager.unregister(this)
-          catch { case _: Throwable => () }
-        }
-      override def onSuccess(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution,
-          durationNs: Long): Unit = if (!stale(qe)) fire()
-      override def onFailure(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution,
-          exception: Exception): Unit = if (!stale(qe)) fire()
-    }
-    spark.listenerManager.register(listener)
-    df
-  }
-
   /** Distinct 28-bit hashes of the word `n`-grams of `text` — one
     * truncated gram when the document is shorter than `n` tokens
     * (mirrors `GREATEST(len-n+1, 1)` on the oracle side). */
@@ -543,8 +503,12 @@ object Curation {
       concat(lit("perm|"), col(idCol).cast("string")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("__k"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // long-typed running count as the rank (total (__k, id) order):
+    // row_number() is 32-bit and wraps past 2^31 rows per shard.
     df.select(col(idCol), (pk % shards).cast("int").as("shard"), pk.as("__k"))
-      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .withColumn("pos", count(lit(1)).over(w) - 1L)
       .drop("__k")
   }
 
@@ -576,7 +540,7 @@ object Curation {
     // narrow (id, counts, pid) relation so the corpus pipeline runs
     // once — the self-unpersisting cache frees it after the caller's
     // action completes.
-    val part = selfUnpersisting(r
+    val part = CacheHygiene.selfUnpersisting(r
       .repartitionByRange(prefixParts, col("quality_e6").desc, col(idCol))
       .withColumn("__pid", spark_partition_id())
       .withColumn("__local", sum(col("n_tokens")).over(localW)))

@@ -89,7 +89,8 @@ object Sketches {
   // ---- HyperLogLog ---------------------------------------------------------
 
   /** Deterministic HyperLogLog distinct-count summary over `key`, with
-    * `m = 2^b` registers (b in [4, 16]).
+    * `m = 2^b` registers (b in [4, 12] — the exact-integer harmonic
+    * sum bounds b; see hllRegisters).
     *
     * Hash layout: 60 md5-derived bits (TextFunctions.hash60) split into
     * a bucket index (`h mod m`) and a (60−b)-bit pattern word whose
@@ -254,12 +255,20 @@ object Sketches {
   def sortedExport(df: DataFrame, idCol: String, valueCol: String,
       buckets: Int, rate: Double): DataFrame = {
     val bounds = sampleBounds(df, idCol, valueCol, buckets, rate)
-    val assigned = df.select(col(idCol), col(valueCol),
-      bucketAssign(bounds, buckets, col(valueCol)).cast("int").as("bucket"))
+    // `assigned` (scan + per-row cut filter) feeds BOTH the local ranks
+    // and the bucket census: persist the narrow relation so the table
+    // is scanned once, self-freeing after the caller's action.
+    val assigned = CacheHygiene.selfUnpersisting(
+      df.select(col(idCol), col(valueCol),
+        bucketAssign(bounds, buckets, col(valueCol)).cast("int").as("bucket")))
     val localW = Window.partitionBy(col("bucket"))
       .orderBy(col(valueCol), col(idCol))
-    val local = assigned
-      .withColumn("__local", row_number().over(localW).cast("long") - 1L)
+    // long-typed running count as the rank (ROWS frame over the total
+    // (value, id) order) — row_number() is 32-bit and would wrap on a
+    // bucket past 2^31 rows before any cast could save it.
+    val local = assigned.withColumn("__local",
+      count(lit(1)).over(
+        localW.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1L)
     // prefix sum over the ≤buckets-row census — planner-sized window
     val offW = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -1067,8 +1067,13 @@ object Queries {
          |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM g_ivf_n
          |  WHERE vec_id % 25 = 13) cent""".stripMargin)
 
-  private val qIvfKnnSparkFinal: String =
-    """WITH assign AS (SELECT vec_id, max_by(cid, struct(sim, -cid)) AS cid
+  /** The IVF assign/probe/candidate/rerank CTE block over the cached
+    * g_ivf_* stages — shared VERBATIM by the serving query
+    * (qIvfKnnSparkFinal) and the recall evaluation (qAnnRecallSparkFinal)
+    * so the evaluation can never silently measure a different index than
+    * the one served. */
+  private val ivfCoreCtesSpark: String =
+    """assign AS (SELECT vec_id, max_by(cid, struct(sim, -cid)) AS cid
       |  FROM g_ivf_sims GROUP BY vec_id),
       |probe AS (SELECT query_id, cid FROM (
       |    SELECT vec_id AS query_id, cid,
@@ -1081,11 +1086,14 @@ object Queries {
       |    ROUND(vec_dot(a.v, b.v) / (a.nrm * b.nrm), 4) AS sim
       |  FROM cand c
       |  JOIN g_ivf_n a ON a.vec_id = c.query_id
-      |  JOIN g_ivf_n b ON b.vec_id = c.neighbor_id),
-      |r AS (SELECT query_id, neighbor_id, sim,
-      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
-      |  FROM px)
-      |SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 3""".stripMargin
+      |  JOIN g_ivf_n b ON b.vec_id = c.neighbor_id)""".stripMargin
+
+  private val qIvfKnnSparkFinal: String =
+    s"""WITH $ivfCoreCtesSpark,
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+       |  FROM px)
+       |SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 3""".stripMargin
 
   /** ANN index-quality evaluation — recall@3 of the IVF pipeline vs
     * the exact brute ranking for the same query set: the measurement a
@@ -1095,20 +1103,7 @@ object Queries {
     * evaluate on a sampled query set exactly like this). Integer
     * hit-counts per query, so the result is engine-exact. */
   private val qAnnRecallSparkFinal: String =
-    """WITH assign AS (SELECT vec_id, max_by(cid, struct(sim, -cid)) AS cid
-      |  FROM g_ivf_sims GROUP BY vec_id),
-      |probe AS (SELECT query_id, cid FROM (
-      |    SELECT vec_id AS query_id, cid,
-      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS cr
-      |    FROM g_ivf_sims WHERE vec_id % 25 = 0) t WHERE cr <= 2),
-      |cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
-      |  FROM probe p JOIN assign a ON p.cid = a.cid
-      |  WHERE p.query_id <> a.vec_id),
-      |px AS (SELECT c.query_id, c.neighbor_id,
-      |    ROUND(vec_dot(a.v, b.v) / (a.nrm * b.nrm), 4) AS sim
-      |  FROM cand c
-      |  JOIN g_ivf_n a ON a.vec_id = c.query_id
-      |  JOIN g_ivf_n b ON b.vec_id = c.neighbor_id),
+    s"""WITH $ivfCoreCtesSpark,
       |ivf AS (SELECT query_id, neighbor_id FROM (
       |    SELECT query_id, neighbor_id,
       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
@@ -1128,8 +1123,12 @@ object Queries {
       |  CAST(3 AS BIGINT) AS k
       |FROM qs q LEFT JOIN hits h ON q.query_id = h.query_id""".stripMargin
 
-  private val qAnnRecallDuck: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  /** DuckDB twin of [[ivfCoreCtesSpark]] — the full replayed IVF
+    * pipeline (norms → centroid sims → assign → probe → candidates →
+    * rerank sims), shared verbatim by the serving oracle and the
+    * recall-evaluation oracle. */
+  private val ivfCoreCtesDuck: String =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |n AS (SELECT vec_id, v,
       |    SQRT(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
       |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 25 = 13),
@@ -1154,7 +1153,10 @@ object Queries {
       |      / (a.nrm * b.nrm), 4) AS sim
       |  FROM cand c
       |  JOIN n a ON a.vec_id = c.query_id
-      |  JOIN n b ON b.vec_id = c.neighbor_id),
+      |  JOIN n b ON b.vec_id = c.neighbor_id)""".stripMargin
+
+  private val qAnnRecallDuck: String =
+    s"""WITH $ivfCoreCtesDuck,
       |ivf AS (SELECT query_id, neighbor_id FROM (
       |    SELECT query_id, neighbor_id,
       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
@@ -1175,32 +1177,7 @@ object Queries {
       |FROM qs q LEFT JOIN hits h ON q.query_id = h.query_id""".stripMargin
 
   private val qIvfKnnDuck: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |n AS (SELECT vec_id, v,
-      |    SQRT(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-      |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 25 = 13),
-      |sims_all AS (SELECT n.vec_id, cent.cid,
-      |    ROUND(list_sum(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * cent.cv[i]))
-      |      / (n.nrm * cent.cnrm), 4) AS sim
-      |  FROM n CROSS JOIN cent),
-      |assign AS (SELECT vec_id, cid FROM (
-      |    SELECT vec_id, cid,
-      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
-      |    FROM sims_all) t WHERE rn = 1),
-      |qsims AS (SELECT vec_id AS query_id, cid, sim FROM sims_all WHERE vec_id % 25 = 0),
-      |probe AS (SELECT query_id, cid FROM (
-      |    SELECT query_id, cid,
-      |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cid) AS cr
-      |    FROM qsims) t WHERE cr <= 2),
-      |cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
-      |  FROM probe p JOIN assign a ON p.cid = a.cid
-      |  WHERE p.query_id <> a.vec_id),
-      |px AS (SELECT c.query_id, c.neighbor_id,
-      |    ROUND(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
-      |      / (a.nrm * b.nrm), 4) AS sim
-      |  FROM cand c
-      |  JOIN n a ON a.vec_id = c.query_id
-      |  JOIN n b ON b.vec_id = c.neighbor_id),
+    s"""WITH $ivfCoreCtesDuck,
       |r AS (SELECT query_id, neighbor_id, sim,
       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
       |  FROM px)
@@ -2898,7 +2875,7 @@ object Queries {
     // profiling pattern that scales to any corpus with bounded groups.
     "q_group_quantiles" -> sqlQuery(
       """WITH r AS (SELECT source, n_chars, doc_id,
-        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
         |    COUNT(*) OVER (PARTITION BY source) AS n
         |  FROM documents)
         |SELECT source, q_e2, CAST(n_chars AS BIGINT) AS value

@@ -70,6 +70,26 @@ class IncrementalAggSpec extends SparkTestBase {
       log.snapshot.setTransactions.get("app_x").exists(_.version == 8L))
   }
 
+  test("txn marker survives the DV fast path's insert-only branch") {
+    // A DV-enabled rollup whose batch contains ONLY new keys routes
+    // through executeDvPath's DvNoMatch branch — the marker must ride
+    // in that insert commit too, or restarts double-apply the batch.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_iam_dvtxn_")
+      .resolve("agg").toString
+    val log = graft.delta.DeltaLog.forPath(spark, tmp)
+    graft.delta.TransactionWriter.overwrite(log,
+      Seq(("s1", 2L, 30L)).toDF("source", "n", "s"),
+      configuration = Map("delta.enableDeletionVectors" -> "true"))
+    val before = log.latestVersion()
+    val delta = Seq(("s_new", 1L, 7L)).toDF("source", "__d_n", "__d_sum")
+    val v = IncrementalAgg.mergeDelta(log, delta, Seq("source"), "n", "s",
+      txn = Some(("app_dv", 3L)))
+    assert(v == before + 1, s"expected one commit, got ${v - before}")
+    assert(log.snapshot.setTransactions.get("app_dv").exists(_.version == 3L),
+      "marker missing after insert-only DV-path merge")
+    assert(log.snapshot.read().count() == 2)
+  }
+
   test("incrementalAggSink maintains the rollup from a CDF stream") {
     val base = java.nio.file.Files.createTempDirectory("graft_sia_spec_")
     val src = graft.delta.DeltaLog.forPath(spark, base.resolve("t").toString)
