@@ -2892,6 +2892,35 @@ object Queries {
         s.table("orders"), "o_orderkey", "o_totalprice",
         buckets = 32, rate = 0.125)
     }),
+    // Streaming-maintained CMS: the cell COUNT aggregate is additive,
+    // so Structured Streaming maintains the sketch with depth×width-row
+    // bounded state; the streamed sketch equals the batch one cell for
+    // cell, so the downstream heavy-hitter estimate is identical and
+    // the query SHARES the batch oracle (see q_stream_hll for the MAX
+    // sibling).
+    "q_stream_cms" -> ((s, dir) => withStreamShuffle(s) {
+      registerViews(s, dir)
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val grams = s.readStream.schema(schema).parquet(s"$dir/documents.parque*")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(explode(
+          graft.functions.TextFunctions.wordNgrams(col("text"), 3)).as("tk"))
+      val sketchStream = graft.operators.Sketches.cmsSketch(
+        grams, col("tk"), depth = 4, width = 2048)
+      val name = "stream_cms_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = sketchStream.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val cand = s.table("documents").where(col("doc_id") % 50 === 0)
+        .select(explode(
+          graft.functions.TextFunctions.wordNgrams(col("text"), 3)).as("tk"))
+      graft.operators.Sketches.cmsEstimate(cand, s.table(name),
+        depth = 4, width = 2048)
+        .select(col("key").as("term"), col("est"))
+        .orderBy(col("est").desc, col("term")).limit(20)
+    }),
     // Streaming-maintained HLL: the register MAX aggregate is monotonic
     // and duplicate-insensitive, so Structured Streaming maintains it
     // with bounded (m=1024 rows) state across micro-batches — and the
@@ -2916,6 +2945,26 @@ object Queries {
       q.awaitTermination()
       graft.operators.Sketches.hllSummarize(s.table(name), b = 10)
     }))
+
+  /** Shared batch/stream CMS oracle: one md5 digest per gram, four
+    * 28-bit hex slices as the depth rows, min-over-cells estimation
+    * for the 2%-shard candidate set (see Sketches.cmsSketch). */
+  private val qCmsHeavyHittersDuck: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |tok AS (SELECT md5('cms|' || unnest(${ngrams3("duck")})) AS h FROM t),
+       |cells AS (SELECT r,
+       |    ('0x' || substr(h, 1 + 7 * r, 7))::BIGINT % 2048 AS bucket
+       |  FROM tok, (VALUES (0), (1), (2), (3)) AS rr(r)),
+       |sk AS (SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM cells GROUP BY r, bucket),
+       |cand AS (SELECT DISTINCT unnest(${ngrams3("duck")}) AS term
+       |  FROM t WHERE doc_id % 50 = 0),
+       |ce AS (SELECT term, r,
+       |    ('0x' || substr(md5('cms|' || term), 1 + 7 * r, 7))::BIGINT % 2048 AS bucket
+       |  FROM cand, (VALUES (0), (1), (2), (3)) AS rr(r)),
+       |est AS (SELECT term, CAST(MIN(cnt) AS BIGINT) AS est
+       |  FROM ce JOIN sk USING (r, bucket) GROUP BY term)
+       |SELECT term, est FROM est ORDER BY est DESC, term LIMIT 20""".stripMargin
 
   /** Shared batch/stream HLL oracle: 60-bit md5 hash split into bucket
     * and pattern word, exact dyadic harmonic sum, one constant/integer
@@ -3318,22 +3367,10 @@ object Queries {
     "q_range_join" -> qRangeJoinDuck,
     "q_top_terms" -> qTopTermsDuck,
     "q_pack_sequences" -> qPackSequencesDuck,
-    "q_cms_heavy_hitters" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |tok AS (SELECT md5('cms|' || unnest(${ngrams3("duck")})) AS h FROM t),
-         |cells AS (SELECT r,
-         |    ('0x' || substr(h, 1 + 7 * r, 7))::BIGINT % 2048 AS bucket
-         |  FROM tok, (VALUES (0), (1), (2), (3)) AS rr(r)),
-         |sk AS (SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
-         |  FROM cells GROUP BY r, bucket),
-         |cand AS (SELECT DISTINCT unnest(${ngrams3("duck")}) AS term
-         |  FROM t WHERE doc_id % 50 = 0),
-         |ce AS (SELECT term, r,
-         |    ('0x' || substr(md5('cms|' || term), 1 + 7 * r, 7))::BIGINT % 2048 AS bucket
-         |  FROM cand, (VALUES (0), (1), (2), (3)) AS rr(r)),
-         |est AS (SELECT term, CAST(MIN(cnt) AS BIGINT) AS est
-         |  FROM ce JOIN sk USING (r, bucket) GROUP BY term)
-         |SELECT term, est FROM est ORDER BY est DESC, term LIMIT 20""".stripMargin,
+    "q_cms_heavy_hitters" -> qCmsHeavyHittersDuck,
+    // streamed sketch == batch sketch cell-for-cell, so the downstream
+    // estimate shares the batch oracle verbatim
+    "q_stream_cms" -> qCmsHeavyHittersDuck,
     "q_hll_distinct" -> qHllDistinctDuck,
     // batch == stream on sketches: the streaming registers MUST land on
     // the identical summary, so the oracle is literally the batch one

@@ -93,6 +93,14 @@ class SketchesSpec extends SparkTestBase {
       Sketches.hllSummary(thrice, col("tk")), "duplicates changed the summary")
   }
 
+  test("streaming CMS heavy hitters equal the batch query bit-for-bit") {
+    val batch = graft.queries.Queries.queries("q_cms_heavy_hitters")(
+      spark, "/root/testdata/sf0.001")
+    val stream = graft.queries.Queries.queries("q_stream_cms")(
+      spark, "/root/testdata/sf0.001")
+    assertSameRows(stream, batch, "streamed sketch diverged from batch")
+  }
+
   test("streaming HLL registers equal the batch summary bit-for-bit") {
     val batch = graft.queries.Queries.queries("q_hll_distinct")(
       spark, "/root/testdata/sf0.001")
