@@ -842,7 +842,13 @@ object TransactionWriter {
       firstVersion: Long,
       actions: Seq[Action],
       touchedPaths: Set[String],
-      maxRetries: Int = 5,
+      // A rebase attempt costs ONE commit-JSON write (data files are
+      // already on disk), so the bound exists only to stop livelock —
+      // set it above any plausible same-table writer burst: N racing
+      // writers make the unluckiest one lose up to N-1 rounds (observed
+      // with 8 concurrent merge sinks: 6+ losses, which the old bound
+      // of 5 turned into a spurious abort).
+      maxRetries: Int = 50,
       ictEnabled: Boolean = false): Long = {
     var version = firstVersion
     var attempts = 0

@@ -46,6 +46,44 @@ class ConcurrencyStressSpec extends SparkTestBase {
     assert(fresh.snapshot.read().count() == writers.toLong * rowsPer + 1)
   }
 
+  test("concurrent marker-carrying merges: every fold lands WITH its marker") {
+    // Eight insert-only signed-delta folds (disjoint new keys, distinct
+    // appIds) race into one DV-enabled rollup — each rides its
+    // (appId, batch) marker inside its own merge commit. The invariant
+    // that matters for exactly-once: after the dust settles, every
+    // writer's data AND marker are present together (a marker without
+    // its fold, or a fold without its marker, is the crash-window bug
+    // the riding-marker design exists to prevent).
+    val tmp = java.nio.file.Files.createTempDirectory("graft_txnrace_")
+      .resolve("agg").toString
+    val log = DeltaLog.forPath(spark, tmp)
+    TransactionWriter.overwrite(log,
+      Seq(("seed", 1L, 1L)).toDF("source", "n", "s"),
+      configuration = Map("delta.enableDeletionVectors" -> "true"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = 8
+    Await.result(
+      Future.sequence((0 until writers).map { w =>
+        Future {
+          val delta = Seq((s"w$w", 1L, 10L + w))
+            .toDF("source", "__d_n", "__d_sum")
+          graft.operators.IncrementalAgg.mergeDelta(
+            log, delta, Seq("source"), "n", "s",
+            txn = Some((s"app$w", 1L)))
+        }
+      }), 180.seconds)
+    val snap = DeltaLog.forPath(spark, tmp).snapshot // fresh replay
+    val rows = snap.read().collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    (0 until writers).foreach { w =>
+      assert(rows.get(s"w$w").contains(10L + w), s"writer $w fold lost")
+      assert(snap.setTransactions.get(s"app$w").exists(_.version == 1L),
+        s"writer $w marker lost")
+    }
+  }
+
   test("hard-delete pipeline: DELETE + REORG PURGE + VACUUM erases rows physically") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_gdpr_")
       .resolve("t").toString
