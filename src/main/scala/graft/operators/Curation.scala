@@ -655,4 +655,51 @@ object Curation {
       .orderBy(col("n").desc, col("tok").asc)
     counts.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
+
+  /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how target-like its hashed n-gram feature distribution
+    * is, and keep the top scorers. The importance weight
+    * log p_target(x) − log p_raw(x) under bucketed bigram unigram
+    * models reduces to Σ_b n_b · c_b, where `c_b` is a PER-BUCKET
+    * integer constant `floor(1e6 · ln(p_t[b]/p_r[b]))` (Laplace
+    * smoothing on both sides) — so the per-doc sum is pure integer
+    * arithmetic, order-free and engine-exact; only the B-bounded bucket
+    * relation ever touches `ln`.
+    *
+    * Scale shape: pass 1 builds the raw+target bucket counts in ONE
+    * corpus aggregate (conditional sums over the same grams, B rows
+    * out); pass 2 re-scores every doc against the broadcast score
+    * relation. No per-doc state, no model larger than B rows. */
+  def dsirSelect(
+      df: DataFrame, idCol: String, textCol: String, isTarget: Column,
+      buckets: Int = 4096, topK: Int = 100): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val grams = df.select(col(idCol), isTarget.as("__t"),
+        explode(TextFunctions.wordNgrams(col(textCol), 2)).as("g"))
+      .withColumn("b",
+        TextFunctions.hash28(concat(lit("dsir|"), col("g"))) % buckets)
+    // ONE pass for both distributions: raw = every doc, target = the
+    // isTarget subset, as conditional aggregates over the same rows.
+    val counts = grams.groupBy("b").agg(
+      count(lit(1)).as("n_r"),
+      sum(when(col("__t"), 1L).otherwise(0L)).as("n_t"))
+    val totals = counts.agg(
+      sum(col("n_r")).as("tot_r"), sum(col("n_t")).as("tot_t"))
+    // c_b = floor(1e6·ln(((n_t+1)·(tot_r+B)) / ((n_r+1)·(tot_t+B)))):
+    // one ln over exact integer inputs per bucket (Laplace-smoothed
+    // ratio), following the BM25/NB integer-quantization precedent.
+    // factors cast to DOUBLE before multiplying: count×total products
+    // overflow int64 at corpus scale (1e13 grams × 1e13 grams); the
+    // double rounding is identical IEEE arithmetic in both engines.
+    val scores = counts.crossJoin(broadcast(totals)).select(col("b"),
+      floor(lit(1e6) * log(
+        ((col("n_t") + 1).cast("double") * (col("tot_r") + buckets).cast("double")) /
+          ((col("n_r") + 1).cast("double") * (col("tot_t") + buckets).cast("double"))))
+        .cast("long").as("c"))
+    grams.join(broadcast(scores), "b")
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("score_e6"))
+      .orderBy(col("score_e6").desc, col(idCol)).limit(topK)
+  }
 }

@@ -2868,6 +2868,17 @@ object Queries {
         s.table("orders"), "o_orderkey", "o_totalprice",
         buckets = 32, rate = 0.125)
     }),
+    // DSIR-style importance selection: score raw docs by target-likeness
+    // under hashed-bigram unigram models (target = the doc_id % 10 = 0
+    // "curated seed"); per-bucket integer constants make the per-doc
+    // sums order-free, so the top-100 is engine-exact.
+    "q_dsir_select" -> ((s, dir) => {
+      registerViews(s, dir)
+      graft.operators.Curation.dsirSelect(
+        s.table("documents"), "doc_id", "text",
+        isTarget = col("doc_id") % 10 === 0,
+        buckets = 4096, topK = 100)
+    }),
     // Per-group exact quantiles (p25/p50/p75/p90 of n_chars per source)
     // via integer rank selection — rank = ceil(q·n) computed as
     // rn·100 ≥ q_e2·n ∧ (rn−1)·100 < q_e2·n, no floats anywhere. Groups
@@ -3341,6 +3352,29 @@ object Queries {
     "q_embedding_knn_lsh" -> qKnnLshDuck,
     "q_embedding_ivf_knn" -> qIvfKnnDuck,
     "q_ann_recall" -> qAnnRecallDuck,
+    "q_dsir_select" ->
+      """WITH t AS (SELECT doc_id, doc_id % 10 = 0 AS tgt,
+        |    string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, tgt,
+        |    ('0x' || substr(md5('dsir|' || unnest(
+        |      CASE WHEN len(toks) < 2 THEN []
+        |        ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END
+        |    )), 1, 7))::BIGINT % 4096 AS b
+        |  FROM t),
+        |counts AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n_r,
+        |    CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS n_t
+        |  FROM g GROUP BY b),
+        |tot AS (SELECT CAST(SUM(n_r) AS BIGINT) AS tot_r,
+        |    CAST(SUM(n_t) AS BIGINT) AS tot_t FROM counts),
+        |sc AS (SELECT b,
+        |    CAST(FLOOR(1e6 * ln(
+        |      (CAST(n_t + 1 AS DOUBLE) * CAST(tot_r + 4096 AS DOUBLE))
+        |      / (CAST(n_r + 1 AS DOUBLE) * CAST(tot_t + 4096 AS DOUBLE)))) AS BIGINT) AS c
+        |  FROM counts, tot)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_e6
+        |FROM g JOIN sc USING (b)
+        |GROUP BY doc_id
+        |ORDER BY score_e6 DESC, doc_id LIMIT 100""".stripMargin,
     "q_group_quantiles" ->
       """WITH r AS (SELECT source, n_chars, doc_id,
         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,

@@ -316,6 +316,27 @@ class CurationSpec extends SparkTestBase {
     assert(got.toSeq == Seq((1L, s(2, 4)), (2L, s(1, 2))))
   }
 
+  test("dsirSelect ranks target-like documents above off-distribution ones") {
+    // Target seed (ids 0-9) writes about apples; raw bulk (ids 10-49)
+    // about rocks; ids 50-54 are apple-like raw docs — DSIR must pull
+    // exactly the apple-like raw docs into a top-5 over the raw pool.
+    val docs = (
+      (0L until 10L).map(i => (i, "sweet apple orchard ripe apple harvest")) ++
+      (10L until 50L).map(i => (i, s"grey rock basalt granite stone slab r$i")) ++
+      (50L until 55L).map(i => (i, "sweet apple orchard crisp apple cider"))
+    ).toDF("doc_id", "text")
+    val top = Curation.dsirSelect(docs.where(col("doc_id") >= 10),
+      "doc_id", "text", isTarget = lit(false), buckets = 512, topK = 5)
+    // score raw docs against a target distribution: build scores from
+    // the FULL frame where target = ids < 10
+    val sel = Curation.dsirSelect(docs, "doc_id", "text",
+      isTarget = col("doc_id") < 10, buckets = 512, topK = 15)
+      .collect().map(_.getLong(0)).toSet
+    assert((50L until 55L).forall(sel.contains),
+      s"apple-like raw docs missing from DSIR selection: $sel")
+    assert(top.count() == 5) // smoke: the all-raw scoring path also runs
+  }
+
   test("redactPii counts and replaces emails and digit runs") {
     val df = Seq((1L, "reach me at bob99@mail.com or 12345 ext 77"),
                  (2L, "nothing to hide")).toDF("doc_id", "text")
