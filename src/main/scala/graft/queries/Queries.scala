@@ -1383,6 +1383,75 @@ object Queries {
        |  FROM pairs)
        |SELECT query_id, neighbor_id, adist, rnk FROM r WHERE rnk <= 3""".stripMargin
 
+  /** SQ coarse centroids get their own per-process export (same
+    * isolation reasoning as the IVF/PQ paths). Only the COARSE
+    * quantizer needs exporting — the scalar-quantization bounds are
+    * order-free per-dimension MIN/MAX that the oracle recomputes from
+    * the data itself. */
+  private val sqCoarsePath = sys.env.getOrElse(
+    "GRAFT_SQ_COARSE_PATH",
+    s"${System.getProperty("java.io.tmpdir")}/graft_sq_coarse_" +
+      s"${ProcessHandle.current().pid()}.parquet")
+
+  /** IVF-SQ: coarse cells bound candidates (nprobe=2 of 8), scalar-
+    * quantized int8 codes rank them in PURE INTEGER arithmetic —
+    * 4× smaller at rest than raw float32 and, unlike the PQ/float
+    * siblings, no ROUND reconciliation anywhere in the distance
+    * (Σ (qcᵢ−ccᵢ)² is exact int64 in both engines). */
+  private def qSqKnnSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      val emb = s.table("embeddings")
+      val coarse = graft.operators.Pq.trainCodebooks(
+        emb, "vec_id", "embedding", m = 1, k = 8, iterations = 2)
+      import s.implicits._
+      coarse.map { case (_, cid, cv) => (cid, cv.toSeq) }
+        .toDF("cid", "cv")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(sqCoarsePath)
+      val (mns, mxs) = graft.operators.Sq.trainBounds(emb, "embedding")
+      graft.operators.Sq.ivfSqTopK(
+        emb, emb.where(col("vec_id") % 25 === 0),
+        "vec_id", "embedding", coarse, mns, mxs,
+        kNeighbors = 3, nprobe = 2)
+    }
+
+  private def qSqKnnDuck: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cb AS (SELECT cid, cv FROM read_parquet('$sqCoarsePath/*.parquet')),
+       |b AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+       |  FROM (SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+       |        FROM e CROSS JOIN range(1, 65) t(i) GROUP BY i) bb),
+       |enc AS (SELECT vec_id,
+       |    list_transform(range(1, 65), i -> GREATEST(0, LEAST(255,
+       |      CASE WHEN b.mxs[i] = b.mns[i] THEN 0
+       |           ELSE CAST(FLOOR((v[i] - b.mns[i]) * 255 / (b.mxs[i] - b.mns[i])) AS BIGINT)
+       |      END))) AS c
+       |  FROM e CROSS JOIN b),
+       |celld AS (SELECT e.vec_id, cb.cid,
+       |    ROUND(list_sum(list_transform(range(1, 65),
+       |      i -> (e.v[i] - cb.cv[i]) * (e.v[i] - cb.cv[i]))), 4) AS d
+       |  FROM e CROSS JOIN cb),
+       |cells AS (SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM celld) t WHERE rn = 1),
+       |probe AS (SELECT vec_id AS query_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM celld WHERE vec_id % 25 = 0) t WHERE rn <= 2),
+       |pairs AS (SELECT p.query_id, ce.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> (qe.c[i] - ne.c[i]) * (qe.c[i] - ne.c[i]))) AS BIGINT) AS idist
+       |  FROM probe p
+       |  JOIN cells ce ON ce.cell = p.cell AND ce.vec_id <> p.query_id
+       |  JOIN enc qe ON qe.vec_id = p.query_id
+       |  JOIN enc ne ON ne.vec_id = ce.vec_id),
+       |r AS (SELECT query_id, neighbor_id, idist,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY idist, neighbor_id) AS rnk
+       |  FROM pairs)
+       |SELECT query_id, neighbor_id, idist, rnk FROM r WHERE rnk <= 3""".stripMargin
+
   private def qIvfTrainedSpark: (SparkSession, String) => DataFrame =
     (s, dir) => {
       registerViews(s, dir)
@@ -2763,6 +2832,7 @@ object Queries {
     "q_embedding_ivf_trained" -> qIvfTrainedSpark,
     "q_embedding_pq_knn" -> qPqKnnSpark,
     "q_embedding_ivfpq_knn" -> qIvfPqKnnSpark,
+    "q_embedding_sq_knn" -> qSqKnnSpark,
     "q_embedding_semdedup" -> qSemDedupSpark,
     "q_decontaminate" -> ((s, dir) => {
       registerViews(s, dir)
@@ -3387,6 +3457,7 @@ object Queries {
     "q_embedding_ivf_trained" -> qIvfTrainedDuck,
     "q_embedding_pq_knn" -> qPqKnnDuck,
     "q_embedding_ivfpq_knn" -> qIvfPqKnnDuck,
+    "q_embedding_sq_knn" -> qSqKnnDuck,
     "q_embedding_semdedup" -> qSemDedupDuck,
     "q_media_meta" -> qMediaMetaDuck,
     "q_media_features" -> qMediaFeaturesDuck,

@@ -54,6 +54,7 @@ class DocsEmbeddingsQueriesSpec extends SparkTestBase {
     "q_embedding_ivf_knn",    // IVF cells over embedding, vec_id
     "q_ann_recall",           // IVF-vs-brute recall evaluation
     "q_embedding_ivfpq_knn",  // PQ codebooks + IVF fused pass
+    "q_embedding_sq_knn",     // scalar-quantized int codes + IVF cells
     "q_embedding_neardup")    // label-blocked pairs over label
 
   for (q <- documentFamilies)
