@@ -1825,6 +1825,37 @@ object Queries {
       |  AND v.event_type = 'view' AND c.event_type = 'click'
       |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR""".stripMargin
 
+  /** Stream-static broadcast enrichment, driver-verified: the event
+    * stream joins the static customer dimension per micro-batch (dim
+    * broadcast — the stream side never shuffles, no state store at
+    * all); after the AvailableNow drain the enriched rows must equal
+    * the batch join. The stateless sibling of q_stream_join. */
+  private def qStreamStaticJoinSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => withStreamShuffle(s) {
+      registerViews(s, dir)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val ev = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val dim = s.table("customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+      val out = graft.streaming.StreamingOps
+        .enrichWithDim(ev, dim, col("user_id") === col("c_custkey"))
+        .select("event_id", "user_id", "event_type",
+          "c_mktsegment", "c_nationkey")
+      val name = "stream_static_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    }
+
+  private val qStreamStaticJoinDuck: String =
+    """SELECT e.event_id, e.user_id, e.event_type,
+      |  c.c_mktsegment, c.c_nationkey
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin
+
   /** Stateful streaming sessionization (flatMapGroupsWithState),
     * driver-verified: drain the bounded event stream with a 0-second
     * watermark and 30-minute gap; the emitted CLOSED sessions must
@@ -2778,6 +2809,7 @@ object Queries {
     "q_stream_dedup" -> qStreamDedupSpark,
     "q_stream_dedup_prior" -> qStreamDedupPriorSpark,
     "q_stream_join" -> qStreamJoinSpark,
+    "q_stream_static_join" -> qStreamStaticJoinSpark,
     "q_stream_sessionize" -> qStreamSessionizeSpark,
     "q_read_changes" -> qReadChangesSpark,
     "q_delete_dv" -> qDeleteDvSpark,
@@ -3395,6 +3427,7 @@ object Queries {
     "q_corpus_pipeline" -> qPipelineDuck,
     "q_stream_counts" -> qStreamCountsDuck,
     "q_stream_join" -> qStreamJoinDuck,
+    "q_stream_static_join" -> qStreamStaticJoinDuck,
     "q_stream_dedup" -> qStreamDedupDuck,
     "q_stream_dedup_prior" ->
       """WITH prior AS (SELECT text FROM documents WHERE doc_id % 3 <> 0

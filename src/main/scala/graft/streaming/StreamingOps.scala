@@ -259,6 +259,21 @@ object StreamingOps {
         col(rightTsCol) <= col(leftTsCol) + expr(s"INTERVAL $maxSpan"))
   }
 
+  /** Stream-static enrichment join: each micro-batch of the stream
+    * joins a bounded dimension frame that is explicitly BROADCAST, so
+    * the stream side never shuffles — the classic "enrich events with
+    * the dimension table" pattern. The dim is re-planned per batch
+    * (Structured Streaming re-executes the static side), which is what
+    * makes slowly-changing dims pick up updates between batches; for a
+    * 100 TB/day stream the only requirement is that the dim stays
+    * broadcast-sized, exactly as in the batch join. Inner join by
+    * default: unmatched events drop (use "left_outer" to keep them). */
+  def enrichWithDim(
+      stream: DataFrame, dim: DataFrame,
+      joinExpr: org.apache.spark.sql.Column,
+      joinType: String = "inner"): DataFrame =
+    stream.join(broadcast(dim), joinExpr, joinType)
+
   /** Tumbling-window per-type event counts with late-data handling. */
   def windowedEventCounts(
       stream: DataFrame, tsCol: String, typeCol: String,

@@ -19,8 +19,10 @@ class EventsQueriesSpec extends SparkTestBase {
     }
 
   // one windowed-agg stream and the typed (Dataset-encoded) stream cover
-  // both streaming accessor shapes; the other two reuse the same exprs
-  for (q <- Seq("q_stream_counts", "q_stream_sessionize"))
+  // both streaming accessor shapes (the others reuse the same exprs);
+  // the stream-static join additionally reads customer columns
+  for (q <- Seq("q_stream_counts", "q_stream_sessionize",
+      "q_stream_static_join"))
     test(s"$q drains against the current events schema") {
       val df = graft.queries.Queries.queries(q)(spark, sf)
       assert(df.count() > 0, s"$q drained to an empty result at sf0.001")
