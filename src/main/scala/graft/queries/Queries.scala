@@ -1452,6 +1452,45 @@ object Queries {
        |  FROM pairs)
        |SELECT query_id, neighbor_id, idist, rnk FROM r WHERE rnk <= 3""".stripMargin
 
+  /** Fixed-point PageRank over the customer–supplier trade graph
+    * (undirected: who-buys-from-whom, both directions). Node ids are
+    * made disjoint by parity (customer 2k, supplier 2k+1); 3 exact
+    * integer iterations — the oracle unrolls the identical recurrence
+    * as CTEs, and because every step is int64 the two engines must
+    * agree bit-for-bit with NO rounding anywhere. */
+  private def qPageRankSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      val ed0 = s.table("orders")
+        .join(s.table("lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val edges = ed0.union(ed0.select(col("b").as("a"), col("a").as("b")))
+      graft.operators.PageRank.pageRank(edges, "a", "b", iterations = 3)
+    }
+
+  private def qPageRankDuck: String = {
+    def iter(i: Int): String =
+      s"""c$i AS (SELECT e.dst AS node, SUM(s${i - 1}.score // deg.d) AS m
+         |  FROM edges e JOIN s${i - 1} ON s${i - 1}.node = e.src
+         |  JOIN deg ON deg.src = e.src GROUP BY e.dst),
+         |s$i AS (SELECT n.node,
+         |    CAST(150000 + (85 * COALESCE(c$i.m, 0)) // 100 AS BIGINT) AS score
+         |  FROM nodes n LEFT JOIN c$i ON c$i.node = n.node)""".stripMargin
+    s"""WITH ed0 AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |edges AS (SELECT a AS src, b AS dst FROM ed0
+       |  UNION ALL SELECT b, a FROM ed0),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+       |s0 AS (SELECT node, CAST(1000000 AS BIGINT) AS score FROM nodes),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT node, score FROM s3""".stripMargin
+  }
+
   private def qIvfTrainedSpark: (SparkSession, String) => DataFrame =
     (s, dir) => {
       registerViews(s, dir)
@@ -2865,6 +2904,7 @@ object Queries {
     "q_embedding_pq_knn" -> qPqKnnSpark,
     "q_embedding_ivfpq_knn" -> qIvfPqKnnSpark,
     "q_embedding_sq_knn" -> qSqKnnSpark,
+    "q_pagerank" -> qPageRankSpark,
     "q_embedding_semdedup" -> qSemDedupSpark,
     "q_decontaminate" -> ((s, dir) => {
       registerViews(s, dir)
@@ -3491,6 +3531,7 @@ object Queries {
     "q_embedding_pq_knn" -> qPqKnnDuck,
     "q_embedding_ivfpq_knn" -> qIvfPqKnnDuck,
     "q_embedding_sq_knn" -> qSqKnnDuck,
+    "q_pagerank" -> qPageRankDuck,
     "q_embedding_semdedup" -> qSemDedupDuck,
     "q_media_meta" -> qMediaMetaDuck,
     "q_media_features" -> qMediaFeaturesDuck,
