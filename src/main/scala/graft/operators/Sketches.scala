@@ -120,6 +120,14 @@ object Sketches {
     * shards (`unionByName` + re-max) — feed either form to
     * [[hllSummarize]]. */
   def hllRegisters(df: DataFrame, key: Column, b: Int = 10): DataFrame = {
+    val (bucket, rho) = hllBucketRho(key, b)
+    df.select(bucket.as("bucket"), rho.as("rho"))
+      .groupBy("bucket").agg(max("rho").as("reg"))
+  }
+
+  /** The (bucket, rho) pair for one key occurrence — shared by the
+    * global and per-group register builders. */
+  private def hllBucketRho(key: Column, b: Int): (Column, Column) = {
     // Upper bound 12, not 16: the harmonic sum's worst case is m·2^50
     // (every register 0), which for m = 2^13 reaches 2^63 and wraps
     // Long. b=12 keeps the worst case at 2^62 with the exactness intact.
@@ -127,7 +135,6 @@ object Sketches {
     val m = 1 << b
     val patBits = 60 - b
     val h = TextFunctions.hash60(concat(lit("hll|"), key))
-    val bucket = (h % m).as("bucket")
     // pattern word: the remaining 60-b bits, extracted with an integer
     // shift (a double division would corrupt bits past 2^53); rho =
     // leading zeros + 1 = (patBits + 1) - msb position (length of
@@ -135,8 +142,45 @@ object Sketches {
     val w = shiftright(h, b)
     val rho = when(w === 0, lit(patBits + 1))
       .otherwise(lit(patBits + 1) - length(bin(w)))
-    df.select(bucket, rho.cast("int").as("rho"))
-      .groupBy("bucket").agg(max("rho").as("reg"))
+    (h % m, rho.cast("int"))
+  }
+
+  /** Per-group HLL registers `(grp, bucket, reg)` — the GROUP BY
+    * sibling of [[hllRegisters]]: state is `groups · m` rows (still
+    * sublinear — the corpus shuffles at most that many partially
+    * MAX-combined cells per map task, never its raw keys). Feed to
+    * [[hllSummarizeBy]]. */
+  def hllRegistersBy(df: DataFrame, group: Column, key: Column,
+      b: Int = 10): DataFrame = {
+    val (bucket, rho) = hllBucketRho(key, b)
+    df.select(group.as("grp"), bucket.as("bucket"), rho.as("rho"))
+      .groupBy("grp", "bucket").agg(max("rho").as("reg"))
+  }
+
+  /** Per-group collapse of a [[hllRegistersBy]] relation: one summary
+    * row per group with the same exact dyadic-integer harmonic sum as
+    * [[hllSummarize]]. Groups with zero occurrences are absent (they
+    * have no registers to summarize). */
+  def hllSummarizeBy(registers: DataFrame, b: Int = 10): DataFrame = {
+    require(b >= 4 && b <= 12, s"b must be in [4,12], got $b")
+    val m = 1 << b
+    val merged = registers.groupBy("grp", "bucket").agg(max("reg").as("reg"))
+    val groups = merged.select("grp").distinct()
+    // dense lattice per group: groups × m rows, both sides bounded
+    val lattice = groups
+      .crossJoin(merged.sparkSession.range(0, m).select(col("id").as("bucket")))
+      .join(merged, Seq("grp", "bucket"), "left")
+      .select(col("grp"), coalesce(col("reg"), lit(0)).as("reg"))
+    val term = expr(
+      "CASE WHEN reg <= 50 THEN shiftleft(CAST(1 AS BIGINT), 50 - reg) " +
+        "ELSE CAST(0 AS BIGINT) END")
+    lattice.groupBy("grp").agg(
+        sum(when(col("reg") === 0, 1L).otherwise(0L)).as("zero_buckets"),
+        sum(term).as("harmonic_s"))
+      .select(col("grp"), lit(m.toLong).as("m"), col("zero_buckets"),
+        col("harmonic_s"))
+      .withColumn("est_distinct",
+        floor(lit(hllAlphaNum(b)) / col("harmonic_s").cast("double")).cast("long"))
   }
 
   /** Collapse a register relation from [[hllRegisters]] (possibly

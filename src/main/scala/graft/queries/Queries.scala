@@ -3001,6 +3001,15 @@ object Queries {
         graft.functions.TextFunctions.wordNgrams(col("text"), 3)).as("tk"))
       graft.operators.Sketches.hllSummary(grams, col("tk"), b = 10)
     }),
+    "q_hll_by_source" -> ((s, dir) => {
+      registerViews(s, dir)
+      val grams = s.table("documents").select(col("source"), explode(
+        graft.functions.TextFunctions.wordNgrams(col("text"), 3)).as("tk"))
+      graft.operators.Sketches.hllSummarizeBy(
+        graft.operators.Sketches.hllRegistersBy(
+          grams, col("source"), col("tk"), b = 10), b = 10)
+        .withColumnRenamed("grp", "source")
+    }),
     // Range-partition boundaries for a global sort of orders by price:
     // hash-sample 12.5%, NTILE(32) over the sample only, boundaries
     // inlined as partitioner metadata, full-table bucket census map-only.
@@ -3137,6 +3146,30 @@ object Queries {
        |    CAST(SUM(CASE WHEN reg <= 50 THEN (1::BIGINT << (50 - reg)) ELSE 0 END) AS BIGINT) AS harmonic_s
        |  FROM lat)
        |SELECT CAST(1024 AS BIGINT) AS m, zero_buckets, harmonic_s,
+       |  CAST(FLOOR(${graft.operators.Sketches.hllAlphaNum(10)} / CAST(harmonic_s AS DOUBLE)) AS BIGINT) AS est_distinct
+       |FROM s""".stripMargin
+
+  /** The per-group (GROUP BY source) face of [[qHllDistinctDuck]] —
+    * identical bucket/rho/harmonic construction, one summary row per
+    * source. */
+  private val qHllBySourceDuck: String =
+    s"""WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+       |tok AS (SELECT source, unnest(${ngrams3("duck")}) AS tk FROM t),
+       |h AS (SELECT source,
+       |    ('0x' || substr(md5('hll|' || tk), 1, 15))::BIGINT AS h FROM tok),
+       |r AS (SELECT source, h % 1024 AS bucket,
+       |    CASE WHEN h // 1024 = 0 THEN 51
+       |      ELSE 51 - length(bin(h // 1024)) END AS rho FROM h),
+       |reg AS (SELECT source, bucket, MAX(rho) AS reg FROM r GROUP BY source, bucket),
+       |srcs AS (SELECT DISTINCT source FROM reg),
+       |lat AS (SELECT srcs.source, COALESCE(reg.reg, 0) AS reg
+       |  FROM srcs CROSS JOIN range(0, 1024) AS g(bucket)
+       |  LEFT JOIN reg ON reg.source = srcs.source AND reg.bucket = g.bucket),
+       |s AS (SELECT source,
+       |    CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_buckets,
+       |    CAST(SUM(CASE WHEN reg <= 50 THEN (1::BIGINT << (50 - reg)) ELSE 0 END) AS BIGINT) AS harmonic_s
+       |  FROM lat GROUP BY source)
+       |SELECT source, CAST(1024 AS BIGINT) AS m, zero_buckets, harmonic_s,
        |  CAST(FLOOR(${graft.operators.Sketches.hllAlphaNum(10)} / CAST(harmonic_s AS DOUBLE)) AS BIGINT) AS est_distinct
        |FROM s""".stripMargin
 
@@ -3551,6 +3584,7 @@ object Queries {
     // estimate shares the batch oracle verbatim
     "q_stream_cms" -> qCmsHeavyHittersDuck,
     "q_hll_distinct" -> qHllDistinctDuck,
+    "q_hll_by_source" -> qHllBySourceDuck,
     // batch == stream on sketches: the streaming registers MUST land on
     // the identical summary, so the oracle is literally the batch one
     "q_stream_hll" -> qHllDistinctDuck,

@@ -86,6 +86,24 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("per-group HLL equals the global HLL run on each group alone") {
+    val df = spark.range(6000).select(
+      (col("id") % 3).cast("string").as("g"),
+      concat(lit("v"), col("id")).as("tk"))
+    val by = Sketches.hllSummarizeBy(
+        Sketches.hllRegistersBy(df, col("g"), col("tk"), b = 10), b = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(by.keySet == Set("0", "1", "2"))
+    for (g <- Seq("0", "1", "2")) {
+      val solo = Sketches.hllSummary(
+        df.where(col("g") === g), col("tk"), b = 10).collect().head
+      assert(by(g) == ((solo.getLong(0), solo.getLong(1),
+        solo.getLong(2), solo.getLong(3))),
+        s"group $g diverges from its solo summary")
+    }
+  }
+
   test("HLL is duplicate-insensitive: registers depend on the distinct set") {
     val once = spark.range(2000).select(concat(lit("k"), col("id")).as("tk"))
     val thrice = once.unionAll(once).unionAll(once)
