@@ -1993,6 +1993,37 @@ object Queries {
           length(col("text")).cast("long").as("len"))
     }
 
+  /** Column-mapping schema surgery, driver-verified END-TO-END: write
+    * documents to a scratch name-mode mapped Delta table, RENAME
+    * n_chars → size_chars and DROP lang — both pure metadata commits
+    * (zero file rewrites: data files keep their physical `col-<uuid>`
+    * names; only the logical mapping changes), then read the table
+    * back through the mapping and aggregate. The oracle recomputes the
+    * aggregate from the source parquet under the NEW names, so a
+    * mapping bug anywhere in write/rename/drop/read fails the hash. */
+  private def qRenameReadSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cm_")
+        .resolve("t").toString
+      val log = graft.delta.DeltaLog.forPath(s, tmp)
+      graft.delta.TransactionWriter.overwrite(log,
+        s.table("documents").select(col("doc_id"), col("lang"),
+          col("source"), col("n_chars")),
+        configuration = Map("delta.columnMapping.mode" -> "name"))
+      graft.delta.SchemaEvolution.renameColumn(log, "n_chars", "size_chars")
+      graft.delta.SchemaEvolution.dropColumn(log, "lang")
+      log.snapshot.read()
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("size_chars").as("sum_chars"))
+    }
+
+  private val qRenameReadDuck: String =
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY source""".stripMargin
+
   /** Bucket-co-located join, driver-verified END-TO-END: write the two
     * join sides to scratch BUCKETED tables (8 buckets on the join key,
     * sorted within buckets), then sort-merge-join them. Identical
@@ -2852,6 +2883,7 @@ object Queries {
     "q_stream_sessionize" -> qStreamSessionizeSpark,
     "q_read_changes" -> qReadChangesSpark,
     "q_delete_dv" -> qDeleteDvSpark,
+    "q_rename_read" -> qRenameReadSpark,
     "q_fast_count" -> qFastCountSpark,
     "q_update_dv" -> qUpdateDvSpark,
     "q_change_feed" -> qChangeFeedSpark,
@@ -3512,6 +3544,7 @@ object Queries {
     "q_stream_sessionize" -> qStreamSessionizeDuck,
     "q_read_changes" -> qReadChangesDuck,
     "q_delete_dv" -> qDeleteDvDuck,
+    "q_rename_read" -> qRenameReadDuck,
     "q_fast_count" -> qFastCountDuck,
     "q_update_dv" -> qUpdateDvDuck,
     "q_change_feed" -> qChangeFeedDuck,
