@@ -333,6 +333,26 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     delegate.parseRoutineParam(sqlText)
 }
 
+object GraftSqlParser {
+  /** Parse and run ONE GRAFT statement against a session that does
+    * not have the extension installed (e.g. a driver Verify session
+    * built without `withExtensions`) — the exact regex and command
+    * body the injected parser path executes, returned as a DataFrame.
+    * Non-GRAFT statements are refused rather than delegated: use
+    * `spark.sql` for those. */
+  def run(spark: SparkSession, sqlText: String): org.apache.spark.sql.DataFrame =
+    new GraftSqlParser(spark.sessionState.sqlParser).parsePlan(sqlText) match {
+      case c: GraftMaintenanceCommand =>
+        val schema = StructType(c.output.map(a =>
+          org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable)))
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(c.run(spark).asJava, schema)
+      case other =>
+        throw new IllegalArgumentException(
+          s"not a GRAFT statement (got ${other.getClass.getSimpleName}): $sqlText")
+    }
+}
+
 /** Leaf command executed through Spark's own RunnableCommand machinery
   * (ExecutedCommandExec — the same path built-in DDL takes); `body`
   * runs the maintenance operation and returns the result rows. */

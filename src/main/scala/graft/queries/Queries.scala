@@ -2024,6 +2024,64 @@ object Queries {
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY source""".stripMargin
 
+  /** In-place type widening, driver-verified END-TO-END: write a table
+    * whose measure column is INT32, widen it to BIGINT (a metadata-only
+    * commit — existing files keep their narrow physical type), append
+    * values that only fit in 64 bits, and aggregate across the mixed
+    * narrow+wide files. A read path that ignored the widened logical
+    * type (or rewrote/mis-cast the old files) fails the hash. */
+  private def qWidenReadSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_widen_")
+        .resolve("t").toString
+      val log = graft.delta.DeltaLog.forPath(s, tmp)
+      graft.delta.TransactionWriter.overwrite(log,
+        s.table("documents").select(col("doc_id"), col("source"),
+          col("n_chars").cast("int").as("chars")))
+      graft.delta.Maintenance.widenColumnType(log, "chars", "bigint")
+      graft.delta.TransactionWriter.append(log,
+        s.table("documents").select((col("doc_id") + 1000000L).as("doc_id"),
+          col("source"), (col("n_chars") * 1000000L).as("chars")))
+      log.snapshot.read()
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_rows"), sum("chars").as("sum_chars"))
+    }
+
+  private val qWidenReadDuck: String =
+    """WITH u AS (SELECT source, CAST(n_chars AS BIGINT) AS c FROM documents
+      |  UNION ALL SELECT source, n_chars * 1000000 FROM documents)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(c) AS BIGINT) AS sum_chars
+      |FROM u GROUP BY source""".stripMargin
+
+  /** GRAFT SQL surface, driver-verified END-TO-END: write a scratch
+    * lang-partitioned table (repartitioned by lang first, so each
+    * partition directory holds exactly one file, making numFiles
+    * deterministic), then run `GRAFT SHOW PARTITIONS` — the log-plane
+    * inventory — through the SAME parser + command body the injected
+    * SQL extension executes. sizeInBytes is excluded (parquet byte
+    * counts are environment-dependent); partition string, file count
+    * and stats-derived row count must match the oracle. */
+  private def qShowPartitionsSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_showp_")
+        .resolve("t").toString
+      val log = graft.delta.DeltaLog.forPath(s, tmp)
+      graft.delta.TransactionWriter.overwrite(log,
+        s.table("documents").select(col("doc_id"), col("lang"), col("text"))
+          .repartition(col("lang")),
+        partitionBy = Some(Seq("lang")))
+      graft.plans.GraftSqlParser.run(s, s"GRAFT SHOW PARTITIONS '$tmp'")
+        .select("partition", "numFiles", "numRecords")
+    }
+
+  private val qShowPartitionsDuck: String =
+    """SELECT 'lang=' || lang AS partition, CAST(1 AS BIGINT) AS numFiles,
+      |  CAST(COUNT(*) AS BIGINT) AS numRecords
+      |FROM documents GROUP BY lang""".stripMargin
+
   /** Bucket-co-located join, driver-verified END-TO-END: write the two
     * join sides to scratch BUCKETED tables (8 buckets on the join key,
     * sorted within buckets), then sort-merge-join them. Identical
@@ -2884,6 +2942,8 @@ object Queries {
     "q_read_changes" -> qReadChangesSpark,
     "q_delete_dv" -> qDeleteDvSpark,
     "q_rename_read" -> qRenameReadSpark,
+    "q_widen_read" -> qWidenReadSpark,
+    "q_show_partitions" -> qShowPartitionsSpark,
     "q_fast_count" -> qFastCountSpark,
     "q_update_dv" -> qUpdateDvSpark,
     "q_change_feed" -> qChangeFeedSpark,
@@ -3545,6 +3605,8 @@ object Queries {
     "q_read_changes" -> qReadChangesDuck,
     "q_delete_dv" -> qDeleteDvDuck,
     "q_rename_read" -> qRenameReadDuck,
+    "q_widen_read" -> qWidenReadDuck,
+    "q_show_partitions" -> qShowPartitionsDuck,
     "q_fast_count" -> qFastCountDuck,
     "q_update_dv" -> qUpdateDvDuck,
     "q_change_feed" -> qChangeFeedDuck,
