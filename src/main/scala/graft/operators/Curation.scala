@@ -656,6 +656,35 @@ object Curation {
     counts.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
 
+  /** Inverted-index export: one row per term with its document
+    * frequency and the posting list DELTA-GAP encoded (first doc id,
+    * then successive differences) — the at-rest layout lexical search
+    * indexes ship, because gaps of a sorted id list compress far
+    * better than absolute ids. One term-keyed shuffle over the
+    * DISTINCT (term, doc) relation; `minDf`/`maxDf` bound the output
+    * to the useful vocabulary band (rare terms are noise, ubiquitous
+    * terms are stopwords — and they also bound the largest collected
+    * posting list). Sorting happens inside each term's bounded list
+    * (`array_sort`), never across the relation. */
+  def invertedIndex(
+      df: DataFrame, idCol: String, textCol: String,
+      minDf: Long = 2L, maxDf: Long = Long.MaxValue): DataFrame = {
+    val pairs = df.select(
+        explode(TextFunctions.tokens(col(textCol))).as("term"),
+        col(idCol).cast("long").as("doc"))
+      .where(col("term") =!= "").distinct()
+    val lists = pairs.groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        array_sort(collect_list("doc")).as("__ids"))
+      .where(col("df") >= minDf && col("df") <= maxDf)
+    val shifted = concat(array(lit(0L)),
+      slice(col("__ids"), lit(1), size(col("__ids")) - 1))
+    lists.select(col("term"), col("df"),
+      concat_ws(",",
+        zip_with(col("__ids"), shifted, (a, b) => (a - b).cast("string")))
+        .as("postings"))
+  }
+
   /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every raw
     * document by how target-like its hashed n-gram feature distribution

@@ -2082,6 +2082,85 @@ object Queries {
       |  CAST(COUNT(*) AS BIGINT) AS numRecords
       |FROM documents GROUP BY lang""".stripMargin
 
+  /** RESTORE, driver-verified END-TO-END: write documents, mangle the
+    * table twice (a DV delete and an UPDATE through GRAFT SQL), then
+    * `GRAFT RESTORE TO VERSION 0` and read — the result must equal the
+    * ORIGINAL write, i.e. the restore diff must re-add every file whose
+    * content OR deletion-vector state changed since v0 and remove
+    * everything newer. The oracle is simply the source table. */
+  private def qRestoreReadSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_restore_")
+        .resolve("t").toString
+      val log = graft.delta.DeltaLog.forPath(s, tmp)
+      graft.delta.TransactionWriter.overwrite(log,
+        s.table("documents").select(col("doc_id"), col("lang"),
+          col("n_chars")))
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT DELETE FROM '$tmp' USING DV WHERE doc_id % 5 = 0").collect()
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT UPDATE '$tmp' SET n_chars = n_chars + 1 WHERE doc_id % 3 = 0")
+        .collect()
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT RESTORE '$tmp' TO VERSION 0").collect()
+      graft.delta.DeltaLog.forPath(s, tmp).snapshot.read()
+    }
+
+  private val qRestoreReadDuck: String =
+    "SELECT doc_id, lang, n_chars FROM documents"
+
+  /** VACUUM, driver-verified END-TO-END: a targeted-rewrite delete
+    * leaves the superseded files ON DISK (removed only from the log);
+    * `GRAFT VACUUM RETAIN 0 HOURS` must reclaim exactly those — and
+    * must NOT touch live files, which the post-vacuum read proves by
+    * matching the expected surviving rows. */
+  private def qVacuumReadSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_vacuum_")
+        .resolve("t").toString
+      val log = graft.delta.DeltaLog.forPath(s, tmp)
+      graft.delta.TransactionWriter.overwrite(log,
+        s.table("documents").select(col("doc_id"), col("source"),
+          col("n_chars")))
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT DELETE FROM '$tmp' WHERE doc_id % 4 = 1").collect()
+      val reclaimed = graft.plans.GraftSqlParser.run(s,
+        s"GRAFT VACUUM '$tmp' RETAIN 0 HOURS").collect().head.getLong(0)
+      require(reclaimed > 0, s"vacuum reclaimed nothing at $tmp")
+      graft.delta.DeltaLog.forPath(s, tmp).snapshot.read()
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_rows"), sum("n_chars").as("sum_chars"))
+    }
+
+  private val qVacuumReadDuck: String =
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE doc_id % 4 <> 1 GROUP BY source""".stripMargin
+
+  /** Inverted-index export: per-term document frequency + delta-gap
+    * encoded posting list (see Curation.invertedIndex). Both engines
+    * render the gaps as the same comma-joined decimal string. */
+  private def qPostingsSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      graft.operators.Curation.invertedIndex(
+        s.table("documents"), "doc_id", "text", minDf = 2L)
+    }
+
+  private val qPostingsDuck: String =
+    """WITH p AS (SELECT DISTINCT tok AS term, doc_id AS doc FROM
+      |    (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |     FROM documents) t WHERE tok <> ''),
+      |l AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+      |    list(doc ORDER BY doc) AS ids FROM p GROUP BY term),
+      |g AS (SELECT term, df,
+      |    list_transform(range(1, len(ids) + 1),
+      |      i -> CASE WHEN i = 1 THEN ids[1] ELSE ids[i] - ids[i-1] END) AS gaps
+      |  FROM l WHERE df >= 2)
+      |SELECT term, df, array_to_string(gaps, ',') AS postings FROM g""".stripMargin
+
   /** Bucket-co-located join, driver-verified END-TO-END: write the two
     * join sides to scratch BUCKETED tables (8 buckets on the join key,
     * sorted within buckets), then sort-merge-join them. Identical
@@ -2944,6 +3023,9 @@ object Queries {
     "q_rename_read" -> qRenameReadSpark,
     "q_widen_read" -> qWidenReadSpark,
     "q_show_partitions" -> qShowPartitionsSpark,
+    "q_restore_read" -> qRestoreReadSpark,
+    "q_vacuum_read" -> qVacuumReadSpark,
+    "q_postings" -> qPostingsSpark,
     "q_fast_count" -> qFastCountSpark,
     "q_update_dv" -> qUpdateDvSpark,
     "q_change_feed" -> qChangeFeedSpark,
@@ -3607,6 +3689,9 @@ object Queries {
     "q_rename_read" -> qRenameReadDuck,
     "q_widen_read" -> qWidenReadDuck,
     "q_show_partitions" -> qShowPartitionsDuck,
+    "q_restore_read" -> qRestoreReadDuck,
+    "q_vacuum_read" -> qVacuumReadDuck,
+    "q_postings" -> qPostingsDuck,
     "q_fast_count" -> qFastCountDuck,
     "q_update_dv" -> qUpdateDvDuck,
     "q_change_feed" -> qChangeFeedDuck,

@@ -24,6 +24,7 @@ class DocsEmbeddingsQueriesSpec extends SparkTestBase {
     "q_substring_dedup",    // sliding-window repeated spans
     "q_token_bpe",          // BPE apply over text
     "q_tfidf",              // tf-idf over doc_id, text
+    "q_postings",           // inverted-index gap-encoded posting lists
     "q_corpus_profile",     // GROUPING SETS over lang, source, n_chars
     "q_pack_sequences",     // packing lattice over doc_id, lang
     "q_split_assign",       // hash-threshold sampling over doc_id

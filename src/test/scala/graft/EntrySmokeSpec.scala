@@ -10,4 +10,11 @@ class EntrySmokeSpec extends SparkTestBase {
     val n = SparkEntry.entry(vanilla).count()
     assert(n > 0, "entry must return rows for the driver smoke check")
   }
+
+  test("queries and oracleSql cover exactly the same names") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries missing an oracle: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles missing a query: ${(o -- q).toSeq.sorted}")
+  }
 }
