@@ -113,13 +113,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case Vacuum(path, hours, invPath) =>
       val retention = Option(hours).map(_.toLong * 3600 * 1000L)
         .getOrElse(Maintenance.DefaultVacuumRetentionMs)
+      // An EXPLICIT `RETAIN 0 HOURS` is the user's confirmation — the
+      // programmatic API still demands allowZeroRetention, but typing
+      // the zero into SQL is the same deliberate act.
+      val zeroOk = hours != null && hours.toLong == 0L
       GraftMaintenanceCommand(path, "vacuum",
         Seq("deleted_files"), s => {
           // USING INVENTORY '<parquet path>': candidate files from a
           // pre-built inventory relation instead of a recursive listing
           val inv = Option(invPath).map(p => s.read.parquet(p))
           val n = Maintenance.vacuum(DeltaLog.forPath(s, path), retention,
-            inventory = inv).size
+            allowZeroRetention = zeroOk, inventory = inv).size
           Seq(Row(n.toLong))
         })
     case Optimize(path, zcols, whereSql) =>

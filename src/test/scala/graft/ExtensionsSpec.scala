@@ -121,6 +121,11 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(spark.read.format("graftdelta").load(path).count() == 3)
     // vacuum with explicit retention parses and runs (nothing young deleted)
     assert(spark.sql(s"GRAFT VACUUM '$path' RETAIN 168 HOURS").collect()(0).getLong(0) == 0L)
+    // an EXPLICIT `RETAIN 0 HOURS` is the zero-retention confirmation
+    // (the programmatic API still requires allowZeroRetention = true):
+    // the OPTIMIZE above superseded files that are now reclaimable
+    assert(spark.sql(s"GRAFT VACUUM '$path' RETAIN 0 HOURS").collect()(0).getLong(0) > 0L)
+    assert(spark.read.format("graftdelta").load(path).count() == 3)
     // inventory-sourced vacuum: candidates come from a parquet relation
     val invPath = java.nio.file.Files.createTempDirectory("graft-inv")
       .resolve("inv.parquet").toString
