@@ -2139,6 +2139,68 @@ object Queries {
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents WHERE doc_id % 4 <> 1 GROUP BY source""".stripMargin
 
+  /** Persistent catalog round-trip, driver-verified END-TO-END: write
+    * a scratch Delta table, GRAFT REGISTER it under a (per-process)
+    * name, read it back BY NAME through the session catalog (the
+    * graftdelta DataSourceV2 path), aggregate, and unregister. A bug
+    * anywhere in register → catalog entry → name-addressed read fails
+    * the hash. */
+  private def qCatalogReadSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cat_")
+        .resolve("t").toString
+      val log = graft.delta.DeltaLog.forPath(s, tmp)
+      graft.delta.TransactionWriter.overwrite(log,
+        s.table("documents").select(col("doc_id"), col("lang"),
+          col("n_chars")))
+      val name = s"graft_cat_q_${ProcessHandle.current().pid()}"
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT REGISTER TABLE $name LOCATION '$tmp'").collect()
+      val out = s.table(name)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        // materialize BEFORE unregistering (the plan resolves lazily)
+        .localCheckpoint(true)
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT UNREGISTER TABLE $name").collect()
+      out
+    }
+
+  private val qCatalogReadDuck: String =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY lang""".stripMargin
+
+  /** OPTIMIZE compaction, driver-verified END-TO-END: write documents
+    * as 32 deliberately small files, compact, and emit the log-plane
+    * file count alongside the content aggregate — proving both that
+    * the bin-packing produced the single expected file AND that no row
+    * was lost or duplicated by the rewrite. */
+  private def qOptimizeReadSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_opt_")
+        .resolve("t").toString
+      val log = graft.delta.DeltaLog.forPath(s, tmp)
+      graft.delta.TransactionWriter.overwrite(log,
+        s.table("documents").select(col("doc_id"), col("n_chars"))
+          .repartition(32))
+      graft.plans.GraftSqlParser.run(s, s"GRAFT OPTIMIZE '$tmp'").collect()
+      val snap = graft.delta.DeltaLog.forPath(s, tmp).snapshot
+      val nFiles = snap.addsFlat.count()
+      snap.read().agg(
+        lit(nFiles).as("num_files"),
+        count(lit(1)).as("n_rows"),
+        sum("n_chars").as("sum_chars"))
+    }
+
+  private val qOptimizeReadDuck: String =
+    """SELECT CAST(1 AS BIGINT) AS num_files,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents""".stripMargin
+
   /** Inverted-index export: per-term document frequency + delta-gap
     * encoded posting list (see Curation.invertedIndex). Both engines
     * render the gaps as the same comma-joined decimal string. */
@@ -3026,6 +3088,8 @@ object Queries {
     "q_restore_read" -> qRestoreReadSpark,
     "q_vacuum_read" -> qVacuumReadSpark,
     "q_postings" -> qPostingsSpark,
+    "q_catalog_read" -> qCatalogReadSpark,
+    "q_optimize_read" -> qOptimizeReadSpark,
     "q_fast_count" -> qFastCountSpark,
     "q_update_dv" -> qUpdateDvSpark,
     "q_change_feed" -> qChangeFeedSpark,
@@ -3692,6 +3756,8 @@ object Queries {
     "q_restore_read" -> qRestoreReadDuck,
     "q_vacuum_read" -> qVacuumReadDuck,
     "q_postings" -> qPostingsDuck,
+    "q_catalog_read" -> qCatalogReadDuck,
+    "q_optimize_read" -> qOptimizeReadDuck,
     "q_fast_count" -> qFastCountDuck,
     "q_update_dv" -> qUpdateDvDuck,
     "q_change_feed" -> qChangeFeedDuck,
