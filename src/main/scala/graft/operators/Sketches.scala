@@ -164,7 +164,12 @@ object Sketches {
   def hllSummarizeBy(registers: DataFrame, b: Int = 10): DataFrame = {
     require(b >= 4 && b <= 12, s"b must be in [4,12], got $b")
     val m = 1 << b
+    // Materialize the merged registers ONCE (groups·m rows — sketch-
+    // sized): both the group list and the lattice join read it below,
+    // and without this the register build (one full corpus pass)
+    // re-executes for each — measured 2 corpus scans instead of 1.
     val merged = registers.groupBy("grp", "bucket").agg(max("reg").as("reg"))
+      .localCheckpoint(true)
     val groups = merged.select("grp").distinct()
     // dense lattice per group: groups × m rows, both sides bounded
     val lattice = groups

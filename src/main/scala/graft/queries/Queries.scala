@@ -3241,8 +3241,13 @@ object Queries {
     }),
     "q_hll_by_source" -> ((s, dir) => {
       registerViews(s, dir)
-      val grams = s.table("documents").select(col("source"), explode(
-        graft.functions.TextFunctions.wordNgrams(col("text"), 3)).as("tk"))
+      // single-split testdata: spread the gram+md5 map over every core
+      // (the CMS/minhash REPARTITION precedent; real parquet splits
+      // provide this for free at scale)
+      val grams = s.table("documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("source"), explode(
+          graft.functions.TextFunctions.wordNgrams(col("text"), 3)).as("tk"))
       graft.operators.Sketches.hllSummarizeBy(
         graft.operators.Sketches.hllRegistersBy(
           grams, col("source"), col("tk"), b = 10), b = 10)
