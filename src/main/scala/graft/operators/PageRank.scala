@@ -42,8 +42,13 @@ object PageRank {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       s"damping $dampNum/$dampDen must lie in [0, 1]")
+    // materialize the edge relation ONCE: degree, the degree-annotated
+    // join side and the node set all derive from it, and without this
+    // the caller's (possibly expensive) edge derivation re-executes for
+    // each — the same move ConnectedComponents makes
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
+        col(dstCol).cast("long").as("dst"))
+      .localCheckpoint(true)
     val deg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
     // degree-annotated edges: computed once, reused every round
     val ed = e.join(deg, "src").persist()

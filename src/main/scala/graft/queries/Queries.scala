@@ -1466,7 +1466,12 @@ object Queries {
         .select((col("o_custkey") * 2).as("a"),
           (col("l_suppkey") * 2 + 1).as("b"))
         .distinct()
-      val edges = ed0.union(ed0.select(col("b").as("a"), col("a").as("b")))
+      // symmetrize in ONE pass (explode of both directions) instead of
+      // a self-union that would re-derive the join twice
+      val edges = ed0.select(explode(array(
+          struct(col("a").as("src"), col("b").as("dst")),
+          struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+        .select(col("e.src").as("a"), col("e.dst").as("b"))
       graft.operators.PageRank.pageRank(edges, "a", "b", iterations = 3)
     }
 
@@ -3268,8 +3273,12 @@ object Queries {
     // sums order-free, so the top-100 is engine-exact.
     "q_dsir_select" -> ((s, dir) => {
       registerViews(s, dir)
+      // single-split testdata: spread the two gram+hash corpus passes
+      // over every core (ReuseExchange shares the one shuffle between
+      // them; real parquet splits provide this for free at scale)
       graft.operators.Curation.dsirSelect(
-        s.table("documents"), "doc_id", "text",
+        s.table("documents").repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text",
         isTarget = col("doc_id") % 10 === 0,
         buckets = 4096, topK = 100)
     }),
