@@ -2144,6 +2144,38 @@ object Queries {
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents WHERE doc_id % 4 <> 1 GROUP BY source""".stripMargin
 
+  /** Ordered funnel (view → click → purchase) with earliest-completion
+    * semantics: stage k counts users with a stage-k event STRICTLY
+    * after their earliest stage-(k−1) completion. Epoch-µs int64
+    * comparisons throughout. */
+  private def qFunnelSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      val ev = s.table("events").selectExpr("user_id",
+        s"${eventEpochUsSql(s, dir)} AS ets", "event_type")
+      graft.operators.Funnel.funnelCounts(
+        ev, "user_id", "ets", "event_type",
+        Seq("view", "click", "purchase"))
+    }
+
+  private val qFunnelDuck: String =
+    """WITH s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+      |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t
+      |  GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+      |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t
+      |  GROUP BY e.user_id)
+      |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS step,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+      |UNION ALL SELECT CAST(2 AS BIGINT), 'click',
+      |  CAST(COUNT(*) AS BIGINT) FROM s2
+      |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase',
+      |  CAST(COUNT(*) AS BIGINT) FROM s3""".stripMargin
+
   /** Persistent catalog round-trip, driver-verified END-TO-END: write
     * a scratch Delta table, GRAFT REGISTER it under a (per-process)
     * name, read it back BY NAME through the session catalog (the
@@ -3095,6 +3127,7 @@ object Queries {
     "q_postings" -> qPostingsSpark,
     "q_catalog_read" -> qCatalogReadSpark,
     "q_optimize_read" -> qOptimizeReadSpark,
+    "q_funnel" -> qFunnelSpark,
     "q_fast_count" -> qFastCountSpark,
     "q_update_dv" -> qUpdateDvSpark,
     "q_change_feed" -> qChangeFeedSpark,
@@ -3772,6 +3805,7 @@ object Queries {
     "q_postings" -> qPostingsDuck,
     "q_catalog_read" -> qCatalogReadDuck,
     "q_optimize_read" -> qOptimizeReadDuck,
+    "q_funnel" -> qFunnelDuck,
     "q_fast_count" -> qFastCountDuck,
     "q_update_dv" -> qUpdateDvDuck,
     "q_change_feed" -> qChangeFeedDuck,

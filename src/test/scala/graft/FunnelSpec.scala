@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.Funnel
+
+class FunnelSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def counts(rows: Seq[(Long, Long, String)],
+      stages: Seq[String]): Map[Long, Long] =
+    Funnel.funnelCounts(rows.toDF("user_id", "ets", "event_type"),
+        "user_id", "ets", "event_type", stages)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+
+  test("strictly-after semantics: a tie does NOT advance the funnel") {
+    // user 1: click AT the same instant as the first view -> no stage 2;
+    // user 2: click strictly after -> stage 2
+    val rows = Seq(
+      (1L, 100L, "view"), (1L, 100L, "click"),
+      (2L, 100L, "view"), (2L, 101L, "click"))
+    assert(counts(rows, Seq("view", "click")) == Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("earliest-completion semantics: later stage-1 events don't reopen") {
+    // the click precedes the FIRST view but follows a later view;
+    // earliest-completion pins t1 = 100, so click@150 counts
+    val rows = Seq(
+      (1L, 100L, "view"), (1L, 200L, "view"), (1L, 150L, "click"))
+    assert(counts(rows, Seq("view", "click")) == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("three stages drop out monotonically") {
+    val rows = Seq(
+      // completes all three
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"),
+      // purchase BEFORE click: stops at stage 2
+      (2L, 1L, "view"), (2L, 5L, "click"), (2L, 4L, "purchase"),
+      // view only
+      (3L, 1L, "view"),
+      // never viewed: not in the funnel at all
+      (4L, 1L, "click"), (4L, 2L, "purchase"))
+    assert(counts(rows, Seq("view", "click", "purchase")) ==
+      Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
+  }
+}
