@@ -44,4 +44,35 @@ object Funnel {
         count(lit(1)).as("n_users"))
     }.reduce(_ unionByName _)
   }
+
+  /** Retention cohorts: users cohorted by the day of their first
+    * `cohortType` event; for each (cohort day, offset k ≤ maxOffset)
+    * the count of cohort users with ANY event k days later. Day =
+    * epoch-µs integer division (exact, engine-portable). The
+    * (user, day) activity relation is DISTINCT first, so the final
+    * count needs no countDistinct — each user contributes at most one
+    * row per (cohort, k). Two user-keyed aggregations + one user-keyed
+    * join: a table bucketed by user pays one shuffle total.
+    * Returns (cohort_day, k, n_users). */
+  def retentionCohorts(
+      events: DataFrame, userCol: String, tsUsCol: String, typeCol: String,
+      cohortType: String, maxOffset: Int = 7,
+      dayUs: Long = 86400000000L): DataFrame = {
+    require(maxOffset >= 0, s"maxOffset must be >= 0, got $maxOffset")
+    // int64 DIV, not a double division: epoch-µs values near 2^53
+    // would lose bits through a DOUBLE intermediate
+    val cohorts = events.where(col(typeCol) === cohortType)
+      .groupBy(col(userCol).as("__u"))
+      .agg(min(col(tsUsCol)).as("__mt"))
+      .select(col("__u"), expr(s"__mt DIV ${dayUs}L").as("cohort_day"))
+    val activity = events
+      .select(col(userCol).as("__u"),
+        expr(s"$tsUsCol DIV ${dayUs}L").as("__d"))
+      .distinct()
+    activity.join(cohorts, "__u")
+      .select(col("cohort_day"), (col("__d") - col("cohort_day")).as("k"))
+      .where(col("k") >= 0 && col("k") <= maxOffset)
+      .groupBy("cohort_day", "k")
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -2176,6 +2176,31 @@ object Queries {
       |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase',
       |  CAST(COUNT(*) AS BIGINT) FROM s3""".stripMargin
 
+  /** Day-grain retention cohorts: users cohorted by first-signup day,
+    * counted per (cohort day, day offset ≤ 7) when active with ANY
+    * event — integer epoch-µs DIV day, engine-exact. */
+  private def qRetentionSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      val ev = s.table("events").selectExpr("user_id",
+        s"${eventEpochUsSql(s, dir)} AS ets", "event_type")
+      graft.operators.Funnel.retentionCohorts(
+        ev, "user_id", "ets", "event_type", cohortType = "signup",
+        maxOffset = 7)
+    }
+
+  private val qRetentionDuck: String =
+    """WITH c AS (SELECT user_id, MIN(epoch_us(ts)) // 86400000000 AS cohort_day
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+      |  FROM events),
+      |j AS (SELECT c.cohort_day, a.d - c.cohort_day AS k
+      |  FROM a JOIN c ON a.user_id = c.user_id
+      |  WHERE a.d - c.cohort_day BETWEEN 0 AND 7)
+      |SELECT CAST(cohort_day AS BIGINT) AS cohort_day, CAST(k AS BIGINT) AS k,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM j GROUP BY cohort_day, k""".stripMargin
+
   /** Persistent catalog round-trip, driver-verified END-TO-END: write
     * a scratch Delta table, GRAFT REGISTER it under a (per-process)
     * name, read it back BY NAME through the session catalog (the
@@ -3128,6 +3153,7 @@ object Queries {
     "q_catalog_read" -> qCatalogReadSpark,
     "q_optimize_read" -> qOptimizeReadSpark,
     "q_funnel" -> qFunnelSpark,
+    "q_retention" -> qRetentionSpark,
     "q_fast_count" -> qFastCountSpark,
     "q_update_dv" -> qUpdateDvSpark,
     "q_change_feed" -> qChangeFeedSpark,
@@ -3806,6 +3832,7 @@ object Queries {
     "q_catalog_read" -> qCatalogReadDuck,
     "q_optimize_read" -> qOptimizeReadDuck,
     "q_funnel" -> qFunnelDuck,
+    "q_retention" -> qRetentionDuck,
     "q_fast_count" -> qFastCountDuck,
     "q_update_dv" -> qUpdateDvDuck,
     "q_change_feed" -> qChangeFeedDuck,

@@ -12,7 +12,8 @@ class EventsQueriesSpec extends SparkTestBase {
   private val sf = "/root/testdata/sf0.001"
 
   for (q <- Seq("q_asof_join", "q_range_join", "q_sessionize",
-      "q_updated_partitions", "q_json_extract", "q_funnel"))
+      "q_updated_partitions", "q_json_extract", "q_funnel",
+      "q_retention"))
     test(s"$q analyzes and returns rows against the current events schema") {
       val df = graft.queries.Queries.queries(q)(spark, sf)
       assert(df.limit(1).collect().nonEmpty, s"$q returned no rows at sf0.001")

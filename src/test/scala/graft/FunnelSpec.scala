@@ -28,6 +28,23 @@ class FunnelSpec extends SparkTestBase {
     assert(counts(rows, Seq("view", "click")) == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("retention cohorts count each user once per (cohort, offset)") {
+    val day = 86400000000L
+    val rows = Seq(
+      // user 1 signs up day 0; active day 0 (twice), day 2
+      (1L, 10L, "signup"), (1L, 20L, "view"), (1L, 2 * day + 5L, "click"),
+      // user 2 signs up day 1; active day 1 only (the signup itself)
+      (2L, day + 7L, "signup"),
+      // user 3 never signs up: in no cohort
+      (3L, 42L, "view"))
+    val out = graft.operators.Funnel.retentionCohorts(
+        rows.toDF("user_id", "ets", "event_type"),
+        "user_id", "ets", "event_type", "signup", maxOffset = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((0L, 0L) -> 1L, (0L, 2L) -> 1L, (1L, 0L) -> 1L),
+      s"got $out")
+  }
+
   test("three stages drop out monotonically") {
     val rows = Seq(
       // completes all three
