@@ -945,7 +945,12 @@ object Maintenance {
     }
     val rootDepth = fs.makeQualified(log.rootPath).toUri.getPath
       .split('/').count(_.nonEmpty)
-    val cutoff = System.currentTimeMillis() - retentionMs
+    // Zero retention (explicitly confirmed) must reclaim a tombstone
+    // committed in the SAME millisecond as this vacuum — the strict
+    // `< cutoff` below would flake on a fast delete→vacuum sequence.
+    // Nonzero retentions keep the strict boundary.
+    val cutoff = System.currentTimeMillis() - retentionMs +
+      (if (retentionMs == 0) 1 else 0)
 
     // (qualified path, mtime) of every data-file candidate under `dir`,
     // skipping dot/underscore-prefixed components BELOW the table root

@@ -673,10 +673,17 @@ object Curation {
         explode(TextFunctions.tokens(col(textCol))).as("term"),
         col(idCol).cast("long").as("doc"))
       .where(col("term") =!= "").distinct()
-    val lists = pairs.groupBy("term")
-      .agg(count(lit(1)).as("df"),
-        array_sort(collect_list("doc")).as("__ids"))
+    // The df band is enforced BEFORE collect_list: a stopword term in
+    // 10^8 documents must never materialize a 10^8-element list in one
+    // aggregation buffer just to be dropped afterwards. The count pass
+    // is map-side combined and its output is vocabulary-sized; the
+    // band join is a semi-join against that bounded relation.
+    val band = pairs.groupBy("term").agg(count(lit(1)).as("df"))
       .where(col("df") >= minDf && col("df") <= maxDf)
+    val lists = pairs.join(band, "term")
+      .groupBy("term")
+      .agg(first(col("df")).as("df"),
+        array_sort(collect_list("doc")).as("__ids"))
     val shifted = concat(array(lit(0L)),
       slice(col("__ids"), lit(1), size(col("__ids")) - 1))
     lists.select(col("term"), col("df"),

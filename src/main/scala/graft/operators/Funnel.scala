@@ -28,15 +28,20 @@ object Funnel {
     require(stages.nonEmpty, "funnel needs at least one stage")
     require(stages.distinct.size == stages.size,
       s"stages must be distinct, got $stages")
-    val first = events.where(col(typeCol) === stages.head)
-      .groupBy(col(userCol).as("__u"))
-      .agg(min(col(tsUsCol)).as("__t"))
+    // project to exactly the needed columns first: an input that
+    // happens to carry a column named __u/__t would otherwise make the
+    // post-join references ambiguous
+    val ev = events.select(col(userCol).as("__eu"),
+      col(tsUsCol).as("__ets"), col(typeCol).as("__etype"))
+    val first = ev.where(col("__etype") === stages.head)
+      .groupBy(col("__eu").as("__u"))
+      .agg(min(col("__ets")).as("__t"))
     val perStage = stages.tail.scanLeft(first) { (prev, stage) =>
-      events.where(col(typeCol) === stage)
-        .join(prev, col(userCol) === col("__u"))
-        .where(col(tsUsCol) > col("__t"))
+      ev.where(col("__etype") === stage)
+        .join(prev, col("__eu") === col("__u"))
+        .where(col("__ets") > col("__t"))
         .groupBy(col("__u"))
-        .agg(min(col(tsUsCol)).as("__t"))
+        .agg(min(col("__ets")).as("__t"))
         .select(col("__u"), col("__t"))
     }
     perStage.zip(stages).zipWithIndex.map { case ((df, step), i) =>

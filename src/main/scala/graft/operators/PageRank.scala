@@ -75,6 +75,7 @@ object PageRank {
     }
     ed.unpersist()
     nodes.unpersist()
+    e.unpersist()
     scores
   }
 }

@@ -139,6 +139,7 @@ object Pq {
       queries: DataFrame, idCol: String, vecCol: String,
       coarse: Seq[(Int, Long, Array[Double])], nprobe: Int): DataFrame = {
     require(nprobe > 0, s"nprobe must be > 0, got $nprobe")
+    require(coarse.nonEmpty, "coarse codebook must not be empty")
     require(coarse.forall(_._1 == 0), "coarse codebook must be m=1")
     import org.apache.spark.sql.expressions.Window
     queries

@@ -164,28 +164,26 @@ object Sketches {
   def hllSummarizeBy(registers: DataFrame, b: Int = 10): DataFrame = {
     require(b >= 4 && b <= 12, s"b must be in [4,12], got $b")
     val m = 1 << b
-    // Materialize the merged registers ONCE (groups·m rows — sketch-
-    // sized): both the group list and the lattice join read it below,
-    // and without this the register build (one full corpus pass)
+    // Cache the merged registers ONCE (groups·m rows — sketch-sized):
+    // both the group list and the lattice join read it below, and
+    // without this the register build (one full corpus pass)
     // re-executes for each — measured 2 corpus scans instead of 1.
-    val merged = registers.groupBy("grp", "bucket").agg(max("reg").as("reg"))
-      .localCheckpoint(true)
+    // Self-unpersisting so the blocks are released after the caller's
+    // consuming action instead of leaking until GC.
+    val merged = CacheHygiene.selfUnpersisting(
+      registers.groupBy("grp", "bucket").agg(max("reg").as("reg")))
     val groups = merged.select("grp").distinct()
     // dense lattice per group: groups × m rows, both sides bounded
     val lattice = groups
       .crossJoin(merged.sparkSession.range(0, m).select(col("id").as("bucket")))
       .join(merged, Seq("grp", "bucket"), "left")
       .select(col("grp"), coalesce(col("reg"), lit(0)).as("reg"))
-    val term = expr(
-      "CASE WHEN reg <= 50 THEN shiftleft(CAST(1 AS BIGINT), 50 - reg) " +
-        "ELSE CAST(0 AS BIGINT) END")
     lattice.groupBy("grp").agg(
         sum(when(col("reg") === 0, 1L).otherwise(0L)).as("zero_buckets"),
-        sum(term).as("harmonic_s"))
+        sum(hllTerm).as("harmonic_s"))
       .select(col("grp"), lit(m.toLong).as("m"), col("zero_buckets"),
         col("harmonic_s"))
-      .withColumn("est_distinct",
-        floor(lit(hllAlphaNum(b)) / col("harmonic_s").cast("double")).cast("long"))
+      .withColumn("est_distinct", hllEstCol(b))
   }
 
   /** Collapse a register relation from [[hllRegisters]] (possibly
@@ -202,19 +200,26 @@ object Sketches {
       .range(0, m).select(col("id").as("bucket"))
       .join(merged, Seq("bucket"), "left")
       .select(coalesce(col("reg"), lit(0)).as("reg"))
-    val term = expr(
-      "CASE WHEN reg <= 50 THEN shiftleft(CAST(1 AS BIGINT), 50 - reg) " +
-        "ELSE CAST(0 AS BIGINT) END")
-    // α_m · m² · 2^50 precomputed to one double constant; the oracle
-    // embeds the same shortest-repr literal, so the single division
-    // below is the whole cross-engine floating-point surface.
     lattice.agg(
         sum(when(col("reg") === 0, 1L).otherwise(0L)).as("zero_buckets"),
-        sum(term).as("harmonic_s"))
+        sum(hllTerm).as("harmonic_s"))
       .select(lit(m.toLong).as("m"), col("zero_buckets"), col("harmonic_s"))
-      .withColumn("est_distinct",
-        floor(lit(hllAlphaNum(b)) / col("harmonic_s").cast("double")).cast("long"))
+      .withColumn("est_distinct", hllEstCol(b))
   }
+
+  /** The dyadic-integer harmonic term for one register row — ONE
+    * definition shared by the global and per-group collapses (a future
+    * change to the b ≤ 12 overflow reasoning must apply to both). */
+  private def hllTerm: Column = expr(
+    "CASE WHEN reg <= 50 THEN shiftleft(CAST(1 AS BIGINT), 50 - reg) " +
+      "ELSE CAST(0 AS BIGINT) END")
+
+  /** floor(α·m²·2^50 / harmonic_s): α·m²·2^50 is precomputed to one
+    * double constant (the oracle embeds the same shortest-repr
+    * literal), so this division is the whole cross-engine
+    * floating-point surface — shared by both collapses. */
+  private def hllEstCol(b: Int): Column =
+    floor(lit(hllAlphaNum(b)) / col("harmonic_s").cast("double")).cast("long")
 
   /** The α·m²·2^50 numerator for `hllSummary(b)`, exposed so oracles
     * can embed the identical double constant. */

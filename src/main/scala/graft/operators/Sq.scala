@@ -38,7 +38,6 @@ object Sq {
     val rows = df
       .select(posexplode(Pq.asDouble(col(vecCol))).as(Seq("pos", "x")))
       .groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
-      .orderBy("pos")
       .collect()
     val dims = rows.length
     val mns = new Array[Double](dims)
@@ -88,6 +87,7 @@ object Sq {
       mns: Array[Double], mxs: Array[Double],
       kNeighbors: Int, nprobe: Int, levels: Int = 256): DataFrame = {
     require(kNeighbors > 0, s"kNeighbors must be > 0, got $kNeighbors")
+    require(coarse.nonEmpty, "coarse codebook must not be empty")
     require(coarse.forall(_._1 == 0), "coarse codebook must be m=1")
     import org.apache.spark.sql.expressions.Window
     val dims = coarse.head._3.length
