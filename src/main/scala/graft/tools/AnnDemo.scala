@@ -1,0 +1,96 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Self-checking drive of the whole ANN family on the real embeddings
+  * table: `runMain graft.tools.AnnDemo [sfDir]`.
+  *
+  * Computes the EXACT squared-L2 top-3 for a sampled query set on the
+  * driver (corpus is testdata-sized), then runs the three quantized
+  * pipelines that share that metric — PQ full-ADC, IVF-PQ, IVF-SQ —
+  * and reports recall@3 of each. Asserts structural invariants (k
+  * rows per query, self excluded, integer SQ distances) and a recall
+  * floor, so a silent ranking regression fails the run instead of
+  * printing plausible nonsense. */
+object AnnDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .appName("graft-ann-demo")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.locality.wait", "0")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val queries = emb.where(col("vec_id") % 25 === 0)
+      val nQ = queries.count()
+      println(s"== corpus ${emb.count()} vectors, $nQ queries ==")
+
+      // exact squared-L2 top-3 on the driver (testdata-sized corpus)
+      val all = emb.select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      val qs = all.filter(_._1 % 25 == 0)
+      def l2sq(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+        s
+      }
+      val exact: Map[Long, Set[Long]] = qs.map { case (qid, qv) =>
+        qid -> all.filter(_._1 != qid)
+          .map { case (id, v) => (l2sq(qv, v), id) }
+          .sortBy { case (d, id) => (d, id) }.take(3).map(_._2).toSet
+      }.toMap
+
+      def recallOf(name: String,
+          rows: Array[(Long, Long)], floor: Double): Unit = {
+        val byQ = rows.groupBy(_._1)
+        require(byQ.keySet == exact.keySet,
+          s"$name: missing queries ${exact.keySet -- byQ.keySet}")
+        require(byQ.values.forall(_.length == 3),
+          s"$name: expected 3 rows per query")
+        require(rows.forall { case (q, n) => q != n },
+          s"$name: a query returned itself")
+        val hits = byQ.map { case (q, ns) =>
+          ns.map(_._2).count(exact(q)) }.sum
+        val recall = hits.toDouble / (3 * exact.size)
+        println(f"$name%-12s recall@3 = $recall%.3f")
+        require(recall >= floor, f"$name recall $recall%.3f below floor $floor")
+      }
+
+      import graft.operators.{Pq, Sq}
+      val books = Pq.trainCodebooks(emb, "vec_id", "embedding",
+        m = 4, k = 16, iterations = 2)
+      val coarse = Pq.trainCodebooks(emb, "vec_id", "embedding",
+        m = 1, k = 8, iterations = 2)
+
+      val adc = Pq.adcTopK(Pq.encode(emb, "vec_id", "embedding", books),
+          queries, "vec_id", "embedding", books, kNeighbors = 3)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      recallOf("PQ full-ADC", adc, 0.05) // random embeddings: no cluster structure; chance is ~0.006
+
+      val ivfpq = Pq.ivfPqTopK(emb, queries, "vec_id", "embedding",
+          coarse, books, kNeighbors = 3, nprobe = 8) // all cells: ADC parity
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      recallOf("IVF-PQ", ivfpq, 0.05)
+
+      val (mns, mxs) = Sq.trainBounds(emb, "embedding")
+      val sqDf = Sq.ivfSqTopK(emb, queries, "vec_id", "embedding",
+        coarse, mns, mxs, kNeighbors = 3, nprobe = 8)
+      require(sqDf.schema("idist").dataType ==
+        org.apache.spark.sql.types.LongType, "SQ distances must be int64")
+      val sq = sqDf.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // SQ8 at full probe is near-exact: 256 steps/dim loses little
+      recallOf("IVF-SQ", sq, 0.60)
+
+      println("AnnDemo: all recall floors and invariants held")
+    } finally spark.stop()
+  }
+}

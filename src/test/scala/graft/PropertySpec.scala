@@ -301,4 +301,63 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("SQ codes are within [0,255] and order-preserving per dimension") {
+    (1 to 4).foreach { caseId =>
+      val vecs = (1 to 40).map { i =>
+        (i.toLong, (1 to 6).map(d =>
+          sample(Gen.choose(-100.0, 100.0), caseId * 1000L + i * 17L + d)))
+      }
+      val df = vecs.toDF("vec_id", "embedding")
+      val (mns, mxs) = operators.Sq.trainBounds(df, "embedding")
+      val codes = df.select(col("vec_id"),
+          operators.Sq.sqCodes(col("embedding"), mns.toSeq, mxs.toSeq).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(codes.values.flatten.forall(c => c >= 0L && c <= 255L))
+      // order preservation: x_a <= x_b in a dimension => code_a <= code_b
+      // (the affine map is monotone and both clamp the same way)
+      val byId = vecs.toMap
+      for (a <- codes.keys; bK <- codes.keys; d <- 0 until 6
+           if byId(a)(d) <= byId(bK)(d))
+        assert(codes(a)(d) <= codes(bK)(d),
+          s"case $caseId dim $d: ${byId(a)(d)} -> ${codes(a)(d)} vs " +
+            s"${byId(bK)(d)} -> ${codes(bK)(d)}")
+    }
+  }
+
+  test("PageRank conserves mass on regular graphs (no flooring loss)") {
+    // On a d-regular symmetric graph every score divides evenly at the
+    // uniform fixed point, so total mass stays exactly n·scale.
+    (1 to 3).foreach { caseId =>
+      val n = 4 + caseId * 2
+      // ring: i <-> i+1 (mod n) — 2-regular, symmetric
+      val edges = (0 until n).flatMap { i =>
+        Seq((i.toLong, ((i + 1) % n).toLong), (((i + 1) % n).toLong, i.toLong))
+      }
+      val out = operators.PageRank.pageRank(
+          edges.toDF("src", "dst"), "src", "dst", iterations = 4)
+        .collect().map(_.getLong(1))
+      assert(out.length == n)
+      assert(out.toSet == Set(1000000L),
+        s"ring should sit at the uniform fixed point, got ${out.toSeq}")
+    }
+  }
+
+  test("funnel counts are monotonically non-increasing across stages") {
+    (1 to 3).foreach { caseId =>
+      val types = Seq("a", "b", "c")
+      val rows = (1 to 300).map { i =>
+        (sample(Gen.choose(1L, 25L), caseId * 900L + i * 3L),
+          sample(Gen.choose(0L, 1000L), caseId * 901L + i * 7L),
+          types(sample(Gen.choose(0, 2), caseId * 902L + i * 11L)))
+      }
+      val out = operators.Funnel.funnelCounts(
+          rows.toDF("user_id", "ets", "event_type"),
+          "user_id", "ets", "event_type", types)
+        .orderBy("stage").collect().map(_.getLong(2)).toSeq
+      assert(out.size == 3)
+      assert(out == out.sorted.reverse,
+        s"case $caseId: stages must shrink, got $out")
+    }
+  }
 }
