@@ -2176,6 +2176,40 @@ object Queries {
       |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase',
       |  CAST(COUNT(*) AS BIGINT) FROM s3""".stripMargin
 
+  /** Triangle participation over the supplier co-occurrence graph:
+    * suppliers adjacent when they serve the same order ≥ 5 times
+    * (the threshold is the graph-sparsification knob every
+    * co-occurrence projection needs — without it the projection of a
+    * dense bipartite table is near-complete), triangles via the
+    * ordered wedge-closure joins — every count integer-exact, oracle
+    * replays the identical construction. */
+  private def qTrianglesSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      val si = s.table("lineitem").select("l_orderkey", "l_suppkey").distinct()
+      val pairs = si.as("x").join(si.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_suppkey") < col("y.l_suppkey"))
+        .groupBy(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") >= 5)
+      graft.operators.Triangles.perNode(pairs, "a", "b")
+    }
+
+  private val qTrianglesDuck: String =
+    """WITH si AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      |p AS (SELECT x.l_suppkey AS a, y.l_suppkey AS b, COUNT(*) AS n
+      |  FROM si x JOIN si y ON x.l_orderkey = y.l_orderkey
+      |    AND x.l_suppkey < y.l_suppkey
+      |  GROUP BY 1, 2),
+      |e AS (SELECT a, b FROM p WHERE n >= 5),
+      |t AS (SELECT e1.a, e1.b, e2.b AS c FROM e e1
+      |  JOIN e e2 ON e1.b = e2.a
+      |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |u AS (SELECT unnest([a, b, c]) AS node FROM t)
+      |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      |FROM u GROUP BY node""".stripMargin
+
   /** Day-grain retention cohorts: users cohorted by first-signup day,
     * counted per (cohort day, day offset ≤ 7) when active with ANY
     * event — integer epoch-µs DIV day, engine-exact. */
@@ -3154,6 +3188,7 @@ object Queries {
     "q_optimize_read" -> qOptimizeReadSpark,
     "q_funnel" -> qFunnelSpark,
     "q_retention" -> qRetentionSpark,
+    "q_triangles" -> qTrianglesSpark,
     "q_fast_count" -> qFastCountSpark,
     "q_update_dv" -> qUpdateDvSpark,
     "q_change_feed" -> qChangeFeedSpark,
@@ -3833,6 +3868,7 @@ object Queries {
     "q_optimize_read" -> qOptimizeReadDuck,
     "q_funnel" -> qFunnelDuck,
     "q_retention" -> qRetentionDuck,
+    "q_triangles" -> qTrianglesDuck,
     "q_fast_count" -> qFastCountDuck,
     "q_update_dv" -> qUpdateDvDuck,
     "q_change_feed" -> qChangeFeedDuck,
