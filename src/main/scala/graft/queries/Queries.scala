@@ -3338,6 +3338,33 @@ object Queries {
         graft.functions.TextFunctions.wordNgrams(col("text"), 3)).as("tk"))
       graft.operators.Sketches.hllSummary(grams, col("tk"), b = 10)
     }),
+    // HLL set algebra: the register relations are MERGEABLE (re-max),
+    // so the union estimate comes from the same two sketches already
+    // built per side, and the intersection is inclusion–exclusion over
+    // three floors — the sketch-overlap measurement a 100 TB corpus
+    // runs to quantify cross-slice contamination without a join.
+    "q_hll_overlap" -> ((s, dir) => {
+      registerViews(s, dir)
+      def grams(l: String) = s.table("documents")
+        .where(col("lang") === l)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(explode(
+          graft.functions.TextFunctions.wordNgrams(col("text"), 3)).as("tk"))
+      import graft.operators.{CacheHygiene, Sketches}
+      // each register relation (≤ 1024 rows) feeds its own summary AND
+      // the union re-max — cache so the corpus pass runs once per side
+      val ra = CacheHygiene.selfUnpersisting(
+        Sketches.hllRegisters(grams("en"), col("tk"), b = 10))
+      val rb = CacheHygiene.selfUnpersisting(
+        Sketches.hllRegisters(grams("es"), col("tk"), b = 10))
+      val ea = Sketches.hllSummarize(ra, b = 10).select(col("est_distinct").as("est_a"))
+      val eb = Sketches.hllSummarize(rb, b = 10).select(col("est_distinct").as("est_b"))
+      val eu = Sketches.hllSummarize(ra.unionByName(rb), b = 10)
+        .select(col("est_distinct").as("est_union"))
+      ea.crossJoin(eb).crossJoin(eu)
+        .withColumn("est_intersection",
+          col("est_a") + col("est_b") - col("est_union"))
+    }),
     "q_hll_by_source" -> ((s, dir) => {
       registerViews(s, dir)
       // single-split testdata: spread the gram+md5 map over every core
@@ -3494,6 +3521,37 @@ object Queries {
        |SELECT CAST(1024 AS BIGINT) AS m, zero_buckets, harmonic_s,
        |  CAST(FLOOR(${graft.operators.Sketches.hllAlphaNum(10)} / CAST(harmonic_s AS DOUBLE)) AS BIGINT) AS est_distinct
        |FROM s""".stripMargin
+
+  /** DuckDB replay of the HLL overlap: the identical bucket/rho
+    * construction filtered per lang, three dense-lattice collapses
+    * (side A, side B, re-maxed union), inclusion–exclusion at the
+    * end. */
+  private def qHllOverlapDuck: String = {
+    def est(reg: String, a: String): String =
+      s"""l$a AS (SELECT COALESCE($reg.reg, 0) AS reg
+         |  FROM range(0, 1024) AS g(bucket) LEFT JOIN $reg USING (bucket)),
+         |s$a AS (SELECT CAST(SUM(CASE WHEN reg <= 50 THEN (1::BIGINT << (50 - reg)) ELSE 0 END) AS BIGINT) AS harmonic
+         |  FROM l$a),
+         |e$a AS (SELECT CAST(FLOOR(${graft.operators.Sketches.hllAlphaNum(10)} / CAST(harmonic AS DOUBLE)) AS BIGINT) AS est
+         |  FROM s$a)""".stripMargin
+    s"""WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents
+       |  WHERE lang IN ('en', 'es')),
+       |tok AS (SELECT lang, unnest(${ngrams3("duck")}) AS tk FROM t),
+       |h AS (SELECT lang,
+       |    ('0x' || substr(md5('hll|' || tk), 1, 15))::BIGINT AS h FROM tok),
+       |r AS (SELECT lang, h % 1024 AS bucket,
+       |    CASE WHEN h // 1024 = 0 THEN 51
+       |      ELSE 51 - length(bin(h // 1024)) END AS rho FROM h),
+       |rega AS (SELECT bucket, MAX(rho) AS reg FROM r WHERE lang = 'en' GROUP BY bucket),
+       |regb AS (SELECT bucket, MAX(rho) AS reg FROM r WHERE lang = 'es' GROUP BY bucket),
+       |regu AS (SELECT bucket, MAX(rho) AS reg FROM r GROUP BY bucket),
+       |${est("rega", "a")},
+       |${est("regb", "b")},
+       |${est("regu", "u")}
+       |SELECT ea.est AS est_a, eb.est AS est_b, eu.est AS est_union,
+       |  ea.est + eb.est - eu.est AS est_intersection
+       |FROM ea, eb, eu""".stripMargin
+  }
 
   /** The per-group (GROUP BY source) face of [[qHllDistinctDuck]] —
     * identical bucket/rho/harmonic construction, one summary row per
@@ -3942,6 +4000,7 @@ object Queries {
     "q_stream_cms" -> qCmsHeavyHittersDuck,
     "q_hll_distinct" -> qHllDistinctDuck,
     "q_hll_by_source" -> qHllBySourceDuck,
+    "q_hll_overlap" -> qHllOverlapDuck,
     // batch == stream on sketches: the streaming registers MUST land on
     // the identical summary, so the oracle is literally the batch one
     "q_stream_hll" -> qHllDistinctDuck,

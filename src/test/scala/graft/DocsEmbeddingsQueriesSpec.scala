@@ -44,6 +44,7 @@ class DocsEmbeddingsQueriesSpec extends SparkTestBase {
     "q_cms_heavy_hitters",  // Count-Min sketch over text 3-grams
     "q_hll_distinct",       // HyperLogLog registers over text 3-grams
     "q_hll_by_source",      // per-group HLL registers over source, text
+    "q_hll_overlap",        // mergeable-register set algebra over lang, text
     "q_stream_hll",         // streaming-maintained HLL registers
     "q_stream_cms",         // streaming-maintained CMS cells
     "q_group_quantiles",    // per-source rank-selected quantiles
