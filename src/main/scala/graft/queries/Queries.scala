@@ -3345,25 +3345,29 @@ object Queries {
     // runs to quantify cross-slice contamination without a join.
     "q_hll_overlap" -> ((s, dir) => {
       registerViews(s, dir)
-      def grams(l: String) = s.table("documents")
-        .where(col("lang") === l)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(explode(
-          graft.functions.TextFunctions.wordNgrams(col("text"), 3)).as("tk"))
       import graft.operators.{CacheHygiene, Sketches}
-      // each register relation (≤ 1024 rows) feeds its own summary AND
-      // the union re-max — cache so the corpus pass runs once per side
-      val ra = CacheHygiene.selfUnpersisting(
-        Sketches.hllRegisters(grams("en"), col("tk"), b = 10))
-      val rb = CacheHygiene.selfUnpersisting(
-        Sketches.hllRegisters(grams("es"), col("tk"), b = 10))
-      val ea = Sketches.hllSummarize(ra, b = 10).select(col("est_distinct").as("est_a"))
-      val eb = Sketches.hllSummarize(rb, b = 10).select(col("est_distinct").as("est_b"))
-      val eu = Sketches.hllSummarize(ra.unionByName(rb), b = 10)
+      val grams = s.table("documents")
+        .where(col("lang").isin("en", "es"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("lang"), explode(
+          graft.functions.TextFunctions.wordNgrams(col("text"), 3)).as("tk"))
+      // ONE corpus pass builds BOTH sketches (hllRegistersBy, state
+      // 2·1024 rows); each side's summary filters the tiny register
+      // relation, and the union re-maxes it with grp dropped — cached
+      // self-unpersisting since three collapses read it
+      val regs = CacheHygiene.selfUnpersisting(
+        Sketches.hllRegistersBy(grams, col("lang"), col("tk"), b = 10))
+      def side(l: String, name: String) =
+        Sketches.hllSummarize(
+            regs.where(col("grp") === l).select("bucket", "reg"), b = 10)
+          .select(col("est_distinct").as(name))
+      val eu = Sketches.hllSummarize(regs.select("bucket", "reg"), b = 10)
         .select(col("est_distinct").as("est_union"))
-      ea.crossJoin(eb).crossJoin(eu)
+      side("en", "est_a").crossJoin(side("es", "est_b")).crossJoin(eu)
+        // inclusion–exclusion fluctuates around 0 for near-disjoint
+        // slices; clamp — a negative distinct-count is nonsense
         .withColumn("est_intersection",
-          col("est_a") + col("est_b") - col("est_union"))
+          greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")))
     }),
     "q_hll_by_source" -> ((s, dir) => {
       registerViews(s, dir)
@@ -3549,7 +3553,7 @@ object Queries {
        |${est("regb", "b")},
        |${est("regu", "u")}
        |SELECT ea.est AS est_a, eb.est AS est_b, eu.est AS est_union,
-       |  ea.est + eb.est - eu.est AS est_intersection
+       |  GREATEST(0, ea.est + eb.est - eu.est) AS est_intersection
        |FROM ea, eb, eu""".stripMargin
   }
 
