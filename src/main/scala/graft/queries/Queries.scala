@@ -1452,6 +1452,40 @@ object Queries {
        |  FROM pairs)
        |SELECT query_id, neighbor_id, idist, rnk FROM r WHERE rnk <= 3""".stripMargin
 
+  /** Per-dimension embedding moments in FIXED POINT: each float
+    * quantizes to floor(x·10⁶) once (identical IEEE multiply+floor in
+    * both engines), then count/sum/sum-of-squares are pure int64 —
+    * order-free, so the whitening/normalization statistics a feature
+    * pipeline derives from them (mean, variance) are exactly
+    * reproducible at any parallelism. One posexplode + one agg pass;
+    * sumsq bound: (10⁸)²·corpus — int64-safe to ~10⁹ rows/dim, the
+    * documented ceiling (shard-and-add beyond). */
+  private def qEmbeddingStatsSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      val q = s.table("embeddings")
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("dim").cast("long").as("dim"),
+          floor(col("x").cast("double") * lit(1000000.0)).as("xq"))
+      q.groupBy("dim").agg(
+        count(lit(1)).as("n"),
+        sum("xq").as("sum_q6"),
+        sum(col("xq") * col("xq")).as("sumsq_q6"),
+        min("xq").as("min_q6"),
+        max("xq").as("max_q6"))
+    }
+
+  private val qEmbeddingStatsDuck: String =
+    """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+      |x AS (SELECT i - 1 AS dim, CAST(FLOOR(v[i] * 1000000.0) AS BIGINT) AS xq
+      |  FROM e CROSS JOIN range(1, 65) t(i))
+      |SELECT CAST(dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(xq) AS BIGINT) AS sum_q6,
+      |  CAST(SUM(xq * xq) AS BIGINT) AS sumsq_q6,
+      |  CAST(MIN(xq) AS BIGINT) AS min_q6,
+      |  CAST(MAX(xq) AS BIGINT) AS max_q6
+      |FROM x GROUP BY dim""".stripMargin
+
   /** Fixed-point PageRank over the customer–supplier trade graph
     * (undirected: who-buys-from-whom, both directions). Node ids are
     * made disjoint by parity (customer 2k, supplier 2k+1); 3 exact
@@ -3241,6 +3275,7 @@ object Queries {
     "q_embedding_pq_knn" -> qPqKnnSpark,
     "q_embedding_ivfpq_knn" -> qIvfPqKnnSpark,
     "q_embedding_sq_knn" -> qSqKnnSpark,
+    "q_embedding_stats" -> qEmbeddingStatsSpark,
     "q_pagerank" -> qPageRankSpark,
     "q_embedding_semdedup" -> qSemDedupSpark,
     "q_decontaminate" -> ((s, dir) => {
@@ -3983,6 +4018,7 @@ object Queries {
     "q_embedding_pq_knn" -> qPqKnnDuck,
     "q_embedding_ivfpq_knn" -> qIvfPqKnnDuck,
     "q_embedding_sq_knn" -> qSqKnnDuck,
+    "q_embedding_stats" -> qEmbeddingStatsDuck,
     "q_pagerank" -> qPageRankDuck,
     "q_embedding_semdedup" -> qSemDedupDuck,
     "q_media_meta" -> qMediaMetaDuck,

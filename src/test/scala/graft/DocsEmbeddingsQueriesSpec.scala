@@ -58,6 +58,7 @@ class DocsEmbeddingsQueriesSpec extends SparkTestBase {
     "q_ann_recall",           // IVF-vs-brute recall evaluation
     "q_embedding_ivfpq_knn",  // PQ codebooks + IVF fused pass
     "q_embedding_sq_knn",     // scalar-quantized int codes + IVF cells
+    "q_embedding_stats",      // fixed-point per-dimension moments
     "q_embedding_neardup")    // label-blocked pairs over label
 
   for (q <- documentFamilies)
