@@ -489,6 +489,42 @@ object Curation {
         expr("CAST(sum(nll_e6) DIV count(1) AS BIGINT)").as("avg_nll_e6"))
   }
 
+  /** Interpolated Kneser–Ney bigram probabilities in FIXED POINT
+    * (Kneser & Ney 1995; the standard D = 0.75 absolute discount).
+    * Every term is integer arithmetic over count relations, so the
+    * smoothed LM is bit-reproducible on any engine:
+    *
+    *   p(w2|w1) ≈ (10⁶·(4·c12 − 3)) DIV (4·c1)              (discounted ML)
+    *            + (λ_q6 · pc_q6) DIV 10⁶                     (interpolation)
+    *   λ_q6  = (750000·N1+(w1·)) DIV c1                      (backoff mass)
+    *   pc_q6 = (10⁶·N1+(·w2)) DIV N1+(··)                    (continuation)
+    *
+    * (4·c12 − 3 encodes c12 − 3/4 exactly; each DIV floors — the
+    * deterministic quantization is the point, the ≤3 µunit flooring
+    * error is noise relative to the 0.75-discount approximation
+    * itself.)
+    *
+    * Scale shape: ONE corpus pass builds the bigram count relation;
+    * everything after is vocabulary²-bounded aggregation and joins on
+    * w1/w2 keys (map-side combined); the single scalar N1+(··) rides
+    * along as a broadcast. */
+  def knBigram(df: DataFrame, textCol: String): DataFrame = {
+    val grams = df.select(explode(
+        TextFunctions.wordNgrams(col(textCol), 2)).as("g"))
+      .select(split(col("g"), " ").getItem(0).as("w1"),
+        split(col("g"), " ").getItem(1).as("w2"))
+    val c12 = grams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(
+      sum("c12").as("c1"), count(lit(1)).as("n1f"))
+    val n1b = c12.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val n1tot = c12.agg(count(lit(1)).as("n1tot"))
+    c12.join(c1, "w1").join(n1b, "w2").crossJoin(broadcast(n1tot))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        (expr("(1000000L * (4L * c12 - 3L)) DIV (4L * c1)") +
+          expr("((750000L * n1f) DIV c1) * ((1000000L * n1b) DIV n1tot) DIV 1000000L"))
+          .as("p_kn_q6"))
+  }
+
   /** Training-export shuffle: assign every document a deterministic
     * pseudo-random shard and a dense position within it — the
     * corpus-wide "random" permutation a training run reads, WITHOUT a

@@ -1452,6 +1452,37 @@ object Queries {
        |  FROM pairs)
        |SELECT query_id, neighbor_id, idist, rnk FROM r WHERE rnk <= 3""".stripMargin
 
+  /** Interpolated Kneser–Ney bigram LM in fixed point (see
+    * Curation.knBigram): every discount/backoff/continuation term is
+    * integer DIV arithmetic, so the smoothed probabilities are
+    * engine-exact with NO rounding reconciliation. */
+  private def qKnBigramSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      graft.operators.Curation.knBigram(
+        s.table("documents")
+          .repartition(s.sparkContext.defaultParallelism), "text")
+        .where(col("c12") >= 5)
+    }
+
+  private val qKnBigramDuck: String =
+    """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+      |b AS (SELECT unnest(list_transform(range(1, len(toks)),
+      |    i -> [toks[i], toks[i + 1]])) AS pr
+      |  FROM t WHERE len(toks) >= 2),
+      |p AS (SELECT pr[1] AS w1, pr[2] AS w2 FROM b),
+      |c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM p GROUP BY 1, 2),
+      |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+      |    CAST(COUNT(*) AS BIGINT) AS n1f FROM c12 GROUP BY 1),
+      |n1b AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM c12 GROUP BY 1),
+      |n1tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1tot FROM c12)
+      |SELECT c12.w1, c12.w2, c12.c12, c1.c1,
+      |  CAST((1000000 * (4 * c12.c12 - 3)) // (4 * c1.c1)
+      |    + ((750000 * c1.n1f) // c1.c1) * ((1000000 * n1b.n1b) // n1tot.n1tot) // 1000000
+      |    AS BIGINT) AS p_kn_q6
+      |FROM c12 JOIN c1 USING (w1) JOIN n1b USING (w2) CROSS JOIN n1tot
+      |WHERE c12.c12 >= 5""".stripMargin
+
   /** Per-dimension embedding moments in FIXED POINT: each float
     * quantizes to floor(x·10⁶) once (identical IEEE multiply+floor in
     * both engines), then count/sum/sum-of-squares are pure int64 —
@@ -3276,6 +3307,7 @@ object Queries {
     "q_embedding_ivfpq_knn" -> qIvfPqKnnSpark,
     "q_embedding_sq_knn" -> qSqKnnSpark,
     "q_embedding_stats" -> qEmbeddingStatsSpark,
+    "q_kn_bigram" -> qKnBigramSpark,
     "q_pagerank" -> qPageRankSpark,
     "q_embedding_semdedup" -> qSemDedupSpark,
     "q_decontaminate" -> ((s, dir) => {
@@ -4019,6 +4051,7 @@ object Queries {
     "q_embedding_ivfpq_knn" -> qIvfPqKnnDuck,
     "q_embedding_sq_knn" -> qSqKnnDuck,
     "q_embedding_stats" -> qEmbeddingStatsDuck,
+    "q_kn_bigram" -> qKnBigramDuck,
     "q_pagerank" -> qPageRankDuck,
     "q_embedding_semdedup" -> qSemDedupDuck,
     "q_media_meta" -> qMediaMetaDuck,

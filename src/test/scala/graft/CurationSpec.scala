@@ -337,6 +337,24 @@ class CurationSpec extends SparkTestBase {
     assert(top.count() == 5) // smoke: the all-raw scoring path also runs
   }
 
+  test("knBigram matches the hand-computed fixed-point KN recurrence") {
+    // tokens [a,b,a,b,a,c]: c12 = {(a,b)->2, (a,c)->1, (b,a)->2};
+    // c1 = {a: (3, 2 conts), b: (2, 1)}; N1+(.w) = 1 each; N1+(..) = 3
+    val df = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val out = Curation.knBigram(df, "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out == Map(
+      ("a", "b") -> ((2L, 3L, 583332L)),
+      ("a", "c") -> ((1L, 3L, 249999L)),
+      ("b", "a") -> ((2L, 2L, 749999L))), s"got $out")
+    // interpolated KN: per-history mass over observed continuations
+    // stays under 1 (the remainder backs off to unseen words)
+    val perW1 = out.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2._3).sum).toMap
+    assert(perW1.values.forall(m => m > 0L && m <= 1000000L), s"$perW1")
+  }
+
   test("redactPii counts and replaces emails and digit runs") {
     val df = Seq((1L, "reach me at bob99@mail.com or 12345 ext 77"),
                  (2L, "nothing to hide")).toDF("doc_id", "text")

@@ -49,6 +49,7 @@ class DocsEmbeddingsQueriesSpec extends SparkTestBase {
     "q_stream_cms",         // streaming-maintained CMS cells
     "q_group_quantiles",    // per-source rank-selected quantiles
     "q_dsir_select",        // hashed-bigram importance selection
+    "q_kn_bigram",          // fixed-point Kneser-Ney bigram LM
     "q_fingerprint")        // bag fingerprint over text
 
   private val embeddingFamilies = Seq(
