@@ -21,13 +21,18 @@ object Funnel {
 
   /** Per-stage user counts for `stages` event types: returns
     * (stage, step, n_users), stage 1-based in the given order.
-    * `events` needs (userCol, tsUsCol: LONG epoch-µs, typeCol). */
+    * `events` needs (userCol, tsUsCol: LONG epoch-µs, typeCol).
+    * `maxSpanUs` (optional) is the CONVERSION WINDOW: each stage-k
+    * event must land within that many µs after the stage-(k−1)
+    * completion, not merely after it — the product-metric variant
+    * ("purchased within an hour of viewing"). */
   def funnelCounts(
       events: DataFrame, userCol: String, tsUsCol: String, typeCol: String,
-      stages: Seq[String]): DataFrame = {
+      stages: Seq[String], maxSpanUs: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     require(stages.distinct.size == stages.size,
       s"stages must be distinct, got $stages")
+    require(maxSpanUs.forall(_ > 0), s"maxSpanUs must be positive: $maxSpanUs")
     // project to exactly the needed columns first: an input that
     // happens to carry a column named __u/__t would otherwise make the
     // post-join references ambiguous
@@ -36,10 +41,14 @@ object Funnel {
     val first = ev.where(col("__etype") === stages.head)
       .groupBy(col("__eu").as("__u"))
       .agg(min(col("__ets")).as("__t"))
+    val inWindow = maxSpanUs match {
+      case Some(w) => col("__ets") > col("__t") && col("__ets") <= col("__t") + w
+      case None => col("__ets") > col("__t")
+    }
     val perStage = stages.tail.scanLeft(first) { (prev, stage) =>
       ev.where(col("__etype") === stage)
         .join(prev, col("__eu") === col("__u"))
-        .where(col("__ets") > col("__t"))
+        .where(inWindow)
         .groupBy(col("__u"))
         .agg(min(col("__ets")).as("__t"))
         .select(col("__u"), col("__t"))

@@ -2275,6 +2275,40 @@ object Queries {
       |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
       |FROM u GROUP BY node""".stripMargin
 
+  /** The conversion-window funnel: same stages, but each step must
+    * land within ONE HOUR of the previous completion — the product
+    * metric ("clicked within an hour of viewing, purchased within an
+    * hour of that"). */
+  private def qFunnelWindowedSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      val ev = s.table("events").selectExpr("user_id",
+        s"${eventEpochUsSql(s, dir)} AS ets", "event_type")
+      graft.operators.Funnel.funnelCounts(
+        ev, "user_id", "ets", "event_type",
+        Seq("view", "click", "purchase"), maxSpanUs = Some(3600000000L))
+    }
+
+  private val qFunnelWindowedDuck: String =
+    """WITH s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+      |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t
+      |    AND epoch_us(e.ts) <= s1.t + 3600000000
+      |  GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+      |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t
+      |    AND epoch_us(e.ts) <= s2.t + 3600000000
+      |  GROUP BY e.user_id)
+      |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS step,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+      |UNION ALL SELECT CAST(2 AS BIGINT), 'click',
+      |  CAST(COUNT(*) AS BIGINT) FROM s2
+      |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase',
+      |  CAST(COUNT(*) AS BIGINT) FROM s3""".stripMargin
+
   /** Day-grain retention cohorts: users cohorted by first-signup day,
     * counted per (cohort day, day offset ≤ 7) when active with ANY
     * event — integer epoch-µs DIV day, engine-exact. */
@@ -3252,6 +3286,7 @@ object Queries {
     "q_catalog_read" -> qCatalogReadSpark,
     "q_optimize_read" -> qOptimizeReadSpark,
     "q_funnel" -> qFunnelSpark,
+    "q_funnel_windowed" -> qFunnelWindowedSpark,
     "q_retention" -> qRetentionSpark,
     "q_triangles" -> qTrianglesSpark,
     "q_fast_count" -> qFastCountSpark,
@@ -3996,6 +4031,7 @@ object Queries {
     "q_catalog_read" -> qCatalogReadDuck,
     "q_optimize_read" -> qOptimizeReadDuck,
     "q_funnel" -> qFunnelDuck,
+    "q_funnel_windowed" -> qFunnelWindowedDuck,
     "q_retention" -> qRetentionDuck,
     "q_triangles" -> qTrianglesDuck,
     "q_fast_count" -> qFastCountDuck,

@@ -28,6 +28,28 @@ class FunnelSpec extends SparkTestBase {
     assert(counts(rows, Seq("view", "click")) == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("conversion window bounds each stage advance") {
+    val rows = Seq(
+      // user 1: click 50 after view -> inside a 100-window
+      (1L, 100L, "view"), (1L, 150L, "click"),
+      // user 2: click 500 after view -> outside
+      (2L, 100L, "view"), (2L, 600L, "click"))
+    val out = graft.operators.Funnel.funnelCounts(
+        rows.toDF("user_id", "ets", "event_type"),
+        "user_id", "ets", "event_type", Seq("view", "click"),
+        maxSpanUs = Some(100L))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 1L), s"got $out")
+    // boundary: exactly AT the window edge still converts (<=)
+    val edge = Seq((1L, 0L, "view"), (1L, 100L, "click"))
+    val out2 = graft.operators.Funnel.funnelCounts(
+        edge.toDF("user_id", "ets", "event_type"),
+        "user_id", "ets", "event_type", Seq("view", "click"),
+        maxSpanUs = Some(100L))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out2 == Map(1L -> 1L, 2L -> 1L), s"got $out2")
+  }
+
   test("retention cohorts count each user once per (cohort, offset)") {
     val day = 86400000000L
     val rows = Seq(
