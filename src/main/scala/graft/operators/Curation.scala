@@ -460,17 +460,23 @@ object Curation {
     * (map-side combined); scoring joins the exploded corpus back on
     * the bigram key — one hash join whose build side is the LM, one
     * groupBy(doc). No UDFs, no iteration. */
+  /** (w1, w2) bigram rows from a space-tokenized text column, carrying
+    * `keep` columns through — direct struct pairs, no string
+    * re-joining/re-splitting round trip. */
+  private def bigramPairs(
+      df: DataFrame, textCol: String, keep: Seq[String]): DataFrame =
+    df.select(keep.map(col) :+ split(col(textCol), " ").as("__w"): _*)
+      .where(size(col("__w")) >= 2)
+      .select(keep.map(col) :+ explode(expr(
+        "transform(sequence(1, size(__w) - 1), " +
+          "i -> struct(element_at(__w, i) AS w1, element_at(__w, i + 1) AS w2))"))
+        .as("__b"): _*)
+      .select(keep.map(col) :+ col("__b.w1").as("w1") :+
+        col("__b.w2").as("w2"): _*)
+
   def perplexityScore(
       df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bigrams = df
-      .select(col(idCol), split(col(textCol), " ").as("__w"))
-      .where(size(col("__w")) >= 2)
-      .select(col(idCol),
-        explode(expr(
-          "transform(sequence(1, size(__w) - 1), " +
-            "i -> struct(element_at(__w, i) AS w1, element_at(__w, i + 1) AS w2))"))
-          .as("__b"))
-      .select(col(idCol), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+    val bigrams = bigramPairs(df, textCol, keep = Seq(idCol))
     val uni = bigrams.groupBy("w1").agg(count(lit(1)).as("u_n"))
     val bi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("b_n"))
     val vocabSize = bigrams.select(col("w1")).union(
@@ -509,10 +515,7 @@ object Curation {
     * w1/w2 keys (map-side combined); the single scalar N1+(··) rides
     * along as a broadcast. */
   def knBigram(df: DataFrame, textCol: String): DataFrame = {
-    val grams = df.select(explode(
-        TextFunctions.wordNgrams(col(textCol), 2)).as("g"))
-      .select(split(col("g"), " ").getItem(0).as("w1"),
-        split(col("g"), " ").getItem(1).as("w2"))
+    val grams = bigramPairs(df, textCol, keep = Seq.empty)
     val c12 = grams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1 = c12.groupBy("w1").agg(
       sum("c12").as("c1"), count(lit(1)).as("n1f"))

@@ -1,21 +1,28 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered-funnel completion counts — the product-analytics staple:
   * how many users performed stage 1, then stage 2 STRICTLY after
-  * their earliest stage-1 completion, then stage 3 after that, …
-  * ("earliest-completion" semantics: a user advances at the first
-  * moment each stage could have been satisfied, the standard greedy
-  * funnel that is order-deterministic and join-expressible).
+  * SOME stage-1 event, then stage 3 after that, … A user completes
+  * stage k iff there EXISTS a chain e₁ < e₂ < … < e_k of events of
+  * the stage types (existential semantics — with a conversion window
+  * this is strictly stronger than the greedy earliest-anchor funnel,
+  * which undercounts users whose converting chain hangs off a LATER
+  * occurrence of an earlier stage).
   *
-  * Scale shape: stage 1 is one user-keyed aggregation; every later
-  * stage is a join + MIN aggregation on the SAME user key, so a
-  * pre-partitioned/bucketed events table pays one shuffle total and
-  * the per-stage relations shrink monotonically (stage k's build side
-  * is only the users still in the funnel). Timestamps compare as
-  * epoch-µs int64 — no float, engine-exact.
+  * Computed as a per-event feasibility DP over each user's timeline:
+  * an event at time t is stage-k-feasible iff the latest
+  * stage-(k−1)-feasible time s < t also satisfies s ≥ t − window
+  * (no window ⇒ any s < t). One carry-forward window pass per stage.
+  *
+  * Scale shape: ONE scan of events (pruned to the stage types), ONE
+  * user-keyed shuffle; all k window passes and the per-user rollup
+  * share that partitioning, so a user-bucketed events table pays no
+  * shuffle at all. Timestamps compare as epoch-µs int64 — no float,
+  * engine-exact.
   */
 object Funnel {
 
@@ -23,9 +30,9 @@ object Funnel {
     * (stage, step, n_users), stage 1-based in the given order.
     * `events` needs (userCol, tsUsCol: LONG epoch-µs, typeCol).
     * `maxSpanUs` (optional) is the CONVERSION WINDOW: each stage-k
-    * event must land within that many µs after the stage-(k−1)
-    * completion, not merely after it — the product-metric variant
-    * ("purchased within an hour of viewing"). */
+    * event must land within that many µs after SOME feasible
+    * stage-(k−1) event, not merely after it — the product-metric
+    * variant ("purchased within an hour of viewing"). */
   def funnelCounts(
       events: DataFrame, userCol: String, tsUsCol: String, typeCol: String,
       stages: Seq[String], maxSpanUs: Option[Long] = None): DataFrame = {
@@ -33,29 +40,37 @@ object Funnel {
     require(stages.distinct.size == stages.size,
       s"stages must be distinct, got $stages")
     require(maxSpanUs.forall(_ > 0), s"maxSpanUs must be positive: $maxSpanUs")
-    // project to exactly the needed columns first: an input that
-    // happens to carry a column named __u/__t would otherwise make the
-    // post-join references ambiguous
+    // project to exactly the needed columns first (an input carrying a
+    // __-prefixed name would make later references ambiguous), and
+    // prune the timeline to the stage types — other events can never
+    // advance or block the funnel
     val ev = events.select(col(userCol).as("__eu"),
       col(tsUsCol).as("__ets"), col(typeCol).as("__etype"))
-    val first = ev.where(col("__etype") === stages.head)
-      .groupBy(col("__eu").as("__u"))
-      .agg(min(col("__ets")).as("__t"))
-    val inWindow = maxSpanUs match {
-      case Some(w) => col("__ets") > col("__t") && col("__ets") <= col("__t") + w
-      case None => col("__ets") > col("__t")
+      .where(col("__etype").isin(stages: _*))
+    // RANGE … AND -1: strictly-earlier events only, exact under ties
+    val prevFrame = Window.partitionBy("__eu").orderBy("__ets")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val withFeasible = stages.zipWithIndex.tail.foldLeft(
+      ev.withColumn("__f1",
+        when(col("__etype") === stages.head, col("__ets")))) {
+      case (df, (stage, i)) =>
+        val m = max(col(s"__f$i")).over(prevFrame)
+        val reachable = maxSpanUs match {
+          case Some(w) => m >= col("__ets") - w
+          case None => m.isNotNull
+        }
+        df.withColumn(s"__f${i + 1}",
+          when(col("__etype") === stage && reachable, col("__ets")))
     }
-    val perStage = stages.tail.scanLeft(first) { (prev, stage) =>
-      ev.where(col("__etype") === stage)
-        .join(prev, col("__eu") === col("__u"))
-        .where(inWindow)
-        .groupBy(col("__u"))
-        .agg(min(col("__ets")).as("__t"))
-        .select(col("__u"), col("__t"))
-    }
-    perStage.zip(stages).zipWithIndex.map { case ((df, step), i) =>
-      df.agg(lit(i + 1L).as("stage"), lit(step).as("step"),
-        count(lit(1)).as("n_users"))
+    // one user rollup (same key as the window — no extra shuffle),
+    // then one scalar aggregation per stage over the tiny per-user
+    // completion relation
+    val hCols = stages.indices.map(i =>
+      max(col(s"__f${i + 1}").isNotNull.cast("long")).as(s"__h${i + 1}"))
+    val perUser = withFeasible.groupBy("__eu").agg(hCols.head, hCols.tail: _*)
+    stages.zipWithIndex.map { case (step, i) =>
+      perUser.agg(lit(i + 1L).as("stage"), lit(step).as("step"),
+        coalesce(sum(col(s"__h${i + 1}")), lit(0L)).as("n_users"))
     }.reduce(_ unionByName _)
   }
 

@@ -1488,9 +1488,13 @@ object Queries {
     * both engines), then count/sum/sum-of-squares are pure int64 —
     * order-free, so the whitening/normalization statistics a feature
     * pipeline derives from them (mean, variance) are exactly
-    * reproducible at any parallelism. One posexplode + one agg pass;
-    * sumsq bound: (10⁸)²·corpus — int64-safe to ~10⁹ rows/dim, the
-    * documented ceiling (shard-and-add beyond). */
+    * reproducible at any parallelism. One posexplode + one agg pass.
+    * sumsq ceiling: unit-range components quantize to |xq| ≤ 10⁶, so
+    * xq² ≤ 10¹² and int64 (9.2·10¹⁸) holds ~9·10⁶ rows per dim; past
+    * that, shard the corpus and ADD the per-shard moment rows (they
+    * are additive by construction) — Spark's non-ANSI int64 SUM wraps
+    * silently while DuckDB widens to HUGEINT, so exceeding the
+    * ceiling is a cross-engine divergence, not just precision loss. */
   private def qEmbeddingStatsSpark: (SparkSession, String) => DataFrame =
     (s, dir) => {
       registerViews(s, dir)
@@ -2276,9 +2280,12 @@ object Queries {
       |FROM u GROUP BY node""".stripMargin
 
   /** The conversion-window funnel: same stages, but each step must
-    * land within ONE HOUR of the previous completion — the product
-    * metric ("clicked within an hour of viewing, purchased within an
-    * hour of that"). */
+    * land within ONE HOUR of SOME feasible previous-stage event — the
+    * product metric ("clicked within an hour of viewing, purchased
+    * within an hour of that"). Existential semantics: a user whose
+    * converting chain hangs off a LATER view still counts (the greedy
+    * earliest-anchor variant would drop them). The oracle replays the
+    * identical per-event feasibility DP with window functions. */
   private def qFunnelWindowedSpark: (SparkSession, String) => DataFrame =
     (s, dir) => {
       registerViews(s, dir)
@@ -2290,24 +2297,29 @@ object Queries {
     }
 
   private val qFunnelWindowedDuck: String =
-    """WITH s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t FROM events
-      |  WHERE event_type = 'view' GROUP BY user_id),
-      |s2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
-      |  FROM events e JOIN s1 ON e.user_id = s1.user_id
-      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t
-      |    AND epoch_us(e.ts) <= s1.t + 3600000000
-      |  GROUP BY e.user_id),
-      |s3 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
-      |  FROM events e JOIN s2 ON e.user_id = s2.user_id
-      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t
-      |    AND epoch_us(e.ts) <= s2.t + 3600000000
-      |  GROUP BY e.user_id)
+    """WITH ev AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et
+      |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      |d1 AS (SELECT u, t, et,
+      |  CASE WHEN et = 'view' THEN t END AS f1 FROM ev),
+      |d2 AS (SELECT u, t, et,  f1,
+      |  CASE WHEN et = 'click' AND MAX(f1) OVER (PARTITION BY u ORDER BY t
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      >= t - 3600000000 THEN t END AS f2 FROM d1),
+      |d3 AS (SELECT u, f1, f2,
+      |  CASE WHEN et = 'purchase' AND MAX(f2) OVER (PARTITION BY u ORDER BY t
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      >= t - 3600000000 THEN t END AS f3 FROM d2),
+      |g AS (SELECT u,
+      |  MAX(CASE WHEN f1 IS NOT NULL THEN 1 ELSE 0 END) AS h1,
+      |  MAX(CASE WHEN f2 IS NOT NULL THEN 1 ELSE 0 END) AS h2,
+      |  MAX(CASE WHEN f3 IS NOT NULL THEN 1 ELSE 0 END) AS h3
+      |  FROM d3 GROUP BY u)
       |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS step,
-      |  CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+      |  CAST(SUM(h1) AS BIGINT) AS n_users FROM g
       |UNION ALL SELECT CAST(2 AS BIGINT), 'click',
-      |  CAST(COUNT(*) AS BIGINT) FROM s2
+      |  CAST(SUM(h2) AS BIGINT) FROM g
       |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase',
-      |  CAST(COUNT(*) AS BIGINT) FROM s3""".stripMargin
+      |  CAST(SUM(h3) AS BIGINT) FROM g""".stripMargin
 
   /** Day-grain retention cohorts: users cohorted by first-signup day,
     * counted per (cohort day, day offset ≤ 7) when active with ANY

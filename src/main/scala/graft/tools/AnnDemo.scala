@@ -28,13 +28,14 @@ object AnnDemo {
     try {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val queries = emb.where(col("vec_id") % 25 === 0)
-      val nQ = queries.count()
-      println(s"== corpus ${emb.count()} vectors, $nQ queries ==")
 
-      // exact squared-L2 top-3 on the driver (testdata-sized corpus)
+      // exact squared-L2 top-3 on the driver (testdata-sized corpus);
+      // the collect also supplies the corpus/query counts — no extra
+      // count() jobs
       val all = emb.select("vec_id", "embedding").collect()
         .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
       val qs = all.filter(_._1 % 25 == 0)
+      println(s"== corpus ${all.length} vectors, ${qs.length} queries ==")
       def l2sq(a: Array[Double], b: Array[Double]): Double = {
         var s = 0.0; var i = 0
         while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }

@@ -36,6 +36,9 @@ object GraphDemo {
         .agg(count(lit(1)).as("n"))
         .where(col("n") >= 5)
         .select("a", "b")
+        // five downstream actions (CC, 2× PageRank, triangles, the
+        // brute check) each replay the self-join otherwise
+        .persist()
       val edgeList = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
       val nodes = edgeList.flatMap(e => Seq(e._1, e._2)).distinct.sorted
       println(s"== supplier graph: ${nodes.length} nodes, ${edgeList.length} edges ==")
@@ -86,6 +89,7 @@ object GraphDemo {
       println(s"triangles: ${total / 3} total, ${tri.size} participating nodes")
 
       println("GraphDemo: all invariants held")
+      edges.unpersist()
     } finally spark.stop()
   }
 }

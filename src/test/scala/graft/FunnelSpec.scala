@@ -20,12 +20,38 @@ class FunnelSpec extends SparkTestBase {
     assert(counts(rows, Seq("view", "click")) == Map(1L -> 2L, 2L -> 1L))
   }
 
-  test("earliest-completion semantics: later stage-1 events don't reopen") {
-    // the click precedes the FIRST view but follows a later view;
-    // earliest-completion pins t1 = 100, so click@150 counts
+  test("existential semantics: any strictly-earlier stage-1 event advances") {
+    // the click precedes a LATER view but follows the first view —
+    // the chain view@100 -> click@150 exists, so stage 2 counts
     val rows = Seq(
       (1L, 100L, "view"), (1L, 200L, "view"), (1L, 150L, "click"))
     assert(counts(rows, Seq("view", "click")) == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("windowed funnel re-anchors on later previous-stage events") {
+    // greedy earliest-anchor would pin the view at t=0 and drop the
+    // click@5050 (outside 0+100); the converting chain hangs off the
+    // SECOND view — existential semantics must count it
+    val rows = Seq(
+      (1L, 0L, "view"), (1L, 5000L, "view"), (1L, 5050L, "click"))
+    val out = Funnel.funnelCounts(
+        rows.toDF("user_id", "ets", "event_type"),
+        "user_id", "ets", "event_type", Seq("view", "click"),
+        maxSpanUs = Some(100L))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L), s"got $out")
+    // and deeper: the purchase@150 is only reachable through the
+    // click@90 (click@10 + 100 < 150) — per-event feasibility, not
+    // per-stage minima
+    val rows3 = Seq(
+      (1L, 0L, "view"), (1L, 10L, "click"), (1L, 90L, "click"),
+      (1L, 150L, "purchase"))
+    val out3 = Funnel.funnelCounts(
+        rows3.toDF("user_id", "ets", "event_type"),
+        "user_id", "ets", "event_type", Seq("view", "click", "purchase"),
+        maxSpanUs = Some(100L))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out3 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"got $out3")
   }
 
   test("conversion window bounds each stage advance") {
