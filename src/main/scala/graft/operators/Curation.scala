@@ -528,6 +528,88 @@ object Curation {
           .as("p_kn_q6"))
   }
 
+  /** Cross-document novelty scoring: for each document, how many of
+    * its distinct word n-grams appear in NO lower-id document — the
+    * curation signal that separates original content from recombined /
+    * templated text (a doc of entirely previously-seen n-grams is a
+    * remix). First occurrence = min(doc id) over the corpus, so the
+    * score is order-free and engine-exact.
+    *
+    * Scale shape: grams hash to 60-bit ints BEFORE the shuffle (the
+    * n-word strings never leave the map side — the same trick as
+    * repeatedSpans); per-doc totals and per-gram first-occurrence are
+    * two aggregations over the hashed relation, and novelty-per-doc is
+    * one more count over the gram-sized first relation — NO join back
+    * to the corpus, the final join is docs-sized × docs-sized.
+    * Returns (idCol, n_grams, n_novel). */
+  def noveltyScore(
+      df: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    // hash inside the token array (repeatedSpans' shape): the explode
+    // emits int64s — gram strings are never materialized as rows
+    val hs = transform(
+      sequence(lit(1), size(col("__t")) - (n - 1)),
+      i => TextFunctions.hash60(array_join(slice(col("__t"), i, lit(n)), " ")))
+    val grams = df
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__t"))
+      .where(size(col("__t")) >= n)
+      .select(col(idCol), explode(hs).as("__g"))
+      .distinct()
+    val perDoc = grams.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
+    val novel = grams.groupBy("__g").agg(min(col(idCol)).as("__first"))
+      .groupBy(col("__first").as(idCol))
+      .agg(count(lit(1)).as("__nn"))
+    perDoc.join(novel, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("__nn"), lit(0L)).as("n_novel"))
+  }
+
+  /** Token-distribution entropy per document in FIXED POINT — the
+    * classic gibberish/boilerplate signal (near-zero entropy = one
+    * token repeated; high entropy = diverse vocabulary). Each distinct
+    * token's term is c·floor(10⁶·(−ln(c/n))) — the floor happens
+    * BEFORE the per-doc sum, so the aggregation is pure int64 and the
+    * score is bit-identical on any engine and at any parallelism
+    * (H ≈ entropy_e6 / 10⁶ nats). One explode + two doc-keyed
+    * aggregations that share the doc partitioning.
+    * Returns (idCol, n_tokens, entropy_e6). */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
+      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__c"))
+      .withColumn("__n", sum(col("__c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
+      .select(col(idCol), col("__n"),
+        (col("__c") * floor(lit(-1e6) *
+          log(col("__c").cast("double") / col("__n").cast("double")))
+          .cast("long")).as("__term"))
+      .groupBy(idCol)
+      .agg(max(col("__n")).as("n_tokens"),
+        expr("CAST(sum(__term) DIV max(__n) AS BIGINT)").as("entropy_e6"))
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006,
+    * exponential-race form): item i gets key −ln(uᵢ)/wᵢ with uᵢ a
+    * deterministic md5-derived uniform; the k SMALLEST keys are a true
+    * weight-proportional sample. The key quantizes to an integer via
+    * one floor of an identical IEEE expression, so the selection
+    * replays exactly on any engine; re-running yields the same sample
+    * (resumable exports). Map-only scoring + a top-k (TakeOrdered, no
+    * global sort). Returns (idCol, weightCol, key_e12) — the k winners. */
+  def weightedSample(
+      df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    // u = (h+1)/2^60 ∈ (0, 1]; key = floor((−ln u)·10¹² / w) — parens
+    // fixed so both engines evaluate the same IEEE op sequence
+    val h = TextFunctions.hash60(
+      concat(lit("ws|"), col(idCol).cast("string")))
+    df.where(col(weightCol) > 0)
+      .withColumn("key_e12",
+        floor((-log((h + 1).cast("double") / lit(1152921504606846976.0))) *
+          lit(1e12) / col(weightCol).cast("double")).cast("long"))
+      .select(col(idCol), col(weightCol), col("key_e12"))
+      .orderBy(col("key_e12"), col(idCol))
+      .limit(k)
+  }
+
   /** Training-export shuffle: assign every document a deterministic
     * pseudo-random shard and a dense position within it — the
     * corpus-wide "random" permutation a training run reads, WITHOUT a

@@ -74,6 +74,70 @@ object Funnel {
     }.reduce(_ unionByName _)
   }
 
+  /** Top-k session paths — the "what do users do" product query: events
+    * sessionize on a `gapUs` inactivity gap, each session renders as
+    * its ordered event-type sequence ("view>click>purchase"), and the
+    * most common sequences are counted. Tie-safe: events sharing a
+    * timestamp order by event type, so the path string is the same on
+    * any engine; same-ts events always land in the same session
+    * regardless of engine ordering (a boundary can only sit between
+    * DISTINCT timestamps).
+    *
+    * Scale shape: one user-keyed shuffle drives the session windows
+    * AND the per-session rollup; the path-frequency aggregation runs
+    * on the session relation (≪ events) with map-side combine, and
+    * top-k is a TakeOrdered, not a global sort.
+    * Returns (path, n_sessions). */
+  def sessionPaths(
+      events: DataFrame, userCol: String, tsUsCol: String, typeCol: String,
+      gapUs: Long = 1800000000L, topK: Int = 25): DataFrame = {
+    require(gapUs > 0, s"gapUs must be positive, got $gapUs")
+    require(topK > 0, s"topK must be positive, got $topK")
+    val ev = events.select(col(userCol).as("__u"),
+      col(tsUsCol).as("__t"), col(typeCol).as("__et"))
+    val byUser = Window.partitionBy("__u").orderBy("__t", "__et")
+    val sess = ev
+      .withColumn("__new",
+        when(lag(col("__t"), 1).over(byUser).isNull ||
+          col("__t") - lag(col("__t"), 1).over(byUser) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("__s", sum(col("__new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.groupBy("__u", "__s")
+      .agg(concat_ws(">", expr(
+        "transform(array_sort(collect_list(struct(__t, __et))), x -> x.__et)"))
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topK)
+  }
+
+  /** Recency-weighted engagement in FIXED POINT: each event weighs
+    * 2^(horizonDays − age) where age = (max ts − ts) DIV day — an
+    * exponential half-life-one-day decay scaled by 2^horizonDays so
+    * every weight is an exact integer power of two (events older than
+    * the horizon weigh 0). The per-user sum is pure int64 — order-free
+    * and engine-exact, unlike a float exp() decay. Ceiling: the total
+    * is < n_events·2^horizonDays, so horizon 30 holds ~2^33 events per
+    * user. One scalar max + one map-only pass + one user aggregation.
+    * Returns (user, score, n_events_in_horizon). */
+  def decayedEngagement(
+      events: DataFrame, userCol: String, tsUsCol: String,
+      horizonDays: Int = 30, dayUs: Long = 86400000000L): DataFrame = {
+    require(horizonDays >= 0 && horizonDays <= 60,
+      s"horizonDays must be in [0, 60], got $horizonDays")
+    val ev = events.select(col(userCol).as("__u"), col(tsUsCol).as("__t"))
+    val maxTs = ev.agg(max(col("__t")).as("__mx"))
+    ev.crossJoin(broadcast(maxTs))
+      .withColumn("__age", expr("(__mx - __t) DIV " + dayUs + "L"))
+      .where(col("__age") <= horizonDays)
+      .withColumn("__w",
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST($horizonDays - __age AS INT))"))
+      .groupBy(col("__u").as("user"))
+      .agg(sum(col("__w")).as("score"),
+        count(lit(1)).as("n_events_in_horizon"))
+  }
+
   /** Retention cohorts: users cohorted by the day of their first
     * `cohortType` event; for each (cohort day, offset k ≤ maxOffset)
     * the count of cohort users with ANY event k days later. Day =

@@ -2346,6 +2346,127 @@ object Queries {
       |  CAST(COUNT(*) AS BIGINT) AS n_users
       |FROM j GROUP BY cohort_day, k""".stripMargin
 
+  /** Top-25 session paths ("view>click>purchase"): 30-min-gap
+    * sessionization, ordered event-type sequence per session, path
+    * frequency. Ties at the LIMIT boundary break on the path string —
+    * a total order both engines replay. */
+  private def qSessionPathsSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      val ev = s.table("events").selectExpr("user_id",
+        s"${eventEpochUsSql(s, dir)} AS ets", "event_type")
+      graft.operators.Funnel.sessionPaths(
+        ev, "user_id", "ets", "event_type",
+        gapUs = 1800000000L, topK = 25)
+    }
+
+  private val qSessionPathsDuck: String =
+    """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et
+      |  FROM events),
+      |m AS (SELECT u, t, et,
+      |  CASE WHEN LAG(t) OVER (PARTITION BY u ORDER BY t, et) IS NULL
+      |         OR t - LAG(t) OVER (PARTITION BY u ORDER BY t, et) > 1800000000
+      |       THEN 1 ELSE 0 END AS new_s FROM e),
+      |s AS (SELECT u, t, et, SUM(new_s) OVER (PARTITION BY u ORDER BY t, et
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM m),
+      |p AS (SELECT u, sess, string_agg(et, '>' ORDER BY t, et) AS path
+      |  FROM s GROUP BY u, sess)
+      |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+      |FROM p GROUP BY path
+      |ORDER BY n_sessions DESC, path LIMIT 25""".stripMargin
+
+  /** Recency-weighted engagement: per-user Σ 2^(30 − age_days), an
+    * integer half-life-one-day decay (see Funnel.decayedEngagement) —
+    * order-free int64, engine-exact. */
+  private def qDecayEngagementSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      val ev = s.table("events").selectExpr("user_id",
+        s"${eventEpochUsSql(s, dir)} AS ets", "event_type")
+      graft.operators.Funnel.decayedEngagement(
+        ev, "user_id", "ets", horizonDays = 30)
+    }
+
+  private val qDecayEngagementDuck: String =
+    """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t FROM events),
+      |mx AS (SELECT MAX(t) AS m FROM e),
+      |w AS (SELECT u, (m - t) // 86400000000 AS age
+      |  FROM e CROSS JOIN mx WHERE (m - t) // 86400000000 <= 30)
+      |SELECT u AS user,
+      |  CAST(SUM(1::BIGINT << CAST(30 - age AS INT)) AS BIGINT) AS score,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events_in_horizon
+      |FROM w GROUP BY u""".stripMargin
+
+  /** Cross-document 8-gram novelty (Curation.noveltyScore): per doc,
+    * distinct word-8-grams and how many first appear in this doc
+    * (first = min doc_id — order-free). Grams compare by their 60-bit
+    * md5 hash in BOTH engines, so the hashed relation — not the n-word
+    * strings — is what shuffles and what the oracle replays. */
+  private def qNoveltySpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      graft.operators.Curation.noveltyScore(
+        s.table("documents"), "doc_id", "text", n = 8)
+    }
+
+  private val qNoveltyDuck: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT DISTINCT doc_id,
+      |    ('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15))::BIGINT AS gh
+      |  FROM t, unnest(range(1, len(w) - 6)) AS r(i)
+      |  WHERE len(w) >= 8),
+      |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+      |  FROM g GROUP BY doc_id),
+      |f AS (SELECT gh, MIN(doc_id) AS first_doc FROM g GROUP BY gh),
+      |nv AS (SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+      |  FROM f GROUP BY first_doc)
+      |SELECT pd.doc_id, pd.n_grams,
+      |  CAST(COALESCE(nv.n_novel, 0) AS BIGINT) AS n_novel
+      |FROM pd LEFT JOIN nv USING (doc_id)""".stripMargin
+
+  /** Token-distribution entropy per doc in fixed point (see
+    * Curation.tokenEntropy): per-token terms floor-quantized BEFORE
+    * the doc sum — pure int64, engine-exact. */
+  private def qEntropySpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      graft.operators.Curation.tokenEntropy(
+        s.table("documents"), "doc_id", "text")
+    }
+
+  private val qEntropyDuck: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+      |  FROM documents),
+      |c AS (SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM tok GROUP BY doc_id, tk),
+      |n AS (SELECT doc_id, c,
+      |  SUM(c) OVER (PARTITION BY doc_id) AS n FROM c),
+      |s AS (SELECT doc_id, n,
+      |  c * CAST(floor(-1e6 * ln(c::DOUBLE / n::DOUBLE)) AS BIGINT) AS term
+      |  FROM n)
+      |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(term) // MAX(n) AS BIGINT) AS entropy_e6
+      |FROM s GROUP BY doc_id""".stripMargin
+
+  /** Deterministic weighted sample (Efraimidis–Spirakis exponential
+    * race, Curation.weightedSample): 100 docs drawn proportional to
+    * n_chars, the selection keys replayed bit-for-bit by the oracle. */
+  private def qWeightedSampleSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      graft.operators.Curation.weightedSample(
+        s.table("documents"), "doc_id", "n_chars", k = 100)
+    }
+
+  private val qWeightedSampleDuck: String =
+    """WITH h AS (SELECT doc_id, n_chars,
+      |    ('0x' || substr(md5('ws|' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+      |  FROM documents WHERE n_chars > 0)
+      |SELECT doc_id, n_chars,
+      |  CAST(floor((-ln((h + 1)::DOUBLE / 1152921504606846976.0)) * 1e12
+      |    / n_chars::DOUBLE) AS BIGINT) AS key_e12
+      |FROM h ORDER BY key_e12, doc_id LIMIT 100""".stripMargin
+
   /** Persistent catalog round-trip, driver-verified END-TO-END: write
     * a scratch Delta table, GRAFT REGISTER it under a (per-process)
     * name, read it back BY NAME through the session catalog (the
@@ -3300,6 +3421,11 @@ object Queries {
     "q_funnel" -> qFunnelSpark,
     "q_funnel_windowed" -> qFunnelWindowedSpark,
     "q_retention" -> qRetentionSpark,
+    "q_session_paths" -> qSessionPathsSpark,
+    "q_decay_engagement" -> qDecayEngagementSpark,
+    "q_novelty" -> qNoveltySpark,
+    "q_entropy" -> qEntropySpark,
+    "q_weighted_sample" -> qWeightedSampleSpark,
     "q_triangles" -> qTrianglesSpark,
     "q_fast_count" -> qFastCountSpark,
     "q_update_dv" -> qUpdateDvSpark,
@@ -4045,6 +4171,11 @@ object Queries {
     "q_funnel" -> qFunnelDuck,
     "q_funnel_windowed" -> qFunnelWindowedDuck,
     "q_retention" -> qRetentionDuck,
+    "q_session_paths" -> qSessionPathsDuck,
+    "q_decay_engagement" -> qDecayEngagementDuck,
+    "q_novelty" -> qNoveltyDuck,
+    "q_entropy" -> qEntropyDuck,
+    "q_weighted_sample" -> qWeightedSampleDuck,
     "q_triangles" -> qTrianglesDuck,
     "q_fast_count" -> qFastCountDuck,
     "q_update_dv" -> qUpdateDvDuck,

@@ -355,6 +355,40 @@ class CurationSpec extends SparkTestBase {
     assert(perW1.values.forall(m => m > 0L && m <= 1000000L), s"$perW1")
   }
 
+  test("noveltyScore credits first occurrence to the lowest doc id") {
+    // bigrams (n=2): doc 1 "a b c" -> {a b, b c}; doc 2 "b c d" ->
+    // {b c, c d}: doc 1 originates both of its grams, doc 2 only "c d"
+    val df = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    val out = Curation.noveltyScore(df, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(1L -> ((2L, 2L)), 2L -> ((2L, 1L))), s"got $out")
+  }
+
+  test("tokenEntropy: uniform max, single-token zero, exact fixed point") {
+    val df = Seq((1L, "a a a a"), (2L, "a b c d")).toDF("doc_id", "text")
+    val out = Curation.tokenEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 1: one token, p=1, entropy 0; doc 2: uniform over 4 ->
+    // ln(4) = 1.386294...; term per token = floor(1e6*ln 4) = 1386294
+    assert(out == Map(1L -> ((4L, 0L)), 2L -> ((4L, 1386294L))), s"got $out")
+  }
+
+  test("weightedSample is deterministic and returns exactly k winners") {
+    val df = (1L to 50L).map(i => (i, i * 10)).toDF("doc_id", "n_chars")
+    val a = Curation.weightedSample(df, "doc_id", "n_chars", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val b = Curation.weightedSample(df, "doc_id", "n_chars", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(a.toSeq == b.toSeq, "sample is not deterministic across runs")
+    assert(a.length == 10 && a.map(_._1).distinct.length == 10)
+    // keys are the ascending selection order
+    assert(a.map(_._2).toSeq == a.map(_._2).sorted.toSeq)
+    // zero/negative weights are excluded, never division-by-zero
+    val z = Seq((1L, 0L), (2L, 5L)).toDF("doc_id", "n_chars")
+    val zo = Curation.weightedSample(z, "doc_id", "n_chars", k = 5).collect()
+    assert(zo.map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("redactPii counts and replaces emails and digit runs") {
     val df = Seq((1L, "reach me at bob99@mail.com or 12345 ext 77"),
                  (2L, "nothing to hide")).toDF("doc_id", "text")

@@ -50,6 +50,9 @@ class DocsEmbeddingsQueriesSpec extends SparkTestBase {
     "q_group_quantiles",    // per-source rank-selected quantiles
     "q_dsir_select",        // hashed-bigram importance selection
     "q_kn_bigram",          // fixed-point Kneser-Ney bigram LM
+    "q_novelty",            // cross-doc 8-gram novelty over doc_id, text
+    "q_entropy",            // fixed-point token entropy over text
+    "q_weighted_sample",    // ES weighted sample over doc_id, n_chars
     "q_fingerprint")        // bag fingerprint over text
 
   private val embeddingFamilies = Seq(

@@ -76,6 +76,37 @@ class FunnelSpec extends SparkTestBase {
     assert(out2 == Map(1L -> 1L, 2L -> 1L), s"got $out2")
   }
 
+  test("sessionPaths renders gap-bounded ordered sequences") {
+    val gap = 100L
+    val rows = Seq(
+      // user 1: one session view>click, then (gap) a lone view
+      (1L, 0L, "view"), (1L, 50L, "click"), (1L, 500L, "view"),
+      // user 2: view>click again (same path as user 1's first)
+      (2L, 0L, "view"), (2L, 10L, "click"),
+      // user 3: tie at t=0 orders by event type -> click>view
+      (3L, 0L, "view"), (3L, 0L, "click"))
+    val out = Funnel.sessionPaths(
+        rows.toDF("user_id", "ets", "event_type"),
+        "user_id", "ets", "event_type", gapUs = gap, topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("view>click" -> 2L, "view" -> 1L, "click>view" -> 1L),
+      s"got $out")
+  }
+
+  test("decayedEngagement weights 2^(h-age) and drops beyond-horizon events") {
+    val day = 86400000000L
+    val rows = Seq(
+      // max ts anchors age 0; user 1: ages 0 and 1 -> 2^30 + 2^29
+      (1L, 31L * day, "view"), (1L, 30L * day, "view"),
+      // user 2: age 31 -> beyond the 30-day horizon, excluded entirely
+      (2L, 0L, "view"))
+    val out = Funnel.decayedEngagement(
+        rows.toDF("user_id", "ets", "event_type"), "user_id", "ets",
+        horizonDays = 30)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(1L -> (((1L << 30) + (1L << 29), 2L))), s"got $out")
+  }
+
   test("retention cohorts count each user once per (cohort, offset)") {
     val day = 86400000000L
     val rows = Seq(
