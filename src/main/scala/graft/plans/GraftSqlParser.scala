@@ -36,6 +36,8 @@ import graft.delta.{Clone, Constraints, DeltaLog, Maintenance, Mutations}
   * GRAFT ALTER '<path>' ALTER COLUMN <col> TYPE <widerType>
   * GRAFT ALTER '<path>' SET TBLPROPERTIES ('k' = 'v', ...)
   * GRAFT ALTER '<path>' UNSET TBLPROPERTIES ('k', ...)
+  * GRAFT CREATE BLOOM INDEX ON '<path>' (<col>)    -- per-file point-lookup index
+  * GRAFT DROP BLOOM INDEX ON '<path>' (<col>)
   * GRAFT REGISTER TABLE <name> LOCATION '<path>'   -- persisted across sessions
   * GRAFT UNREGISTER TABLE <name>
   * GRAFT RESTORE TABLES                            -- re-register persisted names
@@ -89,6 +91,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+UNREGISTER\s+TABLE\s+([\w.]+)\s*""".r
   private val RestoreTables =
     """(?is)\s*GRAFT\s+RESTORE\s+TABLES\s*""".r
+  private val CreateBloomIndex =
+    """(?is)\s*GRAFT\s+CREATE\s+BLOOM\s+INDEX\s+ON\s+'([^']+)'\s*\((\w+)\)\s*""".r
+  private val DropBloomIndex =
+    """(?is)\s*GRAFT\s+DROP\s+BLOOM\s+INDEX\s+ON\s+'([^']+)'\s*\((\w+)\)\s*""".r
 
   /** Split a SET list on top-level commas only (commas inside
     * parentheses — function calls — don't separate assignments). */
@@ -147,6 +153,19 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case Checkpoint(path) =>
       GraftMaintenanceCommand(path, "checkpoint",
         Seq("version"), s => Seq(Row(Maintenance.checkpoint(DeltaLog.forPath(s, path)))))
+    case CreateBloomIndex(path, column) =>
+      GraftMaintenanceCommand(path, "create_bloom_index",
+        Seq("version"), s => Seq(Row(
+          graft.delta.BloomIndex.build(DeltaLog.forPath(s, path), column))))
+    case DropBloomIndex(path, column) =>
+      GraftMaintenanceCommand(path, "drop_bloom_index",
+        Seq("dropped"), s => {
+          val log = DeltaLog.forPath(s, path)
+          val dir = new org.apache.hadoop.fs.Path(
+            graft.delta.BloomIndex.indexDir(log, column))
+          val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+          Seq(Row(if (fs.delete(dir, true)) 1L else 0L))
+        })
     case Reorg(path) =>
       GraftMaintenanceCommand(path, "reorg",
         Seq("version"), s =>

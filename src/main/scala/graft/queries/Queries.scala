@@ -2529,6 +2529,39 @@ object Queries {
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents""".stripMargin
 
+  /** Per-file Bloom index, driver-verified END-TO-END: documents land
+    * in a scratch Delta table keyed by a scattered md5-prefix
+    * fingerprint (every file's [min,max] covers the key space — stats
+    * skipping is useless), a Bloom index is built on the fingerprint,
+    * and a deterministic probe set is read back THROUGH the index.
+    * The oracle recomputes the expected rows from the source parquet,
+    * so a filter with a false negative (lost rows) fails the gate;
+    * BloomIndexSpec separately asserts files are actually pruned. */
+  private def qBloomReadSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bloom_")
+        .resolve("t").toString
+      val log = graft.delta.DeltaLog.forPath(s, tmp)
+      val src = s.table("documents")
+        .select(col("doc_id"), substring(md5(col("text")), 1, 16).as("fp"),
+          col("n_chars"))
+      graft.delta.TransactionWriter.overwrite(log,
+        src.repartition(16, col("doc_id")))
+      graft.delta.BloomIndex.build(log, "fp")
+      val probes = src.where(col("doc_id") % 97 === 0)
+        .select("fp").distinct().collect().map(_.getString(0)).sorted.toSeq
+      graft.delta.BloomIndex.readIn(
+          graft.delta.DeltaLog.forPath(s, tmp), "fp", probes)
+        .select("doc_id", "fp", "n_chars")
+    }
+
+  private val qBloomReadDuck: String =
+    """WITH f AS (SELECT doc_id, substr(md5(text), 1, 16) AS fp, n_chars
+      |  FROM documents),
+      |p AS (SELECT DISTINCT fp FROM f WHERE doc_id % 97 = 0)
+      |SELECT f.doc_id, f.fp, f.n_chars FROM f JOIN p ON f.fp = p.fp""".stripMargin
+
   /** Inverted-index export: per-term document frequency + delta-gap
     * encoded posting list (see Curation.invertedIndex). Both engines
     * render the gaps as the same comma-joined decimal string. */
@@ -3418,6 +3451,7 @@ object Queries {
     "q_postings" -> qPostingsSpark,
     "q_catalog_read" -> qCatalogReadSpark,
     "q_optimize_read" -> qOptimizeReadSpark,
+    "q_bloom_read" -> qBloomReadSpark,
     "q_funnel" -> qFunnelSpark,
     "q_funnel_windowed" -> qFunnelWindowedSpark,
     "q_retention" -> qRetentionSpark,
@@ -4168,6 +4202,7 @@ object Queries {
     "q_postings" -> qPostingsDuck,
     "q_catalog_read" -> qCatalogReadDuck,
     "q_optimize_read" -> qOptimizeReadDuck,
+    "q_bloom_read" -> qBloomReadDuck,
     "q_funnel" -> qFunnelDuck,
     "q_funnel_windowed" -> qFunnelWindowedDuck,
     "q_retention" -> qRetentionDuck,

@@ -237,6 +237,20 @@ object SqlDemo {
       require(detail.getAs[String]("tableFeatures").contains("typeWidening"))
       println(s"== DESCRIBE DETAIL: numFiles=${detail.getAs[Long]("numFiles")} " +
         s"sizeInBytes=${detail.getAs[Long]("sizeInBytes")} ==")
+
+      // CREATE BLOOM INDEX: point-lookup file skipping on the scattered
+      // id column of the partition-scoped OPTIMIZE table
+      spark.sql(s"GRAFT CREATE BLOOM INDEX ON '$optwPath' (id)")
+      val blog = graft.delta.DeltaLog.forPath(spark, optwPath)
+      val (bFiles, bPruned) = graft.delta.BloomIndex
+        .candidateFiles(blog, "id", Seq(7L))
+      require(graft.delta.BloomIndex.readIn(blog, "id", Seq(7L)).count() ==
+        spark.read.format("graftdelta").load(optwPath)
+          .where("id = 7").count(),
+        "bloom-pruned read must equal the full-scan filter")
+      spark.sql(s"GRAFT DROP BLOOM INDEX ON '$optwPath' (id)")
+      println(s"== CREATE/DROP BLOOM INDEX: ${bFiles.size} candidates, " +
+        s"$bPruned pruned, lookup parity OK ==")
       println("SqlDemo OK")
     } finally spark.stop()
   }
