@@ -271,6 +271,81 @@ object Queries {
       |    / COUNT(CASE WHEN rn = lo OR rn = hi THEN 1 END), 4) AS median_price
       |FROM m GROUP BY p_brand""".stripMargin
 
+  /** Referential-integrity audit over the star schema: orphan counts
+    * for every foreign key, the data-quality gate an ingest pipeline
+    * runs before publishing. Shared-dialect SQL; each branch is a
+    * left join + IS NULL that Spark rewrites to an anti-join —
+    * broadcast for the dimension-sized parents, a single key shuffle
+    * for the fact-to-fact edge (lineitem→orders), which is the minimum
+    * an exact audit can pay; distinct-ing the fact key first would
+    * only add a shuffle. */
+  private val qFkViolations: String =
+    """SELECT 'orders.o_custkey->customer' AS fk,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orphans
+      |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE c.c_custkey IS NULL
+      |UNION ALL
+      |SELECT 'lineitem.l_orderkey->orders', CAST(COUNT(*) AS BIGINT)
+      |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_orderkey IS NULL
+      |UNION ALL
+      |SELECT 'lineitem.l_partkey->part', CAST(COUNT(*) AS BIGINT)
+      |FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE p.p_partkey IS NULL
+      |UNION ALL
+      |SELECT 'lineitem.l_suppkey->supplier', CAST(COUNT(*) AS BIGINT)
+      |FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |WHERE s.s_suppkey IS NULL
+      |UNION ALL
+      |SELECT 'customer.c_nationkey->nation', CAST(COUNT(*) AS BIGINT)
+      |FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE n.n_nationkey IS NULL
+      |UNION ALL
+      |SELECT 'supplier.s_nationkey->nation', CAST(COUNT(*) AS BIGINT)
+      |FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |WHERE n.n_nationkey IS NULL
+      |UNION ALL
+      |SELECT 'nation.n_regionkey->region', CAST(COUNT(*) AS BIGINT)
+      |FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE r.r_regionkey IS NULL""".stripMargin
+
+  /** Robust length-outlier detection per language: median/MAD in 2×/4×
+    * integer scale so the whole statistic is exact int64 — med2 =
+    * lo+hi middle values (2·median), dev2 = |2x − med2| (2·deviation),
+    * mad4 = middle-sum of dev2 (4·MAD); outlier ⇔ 2·dev2 > 3·mad4 ⇔
+    * |x − med| > 3·MAD. No float quantile interpolation anywhere, so
+    * both engines agree bit-for-bit. Group-local window sorts only. */
+  private val qMadOutliers: String =
+    """WITH r AS (SELECT lang, doc_id, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents),
+      |m AS (SELECT lang,
+      |    CAST(SUM(CASE WHEN rn = CAST(FLOOR((n + 1) / 2.0e0) AS BIGINT)
+      |      THEN n_chars END) +
+      |    SUM(CASE WHEN rn = CAST(FLOOR((n + 2) / 2.0e0) AS BIGINT)
+      |      THEN n_chars END) AS BIGINT) AS med2
+      |  FROM r GROUP BY lang),
+      |d AS (SELECT r.lang, r.doc_id,
+      |    ABS(2 * r.n_chars - m.med2) AS dev2
+      |  FROM r JOIN m ON r.lang = m.lang),
+      |dr AS (SELECT lang, dev2,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY dev2, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM d),
+      |mad AS (SELECT lang,
+      |    CAST(SUM(CASE WHEN rn = CAST(FLOOR((n + 1) / 2.0e0) AS BIGINT)
+      |      THEN dev2 END) +
+      |    SUM(CASE WHEN rn = CAST(FLOOR((n + 2) / 2.0e0) AS BIGINT)
+      |      THEN dev2 END) AS BIGINT) AS mad4
+      |  FROM dr GROUP BY lang)
+      |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(MAX(m.med2) AS BIGINT) AS med2, CAST(MAX(mad.mad4) AS BIGINT) AS mad4,
+      |  CAST(SUM(CASE WHEN 2 * d.dev2 > 3 * mad.mad4 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers
+      |FROM d JOIN m ON d.lang = m.lang JOIN mad ON d.lang = mad.lang
+      |GROUP BY d.lang""".stripMargin
+
   private val qTopkBrand: String =
     """SELECT p_brand, p_partkey, p_retailprice, rank_in_brand FROM (
       |  SELECT p_brand, p_partkey, p_retailprice,
@@ -3076,6 +3151,8 @@ object Queries {
     "q_histogram" -> sqlQuery(qHistogram),
     "q_exists_big_order" -> sqlQuery(qExistsBigOrder),
     "q_median_price" -> sqlQuery(qMedianPrice),
+    "q_fk_violations" -> sqlQuery(qFkViolations),
+    "q_mad_outliers" -> sqlQuery(qMadOutliers),
     "q_topk_brand" -> sqlQuery(qTopkBrand),
     "q_kill_duplicates" -> ((s, dir) => {
       registerViews(s, dir)
@@ -3865,6 +3942,8 @@ object Queries {
     "q_histogram" -> qHistogram,
     "q_exists_big_order" -> qExistsBigOrder,
     "q_median_price" -> qMedianPrice,
+    "q_fk_violations" -> qFkViolations,
+    "q_mad_outliers" -> qMadOutliers,
     "q_topk_brand" -> qTopkBrand,
     "q_kill_duplicates" -> qKillDuplicatesOracle,
     "q_drop_duplicates" -> qDropDuplicatesOracle,
