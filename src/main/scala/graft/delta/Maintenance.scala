@@ -1253,6 +1253,69 @@ object Maintenance {
         dataChange = false, preservedCols = preserved)
   }
 
+  /** OPTIMIZE HILBERT BY: rewrite the table ordered along a 2-D
+    * Hilbert curve — the locality-optimal clustering (consecutive
+    * curve positions are ADJACENT grid cells, so per-file min/max
+    * boxes are tighter than the jumping Z-curve's and 2-D box
+    * predicates prune more files; see [[graft.functions.Hilbert]]).
+    * Same contract and scale shape as [[zorder]]: one bounds agg,
+    * map-only curve index (a single HOF fold, no expression blowup),
+    * range partition on the index — no global sort, `where` scopes the
+    * pass to matching partitions. */
+  def hilbertCluster(
+      log: DeltaLog, cols: Seq[String],
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      where: Option[org.apache.spark.sql.Column] = None): Long = {
+    require(cols.size == 2, s"hilbert clustering takes exactly 2 columns, got $cols")
+    val snap = log.snapshot
+    val scopePred = where.map(w => partitionScope(log, snap, w))
+    val planned = snap.planFiles(scopePred)
+    if (planned.isEmpty) return snap.version
+    val (df, preserved) = RowTracking.preservingScan(snap, planned)
+    cols.foreach { c =>
+      require(df.columns.contains(c), s"unknown hilbert column $c")
+      val dt = df.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+        dt == org.apache.spark.sql.types.DateType ||
+        dt == org.apache.spark.sql.types.TimestampType ||
+        dt == org.apache.spark.sql.types.BooleanType,
+        s"hilbert column $c has type ${dt.simpleString}: needs a " +
+          "numeric-like type (numeric, date, timestamp, boolean)")
+    }
+    val bounds = df.agg(
+      cols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"__mn_$c"),
+        max(col(c).cast("double")).as(s"__mx_$c"))).head,
+      cols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"__mn_$c"),
+        max(col(c).cast("double")).as(s"__mx_$c"))).tail: _*).collect()(0)
+    val bits = 16 // d < 2^32: positive long with headroom
+    val scaled = cols.map { c =>
+      val mn = Option(bounds.getAs[java.lang.Double](s"__mn_$c")).map(_.toDouble).getOrElse(0.0)
+      val mx = Option(bounds.getAs[java.lang.Double](s"__mx_$c")).map(_.toDouble).getOrElse(0.0)
+      val range = if (mx > mn) mx - mn else 1.0
+      val sc = least(greatest(
+        ((col(c).cast("double") - lit(mn)) / lit(range) * lit((1 << bits) - 1)),
+        lit(0.0)), lit(((1 << bits) - 1).toDouble))
+      coalesce(floor(sc).cast("long"), lit(0L))
+    }
+    val hval = graft.functions.Hilbert.index2(scaled(0), scaled(1), bits)
+    val totalBytes = math.max(planned.map(_.size).sum, 1L)
+    val targetFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val ordered = df.withColumn("__h", hval)
+      .repartitionByRange(targetFiles, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+    if (scopePred.isDefined)
+      TransactionWriter.rewriteFiles(log, snap, planned, ordered,
+        "OPTIMIZE HILBERT BY", dataChange = false, preservedCols = preserved)
+    else
+      TransactionWriter.overwrite(log, ordered,
+        partitionBy = Some(snap.metadata.partitionColumns),
+        operation = "OPTIMIZE HILBERT BY",
+        dataChange = false, preservedCols = preserved)
+  }
+
   /** RESTORE to a previous version (delta-rs `restore`): a metadata-only
     * commit that re-adds the target version's files and removes files
     * added since — NO data is rewritten or copied, so restoring a

@@ -16,6 +16,7 @@ import graft.delta.{Clone, Constraints, DeltaLog, Maintenance, Mutations}
   * {{{
   * GRAFT VACUUM '<path>' [RETAIN <n> HOURS] [USING INVENTORY '<parquet>']
   * GRAFT OPTIMIZE '<path>' [ZORDER BY (c1, c2)] [WHERE <partition predicate>]
+  * GRAFT OPTIMIZE '<path>' HILBERT BY (c1, c2) [WHERE <partition predicate>]
   * GRAFT CHECKPOINT '<path>'
   * GRAFT REORG '<path>' APPLY PURGE                    -- drop DV debt
   * GRAFT FSCK '<path>' [DRY RUN]                       -- repair missing files
@@ -49,6 +50,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+HOURS)?(?:\s+USING\s+INVENTORY\s+'([^']+)')?\s*""".r
   private val Optimize =
     """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?(?:\s+WHERE\s+(.+?))?\s*""".r
+  private val OptimizeHilbert =
+    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+HILBERT\s+BY\s*\(([^)]+)\)(?:\s+WHERE\s+(.+?))?\s*""".r
   private val Checkpoint = """(?is)\s*GRAFT\s+CHECKPOINT\s+'([^']+)'\s*""".r
   private val Reorg =
     """(?is)\s*GRAFT\s+REORG\s+'([^']+)'\s+APPLY\s+PURGE\s*""".r
@@ -132,6 +135,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             allowZeroRetention = zeroOk, inventory = inv).size
           Seq(Row(n.toLong))
         })
+    case OptimizeHilbert(path, cs, whereSql) =>
+      GraftMaintenanceCommand(path, "optimize_hilbert",
+        Seq("version"), s => Seq(Row(Maintenance.hilbertCluster(
+          DeltaLog.forPath(s, path), cs.split(",").map(_.trim).toSeq,
+          where = Option(whereSql).map(org.apache.spark.sql.functions.expr)))))
     case Optimize(path, zcols, whereSql) =>
       GraftMaintenanceCommand(path, "optimize",
         Seq("version"), s => {

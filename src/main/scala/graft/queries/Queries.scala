@@ -2604,6 +2604,38 @@ object Queries {
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents""".stripMargin
 
+  /** Hilbert clustering, driver-verified END-TO-END: documents land in
+    * a scratch table scattered over 16 files, GRAFT OPTIMIZE HILBERT BY
+    * re-clusters on (doc_id, n_chars), and the gate proves no row was
+    * lost/duplicated plus the log-plane file count (compacted to 1 at
+    * this size). The layout-improvement property (tighter 2-D file
+    * boxes → more files pruned) is asserted in HilbertSpec, where the
+    * file count is held constant. */
+  private def qHilbertReadSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_hlb_")
+        .resolve("t").toString
+      val log = graft.delta.DeltaLog.forPath(s, tmp)
+      graft.delta.TransactionWriter.overwrite(log,
+        s.table("documents").select(col("doc_id"), col("n_chars"))
+          .repartition(16, expr("hash(doc_id)")))
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT OPTIMIZE '$tmp' HILBERT BY (doc_id, n_chars)").collect()
+      val snap = graft.delta.DeltaLog.forPath(s, tmp).snapshot
+      val nFiles = snap.addsFlat.count()
+      snap.read().agg(
+        lit(nFiles).as("num_files"),
+        count(lit(1)).as("n_rows"),
+        sum("n_chars").as("sum_chars"))
+    }
+
+  private val qHilbertReadDuck: String =
+    """SELECT CAST(1 AS BIGINT) AS num_files,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents""".stripMargin
+
   /** Per-file Bloom index, driver-verified END-TO-END: documents land
     * in a scratch Delta table keyed by a scattered md5-prefix
     * fingerprint (every file's [min,max] covers the key space — stats
@@ -3529,6 +3561,7 @@ object Queries {
     "q_catalog_read" -> qCatalogReadSpark,
     "q_optimize_read" -> qOptimizeReadSpark,
     "q_bloom_read" -> qBloomReadSpark,
+    "q_hilbert_read" -> qHilbertReadSpark,
     "q_funnel" -> qFunnelSpark,
     "q_funnel_windowed" -> qFunnelWindowedSpark,
     "q_retention" -> qRetentionSpark,
@@ -4282,6 +4315,7 @@ object Queries {
     "q_catalog_read" -> qCatalogReadDuck,
     "q_optimize_read" -> qOptimizeReadDuck,
     "q_bloom_read" -> qBloomReadDuck,
+    "q_hilbert_read" -> qHilbertReadDuck,
     "q_funnel" -> qFunnelDuck,
     "q_funnel_windowed" -> qFunnelWindowedDuck,
     "q_retention" -> qRetentionDuck,

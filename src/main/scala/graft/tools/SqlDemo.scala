@@ -251,6 +251,13 @@ object SqlDemo {
       spark.sql(s"GRAFT DROP BLOOM INDEX ON '$optwPath' (id)")
       println(s"== CREATE/DROP BLOOM INDEX: ${bFiles.size} candidates, " +
         s"$bPruned pruned, lookup parity OK ==")
+
+      // OPTIMIZE HILBERT BY: locality clustering, content preserved
+      spark.sql(s"GRAFT OPTIMIZE '$widenPath' HILBERT BY (k, v)")
+      require(spark.read.format("graftdelta").load(widenPath)
+        .agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0) == 30L,
+        "HILBERT BY must preserve content")
+      println("== OPTIMIZE HILBERT BY (k, v): content preserved ==")
       println("SqlDemo OK")
     } finally spark.stop()
   }

@@ -55,6 +55,7 @@ class DocsEmbeddingsQueriesSpec extends SparkTestBase {
     "q_weighted_sample",    // ES weighted sample over doc_id, n_chars
     "q_bloom_read",         // per-file bloom index probe over text md5
     "q_mad_outliers",       // median/MAD robust outliers over lang, n_chars
+    "q_hilbert_read",       // hilbert re-cluster over doc_id, n_chars
     "q_fingerprint")        // bag fingerprint over text
 
   private val embeddingFamilies = Seq(
