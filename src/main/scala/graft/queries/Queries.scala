@@ -933,6 +933,35 @@ object Queries {
        |FROM t""".stripMargin
   }
 
+  /** Within-language percentile rank of the quality score, in integer
+    * millionths — the normalization mixture re-weighting needs before
+    * comparing quality across languages (raw scores aren't comparable
+    * when language length/punctuation priors differ). rank·10⁶ DIV n
+    * is pure integer, tie-broken on doc_id; group-local window sorts
+    * only. Dual-dialect generator (Spark `DIV` / DuckDB `//`). */
+  private def qQualityPercentile(dialect: String): String = {
+    val size_ = if (dialect == "spark") "size" else "len"
+    val dedup = if (dialect == "spark") "array_distinct" else "list_distinct"
+    val intdiv = if (dialect == "spark") "DIV" else "//"
+    s"""WITH t AS (SELECT doc_id, lang,
+       |    CAST($size_(${toks(dialect)}) AS DOUBLE) AS nt,
+       |    CAST($size_($dedup(${toks(dialect)})) AS DOUBLE) AS nd,
+       |    CAST(length(text) AS DOUBLE) AS nc
+       |  FROM documents),
+       |q AS (SELECT doc_id, lang,
+       |  CAST(FLOOR((0.4e0 * LEAST(nt / 100.0e0, 1.0e0)
+       |      + 0.3e0 * (nd / nt)
+       |      + 0.3e0 * LEAST(((nc - nt + 1.0e0) / nt) / 8.0e0, 1.0e0)) * 1000000.0e0) AS BIGINT) AS quality_e6
+       |  FROM t),
+       |r AS (SELECT doc_id, lang, quality_e6,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY quality_e6, doc_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY lang) AS n
+       |  FROM q)
+       |SELECT doc_id, lang, quality_e6,
+       |  CAST((rn * 1000000) $intdiv n AS BIGINT) AS pct_e6
+       |FROM r""".stripMargin
+  }
+
   /** Inline DuckDB scalar for `TextFunctions.qualityScoreE6` over a
     * row of `table` (same FP evaluation order as the Spark Column and
     * the qQualityScore CTE form — engines agree bit-for-bit). */
@@ -2421,6 +2450,55 @@ object Queries {
       |  CAST(COUNT(*) AS BIGINT) AS n_users
       |FROM j GROUP BY cohort_day, k""".stripMargin
 
+  /** Last-touch attribution: each purchase attributes to the user's
+    * latest click no more than one hour earlier — an [[AsOfJoin]]
+    * application (backward direction, tolerance) rolled up per day:
+    * (day, n_purchases, n_attributed, summed click→purchase latency).
+    * The day-level left join keeps unattributed purchases countable
+    * without any row-level re-join (duplicate (user, ts) purchases
+    * stay independent rows through the as-of carry-forward). */
+  private def qAttributionSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      val ev = s.table("events").selectExpr("user_id",
+        s"${eventEpochUsSql(s, dir)} AS ets", "event_type")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ets").as("pus"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ets").as("cus"))
+      val att = graft.operators.AsOfJoin.asOf(
+        purchases, clicks, Seq("user_id"), "pus", "cus",
+        valueCols = Nil, direction = "backward",
+        tolerance = Some(lit(3600000000L)))
+      val pd = purchases
+        .groupBy(expr("pus DIV 86400000000L").as("day"))
+        .agg(count(lit(1)).as("n_purchases"))
+      val ad = att
+        .select(expr("pus DIV 86400000000L").as("day"),
+          (col("pus") - col("asof_cus")).as("__lat"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("__na"), sum(col("__lat")).as("__sl"))
+      pd.join(ad, Seq("day"), "left")
+        .select(col("day"), col("n_purchases"),
+          coalesce(col("__na"), lit(0L)).as("n_attributed"),
+          coalesce(col("__sl"), lit(0L)).as("sum_latency_us"))
+    }
+
+  private val qAttributionDuck: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+      |p AS (SELECT user_id, us AS pus FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, us AS cus FROM e WHERE event_type = 'click'),
+      |a AS (SELECT p.user_id, p.pus,
+      |  (SELECT MAX(c.cus) FROM c WHERE c.user_id = p.user_id
+      |     AND c.cus <= p.pus AND c.cus + 3600000000 >= p.pus) AS acus
+      |  FROM p)
+      |SELECT pus // 86400000000 AS day,
+      |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+      |  CAST(SUM(CASE WHEN acus IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_attributed,
+      |  CAST(COALESCE(SUM(pus - acus), 0) AS BIGINT) AS sum_latency_us
+      |FROM a GROUP BY day""".stripMargin
+
   /** Top-25 session paths ("view>click>purchase"): 30-min-gap
     * sessionization, ordered event-type sequence per session, path
     * frequency. Ties at the LIMIT boundary break on the path string —
@@ -3566,6 +3644,8 @@ object Queries {
     "q_funnel_windowed" -> qFunnelWindowedSpark,
     "q_retention" -> qRetentionSpark,
     "q_session_paths" -> qSessionPathsSpark,
+    "q_attribution" -> qAttributionSpark,
+    "q_quality_percentile" -> sqlQuery(qQualityPercentile("spark")),
     "q_decay_engagement" -> qDecayEngagementSpark,
     "q_novelty" -> qNoveltySpark,
     "q_entropy" -> qEntropySpark,
@@ -4320,6 +4400,8 @@ object Queries {
     "q_funnel_windowed" -> qFunnelWindowedDuck,
     "q_retention" -> qRetentionDuck,
     "q_session_paths" -> qSessionPathsDuck,
+    "q_attribution" -> qAttributionDuck,
+    "q_quality_percentile" -> qQualityPercentile("duck"),
     "q_decay_engagement" -> qDecayEngagementDuck,
     "q_novelty" -> qNoveltyDuck,
     "q_entropy" -> qEntropyDuck,

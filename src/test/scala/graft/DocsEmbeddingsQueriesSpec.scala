@@ -56,6 +56,7 @@ class DocsEmbeddingsQueriesSpec extends SparkTestBase {
     "q_bloom_read",         // per-file bloom index probe over text md5
     "q_mad_outliers",       // median/MAD robust outliers over lang, n_chars
     "q_hilbert_read",       // hilbert re-cluster over doc_id, n_chars
+    "q_quality_percentile", // per-lang integer percentile of quality_e6
     "q_fingerprint")        // bag fingerprint over text
 
   private val embeddingFamilies = Seq(

@@ -13,7 +13,8 @@ class EventsQueriesSpec extends SparkTestBase {
 
   for (q <- Seq("q_asof_join", "q_range_join", "q_sessionize",
       "q_updated_partitions", "q_json_extract", "q_funnel",
-      "q_retention", "q_session_paths", "q_decay_engagement"))
+      "q_retention", "q_session_paths", "q_decay_engagement",
+      "q_attribution"))
     test(s"$q analyzes and returns rows against the current events schema") {
       val df = graft.queries.Queries.queries(q)(spark, sf)
       assert(df.limit(1).collect().nonEmpty, s"$q returned no rows at sf0.001")
