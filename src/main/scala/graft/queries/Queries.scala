@@ -2383,6 +2383,45 @@ object Queries {
       |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
       |FROM u GROUP BY node""".stripMargin
 
+  /** k-core of the supplier co-occurrence graph (threshold 25 — sparse
+    * enough that peeling at k=25 takes several rounds), in the
+    * BOUNDED-ROUND replayable mode: both engines run exactly 12 peel
+    * rounds (≥ the fixpoint depth here; extra rounds are no-ops), so
+    * the result is the true k-core and the oracle is 12 unrolled
+    * relational steps. Production use runs KCore's fixpoint mode. */
+  private def qKCoreSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      val si = s.table("lineitem").select("l_orderkey", "l_suppkey").distinct()
+      val pairs = si.as("x").join(si.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_suppkey") < col("y.l_suppkey"))
+        .groupBy(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") >= 25)
+      graft.operators.KCore.core(pairs, "a", "b", k = 25, rounds = Some(12))
+    }
+
+  private val qKCoreDuck: String = {
+    // every CTE is MATERIALIZED: DuckDB inlines CTEs by default, and
+    // a_i referencing a_{i-1} twice would re-expand the whole lineitem
+    // subtree 2^12 times (observed as fd exhaustion, not just cost)
+    val head =
+      """WITH si AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |p AS MATERIALIZED (SELECT x.l_suppkey AS a, y.l_suppkey AS b, COUNT(*) AS n
+        |  FROM si x JOIN si y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_suppkey < y.l_suppkey
+        |  GROUP BY 1, 2),
+        |e AS MATERIALIZED (SELECT a, b FROM p WHERE n >= 25),
+        |u AS MATERIALIZED (SELECT a AS s, b AS d FROM e UNION ALL SELECT b, a FROM e),
+        |a0 AS MATERIALIZED (SELECT DISTINCT s AS node FROM u),""".stripMargin
+    val rounds = (1 to 12).map(i =>
+      s"a$i AS MATERIALIZED (SELECT u.s AS node FROM u JOIN a${i - 1} x ON u.s = x.node " +
+        s"JOIN a${i - 1} y ON u.d = y.node GROUP BY u.s HAVING COUNT(*) >= 25)")
+      .mkString(",\n")
+    s"$head\n$rounds\nSELECT CAST(node AS BIGINT) AS node FROM a12"
+  }
+
   /** The conversion-window funnel: same stages, but each step must
     * land within ONE HOUR of SOME feasible previous-stage event — the
     * product metric ("clicked within an hour of viewing, purchased
@@ -3651,6 +3690,7 @@ object Queries {
     "q_entropy" -> qEntropySpark,
     "q_weighted_sample" -> qWeightedSampleSpark,
     "q_triangles" -> qTrianglesSpark,
+    "q_kcore" -> qKCoreSpark,
     "q_fast_count" -> qFastCountSpark,
     "q_update_dv" -> qUpdateDvSpark,
     "q_change_feed" -> qChangeFeedSpark,
@@ -4407,6 +4447,7 @@ object Queries {
     "q_entropy" -> qEntropyDuck,
     "q_weighted_sample" -> qWeightedSampleDuck,
     "q_triangles" -> qTrianglesDuck,
+    "q_kcore" -> qKCoreDuck,
     "q_fast_count" -> qFastCountDuck,
     "q_update_dv" -> qUpdateDvDuck,
     "q_change_feed" -> qChangeFeedDuck,

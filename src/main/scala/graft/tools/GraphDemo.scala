@@ -88,6 +88,24 @@ object GraphDemo {
       require(total % 3 == 0, s"per-node sum $total is not divisible by 3")
       println(s"triangles: ${total / 3} total, ${tri.size} participating nodes")
 
+      // -- k-core: fixpoint peel vs driver-side brute peel --
+      val kk = 30
+      val kcore = graft.operators.KCore.core(edges, "a", "b", kk)
+        .collect().map(_.getLong(0)).toSet
+      val sym = scala.collection.mutable.Map.empty[Long, Set[Long]]
+        .withDefaultValue(Set.empty)
+      for ((a, b) <- edgeList) { sym(a) += b; sym(b) += a }
+      var aliveB = nodes.toSet
+      var changed = true
+      while (changed) {
+        val next = aliveB.filter(n => (sym(n) & aliveB).size >= kk)
+        changed = next != aliveB
+        aliveB = next
+      }
+      require(kcore == aliveB,
+        s"distributed $kk-core (${kcore.size}) diverges from brute (${aliveB.size})")
+      println(s"kcore(k=$kk): ${kcore.size} nodes (brute-verified)")
+
       println("GraphDemo: all invariants held")
       edges.unpersist()
     } finally spark.stop()
