@@ -1316,6 +1316,74 @@ object Maintenance {
         dataChange = false, preservedCols = preserved)
   }
 
+  /** ANALYZE: backfill min/max/nullCount stats for active files that
+    * lack them (written under a `dataSkippingNumIndexedCols` cap, by a
+    * stats-less external writer, or before a column was interesting).
+    * Without stats a file is conservatively scanned by EVERY stats
+    * predicate — on an old 100 TB table that's the difference between
+    * pruning and a full scan. LOG-ONLY: one grouped Spark pass over
+    * just the stats-less files computes the same JSON the write path
+    * renders, and one commit re-adds those entries with stats attached
+    * (`dataChange = false`, newest-add-wins replay supersedes in
+    * place) — no data file is rewritten or moved.
+    * Returns the commit version (current version if nothing to do). */
+  def analyze(log: DeltaLog): Long = {
+    val snap = log.snapshot
+    // stats cover DATA columns only (partition values live in the log);
+    // file columns use physical names under column mapping
+    val partPhys = snap.metadata.partitionColumns.map(snap.physicalNameOf).toSet
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      snap.physicalSchema.filterNot(f => partPhys.contains(f.name)))
+    val leaves = TransactionWriter.statLeaves(dataSchema)
+    // needy = stats absent, OR present but missing some stat-eligible
+    // leaf (the cap-limited common case: dataSkippingNumIndexedCols
+    // covered only a prefix). Empty files are complete by definition.
+    def covered(f: AddFile): Boolean = f.stats.exists { s =>
+      val node = JsonUtil.mapper.readTree(s)
+      if (node.path("numRecords").asLong(-1L) == 0L) true
+      else {
+        val mv = node.path("minValues")
+        !mv.isMissingNode && leaves.forall { case (p, _) =>
+          !p.split('.').foldLeft(mv)((n, seg) => n.path(seg)).isMissingNode
+        }
+      }
+    }
+    // activeFiles, not planFiles: the planning relation deliberately
+    // nulls the stats string (slimAdds) — ANALYZE both inspects and
+    // re-emits it, the documented activeFiles use case
+    val needy = snap.activeFiles.filterNot(covered)
+    if (needy.isEmpty) return snap.version
+    val aggs = count(lit(1)).as("__num") +:
+      leaves.zipWithIndex.flatMap { case ((p, _), i) =>
+        Seq(min(col(p)).as(s"__min_$i"), max(col(p)).as(s"__max_$i"),
+          sum(col(p).isNull.cast("long")).as(s"__nc_$i"))
+      }
+    val rows = log.spark.read.schema(dataSchema)
+      .parquet(needy.map(snap.absolutePath): _*)
+      .groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val byRel = rows.flatMap { r =>
+      val f = DeltaLog.decodePath(r.getAs[String]("__file"))
+      needy.find(m => f.endsWith("/" + DeltaLog.decodePath(m.path)))
+        .map(_.path -> r)
+    }.toMap
+    val readds = needy.map { f =>
+      val stats = byRel.get(f.path)
+        .map(r => TransactionWriter.renderStats(r, leaves))
+        .getOrElse("""{"numRecords":0}""")
+      AddAction(f.copy(stats = Some(stats), dataChange = false))
+    }
+    val v = snap.version + 1
+    log.commit(v,
+      CommitInfoAction(CommitInfo(System.currentTimeMillis(), "ANALYZE",
+        Map("files" -> needy.size.toString))) +: readds,
+      ictEnabled = snap.metadata.configuration
+        .get("delta.enableInCommitTimestamps").contains("true"),
+      recomputeChecksum = true)
+    v
+  }
+
   /** RESTORE to a previous version (delta-rs `restore`): a metadata-only
     * commit that re-adds the target version's files and removes files
     * added since — NO data is rewritten or copied, so restoring a

@@ -1015,7 +1015,7 @@ object TransactionWriter {
 
   /** Atomic leaf columns eligible for min/max stats, as (dotted path,
     * type); arrays/maps/binary carry no stats (see Snapshot.statsSchema). */
-  private def statLeaves(schema: StructType, prefix: String = ""): Seq[(String, DataType)] =
+  private[delta] def statLeaves(schema: StructType, prefix: String = ""): Seq[(String, DataType)] =
     schema.fields.toSeq.flatMap { f =>
       val p = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
       f.dataType match {
@@ -1028,7 +1028,7 @@ object TransactionWriter {
       }
     }
 
-  private def renderStats(r: Row, leaves: Seq[(String, DataType)]): String = {
+  private[delta] def renderStats(r: Row, leaves: Seq[(String, DataType)]): String = {
     val m = JsonUtil.mapper
     val root = m.createObjectNode()
     root.put("numRecords", r.getAs[Long]("__num"))

@@ -37,6 +37,7 @@ import graft.delta.{Clone, Constraints, DeltaLog, Maintenance, Mutations}
   * GRAFT ALTER '<path>' ALTER COLUMN <col> TYPE <widerType>
   * GRAFT ALTER '<path>' SET TBLPROPERTIES ('k' = 'v', ...)
   * GRAFT ALTER '<path>' UNSET TBLPROPERTIES ('k', ...)
+  * GRAFT ANALYZE '<path>'                          -- backfill missing file stats
   * GRAFT CREATE BLOOM INDEX ON '<path>' (<col>)    -- per-file point-lookup index
   * GRAFT DROP BLOOM INDEX ON '<path>' (<col>)
   * GRAFT REGISTER TABLE <name> LOCATION '<path>'   -- persisted across sessions
@@ -94,6 +95,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+UNREGISTER\s+TABLE\s+([\w.]+)\s*""".r
   private val RestoreTables =
     """(?is)\s*GRAFT\s+RESTORE\s+TABLES\s*""".r
+  private val Analyze =
+    """(?is)\s*GRAFT\s+ANALYZE\s+'([^']+)'\s*""".r
   private val CreateBloomIndex =
     """(?is)\s*GRAFT\s+CREATE\s+BLOOM\s+INDEX\s+ON\s+'([^']+)'\s*\((\w+)\)\s*""".r
   private val DropBloomIndex =
@@ -161,6 +164,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case Checkpoint(path) =>
       GraftMaintenanceCommand(path, "checkpoint",
         Seq("version"), s => Seq(Row(Maintenance.checkpoint(DeltaLog.forPath(s, path)))))
+    case Analyze(path) =>
+      GraftMaintenanceCommand(path, "analyze",
+        Seq("version"), s => Seq(Row(
+          Maintenance.analyze(DeltaLog.forPath(s, path)))))
     case CreateBloomIndex(path, column) =>
       GraftMaintenanceCommand(path, "create_bloom_index",
         Seq("version"), s => Seq(Row(

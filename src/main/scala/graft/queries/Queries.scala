@@ -2753,6 +2753,36 @@ object Queries {
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents""".stripMargin
 
+  /** GRAFT ANALYZE, driver-verified END-TO-END: documents land in a
+    * scratch table whose write capped stats to ZERO indexed columns
+    * (no min/max anywhere — the stats-less-legacy-table case), ANALYZE
+    * backfills the stats log-only, and the gate reads THROUGH the
+    * stats-pruned scan path — if the backfilled intervals were wrong,
+    * rows would be skipped and the content hash would fail. Pruning
+    * effectiveness itself is asserted in AnalyzeSpec. */
+  private def qAnalyzeReadSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_anl_")
+        .resolve("t").toString
+      val log = graft.delta.DeltaLog.forPath(s, tmp)
+      graft.delta.TransactionWriter.overwrite(log,
+        s.table("documents").select(col("doc_id"), col("n_chars"))
+          .repartitionByRange(8, col("n_chars")),
+        configuration = Map("delta.dataSkippingNumIndexedCols" -> "0"))
+      graft.plans.GraftSqlParser.run(s, s"GRAFT ANALYZE '$tmp'").collect()
+      val snap = graft.delta.DeltaLog.forPath(s, tmp).snapshot
+      graft.delta.Skipping.readWhere(snap, Seq(("n_chars", ">=", 2000L)))
+        .agg(count(lit(1)).as("n_rows"), sum("n_chars").as("sum_chars"),
+          min("n_chars").as("min_chars"))
+    }
+
+  private val qAnalyzeReadDuck: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(MIN(n_chars) AS BIGINT) AS min_chars
+      |FROM documents WHERE n_chars >= 2000""".stripMargin
+
   /** Per-file Bloom index, driver-verified END-TO-END: documents land
     * in a scratch Delta table keyed by a scattered md5-prefix
     * fingerprint (every file's [min,max] covers the key space — stats
@@ -3679,6 +3709,7 @@ object Queries {
     "q_optimize_read" -> qOptimizeReadSpark,
     "q_bloom_read" -> qBloomReadSpark,
     "q_hilbert_read" -> qHilbertReadSpark,
+    "q_analyze_read" -> qAnalyzeReadSpark,
     "q_funnel" -> qFunnelSpark,
     "q_funnel_windowed" -> qFunnelWindowedSpark,
     "q_retention" -> qRetentionSpark,
@@ -4436,6 +4467,7 @@ object Queries {
     "q_optimize_read" -> qOptimizeReadDuck,
     "q_bloom_read" -> qBloomReadDuck,
     "q_hilbert_read" -> qHilbertReadDuck,
+    "q_analyze_read" -> qAnalyzeReadDuck,
     "q_funnel" -> qFunnelDuck,
     "q_funnel_windowed" -> qFunnelWindowedDuck,
     "q_retention" -> qRetentionDuck,

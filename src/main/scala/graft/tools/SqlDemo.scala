@@ -252,6 +252,24 @@ object SqlDemo {
       println(s"== CREATE/DROP BLOOM INDEX: ${bFiles.size} candidates, " +
         s"$bPruned pruned, lookup parity OK ==")
 
+      // ANALYZE: stats backfill on a zero-indexed-cols table
+      val anlPath = s"$dir/analyze_table"
+      graft.delta.TransactionWriter.overwrite(
+        graft.delta.DeltaLog.forPath(spark, anlPath),
+        (1L to 40L).map(i => (i, i * 2)).toDF("k", "v")
+          .repartitionByRange(4, org.apache.spark.sql.functions.col("v")),
+        configuration = Map("delta.dataSkippingNumIndexedCols" -> "0"))
+      spark.sql(s"GRAFT ANALYZE '$anlPath'")
+      val anlSnap = graft.delta.DeltaLog.forPath(spark, anlPath).snapshot
+      val anlPruned = graft.delta.Skipping
+        .prunedFiles(anlSnap, Seq(("v", ">", 60L))).size
+      require(anlPruned < anlSnap.planFiles().size,
+        s"ANALYZE-backfilled stats must prune: $anlPruned files")
+      require(graft.delta.Skipping.readWhere(anlSnap, Seq(("v", ">", 60L)))
+        .count() == 10L, "pruned read must return exactly the matches")
+      println(s"== ANALYZE: backfilled stats prune to $anlPruned of " +
+        s"${anlSnap.planFiles().size} files ==")
+
       // OPTIMIZE HILBERT BY: locality clustering, content preserved
       spark.sql(s"GRAFT OPTIMIZE '$widenPath' HILBERT BY (k, v)")
       require(spark.read.format("graftdelta").load(widenPath)
