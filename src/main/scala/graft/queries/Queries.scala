@@ -3504,6 +3504,44 @@ object Queries {
       graft.operators.IncrementalAgg.applyDelta(
         base, delta, Seq("source"), "n_docs", "sum_chars")
     }),
+    // Incremental JOIN-view maintenance, driver-verified END-TO-END:
+    // view = orders ⨝ customer kept fresh from BOTH tables' change
+    // feeds (fact append + DELETE, dim UPDATE + DELETE) without a view
+    // rebuild — fact changes re-join the new dim, dim changes re-derive
+    // only the referencing fact rows, dim deletes drop them (inner-join
+    // semantics). The oracle recomputes the final join from parquet.
+    "q_incr_join" -> ((s, dir) => {
+      registerViews(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft_ij_")
+      val factLog = graft.delta.DeltaLog.forPath(s, base.resolve("f").toString)
+      val dimLog = graft.delta.DeltaLog.forPath(s, base.resolve("d").toString)
+      val orders = s.table("orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val cust = s.table("customer").select("c_custkey", "c_mktsegment")
+      graft.delta.TransactionWriter.overwrite(factLog,
+        orders.where(col("o_orderkey") % 3 =!= 2))                     // f v0
+      graft.delta.ChangeDataFeed.enable(factLog)                       // f v1
+      graft.delta.TransactionWriter.overwrite(dimLog, cust)            // d v0
+      graft.delta.ChangeDataFeed.enable(dimLog)                        // d v1
+      val view0 = factLog.snapshotAt(1).read().join(
+        dimLog.snapshotAt(1).read()
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        Seq("o_custkey"))
+      graft.delta.TransactionWriter.append(factLog,
+        orders.where(col("o_orderkey") % 3 === 2))                     // f v2
+      graft.delta.Mutations.delete(factLog, col("o_orderkey") % 7 === 0) // f v3
+      graft.delta.Mutations.update(dimLog, col("c_custkey") % 10 === 5,
+        Map("c_mktsegment" -> lit("X")))                               // d v2
+      graft.delta.Mutations.delete(dimLog, col("c_custkey") % 13 === 3) // d v3
+      val (touched, upserts) = graft.operators.IncrementalJoin.viewDelta(
+        graft.delta.ChangeDataFeed.tableChanges(factLog, 2),
+        graft.delta.ChangeDataFeed.tableChanges(dimLog, 2),
+        factLog.snapshot.read(), dimLog.snapshot.read(),
+        factPk = Seq("o_orderkey"), fk = "o_custkey", dimPk = "c_custkey",
+        dimCols = Seq("c_mktsegment"))
+      graft.operators.IncrementalJoin.applyDelta(
+        view0, touched, upserts, Seq("o_orderkey"))
+    }),
     // Streaming-maintained materialized rollup: the CDF stream of a
     // scratch table (initial snapshot as inserts, then a DELETE and an
     // UPDATE) MERGEs signed per-key deltas into a rollup Delta table
@@ -4315,6 +4353,12 @@ object Queries {
       """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(CASE WHEN doc_id % 10 = 5 THEN 0 ELSE n_chars END) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id % 7 <> 0 GROUP BY source""".stripMargin,
+    "q_incr_join" ->
+      """SELECT o.o_custkey, o.o_orderkey, o.o_totalprice,
+        |  CASE WHEN c.c_custkey % 10 = 5 THEN 'X' ELSE c.c_mktsegment END
+        |    AS c_mktsegment
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderkey % 7 <> 0 AND c.c_custkey % 13 <> 3""".stripMargin,
     "q_stream_incr_agg" ->
       """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(CASE WHEN doc_id % 9 = 4 THEN 100 ELSE n_chars END) AS BIGINT) AS sum_chars
