@@ -38,6 +38,8 @@ import graft.delta.{Clone, Constraints, DeltaLog, Maintenance, Mutations}
   * GRAFT ALTER '<path>' SET TBLPROPERTIES ('k' = 'v', ...)
   * GRAFT ALTER '<path>' UNSET TBLPROPERTIES ('k', ...)
   * GRAFT ANALYZE '<path>'                          -- backfill missing file stats
+  * GRAFT CREATE MATVIEW '<view>' FROM '<src>' KEYS (k, ...) SUM (valueCol)
+  * GRAFT REFRESH MATVIEW '<view>'                  -- fold the source CDF since the watermark
   * GRAFT CREATE BLOOM INDEX ON '<path>' (<col>)    -- per-file point-lookup index
   * GRAFT DROP BLOOM INDEX ON '<path>' (<col>)
   * GRAFT REGISTER TABLE <name> LOCATION '<path>'   -- persisted across sessions
@@ -97,6 +99,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+RESTORE\s+TABLES\s*""".r
   private val Analyze =
     """(?is)\s*GRAFT\s+ANALYZE\s+'([^']+)'\s*""".r
+  private val CreateMatView =
+    """(?is)\s*GRAFT\s+CREATE\s+MATVIEW\s+'([^']+)'\s+FROM\s+'([^']+)'\s+KEYS\s*\(([^)]+)\)\s+SUM\s*\((\w+)\)\s*""".r
+  private val RefreshMatView =
+    """(?is)\s*GRAFT\s+REFRESH\s+MATVIEW\s+'([^']+)'\s*""".r
   private val CreateBloomIndex =
     """(?is)\s*GRAFT\s+CREATE\s+BLOOM\s+INDEX\s+ON\s+'([^']+)'\s*\((\w+)\)\s*""".r
   private val DropBloomIndex =
@@ -164,6 +170,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case Checkpoint(path) =>
       GraftMaintenanceCommand(path, "checkpoint",
         Seq("version"), s => Seq(Row(Maintenance.checkpoint(DeltaLog.forPath(s, path)))))
+    case CreateMatView(viewPath, srcPath, keys, valueCol) =>
+      GraftMaintenanceCommand(viewPath, "create_matview",
+        Seq("source_version"), s => Seq(Row(
+          graft.delta.MatView.create(s, viewPath, srcPath,
+            keys.split(",").map(_.trim).toSeq, valueCol))))
+    case RefreshMatView(viewPath) =>
+      GraftMaintenanceCommand(viewPath, "refresh_matview",
+        Seq("source_version"), s => Seq(Row(
+          graft.delta.MatView.refresh(s, viewPath))))
     case Analyze(path) =>
       GraftMaintenanceCommand(path, "analyze",
         Seq("version"), s => Seq(Row(

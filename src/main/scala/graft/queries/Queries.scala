@@ -3542,6 +3542,38 @@ object Queries {
       graft.operators.IncrementalJoin.applyDelta(
         view0, touched, upserts, Seq("o_orderkey"))
     }),
+    // Persisted materialized view, driver-verified END-TO-END: CREATE
+    // MATVIEW builds the rollup and pins the source watermark on the
+    // view table; two rounds of source mutations each fold in via
+    // REFRESH MATVIEW (CDF slice + signed MERGE, O(changes)); a third
+    // refresh with nothing new is a watermark no-op. The oracle
+    // recomputes the final rollup from parquet.
+    "q_matview" -> ((s, dir) => {
+      registerViews(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft_mv_")
+      val srcPath = base.resolve("src").toString
+      val viewPath = base.resolve("view").toString
+      val src = graft.delta.DeltaLog.forPath(s, srcPath)
+      val docs = s.table("documents").select("doc_id", "source", "n_chars")
+      graft.delta.TransactionWriter.overwrite(src,
+        docs.where(col("doc_id") % 4 =!= 3))                           // v0
+      graft.delta.ChangeDataFeed.enable(src)                           // v1
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT CREATE MATVIEW '$viewPath' FROM '$srcPath' " +
+          "KEYS (source) SUM (n_chars)").collect()
+      graft.delta.TransactionWriter.append(src,
+        docs.where(col("doc_id") % 4 === 3))                           // v2
+      graft.delta.Mutations.delete(src, col("doc_id") % 11 === 0)      // v3
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT REFRESH MATVIEW '$viewPath'").collect()
+      graft.delta.Mutations.update(src, col("doc_id") % 9 === 2,
+        Map("n_chars" -> lit(7L)))                                     // v4
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT REFRESH MATVIEW '$viewPath'").collect()
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT REFRESH MATVIEW '$viewPath'").collect()               // no-op
+      graft.delta.DeltaLog.forPath(s, viewPath).snapshot.read()
+    }),
     // Streaming-maintained materialized rollup: the CDF stream of a
     // scratch table (initial snapshot as inserts, then a DELETE and an
     // UPDATE) MERGEs signed per-key deltas into a rollup Delta table
@@ -4353,6 +4385,12 @@ object Queries {
       """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(CASE WHEN doc_id % 10 = 5 THEN 0 ELSE n_chars END) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id % 7 <> 0 GROUP BY source""".stripMargin,
+    "q_matview" ->
+      """SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN doc_id % 9 = 2 THEN 7 ELSE n_chars END)
+        |    AS BIGINT) AS sum_value
+        |FROM documents WHERE doc_id % 11 <> 0 GROUP BY source""".stripMargin,
     "q_incr_join" ->
       """SELECT o.o_custkey, o.o_orderkey, o.o_totalprice,
         |  CASE WHEN c.c_custkey % 10 = 5 THEN 'X' ELSE c.c_mktsegment END

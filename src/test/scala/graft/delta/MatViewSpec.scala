@@ -1,0 +1,69 @@
+package graft.delta
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class MatViewSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def rollup(path: String): Map[String, (Long, Long)] =
+    DeltaLog.forPath(spark, path).snapshot.read()
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("sum_value")))).toMap
+
+  test("create + refresh folds changes; a crashed refresh cannot double-count") {
+    val base = java.nio.file.Files.createTempDirectory("graft-mv")
+    val srcPath = base.resolve("src").toString
+    val viewPath = base.resolve("view").toString
+    val src = DeltaLog.forPath(spark, srcPath)
+    TransactionWriter.overwrite(src,
+      Seq(("a", 10L), ("a", 20L), ("b", 5L)).toDF("k", "v"))     // v0
+    ChangeDataFeed.enable(src)                                    // v1
+    MatView.create(spark, viewPath, srcPath, Seq("k"), "v")
+    assert(rollup(viewPath) == Map("a" -> ((2L, 30L)), "b" -> ((1L, 5L))))
+
+    TransactionWriter.append(src, Seq(("b", 7L)).toDF("k", "v")) // v2
+    Mutations.delete(src, col("v") === 10L)                      // v3
+    val wm = MatView.refresh(spark, viewPath)
+    assert(wm == 3L)
+    assert(rollup(viewPath) == Map("a" -> ((1L, 20L)), "b" -> ((2L, 12L))))
+
+    // crash simulation: roll the watermark back as if the refresh
+    // died between its merge and its domain commit — the re-run's
+    // merge must be a txn-marker no-op, then repair the watermark
+    Domains.set(DeltaLog.forPath(spark, viewPath), MatView.StateDomain,
+      """{"sourceVersion":1}""")
+    assert(MatView.refresh(spark, viewPath) == 3L)
+    assert(rollup(viewPath) == Map("a" -> ((1L, 20L)), "b" -> ((2L, 12L))),
+      "replayed refresh must not double-count")
+    // nothing new: watermark unchanged, no merge
+    val vBefore = DeltaLog.forPath(spark, viewPath).snapshot.version
+    assert(MatView.refresh(spark, viewPath) == 3L)
+    assert(DeltaLog.forPath(spark, viewPath).snapshot.version == vBefore)
+
+    // the hard crash case: watermark rolled back AND the source moved
+    // on — the fold must start at the MARKER (3), not the stale
+    // watermark (1), or the v2/v3 window would double-count
+    Domains.set(DeltaLog.forPath(spark, viewPath), MatView.StateDomain,
+      """{"sourceVersion":1}""")
+    TransactionWriter.append(src, Seq(("a", 100L)).toDF("k", "v")) // v4
+    assert(MatView.refresh(spark, viewPath) == 4L)
+    assert(rollup(viewPath) ==
+      Map("a" -> ((2L, 120L)), "b" -> ((2L, 12L))),
+      "post-crash refresh must fold only the unmerged window")
+  }
+
+  test("create rejects a source without CDF; refresh rejects non-matviews") {
+    val base = java.nio.file.Files.createTempDirectory("graft-mv-err")
+    val srcPath = base.resolve("src").toString
+    val src = DeltaLog.forPath(spark, srcPath)
+    TransactionWriter.overwrite(src, Seq(("a", 1L)).toDF("k", "v"))
+    intercept[IllegalArgumentException] {
+      MatView.create(spark, base.resolve("view").toString, srcPath,
+        Seq("k"), "v")
+    }
+    intercept[IllegalArgumentException] {
+      MatView.refresh(spark, srcPath) // a plain table, not a matview
+    }
+  }
+}
