@@ -80,4 +80,29 @@ object IncrementalAgg {
         (coalesce(col(sumCol), lit(0L)) +
           coalesce(col("__d_sum"), lit(0L))).as(sumCol)): _*)
       .where(col(countCol) > 0)
+
+  /** Delta-key RECOMPUTE — incremental maintenance for aggregates with
+    * no inverse (MIN/MAX, countDistinct, percentiles): a deleted row
+    * cannot be retracted from a running MIN, so the keys the change
+    * slice touches are re-aggregated FROM THE SOURCE and swapped into
+    * the rollup wholesale. Still O(rows of changed keys), never a
+    * table rescan: the source pass is a semi-join against the (small)
+    * changed-key set — at 100 TB a rollup key that's also the table's
+    * partition/cluster key makes that pass partition-pruned.
+    *
+    * `aggs` are ordinary aggregate Columns (already aliased); keys
+    * that vanish from the source drop from the rollup (the semi-join
+    * yields no row). Returns the maintained rollup. */
+  def rederiveKeys(
+      base: DataFrame, source: DataFrame, changes: DataFrame,
+      keyCols: Seq[String], aggs: Seq[Column]): DataFrame = {
+    require(aggs.nonEmpty, "need at least one aggregate")
+    val changedKeys = changes.select(keyCols.map(col): _*).distinct()
+    val recomputed = source
+      .join(changedKeys, keyCols, "left_semi")
+      .groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    base.join(changedKeys, keyCols, "left_anti")
+      .unionByName(recomputed)
+  }
 }

@@ -3542,6 +3542,34 @@ object Queries {
       graft.operators.IncrementalJoin.applyDelta(
         view0, touched, upserts, Seq("o_orderkey"))
     }),
+    // Delta-key RECOMPUTE maintenance for non-invertible aggregates,
+    // driver-verified END-TO-END: the base (count, MIN, MAX) rollup is
+    // maintained through a DELETE that removes group maxima (a signed
+    // fold cannot retract a MAX) and an UPDATE that moves minima — the
+    // touched keys re-aggregate from the source, untouched keys keep
+    // their base rows; the oracle recomputes the final rollup.
+    "q_incr_minmax" -> ((s, dir) => {
+      registerViews(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_imm_")
+        .resolve("t").toString
+      val log = graft.delta.DeltaLog.forPath(s, tmp)
+      val docs = s.table("documents").select("doc_id", "source", "n_chars")
+      graft.delta.TransactionWriter.overwrite(log, docs)               // v0
+      graft.delta.ChangeDataFeed.enable(log)                           // v1
+      val base = log.snapshotAt(1).read()
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"))
+      graft.delta.Mutations.delete(log, col("n_chars") >= 4000)        // v2
+      graft.delta.Mutations.update(log, col("doc_id") % 9 === 2,
+        Map("n_chars" -> lit(7L)))                                     // v3
+      graft.operators.IncrementalAgg.rederiveKeys(
+        base, log.snapshot.read(),
+        graft.delta.ChangeDataFeed.tableChanges(log, 2),
+        Seq("source"),
+        Seq(count(lit(1)).as("n_docs"), min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars")))
+    }),
     // Persisted materialized view, driver-verified END-TO-END: CREATE
     // MATVIEW builds the rollup and pins the source watermark on the
     // view table; two rounds of source mutations each fold in via
@@ -4385,6 +4413,13 @@ object Queries {
       """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(CASE WHEN doc_id % 10 = 5 THEN 0 ELSE n_chars END) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id % 7 <> 0 GROUP BY source""".stripMargin,
+    "q_incr_minmax" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(MIN(CASE WHEN doc_id % 9 = 2 THEN 7 ELSE n_chars END)
+        |    AS BIGINT) AS min_chars,
+        |  CAST(MAX(CASE WHEN doc_id % 9 = 2 THEN 7 ELSE n_chars END)
+        |    AS BIGINT) AS max_chars
+        |FROM documents WHERE n_chars < 4000 GROUP BY source""".stripMargin,
     "q_matview" ->
       """SELECT source,
         |  CAST(COUNT(*) AS BIGINT) AS n_rows,

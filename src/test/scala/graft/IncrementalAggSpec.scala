@@ -145,4 +145,28 @@ class IncrementalAggSpec extends SparkTestBase {
       .groupBy("source").agg(count(lit(1)).as("n"), sum("v").as("s"))
     assertSameRows(maintained, full, "incremental vs full recompute")
   }
+
+  test("rederiveKeys maintains MIN/MAX through max-killing deletes") {
+    import spark.implicits._
+    // base rollup over (k, v); then delete the max of group a and ALL
+    // of group b, insert a new min into group c — every case a signed
+    // fold cannot express for MIN/MAX
+    val source0 = Seq(("a", 10L), ("a", 50L), ("b", 5L), ("c", 20L))
+      .toDF("k", "v")
+    val base = source0.groupBy("k")
+      .agg(count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"))
+    val sourceNew = Seq(("a", 10L), ("c", 20L), ("c", 1L)).toDF("k", "v")
+    val changes = Seq(
+      ("a", 50L, "delete"), ("b", 5L, "delete"), ("c", 1L, "insert"))
+      .toDF("k", "v", "_change_type")
+    val got = IncrementalAgg.rederiveKeys(
+        base, sourceNew, changes, Seq("k"),
+        Seq(count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      "a" -> ((1L, 10L, 10L)),   // max retracted, re-derived
+      "c" -> ((2L, 1L, 20L))),   // new min folded in; b vanished
+      s"got $got")
+  }
 }
