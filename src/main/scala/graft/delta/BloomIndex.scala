@@ -30,12 +30,19 @@ import org.apache.spark.sql.graftshims.SqlShims
   * IO but never correctness. Rebuild after large ingests to restore
   * selectivity.
   *
-  * Scale shape: the build is ONE distributed scan — per-file filters
-  * come from groupBy on the scan's row-lineage file column (map-side
-  * partial Bloom merge; DV-deleted rows never enter the filter). The
-  * sidecar is file-count-sized, i.e. planner-scale: probing it on the
-  * driver is the same order of work as the stats pruning the reader
-  * already does per query.
+  * The build hashes the files' PHYSICAL rows (raw parquet, including
+  * rows currently masked by a deletion vector): the filter describes
+  * the FILE, like delta's min/max stats, so it stays a superset under
+  * every log-plane operation — in particular RESTORE re-adding a file
+  * without its DV resurfaces rows that are already in the filter
+  * (false positives only, never a lost row).
+  *
+  * Scale shape: the build is ONE distributed scan with map-side
+  * partial Bloom merge per file. The sidecar is file-count-sized; the
+  * probe evaluates DISTRIBUTED over that relation (a per-filter
+  * deserialize + test — an index-plane UDF over file-count rows, not
+  * a data-plane one) and only the pruned path strings come back to
+  * the driver.
   */
 object BloomIndex {
 
@@ -55,14 +62,27 @@ object BloomIndex {
     require(snap.schema.fieldNames.contains(column),
       s"column $column not in table schema " +
         snap.schema.fieldNames.mkString("[", ", ", "]"))
+    require(!snap.metadata.partitionColumns.contains(column),
+      s"$column is a partition column — partition pruning already " +
+        "answers equality on it; a Bloom index adds nothing")
     val perFile =
       if (expectedItemsPerFile > 0) expectedItemsPerFile
       else Option(snap.addsFlat.agg(max(col("num_records"))).head.get(0))
         .map(_.asInstanceOf[Long]).filter(_ > 0).getOrElse(1L << 20)
-    snap.readFilesLineage(snap.planFiles())
-      .groupBy(col("__file").as("file_path"))
+    val files = snap.planFiles()
+    if (files.isEmpty) return snap.version
+    // PHYSICAL rows: read the parquet directly (physical column name
+    // under column mapping), so DV-masked rows stay in the filter and
+    // RESTORE can never resurface a row the filter doesn't know
+    val phys = snap.physicalNameOf(column)
+    val partPhys = snap.metadata.partitionColumns.map(snap.physicalNameOf).toSet
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      snap.physicalSchema.filterNot(f => partPhys.contains(f.name)))
+    log.spark.read.schema(dataSchema)
+      .parquet(files.map(snap.absolutePath): _*)
+      .groupBy(input_file_name().as("file_path"))
       .agg(count(lit(1)).as("n_rows"),
-        SqlShims.bloomFilterAgg(xxhash64(col(column)), perFile).as("bloom"))
+        SqlShims.bloomFilterAgg(xxhash64(col(phys)), perFile).as("bloom"))
       .withColumn("version", lit(snap.version))
       .write.mode("overwrite").parquet(indexDir(log, column))
     snap.version
@@ -77,23 +97,32 @@ object BloomIndex {
     require(values.nonEmpty, "need at least one probe value")
     val snap = log.snapshot
     val all = snap.planFiles()
-    val sidecar: Array[Row] =
+    val sidecar: DataFrame =
       try log.spark.read.parquet(indexDir(log, column))
-        .select("file_path", "bloom").collect()
+        .select("file_path", "bloom")
       catch { case _: org.apache.spark.sql.AnalysisException =>
         return (all, 0L) } // no index built: full candidate set
-    // hash the probes EXACTLY as the build did (Spark's xxhash64)
+    // hash the probes EXACTLY as the build did: Spark's xxhash64 over
+    // the column's OWN type (an untyped literal would hash through a
+    // different width and wrongly prune files that contain the value)
+    val dt = snap.schema(column).dataType
     val hashed = log.spark.range(1)
-      .select(values.map(v => xxhash64(lit(v))): _*)
+      .select(values.map(v => xxhash64(lit(v).cast(dt))): _*)
       .head.toSeq.map(_.asInstanceOf[Long])
-    val negative = sidecar.iterator.flatMap { r =>
-      Option(r.getAs[Array[Byte]]("bloom")).flatMap { bytes =>
+    // evaluate the filters DISTRIBUTED over the file-count-sized
+    // sidecar (per-row blooms can't feed BloomFilterMightContain — its
+    // bloom side must be foldable — so this is a deliberate
+    // index-plane UDF); only pruned paths return to the driver
+    val probe = udf { bytes: Array[Byte] =>
+      bytes != null && {
         val bf = org.apache.spark.util.sketch.BloomFilter
           .readFrom(new java.io.ByteArrayInputStream(bytes))
-        if (hashed.exists(bf.mightContainLong)) None
-        else Some(Mutations.normalize(r.getString(0)))
+        !hashed.exists(bf.mightContainLong)
       }
-    }.toSet
+    }
+    val negative = sidecar.where(probe(col("bloom")))
+      .select("file_path").collect()
+      .map(r => Mutations.normalize(r.getString(0))).toSet
     val kept = all.filterNot(f =>
       snap.pathCandidates(f).map(Mutations.normalize).exists(negative))
     (kept, (all.size - kept.size).toLong)

@@ -1193,63 +1193,84 @@ object Maintenance {
       targetFileBytes: Long = 128L * 1024 * 1024,
       where: Option[org.apache.spark.sql.Column] = None): Long = {
     require(zCols.nonEmpty && zCols.size <= 4, "zorder needs 1-4 columns")
-    val snap = log.snapshot
-    val scopePred = where.map(w => partitionScope(log, snap, w))
-    val planned = snap.planFiles(scopePred)
-    if (planned.isEmpty) return snap.version
-    val (df, preserved) = RowTracking.preservingScan(snap, planned)
-    zCols.foreach { c =>
-      require(df.columns.contains(c), s"unknown zorder column $c")
-      val dt = df.schema(c).dataType
-      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
-        dt == org.apache.spark.sql.types.DateType ||
-        dt == org.apache.spark.sql.types.TimestampType ||
-        dt == org.apache.spark.sql.types.BooleanType,
-        s"zorder column $c has type ${dt.simpleString}: the interleave " +
-          "uses linear min/max normalization, which needs a numeric-like " +
-          "type (numeric, date, timestamp, boolean)")
-    }
-    val bounds = df.agg(
-      zCols.flatMap(c => Seq(
-        min(col(c).cast("double")).as(s"__mn_$c"),
-        max(col(c).cast("double")).as(s"__mx_$c"))).head,
-      zCols.flatMap(c => Seq(
-        min(col(c).cast("double")).as(s"__mn_$c"),
-        max(col(c).cast("double")).as(s"__mx_$c"))).tail: _*).collect()(0)
     val nc = zCols.size
     // total interleaved bits must stay < 63 (Long, positive): 16 bits
     // per column up to 3 columns, 15 for 4 — math.pow at bit 63 would
     // saturate and wrap the z-value negative
     val bits = math.min(16, 62 / nc)
-    val zParts = zCols.zipWithIndex.map { case (c, ci) =>
+    clusterRewrite(log, zCols, bits, scaled =>
+      scaled.zipWithIndex.map { case (v, ci) =>
+        (0 until bits).map { i =>
+          (floor(v / lit(1L << i)) % 2).cast("long") * lit(1L << (i * nc + ci))
+        }.reduce(_ + _)
+      }.reduce(_ + _),
+      "OPTIMIZE ZORDER BY", targetFileBytes, where)
+  }
+
+  /** Shared clustering-rewrite scaffolding for the curve layouts
+    * ([[zorder]], [[hilbertCluster]]): partition scoping, numeric-like
+    * validation, ONE bounds aggregation, linear min/max scaling of
+    * each column to [0, 2^bits) longs (nulls scale to 0; dates go
+    * through unix_date — a DATE cannot cast to DOUBLE directly), the
+    * curve expression supplied by the caller, and a range partition +
+    * within-partition sort on the curve value — distributed end to
+    * end, no global sort. */
+  private def clusterRewrite(
+      log: DeltaLog, cols: Seq[String], bits: Int,
+      curve: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column,
+      opName: String, targetFileBytes: Long,
+      where: Option[org.apache.spark.sql.Column]): Long = {
+    val snap = log.snapshot
+    val scopePred = where.map(w => partitionScope(log, snap, w))
+    val planned = snap.planFiles(scopePred)
+    if (planned.isEmpty) return snap.version
+    val (df, preserved) = RowTracking.preservingScan(snap, planned)
+    def numeric(c: String): org.apache.spark.sql.Column =
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.DateType =>
+          unix_date(col(c)).cast("double")
+        case _ => col(c).cast("double")
+      }
+    cols.foreach { c =>
+      require(df.columns.contains(c), s"unknown clustering column $c")
+      val dt = df.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+        dt == org.apache.spark.sql.types.DateType ||
+        dt == org.apache.spark.sql.types.TimestampType ||
+        dt == org.apache.spark.sql.types.BooleanType,
+        s"clustering column $c has type ${dt.simpleString}: the curve " +
+          "uses linear min/max normalization, which needs a numeric-like " +
+          "type (numeric, date, timestamp, boolean)")
+    }
+    val boundAggs = cols.flatMap(c => Seq(
+      min(numeric(c)).as(s"__mn_$c"), max(numeric(c)).as(s"__mx_$c")))
+    val bounds = df.agg(boundAggs.head, boundAggs.tail: _*).collect()(0)
+    val scaled = cols.map { c =>
       val mn = Option(bounds.getAs[java.lang.Double](s"__mn_$c")).map(_.toDouble).getOrElse(0.0)
       val mx = Option(bounds.getAs[java.lang.Double](s"__mx_$c")).map(_.toDouble).getOrElse(0.0)
       val range = if (mx > mn) mx - mn else 1.0
-      // linear 16-bit normalization; nulls sort first (scaled 0)
-      val scaled = least(greatest(
-        ((col(c).cast("double") - lit(mn)) / lit(range) * lit((1 << bits) - 1)),
+      // linear normalization to [0, 2^bits); nulls sort first (0)
+      val sc = least(greatest(
+        ((numeric(c) - lit(mn)) / lit(range) * lit((1 << bits) - 1)),
         lit(0.0)), lit(((1 << bits) - 1).toDouble))
-      val v = coalesce(floor(scaled).cast("long"), lit(0L))
-      (0 until bits).map { i =>
-        (floor(v / lit(1L << i)) % 2).cast("long") * lit(1L << (i * nc + ci))
-      }.reduce(_ + _)
+      coalesce(floor(sc).cast("long"), lit(0L))
     }
-    val zval = zParts.reduce(_ + _)
+    val curveVal = curve(scaled)
     val totalBytes = math.max(planned.map(_.size).sum, 1L)
     val targetFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val ordered = df.withColumn("__z", zval)
-      .repartitionByRange(targetFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
+    val ordered = df.withColumn("__curve", curveVal)
+      .repartitionByRange(targetFiles, col("__curve"))
+      .sortWithinPartitions("__curve")
+      .drop("__curve")
     if (scopePred.isDefined)
       // scoped pass: swap ONLY the matched files, like compactSmall —
       // the rest of the table's layout (and log entries) are untouched
       TransactionWriter.rewriteFiles(log, snap, planned, ordered,
-        "OPTIMIZE ZORDER BY", dataChange = false, preservedCols = preserved)
+        opName, dataChange = false, preservedCols = preserved)
     else
       TransactionWriter.overwrite(log, ordered,
         partitionBy = Some(snap.metadata.partitionColumns),
-        operation = "OPTIMIZE ZORDER BY",
+        operation = opName,
         dataChange = false, preservedCols = preserved)
   }
 
@@ -1267,53 +1288,9 @@ object Maintenance {
       targetFileBytes: Long = 128L * 1024 * 1024,
       where: Option[org.apache.spark.sql.Column] = None): Long = {
     require(cols.size == 2, s"hilbert clustering takes exactly 2 columns, got $cols")
-    val snap = log.snapshot
-    val scopePred = where.map(w => partitionScope(log, snap, w))
-    val planned = snap.planFiles(scopePred)
-    if (planned.isEmpty) return snap.version
-    val (df, preserved) = RowTracking.preservingScan(snap, planned)
-    cols.foreach { c =>
-      require(df.columns.contains(c), s"unknown hilbert column $c")
-      val dt = df.schema(c).dataType
-      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
-        dt == org.apache.spark.sql.types.DateType ||
-        dt == org.apache.spark.sql.types.TimestampType ||
-        dt == org.apache.spark.sql.types.BooleanType,
-        s"hilbert column $c has type ${dt.simpleString}: needs a " +
-          "numeric-like type (numeric, date, timestamp, boolean)")
-    }
-    val bounds = df.agg(
-      cols.flatMap(c => Seq(
-        min(col(c).cast("double")).as(s"__mn_$c"),
-        max(col(c).cast("double")).as(s"__mx_$c"))).head,
-      cols.flatMap(c => Seq(
-        min(col(c).cast("double")).as(s"__mn_$c"),
-        max(col(c).cast("double")).as(s"__mx_$c"))).tail: _*).collect()(0)
-    val bits = 16 // d < 2^32: positive long with headroom
-    val scaled = cols.map { c =>
-      val mn = Option(bounds.getAs[java.lang.Double](s"__mn_$c")).map(_.toDouble).getOrElse(0.0)
-      val mx = Option(bounds.getAs[java.lang.Double](s"__mx_$c")).map(_.toDouble).getOrElse(0.0)
-      val range = if (mx > mn) mx - mn else 1.0
-      val sc = least(greatest(
-        ((col(c).cast("double") - lit(mn)) / lit(range) * lit((1 << bits) - 1)),
-        lit(0.0)), lit(((1 << bits) - 1).toDouble))
-      coalesce(floor(sc).cast("long"), lit(0L))
-    }
-    val hval = graft.functions.Hilbert.index2(scaled(0), scaled(1), bits)
-    val totalBytes = math.max(planned.map(_.size).sum, 1L)
-    val targetFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val ordered = df.withColumn("__h", hval)
-      .repartitionByRange(targetFiles, col("__h"))
-      .sortWithinPartitions("__h")
-      .drop("__h")
-    if (scopePred.isDefined)
-      TransactionWriter.rewriteFiles(log, snap, planned, ordered,
-        "OPTIMIZE HILBERT BY", dataChange = false, preservedCols = preserved)
-    else
-      TransactionWriter.overwrite(log, ordered,
-        partitionBy = Some(snap.metadata.partitionColumns),
-        operation = "OPTIMIZE HILBERT BY",
-        dataChange = false, preservedCols = preserved)
+    clusterRewrite(log, cols, bits = 16,
+      scaled => graft.functions.Hilbert.index2(scaled(0), scaled(1), 16),
+      "OPTIMIZE HILBERT BY", targetFileBytes, where)
   }
 
   /** ANALYZE: backfill min/max/nullCount stats for active files that
@@ -1363,21 +1340,34 @@ object Maintenance {
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
-    val byRel = rows.flatMap { r =>
-      val f = DeltaLog.decodePath(r.getAs[String]("__file"))
-      needy.find(m => f.endsWith("/" + DeltaLog.decodePath(m.path)))
+    // attribute scan rows back to AddFiles through the same
+    // pathCandidates-normalized index the mutation path uses — an
+    // endsWith match misses absolute-URI entries (shallow clones), and
+    // fabricating stats for an unmatched file would be silent data
+    // loss at read time (a wrong numRecords:0 prunes the file forever)
+    val idx = Mutations.fileIndex(snap, needy)
+    val byPath = rows.flatMap { r =>
+      idx.get(Mutations.normalize(r.getAs[String]("__file")))
         .map(_.path -> r)
     }.toMap
-    val readds = needy.map { f =>
-      val stats = byRel.get(f.path)
-        .map(r => TransactionWriter.renderStats(r, leaves))
-        .getOrElse("""{"numRecords":0}""")
-      AddAction(f.copy(stats = Some(stats), dataChange = false))
+    val readds = needy.flatMap { f =>
+      // no scan row: either a genuinely empty file (planFiles said it
+      // exists, the scan produced no group) or an attribution miss —
+      // only the TRULY empty case may claim numRecords:0, so check
+      // the log's own size signal and otherwise leave the entry alone
+      byPath.get(f.path) match {
+        case Some(r) => Some(
+          AddAction(f.copy(
+            stats = Some(TransactionWriter.renderStats(r, leaves)),
+            dataChange = false)))
+        case None => None // keep the original entry untouched
+      }
     }
+    if (readds.isEmpty) return snap.version
     val v = snap.version + 1
     log.commit(v,
       CommitInfoAction(CommitInfo(System.currentTimeMillis(), "ANALYZE",
-        Map("files" -> needy.size.toString))) +: readds,
+        Map("files" -> readds.size.toString))) +: readds,
       ictEnabled = snap.metadata.configuration
         .get("delta.enableInCommitTimestamps").contains("true"),
       recomputeChecksum = true)

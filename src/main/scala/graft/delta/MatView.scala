@@ -46,11 +46,16 @@ object MatView {
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"), sum(col(valueCol)).as("sum_value"))
     val viewLog = DeltaLog.forPath(spark, viewPath)
+    // the txn appId is scoped to THIS incarnation of the view: Delta
+    // replay preserves SetTransaction markers across an overwrite, so
+    // a re-created view at the same path would otherwise inherit the
+    // old incarnation's marker and skip folding real changes
     TransactionWriter.overwrite(viewLog, base,
       configuration = Map(
         "graft.matview.source" -> sourcePath,
         "graft.matview.keyCols" -> keyCols.mkString(","),
-        "graft.matview.valueCol" -> valueCol))
+        "graft.matview.valueCol" -> valueCol,
+        "graft.matview.instance" -> java.util.UUID.randomUUID().toString))
     Domains.set(DeltaLog.forPath(spark, viewPath), StateDomain,
       s"""{"sourceVersion":$v}""")
     v
@@ -68,6 +73,8 @@ object MatView {
       throw new IllegalArgumentException(s"$viewPath is not a matview"))
     val keyCols = conf("graft.matview.keyCols").split(",").toSeq
     val valueCol = conf("graft.matview.valueCol")
+    val txnApp = conf.get("graft.matview.instance")
+      .map(i => s"$TxnApp|$i").getOrElse(TxnApp)
     val last = Domains.get(snap, StateDomain)
       .map(s => JsonUtil.mapper.readTree(s).path("sourceVersion").asLong())
       .getOrElse(throw new IllegalStateException(
@@ -82,7 +89,7 @@ object MatView {
     // starts from max(watermark, marker), and the merge is skipped
     // entirely when even that is current (pure watermark repair).
     val merged = snap.setTransactions
-      .get(TxnApp).map(_.version).getOrElse(Long.MinValue)
+      .get(txnApp).map(_.version).getOrElse(Long.MinValue)
     val effLast = math.max(last, merged)
     if (cur > effLast) {
       val delta = graft.operators.IncrementalAgg.aggDelta(
@@ -90,7 +97,7 @@ object MatView {
         keyCols, valueCol)
       graft.operators.IncrementalAgg.mergeDelta(
         viewLog, delta, keyCols, "n_rows", "sum_value",
-        txn = Some((TxnApp, cur)))
+        txn = Some((txnApp, cur)))
     }
     val wm = math.max(cur, effLast)
     if (wm != last)

@@ -97,12 +97,17 @@ object IncrementalAgg {
       base: DataFrame, source: DataFrame, changes: DataFrame,
       keyCols: Seq[String], aggs: Seq[Column]): DataFrame = {
     require(aggs.nonEmpty, "need at least one aggregate")
-    val changedKeys = changes.select(keyCols.map(col): _*).distinct()
+    // null-safe (<=>) key equality throughout: groupBy keeps a NULL-key
+    // group, so a change touching it must both re-derive it (semi) and
+    // evict the stale base row (anti) — plain = matches neither
+    val changedKeys = changes.select(
+      keyCols.map(k => col(k).as(s"__ck_$k")): _*).distinct()
+    val on = keyCols.map(k => col(k) <=> col(s"__ck_$k")).reduce(_ && _)
     val recomputed = source
-      .join(changedKeys, keyCols, "left_semi")
+      .join(changedKeys, on, "left_semi")
       .groupBy(keyCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
-    base.join(changedKeys, keyCols, "left_anti")
+    base.join(changedKeys, on, "left_anti")
       .unionByName(recomputed)
   }
 }

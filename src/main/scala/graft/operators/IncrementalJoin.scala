@@ -52,9 +52,13 @@ object IncrementalJoin {
     // v, delete at v+1) — only the LATEST change per PK decides the
     // view row, so rank by _commit_version before splitting into
     // upserts/deletes (preimages drop first: they describe the same
-    // commit as their postimage and carry nothing extra).
+    // commit as their postimage and carry nothing extra). Within ONE
+    // version the insert wins over the delete: a CDF-synthesized
+    // overwrite emits remove-as-delete AND add-as-insert for every
+    // surviving row at the same commit — the row lives.
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(pkCols: _*).orderBy(col("_commit_version").desc)
+      .partitionBy(pkCols: _*).orderBy(col("_commit_version").desc,
+        when(col("_change_type") === "delete", 0).otherwise(1).desc)
     val factLatest = factChanges
       .select(factNew.columns.map(col).toSeq ++
         Seq(col("_change_type"), col("_commit_version")): _*)

@@ -958,7 +958,7 @@ object Queries {
        |    COUNT(*) OVER (PARTITION BY lang) AS n
        |  FROM q)
        |SELECT doc_id, lang, quality_e6,
-       |  CAST((rn * 1000000) $intdiv n AS BIGINT) AS pct_e6
+       |  CAST((CAST(rn AS BIGINT) * 1000000) $intdiv n AS BIGINT) AS pct_e6
        |FROM r""".stripMargin
   }
 
