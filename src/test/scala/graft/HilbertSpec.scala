@@ -65,6 +65,20 @@ class HilbertSpec extends SparkTestBase {
       s"hilbert layout did not prune: $afterPruned of ${after.planFiles().size}")
   }
 
+  test("date columns cluster through unix_date (DATE can't cast to DOUBLE)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hilbdate_")
+      .resolve("t").toString
+    val log = DeltaLog.forPath(spark, dir)
+    TransactionWriter.overwrite(log,
+      (0 until 50).map(i => (java.sql.Date.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(i)), i.toLong))
+        .toDF("d", "v"))
+    Maintenance.hilbertCluster(log, Seq("d", "v"))
+    val got = DeltaLog.forPath(spark, dir).snapshot.read()
+      .agg(count(lit(1)), sum("v")).head
+    assert(got.getLong(0) == 50L && got.getLong(1) == 1225L)
+  }
+
   test("GRAFT OPTIMIZE HILBERT BY parses and preserves content") {
     val dir = java.nio.file.Files.createTempDirectory("graft_hilbsql_")
       .resolve("t").toString
