@@ -2721,6 +2721,29 @@ object Queries {
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents""".stripMargin
 
+  /** Z-order clustering, driver-verified END-TO-END (the ZORDER path
+    * previously had only demo coverage): same harness as
+    * q_hilbert_read — scatter, GRAFT OPTIMIZE ZORDER BY, prove no row
+    * was lost/duplicated plus the log-plane file count. */
+  private def qZorderReadSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_zrd_")
+        .resolve("t").toString
+      val log = graft.delta.DeltaLog.forPath(s, tmp)
+      graft.delta.TransactionWriter.overwrite(log,
+        s.table("documents").select(col("doc_id"), col("n_chars"))
+          .repartition(16, expr("hash(doc_id)")))
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT OPTIMIZE '$tmp' ZORDER BY (doc_id, n_chars)").collect()
+      val snap = graft.delta.DeltaLog.forPath(s, tmp).snapshot
+      val nFiles = snap.addsFlat.count()
+      snap.read().agg(
+        lit(nFiles).as("num_files"),
+        count(lit(1)).as("n_rows"),
+        sum("n_chars").as("sum_chars"))
+    }
+
   /** Hilbert clustering, driver-verified END-TO-END: documents land in
     * a scratch table scattered over 16 files, GRAFT OPTIMIZE HILBERT BY
     * re-clusters on (doc_id, n_chars), and the gate proves no row was
@@ -3807,6 +3830,7 @@ object Queries {
     "q_optimize_read" -> qOptimizeReadSpark,
     "q_bloom_read" -> qBloomReadSpark,
     "q_hilbert_read" -> qHilbertReadSpark,
+    "q_zorder_read" -> qZorderReadSpark,
     "q_analyze_read" -> qAnalyzeReadSpark,
     "q_funnel" -> qFunnelSpark,
     "q_funnel_windowed" -> qFunnelWindowedSpark,
@@ -4584,6 +4608,7 @@ object Queries {
     "q_optimize_read" -> qOptimizeReadDuck,
     "q_bloom_read" -> qBloomReadDuck,
     "q_hilbert_read" -> qHilbertReadDuck,
+    "q_zorder_read" -> qHilbertReadDuck, // same content contract
     "q_analyze_read" -> qAnalyzeReadDuck,
     "q_funnel" -> qFunnelDuck,
     "q_funnel_windowed" -> qFunnelWindowedDuck,

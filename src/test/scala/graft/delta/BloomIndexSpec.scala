@@ -68,6 +68,42 @@ class BloomIndexSpec extends SparkTestBase {
     assert(pruned2 == 0 && files2.size == log.snapshot.planFiles().size)
   }
 
+  test("RESTORE resurfacing DV-deleted rows never loses a lookup") {
+    // the filter describes the PHYSICAL file: a row masked by a DV
+    // after (or before) the build is still in the filter, so a RESTORE
+    // that re-adds the file without its DV costs nothing but false
+    // positives — probe X must be found again
+    val (log, dir) = scratch()
+    Mutations.deleteWithDv(log, $"k" === "key_42")                 // v1
+    BloomIndex.build(log, "k") // built while key_42 is DV-masked
+    val masked = DeltaLog.forPath(spark, dir)
+    assert(BloomIndex.readIn(masked, "k", Seq("key_42")).isEmpty,
+      "DV-masked rows must not surface before the restore")
+    Maintenance.restore(masked, 0L)                                // v2
+    val restored = DeltaLog.forPath(spark, dir)
+    val got = BloomIndex.readIn(restored, "k", Seq("key_42"))
+      .collect().map(_.getLong(0)).sorted
+    val want = restored.snapshot.read().where($"k" === "key_42")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == want.toSeq && got.nonEmpty,
+      "restored rows must be findable through the index")
+  }
+
+  test("probe values cast to the column type before hashing") {
+    // int column probed with a Long: the hash must go through the
+    // column's own width or every containing file is wrongly pruned
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloomint_")
+      .resolve("t").toString
+    val log = DeltaLog.forPath(spark, dir)
+    TransactionWriter.overwrite(log,
+      (0 until 100).map(i => (i, i * 3)).toDF("id", "num")
+        .repartition(4, org.apache.spark.sql.functions.col("id")))
+    BloomIndex.build(log, "num")
+    val got = BloomIndex.readIn(DeltaLog.forPath(spark, dir), "num",
+      Seq(42L)).collect()
+    assert(got.length == 1 && got(0).getInt(0) == 14, s"got ${got.toSeq}")
+  }
+
   test("unindexed table falls back to the full candidate set") {
     val (log, _) = scratch()
     val (files, pruned) = BloomIndex.candidateFiles(log, "k", Seq("key_0"))
