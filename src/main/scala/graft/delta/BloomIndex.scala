@@ -135,4 +135,30 @@ object BloomIndex {
     log.snapshot.readFiles(files)
       .where(col(column).isin(values: _*))
   }
+
+  /** Index-powered equi-join read — dynamic FILE pruning from the
+    * build side: collect the (broadcast-sized) distinct join keys of
+    * `dim`, Bloom-prune the indexed fact's files with them, and join
+    * only the surviving scan. The delta-native analogue of dynamic
+    * partition pruning, one level finer: a selective dim against a
+    * 100 TB unclustered fact reads the files that can match instead of
+    * all of them. `dim` must be broadcast-small — the same contract as
+    * the broadcast join this feeds; the key collect is explicitly
+    * capped so a mis-sized build side fails loudly, not by OOM. */
+  def semiJoinRead(log: DeltaLog, column: String, dim: DataFrame,
+      dimKeyCol: String, maxKeys: Int = 100000): DataFrame = {
+    val keys = dim.select(col(dimKeyCol)).distinct()
+      .limit(maxKeys + 1).collect().map(_.get(0)).toSeq
+    require(keys.size <= maxKeys,
+      s"dim side exceeds $maxKeys distinct keys — too large for " +
+        "index-probe pruning; use a plain join (the index can't help " +
+        "when most files contain some probed key anyway)")
+    if (keys.isEmpty)
+      return log.snapshot.readFiles(Seq.empty)
+        .join(dim, col(column) === col(dimKeyCol))
+    val (files, _) = candidateFiles(log, column, keys)
+    log.snapshot.readFiles(files)
+      .join(org.apache.spark.sql.functions.broadcast(dim),
+        col(column) === col(dimKeyCol))
+  }
 }

@@ -2776,6 +2776,39 @@ object Queries {
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents""".stripMargin
 
+  /** Index-powered equi-join (dynamic FILE pruning), driver-verified
+    * END-TO-END: the Bloom-indexed scratch fact joins a small dim
+    * whose keys prune the fact's files BEFORE the scan
+    * (BloomIndex.semiJoinRead) — the oracle replays the plain join, so
+    * a filter that wrongly pruned a matching file fails the gate. */
+  private def qBloomJoinSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_blj_")
+        .resolve("t").toString
+      val log = graft.delta.DeltaLog.forPath(s, tmp)
+      val src = s.table("documents")
+        .select(col("doc_id"), substring(md5(col("text")), 1, 16).as("fp"),
+          col("n_chars"))
+      graft.delta.TransactionWriter.overwrite(log,
+        src.repartition(16, col("doc_id")))
+      graft.delta.BloomIndex.build(log, "fp")
+      val dim = s.table("documents").where(col("doc_id") % 101 === 0)
+        .select(substring(md5(col("text")), 1, 16).as("dk"),
+          col("doc_id").as("dim_id"))
+      graft.delta.BloomIndex.semiJoinRead(
+          graft.delta.DeltaLog.forPath(s, tmp), "fp", dim, "dk")
+        .select("doc_id", "fp", "n_chars", "dk", "dim_id")
+    }
+
+  private val qBloomJoinDuck: String =
+    """WITH f AS (SELECT doc_id, substr(md5(text), 1, 16) AS fp, n_chars
+      |  FROM documents),
+      |d AS (SELECT substr(md5(text), 1, 16) AS dk, doc_id AS dim_id
+      |  FROM documents WHERE doc_id % 101 = 0)
+      |SELECT f.doc_id, f.fp, f.n_chars, d.dk, d.dim_id
+      |FROM f JOIN d ON f.fp = d.dk""".stripMargin
+
   /** GRAFT ANALYZE, driver-verified END-TO-END: documents land in a
     * scratch table whose write capped stats to ZERO indexed columns
     * (no min/max anywhere — the stats-less-legacy-table case), ANALYZE
@@ -3829,6 +3862,7 @@ object Queries {
     "q_catalog_read" -> qCatalogReadSpark,
     "q_optimize_read" -> qOptimizeReadSpark,
     "q_bloom_read" -> qBloomReadSpark,
+    "q_bloom_join" -> qBloomJoinSpark,
     "q_hilbert_read" -> qHilbertReadSpark,
     "q_zorder_read" -> qZorderReadSpark,
     "q_analyze_read" -> qAnalyzeReadSpark,
@@ -4607,6 +4641,7 @@ object Queries {
     "q_catalog_read" -> qCatalogReadDuck,
     "q_optimize_read" -> qOptimizeReadDuck,
     "q_bloom_read" -> qBloomReadDuck,
+    "q_bloom_join" -> qBloomJoinDuck,
     "q_hilbert_read" -> qHilbertReadDuck,
     "q_zorder_read" -> qHilbertReadDuck, // same content contract
     "q_analyze_read" -> qAnalyzeReadDuck,

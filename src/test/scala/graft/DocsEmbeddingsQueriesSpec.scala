@@ -59,6 +59,7 @@ class DocsEmbeddingsQueriesSpec extends SparkTestBase {
     "q_quality_percentile", // per-lang integer percentile of quality_e6
     "q_analyze_read",       // stats backfill + pruned scan over n_chars
     "q_zorder_read",        // zorder re-cluster over doc_id, n_chars
+    "q_bloom_join",         // index-powered join: dim keys prune fact files
     "q_fingerprint")        // bag fingerprint over text
 
   private val embeddingFamilies = Seq(

@@ -104,6 +104,26 @@ class BloomIndexSpec extends SparkTestBase {
     assert(got.length == 1 && got(0).getInt(0) == 14, s"got ${got.toSeq}")
   }
 
+  test("semiJoinRead prunes fact files from the dim side's keys") {
+    val (log, _) = scratch()
+    BloomIndex.build(log, "k")
+    val dim = Seq(("key_42", "A"), ("key_7", "B"), ("no_such", "C"))
+      .toDF("dk", "attr")
+    val got = BloomIndex.semiJoinRead(log, "k", dim, "dk")
+      .select("id", "k", "attr").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val want = log.snapshot.read()
+      .join(dim, $"k" === $"dk")
+      .select("id", "k", "attr").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == want && got.nonEmpty, s"got $got")
+    // an oversized dim fails loudly instead of collecting unbounded keys
+    val big = spark.range(0, 50).selectExpr("CAST(id AS STRING) AS dk")
+    intercept[IllegalArgumentException] {
+      BloomIndex.semiJoinRead(log, "k", big, "dk", maxKeys = 10)
+    }
+  }
+
   test("unindexed table falls back to the full candidate set") {
     val (log, _) = scratch()
     val (files, pruned) = BloomIndex.candidateFiles(log, "k", Seq("key_0"))
