@@ -61,6 +61,21 @@ object MatView {
     v
   }
 
+  /** The view's definition + watermark: (source path, key columns,
+    * value column, last folded source version). */
+  def describe(spark: SparkSession,
+      viewPath: String): (String, Seq[String], String, Long) = {
+    val snap = DeltaLog.forPath(spark, viewPath).snapshot
+    val conf = snap.metadata.configuration
+    val src = conf.getOrElse("graft.matview.source",
+      throw new IllegalArgumentException(s"$viewPath is not a matview"))
+    val wm = Domains.get(snap, StateDomain)
+      .map(s => JsonUtil.mapper.readTree(s).path("sourceVersion").asLong())
+      .getOrElse(-1L)
+    (src, conf("graft.matview.keyCols").split(",").toSeq,
+      conf("graft.matview.valueCol"), wm)
+  }
+
   /** Incremental refresh: fold the source's change feed since the
     * watermark into the view (signed per-key delta + MERGE), then
     * advance the watermark. Idempotent under replay. Returns the new

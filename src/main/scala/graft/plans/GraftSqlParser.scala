@@ -40,6 +40,7 @@ import graft.delta.{Clone, Constraints, DeltaLog, Maintenance, Mutations}
   * GRAFT ANALYZE '<path>'                          -- backfill missing file stats
   * GRAFT CREATE MATVIEW '<view>' FROM '<src>' KEYS (k, ...) SUM (valueCol)
   * GRAFT REFRESH MATVIEW '<view>'                  -- fold the source CDF since the watermark
+  * GRAFT DESCRIBE MATVIEW '<view>'                 -- definition + watermark
   * GRAFT CREATE BLOOM INDEX ON '<path>' (<col>)    -- per-file point-lookup index
   * GRAFT DROP BLOOM INDEX ON '<path>' (<col>)
   * GRAFT REGISTER TABLE <name> LOCATION '<path>'   -- persisted across sessions
@@ -103,6 +104,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+CREATE\s+MATVIEW\s+'([^']+)'\s+FROM\s+'([^']+)'\s+KEYS\s*\(([^)]+)\)\s+SUM\s*\((\w+)\)\s*""".r
   private val RefreshMatView =
     """(?is)\s*GRAFT\s+REFRESH\s+MATVIEW\s+'([^']+)'\s*""".r
+  private val DescribeMatView =
+    """(?is)\s*GRAFT\s+DESCRIBE\s+MATVIEW\s+'([^']+)'\s*""".r
   private val CreateBloomIndex =
     """(?is)\s*GRAFT\s+CREATE\s+BLOOM\s+INDEX\s+ON\s+'([^']+)'\s*\((\w+)\)\s*""".r
   private val DropBloomIndex =
@@ -179,6 +182,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftMaintenanceCommand(viewPath, "refresh_matview",
         Seq("source_version"), s => Seq(Row(
           graft.delta.MatView.refresh(s, viewPath))))
+    case DescribeMatView(viewPath) =>
+      GraftMaintenanceCommand(viewPath, "describe_matview",
+        Seq("source", "key_cols", "value_col", "source_version"), s => {
+          val (src, keys, value, wm) = graft.delta.MatView.describe(s, viewPath)
+          Seq(Row(src, keys.mkString(","), value, wm))
+        })
     case Analyze(path) =>
       GraftMaintenanceCommand(path, "analyze",
         Seq("version"), s => Seq(Row(
@@ -416,7 +425,8 @@ case class GraftMaintenanceCommand(
   override def output: Seq[Attribute] = outCols.map { c =>
     val stringCols = Set("operation", "repaired_path", "format", "id",
       "location", "partitionColumns", "clusteringColumns",
-      "tableFeatures", "properties", "partition")
+      "tableFeatures", "properties", "partition",
+      "source", "key_cols", "value_col")
     val dt = if (stringCols(c)) StringType else LongType
     AttributeReference(c, dt, nullable = true)()
   }

@@ -53,6 +53,20 @@ class MatViewSpec extends SparkTestBase {
       "post-crash refresh must fold only the unmerged window")
   }
 
+  test("DESCRIBE MATVIEW reports definition and watermark") {
+    val base = java.nio.file.Files.createTempDirectory("graft-mv-desc")
+    val srcPath = base.resolve("src").toString
+    val viewPath = base.resolve("view").toString
+    val src = DeltaLog.forPath(spark, srcPath)
+    TransactionWriter.overwrite(src, Seq(("a", 1L)).toDF("k", "v"))
+    ChangeDataFeed.enable(src)
+    MatView.create(spark, viewPath, srcPath, Seq("k"), "v")
+    val r = graft.plans.GraftSqlParser.run(spark,
+      s"GRAFT DESCRIBE MATVIEW '$viewPath'").collect()(0)
+    assert(r.getString(0) == srcPath && r.getString(1) == "k" &&
+      r.getString(2) == "v" && r.getLong(3) == 1L, s"got $r")
+  }
+
   test("create rejects a source without CDF; refresh rejects non-matviews") {
     val base = java.nio.file.Files.createTempDirectory("graft-mv-err")
     val srcPath = base.resolve("src").toString
