@@ -1351,16 +1351,31 @@ object Maintenance {
         .map(_.path -> r)
     }.toMap
     val readds = needy.flatMap { f =>
-      // no scan row: either a genuinely empty file (planFiles said it
-      // exists, the scan produced no group) or an attribution miss —
-      // only the TRULY empty case may claim numRecords:0, so check
-      // the log's own size signal and otherwise leave the entry alone
+      // no scan row: either a genuinely empty file (the scan produced
+      // no group) or an attribution miss on a NONEMPTY file — only the
+      // truly empty case may claim numRecords:0 (a wrong 0 prunes the
+      // file forever), so the miss is disambiguated by the parquet
+      // footer's own record count, one driver-side footer read per
+      // missing file. Empty files then leave the needy set after one
+      // pass instead of being re-scanned by every subsequent ANALYZE.
       byPath.get(f.path) match {
         case Some(r) => Some(
           AddAction(f.copy(
             stats = Some(TransactionWriter.renderStats(r, leaves)),
             dataChange = false)))
-        case None => None // keep the original entry untouched
+        case None =>
+          val verifiablyEmpty =
+            try {
+              val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromPath(new Path(snap.absolutePath(f)),
+                  log.spark.sessionState.newHadoopConf())
+              val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              try rd.getRecordCount == 0L finally rd.close()
+            } catch { case scala.util.control.NonFatal(_) => false }
+          if (verifiablyEmpty)
+            Some(AddAction(f.copy(
+              stats = Some("""{"numRecords":0}"""), dataChange = false)))
+          else None // keep the original entry untouched
       }
     }
     if (readds.isEmpty) return snap.version

@@ -1,6 +1,6 @@
 package graft.delta
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted incremental MATERIALIZED VIEWS: a rollup Delta table that
@@ -9,34 +9,71 @@ import org.apache.spark.sql.functions._
   * [[graft.operators.IncrementalAgg]] — what DLT calls a materialized
   * view and delta-spark leaves to the orchestrator).
   *
+  * Aggregates: any mix of SUM / MIN / MAX over source columns, plus an
+  * implicit row count (`n_rows`). Refresh picks the cheapest sound
+  * maintenance strategy per definition:
+  *  - a single SUM (with its count) is invertible → signed fold of the
+  *    CDF slice MERGEd per key, O(changes) and never touches the
+  *    source ([[graft.operators.IncrementalAgg.mergeDelta]]);
+  *  - anything non-invertible (MIN/MAX — a delete cannot be retracted
+  *    from a running extreme) or multi-aggregate → the keys the CDF
+  *    slice touches are re-aggregated FROM the source (semi-join-
+  *    pruned, still O(rows of changed keys), never a rescan) and
+  *    swapped in ([[graft.operators.IncrementalAgg.rederiveMerge]]).
+  *
   * Where state lives — all of it in the VIEW table, so definition,
   * data, and watermark travel together and survive any session:
   *  - definition: `graft.matview.*` keys in the view's metadata
-  *    configuration (source path, key columns, value column);
+  *    configuration (source path, key columns, aggregate spec), which
+  *    ride INSIDE the create's overwrite commit — including the
+  *    create-time source version, so a crash before the watermark
+  *    domain lands leaves a view `refresh` can still bootstrap;
   *  - watermark: the `graft.matview.state` metadata domain holds the
   *    last folded source version;
   *  - replay protection: each refresh MERGE carries a
-  *    (`graft.matview`, sourceVersion) txn marker INSIDE the merge
-  *    commit, so a refresh that crashed between its merge and its
-  *    watermark commit re-runs as a no-op instead of double-counting
-  *    (the watermark is then repaired).
+  *    (`graft.matview|<instance>`, sourceVersion) txn marker INSIDE
+  *    the merge commit, so a refresh that crashed between its merge
+  *    and its watermark commit re-runs as a no-op instead of
+  *    double-counting (the watermark is then repaired). The same
+  *    marker makes CONCURRENT refreshes safe: the commit path rejects
+  *    a rebase over a concurrent commit that advanced the same txn
+  *    appId ([[TransactionWriter.commitWithRebase]]), so of two
+  *    refreshes folding the same window exactly one commits.
   *
   * Scale shape per refresh: one CDF read bounded by the change window,
-  * one signed per-key aggregation of that slice, one MERGE keyed on
-  * the rollup keys — O(changes + changed keys), never a source rescan.
+  * one signed per-key aggregation of that slice (or one changed-key-
+  * pruned source pass), one MERGE keyed on the rollup keys —
+  * O(changes + changed keys), never a source rescan.
   */
 object MatView {
 
   private[delta] val StateDomain = "graft.matview.state"
   private val TxnApp = "graft.matview"
 
+  /** One aggregate clause: (fn ∈ sum|min|max, source column). The view
+    * column is named `<fn>_<col>`. */
+  private def aggColumn(fn: String, c: String): Column = fn match {
+    case "sum" => sum(col(c)).as(s"sum_$c")
+    case "min" => min(col(c)).as(s"min_$c")
+    case "max" => max(col(c)).as(s"max_$c")
+    case other => throw new IllegalArgumentException(
+      s"unsupported matview aggregate '$other' (have sum, min, max)")
+  }
+
+  private val AggSpec = """(?i)(sum|min|max)\((\w+)\)""".r
+
+  private def parseAggs(spec: String): Seq[(String, String)] =
+    AggSpec.findAllMatchIn(spec)
+      .map(m => (m.group(1).toLowerCase, m.group(2))).toSeq
+
   /** Create the view: full initial rollup of the source at its current
     * version, definition + watermark persisted on the view table.
     * The source must have CDF enabled (refresh reads its change feed).
     * Returns the source version the view is consistent with. */
   def create(spark: SparkSession, viewPath: String, sourcePath: String,
-      keyCols: Seq[String], valueCol: String): Long = {
+      keyCols: Seq[String], aggs: Seq[(String, String)]): Long = {
     require(keyCols.nonEmpty, "matview needs at least one key column")
+    require(aggs.nonEmpty, "matview needs at least one aggregate")
     val src = DeltaLog.forPath(spark, sourcePath)
     val srcSnap = src.snapshot
     require(ChangeDataFeed.enabled(srcSnap),
@@ -44,7 +81,8 @@ object MatView {
     val v = srcSnap.version
     val base = srcSnap.read()
       .groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("n_rows"), sum(col(valueCol)).as("sum_value"))
+      .agg(count(lit(1)).as("n_rows"),
+        aggs.map { case (fn, c) => aggColumn(fn, c) }: _*)
     val viewLog = DeltaLog.forPath(spark, viewPath)
     // the txn appId is scoped to THIS incarnation of the view: Delta
     // replay preserves SetTransaction markers across an overwrite, so
@@ -54,32 +92,47 @@ object MatView {
       configuration = Map(
         "graft.matview.source" -> sourcePath,
         "graft.matview.keyCols" -> keyCols.mkString(","),
-        "graft.matview.valueCol" -> valueCol,
+        "graft.matview.aggs" ->
+          aggs.map { case (fn, c) => s"$fn($c)" }.mkString(","),
+        // crash repair: refresh/describe bootstrap the watermark from
+        // here when the state-domain commit below never landed
+        "graft.matview.createVersion" -> v.toString,
         "graft.matview.instance" -> java.util.UUID.randomUUID().toString))
     Domains.set(DeltaLog.forPath(spark, viewPath), StateDomain,
       s"""{"sourceVersion":$v}""")
     v
   }
 
+  /** Single-SUM convenience form (the original surface). */
+  def create(spark: SparkSession, viewPath: String, sourcePath: String,
+      keyCols: Seq[String], valueCol: String): Long =
+    create(spark, viewPath, sourcePath, keyCols, Seq("sum" -> valueCol))
+
+  private def watermark(snap: Snapshot): Long =
+    Domains.get(snap, StateDomain)
+      .map(s => JsonUtil.mapper.readTree(s).path("sourceVersion").asLong())
+      .orElse(snap.metadata.configuration
+        .get("graft.matview.createVersion").map(_.toLong))
+      .getOrElse(throw new IllegalStateException(
+        s"matview has neither a $StateDomain domain nor a createVersion"))
+
   /** The view's definition + watermark: (source path, key columns,
-    * value column, last folded source version). */
+    * aggregate spec, last folded source version). */
   def describe(spark: SparkSession,
       viewPath: String): (String, Seq[String], String, Long) = {
     val snap = DeltaLog.forPath(spark, viewPath).snapshot
     val conf = snap.metadata.configuration
     val src = conf.getOrElse("graft.matview.source",
       throw new IllegalArgumentException(s"$viewPath is not a matview"))
-    val wm = Domains.get(snap, StateDomain)
-      .map(s => JsonUtil.mapper.readTree(s).path("sourceVersion").asLong())
-      .getOrElse(-1L)
     (src, conf("graft.matview.keyCols").split(",").toSeq,
-      conf("graft.matview.valueCol"), wm)
+      conf("graft.matview.aggs"), watermark(snap))
   }
 
   /** Incremental refresh: fold the source's change feed since the
-    * watermark into the view (signed per-key delta + MERGE), then
-    * advance the watermark. Idempotent under replay. Returns the new
-    * watermark (source version). */
+    * watermark into the view (signed fold or changed-key rederive —
+    * see the object doc), then advance the watermark. Idempotent under
+    * replay; safe under concurrent callers (exactly one wins per
+    * window). Returns the new watermark (source version). */
   def refresh(spark: SparkSession, viewPath: String): Long = {
     val viewLog = DeltaLog.forPath(spark, viewPath)
     val snap = viewLog.snapshot
@@ -87,13 +140,10 @@ object MatView {
     val sourcePath = conf.getOrElse("graft.matview.source",
       throw new IllegalArgumentException(s"$viewPath is not a matview"))
     val keyCols = conf("graft.matview.keyCols").split(",").toSeq
-    val valueCol = conf("graft.matview.valueCol")
+    val aggs = parseAggs(conf("graft.matview.aggs"))
     val txnApp = conf.get("graft.matview.instance")
       .map(i => s"$TxnApp|$i").getOrElse(TxnApp)
-    val last = Domains.get(snap, StateDomain)
-      .map(s => JsonUtil.mapper.readTree(s).path("sourceVersion").asLong())
-      .getOrElse(throw new IllegalStateException(
-        s"matview $viewPath has no ${StateDomain} domain"))
+    val last = watermark(snap)
     val src = DeltaLog.forPath(spark, sourcePath)
     val cur = src.latestVersion()
     // Crash repair: the view's txn marker records the last MERGED
@@ -107,12 +157,24 @@ object MatView {
       .get(txnApp).map(_.version).getOrElse(Long.MinValue)
     val effLast = math.max(last, merged)
     if (cur > effLast) {
-      val delta = graft.operators.IncrementalAgg.aggDelta(
-        ChangeDataFeed.tableChanges(src, effLast + 1, Some(cur)),
-        keyCols, valueCol)
-      graft.operators.IncrementalAgg.mergeDelta(
-        viewLog, delta, keyCols, "n_rows", "sum_value",
-        txn = Some((txnApp, cur)))
+      val changes = ChangeDataFeed.tableChanges(src, effLast + 1, Some(cur))
+      aggs match {
+        case Seq(("sum", valueCol)) =>
+          graft.operators.IncrementalAgg.mergeDelta(
+            viewLog,
+            graft.operators.IncrementalAgg.aggDelta(changes, keyCols, valueCol),
+            keyCols, "n_rows", s"sum_$valueCol",
+            txn = Some((txnApp, cur)))
+        case _ =>
+          // pin the source pass to the window's end version so the
+          // refresh is deterministic (and replay-idempotent) even when
+          // the source advances mid-refresh
+          graft.operators.IncrementalAgg.rederiveMerge(
+            viewLog, src.snapshotAt(cur).read(), changes,
+            keyCols, "n_rows",
+            aggs.map { case (fn, c) => aggColumn(fn, c) },
+            txn = Some((txnApp, cur)))
+      }
     }
     val wm = math.max(cur, effLast)
     if (wm != last)

@@ -858,6 +858,14 @@ object TransactionWriter {
     val ourDomains = actions.collect {
       case DomainMetadataAction(d) => d.domain
     }.toSet
+    // Idempotent-writer markers this commit advances: a concurrent
+    // commit that advanced the SAME appId means another writer already
+    // applied (part of) this batch window — rebasing on top would
+    // double-apply it (e.g. two MatView.refresh calls folding the same
+    // CDF slice), so the loser must abort and re-read.
+    val ourTxns = actions.collect {
+      case TxnAction(t) => t.appId
+    }.toSet
     while (true) {
       try {
         // Row tracking stamps the files' default row commit version with
@@ -894,6 +902,17 @@ object TransactionWriter {
               s"commit $version of ${log.tablePath} conflicts with a " +
                 s"concurrent write to domain(s) ${dOverlap.mkString(", ")}; " +
                 "rerun the operation against the current snapshot")
+          }
+          if (ourTxns.nonEmpty) {
+            val theirTxns = concurrent.collect {
+              case TxnAction(t) => t.appId
+            }.toSet
+            val tOverlap = ourTxns.intersect(theirTxns)
+            if (tOverlap.nonEmpty) throw new java.util.ConcurrentModificationException(
+              s"commit $version of ${log.tablePath} conflicts with a " +
+                s"concurrent transaction on appId(s) ${tOverlap.mkString(", ")} " +
+                "(another writer already applied this idempotent batch " +
+                "window); re-read the snapshot and recompute the batch")
           }
           if (touchedPaths.nonEmpty) {
             val winnerPaths = concurrent.collect {

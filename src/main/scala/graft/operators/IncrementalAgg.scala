@@ -110,4 +110,48 @@ object IncrementalAgg {
     base.join(changedKeys, on, "left_anti")
       .unionByName(recomputed)
   }
+
+  /** Persisted form of [[rederiveKeys]]: MERGE the re-aggregated
+    * changed keys into a rollup Delta table whose schema is
+    * `(keys..., countCol, agg columns...)`. One row per changed key is
+    * merged — keys still present in the source update in place (or
+    * insert), keys that vanished carry a NULL count and delete their
+    * rollup row. Unlike the signed fold this is idempotent (it
+    * recomputes FROM the source), but the `txn` marker still rides
+    * inside the merge commit so replay protection and concurrent-
+    * refresh conflict detection (same appId ⇒ rebase abort) work the
+    * same way as [[mergeDelta]].
+    *
+    * Scale shape: the source pass is semi-join-pruned to the changed
+    * keys; merge work is O(changed keys). Never a rollup rebuild. */
+  def rederiveMerge(
+      viewLog: graft.delta.DeltaLog, source: DataFrame, changes: DataFrame,
+      keyCols: Seq[String], countCol: String, aggs: Seq[Column],
+      txn: Option[(String, Long)] = None): Long = {
+    require(aggs.nonEmpty, "need at least one aggregate")
+    val changedKeys = changes.select(
+      keyCols.map(k => col(k).as(s"__ck_$k")): _*).distinct()
+    val on = keyCols.map(k => col(k) <=> col(s"__ck_$k")).reduce(_ && _)
+    val recomputed = source
+      .join(changedKeys, on, "left_semi")
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as(countCol), aggs: _*)
+    val outCols = recomputed.columns.filterNot(keyCols.contains).toSeq
+    // one merge-source row per changed key; a key with no surviving
+    // source rows left-joins to NULLs (countCol is NULL ⇔ vanished)
+    val mergeSrc = changedKeys.join(recomputed, on, "left")
+      .select(keyCols.map(k => col(s"__ck_$k").as(k)) ++
+        outCols.map(col): _*)
+    val cond = keyCols.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    val m = graft.delta.Merge.into(viewLog, mergeSrc, cond)
+    txn.fold(m) { case (a, v) => m.withTxn(a, v) }
+      .whenMatchedDelete(Some(col(s"s.$countCol").isNull))
+      .whenMatchedUpdate(
+        outCols.map(c => c -> col(s"s.$c")).toMap,
+        Some(col(s"s.$countCol").isNotNull))
+      .whenNotMatchedInsert(
+        (keyCols ++ outCols).map(c => c -> col(s"s.$c")).toMap,
+        Some(col(s"s.$countCol").isNotNull))
+      .execute()
+  }
 }

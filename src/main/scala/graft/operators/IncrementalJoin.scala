@@ -51,25 +51,32 @@ object IncrementalJoin {
     // A multi-commit window can touch one PK several times (insert at
     // v, delete at v+1) — only the LATEST change per PK decides the
     // view row, so rank by _commit_version before splitting into
-    // upserts/deletes (preimages drop first: they describe the same
-    // commit as their postimage and carry nothing extra). Within ONE
-    // version the insert wins over the delete: a CDF-synthesized
-    // overwrite emits remove-as-delete AND add-as-insert for every
-    // surviving row at the same commit — the row lives.
+    // upserts/deletes. Preimages participate AS the retraction of
+    // their own PK: an UPDATE that changes the fact PK emits the old
+    // key only as an update_preimage, so dropping preimages would
+    // leave the old key's view row stale forever (and an insert
+    // earlier in the window would even rank as its latest change and
+    // resurrect it with stale values). Within ONE version the
+    // insert/postimage wins over the delete/preimage: a CDF-
+    // synthesized overwrite emits remove-as-delete AND add-as-insert
+    // for every surviving row, and a PK-preserving update emits
+    // pre+post for the same key, at the same commit — the row lives.
+    val retractTypes = Seq("delete", "update_preimage")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(pkCols: _*).orderBy(col("_commit_version").desc,
-        when(col("_change_type") === "delete", 0).otherwise(1).desc)
+        when(col("_change_type").isin(retractTypes: _*), 0).otherwise(1).desc)
     val factLatest = factChanges
       .select(factNew.columns.map(col).toSeq ++
         Seq(col("_change_type"), col("_commit_version")): _*)
-      .where(col("_change_type").isin("insert", "update_postimage", "delete"))
+      .where(col("_change_type").isin(
+        "insert" +: "update_postimage" +: retractTypes: _*))
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
     val factUpserted = factLatest
-      .where(col("_change_type") =!= "delete")
+      .where(!col("_change_type").isin(retractTypes: _*))
       .select(factNew.columns.map(col).toSeq: _*)
     val factDeleted = factLatest
-      .where(col("_change_type") === "delete")
+      .where(col("_change_type").isin(retractTypes: _*))
       .select(pkCols: _*)
     // dim keys whose attribute rows changed (update pre+post, delete)
     val dimChangedKeys = dimChanges.select(col(dimPk).as("__dk")).distinct()

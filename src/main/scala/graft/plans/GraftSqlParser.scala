@@ -38,7 +38,9 @@ import graft.delta.{Clone, Constraints, DeltaLog, Maintenance, Mutations}
   * GRAFT ALTER '<path>' SET TBLPROPERTIES ('k' = 'v', ...)
   * GRAFT ALTER '<path>' UNSET TBLPROPERTIES ('k', ...)
   * GRAFT ANALYZE '<path>'                          -- backfill missing file stats
-  * GRAFT CREATE MATVIEW '<view>' FROM '<src>' KEYS (k, ...) SUM (valueCol)
+  * GRAFT CREATE MATVIEW '<view>' FROM '<src>' KEYS (k, ...) SUM (c) [MIN (c)] [MAX (c)] ...
+  *   -- any mix of SUM/MIN/MAX clauses; refresh signed-folds a lone
+  *   -- SUM, re-derives changed keys for anything non-invertible
   * GRAFT REFRESH MATVIEW '<view>'                  -- fold the source CDF since the watermark
   * GRAFT DESCRIBE MATVIEW '<view>'                 -- definition + watermark
   * GRAFT CREATE BLOOM INDEX ON '<path>' (<col>)    -- per-file point-lookup index
@@ -101,7 +103,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Analyze =
     """(?is)\s*GRAFT\s+ANALYZE\s+'([^']+)'\s*""".r
   private val CreateMatView =
-    """(?is)\s*GRAFT\s+CREATE\s+MATVIEW\s+'([^']+)'\s+FROM\s+'([^']+)'\s+KEYS\s*\(([^)]+)\)\s+SUM\s*\((\w+)\)\s*""".r
+    """(?is)\s*GRAFT\s+CREATE\s+MATVIEW\s+'([^']+)'\s+FROM\s+'([^']+)'\s+KEYS\s*\(([^)]+)\)\s+((?:(?:SUM|MIN|MAX)\s*\(\w+\)\s*)+)""".r
+  private val MatViewAgg = """(?i)(SUM|MIN|MAX)\s*\((\w+)\)""".r
   private val RefreshMatView =
     """(?is)\s*GRAFT\s+REFRESH\s+MATVIEW\s+'([^']+)'\s*""".r
   private val DescribeMatView =
@@ -173,20 +176,22 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case Checkpoint(path) =>
       GraftMaintenanceCommand(path, "checkpoint",
         Seq("version"), s => Seq(Row(Maintenance.checkpoint(DeltaLog.forPath(s, path)))))
-    case CreateMatView(viewPath, srcPath, keys, valueCol) =>
+    case CreateMatView(viewPath, srcPath, keys, aggClauses) =>
+      val aggs = MatViewAgg.findAllMatchIn(aggClauses)
+        .map(m => (m.group(1).toLowerCase, m.group(2))).toSeq
       GraftMaintenanceCommand(viewPath, "create_matview",
         Seq("source_version"), s => Seq(Row(
           graft.delta.MatView.create(s, viewPath, srcPath,
-            keys.split(",").map(_.trim).toSeq, valueCol))))
+            keys.split(",").map(_.trim).toSeq, aggs))))
     case RefreshMatView(viewPath) =>
       GraftMaintenanceCommand(viewPath, "refresh_matview",
         Seq("source_version"), s => Seq(Row(
           graft.delta.MatView.refresh(s, viewPath))))
     case DescribeMatView(viewPath) =>
       GraftMaintenanceCommand(viewPath, "describe_matview",
-        Seq("source", "key_cols", "value_col", "source_version"), s => {
-          val (src, keys, value, wm) = graft.delta.MatView.describe(s, viewPath)
-          Seq(Row(src, keys.mkString(","), value, wm))
+        Seq("source", "key_cols", "aggs", "source_version"), s => {
+          val (src, keys, aggs, wm) = graft.delta.MatView.describe(s, viewPath)
+          Seq(Row(src, keys.mkString(","), aggs, wm))
         })
     case Analyze(path) =>
       GraftMaintenanceCommand(path, "analyze",
@@ -426,7 +431,7 @@ case class GraftMaintenanceCommand(
     val stringCols = Set("operation", "repaired_path", "format", "id",
       "location", "partitionColumns", "clusteringColumns",
       "tableFeatures", "properties", "partition",
-      "source", "key_cols", "value_col")
+      "source", "key_cols", "value_col", "aggs")
     val dt = if (stringCols(c)) StringType else LongType
     AttributeReference(c, dt, nullable = true)()
   }

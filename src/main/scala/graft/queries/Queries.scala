@@ -3658,6 +3658,64 @@ object Queries {
         s"GRAFT REFRESH MATVIEW '$viewPath'").collect()               // no-op
       graft.delta.DeltaLog.forPath(s, viewPath).snapshot.read()
     }),
+    // Non-invertible MATVIEW, driver-verified END-TO-END: CREATE with
+    // SUM + MIN + MAX routes refresh through changed-key rederive (a
+    // signed fold cannot retract a deleted MAX). Round 1 deletes every
+    // group's maximum region (n_chars >= 450); round 2 moves minima
+    // (update to 7) and deletes a WHOLE group (src3), whose rollup row
+    // must drop via the merge's vanished-key delete clause. The oracle
+    // recomputes the final rollup from parquet.
+    "q_matview_minmax" -> ((s, dir) => {
+      registerViews(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft_mvmm_")
+      val srcPath = base.resolve("src").toString
+      val viewPath = base.resolve("view").toString
+      val src = graft.delta.DeltaLog.forPath(s, srcPath)
+      val docs = s.table("documents").select("doc_id", "source", "n_chars")
+      graft.delta.TransactionWriter.overwrite(src,
+        docs.where(col("doc_id") % 4 =!= 3))                           // v0
+      graft.delta.ChangeDataFeed.enable(src)                           // v1
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT CREATE MATVIEW '$viewPath' FROM '$srcPath' " +
+          "KEYS (source) SUM (n_chars) MIN (n_chars) MAX (n_chars)").collect()
+      graft.delta.TransactionWriter.append(src,
+        docs.where(col("doc_id") % 4 === 3))                           // v2
+      graft.delta.Mutations.delete(src, col("n_chars") >= 450)         // v3
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT REFRESH MATVIEW '$viewPath'").collect()
+      graft.delta.Mutations.update(src, col("doc_id") % 9 === 2,
+        Map("n_chars" -> lit(7L)))                                     // v4
+      graft.delta.Mutations.delete(src, col("source") === "src3")      // v5
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT REFRESH MATVIEW '$viewPath'").collect()
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT REFRESH MATVIEW '$viewPath'").collect()               // no-op
+      graft.delta.DeltaLog.forPath(s, viewPath).snapshot.read()
+    }),
+    // DESCRIBE MATVIEW, driver-verified: the SQL surface returns the
+    // view's definition (key columns, aggregate spec) and watermark.
+    // The paths are temp-dir-local, so the gate pins the deterministic
+    // columns; the oracle states the expected literals.
+    "q_matview_describe" -> ((s, dir) => {
+      registerViews(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft_mvd_")
+      val srcPath = base.resolve("src").toString
+      val viewPath = base.resolve("view").toString
+      val src = graft.delta.DeltaLog.forPath(s, srcPath)
+      val nation = s.table("nation").select("n_nationkey", "n_regionkey")
+      graft.delta.TransactionWriter.overwrite(src, nation)             // v0
+      graft.delta.ChangeDataFeed.enable(src)                           // v1
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT CREATE MATVIEW '$viewPath' FROM '$srcPath' " +
+          "KEYS (n_regionkey) SUM (n_nationkey) MAX (n_nationkey)").collect()
+      graft.delta.TransactionWriter.append(src,
+        nation.where(col("n_nationkey") < 5))                          // v2
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT REFRESH MATVIEW '$viewPath'").collect()
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT DESCRIBE MATVIEW '$viewPath'")
+        .select(col("key_cols"), col("aggs"), col("source_version"))
+    }),
     // Streaming-maintained materialized rollup: the CDF stream of a
     // scratch table (initial snapshot as inserts, then a DELETE and an
     // UPDATE) MERGEs signed per-key deltas into a rollup Delta table
@@ -4482,8 +4540,23 @@ object Queries {
       """SELECT source,
         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  CAST(SUM(CASE WHEN doc_id % 9 = 2 THEN 7 ELSE n_chars END)
-        |    AS BIGINT) AS sum_value
+        |    AS BIGINT) AS sum_n_chars
         |FROM documents WHERE doc_id % 11 <> 0 GROUP BY source""".stripMargin,
+    "q_matview_minmax" ->
+      """SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN doc_id % 9 = 2 THEN 7 ELSE n_chars END)
+        |    AS BIGINT) AS sum_n_chars,
+        |  CAST(MIN(CASE WHEN doc_id % 9 = 2 THEN 7 ELSE n_chars END)
+        |    AS BIGINT) AS min_n_chars,
+        |  CAST(MAX(CASE WHEN doc_id % 9 = 2 THEN 7 ELSE n_chars END)
+        |    AS BIGINT) AS max_n_chars
+        |FROM documents WHERE n_chars < 450 AND source <> 'src3'
+        |GROUP BY source""".stripMargin,
+    "q_matview_describe" ->
+      """SELECT 'n_regionkey' AS key_cols,
+        |  'sum(n_nationkey),max(n_nationkey)' AS aggs,
+        |  CAST(2 AS BIGINT) AS source_version""".stripMargin,
     "q_incr_join" ->
       """SELECT o.o_custkey, o.o_orderkey, o.o_totalprice,
         |  CASE WHEN c.c_custkey % 10 = 5 THEN 'X' ELSE c.c_mktsegment END

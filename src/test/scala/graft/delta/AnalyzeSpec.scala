@@ -34,6 +34,36 @@ class AnalyzeSpec extends SparkTestBase {
     assert(Maintenance.analyze(DeltaLog.forPath(spark, path)) == v)
   }
 
+  test("ANALYZE stamps numRecords:0 on truly empty stats-less files") {
+    val base = java.nio.file.Files.createTempDirectory("graft-analyze-e")
+    val path = base.resolve("t").toString
+    val log = DeltaLog.forPath(spark, path)
+    TransactionWriter.overwrite(log,
+      Seq((1L, 2L)).toDF("a", "b"))                                 // v0
+    // hand-commit a genuinely empty parquet file with NO stats — the
+    // shape a foreign writer (or a failed stats pass) leaves behind
+    val edir = base.resolve("empty").toString
+    Seq.empty[(Long, Long)].toDF("a", "b").coalesce(1)
+      .write.parquet(edir)
+    val src = java.nio.file.Files.list(java.nio.file.Paths.get(edir))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    val dst = java.nio.file.Paths.get(path).resolve("empty.parquet")
+    java.nio.file.Files.copy(src, dst)
+    log.commit(1L, Seq(
+      CommitInfoAction(CommitInfo(System.currentTimeMillis(), "WRITE", Map())),
+      AddAction(AddFile("empty.parquet", Map.empty,
+        java.nio.file.Files.size(dst), System.currentTimeMillis()))))
+    val v = Maintenance.analyze(log)
+    assert(v == 2L, "analyze must commit stats for the empty file")
+    val after = DeltaLog.forPath(spark, path).snapshot
+    val empty = after.activeFiles.find(_.path == "empty.parquet").get
+    assert(empty.stats.exists(_.contains("\"numRecords\":0")),
+      s"empty file must claim numRecords:0, got ${empty.stats}")
+    assert(after.read().count() == 1L)
+    // the file left the needy set: a second ANALYZE is a no-op
+    assert(Maintenance.analyze(DeltaLog.forPath(spark, path)) == v)
+  }
+
   test("ANALYZE covers partitioned tables (partition cols excluded)") {
     val path = java.nio.file.Files.createTempDirectory("graft-analyze-p")
       .resolve("t").toString

@@ -84,6 +84,30 @@ class ConcurrencyStressSpec extends SparkTestBase {
     }
   }
 
+  test("rebase aborts when a concurrent commit advanced the SAME txn appId") {
+    // Two writers folding the same batch window under one appId (e.g.
+    // two concurrent MatView.refresh calls) must NOT both land — the
+    // loser's rebase has to detect the winner's marker and abort, or
+    // the window double-applies.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_txnconf_")
+      .resolve("t").toString
+    val log = DeltaLog.forPath(spark, tmp)
+    TransactionWriter.overwrite(log, Seq((1L, 1L)).toDF("k", "v"))  // v0
+    def actions(app: String, batch: Long) = Seq(
+      CommitInfoAction(CommitInfo(System.currentTimeMillis(), "TEST", Map())),
+      TxnAction(SetTransaction(app, batch, None)))
+    // the "winner" lands at v1 with (app, 1)
+    log.commit(1L, actions("app", 1L))
+    // the "loser" prepared the same window against v0 and tries v1
+    intercept[java.util.ConcurrentModificationException] {
+      TransactionWriter.commitWithRebase(log, 1L,
+        actions("app", 1L), touchedPaths = Set.empty)
+    }
+    // a DIFFERENT appId is no conflict: rebases cleanly to v2
+    assert(TransactionWriter.commitWithRebase(log, 1L,
+      actions("other", 1L), touchedPaths = Set.empty) == 2L)
+  }
+
   test("hard-delete pipeline: DELETE + REORG PURGE + VACUUM erases rows physically") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_gdpr_")
       .resolve("t").toString

@@ -9,7 +9,7 @@ class MatViewSpec extends SparkTestBase {
   private def rollup(path: String): Map[String, (Long, Long)] =
     DeltaLog.forPath(spark, path).snapshot.read()
       .collect().map(r => r.getString(0) ->
-        ((r.getAs[Long]("n_rows"), r.getAs[Long]("sum_value")))).toMap
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("sum_v")))).toMap
 
   test("create + refresh folds changes; a crashed refresh cannot double-count") {
     val base = java.nio.file.Files.createTempDirectory("graft-mv")
@@ -64,7 +64,62 @@ class MatViewSpec extends SparkTestBase {
     val r = graft.plans.GraftSqlParser.run(spark,
       s"GRAFT DESCRIBE MATVIEW '$viewPath'").collect()(0)
     assert(r.getString(0) == srcPath && r.getString(1) == "k" &&
-      r.getString(2) == "v" && r.getLong(3) == 1L, s"got $r")
+      r.getString(2) == "sum(v)" && r.getLong(3) == 1L, s"got $r")
+  }
+
+  test("MIN/MAX matview refreshes via changed-key rederive") {
+    val base = java.nio.file.Files.createTempDirectory("graft-mv-mm")
+    val srcPath = base.resolve("src").toString
+    val viewPath = base.resolve("view").toString
+    val src = DeltaLog.forPath(spark, srcPath)
+    TransactionWriter.overwrite(src,
+      Seq(("a", 10L), ("a", 20L), ("b", 5L), ("b", 9L), ("c", 1L))
+        .toDF("k", "v"))                                          // v0
+    ChangeDataFeed.enable(src)                                    // v1
+    graft.plans.GraftSqlParser.run(spark,
+      s"GRAFT CREATE MATVIEW '$viewPath' FROM '$srcPath' " +
+        "KEYS (k) SUM (v) MIN (v) MAX (v)").collect()
+    def view(): Map[String, (Long, Long, Long, Long)] =
+      DeltaLog.forPath(spark, viewPath).snapshot.read()
+        .collect().map(r => r.getString(0) -> ((r.getAs[Long]("n_rows"),
+          r.getAs[Long]("sum_v"), r.getAs[Long]("min_v"),
+          r.getAs[Long]("max_v")))).toMap
+    assert(view() == Map("a" -> ((2L, 30L, 10L, 20L)),
+      "b" -> ((2L, 14L, 5L, 9L)), "c" -> ((1L, 1L, 1L, 1L))))
+
+    // delete a group MAXIMUM (non-invertible), delete a whole group,
+    // append a new minimum — one refresh covers the window
+    Mutations.delete(src, col("v") === 20L)                       // v2
+    Mutations.delete(src, col("k") === "c")                       // v3
+    TransactionWriter.append(src, Seq(("b", 2L)).toDF("k", "v"))  // v4
+    assert(MatView.refresh(spark, viewPath) == 4L)
+    assert(view() == Map("a" -> ((1L, 10L, 10L, 10L)),
+      "b" -> ((3L, 16L, 2L, 9L))),
+      "deleted maximum must re-derive; vanished group must drop")
+
+    // idempotent replay: roll the watermark back — the txn marker
+    // makes the re-run a no-op merge, then repairs the watermark
+    Domains.set(DeltaLog.forPath(spark, viewPath), MatView.StateDomain,
+      """{"sourceVersion":1}""")
+    assert(MatView.refresh(spark, viewPath) == 4L)
+    assert(view() == Map("a" -> ((1L, 10L, 10L, 10L)),
+      "b" -> ((3L, 16L, 2L, 9L))))
+  }
+
+  test("refresh bootstraps from createVersion when the state domain is lost") {
+    val base = java.nio.file.Files.createTempDirectory("graft-mv-boot")
+    val srcPath = base.resolve("src").toString
+    val viewPath = base.resolve("view").toString
+    val src = DeltaLog.forPath(spark, srcPath)
+    TransactionWriter.overwrite(src, Seq(("a", 1L)).toDF("k", "v")) // v0
+    ChangeDataFeed.enable(src)                                      // v1
+    MatView.create(spark, viewPath, srcPath, Seq("k"), "v")
+    // crash simulation: the create's domain commit never landed
+    Domains.remove(DeltaLog.forPath(spark, viewPath), MatView.StateDomain)
+    TransactionWriter.append(src, Seq(("a", 4L)).toDF("k", "v"))    // v2
+    assert(MatView.refresh(spark, viewPath) == 2L,
+      "refresh must bootstrap the watermark from createVersion")
+    assert(rollup(viewPath) == Map("a" -> ((2L, 5L))))
   }
 
   test("create rejects a source without CDF; refresh rejects non-matviews") {
