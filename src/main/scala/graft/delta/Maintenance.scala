@@ -1287,9 +1287,16 @@ object Maintenance {
       log: DeltaLog, cols: Seq[String],
       targetFileBytes: Long = 128L * 1024 * 1024,
       where: Option[org.apache.spark.sql.Column] = None): Long = {
-    require(cols.size == 2, s"hilbert clustering takes exactly 2 columns, got $cols")
-    clusterRewrite(log, cols, bits = 16,
-      scaled => graft.functions.Hilbert.index2(scaled(0), scaled(1), 16),
+    val d = cols.size
+    require(d >= 2 && d <= 6,
+      s"hilbert clustering takes 2-6 columns, got $cols")
+    // full 2-D resolution as before; past that, as many bits per axis
+    // as keep the d·bits index in a positive long
+    val bits = math.min(16, 62 / d)
+    clusterRewrite(log, cols, bits,
+      scaled =>
+        if (d == 2) graft.functions.Hilbert.index2(scaled(0), scaled(1), bits)
+        else graft.functions.Hilbert.indexD(scaled, bits),
       "OPTIMIZE HILBERT BY", targetFileBytes, where)
   }
 

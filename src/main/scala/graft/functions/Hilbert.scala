@@ -55,6 +55,128 @@ object Hilbert {
       }).getField("d")
   }
 
+  /** Hilbert index of a d-dimensional point whose coordinates are
+    * already scaled to [0, 2^bits) longs — Skilling's transform
+    * ("Programming the Hilbert curve", AIP 2004): an O(d·bits)
+    * bit-twiddling walk with no tables, the standard generalization
+    * beyond 2-D. Result ranges over [0, 2^(d·bits)); `d·bits ≤ 62`
+    * keeps it a positive long.
+    *
+    * Expression shape: the same aggregate-HOF trick as [[index2]] —
+    * the stateful level walk runs inside ONE `aggregate` over
+    * `sequence(bits-1 … 1)` carrying the coordinate ARRAY, the Gray
+    * correction in a second fold, and the bit interleave in a third
+    * whose initial STATE carries the array (so no phase's result is
+    * re-referenced per output bit — the tree stays O(4^d), evaluated
+    * iteratively, codegen-compatible, no UDF). The per-level inner
+    * dimension loop unrolls in Scala, which bounds d at 6 (tree
+    * growth); 6 dims × 10 bits is already past what curve clustering
+    * usefully distinguishes. */
+  def indexD(coords: Seq[Column], bits: Int): Column = {
+    val d = coords.size
+    require(d >= 2 && d <= 6, s"hilbert index takes 2-6 dimensions, got $d")
+    require(bits >= 1 && d * bits <= 62,
+      s"d*bits must fit a positive long: $d*$bits > 62")
+    def el(a: Column, i: Int) = element_at(a, i + 1)
+    // Phase 1 (Skilling "inverse undo"): fold over levels Q=2^(bits-1)…2,
+    // the inner i-loop unrolled with X[0]/X[i] threaded sequentially
+    val p1 = aggregate(
+      sequence(lit(bits - 1), lit(1), lit(-1)),
+      array(coords.map(_.cast("long")): _*),
+      (xs, qi) => {
+        val q = call_function("shiftleft", lit(1L), qi.cast("int"))
+        val p = q - 1
+        var x0: Column = el(xs, 0)
+        val rest = Array.tabulate(d - 1)(i => el(xs, i + 1))
+        for (i <- 0 until d) {
+          val xi = if (i == 0) x0 else rest(i - 1)
+          val hit = xi.bitwiseAND(q) =!= 0L
+          val inv = x0.bitwiseXOR(p)
+          if (i == 0) {
+            // exchange with itself is a no-op; only the invert branch acts
+            x0 = when(hit, inv).otherwise(x0)
+          } else {
+            val t = x0.bitwiseXOR(xi).bitwiseAND(p)
+            val nx0 = when(hit, inv).otherwise(x0.bitwiseXOR(t))
+            rest(i - 1) = when(hit, xi).otherwise(xi.bitwiseXOR(t))
+            x0 = nx0
+          }
+        }
+        array(x0 +: rest.toSeq: _*)
+      })
+    // Phase 2 (Gray encode): Skilling's `X[i] ^= X[i-1]` is IN-PLACE
+    // sequential — X[i-1] is already encoded — so Y is the running
+    // PREFIX XOR of X, folded with the source array in the state
+    // (p1 is referenced exactly once)
+    val gray = aggregate(
+      sequence(lit(0), lit(d - 1)),
+      struct(p1.as("xs"),
+        array().cast("array<bigint>").as("ys"), lit(0L).as("run")),
+      (st, i) => {
+        val run2 = st.getField("run")
+          .bitwiseXOR(element_at(st.getField("xs"), i + 1))
+        struct(st.getField("xs").as("xs"),
+          concat(st.getField("ys"), array(run2)).as("ys"),
+          run2.as("run"))
+      }).getField("ys")
+    // Phase 3 (Gray correction): t ^= Q-1 for every set bit of Y[d-1];
+    // Y[d-1] rides in the fold state so `gray` is referenced once
+    val tCol = aggregate(
+      sequence(lit(bits - 1), lit(1), lit(-1)),
+      struct(el(gray, d - 1).as("last"), lit(0L).as("t")),
+      (acc, qi) => {
+        val q = call_function("shiftleft", lit(1L), qi.cast("int"))
+        struct(acc.getField("last").as("last"),
+          when(acc.getField("last").bitwiseAND(q) =!= 0L,
+            acc.getField("t").bitwiseXOR(q - 1))
+            .otherwise(acc.getField("t")).as("t"))
+      }).getField("t")
+    // Phase 4 (interleave): index bit of (level b, dim i) sits at
+    // position b·d + (d-1-i); the transpose array and t live in the
+    // fold STATE, so each is evaluated once per row
+    aggregate(
+      sequence(lit(bits - 1), lit(0), lit(-1)),
+      struct(gray.as("ys"), tCol.as("t"), lit(0L).as("acc")),
+      (st, bi) => {
+        val contrib = (0 until d).map { i =>
+          val bit = call_function("shiftright",
+            el(st.getField("ys"), i).bitwiseXOR(st.getField("t")),
+            bi.cast("int")).bitwiseAND(lit(1L))
+          call_function("shiftleft", bit,
+            (bi.cast("int") * lit(d) + lit(d - 1 - i)).cast("int"))
+        }.reduce(_ + _)
+        struct(st.getField("ys").as("ys"), st.getField("t").as("t"),
+          (st.getField("acc") + contrib).as("acc"))
+      }).getField("acc")
+  }
+
+  /** Driver-side reference of [[indexD]] (for specs/tools). */
+  def axesToIndex(bits: Int, coords: Seq[Long]): Long = {
+    val d = coords.size
+    val x = coords.toArray
+    var q = 1L << (bits - 1)
+    while (q > 1) {
+      val p = q - 1
+      for (i <- 0 until d) {
+        if ((x(i) & q) != 0) x(0) ^= p
+        else { val t = (x(0) ^ x(i)) & p; x(0) ^= t; x(i) ^= t }
+      }
+      q >>= 1
+    }
+    for (i <- 1 until d) x(i) ^= x(i - 1)
+    var t = 0L
+    q = 1L << (bits - 1)
+    while (q > 1) { if ((x(d - 1) & q) != 0) t ^= q - 1; q >>= 1 }
+    for (i <- 0 until d) x(i) ^= t
+    var idx = 0L
+    var b = bits - 1
+    while (b >= 0) {
+      for (i <- 0 until d) idx = (idx << 1) | ((x(i) >> b) & 1L)
+      b -= 1
+    }
+    idx
+  }
+
   /** Driver-side reference of the same walk (for specs/tools). */
   def xy2d(bits: Int, x0: Long, y0: Long): Long = {
     val n = 1L << bits

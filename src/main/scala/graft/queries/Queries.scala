@@ -2776,6 +2776,42 @@ object Queries {
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents""".stripMargin
 
+  /** 3-D Hilbert clustering (Skilling's d-dimensional transform),
+    * driver-verified END-TO-END: lineitem's three join keys land
+    * scattered over 16 files, GRAFT OPTIMIZE HILBERT BY re-clusters on
+    * all THREE, and the gate proves no row was lost/duplicated plus
+    * the log-plane file count. The 3-D-box pruning advantage over the
+    * Z-order interleave is asserted in HilbertSpec at a held-constant
+    * file count. */
+  private def qHilbert3ReadSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_hlb3_")
+        .resolve("t").toString
+      val log = graft.delta.DeltaLog.forPath(s, tmp)
+      graft.delta.TransactionWriter.overwrite(log,
+        s.table("lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+          .repartition(16, expr("hash(l_orderkey, l_partkey, l_suppkey)")))
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT OPTIMIZE '$tmp' HILBERT BY (l_orderkey, l_partkey, l_suppkey)")
+        .collect()
+      val snap = graft.delta.DeltaLog.forPath(s, tmp).snapshot
+      val nFiles = snap.addsFlat.count()
+      snap.read().agg(
+        lit(nFiles).as("num_files"),
+        count(lit(1)).as("n_rows"),
+        sum("l_partkey").as("sum_part"),
+        sum("l_suppkey").as("sum_supp"))
+    }
+
+  private val qHilbert3ReadDuck: String =
+    """SELECT CAST(1 AS BIGINT) AS num_files,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(l_partkey) AS BIGINT) AS sum_part,
+      |  CAST(SUM(l_suppkey) AS BIGINT) AS sum_supp
+      |FROM lineitem""".stripMargin
+
   /** Index-powered equi-join (dynamic FILE pruning), driver-verified
     * END-TO-END: the Bloom-indexed scratch fact joins a small dim
     * whose keys prune the fact's files BEFORE the scan
@@ -3922,6 +3958,7 @@ object Queries {
     "q_bloom_read" -> qBloomReadSpark,
     "q_bloom_join" -> qBloomJoinSpark,
     "q_hilbert_read" -> qHilbertReadSpark,
+    "q_hilbert3_read" -> qHilbert3ReadSpark,
     "q_zorder_read" -> qZorderReadSpark,
     "q_analyze_read" -> qAnalyzeReadSpark,
     "q_funnel" -> qFunnelSpark,
@@ -4716,6 +4753,7 @@ object Queries {
     "q_bloom_read" -> qBloomReadDuck,
     "q_bloom_join" -> qBloomJoinDuck,
     "q_hilbert_read" -> qHilbertReadDuck,
+    "q_hilbert3_read" -> qHilbert3ReadDuck,
     "q_zorder_read" -> qHilbertReadDuck, // same content contract
     "q_analyze_read" -> qAnalyzeReadDuck,
     "q_funnel" -> qFunnelDuck,

@@ -35,6 +35,77 @@ class HilbertSpec extends SparkTestBase {
     }
   }
 
+  test("axesToIndex is a bijection with grid-adjacent steps in 3-D and 4-D") {
+    // the defining Hilbert property, now in d dims: every consecutive
+    // pair of indices maps to cells exactly one grid step apart — any
+    // error in Skilling's exchange/invert or the Gray correction
+    // breaks adjacency somewhere
+    for (d <- Seq(3, 4)) {
+      val bits = if (d == 3) 3 else 2
+      val n = 1 << bits
+      val cells = Iterator.fill(d)(0 until n).toList
+        .foldLeft(Seq(Seq.empty[Long])) { (acc, r) =>
+          acc.flatMap(pre => r.map(v => pre :+ v.toLong))
+        }
+      val byIdx = cells.map(c => Hilbert.axesToIndex(bits, c) -> c).toMap
+      val total = math.pow(n, d).toLong
+      assert(byIdx.size == total, s"d=$d not a bijection")
+      assert(byIdx.keys.min == 0L && byIdx.keys.max == total - 1)
+      for (k <- 0L until total - 1) {
+        val a = byIdx(k); val b = byIdx(k + 1)
+        val dist = a.zip(b).map { case (x, y) => math.abs(x - y) }.sum
+        assert(dist == 1, s"d=$d jump between $k ($a) and ${k + 1} ($b)")
+      }
+    }
+  }
+
+  test("indexD expression matches the driver reference on a 3-D grid") {
+    val bits = 3
+    val n = 1 << bits
+    val grid = (for (x <- 0L until n; y <- 0L until n; z <- 0L until n)
+      yield (x, y, z)).toDF("x", "y", "z")
+    val got = grid.select($"x", $"y", $"z",
+        Hilbert.indexD(Seq($"x", $"y", $"z"), bits).as("d"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    for (x <- 0L until n; y <- 0L until n; z <- 0L until n)
+      assert(got((x, y, z)) == Hilbert.axesToIndex(bits, Seq(x, y, z)),
+        s"mismatch at ($x,$y,$z)")
+  }
+
+  test("3-D hilbert layout prunes a box probe at least as well as z-order") {
+    // same data, same file count, two layouts — the 3-D-box pruning
+    // comparison that motivates OPTIMIZE HILBERT BY on 3+ columns
+    def layout(cluster: (graft.delta.DeltaLog, Seq[String]) => Unit)
+        : (Int, Int) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_h3_")
+        .resolve("t").toString
+      val log = DeltaLog.forPath(spark, dir)
+      val rows = (0L until 4096L).map { i =>
+        (i % 16L, (i / 16L) % 16L, i / 256L, i)
+      }.toDF("a", "b", "c", "id").repartition(16, expr("hash(id)"))
+      TransactionWriter.overwrite(log, rows)
+      cluster(log, Seq("a", "b", "c"))
+      val snap = DeltaLog.forPath(spark, dir).snapshot
+      assert(snap.read().agg(sum("id")).head.getLong(0) ==
+        4096L * 4095L / 2, "content must be preserved")
+      val box = Seq(("a", "<", 4L), ("b", "<", 4L), ("c", "<", 4L))
+      // prunedFiles returns the SURVIVORS (files the scan must read)
+      (graft.delta.Skipping.prunedFiles(snap, box).size,
+        snap.planFiles().size)
+    }
+    val (hScan, hf) = layout((l, c) =>
+      Maintenance.hilbertCluster(l, c, targetFileBytes = 4096L))
+    val (zScan, zf) = layout((l, c) =>
+      Maintenance.zorder(l, c, targetFileBytes = 4096L))
+    assert(hScan < hf, s"hilbert layout did not prune ($hScan of $hf)")
+    assert(hScan.toDouble / hf <= zScan.toDouble / zf,
+      s"hilbert scans $hScan/$hf, z-order $zScan/$zf — the locality-" +
+        "optimal curve must not lose to the morton interleave on a " +
+        "corner box")
+  }
+
   test("hilbertCluster preserves content and tightens 2-D file boxes") {
     val dir = java.nio.file.Files.createTempDirectory("graft_hilbert_")
       .resolve("t").toString
