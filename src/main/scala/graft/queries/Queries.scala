@@ -1416,6 +1416,13 @@ object Queries {
     s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_books_" +
       s"${ProcessHandle.current().pid()}.parquet")
 
+  /** The hybrid-ANN gate exports its own quantizers (same per-process
+    * isolation reasoning as the other centroid/codebook paths). */
+  private val hybridAnnBooksPath = sys.env.getOrElse(
+    "GRAFT_HYBRID_ANN_BOOKS_PATH",
+    s"${System.getProperty("java.io.tmpdir")}/graft_hybrid_ann_books_" +
+      s"${ProcessHandle.current().pid()}.parquet")
+
   /** IVF-PQ: coarse cells bound candidates (nprobe=2 of 8), ADC over
     * PQ codes ranks them — the composition that holds at 100 TB
     * (cells cut the pair expansion, codes cut the bytes per pair).
@@ -3838,6 +3845,47 @@ object Queries {
         .agg(sum(col("__c")).as("rrf_e6"), count(lit(1)).as("n_lists"))
         .orderBy(col("rrf_e6").desc, col("doc_id")).limit(20)
     }),
+    // Hybrid search, SCALE path: the same RRF fusion but with the
+    // vector half served by IVF-PQ (coarse cells bound candidates,
+    // asymmetric distance over 4×16 codebooks ranks them) instead of
+    // the exact-cosine baseline above — the composition a production
+    // hybrid stack runs at 100 TB, where a brute-force cosine pass per
+    // query is off the table. Both quantizers are exported and the
+    // oracle replays cell assignment, probe, PQ encode, and ADC
+    // bit-for-bit, exactly as q_embedding_ivfpq_knn does; the
+    // exact-cosine q_hybrid_rrf stays as the recall baseline.
+    "q_hybrid_rrf_ann" -> ((s, dir) => {
+      registerViews(s, dir)
+      val emb = s.table("embeddings")
+      val coarse = graft.operators.Pq.trainCodebooks(
+        emb, "vec_id", "embedding", m = 1, k = 8, iterations = 2)
+      val books = graft.operators.Pq.trainCodebooks(
+        emb, "vec_id", "embedding", m = 4, k = 16, iterations = 2)
+      import s.implicits._
+      (coarse.map { case (j, cid, cv) => ("c", j, cid, cv.toSeq) } ++
+        books.map { case (j, cid, cv) => ("p", j, cid, cv.toSeq) })
+        .toDF("book", "subspace", "cid", "cv")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(hybridAnnBooksPath)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score_e6").desc, col("doc_id"))
+      val lex = graft.operators.Curation.bm25TopK(
+        s.table("documents"), "doc_id", "text",
+        Seq("spark", "table", "merge", "fast", "query"), topK = 50)
+        .select(col("doc_id"), row_number().over(w).cast("long").as("rnk"))
+      val vec = graft.operators.Pq.ivfPqTopK(
+        emb, emb.where(col("vec_id") === 0), "vec_id", "embedding",
+        coarse, books, kNeighbors = 50, nprobe = 2)
+        .select(col("neighbor_id").as("doc_id"),
+          col("rnk").cast("long").as("rnk"))
+      val contrib = (d: org.apache.spark.sql.DataFrame) => d.select(
+        col("doc_id"),
+        floor(lit(1e6) / (col("rnk") + 60)).cast("long").as("__c"))
+      contrib(lex).union(contrib(vec))
+        .groupBy("doc_id")
+        .agg(sum(col("__c")).as("rrf_e6"), count(lit(1)).as("n_lists"))
+        .orderBy(col("rrf_e6").desc, col("doc_id")).limit(20)
+    }),
     // Canonical document per near-dup cluster: the LSH+jaccard+CC
     // pipeline of q_minhash_cc, electing the best-quality member
     // (ties to the smallest doc_id) as each component's survivor.
@@ -4680,6 +4728,78 @@ object Queries {
         |  CAST(COUNT(*) AS BIGINT) AS n_lists
         |FROM u GROUP BY doc_id
         |ORDER BY rrf_e6 DESC, doc_id LIMIT 20""".stripMargin,
+    "q_hybrid_rrf_ann" ->
+      s"""WITH qt(term) AS (VALUES ('spark'), ('table'), ('merge'), ('fast'), ('query')),
+         |w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(len(t)) AS BIGINT) AS toktot FROM w),
+         |tf AS (SELECT doc_id, term, CAST(len(t) AS BIGINT) AS dl, count(*) AS tf
+         |  FROM w, unnest(t) AS u(tok) JOIN qt ON u.tok = qt.term
+         |  GROUP BY doc_id, term, len(t)),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |c AS (SELECT tf.doc_id,
+         |    CAST(FLOOR(1e6
+         |      * ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+         |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0)
+         |        / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75
+         |          * (CAST(dl AS DOUBLE) / (CAST(toktot AS DOUBLE) / CAST(n AS DOUBLE))))))) AS BIGINT) AS s
+         |  FROM tf JOIN dfq USING (term), st),
+         |lexs AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score
+         |  FROM c GROUP BY doc_id),
+         |lex AS (SELECT doc_id, rnk FROM (
+         |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+         |  FROM lexs) WHERE rnk <= 50),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cb AS (SELECT cid, cv FROM read_parquet('$hybridAnnBooksPath/*.parquet')
+         |  WHERE book = 'c'),
+         |pb AS (SELECT subspace, cid, cv
+         |  FROM read_parquet('$hybridAnnBooksPath/*.parquet') WHERE book = 'p'),
+         |celld AS (SELECT e.vec_id, cb.cid,
+         |    ROUND(list_sum(list_transform(range(1, 65),
+         |      i -> (e.v[i] - cb.cv[i]) * (e.v[i] - cb.cv[i]))), 4) AS d
+         |  FROM e CROSS JOIN cb),
+         |cells AS (SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |    FROM celld) t WHERE rn = 1),
+         |probe AS (SELECT vec_id AS query_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |    FROM celld WHERE vec_id = 0) t WHERE rn <= 2),
+         |cd AS (SELECT e.vec_id, pb.subspace, pb.cid,
+         |    ROUND(list_sum(list_transform(range(1, 17),
+         |      i -> (e.v[pb.subspace*16 + i] - pb.cv[i]) * (e.v[pb.subspace*16 + i] - pb.cv[i]))), 4) AS d
+         |  FROM e CROSS JOIN pb),
+         |codes AS (SELECT vec_id, subspace, cid FROM (
+         |    SELECT vec_id, subspace, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY d, cid) AS rn
+         |    FROM cd) t WHERE rn = 1),
+         |recon AS (
+         |  SELECT c.vec_id, flatten(list(pb.cv ORDER BY c.subspace)) AS rv
+         |  FROM codes c JOIN pb ON pb.subspace = c.subspace AND pb.cid = c.cid
+         |  GROUP BY c.vec_id),
+         |rn AS (SELECT r.vec_id, r.rv,
+         |    list_sum(list_transform(r.rv, x -> x * x)) AS rn2,
+         |    cells.cell
+         |  FROM recon r JOIN cells ON cells.vec_id = r.vec_id),
+         |qn AS (SELECT p.query_id, e.v, p.cell,
+         |    list_sum(list_transform(e.v, x -> x * x)) AS qn2
+         |  FROM probe p JOIN e ON e.vec_id = p.query_id),
+         |pairs AS (SELECT qn.query_id, rn.vec_id AS neighbor_id,
+         |    ROUND(qn.qn2 - 2 * list_sum(list_transform(range(1, 65),
+         |      i -> qn.v[i] * rn.rv[i])) + rn.rn2, 4) AS adist
+         |  FROM qn JOIN rn ON rn.cell = qn.cell AND rn.vec_id <> qn.query_id),
+         |vec AS (SELECT doc_id, rnk FROM (
+         |    SELECT neighbor_id AS doc_id,
+         |      ROW_NUMBER() OVER (ORDER BY adist, neighbor_id) AS rnk
+         |    FROM pairs) t WHERE rnk <= 50),
+         |u AS (SELECT doc_id, CAST(FLOOR(1e6 / (rnk + 60)) AS BIGINT) AS cc FROM lex
+         |  UNION ALL
+         |  SELECT doc_id, CAST(FLOOR(1e6 / (rnk + 60)) AS BIGINT) AS cc FROM vec)
+         |SELECT doc_id, CAST(SUM(cc) AS BIGINT) AS rrf_e6,
+         |  CAST(COUNT(*) AS BIGINT) AS n_lists
+         |FROM u GROUP BY doc_id
+         |ORDER BY rrf_e6 DESC, doc_id LIMIT 20""".stripMargin,
     "q_canonical_docs" ->
       s"""WITH cc AS ($qMinhashCcDuck),
          |q AS (SELECT doc_id, (${qualityE6Duck("documents")}) AS quality_e6 FROM documents),
