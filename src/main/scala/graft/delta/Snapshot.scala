@@ -603,6 +603,44 @@ class Snapshot(
     src.toLocalIterator().asScala.map(rowToAddFile)
   }
 
+  /** Stream the (slim) planning rows in BOUNDED batches — the posture
+    * for tables whose active-file list, even pruned, exceeds driver
+    * memory (~10⁸ small files on a 100 TB table). The metadata relation
+    * is first repartitioned to ~`batchFiles` rows per partition so
+    * `toLocalIterator` never holds more than one batch of rows; each
+    * yielded batch materializes at most `batchFiles` AddFiles. The
+    * repartition is one cheap metadata shuffle; batch order is
+    * arbitrary (scan composition is set-semantied). */
+  def planFileBatches(
+      pred: Option[org.apache.spark.sql.Column] = None,
+      batchFiles: Int = 65536): Iterator[Seq[AddFile]] = {
+    require(batchFiles > 0, s"batchFiles must be > 0, got $batchFiles")
+    val src = pred.map(slimAdds.where).getOrElse(slimAdds)
+    val n = src.count()
+    if (n == 0) return Iterator.empty
+    val parts = math.max(1, math.ceil(n.toDouble / batchFiles).toInt)
+    import scala.jdk.CollectionConverters._
+    src.repartition(parts).toLocalIterator().asScala
+      .map(rowToAddFile).grouped(batchFiles).map { b =>
+        Snapshot.driverFileRowsCollected.addAndGet(b.size)
+        Snapshot.driverPlanPeakBatch.accumulateAndGet(b.size.toLong, Math.max)
+        b
+      }
+  }
+
+  /** Scan the table through [[planFileBatches]]: each bounded batch
+    * becomes an ordinary [[readFiles]] sub-scan (partition-value
+    * attachment and DV routing per batch), unioned. Same result as
+    * [[read]], O(batchFiles) peak planning memory instead of
+    * O(table files). Opt in table-wide via the session conf
+    * `spark.graft.scan.batchFiles` (0 = off), or call directly. */
+  def readBatched(
+      pred: Option[org.apache.spark.sql.Column] = None,
+      batchFiles: Int = 65536): DataFrame =
+    planFileBatches(pred, batchFiles).map(readFiles)
+      .reduceOption(_.unionByName(_))
+      .getOrElse(spark.createDataFrame(new java.util.ArrayList[Row](), schema))
+
   def numFiles: Long = adds.count()
 
   def absolutePath(f: AddFile): String =
@@ -614,7 +652,15 @@ class Snapshot(
     * listing), with partition columns re-attached from the log's
     * `partitionValues` and cast from their string encoding to the
     * declared type. */
-  def read(): DataFrame = readFiles(planFiles())
+  def read(): DataFrame = {
+    // opt-in bounded planning for very-many-file tables: with
+    // spark.graft.scan.batchFiles=N set, reads stream the file index in
+    // N-file batches instead of one driver collect (see [[readBatched]])
+    val batch = spark.conf.getOption("spark.graft.scan.batchFiles")
+      .map(_.toInt).getOrElse(0)
+    if (batch > 0) readBatched(None, batch)
+    else readFiles(planFiles())
+  }
 
   /** Scan a chosen subset of the active files (used by stats/partition
     * file pruning — see [[graft.delta.Skipping]]).
@@ -788,6 +834,12 @@ object Snapshot {
     * all snapshots — the observable FileIndexSpec uses to assert that
     * planning stays bounded (a full 10⁵-add collect is visible here). */
   private[graft] val driverFileRowsCollected =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** High-water mark of the LARGEST single planning batch materialized
+    * to the driver (see [[Snapshot.planFileBatches]]) — the observable
+    * for asserting that batched scan planning is genuinely bounded. */
+  private[graft] val driverPlanPeakBatch =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Schema of the `add.stats` JSON document, derived from the table
