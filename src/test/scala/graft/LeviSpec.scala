@@ -5,7 +5,29 @@ import graft.delta.{DeltaLog, Skipping}
 /** Golden tests ported from the reference's
   * tests/test_public_interface.py — log-plane analytics + pure parsers,
   * asserted against the reference's own hand-computed values over the
-  * committed `basic_append` / `multi_partitioned` fixtures. */
+  * committed `basic_append` / `multi_partitioned` fixtures.
+  *
+  * ERROR-PATH PARITY AUDIT — every pytest.raises branch in the
+  * reference mapped to its graft assertion (this file + MutationsSpec):
+  *
+  * | reference line(s)        | raises     | branch                            | graft test (intercept)                                                        |
+  * |--------------------------|------------|-----------------------------------|-------------------------------------------------------------------------------|
+  * | :389 (:348-398)          | TypeError  | scd2 BASE missing required column | MutationsSpec "type_2_scd_upsert schema validation (reference :348-398, :401-451)" |
+  * | :442 (:401-451)          | TypeError  | scd2 UPDATES missing pkey         | MutationsSpec, same test (updatesNoPkey branch)                               |
+  * | :710 (:684-715)          | TypeError  | drop_duplicates: no table         | unrepresentable (non-nullable DeltaLog parameter)                             |
+  * | :711-712                 | TypeError  | drop_duplicates: empty/None cols  | MutationsSpec "drop_duplicates error paths (reference :684-715)"              |
+  * | :713                     | TypeError  | drop_duplicates: missing column   | MutationsSpec, same test                                                      |
+  * | :714                     | TypeError  | drop_duplicates: cols not a list  | unrepresentable (Seq[String] parameter type)                                  |
+  * | :875, :905 (:849-908)    | ValueError | pkey not unique table-wide        | MutationsSpec "drop_duplicates_pkey validations (reference :849-943)"         |
+  * | :935 (:909-943) branch 1 | TypeError  | pkey: no table                    | unrepresentable (non-nullable DeltaLog parameter)                             |
+  * | :935 branch 2            | TypeError  | pkey: no primary key              | MutationsSpec pkey validations (empty-pkey branch)                            |
+  * | :935 branches 3-4        | TypeError  | pkey: empty/None dup cols         | MutationsSpec pkey validations (Nil branch)                                   |
+  * | :935 branch 5            | TypeError  | pkey ∈ duplication_columns        | MutationsSpec pkey validations                                                |
+  * | :935 branch 6            | TypeError  | pkey: missing column              | MutationsSpec pkey validations (col9 branch)                                  |
+  * | :935 branches 7-8        | TypeError  | pkey: wrong argument types        | unrepresentable (typed parameters)                                            |
+  * | levi str_to_bytes bad unit | ValueError | unparseable size string         | this file, "str_to_bytes (reference :82-85)"                                  |
+  * | levi filter op validation  | —          | unsupported operator            | this file, "filter_to_sql (reference :63-66)"                                 |
+  */
 class LeviSpec extends SparkTestBase {
   def basicAppend =
     DeltaLog.forPath(spark, "/root/reference/tests/reader_tests/generated/basic_append/delta").snapshot

@@ -34,10 +34,26 @@ class MutationsSpec extends SparkTestBase {
       Seq((2L, "A", "B"), (6L, "D", "D")).toDF("col1", "col2", "col3"))
   }
 
-  test("kill_duplicates error paths (reference :348-398)") {
+  test("kill_duplicates error paths (same column contract as reference :684-715)") {
+    // the reference has no kill_duplicates raises branch of its own —
+    // its duplication_columns contract is shared with drop_duplicates
     val log = writeTable(Seq((1L, "A")).toDF("col1", "col2"))
     intercept[IllegalArgumentException](Levi.killDuplicates(log, Nil))
     intercept[IllegalArgumentException](Levi.killDuplicates(log, Seq("nope")))
+  }
+
+  test("drop_duplicates error paths (reference :684-715)") {
+    val log = writeTable(Seq(
+      (1L, "A", "A", "C"), (1L, "A", "A", "C"))
+      .toDF("col1", "col2", "col3", "col4"))
+    // empty duplication_columns (reference :712)
+    intercept[IllegalArgumentException](
+      Levi.dropDuplicates(log, Nil, orderBy = Seq("col1")))
+    // non-existing column (reference :713, col5)
+    intercept[IllegalArgumentException](
+      Levi.dropDuplicates(log, Seq("col1", "col5"), orderBy = Seq("col1")))
+    // the reference's None-table / wrong-argument-type branches
+    // (:710-711, :714) are unrepresentable in this typed API
   }
 
   test("drop_duplicates one column (reference :597-638)") {
@@ -80,6 +96,8 @@ class MutationsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Levi.dropDuplicatesPkey(log2, "col1", Seq("col9")))
     // empty duplication columns
     intercept[IllegalArgumentException](Levi.dropDuplicatesPkey(log2, "col1", Nil))
+    // empty primary key (reference :935 "no pkey provided")
+    intercept[IllegalArgumentException](Levi.dropDuplicatesPkey(log2, "", Seq("col2")))
   }
 
   def ts(s: String): Timestamp = Timestamp.valueOf(s)
@@ -153,7 +171,7 @@ class MutationsSpec extends SparkTestBase {
       .toDF("pkey", "attr", "is_current", "effective_ver", "end_ver"))
   }
 
-  test("type_2_scd_upsert schema validation (reference :401-451)") {
+  test("type_2_scd_upsert schema validation (reference :348-398, :401-451)") {
     val log = writeTable(Seq(
       (1L, "A", true, 1L, null.asInstanceOf[java.lang.Long]))
       .toDF("pkey", "attr", "is_current", "effective_ver", "end_ver"))
@@ -161,6 +179,20 @@ class MutationsSpec extends SparkTestBase {
     // wrong attr list → base schema contract violated
     intercept[IllegalArgumentException](
       Levi.type2ScdUpsert(log, updates, "pkey", Seq("attr", "bogus"),
+        effectiveTimeColName = "effective_ver", endTimeColName = "end_ver"))
+    // base missing a required column (reference :348-398 drops pkey
+    // from the BASE): a base table without is_current/pkey must refuse
+    val logNoCurrent = writeTable(Seq(
+      (1L, "A", 1L, null.asInstanceOf[java.lang.Long]))
+      .toDF("pkey", "attr", "effective_ver", "end_ver"))
+    intercept[IllegalArgumentException](
+      Levi.type2ScdUpsert(logNoCurrent, updates, "pkey", Seq("attr"),
+        effectiveTimeColName = "effective_ver", endTimeColName = "end_ver"))
+    // updates missing a required column (reference :401-451 drops pkey
+    // from the UPDATES)
+    val updatesNoPkey = Seq(("Z", 2L)).toDF("attr", "effective_ver")
+    intercept[IllegalArgumentException](
+      Levi.type2ScdUpsert(log, updatesNoPkey, "pkey", Seq("attr"),
         effectiveTimeColName = "effective_ver", endTimeColName = "end_ver"))
   }
 
