@@ -111,81 +111,57 @@ object Queries {
     }
 
   /** Spark inlines CTEs, so a CTE referenced k times is computed k
-    * times. For the minhash pipeline (hash shingles → 16 signatures →
+    * times. For the minhash pipeline (hash shingles -> 16 signatures ->
     * 4 band buckets) that multiplies the expensive md5/array stages up
-    * to 6×. This variant materializes the shared stages as cached temp
-    * views instead — each stage computes once per run.
+    * to 6x. This variant materializes the shared stages via
+    * `localCheckpoint()` temp views instead — each stage computes
+    * exactly once per run and every downstream reference reads the
+    * materialized blocks.
     *
-    * Cache hygiene: the stage caches unpersist themselves after the
-    * first completed action on the session (the consuming `count`/
-    * `collect`/write), so a LIBRARY caller is not left with stale
-    * `InMemoryRelation`s after the pipeline result is consumed. An
-    * unrelated action firing first merely unpersists early (the stages
-    * recompute — correct, just slower). A new pipeline invocation
-    * cancels the previous listener ([[registerViews]]'s `clearCache`
-    * already reclaimed its entries) so a benchmark loop can't have a
-    * stale listener unpersist the fresh pass's caches mid-flight. */
+    * Why a checkpoint and not `persist()`: the round-8 kernel study
+    * (graft.tools.MinhashProfile) found the shingle/minhash kernel
+    * itself costs ~0.25 s at sf0.1 while the "cached"-stage dedup cost
+    * ~4.7 s — CacheManager plan substitution silently MISSED the stage
+    * subtrees inside the final query (0 InMemoryRelations in its
+    * optimized plan, 34 inlined copies of the minhash kernel), so the
+    * persist was paying its cost without ever being hit. A local
+    * checkpoint cuts lineage unconditionally — the view's stored plan
+    * IS the materialized RDD, so no optimizer rule or cache-matching
+    * fragility can ever re-expand the kernel. Measured: q_minhash_dedup
+    * 4.7 s -> 1.0 s warm at sf0.1.
+    *
+    * Block hygiene: each new pipeline invocation unpersists the
+    * PREVIOUS invocation's checkpointed stage blocks (by then its
+    * result has been consumed — same lifecycle assumption the old
+    * listener-based cleaner made), so a benchmark loop holds at most
+    * one query's stage blocks. */
   private def cachedStagesQuery(
       stages: Seq[(String, String)], finalSql: String): (SparkSession, String) => DataFrame =
     (spark, dir) => {
       registerViews(spark, dir)
-      Option(pendingCleanup.getAndSet(null)).foreach(_.cancel())
-      val cached = stages.map { case (view, sql) =>
-        val df = spark.sql(sql)
-        df.persist()
+      unpersistStages(pendingStages.getAndSet(Nil))
+      val ckpts = stages.map { case (view, sql) =>
+        val df = spark.sql(sql).localCheckpoint()
         df.createOrReplaceTempView(view)
         df
       }
-      val cleaner = new StageCacheCleaner(spark, cached)
-      pendingCleanup.set(cleaner)
-      spark.listenerManager.register(cleaner)
+      pendingStages.set(ckpts)
       spark.sql(finalSql)
     }
 
-  private val pendingCleanup =
-    new java.util.concurrent.atomic.AtomicReference[StageCacheCleaner](null)
+  private val pendingStages =
+    new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
 
-  private final class StageCacheCleaner(
-      spark: SparkSession, cached: Seq[DataFrame])
-      extends org.apache.spark.sql.util.QueryExecutionListener {
-    private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
-    // The listener bus is async: an event from an action that COMPLETED
-    // before this cleaner was registered can be delivered after — and
-    // must not fire the cleanup (it would unpersist the fresh stages
-    // before the pipeline's own action consumes them). Filter by the
-    // query's planning-tracker start time vs the registration instant.
-    private val registeredAtMs = System.currentTimeMillis()
-    private def stale(qe: org.apache.spark.sql.execution.QueryExecution): Boolean =
-      try {
-        val phases = qe.tracker.phases
-        phases.nonEmpty && phases.values.map(_.startTimeMs).min < registeredAtMs
-      } catch { case _: Throwable => false }
-    /** Deactivate without unpersisting (caches already reclaimed). */
-    def cancel(): Unit =
-      if (done.compareAndSet(false, true)) spark.listenerManager.unregister(this)
-    private def fire(): Unit =
-      if (done.compareAndSet(false, true)) {
-        // Per-frame defensive unpersist: uncacheQuery walks the WHOLE
-        // shared CacheManager to recache dependent entries, and a
-        // FOREIGN entry (cached by another session on the shared
-        // context, possibly since stopped) can throw from that walk.
-        // One bad foreign entry must not leave our remaining stages
-        // pinned — each frame's entry is already removed before the
-        // recache walk runs, so catch-and-continue is safe.
-        if (!spark.sparkContext.isStopped)
-          cached.foreach { df =>
-            try df.unpersist(false) catch { case _: Throwable => () }
-          }
-        try spark.listenerManager.unregister(this)
-        catch { case _: Throwable => () }
-      }
-    override def onSuccess(funcName: String,
-        qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
-      if (!stale(qe)) fire()
-    override def onFailure(funcName: String,
-        qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit =
-      if (!stale(qe)) fire()
-  }
+  /** Free a finished invocation's checkpoint blocks (best-effort: a
+    * stopped context or foreign interference must not fail a query). */
+  private def unpersistStages(dfs: Seq[DataFrame]): Unit =
+    dfs.foreach { df =>
+      try df.queryExecution.analyzed.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(false)
+        case _ => ()
+      } catch { case _: Throwable => () }
+    }
 
   // ---- group A: core relational / levi-semantics queries -------------------
 

@@ -1,32 +1,30 @@
 package graft
 
-import org.scalatest.concurrent.Eventually.{eventually, interval, timeout}
-import org.scalatest.time.{Seconds, Span, Millis}
-
-/** Library cache hygiene: pipeline queries that persist shared stages
-  * must not leave THEIR InMemoryRelations behind once their result is
-  * consumed. Assertions are scoped to the pipeline's own stage views —
-  * the CacheManager is shared across every suite on this context, so a
-  * global-emptiness check would flake on any foreign entry another
-  * suite (or its async listener) parks there mid-run. */
+/** Library block hygiene for the checkpoint-staged pipelines: shared
+  * stages materialize via localCheckpoint (see Queries.cachedStagesQuery
+  * — CacheManager substitution was measured to MISS the stage subtrees,
+  * so persist() paid without serving), and a new pipeline invocation
+  * must free the previous invocation's checkpoint blocks. Assertions
+  * are delta-based — the SparkContext is shared across every suite, so
+  * absolute persistent-RDD counts would flake on foreign blocks. */
 class QueriesCacheSpec extends SparkTestBase {
 
-  private val stageViews = Seq("g_hsh", "g_sig", "g_buckets")
-
-  test("cached-stage pipeline unpersists after the consuming action") {
+  test("stage checkpoints materialize per run and do not leak across runs") {
     val sf = "/root/testdata/sf0.001"
     val fn = graft.queries.Queries.queries("q_minhash_dedup")
-    val result = fn(spark, sf)
-    assert(stageViews.exists(v => spark.catalog.isCached(v)),
-      "stage views must be cached while the pipeline result is pending")
-    assert(result.count() > 0)
-    // the cleanup listener fires asynchronously on the listener bus
-    // (generous timeout: the bus can lag far behind under host load)
-    eventually(timeout(Span(60, Seconds)), interval(Span(100, Millis))) {
-      stageViews.foreach { v =>
-        assert(!spark.catalog.isCached(v),
-          s"stage view $v may not stay cached after the consuming action")
-      }
+    assert(fn(spark, sf).count() > 0)
+    val after1 = spark.sparkContext.getPersistentRDDs.size
+    // the stage views exist but are NOT CacheManager entries (no
+    // plan-matching fragility, no suite-wide compare cost)
+    Seq("g_hsh", "g_sig", "g_buckets").foreach { v =>
+      assert(!spark.catalog.isCached(v),
+        s"stage view $v must be checkpoint-backed, not CacheManager-cached")
     }
+    // a second invocation unpersists the first's blocks before
+    // checkpointing its own: net persistent-RDD count must not grow
+    assert(fn(spark, sf).count() > 0)
+    val after2 = spark.sparkContext.getPersistentRDDs.size
+    assert(after2 <= after1,
+      s"stage checkpoint blocks leaked across runs: $after1 -> $after2")
   }
 }
