@@ -276,6 +276,43 @@ object SqlDemo {
         .agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0) == 30L,
         "HILBERT BY must preserve content")
       println("== OPTIMIZE HILBERT BY (k, v): content preserved ==")
+
+      // 3-D HILBERT BY (Skilling d-dim transform) on a fresh 3-col table
+      val h3Path = s"$dir/hilbert3_table"
+      graft.delta.TransactionWriter.overwrite(
+        graft.delta.DeltaLog.forPath(spark, h3Path),
+        (0L until 512L).map(i => (i % 8, (i / 8) % 8, i / 64, i))
+          .toDF("x", "y", "z", "id"))
+      spark.sql(s"GRAFT OPTIMIZE '$h3Path' HILBERT BY (x, y, z)")
+      require(spark.read.format("graftdelta").load(h3Path)
+        .agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0)
+        == 512L * 511L / 2, "3-D HILBERT BY must preserve content")
+      println("== OPTIMIZE HILBERT BY (x, y, z): 3-D curve, content preserved ==")
+
+      // MATVIEW lifecycle with non-invertible aggregates: CREATE with
+      // SUM+MIN+MAX, mutate (delete a group maximum), REFRESH via
+      // changed-key rederive, DESCRIBE the definition + watermark
+      val mvSrc = s"$dir/mv_src"
+      val mvPath = s"$dir/mv_view"
+      val srcLog = graft.delta.DeltaLog.forPath(spark, mvSrc)
+      graft.delta.TransactionWriter.overwrite(srcLog,
+        Seq(("a", 10L), ("a", 20L), ("b", 5L)).toDF("k", "v"))
+      graft.delta.ChangeDataFeed.enable(srcLog)
+      spark.sql(s"GRAFT CREATE MATVIEW '$mvPath' FROM '$mvSrc' " +
+        "KEYS (k) SUM (v) MIN (v) MAX (v)")
+      graft.delta.Mutations.delete(srcLog,
+        org.apache.spark.sql.functions.col("v") === 20L)
+      spark.sql(s"GRAFT REFRESH MATVIEW '$mvPath'")
+      val mvRow = spark.read.format("graftdelta").load(mvPath)
+        .where("k = 'a'").head()
+      require(mvRow.getAs[Long]("max_v") == 10L &&
+        mvRow.getAs[Long]("n_rows") == 1L,
+        s"rederive refresh must retract the deleted maximum, got $mvRow")
+      val desc = spark.sql(s"GRAFT DESCRIBE MATVIEW '$mvPath'").head()
+      require(desc.getAs[String]("aggs") == "sum(v),min(v),max(v)" &&
+        desc.getAs[Long]("source_version") == 2L, // v0 write, v1 CDF, v2 delete
+        s"DESCRIBE MATVIEW definition/watermark wrong: $desc")
+      println("== MATVIEW SUM+MIN+MAX: rederive refresh + DESCRIBE OK ==")
       println("SqlDemo OK")
     } finally spark.stop()
   }
