@@ -3768,6 +3768,41 @@ object Queries {
       q.stop()
       agg.snapshot.read()
     }),
+    // CONTINUOUS matview maintenance, driver-verified END-TO-END: the
+    // source's CDF stream triggers MatView.refresh per micro-batch on
+    // a SUM+MAX view (the append + maxima-deleting DELETE exercises
+    // the changed-key rederive path under streaming); exactly-once
+    // rests on the view's own txn markers, not the checkpoint, so
+    // replayed triggers are no-ops. The oracle recomputes the final
+    // rollup from parquet.
+    "q_stream_matview" -> ((s, dir) => {
+      registerViews(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft_smv_")
+      val srcPath = base.resolve("src").toString
+      val viewPath = base.resolve("view").toString
+      val src = graft.delta.DeltaLog.forPath(s, srcPath)
+      val docs = s.table("documents").select("doc_id", "source", "n_chars")
+      graft.delta.TransactionWriter.overwrite(src,
+        docs.where(col("doc_id") % 3 =!= 1))                           // v0
+      graft.delta.ChangeDataFeed.enable(src)                           // v1
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT CREATE MATVIEW '$viewPath' FROM '$srcPath' " +
+          "KEYS (source) SUM (n_chars) MAX (n_chars)").collect()
+      val changes = s.readStream
+        .format(classOf[graft.sources.DeltaSourceProvider].getName)
+        .option("path", src.tablePath)
+        .option("readChangeFeed", "true")
+        .load()
+      val q = graft.streaming.StreamingOps.matviewRefreshSink(
+        s, changes, viewPath, base.resolve("cp").toString)
+      q.processAllAvailable()
+      graft.delta.TransactionWriter.append(src,
+        docs.where(col("doc_id") % 3 === 1))                           // v2
+      graft.delta.Mutations.delete(src, col("n_chars") >= 450)         // v3
+      q.processAllAvailable()
+      q.stop()
+      graft.delta.DeltaLog.forPath(s, viewPath).snapshot.read()
+    }),
     // Training-export shuffle: deterministic pseudo-random permutation
     // via hash shard + shard-local ordering — no global sort.
     "q_shuffle_export" -> ((s, dir) => {
@@ -4628,6 +4663,11 @@ object Queries {
       """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(CASE WHEN doc_id % 9 = 4 THEN 100 ELSE n_chars END) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id % 6 <> 1 GROUP BY source""".stripMargin,
+    "q_stream_matview" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+        |  CAST(MAX(n_chars) AS BIGINT) AS max_n_chars
+        |FROM documents WHERE n_chars < 450 GROUP BY source""".stripMargin,
     "q_shuffle_export" ->
       """WITH k AS (SELECT doc_id,
         |    ('0x' || substr(md5('perm|' || doc_id::VARCHAR), 1, 7))::BIGINT AS pk

@@ -238,6 +238,35 @@ object StreamingOps {
       }
       .start()
 
+  /** CONTINUOUS materialized-view maintenance: each micro-batch of the
+    * source's change feed triggers [[graft.delta.MatView.refresh]] on
+    * the persisted view — the streaming face of GRAFT CREATE MATVIEW,
+    * covering EVERY view definition (a lone SUM folds signed deltas;
+    * MIN/MAX re-derive changed keys), unlike [[incrementalAggSink]]
+    * whose inline fold is SUM-only.
+    *
+    * The batch ROWS are deliberately ignored: refresh() reads its own
+    * CDF window from the view's watermark, so the stream contributes
+    * triggering and backpressure while correctness rests on the view's
+    * own machinery — the (instance, sourceVersion) txn marker inside
+    * each refresh merge makes replayed/overlapping triggers no-ops and
+    * concurrent refreshers mutually exclusive, so the sink is
+    * exactly-once by construction even across checkpoint loss (a
+    * stronger restart contract than batchId-keyed sinks). */
+  def matviewRefreshSink(
+      spark: org.apache.spark.sql.SparkSession,
+      sourceChanges: DataFrame,
+      viewPath: String,
+      checkpointLocation: String): org.apache.spark.sql.streaming.StreamingQuery =
+    sourceChanges.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .outputMode("append")
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        graft.delta.MatView.refresh(spark, viewPath)
+        ()
+      }
+      .start()
+
   /** Watermarked stream-stream INNER interval join: left rows match
     * right rows with the same key whose event time falls in
     * `[leftTs, leftTs + maxSpan]`. Both sides carry a watermark and the

@@ -121,6 +121,45 @@ class IncrementalAggSpec extends SparkTestBase {
       "streamed rollup vs full recompute")
   }
 
+  test("matviewRefreshSink maintains a MIN/MAX view; checkpoint loss cannot double-apply") {
+    val base = java.nio.file.Files.createTempDirectory("graft_smv_spec_")
+    val srcPath = base.resolve("t").toString
+    val viewPath = base.resolve("view").toString
+    val src = graft.delta.DeltaLog.forPath(spark, srcPath)
+    val rows = (0L until 30L).map(i => (i, s"s${i % 3}", i)).toDF("id", "source", "v")
+    graft.delta.TransactionWriter.overwrite(src, rows)         // v0
+    graft.delta.ChangeDataFeed.enable(src)                     // v1
+    graft.delta.MatView.create(spark, viewPath, srcPath,
+      Seq("source"), Seq("sum" -> "v", "min" -> "v", "max" -> "v"))
+    def stream(cp: String) = graft.streaming.StreamingOps.matviewRefreshSink(
+      spark,
+      spark.readStream
+        .format(classOf[graft.sources.DeltaSourceProvider].getName)
+        .option("path", src.tablePath)
+        .option("readChangeFeed", "true").load(),
+      viewPath, cp)
+    val q = stream(base.resolve("cp1").toString)
+    try {
+      q.processAllAvailable()
+      graft.delta.Mutations.delete(src, col("v") >= 27L)       // v2: group maxima
+      graft.delta.Mutations.update(src, col("id") === 1L,
+        Map("v" -> lit(1000L)))                                // v3: moves a max
+      q.processAllAvailable()
+    } finally q.stop()
+    def recompute() = src.snapshot.read().groupBy("source")
+      .agg(count(lit(1)).as("n_rows"), sum("v").as("sum_v"),
+        min("v").as("min_v"), max("v").as("max_v"))
+    assertSameRows(graft.delta.DeltaLog.forPath(spark, viewPath).snapshot.read(),
+      recompute(), "streamed matview vs full recompute")
+    // restart from a FRESH checkpoint (total checkpoint loss): the CDF
+    // stream replays from scratch, but exactly-once rests on the
+    // view's own txn markers — the replayed triggers must all no-op
+    val q2 = stream(base.resolve("cp2").toString)
+    try q2.processAllAvailable() finally q2.stop()
+    assertSameRows(graft.delta.DeltaLog.forPath(spark, viewPath).snapshot.read(),
+      recompute(), "checkpoint loss must not double-apply any window")
+  }
+
   test("base + change feed equals a full recompute (end-to-end Delta)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_ia_spec_")
       .resolve("t").toString
