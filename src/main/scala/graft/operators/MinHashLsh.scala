@@ -21,20 +21,53 @@ object MinHashLsh {
   /** doc frame → (id, hs) where hs = 28-bit hashes of the distinct word
     * 3-gram shingles (fused [[graft.functions.VectorExpressions.hash28Array]]
     * — one codegen'd md5 loop instead of an interpreted transform). */
-  def hashedShingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    df.select(col(idCol),
+  def hashedShingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    // The md5 shingle kernel below is HOF-fallback (interpreted), so
+    // its projection parallelizes only as far as the INPUT partitions:
+    // a few-file parquet scan arrives as one partition and was measured
+    // to run the whole kernel in ONE task (3-5 s single-core vs 0.3 s
+    // wide at 5k docs). Widen narrow inputs to the session parallelism
+    // BEFORE the projection; wide inputs pass through, so at scale
+    // this no-ops.
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val wide =
+      if (df.rdd.getNumPartitions < math.max(2, target / 2))
+        df.repartition(target)
+      else df
+    wide.select(col(idCol),
       graft.functions.VectorExpressions.hash28Array(
         array_distinct(TextFunctions.wordNgrams(col(textCol), n))).as("hs"))
+  }
 
   /** Append mh0..mh15 signature columns (all 16 mins from ONE fused
     * pass over the shingle array — [[graft.functions.VectorExpressions
-    * .minhashSignatures]] — instead of 16 interpreted array_min walks). */
+    * .minhashSignatures]] — instead of 16 interpreted array_min walks).
+    *
+    * The `_sig` array MATERIALIZES (localCheckpoint) before the 16
+    * `element_at` unrolls: the shingle pipeline below is HOF-fallback,
+    * so its projection evaluates INTERPRETED — with no subexpression
+    * elimination — and unrolling over the live kernel was measured to
+    * re-run the whole md5+minhash pass 16× per row (4.4 s vs 0.3 s for
+    * the checkpointed form at 5k docs). A NARROW input (a few-file
+    * parquet scan arrives as one partition) is widened to the session
+    * parallelism first — otherwise the interpreted kernel runs in ONE
+    * task (measured 3-5 s single-core vs 0.3 s wide at 5k docs); wide
+    * inputs pass through untouched, so at scale this no-ops. Eager by
+    * design: every caller consumes the signatures at least once. */
   def withSignature(hashed: DataFrame): DataFrame = {
     val sig = graft.functions.VectorExpressions.minhashSignatures(
       col("hs"), MinhashA, MinhashB, MinhashP)
-    hashed.withColumn("_sig", sig)
-      .select(hashed.columns.map(col) ++
-        (0 until NumHashes).map(j => element_at(col("_sig"), j + 1).as(s"mh$j")): _*)
+    // materialize hs FIRST unless the caller already did (a checkpoint
+    // arrives as a bare LogicalRDD): `_sig` references the hs column,
+    // and with both in one interpreted projection the md5 kernel would
+    // run TWICE per row (no subexpression elimination interpreted)
+    val hsMat =
+      if (hashed.queryExecution.analyzed
+          .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]) hashed
+      else hashed.localCheckpoint()
+    val mat = hsMat.withColumn("_sig", sig).localCheckpoint()
+    mat.select(hashed.columns.map(col) ++
+      (0 until NumHashes).map(j => element_at(col("_sig"), j + 1).as(s"mh$j")): _*)
   }
 
   /** (id, band, bucketKey) — one row per band per doc. */
@@ -56,14 +89,21 @@ object MinHashLsh {
     * LSH-at-scale mitigation. 0 disables the cap. */
   def candidatePairs(
       buckets: DataFrame, idCol: String, maxBucketSize: Int = 0): DataFrame = {
+    // The self-join below references the bucket relation twice, and
+    // upstream sits the md5-shingle + minhash kernel — materialize it
+    // (localCheckpoint: an unconditional lineage cut; plain persist()
+    // was measured to be silently MISSED by CacheManager substitution
+    // in exactly this self-join shape, recomputing the kernel per
+    // reference — see Queries.cachedStagesQuery)
+    val mat = buckets.localCheckpoint()
     val capped =
-      if (maxBucketSize <= 0) buckets
+      if (maxBucketSize <= 0) mat
       else {
-        val sizes = buckets.groupBy("band", "k")
+        val sizes = mat.groupBy("band", "k")
           .agg(count(lit(1)).as("__bsz"))
           .where(col("__bsz") <= maxBucketSize)
           .select("band", "k")
-        buckets.join(sizes, Seq("band", "k"))
+        mat.join(sizes, Seq("band", "k"))
       }
     val a = capped.as("x")
     val b = capped.as("y")
@@ -79,7 +119,10 @@ object MinHashLsh {
   def nearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, maxBucketSize: Int = 0): DataFrame = {
-    val hashed = hashedShingles(df, idCol, textCol).cache()
+    // localCheckpoint, not cache(): the verify joins below must read
+    // the MATERIALIZED shingles — CacheManager substitution can miss
+    // join-shaped consumers and silently re-run the md5 pipeline
+    val hashed = hashedShingles(df, idCol, textCol).localCheckpoint()
     val cand = candidatePairs(
       bandBuckets(withSignature(hashed), idCol), idCol, maxBucketSize)
     val ha = hashed.select(col(idCol).as("id_a"), col("hs").as("hs_a"))
@@ -148,14 +191,19 @@ object MinHashLsh {
       threshold: Double = 0.5, broadcastKeys: Boolean = true,
       maxBucketSize: Int = 0): DataFrame = {
     def hinted(df: DataFrame): DataFrame = if (broadcastKeys) broadcast(df) else df
-    val hNew = hashedShingles(newBatch, idCol, textCol).cache()
+    // batch-side shingles materialize via localCheckpoint (cache() can
+    // be silently missed by join-shaped consumers); batch-sized. The
+    // signature materialization happens inside withSignature.
+    val hNew = hashedShingles(newBatch, idCol, textCol).localCheckpoint()
     val bNew = bandBuckets(withSignature(hNew), idCol)
     val newKeys = hinted(bNew.select("band", "k").distinct())
     // ONE pass over the prior corpus: band rows carry the shingle set
     // forward, so verification never re-runs the (dominant-cost) md5
     // shingle pipeline. The semi-join prunes to the batch's bucket keys
     // BEFORE any exchange, so the carried hs arrays only ever ship for
-    // candidate buckets.
+    // candidate buckets. withSignature materializes the signature
+    // relation (MEMORY_AND_DISK blocks; one pass either way) before
+    // the band explode.
     val sigPrior = withSignature(hashedShingles(prior, idCol, textCol))
     val bandKeysCol: Column = array((0 until Bands).map { b =>
       concat_ws(",", (0 until RowsPerBand).map(r =>
@@ -166,10 +214,16 @@ object MinHashLsh {
       .join(newKeys, Seq("band", "k"), "left_semi")
     val bPrior =
       if (maxBucketSize <= 0) bPriorAll
-      else bPriorAll.join(
-        bPriorAll.groupBy("band", "k").agg(count(lit(1)).as("__bsz"))
-          .where(col("__bsz") <= maxBucketSize).select("band", "k"),
-        Seq("band", "k"))
+      else {
+        // the cap needs a second reference to the pruned prior rows —
+        // materialize them first (candidate-bucket-sized) so the
+        // PRIOR-side shingle pipeline still runs exactly once
+        val mat = bPriorAll.localCheckpoint()
+        mat.join(
+          mat.groupBy("band", "k").agg(count(lit(1)).as("__bsz"))
+            .where(col("__bsz") <= maxBucketSize).select("band", "k"),
+          Seq("band", "k"))
+      }
     val cand = bNew.as("x").join(bPrior.as("y"),
         col("x.band") === col("y.band") && col("x.k") === col("y.k"))
       .select(col(s"x.$idCol").as("__new_id"), col(s"y.$idCol").as("__prior_id"),
@@ -187,6 +241,9 @@ object MinHashLsh {
     * it lands in (single-pass, transitive-closure-free — deterministic
     * and shuffle-bounded; matches q_minhash_dedup). */
   def dedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // withSignature materializes the kernel once; the band explode and
+    // the two bucket references below recompute only cheap element_at/
+    // concat projections over its checkpoint
     val buckets = bandBuckets(
       withSignature(hashedShingles(df, idCol, textCol)), idCol)
     val mins = buckets.groupBy("band", "k").agg(min(col(idCol)).as("m"))
