@@ -116,6 +116,57 @@ class PropertySpec extends SparkTestBase {
       s"survivor of ${r.getString(0)} does not carry the minimal order value"))
   }
 
+  test("matview refresh equals a full recompute under random mutation sequences") {
+    // the IVM soundness property, fuzzed: any interleaving of
+    // append/delete/update batches, refreshed at random points, must
+    // leave BOTH refresh strategies (signed fold for SUM, changed-key
+    // rederive for SUM+MIN/MAX) equal to a from-scratch rollup
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 3) {
+      val base = Files.createTempDirectory(s"graft-mvprop$trial-")
+      val srcPath = base.resolve("src").toString
+      val src = DeltaLog.forPath(spark, srcPath)
+      var nextId = 1000L
+      def batch(n: Int) = {
+        val rows = (0 until n).map { _ =>
+          nextId += 1; (nextId, s"g${rnd.nextInt(5)}", rnd.nextInt(1000).toLong)
+        }
+        rows.toDF("id", "k", "v")
+      }
+      TransactionWriter.overwrite(src, batch(40))                  // v0
+      graft.delta.ChangeDataFeed.enable(src)                       // v1
+      val sumView = base.resolve("sum_view").toString
+      val mmView = base.resolve("mm_view").toString
+      graft.delta.MatView.create(spark, sumView, srcPath, Seq("k"), "v")
+      graft.delta.MatView.create(spark, mmView, srcPath, Seq("k"),
+        Seq("sum" -> "v", "min" -> "v", "max" -> "v"))
+      for (_ <- 1 to 8) {
+        rnd.nextInt(3) match {
+          case 0 => TransactionWriter.append(src, batch(5 + rnd.nextInt(10)))
+          case 1 => graft.delta.Mutations.delete(src,
+            col("id") % (2 + rnd.nextInt(5)) === rnd.nextInt(2))
+          case 2 => graft.delta.Mutations.update(src,
+            col("v") % (2 + rnd.nextInt(4)) === 1,
+            Map("v" -> lit(rnd.nextInt(2000).toLong)))
+        }
+        if (rnd.nextBoolean()) {
+          graft.delta.MatView.refresh(spark, sumView)
+          graft.delta.MatView.refresh(spark, mmView)
+        }
+      }
+      graft.delta.MatView.refresh(spark, sumView)
+      graft.delta.MatView.refresh(spark, mmView)
+      val truth = src.snapshot.read().groupBy("k")
+      assertSameRows(DeltaLog.forPath(spark, sumView).snapshot.read(),
+        truth.agg(count(lit(1)).as("n_rows"), sum("v").as("sum_v")),
+        s"trial $trial signed-fold view diverged")
+      assertSameRows(DeltaLog.forPath(spark, mmView).snapshot.read(),
+        truth.agg(count(lit(1)).as("n_rows"), sum("v").as("sum_v"),
+          min("v").as("min_v"), max("v").as("max_v")),
+        s"trial $trial rederive view diverged")
+    }
+  }
+
   test("decontaminate always flags a doc carrying a planted benchmark gram") {
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
     (0 until 3).foreach { caseId =>
