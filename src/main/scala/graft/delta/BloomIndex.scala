@@ -105,38 +105,53 @@ object BloomIndex {
     // hash the probes EXACTLY as the build did: Spark's xxhash64 over
     // the column's OWN type (an untyped literal would hash through a
     // different width and wrongly prune files that contain the value).
-    // The probes go through a local-relation DataFrame — ONE row per
-    // value, one xxhash64 expression — never a |values|-wide
-    // projection, which at semiJoinRead's 100k-key cap would blow past
-    // Catalyst/codegen constant-pool limits before the cap fires.
+    // Two routes by probe count: small sets keep the original
+    // lit(v).cast(dt) projection — full literal-coercion flexibility
+    // (Int vs DECIMAL key, String vs DATE) in one tiny plan; large
+    // sets (semiJoinRead collects them from a typed column, so their
+    // external classes already match) go through a local-relation
+    // DataFrame — ONE row per value, one xxhash64 expression — never a
+    // |values|-wide projection, which at the 100k-key cap would blow
+    // past Catalyst/codegen constant-pool limits.
     val dt = snap.schema(column).dataType
-    val probes = values.filter(_ != null).map {
-      // widen the common numeric externals to the column's type so a
-      // caller passing Int keys against a BIGINT column still matches
-      // the strict external-type contract of createDataFrame
-      case n: java.lang.Number => dt match {
-        case org.apache.spark.sql.types.LongType =>
-          java.lang.Long.valueOf(n.longValue())
-        case org.apache.spark.sql.types.IntegerType =>
-          java.lang.Integer.valueOf(n.intValue())
-        case org.apache.spark.sql.types.ShortType =>
-          java.lang.Short.valueOf(n.shortValue())
-        case org.apache.spark.sql.types.DoubleType =>
-          java.lang.Double.valueOf(n.doubleValue())
-        case org.apache.spark.sql.types.FloatType =>
-          java.lang.Float.valueOf(n.floatValue())
-        case _ => n
-      }
-      case v => v
-    }
+    val probes = values.filter(_ != null)
     if (probes.isEmpty) return (all, 0L)
-    import scala.jdk.CollectionConverters._
-    val hashed = log.spark.createDataFrame(
-      probes.map(v => org.apache.spark.sql.Row(v)).asJava,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("v", dt))))
-      .select(xxhash64(col("v"))).distinct()
-      .collect().map(_.getLong(0)).toSeq
+    val hashed =
+      if (probes.size <= 256)
+        log.spark.range(1)
+          .select(probes.map(v => xxhash64(lit(v).cast(dt))): _*)
+          .head.toSeq.map(_.asInstanceOf[Long]).distinct
+      else {
+        val coerced = probes.map {
+          // widen the common numeric externals to the column's type so
+          // a caller passing Int keys against a BIGINT column still
+          // matches the strict external-type contract of createDataFrame
+          case n: java.lang.Number => dt match {
+            case org.apache.spark.sql.types.LongType =>
+              java.lang.Long.valueOf(n.longValue())
+            case org.apache.spark.sql.types.IntegerType =>
+              java.lang.Integer.valueOf(n.intValue())
+            case org.apache.spark.sql.types.ShortType =>
+              java.lang.Short.valueOf(n.shortValue())
+            case org.apache.spark.sql.types.DoubleType =>
+              java.lang.Double.valueOf(n.doubleValue())
+            case org.apache.spark.sql.types.FloatType =>
+              java.lang.Float.valueOf(n.floatValue())
+            case d: org.apache.spark.sql.types.DecimalType =>
+              new java.math.BigDecimal(n.toString)
+                .setScale(d.scale, java.math.RoundingMode.UNNECESSARY)
+            case _ => n
+          }
+          case v => v
+        }
+        import scala.jdk.CollectionConverters._
+        log.spark.createDataFrame(
+          coerced.map(v => org.apache.spark.sql.Row(v)).asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("v", dt))))
+          .select(xxhash64(col("v"))).distinct()
+          .collect().map(_.getLong(0)).toSeq
+      }
     // evaluate the filters DISTRIBUTED over the file-count-sized
     // sidecar (per-row blooms can't feed BloomFilterMightContain — its
     // bloom side must be foldable — so this is a deliberate

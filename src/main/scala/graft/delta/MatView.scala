@@ -62,9 +62,16 @@ object MatView {
 
   private val AggSpec = """(?i)(sum|min|max)\((\w+)\)""".r
 
-  private def parseAggs(spec: String): Seq[(String, String)] =
-    AggSpec.findAllMatchIn(spec)
-      .map(m => (m.group(1).toLowerCase, m.group(2))).toSeq
+  private def parseAggs(conf: Map[String, String]): Seq[(String, String)] =
+    conf.get("graft.matview.aggs") match {
+      case Some(spec) => AggSpec.findAllMatchIn(spec)
+        .map(m => (m.group(1).toLowerCase, m.group(2))).toSeq
+      case None => throw new IllegalStateException(
+        "matview has no graft.matview.aggs definition" +
+          conf.get("graft.matview.valueCol").fold("")(v =>
+            s" (created by an older release with valueCol=$v and a " +
+              "sum_value column — re-create it with GRAFT CREATE MATVIEW)"))
+    }
 
   /** Create the view: full initial rollup of the source at its current
     * version, definition + watermark persisted on the view table.
@@ -74,6 +81,9 @@ object MatView {
       keyCols: Seq[String], aggs: Seq[(String, String)]): Long = {
     require(keyCols.nonEmpty, "matview needs at least one key column")
     require(aggs.nonEmpty, "matview needs at least one aggregate")
+    require(aggs.distinct.size == aggs.size,
+      s"duplicate aggregate clause(s): ${aggs.diff(aggs.distinct)
+        .map { case (f, c) => s"$f($c)" }.mkString(", ")}")
     val src = DeltaLog.forPath(spark, sourcePath)
     val srcSnap = src.snapshot
     require(ChangeDataFeed.enabled(srcSnap),
@@ -108,13 +118,25 @@ object MatView {
       keyCols: Seq[String], valueCol: String): Long =
     create(spark, viewPath, sourcePath, keyCols, Seq("sum" -> valueCol))
 
-  private def watermark(snap: Snapshot): Long =
-    Domains.get(snap, StateDomain)
+  private def watermark(snap: Snapshot): Long = {
+    val domain = Domains.get(snap, StateDomain)
       .map(s => JsonUtil.mapper.readTree(s).path("sourceVersion").asLong())
-      .orElse(snap.metadata.configuration
-        .get("graft.matview.createVersion").map(_.toLong))
-      .getOrElse(throw new IllegalStateException(
-        s"matview has neither a $StateDomain domain nor a createVersion"))
+    val created = snap.metadata.configuration
+      .get("graft.matview.createVersion").map(_.toLong)
+    // MAX of the two, not domain-first: domain metadata survives an
+    // overwrite, so a RE-created view whose create crashed before its
+    // own domain commit still sees the PREVIOUS incarnation's (stale,
+    // possibly lower) watermark — and with a fresh instance UUID the
+    // txn marker cannot catch the replay. The base was built at
+    // createVersion, so anything below it is stale by construction.
+    (domain, created) match {
+      case (Some(d), Some(c)) => math.max(d, c)
+      case (Some(d), None) => d
+      case (None, Some(c)) => c
+      case (None, None) => throw new IllegalStateException(
+        s"matview has neither a $StateDomain domain nor a createVersion")
+    }
+  }
 
   /** The view's definition + watermark: (source path, key columns,
     * aggregate spec, last folded source version). */
@@ -125,7 +147,8 @@ object MatView {
     val src = conf.getOrElse("graft.matview.source",
       throw new IllegalArgumentException(s"$viewPath is not a matview"))
     (src, conf("graft.matview.keyCols").split(",").toSeq,
-      conf("graft.matview.aggs"), watermark(snap))
+      parseAggs(conf).map { case (f, c) => s"$f($c)" }.mkString(","),
+      watermark(snap))
   }
 
   /** Incremental refresh: fold the source's change feed since the
@@ -140,7 +163,7 @@ object MatView {
     val sourcePath = conf.getOrElse("graft.matview.source",
       throw new IllegalArgumentException(s"$viewPath is not a matview"))
     val keyCols = conf("graft.matview.keyCols").split(",").toSeq
-    val aggs = parseAggs(conf("graft.matview.aggs"))
+    val aggs = parseAggs(conf)
     val txnApp = conf.get("graft.matview.instance")
       .map(i => s"$TxnApp|$i").getOrElse(TxnApp)
     val last = watermark(snap)

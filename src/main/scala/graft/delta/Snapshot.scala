@@ -630,16 +630,23 @@ class Snapshot(
 
   /** Scan the table through [[planFileBatches]]: each bounded batch
     * becomes an ordinary [[readFiles]] sub-scan (partition-value
-    * attachment and DV routing per batch), unioned. Same result as
-    * [[read]], O(batchFiles) peak planning memory instead of
-    * O(table files). Opt in table-wide via the session conf
-    * `spark.graft.scan.batchFiles` (0 = off), or call directly. */
+    * attachment and DV routing per batch), combined in ONE n-ary Union
+    * (a pairwise fold would re-analyze a growing plan per batch —
+    * O(batches²) planning work). Honest memory accounting: what this
+    * bounds to O(batchFiles) is the MATERIALIZED AddFile planning rows
+    * (stats strings, partition maps, DV descriptors — the heavyweight
+    * per-file objects); the union plan itself still holds every
+    * surviving path string, which any Spark scan must (delta-spark's
+    * file index has the same floor). Opt in table-wide via the session
+    * conf `spark.graft.scan.batchFiles` (0 = off), or call directly. */
   def readBatched(
       pred: Option[org.apache.spark.sql.Column] = None,
-      batchFiles: Int = 65536): DataFrame =
-    planFileBatches(pred, batchFiles).map(readFiles)
-      .reduceOption(_.unionByName(_))
-      .getOrElse(spark.createDataFrame(new java.util.ArrayList[Row](), schema))
+      batchFiles: Int = 65536): DataFrame = {
+    val parts = planFileBatches(pred, batchFiles).map(readFiles).toSeq
+    if (parts.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    else org.apache.spark.sql.graftshims.SqlShims.unionAll(parts)
+  }
 
   def numFiles: Long = adds.count()
 

@@ -57,15 +57,15 @@ object MinHashLsh {
   def withSignature(hashed: DataFrame): DataFrame = {
     val sig = graft.functions.VectorExpressions.minhashSignatures(
       col("hs"), MinhashA, MinhashB, MinhashP)
-    // materialize hs FIRST unless the caller already did (a checkpoint
-    // arrives as a bare LogicalRDD): `_sig` references the hs column,
-    // and with both in one interpreted projection the md5 kernel would
-    // run TWICE per row (no subexpression elimination interpreted)
-    val hsMat =
-      if (hashed.queryExecution.analyzed
-          .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]) hashed
-      else hashed.localCheckpoint()
-    val mat = hsMat.withColumn("_sig", sig).localCheckpoint()
+    // ONE materialization (not an hs pre-checkpoint too): when `hashed`
+    // is a live pipeline the collapsed projection computes the md5
+    // kernel twice per row (hs + inside _sig — interpreted projections
+    // get no subexpression elimination), which parallelizes and was
+    // measured within noise of the two-checkpoint form, at HALF the
+    // block storage — the difference that matters when the input is a
+    // whole prior corpus (dedupAgainstCorpus). Callers that already
+    // checkpointed `hashed` (a bare LogicalRDD) pay the kernel once.
+    val mat = hashed.withColumn("_sig", sig).localCheckpoint()
     mat.select(hashed.columns.map(col) ++
       (0 until NumHashes).map(j => element_at(col("_sig"), j + 1).as(s"mh$j")): _*)
   }

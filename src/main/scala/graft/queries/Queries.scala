@@ -130,37 +130,22 @@ object Queries {
     * fragility can ever re-expand the kernel. Measured: q_minhash_dedup
     * 4.7 s -> 1.0 s warm at sf0.1.
     *
-    * Block hygiene: each new pipeline invocation unpersists the
-    * PREVIOUS invocation's checkpointed stage blocks (by then its
-    * result has been consumed — same lifecycle assumption the old
-    * listener-based cleaner made), so a benchmark loop holds at most
-    * one query's stage blocks. */
+    * Block hygiene: checkpoint blocks are reclaimed by the
+    * ContextCleaner when the stage frames (and any result built on
+    * them) become unreachable — NOT eagerly on the next invocation: a
+    * checkpointed RDD has truncated lineage, so an explicit unpersist
+    * would make a previously returned result DataFrame unreadable
+    * instead of merely slower. A caller can therefore keep and re-read
+    * any number of pipeline results; the blocks of dropped results are
+    * GC-collected (a few MB per invocation at sf0.1). */
   private def cachedStagesQuery(
       stages: Seq[(String, String)], finalSql: String): (SparkSession, String) => DataFrame =
     (spark, dir) => {
       registerViews(spark, dir)
-      unpersistStages(pendingStages.getAndSet(Nil))
-      val ckpts = stages.map { case (view, sql) =>
-        val df = spark.sql(sql).localCheckpoint()
-        df.createOrReplaceTempView(view)
-        df
+      stages.foreach { case (view, sql) =>
+        spark.sql(sql).localCheckpoint().createOrReplaceTempView(view)
       }
-      pendingStages.set(ckpts)
       spark.sql(finalSql)
-    }
-
-  private val pendingStages =
-    new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
-
-  /** Free a finished invocation's checkpoint blocks (best-effort: a
-    * stopped context or foreign interference must not fail a query). */
-  private def unpersistStages(dfs: Seq[DataFrame]): Unit =
-    dfs.foreach { df =>
-      try df.queryExecution.analyzed.foreach {
-        case l: org.apache.spark.sql.execution.LogicalRDD =>
-          l.rdd.unpersist(false)
-        case _ => ()
-      } catch { case _: Throwable => () }
     }
 
   // ---- group A: core relational / levi-semantics queries -------------------

@@ -32,6 +32,24 @@ object SqlShims {
     * API (`aggregate(zip_with(...))` HOFs are CodegenFallback, and a
     * fully unrolled element_at sum costs ~130 expression nodes per use
     * in analysis + janino time). Idempotent per session. */
+  /** N-ary union as ONE logical Union node. Folding `unionByName`
+    * pairwise re-analyzes a monotonically growing plan per step —
+    * O(n²) analyzer work for n children (visible in batched scan
+    * planning, where n can be hundreds of sub-scans). Schemas must
+    * already agree positionally (the batched-scan case: every child is
+    * the same readFiles shape). */
+  def unionAll(dfs: Seq[org.apache.spark.sql.DataFrame]): org.apache.spark.sql.DataFrame = {
+    require(dfs.nonEmpty, "unionAll needs at least one frame")
+    if (dfs.size == 1) dfs.head
+    else {
+      val classic = dfs.head.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      org.apache.spark.sql.classic.Dataset.ofRows(
+        classic.sparkSession,
+        org.apache.spark.sql.catalyst.plans.logical.Union(dfs.map(
+          _.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].logicalPlan)))
+    }
+  }
+
   def registerVectorFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(

@@ -104,6 +104,33 @@ class BloomIndexSpec extends SparkTestBase {
     assert(got.length == 1 && got(0).getInt(0) == 14, s"got ${got.toSeq}")
   }
 
+  test("large probe sets route through the local-relation hasher, same result") {
+    // > 256 values switches from the lit-projection path to the
+    // one-row-per-value DataFrame path; both must hash identically
+    // (an earlier form built a |values|-wide projection that would
+    // blow codegen limits at semiJoinRead's 100k cap)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloombig_")
+      .resolve("t").toString
+    val log = DeltaLog.forPath(spark, dir)
+    TransactionWriter.overwrite(log,
+      (0L until 2000L).map(i => (i, i * 3)).toDF("id", "num")
+        .repartition(8, org.apache.spark.sql.functions.col("id")))
+    BloomIndex.build(log, "num")
+    val fresh = DeltaLog.forPath(spark, dir)
+    // 300 probes (mixed hits/misses), Ints against the BIGINT column —
+    // the widening coercion must land them on the right hash width
+    val probes: Seq[Any] = (0 until 300).map(i => i * 30: Any)
+    val got = BloomIndex.readIn(fresh, "num", probes)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = (0L until 2000L).filter(i =>
+      (i * 3) % 30 == 0 && i * 3 <= 299 * 30).sorted
+    assert(got == want, s"got ${got.take(5)}.. (${got.size}) want (${want.size})")
+    // small-path parity on the same table: a handful of the same probes
+    val small = BloomIndex.readIn(fresh, "num", probes.take(5))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(small == want.filter(_ * 3 <= 4 * 30), s"small path: $small")
+  }
+
   test("semiJoinRead prunes fact files from the dim side's keys") {
     val (log, _) = scratch()
     BloomIndex.build(log, "k")

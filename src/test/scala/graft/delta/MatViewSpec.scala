@@ -122,6 +122,47 @@ class MatViewSpec extends SparkTestBase {
     assert(rollup(viewPath) == Map("a" -> ((2L, 5L))))
   }
 
+  test("re-created view bootstraps past the previous incarnation's stale domain") {
+    val base = java.nio.file.Files.createTempDirectory("graft-mv-reinc")
+    val srcPath = base.resolve("src").toString
+    val viewPath = base.resolve("view").toString
+    val src = DeltaLog.forPath(spark, srcPath)
+    TransactionWriter.overwrite(src, Seq(("a", 1L)).toDF("k", "v"))  // v0
+    ChangeDataFeed.enable(src)                                       // v1
+    MatView.create(spark, viewPath, srcPath, Seq("k"), "v")
+    TransactionWriter.append(src, Seq(("a", 2L)).toDF("k", "v"))     // v2
+    assert(MatView.refresh(spark, viewPath) == 2L)                   // domain=2
+    // source moves on, the view is RE-created at v3 — and the create
+    // crashes before its own domain commit: the OLD incarnation's
+    // domain (2) survives the overwrite. Simulate by re-creating and
+    // rolling the domain back to the stale value.
+    TransactionWriter.append(src, Seq(("a", 4L)).toDF("k", "v"))     // v3
+    MatView.create(spark, viewPath, srcPath, Seq("k"), "v")          // base@v3
+    Domains.set(DeltaLog.forPath(spark, viewPath), MatView.StateDomain,
+      """{"sourceVersion":2}""")
+    // the base already contains v3's rows; folding from the stale
+    // domain would re-apply the v3 window (fresh instance UUID — the
+    // txn marker can't catch it). The createVersion floor must win.
+    TransactionWriter.append(src, Seq(("a", 8L)).toDF("k", "v"))     // v4
+    assert(MatView.refresh(spark, viewPath) == 4L)
+    assert(rollup(viewPath) == Map("a" -> ((4L, 15L))),
+      "stale prior-incarnation watermark must not double-apply the " +
+        "window the new base already contains")
+  }
+
+  test("create rejects duplicate aggregate clauses") {
+    val base = java.nio.file.Files.createTempDirectory("graft-mv-dup")
+    val srcPath = base.resolve("src").toString
+    val src = DeltaLog.forPath(spark, srcPath)
+    TransactionWriter.overwrite(src, Seq(("a", 1L)).toDF("k", "v"))
+    ChangeDataFeed.enable(src)
+    val e = intercept[IllegalArgumentException] {
+      MatView.create(spark, base.resolve("view").toString, srcPath,
+        Seq("k"), Seq("sum" -> "v", "sum" -> "v"))
+    }
+    assert(e.getMessage.contains("sum(v)"), s"got: ${e.getMessage}")
+  }
+
   test("create rejects a source without CDF; refresh rejects non-matviews") {
     val base = java.nio.file.Files.createTempDirectory("graft-mv-err")
     val srcPath = base.resolve("src").toString
