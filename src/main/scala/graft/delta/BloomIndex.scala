@@ -122,10 +122,31 @@ object BloomIndex {
           .select(probes.map(v => xxhash64(lit(v).cast(dt))): _*)
           .head.toSeq.map(_.asInstanceOf[Long]).distinct
       else {
+        // Same coercion semantics as the small path's lit(v).cast(dt),
+        // just through a local relation: numeric widening for the
+        // common externals (HALF_UP for decimal scale narrowing —
+        // Cast's own decimal rounding), and any remaining mismatch
+        // (String probe against a DATE/TIMESTAMP/numeric column, an
+        // exotic external class) routed through a STRING-typed column
+        // cast to dt — string→T Cast is the same coercion lit().cast()
+        // applies, so crossing the 256-probe threshold can't change a
+        // working call into a createDataFrame external-type error.
+        def matches(v: Any): Boolean = (v, dt) match {
+          case (_: java.lang.Long, org.apache.spark.sql.types.LongType) => true
+          case (_: java.lang.Integer, org.apache.spark.sql.types.IntegerType) => true
+          case (_: java.lang.Short, org.apache.spark.sql.types.ShortType) => true
+          case (_: java.lang.Double, org.apache.spark.sql.types.DoubleType) => true
+          case (_: java.lang.Float, org.apache.spark.sql.types.FloatType) => true
+          case (_: String, org.apache.spark.sql.types.StringType) => true
+          case (_: java.sql.Date, org.apache.spark.sql.types.DateType) => true
+          case (_: java.sql.Timestamp, org.apache.spark.sql.types.TimestampType) => true
+          case (_: java.math.BigDecimal, _: org.apache.spark.sql.types.DecimalType) => true
+          case (_: Array[Byte], org.apache.spark.sql.types.BinaryType) => true
+          case (_: java.lang.Boolean, org.apache.spark.sql.types.BooleanType) => true
+          case _ => false
+        }
         val coerced = probes.map {
-          // widen the common numeric externals to the column's type so
-          // a caller passing Int keys against a BIGINT column still
-          // matches the strict external-type contract of createDataFrame
+          case v if matches(v) => v
           case n: java.lang.Number => dt match {
             case org.apache.spark.sql.types.LongType =>
               java.lang.Long.valueOf(n.longValue())
@@ -139,18 +160,28 @@ object BloomIndex {
               java.lang.Float.valueOf(n.floatValue())
             case d: org.apache.spark.sql.types.DecimalType =>
               new java.math.BigDecimal(n.toString)
-                .setScale(d.scale, java.math.RoundingMode.UNNECESSARY)
-            case _ => n
+                .setScale(d.scale, java.math.RoundingMode.HALF_UP)
+            case _ => n.toString // string-route below
           }
-          case v => v
+          case v => v.toString // string-route below
         }
         import scala.jdk.CollectionConverters._
-        log.spark.createDataFrame(
-          coerced.map(v => org.apache.spark.sql.Row(v)).asJava,
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("v", dt))))
-          .select(xxhash64(col("v"))).distinct()
-          .collect().map(_.getLong(0)).toSeq
+        // split typed-matching probes from string-routed ones; each
+        // side is one local relation, hashed through the column's type
+        val (typed, viaString) = coerced.partition(matches)
+        def hashRelation(vals: Seq[Any],
+            t: org.apache.spark.sql.types.DataType): Seq[Long] =
+          if (vals.isEmpty) Nil
+          else log.spark.createDataFrame(
+            vals.map(v => org.apache.spark.sql.Row(v)).asJava,
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("v", t))))
+            .where(col("v").cast(dt).isNotNull)
+            .select(xxhash64(col("v").cast(dt)))
+            .collect().map(_.getLong(0)).toSeq
+        (hashRelation(typed, dt) ++
+          hashRelation(viaString, org.apache.spark.sql.types.StringType))
+          .distinct
       }
     // evaluate the filters DISTRIBUTED over the file-count-sized
     // sidecar (per-row blooms can't feed BloomFilterMightContain — its

@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * [[graft.operators.IncrementalAgg]] — what DLT calls a materialized
   * view and delta-spark leaves to the orchestrator).
   *
-  * Aggregates: any mix of SUM / MIN / MAX over source columns, plus an
-  * implicit row count (`n_rows`). Refresh picks the cheapest sound
+  * Aggregates: any mix of SUM / MIN / MAX / AVG over source columns,
+  * plus an implicit row count (`n_rows`), optionally over a row-level
+  * WHERE filter of the source. Refresh picks the cheapest sound
   * maintenance strategy per definition:
   *  - a single SUM (with its count) is invertible → signed fold of the
   *    CDF slice MERGEd per key, O(changes) and never touches the
@@ -50,17 +51,26 @@ object MatView {
   private[delta] val StateDomain = "graft.matview.state"
   private val TxnApp = "graft.matview"
 
-  /** One aggregate clause: (fn ∈ sum|min|max, source column). The view
-    * column is named `<fn>_<col>`. */
+  /** One aggregate clause: (fn ∈ sum|min|max|avg, source column). The
+    * view column is named `<fn>_<col>`. AVG is stored as the ratio of
+    * an exact aggregate pair (sum ÷ count, one double division) so the
+    * maintained value is deterministic for integral source columns —
+    * the same arithmetic an engine recomputing `CAST(SUM(c) AS
+    * DOUBLE)/COUNT(*)` from scratch produces, independent of
+    * summation order. AVG always routes through the rederive strategy
+    * (it is not invertible as stored), which recomputes changed keys
+    * from the source — sound for deletes and updates alike. */
   private def aggColumn(fn: String, c: String): Column = fn match {
     case "sum" => sum(col(c)).as(s"sum_$c")
     case "min" => min(col(c)).as(s"min_$c")
     case "max" => max(col(c)).as(s"max_$c")
+    case "avg" =>
+      (sum(col(c)).cast("double") / count(col(c))).as(s"avg_$c")
     case other => throw new IllegalArgumentException(
-      s"unsupported matview aggregate '$other' (have sum, min, max)")
+      s"unsupported matview aggregate '$other' (have sum, min, max, avg)")
   }
 
-  private val AggSpec = """(?i)(sum|min|max)\((\w+)\)""".r
+  private val AggSpec = """(?i)(sum|min|max|avg)\((\w+)\)""".r
 
   private def parseAggs(conf: Map[String, String]): Seq[(String, String)] =
     conf.get("graft.matview.aggs") match {
@@ -78,18 +88,46 @@ object MatView {
     * The source must have CDF enabled (refresh reads its change feed).
     * Returns the source version the view is consistent with. */
   def create(spark: SparkSession, viewPath: String, sourcePath: String,
-      keyCols: Seq[String], aggs: Seq[(String, String)]): Long = {
+      keyCols: Seq[String], aggs: Seq[(String, String)]): Long =
+    create(spark, viewPath, sourcePath, keyCols, aggs, None)
+
+  /** Full form with an optional row-level WHERE predicate (SQL text
+    * over the source's columns). The predicate applies row-wise BEFORE
+    * aggregation — to the initial rollup here and to every CDF slice
+    * (and rederive source pass) at refresh — which is exactly what
+    * makes filtered views maintainable: a CDF preimage that matched
+    * the filter contributes its retraction, a postimage that stops
+    * matching simply drops out, and a key whose rows all leave the
+    * filter vanishes through the rederive delete clause. */
+  def create(spark: SparkSession, viewPath: String, sourcePath: String,
+      keyCols: Seq[String], aggs: Seq[(String, String)],
+      where: Option[String]): Long = {
     require(keyCols.nonEmpty, "matview needs at least one key column")
     require(aggs.nonEmpty, "matview needs at least one aggregate")
     require(aggs.distinct.size == aggs.size,
       s"duplicate aggregate clause(s): ${aggs.diff(aggs.distinct)
         .map { case (f, c) => s"$f($c)" }.mkString(", ")}")
+    // The definition round-trips through the regex-parsed
+    // `graft.matview.aggs` spec string: a column name outside \w+
+    // (space, hyphen, dot) would create fine here but silently drop
+    // out of parseAggs at refresh time, leaving its view column stale.
+    // Refuse it at the only gate where the user can still react.
+    aggs.foreach { case (fn, c) =>
+      require(c.matches("""\w+"""),
+        s"matview aggregate column '$c' must match \\w+ (letters, " +
+          "digits, underscore): the stored definition is parsed back " +
+          "by that grammar at refresh — rename the source column or " +
+          "alias it before creating the view")
+      require(Set("sum", "min", "max", "avg").contains(fn.toLowerCase),
+        s"unsupported matview aggregate '$fn' (have sum, min, max, avg)")
+    }
     val src = DeltaLog.forPath(spark, sourcePath)
     val srcSnap = src.snapshot
     require(ChangeDataFeed.enabled(srcSnap),
       s"source $sourcePath must have change data feed enabled")
     val v = srcSnap.version
-    val base = srcSnap.read()
+    val filtered = where.fold(srcSnap.read())(w => srcSnap.read().where(expr(w)))
+    val base = filtered
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
         aggs.map { case (fn, c) => aggColumn(fn, c) }: _*)
@@ -107,7 +145,8 @@ object MatView {
         // crash repair: refresh/describe bootstrap the watermark from
         // here when the state-domain commit below never landed
         "graft.matview.createVersion" -> v.toString,
-        "graft.matview.instance" -> java.util.UUID.randomUUID().toString))
+        "graft.matview.instance" -> java.util.UUID.randomUUID().toString)
+        ++ where.map(w => "graft.matview.where" -> w))
     Domains.set(DeltaLog.forPath(spark, viewPath), StateDomain,
       s"""{"sourceVersion":$v}""")
     v
@@ -180,7 +219,14 @@ object MatView {
       .get(txnApp).map(_.version).getOrElse(Long.MinValue)
     val effLast = math.max(last, merged)
     if (cur > effLast) {
-      val changes = ChangeDataFeed.tableChanges(src, effLast + 1, Some(cur))
+      // a WHERE-filtered view filters the CDF slice (and the rederive
+      // source pass) row-wise BEFORE aggregation — preimages retract
+      // only if they matched, postimages contribute only if they match
+      val pred = conf.get("graft.matview.where")
+      def filtered(df: org.apache.spark.sql.DataFrame) =
+        pred.fold(df)(w => df.where(expr(w)))
+      val changes = filtered(
+        ChangeDataFeed.tableChanges(src, effLast + 1, Some(cur)))
       aggs match {
         case Seq(("sum", valueCol)) =>
           graft.operators.IncrementalAgg.mergeDelta(
@@ -193,7 +239,7 @@ object MatView {
           // refresh is deterministic (and replay-idempotent) even when
           // the source advances mid-refresh
           graft.operators.IncrementalAgg.rederiveMerge(
-            viewLog, src.snapshotAt(cur).read(), changes,
+            viewLog, filtered(src.snapshotAt(cur).read()), changes,
             keyCols, "n_rows",
             aggs.map { case (fn, c) => aggColumn(fn, c) },
             txn = Some((txnApp, cur)))

@@ -663,11 +663,33 @@ class Snapshot(
     // opt-in bounded planning for very-many-file tables: with
     // spark.graft.scan.batchFiles=N set, reads stream the file index in
     // N-file batches instead of one driver collect (see [[readBatched]])
-    val batch = spark.conf.getOption("spark.graft.scan.batchFiles")
-      .map(_.toInt).getOrElse(0)
+    val batch = confInt("spark.graft.scan.batchFiles", 0)
     if (batch > 0) readBatched(None, batch)
-    else readFiles(planFiles())
+    else {
+      // AUTO-engaged bounded planning: when the version's .crc checksum
+      // (a free driver-side read — no Spark job on the hot path) says
+      // the active-file count exceeds the threshold, stream the file
+      // index in bounded batches instead of one driver collect, so the
+      // 10⁶⁺-file posture is the default rather than a flag users must
+      // know about. House-written tables always carry .crc; a legacy
+      // table without one keeps the direct path (the conf above remains
+      // its explicit opt-in). 0 disables.
+      val auto = confInt("spark.graft.scan.autoBatchFiles", 1000000)
+      val known =
+        if (auto > 0) Checksum.read(log, version).map(_.numFiles) else None
+      if (known.exists(_ > auto)) readBatched(None, 65536)
+      else readFiles(planFiles())
+    }
   }
+
+  /** Parse an integer session conf with a clear error naming the key —
+    * an unguarded `.toInt` would surface a bare NumberFormatException
+    * on EVERY read, far from where the conf was set. */
+  private def confInt(key: String, default: Int): Int =
+    spark.conf.getOption(key).map { v =>
+      v.trim.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"session conf $key must be an integer, got '$v'"))
+    }.getOrElse(default)
 
   /** Scan a chosen subset of the active files (used by stats/partition
     * file pruning — see [[graft.delta.Skipping]]).

@@ -70,6 +70,26 @@ object MinHashLsh {
       (0 until NumHashes).map(j => element_at(col("_sig"), j + 1).as(s"mh$j")): _*)
   }
 
+  /** All `Bands` band-bucket keys from ONE reference to a signature
+    * ARRAY expression, as a single `array<string>` column: the fold's
+    * INITIAL STATE carries the (expensive) signature expression, so it
+    * evaluates exactly once per row even in an interpreted projection —
+    * referencing it 16× via element_at unrolls would re-run the
+    * md5+minhash kernel per reference (measured 16× in round 8). Key
+    * strings are bit-identical to [[bandBuckets]]'s (concat_ws skips
+    * the nulls an empty shingle set produces). */
+  private def bandKeysOf(sig: Column): Column =
+    aggregate(
+      sequence(lit(0), lit(Bands - 1)),
+      struct(sig.as("s"), array().cast("array<string>").as("ks")),
+      (st, b) => struct(
+        st.getField("s").as("s"),
+        concat(st.getField("ks"), array(concat_ws(",",
+          (0 until RowsPerBand).map(r =>
+            element_at(st.getField("s"),
+              b * lit(RowsPerBand) + lit(r + 1)).cast("string")): _*))).as("ks")))
+      .getField("ks")
+
   /** (id, band, bucketKey) — one row per band per doc. */
   def bandBuckets(sig: DataFrame, idCol: String): DataFrame = {
     val bandKeys: Column = array((0 until Bands).map { b =>
@@ -197,20 +217,25 @@ object MinHashLsh {
     val hNew = hashedShingles(newBatch, idCol, textCol).localCheckpoint()
     val bNew = bandBuckets(withSignature(hNew), idCol)
     val newKeys = hinted(bNew.select("band", "k").distinct())
-    // ONE pass over the prior corpus: band rows carry the shingle set
-    // forward, so verification never re-runs the (dominant-cost) md5
-    // shingle pipeline. The semi-join prunes to the batch's bucket keys
-    // BEFORE any exchange, so the carried hs arrays only ever ship for
-    // candidate buckets. withSignature materializes the signature
-    // relation (MEMORY_AND_DISK blocks; one pass either way) before
-    // the band explode.
-    val sigPrior = withSignature(hashedShingles(prior, idCol, textCol))
-    val bandKeysCol: Column = array((0 until Bands).map { b =>
-      concat_ws(",", (0 until RowsPerBand).map(r =>
-        col(s"mh${b * RowsPerBand + r}").cast("string")): _*)
-    }: _*)
-    val bPriorAll = sigPrior
-      .select(col(idCol), col("hs"), posexplode(bandKeysCol).as(Seq("band", "k")))
+    // ONE STREAMING pass over the prior corpus: band rows carry the
+    // shingle set forward, so verification never re-runs the
+    // (dominant-cost) md5 shingle pipeline, and the semi-join prunes to
+    // the batch's bucket keys BEFORE any exchange, so the carried hs
+    // arrays only ever ship for candidate buckets. The prior side is
+    // deliberately NOT checkpointed (round-9 fix): withSignature's
+    // localCheckpoint would pin the ENTIRE corpus's (id, hs, sig)
+    // arrays in executor block storage per call and forfeit
+    // recompute-on-executor-loss — the 100 TB posture this path claims.
+    // Its checkpoint only ever defused the ×16 element_at unroll;
+    // [[bandKeysOf]] builds all band keys from ONE state-carried
+    // reference instead, so the kernel costs 2× per row (hs + sig — no
+    // subexpression elimination in interpreted projections), streams,
+    // and pins nothing.
+    val sigCol = graft.functions.VectorExpressions.minhashSignatures(
+      col("hs"), MinhashA, MinhashB, MinhashP)
+    val bPriorAll = hashedShingles(prior, idCol, textCol)
+      .select(col(idCol), col("hs"),
+        posexplode(bandKeysOf(sigCol)).as(Seq("band", "k")))
       .join(newKeys, Seq("band", "k"), "left_semi")
     val bPrior =
       if (maxBucketSize <= 0) bPriorAll

@@ -38,7 +38,7 @@ import graft.delta.{Clone, Constraints, DeltaLog, Maintenance, Mutations}
   * GRAFT ALTER '<path>' SET TBLPROPERTIES ('k' = 'v', ...)
   * GRAFT ALTER '<path>' UNSET TBLPROPERTIES ('k', ...)
   * GRAFT ANALYZE '<path>'                          -- backfill missing file stats
-  * GRAFT CREATE MATVIEW '<view>' FROM '<src>' KEYS (k, ...) SUM (c) [MIN (c)] [MAX (c)] ...
+  * GRAFT CREATE MATVIEW '<view>' FROM '<src>' KEYS (k, ...) SUM (c) [MIN|MAX|AVG (c)] ... [WHERE <row predicate>]
   *   -- any mix of SUM/MIN/MAX clauses; refresh signed-folds a lone
   *   -- SUM, re-derives changed keys for anything non-invertible
   * GRAFT REFRESH MATVIEW '<view>'                  -- fold the source CDF since the watermark
@@ -103,8 +103,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Analyze =
     """(?is)\s*GRAFT\s+ANALYZE\s+'([^']+)'\s*""".r
   private val CreateMatView =
-    """(?is)\s*GRAFT\s+CREATE\s+MATVIEW\s+'([^']+)'\s+FROM\s+'([^']+)'\s+KEYS\s*\(([^)]+)\)\s+((?:(?:SUM|MIN|MAX)\s*\(\w+\)\s*)+)""".r
-  private val MatViewAgg = """(?i)(SUM|MIN|MAX)\s*\((\w+)\)""".r
+    """(?is)\s*GRAFT\s+CREATE\s+MATVIEW\s+'([^']+)'\s+FROM\s+'([^']+)'\s+KEYS\s*\(([^)]+)\)\s+((?:(?:SUM|MIN|MAX|AVG)\s*\(\w+\)\s*)+?)(?:\s*WHERE\s+(.+?))?\s*""".r
+  private val MatViewAgg = """(?i)(SUM|MIN|MAX|AVG)\s*\((\w+)\)""".r
   private val RefreshMatView =
     """(?is)\s*GRAFT\s+REFRESH\s+MATVIEW\s+'([^']+)'\s*""".r
   private val DescribeMatView =
@@ -176,13 +176,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case Checkpoint(path) =>
       GraftMaintenanceCommand(path, "checkpoint",
         Seq("version"), s => Seq(Row(Maintenance.checkpoint(DeltaLog.forPath(s, path)))))
-    case CreateMatView(viewPath, srcPath, keys, aggClauses) =>
+    case CreateMatView(viewPath, srcPath, keys, aggClauses, whereSql) =>
       val aggs = MatViewAgg.findAllMatchIn(aggClauses)
         .map(m => (m.group(1).toLowerCase, m.group(2))).toSeq
       GraftMaintenanceCommand(viewPath, "create_matview",
         Seq("source_version"), s => Seq(Row(
           graft.delta.MatView.create(s, viewPath, srcPath,
-            keys.split(",").map(_.trim).toSeq, aggs))))
+            keys.split(",").map(_.trim).toSeq, aggs,
+            Option(whereSql).map(_.trim)))))
     case RefreshMatView(viewPath) =>
       GraftMaintenanceCommand(viewPath, "refresh_matview",
         Seq("source_version"), s => Seq(Row(

@@ -3696,6 +3696,70 @@ object Queries {
         s"GRAFT REFRESH MATVIEW '$viewPath'").collect()               // no-op
       graft.delta.DeltaLog.forPath(s, viewPath).snapshot.read()
     }),
+    // MATVIEW with AVG, driver-verified END-TO-END: AVG is stored as
+    // the exact-pair ratio (CAST(SUM AS DOUBLE)/COUNT — one double
+    // division over exact longs, deterministic across engines and
+    // summation orders) and always routes refresh through changed-key
+    // rederive. Append + delete + minima-moving update across two
+    // refreshes; the oracle recomputes the final rollup from parquet
+    // with the same arithmetic.
+    "q_matview_avg" -> ((s, dir) => {
+      registerViews(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft_mva_")
+      val srcPath = base.resolve("src").toString
+      val viewPath = base.resolve("view").toString
+      val src = graft.delta.DeltaLog.forPath(s, srcPath)
+      val docs = s.table("documents").select("doc_id", "source", "n_chars")
+      graft.delta.TransactionWriter.overwrite(src,
+        docs.where(col("doc_id") % 4 =!= 3))                           // v0
+      graft.delta.ChangeDataFeed.enable(src)                          // v1
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT CREATE MATVIEW '$viewPath' FROM '$srcPath' " +
+          "KEYS (source) SUM (n_chars) AVG (n_chars)").collect()
+      graft.delta.TransactionWriter.append(src,
+        docs.where(col("doc_id") % 4 === 3))                           // v2
+      graft.delta.Mutations.delete(src, col("doc_id") % 11 === 0)      // v3
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT REFRESH MATVIEW '$viewPath'").collect()
+      graft.delta.Mutations.update(src, col("doc_id") % 9 === 2,
+        Map("n_chars" -> lit(7L)))                                     // v4
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT REFRESH MATVIEW '$viewPath'").collect()
+      graft.delta.DeltaLog.forPath(s, viewPath).snapshot.read()
+    }),
+    // WHERE-filtered MATVIEW, driver-verified END-TO-END: the view
+    // rolls up only rows matching a row-level predicate, maintained
+    // through the SIGNED-FOLD path (single SUM) — the predicate
+    // filters each CDF slice BEFORE aggregation, so a preimage that
+    // matched retracts, a postimage that stops matching drops out, and
+    // the update here FLIPS rows out of the filter (n_chars → 5000
+    // crosses the < 2000 bound), which a view that filtered only at
+    // create time would get wrong. The oracle recomputes the filtered
+    // rollup from parquet.
+    "q_matview_filtered" -> ((s, dir) => {
+      registerViews(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft_mvf_")
+      val srcPath = base.resolve("src").toString
+      val viewPath = base.resolve("view").toString
+      val src = graft.delta.DeltaLog.forPath(s, srcPath)
+      val docs = s.table("documents").select("doc_id", "source", "n_chars")
+      graft.delta.TransactionWriter.overwrite(src,
+        docs.where(col("doc_id") % 4 =!= 3))                           // v0
+      graft.delta.ChangeDataFeed.enable(src)                          // v1
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT CREATE MATVIEW '$viewPath' FROM '$srcPath' " +
+          "KEYS (source) SUM (n_chars) WHERE n_chars < 2000").collect()
+      graft.delta.TransactionWriter.append(src,
+        docs.where(col("doc_id") % 4 === 3))                           // v2
+      graft.delta.Mutations.delete(src, col("doc_id") % 11 === 0)      // v3
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT REFRESH MATVIEW '$viewPath'").collect()
+      graft.delta.Mutations.update(src, col("doc_id") % 9 === 2,
+        Map("n_chars" -> lit(5000L)))                                  // v4
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT REFRESH MATVIEW '$viewPath'").collect()
+      graft.delta.DeltaLog.forPath(s, viewPath).snapshot.read()
+    }),
     // DESCRIBE MATVIEW, driver-verified: the SQL surface returns the
     // view's definition (key columns, aggregate spec) and watermark.
     // The paths are temp-dir-local, so the gate pins the deterministic
@@ -4634,6 +4698,22 @@ object Queries {
         |    AS BIGINT) AS max_n_chars
         |FROM documents WHERE n_chars < 450 AND source <> 'src3'
         |GROUP BY source""".stripMargin,
+    "q_matview_avg" ->
+      """SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN doc_id % 9 = 2 THEN 7 ELSE n_chars END)
+        |    AS BIGINT) AS sum_n_chars,
+        |  CAST(SUM(CASE WHEN doc_id % 9 = 2 THEN 7 ELSE n_chars END)
+        |    AS DOUBLE) / COUNT(*) AS avg_n_chars
+        |FROM documents WHERE doc_id % 11 <> 0 GROUP BY source""".stripMargin,
+    "q_matview_filtered" ->
+      """WITH t AS (SELECT source,
+        |    CASE WHEN doc_id % 9 = 2 THEN 5000 ELSE n_chars END AS c
+        |  FROM documents WHERE doc_id % 11 <> 0)
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(c) AS BIGINT) AS sum_n_chars
+        |FROM t WHERE c < 2000 GROUP BY source""".stripMargin,
     "q_matview_describe" ->
       """SELECT 'n_regionkey' AS key_cols,
         |  'sum(n_nationkey),max(n_nationkey)' AS aggs,

@@ -261,8 +261,18 @@ object StreamingOps {
     sourceChanges.writeStream
       .option("checkpointLocation", checkpointLocation)
       .outputMode("append")
-      .foreachBatch { (_: DataFrame, _: Long) =>
-        graft.delta.MatView.refresh(spark, viewPath)
+      .foreachBatch { (_: DataFrame, batchId: Long) =>
+        // A concurrent refresher (another stream, a manual GRAFT
+        // REFRESH) losing the same-window txn race is BY DESIGN a safe
+        // no-op to retry — the next trigger re-reads from the advanced
+        // watermark. Propagating it would permanently fail the
+        // streaming query over a benign collision.
+        try graft.delta.MatView.refresh(spark, viewPath)
+        catch {
+          case e: java.util.ConcurrentModificationException =>
+            println(s"graft matview refresh sink: batch $batchId lost a " +
+              s"concurrent-refresh race on $viewPath, skipping (${e.getMessage})")
+        }
         ()
       }
       .start()
