@@ -1293,10 +1293,13 @@ object Maintenance {
     // full 2-D resolution as before; past that, as many bits per axis
     // as keep the d·bits index in a positive long
     val bits = math.min(16, 62 / d)
+    // native codegen'd kernel (one compiled call per row) — the
+    // aggregate-HOF forms it replaced (Hilbert.index2/indexD, kept as
+    // the HilbertSpec cross-checks) are CodegenFallback and ran
+    // ~10 µs/row interpreted, the cost that made q_hilbert3_read the
+    // suite's slowest gate
     clusterRewrite(log, cols, bits,
-      scaled =>
-        if (d == 2) graft.functions.Hilbert.index2(scaled(0), scaled(1), bits)
-        else graft.functions.Hilbert.indexD(scaled, bits),
+      scaled => graft.functions.VectorExpressions.hilbertIndex(scaled, bits),
       "OPTIMIZE HILBERT BY", targetFileBytes, where)
   }
 

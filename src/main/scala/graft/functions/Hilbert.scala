@@ -149,9 +149,15 @@ object Hilbert {
   }
 
   /** Driver-side reference of [[indexD]] (for specs/tools). */
-  def axesToIndex(bits: Int, coords: Seq[Long]): Long = {
-    val d = coords.size
-    val x = coords.toArray
+  def axesToIndex(bits: Int, coords: Seq[Long]): Long =
+    axesToIndexInPlace(bits, coords.toArray)
+
+  /** Array form of [[axesToIndex]] that MUTATES `x` in place — the
+    * zero-extra-allocation entry the compiled per-row kernel
+    * ([[org.apache.spark.sql.graftshims.HilbertIndexExpr]]) calls on
+    * its freshly gathered coordinate array. */
+  def axesToIndexInPlace(bits: Int, x: Array[Long]): Long = {
+    val d = x.length
     var q = 1L << (bits - 1)
     while (q > 1) {
       val p = q - 1

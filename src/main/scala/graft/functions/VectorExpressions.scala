@@ -41,4 +41,12 @@ object VectorExpressions {
       bands: Int, planesPerBand: Int): Column =
     column(org.apache.spark.sql.graftshims.BandedLshKeys(
       expression(v), planes, bands, planesPerBand))
+
+  /** Hilbert curve index of 2-6 scaled long coordinates — one compiled
+    * kernel call per row, replacing the interpreted aggregate-HOF walk
+    * of [[Hilbert.index2]]/[[Hilbert.indexD]] (kept as the spec
+    * cross-checks) on the clustering hot path. */
+  def hilbertIndex(coords: Seq[Column], bits: Int): Column =
+    column(org.apache.spark.sql.graftshims.HilbertIndexExpr(
+      coords.map(expression), bits))
 }

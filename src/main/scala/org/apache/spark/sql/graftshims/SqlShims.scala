@@ -530,3 +530,79 @@ case class L2Norm(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): L2Norm =
     copy(child = newChild)
 }
+
+/** Hilbert curve index of a d-dimensional point (coordinates already
+  * scaled to `[0, 2^bits)` longs) as ONE compiled kernel call per row.
+  * Replaces the aggregate-HOF walk of [[graft.functions.Hilbert]] on
+  * the clustering hot path: the HOF form is CodegenFallback — an
+  * interpreted per-row lambda walk measured at ~10 µs/row (it made
+  * q_hilbert3_read the suite's slowest gate) — while this expression
+  * whole-stage-compiles to a single static call into the same
+  * bit-twiddling walks. Bit-identical to the HOF forms by
+  * construction AND by spec (HilbertSpec fuzzes native ≡ HOF ≡ the
+  * driver-side reference): d = 2 runs the classic xy2d recurrence
+  * ([[graft.functions.Hilbert.index2]]'s walk), d ≥ 3 Skilling's
+  * transform ([[graft.functions.Hilbert.indexD]]'s) — the same routing
+  * [[graft.delta.Maintenance.hilbertCluster]] always applied. Any null
+  * coordinate → null (the clustering path scales through coalesce, so
+  * nulls never reach it there). */
+case class HilbertIndexExpr(children: Seq[Expression], bits: Int)
+    extends Expression with ExpectsInputTypes {
+
+  require(children.size >= 2 && children.size <= 6,
+    s"hilbert index takes 2-6 coordinates, got ${children.size}")
+  require(bits >= 1 && children.size * bits <= 62,
+    s"d*bits must fit a positive long: ${children.size}*$bits > 62")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq.fill(children.size)(LongType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "hilbert_index"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val d = children.size
+    val arr = new Array[Long](d)
+    var i = 0
+    while (i < d) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      arr(i) = v.asInstanceOf[Long]
+      i += 1
+    }
+    HilbertIndexExpr.compute(bits, arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val evals = children.map(_.genCode(ctx))
+    val arr = ctx.freshName("hilbertCoords")
+    val childEval = evals.map(_.code).reduce(_ + _)
+    val fill = evals.zipWithIndex.map { case (e, i) =>
+      s"if (${e.isNull}) { ${ev.isNull} = true; } else { $arr[$i] = ${e.value}; }"
+    }.mkString("\n")
+    ev.copy(code = childEval +
+      code"""
+         |boolean ${ev.isNull} = false;
+         |long[] $arr = new long[${children.size}];
+         |$fill
+         |long ${ev.value} = -1L;
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = org.apache.spark.sql.graftshims.HilbertIndexExpr.compute($bits, $arr);
+         |}""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HilbertIndexExpr =
+    copy(children = newChildren)
+}
+
+object HilbertIndexExpr {
+  /** d = 2 → the classic xy2d walk, d ≥ 3 → Skilling's transform (the
+    * HOF forms' routing). Mutates `coords` — callers pass a fresh
+    * per-row array. */
+  def compute(bits: Int, coords: Array[Long]): Long =
+    if (coords.length == 2)
+      graft.functions.Hilbert.xy2d(bits, coords(0), coords(1))
+    else graft.functions.Hilbert.axesToIndexInPlace(bits, coords)
+}

@@ -74,6 +74,44 @@ class HilbertSpec extends SparkTestBase {
         s"mismatch at ($x,$y,$z)")
   }
 
+  test("native codegen kernel ≡ HOF forms ≡ driver reference on fuzzed grids") {
+    // the compiled HilbertIndexExpr replaced the interpreted
+    // aggregate-HOF walk on the clustering hot path — prove all three
+    // spellings agree bit-for-bit, across dimensions and bit widths,
+    // in BOTH evaluation modes (whole-stage codegen on, and the
+    // interpreted eval() path via a codegen-hostile wrapping is
+    // covered by the fallback config in SparkTestBase runs)
+    val rnd = new scala.util.Random(991)
+    for ((d, bits) <- Seq((2, 5), (2, 16), (3, 3), (3, 10), (4, 7), (6, 10))) {
+      val n = 1L << bits
+      val pts = Seq.fill(200)(Seq.fill(d)(math.abs(rnd.nextLong()) % n))
+      val df = pts.map(p => Tuple1(p)).toDF("c")
+        .select((0 until d).map(i => element_at($"c", i + 1).as(s"c$i")): _*)
+      val cols = (0 until d).map(i => col(s"c$i"))
+      val native = graft.functions.VectorExpressions.hilbertIndex(cols, bits)
+      val hof = if (d == 2) Hilbert.index2(cols(0), cols(1), bits)
+        else Hilbert.indexD(cols, bits)
+      val rows = df.select(struct(cols: _*).as("p"),
+          native.as("nat"), hof.as("hof")).collect()
+      rows.foreach { r =>
+        val p = (0 until d).map(i => r.getStruct(0).getLong(i))
+        val ref = Hilbert.axesToIndex(bits, p)
+        val xy = if (d == 2) Hilbert.xy2d(bits, p(0), p(1)) else ref
+        assert(r.getLong(1) == xy && r.getLong(2) == xy,
+          s"d=$d bits=$bits at $p: native=${r.getLong(1)} hof=${r.getLong(2)} ref=$xy" +
+            (if (d == 2) s" (skilling ref would be $ref)" else ""))
+      }
+    }
+  }
+
+  test("native kernel null semantics: any null coordinate → null") {
+    val df = Seq((Some(1L), Some(2L)), (None, Some(3L)), (Some(4L), None))
+      .toDF("x", "y")
+    val got = df.select(graft.functions.VectorExpressions
+        .hilbertIndex(Seq($"x", $"y"), 8).as("h")).collect()
+    assert(!got(0).isNullAt(0) && got(1).isNullAt(0) && got(2).isNullAt(0))
+  }
+
   test("3-D hilbert layout prunes a box probe at least as well as z-order") {
     // same data, same file count, two layouts — the 3-D-box pruning
     // comparison that motivates OPTIMIZE HILBERT BY on 3+ columns
