@@ -1193,18 +1193,32 @@ object Maintenance {
       targetFileBytes: Long = 128L * 1024 * 1024,
       where: Option[org.apache.spark.sql.Column] = None): Long = {
     require(zCols.nonEmpty && zCols.size <= 4, "zorder needs 1-4 columns")
-    val nc = zCols.size
     // total interleaved bits must stay < 63 (Long, positive): 16 bits
     // per column up to 3 columns, 15 for 4 — math.pow at bit 63 would
     // saturate and wrap the z-value negative
-    val bits = math.min(16, 62 / nc)
-    clusterRewrite(log, zCols, bits, scaled =>
+    val bits = math.min(16, 62 / zCols.size)
+    clusterRewrite(log, zCols, bits, curveExpr("zorder", _, bits),
+      "OPTIMIZE ZORDER BY", targetFileBytes, where, curveKind = "zorder")
+  }
+
+  /** The curve-index Column for already-scaled `[0, 2^bits)` long
+    * coordinates: the Morton bit interleave, or the compiled Hilbert
+    * kernel. Shared by the full and incremental clustering passes so
+    * both orderings are bit-identical by construction. */
+  private def curveExpr(kind: String,
+      scaled: Seq[org.apache.spark.sql.Column], bits: Int)
+      : org.apache.spark.sql.Column = kind match {
+    case "zorder" =>
+      val nc = scaled.size
       scaled.zipWithIndex.map { case (v, ci) =>
         (0 until bits).map { i =>
           (floor(v / lit(1L << i)) % 2).cast("long") * lit(1L << (i * nc + ci))
         }.reduce(_ + _)
-      }.reduce(_ + _),
-      "OPTIMIZE ZORDER BY", targetFileBytes, where)
+      }.reduce(_ + _)
+    case "hilbert" =>
+      graft.functions.VectorExpressions.hilbertIndex(scaled, bits)
+    case other => throw new IllegalArgumentException(
+      s"unknown clustering curve '$other' (have zorder, hilbert)")
   }
 
   /** Shared clustering-rewrite scaffolding for the curve layouts
@@ -1215,22 +1229,41 @@ object Maintenance {
     * curve expression supplied by the caller, and a range partition +
     * within-partition sort on the curve value — distributed end to
     * end, no global sort. */
-  private def clusterRewrite(
-      log: DeltaLog, cols: Seq[String], bits: Int,
-      curve: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column,
-      opName: String, targetFileBytes: Long,
-      where: Option[org.apache.spark.sql.Column]): Long = {
-    val snap = log.snapshot
-    val scopePred = where.map(w => partitionScope(log, snap, w))
-    val planned = snap.planFiles(scopePred)
-    if (planned.isEmpty) return snap.version
-    val (df, preserved) = RowTracking.preservingScan(snap, planned)
-    def numeric(c: String): org.apache.spark.sql.Column =
-      df.schema(c).dataType match {
-        case org.apache.spark.sql.types.DateType =>
-          unix_date(col(c)).cast("double")
-        case _ => col(c).cast("double")
-      }
+  /** Domain persisting the curve-clustering state an INCREMENTAL pass
+    * needs: curve kind, columns, bit width, the normalization bounds
+    * of the last full pass, and the clustering watermark (the version
+    * whose files are already laid out). */
+  private[delta] val ClusterStateDomain = "graft.clustering.state"
+
+  private def numericCol(df: org.apache.spark.sql.DataFrame,
+      c: String): org.apache.spark.sql.Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.DateType =>
+        unix_date(col(c)).cast("double")
+      case _ => col(c).cast("double")
+    }
+
+  /** Linear min/max normalization of each clustering column to
+    * `[0, 2^bits)` longs under the GIVEN bounds — shared by the full
+    * pass (bounds just aggregated) and the incremental pass (bounds
+    * persisted from the last full pass). Values outside the bounds
+    * CLAMP to the edge cells (the least/greatest pair), which is what
+    * makes persisted bounds stable under drift: a new row past the old
+    * max lands in the top cell — locality degrades only at the extreme
+    * shells, and a full pass re-derives. Nulls sort first (0). */
+  private def scaledCols(df: org.apache.spark.sql.DataFrame,
+      cols: Seq[String], bits: Int, bounds: Seq[(Double, Double)])
+      : Seq[org.apache.spark.sql.Column] =
+    cols.zip(bounds).map { case (c, (mn, mx)) =>
+      val range = if (mx > mn) mx - mn else 1.0
+      val sc = least(greatest(
+        ((numericCol(df, c) - lit(mn)) / lit(range) * lit((1 << bits) - 1)),
+        lit(0.0)), lit(((1 << bits) - 1).toDouble))
+      coalesce(floor(sc).cast("long"), lit(0L))
+    }
+
+  private def validateClusterCols(df: org.apache.spark.sql.DataFrame,
+      cols: Seq[String]): Unit =
     cols.foreach { c =>
       require(df.columns.contains(c), s"unknown clustering column $c")
       val dt = df.schema(c).dataType
@@ -1242,36 +1275,144 @@ object Maintenance {
           "uses linear min/max normalization, which needs a numeric-like " +
           "type (numeric, date, timestamp, boolean)")
     }
-    val boundAggs = cols.flatMap(c => Seq(
-      min(numeric(c)).as(s"__mn_$c"), max(numeric(c)).as(s"__mx_$c")))
-    val bounds = df.agg(boundAggs.head, boundAggs.tail: _*).collect()(0)
-    val scaled = cols.map { c =>
-      val mn = Option(bounds.getAs[java.lang.Double](s"__mn_$c")).map(_.toDouble).getOrElse(0.0)
-      val mx = Option(bounds.getAs[java.lang.Double](s"__mx_$c")).map(_.toDouble).getOrElse(0.0)
-      val range = if (mx > mn) mx - mn else 1.0
-      // linear normalization to [0, 2^bits); nulls sort first (0)
-      val sc = least(greatest(
-        ((numeric(c) - lit(mn)) / lit(range) * lit((1 << bits) - 1)),
-        lit(0.0)), lit(((1 << bits) - 1).toDouble))
-      coalesce(floor(sc).cast("long"), lit(0L))
-    }
-    val curveVal = curve(scaled)
-    val totalBytes = math.max(planned.map(_.size).sum, 1L)
-    val targetFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val ordered = df.withColumn("__curve", curveVal)
+
+  /** Curve-ordered layout of `df`: range partition on the curve value
+    * (distributed — no global sort), in-partition sort, sized to
+    * `targetFileBytes`. */
+  private def curveLayout(df: org.apache.spark.sql.DataFrame,
+      curveVal: org.apache.spark.sql.Column, totalBytes: Long,
+      targetFileBytes: Long): org.apache.spark.sql.DataFrame = {
+    val targetFiles = math.max(1,
+      math.ceil(math.max(totalBytes, 1L).toDouble / targetFileBytes).toInt)
+    df.withColumn("__curve", curveVal)
       .repartitionByRange(targetFiles, col("__curve"))
       .sortWithinPartitions("__curve")
       .drop("__curve")
-    if (scopePred.isDefined)
-      // scoped pass: swap ONLY the matched files, like compactSmall —
-      // the rest of the table's layout (and log entries) are untouched
-      TransactionWriter.rewriteFiles(log, snap, planned, ordered,
-        opName, dataChange = false, preservedCols = preserved)
-    else
-      TransactionWriter.overwrite(log, ordered,
-        partitionBy = Some(snap.metadata.partitionColumns),
-        operation = opName,
-        dataChange = false, preservedCols = preserved)
+  }
+
+  private def clusterStateJson(curveKind: String, cols: Seq[String],
+      bits: Int, bounds: Seq[(Double, Double)], watermark: Long): String = {
+    val root = JsonUtil.mapper.createObjectNode()
+    root.put("curve", curveKind)
+    val ca = root.putArray("cols"); cols.foreach(ca.add)
+    root.put("bits", bits)
+    val mn = root.putArray("mins"); bounds.foreach(b => mn.add(b._1))
+    val mx = root.putArray("maxs"); bounds.foreach(b => mx.add(b._2))
+    root.put("watermark", watermark)
+    JsonUtil.mapper.writeValueAsString(root)
+  }
+
+  private def clusterRewrite(
+      log: DeltaLog, cols: Seq[String], bits: Int,
+      curve: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column,
+      opName: String, targetFileBytes: Long,
+      where: Option[org.apache.spark.sql.Column],
+      curveKind: String = ""): Long = {
+    val snap = log.snapshot
+    val scopePred = where.map(w => partitionScope(log, snap, w))
+    val planned = snap.planFiles(scopePred)
+    if (planned.isEmpty) return snap.version
+    val (df, preserved) = RowTracking.preservingScan(snap, planned)
+    validateClusterCols(df, cols)
+    val boundAggs = cols.flatMap(c => Seq(
+      min(numericCol(df, c)).as(s"__mn_$c"),
+      max(numericCol(df, c)).as(s"__mx_$c")))
+    val boundsRow = df.agg(boundAggs.head, boundAggs.tail: _*).collect()(0)
+    val bounds = cols.map { c =>
+      (Option(boundsRow.getAs[java.lang.Double](s"__mn_$c")).map(_.toDouble).getOrElse(0.0),
+        Option(boundsRow.getAs[java.lang.Double](s"__mx_$c")).map(_.toDouble).getOrElse(0.0))
+    }
+    val curveVal = curve(scaledCols(df, cols, bits, bounds))
+    val ordered = curveLayout(df, curveVal,
+      planned.map(_.size).sum, targetFileBytes)
+    val v =
+      if (scopePred.isDefined)
+        // scoped pass: swap ONLY the matched files, like compactSmall —
+        // the rest of the table's layout (and log entries) are untouched
+        TransactionWriter.rewriteFiles(log, snap, planned, ordered,
+          opName, dataChange = false, preservedCols = preserved)
+      else
+        TransactionWriter.overwrite(log, ordered,
+          partitionBy = Some(snap.metadata.partitionColumns),
+          operation = opName,
+          dataChange = false, preservedCols = preserved)
+    // Persist bounds + watermark so a later INCREMENTAL pass can lay
+    // out ONLY files added after this one — UNSCOPED passes only (a
+    // WHERE-scoped pass derives bounds from the scoped rows; adopting
+    // them table-wide would misnormalize everything else). A crash
+    // between the rewrite and this domain commit just means the next
+    // incremental pass re-rewrites this pass's files — idempotent.
+    if (scopePred.isEmpty && curveKind.nonEmpty)
+      Domains.set(log, ClusterStateDomain,
+        clusterStateJson(curveKind, cols, bits, bounds, v))
+    v
+  }
+
+  /** INCREMENTAL clustering maintenance — the 100 TB OPTIMIZE story.
+    * A full `OPTIMIZE ZORDER/HILBERT BY` pass rewrites every scoped
+    * file; appending 1% of a clustered table must NOT cost a 100%
+    * re-rewrite, so this pass (the delta-spark liquid-clustering
+    * posture) rewrites ONLY the files added since the persisted
+    * clustering watermark, curve-ordered under the PERSISTED
+    * normalization bounds of the last full pass (out-of-bounds values
+    * clamp to the edge cells — see [[scaledCols]] — so the layout
+    * stays merge-compatible with the already-clustered files; heavy
+    * bound drift is the cue to run a full pass, which re-derives).
+    *
+    * Scale shape: the log tail `(watermark, current]` is read
+    * driver-side (O(commits since the last pass)), intersected with
+    * the active set, and ONLY those files are scanned, curve-ordered
+    * (one range partition — no global sort) and swapped via a targeted
+    * rewrite; previously-clustered files keep their add entries
+    * untouched. Cost tracks the ingested delta, not the table.
+    *
+    * Returns the current version when there is nothing new. Requires a
+    * prior full pass with the same curve and columns. */
+  def clusterIncremental(
+      log: DeltaLog, cols: Seq[String], curveKind: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val snap = log.snapshot
+    val stateStr = Domains.get(snap, ClusterStateDomain).getOrElse(
+      throw new IllegalStateException(
+        s"no persisted clustering state on ${log.tablePath}: run a full " +
+          s"GRAFT OPTIMIZE ... ${curveKind.toUpperCase} BY pass first"))
+    val st = JsonUtil.mapper.readTree(stateStr)
+    import scala.jdk.CollectionConverters._
+    val stCols = st.path("cols").elements().asScala.map(_.asText()).toSeq
+    val stCurve = st.path("curve").asText()
+    require(stCurve == curveKind && stCols == cols,
+      s"clustering state on ${log.tablePath} is $stCurve(${stCols.mkString(",")}) " +
+        s"but this pass asked for $curveKind(${cols.mkString(",")}): run a " +
+        "full pass to re-cluster under the new definition")
+    val bits = st.path("bits").asInt()
+    val mins = st.path("mins").elements().asScala.map(_.asDouble()).toSeq
+    val maxs = st.path("maxs").elements().asScala.map(_.asDouble()).toSeq
+    val watermark = st.path("watermark").asLong()
+    val cur = snap.version
+    if (cur <= watermark) return cur
+    // files added after the watermark that are still active — the
+    // newest-add-wins replay already resolved later removes/rewrites
+    val addedPaths = ((watermark + 1) to cur)
+      .flatMap(log.commitActions)
+      .collect { case AddAction(a) => a.path }.toSet
+    val targets = snap.planFiles().filter(f => addedPaths.contains(f.path))
+    if (targets.isEmpty) {
+      Domains.set(log, ClusterStateDomain,
+        clusterStateJson(curveKind, cols, bits, mins.zip(maxs), cur))
+      return cur
+    }
+    val (df, preserved) = RowTracking.preservingScan(snap, targets)
+    validateClusterCols(df, cols)
+    val curveVal = curveExpr(curveKind,
+      scaledCols(df, cols, bits, mins.zip(maxs)), bits)
+    val ordered = curveLayout(df, curveVal,
+      targets.map(_.size).sum, targetFileBytes)
+    val v = TransactionWriter.rewriteFiles(log, snap, targets, ordered,
+      s"OPTIMIZE ${curveKind.toUpperCase} BY INCREMENTAL",
+      dataChange = false, preservedCols = preserved)
+    Domains.set(log, ClusterStateDomain,
+      clusterStateJson(curveKind, cols, bits, mins.zip(maxs), v))
+    v
   }
 
   /** OPTIMIZE HILBERT BY: rewrite the table ordered along a 2-D
@@ -1298,9 +1439,8 @@ object Maintenance {
     // the HilbertSpec cross-checks) are CodegenFallback and ran
     // ~10 µs/row interpreted, the cost that made q_hilbert3_read the
     // suite's slowest gate
-    clusterRewrite(log, cols, bits,
-      scaled => graft.functions.VectorExpressions.hilbertIndex(scaled, bits),
-      "OPTIMIZE HILBERT BY", targetFileBytes, where)
+    clusterRewrite(log, cols, bits, curveExpr("hilbert", _, bits),
+      "OPTIMIZE HILBERT BY", targetFileBytes, where, curveKind = "hilbert")
   }
 
   /** ANALYZE: backfill min/max/nullCount stats for active files that

@@ -49,4 +49,13 @@ object VectorExpressions {
   def hilbertIndex(coords: Seq[Column], bits: Int): Column =
     column(org.apache.spark.sql.graftshims.HilbertIndexExpr(
       coords.map(expression), bits))
+
+  /** The whole MinHash shingle front-end (tokenize → word n-grams →
+    * distinct → 28-bit md5-prefix hash) fused into one codegen'd
+    * kernel — bit-identical to
+    * `hash28Array(array_distinct(TextFunctions.wordNgrams(text, n)))`,
+    * which is kept as the spec cross-check (its HOF ngram walk forces
+    * the whole projection interpreted). */
+  def hashedShingles(text: Column, n: Int): Column =
+    column(org.apache.spark.sql.graftshims.HashedShingles(expression(text), n))
 }

@@ -19,52 +19,50 @@ object MinHashLsh {
   val RowsPerBand: Int = NumHashes / Bands
 
   /** doc frame → (id, hs) where hs = 28-bit hashes of the distinct word
-    * 3-gram shingles (fused [[graft.functions.VectorExpressions.hash28Array]]
-    * — one codegen'd md5 loop instead of an interpreted transform). */
+    * 3-gram shingles — the WHOLE front-end (tokenize → ngram →
+    * distinct → hash) fused into one codegen'd kernel
+    * ([[graft.functions.VectorExpressions.hashedShingles]]); the
+    * composed `hash28Array(array_distinct(wordNgrams(...)))` form is
+    * the MinHashShingleSpec cross-check. Because the kernel is
+    * codegen-capable, downstream projections (signatures, band keys)
+    * stay in whole-stage codegen, where common-subexpression
+    * elimination applies — the interpreted-mode re-evaluation traps of
+    * round 8 can't re-arise around it. */
   def hashedShingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    // The md5 shingle kernel below is HOF-fallback (interpreted), so
-    // its projection parallelizes only as far as the INPUT partitions:
-    // a few-file parquet scan arrives as one partition and was measured
-    // to run the whole kernel in ONE task (3-5 s single-core vs 0.3 s
-    // wide at 5k docs). Widen narrow inputs to the session parallelism
-    // BEFORE the projection; wide inputs pass through, so at scale
-    // this no-ops.
+    // The kernel is CPU-heavy (md5 per shingle) and a projection only
+    // parallelizes as far as its INPUT partitions — a few-file parquet
+    // scan arrives as one partition and was measured to run the whole
+    // kernel in ONE task (3-5 s single-core vs 0.3 s wide at 5k docs).
+    // Widen narrow inputs to the session parallelism BEFORE the
+    // projection; wide inputs pass through, so at scale this no-ops.
     val target = df.sparkSession.sparkContext.defaultParallelism
     val wide =
       if (df.rdd.getNumPartitions < math.max(2, target / 2))
         df.repartition(target)
       else df
     wide.select(col(idCol),
-      graft.functions.VectorExpressions.hash28Array(
-        array_distinct(TextFunctions.wordNgrams(col(textCol), n))).as("hs"))
+      graft.functions.VectorExpressions.hashedShingles(col(textCol), n).as("hs"))
   }
 
   /** Append mh0..mh15 signature columns (all 16 mins from ONE fused
     * pass over the shingle array — [[graft.functions.VectorExpressions
     * .minhashSignatures]] — instead of 16 interpreted array_min walks).
     *
-    * The `_sig` array MATERIALIZES (localCheckpoint) before the 16
-    * `element_at` unrolls: the shingle pipeline below is HOF-fallback,
-    * so its projection evaluates INTERPRETED — with no subexpression
-    * elimination — and unrolling over the live kernel was measured to
-    * re-run the whole md5+minhash pass 16× per row (4.4 s vs 0.3 s for
-    * the checkpointed form at 5k docs). A NARROW input (a few-file
-    * parquet scan arrives as one partition) is widened to the session
-    * parallelism first — otherwise the interpreted kernel runs in ONE
-    * task (measured 3-5 s single-core vs 0.3 s wide at 5k docs); wide
-    * inputs pass through untouched, so at scale this no-ops. Eager by
-    * design: every caller consumes the signatures at least once. */
+    * Since the shingle front-end became a codegen'd kernel (round 9,
+    * [[hashedShingles]]), the whole pipeline whole-stage-compiles and
+    * the 16 `element_at` unrolls below CSE to one kernel evaluation —
+    * the round-8 interpreted-mode re-evaluation trap is structurally
+    * gone. The localCheckpoint stays for a different reason: callers
+    * reference the signature relation MULTIPLE times (dedup's two
+    * bucket references, candidate verification joins), and an
+    * unmaterialized pipeline would re-run the kernel once per
+    * reference. Eager by design: every caller consumes the signatures
+    * at least once, and inputs here are batch-sized (the corpus-sized
+    * prior side of dedupAgainstCorpus deliberately streams around this
+    * via [[bandKeysOf]] instead). */
   def withSignature(hashed: DataFrame): DataFrame = {
     val sig = graft.functions.VectorExpressions.minhashSignatures(
       col("hs"), MinhashA, MinhashB, MinhashP)
-    // ONE materialization (not an hs pre-checkpoint too): when `hashed`
-    // is a live pipeline the collapsed projection computes the md5
-    // kernel twice per row (hs + inside _sig — interpreted projections
-    // get no subexpression elimination), which parallelizes and was
-    // measured within noise of the two-checkpoint form, at HALF the
-    // block storage — the difference that matters when the input is a
-    // whole prior corpus (dedupAgainstCorpus). Callers that already
-    // checkpointed `hashed` (a bare LogicalRDD) pay the kernel once.
     val mat = hashed.withColumn("_sig", sig).localCheckpoint()
     mat.select(hashed.columns.map(col) ++
       (0 until NumHashes).map(j => element_at(col("_sig"), j + 1).as(s"mh$j")): _*)

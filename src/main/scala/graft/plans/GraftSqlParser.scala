@@ -15,8 +15,8 @@ import graft.delta.{Clone, Constraints, DeltaLog, Maintenance, Mutations}
   *
   * {{{
   * GRAFT VACUUM '<path>' [RETAIN <n> HOURS] [USING INVENTORY '<parquet>']
-  * GRAFT OPTIMIZE '<path>' [ZORDER BY (c1, c2)] [WHERE <partition predicate>]
-  * GRAFT OPTIMIZE '<path>' HILBERT BY (c1, c2) [WHERE <partition predicate>]
+  * GRAFT OPTIMIZE '<path>' [ZORDER BY (c1, c2)] [INCREMENTAL] [WHERE <partition predicate>]
+  * GRAFT OPTIMIZE '<path>' HILBERT BY (c1, c2) [INCREMENTAL] [WHERE <partition predicate>]
   * GRAFT CHECKPOINT '<path>'
   * GRAFT REORG '<path>' APPLY PURGE                    -- drop DV debt
   * GRAFT FSCK '<path>' [DRY RUN]                       -- repair missing files
@@ -55,9 +55,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Vacuum =
     """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+HOURS)?(?:\s+USING\s+INVENTORY\s+'([^']+)')?\s*""".r
   private val Optimize =
-    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?(?:\s+WHERE\s+(.+?))?\s*""".r
+    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?(\s+INCREMENTAL)?(?:\s+WHERE\s+(.+?))?\s*""".r
   private val OptimizeHilbert =
-    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+HILBERT\s+BY\s*\(([^)]+)\)(?:\s+WHERE\s+(.+?))?\s*""".r
+    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+HILBERT\s+BY\s*\(([^)]+)\)(\s+INCREMENTAL)?(?:\s+WHERE\s+(.+?))?\s*""".r
   private val Checkpoint = """(?is)\s*GRAFT\s+CHECKPOINT\s+'([^']+)'\s*""".r
   private val Reorg =
     """(?is)\s*GRAFT\s+REORG\s+'([^']+)'\s+APPLY\s+PURGE\s*""".r
@@ -150,26 +150,44 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             allowZeroRetention = zeroOk, inventory = inv).size
           Seq(Row(n.toLong))
         })
-    case OptimizeHilbert(path, cs, whereSql) =>
+    case OptimizeHilbert(path, cs, incr, whereSql) =>
       GraftMaintenanceCommand(path, "optimize_hilbert",
-        Seq("version"), s => Seq(Row(Maintenance.hilbertCluster(
-          DeltaLog.forPath(s, path), cs.split(",").map(_.trim).toSeq,
-          where = Option(whereSql).map(org.apache.spark.sql.functions.expr)))))
-    case Optimize(path, zcols, whereSql) =>
+        Seq("version"), s => {
+          val cols = cs.split(",").map(_.trim).toSeq
+          val log = DeltaLog.forPath(s, path)
+          val v = if (incr != null) {
+            require(whereSql == null,
+              "OPTIMIZE ... INCREMENTAL takes no WHERE: it is scoped to " +
+                "the files added since the clustering watermark")
+            Maintenance.clusterIncremental(log, cols, "hilbert")
+          } else Maintenance.hilbertCluster(log, cols,
+            where = Option(whereSql).map(org.apache.spark.sql.functions.expr))
+          Seq(Row(v))
+        })
+    case Optimize(path, zcols, incr, whereSql) =>
       GraftMaintenanceCommand(path, "optimize",
         Seq("version"), s => {
           val log = DeltaLog.forPath(s, path)
-          val v = (Option(zcols), Option(whereSql)) match {
-            case (Some(cs), w) =>
+          val v = (Option(zcols), Option(incr), Option(whereSql)) match {
+            case (Some(cs), Some(_), w) =>
+              require(w.isEmpty,
+                "OPTIMIZE ... INCREMENTAL takes no WHERE: it is scoped to " +
+                  "the files added since the clustering watermark")
+              Maintenance.clusterIncremental(log,
+                cs.split(",").map(_.trim).toSeq, "zorder")
+            case (Some(cs), None, w) =>
               // WHERE scopes the z-order pass to matching partitions
               // (round-6 advice: it was silently dropped here)
               Maintenance.zorder(log, cs.split(",").map(_.trim).toSeq,
                 where = w.map(org.apache.spark.sql.functions.expr))
-            case (None, Some(w)) =>
+            case (None, Some(_), _) => throw new IllegalArgumentException(
+              "OPTIMIZE ... INCREMENTAL needs a ZORDER BY / HILBERT BY " +
+                "column list (it maintains a curve clustering)")
+            case (None, None, Some(w)) =>
               // partition-scoped small-file pass (delta's OPTIMIZE WHERE)
               Maintenance.compactSmall(log,
                 where = Some(org.apache.spark.sql.functions.expr(w)))
-            case (None, None) => Maintenance.compact(log)
+            case (None, None, None) => Maintenance.compact(log)
           }
           Seq(Row(v))
         })

@@ -493,7 +493,8 @@ object Queries {
       s"list_min(list_transform(hs, h -> ($a * h + $b) % $MinhashP))"
   }
 
-  private def hashedShinglesCte(dialect: String): String = {
+  private def hashedShinglesCte(
+      dialect: String, from: String = "documents"): String = {
     val tks = toks(dialect)
     val ng = ngrams3(dialect)
     val dedup = if (dialect == "spark") "array_distinct" else "list_distinct"
@@ -502,7 +503,7 @@ object Queries {
     val hashed =
       if (dialect == "spark") "vec_hash28(ng)"
       else s"list_transform(ng, s -> ${h28(dialect, "s")})"
-    s"""t AS (SELECT /*+ REPARTITION(32) */ doc_id, lang, $tks AS toks FROM documents),
+    s"""t AS (SELECT /*+ REPARTITION(32) */ doc_id, lang, $tks AS toks FROM $from),
        |n AS (SELECT doc_id, lang, $dedup($ng) AS ng FROM t),
        |hsh AS (SELECT doc_id, lang, $hashed AS hs FROM n)"""
       .stripMargin
@@ -539,6 +540,48 @@ object Queries {
        |keep AS (SELECT b.doc_id, MIN(m.m) AS mm FROM buckets b
        |  JOIN mins m ON b.band = m.band AND b.k = m.k GROUP BY b.doc_id)
        |SELECT doc_id FROM keep WHERE doc_id = mm""".stripMargin
+  }
+
+  /** Capped-LSH near-dup oracle (DuckDB): the same
+    * signature/banding/verify pipeline as [[qNgramJaccard]], over
+    * documents UNION a deliberately degenerate block of 40 IDENTICAL
+    * boilerplate docs (every band bucket of the block has 40 members),
+    * with candidate generation dropping buckets above the cap (16) —
+    * the replayable SQL form of `candidatePairs(maxBucketSize = 16)`.
+    * The degenerate block must contribute ZERO pairs (all four of its
+    * bands are the same over-cap bucket — the standard LSH-at-scale
+    * skew mitigation); ordinary near-dup pairs survive through their
+    * under-cap buckets. */
+  private def qMinhashDedupCapped: String = {
+    val boiler = "lorem ipsum dolor boilerplate footer text"
+    val src = s"""(SELECT doc_id, lang, text FROM documents
+       | UNION ALL
+       | SELECT 1000000 + range AS doc_id, 'xx' AS lang,
+       |   '$boiler' AS text
+       | FROM range(40)) u""".stripMargin
+    def bandKey(b: Int): String =
+      s"concat_ws(',', mh${4 * b}::VARCHAR, mh${4 * b + 1}::VARCHAR, mh${4 * b + 2}::VARCHAR, mh${4 * b + 3}::VARCHAR)"
+    val mhs = (0 until 16).map(j => s"  ${minhashExpr("duck", j)} AS mh$j").mkString(",\n")
+    val buckets = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, ${bandKey(b)} AS k FROM sig").mkString("\n  UNION ALL ")
+    s"""WITH ${hashedShinglesCte("duck", src)},
+       |sig AS (SELECT doc_id,
+       |$mhs
+       |FROM hsh),
+       |buckets AS ($buckets),
+       |ok AS (SELECT band, k FROM buckets GROUP BY band, k HAVING COUNT(*) <= 16),
+       |fb AS (SELECT b.doc_id, b.band, b.k FROM buckets b
+       |  JOIN ok o ON b.band = o.band AND b.k = o.k),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM fb x JOIN fb y
+       |    ON x.band = y.band AND x.k = y.k AND x.doc_id < y.doc_id),
+       |p AS (SELECT c.doc_a, c.doc_b,
+       |    ROUND(CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) /
+       |      CAST(len(list_distinct(list_concat(ha.hs, hb.hs))) AS DOUBLE), 6) AS jaccard
+       |  FROM cand c
+       |  JOIN hsh ha ON ha.doc_id = c.doc_a
+       |  JOIN hsh hb ON hb.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.5e0""".stripMargin
   }
 
   /** Fuzzy incremental dedup oracle: batch docs (doc_id % 5 = 0) that
@@ -2780,6 +2823,55 @@ object Queries {
       |  CAST(SUM(l_suppkey) AS BIGINT) AS sum_supp
       |FROM lineitem""".stripMargin
 
+  /** INCREMENTAL clustering maintenance, driver-verified END-TO-END
+    * (the 100 TB OPTIMIZE story): full HILBERT pass, ~10% append, then
+    * `OPTIMIZE ... INCREMENTAL` — the gate proves via the LOG PLANE
+    * that every previously-clustered file kept its add entry (at scale
+    * that's the difference between rewriting the ingested delta and
+    * rewriting the table), that every appended file was swapped for
+    * curve-ordered replacements, and that no row was lost/duplicated
+    * (the oracle recomputes the full content). */
+  private def qClusterIncrementalSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cli_")
+        .resolve("t").toString
+      val log = graft.delta.DeltaLog.forPath(s, tmp)
+      val docs = s.table("documents").select(col("doc_id"), col("n_chars"))
+      graft.delta.TransactionWriter.overwrite(log,
+        docs.where(col("doc_id") % 10 =!= 0)
+          .repartition(16, expr("hash(doc_id)")))
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT OPTIMIZE '$tmp' HILBERT BY (doc_id, n_chars)").collect()
+      val clustered = graft.delta.DeltaLog.forPath(s, tmp).snapshot
+        .planFiles().map(_.path).toSet
+      graft.delta.TransactionWriter.append(log,
+        docs.where(col("doc_id") % 10 === 0)
+          .repartition(4, expr("hash(doc_id)")))
+      val appended = graft.delta.DeltaLog.forPath(s, tmp).snapshot
+        .planFiles().map(_.path).toSet -- clustered
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT OPTIMIZE '$tmp' HILBERT BY (doc_id, n_chars) INCREMENTAL")
+        .collect()
+      val snap = graft.delta.DeltaLog.forPath(s, tmp).snapshot
+      val finalPaths = snap.planFiles().map(_.path).toSet
+      val oldPreserved = clustered.subsetOf(finalPaths)
+      val newRewritten = appended.nonEmpty &&
+        appended.intersect(finalPaths).isEmpty
+      snap.read().agg(
+        lit(if (oldPreserved) 1L else 0L).as("old_files_preserved"),
+        lit(if (newRewritten) 1L else 0L).as("appended_files_reclustered"),
+        count(lit(1)).as("n_rows"),
+        sum("n_chars").as("sum_chars"))
+    }
+
+  private val qClusterIncrementalDuck: String =
+    """SELECT CAST(1 AS BIGINT) AS old_files_preserved,
+      |  CAST(1 AS BIGINT) AS appended_files_reclustered,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents""".stripMargin
+
   /** Index-powered equi-join (dynamic FILE pruning), driver-verified
     * END-TO-END: the Bloom-indexed scratch fact joins a small dim
     * whose keys prune the fact's files BEFORE the scan
@@ -4030,6 +4122,26 @@ object Queries {
     "q_quality_score" -> sqlQuery(qQualityScore("spark")),
     "q_lang_id" -> sqlQuery(qLangId("spark")),
     "q_ngram_jaccard" -> cachedStagesQuery(minhashStages, sparkNgramJaccardFinal),
+    // LSH degenerate-bucket cap, driver-verified via the OPERATOR path:
+    // 40 identical boilerplate docs form a 40-member bucket in every
+    // band; with maxBucketSize = 16 they are dropped from candidate
+    // generation (zero pairs from the block — the LSH-at-scale skew
+    // mitigation), while ordinary near-dups keep pairing through their
+    // under-cap buckets. The oracle replays the capped generation in
+    // SQL, so a cap that wrongly dropped (or kept) a bucket fails the
+    // hash compare.
+    "q_minhash_dedup_capped" -> ((s, dir) => {
+      registerViews(s, dir)
+      val docs = s.table("documents").select(col("doc_id"), col("text"))
+        .unionByName(s.range(40).select(
+          (col("id") + lit(1000000L)).as("doc_id"),
+          lit("lorem ipsum dolor boilerplate footer text").as("text")))
+      graft.operators.MinHashLsh
+        .nearDupPairs(docs, "doc_id", "text",
+          threshold = 0.5, maxBucketSize = 16)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+    }),
     // via the cached signature stage: the md5 pipeline evaluates once
     // per row instead of being project-collapsed into every mh column
     "q_minhash_signature" -> cachedStagesQuery(minhashStages.take(2),
@@ -4068,6 +4180,7 @@ object Queries {
     "q_hilbert_read" -> qHilbertReadSpark,
     "q_hilbert3_read" -> qHilbert3ReadSpark,
     "q_zorder_read" -> qZorderReadSpark,
+    "q_cluster_incremental" -> qClusterIncrementalSpark,
     "q_analyze_read" -> qAnalyzeReadSpark,
     "q_funnel" -> qFunnelSpark,
     "q_funnel_windowed" -> qFunnelWindowedSpark,
@@ -4925,6 +5038,7 @@ object Queries {
     "q_quality_score" -> qQualityScore("duck"),
     "q_lang_id" -> qLangId("duck"),
     "q_ngram_jaccard" -> qNgramJaccard("duck"),
+    "q_minhash_dedup_capped" -> qMinhashDedupCapped,
     "q_minhash_signature" -> qMinhashSignature("duck"),
     "q_minhash_dedup" -> qMinhashDedup("duck"),
     "q_minhash_cc" -> qMinhashCcDuck,
@@ -4956,6 +5070,7 @@ object Queries {
     "q_hilbert_read" -> qHilbertReadDuck,
     "q_hilbert3_read" -> qHilbert3ReadDuck,
     "q_zorder_read" -> qHilbertReadDuck, // same content contract
+    "q_cluster_incremental" -> qClusterIncrementalDuck,
     "q_analyze_read" -> qAnalyzeReadDuck,
     "q_funnel" -> qFunnelDuck,
     "q_funnel_windowed" -> qFunnelWindowedDuck,

@@ -606,3 +606,84 @@ object HilbertIndexExpr {
       graft.functions.Hilbert.xy2d(bits, coords(0), coords(1))
     else graft.functions.Hilbert.axesToIndexInPlace(bits, coords)
 }
+
+/** The whole MinHash shingle front-end — tokenize → word n-grams →
+  * distinct → 28-bit md5-prefix hash — fused into ONE codegen'd kernel
+  * call per row. The composed form
+  * (`Hash28Array(array_distinct(wordNgrams(text, n)))`) pins the HOF
+  * `transform(sequence(...))` ngram walk in the plan, which is
+  * CodegenFallback: the surrounding projection drops to interpreted
+  * mode, loses subexpression elimination (round 8 measured the kernel
+  * re-running 16× under an element_at unroll), and materializes every
+  * n-gram STRING. This kernel builds each n-gram, dedups, and hashes
+  * in one compiled pass — and because it is codegen-capable, downstream
+  * projections stay in whole-stage codegen where CSE applies.
+  *
+  * Bit-identical semantics to the composed form (MinHashShingleSpec
+  * fuzzes the equivalence): single-space tokenizer keeping trailing
+  * empties (Spark `split(text, " ")` = Java split limit -1), empty
+  * array when fewer than n tokens, n-grams joined with single spaces,
+  * first-occurrence-order distinct on the n-gram STRINGS (dedup before
+  * hashing — a 28-bit hash collision must keep both spellings' single
+  * shared value exactly as the composed form does), md5-first-28-bits
+  * per surviving n-gram. Null text → null. */
+case class HashedShingles(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_shingles"
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(v: Any): Any =
+    HashedShingles.compute(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      s"${ev.value} = org.apache.spark.sql.graftshims.HashedShingles.compute($t, $n);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HashedShingles =
+    copy(child = newChild)
+}
+
+object HashedShingles {
+  def compute(text: org.apache.spark.unsafe.types.UTF8String,
+      n: Int): ArrayData = {
+    // Java split with limit -1 = Spark's split(text, " "): single-space
+    // regex, trailing empty tokens kept ("a b " → [a, b, ""])
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Long](0))
+    // distinct on the n-gram STRING, first-occurrence order — exactly
+    // array_distinct before hashing
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Long](seen.size())
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) {
+      md.reset()
+      out(j) = Hash28Array.first28Bits(
+        md.digest(it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}

@@ -60,6 +60,30 @@ class DedupIncrementalSpec extends SparkTestBase {
     assertSameRows(streamed, batch, "stream vs batch incremental dedup")
   }
 
+  test("LSH bucket cap: cap-on ≡ cap-off when no bucket exceeds the cap, " +
+    "and an over-cap degenerate block contributes zero pairs") {
+    graft.queries.Queries.registerViews(spark, "/root/testdata/sf0.001")
+    val docs = spark.table("documents").select(col("doc_id"), col("text"))
+    // every bucket here is far below 1000: capped ≡ uncapped
+    val uncapped = graft.operators.MinHashLsh
+      .nearDupPairs(docs, "doc_id", "text", 0.5, maxBucketSize = 0)
+    val capped1k = graft.operators.MinHashLsh
+      .nearDupPairs(docs, "doc_id", "text", 0.5, maxBucketSize = 1000)
+    assertSameRows(uncapped, capped1k, "cap above every bucket size")
+    // a 30-doc identical block floods every band with a 30-member
+    // bucket; cap 16 drops it from candidate generation entirely
+    val boiler = spark.range(30).select(
+      (col("id") + lit(9000000L)).as("doc_id"),
+      lit("shared boilerplate footer text block four grams").as("text"))
+    val flooded = docs.unionByName(boiler)
+    val capped = graft.operators.MinHashLsh
+      .nearDupPairs(flooded, "doc_id", "text", 0.5, maxBucketSize = 16)
+    assert(capped.where(col("id_a") >= 9000000L || col("id_b") >= 9000000L)
+      .count() == 0, "over-cap degenerate block must contribute no pairs")
+    // the rest of the corpus still pairs exactly as before
+    assertSameRows(capped, uncapped, "cap drops ONLY the degenerate block")
+  }
+
   test("SQL surface: bloom_filter_agg + might_contain round-trip") {
     graft.queries.Queries.registerViews(spark, "/root/testdata/sf0.001")
     prior.createOrReplaceTempView("bloom_prior_v")

@@ -116,8 +116,11 @@ class ExtensionsSpec extends AnyFunSuite {
     // non-numeric zorder columns are rejected with a clear error
     val ze = intercept[Exception](spark.sql(s"GRAFT OPTIMIZE '$path' ZORDER BY (s)").collect())
     assert(ze.getMessage.contains("numeric-like"))
+    // v3 is the clustering-state domain commit the full zorder pass
+    // persists (bounds + watermark for OPTIMIZE ... INCREMENTAL), so
+    // the restore lands at v4
     val restored = spark.sql(s"GRAFT RESTORE '$path' TO VERSION 1").collect()(0).getLong(0)
-    assert(restored == 3L)
+    assert(restored == 4L)
     assert(spark.read.format("graftdelta").load(path).count() == 3)
     // vacuum with explicit retention parses and runs (nothing young deleted)
     assert(spark.sql(s"GRAFT VACUUM '$path' RETAIN 168 HOURS").collect()(0).getLong(0) == 0L)

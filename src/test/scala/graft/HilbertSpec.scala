@@ -174,6 +174,89 @@ class HilbertSpec extends SparkTestBase {
       s"hilbert layout did not prune: $afterPruned of ${after.planFiles().size}")
   }
 
+  test("incremental clustering rewrites ONLY files added since the watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hinc_")
+      .resolve("t").toString
+    val log = DeltaLog.forPath(spark, dir)
+    val rows = (0L until 4096L).map(i => (i % 64L, i / 64L, i))
+      .toDF("a", "b", "id").repartition(16, expr("hash(id)"))
+    TransactionWriter.overwrite(log, rows)
+    Maintenance.hilbertCluster(log, Seq("a", "b"), targetFileBytes = 4096L)
+    val full = DeltaLog.forPath(spark, dir).snapshot
+    val clustered = full.planFiles().map(_.path).toSet
+    assert(clustered.size > 1, "need several clustered files for the test")
+    // append ~12% new rows, INCLUDING values past the old bounds (a=80
+    // exceeds the persisted max of 63 — must clamp, not crash)
+    TransactionWriter.append(log,
+      (4096L until 4608L).map(i => (if (i % 7 == 0) 80L else i % 64L,
+        i / 64L % 64L, i)).toDF("a", "b", "id")
+        .repartition(4, expr("hash(id)")))
+    val appended = DeltaLog.forPath(spark, dir).snapshot
+      .planFiles().map(_.path).toSet -- clustered
+    assert(appended.size == 4)
+    Maintenance.clusterIncremental(log, Seq("a", "b"), "hilbert",
+      targetFileBytes = 4096L)
+    val after = DeltaLog.forPath(spark, dir).snapshot
+    val finalPaths = after.planFiles().map(_.path).toSet
+    // previously-clustered files keep their add entries untouched;
+    // every appended file was swapped for curve-ordered replacements
+    assert(clustered.subsetOf(finalPaths),
+      s"incremental pass touched ${clustered -- finalPaths}")
+    assert(appended.intersect(finalPaths).isEmpty,
+      s"appended files survived unclustered: ${appended.intersect(finalPaths)}")
+    // content preserved
+    assert(after.read().agg(count(lit(1)), sum("id")).head ==
+      Seq(4608L).map(n => (n, n * (n - 1) / 2)).map(t =>
+        org.apache.spark.sql.Row(t._1, t._2)).head)
+    // nothing new → pure watermark bump, no rewrite
+    val before2 = after.planFiles().map(_.path).toSet
+    Maintenance.clusterIncremental(log, Seq("a", "b"), "hilbert")
+    assert(DeltaLog.forPath(spark, dir).snapshot
+      .planFiles().map(_.path).toSet == before2)
+    // definition drift is refused (run a full pass instead)
+    val err = intercept[IllegalArgumentException] {
+      Maintenance.clusterIncremental(log, Seq("b", "a"), "hilbert")
+    }
+    assert(err.getMessage.contains("full pass"))
+    val err2 = intercept[IllegalArgumentException] {
+      Maintenance.clusterIncremental(log, Seq("a", "b"), "zorder")
+    }
+    assert(err2.getMessage.contains("full pass"))
+  }
+
+  test("incremental clustering without a prior full pass is refused") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hinc0_")
+      .resolve("t").toString
+    val log = DeltaLog.forPath(spark, dir)
+    TransactionWriter.overwrite(log,
+      (0L until 100L).map(i => (i, i)).toDF("a", "b"))
+    val err = intercept[IllegalStateException] {
+      Maintenance.clusterIncremental(log, Seq("a", "b"), "hilbert")
+    }
+    assert(err.getMessage.contains("run a full"))
+  }
+
+  test("zorder incremental via GRAFT SQL: old files kept, content preserved") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zinc_")
+      .resolve("t").toString
+    val log = DeltaLog.forPath(spark, dir)
+    TransactionWriter.overwrite(log,
+      (0L until 2048L).map(i => (i % 64L, i / 64L, i)).toDF("a", "b", "id")
+        .repartition(8, expr("hash(id)")))
+    graft.plans.GraftSqlParser.run(spark,
+      s"GRAFT OPTIMIZE '$dir' ZORDER BY (a, b)").collect()
+    val clustered = DeltaLog.forPath(spark, dir).snapshot
+      .planFiles().map(_.path).toSet
+    TransactionWriter.append(log,
+      (2048L until 2304L).map(i => (i % 64L, i / 64L, i)).toDF("a", "b", "id"))
+    graft.plans.GraftSqlParser.run(spark,
+      s"GRAFT OPTIMIZE '$dir' ZORDER BY (a, b) INCREMENTAL").collect()
+    val after = DeltaLog.forPath(spark, dir).snapshot
+    assert(clustered.subsetOf(after.planFiles().map(_.path).toSet))
+    val got = after.read().agg(count(lit(1)), sum("id")).head
+    assert(got.getLong(0) == 2304L && got.getLong(1) == 2304L * 2303L / 2)
+  }
+
   test("date columns cluster through unix_date (DATE can't cast to DOUBLE)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_hilbdate_")
       .resolve("t").toString

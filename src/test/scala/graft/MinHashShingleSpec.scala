@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions, VectorExpressions}
+
+/** The fused HashedShingles kernel must be bit-identical to the
+  * composed HOF form `hash28Array(array_distinct(wordNgrams(text, n)))`
+  * it replaced on the MinHash hot path — including the tokenizer's
+  * trailing-empty behavior, the fewer-than-n-tokens empty array, the
+  * first-occurrence-order distinct, and hashing AFTER dedup. */
+class MinHashShingleSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def composed(c: org.apache.spark.sql.Column, n: Int) =
+    VectorExpressions.hash28Array(
+      array_distinct(TextFunctions.wordNgrams(c, n)))
+
+  private def assertEquiv(df: org.apache.spark.sql.DataFrame, n: Int): Unit = {
+    val rows = df.select(col("text"),
+        VectorExpressions.hashedShingles(col("text"), n).as("fused"),
+        composed(col("text"), n).as("hof")).collect()
+    rows.foreach { r =>
+      if (r.isNullAt(1) || r.isNullAt(2))
+        assert(r.isNullAt(1) && r.isNullAt(2),
+          s"null disagreement on '${r.get(0)}'")
+      else
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"mismatch on '${r.get(0)}': fused=${r.getSeq[Long](1)} " +
+            s"hof=${r.getSeq[Long](2)}")
+    }
+  }
+
+  test("fused ≡ composed on the documents corpus (n = 3)") {
+    graft.queries.Queries.registerViews(spark, "/root/testdata/sf0.001")
+    assertEquiv(spark.table("documents").select("text"), 3)
+  }
+
+  test("fused ≡ composed on edge cases, n = 1/2/3") {
+    val edge = Seq(
+      "", " ", "  ", "a", "a b", "a b c", "a b c d",
+      "a  b  c",            // double spaces → empty tokens kept
+      "x y z ",             // trailing space → trailing empty token
+      " leading space",
+      "a b c a b c a b c",  // repeated n-grams → distinct collapses
+      "ünïcödé tökens ärë hàshed by utf-8 bytes",
+      "one two three four five six seven eight nine ten")
+      .toDF("text")
+      .unionByName(Seq.empty[String].toDF("text"))
+      .unionByName(spark.sql("SELECT CAST(NULL AS STRING) AS text"))
+    for (n <- Seq(1, 2, 3)) assertEquiv(edge, n)
+  }
+
+  test("operator hashedShingles output is unchanged by the kernel swap") {
+    graft.queries.Queries.registerViews(spark, "/root/testdata/sf0.001")
+    val docs = spark.table("documents").select(col("doc_id"), col("text"))
+    val got = graft.operators.MinHashLsh.hashedShingles(docs, "doc_id", "text")
+    val want = docs.select(col("doc_id"), composed(col("text"), 3).as("hs"))
+    assertSameRows(got, want, "operator vs composed shingles")
+  }
+}
