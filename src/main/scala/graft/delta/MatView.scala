@@ -157,6 +157,126 @@ object MatView {
       keyCols: Seq[String], valueCol: String): Long =
     create(spark, viewPath, sourcePath, keyCols, Seq("sum" -> valueCol))
 
+  /** Create a materialized JOIN view — `view = fact ⨝ dim` (inner
+    * equi-join on `fk = dimPk`, keyed by the fact primary key, carrying
+    * `dimCols` dim attributes) — maintained from BOTH tables' change
+    * feeds by [[refresh]] via [[graft.operators.IncrementalJoin]]:
+    * fact changes cost O(change slice), dim changes one fact pass
+    * pruned to the changed dim keys, the apply is one MERGE on the
+    * fact PK — never a view rebuild. Both sources must have CDF
+    * enabled. Unlike the aggregate views, the join apply writes
+    * ABSOLUTE rows, so replaying a crashed window is naturally
+    * idempotent — no txn marker is needed; a concurrent refresher
+    * either rebases cleanly (identical content) or is rejected by the
+    * file-level conflict check. Returns the fact version the view is
+    * consistent with. */
+  def createJoin(spark: SparkSession, viewPath: String,
+      factPath: String, dimPath: String,
+      factPk: Seq[String], fk: String, dimPk: String,
+      dimCols: Seq[String]): Long = {
+    require(factPk.nonEmpty && dimCols.nonEmpty,
+      "join matview needs a fact primary key and at least one dim column")
+    (factPk ++ Seq(fk, dimPk) ++ dimCols).foreach(c => require(
+      c.matches("""\w+"""),
+      s"join matview column '$c' must match \\w+ (the stored definition " +
+        "round-trips through the spec grammar)"))
+    val fact = DeltaLog.forPath(spark, factPath)
+    val dim = DeltaLog.forPath(spark, dimPath)
+    val (fs, ds) = (fact.snapshot, dim.snapshot)
+    require(ChangeDataFeed.enabled(fs),
+      s"fact $factPath must have change data feed enabled")
+    require(ChangeDataFeed.enabled(ds),
+      s"dim $dimPath must have change data feed enabled")
+    val (vf, vd) = (fs.version, ds.version)
+    val base = fs.read().join(
+      ds.read().select(col(dimPk).as(fk) +: dimCols.map(col): _*), Seq(fk))
+    val viewLog = DeltaLog.forPath(spark, viewPath)
+    TransactionWriter.overwrite(viewLog, base,
+      configuration = Map(
+        "graft.matview.kind" -> "join",
+        "graft.matview.factSource" -> factPath,
+        "graft.matview.dimSource" -> dimPath,
+        "graft.matview.factPk" -> factPk.mkString(","),
+        "graft.matview.fk" -> fk,
+        "graft.matview.dimPk" -> dimPk,
+        "graft.matview.dimCols" -> dimCols.mkString(","),
+        "graft.matview.createFactVersion" -> vf.toString,
+        "graft.matview.createDimVersion" -> vd.toString,
+        "graft.matview.instance" -> java.util.UUID.randomUUID().toString))
+    Domains.set(DeltaLog.forPath(spark, viewPath), StateDomain,
+      s"""{"factVersion":$vf,"dimVersion":$vd}""")
+    vf
+  }
+
+  /** The join view's (fact, dim) watermarks — domain first, falling
+    * back to the create-time versions (same crash-repair posture as
+    * the aggregate views' [[watermark]]). */
+  private def joinWatermarks(snap: Snapshot): (Long, Long) = {
+    val conf = snap.metadata.configuration
+    val created = (conf("graft.matview.createFactVersion").toLong,
+      conf("graft.matview.createDimVersion").toLong)
+    Domains.get(snap, StateDomain).map { s =>
+      val n = JsonUtil.mapper.readTree(s)
+      // MAX with createVersions: the domain survives a view re-create
+      // whose own domain commit never landed (see [[watermark]])
+      (math.max(n.path("factVersion").asLong(), created._1),
+        math.max(n.path("dimVersion").asLong(), created._2))
+    }.getOrElse(created)
+  }
+
+  /** Refresh a JOIN view: both CDF windows → [[graft.operators
+    * .IncrementalJoin.viewDelta]] → one MERGE keyed on the fact PK
+    * (matched+dead → delete, matched+live → update, new+live →
+    * insert), then advance both watermarks. Replay-idempotent: the
+    * delta carries ABSOLUTE re-derived rows, so re-applying a crashed
+    * window (or a wider one) converges to the same view. */
+  private def refreshJoin(spark: SparkSession, viewPath: String,
+      viewLog: DeltaLog, conf: Map[String, String]): Long = {
+    val fact = DeltaLog.forPath(spark, conf("graft.matview.factSource"))
+    val dim = DeltaLog.forPath(spark, conf("graft.matview.dimSource"))
+    val factPk = conf("graft.matview.factPk").split(",").toSeq
+    val fk = conf("graft.matview.fk")
+    val dimPk = conf("graft.matview.dimPk")
+    val dimCols = conf("graft.matview.dimCols").split(",").toSeq
+    val (wf, wd) = joinWatermarks(viewLog.snapshot)
+    val (cf, cd) = (fact.latestVersion(), dim.latestVersion())
+    if (cf > wf || cd > wd) {
+      val factNew = fact.snapshotAt(cf).read()
+      val dimNew = dim.snapshotAt(cd).read()
+      def emptyChanges(of: org.apache.spark.sql.DataFrame) =
+        of.limit(0).withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(0L))
+      val factChanges = if (cf > wf)
+        ChangeDataFeed.tableChanges(fact, wf + 1, Some(cf))
+      else emptyChanges(factNew)
+      val dimChanges = if (cd > wd)
+        ChangeDataFeed.tableChanges(dim, wd + 1, Some(cd))
+      else emptyChanges(dimNew)
+      val (touched, upserts) = graft.operators.IncrementalJoin.viewDelta(
+        factChanges, dimChanges, factNew, dimNew,
+        factPk, fk, dimPk, dimCols)
+      val viewCols = viewLog.snapshot.schema.fieldNames.toSeq
+      val src = touched.join(
+        upserts.withColumn("__live", lit(1)),
+        factPk, "left")
+      val cond = factPk.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+      Merge.into(viewLog, src, cond)
+        .whenMatchedDelete(Some(col(s"s.__live").isNull))
+        .whenMatchedUpdate(
+          viewCols.map(c => c -> col(s"s.$c")).toMap,
+          Some(col(s"s.__live").isNotNull))
+        .whenNotMatchedInsert(
+          viewCols.map(c => c -> col(s"s.$c")).toMap,
+          Some(col(s"s.__live").isNotNull))
+        .execute()
+    }
+    val (nf, nd) = (math.max(cf, wf), math.max(cd, wd))
+    if ((nf, nd) != (wf, wd))
+      Domains.set(DeltaLog.forPath(spark, viewPath), StateDomain,
+        s"""{"factVersion":$nf,"dimVersion":$nd}""")
+    nf
+  }
+
   private def watermark(snap: Snapshot): Long = {
     val domain = Domains.get(snap, StateDomain)
       .map(s => JsonUtil.mapper.readTree(s).path("sourceVersion").asLong())
@@ -199,6 +319,8 @@ object MatView {
     val viewLog = DeltaLog.forPath(spark, viewPath)
     val snap = viewLog.snapshot
     val conf = snap.metadata.configuration
+    if (conf.get("graft.matview.kind").contains("join"))
+      return refreshJoin(spark, viewPath, viewLog, conf)
     val sourcePath = conf.getOrElse("graft.matview.source",
       throw new IllegalArgumentException(s"$viewPath is not a matview"))
     val keyCols = conf("graft.matview.keyCols").split(",").toSeq

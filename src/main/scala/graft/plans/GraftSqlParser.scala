@@ -39,6 +39,7 @@ import graft.delta.{Clone, Constraints, DeltaLog, Maintenance, Mutations}
   * GRAFT ALTER '<path>' UNSET TBLPROPERTIES ('k', ...)
   * GRAFT ANALYZE '<path>'                          -- backfill missing file stats
   * GRAFT CREATE MATVIEW '<view>' FROM '<src>' KEYS (k, ...) SUM (c) [MIN|MAX|AVG (c)] ... [WHERE <row predicate>]
+  * GRAFT CREATE MATVIEW '<view>' FROM '<fact>' JOIN '<dim>' ON (fk = dimPk) KEYS (factPk, ...) COLS (dimCol, ...)
   *   -- any mix of SUM/MIN/MAX clauses; refresh signed-folds a lone
   *   -- SUM, re-derives changed keys for anything non-invertible
   * GRAFT REFRESH MATVIEW '<view>'                  -- fold the source CDF since the watermark
@@ -102,6 +103,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+RESTORE\s+TABLES\s*""".r
   private val Analyze =
     """(?is)\s*GRAFT\s+ANALYZE\s+'([^']+)'\s*""".r
+  private val CreateMatViewJoin =
+    """(?is)\s*GRAFT\s+CREATE\s+MATVIEW\s+'([^']+)'\s+FROM\s+'([^']+)'\s+JOIN\s+'([^']+)'\s+ON\s*\((\w+)\s*=\s*(\w+)\)\s+KEYS\s*\(([^)]+)\)\s+COLS\s*\(([^)]+)\)\s*""".r
   private val CreateMatView =
     """(?is)\s*GRAFT\s+CREATE\s+MATVIEW\s+'([^']+)'\s+FROM\s+'([^']+)'\s+KEYS\s*\(([^)]+)\)\s+((?:(?:SUM|MIN|MAX|AVG)\s*\(\w+\)\s*)+?)(?:\s*WHERE\s+(.+?))?\s*""".r
   private val MatViewAgg = """(?i)(SUM|MIN|MAX|AVG)\s*\((\w+)\)""".r
@@ -194,6 +197,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case Checkpoint(path) =>
       GraftMaintenanceCommand(path, "checkpoint",
         Seq("version"), s => Seq(Row(Maintenance.checkpoint(DeltaLog.forPath(s, path)))))
+    case CreateMatViewJoin(viewPath, factPath, dimPath, fk, dimPk, keys, cols) =>
+      GraftMaintenanceCommand(viewPath, "create_matview_join",
+        Seq("fact_version"), s => Seq(Row(
+          graft.delta.MatView.createJoin(s, viewPath, factPath, dimPath,
+            keys.split(",").map(_.trim).toSeq, fk, dimPk,
+            cols.split(",").map(_.trim).toSeq))))
     case CreateMatView(viewPath, srcPath, keys, aggClauses, whereSql) =>
       val aggs = MatViewAgg.findAllMatchIn(aggClauses)
         .map(m => (m.group(1).toLowerCase, m.group(2))).toSeq

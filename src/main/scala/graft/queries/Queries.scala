@@ -3852,6 +3852,47 @@ object Queries {
         s"GRAFT REFRESH MATVIEW '$viewPath'").collect()
       graft.delta.DeltaLog.forPath(s, viewPath).snapshot.read()
     }),
+    // Materialized JOIN view, driver-verified END-TO-END: CREATE
+    // MATVIEW ... JOIN persists orders ⨝ customer keyed by the fact PK
+    // and REFRESH maintains it from BOTH change feeds — fact append +
+    // DELETE (O(slice)), then dim UPDATE + dim DELETE (fact pass pruned
+    // to changed dim keys; inner-join semantics drop rows whose dim
+    // vanished) — applied by one MERGE per refresh, never a rebuild.
+    // The oracle recomputes the final join from parquet.
+    "q_matview_join" -> ((s, dir) => {
+      registerViews(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft_mvj_")
+      val factPath = base.resolve("f").toString
+      val dimPath = base.resolve("d").toString
+      val viewPath = base.resolve("view").toString
+      val factLog = graft.delta.DeltaLog.forPath(s, factPath)
+      val dimLog = graft.delta.DeltaLog.forPath(s, dimPath)
+      val orders = s.table("orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val cust = s.table("customer").select("c_custkey", "c_mktsegment")
+      graft.delta.TransactionWriter.overwrite(factLog,
+        orders.where(col("o_orderkey") % 3 =!= 2))                     // f v0
+      graft.delta.ChangeDataFeed.enable(factLog)                       // f v1
+      graft.delta.TransactionWriter.overwrite(dimLog, cust)            // d v0
+      graft.delta.ChangeDataFeed.enable(dimLog)                        // d v1
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT CREATE MATVIEW '$viewPath' FROM '$factPath' " +
+          s"JOIN '$dimPath' ON (o_custkey = c_custkey) " +
+          "KEYS (o_orderkey) COLS (c_mktsegment)").collect()
+      graft.delta.TransactionWriter.append(factLog,
+        orders.where(col("o_orderkey") % 3 === 2))                     // f v2
+      graft.delta.Mutations.delete(factLog, col("o_orderkey") % 7 === 0) // f v3
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT REFRESH MATVIEW '$viewPath'").collect()
+      graft.delta.Mutations.update(dimLog, col("c_custkey") % 10 === 5,
+        Map("c_mktsegment" -> lit("X")))                               // d v2
+      graft.delta.Mutations.delete(dimLog, col("c_custkey") % 13 === 3) // d v3
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT REFRESH MATVIEW '$viewPath'").collect()
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT REFRESH MATVIEW '$viewPath'").collect()               // no-op
+      graft.delta.DeltaLog.forPath(s, viewPath).snapshot.read()
+    }),
     // DESCRIBE MATVIEW, driver-verified: the SQL surface returns the
     // view's definition (key columns, aggregate spec) and watermark.
     // The paths are temp-dir-local, so the gate pins the deterministic
@@ -4827,6 +4868,12 @@ object Queries {
         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  CAST(SUM(c) AS BIGINT) AS sum_n_chars
         |FROM t WHERE c < 2000 GROUP BY source""".stripMargin,
+    "q_matview_join" ->
+      """SELECT o.o_custkey, o.o_orderkey, o.o_totalprice,
+        |  CASE WHEN c.c_custkey % 10 = 5 THEN 'X' ELSE c.c_mktsegment END
+        |    AS c_mktsegment
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderkey % 7 <> 0 AND c.c_custkey % 13 <> 3""".stripMargin,
     "q_matview_describe" ->
       """SELECT 'n_regionkey' AS key_cols,
         |  'sum(n_nationkey),max(n_nationkey)' AS aggs,
