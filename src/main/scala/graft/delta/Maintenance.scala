@@ -715,9 +715,25 @@ object Maintenance {
     val snap = log.snapshot
     // Clustered table: OPTIMIZE restores clustering locality (Z-order
     // along the declared columns) instead of plain compaction — the
-    // delta-spark behavior for liquid-clustered tables.
+    // delta-spark behavior for liquid-clustered tables. When a prior
+    // full pass already persisted curve bounds for the SAME columns,
+    // OPTIMIZE maintains INCREMENTALLY (only files added since the
+    // clustering watermark are rewritten) — the liquid posture proper:
+    // a periodic OPTIMIZE on a 100 TB clustered table costs the
+    // ingested delta, not the table. `GRAFT OPTIMIZE ... ZORDER BY`
+    // (explicit columns) stays the full-recluster escape hatch.
     val clusterCols = Clustering.clusteringColumns(snap)
-    if (clusterCols.nonEmpty) return zorder(log, clusterCols, targetFileBytes)
+    if (clusterCols.nonEmpty) {
+      val incrOk = Domains.get(snap, ClusterStateDomain).exists { s =>
+        val n = JsonUtil.mapper.readTree(s)
+        import scala.jdk.CollectionConverters._
+        n.path("curve").asText() == "zorder" &&
+          n.path("cols").elements().asScala.map(_.asText()).toSeq == clusterCols
+      }
+      return if (incrOk)
+        clusterIncremental(log, clusterCols, "zorder", targetFileBytes)
+      else zorder(log, clusterCols, targetFileBytes)
+    }
     val planned = snap.planFiles()
     val (scan, preserved) = RowTracking.preservingScan(snap, planned)
     val df = layoutFor(scan, planned,

@@ -102,6 +102,39 @@ class DomainMetadataSpec extends SparkTestBase {
     assert(Clustering.clusteringColumns(log.snapshot).isEmpty)
   }
 
+  test("second OPTIMIZE on a clustered table is INCREMENTAL (liquid posture)") {
+    val log = freshLog()
+    val rows = (1 to 4096).map { i =>
+      (i.toLong, (i % 64).toLong, ((i * 2654435761L) % 64))
+    }
+    TransactionWriter.overwrite(log, rows.toDF("id", "n1", "n2").repartition(8))
+    Clustering.clusterBy(log, Seq("n1", "n2"))
+    val perFile = math.max(log.snapshot.activeFiles.map(_.size).sum / 8, 1L)
+    // first OPTIMIZE: no persisted state yet → full z-order, persists it
+    Maintenance.compact(log, targetFileBytes = perFile)
+    val clustered = log.snapshot.planFiles().map(_.path).toSet
+    assert(clustered.size > 1)
+    TransactionWriter.append(log,
+      (4097 to 4608).map(i => (i.toLong, (i % 64).toLong,
+        ((i * 2654435761L) % 64))).toDF("id", "n1", "n2"))
+    // second OPTIMIZE: state matches the clustering columns → only the
+    // appended files are rewritten, the clustered set keeps its adds
+    Maintenance.compact(log, targetFileBytes = perFile)
+    val after = log.snapshot.planFiles().map(_.path).toSet
+    assert(clustered.subsetOf(after),
+      s"liquid OPTIMIZE touched clustered files: ${clustered -- after}")
+    assert(log.snapshot.read().count() == 4608L)
+    // changing the clustering columns invalidates the state → the next
+    // OPTIMIZE falls back to a full re-cluster under the new definition
+    Clustering.clusterBy(log, Seq("n2", "n1"))
+    Maintenance.compact(log, targetFileBytes = perFile)
+    val recl = log.snapshot.planFiles().map(_.path).toSet
+    assert(recl.intersect(after).isEmpty,
+      "changed clustering definition must trigger a full re-cluster")
+    assertSameRows(log.snapshot.read().where(col("id") <= 4096),
+      rows.toDF("id", "n1", "n2"))
+  }
+
   test("clustering columns resolve through column mapping") {
     val log = freshLog()
     TransactionWriter.overwrite(log, Seq((1L, 2L)).toDF("a", "b"))
