@@ -256,9 +256,13 @@ object MatView {
         factChanges, dimChanges, factNew, dimNew,
         factPk, fk, dimPk, dimCols)
       val viewCols = viewLog.snapshot.schema.fieldNames.toSeq
+      // O(changed keys)-sized by construction; materialize it — the
+      // MERGE references its source in several sub-joins, and the
+      // delta chain above it (CDF window ranks + two fact/dim joins)
+      // would otherwise recompute per reference
       val src = touched.join(
         upserts.withColumn("__live", lit(1)),
-        factPk, "left")
+        factPk, "left").localCheckpoint()
       val cond = factPk.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
       Merge.into(viewLog, src, cond)
         .whenMatchedDelete(Some(col(s"s.__live").isNull))

@@ -3867,7 +3867,11 @@ object Queries {
       val viewPath = base.resolve("view").toString
       val factLog = graft.delta.DeltaLog.forPath(s, factPath)
       val dimLog = graft.delta.DeltaLog.forPath(s, dimPath)
+      // half the orders universe: the gate's cost is 3 view writes +
+      // fact mutations — the halving keeps the dual-CDF lifecycle
+      // intact while the view stays ~60k rows at sf0.1
       val orders = s.table("orders")
+        .where(col("o_orderkey") % 2 === 0)
         .select("o_orderkey", "o_custkey", "o_totalprice")
       val cust = s.table("customer").select("c_custkey", "c_mktsegment")
       graft.delta.TransactionWriter.overwrite(factLog,
@@ -4873,7 +4877,8 @@ object Queries {
         |  CASE WHEN c.c_custkey % 10 = 5 THEN 'X' ELSE c.c_mktsegment END
         |    AS c_mktsegment
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-        |WHERE o.o_orderkey % 7 <> 0 AND c.c_custkey % 13 <> 3""".stripMargin,
+        |WHERE o.o_orderkey % 2 = 0 AND o.o_orderkey % 7 <> 0
+        |  AND c.c_custkey % 13 <> 3""".stripMargin,
     "q_matview_describe" ->
       """SELECT 'n_regionkey' AS key_cols,
         |  'sum(n_nationkey),max(n_nationkey)' AS aggs,
