@@ -307,6 +307,16 @@ object MatView {
       viewPath: String): (String, Seq[String], String, Long) = {
     val snap = DeltaLog.forPath(spark, viewPath).snapshot
     val conf = snap.metadata.configuration
+    if (conf.get("graft.matview.kind").contains("join")) {
+      // join view: source spells the join, "aggs" slot carries the
+      // maintained dim columns, watermark is the fact watermark
+      val (wf, _) = joinWatermarks(snap)
+      return (s"${conf("graft.matview.factSource")} JOIN " +
+          s"${conf("graft.matview.dimSource")} ON " +
+          s"(${conf("graft.matview.fk")} = ${conf("graft.matview.dimPk")})",
+        conf("graft.matview.factPk").split(",").toSeq,
+        s"cols(${conf("graft.matview.dimCols")})", wf)
+    }
     val src = conf.getOrElse("graft.matview.source",
       throw new IllegalArgumentException(s"$viewPath is not a matview"))
     (src, conf("graft.matview.keyCols").split(",").toSeq,

@@ -176,4 +176,84 @@ class MatViewSpec extends SparkTestBase {
       MatView.refresh(spark, srcPath) // a plain table, not a matview
     }
   }
+
+  test("create rejects aggregate columns the spec grammar cannot round-trip") {
+    val base = java.nio.file.Files.createTempDirectory("graft-mv-col")
+    val srcPath = base.resolve("src").toString
+    val src = DeltaLog.forPath(spark, srcPath)
+    TransactionWriter.overwrite(src,
+      Seq(("a", 1L)).toDF("k", "n-chars"))
+    ChangeDataFeed.enable(src)
+    // "n-chars" would create fine but silently drop out of parseAggs
+    // at refresh (round-9 advice) — refused at create instead
+    val e = intercept[IllegalArgumentException] {
+      MatView.create(spark, base.resolve("view").toString, srcPath,
+        Seq("k"), Seq("sum" -> "n-chars"))
+    }
+    assert(e.getMessage.contains("\\w+"), s"got: ${e.getMessage}")
+  }
+
+  test("AVG matview stores the exact ratio; WHERE filters every slice") {
+    val base = java.nio.file.Files.createTempDirectory("graft-mv-aw")
+    val srcPath = base.resolve("src").toString
+    val avgView = base.resolve("avg").toString
+    val whView = base.resolve("wh").toString
+    val src = DeltaLog.forPath(spark, srcPath)
+    TransactionWriter.overwrite(src,
+      Seq(("a", 10L), ("a", 21L), ("b", 5L), ("b", 100L)).toDF("k", "v")) // v0
+    ChangeDataFeed.enable(src)                                            // v1
+    MatView.create(spark, avgView, srcPath, Seq("k"), Seq("avg" -> "v"))
+    MatView.create(spark, whView, srcPath, Seq("k"),
+      Seq("sum" -> "v"), Some("v < 50"))
+    // update flips b's 100 INTO the filter (100 → 7) and moves a's 10
+    Mutations.update(src, col("v") === 100L, Map("v" -> lit(7L)))         // v2
+    Mutations.update(src, col("v") === 10L, Map("v" -> lit(60L)))         // v3: a's 60 leaves the filter
+    MatView.refresh(spark, avgView)
+    MatView.refresh(spark, whView)
+    val avg = DeltaLog.forPath(spark, avgView).snapshot.read()
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("avg_v")).toMap
+    assert(avg("a") == (60.0 + 21.0) / 2 && avg("b") == (5.0 + 7.0) / 2)
+    val wh = DeltaLog.forPath(spark, whView).snapshot.read()
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("sum_v")))).toMap
+    // a: only 21 matches now (60 left the filter); b: 5 + 7 both match
+    assert(wh("a") == ((1L, 21L)) && wh("b") == ((2L, 12L)), s"got $wh")
+  }
+
+  test("join view: describe, dim-only window, and vanished-group delete") {
+    val base = java.nio.file.Files.createTempDirectory("graft-mv-j")
+    val factPath = base.resolve("f").toString
+    val dimPath = base.resolve("d").toString
+    val viewPath = base.resolve("v").toString
+    val fact = DeltaLog.forPath(spark, factPath)
+    val dim = DeltaLog.forPath(spark, dimPath)
+    TransactionWriter.overwrite(fact,
+      Seq((1L, 10L, 5.0), (2L, 20L, 6.0), (3L, 10L, 7.0))
+        .toDF("pk", "fk", "x"))                                        // f v0
+    ChangeDataFeed.enable(fact)                                        // f v1
+    TransactionWriter.overwrite(dim,
+      Seq((10L, "ten"), (20L, "twenty")).toDF("dk", "name"))           // d v0
+    ChangeDataFeed.enable(dim)                                         // d v1
+    MatView.createJoin(spark, viewPath, factPath, dimPath,
+      Seq("pk"), "fk", "dk", Seq("name"))
+    val (srcDesc, keys, cols, wm) = MatView.describe(spark, viewPath)
+    assert(srcDesc.contains("JOIN") && keys == Seq("pk") &&
+      cols == "cols(name)" && wm == 1L)
+    // dim-only change window (fact side exercises the empty-CDF path):
+    // deleting dim key 10 must drop BOTH referencing view rows
+    Mutations.delete(dim, col("dk") === 10L)                           // d v2
+    MatView.refresh(spark, viewPath)
+    val got = DeltaLog.forPath(spark, viewPath).snapshot.read()
+      .select("pk", "name").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSet == Set((2L, "twenty")), s"got ${got.toSeq}")
+    // refresh with nothing new: pure no-op
+    val wm2 = MatView.refresh(spark, viewPath)
+    assert(DeltaLog.forPath(spark, viewPath).snapshot.read().count() == 1L)
+    assert(wm2 >= 1L)
+    // createJoin validates the spec-grammar round-trip
+    intercept[IllegalArgumentException] {
+      MatView.createJoin(spark, base.resolve("v2").toString, factPath,
+        dimPath, Seq("pk"), "fk", "dk", Seq("bad-col"))
+    }
+  }
 }
