@@ -88,6 +88,68 @@ object BloomIndex {
     snap.version
   }
 
+  /** Incrementally extend the index to the current snapshot: scan ONLY
+    * the active files the sidecar does not cover yet, keep every
+    * still-active existing entry VERBATIM (its filter bytes and build
+    * version untouched — the observable that proves covered files were
+    * not rescanned), drop entries whose file left the active set, and
+    * atomically swap the merged relation in. The same economics as
+    * incremental clustering, with the sidecar itself as the watermark
+    * (coverage is per-file): refreshing after a 1% ingest scans 1%,
+    * not the table. No sidecar yet → full [[build]].
+    *
+    * Swap discipline: the merged relation writes to `<dir>.tmp`, then
+    * delete-old + rename — a probe racing the swap sees either
+    * generation or (momentarily) none, and an absent/partial sidecar
+    * only degrades to conservative scanning, never wrong rows (the
+    * index is advisory by design). Driver footprint is one path-string
+    * set, the same order as the probe path's negative-set collect.
+    * Returns the indexed snapshot version. */
+  def buildIncremental(log: DeltaLog, column: String,
+      expectedItemsPerFile: Long = 0L): Long = {
+    val spark = log.spark
+    val snap = log.snapshot
+    val dir = indexDir(log, column)
+    val existing: DataFrame =
+      try spark.read.parquet(dir).select("file_path", "n_rows", "bloom", "version")
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        return build(log, column, expectedItemsPerFile) }
+    val covered = existing.select("file_path").collect()
+      .map(r => Mutations.normalize(r.getString(0))).toSet
+    val active = snap.planFiles()
+    val missing = active.filter(f =>
+      !snap.pathCandidates(f).map(Mutations.normalize).exists(covered))
+    val activeNorm = active
+      .flatMap(f => snap.pathCandidates(f).map(Mutations.normalize)).toSet
+    val deadCount = covered.count(p => !activeNorm.contains(p))
+    if (missing.isEmpty && deadCount == 0) return snap.version
+    val perFile =
+      if (expectedItemsPerFile > 0) expectedItemsPerFile
+      else Option(snap.addsFlat.agg(max(col("num_records"))).head.get(0))
+        .map(_.asInstanceOf[Long]).filter(_ > 0).getOrElse(1L << 20)
+    val phys = snap.physicalNameOf(column)
+    val partPhys = snap.metadata.partitionColumns.map(snap.physicalNameOf).toSet
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      snap.physicalSchema.filterNot(f => partPhys.contains(f.name)))
+    val newEntries =
+      if (missing.isEmpty)
+        existing.limit(0)
+      else log.spark.read.schema(dataSchema)
+        .parquet(missing.map(snap.absolutePath): _*)
+        .groupBy(input_file_name().as("file_path"))
+        .agg(count(lit(1)).as("n_rows"),
+          SqlShims.bloomFilterAgg(xxhash64(col(phys)), perFile).as("bloom"))
+        .withColumn("version", lit(snap.version))
+    val keep = udf((p: String) => activeNorm.contains(Mutations.normalize(p)))
+    val merged = existing.where(keep(col("file_path"))).unionByName(newEntries)
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(dir))
+    snap.version
+  }
+
   /** The active files that may contain ANY of `values` in `column`:
     * sidecar-covered files whose filter rejects every probe are
     * pruned; files the sidecar does not cover are kept. Returns

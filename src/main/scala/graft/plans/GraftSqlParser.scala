@@ -114,6 +114,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+DESCRIBE\s+MATVIEW\s+'([^']+)'\s*""".r
   private val CreateBloomIndex =
     """(?is)\s*GRAFT\s+CREATE\s+BLOOM\s+INDEX\s+ON\s+'([^']+)'\s*\((\w+)\)\s*""".r
+  private val RefreshBloomIndex =
+    """(?is)\s*GRAFT\s+REFRESH\s+BLOOM\s+INDEX\s+ON\s+'([^']+)'\s*\((\w+)\)\s*""".r
   private val DropBloomIndex =
     """(?is)\s*GRAFT\s+DROP\s+BLOOM\s+INDEX\s+ON\s+'([^']+)'\s*\((\w+)\)\s*""".r
 
@@ -229,6 +231,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftMaintenanceCommand(path, "create_bloom_index",
         Seq("version"), s => Seq(Row(
           graft.delta.BloomIndex.build(DeltaLog.forPath(s, path), column))))
+    case RefreshBloomIndex(path, column) =>
+      GraftMaintenanceCommand(path, "refresh_bloom_index",
+        Seq("version"), s => Seq(Row(
+          graft.delta.BloomIndex.buildIncremental(DeltaLog.forPath(s, path), column))))
     case DropBloomIndex(path, column) =>
       GraftMaintenanceCommand(path, "drop_bloom_index",
         Seq("dropped"), s => {

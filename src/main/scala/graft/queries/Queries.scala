@@ -2962,6 +2962,56 @@ object Queries {
         .select("doc_id", "fp", "n_chars")
     }
 
+  /** INCREMENTAL Bloom-index maintenance, driver-verified END-TO-END:
+    * build the index, append new files (~10% of docs), `GRAFT REFRESH
+    * BLOOM INDEX` — the gate proves via the SIDECAR that every
+    * pre-existing entry survived VERBATIM (original build version —
+    * covered files were not rescanned; at 100 TB that's refresh =
+    * ingest-sized, not table-sized), that the appended files are now
+    * covered, and that the index-pruned point read through the
+    * refreshed sidecar returns exactly the oracle's rows. */
+  private def qBloomIncrementalSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bli_")
+        .resolve("t").toString
+      val log = graft.delta.DeltaLog.forPath(s, tmp)
+      val src = s.table("documents")
+        .select(col("doc_id"), substring(md5(col("text")), 1, 16).as("fp"),
+          col("n_chars"))
+      graft.delta.TransactionWriter.overwrite(log,
+        src.where(col("doc_id") % 10 =!= 0).repartition(16, col("doc_id")))
+      graft.delta.BloomIndex.build(log, "fp")
+      val before = s.read.parquet(graft.delta.BloomIndex.indexDir(log, "fp"))
+        .select("file_path", "version")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      graft.delta.TransactionWriter.append(log,
+        src.where(col("doc_id") % 10 === 0).repartition(2, col("doc_id")))
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT REFRESH BLOOM INDEX ON '$tmp' (fp)").collect()
+      val after = s.read.parquet(graft.delta.BloomIndex.indexDir(log, "fp"))
+        .select("file_path", "version")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val oldKept = before.forall { case (p, v) => after.get(p).contains(v) }
+      val newCovered = after.size > before.size
+      val freshLog = graft.delta.DeltaLog.forPath(s, tmp)
+      val probes = s.table("documents").where(col("doc_id") % 97 === 0)
+        .select(substring(md5(col("text")), 1, 16))
+        .distinct().collect().map(_.getString(0)).sorted.toSeq
+      graft.delta.BloomIndex.readIn(freshLog, "fp", probes)
+        .select(col("doc_id"), col("fp"), col("n_chars"),
+          lit(if (oldKept) 1L else 0L).as("old_entries_kept"),
+          lit(if (newCovered) 1L else 0L).as("new_files_covered"))
+    }
+
+  private val qBloomIncrementalDuck: String =
+    """SELECT doc_id, substr(md5(text), 1, 16) AS fp, n_chars,
+      |  CAST(1 AS BIGINT) AS old_entries_kept,
+      |  CAST(1 AS BIGINT) AS new_files_covered
+      |FROM documents
+      |WHERE substr(md5(text), 1, 16) IN (
+      |  SELECT substr(md5(text), 1, 16) FROM documents WHERE doc_id % 97 = 0)""".stripMargin
+
   private val qBloomReadDuck: String =
     """WITH f AS (SELECT doc_id, substr(md5(text), 1, 16) AS fp, n_chars
       |  FROM documents),
@@ -4221,6 +4271,7 @@ object Queries {
     "q_catalog_read" -> qCatalogReadSpark,
     "q_optimize_read" -> qOptimizeReadSpark,
     "q_bloom_read" -> qBloomReadSpark,
+    "q_bloom_incremental" -> qBloomIncrementalSpark,
     "q_bloom_join" -> qBloomJoinSpark,
     "q_hilbert_read" -> qHilbertReadSpark,
     "q_hilbert3_read" -> qHilbert3ReadSpark,
@@ -5118,6 +5169,7 @@ object Queries {
     "q_catalog_read" -> qCatalogReadDuck,
     "q_optimize_read" -> qOptimizeReadDuck,
     "q_bloom_read" -> qBloomReadDuck,
+    "q_bloom_incremental" -> qBloomIncrementalDuck,
     "q_bloom_join" -> qBloomJoinDuck,
     "q_hilbert_read" -> qHilbertReadDuck,
     "q_hilbert3_read" -> qHilbert3ReadDuck,

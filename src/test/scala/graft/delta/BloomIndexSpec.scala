@@ -54,6 +54,65 @@ class BloomIndexSpec extends SparkTestBase {
       "a stale index must never hide rows in uncovered files")
   }
 
+  test("incremental refresh scans ONLY uncovered files; old entries verbatim") {
+    val (log, dir) = scratch()
+    BloomIndex.build(log, "k")
+    val before = spark.read.parquet(BloomIndex.indexDir(log, "k"))
+      .select("file_path", "version")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    TransactionWriter.append(log,
+      Seq((9999L, "only_in_new_file"), (10000L, "key_42"))
+        .toDF("id", "k").repartition(2, col("id")))
+    val freshLog = DeltaLog.forPath(spark, log.tablePath)
+    val v = BloomIndex.buildIncremental(freshLog, "k")
+    assert(v == freshLog.snapshot.version)
+    val after = spark.read.parquet(BloomIndex.indexDir(log, "k"))
+      .select("file_path", "version")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every pre-existing entry survives with its ORIGINAL build version
+    // (the observable that proves covered files were not rescanned)
+    before.foreach { case (p, ver) =>
+      assert(after.get(p).contains(ver), s"entry $p was rebuilt or lost") }
+    // and the appended files are now covered with the new version
+    val newEntries = after.filterNot { case (p, _) => before.contains(p) }
+    assert(newEntries.nonEmpty && newEntries.values.forall(_ > before.values.max))
+    // the refreshed index still answers correctly AND now prunes for
+    // keys that only live in the new files
+    val got = BloomIndex.readIn(freshLog, "k", Seq("only_in_new_file"))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(9999L))
+    val (_, pruned) = BloomIndex.candidateFiles(freshLog, "k", Seq("only_in_new_file"))
+    assert(pruned > 0, "refreshed index must prune for new-file-only keys")
+  }
+
+  test("incremental refresh drops entries for files that left the active set") {
+    val (log, dir) = scratch()
+    BloomIndex.build(log, "k")
+    // OPTIMIZE rewrites every file → all old sidecar entries are dead
+    Maintenance.compact(log)
+    val freshLog = DeltaLog.forPath(spark, log.tablePath)
+    BloomIndex.buildIncremental(freshLog, "k")
+    val sidecarPaths = spark.read.parquet(BloomIndex.indexDir(log, "k"))
+      .select("file_path").collect().map(r => Mutations.normalize(r.getString(0))).toSet
+    val activeNorm = freshLog.snapshot.planFiles()
+      .flatMap(f => freshLog.snapshot.pathCandidates(f).map(Mutations.normalize)).toSet
+    assert(sidecarPaths.subsetOf(activeNorm), "dead entries must be dropped")
+    assert(sidecarPaths.nonEmpty)
+    // content still correct through the rebuilt coverage
+    val got = BloomIndex.readIn(freshLog, "k", Seq("key_42"))
+      .select("k").distinct().as[String].collect()
+    assert(got.toSeq == Seq("key_42"))
+  }
+
+  test("incremental refresh without a prior index falls back to a full build") {
+    val (log, dir) = scratch()
+    val v = graft.plans.GraftSqlParser.run(spark,
+      s"GRAFT REFRESH BLOOM INDEX ON '$dir' (k)").collect()(0).getLong(0)
+    assert(v == log.snapshot.version)
+    val (_, pruned) = BloomIndex.candidateFiles(log, "k", Seq("key_42"))
+    assert(pruned > 0)
+  }
+
   test("GRAFT SQL surface: CREATE/DROP BLOOM INDEX round-trip") {
     val (log, dir) = scratch()
     val v = graft.plans.GraftSqlParser.run(spark,
