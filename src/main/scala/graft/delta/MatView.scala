@@ -101,7 +101,21 @@ object MatView {
     * filter vanishes through the rederive delete clause. */
   def create(spark: SparkSession, viewPath: String, sourcePath: String,
       keyCols: Seq[String], aggs: Seq[(String, String)],
-      where: Option[String]): Long = {
+      where: Option[String]): Long =
+    create(spark, viewPath, sourcePath, keyCols, aggs, where, Nil)
+
+  /** Full form with EXPRESSION keys: each `(name, sparkSqlExpr)` in
+    * `keyExprs` materializes as a computed column named `name` on the
+    * source BEFORE grouping — and, critically, on every CDF slice and
+    * rederive pass at refresh, so the view can key on derived buckets
+    * (a day from a timestamp, a modulo shard, a prefix) without the
+    * source carrying the column. Names must be \w+ (they round-trip
+    * through the stored definition); the expressions themselves are
+    * stored as JSON, so arbitrary SQL is safe. `keyCols` may mix
+    * expression-key NAMES and plain source columns. */
+  def create(spark: SparkSession, viewPath: String, sourcePath: String,
+      keyCols: Seq[String], aggs: Seq[(String, String)],
+      where: Option[String], keyExprs: Seq[(String, String)]): Long = {
     require(keyCols.nonEmpty, "matview needs at least one key column")
     require(aggs.nonEmpty, "matview needs at least one aggregate")
     require(aggs.distinct.size == aggs.size,
@@ -125,9 +139,14 @@ object MatView {
     val srcSnap = src.snapshot
     require(ChangeDataFeed.enabled(srcSnap),
       s"source $sourcePath must have change data feed enabled")
+    keyExprs.foreach { case (n, _) => require(n.matches("""\w+"""),
+      s"expression-key name '$n' must match \\w+ (it becomes the view's " +
+        "key column and round-trips through the stored definition)") }
     val v = srcSnap.version
     val filtered = where.fold(srcSnap.read())(w => srcSnap.read().where(expr(w)))
-    val base = filtered
+    val keyed = keyExprs.foldLeft(filtered) { case (d, (n, e)) =>
+      d.withColumn(n, expr(e)) }
+    val base = keyed
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
         aggs.map { case (fn, c) => aggColumn(fn, c) }: _*)
@@ -146,7 +165,14 @@ object MatView {
         // here when the state-domain commit below never landed
         "graft.matview.createVersion" -> v.toString,
         "graft.matview.instance" -> java.util.UUID.randomUUID().toString)
-        ++ where.map(w => "graft.matview.where" -> w))
+        ++ where.map(w => "graft.matview.where" -> w)
+        ++ (if (keyExprs.isEmpty) Map.empty[String, String] else Map(
+          "graft.matview.keyExprs" -> {
+            val root = JsonUtil.mapper.createArrayNode()
+            keyExprs.foreach { case (n, e) =>
+              val o = root.addObject(); o.put("n", n); o.put("e", e) }
+            JsonUtil.mapper.writeValueAsString(root)
+          })))
     Domains.set(DeltaLog.forPath(spark, viewPath), StateDomain,
       s"""{"sourceVersion":$v}""")
     v
@@ -357,10 +383,20 @@ object MatView {
     if (cur > effLast) {
       // a WHERE-filtered view filters the CDF slice (and the rederive
       // source pass) row-wise BEFORE aggregation — preimages retract
-      // only if they matched, postimages contribute only if they match
+      // only if they matched, postimages contribute only if they match;
+      // expression keys then materialize on the same slice, so derived
+      // buckets group exactly as they did at create
       val pred = conf.get("graft.matview.where")
+      val keyExprs: Seq[(String, String)] =
+        conf.get("graft.matview.keyExprs").map { j =>
+          import scala.jdk.CollectionConverters._
+          JsonUtil.mapper.readTree(j).elements().asScala
+            .map(o => (o.path("n").asText(), o.path("e").asText())).toSeq
+        }.getOrElse(Nil)
       def filtered(df: org.apache.spark.sql.DataFrame) =
-        pred.fold(df)(w => df.where(expr(w)))
+        keyExprs.foldLeft(
+          pred.fold(df)(w => df.where(expr(w)))) { case (d, (n, e)) =>
+          d.withColumn(n, expr(e)) }
       val changes = filtered(
         ChangeDataFeed.tableChanges(src, effLast + 1, Some(cur)))
       aggs match {

@@ -3902,6 +3902,37 @@ object Queries {
         s"GRAFT REFRESH MATVIEW '$viewPath'").collect()
       graft.delta.DeltaLog.forPath(s, viewPath).snapshot.read()
     }),
+    // EXPRESSION-keyed MATVIEW, driver-verified END-TO-END: the view
+    // keys on a DERIVED bucket (doc_id % 7) that no source column
+    // carries — the expression materializes on the initial rollup and
+    // on every CDF slice, so the v4 update that MOVES rows between
+    // buckets (doc_id += 70001 flips the modulus) retracts from the
+    // old bucket and adds to the new one through the signed fold. The
+    // oracle recomputes the bucketed rollup from parquet.
+    "q_matview_exprkey" -> ((s, dir) => {
+      registerViews(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft_mvek_")
+      val srcPath = base.resolve("src").toString
+      val viewPath = base.resolve("view").toString
+      val src = graft.delta.DeltaLog.forPath(s, srcPath)
+      val docs = s.table("documents").select("doc_id", "source", "n_chars")
+      graft.delta.TransactionWriter.overwrite(src,
+        docs.where(col("doc_id") % 4 =!= 3))                           // v0
+      graft.delta.ChangeDataFeed.enable(src)                          // v1
+      graft.delta.MatView.create(s, viewPath, srcPath,
+        Seq("bucket", "source"), Seq("sum" -> "n_chars"), None,
+        Seq("bucket" -> "doc_id % 7"))
+      graft.delta.TransactionWriter.append(src,
+        docs.where(col("doc_id") % 4 === 3))                           // v2
+      graft.delta.Mutations.delete(src, col("doc_id") % 11 === 0)      // v3
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT REFRESH MATVIEW '$viewPath'").collect()
+      graft.delta.Mutations.update(src, col("doc_id") % 9 === 2,
+        Map("doc_id" -> (col("doc_id") + lit(70001L))))                // v4
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT REFRESH MATVIEW '$viewPath'").collect()
+      graft.delta.DeltaLog.forPath(s, viewPath).snapshot.read()
+    }),
     // Materialized JOIN view, driver-verified END-TO-END: CREATE
     // MATVIEW ... JOIN persists orders ⨝ customer keyed by the fact PK
     // and REFRESH maintains it from BOTH change feeds — fact append +
@@ -4923,6 +4954,15 @@ object Queries {
         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  CAST(SUM(c) AS BIGINT) AS sum_n_chars
         |FROM t WHERE c < 2000 GROUP BY source""".stripMargin,
+    "q_matview_exprkey" ->
+      """WITH t AS (SELECT
+        |    CASE WHEN doc_id % 9 = 2 THEN doc_id + 70001 ELSE doc_id END AS d,
+        |    source, n_chars
+        |  FROM documents WHERE doc_id % 11 <> 0)
+        |SELECT CAST(d % 7 AS BIGINT) AS bucket, source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+        |FROM t GROUP BY 1, 2""".stripMargin,
     "q_matview_join" ->
       """SELECT o.o_custkey, o.o_orderkey, o.o_totalprice,
         |  CASE WHEN c.c_custkey % 10 = 5 THEN 'X' ELSE c.c_mktsegment END
