@@ -160,6 +160,51 @@ class IncrementalAggSpec extends SparkTestBase {
       recompute(), "checkpoint loss must not double-apply any window")
   }
 
+  test("matviewRefreshSink composes with JOIN views: fact stream keeps it fresh") {
+    // MatView.refresh dispatches on the view kind, so the SAME sink
+    // maintains a JOIN view continuously — a fact CDF stream triggers
+    // refresh per micro-batch, which also folds any dim changes that
+    // landed since (the dim needs no stream of its own)
+    val base = java.nio.file.Files.createTempDirectory("graft_smvj_spec_")
+    val factPath = base.resolve("f").toString
+    val dimPath = base.resolve("d").toString
+    val viewPath = base.resolve("v").toString
+    val fact = graft.delta.DeltaLog.forPath(spark, factPath)
+    val dim = graft.delta.DeltaLog.forPath(spark, dimPath)
+    graft.delta.TransactionWriter.overwrite(fact,
+      (0L until 60L).map(i => (i, i % 6, i * 10)).toDF("pk", "fk", "x"))
+    graft.delta.ChangeDataFeed.enable(fact)
+    graft.delta.TransactionWriter.overwrite(dim,
+      (0L until 6L).map(i => (i, s"d$i")).toDF("dk", "name"))
+    graft.delta.ChangeDataFeed.enable(dim)
+    graft.delta.MatView.createJoin(spark, viewPath, factPath, dimPath,
+      Seq("pk"), "fk", "dk", Seq("name"))
+    val q = graft.streaming.StreamingOps.matviewRefreshSink(
+      spark,
+      spark.readStream
+        .format(classOf[graft.sources.DeltaSourceProvider].getName)
+        .option("path", fact.tablePath)
+        .option("readChangeFeed", "true").load(),
+      viewPath, base.resolve("cp").toString)
+    try {
+      q.processAllAvailable()
+      graft.delta.TransactionWriter.append(fact,
+        (60L until 80L).map(i => (i, i % 6, i * 10)).toDF("pk", "fk", "x"))
+      graft.delta.Mutations.delete(fact, col("pk") % 5 === 0)
+      // dim-side change with NO dim stream: the next fact-triggered
+      // refresh folds it (dual watermarks advance together)
+      graft.delta.Mutations.delete(dim, col("dk") === 2L)
+      graft.delta.TransactionWriter.append(fact,
+        Seq((999L, 3L, 0L)).toDF("pk", "fk", "x"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val want = fact.snapshot.read().join(
+      dim.snapshot.read().select(col("dk").as("fk"), col("name")), Seq("fk"))
+    assertSameRows(
+      graft.delta.DeltaLog.forPath(spark, viewPath).snapshot.read(), want,
+      "streamed join view vs full recompute")
+  }
+
   test("base + change feed equals a full recompute (end-to-end Delta)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_ia_spec_")
       .resolve("t").toString

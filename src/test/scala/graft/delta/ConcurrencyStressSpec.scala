@@ -108,6 +108,50 @@ class ConcurrencyStressSpec extends SparkTestBase {
       actions("other", 1L), touchedPaths = Set.empty) == 2L)
   }
 
+  test("concurrent join-view refreshes converge: same window, one correct view") {
+    // the createJoin doc claims a concurrent refresher "either rebases
+    // cleanly (identical content) or is rejected by the file-level
+    // conflict check" — race two refreshes of the SAME window and
+    // assert the view ends correct either way (the absolute-row apply
+    // makes a double-apply content-idempotent)
+    val base = java.nio.file.Files.createTempDirectory("graft_mvjrace_")
+    val factPath = base.resolve("f").toString
+    val dimPath = base.resolve("d").toString
+    val viewPath = base.resolve("v").toString
+    val fact = DeltaLog.forPath(spark, factPath)
+    val dim = DeltaLog.forPath(spark, dimPath)
+    TransactionWriter.overwrite(fact,
+      (0L until 500L).map(i => (i, i % 50, i * 2)).toDF("pk", "fk", "x"))
+    ChangeDataFeed.enable(fact)
+    TransactionWriter.overwrite(dim,
+      (0L until 50L).map(i => (i, s"d$i")).toDF("dk", "name"))
+    ChangeDataFeed.enable(dim)
+    MatView.createJoin(spark, viewPath, factPath, dimPath,
+      Seq("pk"), "fk", "dk", Seq("name"))
+    TransactionWriter.append(fact,
+      (500L until 700L).map(i => (i, i % 50, i * 2)).toDF("pk", "fk", "x"))
+    Mutations.delete(fact, col("pk") % 7 === 0)
+    Mutations.update(dim, col("dk") % 5 === 3, Map("name" -> lit("Z")))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(Future.sequence((0 until 2).map { _ =>
+      Future {
+        try Right(MatView.refresh(spark, viewPath))
+        catch { case e: java.util.ConcurrentModificationException => Left(e) }
+      }
+    }), 5.minutes)
+    assert(results.exists(_.isRight), "at least one refresh must land")
+    val want = fact.snapshot.read().join(
+      dim.snapshot.read().select(col("dk").as("fk"), col("name")), Seq("fk"))
+    assertSameRows(DeltaLog.forPath(spark, viewPath).snapshot.read(), want,
+      s"view after racing refreshes (outcomes: $results)")
+    // a follow-up refresh with nothing new stays a no-op
+    MatView.refresh(spark, viewPath)
+    assertSameRows(DeltaLog.forPath(spark, viewPath).snapshot.read(), want,
+      "post-race no-op refresh")
+  }
+
   test("hard-delete pipeline: DELETE + REORG PURGE + VACUUM erases rows physically") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_gdpr_")
       .resolve("t").toString
