@@ -3978,6 +3978,55 @@ object Queries {
         s"GRAFT REFRESH MATVIEW '$viewPath'").collect()               // no-op
       graft.delta.DeltaLog.forPath(s, viewPath).snapshot.read()
     }),
+    // CASCADED materialized views, driver-verified END-TO-END: a
+    // rollup matview maintained OVER the join matview — the join
+    // view's table enables CDF, so its refresh MERGEs emit change
+    // rows the downstream aggregate folds like any source. Mutations
+    // on the BASE tables (fact append + delete, dim attribute update)
+    // propagate through two refresh hops; the oracle recomputes the
+    // final rollup of the join from parquet. This is the composability
+    // proof: views are ordinary CDF-capable Delta tables, so IVM
+    // chains without special cases.
+    "q_matview_cascade" -> ((s, dir) => {
+      registerViews(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft_mvc_")
+      val factPath = base.resolve("f").toString
+      val dimPath = base.resolve("d").toString
+      val joinPath = base.resolve("j").toString
+      val aggPath = base.resolve("agg").toString
+      val fact = graft.delta.DeltaLog.forPath(s, factPath)
+      val dim = graft.delta.DeltaLog.forPath(s, dimPath)
+      val docs = s.table("documents").select("doc_id", "source", "n_chars")
+      graft.delta.TransactionWriter.overwrite(fact,
+        docs.where(col("doc_id") % 4 =!= 3))                           // f v0
+      graft.delta.ChangeDataFeed.enable(fact)                          // f v1
+      graft.delta.TransactionWriter.overwrite(dim,
+        s.table("documents").select(col("source")).distinct()
+          .select(col("source").as("src_key"),
+            expr("substr(source, 4)").as("cat")))                      // d v0
+      graft.delta.ChangeDataFeed.enable(dim)                           // d v1
+      graft.delta.MatView.createJoin(s, joinPath, factPath, dimPath,
+        Seq("doc_id"), "source", "src_key", Seq("cat"))
+      graft.delta.ChangeDataFeed.enable(
+        graft.delta.DeltaLog.forPath(s, joinPath))
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT CREATE MATVIEW '$aggPath' FROM '$joinPath' " +
+          "KEYS (cat) SUM (n_chars)").collect()
+      graft.delta.TransactionWriter.append(fact,
+        docs.where(col("doc_id") % 4 === 3))                           // f v2
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT REFRESH MATVIEW '$joinPath'").collect()
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT REFRESH MATVIEW '$aggPath'").collect()
+      graft.delta.Mutations.delete(fact, col("doc_id") % 11 === 0)     // f v3
+      graft.delta.Mutations.update(dim, col("src_key") === "src3",
+        Map("cat" -> lit("X")))                                        // d v2
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT REFRESH MATVIEW '$joinPath'").collect()
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT REFRESH MATVIEW '$aggPath'").collect()
+      graft.delta.DeltaLog.forPath(s, aggPath).snapshot.read()
+    }),
     // DESCRIBE MATVIEW, driver-verified: the SQL surface returns the
     // view's definition (key columns, aggregate spec) and watermark.
     // The paths are temp-dir-local, so the gate pins the deterministic
@@ -4963,6 +5012,17 @@ object Queries {
         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
         |FROM t GROUP BY 1, 2""".stripMargin,
+    "q_matview_cascade" ->
+      """WITH d AS (SELECT source,
+        |    CASE WHEN source = 'src3' THEN 'X' ELSE substr(source, 4) END AS cat
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |f AS (SELECT doc_id, source, n_chars FROM documents
+        |  WHERE doc_id % 11 <> 0)
+        |SELECT d.cat,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(f.n_chars) AS BIGINT) AS sum_n_chars
+        |FROM f JOIN d ON f.source = d.source
+        |GROUP BY d.cat""".stripMargin,
     "q_matview_join" ->
       """SELECT o.o_custkey, o.o_orderkey, o.o_totalprice,
         |  CASE WHEN c.c_custkey % 10 = 5 THEN 'X' ELSE c.c_mktsegment END
