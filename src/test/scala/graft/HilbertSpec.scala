@@ -224,6 +224,63 @@ class HilbertSpec extends SparkTestBase {
     assert(err2.getMessage.contains("full pass"))
   }
 
+  test("incremental clustering on a PARTITIONED table keeps partition layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hincp_")
+      .resolve("t").toString
+    val log = DeltaLog.forPath(spark, dir)
+    val rows = (0L until 2048L).map(i => (i % 4L, i % 64L, i / 64L, i))
+      .toDF("p", "a", "b", "id").repartition(8, expr("hash(id)"))
+    TransactionWriter.overwrite(log, rows, partitionBy = Some(Seq("p")))
+    Maintenance.hilbertCluster(log, Seq("a", "b"), targetFileBytes = 4096L)
+    val clustered = DeltaLog.forPath(spark, dir).snapshot
+      .planFiles().map(_.path).toSet
+    TransactionWriter.append(log,
+      (2048L until 2304L).map(i => (i % 4L, i % 64L, i / 64L, i))
+        .toDF("p", "a", "b", "id"))
+    Maintenance.clusterIncremental(log, Seq("a", "b"), "hilbert",
+      targetFileBytes = 4096L)
+    val snap = DeltaLog.forPath(spark, dir).snapshot
+    assert(clustered.subsetOf(snap.planFiles().map(_.path).toSet))
+    // every add keeps a partition value, and partition pruning still works
+    assert(snap.planFiles().forall(_.partitionValues.contains("p")))
+    val one = snap.planFiles(Some(
+      element_at(col("partition_values"), "p") === "2"))
+    assert(one.nonEmpty && one.size < snap.planFiles().size,
+      "partition pruning must survive the incremental pass")
+    val got = snap.read().agg(count(lit(1)), sum("id")).head
+    assert(got.getLong(0) == 2304L && got.getLong(1) == 2304L * 2303L / 2)
+  }
+
+  test("incremental clustering rewrites DV'd new files to their LIVE rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hincdv_")
+      .resolve("t").toString
+    val log = DeltaLog.forPath(spark, dir)
+    TransactionWriter.overwrite(log,
+      (0L until 1024L).map(i => (i % 64L, i / 64L, i)).toDF("a", "b", "id")
+        .repartition(4, expr("hash(id)")),
+      configuration = Map("delta.enableDeletionVectors" -> "true"))
+    Maintenance.hilbertCluster(log, Seq("a", "b"), targetFileBytes = 8192L)
+    val clustered = DeltaLog.forPath(spark, dir).snapshot
+      .planFiles().map(_.path).toSet
+    TransactionWriter.append(log,
+      (1024L until 1280L).map(i => (i % 64L, i / 64L, i)).toDF("a", "b", "id"))
+    // DV-delete rows in the APPENDED window, then recluster it: the
+    // replacement files must carry only the live rows (the DV'd file
+    // and its bitmap leave the log together)
+    graft.delta.Mutations.deleteWithDv(log,
+      col("id") >= 1024L && col("id") % 3 === 0L)
+    Maintenance.clusterIncremental(log, Seq("a", "b"),
+      "hilbert", targetFileBytes = 8192L)
+    val snap = DeltaLog.forPath(spark, dir).snapshot
+    assert(clustered.subsetOf(snap.planFiles().map(_.path).toSet))
+    assert(!snap.planFiles().exists(f =>
+      f.deletionVector.exists(_.cardinality > 0)),
+      "incremental recluster must materialize DV survivors")
+    val want = (0L until 1280L).filterNot(i => i >= 1024L && i % 3 == 0)
+    val got = snap.read().agg(count(lit(1)), sum("id")).head
+    assert(got.getLong(0) == want.size.toLong && got.getLong(1) == want.sum)
+  }
+
   test("incremental clustering without a prior full pass is refused") {
     val dir = java.nio.file.Files.createTempDirectory("graft_hinc0_")
       .resolve("t").toString
