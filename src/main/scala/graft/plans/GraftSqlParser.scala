@@ -38,7 +38,7 @@ import graft.delta.{Clone, Constraints, DeltaLog, Maintenance, Mutations}
   * GRAFT ALTER '<path>' SET TBLPROPERTIES ('k' = 'v', ...)
   * GRAFT ALTER '<path>' UNSET TBLPROPERTIES ('k', ...)
   * GRAFT ANALYZE '<path>'                          -- backfill missing file stats
-  * GRAFT CREATE MATVIEW '<view>' FROM '<src>' KEYS (k, ...) SUM (c) [MIN|MAX|AVG (c)] ... [WHERE <row predicate>]
+  * GRAFT CREATE MATVIEW '<view>' FROM '<src>' KEYS (k | name = expr, ...) SUM (c) [MIN|MAX|AVG (c)] ... [WHERE <row predicate>]
   * GRAFT CREATE MATVIEW '<view>' FROM '<fact>' JOIN '<dim>' ON (fk = dimPk) KEYS (factPk, ...) COLS (dimCol, ...)
   *   -- any mix of SUM/MIN/MAX clauses; refresh signed-folds a lone
   *   -- SUM, re-derives changed keys for anything non-invertible
@@ -208,11 +208,20 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case CreateMatView(viewPath, srcPath, keys, aggClauses, whereSql) =>
       val aggs = MatViewAgg.findAllMatchIn(aggClauses)
         .map(m => (m.group(1).toLowerCase, m.group(2))).toSeq
+      // a key item may be `name = expr` (an EXPRESSION key — the
+      // KEYS(...) capture admits no parentheses, so exprs needing them
+      // go through the programmatic API) or a plain column name
+      val items = keys.split(",").map(_.trim).toSeq
+      val keyNames = items.map(i =>
+        if (i.contains("=")) i.takeWhile(_ != '=').trim else i)
+      val keyExprs = items.collect {
+        case i if i.contains("=") =>
+          (i.takeWhile(_ != '=').trim, i.dropWhile(_ != '=').drop(1).trim)
+      }
       GraftMaintenanceCommand(viewPath, "create_matview",
         Seq("source_version"), s => Seq(Row(
           graft.delta.MatView.create(s, viewPath, srcPath,
-            keys.split(",").map(_.trim).toSeq, aggs,
-            Option(whereSql).map(_.trim)))))
+            keyNames, aggs, Option(whereSql).map(_.trim), keyExprs))))
     case RefreshMatView(viewPath) =>
       GraftMaintenanceCommand(viewPath, "refresh_matview",
         Seq("source_version"), s => Seq(Row(

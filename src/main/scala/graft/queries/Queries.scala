@@ -3919,9 +3919,9 @@ object Queries {
       graft.delta.TransactionWriter.overwrite(src,
         docs.where(col("doc_id") % 4 =!= 3))                           // v0
       graft.delta.ChangeDataFeed.enable(src)                          // v1
-      graft.delta.MatView.create(s, viewPath, srcPath,
-        Seq("bucket", "source"), Seq("sum" -> "n_chars"), None,
-        Seq("bucket" -> "doc_id % 7"))
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT CREATE MATVIEW '$viewPath' FROM '$srcPath' " +
+          "KEYS (bucket = doc_id % 7, source) SUM (n_chars)").collect()
       graft.delta.TransactionWriter.append(src,
         docs.where(col("doc_id") % 4 === 3))                           // v2
       graft.delta.Mutations.delete(src, col("doc_id") % 11 === 0)      // v3
