@@ -4014,13 +4014,14 @@ object Queries {
           "KEYS (cat) SUM (n_chars)").collect()
       graft.delta.TransactionWriter.append(fact,
         docs.where(col("doc_id") % 4 === 3))                           // f v2
-      graft.plans.GraftSqlParser.run(s,
-        s"GRAFT REFRESH MATVIEW '$joinPath'").collect()
-      graft.plans.GraftSqlParser.run(s,
-        s"GRAFT REFRESH MATVIEW '$aggPath'").collect()
       graft.delta.Mutations.delete(fact, col("doc_id") % 11 === 0)     // f v3
       graft.delta.Mutations.update(dim, col("src_key") === "src3",
         Map("cat" -> lit("X")))                                        // d v2
+      // ONE propagation round through both hops (repeated incremental
+      // folding per view is covered by the single-view gates): the join
+      // refresh folds a multi-commit fact window + the dim update, and
+      // its MERGE's change rows feed the downstream aggregate refresh —
+      // including the whole-group key move ('3' → 'X')
       graft.plans.GraftSqlParser.run(s,
         s"GRAFT REFRESH MATVIEW '$joinPath'").collect()
       graft.plans.GraftSqlParser.run(s,
