@@ -65,15 +65,27 @@ object BloomIndex {
     require(!snap.metadata.partitionColumns.contains(column),
       s"$column is a partition column — partition pruning already " +
         "answers equality on it; a Bloom index adds nothing")
-    val perFile =
-      if (expectedItemsPerFile > 0) expectedItemsPerFile
-      else Option(snap.addsFlat.agg(max(col("num_records"))).head.get(0))
-        .map(_.asInstanceOf[Long]).filter(_ > 0).getOrElse(1L << 20)
     val files = snap.planFiles()
     if (files.isEmpty) return snap.version
-    // PHYSICAL rows: read the parquet directly (physical column name
-    // under column mapping), so DV-masked rows stay in the filter and
-    // RESTORE can never resurface a row the filter doesn't know
+    scanEntries(log, snap, files, column,
+      perFileItems(snap, expectedItemsPerFile))
+      .write.mode("overwrite").parquet(indexDir(log, column))
+    snap.version
+  }
+
+  private def perFileItems(snap: Snapshot, expected: Long): Long =
+    if (expected > 0) expected
+    else Option(snap.addsFlat.agg(max(col("num_records"))).head.get(0))
+      .map(_.asInstanceOf[Long]).filter(_ > 0).getOrElse(1L << 20)
+
+  /** ONE distributed scan of `files` → (file_path, n_rows, bloom,
+    * version) entries — the build primitive the full AND incremental
+    * paths share, so both hash bit-identically by construction.
+    * PHYSICAL rows: read the parquet directly (physical column name
+    * under column mapping), so DV-masked rows stay in the filter and
+    * RESTORE can never resurface a row the filter doesn't know. */
+  private def scanEntries(log: DeltaLog, snap: Snapshot,
+      files: Seq[AddFile], column: String, perFile: Long): DataFrame = {
     val phys = snap.physicalNameOf(column)
     val partPhys = snap.metadata.partitionColumns.map(snap.physicalNameOf).toSet
     val dataSchema = org.apache.spark.sql.types.StructType(
@@ -84,8 +96,6 @@ object BloomIndex {
       .agg(count(lit(1)).as("n_rows"),
         SqlShims.bloomFilterAgg(xxhash64(col(phys)), perFile).as("bloom"))
       .withColumn("version", lit(snap.version))
-      .write.mode("overwrite").parquet(indexDir(log, column))
-    snap.version
   }
 
   /** Incrementally extend the index to the current snapshot: scan ONLY
@@ -123,23 +133,10 @@ object BloomIndex {
       .flatMap(f => snap.pathCandidates(f).map(Mutations.normalize)).toSet
     val deadCount = covered.count(p => !activeNorm.contains(p))
     if (missing.isEmpty && deadCount == 0) return snap.version
-    val perFile =
-      if (expectedItemsPerFile > 0) expectedItemsPerFile
-      else Option(snap.addsFlat.agg(max(col("num_records"))).head.get(0))
-        .map(_.asInstanceOf[Long]).filter(_ > 0).getOrElse(1L << 20)
-    val phys = snap.physicalNameOf(column)
-    val partPhys = snap.metadata.partitionColumns.map(snap.physicalNameOf).toSet
-    val dataSchema = org.apache.spark.sql.types.StructType(
-      snap.physicalSchema.filterNot(f => partPhys.contains(f.name)))
     val newEntries =
-      if (missing.isEmpty)
-        existing.limit(0)
-      else log.spark.read.schema(dataSchema)
-        .parquet(missing.map(snap.absolutePath): _*)
-        .groupBy(input_file_name().as("file_path"))
-        .agg(count(lit(1)).as("n_rows"),
-          SqlShims.bloomFilterAgg(xxhash64(col(phys)), perFile).as("bloom"))
-        .withColumn("version", lit(snap.version))
+      if (missing.isEmpty) existing.limit(0)
+      else scanEntries(log, snap, missing, column,
+        perFileItems(snap, expectedItemsPerFile))
     val keep = udf((p: String) => activeNorm.contains(Mutations.normalize(p)))
     val merged = existing.where(keep(col("file_path"))).unionByName(newEntries)
     val tmp = new org.apache.hadoop.fs.Path(dir + ".tmp")

@@ -724,15 +724,21 @@ object Maintenance {
     // (explicit columns) stays the full-recluster escape hatch.
     val clusterCols = Clustering.clusteringColumns(snap)
     if (clusterCols.nonEmpty) {
-      val incrOk = Domains.get(snap, ClusterStateDomain).exists { s =>
+      // route by the PERSISTED curve when the columns match — a table
+      // maintained with HILBERT BY must keep its hilbert layout under
+      // plain OPTIMIZE, not be silently re-clustered to z-order
+      val storedCurve = Domains.get(snap, ClusterStateDomain).flatMap { s =>
         val n = JsonUtil.mapper.readTree(s)
         import scala.jdk.CollectionConverters._
-        n.path("curve").asText() == "zorder" &&
+        val sameCols =
           n.path("cols").elements().asScala.map(_.asText()).toSeq == clusterCols
+        if (sameCols) Some(n.path("curve").asText()) else None
       }
-      return if (incrOk)
-        clusterIncremental(log, clusterCols, "zorder", targetFileBytes)
-      else zorder(log, clusterCols, targetFileBytes)
+      return storedCurve match {
+        case Some(curve) =>
+          clusterIncremental(log, clusterCols, curve, targetFileBytes)
+        case None => zorder(log, clusterCols, targetFileBytes)
+      }
     }
     val planned = snap.planFiles()
     val (scan, preserved) = RowTracking.preservingScan(snap, planned)
@@ -1355,12 +1361,17 @@ object Maintenance {
     // Persist bounds + watermark so a later INCREMENTAL pass can lay
     // out ONLY files added after this one — UNSCOPED passes only (a
     // WHERE-scoped pass derives bounds from the scoped rows; adopting
-    // them table-wide would misnormalize everything else). A crash
+    // them table-wide would misnormalize everything else). The
+    // watermark is the PLANNING snapshot version: a commit landing
+    // concurrently between snap and the (possibly rebased) rewrite
+    // commit stays inside the next incremental window, and this pass's
+    // own commit is excluded there by its operation name. A crash
     // between the rewrite and this domain commit just means the next
-    // incremental pass re-rewrites this pass's files — idempotent.
+    // incremental pass re-checks this window — idempotent (its own
+    // adds are operation-excluded).
     if (scopePred.isEmpty && curveKind.nonEmpty)
       Domains.set(log, ClusterStateDomain,
-        clusterStateJson(curveKind, cols, bits, bounds, v))
+        clusterStateJson(curveKind, cols, bits, bounds, snap.version))
     v
   }
 
@@ -1406,17 +1417,28 @@ object Maintenance {
     val watermark = st.path("watermark").asLong()
     val cur = snap.version
     if (cur <= watermark) return cur
-    // files added after the watermark that are still active — the
-    // newest-add-wins replay already resolved later removes/rewrites
+    // Files added after the watermark that are still active — the
+    // newest-add-wins replay already resolved later removes/rewrites.
+    // Adds from CLUSTERING commits (full or incremental, this pass's
+    // predecessors included) are curve-ordered by construction and
+    // skipped BY OPERATION, not by watermark arithmetic: the watermark
+    // is the pass's PLANNING snapshot version, so a commit that landed
+    // concurrently between planning and the rewrite commit still falls
+    // inside the next pass's window instead of being silently skipped.
     val addedPaths = ((watermark + 1) to cur)
-      .flatMap(log.commitActions)
+      .map(v => log.commitActions(v))
+      .filterNot(_.exists {
+        case CommitInfoAction(ci) =>
+          ci.operation.startsWith("OPTIMIZE ") && ci.operation.contains(" BY")
+        case _ => false
+      })
+      .flatten
       .collect { case AddAction(a) => a.path }.toSet
     val targets = snap.planFiles().filter(f => addedPaths.contains(f.path))
-    if (targets.isEmpty) {
-      Domains.set(log, ClusterStateDomain,
-        clusterStateJson(curveKind, cols, bits, mins.zip(maxs), cur))
-      return cur
-    }
+    // nothing to lay out → NO commit (a scheduled idle run must be
+    // free: a watermark-bump commit per run would itself re-open the
+    // next run's window — unbounded pure-churn log growth)
+    if (targets.isEmpty) return cur
     val (df, preserved) = RowTracking.preservingScan(snap, targets)
     validateClusterCols(df, cols)
     val curveVal = curveExpr(curveKind,
@@ -1426,8 +1448,12 @@ object Maintenance {
     val v = TransactionWriter.rewriteFiles(log, snap, targets, ordered,
       s"OPTIMIZE ${curveKind.toUpperCase} BY INCREMENTAL",
       dataChange = false, preservedCols = preserved)
+    // watermark = the PLANNING snapshot version, not the (possibly
+    // rebased) rewrite commit: anything committed concurrently between
+    // snap and v stays inside the next window; this pass's own rewrite
+    // commit is excluded there by its operation name, not the version
     Domains.set(log, ClusterStateDomain,
-      clusterStateJson(curveKind, cols, bits, mins.zip(maxs), v))
+      clusterStateJson(curveKind, cols, bits, mins.zip(maxs), snap.version))
     v
   }
 

@@ -675,12 +675,18 @@ class Snapshot(
       // table without one keeps the direct path (the conf above remains
       // its explicit opt-in). 0 disables.
       val auto = confInt("spark.graft.scan.autoBatchFiles", 1000000)
-      val known =
-        if (auto > 0) Checksum.read(log, version).map(_.numFiles) else None
+      val known = if (auto > 0) crcNumFiles else None
       if (known.exists(_ > auto)) readBatched(None, 65536)
       else readFiles(planFiles())
     }
   }
+
+  /** File count from the version's `.crc`, cached: the checksum of a
+    * fixed (log, version) is immutable, and read() is a hot path — an
+    * uncached exists+open+parse would cost object-store metadata round
+    * trips on every call. */
+  private lazy val crcNumFiles: Option[Long] =
+    Checksum.read(log, version).map(_.numFiles)
 
   /** Parse an integer session conf with a clear error naming the key —
     * an unguarded `.toInt` would surface a bare NumberFormatException

@@ -138,6 +138,38 @@ object Queries {
     * instead of merely slower. A caller can therefore keep and re-read
     * any number of pipeline results; the blocks of dropped results are
     * GC-collected (a few MB per invocation at sf0.1). */
+  /** Shared matview-gate lifecycle over a scratch documents slice: v0
+    * overwrite (doc_id % 4 =!= 3), enable CDF, CREATE via `createSql`,
+    * v2 append the remaining quarter, v3 delete (doc_id % 11),
+    * REFRESH, the gate-specific `v4` mutation, REFRESH, read the view.
+    * ONE definition for the avg / filtered / exprkey gates, so a
+    * lifecycle change cannot silently diverge from any gate's oracle
+    * (each oracle recomputes THIS exact sequence from parquet). */
+  private def matviewDocsLifecycle(
+      s: SparkSession, dir: String, prefix: String,
+      createSql: (String, String) => String,
+      v4: graft.delta.DeltaLog => Unit): DataFrame = {
+    registerViews(s, dir)
+    val base = java.nio.file.Files.createTempDirectory(prefix)
+    val srcPath = base.resolve("src").toString
+    val viewPath = base.resolve("view").toString
+    val src = graft.delta.DeltaLog.forPath(s, srcPath)
+    val docs = s.table("documents").select("doc_id", "source", "n_chars")
+    graft.delta.TransactionWriter.overwrite(src,
+      docs.where(col("doc_id") % 4 =!= 3))                             // v0
+    graft.delta.ChangeDataFeed.enable(src)                             // v1
+    graft.plans.GraftSqlParser.run(s, createSql(viewPath, srcPath)).collect()
+    graft.delta.TransactionWriter.append(src,
+      docs.where(col("doc_id") % 4 === 3))                             // v2
+    graft.delta.Mutations.delete(src, col("doc_id") % 11 === 0)        // v3
+    graft.plans.GraftSqlParser.run(s,
+      s"GRAFT REFRESH MATVIEW '$viewPath'").collect()
+    v4(src)                                                            // v4
+    graft.plans.GraftSqlParser.run(s,
+      s"GRAFT REFRESH MATVIEW '$viewPath'").collect()
+    graft.delta.DeltaLog.forPath(s, viewPath).snapshot.read()
+  }
+
   private def cachedStagesQuery(
       stages: Seq[(String, String)], finalSql: String): (SparkSession, String) => DataFrame =
     (spark, dir) => {
@@ -3845,30 +3877,12 @@ object Queries {
     // rederive. Append + delete + minima-moving update across two
     // refreshes; the oracle recomputes the final rollup from parquet
     // with the same arithmetic.
-    "q_matview_avg" -> ((s, dir) => {
-      registerViews(s, dir)
-      val base = java.nio.file.Files.createTempDirectory("graft_mva_")
-      val srcPath = base.resolve("src").toString
-      val viewPath = base.resolve("view").toString
-      val src = graft.delta.DeltaLog.forPath(s, srcPath)
-      val docs = s.table("documents").select("doc_id", "source", "n_chars")
-      graft.delta.TransactionWriter.overwrite(src,
-        docs.where(col("doc_id") % 4 =!= 3))                           // v0
-      graft.delta.ChangeDataFeed.enable(src)                          // v1
-      graft.plans.GraftSqlParser.run(s,
-        s"GRAFT CREATE MATVIEW '$viewPath' FROM '$srcPath' " +
-          "KEYS (source) SUM (n_chars) AVG (n_chars)").collect()
-      graft.delta.TransactionWriter.append(src,
-        docs.where(col("doc_id") % 4 === 3))                           // v2
-      graft.delta.Mutations.delete(src, col("doc_id") % 11 === 0)      // v3
-      graft.plans.GraftSqlParser.run(s,
-        s"GRAFT REFRESH MATVIEW '$viewPath'").collect()
-      graft.delta.Mutations.update(src, col("doc_id") % 9 === 2,
-        Map("n_chars" -> lit(7L)))                                     // v4
-      graft.plans.GraftSqlParser.run(s,
-        s"GRAFT REFRESH MATVIEW '$viewPath'").collect()
-      graft.delta.DeltaLog.forPath(s, viewPath).snapshot.read()
-    }),
+    "q_matview_avg" -> ((s, dir) =>
+      matviewDocsLifecycle(s, dir, "graft_mva_",
+        (v, src) => s"GRAFT CREATE MATVIEW '$v' FROM '$src' " +
+          "KEYS (source) SUM (n_chars) AVG (n_chars)",
+        src => graft.delta.Mutations.update(src, col("doc_id") % 9 === 2,
+          Map("n_chars" -> lit(7L))))),
     // WHERE-filtered MATVIEW, driver-verified END-TO-END: the view
     // rolls up only rows matching a row-level predicate, maintained
     // through the SIGNED-FOLD path (single SUM) — the predicate
@@ -3878,30 +3892,12 @@ object Queries {
     // crosses the < 2000 bound), which a view that filtered only at
     // create time would get wrong. The oracle recomputes the filtered
     // rollup from parquet.
-    "q_matview_filtered" -> ((s, dir) => {
-      registerViews(s, dir)
-      val base = java.nio.file.Files.createTempDirectory("graft_mvf_")
-      val srcPath = base.resolve("src").toString
-      val viewPath = base.resolve("view").toString
-      val src = graft.delta.DeltaLog.forPath(s, srcPath)
-      val docs = s.table("documents").select("doc_id", "source", "n_chars")
-      graft.delta.TransactionWriter.overwrite(src,
-        docs.where(col("doc_id") % 4 =!= 3))                           // v0
-      graft.delta.ChangeDataFeed.enable(src)                          // v1
-      graft.plans.GraftSqlParser.run(s,
-        s"GRAFT CREATE MATVIEW '$viewPath' FROM '$srcPath' " +
-          "KEYS (source) SUM (n_chars) WHERE n_chars < 2000").collect()
-      graft.delta.TransactionWriter.append(src,
-        docs.where(col("doc_id") % 4 === 3))                           // v2
-      graft.delta.Mutations.delete(src, col("doc_id") % 11 === 0)      // v3
-      graft.plans.GraftSqlParser.run(s,
-        s"GRAFT REFRESH MATVIEW '$viewPath'").collect()
-      graft.delta.Mutations.update(src, col("doc_id") % 9 === 2,
-        Map("n_chars" -> lit(5000L)))                                  // v4
-      graft.plans.GraftSqlParser.run(s,
-        s"GRAFT REFRESH MATVIEW '$viewPath'").collect()
-      graft.delta.DeltaLog.forPath(s, viewPath).snapshot.read()
-    }),
+    "q_matview_filtered" -> ((s, dir) =>
+      matviewDocsLifecycle(s, dir, "graft_mvf_",
+        (v, src) => s"GRAFT CREATE MATVIEW '$v' FROM '$src' " +
+          "KEYS (source) SUM (n_chars) WHERE n_chars < 2000",
+        src => graft.delta.Mutations.update(src, col("doc_id") % 9 === 2,
+          Map("n_chars" -> lit(5000L))))),
     // EXPRESSION-keyed MATVIEW, driver-verified END-TO-END: the view
     // keys on a DERIVED bucket (doc_id % 7) that no source column
     // carries — the expression materializes on the initial rollup and
@@ -3909,30 +3905,12 @@ object Queries {
     // buckets (doc_id += 70001 flips the modulus) retracts from the
     // old bucket and adds to the new one through the signed fold. The
     // oracle recomputes the bucketed rollup from parquet.
-    "q_matview_exprkey" -> ((s, dir) => {
-      registerViews(s, dir)
-      val base = java.nio.file.Files.createTempDirectory("graft_mvek_")
-      val srcPath = base.resolve("src").toString
-      val viewPath = base.resolve("view").toString
-      val src = graft.delta.DeltaLog.forPath(s, srcPath)
-      val docs = s.table("documents").select("doc_id", "source", "n_chars")
-      graft.delta.TransactionWriter.overwrite(src,
-        docs.where(col("doc_id") % 4 =!= 3))                           // v0
-      graft.delta.ChangeDataFeed.enable(src)                          // v1
-      graft.plans.GraftSqlParser.run(s,
-        s"GRAFT CREATE MATVIEW '$viewPath' FROM '$srcPath' " +
-          "KEYS (bucket = doc_id % 7, source) SUM (n_chars)").collect()
-      graft.delta.TransactionWriter.append(src,
-        docs.where(col("doc_id") % 4 === 3))                           // v2
-      graft.delta.Mutations.delete(src, col("doc_id") % 11 === 0)      // v3
-      graft.plans.GraftSqlParser.run(s,
-        s"GRAFT REFRESH MATVIEW '$viewPath'").collect()
-      graft.delta.Mutations.update(src, col("doc_id") % 9 === 2,
-        Map("doc_id" -> (col("doc_id") + lit(70001L))))                // v4
-      graft.plans.GraftSqlParser.run(s,
-        s"GRAFT REFRESH MATVIEW '$viewPath'").collect()
-      graft.delta.DeltaLog.forPath(s, viewPath).snapshot.read()
-    }),
+    "q_matview_exprkey" -> ((s, dir) =>
+      matviewDocsLifecycle(s, dir, "graft_mvek_",
+        (v, src) => s"GRAFT CREATE MATVIEW '$v' FROM '$src' " +
+          "KEYS (bucket = doc_id % 7, source) SUM (n_chars)",
+        src => graft.delta.Mutations.update(src, col("doc_id") % 9 === 2,
+          Map("doc_id" -> (col("doc_id") + lit(70001L)))))),
     // Materialized JOIN view, driver-verified END-TO-END: CREATE
     // MATVIEW ... JOIN persists orders ⨝ customer keyed by the fact PK
     // and REFRESH maintains it from BOTH change feeds — fact append +

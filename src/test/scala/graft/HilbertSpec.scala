@@ -208,11 +208,28 @@ class HilbertSpec extends SparkTestBase {
     assert(after.read().agg(count(lit(1)), sum("id")).head ==
       Seq(4608L).map(n => (n, n * (n - 1) / 2)).map(t =>
         org.apache.spark.sql.Row(t._1, t._2)).head)
-    // nothing new → pure watermark bump, no rewrite
+    // nothing new → NO commit at all (a scheduled idle run is free)
     val before2 = after.planFiles().map(_.path).toSet
+    val vIdle = DeltaLog.forPath(spark, dir).snapshot.version
     Maintenance.clusterIncremental(log, Seq("a", "b"), "hilbert")
+    assert(DeltaLog.forPath(spark, dir).snapshot.version == vIdle,
+      "idle incremental pass must not commit")
     assert(DeltaLog.forPath(spark, dir).snapshot
       .planFiles().map(_.path).toSet == before2)
+    // round 2: a SECOND append + incremental must not touch the files
+    // the FIRST incremental pass wrote (its adds are excluded from the
+    // window by their clustering operation name, not by watermark
+    // arithmetic — the concurrency-safe contract)
+    TransactionWriter.append(log,
+      (4608L until 4864L).map(i => (i % 64L, i / 64L % 64L, i))
+        .toDF("a", "b", "id").repartition(2, expr("hash(id)")))
+    Maintenance.clusterIncremental(log, Seq("a", "b"), "hilbert",
+      targetFileBytes = 4096L)
+    val after2 = DeltaLog.forPath(spark, dir).snapshot
+      .planFiles().map(_.path).toSet
+    assert(before2.subsetOf(after2),
+      s"round-2 incremental touched round-1 outputs: ${before2 -- after2}")
+    assert(DeltaLog.forPath(spark, dir).snapshot.read().count() == 4864L)
     // definition drift is refused (run a full pass instead)
     val err = intercept[IllegalArgumentException] {
       Maintenance.clusterIncremental(log, Seq("b", "a"), "hilbert")

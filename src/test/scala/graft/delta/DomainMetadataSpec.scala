@@ -135,6 +135,28 @@ class DomainMetadataSpec extends SparkTestBase {
       rows.toDF("id", "n1", "n2"))
   }
 
+  test("plain OPTIMIZE keeps the PERSISTED curve: hilbert stays hilbert") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log,
+      (0L until 2048L).map(i => (i % 64L, i / 64L, i)).toDF("a", "b", "id")
+        .repartition(8, org.apache.spark.sql.functions.expr("hash(id)")))
+    Clustering.clusterBy(log, Seq("a", "b"))
+    // explicit HILBERT pass persists curve=hilbert for these columns
+    Maintenance.hilbertCluster(log, Seq("a", "b"), targetFileBytes = 8192L)
+    val clustered = log.snapshot.planFiles().map(_.path).toSet
+    TransactionWriter.append(log,
+      (2048L until 2304L).map(i => (i % 64L, i / 64L, i)).toDF("a", "b", "id"))
+    // plain OPTIMIZE must maintain INCREMENTALLY under the persisted
+    // HILBERT curve — not silently full-re-cluster to z-order
+    Maintenance.compact(log, targetFileBytes = 8192L)
+    assert(clustered.subsetOf(log.snapshot.planFiles().map(_.path).toSet),
+      "plain OPTIMIZE re-clustered a hilbert-maintained table")
+    val st = Domains.get(log.snapshot, Maintenance.ClusterStateDomain).get
+    assert(JsonUtil.mapper.readTree(st).path("curve").asText() == "hilbert",
+      s"persisted curve flipped: $st")
+    assert(log.snapshot.read().count() == 2304L)
+  }
+
   test("clustering columns resolve through column mapping") {
     val log = freshLog()
     TransactionWriter.overwrite(log, Seq((1L, 2L)).toDF("a", "b"))
