@@ -87,9 +87,13 @@ object SqlDemo {
       require(graft.delta.Clustering.clusteringColumns(clog.snapshot) == Seq("n1", "n2"))
       spark.sql(s"GRAFT OPTIMIZE '$clusterPath'")
       val fresh = graft.delta.DeltaLog.forPath(spark, clusterPath)
+      // the full pass also persists its clustering state in a trailing
+      // SET DOMAIN METADATA commit (round 9: the incremental-pass
+      // watermark), so look for the latest OPTIMIZE op, not the head
       val lastOp = graft.delta.Maintenance.history(fresh)
         .orderBy(org.apache.spark.sql.functions.desc("version"))
-        .select("operation").as[String].head()
+        .select("operation").as[String].collect()
+        .find(_.startsWith("OPTIMIZE")).getOrElse("none")
       require(lastOp == "OPTIMIZE ZORDER BY",
         s"clustered OPTIMIZE must Z-order, got $lastOp")
       println(s"== clustered OPTIMIZE ran: $lastOp on ${fresh.snapshot.numFiles} file(s) ==")
@@ -313,6 +317,59 @@ object SqlDemo {
         desc.getAs[Long]("source_version") == 2L, // v0 write, v1 CDF, v2 delete
         s"DESCRIBE MATVIEW definition/watermark wrong: $desc")
       println("== MATVIEW SUM+MIN+MAX: rederive refresh + DESCRIBE OK ==")
+
+      // round-9 surface: INCREMENTAL clustering maintenance — full
+      // HILBERT pass persists curve bounds + watermark; after an
+      // append, the INCREMENTAL pass rewrites ONLY the new files
+      val incPath = s"$dir/inc_cluster"
+      (0L until 512L).map(i => (i % 16L, i / 16L, i)).toDF("a", "b", "id")
+        .repartition(4).write.format("graftdelta").mode("overwrite")
+        .save(incPath)
+      spark.sql(s"GRAFT OPTIMIZE '$incPath' HILBERT BY (a, b)")
+      val clustered = graft.delta.DeltaLog.forPath(spark, incPath)
+        .snapshot.planFiles().map(_.path).toSet
+      (512L until 640L).map(i => (i % 16L, i / 16L, i)).toDF("a", "b", "id")
+        .write.format("graftdelta").mode("append").save(incPath)
+      spark.sql(s"GRAFT OPTIMIZE '$incPath' HILBERT BY (a, b) INCREMENTAL")
+      val afterInc = graft.delta.DeltaLog.forPath(spark, incPath)
+        .snapshot.planFiles().map(_.path).toSet
+      require(clustered.subsetOf(afterInc),
+        "incremental pass must keep previously-clustered files")
+      require(spark.read.format("graftdelta").load(incPath).count() == 640L)
+      println("== OPTIMIZE HILBERT BY ... INCREMENTAL: old files kept ==")
+
+      // round-9 surface: REFRESH BLOOM INDEX — only uncovered files scan
+      spark.sql(s"GRAFT CREATE BLOOM INDEX ON '$incPath' (id)")
+      (640L until 660L).map(i => (i % 16L, i / 16L, i)).toDF("a", "b", "id")
+        .write.format("graftdelta").mode("append").save(incPath)
+      spark.sql(s"GRAFT REFRESH BLOOM INDEX ON '$incPath' (id)")
+      val probed = graft.delta.BloomIndex.readIn(
+        graft.delta.DeltaLog.forPath(spark, incPath), "id", Seq(650L)).count()
+      require(probed == 1L, s"bloom-pruned probe must find the new row, got $probed")
+      println("== REFRESH BLOOM INDEX: refreshed sidecar answers new keys ==")
+
+      // round-9 surface: JOIN matview + AVG/WHERE/expression keys
+      val jfPath = s"$dir/jv_fact"; val jdPath = s"$dir/jv_dim"
+      val jvPath = s"$dir/jv_view"; val avPath = s"$dir/av_view"
+      (0L until 40L).map(i => (i, i % 4, i * 2)).toDF("pk", "fk", "x")
+        .write.format("graftdelta").mode("overwrite").save(jfPath)
+      spark.sql(s"GRAFT ALTER '$jfPath' ENABLE CHANGE DATA FEED")
+      (0L until 4L).map(i => (i, s"d$i")).toDF("dk", "name")
+        .write.format("graftdelta").mode("overwrite").save(jdPath)
+      spark.sql(s"GRAFT ALTER '$jdPath' ENABLE CHANGE DATA FEED")
+      spark.sql(s"GRAFT CREATE MATVIEW '$jvPath' FROM '$jfPath' " +
+        s"JOIN '$jdPath' ON (fk = dk) KEYS (pk) COLS (name)")
+      spark.sql(s"GRAFT DELETE FROM '$jdPath' WHERE dk = 1")
+      spark.sql(s"GRAFT REFRESH MATVIEW '$jvPath'")
+      require(spark.read.format("graftdelta").load(jvPath).count() == 30L,
+        "join view must drop rows whose dim vanished")
+      spark.sql(s"GRAFT CREATE MATVIEW '$avPath' FROM '$jfPath' " +
+        "KEYS (shard = pk % 2, fk) AVG (x) WHERE x < 60")
+      val av = spark.read.format("graftdelta").load(avPath)
+      // shard = pk % 2 is determined by fk = pk % 4 → exactly 4 groups
+      require(av.columns.contains("avg_x") && av.count() == 4L,
+        s"expr-keyed AVG+WHERE view wrong: ${av.columns.toSeq} ${av.count()}")
+      println("== CREATE MATVIEW JOIN / AVG + WHERE + expression keys OK ==")
       println("SqlDemo OK")
     } finally spark.stop()
   }
