@@ -241,6 +241,39 @@ class HilbertSpec extends SparkTestBase {
     assert(err2.getMessage.contains("full pass"))
   }
 
+  test("incremental layout preserves box-probe pruning quality") {
+    // after a full pass + append + incremental, a corner-box probe
+    // must still prune: the new files were curve-ordered under the
+    // PERSISTED bounds, so their min/max boxes are tight like the old
+    // ones (a naive append with no recluster cannot prune at all)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hincq_")
+      .resolve("t").toString
+    val log = DeltaLog.forPath(spark, dir)
+    TransactionWriter.overwrite(log,
+      (0L until 4096L).map(i => (i % 64L, i / 64L, i)).toDF("a", "b", "id")
+        .repartition(16, expr("hash(id)")))
+    Maintenance.hilbertCluster(log, Seq("a", "b"), targetFileBytes = 4096L)
+    // append a SCATTERED 25% (random over the full grid, several files)
+    TransactionWriter.append(log,
+      (4096L until 5120L).map(i => ((i * 2654435761L) % 64L,
+        (i * 40503L) % 64L, i)).toDF("a", "b", "id")
+        .repartition(4, expr("hash(id)")))
+    Maintenance.clusterIncremental(log, Seq("a", "b"), "hilbert",
+      targetFileBytes = 4096L)
+    val snap = DeltaLog.forPath(spark, dir).snapshot
+    val box = Seq(("a", ">=", 0L), ("a", "<", 16L),
+      ("b", ">=", 0L), ("b", "<", 16L))
+    val survivors = graft.delta.Skipping.prunedFiles(snap, box).size
+    val total = snap.planFiles().size
+    assert(survivors < total,
+      s"incremental layout lost data skipping: $survivors of $total scanned")
+    // and the probe is CORRECT through the pruned scan
+    val got = snap.readFiles(graft.delta.Skipping.prunedFiles(snap, box))
+      .where(col("a") < 16L && col("b") < 16L).count()
+    val want = snap.read().where(col("a") < 16L && col("b") < 16L).count()
+    assert(got == want)
+  }
+
   test("incremental clustering on a PARTITIONED table keeps partition layout") {
     val dir = java.nio.file.Files.createTempDirectory("graft_hincp_")
       .resolve("t").toString
