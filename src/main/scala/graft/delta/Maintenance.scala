@@ -1313,7 +1313,8 @@ object Maintenance {
   }
 
   private def clusterStateJson(curveKind: String, cols: Seq[String],
-      bits: Int, bounds: Seq[(Double, Double)], watermark: Long): String = {
+      bits: Int, bounds: Seq[(Double, Double)], watermark: Long,
+      drift: Double = 0.0): String = {
     val root = JsonUtil.mapper.createObjectNode()
     root.put("curve", curveKind)
     val ca = root.putArray("cols"); cols.foreach(ca.add)
@@ -1321,7 +1322,29 @@ object Maintenance {
     val mn = root.putArray("mins"); bounds.foreach(b => mn.add(b._1))
     val mx = root.putArray("maxs"); bounds.foreach(b => mx.add(b._2))
     root.put("watermark", watermark)
+    root.put("drift", drift)
     JsonUtil.mapper.writeValueAsString(root)
+  }
+
+  /** Compare-and-set write of the clustering state: the domain is
+    * last-writer-wins, so a full re-cluster racing an incremental pass
+    * could have its freshly derived bounds/watermark clobbered by the
+    * other pass's STALE state — regressing the watermark (redundant
+    * re-rewrites) and pinning outdated normalization bounds (layout
+    * degradation; data stays correct either way). Re-read the live
+    * state right before writing and skip the write when its watermark
+    * already advanced past this pass's planning version — whichever
+    * pass PLANNED later owns the state. The read-then-set window is
+    * vastly smaller than the pass-length window it closes; a loser in
+    * that residual race costs one extra incremental re-check, never
+    * lost data (clustering commits are excluded from windows by
+    * operation name). */
+  private def casClusterState(
+      log: DeltaLog, json: String, plannedVersion: Long): Unit = {
+    val liveWm = Domains.get(log.snapshot, ClusterStateDomain)
+      .map(s => JsonUtil.mapper.readTree(s).path("watermark").asLong())
+    if (liveWm.forall(_ <= plannedVersion))
+      Domains.set(log, ClusterStateDomain, json)
   }
 
   private def clusterRewrite(
@@ -1368,10 +1391,12 @@ object Maintenance {
     // own commit is excluded there by its operation name. A crash
     // between the rewrite and this domain commit just means the next
     // incremental pass re-checks this window — idempotent (its own
-    // adds are operation-excluded).
+    // adds are operation-excluded). CAS, not blind set: a racing pass
+    // that planned later must keep the state (see casClusterState).
     if (scopePred.isEmpty && curveKind.nonEmpty)
-      Domains.set(log, ClusterStateDomain,
-        clusterStateJson(curveKind, cols, bits, bounds, snap.version))
+      casClusterState(log,
+        clusterStateJson(curveKind, cols, bits, bounds, snap.version),
+        snap.version)
     v
   }
 
@@ -1451,9 +1476,11 @@ object Maintenance {
     // watermark = the PLANNING snapshot version, not the (possibly
     // rebased) rewrite commit: anything committed concurrently between
     // snap and v stays inside the next window; this pass's own rewrite
-    // commit is excluded there by its operation name, not the version
-    Domains.set(log, ClusterStateDomain,
-      clusterStateJson(curveKind, cols, bits, mins.zip(maxs), snap.version))
+    // commit is excluded there by its operation name, not the version.
+    // CAS: a concurrent full pass that planned later owns the state.
+    casClusterState(log,
+      clusterStateJson(curveKind, cols, bits, mins.zip(maxs), snap.version),
+      snap.version)
     v
   }
 

@@ -56,10 +56,14 @@ object MatView {
     * an exact aggregate pair (sum ÷ count, one double division) so the
     * maintained value is deterministic for integral source columns —
     * the same arithmetic an engine recomputing `CAST(SUM(c) AS
-    * DOUBLE)/COUNT(*)` from scratch produces, independent of
-    * summation order. AVG always routes through the rederive strategy
-    * (it is not invertible as stored), which recomputes changed keys
-    * from the source — sound for deletes and updates alike. */
+    * DOUBLE)/COUNT(c)` from scratch produces, independent of summation
+    * order. NULL-EXCLUDING, like SQL AVG: both sum(c) and count(c)
+    * skip null values of c (n_rows, by contrast, counts every row),
+    * so `avg_c` is the mean of the non-null values — q_matview_avg
+    * pins this with a null-bearing update. AVG always routes through
+    * the rederive strategy (it is not invertible as stored), which
+    * recomputes changed keys from the source — sound for deletes and
+    * updates alike. */
   private def aggColumn(fn: String, c: String): Column = fn match {
     case "sum" => sum(col(c)).as(s"sum_$c")
     case "min" => min(col(c)).as(s"min_$c")
@@ -213,7 +217,33 @@ object MatView {
       s"fact $factPath must have change data feed enabled")
     require(ChangeDataFeed.enabled(ds),
       s"dim $dimPath must have change data feed enabled")
+    // Schema sanity at the only gate where the user can still react:
+    // a dim column colliding with a fact column would materialize
+    // duplicate/ambiguous columns in the persisted view, and refresh's
+    // MERGE (keyed on the fact PK) breaks if the dim key duplicates
+    // fact PKs (multiple source rows per target row).
+    val factFields = fs.schema.fieldNames.toSet
+    val dimFields = ds.schema.fieldNames.toSet
+    (factPk :+ fk).foreach(c => require(factFields.contains(c),
+      s"fact $factPath has no column '$c'"))
+    (dimCols :+ dimPk).foreach(c => require(dimFields.contains(c),
+      s"dim $dimPath has no column '$c'"))
+    dimCols.foreach(c => require(!factFields.contains(c),
+      s"dim column '$c' collides with a fact column of the same name — " +
+        "the view would carry duplicate columns; alias it on the dim side"))
     val (vf, vd) = (fs.version, ds.version)
+    // Enforce the dim-PK-uniqueness contract the refresh MERGE rests
+    // on (duplicate dim keys would fan every referencing fact PK out
+    // to several source rows and fail — or corrupt — the merge). One
+    // aggregate over the dim: the SMALL side of this join by contract,
+    // so the check costs a fraction of the initial rollup below.
+    // Later-appearing duplicates surface at refresh time through the
+    // MERGE's own multi-source-row failure, never as silent corruption.
+    val dup = ds.read().groupBy(col(dimPk)).count()
+      .where(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"dim $dimPath key '$dimPk' is not unique (e.g. ${dup.head.get(0)}): " +
+        "a join matview re-derives rows by dim key — dedupe the dim first")
     val base = fs.read().join(
       ds.read().select(col(dimPk).as(fk) +: dimCols.map(col): _*), Seq(fk))
     val viewLog = DeltaLog.forPath(spark, viewPath)

@@ -3871,18 +3871,21 @@ object Queries {
       graft.delta.DeltaLog.forPath(s, viewPath).snapshot.read()
     }),
     // MATVIEW with AVG, driver-verified END-TO-END: AVG is stored as
-    // the exact-pair ratio (CAST(SUM AS DOUBLE)/COUNT — one double
+    // the exact-pair ratio (CAST(SUM AS DOUBLE)/COUNT(c) — one double
     // division over exact longs, deterministic across engines and
     // summation orders) and always routes refresh through changed-key
-    // rederive. Append + delete + minima-moving update across two
-    // refreshes; the oracle recomputes the final rollup from parquet
-    // with the same arithmetic.
+    // rederive. Append + delete + a NULLING update across two
+    // refreshes: v4 sets n_chars to NULL for a slice, pinning the
+    // null-excluding semantics end-to-end — sum and the AVG
+    // denominator skip the nulled rows (COUNT(c), not COUNT(*)) while
+    // n_rows still counts them; the oracle recomputes the final rollup
+    // from parquet with the same arithmetic.
     "q_matview_avg" -> ((s, dir) =>
       matviewDocsLifecycle(s, dir, "graft_mva_",
         (v, src) => s"GRAFT CREATE MATVIEW '$v' FROM '$src' " +
           "KEYS (source) SUM (n_chars) AVG (n_chars)",
         src => graft.delta.Mutations.update(src, col("doc_id") % 9 === 2,
-          Map("n_chars" -> lit(7L))))),
+          Map("n_chars" -> lit(null).cast("long"))))),
     // WHERE-filtered MATVIEW, driver-verified END-TO-END: the view
     // rolls up only rows matching a row-level predicate, maintained
     // through the SIGNED-FOLD path (single SUM) — the predicate
@@ -4969,10 +4972,12 @@ object Queries {
     "q_matview_avg" ->
       """SELECT source,
         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |  CAST(SUM(CASE WHEN doc_id % 9 = 2 THEN 7 ELSE n_chars END)
+        |  CAST(SUM(CASE WHEN doc_id % 9 = 2 THEN NULL ELSE n_chars END)
         |    AS BIGINT) AS sum_n_chars,
-        |  CAST(SUM(CASE WHEN doc_id % 9 = 2 THEN 7 ELSE n_chars END)
-        |    AS DOUBLE) / COUNT(*) AS avg_n_chars
+        |  CAST(SUM(CASE WHEN doc_id % 9 = 2 THEN NULL ELSE n_chars END)
+        |    AS DOUBLE)
+        |    / COUNT(CASE WHEN doc_id % 9 = 2 THEN NULL ELSE n_chars END)
+        |    AS avg_n_chars
         |FROM documents WHERE doc_id % 11 <> 0 GROUP BY source""".stripMargin,
     "q_matview_filtered" ->
       """WITH t AS (SELECT source,
