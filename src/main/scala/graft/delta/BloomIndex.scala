@@ -18,10 +18,13 @@ import org.apache.spark.sql.graftshims.SqlShims
   * independent sidecar design over public Spark primitives —
   * `BloomFilterAggregate` + xxhash64.)
   *
-  * Layout: `<table>/_graft_index/bloom_<column>/` holds one parquet
-  * relation (file_path, n_rows, bloom, version). The underscore prefix
-  * keeps it invisible to data scans, and it lives OUTSIDE the Delta
-  * log: the index is advisory, the log stays the source of truth.
+  * Layout: `<table>/_graft_index/bloom_<column>/` holds the parquet
+  * relation (file_path, n_rows, bloom, version) as generation-swapped
+  * immutable directories behind a pointer file ([[Sidecar]] — probes
+  * racing a refresh always see one complete generation). The
+  * underscore prefix keeps it invisible to data scans, and it lives
+  * OUTSIDE the Delta log: the index is advisory, the log stays the
+  * source of truth.
   *
   * Staleness is handled by construction: lookups prune only files the
   * sidecar covers with a NEGATIVE filter. Files added after the build
@@ -67,11 +70,18 @@ object BloomIndex {
         "answers equality on it; a Bloom index adds nothing")
     val files = snap.planFiles()
     if (files.isEmpty) return snap.version
-    scanEntries(log, snap, files, column,
-      perFileItems(snap, expectedItemsPerFile))
-      .write.mode("overwrite").parquet(indexDir(log, column))
+    Sidecar.swapIn(log.spark, indexDir(log, column),
+      scanEntries(log, snap, files, column,
+        perFileItems(snap, expectedItemsPerFile)))
     snap.version
   }
+
+  /** The live sidecar relation (file_path, n_rows, bloom, version),
+    * None when no index is built — the read path every consumer
+    * (probe, incremental refresh, gate assertions) shares, resolved
+    * through the generation pointer ([[Sidecar.read]]). */
+  def entries(log: DeltaLog, column: String): Option[DataFrame] =
+    Sidecar.read(log.spark, indexDir(log, column))
 
   private def perFileItems(snap: Snapshot, expected: Long): Long =
     if (expected > 0) expected
@@ -108,22 +118,24 @@ object BloomIndex {
     * (coverage is per-file): refreshing after a 1% ingest scans 1%,
     * not the table. No sidecar yet → full [[build]].
     *
-    * Swap discipline: the merged relation writes to `<dir>.tmp`, then
-    * delete-old + rename — a probe racing the swap sees either
-    * generation or (momentarily) none, and an absent/partial sidecar
-    * only degrades to conservative scanning, never wrong rows (the
-    * index is advisory by design). Driver footprint is one path-string
-    * set, the same order as the probe path's negative-set collect.
+    * Swap discipline: the merged relation writes as a COMPLETE new
+    * generation and a tiny pointer file re-points atomically
+    * ([[Sidecar.swapIn]] — delete/rename results checked, previous
+    * generation retained through the swap), so a probe racing the
+    * refresh reads either the old or the new complete generation —
+    * never a partial directory — and the worst race outcome is the
+    * conservative full candidate set, never wrong rows (the index is
+    * advisory by design). Driver footprint is one path-string set, the
+    * same order as the probe path's negative-set collect.
     * Returns the indexed snapshot version. */
   def buildIncremental(log: DeltaLog, column: String,
       expectedItemsPerFile: Long = 0L): Long = {
     val spark = log.spark
     val snap = log.snapshot
     val dir = indexDir(log, column)
-    val existing: DataFrame =
-      try spark.read.parquet(dir).select("file_path", "n_rows", "bloom", "version")
-      catch { case _: org.apache.spark.sql.AnalysisException =>
-        return build(log, column, expectedItemsPerFile) }
+    val existing: DataFrame = entries(log, column)
+      .map(_.select("file_path", "n_rows", "bloom", "version"))
+      .getOrElse(return build(log, column, expectedItemsPerFile))
     val covered = existing.select("file_path").collect()
       .map(r => Mutations.normalize(r.getString(0))).toSet
     val active = snap.planFiles()
@@ -139,11 +151,7 @@ object BloomIndex {
         perFileItems(snap, expectedItemsPerFile))
     val keep = udf((p: String) => activeNorm.contains(Mutations.normalize(p)))
     val merged = existing.where(keep(col("file_path"))).unionByName(newEntries)
-    val tmp = new org.apache.hadoop.fs.Path(dir + ".tmp")
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(dir))
+    Sidecar.swapIn(spark, dir, merged)
     snap.version
   }
 
@@ -156,11 +164,10 @@ object BloomIndex {
     require(values.nonEmpty, "need at least one probe value")
     val snap = log.snapshot
     val all = snap.planFiles()
-    val sidecar: DataFrame =
-      try log.spark.read.parquet(indexDir(log, column))
-        .select("file_path", "bloom")
-      catch { case _: org.apache.spark.sql.AnalysisException =>
-        return (all, 0L) } // no index built: full candidate set
+    val sidecar: DataFrame = entries(log, column) match {
+      case Some(df) => df.select("file_path", "bloom")
+      case None => return (all, 0L) // no index built: full candidate set
+    }
     // hash the probes EXACTLY as the build did: Spark's xxhash64 over
     // the column's OWN type (an untyped literal would hash through a
     // different width and wrongly prune files that contain the value).
@@ -253,9 +260,22 @@ object BloomIndex {
         !hashed.exists(bf.mightContainLong)
       }
     }
-    val negative = sidecar.where(probe(col("bloom")))
-      .select("file_path").collect()
-      .map(r => Mutations.normalize(r.getString(0))).toSet
+    // Terminal guard: the generation this frame reads is immutable,
+    // but if TWO refreshes complete between pointer resolution and
+    // this collect, the GC may have removed it — degrade to the full
+    // candidate set (slower scan, correct rows) instead of failing
+    // the user's query with an execution-time missing-file error.
+    val negative =
+      try sidecar.where(probe(col("bloom")))
+        .select("file_path").collect()
+        .map(r => Mutations.normalize(r.getString(0))).toSet
+      catch {
+        case e: Exception
+            if Iterator.iterate(e: Throwable)(_.getCause)
+              .takeWhile(_ != null).take(8)
+              .exists(_.isInstanceOf[java.io.FileNotFoundException]) =>
+          return (all, 0L)
+      }
     val kept = all.filterNot(f =>
       snap.pathCandidates(f).map(Mutations.normalize).exists(negative))
     (kept, (all.size - kept.size).toLong)

@@ -1,0 +1,116 @@
+package graft.delta
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Generation-swapped parquet sidecar store — the publication
+  * discipline shared by the advisory index sidecars ([[BloomIndex]],
+  * [[LshIndex]]).
+  *
+  * The naive swap (`delete(dir); rename(tmp, dir)`) has two failure
+  * modes at exactly the moment a refresh races a probe: a reader that
+  * listed the directory between the delete and the rename hits
+  * execution-time FileNotFound and fails the USER'S query, and a
+  * rename returning false (concurrent refresh re-created the dir;
+  * object-store rename semantics) silently loses the index. Here a
+  * generation is immutable once written and the only mutable object is
+  * a tiny pointer file:
+  *
+  *   <dir>/_current          — text file naming the live generation
+  *   <dir>/gen_<n>/          — one complete parquet relation each
+  *
+  * Writers publish by writing a COMPLETE new generation directory,
+  * then atomically re-pointing (pointer written to a tmp name, then
+  * delete+rename — both return values checked, failure thrown loudly).
+  * Readers resolve the pointer, then read an immutable directory — a
+  * probe can never observe a half-written relation. The previous
+  * generation is retained through the swap (a reader holding the old
+  * pointer keeps working) and garbage-collected by the NEXT swap;
+  * storage overhead is bounded at two generations.
+  *
+  * Failure posture: the pointer delete+rename leaves a sub-millisecond
+  * window with no pointer; readers treat "no pointer" as "no sidecar"
+  * and degrade to their conservative path (full scan / full rebuild) —
+  * the sidecars are advisory by design, so every race costs IO, never
+  * correctness.
+  */
+object Sidecar {
+
+  private val PointerName = "_current"
+  private val GenPrefix = "gen_"
+
+  private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def readPointer(fs: FileSystem, dir: Path): Option[String] = {
+    val ptr = new Path(dir, PointerName)
+    try {
+      val in = fs.open(ptr)
+      try {
+        val bytes = new Array[Byte](256)
+        val n = in.read(bytes)
+        if (n <= 0) None
+        else Some(new String(bytes, 0, n, java.nio.charset.StandardCharsets.UTF_8).trim)
+      } finally in.close()
+    } catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  /** The live generation's relation, None when the sidecar is absent
+    * (never built, dropped, or mid-pointer-swap — callers degrade).
+    * The returned frame reads an immutable directory, so downstream
+    * execution cannot hit missing files unless TWO swaps complete
+    * between this call and the consumption (callers still guard their
+    * terminal action — see [[BloomIndex.candidateFiles]]). */
+  def read(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val (fs, base) = fsOf(spark, dir)
+    readPointer(fs, base).flatMap { gen =>
+      val genPath = new Path(base, gen)
+      try Some(spark.read.parquet(genPath.toString))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    }
+  }
+
+  /** Publish `df` as the new live generation: write it complete, then
+    * atomically re-point, then GC generations older than the one just
+    * superseded. Throws when the pointer swap cannot be completed —
+    * a silent failure here would mean a silently vanished index. */
+  def swapIn(spark: SparkSession, dir: String, df: DataFrame): Unit = {
+    val (fs, base) = fsOf(spark, dir)
+    val prev = readPointer(fs, base)
+    // next generation number: max over EXISTING gen dirs, not just the
+    // pointer — a crashed writer's orphan generation must not collide
+    val existingGens: Seq[String] =
+      if (!fs.exists(base)) Nil
+      else fs.listStatus(base).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith(GenPrefix))
+    val nextN = (existingGens.map(_.stripPrefix(GenPrefix).toLong) :+ -1L).max + 1
+    val gen = f"$GenPrefix$nextN%08d"
+    df.write.mode("overwrite").parquet(new Path(base, gen).toString)
+    // pointer swap: tmp write, then delete+rename with BOTH results
+    // checked (HDFS rename does not overwrite; a false return without
+    // a check is a silently lost index)
+    val ptr = new Path(base, PointerName)
+    val tmp = new Path(base, PointerName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(ptr) && !fs.delete(ptr, false) && fs.exists(ptr))
+      throw new java.io.IOException(
+        s"sidecar pointer swap: could not delete stale pointer $ptr")
+    if (!fs.rename(tmp, ptr))
+      throw new java.io.IOException(
+        s"sidecar pointer swap: rename $tmp -> $ptr failed (concurrent " +
+          "refresh?) — the previous generation is still live")
+    // GC: keep the new current and the generation it superseded (a
+    // reader that resolved the old pointer just before the swap is
+    // still scanning it); everything older goes. Best-effort — an
+    // orphan costs storage, never correctness.
+    val keep = Set(Some(gen), prev).flatten
+    existingGens.filterNot(keep).foreach { g =>
+      try fs.delete(new Path(base, g), true)
+      catch { case _: java.io.IOException => () }
+    }
+  }
+}

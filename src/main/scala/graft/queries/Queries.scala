@@ -3014,14 +3014,14 @@ object Queries {
       graft.delta.TransactionWriter.overwrite(log,
         src.where(col("doc_id") % 10 =!= 0).repartition(16, col("doc_id")))
       graft.delta.BloomIndex.build(log, "fp")
-      val before = s.read.parquet(graft.delta.BloomIndex.indexDir(log, "fp"))
+      val before = graft.delta.BloomIndex.entries(log, "fp").get
         .select("file_path", "version")
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       graft.delta.TransactionWriter.append(log,
         src.where(col("doc_id") % 10 === 0).repartition(2, col("doc_id")))
       graft.plans.GraftSqlParser.run(s,
         s"GRAFT REFRESH BLOOM INDEX ON '$tmp' (fp)").collect()
-      val after = s.read.parquet(graft.delta.BloomIndex.indexDir(log, "fp"))
+      val after = graft.delta.BloomIndex.entries(log, "fp").get
         .select("file_path", "version")
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val oldKept = before.forall { case (p, v) => after.get(p).contains(v) }

@@ -57,7 +57,7 @@ class BloomIndexSpec extends SparkTestBase {
   test("incremental refresh scans ONLY uncovered files; old entries verbatim") {
     val (log, dir) = scratch()
     BloomIndex.build(log, "k")
-    val before = spark.read.parquet(BloomIndex.indexDir(log, "k"))
+    val before = BloomIndex.entries(log, "k").get
       .select("file_path", "version")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     TransactionWriter.append(log,
@@ -66,7 +66,7 @@ class BloomIndexSpec extends SparkTestBase {
     val freshLog = DeltaLog.forPath(spark, log.tablePath)
     val v = BloomIndex.buildIncremental(freshLog, "k")
     assert(v == freshLog.snapshot.version)
-    val after = spark.read.parquet(BloomIndex.indexDir(log, "k"))
+    val after = BloomIndex.entries(log, "k").get
       .select("file_path", "version")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // every pre-existing entry survives with its ORIGINAL build version
@@ -92,7 +92,7 @@ class BloomIndexSpec extends SparkTestBase {
     Maintenance.compact(log)
     val freshLog = DeltaLog.forPath(spark, log.tablePath)
     BloomIndex.buildIncremental(freshLog, "k")
-    val sidecarPaths = spark.read.parquet(BloomIndex.indexDir(log, "k"))
+    val sidecarPaths = BloomIndex.entries(log, "k").get
       .select("file_path").collect().map(r => Mutations.normalize(r.getString(0))).toSet
     val activeNorm = freshLog.snapshot.planFiles()
       .flatMap(f => freshLog.snapshot.pathCandidates(f).map(Mutations.normalize)).toSet
@@ -214,5 +214,35 @@ class BloomIndexSpec extends SparkTestBase {
     val (log, _) = scratch()
     val (files, pruned) = BloomIndex.candidateFiles(log, "k", Seq("key_0"))
     assert(pruned == 0 && files.size == log.snapshot.planFiles().size)
+  }
+
+  test("sidecar publishes via generation pointer; old generation survives a swap") {
+    val (log, _) = scratch()
+    BloomIndex.build(log, "k")
+    val idxDir = new org.apache.hadoop.fs.Path(BloomIndex.indexDir(log, "k"))
+    val fs = idxDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def listing() = fs.listStatus(idxDir).map(_.getPath.getName).toSet
+    val l0 = listing()
+    assert(l0.contains("_current") && l0.exists(_.startsWith("gen_")), s"got $l0")
+    // a reader that resolved the pointer BEFORE the refresh must keep
+    // working AFTER it: the superseded generation is retained
+    val preSwap = BloomIndex.entries(log, "k").get
+    TransactionWriter.append(log,
+      Seq((9999L, "only_in_new_file")).toDF("id", "k"))
+    BloomIndex.buildIncremental(DeltaLog.forPath(spark, log.tablePath), "k")
+    assert(preSwap.count() == 8L, "pre-swap reader lost its generation")
+    val gens = listing().filter(_.startsWith("gen_"))
+    assert(gens.size == 2, s"expected current+previous generations, got $gens")
+    // a SECOND swap GCs the oldest — storage stays bounded at two
+    TransactionWriter.append(log,
+      Seq((10001L, "another_new")).toDF("id", "k"))
+    BloomIndex.buildIncremental(DeltaLog.forPath(spark, log.tablePath), "k")
+    assert(listing().count(_.startsWith("gen_")) == 2)
+    // a vanished pointer degrades reads to None (probe: full scan)
+    fs.delete(new org.apache.hadoop.fs.Path(idxDir, "_current"), false)
+    assert(BloomIndex.entries(log, "k").isEmpty)
+    val fresh = DeltaLog.forPath(spark, log.tablePath)
+    val (files, pruned) = BloomIndex.candidateFiles(fresh, "k", Seq("key_0"))
+    assert(pruned == 0 && files.size == fresh.snapshot.planFiles().size)
   }
 }
