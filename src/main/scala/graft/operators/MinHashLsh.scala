@@ -97,6 +97,19 @@ object MinHashLsh {
     sig.select(col(idCol), posexplode(bandKeys).as(Seq("band", "k")))
   }
 
+  /** The bucket cap in force: an explicit argument always wins; the
+    * default 0 defers to the session conf
+    * `spark.graft.lsh.maxBucketSize`, so a production session can arm
+    * the degenerate-bucket skew guard fleet-wide without touching call
+    * sites (the capped semantics are gated end-to-end by
+    * q_minhash_dedup_capped); a NEGATIVE argument forces the cap off
+    * even when the conf is set. Conf absent or 0 = off — candidate
+    * generation is exact. */
+  private def effectiveCap(df: DataFrame, explicit: Int): Int =
+    if (explicit > 0) explicit
+    else if (explicit < 0) 0
+    else df.sparkSession.conf.get("spark.graft.lsh.maxBucketSize", "0").toInt
+
   /** Candidate pairs: docs sharing any band bucket (deduplicated).
     *
     * `maxBucketSize` is the skew guard: a degenerate bucket (e.g. every
@@ -104,7 +117,9 @@ object MinHashLsh {
     * m²/2 pairs and concentrates them in ONE join task. Buckets above
     * the cap are dropped from CANDIDATE GENERATION (their members still
     * pair through their other, selective bands) — the standard
-    * LSH-at-scale mitigation. 0 disables the cap. */
+    * LSH-at-scale mitigation. 0 defers to the
+    * `spark.graft.lsh.maxBucketSize` session conf (see
+    * [[effectiveCap]]); negative forces the cap off. */
   def candidatePairs(
       buckets: DataFrame, idCol: String, maxBucketSize: Int = 0): DataFrame = {
     // The self-join below references the bucket relation twice, and
@@ -114,12 +129,13 @@ object MinHashLsh {
     // in exactly this self-join shape, recomputing the kernel per
     // reference — see Queries.cachedStagesQuery)
     val mat = buckets.localCheckpoint()
+    val cap = effectiveCap(buckets, maxBucketSize)
     val capped =
-      if (maxBucketSize <= 0) mat
+      if (cap <= 0) mat
       else {
         val sizes = mat.groupBy("band", "k")
           .agg(count(lit(1)).as("__bsz"))
-          .where(col("__bsz") <= maxBucketSize)
+          .where(col("__bsz") <= cap)
           .select("band", "k")
         mat.join(sizes, Seq("band", "k"))
       }
@@ -235,8 +251,9 @@ object MinHashLsh {
       .select(col(idCol), col("hs"),
         posexplode(bandKeysOf(sigCol)).as(Seq("band", "k")))
       .join(newKeys, Seq("band", "k"), "left_semi")
+    val cap = effectiveCap(prior, maxBucketSize)
     val bPrior =
-      if (maxBucketSize <= 0) bPriorAll
+      if (cap <= 0) bPriorAll
       else {
         // the cap needs a second reference to the pruned prior rows —
         // materialize them first (candidate-bucket-sized) so the
@@ -244,7 +261,7 @@ object MinHashLsh {
         val mat = bPriorAll.localCheckpoint()
         mat.join(
           mat.groupBy("band", "k").agg(count(lit(1)).as("__bsz"))
-            .where(col("__bsz") <= maxBucketSize).select("band", "k"),
+            .where(col("__bsz") <= cap).select("band", "k"),
           Seq("band", "k"))
       }
     val cand = bNew.as("x").join(bPrior.as("y"),
