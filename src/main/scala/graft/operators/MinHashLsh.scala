@@ -75,8 +75,11 @@ object MinHashLsh {
     * referencing it 16× via element_at unrolls would re-run the
     * md5+minhash kernel per reference (measured 16× in round 8). Key
     * strings are bit-identical to [[bandBuckets]]'s (concat_ws skips
-    * the nulls an empty shingle set produces). */
-  private def bandKeysOf(sig: Column): Column =
+    * the nulls an empty shingle set produces). Shared with the
+    * persisted signature index ([[graft.delta.LshIndex]]), which
+    * stores exactly these keys so indexed and live prior sides hash
+    * identically by construction. */
+  private[graft] def bandKeysOf(sig: Column): Column =
     aggregate(
       sequence(lit(0), lit(Bands - 1)),
       struct(sig.as("s"), array().cast("array<string>").as("ks")),
@@ -105,7 +108,7 @@ object MinHashLsh {
     * q_minhash_dedup_capped); a NEGATIVE argument forces the cap off
     * even when the conf is set. Conf absent or 0 = off — candidate
     * generation is exact. */
-  private def effectiveCap(df: DataFrame, explicit: Int): Int =
+  private[graft] def effectiveCap(df: DataFrame, explicit: Int): Int =
     if (explicit > 0) explicit
     else if (explicit < 0) 0
     else df.sparkSession.conf.get("spark.graft.lsh.maxBucketSize", "0").toInt
@@ -223,7 +226,46 @@ object MinHashLsh {
   def dedupAgainstCorpus(
       newBatch: DataFrame, prior: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, broadcastKeys: Boolean = true,
-      maxBucketSize: Int = 0): DataFrame = {
+      maxBucketSize: Int = 0): DataFrame =
+    dedupAgainstPrior(newBatch, idCol, textCol, threshold, broadcastKeys,
+      effectiveCap(prior, maxBucketSize),
+      newKeys => priorBands(prior, idCol, textCol)
+        .join(newKeys, Seq("band", "k"), "left_semi"))
+
+  /** The prior corpus's (idCol, hs, band, k) band rows as ONE STREAMING
+    * pass: band rows carry the shingle set forward, so verification
+    * never re-runs the (dominant-cost) md5 shingle pipeline. The prior
+    * side is deliberately NOT checkpointed (round-9 fix):
+    * withSignature's localCheckpoint would pin the ENTIRE corpus's
+    * (id, hs, sig) arrays in executor block storage per call and
+    * forfeit recompute-on-executor-loss — the 100 TB posture this path
+    * claims. Its checkpoint only ever defused the ×16 element_at
+    * unroll; [[bandKeysOf]] builds all band keys from ONE state-carried
+    * reference instead, so the kernel costs 2× per row (hs + sig — no
+    * subexpression elimination in interpreted projections), streams,
+    * and pins nothing. The SAME pipeline is what
+    * [[graft.delta.LshIndex]] persists per file — indexed and live
+    * rows are bit-identical by construction. */
+  private[graft] def priorBands(
+      prior: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sigCol = graft.functions.VectorExpressions.minhashSignatures(
+      col("hs"), MinhashA, MinhashB, MinhashP)
+    hashedShingles(prior, idCol, textCol)
+      .select(col(idCol), col("hs"),
+        posexplode(bandKeysOf(sigCol)).as(Seq("band", "k")))
+  }
+
+  /** Shared cross-dedup core: batch-side signatures + band keys, the
+    * prior side supplied as a function of the batch's (band, k) key set
+    * (so an INDEXED prior — [[graft.delta.LshIndex.dedupBatch]] — and
+    * the direct scan share every line of candidate generation and
+    * Jaccard verification; the prior builder must semi-join the key
+    * set itself, BEFORE any exchange). `cap` is the already-resolved
+    * bucket cap (callers run [[effectiveCap]] against their prior). */
+  private[graft] def dedupAgainstPrior(
+      newBatch: DataFrame, idCol: String, textCol: String,
+      threshold: Double, broadcastKeys: Boolean, cap: Int,
+      priorBandsOf: DataFrame => DataFrame): DataFrame = {
     def hinted(df: DataFrame): DataFrame = if (broadcastKeys) broadcast(df) else df
     // batch-side shingles materialize via localCheckpoint (cache() can
     // be silently missed by join-shaped consumers); batch-sized. The
@@ -231,27 +273,7 @@ object MinHashLsh {
     val hNew = hashedShingles(newBatch, idCol, textCol).localCheckpoint()
     val bNew = bandBuckets(withSignature(hNew), idCol)
     val newKeys = hinted(bNew.select("band", "k").distinct())
-    // ONE STREAMING pass over the prior corpus: band rows carry the
-    // shingle set forward, so verification never re-runs the
-    // (dominant-cost) md5 shingle pipeline, and the semi-join prunes to
-    // the batch's bucket keys BEFORE any exchange, so the carried hs
-    // arrays only ever ship for candidate buckets. The prior side is
-    // deliberately NOT checkpointed (round-9 fix): withSignature's
-    // localCheckpoint would pin the ENTIRE corpus's (id, hs, sig)
-    // arrays in executor block storage per call and forfeit
-    // recompute-on-executor-loss — the 100 TB posture this path claims.
-    // Its checkpoint only ever defused the ×16 element_at unroll;
-    // [[bandKeysOf]] builds all band keys from ONE state-carried
-    // reference instead, so the kernel costs 2× per row (hs + sig — no
-    // subexpression elimination in interpreted projections), streams,
-    // and pins nothing.
-    val sigCol = graft.functions.VectorExpressions.minhashSignatures(
-      col("hs"), MinhashA, MinhashB, MinhashP)
-    val bPriorAll = hashedShingles(prior, idCol, textCol)
-      .select(col(idCol), col("hs"),
-        posexplode(bandKeysOf(sigCol)).as(Seq("band", "k")))
-      .join(newKeys, Seq("band", "k"), "left_semi")
-    val cap = effectiveCap(prior, maxBucketSize)
+    val bPriorAll = priorBandsOf(newKeys)
     val bPrior =
       if (cap <= 0) bPriorAll
       else {

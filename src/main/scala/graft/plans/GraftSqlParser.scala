@@ -46,6 +46,9 @@ import graft.delta.{Clone, Constraints, DeltaLog, Maintenance, Mutations}
   * GRAFT DESCRIBE MATVIEW '<view>'                 -- definition + watermark
   * GRAFT CREATE BLOOM INDEX ON '<path>' (<col>)    -- per-file point-lookup index
   * GRAFT DROP BLOOM INDEX ON '<path>' (<col>)
+  * GRAFT CREATE LSH INDEX ON '<path>' (<idCol>, <textCol>)  -- persisted MinHash signatures
+  * GRAFT REFRESH LSH INDEX ON '<path>' (<idCol>, <textCol>) -- scan only uncovered files
+  * GRAFT DROP LSH INDEX ON '<path>' (<idCol>, <textCol>)
   * GRAFT REGISTER TABLE <name> LOCATION '<path>'   -- persisted across sessions
   * GRAFT UNREGISTER TABLE <name>
   * GRAFT RESTORE TABLES                            -- re-register persisted names
@@ -118,6 +121,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+REFRESH\s+BLOOM\s+INDEX\s+ON\s+'([^']+)'\s*\((\w+)\)\s*""".r
   private val DropBloomIndex =
     """(?is)\s*GRAFT\s+DROP\s+BLOOM\s+INDEX\s+ON\s+'([^']+)'\s*\((\w+)\)\s*""".r
+  private val CreateLshIndex =
+    """(?is)\s*GRAFT\s+CREATE\s+LSH\s+INDEX\s+ON\s+'([^']+)'\s*\((\w+)\s*,\s*(\w+)\)\s*""".r
+  private val RefreshLshIndex =
+    """(?is)\s*GRAFT\s+REFRESH\s+LSH\s+INDEX\s+ON\s+'([^']+)'\s*\((\w+)\s*,\s*(\w+)\)\s*""".r
+  private val DropLshIndex =
+    """(?is)\s*GRAFT\s+DROP\s+LSH\s+INDEX\s+ON\s+'([^']+)'\s*\((\w+)\s*,\s*(\w+)\)\s*""".r
 
   /** Split a SET list on top-level commas only (commas inside
     * parentheses — function calls — don't separate assignments). */
@@ -250,6 +259,23 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           val log = DeltaLog.forPath(s, path)
           val dir = new org.apache.hadoop.fs.Path(
             graft.delta.BloomIndex.indexDir(log, column))
+          val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+          Seq(Row(if (fs.delete(dir, true)) 1L else 0L))
+        })
+    case CreateLshIndex(path, idCol, textCol) =>
+      GraftMaintenanceCommand(path, "create_lsh_index",
+        Seq("version"), s => Seq(Row(
+          graft.delta.LshIndex.build(DeltaLog.forPath(s, path), idCol, textCol))))
+    case RefreshLshIndex(path, idCol, textCol) =>
+      GraftMaintenanceCommand(path, "refresh_lsh_index",
+        Seq("version"), s => Seq(Row(
+          graft.delta.LshIndex.refresh(DeltaLog.forPath(s, path), idCol, textCol))))
+    case DropLshIndex(path, idCol, textCol) =>
+      GraftMaintenanceCommand(path, "drop_lsh_index",
+        Seq("dropped"), s => {
+          val log = DeltaLog.forPath(s, path)
+          val dir = new org.apache.hadoop.fs.Path(
+            graft.delta.LshIndex.indexDir(log, idCol, textCol))
           val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
           Seq(Row(if (fs.delete(dir, true)) 1L else 0L))
         })

@@ -620,7 +620,8 @@ object Queries {
     * near-duplicate (Jaccard ≥ 0.5) NO prior-corpus doc, via the same
     * signature/banding pipeline as [[qNgramJaccard]] restricted to
     * CROSS (batch × prior) candidate pairs. */
-  private def qDedupIncrementalFuzzy(dialect: String): String = {
+  private def qDedupIncrementalFuzzy(
+      dialect: String, extraCols: String = ""): String = {
     val size_ = if (dialect == "spark") "size" else "len"
     val inter = if (dialect == "spark") "array_intersect(ha.hs, hb.hs)"
     else "list_intersect(ha.hs, hb.hs)"
@@ -647,7 +648,7 @@ object Queries {
        |  JOIN hsh ha ON ha.doc_id = c.new_id
        |  JOIN hsh hb ON hb.doc_id = c.prior_id
        |  WHERE CAST($size_($inter) AS DOUBLE) / CAST($size_($uni) AS DOUBLE) >= 0.5e0)
-       |SELECT d.doc_id, d.lang, d.source FROM documents d
+       |SELECT d.doc_id, d.lang, d.source$extraCols FROM documents d
        |WHERE d.doc_id % 5 = 0
        |  AND NOT EXISTS (SELECT 1 FROM dup WHERE dup.new_id = d.doc_id)""".stripMargin
   }
@@ -4252,6 +4253,56 @@ object Queries {
         "doc_id", "text", threshold = 0.5)
         .select("doc_id", "lang", "source")
     }),
+    // PERSISTED-signature-index incremental fuzzy dedup, driver-verified
+    // END-TO-END — the O(batch), not O(corpus), ingestion economics:
+    // build the LSH index over a scratch Delta corpus, append a second
+    // ingest, GRAFT REFRESH LSH INDEX (the sidecar proves every
+    // pre-existing entry survived VERBATIM with its original scan
+    // version — covered files were NOT re-read; at 100 TB refresh =
+    // ingest-sized), then dedup the batch THROUGH the index: the prior
+    // side is served from persisted (id, hs, ks) columns with no text
+    // read and no md5/minhash recompute. The result must equal the
+    // direct dedupAgainstCorpus scan row-for-row (matches_direct) AND
+    // hash-match the oracle's engine-independent cross-pair replay.
+    "q_dedup_incremental_indexed" -> ((s, dir) => {
+      registerViews(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lshidx_")
+        .resolve("corpus").toString
+      val log = graft.delta.DeltaLog.forPath(s, tmp)
+      val docs = s.table("documents")
+      val prior = docs.where(col("doc_id") % 5 =!= 0)
+        .select("doc_id", "lang", "source", "text")
+      graft.delta.TransactionWriter.overwrite(log,
+        prior.where(col("doc_id") % 7 =!= 3).repartition(8, col("doc_id")))
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT CREATE LSH INDEX ON '$tmp' (doc_id, text)").collect()
+      val before = graft.delta.LshIndex.entries(log, "doc_id", "text").get
+        .select("file_path", "version").distinct()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      graft.delta.TransactionWriter.append(log,
+        prior.where(col("doc_id") % 7 === 3).repartition(2, col("doc_id")))
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT REFRESH LSH INDEX ON '$tmp' (doc_id, text)").collect()
+      val after = graft.delta.LshIndex.entries(log, "doc_id", "text").get
+        .select("file_path", "version").distinct()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val oldKept = before.forall { case (p, v) => after.get(p).contains(v) }
+      val newCovered = after.size > before.size
+      val batch = docs.where(col("doc_id") % 5 === 0)
+        .select("doc_id", "lang", "source", "text")
+      val freshLog = graft.delta.DeltaLog.forPath(s, tmp)
+      val viaIndex = graft.delta.LshIndex.dedupBatch(
+        freshLog, batch, "doc_id", "text", threshold = 0.5)
+      val direct = graft.operators.MinHashLsh.dedupAgainstCorpus(
+        batch, freshLog.snapshot.read(), "doc_id", "text", threshold = 0.5)
+      val matches =
+        viaIndex.select("doc_id").exceptAll(direct.select("doc_id")).isEmpty &&
+          direct.select("doc_id").exceptAll(viaIndex.select("doc_id")).isEmpty
+      viaIndex.select(col("doc_id"), col("lang"), col("source"),
+        lit(if (oldKept) 1L else 0L).as("old_entries_kept"),
+        lit(if (newCovered) 1L else 0L).as("new_files_covered"),
+        lit(if (matches) 1L else 0L).as("matches_direct"))
+    }),
     // Temperature sampling at α=0.5 toward a 300-row target over langs
     "q_temperature_sample" -> ((s, dir) => {
       registerViews(s, dir)
@@ -5198,6 +5249,11 @@ object Queries {
         |WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT AS DOUBLE) / 268435456.0
         |  < ROUND(LEAST(1.0, 0.5 * wt / mw), 6)""".stripMargin,
     "q_dedup_incremental_fuzzy" -> qDedupIncrementalFuzzy("duck"),
+    "q_dedup_incremental_indexed" -> qDedupIncrementalFuzzy("duck",
+      """,
+        |  CAST(1 AS BIGINT) AS old_entries_kept,
+        |  CAST(1 AS BIGINT) AS new_files_covered,
+        |  CAST(1 AS BIGINT) AS matches_direct""".stripMargin),
     "q_temperature_sample" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
         |r AS (SELECT lang,
