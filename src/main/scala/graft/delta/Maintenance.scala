@@ -1255,7 +1255,7 @@ object Maintenance {
     * needs: curve kind, columns, bit width, the normalization bounds
     * of the last full pass, and the clustering watermark (the version
     * whose files are already laid out). */
-  private[delta] val ClusterStateDomain = "graft.clustering.state"
+  private[graft] val ClusterStateDomain = "graft.clustering.state"
 
   private def numericCol(df: org.apache.spark.sql.DataFrame,
       c: String): org.apache.spark.sql.Column =
@@ -1418,11 +1418,25 @@ object Maintenance {
     * rewrite; previously-clustered files keep their add entries
     * untouched. Cost tracks the ingested delta, not the table.
     *
+    * DRIFT GAUGE: clamping is only harmless while the incoming data
+    * still lives inside the persisted bounds — a table whose key range
+    * drifts (a timestamp axis, a growing id space) would silently pile
+    * every new row into the edge cells, an
+    * everything-in-one-cell layout no probe can see from the outside.
+    * Each pass therefore MEASURES the out-of-range row fraction of its
+    * target files (one column-pruned agg over the delta it already
+    * scans) and persists it in the clustering state; when the fraction
+    * exceeds `driftThreshold` the pass routes to a FULL re-cluster,
+    * which re-derives the bounds. NaN (the default) defers to the
+    * session conf `spark.graft.cluster.driftThreshold` (default 0.25);
+    * a threshold ≥ 1 forces incremental regardless of drift.
+    *
     * Returns the current version when there is nothing new. Requires a
     * prior full pass with the same curve and columns. */
   def clusterIncremental(
       log: DeltaLog, cols: Seq[String], curveKind: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      driftThreshold: Double = Double.NaN): Long = {
     val snap = log.snapshot
     val stateStr = Domains.get(snap, ClusterStateDomain).getOrElse(
       throw new IllegalStateException(
@@ -1466,6 +1480,32 @@ object Maintenance {
     if (targets.isEmpty) return cur
     val (df, preserved) = RowTracking.preservingScan(snap, targets)
     validateClusterCols(df, cols)
+    // drift = fraction of target rows with ANY cluster column outside
+    // the persisted bounds (nulls scale to cell 0 and never drift).
+    // One extra column-pruned agg over the DELTA files only.
+    val oob = cols.zip(mins.zip(maxs)).map { case (c, (mn, mx)) =>
+      val n = numericCol(df, c)
+      n.isNotNull && (n < lit(mn) || n > lit(mx))
+    }.reduce(_ || _)
+    val drift = Option(
+      df.agg(avg(when(oob, 1.0).otherwise(0.0))).head.get(0))
+      .map(_.asInstanceOf[Double]).getOrElse(0.0)
+    val threshold = {
+      val conf =
+        if (!driftThreshold.isNaN) driftThreshold
+        else log.spark.conf
+          .get("spark.graft.cluster.driftThreshold", "0.25").toDouble
+      require(conf >= 0.0, s"driftThreshold must be >= 0, got $conf")
+      conf
+    }
+    if (drift > threshold)
+      // past the threshold, clamped layout quality is gone — run the
+      // full pass instead: it re-derives bounds from the whole table
+      // (and resets the persisted drift to 0 via clusterRewrite)
+      return curveKind match {
+        case "zorder" => zorder(log, cols, targetFileBytes)
+        case _ => hilbertCluster(log, cols, targetFileBytes)
+      }
     val curveVal = curveExpr(curveKind,
       scaledCols(df, cols, bits, mins.zip(maxs)), bits)
     val ordered = curveLayout(df, curveVal,
@@ -1478,8 +1518,11 @@ object Maintenance {
     // snap and v stays inside the next window; this pass's own rewrite
     // commit is excluded there by its operation name, not the version.
     // CAS: a concurrent full pass that planned later owns the state.
+    // The measured drift rides in the state — the gauge a scheduler
+    // (or ClusterProbe) reads to see bound erosion building up.
     casClusterState(log,
-      clusterStateJson(curveKind, cols, bits, mins.zip(maxs), snap.version),
+      clusterStateJson(curveKind, cols, bits, mins.zip(maxs), snap.version,
+        drift),
       snap.version)
     v
   }

@@ -56,6 +56,12 @@ object ClusterProbe {
         Seq("a", "b"), "hilbert", targetFileBytes = 4L * 1024 * 1024))
       val incrBytes = addedBytes(vIncr)
       val snap = DeltaLog.forPath(spark, dir).snapshot
+      // the gauge the pass persisted: in-bounds appends must read 0.0
+      // (any nonzero here would mean the probe data or the gauge lies)
+      val drift = graft.delta.Domains
+        .get(snap, Maintenance.ClusterStateDomain)
+        .map(s => graft.delta.JsonUtil.mapper.readTree(s)
+          .path("drift").asDouble()).getOrElse(-1.0)
       val kept = clustered.subsetOf(snap.planFiles().map(_.path).toSet)
       val total = n + delta
       val sumOk = snap.read().agg(count(lit(1)), sum("id")).head ==
@@ -68,8 +74,9 @@ object ClusterProbe {
         f"full0=$tFull0%6.2f s incr=$tIncr%6.2f s full1=$tFull1%6.2f s " +
         f"incrMB=${incrBytes / 1e6}%7.2f fullMB=${fullBytes / 1e6}%7.2f " +
         f"ioRatio=${fullBytes.toDouble / math.max(incrBytes, 1)}%5.1fx " +
-        f"oldKept=$kept content=$sumOk")
-      if (!kept || !sumOk || incrBytes * 5 > fullBytes) failures += 1
+        f"drift=$drift%4.2f oldKept=$kept content=$sumOk")
+      if (!kept || !sumOk || incrBytes * 5 > fullBytes || drift != 0.0)
+        failures += 1
       factor *= 2
     }
     println(if (failures == 0) "CLUSTER PROBE PASSED" else s"$failures FAILED")

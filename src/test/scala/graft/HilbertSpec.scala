@@ -274,6 +274,80 @@ class HilbertSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("drift gauge: shifted append routes to a full pass that re-derives bounds") {
+    // the grid drifts wholesale: every appended row lives OUTSIDE the
+    // persisted bounds (a,b in [64,128) vs persisted [0,64)). Forced
+    // incremental (threshold 1.0) must clamp everything into the edge
+    // cell — box-probe pruning over the NEW region collapses — while
+    // the default gauge routes the same pass to a FULL re-cluster,
+    // which re-derives bounds and restores pruning.
+    def mkTable(): DeltaLog = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_hdrift_")
+        .resolve("t").toString
+      val log = DeltaLog.forPath(spark, dir)
+      TransactionWriter.overwrite(log,
+        (0L until 4096L).map(i => (i % 64L, i / 64L, i)).toDF("a", "b", "id")
+          .repartition(16, expr("hash(id)")))
+      Maintenance.hilbertCluster(log, Seq("a", "b"), targetFileBytes = 4096L)
+      TransactionWriter.append(log,
+        (4096L until 8192L).map(i => (64L + i % 64L, 64L + (i / 64L) % 64L, i))
+          .toDF("a", "b", "id").repartition(16, expr("hash(id)")))
+      DeltaLog.forPath(spark, log.tablePath)
+    }
+    val box = Seq(("a", ">=", 64L), ("a", "<", 80L),
+      ("b", ">=", 64L), ("b", "<", 80L))
+    // the honest probe metric is ROWS SCANNED, not surviving-file
+    // count: everything-clamped-into-one-cell lays the whole drifted
+    // half into ONE huge file, which "prunes" to one file that still
+    // holds every drifted row
+    def rowsScanned(log: DeltaLog): Long = {
+      val snap = DeltaLog.forPath(spark, log.tablePath).snapshot
+      snap.readFiles(graft.delta.Skipping.prunedFiles(snap, box)).count()
+    }
+    // forced incremental: 100% drift clamps the whole append into the
+    // top cell — every post-append file straddles the probe box
+    val forced = mkTable()
+    Maintenance.clusterIncremental(forced, Seq("a", "b"), "hilbert",
+      targetFileBytes = 4096L, driftThreshold = 1.0)
+    val stForced = graft.delta.Domains.get(
+      DeltaLog.forPath(spark, forced.tablePath).snapshot,
+      Maintenance.ClusterStateDomain).get
+    val driftForced = graft.delta.JsonUtil.mapper
+      .readTree(stForced).path("drift").asDouble()
+    assert(driftForced == 1.0, s"persisted drift should be 1.0, got $driftForced")
+    val scannedForced = rowsScanned(forced)
+    // default gauge (conf 0.25): the SAME call routes to a full pass
+    val routed = mkTable()
+    val vBefore = DeltaLog.forPath(spark, routed.tablePath).snapshot.version
+    Maintenance.clusterIncremental(routed, Seq("a", "b"), "hilbert",
+      targetFileBytes = 4096L)
+    val snap = DeltaLog.forPath(spark, routed.tablePath).snapshot
+    // the routed pass ran as a FULL re-cluster: operation name + bounds
+    val ops = ((vBefore + 1) to snap.version).map(v =>
+      routed.commitActions(v).collectFirst {
+        case graft.delta.CommitInfoAction(ci) => ci.operation }.get)
+    assert(ops.contains("OPTIMIZE HILBERT BY") &&
+      !ops.contains("OPTIMIZE HILBERT BY INCREMENTAL"), s"ops were $ops")
+    val st = graft.delta.Domains.get(snap, Maintenance.ClusterStateDomain).get
+    val node = graft.delta.JsonUtil.mapper.readTree(st)
+    assert(node.path("maxs").get(0).asDouble() == 127.0,
+      s"full pass must re-derive bounds, got ${node.path("maxs")}")
+    assert(node.path("drift").asDouble() == 0.0)
+    val scannedRouted = rowsScanned(routed)
+    // the clamped layout piles the whole drifted half (4096 rows) into
+    // edge-cell files, so the box probe scans (nearly) all of it; the
+    // routed full pass re-derives bounds and scans a fraction
+    assert(scannedRouted * 2 < scannedForced,
+      s"routing must beat clamped incremental: routed scans $scannedRouted " +
+        s"rows vs forced $scannedForced")
+    // correctness through the pruned scan
+    val got = snap.readFiles(graft.delta.Skipping.prunedFiles(snap, box))
+      .where(col("a").between(64L, 79L) && col("b").between(64L, 79L)).count()
+    val want = snap.read()
+      .where(col("a").between(64L, 79L) && col("b").between(64L, 79L)).count()
+    assert(got == want && want > 0)
+  }
+
   test("incremental clustering on a PARTITIONED table keeps partition layout") {
     val dir = java.nio.file.Files.createTempDirectory("graft_hincp_")
       .resolve("t").toString
@@ -285,7 +359,7 @@ class HilbertSpec extends SparkTestBase {
     val clustered = DeltaLog.forPath(spark, dir).snapshot
       .planFiles().map(_.path).toSet
     TransactionWriter.append(log,
-      (2048L until 2304L).map(i => (i % 4L, i % 64L, i / 64L, i))
+      (2048L until 2304L).map(i => (i % 4L, i % 64L, (i / 64L) % 32L, i))
         .toDF("p", "a", "b", "id"))
     Maintenance.clusterIncremental(log, Seq("a", "b"), "hilbert",
       targetFileBytes = 4096L)
@@ -313,7 +387,8 @@ class HilbertSpec extends SparkTestBase {
     val clustered = DeltaLog.forPath(spark, dir).snapshot
       .planFiles().map(_.path).toSet
     TransactionWriter.append(log,
-      (1024L until 1280L).map(i => (i % 64L, i / 64L, i)).toDF("a", "b", "id"))
+      (1024L until 1280L).map(i => (i % 64L, (i / 64L) % 16L, i))
+        .toDF("a", "b", "id"))
     // DV-delete rows in the APPENDED window, then recluster it: the
     // replacement files must carry only the live rows (the DV'd file
     // and its bitmap leave the log together)
@@ -355,7 +430,8 @@ class HilbertSpec extends SparkTestBase {
     val clustered = DeltaLog.forPath(spark, dir).snapshot
       .planFiles().map(_.path).toSet
     TransactionWriter.append(log,
-      (2048L until 2304L).map(i => (i % 64L, i / 64L, i)).toDF("a", "b", "id"))
+      (2048L until 2304L).map(i => (i % 64L, (i / 64L) % 32L, i))
+        .toDF("a", "b", "id"))
     graft.plans.GraftSqlParser.run(spark,
       s"GRAFT OPTIMIZE '$dir' ZORDER BY (a, b) INCREMENTAL").collect()
     val after = DeltaLog.forPath(spark, dir).snapshot
