@@ -264,6 +264,134 @@ object MatView {
     vf
   }
 
+  /** Create a materialized AGGREGATE-OVER-JOIN view — `view = SELECT
+    * keys, count(*), sums FROM fact ⨝ dim GROUP BY keys` in ONE
+    * maintained table, where keys and summed columns may come from
+    * EITHER side. The rollup-over-a-join previously took two chained
+    * views (join view + rollup view — double storage, two refresh
+    * hops; kept as the composition baseline, q_matview_cascade); here
+    * one refresh folds the SIGNED JOIN DELTA
+    * ([[graft.operators.IncrementalJoin.signedJoinDelta]] — exact
+    * multiset algebra incl. the ΔF⨝ΔD cross term) per group key into
+    * the rollup with one MERGE. O(changes + changed dim keys' fact
+    * rows); neither the join nor the rollup ever materializes.
+    *
+    * SUM aggregates only (plus the implicit `n_rows`): sums are
+    * invertible under signing, so the fold needs no source state. A
+    * MIN/MAX over a join group cannot be maintained O(changes) without
+    * the join's rows — that is exactly what the cascade composition
+    * materializes; use it for non-invertible rollups.
+    *
+    * Atomicity: each refresh rides the watermark domain INSIDE the
+    * merge commit ([[Merge.withDomain]]) — fold and watermark land
+    * together, so there is no crash window to repair and no txn
+    * marker; concurrent refreshes of one view are exactly-once via the
+    * same-domain rebase conflict rule. */
+  def createJoinAgg(spark: SparkSession, viewPath: String,
+      factPath: String, dimPath: String, fk: String, dimPk: String,
+      keyCols: Seq[String], aggs: Seq[(String, String)]): Long = {
+    require(keyCols.nonEmpty, "join-rollup matview needs group keys")
+    require(aggs.nonEmpty, "join-rollup matview needs at least one SUM")
+    require(aggs.forall(_._1.toLowerCase == "sum"),
+      s"join-rollup matviews maintain SUM aggregates only, got " +
+        aggs.map { case (f, c) => s"$f($c)" }.mkString(", ") +
+        " — for MIN/MAX/AVG over a join, materialize the join view and " +
+        "a rollup over it (the cascade composition): those aggregates " +
+        "need the join's rows, which only the cascade stores")
+    require(aggs.distinct.size == aggs.size, "duplicate SUM clause")
+    (keyCols ++ aggs.map(_._2) ++ Seq(fk, dimPk)).foreach(c => require(
+      c.matches("""\w+"""),
+      s"join-rollup matview column '$c' must match \\w+ (the stored " +
+        "definition round-trips through the spec grammar)"))
+    val fact = DeltaLog.forPath(spark, factPath)
+    val dim = DeltaLog.forPath(spark, dimPath)
+    val (fs, ds) = (fact.snapshot, dim.snapshot)
+    require(ChangeDataFeed.enabled(fs),
+      s"fact $factPath must have change data feed enabled")
+    require(ChangeDataFeed.enabled(ds),
+      s"dim $dimPath must have change data feed enabled")
+    val factFields = fs.schema.fieldNames.toSet
+    val dimFields = ds.schema.fieldNames.toSet
+    require(factFields.contains(fk), s"fact $factPath has no column '$fk'")
+    require(dimFields.contains(dimPk), s"dim $dimPath has no column '$dimPk'")
+    (keyCols ++ aggs.map(_._2)).foreach(c => require(
+      factFields.contains(c) || dimFields.contains(c),
+      s"column '$c' is in neither $factPath nor $dimPath"))
+    // dim-side columns the joined rows must carry; they must not
+    // shadow fact columns (ambiguous join output)
+    val dimSide = (keyCols ++ aggs.map(_._2))
+      .filterNot(factFields.contains).distinct
+    dimSide.foreach(c => require(!factFields.contains(c),
+      s"dim column '$c' collides with a fact column"))
+    val (vf, vd) = (fs.version, ds.version)
+    val base = fs.read()
+      .join(ds.read().select(col(dimPk).as(fk) +: dimSide.map(col): _*),
+        Seq(fk))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        aggs.map { case (_, c) => sum(col(c)).as(s"sum_$c") }: _*)
+    val viewLog = DeltaLog.forPath(spark, viewPath)
+    TransactionWriter.overwrite(viewLog, base,
+      configuration = Map(
+        "graft.matview.kind" -> "joinagg",
+        "graft.matview.factSource" -> factPath,
+        "graft.matview.dimSource" -> dimPath,
+        "graft.matview.fk" -> fk,
+        "graft.matview.dimPk" -> dimPk,
+        "graft.matview.keyCols" -> keyCols.mkString(","),
+        "graft.matview.aggs" ->
+          aggs.map { case (_, c) => s"sum($c)" }.mkString(","),
+        "graft.matview.createFactVersion" -> vf.toString,
+        "graft.matview.createDimVersion" -> vd.toString,
+        "graft.matview.instance" -> java.util.UUID.randomUUID().toString))
+    Domains.set(DeltaLog.forPath(spark, viewPath), StateDomain,
+      s"""{"factVersion":$vf,"dimVersion":$vd}""")
+    vf
+  }
+
+  /** Refresh a join-rollup view: both CDF windows → signed join delta
+    * → per-key (count, sum) deltas → ONE MERGE that also carries the
+    * advanced watermark domain. Returns the new fact watermark. */
+  private def refreshJoinAgg(spark: SparkSession, viewPath: String,
+      viewLog: DeltaLog, conf: Map[String, String]): Long = {
+    val fact = DeltaLog.forPath(spark, conf("graft.matview.factSource"))
+    val dim = DeltaLog.forPath(spark, conf("graft.matview.dimSource"))
+    val fk = conf("graft.matview.fk")
+    val dimPk = conf("graft.matview.dimPk")
+    val keyCols = conf("graft.matview.keyCols").split(",").toSeq
+    val aggs = parseAggs(conf)
+    val (wf, wd) = joinWatermarks(viewLog.snapshot)
+    val (cf, cd) = (fact.latestVersion(), dim.latestVersion())
+    if (cf <= wf && cd <= wd) return wf
+    val factNew = fact.snapshotAt(cf).read()
+    val dimNew = dim.snapshotAt(cd).read()
+    def emptyChanges(of: org.apache.spark.sql.DataFrame) =
+      of.limit(0).withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(0L))
+    val factChanges = if (cf > wf)
+      ChangeDataFeed.tableChanges(fact, wf + 1, Some(cf))
+    else emptyChanges(factNew)
+    val dimChanges = if (cd > wd)
+      ChangeDataFeed.tableChanges(dim, wd + 1, Some(cd))
+    else emptyChanges(dimNew)
+    val factFields = factNew.columns.toSet
+    val dimSide = (keyCols ++ aggs.map(_._2))
+      .filterNot(factFields.contains).distinct
+    val delta = graft.operators.IncrementalJoin.signedJoinDelta(
+      factChanges, dimChanges, factNew, dimNew, fk, dimPk, dimSide)
+    val keyed = delta.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__sign")).as("__d_n"),
+        aggs.map { case (_, c) =>
+          sum(col("__sign") * col(c)).as(s"__d_sum_$c") }: _*)
+    // fold + watermark in ONE commit — crash-atomic, conflict-checked
+    graft.operators.IncrementalAgg.mergeDeltaMulti(
+      viewLog, keyed, keyCols, "n_rows",
+      aggs.map { case (_, c) => s"sum_$c" -> s"__d_sum_$c" },
+      domains = Seq(StateDomain ->
+        s"""{"factVersion":${math.max(cf, wf)},"dimVersion":${math.max(cd, wd)}}"""))
+    math.max(cf, wf)
+  }
+
   /** The join view's (fact, dim) watermarks — domain first, falling
     * back to the create-time versions (same crash-repair posture as
     * the aggregate views' [[watermark]]). */
@@ -373,6 +501,14 @@ object MatView {
         conf("graft.matview.factPk").split(",").toSeq,
         s"cols(${conf("graft.matview.dimCols")})", wf)
     }
+    if (conf.get("graft.matview.kind").contains("joinagg")) {
+      val (wf, _) = joinWatermarks(snap)
+      return (s"${conf("graft.matview.factSource")} JOIN " +
+          s"${conf("graft.matview.dimSource")} ON " +
+          s"(${conf("graft.matview.fk")} = ${conf("graft.matview.dimPk")})",
+        conf("graft.matview.keyCols").split(",").toSeq,
+        conf("graft.matview.aggs"), wf)
+    }
     val src = conf.getOrElse("graft.matview.source",
       throw new IllegalArgumentException(s"$viewPath is not a matview"))
     (src, conf("graft.matview.keyCols").split(",").toSeq,
@@ -391,6 +527,8 @@ object MatView {
     val conf = snap.metadata.configuration
     if (conf.get("graft.matview.kind").contains("join"))
       return refreshJoin(spark, viewPath, viewLog, conf)
+    if (conf.get("graft.matview.kind").contains("joinagg"))
+      return refreshJoinAgg(spark, viewPath, viewLog, conf)
     val sourcePath = conf.getOrElse("graft.matview.source",
       throw new IllegalArgumentException(s"$viewPath is not a matview"))
     val keyCols = conf("graft.matview.keyCols").split(",").toSeq

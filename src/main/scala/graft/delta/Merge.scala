@@ -40,7 +40,8 @@ final case class Merge(
     notMatchedBySourceDelete: Option[Option[Column]] = None,
     notMatchedBySourceUpdate: Option[(Option[Column], Map[String, Column])] = None,
     schemaEvolution: Boolean = false,
-    txn: Option[(String, Long)] = None) {
+    txn: Option[(String, Long)] = None,
+    domains: Seq[(String, String)] = Nil) {
 
   /** Ride an idempotent-writer `txn` marker (appId, version) INSIDE the
     * merge's own commit. Required when the per-batch application is NOT
@@ -52,10 +53,47 @@ final case class Merge(
   def withTxn(appId: String, version: Long): Merge =
     copy(txn = Some((appId, version)))
 
+  /** Ride a domain-metadata write INSIDE the merge's own commit — the
+    * ATOMIC form of merge-then-`Domains.set`. A separate domain commit
+    * leaves a crash window between the data and its watermark (the
+    * matview refresh posture that previously needed the txn marker as
+    * repair); carried inside, data and watermark land or vanish
+    * together, and the rebase path's same-domain conflict rule makes
+    * concurrent refreshes of one view exactly-once (of two folds of
+    * the same window, the loser aborts instead of rebasing into a
+    * double-count). No-op merges still commit the domain when one is
+    * set — a watermark must advance past a changeless window or the
+    * CDF read window grows without bound. */
+  def withDomain(domain: String, configuration: String): Merge =
+    copy(domains = domains :+ (domain -> configuration))
+
   /** The SetTransaction action(s) to ride along in the data commit. */
   private def txnActions: Seq[Action] = txn.toSeq.map { case (a, v) =>
     TxnAction(SetTransaction(a, v, Some(System.currentTimeMillis())))
   }
+
+  /** Domain actions (plus any protocol upgrade they need) to ride in
+    * the data commit. */
+  private def domainActions(snap: Snapshot): Seq[Action] =
+    if (domains.isEmpty) Nil
+    else Domains.featureUpgrade(snap, Set("domainMetadata")) ++
+      domains.map { case (d, c) => DomainMetadataAction(DomainMetadata(d, c)) }
+
+  /** Marker/domain-only commit for merges with no data change. Domain
+    * carriers go through the rebase path so the same-domain conflict
+    * rule still applies; marker-only keeps [[TransactionWriter
+    * .recordTxn]]'s retry-past-anything behavior (markers conflict
+    * with nothing). */
+  private def noopCommit(snap: Snapshot): Long =
+    if (domains.isEmpty)
+      txn.map { case (a, v) => TransactionWriter.recordTxn(log, a, v) }
+        .getOrElse(snap.version)
+    else TransactionWriter.commitWithRebase(log, snap.version + 1,
+      CommitInfoAction(CommitInfo(System.currentTimeMillis(), "MERGE",
+        Map("mode" -> "noop"))) +: (txnActions ++ domainActions(snap)),
+      touchedPaths = Set.empty,
+      ictEnabled = snap.metadata.configuration
+        .get("delta.enableInCommitTimestamps").contains("true"))
 
   /** Enable automatic schema evolution (delta-spark's
     * `withSchemaEvolution`): UPDATE-set / INSERT-values keys naming
@@ -259,11 +297,9 @@ final case class Merge(
       // no-op merges: no data commit to ride in, so a marker-only commit
       // is safe (replaying a no-op batch is trivially idempotent)
       case None =>
-        txn.map { case (a, v) => TransactionWriter.recordTxn(log, a, v) }
-          .getOrElse(snap.version)
+        noopCommit(snap)
       case Some(df) if touched.isEmpty && df.isEmpty =>
-        txn.map { case (a, v) => TransactionWriter.recordTxn(log, a, v) }
-          .getOrElse(snap.version)
+        noopCommit(snap)
       case Some(df) =>
         // Change Data Feed: rewrite commits carry exact row-level cdc
         // (deletes + update pre/post pairs + inserts). Insert-ONLY
@@ -281,7 +317,7 @@ final case class Merge(
             ChangeDataFeed.writeCdcFiles(log, all)
           }
         TransactionWriter.rewriteFiles(log, snap, touched, df, "MERGE",
-          extraActions = cdc ++ txnActions)
+          extraActions = cdc ++ txnActions ++ domainActions(snap))
     } finally joinedCache.foreach(_.unpersist())
   }
 
@@ -353,11 +389,9 @@ final case class Merge(
             // insert-only commits skip cdc files: the feed derives the
             // same rows from the commit's adds (delta-spark behavior)
             Some(TransactionWriter.rewriteFiles(log, snap, Nil, ins, "MERGE",
-              extraActions = txnActions))
+              extraActions = txnActions ++ domainActions(snap)))
           case _ =>
-            Some(txn.map { case (a, v) =>
-              TransactionWriter.recordTxn(log, a, v)
-            }.getOrElse(snap.version))
+            Some(noopCommit(snap))
         }
       case Mutations.DvActions(dvActions, dvTouched) =>
         val cdfOn = ChangeDataFeed.enabled(snap)
@@ -405,12 +439,13 @@ final case class Merge(
             Some(TransactionWriter.writeAndCommit(log, df, Some(snap),
               removes = Nil, partitionBy = Some(snap.metadata.partitionColumns),
               configuration = Map.empty, operation = "MERGE", mode = "Rewrite",
-              extraActions = dvActions ++ cdc ++ txnActions,
+              extraActions = dvActions ++ cdc ++ txnActions ++ domainActions(snap),
               extraTouched = dvTouched.map(_.path).toSet))
           case None =>
             val actions = CommitInfoAction(CommitInfo(
               System.currentTimeMillis(), "MERGE",
-              Map("mode" -> "deletionVectors"))) +: (dvActions ++ cdc ++ txnActions)
+              Map("mode" -> "deletionVectors"))) +: (dvActions ++ cdc ++
+              txnActions ++ domainActions(snap))
             val v = TransactionWriter.commitWithRebase(log, snap.version + 1,
               actions, touchedPaths = dvTouched.map(_.path).toSet,
               ictEnabled = snap.metadata.configuration

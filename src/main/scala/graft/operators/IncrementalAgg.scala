@@ -49,20 +49,40 @@ object IncrementalAgg {
   def mergeDelta(
       aggLog: graft.delta.DeltaLog, delta: DataFrame, keyCols: Seq[String],
       countCol: String, sumCol: String,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None): Long =
+    mergeDeltaMulti(aggLog, delta, keyCols, countCol,
+      Seq(sumCol -> "__d_sum"), txn)
+
+  /** [[mergeDelta]] for ANY number of maintained sums: `sumCols` maps
+    * each rollup column to its signed-delta column in `delta`.
+    * `domains` optionally rides domain-metadata writes (e.g. the
+    * refresh watermark) INSIDE the merge commit — atomic with the fold
+    * and conflict-checked against concurrent refreshers
+    * ([[graft.delta.Merge.withDomain]]), which subsumes the txn
+    * marker's crash-repair role when the watermark travels with the
+    * data. */
+  def mergeDeltaMulti(
+      aggLog: graft.delta.DeltaLog, delta: DataFrame, keyCols: Seq[String],
+      countCol: String, sumCols: Seq[(String, String)],
+      txn: Option[(String, Long)] = None,
+      domains: Seq[(String, String)] = Nil): Long = {
     val cond = keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
     val newCount = col(s"t.$countCol") + col(s"s.__d_n")
-    val m = graft.delta.Merge.into(aggLog, delta, cond)
-    txn.fold(m) { case (a, v) => m.withTxn(a, v) }
+    val m0 = graft.delta.Merge.into(aggLog, delta, cond)
+    val m1 = txn.fold(m0) { case (a, v) => m0.withTxn(a, v) }
+    domains.foldLeft(m1) { case (m, (d, c)) => m.withDomain(d, c) }
       .whenMatchedDelete(Some(newCount <= 0))
-      .whenMatchedUpdate(Map(
-        countCol -> newCount,
-        sumCol -> (col(s"t.$sumCol") + col(s"s.__d_sum"))),
+      .whenMatchedUpdate(
+        // a slice whose values for some sum are ALL NULL aggregates a
+        // NULL delta (sum skips nulls) — that must leave the running
+        // sum alone, not null it out
+        (Seq(countCol -> newCount) ++ sumCols.map { case (vc, dc) =>
+          vc -> (col(s"t.$vc") + coalesce(col(s"s.$dc"), lit(0L))) }).toMap,
         Some(newCount > 0))
       .whenNotMatchedInsert(
-        (keyCols.map(k => k -> col(s"s.$k")) ++ Seq(
-          countCol -> col(s"s.__d_n"),
-          sumCol -> col(s"s.__d_sum"))).toMap,
+        (keyCols.map(k => k -> col(s"s.$k")) ++
+          Seq(countCol -> col(s"s.__d_n")) ++
+          sumCols.map { case (vc, dc) => vc -> col(s"s.$dc") }).toMap,
         Some(col("s.__d_n") > 0))
       .execute()
   }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Incremental maintenance of a materialized JOIN view — the second
@@ -95,6 +95,67 @@ object IncrementalJoin {
     val touched = factDeleted
       .unionByName(affected.select(pkCols: _*)).distinct()
     (touched, upserts)
+  }
+
+  /** SIGNED multiset delta of the inner join `F ⨝ D` (on `fact.fk =
+    * dim.dimPk`) across a change window, for aggregate-over-join
+    * maintenance ([[graft.delta.MatView]] join-rollup views): each
+    * output row is one joined row gained (+1) or lost (−1) by the
+    * window, carrying all fact columns, the requested `dimCols`, and
+    * `__sign`. Fold it per group key into a rollup and the rollup
+    * tracks the join without either the join or the rollup ever being
+    * rebuilt.
+    *
+    * Derivation (exact multiset algebra — no latest-per-key ranking;
+    * every CDF row participates with its sign, so multi-commit windows
+    * and same-version overwrite pairs cancel arithmetically):
+    *
+    *   F_new⨝D_new − F_old⨝D_old = ΔF⨝D_new + F_new⨝ΔD − ΔF⨝ΔD
+    *
+    * where ΔF/ΔD are the signed change multisets (insert/postimage +1,
+    * delete/preimage −1). The cross term is what keeps group-key moves
+    * exact: a fact row deleted while its dim row's attribute also
+    * changed retracts from the OLD group, not the new one — the first
+    * two terms alone would retract from the wrong group and the third
+    * corrects it (sign −sf·sd).
+    *
+    * Scale shape: term 1 is O(fact slice) joined to the dim (broadcast
+    * as usual); term 2 is the fact scan PRUNED to the changed dim keys
+    * (semi-join pushed below the attribute join — the same place an fk
+    * Bloom index pays off); term 3 is delta×delta. Nothing rescans the
+    * dim, nothing rebuilds anything. */
+  def signedJoinDelta(
+      factChanges: DataFrame, dimChanges: DataFrame,
+      factNew: DataFrame, dimNew: DataFrame,
+      fk: String, dimPk: String, dimCols: Seq[String]): DataFrame = {
+    def sign(ct: Column): Column =
+      when(ct.isin("insert", "update_postimage"), lit(1L))
+        .when(ct.isin("delete", "update_preimage"), lit(-1L))
+        .otherwise(lit(0L))
+    val dF = factChanges
+      .select(factNew.columns.map(col).toSeq :+
+        sign(col("_change_type")).as("__sf"): _*)
+      .where(col("__sf") =!= 0L)
+    // dim delta rows renamed to join directly on the fact fk; each CDF
+    // row carries the attribute values OF ITS SIDE of the change
+    // (preimage = old attrs, postimage = new), which is exactly what
+    // the algebra needs
+    val dD = dimChanges
+      .select(col(dimPk).as(fk) +: dimCols.map(col) :+
+        sign(col("_change_type")).as("__sd"): _*)
+      .where(col("__sd") =!= 0L)
+    val dimNewSel = dimNew.select(col(dimPk).as(fk) +: dimCols.map(col): _*)
+    val t1 = dF.join(dimNewSel, Seq(fk))
+      .withColumn("__sign", col("__sf")).drop("__sf")
+    // prune the fact scan to changed dim keys BEFORE the attribute join
+    val changedDimKeys = dD.select(fk).distinct()
+    val t2 = factNew.join(changedDimKeys, Seq(fk), "left_semi")
+      .join(dD, Seq(fk))
+      .withColumn("__sign", col("__sd")).drop("__sd")
+    val t3 = dF.join(dD, Seq(fk))
+      .withColumn("__sign", -(col("__sf") * col("__sd")))
+      .drop("__sf", "__sd")
+    t1.unionByName(t2).unionByName(t3)
   }
 
   /** Apply a [[viewDelta]] to the materialized view DataFrame:

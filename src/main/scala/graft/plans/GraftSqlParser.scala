@@ -40,6 +40,7 @@ import graft.delta.{Clone, Constraints, DeltaLog, Maintenance, Mutations}
   * GRAFT ANALYZE '<path>'                          -- backfill missing file stats
   * GRAFT CREATE MATVIEW '<view>' FROM '<src>' KEYS (k | name = expr, ...) SUM (c) [MIN|MAX|AVG (c)] ... [WHERE <row predicate>]
   * GRAFT CREATE MATVIEW '<view>' FROM '<fact>' JOIN '<dim>' ON (fk = dimPk) KEYS (factPk, ...) COLS (dimCol, ...)
+  * GRAFT CREATE MATVIEW '<view>' FROM '<fact>' JOIN '<dim>' ON (fk = dimPk) KEYS (gk, ...) SUM (c) ...  -- rollup over the join, one view
   *   -- any mix of SUM/MIN/MAX clauses; refresh signed-folds a lone
   *   -- SUM, re-derives changed keys for anything non-invertible
   * GRAFT REFRESH MATVIEW '<view>'                  -- fold the source CDF since the watermark
@@ -108,6 +109,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+ANALYZE\s+'([^']+)'\s*""".r
   private val CreateMatViewJoin =
     """(?is)\s*GRAFT\s+CREATE\s+MATVIEW\s+'([^']+)'\s+FROM\s+'([^']+)'\s+JOIN\s+'([^']+)'\s+ON\s*\((\w+)\s*=\s*(\w+)\)\s+KEYS\s*\(([^)]+)\)\s+COLS\s*\(([^)]+)\)\s*""".r
+  private val CreateMatViewJoinAgg =
+    """(?is)\s*GRAFT\s+CREATE\s+MATVIEW\s+'([^']+)'\s+FROM\s+'([^']+)'\s+JOIN\s+'([^']+)'\s+ON\s*\((\w+)\s*=\s*(\w+)\)\s+KEYS\s*\(([^)]+)\)\s+((?:SUM\s*\(\w+\)\s*)+)\s*""".r
   private val CreateMatView =
     """(?is)\s*GRAFT\s+CREATE\s+MATVIEW\s+'([^']+)'\s+FROM\s+'([^']+)'\s+KEYS\s*\(([^)]+)\)\s+((?:(?:SUM|MIN|MAX|AVG)\s*\(\w+\)\s*)+?)(?:\s*WHERE\s+(.+?))?\s*""".r
   private val MatViewAgg = """(?i)(SUM|MIN|MAX|AVG)\s*\((\w+)\)""".r
@@ -214,6 +217,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           graft.delta.MatView.createJoin(s, viewPath, factPath, dimPath,
             keys.split(",").map(_.trim).toSeq, fk, dimPk,
             cols.split(",").map(_.trim).toSeq))))
+    case CreateMatViewJoinAgg(viewPath, factPath, dimPath, fk, dimPk,
+        keys, aggClauses) =>
+      val aggs = MatViewAgg.findAllMatchIn(aggClauses)
+        .map(m => (m.group(1).toLowerCase, m.group(2))).toSeq
+      GraftMaintenanceCommand(viewPath, "create_matview_joinagg",
+        Seq("fact_version"), s => Seq(Row(
+          graft.delta.MatView.createJoinAgg(s, viewPath, factPath, dimPath,
+            fk, dimPk, keys.split(",").map(_.trim).toSeq, aggs))))
     case CreateMatView(viewPath, srcPath, keys, aggClauses, whereSql) =>
       val aggs = MatViewAgg.findAllMatchIn(aggClauses)
         .map(m => (m.group(1).toLowerCase, m.group(2))).toSeq

@@ -4010,6 +4010,57 @@ object Queries {
         s"GRAFT REFRESH MATVIEW '$aggPath'").collect()
       graft.delta.DeltaLog.forPath(s, aggPath).snapshot.read()
     }),
+    // AGGREGATE-OVER-JOIN matview in ONE view, driver-verified
+    // END-TO-END: the rollup `SELECT cat, count(*), sum(n_chars) FROM
+    // fact ⨝ dim GROUP BY cat` (group key from the DIM side) is
+    // maintained directly from both change feeds via the SIGNED JOIN
+    // DELTA (ΔF⨝D_new + F_new⨝ΔD − ΔF⨝ΔD — the cross term keeps
+    // group-key moves exact), so the fact⨝dim rollup that took two
+    // chained views in q_matview_cascade (kept as the composition
+    // baseline) is ONE view, ONE refresh, ONE commit — the MERGE
+    // carries the watermark domain, so fold and watermark are atomic.
+    // Mutations on BOTH sources: fact append + delete, dim attribute
+    // update (moves a whole group '3'→'X') and dim DELETE (group '1'
+    // vanishes through inner-join semantics → merge deletes its row).
+    // A second refresh is a pure no-op committing NOTHING. The oracle
+    // recomputes the rollup from parquet.
+    "q_matview_join_rollup" -> ((s, dir) => {
+      registerViews(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft_mvjr_")
+      val factPath = base.resolve("f").toString
+      val dimPath = base.resolve("d").toString
+      val viewPath = base.resolve("view").toString
+      val fact = graft.delta.DeltaLog.forPath(s, factPath)
+      val dim = graft.delta.DeltaLog.forPath(s, dimPath)
+      val docs = s.table("documents").select("doc_id", "source", "n_chars")
+      graft.delta.TransactionWriter.overwrite(fact,
+        docs.where(col("doc_id") % 4 =!= 3))                           // f v0
+      graft.delta.ChangeDataFeed.enable(fact)                          // f v1
+      graft.delta.TransactionWriter.overwrite(dim,
+        s.table("documents").select(col("source")).distinct()
+          .select(col("source").as("src_key"),
+            expr("substr(source, 4)").as("cat")))                      // d v0
+      graft.delta.ChangeDataFeed.enable(dim)                           // d v1
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT CREATE MATVIEW '$viewPath' FROM '$factPath' " +
+          s"JOIN '$dimPath' ON (source = src_key) " +
+          "KEYS (cat) SUM (n_chars)").collect()
+      graft.delta.TransactionWriter.append(fact,
+        docs.where(col("doc_id") % 4 === 3))                           // f v2
+      graft.delta.Mutations.delete(fact, col("doc_id") % 11 === 0)     // f v3
+      graft.delta.Mutations.update(dim, col("src_key") === "src3",
+        Map("cat" -> lit("X")))                                        // d v2
+      graft.delta.Mutations.delete(dim, col("src_key") === "src1")     // d v3
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT REFRESH MATVIEW '$viewPath'").collect()
+      val vAfter = graft.delta.DeltaLog.forPath(s, viewPath).snapshot.version
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT REFRESH MATVIEW '$viewPath'").collect()                // no-op
+      val idleFree =
+        graft.delta.DeltaLog.forPath(s, viewPath).snapshot.version == vAfter
+      graft.delta.DeltaLog.forPath(s, viewPath).snapshot.read()
+        .withColumn("idle_refresh_free", lit(if (idleFree) 1L else 0L))
+    }),
     // DESCRIBE MATVIEW, driver-verified: the SQL surface returns the
     // view's definition (key columns, aggregate spec) and watermark.
     // The paths are temp-dir-local, so the gate pins the deterministic
@@ -5056,6 +5107,19 @@ object Queries {
         |SELECT d.cat,
         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  CAST(SUM(f.n_chars) AS BIGINT) AS sum_n_chars
+        |FROM f JOIN d ON f.source = d.source
+        |GROUP BY d.cat""".stripMargin,
+    "q_matview_join_rollup" ->
+      """WITH d AS (SELECT source,
+        |    CASE WHEN source = 'src3' THEN 'X' ELSE substr(source, 4) END AS cat
+        |  FROM (SELECT DISTINCT source FROM documents)
+        |  WHERE source <> 'src1'),
+        |f AS (SELECT doc_id, source, n_chars FROM documents
+        |  WHERE doc_id % 11 <> 0)
+        |SELECT d.cat,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(f.n_chars) AS BIGINT) AS sum_n_chars,
+        |  CAST(1 AS BIGINT) AS idle_refresh_free
         |FROM f JOIN d ON f.source = d.source
         |GROUP BY d.cat""".stripMargin,
     "q_matview_join" ->

@@ -256,4 +256,66 @@ class MatViewSpec extends SparkTestBase {
         dimPath, Seq("pk"), "fk", "dk", Seq("bad-col"))
     }
   }
+
+  test("join-rollup view: multi-SUM fold, ONE commit per refresh, atomic watermark") {
+    val base = java.nio.file.Files.createTempDirectory("graft-mv-ja")
+    val factPath = base.resolve("f").toString
+    val dimPath = base.resolve("d").toString
+    val viewPath = base.resolve("v").toString
+    val fact = DeltaLog.forPath(spark, factPath)
+    val dim = DeltaLog.forPath(spark, dimPath)
+    TransactionWriter.overwrite(fact,
+      (0L until 60L).map(i => (i, i % 6, i * 10, i % 7))
+        .toDF("pk", "fk", "x", "y"))                                   // f v0
+    ChangeDataFeed.enable(fact)                                        // f v1
+    TransactionWriter.overwrite(dim,
+      (0L until 6L).map(i => (i, s"g${i % 3}")).toDF("dk", "name"))    // d v0
+    ChangeDataFeed.enable(dim)                                         // d v1
+    // group key from the DIM side, two summed FACT columns
+    MatView.createJoinAgg(spark, viewPath, factPath, dimPath,
+      "fk", "dk", Seq("name"), Seq("sum" -> "x", "sum" -> "y"))
+    def expected(): Set[(String, Long, Long, Long)] = {
+      val f = DeltaLog.forPath(spark, factPath).snapshot.read()
+      val d = DeltaLog.forPath(spark, dimPath).snapshot.read()
+        .select(col("dk").as("fk"), col("name"))
+      f.join(d, "fk").groupBy("name")
+        .agg(count(lit(1)), sum("x"), sum("y"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getLong(2), r.getLong(3))).toSet
+    }
+    def got(): Set[(String, Long, Long, Long)] =
+      DeltaLog.forPath(spark, viewPath).snapshot.read()
+        .select("name", "n_rows", "sum_x", "sum_y")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getLong(2), r.getLong(3))).toSet
+    assert(got() == expected())
+    // mutations on BOTH sources: append + delete facts; dim update
+    // moves dk=4 from g1 to g9 (whole-key group move); dim delete
+    // kills dk=5 (inner join drops its facts)
+    TransactionWriter.append(fact,
+      (60L until 90L).map(i => (i, i % 6, i * 10, i % 7))
+        .toDF("pk", "fk", "x", "y"))                                   // f v2
+    Mutations.delete(fact, col("pk") % 4 === 1L)                       // f v3
+    Mutations.update(dim, col("dk") === 4L, Map("name" -> lit("g9")))  // d v2
+    Mutations.delete(dim, col("dk") === 5L)                            // d v3
+    val vBefore = DeltaLog.forPath(spark, viewPath).snapshot.version
+    MatView.refresh(spark, viewPath)
+    val after = DeltaLog.forPath(spark, viewPath).snapshot
+    // the whole multi-commit dual-source window folds in ONE commit,
+    // which carries the watermark domain (atomic with the fold)
+    assert(after.version == vBefore + 1,
+      s"refresh took ${after.version - vBefore} commits, expected 1")
+    assert(got() == expected())
+    val (_, keys, aggs, wm) = MatView.describe(spark, viewPath)
+    assert(keys == Seq("name") && aggs == "sum(x),sum(y)" && wm == 3L)
+    // idle refresh: no commit at all
+    MatView.refresh(spark, viewPath)
+    assert(DeltaLog.forPath(spark, viewPath).snapshot.version == after.version)
+    // SUM-only contract is enforced at create
+    val err = intercept[IllegalArgumentException] {
+      MatView.createJoinAgg(spark, base.resolve("v2").toString, factPath,
+        dimPath, "fk", "dk", Seq("name"), Seq("min" -> "x"))
+    }
+    assert(err.getMessage.contains("cascade"))
+  }
 }
