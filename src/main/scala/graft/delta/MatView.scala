@@ -516,6 +516,45 @@ object MatView {
       watermark(snap))
   }
 
+  /** How stale the view is, in SOURCE COMMITS the watermark has not
+    * folded (summed over both sources for join/joinagg views). The
+    * "how fresh am I" surface a scheduler polls: lag 0 ⇔ a refresh
+    * would be a pure no-op. One log-tail listing per source — no CDF
+    * read, no data touched; commits in the lag may of course be
+    * metadata-only (an upper bound on real data staleness, free to
+    * compute). */
+  def lag(spark: SparkSession, viewPath: String): Long = {
+    val snap = DeltaLog.forPath(spark, viewPath).snapshot
+    val conf = snap.metadata.configuration
+    val kind = conf.getOrElse("graft.matview.kind", "agg")
+    if (kind == "join" || kind == "joinagg") {
+      val (wf, wd) = joinWatermarks(snap)
+      val cf = DeltaLog.forPath(spark,
+        conf("graft.matview.factSource")).latestVersion()
+      val cd = DeltaLog.forPath(spark,
+        conf("graft.matview.dimSource")).latestVersion()
+      math.max(0L, cf - wf) + math.max(0L, cd - wd)
+    } else {
+      val src = conf.getOrElse("graft.matview.source",
+        throw new IllegalArgumentException(s"$viewPath is not a matview"))
+      math.max(0L,
+        DeltaLog.forPath(spark, src).latestVersion() - watermark(snap))
+    }
+  }
+
+  /** Refresh only when stale: lag 0 returns the current watermark
+    * without planning a CDF read (refresh itself already commits
+    * nothing when current — this form also skips the change-feed
+    * window resolution, making a tight polling loop free). */
+  def refreshIfStale(spark: SparkSession, viewPath: String): Long =
+    if (lag(spark, viewPath) == 0L) {
+      val snap = DeltaLog.forPath(spark, viewPath).snapshot
+      val conf = snap.metadata.configuration
+      val kind = conf.getOrElse("graft.matview.kind", "agg")
+      if (kind == "join" || kind == "joinagg") joinWatermarks(snap)._1
+      else watermark(snap)
+    } else refresh(spark, viewPath)
+
   /** Incremental refresh: fold the source's change feed since the
     * watermark into the view (signed fold or changed-key rederive —
     * see the object doc), then advance the watermark. Idempotent under

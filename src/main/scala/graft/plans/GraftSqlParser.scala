@@ -43,8 +43,8 @@ import graft.delta.{Clone, Constraints, DeltaLog, Maintenance, Mutations}
   * GRAFT CREATE MATVIEW '<view>' FROM '<fact>' JOIN '<dim>' ON (fk = dimPk) KEYS (gk, ...) SUM (c) ...  -- rollup over the join, one view
   *   -- any mix of SUM/MIN/MAX clauses; refresh signed-folds a lone
   *   -- SUM, re-derives changed keys for anything non-invertible
-  * GRAFT REFRESH MATVIEW '<view>'                  -- fold the source CDF since the watermark
-  * GRAFT DESCRIBE MATVIEW '<view>'                 -- definition + watermark
+  * GRAFT REFRESH MATVIEW '<view>' [IF STALE]       -- fold the source CDF since the watermark; IF STALE first checks lag (free no-op when current)
+  * GRAFT DESCRIBE MATVIEW '<view>'                 -- definition + watermark + lag (source commits behind)
   * GRAFT CREATE BLOOM INDEX ON '<path>' (<col>)    -- per-file point-lookup index
   * GRAFT DROP BLOOM INDEX ON '<path>' (<col>)
   * GRAFT CREATE LSH INDEX ON '<path>' (<idCol>, <textCol>)  -- persisted MinHash signatures
@@ -115,7 +115,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+CREATE\s+MATVIEW\s+'([^']+)'\s+FROM\s+'([^']+)'\s+KEYS\s*\(([^)]+)\)\s+((?:(?:SUM|MIN|MAX|AVG)\s*\(\w+\)\s*)+?)(?:\s*WHERE\s+(.+?))?\s*""".r
   private val MatViewAgg = """(?i)(SUM|MIN|MAX|AVG)\s*\((\w+)\)""".r
   private val RefreshMatView =
-    """(?is)\s*GRAFT\s+REFRESH\s+MATVIEW\s+'([^']+)'\s*""".r
+    """(?is)\s*GRAFT\s+REFRESH\s+MATVIEW\s+'([^']+)'(\s+IF\s+STALE)?\s*""".r
   private val DescribeMatView =
     """(?is)\s*GRAFT\s+DESCRIBE\s+MATVIEW\s+'([^']+)'\s*""".r
   private val CreateBloomIndex =
@@ -242,15 +242,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Seq("source_version"), s => Seq(Row(
           graft.delta.MatView.create(s, viewPath, srcPath,
             keyNames, aggs, Option(whereSql).map(_.trim), keyExprs))))
-    case RefreshMatView(viewPath) =>
+    case RefreshMatView(viewPath, ifStale) =>
       GraftMaintenanceCommand(viewPath, "refresh_matview",
         Seq("source_version"), s => Seq(Row(
-          graft.delta.MatView.refresh(s, viewPath))))
+          if (ifStale == null) graft.delta.MatView.refresh(s, viewPath)
+          else graft.delta.MatView.refreshIfStale(s, viewPath))))
     case DescribeMatView(viewPath) =>
       GraftMaintenanceCommand(viewPath, "describe_matview",
-        Seq("source", "key_cols", "aggs", "source_version"), s => {
+        Seq("source", "key_cols", "aggs", "source_version", "lag"), s => {
           val (src, keys, aggs, wm) = graft.delta.MatView.describe(s, viewPath)
-          Seq(Row(src, keys.mkString(","), aggs, wm))
+          Seq(Row(src, keys.mkString(","), aggs, wm,
+            graft.delta.MatView.lag(s, viewPath)))
         })
     case Analyze(path) =>
       GraftMaintenanceCommand(path, "analyze",

@@ -4061,6 +4061,45 @@ object Queries {
       graft.delta.DeltaLog.forPath(s, viewPath).snapshot.read()
         .withColumn("idle_refresh_free", lit(if (idleFree) 1L else 0L))
     }),
+    // MATVIEW staleness surface, driver-verified END-TO-END: DESCRIBE
+    // exposes `lag` — how many source commits the watermark has NOT
+    // folded (one log-tail listing, no CDF read, no data touched) —
+    // and `REFRESH ... IF STALE` is the free-when-current polling
+    // form. Pinned: lag 2 after two source mutations, IF STALE folds
+    // them, lag 0 after, and a SECOND IF STALE commits NOTHING.
+    "q_matview_stale" -> ((s, dir) => {
+      registerViews(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft_mvs_")
+      val srcPath = base.resolve("src").toString
+      val viewPath = base.resolve("view").toString
+      val src = graft.delta.DeltaLog.forPath(s, srcPath)
+      val docs = s.table("documents").select("doc_id", "source", "n_chars")
+      graft.delta.TransactionWriter.overwrite(src,
+        docs.where(col("doc_id") % 4 =!= 3))                           // v0
+      graft.delta.ChangeDataFeed.enable(src)                           // v1
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT CREATE MATVIEW '$viewPath' FROM '$srcPath' " +
+          "KEYS (source) SUM (n_chars)").collect()
+      graft.delta.TransactionWriter.append(src,
+        docs.where(col("doc_id") % 4 === 3))                           // v2
+      graft.delta.Mutations.delete(src, col("doc_id") % 11 === 0)      // v3
+      def lag(): Long = graft.plans.GraftSqlParser.run(s,
+        s"GRAFT DESCRIBE MATVIEW '$viewPath'")
+        .select("lag").head.getLong(0)
+      val lagBefore = lag()
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT REFRESH MATVIEW '$viewPath' IF STALE").collect()
+      val lagAfter = lag()
+      val vAfter = graft.delta.DeltaLog.forPath(s, viewPath).snapshot.version
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT REFRESH MATVIEW '$viewPath' IF STALE").collect()
+      val noop =
+        graft.delta.DeltaLog.forPath(s, viewPath).snapshot.version == vAfter
+      graft.delta.DeltaLog.forPath(s, viewPath).snapshot.read()
+        .withColumn("lag_before", lit(lagBefore))
+        .withColumn("lag_after", lit(lagAfter))
+        .withColumn("second_refresh_noop", lit(if (noop) 1L else 0L))
+    }),
     // DESCRIBE MATVIEW, driver-verified: the SQL surface returns the
     // view's definition (key columns, aggregate spec) and watermark.
     // The paths are temp-dir-local, so the gate pins the deterministic
@@ -5129,6 +5168,14 @@ object Queries {
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |WHERE o.o_orderkey % 2 = 0 AND o.o_orderkey % 7 <> 0
         |  AND c.c_custkey % 13 <> 3""".stripMargin,
+    "q_matview_stale" ->
+      """SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+        |  CAST(2 AS BIGINT) AS lag_before,
+        |  CAST(0 AS BIGINT) AS lag_after,
+        |  CAST(1 AS BIGINT) AS second_refresh_noop
+        |FROM documents WHERE doc_id % 11 <> 0 GROUP BY source""".stripMargin,
     "q_matview_describe" ->
       """SELECT 'n_regionkey' AS key_cols,
         |  'sum(n_nationkey),max(n_nationkey)' AS aggs,
