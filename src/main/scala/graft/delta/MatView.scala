@@ -51,6 +51,18 @@ object MatView {
   private[delta] val StateDomain = "graft.matview.state"
   private val TxnApp = "graft.matview"
 
+  /** Phase timing for refresh internals, printed when the session conf
+    * `spark.graft.debug.refreshTiming` is true — the hook
+    * [[graft.tools.MvJoinProfile]] uses to attribute a refresh's cost
+    * to its stages (CDF window read, delta materialization, merge). */
+  private def timed[A](spark: SparkSession, label: String)(f: => A): A =
+    if (!spark.conf.get("spark.graft.debug.refreshTiming", "false").toBoolean) f
+    else {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[matview]   $label%-20s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
   /** One aggregate clause: (fn ∈ sum|min|max|avg, source column). The
     * view column is named `<fn>_<col>`. AVG is stored as the ratio of
     * an exact aggregate pair (sum ÷ count, one double division) so the
@@ -424,6 +436,7 @@ object MatView {
     val dimCols = conf("graft.matview.dimCols").split(",").toSeq
     val (wf, wd) = joinWatermarks(viewLog.snapshot)
     val (cf, cd) = (fact.latestVersion(), dim.latestVersion())
+    val (nf, nd) = (math.max(cf, wf), math.max(cd, wd))
     if (cf > wf || cd > wd) {
       val factNew = fact.snapshotAt(cf).read()
       val dimNew = dim.snapshotAt(cd).read()
@@ -444,24 +457,32 @@ object MatView {
       // MERGE references its source in several sub-joins, and the
       // delta chain above it (CDF window ranks + two fact/dim joins)
       // would otherwise recompute per reference
-      val src = touched.join(
-        upserts.withColumn("__live", lit(1)),
-        factPk, "left").localCheckpoint()
+      val src = timed(spark, "delta materialize") {
+        touched.join(
+          upserts.withColumn("__live", lit(1)),
+          factPk, "left").localCheckpoint()
+      }
       val cond = factPk.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
-      Merge.into(viewLog, src, cond)
-        .whenMatchedDelete(Some(col(s"s.__live").isNull))
-        .whenMatchedUpdate(
-          viewCols.map(c => c -> col(s"s.$c")).toMap,
-          Some(col(s"s.__live").isNotNull))
-        .whenNotMatchedInsert(
-          viewCols.map(c => c -> col(s"s.$c")).toMap,
-          Some(col(s"s.__live").isNotNull))
-        .execute()
+      // both advanced watermarks ride INSIDE the merge commit — the
+      // refresh is ONE commit and watermark/data are atomic (the
+      // absolute-row apply was already replay-idempotent; this removes
+      // the separate domain commit and its cost)
+      timed(spark, "merge apply") {
+        // src is one row per fact PK by construction (touched is
+        // distinct, upserts dropDuplicates the PK) — guard skipped
+        Merge.into(viewLog, src, cond).withUniqueSource()
+          .withDomain(StateDomain,
+            s"""{"factVersion":$nf,"dimVersion":$nd}""")
+          .whenMatchedDelete(Some(col(s"s.__live").isNull))
+          .whenMatchedUpdate(
+            viewCols.map(c => c -> col(s"s.$c")).toMap,
+            Some(col(s"s.__live").isNotNull))
+          .whenNotMatchedInsert(
+            viewCols.map(c => c -> col(s"s.$c")).toMap,
+            Some(col(s"s.__live").isNotNull))
+          .execute()
+      }
     }
-    val (nf, nd) = (math.max(cf, wf), math.max(cd, wd))
-    if ((nf, nd) != (wf, wd))
-      Domains.set(DeltaLog.forPath(spark, viewPath), StateDomain,
-        s"""{"factVersion":$nf,"dimVersion":$nd}""")
     nf
   }
 
@@ -606,13 +627,20 @@ object MatView {
           d.withColumn(n, expr(e)) }
       val changes = filtered(
         ChangeDataFeed.tableChanges(src, effLast + 1, Some(cur)))
+      // the advanced watermark rides INSIDE the merge commit
+      // ([[Merge.withDomain]]): fold and watermark are atomic, so each
+      // refresh is ONE commit (previously merge + domain commit — a
+      // crash window the txn marker had to repair; the marker still
+      // rides along as a harmless second witness)
+      val wmDomain = Seq(StateDomain ->
+        s"""{"sourceVersion":${math.max(cur, effLast)}}""")
       aggs match {
         case Seq(("sum", valueCol)) =>
           graft.operators.IncrementalAgg.mergeDelta(
             viewLog,
             graft.operators.IncrementalAgg.aggDelta(changes, keyCols, valueCol),
             keyCols, "n_rows", s"sum_$valueCol",
-            txn = Some((txnApp, cur)))
+            txn = Some((txnApp, cur)), domains = wmDomain)
         case _ =>
           // pin the source pass to the window's end version so the
           // refresh is deterministic (and replay-idempotent) even when
@@ -621,13 +649,15 @@ object MatView {
             viewLog, filtered(src.snapshotAt(cur).read()), changes,
             keyCols, "n_rows",
             aggs.map { case (fn, c) => aggColumn(fn, c) },
-            txn = Some((txnApp, cur)))
+            txn = Some((txnApp, cur)), domains = wmDomain)
       }
+      return math.max(cur, effLast)
     }
     val wm = math.max(cur, effLast)
+    // repair-only path (no merge ran: marker ahead of watermark after
+    // an old-style crash): one domain commit restores consistency
     if (wm != last)
-      Domains.set(DeltaLog.forPath(spark, viewPath), StateDomain,
-        s"""{"sourceVersion":$wm}""")
+      Domains.set(viewLog, StateDomain, s"""{"sourceVersion":$wm}""")
     wm
   }
 }

@@ -41,7 +41,8 @@ final case class Merge(
     notMatchedBySourceUpdate: Option[(Option[Column], Map[String, Column])] = None,
     schemaEvolution: Boolean = false,
     txn: Option[(String, Long)] = None,
-    domains: Seq[(String, String)] = Nil) {
+    domains: Seq[(String, String)] = Nil,
+    uniqueSource: Boolean = false) {
 
   /** Ride an idempotent-writer `txn` marker (appId, version) INSIDE the
     * merge's own commit. Required when the per-batch application is NOT
@@ -66,6 +67,17 @@ final case class Merge(
     * CDF read window grows without bound. */
   def withDomain(domain: String, configuration: String): Merge =
     copy(domains = domains :+ (domain -> configuration))
+
+  /** Caller-asserted: the source has AT MOST ONE row per target match —
+    * skip the multi-match guard (one full target⨝source aggregation
+    * pass, a fixed cost every merge otherwise pays). ONLY for sources
+    * that are unique per join key BY CONSTRUCTION — a `groupBy(keys)`
+    * aggregate, a `distinct()`/`dropDuplicates(keys)` output (the
+    * matview refresh deltas are all three). A violated assertion makes
+    * the merge nondeterministic (the guard exists because delta-rs and
+    * delta-spark both refuse that), so never set it for user-supplied
+    * sources. */
+  def withUniqueSource(): Merge = copy(uniqueSource = true)
 
   /** The SetTransaction action(s) to ride along in the data commit. */
   private def txnActions: Seq[Action] = txn.toSeq.map { case (a, v) =>
@@ -187,43 +199,75 @@ final case class Merge(
     val updCondJ = matchedUpdate.map { case (c, _) =>
       !delCondJ && coalesce(c.getOrElse(lit(true)), lit(false))
     }.getOrElse(lit(false))
-    val matches = tagged.join(src, condition)
-      .select(col("t.__file"), col("t.__row"),
-        delCondJ.as("__del"), updCondJ.as("__upd")).persist()
+    val dbgSpark = log.spark
+    val insertOnly = matchedDelete.isEmpty && matchedUpdate.isEmpty
+    val dvCandidate = !hasBySource && !insertOnly && Merge.dvEnabled(snap)
+    // Small-table shortcut: touched-file DISCOVERY exists to avoid
+    // rewriting untouched files, and its cost is one full target⨝source
+    // pass. On a target of a handful of files there is nothing worth
+    // saving — rewriting them all is cheaper than scanning them all to
+    // find out which to rewrite (the matview rollups this matters for
+    // are 1-3 files; a fixed discovery pass per refresh was measured at
+    // ~30% of the merge). Only when neither the guard (uniqueSource
+    // skips it) nor the DV planner needs per-row matches.
+    val discoveryMin = log.spark.conf
+      .get("spark.graft.merge.discoveryMinFiles", "8").toInt
+    val needMatches = !uniqueSource || dvCandidate ||
+      (!hasBySource && !insertOnly && planned.size > discoveryMin)
+    val matchesOpt: Option[DataFrame] =
+      if (!needMatches) None
+      else Some(tagged.join(src, condition)
+        .select(col("t.__file"), col("t.__row"),
+          delCondJ.as("__del"), updCondJ.as("__upd")).persist())
+    def unpersistMatches(): Unit = matchesOpt.foreach(_.unpersist())
     try {
-      val multi = matches.groupBy(col("__file"), col("__row"))
-        .agg(count(lit(1)).as("__c"))
-        .where(col("__c") > 1).limit(1).count()
-      require(multi == 0L,
-        "merge aborted: at least one target row matches multiple source rows " +
-          "— the result would be nondeterministic (same error as delta-rs)")
+      matchesOpt.foreach { matches =>
+        if (!uniqueSource) {
+          val multi = matches.groupBy(col("__file"), col("__row"))
+            .agg(count(lit(1)).as("__c"))
+            .where(col("__c") > 1).limit(1).count()
+          require(multi == 0L,
+            "merge aborted: at least one target row matches multiple source " +
+              "rows — the result would be nondeterministic (same error as " +
+              "delta-rs)")
+        }
 
-      // -- DV fast path ------------------------------------------------------
-      // Matched DELETE/UPDATE on a deletion-vector-enabled table marks
-      // the affected rows in per-file bitmaps and writes ONLY the
-      // updated/inserted rows as new files — no touched-file rewrite
-      // (the delta-spark low-shuffle merge shape). The cardinality
-      // guard inside the DV planner falls back to the rewrite path for
-      // broad matches.
-      if (!hasBySource && (matchedDelete.nonEmpty || matchedUpdate.nonEmpty) &&
-          Merge.dvEnabled(snap)) {
-        executeDvPath(snap, planned, matches) match {
-          case Some(v) => matches.unpersist(); return v
-          case None => () // too broad — continue into the rewrite path
+        // -- DV fast path ----------------------------------------------------
+        // Matched DELETE/UPDATE on a deletion-vector-enabled table marks
+        // the affected rows in per-file bitmaps and writes ONLY the
+        // updated/inserted rows as new files — no touched-file rewrite
+        // (the delta-spark low-shuffle merge shape). The cardinality
+        // guard inside the DV planner falls back to the rewrite path for
+        // broad matches.
+        if (dvCandidate) {
+          executeDvPath(snap, planned, matches) match {
+            case Some(v) => matches.unpersist(); return v
+            case None => () // too broad — continue into the rewrite path
+          }
         }
       }
-
-    } catch { case e: Throwable => matches.unpersist(); throw e }
+    } catch { case e: Throwable => unpersistMatches(); throw e }
 
     // -- touched files -------------------------------------------------------
     val idx: Map[String, AddFile] = Mutations.fileIndex(snap, planned)
     val touched: Seq[AddFile] =
       if (hasBySource) planned // every file may hold unmatched rows
-      else if (matchedDelete.isEmpty && matchedUpdate.isEmpty) Nil // insert-only
-      else matches.select(col("__file")).distinct().collect()
-        .map(r => Mutations.normalize(r.getString(0)))
-        .flatMap(idx.get).toSeq
-    matches.unpersist()
+      else if (insertOnly) Nil
+      else matchesOpt match {
+        case Some(matches) => Debug.timed(dbgSpark, "merge discovery") {
+          matches.select(col("__file")).distinct().collect()
+            .map(r => Mutations.normalize(r.getString(0)))
+            .flatMap(idx.get).toSeq
+        }
+        case None =>
+          // shortcut path: rewrite every (few) file — UNLESS the source
+          // is empty, where the rewrite must not churn the log (a
+          // replayed empty batch must stay a marker-only no-op); the
+          // emptiness probe is one limit(1) job on the (typically
+          // already-materialized) source, far below a discovery pass
+          if (source.isEmpty) Nil else planned
+      }
+    unpersistMatches()
 
     // -- rewrite touched files ----------------------------------------------
     val cdfOn = ChangeDataFeed.enabled(snap)

@@ -518,9 +518,11 @@ object TransactionWriter {
     // 1. Materialize data into a staging dir under the table root.
     val staging = new Path(log.rootPath, s".graft-staging-${java.util.UUID.randomUUID}")
     try {
-      val w = outDf.write.mode("overwrite")
-      (if (writePartCols.nonEmpty) w.partitionBy(writePartCols: _*) else w)
-        .parquet(staging.toString)
+      Debug.timed(spark, "write parquet") {
+        val w = outDf.write.mode("overwrite")
+        (if (writePartCols.nonEmpty) w.partitionBy(writePartCols: _*) else w)
+          .parquet(staging.toString)
+      }
 
       // 2. Rename staged part files into place (keeps partition subdirs).
       val staged = listParquet(fs, staging)
@@ -545,7 +547,9 @@ object TransactionWriter {
         .get("delta.dataSkippingNumIndexedCols")
         .flatMap(s => scala.util.Try(s.toInt).toOption)
         .getOrElse(32)
-      val stats = computeStats(log, dataSchema, moved, numIndexed)
+      val stats = Debug.timed(spark, "stats pass") {
+        computeStats(log, dataSchema, moved, numIndexed)
+      }
 
       // 4. Commit.
       val version = prev.map(_.version + 1).getOrElse(0L)
@@ -994,6 +998,23 @@ object TransactionWriter {
     * filters on. Identity columns are always included regardless (the
     * same-commit high-water-mark advance reads their max from these
     * stats). */
+  /** Per-file stats, footer-first: every parquet file the write job
+    * just produced already carries per-row-group min/max/null-count
+    * statistics in its FOOTER — reading those is a metadata-sized
+    * operation, where the previous implementation re-read the whole
+    * written data with a second Spark aggregation job (measured at
+    * roughly the cost of the write itself on every commit — the single
+    * largest fixed per-commit overhead in the matview/mutation
+    * lifecycle gates). Files whose footer cannot reproduce the exact
+    * Spark-computed values fall back PER FILE to the aggregation pass:
+    * unsafe leaf types (INT96 timestamps carry no usable stats;
+    * decimals), dropped stats (parquet-mr omits binary min/max past
+    * 4 KB), or unset null counts. Values are converted to the same
+    * external types a collected Spark Row carries and rendered by the
+    * SAME [[renderStats]], so the emitted JSON is bit-identical by
+    * construction whichever path produced it (string order is safe:
+    * parquet binary stats compare unsigned bytes, which IS Spark's
+    * UTF8_BINARY collation). */
   private def computeStats(
       log: DeltaLog, dataSchema: StructType, moved: Seq[MovedFile],
       numIndexedCols: Int = -1): Map[String, String] = {
@@ -1008,28 +1029,186 @@ object TransactionWriter {
         (allLeaves.take(numIndexedCols) ++
           allLeaves.filter { case (p, _) => idCols.contains(p) }).distinct
       }
-    val aggs =
-      count(lit(1)).as("__num") +:
-        leaves.zipWithIndex.flatMap { case ((p, _), i) =>
-          Seq(min(col(p)).as(s"__min_$i"), max(col(p)).as(s"__max_$i"),
-            sum(col(p).isNull.cast("long")).as(s"__nc_$i"))
-        }
-    val rows = log.spark.read.schema(dataSchema)
-      .parquet(moved.map(_.abs.toString): _*)
-      .groupBy(input_file_name().as("__file"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
-    val byRel: Map[String, Row] = rows.flatMap { r =>
-      val f = DeltaLog.decodePath(r.getAs[String]("__file"))
-      moved.find(m => f.endsWith("/" + m.rel) || f == m.rel).map(_.rel -> r)
-    }.toMap
-    moved.map { m =>
-      val stats = byRel.get(m.rel) match {
-        case None => """{"numRecords":0}"""
-        case Some(r) => renderStats(r, leaves)
+    val schema = StructType(
+      StructField("__num", org.apache.spark.sql.types.LongType) +:
+        leaves.zipWithIndex.flatMap { case ((_, dt), i) => Seq(
+          StructField(s"__min_$i", dt), StructField(s"__max_$i", dt),
+          StructField(s"__nc_$i", org.apache.spark.sql.types.LongType))
+        })
+    // footer pass: driver-side for commit-sized file counts, one
+    // metadata-only Spark job past that (an OPTIMIZE can move 10⁴
+    // files — footers must not serialize through one driver loop)
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      log.spark.sparkContext.hadoopConfiguration)
+    val footer: Map[String, Option[Seq[Any]]] =
+      if (moved.size <= 128)
+        moved.map(m => m.rel ->
+          footerStatsValues(m.abs.toString, leaves, hconf)).toMap
+      else {
+        val paths = moved.map(m => m.rel -> m.abs.toString)
+        val lv = leaves
+        log.spark.sparkContext.parallelize(paths, math.max(1, paths.size / 64))
+          .map { case (rel, abs) =>
+            rel -> footerStatsValues(abs, lv, hconf) }
+          .collect().toMap
       }
-      m.rel -> stats
+    val fallback = moved.filter(m => footer(m.rel).isEmpty)
+    val byRelFallback: Map[String, Row] =
+      if (fallback.isEmpty) Map.empty
+      else {
+        val aggs =
+          count(lit(1)).as("__num") +:
+            leaves.zipWithIndex.flatMap { case ((p, _), i) =>
+              Seq(min(col(p)).as(s"__min_$i"), max(col(p)).as(s"__max_$i"),
+                sum(col(p).isNull.cast("long")).as(s"__nc_$i"))
+            }
+        val rows = log.spark.read.schema(dataSchema)
+          .parquet(fallback.map(_.abs.toString): _*)
+          .groupBy(input_file_name().as("__file"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+        rows.flatMap { r =>
+          val f = DeltaLog.decodePath(r.getAs[String]("__file"))
+          fallback.find(m => f.endsWith("/" + m.rel) || f == m.rel)
+            .map(_.rel -> r)
+        }.toMap
+      }
+    moved.map { m =>
+      val row: Option[Row] = footer(m.rel)
+        .map(vs => new org.apache.spark.sql.catalyst.expressions
+          .GenericRowWithSchema(vs.toArray, schema): Row)
+        .orElse(byRelFallback.get(m.rel))
+      m.rel -> row.fold("""{"numRecords":0}""")(renderStats(_, leaves))
     }.toMap
+  }
+
+  /** The (__num, min/max/nc per leaf) value vector for one file, from
+    * its parquet footer alone — None when ANY leaf cannot be derived
+    * exactly (the caller falls back to the aggregation pass for that
+    * file). Serializable-closure-safe: runs on executors for
+    * many-file commits. */
+  private def footerStatsValues(
+      path: String, leaves: Seq[(String, DataType)],
+      hconf: org.apache.spark.util.SerializableConfiguration): Option[Seq[Any]] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(path), hconf.value))
+    try {
+      val footer = reader.getFooter
+      import scala.jdk.CollectionConverters._
+      val blocks = footer.getBlocks.asScala.toSeq
+      val numRecords = blocks.map(_.getRowCount).sum
+      // per dotted path, the chunks across all row groups (absent ⇒
+      // the file predates the column: Spark reads it as all-null)
+      val chunksByPath: Map[String, Seq[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData]] =
+        blocks.flatMap(_.getColumns.asScala)
+          .groupBy(_.getPath.toDotString)
+      val out = scala.collection.mutable.ArrayBuffer[Any](numRecords)
+      leaves.foreach { case (p, dt) =>
+        chunksByPath.get(p) match {
+          case None =>
+            out += null; out += null; out += numRecords
+          case Some(chunks) =>
+            footerLeaf(chunks, dt, numRecords) match {
+              case Some((mn, mx, nc)) => out += mn; out += mx; out += nc
+              case None => return None
+            }
+        }
+      }
+      Some(out.toSeq)
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally reader.close()
+  }
+
+  /** (min, max, nullCount) of one leaf across a file's chunks, in the
+    * external types a collected Spark Row would carry — None when the
+    * footer cannot reproduce the Spark aggregate exactly. */
+  private def footerLeaf(
+      chunks: Seq[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData],
+      dt: DataType, numRecords: Long): Option[(Any, Any, Long)] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    var nulls = 0L
+    var mn: Any = null
+    var mx: Any = null
+    for (c <- chunks) {
+      val st = c.getStatistics
+      if (st == null || !st.isNumNullsSet) return None
+      nulls += st.getNumNulls
+      val chunkNonNull = c.getValueCount - st.getNumNulls
+      if (chunkNonNull > 0) {
+        // a chunk with values but no min/max (stats dropped — e.g.
+        // binary past parquet-mr's 4 KB cap, INT96) cannot be summed
+        if (!st.hasNonNullValue) return None
+        val prim = c.getPrimitiveType
+        val logical = prim.getLogicalTypeAnnotation
+        def asSpark(v: Any): Option[Any] = (prim.getPrimitiveTypeName, dt) match {
+          case (INT32, org.apache.spark.sql.types.IntegerType) => Some(v)
+          case (INT32, org.apache.spark.sql.types.ShortType) =>
+            Some(v.asInstanceOf[Int].toShort)
+          case (INT32, org.apache.spark.sql.types.ByteType) =>
+            Some(v.asInstanceOf[Int].toByte)
+          case (INT32, org.apache.spark.sql.types.DateType) =>
+            Some(java.sql.Date.valueOf(
+              java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong)))
+          case (INT64, org.apache.spark.sql.types.LongType) => Some(v)
+          case (INT64, org.apache.spark.sql.types.TimestampType) =>
+            logical match {
+              case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+                  if ts.isAdjustedToUTC &&
+                    ts.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS =>
+                val micros = v.asInstanceOf[Long]
+                val t = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+                t.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+                Some(t)
+              case _ => None
+            }
+          case (FLOAT, org.apache.spark.sql.types.FloatType) => Some(v)
+          case (DOUBLE, org.apache.spark.sql.types.DoubleType) => Some(v)
+          case (BOOLEAN, org.apache.spark.sql.types.BooleanType) => Some(v)
+          case (BINARY, org.apache.spark.sql.types.StringType) =>
+            Some(v.asInstanceOf[org.apache.parquet.io.api.Binary]
+              .toStringUsingUTF8)
+          case _ => None // decimals, INT96, NTZ, … → aggregation pass
+        }
+        // floating NaN poisons ordering both here and in parquet's own
+        // stats semantics — route those files to the aggregation pass
+        val bad = (st.genericGetMin, st.genericGetMax) match {
+          case (a: java.lang.Double, b: java.lang.Double) => a.isNaN || b.isNaN
+          case (a: java.lang.Float, b: java.lang.Float) => a.isNaN || b.isNaN
+          case _ => false
+        }
+        if (bad) return None
+        (asSpark(st.genericGetMin), asSpark(st.genericGetMax)) match {
+          case (Some(cmn), Some(cmx)) =>
+            // combine in Spark's ordering; strings via unsigned-byte
+            // compare (parquet's order == Spark's UTF8_BINARY collation)
+            def lt(a: Any, b: Any): Boolean = (a, b) match {
+              case (x: String, y: String) =>
+                java.util.Arrays.compareUnsigned(
+                  x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                  y.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+              case (x: java.sql.Date, y: java.sql.Date) => x.before(y)
+              case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.before(y)
+              case (x: java.lang.Number, y: java.lang.Number) =>
+                // same runtime class by construction (one parquet type)
+                x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+              case (x: java.lang.Boolean, y: java.lang.Boolean) =>
+                !x.booleanValue() && y.booleanValue()
+              // unreachable (one parquet type per chunk ⇒ one external
+              // class); surfacing as an exception routes the file to
+              // the aggregation pass via footerStatsValues' catch
+              case _ => throw new IllegalStateException(
+                s"mixed footer stat types: ${a.getClass} vs ${b.getClass}")
+            }
+            if (mn == null || lt(cmn, mn)) mn = cmn
+            if (mx == null || lt(mx, cmx)) mx = cmx
+          case _ => return None
+        }
+      }
+    }
+    Some((mn, mx, nulls))
   }
 
   /** Atomic leaf columns eligible for min/max stats, as (dotted path,

@@ -49,9 +49,10 @@ object IncrementalAgg {
   def mergeDelta(
       aggLog: graft.delta.DeltaLog, delta: DataFrame, keyCols: Seq[String],
       countCol: String, sumCol: String,
-      txn: Option[(String, Long)] = None): Long =
+      txn: Option[(String, Long)] = None,
+      domains: Seq[(String, String)] = Nil): Long =
     mergeDeltaMulti(aggLog, delta, keyCols, countCol,
-      Seq(sumCol -> "__d_sum"), txn)
+      Seq(sumCol -> "__d_sum"), txn, domains)
 
   /** [[mergeDelta]] for ANY number of maintained sums: `sumCols` maps
     * each rollup column to its signed-delta column in `delta`.
@@ -68,7 +69,9 @@ object IncrementalAgg {
       domains: Seq[(String, String)] = Nil): Long = {
     val cond = keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
     val newCount = col(s"t.$countCol") + col(s"s.__d_n")
-    val m0 = graft.delta.Merge.into(aggLog, delta, cond)
+    // the delta is one row per key BY CONTRACT (a groupBy output), so
+    // the merge skips its multi-match guard pass (withUniqueSource)
+    val m0 = graft.delta.Merge.into(aggLog, delta, cond).withUniqueSource()
     val m1 = txn.fold(m0) { case (a, v) => m0.withTxn(a, v) }
     domains.foldLeft(m1) { case (m, (d, c)) => m.withDomain(d, c) }
       .whenMatchedDelete(Some(newCount <= 0))
@@ -147,7 +150,8 @@ object IncrementalAgg {
   def rederiveMerge(
       viewLog: graft.delta.DeltaLog, source: DataFrame, changes: DataFrame,
       keyCols: Seq[String], countCol: String, aggs: Seq[Column],
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      domains: Seq[(String, String)] = Nil): Long = {
     require(aggs.nonEmpty, "need at least one aggregate")
     val changedKeys = changes.select(
       keyCols.map(k => col(k).as(s"__ck_$k")): _*).distinct()
@@ -163,8 +167,11 @@ object IncrementalAgg {
       .select(keyCols.map(k => col(s"__ck_$k").as(k)) ++
         outCols.map(col): _*)
     val cond = keyCols.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
-    val m = graft.delta.Merge.into(viewLog, mergeSrc, cond)
-    txn.fold(m) { case (a, v) => m.withTxn(a, v) }
+    // one merge-source row per changed key by construction (distinct
+    // keys left-joined to a grouped recompute) — guard pass skipped
+    val m0 = graft.delta.Merge.into(viewLog, mergeSrc, cond).withUniqueSource()
+    val m = txn.fold(m0) { case (a, v) => m0.withTxn(a, v) }
+    domains.foldLeft(m) { case (mm, (d, c)) => mm.withDomain(d, c) }
       .whenMatchedDelete(Some(col(s"s.$countCol").isNull))
       .whenMatchedUpdate(
         outCols.map(c => c -> col(s"s.$c")).toMap,

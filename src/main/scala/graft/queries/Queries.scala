@@ -4157,6 +4157,62 @@ object Queries {
       q.stop()
       agg.snapshot.read()
     }),
+    // CONTINUOUS maintenance of a JOIN matview, driver-verified
+    // END-TO-END: the FACT's CDF stream triggers MatView.refresh per
+    // micro-batch ([[graft.streaming.StreamingOps.matviewRefreshSink]])
+    // on a fact⨝dim view — each trigger folds BOTH change windows, so
+    // dim-side mutations (attribute update + delete) ride the next
+    // fact-triggered batch without a second stream; exactly-once rests
+    // on the refresh's own atomic watermark-in-merge commit, not the
+    // checkpoint. Result must equal the batch-refresh gate's semantics
+    // (same oracle shape as q_matview_join on the %4 slice).
+    "q_stream_matview_join" -> ((s, dir) => {
+      registerViews(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft_smvj_")
+      val factPath = base.resolve("f").toString
+      val dimPath = base.resolve("d").toString
+      val viewPath = base.resolve("view").toString
+      val factLog = graft.delta.DeltaLog.forPath(s, factPath)
+      val dimLog = graft.delta.DeltaLog.forPath(s, dimPath)
+      val orders = s.table("orders")
+        .where(col("o_orderkey") % 4 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      graft.delta.TransactionWriter.overwrite(factLog,
+        orders.where(col("o_orderkey") % 3 =!= 2))                     // f v0
+      graft.delta.ChangeDataFeed.enable(factLog)                       // f v1
+      graft.delta.TransactionWriter.overwrite(dimLog,
+        s.table("customer").select("c_custkey", "c_mktsegment"))       // d v0
+      graft.delta.ChangeDataFeed.enable(dimLog)                        // d v1
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT CREATE MATVIEW '$viewPath' FROM '$factPath' " +
+          s"JOIN '$dimPath' ON (o_custkey = c_custkey) " +
+          "KEYS (o_orderkey) COLS (c_mktsegment)").collect()
+      val changes = s.readStream
+        .format(classOf[graft.sources.DeltaSourceProvider].getName)
+        .option("path", factLog.tablePath)
+        .option("readChangeFeed", "true")
+        .load()
+      val q = graft.streaming.StreamingOps.matviewRefreshSink(
+        s, changes, viewPath, base.resolve("cp").toString)
+      try {
+        q.processAllAvailable()
+        graft.delta.TransactionWriter.append(factLog,
+          orders.where(col("o_orderkey") % 3 === 2))                   // f v2
+        graft.delta.Mutations.delete(factLog,
+          col("o_orderkey") % 7 === 0)                                 // f v3
+        q.processAllAvailable()
+        graft.delta.Mutations.update(dimLog, col("c_custkey") % 10 === 5,
+          Map("c_mktsegment" -> lit("X")))                             // d v2
+        graft.delta.Mutations.delete(dimLog, col("c_custkey") % 13 === 3) // d v3
+        // dim-only changes don't wake the FACT stream — poke the fact
+        // with a value-preserving update so the next micro-batch folds
+        // the dim window (dual watermarks advance together)
+        graft.delta.Mutations.update(factLog, col("o_orderkey") % 100 === 4,
+          Map("o_totalprice" -> col("o_totalprice")))                  // f v4
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.delta.DeltaLog.forPath(s, viewPath).snapshot.read()
+    }),
     // CONTINUOUS matview maintenance, driver-verified END-TO-END: the
     // source's CDF stream triggers MatView.refresh per micro-batch on
     // a SUM+MAX view (the append + maxima-deleting DELETE exercises
@@ -5190,6 +5246,13 @@ object Queries {
       """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(CASE WHEN doc_id % 9 = 4 THEN 100 ELSE n_chars END) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id % 6 <> 1 GROUP BY source""".stripMargin,
+    "q_stream_matview_join" ->
+      """SELECT o.o_custkey, o.o_orderkey, o.o_totalprice,
+        |  CASE WHEN c.c_custkey % 10 = 5 THEN 'X' ELSE c.c_mktsegment END
+        |    AS c_mktsegment
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderkey % 4 = 0 AND o.o_orderkey % 7 <> 0
+        |  AND c.c_custkey % 13 <> 3""".stripMargin,
     "q_stream_matview" ->
       """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,

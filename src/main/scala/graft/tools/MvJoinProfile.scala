@@ -12,6 +12,7 @@ object MvJoinProfile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    s.conf.set("spark.graft.debug.refreshTiming", "true")
     graft.queries.Queries.registerViews(s, sf)
     s.table("orders").count() // warm
     def t[A](label: String)(f: => A): A = {

@@ -144,8 +144,12 @@ class DomainMetadataSpec extends SparkTestBase {
     // explicit HILBERT pass persists curve=hilbert for these columns
     Maintenance.hilbertCluster(log, Seq("a", "b"), targetFileBytes = 8192L)
     val clustered = log.snapshot.planFiles().map(_.path).toSet
+    // in-bounds append (b stays in the persisted [0,32) range): a
+    // wholesale-drifted append would now legitimately route to a FULL
+    // pass via the drift gauge — covered by HilbertSpec's drift test
     TransactionWriter.append(log,
-      (2048L until 2304L).map(i => (i % 64L, i / 64L, i)).toDF("a", "b", "id"))
+      (2048L until 2304L).map(i => (i % 64L, (i / 64L) % 32L, i))
+        .toDF("a", "b", "id"))
     // plain OPTIMIZE must maintain INCREMENTALLY under the persisted
     // HILBERT curve — not silently full-re-cluster to z-order
     Maintenance.compact(log, targetFileBytes = 8192L)
