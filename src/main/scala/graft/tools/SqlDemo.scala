@@ -328,7 +328,10 @@ object SqlDemo {
       spark.sql(s"GRAFT OPTIMIZE '$incPath' HILBERT BY (a, b)")
       val clustered = graft.delta.DeltaLog.forPath(spark, incPath)
         .snapshot.planFiles().map(_.path).toSet
-      (512L until 640L).map(i => (i % 16L, i / 16L, i)).toDF("a", "b", "id")
+      // in-bounds append: a wholesale-drifted one would now correctly
+      // route to a FULL pass via the round-10 drift gauge
+      (512L until 640L).map(i => (i % 16L, (i / 16L) % 32L, i))
+        .toDF("a", "b", "id")
         .write.format("graftdelta").mode("append").save(incPath)
       spark.sql(s"GRAFT OPTIMIZE '$incPath' HILBERT BY (a, b) INCREMENTAL")
       val afterInc = graft.delta.DeltaLog.forPath(spark, incPath)
@@ -370,6 +373,63 @@ object SqlDemo {
       require(av.columns.contains("avg_x") && av.count() == 4L,
         s"expr-keyed AVG+WHERE view wrong: ${av.columns.toSeq} ${av.count()}")
       println("== CREATE MATVIEW JOIN / AVG + WHERE + expression keys OK ==")
+
+      // round-10 surface: aggregate-over-join matview in ONE view —
+      // KEYS may come from the dim side, SUM from the fact side; one
+      // refresh folds BOTH feeds (the dim delete above already removed
+      // dk=1 from the dim)
+      val jrPath = s"$dir/jr_view"
+      spark.sql(s"GRAFT CREATE MATVIEW '$jrPath' FROM '$jfPath' " +
+        s"JOIN '$jdPath' ON (fk = dk) KEYS (name) SUM (x)")
+      spark.sql(s"GRAFT DELETE FROM '$jfPath' WHERE pk = 0")
+      spark.sql(s"GRAFT REFRESH MATVIEW '$jrPath'")
+      val jr = spark.read.format("graftdelta").load(jrPath)
+        .collect().map(r => r.getAs[String]("name") ->
+          (r.getAs[Long]("n_rows"), r.getAs[Long]("sum_x"))).toMap
+      // fks 0,2,3 survive (dk=1 deleted pre-create); pk=0 (fk 0) left
+      require(jr.keySet == Set("d0", "d2", "d3") &&
+        jr("d0") == ((9L, 2L * (4 + 8 + 12 + 16 + 20 + 24 + 28 + 32 + 36))),
+        s"join-rollup view wrong: $jr")
+      println("== CREATE MATVIEW ... JOIN ... KEYS SUM: one-view rollup OK ==")
+
+      // round-10 surface: staleness — DESCRIBE lag + REFRESH IF STALE
+      val lag0 = spark.sql(s"GRAFT DESCRIBE MATVIEW '$jrPath'")
+        .head().getAs[Long]("lag")
+      require(lag0 == 0L, s"fresh view must report lag 0, got $lag0")
+      spark.sql(s"GRAFT DELETE FROM '$jfPath' WHERE pk = 39")
+      val lag1 = spark.sql(s"GRAFT DESCRIBE MATVIEW '$jrPath'")
+        .head().getAs[Long]("lag")
+      require(lag1 == 1L, s"one unfolded fact commit must read lag 1, got $lag1")
+      spark.sql(s"GRAFT REFRESH MATVIEW '$jrPath' IF STALE")
+      val vAfter = graft.delta.DeltaLog.forPath(spark, jrPath).latestVersion()
+      spark.sql(s"GRAFT REFRESH MATVIEW '$jrPath' IF STALE") // free no-op
+      require(graft.delta.DeltaLog.forPath(spark, jrPath)
+        .latestVersion() == vAfter, "IF STALE on a fresh view must not commit")
+      println("== DESCRIBE MATVIEW lag / REFRESH IF STALE OK ==")
+
+      // round-10 surface: persisted LSH signature index lifecycle
+      val lshPath = s"$dir/lsh_corpus"
+      Seq((1L, "the quick brown fox jumps over the lazy dog today"),
+        (2L, "an entirely different sentence about delta tables and logs"))
+        .toDF("id", "text")
+        .write.format("graftdelta").mode("overwrite").save(lshPath)
+      spark.sql(s"GRAFT CREATE LSH INDEX ON '$lshPath' (id, text)")
+      Seq((3L, "yet another unrelated document mentioning parquet files"))
+        .toDF("id", "text")
+        .write.format("graftdelta").mode("append").save(lshPath)
+      spark.sql(s"GRAFT REFRESH LSH INDEX ON '$lshPath' (id, text)")
+      val lshLog = graft.delta.DeltaLog.forPath(spark, lshPath)
+      val deduped = graft.delta.LshIndex.dedupBatch(lshLog,
+        Seq((10L, "the quick brown fox jumps over the lazy dog today"),
+          (11L, "completely novel content that matches no prior document"))
+          .toDF("id", "text"), "id", "text", threshold = 0.5)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      require(deduped == Seq(11L),
+        s"indexed dedup must drop the near-dup of prior doc 1, got $deduped")
+      spark.sql(s"GRAFT DROP LSH INDEX ON '$lshPath' (id, text)")
+      require(graft.delta.LshIndex.entries(lshLog, "id", "text").isEmpty,
+        "DROP LSH INDEX must remove the sidecar")
+      println("== CREATE/REFRESH/DROP LSH INDEX: indexed dedup OK ==")
       println("SqlDemo OK")
     } finally spark.stop()
   }
