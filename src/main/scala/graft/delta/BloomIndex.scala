@@ -136,21 +136,32 @@ object BloomIndex {
     val existing: DataFrame = entries(log, column)
       .map(_.select("file_path", "n_rows", "bloom", "version"))
       .getOrElse(return build(log, column, expectedItemsPerFile))
-    val covered = existing.select("file_path").collect()
-      .map(r => Mutations.normalize(r.getString(0))).toSet
+    val storedRaw = existing.select("file_path").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val covered = storedRaw.map(Mutations.normalize).toSet
     val active = snap.planFiles()
     val missing = active.filter(f =>
       !snap.pathCandidates(f).map(Mutations.normalize).exists(covered))
     val activeNorm = active
       .flatMap(f => snap.pathCandidates(f).map(Mutations.normalize)).toSet
-    val deadCount = covered.count(p => !activeNorm.contains(p))
-    if (missing.isEmpty && deadCount == 0) return snap.version
+    val liveStored = storedRaw
+      .filter(p => activeNorm.contains(Mutations.normalize(p)))
+    if (missing.isEmpty && liveStored.size == storedRaw.size)
+      return snap.version
     val newEntries =
       if (missing.isEmpty) existing.limit(0)
       else scanEntries(log, snap, missing, column,
         perFileItems(snap, expectedItemsPerFile))
-    val keep = udf((p: String) => activeNorm.contains(Mutations.normalize(p)))
-    val merged = existing.where(keep(col("file_path"))).unionByName(newEntries)
+    // keep-filter as an exact broadcast semi-join on the STORED path
+    // spellings (normalization happens once per distinct path on the
+    // driver, not per entry row in a UDF — the LshIndex.keepStored
+    // pattern; for Bloom the entry relation is file-count-sized anyway,
+    // but the pure-built-in spelling keeps the plan UDF-free)
+    import spark.implicits._
+    val merged = existing
+      .join(broadcast(liveStored.toDF("file_path")),
+        Seq("file_path"), "left_semi")
+      .unionByName(newEntries)
     Sidecar.swapIn(spark, dir, merged)
     snap.version
   }

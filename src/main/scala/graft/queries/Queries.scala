@@ -4195,7 +4195,9 @@ object Queries {
       val q = graft.streaming.StreamingOps.matviewRefreshSink(
         s, changes, viewPath, base.resolve("cp").toString)
       try {
-        q.processAllAvailable()
+        // one drain covers the initial snapshot AND the two fact
+        // mutations (refresh folds multi-commit windows; a drain per
+        // commit would only re-measure streaming fixed costs)
         graft.delta.TransactionWriter.append(factLog,
           orders.where(col("o_orderkey") % 3 === 2))                   // f v2
         graft.delta.Mutations.delete(factLog,
