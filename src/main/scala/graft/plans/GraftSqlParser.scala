@@ -50,6 +50,9 @@ import graft.delta.{Clone, Constraints, DeltaLog, Maintenance, Mutations}
   * GRAFT CREATE LSH INDEX ON '<path>' (<idCol>, <textCol>)  -- persisted MinHash signatures
   * GRAFT REFRESH LSH INDEX ON '<path>' (<idCol>, <textCol>) -- scan only uncovered files
   * GRAFT DROP LSH INDEX ON '<path>' (<idCol>, <textCol>)
+  * GRAFT CREATE IVF INDEX ON '<path>' (<idCol>, <vecCol>) [K <k>]  -- persisted ANN inverted lists
+  * GRAFT REFRESH IVF INDEX ON '<path>' (<idCol>, <vecCol>)         -- assign only uncovered files
+  * GRAFT DROP IVF INDEX ON '<path>' (<idCol>, <vecCol>)
   * GRAFT REGISTER TABLE <name> LOCATION '<path>'   -- persisted across sessions
   * GRAFT UNREGISTER TABLE <name>
   * GRAFT RESTORE TABLES                            -- re-register persisted names
@@ -130,6 +133,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+REFRESH\s+LSH\s+INDEX\s+ON\s+'([^']+)'\s*\((\w+)\s*,\s*(\w+)\)\s*""".r
   private val DropLshIndex =
     """(?is)\s*GRAFT\s+DROP\s+LSH\s+INDEX\s+ON\s+'([^']+)'\s*\((\w+)\s*,\s*(\w+)\)\s*""".r
+  private val CreateIvfIndex =
+    """(?is)\s*GRAFT\s+CREATE\s+IVF\s+INDEX\s+ON\s+'([^']+)'\s*\((\w+)\s*,\s*(\w+)\)(?:\s+K\s+(\d+))?\s*""".r
+  private val RefreshIvfIndex =
+    """(?is)\s*GRAFT\s+REFRESH\s+IVF\s+INDEX\s+ON\s+'([^']+)'\s*\((\w+)\s*,\s*(\w+)\)\s*""".r
+  private val DropIvfIndex =
+    """(?is)\s*GRAFT\s+DROP\s+IVF\s+INDEX\s+ON\s+'([^']+)'\s*\((\w+)\s*,\s*(\w+)\)\s*""".r
 
   /** Split a SET list on top-level commas only (commas inside
     * parentheses — function calls — don't separate assignments). */
@@ -289,6 +298,24 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           val log = DeltaLog.forPath(s, path)
           val dir = new org.apache.hadoop.fs.Path(
             graft.delta.LshIndex.indexDir(log, idCol, textCol))
+          val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+          Seq(Row(if (fs.delete(dir, true)) 1L else 0L))
+        })
+    case CreateIvfIndex(path, idCol, vecCol, kOpt) =>
+      GraftMaintenanceCommand(path, "create_ivf_index",
+        Seq("version"), s => Seq(Row(
+          graft.delta.IvfIndex.build(DeltaLog.forPath(s, path), idCol, vecCol,
+            k = Option(kOpt).map(_.toInt).getOrElse(16)))))
+    case RefreshIvfIndex(path, idCol, vecCol) =>
+      GraftMaintenanceCommand(path, "refresh_ivf_index",
+        Seq("version"), s => Seq(Row(
+          graft.delta.IvfIndex.refresh(DeltaLog.forPath(s, path), idCol, vecCol))))
+    case DropIvfIndex(path, idCol, vecCol) =>
+      GraftMaintenanceCommand(path, "drop_ivf_index",
+        Seq("dropped"), s => {
+          val log = DeltaLog.forPath(s, path)
+          val dir = new org.apache.hadoop.fs.Path(
+            graft.delta.IvfIndex.indexDir(log, idCol, vecCol))
           val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
           Seq(Row(if (fs.delete(dir, true)) 1L else 0L))
         })

@@ -1732,13 +1732,28 @@ object Queries {
         "vec_id", "embedding", k = 3, nprobe = 2)
     }
 
-  private val qIvfTrainedDuck: String =
+  private val qIvfTrainedDuck: String = ivfReplayDuck(ivfCentroidsPath)
+
+  /** The persisted-IVF-index gate's quantizer export (per-process path
+    * for the same concurrency reasons as [[ivfCentroidsPath]]). */
+  private val ivfIndexCentroidsPath =
+    sys.env.getOrElse("GRAFT_IVF_INDEX_CENTROIDS_PATH",
+      s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_centroids_" +
+        s"${ProcessHandle.current().pid()}.parquet")
+
+  /** DuckDB replay of the IVF pipeline (assignment → probe → rerank)
+    * against exported centroids — shared by the trained-quantizer gate
+    * and the persisted-index gate, which differ only in where the
+    * centroids came from (fresh training vs the index sidecar) and in
+    * the indexed gate's extra constant observables. */
+  private def ivfReplayDuck(
+      centroidsPath: String, extraCols: String = ""): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |n AS (SELECT vec_id, v,
        |    SQRT(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
        |cent AS (SELECT vec_id AS cid, embedding AS cv,
        |    SQRT(list_sum(list_transform(embedding, x -> x * x))) AS cnrm
-       |  FROM read_parquet('$ivfCentroidsPath/*.parquet')),
+       |  FROM read_parquet('$centroidsPath/*.parquet')),
        |sims_all AS (SELECT n.vec_id, cent.cid,
        |    ROUND(list_sum(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * cent.cv[i]))
        |      / (n.nrm * cent.cnrm), 4) AS sim
@@ -1764,7 +1779,7 @@ object Queries {
        |r AS (SELECT query_id, neighbor_id, sim,
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
        |  FROM px)
-       |SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 3""".stripMargin
+       |SELECT query_id, neighbor_id, sim, rnk$extraCols FROM r WHERE rnk <= 3""".stripMargin
 
   // ---- as-of join (events point-in-time enrichment) ------------------------
   //
@@ -4597,6 +4612,59 @@ object Queries {
         emb, emb.where(col("vec_id") % 25 === 0),
         "vec_id", "embedding", 3, LshBands, LshPlanesPerBand, 64)
     }),
+    // PERSISTED IVF index, driver-verified END-TO-END — incremental
+    // ANN-index maintenance: build trains the quantizer once on a
+    // scratch Delta corpus and persists centroids + cell-sorted
+    // assignments; after an append, GRAFT REFRESH IVF INDEX assigns
+    // ONLY the new files under the UNCHANGED quantizer (old entries
+    // carried verbatim with their scan version — the sidecar proof that
+    // covered files were not re-read; at 100 TB refresh = ingest-sized,
+    // search = nprobe cells, never a corpus re-assignment). The search
+    // through the index must equal the operator path under the same
+    // centroids row-for-row (matches_operator) AND hash-match the
+    // oracle's replay against the exported quantizer.
+    "q_embedding_ivf_indexed" -> ((s, dir) => {
+      registerViews(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfidx_")
+        .resolve("corpus").toString
+      val log = graft.delta.DeltaLog.forPath(s, tmp)
+      val emb = s.table("embeddings").select("vec_id", "embedding")
+      graft.delta.TransactionWriter.overwrite(log,
+        emb.where(col("vec_id") % 10 =!= 0).repartition(8, col("vec_id")))
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT CREATE IVF INDEX ON '$tmp' (vec_id, embedding) K 16").collect()
+      def fileVersions() = graft.delta.IvfIndex
+        .entries(log, "vec_id", "embedding").get
+        .where(col("file_path") =!= "__centroids")
+        .select("file_path", "version").distinct()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val before = fileVersions()
+      graft.delta.TransactionWriter.append(log,
+        emb.where(col("vec_id") % 10 === 0).repartition(2, col("vec_id")))
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT REFRESH IVF INDEX ON '$tmp' (vec_id, embedding)").collect()
+      val after = fileVersions()
+      val oldKept = before.forall { case (p, v) => after.get(p).contains(v) }
+      val newCovered = after.size > before.size
+      val freshLog = graft.delta.DeltaLog.forPath(s, tmp)
+      // export the index's quantizer so the oracle (and the operator
+      // cross-check) rerank against bit-identical centroid values
+      graft.delta.IvfIndex.centroids(freshLog, "vec_id", "embedding").get
+        .coalesce(1).write.mode("overwrite").parquet(ivfIndexCentroidsPath)
+      val queries = emb.where(col("vec_id") % 25 === 0)
+      val viaIdx = graft.delta.IvfIndex.search(
+        freshLog, queries, "vec_id", "embedding", k = 3, nprobe = 2)
+      val direct = graft.operators.Similarity.ivfTopK(
+        freshLog.snapshot.read(), queries,
+        s.read.parquet(ivfIndexCentroidsPath),
+        "vec_id", "embedding", k = 3, nprobe = 2)
+      val matches = viaIdx.exceptAll(direct).isEmpty &&
+        direct.exceptAll(viaIdx).isEmpty
+      viaIdx.select(col("query_id"), col("neighbor_id"), col("sim"), col("rnk"),
+        lit(if (oldKept) 1L else 0L).as("old_entries_kept"),
+        lit(if (newCovered) 1L else 0L).as("new_files_covered"),
+        lit(if (matches) 1L else 0L).as("matches_operator"))
+    }),
     "q_embedding_ivf_knn" -> cachedStagesQuery(ivfStages, qIvfKnnSparkFinal),
     "q_ann_recall" -> cachedStagesQuery(ivfStages, qAnnRecallSparkFinal),
     "q_embedding_ivf_trained" -> qIvfTrainedSpark,
@@ -5553,6 +5621,11 @@ object Queries {
         |  FROM (VALUES (25), (50), (75), (90)) t(q)) q
         |WHERE rn * 100 >= q_e2 * n AND (rn - 1) * 100 < q_e2 * n""".stripMargin,
     "q_embedding_ivf_trained" -> qIvfTrainedDuck,
+    "q_embedding_ivf_indexed" -> ivfReplayDuck(ivfIndexCentroidsPath,
+      """,
+        |  CAST(1 AS BIGINT) AS old_entries_kept,
+        |  CAST(1 AS BIGINT) AS new_files_covered,
+        |  CAST(1 AS BIGINT) AS matches_operator""".stripMargin),
     "q_embedding_pq_knn" -> qPqKnnDuck,
     "q_embedding_ivfpq_knn" -> qIvfPqKnnDuck,
     "q_embedding_sq_knn" -> qSqKnnDuck,
