@@ -91,6 +91,37 @@ object AnnDemo {
       // SQ8 at full probe is near-exact: 256 steps/dim loses little
       recallOf("IVF-SQ", sq, 0.60)
 
+      // round-10: the PERSISTED IVF index — incremental ANN-index
+      // maintenance drive: build on a scratch Delta corpus, append new
+      // vectors, refresh (only the new files are assigned under the
+      // unchanged quantizer), then search THROUGH the index and
+      // require row-parity with the operator path on the same
+      // centroids (the gold equivalence, stronger than a recall floor)
+      val dir = java.nio.file.Files.createTempDirectory("graft_anndemo_")
+        .resolve("t").toString
+      val log = graft.delta.DeltaLog.forPath(spark, dir)
+      graft.delta.TransactionWriter.overwrite(log,
+        emb.where(col("vec_id") % 10 =!= 0).select("vec_id", "embedding")
+          .repartition(4, col("vec_id")))
+      graft.delta.IvfIndex.build(log, "vec_id", "embedding", k = 16)
+      graft.delta.TransactionWriter.append(log,
+        emb.where(col("vec_id") % 10 === 0).select("vec_id", "embedding"))
+      val fresh = graft.delta.DeltaLog.forPath(spark, dir)
+      graft.delta.IvfIndex.refresh(fresh, "vec_id", "embedding")
+      val viaIdx = graft.delta.IvfIndex.search(
+          fresh, queries, "vec_id", "embedding", 3, 2)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val direct = graft.operators.Similarity.ivfTopK(
+          fresh.snapshot.read(), queries,
+          graft.delta.IvfIndex.centroids(fresh, "vec_id", "embedding").get,
+          "vec_id", "embedding", k = 3, nprobe = 2)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      require(viaIdx.toSet == direct.toSet && viaIdx.nonEmpty,
+        "indexed IVF search diverged from the operator path")
+      recallOf("IVF-index", viaIdx, 0.05)
+
       println("AnnDemo: all recall floors and invariants held")
     } finally spark.stop()
   }
