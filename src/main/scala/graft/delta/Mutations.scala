@@ -24,7 +24,7 @@ import graft.operators.Dedup
 object Mutations {
 
   /** Normalize a file-path URI string to the qualified-path form. */
-  private[delta] def normalize(s: String): String =
+  private[graft] def normalize(s: String): String =
     try new org.apache.hadoop.fs.Path(new java.net.URI(s)).toString
     catch { case _: Exception => s }
 
