@@ -100,7 +100,9 @@ object IvfIndex {
   /** Assign rows to their max-cosine cell — the EXACT expressions of
     * [[Similarity.ivfTopK]]'s assignment (round-4 cosine, max_by with
     * -cid tiebreak), so persisted and live assignments agree
-    * bit-for-bit. `cents` columns: (cid, cv, cnrm). */
+    * bit-for-bit. Also carries the chosen cell's similarity (`asim`) —
+    * the per-row assignment-quality figure the drift gauge reads.
+    * `cents` columns: (cell0, cv, cnrm). */
   private def assignCells(rows: DataFrame, cents: DataFrame): DataFrame = {
     val passthrough = rows.columns.filterNot(Set("v", "nrm"))
     rows.crossJoin(broadcast(cents))
@@ -109,6 +111,7 @@ object IvfIndex {
           (col("nrm") * col("cnrm")), 4))
       .groupBy(passthrough.map(col).toIndexedSeq: _*)
       .agg(max_by(col("cell0"), struct(col("csim"), -col("cell0"))).as("cell"),
+        max(col("csim")).as("asim"),
         first(col("v")).as("vec"), first(col("nrm")).as("nrm"))
   }
 
@@ -125,7 +128,7 @@ object IvfIndex {
     assignCells(rawRows(log, snap, files, idCol, vecCol),
       centFrame(log.spark, cs))
       .select(col("file_path"), col(idCol), col("cell").cast("int").as("cell"),
-        col("vec"), col("nrm"), lit(snap.version).as("version"))
+        col("asim"), col("vec"), col("nrm"), lit(snap.version).as("version"))
 
   /** The inverted-list layout: cell-range-partitioned and cell-sorted,
     * so a probe's pushed `cell IN (...)` filter prunes row groups. The
@@ -145,7 +148,8 @@ object IvfIndex {
     cs.toDF("cell0", "vec")
       .select(lit(CentroidsMarker).as("file_path"),
         lit(null).cast(idType).as(idCol),
-        col("cell0").cast("int").as("cell"), col("vec"),
+        col("cell0").cast("int").as("cell"),
+        lit(null).cast("double").as("asim"), col("vec"),
         VectorExpressions.l2Norm(col("vec")).as("nrm"),
         lit(trainedVersion).as("version"))
   }
@@ -175,8 +179,21 @@ object IvfIndex {
   /** Incrementally extend the index: assign ONLY uncovered coverable
     * files against the PERSISTED centroids, keep surviving entries
     * verbatim, drop entries of departed files. Idle refresh publishes
-    * nothing. Returns the indexed version. */
-  def refresh(log: DeltaLog, idCol: String, vecCol: String): Long = {
+    * nothing. Returns the indexed version.
+    *
+    * QUANTIZER DRIFT GAUGE (the IVF analogue of the clustering
+    * bounds-drift gauge): every entry carries its assignment
+    * similarity (`asim` — the chosen cell's round-4 cosine), so the
+    * index itself is the quality baseline. When the NEW files' mean
+    * asim falls more than `driftThreshold` below the existing
+    * entries' mean, the incoming distribution no longer fits the
+    * frozen quantizer — new points would pile into ill-fitting cells
+    * and probe recall would silently rot — and the refresh routes to a
+    * full [[build]], which retrains. NaN (the default) defers to
+    * `spark.graft.ivf.driftThreshold` (default 0.2 cosine); ≥ 2 can
+    * never trigger (cosine spans 4 ⇒ forced incremental). */
+  def refresh(log: DeltaLog, idCol: String, vecCol: String,
+      driftThreshold: Double = Double.NaN): Long = {
     val spark = log.spark
     val snap = log.snapshot
     validate(snap, idCol, vecCol)
@@ -200,8 +217,33 @@ object IvfIndex {
       Seq("file_path"), "left_semi")
     val newEntries =
       if (missing.isEmpty) idx.limit(0)
-      else scanEntries(log, snap, missing, idCol, vecCol,
-        storedCentroids(idx))
+      else {
+        // materialize (ingest-sized) so the drift agg and the publish
+        // share one assignment pass over the new files
+        val e = scanEntries(log, snap, missing, idCol, vecCol,
+          storedCentroids(idx)).localCheckpoint()
+        val threshold = {
+          val v = if (!driftThreshold.isNaN) driftThreshold
+            else spark.conf.get("spark.graft.ivf.driftThreshold", "0.2").toDouble
+          require(v >= 0.0, s"driftThreshold must be >= 0, got $v")
+          v
+        }
+        val newAvg = Option(e.agg(avg("asim")).head.get(0))
+          .map(_.asInstanceOf[Double])
+        val oldAvg = Option(
+          idx.where(col("file_path") =!= CentroidsMarker)
+            .agg(avg("asim")).head.get(0))
+          .map(_.asInstanceOf[Double])
+        (oldAvg, newAvg) match {
+          case (Some(o), Some(nw)) if o - nw > threshold =>
+            // the frozen quantizer no longer fits the incoming data —
+            // retrain on the whole corpus (full rebuild)
+            return build(log, idCol, vecCol,
+              k = storedCentroids(idx).size)
+          case _ => ()
+        }
+        e
+      }
     publish(log, indexDir(log, idCol, vecCol), kept.unionByName(newEntries))
     snap.version
   }

@@ -99,6 +99,52 @@ class IvfIndexSpec extends SparkTestBase {
     assert(asSet(viaIdx) == asSet(direct))
   }
 
+  test("quantizer drift gauge: a shifted ingest routes to a retraining rebuild") {
+    // the appended vectors point away from every trained centroid
+    // (alternating signs vs the clusters' positive directions), so
+    // their mean assignment cosine collapses — the gauge must notice
+    def shifted() = (100L until 124L).map(i =>
+      (i, (0 until 6).map(j =>
+        (if (j % 2 == 0) 1.0 else -1.0) * (3.0 + (i + j) % 3))))
+      .toDF("vec_id", "embedding")
+    def centroidsOf(log: DeltaLog) =
+      IvfIndex.centroids(log, "vec_id", "embedding").get
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // FORCED incremental (threshold can never trigger): quantizer kept,
+    // drifted files clamp into ill-fitting cells
+    val forced = scratch()
+    IvfIndex.build(forced, "vec_id", "embedding", k = 4)
+    val cForced = centroidsOf(forced)
+    TransactionWriter.append(forced, shifted().repartition(2, col("vec_id")))
+    IvfIndex.refresh(DeltaLog.forPath(spark, forced.tablePath),
+      "vec_id", "embedding", driftThreshold = 10.0)
+    assert(centroidsOf(forced) == cForced,
+      "forced-incremental refresh must keep the quantizer")
+    // DEFAULT gauge: the same ingest routes to a full rebuild — the
+    // quantizer retrains and every file is re-assigned at the new
+    // version (the rebuild observable)
+    val routed = scratch()
+    IvfIndex.build(routed, "vec_id", "embedding", k = 4)
+    val cBefore = centroidsOf(routed)
+    TransactionWriter.append(routed, shifted().repartition(2, col("vec_id")))
+    val fresh = DeltaLog.forPath(spark, routed.tablePath)
+    val v = IvfIndex.refresh(fresh, "vec_id", "embedding")
+    assert(centroidsOf(routed) != cBefore,
+      "drift past the threshold must retrain the quantizer")
+    val versions = IvfIndex.entries(routed, "vec_id", "embedding").get
+      .where(col("file_path") =!= "__centroids")
+      .select("version").distinct().collect().map(_.getLong(0)).toSet
+    assert(versions == Set(v), s"rebuild must re-assign everything, got $versions")
+    // and search through the retrained index still matches the operator
+    val queries = rows(0, 4)
+    val viaIdx = IvfIndex.search(fresh, queries, "vec_id", "embedding", 3, 2)
+    val direct = graft.operators.Similarity.ivfTopK(
+      fresh.snapshot.read(), queries,
+      IvfIndex.centroids(routed, "vec_id", "embedding").get,
+      "vec_id", "embedding", 3, 2)
+    assert(asSet(viaIdx) == asSet(direct))
+  }
+
   test("search without an index refuses loudly") {
     val log = scratch()
     val err = intercept[IllegalStateException] {
