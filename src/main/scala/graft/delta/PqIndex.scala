@@ -1,0 +1,348 @@
+package graft.delta
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorExpressions
+import graft.operators.Pq
+
+/** Persisted IVF-PQ index over an embedding column — the ANN sidecar
+  * that actually fits 100 TB at rest.
+  *
+  * [[IvfIndex]] persists the inverted-list layout but stores RAW
+  * vectors per entry, so the sidecar is corpus-sized (KBs per row at
+  * dim 1k+). Here an entry is `(cell, codes)` — one small int plus `m`
+  * byte-sized code values — so the index is ~`dim·8 / m` times smaller
+  * and a probe's candidate scan reads codes, not vectors
+  * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+  * TPAMI 2011; the operator-path semantics live in
+  * [[graft.operators.Pq.ivfPqTopK]]).
+  *
+  * Sidecar relation (one [[Sidecar]] generation, cell-sorted):
+  *
+  *   data rows    (file_path, id, cell, codes, qerr, version)
+  *   "__coarse"   (sub = 0, cid, vec)  — the coarse quantizer
+  *   "__books"    (sub = j, cid, vec)  — the m PQ codebooks
+  *
+  * Quantizers ride the SAME relation so the (coarse, books,
+  * assignments) triple is atomic under generation swaps. Every
+  * expression — coarse cell, code assignment, reconstruction, ADC —
+  * is [[graft.operators.Pq]]'s verbatim, so search through the index
+  * equals `ivfPqTopK` given the same quantizers, row for row.
+  *
+  * Maintenance contract (the [[LshIndex]]/[[IvfIndex]] economics):
+  * [[refresh]] encodes ONLY uncovered coverable files under the
+  * PERSISTED quantizers; surviving entries are carried VERBATIM with
+  * their original scan `version` (the no-rescan observable); departed
+  * files drop; files with live deletion vectors are never covered and
+  * are encoded LIVE by the probe — a stale index costs IO, never a
+  * phantom neighbor.
+  *
+  * QUANTIZATION-DRIFT GAUGE: every entry carries its round-4 PQ
+  * reconstruction error (`qerr = ||v − recon||²`). When the new files'
+  * mean error exceeds the stored entries' mean by more than
+  * `driftThreshold` RELATIVELY (error is scale-ful, unlike the IVF
+  * gauge's bounded cosine, so the test is `new > old · (1+t)`), the
+  * frozen codebooks no longer describe the incoming distribution —
+  * ADC distances would silently rot — and the refresh routes to a full
+  * [[build]] retrain with the same (kCoarse, m, k). NaN defers to
+  * `spark.graft.ivfpq.driftThreshold` (default 1.0 = new mean error
+  * more than double the old); `Double.PositiveInfinity` forces the
+  * incremental path.
+  *
+  * Scale shape: build/refresh is one map-only encode pass over the
+  * missing files (m·k + kCoarse small distance evaluations per row) +
+  * a cell range partition; search reads the driver-sized quantizer
+  * rows, prunes the index scan to the probed cells (pushed `cell IN`
+  * over cell-sorted parquet), reconstructs candidates once, and ranks
+  * by ADC. Driver footprint: kCoarse + m·k codebook rows and one
+  * distinct-file-path collect. */
+object PqIndex {
+
+  private val CoarseMarker = "__coarse"
+  private val BooksMarker = "__books"
+
+  def indexDir(log: DeltaLog, idCol: String, vecCol: String): String =
+    new org.apache.hadoop.fs.Path(
+      log.rootPath, s"_graft_index/ivfpq_${idCol}_$vecCol").toString
+
+  /** The live sidecar relation, None when no index is built. */
+  def entries(log: DeltaLog, idCol: String, vecCol: String): Option[DataFrame] =
+    Sidecar.read(log.spark, indexDir(log, idCol, vecCol))
+
+  /** The persisted quantizers in [[Pq.trainCodebooks]]'s shape:
+    * (coarse m=1 book, PQ books). */
+  def quantizers(log: DeltaLog, idCol: String, vecCol: String)
+      : Option[(Seq[(Int, Long, Array[Double])], Seq[(Int, Long, Array[Double])])] =
+    entries(log, idCol, vecCol).map(storedQuantizers)
+
+  private def storedQuantizers(idx: DataFrame)
+      : (Seq[(Int, Long, Array[Double])], Seq[(Int, Long, Array[Double])]) = {
+    def load(marker: String) = idx.where(col("file_path") === marker)
+      .select(col("sub"), col("cid"), col("vec")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+      .toSeq.sortBy(x => (x._1, x._2))
+    (load(CoarseMarker), load(BooksMarker))
+  }
+
+  private def validate(snap: Snapshot, idCol: String, vecCol: String): Unit =
+    Seq(idCol, vecCol).foreach { c =>
+      require(snap.schema.fieldNames.contains(c),
+        s"column $c not in table schema " +
+          snap.schema.fieldNames.mkString("[", ", ", "]"))
+      require(!snap.metadata.partitionColumns.contains(c),
+        s"$c is a partition column — the index scans data files directly")
+    }
+
+  private def coverableFiles(snap: Snapshot): Seq[AddFile] =
+    snap.planFiles().filterNot(_.deletionVector.exists(_.cardinality > 0))
+
+  /** Raw (file_path, id, v) rows of `files` — physical parquet read
+    * with file_path bound BEFORE any shuffle. */
+  private def rawRows(log: DeltaLog, snap: Snapshot,
+      files: Seq[AddFile], idCol: String, vecCol: String): DataFrame = {
+    val physId = snap.physicalNameOf(idCol)
+    val physVec = snap.physicalNameOf(vecCol)
+    val partPhys = snap.metadata.partitionColumns.map(snap.physicalNameOf).toSet
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      snap.physicalSchema.filterNot(f => partPhys.contains(f.name)))
+    log.spark.read.schema(dataSchema)
+      .parquet(files.map(snap.absolutePath): _*)
+      .select(input_file_name().as("file_path"),
+        col(physId).as(idCol), col(physVec).as(vecCol))
+  }
+
+  /** Per-row (cell, codes, qerr) under the given quantizers — the
+    * EXACT expressions of [[Pq.ivfPqTopK]]'s corpus pass (round-4
+    * squared-L2, lowest-cid ties), plus the reconstruction error the
+    * drift gauge reads. Input rows carry (vecCol, passthrough...). */
+  private def encodeRows(rows: DataFrame, vecCol: String,
+      coarse: Seq[(Int, Long, Array[Double])],
+      books: Seq[(Int, Long, Array[Double])]): DataFrame = {
+    val m = books.map(_._1).max + 1
+    val dsub = books.head._3.length
+    val dims = coarse.head._3.length
+    val coarseDists = transform(Pq.bookLit(coarse, 0),
+      c => round(Pq.l2sq(
+        Pq.asDouble(slice(col(vecCol), lit(1), lit(dims))), c), 4))
+    val codeCols = (0 until m).map { j =>
+      val dists = transform(Pq.bookLit(books, j),
+        c => round(Pq.l2sq(
+          Pq.asDouble(slice(col(vecCol), lit(j * dsub + 1), lit(dsub))), c), 4))
+      array_position(dists, array_min(dists)).cast("int")
+    }
+    val recon = (0 until m).map { j =>
+      element_at(Pq.bookLit(books, j), element_at(col("codes"), j + 1))
+    }.reduce(concat(_, _))
+    rows
+      .withColumn("cell",
+        array_position(coarseDists, array_min(coarseDists)).cast("int"))
+      .withColumn("codes", array(codeCols: _*))
+      .withColumn("qerr",
+        round(Pq.l2sq(Pq.asDouble(col(vecCol)), recon), 4))
+      .drop(vecCol)
+  }
+
+  /** Encoded entries for `files`, in sidecar row shape. */
+  private def scanEntries(log: DeltaLog, snap: Snapshot, files: Seq[AddFile],
+      idCol: String, vecCol: String,
+      coarse: Seq[(Int, Long, Array[Double])],
+      books: Seq[(Int, Long, Array[Double])]): DataFrame =
+    encodeRows(rawRows(log, snap, files, idCol, vecCol), vecCol, coarse, books)
+      .select(col("file_path"), col(idCol), col("cell"), col("codes"),
+        col("qerr"),
+        lit(null).cast("int").as("sub"), lit(null).cast("long").as("cid"),
+        lit(null).cast("array<double>").as("vec"),
+        lit(snap.version).as("version"))
+
+  private def quantizerRows(log: DeltaLog, snap: Snapshot, idCol: String,
+      coarse: Seq[(Int, Long, Array[Double])],
+      books: Seq[(Int, Long, Array[Double])], trainedVersion: Long): DataFrame = {
+    import log.spark.implicits._
+    val idType = snap.schema(idCol).dataType
+    (coarse.map { case (j, cid, cv) => (CoarseMarker, j, cid, cv.toSeq) } ++
+      books.map { case (j, cid, cv) => (BooksMarker, j, cid, cv.toSeq) })
+      .toDF("file_path", "sub", "cid", "vec")
+      .select(col("file_path"), lit(null).cast(idType).as(idCol),
+        lit(null).cast("int").as("cell"),
+        lit(null).cast("array<int>").as("codes"),
+        lit(null).cast("double").as("qerr"),
+        col("sub"), col("cid"), col("vec"),
+        lit(trainedVersion).as("version"))
+  }
+
+  /** The inverted-list layout: cell-range-partitioned + cell-sorted so
+    * a probe's pushed `cell IN (...)` prunes row groups; the quantizer
+    * rows (null cell) sort into the first partition, noise-free. */
+  private def publish(log: DeltaLog, dir: String, entries: DataFrame): Unit =
+    Sidecar.swapIn(log.spark, dir,
+      entries.repartitionByRange(
+        math.max(1, log.spark.sparkContext.defaultParallelism / 4),
+        col("cell"))
+        .sortWithinPartitions("cell"))
+
+  /** Train both quantizers (deterministic md5-anchored k-means,
+    * [[Pq.trainCodebooks]]) on the current corpus and encode every
+    * coverable file. Returns the indexed version. */
+  def build(log: DeltaLog, idCol: String, vecCol: String,
+      kCoarse: Int = 8, m: Int = 4, k: Int = 16, iterations: Int = 2): Long = {
+    val snap = log.snapshot
+    validate(snap, idCol, vecCol)
+    val files = coverableFiles(snap)
+    if (files.isEmpty) return snap.version
+    val corpus = snap.read()
+    val coarse = Pq.trainCodebooks(corpus, idCol, vecCol,
+      m = 1, k = kCoarse, iterations = iterations)
+    val books = Pq.trainCodebooks(corpus, idCol, vecCol,
+      m = m, k = k, iterations = iterations)
+    publish(log, indexDir(log, idCol, vecCol),
+      quantizerRows(log, snap, idCol, coarse, books, snap.version)
+        .unionByName(scanEntries(log, snap, files, idCol, vecCol, coarse, books)))
+    snap.version
+  }
+
+  /** Incrementally extend the index: encode ONLY uncovered coverable
+    * files under the PERSISTED quantizers, keep surviving entries
+    * verbatim, drop entries of departed files. Idle refresh publishes
+    * nothing. Routes to a full retraining [[build]] when the drift
+    * gauge trips (scaladoc above). Returns the indexed version. */
+  def refresh(log: DeltaLog, idCol: String, vecCol: String,
+      driftThreshold: Double = Double.NaN): Long = {
+    val spark = log.spark
+    val snap = log.snapshot
+    validate(snap, idCol, vecCol)
+    val idx = entries(log, idCol, vecCol).getOrElse(
+      return build(log, idCol, vecCol))
+    val markers = Set(CoarseMarker, BooksMarker)
+    val storedRaw = idx.where(!col("file_path").isin(markers.toSeq: _*))
+      .select("file_path").distinct().collect().map(_.getString(0)).toSeq
+    val coverable = coverableFiles(snap)
+    val coverableNorm = coverable
+      .flatMap(f => snap.pathCandidates(f).map(Mutations.normalize)).toSet
+    val liveStored = storedRaw
+      .filter(p => coverableNorm.contains(Mutations.normalize(p)))
+    val coveredNorm = storedRaw.map(Mutations.normalize).toSet
+    val missing = coverable.filterNot(f =>
+      snap.pathCandidates(f).map(Mutations.normalize).exists(coveredNorm))
+    if (missing.isEmpty && liveStored.size == storedRaw.size)
+      return snap.version
+    import spark.implicits._
+    val kept = idx.join(
+      broadcast((markers.toSeq ++ liveStored).toDF("file_path")),
+      Seq("file_path"), "left_semi")
+    val newEntries =
+      if (missing.isEmpty) idx.limit(0)
+      else {
+        val (coarse, books) = storedQuantizers(idx)
+        // materialize (ingest-sized) so the drift agg and the publish
+        // share one encode pass over the new files
+        val e = scanEntries(log, snap, missing, idCol, vecCol, coarse, books)
+          .localCheckpoint()
+        val threshold = {
+          val v = if (!driftThreshold.isNaN) driftThreshold
+            else spark.conf.get("spark.graft.ivfpq.driftThreshold", "1.0").toDouble
+          require(v >= 0.0, s"driftThreshold must be >= 0, got $v")
+          v
+        }
+        val newAvg = Option(e.agg(avg("qerr")).head.get(0))
+          .map(_.asInstanceOf[Double])
+        val oldAvg = Option(
+          idx.where(!col("file_path").isin(markers.toSeq: _*))
+            .agg(avg("qerr")).head.get(0))
+          .map(_.asInstanceOf[Double])
+        (oldAvg, newAvg) match {
+          case (Some(o), Some(nw)) if nw > o * (1.0 + threshold) =>
+            // the frozen codebooks no longer fit the incoming data —
+            // retrain both quantizers on the whole corpus
+            val m = books.map(_._1).max + 1
+            return build(log, idCol, vecCol,
+              kCoarse = coarse.size, m = m, k = books.size / m)
+          case _ => ()
+        }
+        e
+      }
+    publish(log, indexDir(log, idCol, vecCol), kept.unionByName(newEntries))
+    snap.version
+  }
+
+  /** ANN top-k THROUGH the index: per query, rank its nprobe coarse
+    * cells ([[Pq.probeCells]] against the persisted coarse book), read
+    * ONLY those cells' code entries (pushed `cell IN` over the
+    * cell-sorted sidecar; uncovered/DV'd active files encoded live
+    * against the persisted quantizers), reconstruct each candidate
+    * once, rank by asymmetric distance with the operator path's exact
+    * rounding and tie-breaks. Output: (query_id, neighbor_id, adist,
+    * rnk) — [[Pq.ivfPqTopK]]'s schema, row-identical to it given the
+    * same quantizers. No index → refuses loudly. */
+  def search(log: DeltaLog, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nprobe: Int = 2): DataFrame = {
+    val spark = log.spark
+    val snap = log.snapshot
+    validate(snap, idCol, vecCol)
+    val idx = entries(log, idCol, vecCol).getOrElse(
+      throw new IllegalStateException(
+        s"no IVF-PQ index on ${log.tablePath} for ($idCol, $vecCol): run " +
+          "GRAFT CREATE IVFPQ INDEX first (or use Pq.ivfPqTopK)"))
+    val (coarse, books) = storedQuantizers(idx)
+    val m = books.map(_._1).max + 1
+    val markers = Set(CoarseMarker, BooksMarker)
+    // query side: probe cells + raw-vector norms ([[Pq.ivfPqTopK]]'s q)
+    val q = queries
+      .select(col(idCol).as("query_id"), Pq.asDouble(col(vecCol)).as("__qv"))
+      .dropDuplicates("query_id")
+      .withColumn("__qn2", VectorExpressions.dot(col("__qv"), col("__qv")))
+      .join(Pq.probeCells(queries, idCol, vecCol, coarse, nprobe),
+        Seq("query_id"))
+    // the probed cells, collected (≤ kCoarse values — the coarse book
+    // already lives on the driver) so the index scan gets a pushed IN
+    val probedCells = q.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    // covered entries of still-active DV-free files only
+    val storedRaw = idx.where(!col("file_path").isin(markers.toSeq: _*))
+      .select("file_path").distinct().collect().map(_.getString(0)).toSeq
+    val coverable = coverableFiles(snap)
+    val coverableNorm = coverable
+      .flatMap(f => snap.pathCandidates(f).map(Mutations.normalize)).toSet
+    val usable = storedRaw
+      .filter(p => coverableNorm.contains(Mutations.normalize(p)))
+    val coveredNorm = usable.map(Mutations.normalize).toSet
+    val liveFiles = snap.planFiles().filter { f =>
+      f.deletionVector.exists(_.cardinality > 0) ||
+        !snap.pathCandidates(f).map(Mutations.normalize).exists(coveredNorm)
+    }
+    import spark.implicits._
+    val recon = (0 until m).map { j =>
+      element_at(Pq.bookLit(books, j), element_at(col("codes"), j + 1))
+    }.reduce(concat(_, _))
+    val indexed = idx
+      .where(col("cell").isin(probedCells: _*)) // pushed: cell-sorted files
+      .join(broadcast(usable.toDF("file_path")), Seq("file_path"), "left_semi")
+      .select(col(idCol).as("neighbor_id"), col("cell"), col("codes"))
+    val live =
+      if (liveFiles.isEmpty) indexed.limit(0)
+      else {
+        // LOGICAL read, not the raw-parquet build primitive: these
+        // files carry DVs (or are not yet indexed) — a physical read
+        // would resurface deleted vectors as phantom neighbors
+        val liveRows = snap.readFiles(liveFiles)
+          .select(col(idCol), col(vecCol))
+        encodeRows(liveRows, vecCol, coarse, books)
+          .where(col("cell").isin(probedCells: _*))
+          .select(col(idCol).as("neighbor_id"), col("cell"), col("codes"))
+      }
+    val cand = indexed.unionByName(live)
+      .withColumn("__rv", recon)
+      .withColumn("__rn2", VectorExpressions.dot(col("__rv"), col("__rv")))
+    cand.join(broadcast(q.withColumnRenamed("cell", "qcell")),
+        col("cell") === col("qcell") && col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("__qn2") -
+          lit(2.0) * VectorExpressions.dot(col("__qv"), col("__rv")) +
+          col("__rn2"), 4).as("adist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("adist"), col("neighbor_id"))))
+      .where(col("rnk") <= k)
+  }
+}

@@ -24,13 +24,13 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
-  private[operators] def asDouble(c: Column): Column =
+  private[graft] def asDouble(c: Column): Column =
     transform(c, x => x.cast("double"))
 
   /** Sequential-order squared L2 distance between two double arrays
     * (matches DuckDB's `list_sum(list_transform(...))` evaluation
     * order; compare only after ROUND(.,4)). */
-  private[operators] def l2sq(a: Column, b: Column): Column =
+  private[graft] def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc: Column, x: Column) => acc + x)
 
@@ -107,7 +107,7 @@ object Pq {
 
   /** The codebook for one subspace as a literal
     * `array<array<double>>`, index = cid + 1 (1-based). */
-  private[operators] def bookLit(
+  private[graft] def bookLit(
       books: Seq[(Int, Long, Array[Double])], j: Int): Column =
     typedLit(books.filter(_._1 == j).sortBy(_._2).map(_._3.toSeq))
 

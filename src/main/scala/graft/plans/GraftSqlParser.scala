@@ -53,6 +53,9 @@ import graft.delta.{Clone, Constraints, DeltaLog, Maintenance, Mutations}
   * GRAFT CREATE IVF INDEX ON '<path>' (<idCol>, <vecCol>) [K <k>]  -- persisted ANN inverted lists
   * GRAFT REFRESH IVF INDEX ON '<path>' (<idCol>, <vecCol>)         -- assign only uncovered files
   * GRAFT DROP IVF INDEX ON '<path>' (<idCol>, <vecCol>)
+  * GRAFT CREATE IVFPQ INDEX ON '<path>' (<idCol>, <vecCol>) [CELLS <kc>] [M <m>] [K <k>]  -- PQ-coded inverted lists
+  * GRAFT REFRESH IVFPQ INDEX ON '<path>' (<idCol>, <vecCol>)       -- encode only uncovered files
+  * GRAFT DROP IVFPQ INDEX ON '<path>' (<idCol>, <vecCol>)
   * GRAFT REGISTER TABLE <name> LOCATION '<path>'   -- persisted across sessions
   * GRAFT UNREGISTER TABLE <name>
   * GRAFT RESTORE TABLES                            -- re-register persisted names
@@ -139,6 +142,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+REFRESH\s+IVF\s+INDEX\s+ON\s+'([^']+)'\s*\((\w+)\s*,\s*(\w+)\)\s*""".r
   private val DropIvfIndex =
     """(?is)\s*GRAFT\s+DROP\s+IVF\s+INDEX\s+ON\s+'([^']+)'\s*\((\w+)\s*,\s*(\w+)\)\s*""".r
+  private val CreateIvfPqIndex =
+    ("""(?is)\s*GRAFT\s+CREATE\s+IVFPQ\s+INDEX\s+ON\s+'([^']+)'\s*""" +
+      """\((\w+)\s*,\s*(\w+)\)(?:\s+CELLS\s+(\d+))?(?:\s+M\s+(\d+))?""" +
+      """(?:\s+K\s+(\d+))?\s*""").r
+  private val RefreshIvfPqIndex =
+    """(?is)\s*GRAFT\s+REFRESH\s+IVFPQ\s+INDEX\s+ON\s+'([^']+)'\s*\((\w+)\s*,\s*(\w+)\)\s*""".r
+  private val DropIvfPqIndex =
+    """(?is)\s*GRAFT\s+DROP\s+IVFPQ\s+INDEX\s+ON\s+'([^']+)'\s*\((\w+)\s*,\s*(\w+)\)\s*""".r
 
   /** Split a SET list on top-level commas only (commas inside
     * parentheses — function calls — don't separate assignments). */
@@ -316,6 +327,26 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           val log = DeltaLog.forPath(s, path)
           val dir = new org.apache.hadoop.fs.Path(
             graft.delta.IvfIndex.indexDir(log, idCol, vecCol))
+          val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+          Seq(Row(if (fs.delete(dir, true)) 1L else 0L))
+        })
+    case CreateIvfPqIndex(path, idCol, vecCol, cellsOpt, mOpt, kOpt) =>
+      GraftMaintenanceCommand(path, "create_ivfpq_index",
+        Seq("version"), s => Seq(Row(
+          graft.delta.PqIndex.build(DeltaLog.forPath(s, path), idCol, vecCol,
+            kCoarse = Option(cellsOpt).map(_.toInt).getOrElse(8),
+            m = Option(mOpt).map(_.toInt).getOrElse(4),
+            k = Option(kOpt).map(_.toInt).getOrElse(16)))))
+    case RefreshIvfPqIndex(path, idCol, vecCol) =>
+      GraftMaintenanceCommand(path, "refresh_ivfpq_index",
+        Seq("version"), s => Seq(Row(
+          graft.delta.PqIndex.refresh(DeltaLog.forPath(s, path), idCol, vecCol))))
+    case DropIvfPqIndex(path, idCol, vecCol) =>
+      GraftMaintenanceCommand(path, "drop_ivfpq_index",
+        Seq("dropped"), s => {
+          val log = DeltaLog.forPath(s, path)
+          val dir = new org.apache.hadoop.fs.Path(
+            graft.delta.PqIndex.indexDir(log, idCol, vecCol))
           val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
           Seq(Row(if (fs.delete(dir, true)) 1L else 0L))
         })

@@ -1485,12 +1485,27 @@ object Queries {
         kNeighbors = 3, nprobe = 2)
     }
 
-  private def qIvfPqKnnDuck: String =
+  private def qIvfPqKnnDuck: String = ivfPqReplayDuck(ivfPqBooksPath)
+
+  /** The persisted-IVF-PQ-index gate's quantizer export (per-process
+    * path for the same concurrency reasons as [[ivfPqBooksPath]]). */
+  private val ivfPqIndexBooksPath = sys.env.getOrElse(
+    "GRAFT_IVFPQ_INDEX_BOOKS_PATH",
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index_books_" +
+      s"${ProcessHandle.current().pid()}.parquet")
+
+  /** DuckDB replay of the IVF-PQ pipeline (cell assignment → probe →
+    * PQ encode → ADC) against exported quantizers — shared by the
+    * trained-quantizer gate and the persisted-index gate, which differ
+    * only in where the books came from (fresh training vs the index
+    * sidecar) and in the indexed gate's extra constant observables. */
+  private def ivfPqReplayDuck(
+      booksPath: String, extraCols: String = ""): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |cb AS (SELECT cid, cv FROM read_parquet('$ivfPqBooksPath/*.parquet')
+       |cb AS (SELECT cid, cv FROM read_parquet('$booksPath/*.parquet')
        |  WHERE book = 'c'),
        |pb AS (SELECT subspace, cid, cv
-       |  FROM read_parquet('$ivfPqBooksPath/*.parquet') WHERE book = 'p'),
+       |  FROM read_parquet('$booksPath/*.parquet') WHERE book = 'p'),
        |celld AS (SELECT e.vec_id, cb.cid,
        |    ROUND(list_sum(list_transform(range(1, 65),
        |      i -> (e.v[i] - cb.cv[i]) * (e.v[i] - cb.cv[i]))), 4) AS d
@@ -1529,7 +1544,7 @@ object Queries {
        |r AS (SELECT query_id, neighbor_id, adist,
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rnk
        |  FROM pairs)
-       |SELECT query_id, neighbor_id, adist, rnk FROM r WHERE rnk <= 3""".stripMargin
+       |SELECT query_id, neighbor_id, adist, rnk$extraCols FROM r WHERE rnk <= 3""".stripMargin
 
   /** SQ coarse centroids get their own per-process export (same
     * isolation reasoning as the IVF/PQ paths). Only the COARSE
@@ -4665,6 +4680,66 @@ object Queries {
         lit(if (newCovered) 1L else 0L).as("new_files_covered"),
         lit(if (matches) 1L else 0L).as("matches_operator"))
     }),
+    // PERSISTED IVF-PQ index, driver-verified END-TO-END — the
+    // at-rest-economics sibling of q_embedding_ivf_indexed: entries
+    // are (cell, codes), m+1 small ints per vector instead of the raw
+    // embedding, so the sidecar is ~dim·8/m× smaller and probes read
+    // codes. Build trains coarse + PQ books once on a scratch Delta
+    // corpus; after an append, GRAFT REFRESH IVFPQ INDEX encodes ONLY
+    // the new files under the FROZEN quantizers (old entries carried
+    // verbatim with their scan version — the no-rescan observable).
+    // Search through the index must equal Pq.ivfPqTopK under the same
+    // quantizers row-for-row (matches_operator) AND hash-match the
+    // oracle's ADC replay against the exported books.
+    "q_embedding_ivfpq_indexed" -> ((s, dir) => {
+      registerViews(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpqidx_")
+        .resolve("corpus").toString
+      val log = graft.delta.DeltaLog.forPath(s, tmp)
+      val emb = s.table("embeddings").select("vec_id", "embedding")
+      graft.delta.TransactionWriter.overwrite(log,
+        emb.where(col("vec_id") % 10 =!= 0).repartition(8, col("vec_id")))
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT CREATE IVFPQ INDEX ON '$tmp' (vec_id, embedding) " +
+          "CELLS 8 M 4 K 16").collect()
+      def fileVersions() = graft.delta.PqIndex
+        .entries(log, "vec_id", "embedding").get
+        .where(!col("file_path").isin("__coarse", "__books"))
+        .select("file_path", "version").distinct()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val before = fileVersions()
+      graft.delta.TransactionWriter.append(log,
+        emb.where(col("vec_id") % 10 === 0).repartition(2, col("vec_id")))
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT REFRESH IVFPQ INDEX ON '$tmp' (vec_id, embedding)").collect()
+      val after = fileVersions()
+      val oldKept = before.forall { case (p, v) => after.get(p).contains(v) }
+      val newCovered = after.size > before.size
+      val freshLog = graft.delta.DeltaLog.forPath(s, tmp)
+      // export the index's quantizers so the oracle (and the operator
+      // cross-check) replay against bit-identical codebook values
+      val (coarse, books) = graft.delta.PqIndex
+        .quantizers(freshLog, "vec_id", "embedding").get
+      import s.implicits._
+      (coarse.map { case (j, cid, cv) => ("c", j, cid, cv.toSeq) } ++
+        books.map { case (j, cid, cv) => ("p", j, cid, cv.toSeq) })
+        .toDF("book", "subspace", "cid", "cv")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(ivfPqIndexBooksPath)
+      val queries = emb.where(col("vec_id") % 25 === 0)
+      val viaIdx = graft.delta.PqIndex.search(
+        freshLog, queries, "vec_id", "embedding", k = 3, nprobe = 2)
+      val direct = graft.operators.Pq.ivfPqTopK(
+        freshLog.snapshot.read(), queries, "vec_id", "embedding",
+        coarse, books, kNeighbors = 3, nprobe = 2)
+      val matches = viaIdx.exceptAll(direct).isEmpty &&
+        direct.exceptAll(viaIdx).isEmpty
+      viaIdx.select(col("query_id"), col("neighbor_id"), col("adist"),
+        col("rnk"),
+        lit(if (oldKept) 1L else 0L).as("old_entries_kept"),
+        lit(if (newCovered) 1L else 0L).as("new_files_covered"),
+        lit(if (matches) 1L else 0L).as("matches_operator"))
+    }),
     "q_embedding_ivf_knn" -> cachedStagesQuery(ivfStages, qIvfKnnSparkFinal),
     "q_ann_recall" -> cachedStagesQuery(ivfStages, qAnnRecallSparkFinal),
     "q_embedding_ivf_trained" -> qIvfTrainedSpark,
@@ -5628,6 +5703,11 @@ object Queries {
         |  CAST(1 AS BIGINT) AS matches_operator""".stripMargin),
     "q_embedding_pq_knn" -> qPqKnnDuck,
     "q_embedding_ivfpq_knn" -> qIvfPqKnnDuck,
+    "q_embedding_ivfpq_indexed" -> ivfPqReplayDuck(ivfPqIndexBooksPath,
+      """,
+        |  CAST(1 AS BIGINT) AS old_entries_kept,
+        |  CAST(1 AS BIGINT) AS new_files_covered,
+        |  CAST(1 AS BIGINT) AS matches_operator""".stripMargin),
     "q_embedding_sq_knn" -> qSqKnnDuck,
     "q_embedding_stats" -> qEmbeddingStatsDuck,
     "q_kn_bigram" -> qKnBigramDuck,

@@ -122,6 +122,33 @@ object AnnDemo {
         "indexed IVF search diverged from the operator path")
       recallOf("IVF-index", viaIdx, 0.05)
 
+      // round-10: the PERSISTED IVF-PQ index — same lifecycle, but the
+      // sidecar stores (cell, codes) instead of raw vectors, so the
+      // at-rest entry is m+1 small ints; search must row-match the
+      // ivfPqTopK operator under the sidecar's own quantizers, and the
+      // data entries must prove the economics (codes, null vec)
+      graft.delta.PqIndex.build(log, "vec_id", "embedding",
+        kCoarse = 8, m = 4, k = 16)
+      graft.delta.PqIndex.refresh(fresh, "vec_id", "embedding")
+      val idxRows = graft.delta.PqIndex.entries(fresh, "vec_id", "embedding").get
+      require(idxRows.where(!col("file_path").isin("__coarse", "__books"))
+        .where(size(col("codes")) =!= 4 || col("vec").isNotNull).isEmpty,
+        "IVF-PQ entries must store exactly m codes and no vector payload")
+      val (pqCoarse, pqBooks) = graft.delta.PqIndex
+        .quantizers(fresh, "vec_id", "embedding").get
+      val viaPqIdx = graft.delta.PqIndex.search(
+          fresh, queries, "vec_id", "embedding", 3, 8) // all cells: ADC parity
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val directPq = graft.operators.Pq.ivfPqTopK(
+          fresh.snapshot.read(), queries, "vec_id", "embedding",
+          pqCoarse, pqBooks, kNeighbors = 3, nprobe = 8)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      require(viaPqIdx.toSet == directPq.toSet && viaPqIdx.nonEmpty,
+        "indexed IVF-PQ search diverged from the operator path")
+      recallOf("IVFPQ-index", viaPqIdx, 0.05)
+
       println("AnnDemo: all recall floors and invariants held")
     } finally spark.stop()
   }
