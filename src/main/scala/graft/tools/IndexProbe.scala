@@ -28,7 +28,7 @@ object IndexProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
-    import graft.delta.{DeltaLog, LshIndex, IvfIndex, TransactionWriter}
+    import graft.delta.{DeltaLog, LshIndex, IvfIndex, PqIndex, TransactionWriter}
     def t[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val r = f
       (r, (System.nanoTime() - t0) / 1e9)
@@ -147,6 +147,66 @@ object IndexProbe {
         f"verbatim=$vVerbatim newFiles=${vAfter.size - vBefore.size} " +
         f"searchEq=${sIdx == sOp}")
       if (!ivfOk) failures += 1
+
+      // bytes of a sidecar's CURRENT generation (the pointer-named dir)
+      def sidecarBytes(dir: String): Long = {
+        val base = new org.apache.hadoop.fs.Path(dir)
+        val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val in = fs.open(new org.apache.hadoop.fs.Path(base, "_current"))
+        val gen = try scala.io.Source.fromInputStream(in).mkString.trim
+          finally in.close()
+        fs.getContentSummary(new org.apache.hadoop.fs.Path(base, gen))
+          .getLength
+      }
+
+      // ---- IVF-PQ ----------------------------------------------------------
+      // same lifecycle on its own table, plus the AT-REST claim: the
+      // PQ-coded sidecar over the same corpus is smaller than the
+      // raw-vector IVF sidecar (codes, not embeddings — the gap widens
+      // linearly with dimension; these probe vectors are only 8-D)
+      val pdir = java.nio.file.Files.createTempDirectory("graft_iprobe_p_")
+        .resolve("t").toString
+      val plog = DeltaLog.forPath(spark, pdir)
+      TransactionWriter.overwrite(plog,
+        vecs(0, n).repartition(16, col("vec_id")))
+      val (_, tPBuild) = t(PqIndex.build(plog, "vec_id", "embedding",
+        kCoarse = 16, m = 4, k = 16))
+      val pMarkers = Seq("__coarse", "__books")
+      val pBefore = PqIndex.entries(plog, "vec_id", "embedding").get
+        .where(!col("file_path").isin(pMarkers: _*))
+        .select("file_path", "version").distinct()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      TransactionWriter.append(plog,
+        vecs(n, n + delta).repartition(2, col("vec_id")))
+      val pfresh = DeltaLog.forPath(spark, pdir)
+      val (_, tPRefresh) = t(PqIndex.refresh(pfresh, "vec_id", "embedding"))
+      val pAfter = PqIndex.entries(plog, "vec_id", "embedding").get
+        .where(!col("file_path").isin(pMarkers: _*))
+        .select("file_path", "version").distinct()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val pVerbatim = pBefore.forall { case (p, v) => pAfter.get(p).contains(v) }
+      val (pqCoarse, pqBooks) = PqIndex
+        .quantizers(pfresh, "vec_id", "embedding").get
+      val pIdx = PqIndex.search(pfresh, queries, "vec_id", "embedding", 3, 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      val pOp = graft.operators.Pq.ivfPqTopK(
+        pfresh.snapshot.read(), queries, "vec_id", "embedding",
+        pqCoarse, pqBooks, kNeighbors = 3, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      val pCovered = pBefore.keySet.map(graft.delta.Mutations.normalize)
+      val (pScan, pTotal) = ioOf(pfresh, pCovered)
+      val pqBytes = sidecarBytes(PqIndex.indexDir(plog, "vec_id", "embedding"))
+      val ivfBytes = sidecarBytes(IvfIndex.indexDir(vlog, "vec_id", "embedding"))
+      val pqOk = pVerbatim && pAfter.size - pBefore.size == 2 &&
+        pIdx == pOp && pScan * 5 <= pTotal && pqBytes < ivfBytes
+      println(f"[indexprobe] PQ  rows=$n%8d delta=$delta%7d " +
+        f"build=$tPBuild%6.2f s refresh=$tPRefresh%6.2f s " +
+        f"scanMB=${pScan / 1e6}%6.2f of ${pTotal / 1e6}%7.2f " +
+        f"(ioRatio=${pTotal.toDouble / math.max(pScan, 1)}%5.1fx) " +
+        f"atRestMB=${pqBytes / 1e6}%6.2f vs IVF ${ivfBytes / 1e6}%6.2f " +
+        f"(${ivfBytes.toDouble / math.max(pqBytes, 1)}%4.2fx) " +
+        f"verbatim=$pVerbatim searchEq=${pIdx == pOp}")
+      if (!pqOk) failures += 1
 
       factor *= 2
     }
