@@ -334,4 +334,94 @@ object Sketches {
       .select(col(idCol), col("bucket"),
         (col("__local") + col("__off")).as("pos"))
   }
+
+  // ---- bottom-k quantile sketch --------------------------------------------
+  //
+  // The distribution member of the sketch family (CMS = counts, HLL =
+  // distinct, this = quantiles): per group, keep the k rows whose
+  // md5-derived 28-bit hash of the ID is smallest — a deterministic
+  // uniform sample of FIXED size (bottom-k sketches, Cohen & Kaplan,
+  // PODC 2007), so per-group state is k rows no matter how large the
+  // group grows, and the sample's empirical quantiles estimate the
+  // group's with the usual O(1/√k) error. Bottom-k under a fixed total
+  // order is associative: the union of two groups' sketches re-sketched
+  // IS the sketch of the union ([[mergeQuantileSketches]] — the algebra
+  // that lets per-shard sketches roll up without touching row data).
+  // Everything is md5-anchored, so the DuckDB oracle replays selection
+  // and quantile ranks bit-for-bit.
+
+  private def qskHash(idCol: String): Column =
+    TextFunctions.hash28(concat(lit("qs|"), col(idCol).cast("string")))
+
+  /** Build the per-group sketch: `(groupCols..., idCol, valueCol)`,
+    * ≤ k rows per group (all rows when the group is smaller).
+    *
+    * 100 TB shape: a broadcast of the per-group counts (group
+    * cardinality is sketch metadata, same order as the output) turns
+    * the scan into a map-only hash-threshold filter keeping
+    * ~`oversample·k` rows per group — the exact bottom-k window then
+    * sorts only survivors, never the table (the [[rangeBounds]]
+    * sample-only-sort discipline). The threshold arithmetic is pure
+    * integer, so both engines compute the identical survivor set. */
+  def quantileSketch(df: DataFrame, groupCols: Seq[String], idCol: String,
+      valueCol: String, k: Int, oversample: Int = 8): DataFrame = {
+    require(k > 0 && oversample > 0, s"need k > 0, oversample > 0")
+    val gcols = groupCols.map(col)
+    val counts = df.groupBy(gcols: _*).agg(count(lit(1)).as("__n"))
+    // integer ceil(oversample·k·2^28 / n), capped at the full range —
+    // DIV, not `/` (double division), so both engines compute the
+    // identical per-group threshold
+    val threshold = least(lit(268435456L),
+      expr(s"(CAST(${oversample.toLong * k} AS BIGINT) * 268435456 " +
+        "+ __n - 1) DIV __n"))
+    val survivors = df.join(broadcast(counts), groupCols)
+      .where(qskHash(idCol) < threshold)
+    val w = Window.partitionBy(gcols: _*)
+      .orderBy(qskHash(idCol), col(idCol))
+    survivors
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") <= k)
+      .select((gcols :+ col(idCol) :+ col(valueCol)): _*)
+  }
+
+  /** Re-sketch the union of sketches: bottom-k per group of the
+    * combined rows (hashes recomputed from the IDs — the sketch stays
+    * a plain relation, no opaque state). Associativity makes this the
+    * sketch of the combined input whenever each argument covered its
+    * own input's bottom-k. */
+  def mergeQuantileSketches(sketches: Seq[DataFrame],
+      groupCols: Seq[String], idCol: String, k: Int): DataFrame = {
+    require(sketches.nonEmpty, "need at least one sketch")
+    val gcols = groupCols.map(col)
+    val w = Window.partitionBy(gcols: _*)
+      .orderBy(qskHash(idCol), col(idCol))
+    sketches.reduce(_ unionByName _)
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") <= k)
+      .drop("__r")
+  }
+
+  /** Empirical quantiles from a sketch: for each probability `p` (in
+    * integer percent), the value at 1-based rank `ceil(p·m/100)` of
+    * the sample ordered by `(value, id)` — integer rank arithmetic,
+    * deterministic ties, so the oracle reproduces every picked value.
+    * Output: `(groupCols..., p_e2, value, n_sample)`. Sketches are
+    * k-bounded, so the per-group sort is a k-row array sort. */
+  def quantileFromSketch(sketch: DataFrame, groupCols: Seq[String],
+      idCol: String, valueCol: String, probsE2: Seq[Int]): DataFrame = {
+    require(probsE2.nonEmpty && probsE2.forall(p => p > 0 && p <= 100),
+      s"probabilities must be integer percents in (0, 100]: $probsE2")
+    val gcols = groupCols.map(col)
+    val sorted = sketch.groupBy(gcols: _*)
+      .agg(sort_array(collect_list(struct(col(valueCol).as("v"),
+        col(idCol).as("i")))).as("__s"))
+    sorted.select((gcols :+
+        explode(typedLit(probsE2.sorted)).as("p_e2") :+
+        col("__s")): _*)
+      // integer ceil(p·m/100) — DIV, not `/` (double division)
+      .withColumn("__rk", expr("CAST((p_e2 * size(__s) + 99) DIV 100 AS INT)"))
+      .select((gcols :+ col("p_e2") :+
+        element_at(col("__s"), col("__rk")).getField("v").as("value") :+
+        size(col("__s")).cast("long").as("n_sample")): _*)
+  }
 }

@@ -504,6 +504,30 @@ object Queries {
         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END"""
         .stripMargin.replace("\n", " ")
 
+  /** DuckDB replay of the bottom-k quantile sketch (per-group count →
+    * integer hash threshold → bottom-64-by-md5 → integer quantile
+    * ranks) — shared by the sketch gate and the merge-algebra gate,
+    * whose merged result is in-gate-asserted equal to this whole-corpus
+    * path. 137438953472 = oversample(8) · k(64) · 2^28. */
+  private def quantileSketchDuck(extraCols: String = ""): String =
+    s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+       |hh AS (SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS v,
+       |    ('0x' || substr(md5('qs|' || doc_id::VARCHAR), 1, 7))::BIGINT AS h
+       |  FROM documents),
+       |s AS (SELECT hh.lang, hh.doc_id, hh.v, hh.h FROM hh JOIN c USING (lang)
+       |  WHERE hh.h < LEAST(268435456, (137438953472 + c.n - 1) // c.n)),
+       |k AS (SELECT lang, doc_id, v FROM (
+       |    SELECT lang, doc_id, v,
+       |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+       |    FROM s) t WHERE rn <= 64),
+       |m AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sample FROM k GROUP BY lang),
+       |o AS (SELECT lang, v, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY v, doc_id) AS vr FROM k)
+       |SELECT o.lang, p.p_e2, o.v AS value, m.n_sample$extraCols
+       |FROM o JOIN m USING (lang)
+       |JOIN (SELECT CAST(q AS INT) AS p_e2 FROM (VALUES (25), (50), (90)) t(q)) p
+       |  ON o.vr = (p.p_e2 * m.n_sample + 99) // 100""".stripMargin
+
   private def h28(dialect: String, e: String): String =
     if (dialect == "spark") s"CAST(conv(substring(md5($e), 1, 7), 16, 10) AS BIGINT)"
     else s"('0x' || substr(md5($e), 1, 7))::BIGINT"
@@ -4899,6 +4923,48 @@ object Queries {
         s.table("orders"), "o_orderkey", "o_totalprice",
         buckets = 32, rate = 0.125)
     }),
+    // Bottom-k quantile sketch (k=64): per-lang p25/p50/p90 of n_chars
+    // from a fixed-size deterministic bottom-k-by-md5 sample — the
+    // distribution member of the sketch family (CMS = counts, HLL =
+    // distinct). Per-group state is k rows no matter the corpus size;
+    // the scan is a map-only hash-threshold filter against broadcast
+    // group counts, and only survivors (~oversample·k per group) reach
+    // the rank window. Integer threshold/rank arithmetic throughout,
+    // so the oracle replays selection and quantile picks bit-for-bit.
+    "q_quantile_sketch" -> ((s, dir) => {
+      registerViews(s, dir)
+      val docs = s.table("documents").select(col("lang"), col("doc_id"),
+        col("n_chars").cast("long").as("n_chars"))
+      val sk = graft.operators.Sketches.quantileSketch(
+        docs, Seq("lang"), "doc_id", "n_chars", k = 64)
+      graft.operators.Sketches.quantileFromSketch(
+        sk, Seq("lang"), "doc_id", "n_chars", Seq(25, 50, 90))
+    }),
+    // Sketch ALGEBRA: shard the corpus, sketch each shard, merge the
+    // sketches — quantiles from the merged sketch must equal the
+    // whole-corpus sketch's (bottom-k under a fixed total order is
+    // associative), which is what lets per-shard/per-day sketches roll
+    // up without re-reading row data. The equality is asserted in-gate
+    // (matches_whole) and the oracle replays the whole-corpus path.
+    "q_quantile_sketch_merge" -> ((s, dir) => {
+      registerViews(s, dir)
+      val docs = s.table("documents").select(col("lang"), col("doc_id"),
+        col("n_chars").cast("long").as("n_chars"))
+      def sk(d: org.apache.spark.sql.DataFrame) =
+        graft.operators.Sketches.quantileSketch(
+          d, Seq("lang"), "doc_id", "n_chars", k = 64)
+      val merged = graft.operators.Sketches.mergeQuantileSketches(
+        Seq(sk(docs.where(col("doc_id") % 2 === 0)),
+          sk(docs.where(col("doc_id") % 2 =!= 0))),
+        Seq("lang"), "doc_id", k = 64)
+      def q(d: org.apache.spark.sql.DataFrame) =
+        graft.operators.Sketches.quantileFromSketch(
+          d, Seq("lang"), "doc_id", "n_chars", Seq(25, 50, 90))
+      val qm = q(merged)
+      val qw = q(sk(docs))
+      val matches = qm.exceptAll(qw).isEmpty && qw.exceptAll(qm).isEmpty
+      qm.withColumn("matches_whole", lit(if (matches) 1L else 0L))
+    }),
     // DSIR-style importance selection: score raw docs by target-likeness
     // under hashed-bigram unigram models (target = the doc_id % 10 = 0
     // "curated seed"); per-bucket integer constants make the per-doc
@@ -5751,6 +5817,9 @@ object Queries {
         |SELECT CAST(b.bucket AS INT) AS bucket, b.hi, b.n_sample,
         |  COALESCE(census.n_table, 0::BIGINT) AS n_table
         |FROM bounds b LEFT JOIN census ON b.bucket = census.bucket""".stripMargin,
+    "q_quantile_sketch" -> quantileSketchDuck(),
+    "q_quantile_sketch_merge" -> quantileSketchDuck(
+      ", CAST(1 AS BIGINT) AS matches_whole"),
     "q_sorted_export" ->
       """WITH samp AS (SELECT o_orderkey, o_totalprice FROM orders
         |  WHERE CAST(('0x' || substr(md5('rb|' || o_orderkey::VARCHAR), 1, 7))::BIGINT AS DOUBLE) / 268435456.0 < 0.125),

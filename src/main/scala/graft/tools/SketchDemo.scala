@@ -62,6 +62,23 @@ object SketchDemo {
     require(censusSum == total, "bucket census lost rows")
     require(maxBucket < total / 4, "sampled boundaries produced extreme skew")
 
+    // --- Bottom-k quantile sketch: estimate vs exact percentile ------------
+    val qdocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("source"), col("doc_id"), col("n_chars").cast("long").as("v"))
+    val qsk = Sketches.quantileSketch(qdocs, Seq("source"), "doc_id", "v", k = 64)
+    val p50 = Sketches.quantileFromSketch(qsk, Seq("source"), "doc_id", "v",
+        Seq(50)).select("source", "value").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    println("Quantile sketch p50 per source (true percentile of the estimate):")
+    p50.toSeq.sortBy(_._1).foreach { case (src, est) =>
+      val grp = qdocs.where(col("source") === src)
+      val pct = grp.where(col("v") <= est).count().toDouble /
+        grp.count().toDouble * 100
+      println(f"  $src%-12s est=$est%6d sits at true pct $pct%.1f")
+      require(pct > 30 && pct < 70,
+        f"sketch p50 for $src at true pct $pct%.1f — outside [30, 70]")
+    }
+
     println("SketchDemo: all checks passed")
     spark.stop()
   }

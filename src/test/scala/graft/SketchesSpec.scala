@@ -167,4 +167,68 @@ class SketchesSpec extends SparkTestBase {
     val ns = out.map(_.getLong(2))
     assert(ns.max - ns.min <= 1, s"NTILE imbalance: ${ns.toSeq}")
   }
+
+  // ---- bottom-k quantile sketch ---------------------------------------------
+
+  private def qskDocs(n: Long) = {
+    import spark.implicits._
+    (0L until n).map(i => (if (i % 3 == 0) "a" else "b", i, i * 7 % 1000))
+      .toDF("g", "id", "v")
+  }
+
+  test("quantile sketch is EXACTLY the bottom-k by hash, threshold or not") {
+    val df = qskDocs(2000)
+    val sk = Sketches.quantileSketch(df, Seq("g"), "id", "v", k = 32)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // brute bottom-k: full window, no threshold pre-filter
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      .orderBy(graft.functions.TextFunctions
+        .hash28(concat(lit("qs|"), col("id").cast("string"))), col("id"))
+    val brute = df.withColumn("r", row_number().over(w)).where(col("r") <= 32)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(sk == brute, "threshold pre-filter changed the bottom-k")
+    assert(sk.groupBy(_._1).forall(_._2.size == 32))
+  }
+
+  test("merged shard sketches equal the whole-data sketch (associativity)") {
+    val df = qskDocs(3000)
+    def sk(d: org.apache.spark.sql.DataFrame) =
+      Sketches.quantileSketch(d, Seq("g"), "id", "v", k = 16)
+    val merged = Sketches.mergeQuantileSketches(
+      Seq(sk(df.where(col("id") % 2 === 0)),
+        sk(df.where(col("id") % 2 === 1))), Seq("g"), "id", k = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val whole = sk(df)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(merged == whole, "bottom-k merge is not the sketch of the union")
+  }
+
+  test("groups smaller than k give EXACT quantiles; ranks hit min and max") {
+    import spark.implicits._
+    // 10-row group, values 10..100 by 10: sketch = all rows, so
+    // p10 → rank 1 (min), p50 → rank 5, p100 → rank 10 (max)
+    val df = (1L to 10L).map(i => ("g", i, i * 10)).toDF("g", "id", "v")
+    val sk = Sketches.quantileSketch(df, Seq("g"), "id", "v", k = 64)
+    val q = Sketches.quantileFromSketch(sk, Seq("g"), "id", "v",
+      Seq(10, 50, 100))
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(q == Map(10 -> 10L, 50 -> 50L, 100 -> 100L), s"got $q")
+    // p=0 or >100 refuses
+    intercept[IllegalArgumentException] {
+      Sketches.quantileFromSketch(sk, Seq("g"), "id", "v", Seq(0))
+    }
+  }
+
+  test("sketch p50 lands near the exact median on a large group") {
+    val df = qskDocs(20000)
+    val sk = Sketches.quantileSketch(df, Seq("g"), "id", "v", k = 64)
+    val est = Sketches.quantileFromSketch(sk, Seq("g"), "id", "v", Seq(50))
+      .where(col("g") === "b").collect().head.getLong(2)
+    // v is ~uniform on [0, 1000): the sample median's true percentile
+    // must land within ±20 points of the median (k=64 ⇒ σ ≈ 6.25)
+    val below = df.where(col("g") === "b" && col("v") <= est).count().toDouble
+    val n = df.where(col("g") === "b").count().toDouble
+    val pct = below / n * 100
+    assert(pct > 30 && pct < 70, f"sketch p50 sits at true pct $pct%.1f")
+  }
 }
