@@ -430,6 +430,45 @@ object SqlDemo {
       require(graft.delta.LshIndex.entries(lshLog, "id", "text").isEmpty,
         "DROP LSH INDEX must remove the sidecar")
       println("== CREATE/REFRESH/DROP LSH INDEX: indexed dedup OK ==")
+
+      // round-10 surface: persisted IVF-PQ index lifecycle (codes at
+      // rest; search through the sidecar equals the ivfPqTopK operator
+      // under the sidecar's own quantizers)
+      val pqPath = s"$dir/ivfpq_corpus"
+      import org.apache.spark.sql.functions.{array, col, lit}
+      spark.range(0, 64).select(col("id").as("vec_id"),
+          array((0 until 8).map(j =>
+            (((col("id") * (17 + j) + j * 101) % 100) / lit(25.0)) - 2.0): _*)
+            .as("embedding"))
+        .write.format("graftdelta").mode("overwrite").save(pqPath)
+      spark.sql(
+        s"GRAFT CREATE IVFPQ INDEX ON '$pqPath' (vec_id, embedding) " +
+          "CELLS 4 M 4 K 8")
+      spark.range(64, 80).select(col("id").as("vec_id"),
+          array((0 until 8).map(j =>
+            (((col("id") * (17 + j) + j * 101) % 100) / lit(25.0)) - 2.0): _*)
+            .as("embedding"))
+        .write.format("graftdelta").mode("append").save(pqPath)
+      spark.sql(s"GRAFT REFRESH IVFPQ INDEX ON '$pqPath' (vec_id, embedding)")
+      val pqLog = graft.delta.DeltaLog.forPath(spark, pqPath)
+      val pqQueries = pqLog.snapshot.read().where(col("vec_id") % 20 === 0)
+      val viaPq = graft.delta.PqIndex.search(pqLog, pqQueries,
+          "vec_id", "embedding", k = 3, nprobe = 2)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val (pqC, pqB) = graft.delta.PqIndex
+        .quantizers(pqLog, "vec_id", "embedding").get
+      val dirPq = graft.operators.Pq.ivfPqTopK(pqLog.snapshot.read(),
+          pqQueries, "vec_id", "embedding", pqC, pqB,
+          kNeighbors = 3, nprobe = 2)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      require(viaPq == dirPq && viaPq.nonEmpty,
+        "indexed IVF-PQ SQL search diverged from the operator path")
+      spark.sql(s"GRAFT DROP IVFPQ INDEX ON '$pqPath' (vec_id, embedding)")
+      require(graft.delta.PqIndex.entries(pqLog, "vec_id", "embedding").isEmpty,
+        "DROP IVFPQ INDEX must remove the sidecar")
+      println("== CREATE/REFRESH/DROP IVFPQ INDEX: indexed search OK ==")
       println("SqlDemo OK")
     } finally spark.stop()
   }
