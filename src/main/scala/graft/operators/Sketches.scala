@@ -384,6 +384,37 @@ object Sketches {
       .select((gcols :+ col(idCol) :+ col(valueCol)): _*)
   }
 
+  /** The sketch as a BOUNDED-STATE AGGREGATE — identical sample to
+    * [[quantileSketch]] (bottom-k under the same `(hash, id)` order; a
+    * spec pins the equivalence), but expressed as one
+    * `TypedImperativeAggregate` whose per-group state is a k-capped
+    * heap. That form is what Structured Streaming can maintain in
+    * complete mode across micro-batches (the CMS/HLL streaming
+    * discipline) — a window bottom-k cannot run in a streaming
+    * aggregation, and the batch path's count-then-threshold pre-filter
+    * needs the corpus twice. Use this for streams and single-pass
+    * contexts; the threshold+window form for batch scans where the
+    * map-only pre-filter keeps the sort survivor-sized. */
+  def quantileSketchAgg(df: DataFrame, groupCols: Seq[String], idCol: String,
+      valueCol: String, k: Int): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    val gcols = groupCols.map(col)
+    df.groupBy(gcols: _*)
+      .agg(org.apache.spark.sql.graftshims.SqlShims.bottomKSketchAgg(
+        qskHash(idCol), col(idCol).cast("long"),
+        col(valueCol).cast("long"), k).as("__sample"))
+  }
+
+  /** Explode an aggregate-form sketch back to [[quantileSketch]]'s
+    * relational shape `(groupCols..., idCol, valueCol)`. */
+  def sketchRows(agged: DataFrame, groupCols: Seq[String], idCol: String,
+      valueCol: String): DataFrame = {
+    val gcols = groupCols.map(col)
+    agged.select((gcols :+ explode(col("__sample")).as("__e")): _*)
+      .select((gcols :+ col("__e.id").as(idCol) :+
+        col("__e.v").as(valueCol)): _*)
+  }
+
   /** Re-sketch the union of sketches: bottom-k per group of the
     * combined rows (hashes recomputed from the IDs — the sketch stays
     * a plain relation, no opaque state). Associativity makes this the

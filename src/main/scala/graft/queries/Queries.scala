@@ -4493,10 +4493,15 @@ object Queries {
       val batch = docs.where(col("doc_id") % 5 === 0)
         .select("doc_id", "lang", "source", "text")
       val freshLog = graft.delta.DeltaLog.forPath(s, tmp)
+      // materialize both sides once (batch-sized): the two exceptAll
+      // probes and the final projection would otherwise re-run the
+      // indexed and the direct dedup pipelines per consumer
       val viaIndex = graft.delta.LshIndex.dedupBatch(
         freshLog, batch, "doc_id", "text", threshold = 0.5)
+        .localCheckpoint()
       val direct = graft.operators.MinHashLsh.dedupAgainstCorpus(
         batch, freshLog.snapshot.read(), "doc_id", "text", threshold = 0.5)
+        .localCheckpoint()
       val matches =
         viaIndex.select("doc_id").exceptAll(direct.select("doc_id")).isEmpty &&
           direct.select("doc_id").exceptAll(viaIndex.select("doc_id")).isEmpty
@@ -4691,12 +4696,17 @@ object Queries {
       graft.delta.IvfIndex.centroids(freshLog, "vec_id", "embedding").get
         .coalesce(1).write.mode("overwrite").parquet(ivfIndexCentroidsPath)
       val queries = emb.where(col("vec_id") % 25 === 0)
+      // materialize both sides once (top-k-sized): the two exceptAll
+      // probes and the final projection would otherwise re-execute the
+      // search and the operator pipeline per consumer
       val viaIdx = graft.delta.IvfIndex.search(
         freshLog, queries, "vec_id", "embedding", k = 3, nprobe = 2)
+        .localCheckpoint()
       val direct = graft.operators.Similarity.ivfTopK(
         freshLog.snapshot.read(), queries,
         s.read.parquet(ivfIndexCentroidsPath),
         "vec_id", "embedding", k = 3, nprobe = 2)
+        .localCheckpoint()
       val matches = viaIdx.exceptAll(direct).isEmpty &&
         direct.exceptAll(viaIdx).isEmpty
       viaIdx.select(col("query_id"), col("neighbor_id"), col("sim"), col("rnk"),
@@ -4751,11 +4761,16 @@ object Queries {
         .coalesce(1)
         .write.mode("overwrite").parquet(ivfPqIndexBooksPath)
       val queries = emb.where(col("vec_id") % 25 === 0)
+      // materialize both sides once (top-k-sized): the two exceptAll
+      // probes and the final projection would otherwise re-execute the
+      // search and the operator pipeline per consumer
       val viaIdx = graft.delta.PqIndex.search(
         freshLog, queries, "vec_id", "embedding", k = 3, nprobe = 2)
+        .localCheckpoint()
       val direct = graft.operators.Pq.ivfPqTopK(
         freshLog.snapshot.read(), queries, "vec_id", "embedding",
         coarse, books, kNeighbors = 3, nprobe = 2)
+        .localCheckpoint()
       val matches = viaIdx.exceptAll(direct).isEmpty &&
         direct.exceptAll(viaIdx).isEmpty
       viaIdx.select(col("query_id"), col("neighbor_id"), col("adist"),
@@ -5032,6 +5047,33 @@ object Queries {
         depth = 4, width = 2048)
         .select(col("key").as("term"), col("est"))
         .orderBy(col("est").desc, col("term")).limit(20)
+    }),
+    // Streaming-maintained quantile sketch: the bottom-k sample is a
+    // k-capped-heap TypedImperativeAggregate (BottomKSketchAgg), so
+    // Structured Streaming maintains it with k-row bounded state per
+    // group across micro-batches — and bottom-k under a fixed total
+    // order is duplicate/arrival-order-insensitive, so the drained
+    // sample equals the batch sketch BIT-FOR-BIT and the gate SHARES
+    // the batch oracle (the CMS/HLL streaming discipline, completing
+    // the family: counts, distincts, now distributions).
+    "q_stream_quantile" -> ((s, dir) => withStreamShuffle(s) {
+      registerViews(s, dir)
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val docs = s.readStream.schema(schema).parquet(s"$dir/documents.parque*")
+        .select(col("lang"), col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"))
+      val agged = graft.operators.Sketches.quantileSketchAgg(
+        docs, Seq("lang"), "doc_id", "n_chars", k = 64)
+      val name = "stream_qsk_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = agged.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sk = graft.operators.Sketches.sketchRows(
+        s.table(name), Seq("lang"), "doc_id", "n_chars")
+      graft.operators.Sketches.quantileFromSketch(
+        sk, Seq("lang"), "doc_id", "n_chars", Seq(25, 50, 90))
     }),
     // Streaming-maintained HLL: the register MAX aggregate is monotonic
     // and duplicate-insensitive, so Structured Streaming maintains it
@@ -5820,6 +5862,7 @@ object Queries {
     "q_quantile_sketch" -> quantileSketchDuck(),
     "q_quantile_sketch_merge" -> quantileSketchDuck(
       ", CAST(1 AS BIGINT) AS matches_whole"),
+    "q_stream_quantile" -> quantileSketchDuck(),
     "q_sorted_export" ->
       """WITH samp AS (SELECT o_orderkey, o_totalprice FROM orders
         |  WHERE CAST(('0x' || substr(md5('rb|' || o_orderkey::VARCHAR), 1, 7))::BIGINT AS DOUBLE) / 268435456.0 < 0.125),

@@ -82,6 +82,13 @@ object SqlShims {
       .BloomFilterAggregate(expression(values), expectedItems)
       .toAggregateExpression())
 
+  /** Bounded-state bottom-k sample aggregate ([[BottomKSketchAgg]]):
+    * `array<struct<h,id,v>>` of the k smallest `(h, id)` triples per
+    * group — the streaming-capable quantile-sketch state. */
+  def bottomKSketchAgg(h: Column, id: Column, v: Column, k: Int): Column =
+    column(BottomKSketchAgg(expression(h), expression(id), expression(v), k)
+      .toAggregateExpression())
+
   def mightContain(bloom: Array[Byte], value: Column): Column =
     column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
       org.apache.spark.sql.catalyst.expressions.Literal

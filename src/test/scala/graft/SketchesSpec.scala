@@ -219,6 +219,26 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("aggregate-form sketch (bounded heap) equals the window-form sketch") {
+    val df = qskDocs(5000)
+    val viaWindow = Sketches.quantileSketch(df, Seq("g"), "id", "v", k = 32)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val viaAgg = Sketches.sketchRows(
+      Sketches.quantileSketchAgg(df, Seq("g"), "id", "v", k = 32),
+      Seq("g"), "id", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaAgg == viaWindow,
+      "TypedImperativeAggregate bottom-k diverged from the window form")
+  }
+
+  test("streaming quantile sketch equals the batch sketch bit-for-bit") {
+    val batch = graft.queries.Queries.queries("q_quantile_sketch")(
+      spark, "/root/testdata/sf0.001")
+    val stream = graft.queries.Queries.queries("q_stream_quantile")(
+      spark, "/root/testdata/sf0.001")
+    assertSameRows(stream, batch, "streamed sketch diverged from batch")
+  }
+
   test("sketch p50 lands near the exact median on a large group") {
     val df = qskDocs(20000)
     val sk = Sketches.quantileSketch(df, Seq("g"), "id", "v", k = 64)
