@@ -70,6 +70,7 @@ object BloomIndex {
         "answers equality on it; a Bloom index adds nothing")
     val files = snap.planFiles()
     if (files.isEmpty) return snap.version
+    Sidecar.writeMeta(log.spark, indexDir(log, column), "bloom", Seq(column))
     Sidecar.swapIn(log.spark, indexDir(log, column),
       scanEntries(log, snap, files, column,
         perFileItems(snap, expectedItemsPerFile)))
@@ -162,6 +163,7 @@ object BloomIndex {
       .join(broadcast(liveStored.toDF("file_path")),
         Seq("file_path"), "left_semi")
       .unionByName(newEntries)
+    Sidecar.writeMeta(spark, dir, "bloom", Seq(column))
     Sidecar.swapIn(spark, dir, merged)
     snap.version
   }

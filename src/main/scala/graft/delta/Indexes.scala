@@ -1,0 +1,75 @@
+package graft.delta
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** Generic machinery over the sidecar indexes (Bloom / LSH / IVF /
+  * IVF-PQ): inventory for `GRAFT SHOW INDEXES` and the write-path
+  * auto-refresh dispatcher. Both run off each sidecar's `_meta`
+  * descriptor ([[Sidecar.writeMeta]]) — directory names alone cannot
+  * be parsed back into column lists. */
+object Indexes {
+
+  /** One row per sidecar index under `_graft_index/`:
+    * `(kind, columns, covered_files, active_files, stale_files)`.
+    * Coverage compares the sidecar's distinct file paths (markers
+    * excluded) against the snapshot's active set — the operational
+    * "how stale am I" surface, log-plane + sidecar-plane only (no
+    * data scan). Pre-descriptor sidecars report their directory name
+    * as the columns string. */
+  def describe(log: DeltaLog): Seq[(String, String, Long, Long, Long)] = {
+    val spark = log.spark
+    val snap = log.snapshot
+    val active = snap.planFiles()
+    val activeNorm = active
+      .flatMap(f => snap.pathCandidates(f).map(Mutations.normalize)).toSet
+    val base = new Path(log.rootPath, "_graft_index")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return Seq.empty
+    fs.listStatus(base).filter(_.isDirectory).map(_.getPath)
+      .sortBy(_.getName).toSeq.flatMap { dir =>
+        Sidecar.read(spark, dir.toString).map { df =>
+          val stored = df
+            .where(!col("file_path").startsWith("__"))
+            .select("file_path").distinct()
+            .collect().map(_.getString(0))
+          val covered =
+            stored.count(p => activeNorm.contains(Mutations.normalize(p)))
+          val (kind, cols) = Sidecar.readMeta(spark, dir.toString)
+            .map { case (k, cs) => (k, cs.mkString(", ")) }
+            .getOrElse(("unknown", dir.getName))
+          (kind, cols, covered.toLong, active.size.toLong,
+            (active.size - covered).toLong)
+        }
+      }
+  }
+
+  /** Incrementally refresh every descriptor-bearing sidecar index on
+    * the table; returns the refreshed index count. Each refresh is
+    * O(uncovered files) by the sidecar maintenance contract, and an
+    * up-to-date index is a free no-op — which is what makes this safe
+    * to run from the write path on every commit
+    * (`graft.autoRefresh.indexes`). Unknown kinds and pre-descriptor
+    * sidecars are skipped, never failed: index maintenance must not
+    * break the data commit that triggered it. */
+  def refreshAll(log: DeltaLog): Int = {
+    val spark = log.spark
+    val base = new Path(log.rootPath, "_graft_index")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return 0
+    fs.listStatus(base).filter(_.isDirectory).map(_.getPath)
+      .sortBy(_.getName).toSeq.count { dir =>
+        Sidecar.readMeta(spark, dir.toString) match {
+          case Some(("bloom", Seq(c))) =>
+            BloomIndex.buildIncremental(log, c); true
+          case Some(("lsh", Seq(id, text))) =>
+            LshIndex.refresh(log, id, text); true
+          case Some(("ivf", Seq(id, vec))) =>
+            IvfIndex.refresh(log, id, vec); true
+          case Some(("ivfpq", Seq(id, vec))) =>
+            PqIndex.refresh(log, id, vec); true
+          case _ => false
+        }
+      }
+  }
+}

@@ -165,6 +165,8 @@ object IvfIndex {
     if (files.isEmpty) return snap.version
     val cs = Similarity.trainKMeans(snap.read(), idCol, vecCol, k, iterations)
       .map { case (cid, arr) => (cid, arr.toSeq) }
+    Sidecar.writeMeta(log.spark, indexDir(log, idCol, vecCol),
+      "ivf", Seq(idCol, vecCol))
     publish(log, indexDir(log, idCol, vecCol),
       centroidRows(log, snap, idCol, cs, snap.version)
         .unionByName(scanEntries(log, snap, files, idCol, vecCol, cs)))
@@ -244,6 +246,8 @@ object IvfIndex {
         }
         e
       }
+    Sidecar.writeMeta(spark, indexDir(log, idCol, vecCol),
+      "ivf", Seq(idCol, vecCol))
     publish(log, indexDir(log, idCol, vecCol), kept.unionByName(newEntries))
     snap.version
   }

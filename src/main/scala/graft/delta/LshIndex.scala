@@ -131,6 +131,8 @@ object LshIndex {
     validate(snap, idCol, textCol)
     val files = coverableFiles(snap)
     if (files.isEmpty) return snap.version
+    Sidecar.writeMeta(log.spark, indexDir(log, idCol, textCol),
+      "lsh", Seq(idCol, textCol))
     Sidecar.swapIn(log.spark, indexDir(log, idCol, textCol),
       scanEntries(log, snap, files, idCol, textCol))
     snap.version
@@ -167,6 +169,8 @@ object LshIndex {
     val newEntries =
       if (missing.isEmpty) existing.limit(0)
       else scanEntries(log, snap, missing, idCol, textCol)
+    Sidecar.writeMeta(spark, indexDir(log, idCol, textCol),
+      "lsh", Seq(idCol, textCol))
     Sidecar.swapIn(spark, indexDir(log, idCol, textCol),
       kept.unionByName(newEntries))
     snap.version

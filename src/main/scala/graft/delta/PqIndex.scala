@@ -195,6 +195,8 @@ object PqIndex {
       m = 1, k = kCoarse, iterations = iterations)
     val books = Pq.trainCodebooks(corpus, idCol, vecCol,
       m = m, k = k, iterations = iterations)
+    Sidecar.writeMeta(log.spark, indexDir(log, idCol, vecCol),
+      "ivfpq", Seq(idCol, vecCol))
     publish(log, indexDir(log, idCol, vecCol),
       quantizerRows(log, snap, idCol, coarse, books, snap.version)
         .unionByName(scanEntries(log, snap, files, idCol, vecCol, coarse, books)))
@@ -261,6 +263,8 @@ object PqIndex {
         }
         e
       }
+    Sidecar.writeMeta(spark, indexDir(log, idCol, vecCol),
+      "ivfpq", Seq(idCol, vecCol))
     publish(log, indexDir(log, idCol, vecCol), kept.unionByName(newEntries))
     snap.version
   }

@@ -38,6 +38,37 @@ object Sidecar {
 
   private val PointerName = "_current"
   private val GenPrefix = "gen_"
+  private val MetaName = "_meta"
+
+  /** Index self-description: `(kind, target columns)`, persisted as a
+    * tiny `_meta` text file beside the pointer. Directory names alone
+    * cannot be parsed back (column names may contain the separator),
+    * and the descriptor is what lets generic machinery — SHOW INDEXES,
+    * the write-path auto-refresh hook — dispatch without guessing. */
+  def writeMeta(spark: SparkSession, dir: String, kind: String,
+      cols: Seq[String]): Unit = {
+    val (fs, base) = fsOf(spark, dir)
+    val p = new Path(base, MetaName)
+    if (!fs.exists(p)) {
+      val out = fs.create(p, true)
+      try out.write((kind +: cols).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  /** The index descriptor, None for pre-descriptor sidecars (callers
+    * fall back to name heuristics or skip generic dispatch). */
+  def readMeta(spark: SparkSession, dir: String): Option[(String, Seq[String])] = {
+    val (fs, base) = fsOf(spark, dir)
+    try {
+      val in = fs.open(new Path(base, MetaName))
+      val text = try scala.io.Source.fromInputStream(in).mkString
+        finally in.close()
+      val lines = text.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      if (lines.isEmpty) None else Some((lines.head, lines.tail))
+    } catch { case _: java.io.FileNotFoundException => None }
+  }
 
   private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)

@@ -820,6 +820,15 @@ object TransactionWriter {
         Maintenance.compactSmall(log, targetFileBytes = target,
           minSmallFiles = minN)
       }
+      // graft.autoRefresh.indexes: after a data commit, incrementally
+      // refresh every descriptor-bearing sidecar index — the index
+      // follows the table without orchestration. Each refresh is
+      // O(new files) by the sidecar maintenance contract (an
+      // up-to-date index no-ops), and sidecar writes never touch the
+      // table log, so there is no re-entrancy.
+      if (dataChange &&
+          effectiveConf.get("graft.autoRefresh.indexes").contains("true"))
+        Indexes.refreshAll(log)
       committed
     } finally fs.delete(staging, true)
   }

@@ -56,6 +56,8 @@ import graft.delta.{Clone, Constraints, DeltaLog, Maintenance, Mutations}
   * GRAFT CREATE IVFPQ INDEX ON '<path>' (<idCol>, <vecCol>) [CELLS <kc>] [M <m>] [K <k>]  -- PQ-coded inverted lists
   * GRAFT REFRESH IVFPQ INDEX ON '<path>' (<idCol>, <vecCol>)       -- encode only uncovered files
   * GRAFT DROP IVFPQ INDEX ON '<path>' (<idCol>, <vecCol>)
+  * GRAFT SHOW INDEXES ON '<path>'                  -- sidecar inventory + coverage vs the active file set
+  * GRAFT REFRESH INDEXES ON '<path>'               -- incremental refresh of every sidecar index
   * GRAFT REGISTER TABLE <name> LOCATION '<path>'   -- persisted across sessions
   * GRAFT UNREGISTER TABLE <name>
   * GRAFT RESTORE TABLES                            -- re-register persisted names
@@ -150,6 +152,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+REFRESH\s+IVFPQ\s+INDEX\s+ON\s+'([^']+)'\s*\((\w+)\s*,\s*(\w+)\)\s*""".r
   private val DropIvfPqIndex =
     """(?is)\s*GRAFT\s+DROP\s+IVFPQ\s+INDEX\s+ON\s+'([^']+)'\s*\((\w+)\s*,\s*(\w+)\)\s*""".r
+  private val ShowIndexes =
+    """(?is)\s*GRAFT\s+SHOW\s+INDEXES\s+ON\s+'([^']+)'\s*""".r
+  private val RefreshIndexes =
+    """(?is)\s*GRAFT\s+REFRESH\s+INDEXES\s+ON\s+'([^']+)'\s*""".r
 
   /** Split a SET list on top-level commas only (commas inside
     * parentheses — function calls — don't separate assignments). */
@@ -330,6 +336,19 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
           Seq(Row(if (fs.delete(dir, true)) 1L else 0L))
         })
+    case ShowIndexes(path) =>
+      // log-plane + sidecar-plane inventory: which indexes exist and
+      // how stale each is vs the active file set — no data scan
+      GraftMaintenanceCommand(path, "show_indexes",
+        Seq("kind", "columns", "covered_files", "active_files",
+          "stale_files"), s =>
+          graft.delta.Indexes.describe(DeltaLog.forPath(s, path)).map {
+            case (k, c, cov, act, stale) => Row(k, c, cov, act, stale)
+          })
+    case RefreshIndexes(path) =>
+      GraftMaintenanceCommand(path, "refresh_indexes",
+        Seq("refreshed"), s => Seq(Row(
+          graft.delta.Indexes.refreshAll(DeltaLog.forPath(s, path)).toLong)))
     case CreateIvfPqIndex(path, idCol, vecCol, cellsOpt, mOpt, kOpt) =>
       GraftMaintenanceCommand(path, "create_ivfpq_index",
         Seq("version"), s => Seq(Row(
@@ -571,7 +590,7 @@ case class GraftMaintenanceCommand(
     val stringCols = Set("operation", "repaired_path", "format", "id",
       "location", "partitionColumns", "clusteringColumns",
       "tableFeatures", "properties", "partition",
-      "source", "key_cols", "value_col", "aggs")
+      "source", "key_cols", "value_col", "aggs", "kind", "columns")
     val dt = if (stringCols(c)) StringType else LongType
     AttributeReference(c, dt, nullable = true)()
   }

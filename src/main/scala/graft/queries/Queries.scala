@@ -4593,6 +4593,62 @@ object Queries {
     "q_bloom_read" -> qBloomReadSpark,
     "q_bloom_incremental" -> qBloomIncrementalSpark,
     "q_bloom_join" -> qBloomJoinSpark,
+    // Index observability: GRAFT SHOW INDEXES reports every sidecar
+    // index with its coverage vs the active file set (log-plane +
+    // sidecar-plane, no data scan) — the "how stale am I" surface the
+    // matview DESCRIBE already has. Lifecycle: 4-file corpus → LSH
+    // index (covers 4) → 1-file append with NO refresh → bloom index
+    // (covers all 5). The counts are pure functions of the scripted
+    // lifecycle, so the oracle is the expected inventory itself.
+    "q_show_indexes" -> ((s, dir) => {
+      registerViews(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_showidx_")
+        .resolve("t").toString
+      val log = graft.delta.DeltaLog.forPath(s, tmp)
+      val docs = s.table("documents").select("doc_id", "text")
+      graft.delta.TransactionWriter.overwrite(log,
+        docs.where(col("doc_id") % 5 =!= 0).repartition(4, col("doc_id")))
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT CREATE LSH INDEX ON '$tmp' (doc_id, text)").collect()
+      graft.delta.TransactionWriter.append(log,
+        docs.where(col("doc_id") % 5 === 0).repartition(1))
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT CREATE BLOOM INDEX ON '$tmp' (doc_id)").collect()
+      graft.plans.GraftSqlParser.run(s, s"GRAFT SHOW INDEXES ON '$tmp'")
+    }),
+    // Write-path index maintenance: with graft.autoRefresh.indexes on
+    // the table, a plain append leaves every sidecar index CURRENT —
+    // no REFRESH statement anywhere in the lifecycle. The output is
+    // the post-append inventory (stale_files must read 0) plus the
+    // indexed-dedup row count over the grown corpus as the behavioral
+    // witness that the auto-refreshed index serves the new files.
+    "q_index_autorefresh" -> ((s, dir) => {
+      registerViews(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_autoidx_")
+        .resolve("t").toString
+      val log = graft.delta.DeltaLog.forPath(s, tmp)
+      val docs = s.table("documents").select("doc_id", "text")
+      graft.delta.TransactionWriter.overwrite(log,
+        docs.where(col("doc_id") % 5 =!= 0).repartition(4, col("doc_id")),
+        configuration = Map("graft.autoRefresh.indexes" -> "true"))
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT CREATE LSH INDEX ON '$tmp' (doc_id, text)").collect()
+      // the append triggers the post-commit hook; no REFRESH follows
+      graft.delta.TransactionWriter.append(log,
+        docs.where(col("doc_id") % 5 === 0).repartition(1))
+      val fresh = graft.delta.DeltaLog.forPath(s, tmp)
+      // batch of one known duplicate of an indexed-by-hook doc + one
+      // novel doc: the survivor count proves the index serves the
+      // appended files
+      val batch = docs.where(col("doc_id") % 5 === 0).limit(1)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .unionByName(s.range(1).select(lit(2000000L).as("doc_id"),
+          lit("entirely novel text with no prior twin anywhere").as("text")))
+      val survivors = graft.delta.LshIndex.dedupBatch(
+        fresh, batch, "doc_id", "text", threshold = 0.5).count()
+      graft.plans.GraftSqlParser.run(s, s"GRAFT SHOW INDEXES ON '$tmp'")
+        .withColumn("dedup_survivors", lit(survivors))
+    }),
     "q_hilbert_read" -> qHilbertReadSpark,
     "q_hilbert3_read" -> qHilbert3ReadSpark,
     "q_zorder_read" -> qZorderReadSpark,
@@ -5737,6 +5793,25 @@ object Queries {
     "q_optimize_read" -> qOptimizeReadDuck,
     "q_bloom_read" -> qBloomReadDuck,
     "q_bloom_incremental" -> qBloomIncrementalDuck,
+    // expected inventory for the scripted lifecycle: LSH built on the
+    // 4-file corpus and never refreshed past the 1-file append; bloom
+    // built after it (all 5 covered)
+    "q_show_indexes" ->
+      """SELECT kind, columns, covered_files, active_files, stale_files
+        |FROM (VALUES
+        |  ('bloom', 'doc_id', CAST(5 AS BIGINT), CAST(5 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('lsh', 'doc_id, text', CAST(4 AS BIGINT), CAST(5 AS BIGINT), CAST(1 AS BIGINT)))
+        |  t(kind, columns, covered_files, active_files, stale_files)""".stripMargin,
+    // with the auto-refresh hook, the post-append inventory is fully
+    // covered and the indexed dedup drops the known duplicate (1 of 2
+    // batch docs survives)
+    "q_index_autorefresh" ->
+      """SELECT kind, columns, covered_files, active_files, stale_files,
+        |  dedup_survivors
+        |FROM (VALUES
+        |  ('lsh', 'doc_id, text', CAST(5 AS BIGINT), CAST(5 AS BIGINT),
+        |   CAST(0 AS BIGINT), CAST(1 AS BIGINT)))
+        |  t(kind, columns, covered_files, active_files, stale_files, dedup_survivors)""".stripMargin,
     "q_bloom_join" -> qBloomJoinDuck,
     "q_hilbert_read" -> qHilbertReadDuck,
     "q_hilbert3_read" -> qHilbert3ReadDuck,

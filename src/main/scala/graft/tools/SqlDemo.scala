@@ -465,6 +465,22 @@ object SqlDemo {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       require(viaPq == dirPq && viaPq.nonEmpty,
         "indexed IVF-PQ SQL search diverged from the operator path")
+      // SHOW INDEXES inventory + generic REFRESH INDEXES before the drop
+      val inv0 = spark.sql(s"GRAFT SHOW INDEXES ON '$pqPath'").collect()
+        .map(r => (r.getString(0), r.getLong(4))).toMap
+      require(inv0 == Map("ivfpq" -> 0L),
+        s"SHOW INDEXES must report the refreshed ivfpq sidecar current: $inv0")
+      spark.range(80, 90).selectExpr("id AS vec_id",
+          "transform(sequence(0, 7), j -> CAST((id * (17 + j) + j * 101) % 100 AS DOUBLE) / 25.0 - 2.0) AS embedding")
+        .coalesce(1)
+        .write.format("graftdelta").mode("append").save(pqPath)
+      require(spark.sql(s"GRAFT SHOW INDEXES ON '$pqPath'")
+        .collect().head.getLong(4) == 1L, "append must read 1 stale file")
+      require(spark.sql(s"GRAFT REFRESH INDEXES ON '$pqPath'")
+        .collect().head.getLong(0) == 1L, "REFRESH INDEXES must refresh 1")
+      require(spark.sql(s"GRAFT SHOW INDEXES ON '$pqPath'")
+        .collect().head.getLong(4) == 0L, "generic refresh must clear staleness")
+      println("== SHOW INDEXES / REFRESH INDEXES: inventory + generic refresh OK ==")
       spark.sql(s"GRAFT DROP IVFPQ INDEX ON '$pqPath' (vec_id, embedding)")
       require(graft.delta.PqIndex.entries(pqLog, "vec_id", "embedding").isEmpty,
         "DROP IVFPQ INDEX must remove the sidecar")

@@ -380,6 +380,40 @@ class MaintenanceSpec extends SparkTestBase {
     assert(log.snapshot.activeFiles.size == 2)
   }
 
+  test("autoRefresh.indexes: an append leaves every sidecar index current") {
+    val log = freshLog()
+    TransactionWriter.overwrite(log,
+      (0L until 40L).map(i => (i, s"document body number $i with words"))
+        .toDF("id", "text").repartition(2, col("id")),
+      configuration = Map("graft.autoRefresh.indexes" -> "true"))
+    LshIndex.build(log, "id", "text")
+    BloomIndex.build(log, "id")
+    // plain append — NO refresh statement; the post-commit hook must
+    // extend both descriptor-bearing sidecars
+    TransactionWriter.append(log,
+      (40L until 50L).map(i => (i, s"fresh appended doc $i"))
+        .toDF("id", "text").repartition(1))
+    val fresh = DeltaLog.forPath(spark, log.tablePath)
+    val inv = Indexes.describe(fresh)
+      .map { case (k, c, cov, act, stale) => (k, cov, act, stale) }
+    assert(inv.toSet == Set(("bloom", 3L, 3L, 0L), ("lsh", 3L, 3L, 0L)),
+      s"auto-refresh left stale coverage: $inv")
+    // descriptor round-trip
+    assert(Sidecar.readMeta(spark,
+      LshIndex.indexDir(fresh, "id", "text")) == Some(("lsh", Seq("id", "text"))))
+    // a table WITHOUT the property does not auto-refresh
+    val off = freshLog()
+    TransactionWriter.overwrite(off,
+      (0L until 20L).map(i => (i, s"doc $i")).toDF("id", "text")
+        .repartition(2, col("id")))
+    LshIndex.build(off, "id", "text")
+    TransactionWriter.append(off,
+      Seq((99L, "late doc")).toDF("id", "text").repartition(1))
+    val offInv = Indexes.describe(DeltaLog.forPath(spark, off.tablePath))
+    assert(offInv.exists { case (k, _, _, _, stale) => k == "lsh" && stale == 1L },
+      s"without the conf the appended file must read stale: $offInv")
+  }
+
   test("DROP FEATURE: full deletion-vectors retirement lifecycle") {
     val log = freshLog()
     TransactionWriter.overwrite(log,
