@@ -101,6 +101,52 @@ object Mutations {
     } finally if (cdfOn) scan.unpersist()
   }
 
+  /** Predicate-scoped atomic overwrite — Delta's `replaceWhere` write
+    * mode, the idempotent re-processing primitive at scale (re-run a
+    * day's pipeline and swap exactly that day's rows in ONE commit,
+    * however the files are laid out): every stored row matching
+    * `predicate` is replaced by `df`, everything else is untouched.
+    *
+    * Contract (delta-spark's): every incoming row must satisfy the
+    * predicate — otherwise a retry would not be idempotent (rows
+    * outside the scope would accumulate) — refused loudly up front.
+    *
+    * Shape: candidate files are stats/partition-pruned from the
+    * predicate ([[filesMatching]] — a partition-aligned replace plans
+    * only that partition's files), files with matching rows are
+    * removed, their non-matching remainder rides along into the new
+    * files, and the whole swap is one conflict-checked commit. CDF on
+    * → delete changes for the replaced rows + insert changes for the
+    * incoming ones, same commit. Returns the committed version. */
+  def replaceWhere(log: DeltaLog, df: DataFrame,
+      predicate: org.apache.spark.sql.Column): Long = {
+    val snap = log.snapshot
+    val pred = coalesce(predicate, lit(false))
+    val aligned = df.select(snap.schema.fieldNames.map(col).toSeq: _*)
+    require(aligned.where(!pred).limit(1).isEmpty,
+      "replaceWhere: every incoming row must satisfy the predicate " +
+        "(rows outside the replaced scope would make retries " +
+        "non-idempotent)")
+    val touched = filesMatching(snap, predicate)
+    val cdfOn = ChangeDataFeed.enabled(snap)
+    val scan0 =
+      if (touched.isEmpty) snap.read().limit(0) else snap.readFiles(touched)
+    val scan = if (cdfOn) scan0.persist() else scan0
+    try {
+      val remainder = scan.where(!pred)
+        .select(snap.schema.fieldNames.map(col).toSeq: _*)
+      val cdc =
+        if (cdfOn)
+          ChangeDataFeed.writeCdcFiles(log,
+            ChangeDataFeed.deleteChanges(scan.where(pred)
+                .select(snap.schema.fieldNames.map(col).toSeq: _*))
+              .unionByName(ChangeDataFeed.insertChanges(aligned)))
+        else Nil
+      TransactionWriter.rewriteFiles(log, snap, touched,
+        remainder.unionByName(aligned), "REPLACE WHERE", extraActions = cdc)
+    } finally if (cdfOn) scan.unpersist()
+  }
+
   /** UPDATE by targeted rewrite: SET `set` columns on rows matching
     * `predicate`; only files containing matching rows are rewritten,
     * and their non-matching rows ride along unchanged. Returns the

@@ -4593,6 +4593,41 @@ object Queries {
     "q_bloom_read" -> qBloomReadSpark,
     "q_bloom_incremental" -> qBloomIncrementalSpark,
     "q_bloom_join" -> qBloomJoinSpark,
+    // Predicate-scoped atomic overwrite (Delta's replaceWhere): the
+    // idempotent re-processing primitive — swap exactly one scope's
+    // rows in ONE commit. The table is partitioned by o_orderpriority,
+    // so the predicate prunes planning to the URGENT partition and
+    // every other partition's add entries survive VERBATIM
+    // (untouched_kept — the log-plane proof the swap planned only its
+    // scope). The replacement rows are the urgent orders re-keyed
+    // +10M, so the oracle recomputes the final table from parquet.
+    "q_replace_where" -> ((s, dir) => {
+      registerViews(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_rw_")
+        .resolve("t").toString
+      val log = graft.delta.DeltaLog.forPath(s, tmp)
+      val orders = s.table("orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      graft.delta.TransactionWriter.overwrite(log,
+        orders.repartition(4, col("o_orderkey")),
+        partitionBy = Some(Seq("o_orderpriority")))
+      def otherFiles() = log.snapshot.planFiles()
+        .filterNot(_.partitionValues.get("o_orderpriority")
+          .contains("1-URGENT"))
+        .map(f => f.path -> f.modificationTime).toMap
+      val before = otherFiles()
+      val replacement = orders.where(col("o_orderpriority") === "1-URGENT")
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice"))
+      graft.delta.Mutations.replaceWhere(log, replacement,
+        col("o_orderpriority") === "1-URGENT")
+      val fresh = graft.delta.DeltaLog.forPath(s, tmp)
+      val untouchedKept = otherFiles() == before && before.nonEmpty
+      fresh.snapshot.read()
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+        .withColumn("untouched_kept", lit(if (untouchedKept) 1L else 0L))
+    }),
     // Index observability: GRAFT SHOW INDEXES reports every sidecar
     // index with its coverage vs the active file set (log-plane +
     // sidecar-plane, no data scan) — the "how stale am I" surface the
@@ -5793,6 +5828,18 @@ object Queries {
     "q_optimize_read" -> qOptimizeReadDuck,
     "q_bloom_read" -> qBloomReadDuck,
     "q_bloom_incremental" -> qBloomIncrementalDuck,
+    "q_replace_where" ->
+      """WITH base AS (SELECT o_orderkey, o_orderpriority FROM orders),
+        |fin AS (
+        |  SELECT o_orderkey, o_orderpriority FROM base
+        |  WHERE o_orderpriority <> '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderpriority FROM base
+        |  WHERE o_orderpriority = '1-URGENT')
+        |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(1 AS BIGINT) AS untouched_kept
+        |FROM fin GROUP BY o_orderpriority""".stripMargin,
     // expected inventory for the scripted lifecycle: LSH built on the
     // 4-file corpus and never refreshed past the 1-file append; bloom
     // built after it (all 5 covered)

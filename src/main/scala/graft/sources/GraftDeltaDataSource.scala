@@ -78,7 +78,14 @@ class GraftDeltaDataSource extends DeltaSourceProvider
         if (exists) TransactionWriter.append(log, data, partitionBy)
         else TransactionWriter.overwrite(log, data, partitionBy)
       case SaveMode.Overwrite =>
-        TransactionWriter.overwrite(log, data, partitionBy)
+        // .option("replaceWhere", "<predicate>"): predicate-scoped
+        // atomic overwrite instead of a full-table replace (the Delta
+        // writer contract) — only meaningful on an existing table
+        parameters.get("replaceWhere").filter(_ => exists) match {
+          case Some(p) => graft.delta.Mutations.replaceWhere(
+            log, data, org.apache.spark.sql.functions.expr(p))
+          case None => TransactionWriter.overwrite(log, data, partitionBy)
+        }
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalStateException(
           s"graftdelta table already exists at ${log.tablePath} (mode ErrorIfExists)")

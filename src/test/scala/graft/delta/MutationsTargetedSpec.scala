@@ -122,4 +122,64 @@ class MutationsTargetedSpec extends SparkTestBase {
       (2L, "Z", true, 2L, null.asInstanceOf[java.lang.Long]))
       .toDF("pkey", "attr", "is_current", "effective_ver", "end_ver"))
   }
+
+  test("replaceWhere: one-commit scoped swap; straddling remainder survives") {
+    val path = Files.createTempDirectory("graft-rw").resolve("t").toString
+    val log = DeltaLog.forPath(spark, path)
+    import org.apache.spark.sql.functions._
+    // one file straddles the scope (g='a' and g='b'), one is clean
+    TransactionWriter.overwrite(log,
+      Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("k", "g").coalesce(1))
+    Maintenance.append(log, Seq((4L, "c"), (5L, "c")).toDF("k", "g").coalesce(1))
+    val before = log.snapshot.activeFiles.map(_.path).toSet
+    val v0 = log.latestVersion()
+    val v = Mutations.replaceWhere(log,
+      Seq((10L, "a")).toDF("k", "g"), col("g") === "a")
+    assert(v == v0 + 1, "replaceWhere must be ONE commit")
+    val snap = log.snapshotAt(v)
+    // clean file untouched; straddling file's 'b' remainder survives
+    assert(before.intersect(snap.activeFiles.map(_.path).toSet).size == 1)
+    assertSameRows(snap.read(),
+      Seq((3L, "b"), (4L, "c"), (5L, "c"), (10L, "a")).toDF("k", "g"))
+  }
+
+  test("replaceWhere refuses incoming rows outside the predicate scope") {
+    val path = Files.createTempDirectory("graft-rw2").resolve("t").toString
+    val log = DeltaLog.forPath(spark, path)
+    import org.apache.spark.sql.functions._
+    TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("k", "g"))
+    val err = intercept[IllegalArgumentException] {
+      Mutations.replaceWhere(log,
+        Seq((2L, "b")).toDF("k", "g"), col("g") === "a")
+    }
+    assert(err.getMessage.contains("satisfy the predicate"))
+  }
+
+  test("replaceWhere emits delete + insert CDF changes in the same commit") {
+    val path = Files.createTempDirectory("graft-rw3").resolve("t").toString
+    val log = DeltaLog.forPath(spark, path)
+    import org.apache.spark.sql.functions._
+    TransactionWriter.overwrite(log,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "g"),
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    val v = Mutations.replaceWhere(log,
+      Seq((10L, "a")).toDF("k", "g"), col("g") === "a")
+    val changes = ChangeDataFeed.tableChanges(log, v, Some(v))
+      .select("k", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(changes == Set((1L, "delete"), (10L, "insert")),
+      s"got $changes")
+  }
+
+  test("replaceWhere via the writer option on the graftdelta source") {
+    val path = Files.createTempDirectory("graft-rw4").resolve("t").toString
+    Seq((1L, "a"), (2L, "b")).toDF("k", "g")
+      .write.format("graftdelta").mode("overwrite").save(path)
+    Seq((10L, "a")).toDF("k", "g")
+      .write.format("graftdelta").mode("overwrite")
+      .option("replaceWhere", "g = 'a'").save(path)
+    assertSameRows(
+      spark.read.format("graftdelta").load(path),
+      Seq((2L, "b"), (10L, "a")).toDF("k", "g"))
+  }
 }
