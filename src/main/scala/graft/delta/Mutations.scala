@@ -147,6 +147,61 @@ object Mutations {
     } finally if (cdfOn) scan.unpersist()
   }
 
+  /** Dynamic partition overwrite — replace exactly the partitions the
+    * incoming frame touches, in ONE commit, leaving every other
+    * partition's files untouched (Spark's
+    * `partitionOverwriteMode=dynamic` contract; the daily-partition
+    * refresh primitive where [[replaceWhere]]'s predicate would just
+    * restate the partition values).
+    *
+    * The touched-partition set is the incoming frame's distinct
+    * partition tuples (partition-cardinality-sized — planner metadata,
+    * like range cuts and codebooks elsewhere); stored files match by
+    * TYPED, null-safe comparison of their partition values through the
+    * same cast path the read planner uses, so escaped/unicode/null
+    * partition dirs all match correctly. Untouched partitions are
+    * never read. CDF on → delete changes for the replaced partitions'
+    * rows + insert changes for the incoming ones, same commit. */
+  def overwriteDynamic(log: DeltaLog, df: DataFrame): Long = {
+    val spark = log.spark
+    val snap = log.snapshot
+    val partCols = snap.metadata.partitionColumns
+    require(partCols.nonEmpty,
+      "dynamic partition overwrite needs a partitioned table " +
+        "(use a plain overwrite otherwise)")
+    val aligned = df.select(snap.schema.fieldNames.map(col).toSeq: _*)
+    import spark.implicits._
+    // stored (path, typed partition values); values are the log's raw
+    // strings cast through the table types (the planner's attachment
+    // path), nulls preserved
+    val storedRaw = snap.planFiles()
+      .map(f => (f.path, partCols.map(c =>
+        f.partitionValues.get(c).flatMap(Option(_)))))
+    val stored = storedRaw.toDF("__path", "__pv")
+      .select(col("__path") +: partCols.zipWithIndex.map { case (c, i) =>
+        element_at(col("__pv"), i + 1)
+          .cast(snap.schema(c).dataType).as(c)
+      }.toSeq: _*)
+    val incoming = aligned.select(partCols.map(col).toSeq: _*).distinct()
+    val cond = partCols.map(c => stored(c) <=> incoming(c)).reduce(_ && _)
+    val removePaths = stored.join(incoming, cond, "left_semi")
+      .select("__path").collect().map(_.getString(0)).toSet
+    val removes = snap.planFiles().filter(f => removePaths.contains(f.path))
+    val cdfOn = ChangeDataFeed.enabled(snap)
+    val cdc =
+      if (cdfOn) {
+        val replaced =
+          if (removes.isEmpty) snap.read().limit(0)
+          else snap.readFiles(removes)
+            .select(snap.schema.fieldNames.map(col).toSeq: _*)
+        ChangeDataFeed.writeCdcFiles(log,
+          ChangeDataFeed.deleteChanges(replaced)
+            .unionByName(ChangeDataFeed.insertChanges(aligned)))
+      } else Nil
+    TransactionWriter.rewriteFiles(log, snap, removes, aligned,
+      "WRITE", extraActions = cdc)
+  }
+
   /** UPDATE by targeted rewrite: SET `set` columns on rows matching
     * `predicate`; only files containing matching rows are rewritten,
     * and their non-matching rows ride along unchanged. Returns the

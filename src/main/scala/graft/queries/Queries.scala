@@ -4628,6 +4628,45 @@ object Queries {
         .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
         .withColumn("untouched_kept", lit(if (untouchedKept) 1L else 0L))
     }),
+    // Dynamic partition overwrite: one write replaces EXACTLY the
+    // partitions present in the incoming frame — here the URGENT
+    // partition (re-keyed +10M) plus a brand-new '9-NEW' partition —
+    // while every other partition's add entries survive verbatim
+    // (untouched_kept). The daily-partition-refresh primitive; oracle
+    // recomputes the final table from parquet.
+    "q_overwrite_dynamic" -> ((s, dir) => {
+      registerViews(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dyn_")
+        .resolve("t").toString
+      val log = graft.delta.DeltaLog.forPath(s, tmp)
+      val orders = s.table("orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      graft.delta.TransactionWriter.overwrite(log,
+        orders.repartition(4, col("o_orderkey")),
+        partitionBy = Some(Seq("o_orderpriority")))
+      def otherFiles() = log.snapshot.planFiles()
+        .filterNot(f => Seq("1-URGENT", "9-NEW")
+          .exists(f.partitionValues.get("o_orderpriority").contains))
+        .map(f => f.path -> f.modificationTime).toMap
+      val before = otherFiles()
+      val urgent = orders.where(col("o_orderpriority") === "1-URGENT")
+      val incoming = urgent
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice"))
+        .unionByName(urgent
+          .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+            lit("9-NEW").as("o_orderpriority"), col("o_totalprice")))
+      // writer-option surface, not the API: the gate drives the same
+      // path a user's df.write would
+      incoming.write.format("graftdelta").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic").save(tmp)
+      val fresh = graft.delta.DeltaLog.forPath(s, tmp)
+      val untouchedKept = otherFiles() == before && before.nonEmpty
+      fresh.snapshot.read()
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+        .withColumn("untouched_kept", lit(if (untouchedKept) 1L else 0L))
+    }),
     // Index observability: GRAFT SHOW INDEXES reports every sidecar
     // index with its coverage vs the active file set (log-plane +
     // sidecar-plane, no data scan) — the "how stale am I" surface the
@@ -5835,6 +5874,21 @@ object Queries {
         |  WHERE o_orderpriority <> '1-URGENT'
         |  UNION ALL
         |  SELECT o_orderkey + 10000000, o_orderpriority FROM base
+        |  WHERE o_orderpriority = '1-URGENT')
+        |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(1 AS BIGINT) AS untouched_kept
+        |FROM fin GROUP BY o_orderpriority""".stripMargin,
+    "q_overwrite_dynamic" ->
+      """WITH base AS (SELECT o_orderkey, o_orderpriority FROM orders),
+        |fin AS (
+        |  SELECT o_orderkey, o_orderpriority FROM base
+        |  WHERE o_orderpriority <> '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderpriority FROM base
+        |  WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000, '9-NEW' FROM base
         |  WHERE o_orderpriority = '1-URGENT')
         |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,

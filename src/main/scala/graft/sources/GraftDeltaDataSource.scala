@@ -81,9 +81,14 @@ class GraftDeltaDataSource extends DeltaSourceProvider
         // .option("replaceWhere", "<predicate>"): predicate-scoped
         // atomic overwrite instead of a full-table replace (the Delta
         // writer contract) — only meaningful on an existing table
+        // .option("partitionOverwriteMode", "dynamic"): replace only
+        // the partitions present in the incoming frame
         parameters.get("replaceWhere").filter(_ => exists) match {
           case Some(p) => graft.delta.Mutations.replaceWhere(
             log, data, org.apache.spark.sql.functions.expr(p))
+          case None if exists && parameters.get("partitionOverwriteMode")
+              .exists(_.equalsIgnoreCase("dynamic")) =>
+            graft.delta.Mutations.overwriteDynamic(log, data)
           case None => TransactionWriter.overwrite(log, data, partitionBy)
         }
       case SaveMode.ErrorIfExists =>

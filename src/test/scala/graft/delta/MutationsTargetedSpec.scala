@@ -182,4 +182,55 @@ class MutationsTargetedSpec extends SparkTestBase {
       spark.read.format("graftdelta").load(path),
       Seq((2L, "b"), (10L, "a")).toDF("k", "g"))
   }
+
+  test("dynamic partition overwrite replaces only incoming partitions") {
+    val path = Files.createTempDirectory("graft-dyn").resolve("t").toString
+    val log = DeltaLog.forPath(spark, path)
+    import org.apache.spark.sql.functions._
+    TransactionWriter.overwrite(log,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "g"),
+      partitionBy = Some(Seq("g")))
+    val before = log.snapshot.planFiles()
+      .filter(_.partitionValues.get("g").exists(v => v == "b" || v == "c"))
+      .map(_.path).toSet
+    val v = Mutations.overwriteDynamic(log,
+      Seq((10L, "a"), (11L, "d")).toDF("k", "g"))
+    val snap = log.snapshotAt(v)
+    // untouched partitions keep their exact files
+    assert(before.subsetOf(snap.activeFiles.map(_.path).toSet))
+    assertSameRows(snap.read(),
+      Seq((2L, "b"), (3L, "c"), (10L, "a"), (11L, "d")).toDF("k", "g"))
+  }
+
+  test("dynamic overwrite matches NULL partitions null-safely") {
+    val path = Files.createTempDirectory("graft-dyn2").resolve("t").toString
+    val log = DeltaLog.forPath(spark, path)
+    TransactionWriter.overwrite(log,
+      Seq((1L, "a"), (2L, null.asInstanceOf[String])).toDF("k", "g"),
+      partitionBy = Some(Seq("g")))
+    Mutations.overwriteDynamic(log,
+      Seq((20L, null.asInstanceOf[String])).toDF("k", "g"))
+    assertSameRows(log.snapshot.read(),
+      Seq((1L, "a"), (20L, null.asInstanceOf[String])).toDF("k", "g"))
+  }
+
+  test("dynamic overwrite refuses unpartitioned tables; option drives it") {
+    val path = Files.createTempDirectory("graft-dyn3").resolve("t").toString
+    val log = DeltaLog.forPath(spark, path)
+    TransactionWriter.overwrite(log, Seq((1L, "a")).toDF("k", "g"))
+    val err = intercept[IllegalArgumentException] {
+      Mutations.overwriteDynamic(log, Seq((2L, "b")).toDF("k", "g"))
+    }
+    assert(err.getMessage.contains("partitioned"))
+    // writer-option path on a partitioned table
+    val p2 = Files.createTempDirectory("graft-dyn4").resolve("t").toString
+    Seq((1L, "a"), (2L, "b")).toDF("k", "g")
+      .write.format("graftdelta").partitionBy("g").mode("overwrite").save(p2)
+    Seq((10L, "a")).toDF("k", "g")
+      .write.format("graftdelta").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").save(p2)
+    assertSameRows(
+      spark.read.format("graftdelta").load(p2),
+      Seq((2L, "b"), (10L, "a")).toDF("k", "g"))
+  }
 }
