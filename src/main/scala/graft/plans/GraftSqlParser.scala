@@ -23,7 +23,7 @@ import graft.delta.{Clone, Constraints, DeltaLog, Maintenance, Mutations}
   * GRAFT HISTORY '<path>'
   * GRAFT DESCRIBE DETAIL '<path>'
   * GRAFT SHOW PARTITIONS '<path>'
-  * GRAFT RESTORE '<path>' TO VERSION <v>
+  * GRAFT RESTORE '<path>' TO VERSION <v> | TO TIMESTAMP '<ts>'
   * GRAFT DELETE FROM '<path>' WHERE <predicate>        -- targeted rewrite
   * GRAFT DELETE FROM '<path>' USING DV WHERE <pred>    -- deletion vectors
   * GRAFT UPDATE '<path>' SET c1 = <expr>[, ...] WHERE <predicate>
@@ -83,6 +83,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+SHOW\s+PARTITIONS\s+'([^']+)'\s*""".r
   private val Restore =
     """(?is)\s*GRAFT\s+RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*""".r
+  private val RestoreTs =
+    """(?is)\s*GRAFT\s+RESTORE\s+'([^']+)'\s+TO\s+TIMESTAMP\s+'([^']+)'\s*""".r
   private val Delete =
     """(?is)\s*GRAFT\s+DELETE\s+FROM\s+'([^']+)'(\s+USING\s+DV)?\s+WHERE\s+(.+?)\s*""".r
   private val Update =
@@ -432,6 +434,20 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case Restore(path, v) =>
       GraftMaintenanceCommand(path, "restore",
         Seq("version"), s => Seq(Row(Maintenance.restore(DeltaLog.forPath(s, path), v.toLong))))
+    case RestoreTs(path, ts) =>
+      // timestamp resolves through the same clock as read-side time
+      // travel (commit mtimes; in-commit timestamps when enabled)
+      GraftMaintenanceCommand(path, "restore",
+        Seq("version"), s => {
+          val log = DeltaLog.forPath(s, path)
+          // ISO instant, or "yyyy-MM-dd[ HH:mm:ss]" read as UTC
+          val iso =
+            if (ts.contains("T")) ts
+            else if (ts.contains(" ")) ts.replace(" ", "T") + "Z"
+            else ts + "T00:00:00Z"
+          val target = log.snapshotAsOf(java.time.Instant.parse(iso)).version
+          Seq(Row(Maintenance.restore(log, target)))
+        })
     case Delete(path, dv, pred) =>
       GraftMaintenanceCommand(path, "delete",
         Seq("version"), s => {

@@ -59,6 +59,19 @@ object SqlDemo {
         "restored snapshot must carry the target version's (absent) DV state")
       println("== RESTORE TO VERSION 0 across a DV delete: 4 -> 5 rows ==")
 
+      // RESTORE TO TIMESTAMP: the same restore through the time-travel
+      // clock (v1's commit mtime resolves the post-delete state)
+      val rlog = graft.delta.DeltaLog.forPath(spark, restorePath)
+      val v1Ts = rlog.fs.getFileStatus(new org.apache.hadoop.fs.Path(
+        rlog.logPath, "00000000000000000001.json")).getModificationTime
+      spark.sql(s"GRAFT RESTORE '$restorePath' TO TIMESTAMP " +
+        s"'${java.time.Instant.ofEpochMilli(v1Ts)}'")
+      require(spark.read.format("graftdelta").load(restorePath).count() == 4L,
+        "RESTORE TO TIMESTAMP must land on the version live at that instant")
+      spark.sql(s"GRAFT RESTORE '$restorePath' TO VERSION 0")
+      require(spark.read.format("graftdelta").load(restorePath).count() == 5L)
+      println("== RESTORE TO TIMESTAMP: resolved through the travel clock ==")
+
       // VACUUM retention runs from the remove tombstone: the DV-delete
       // rewrite just orphaned files seconds ago, so RETAIN 1 HOURS must
       // reclaim nothing and time travel inside the window must survive

@@ -313,4 +313,25 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(hof == native) // bit-exact, not approximate
   }
+
+  test("GRAFT RESTORE TO TIMESTAMP resolves through the time-travel clock") {
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Files.createTempDirectory("graft-rts")
+      .resolve("t").toString
+    val log = graft.delta.DeltaLog.forPath(spark, path)
+    import spark.implicits._
+    graft.delta.TransactionWriter.overwrite(log,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"))                      // v0
+    graft.delta.Mutations.delete(log, col("k") === 2L)               // v1
+    assert(log.snapshot.read().count() == 1)
+    // the v0 commit file's mtime IS the time-travel clock for v0
+    val fs = log.fs
+    val v0Ts = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+      log.logPath, "00000000000000000000.json")).getModificationTime
+    val iso = java.time.Instant.ofEpochMilli(v0Ts).toString
+    spark.sql(s"GRAFT RESTORE '$path' TO TIMESTAMP '$iso'").collect()
+    assert(graft.delta.DeltaLog.forPath(spark, path)
+      .snapshot.read().count() == 2,
+      "restore-to-timestamp must reinstate the v0 row set")
+  }
 }
