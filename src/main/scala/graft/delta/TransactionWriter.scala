@@ -945,6 +945,66 @@ object TransactionWriter {
     -1L // unreachable
   }
 
+  /** CONVERT TO DELTA — onboard an existing parquet directory
+    * (optionally hive-partitioned) IN PLACE: no data file is read in
+    * full, moved, or rewritten; commit 0 simply records every parquet
+    * file as an add with footer-derived stats. This is THE migration
+    * path at scale — rewriting 100 TB to adopt the log is a
+    * non-starter, while this costs one recursive listing plus one
+    * metadata-only footer pass (distributed past the driver-side file
+    * count, the [[computeStats]] posture).
+    *
+    * Partition columns and their types come from Spark's own partition
+    * discovery over the directory (the hive `k=v` layout); the log
+    * stores the usual raw string values and readers cast through the
+    * discovered schema — the same attachment path every partitioned
+    * table uses. Refuses a directory that already has a `_delta_log`.
+    * Returns the created version (always 0). */
+  def convertToDelta(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+    val log = DeltaLog.forPath(spark, path)
+    val (commits, cps) = if (log.fs.exists(log.logPath)) log.listLog()
+      else (Nil, Nil)
+    require(commits.isEmpty && cps.isEmpty,
+      s"$path is already a Delta table — CONVERT TO DELTA onboards " +
+        "plain parquet directories only")
+    val base = new Path(log.tablePath)
+    val files = listParquet(log.fs, base)
+      .filterNot(_.getPath.toString.contains("_delta_log"))
+    require(files.nonEmpty, s"no parquet files under $path to convert")
+    val moved = files.map { st =>
+      val rel = relativize(base, st.getPath)
+      MovedFile(rel, st.getPath, st.getLen, st.getModificationTime,
+        partitionValuesOf(rel))
+    }
+    // Spark's partition discovery supplies the full schema (data
+    // columns from footers, partition columns typed from the dir
+    // values) — exactly what readers will resolve against
+    val schema = spark.read.parquet(path).schema
+    val partCols = moved.head.partitionValues.keys.toSeq.sorted
+    require(moved.forall(_.partitionValues.keys.toSeq.sorted == partCols),
+      "inconsistent partition directory layout under " + path)
+    val dataSchema = StructType(
+      schema.filterNot(f => partCols.contains(f.name)))
+    val stats = computeStats(log, dataSchema, moved)
+    val now = System.currentTimeMillis()
+    val actions = Seq(
+      CommitInfoAction(CommitInfo(now, "CONVERT")),
+      ProtocolAction(Protocol()),
+      MetadataAction(Metadata(
+        id = java.util.UUID.randomUUID.toString,
+        schemaString = schema.json,
+        partitionColumns = partCols,
+        configuration = Map.empty,
+        createdTime = Some(now)))) ++
+      moved.map { m =>
+        AddAction(AddFile(DeltaLog.encodePath(m.rel), m.partitionValues,
+          m.size, m.modificationTime, dataChange = true,
+          stats = stats.get(m.rel)))
+      }
+    log.commit(0L, actions, ictEnabled = false)
+    0L
+  }
+
   private final case class MovedFile(
       rel: String, abs: Path, size: Long, modificationTime: Long,
       partitionValues: Map[String, String])

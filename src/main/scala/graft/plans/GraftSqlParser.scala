@@ -61,6 +61,7 @@ import graft.delta.{Clone, Constraints, DeltaLog, Maintenance, Mutations}
   * GRAFT REGISTER TABLE <name> LOCATION '<path>'   -- persisted across sessions
   * GRAFT UNREGISTER TABLE <name>
   * GRAFT RESTORE TABLES                            -- re-register persisted names
+  * GRAFT CONVERT TO DELTA '<path>'                 -- onboard a parquet dir in place (no rewrite)
   * }}}
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
@@ -115,6 +116,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+UNREGISTER\s+TABLE\s+([\w.]+)\s*""".r
   private val RestoreTables =
     """(?is)\s*GRAFT\s+RESTORE\s+TABLES\s*""".r
+  private val ConvertToDelta =
+    """(?is)\s*GRAFT\s+CONVERT\s+TO\s+DELTA\s+'([^']+)'\s*""".r
   private val Analyze =
     """(?is)\s*GRAFT\s+ANALYZE\s+'([^']+)'\s*""".r
   private val CreateMatViewJoin =
@@ -434,6 +437,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case Restore(path, v) =>
       GraftMaintenanceCommand(path, "restore",
         Seq("version"), s => Seq(Row(Maintenance.restore(DeltaLog.forPath(s, path), v.toLong))))
+    case ConvertToDelta(path) =>
+      GraftMaintenanceCommand(path, "convert_to_delta",
+        Seq("version"), s => Seq(Row(
+          graft.delta.TransactionWriter.convertToDelta(s, path))))
     case RestoreTs(path, ts) =>
       // timestamp resolves through the same clock as read-side time
       // travel (commit mtimes; in-commit timestamps when enabled)

@@ -4628,6 +4628,46 @@ object Queries {
         .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
         .withColumn("untouched_kept", lit(if (untouchedKept) 1L else 0L))
     }),
+    // CONVERT TO DELTA: onboard a plain hive-partitioned parquet dir
+    // in place — commit 0 records every existing file as an add with
+    // footer-derived stats; nothing is read in full or rewritten
+    // (in_place: the delta adds resolve to the exact pre-convert
+    // parquet paths; with_stats: every add carries numRecords). Reads,
+    // time travel, and skipping then work like any native table.
+    "q_convert_read" -> ((s, dir) => {
+      registerViews(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_conv_")
+        .resolve("t").toString
+      val orders = s.table("orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      orders.repartition(2, col("o_orderkey"))
+        .write.partitionBy("o_orderpriority").parquet(tmp)
+      val preFiles = {
+        val fs = new org.apache.hadoop.fs.Path(tmp)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val it = fs.listFiles(new org.apache.hadoop.fs.Path(tmp), true)
+        val b = scala.collection.mutable.Set.empty[String]
+        while (it.hasNext) { val st = it.next()
+          if (st.getPath.getName.endsWith(".parquet")) b += st.getPath.toString }
+        b.toSet
+      }
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT CONVERT TO DELTA '$tmp'").collect()
+      val log = graft.delta.DeltaLog.forPath(s, tmp)
+      val snap = log.snapshot
+      // scheme-insensitive path compare (file:/ vs bare; spaces in
+      // partition dirs make URI-normalization throw)
+      def pathOf(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
+      val addAbs = snap.planFiles()
+        .map(f => pathOf(snap.absolutePath(f))).toSet
+      val inPlace = addAbs == preFiles.map(pathOf) && preFiles.nonEmpty
+      val withStats = snap.addsFlat.where(col("num_records").isNull).isEmpty
+      snap.read()
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+        .withColumn("in_place", lit(if (inPlace) 1L else 0L))
+        .withColumn("with_stats", lit(if (withStats) 1L else 0L))
+    }),
     // Dynamic partition overwrite: one write replaces EXACTLY the
     // partitions present in the incoming frame — here the URGENT
     // partition (re-keyed +10M) plus a brand-new '9-NEW' partition —
@@ -5879,6 +5919,11 @@ object Queries {
         |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
         |  CAST(1 AS BIGINT) AS untouched_kept
         |FROM fin GROUP BY o_orderpriority""".stripMargin,
+    "q_convert_read" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(1 AS BIGINT) AS in_place, CAST(1 AS BIGINT) AS with_stats
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q_overwrite_dynamic" ->
       """WITH base AS (SELECT o_orderkey, o_orderpriority FROM orders),
         |fin AS (

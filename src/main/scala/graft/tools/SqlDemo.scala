@@ -72,6 +72,18 @@ object SqlDemo {
       require(spark.read.format("graftdelta").load(restorePath).count() == 5L)
       println("== RESTORE TO TIMESTAMP: resolved through the travel clock ==")
 
+      // CONVERT TO DELTA: onboard a plain parquet dir in place
+      val convDir = s"$dir/plain_parquet"
+      (1L to 20L).map(i => (i, (i % 2).toString)).toDF("k", "p")
+        .repartition(2).write.partitionBy("p").parquet(convDir)
+      spark.sql(s"GRAFT CONVERT TO DELTA '$convDir'")
+      require(spark.read.format("graftdelta").load(convDir).count() == 20L,
+        "converted table must read through the log")
+      spark.sql(s"GRAFT DELETE FROM '$convDir' WHERE k = 1")
+      require(spark.read.format("graftdelta").load(convDir).count() == 19L,
+        "mutations must work on the converted table")
+      println("== CONVERT TO DELTA: parquet dir onboarded in place ==")
+
       // VACUUM retention runs from the remove tombstone: the DV-delete
       // rewrite just orphaned files seconds ago, so RETAIN 1 HOURS must
       // reclaim nothing and time travel inside the window must survive

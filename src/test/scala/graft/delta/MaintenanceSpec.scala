@@ -414,6 +414,35 @@ class MaintenanceSpec extends SparkTestBase {
       s"without the conf the appended file must read stale: $offInv")
   }
 
+  test("CONVERT TO DELTA onboards a parquet dir in place") {
+    val dir = Files.createTempDirectory("graft-conv").resolve("t").toString
+    (1L to 30L).map(i => (i, (i % 3).toString)).toDF("k", "p")
+      .repartition(2).write.partitionBy("p").parquet(dir)
+    val v = TransactionWriter.convertToDelta(spark, dir)
+    assert(v == 0L)
+    val log = DeltaLog.forPath(spark, dir)
+    val snap = log.snapshot
+    assert(snap.metadata.partitionColumns == Seq("p"))
+    assert(snap.read().count() == 30L)
+    // stats present for skipping; partition values attached typed
+    assert(snap.addsFlat.where(col("num_records").isNull).isEmpty)
+    assert(snap.read().where(col("p") === "1").count() == 10L)
+    // mutations work on the converted table like any native one
+    Mutations.delete(log, col("k") === 1L)
+    assert(log.snapshot.read().count() == 29L)
+    // refuses an existing delta table and an empty dir
+    val err = intercept[IllegalArgumentException] {
+      TransactionWriter.convertToDelta(spark, dir)
+    }
+    assert(err.getMessage.contains("already a Delta table"))
+    // unpartitioned convert
+    val d2 = Files.createTempDirectory("graft-conv2").resolve("t").toString
+    (1L to 5L).map(i => (i, s"v$i")).toDF("k", "s").coalesce(1)
+      .write.parquet(d2)
+    TransactionWriter.convertToDelta(spark, d2)
+    assert(DeltaLog.forPath(spark, d2).snapshot.read().count() == 5L)
+  }
+
   test("DROP FEATURE: full deletion-vectors retirement lifecycle") {
     val log = freshLog()
     TransactionWriter.overwrite(log,
