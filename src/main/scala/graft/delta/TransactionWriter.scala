@@ -980,8 +980,14 @@ object TransactionWriter {
     // columns from footers, partition columns typed from the dir
     // values) — exactly what readers will resolve against
     val schema = spark.read.parquet(path).schema
-    val partCols = moved.head.partitionValues.keys.toSeq.sorted
-    require(moved.forall(_.partitionValues.keys.toSeq.sorted == partCols),
+    // partition-column ORDER comes from the directory nesting
+    // (`a=.../b=.../file`), not the value map — multi-level layouts
+    // must record the levels in path order
+    def levelOrder(rel: String): Seq[String] =
+      rel.split('/').dropRight(1).toSeq
+        .map(seg => unescapePathName(seg.substring(0, seg.indexOf('='))))
+    val partCols = levelOrder(moved.head.rel)
+    require(moved.forall(m => levelOrder(m.rel) == partCols),
       "inconsistent partition directory layout under " + path)
     val dataSchema = StructType(
       schema.filterNot(f => partCols.contains(f.name)))

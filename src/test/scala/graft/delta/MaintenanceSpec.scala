@@ -441,6 +441,17 @@ class MaintenanceSpec extends SparkTestBase {
       .write.parquet(d2)
     TransactionWriter.convertToDelta(spark, d2)
     assert(DeltaLog.forPath(spark, d2).snapshot.read().count() == 5L)
+    // multi-level partitioning: column order must follow the directory
+    // nesting (a then zz), not alphabetical accident
+    val d3 = Files.createTempDirectory("graft-conv3").resolve("t").toString
+    (1L to 12L).map(i => (i, (i % 2).toString, (i % 3).toString))
+      .toDF("k", "zz", "a").coalesce(1)
+      .write.partitionBy("zz", "a").parquet(d3)
+    TransactionWriter.convertToDelta(spark, d3)
+    val s3 = DeltaLog.forPath(spark, d3).snapshot
+    assert(s3.metadata.partitionColumns == Seq("zz", "a"),
+      s"got ${s3.metadata.partitionColumns}")
+    assert(s3.read().where(col("zz") === "1" && col("a") === "0").count() == 2L)
   }
 
   test("DROP FEATURE: full deletion-vectors retirement lifecycle") {
