@@ -191,10 +191,10 @@ object PqIndex {
     val files = coverableFiles(snap)
     if (files.isEmpty) return snap.version
     val corpus = snap.read()
-    val coarse = Pq.trainCodebooks(corpus, idCol, vecCol,
-      m = 1, k = kCoarse, iterations = iterations)
-    val books = Pq.trainCodebooks(corpus, idCol, vecCol,
-      m = m, k = k, iterations = iterations)
+    // both quantizers in ONE shared job chain (identical results to
+    // two trainCodebooks calls — the training is job-overhead-bound)
+    val Seq(coarse, books) = Pq.trainCodebooksMulti(corpus, idCol, vecCol,
+      Seq((1, kCoarse), (m, k)), iterations = iterations)
     Sidecar.writeMeta(log.spark, indexDir(log, idCol, vecCol),
       "ivfpq", Seq(idCol, vecCol))
     publish(log, indexDir(log, idCol, vecCol),

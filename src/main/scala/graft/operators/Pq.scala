@@ -105,6 +105,83 @@ object Pq {
       .sortBy(x => (x._1, x._2))
   }
 
+  /** Train SEVERAL codebook shapes over the same corpus in ONE shared
+    * job chain — an IVF-PQ setup needs both the coarse (m=1) and the
+    * product (m>1) quantizers, and training them separately doubles
+    * every Spark job on what is per-job-overhead-bound work (the k-
+    * means math is trivial; the cost is job count). Results are
+    * IDENTICAL to calling [[trainCodebooks]] once per spec: the init
+    * window ranks the same rows in the same md5 order within each
+    * (spec, subspace), and every mean averages the same group —
+    * PqSpec pins the equivalence. Returns one book per spec, in
+    * order. */
+  def trainCodebooksMulti(
+      df: DataFrame, idCol: String, vecCol: String,
+      specs: Seq[(Int, Int)], iterations: Int = 3,
+      roundDp: Int = 6): Seq[Seq[(Int, Long, Array[Double])]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    require(specs.nonEmpty && iterations >= 0, "need specs, iterations >= 0")
+    val dims = df.select(size(col(vecCol))).head().getInt(0)
+    specs.foreach { case (m, k) =>
+      require(m > 0 && dims % m == 0, s"m=$m must divide dims=$dims")
+      require(k > 0, s"need k > 0") }
+    // every spec's subvectors ride ONE exploded relation, tagged si
+    val pieces = specs.zipWithIndex.map { case ((m, _), si) =>
+      val dsub = dims / m
+      s"transform(sequence(0, ${m - 1}), j -> struct($si AS si, " +
+        s"j AS j, slice($vecCol, j * $dsub + 1, $dsub) AS sv))"
+    }
+    val sub = df.select(col(idCol).as("id"),
+        explode(expr(pieces.mkString("concat(", ", ", ")"))).as("e"))
+      .select(col("id"), col("e.si").as("si"),
+        col("e.j").cast("int").as("j"), asDouble(col("e.sv")).as("v"))
+      .localCheckpoint()
+    val maxK = specs.map(_._2).max
+    var centroids: Map[(Int, Int, Long), Array[Double]] = sub
+      .withColumn("rn", row_number().over(Window.partitionBy("si", "j")
+        .orderBy(md5(col("id").cast("string")), col("id"))))
+      .where(col("rn") <= maxK)
+      .collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(4).toLong - 1L) ->
+        r.getSeq[Double](3).toArray)
+      .filter { case ((si, _, cid), _) => cid < specs(si)._2 }
+      .toMap
+    (1 to iterations).foreach { _ =>
+      val centDf = centroids.toSeq
+        .map { case ((si, j, cid), cv) => (si, j, cid, cv.toSeq) }
+        .toDF("si", "j", "cid", "cv")
+      val assign = sub.join(broadcast(centDf), Seq("si", "j"))
+        .withColumn("d", round(l2sq(col("v"), col("cv")), 4))
+        .groupBy("id", "si", "j")
+        .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("cid"),
+          first(col("v")).as("v"))
+      val means = assign
+        .select(col("si"), col("j"), col("cid"), posexplode(col("v")))
+        .groupBy("si", "j", "cid", "pos")
+        .agg(avg(col("col")).as("mu"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+        .map { case (key @ (si, _, _), rows) =>
+          val arr = new Array[Double](dims / specs(si)._1)
+          rows.foreach { r =>
+            arr(r.getInt(3)) = BigDecimal(r.getDouble(4))
+              .setScale(roundDp, BigDecimal.RoundingMode.HALF_UP).toDouble
+          }
+          key -> arr
+        }
+      centroids = centroids.map { case (key, old) =>
+        key -> means.getOrElse(key, old)
+      }
+    }
+    sub.unpersist()
+    specs.indices.map { si =>
+      centroids.collect { case ((`si`, j, cid), cv) => (j, cid, cv) }
+        .toSeq.sortBy(x => (x._1, x._2))
+    }
+  }
+
   /** The codebook for one subspace as a literal
     * `array<array<double>>`, index = cid + 1 (1-based). */
   private[graft] def bookLit(

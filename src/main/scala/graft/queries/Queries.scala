@@ -1493,10 +1493,8 @@ object Queries {
     (s, dir) => {
       registerViews(s, dir)
       val emb = s.table("embeddings")
-      val coarse = graft.operators.Pq.trainCodebooks(
-        emb, "vec_id", "embedding", m = 1, k = 8, iterations = 2)
-      val books = graft.operators.Pq.trainCodebooks(
-        emb, "vec_id", "embedding", m = 4, k = 16, iterations = 2)
+      val Seq(coarse, books) = graft.operators.Pq.trainCodebooksMulti(
+        emb, "vec_id", "embedding", Seq((1, 8), (4, 16)), iterations = 2)
       import s.implicits._
       (coarse.map { case (j, cid, cv) => ("c", j, cid, cv.toSeq) } ++
         books.map { case (j, cid, cv) => ("p", j, cid, cv.toSeq) })
@@ -4369,10 +4367,8 @@ object Queries {
     "q_hybrid_rrf_ann" -> ((s, dir) => {
       registerViews(s, dir)
       val emb = s.table("embeddings")
-      val coarse = graft.operators.Pq.trainCodebooks(
-        emb, "vec_id", "embedding", m = 1, k = 8, iterations = 2)
-      val books = graft.operators.Pq.trainCodebooks(
-        emb, "vec_id", "embedding", m = 4, k = 16, iterations = 2)
+      val Seq(coarse, books) = graft.operators.Pq.trainCodebooksMulti(
+        emb, "vec_id", "embedding", Seq((1, 8), (4, 16)), iterations = 2)
       import s.implicits._
       (coarse.map { case (j, cid, cv) => ("c", j, cid, cv.toSeq) } ++
         books.map { case (j, cid, cv) => ("p", j, cid, cv.toSeq) })

@@ -64,10 +64,8 @@ object AnnDemo {
       }
 
       import graft.operators.{Pq, Sq}
-      val books = Pq.trainCodebooks(emb, "vec_id", "embedding",
-        m = 4, k = 16, iterations = 2)
-      val coarse = Pq.trainCodebooks(emb, "vec_id", "embedding",
-        m = 1, k = 8, iterations = 2)
+      val Seq(coarse, books) = Pq.trainCodebooksMulti(emb,
+        "vec_id", "embedding", Seq((1, 8), (4, 16)), iterations = 2)
 
       val adc = Pq.adcTopK(Pq.encode(emb, "vec_id", "embedding", books),
           queries, "vec_id", "embedding", books, kNeighbors = 3)

@@ -75,4 +75,18 @@ class PqSpec extends SparkTestBase {
     // vectors 1,2 cluster together; 3,4 in the other cell -> only 2
     assert(out == Set(2L), out.toString)
   }
+
+  test("trainCodebooksMulti equals per-spec trainCodebooks bit-for-bit") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val specs = Seq((1, 8), (4, 16))
+    val multi = Pq.trainCodebooksMulti(emb, "vec_id", "embedding", specs,
+      iterations = 2)
+    specs.zipWithIndex.foreach { case ((m, k), si) =>
+      val single = Pq.trainCodebooks(emb, "vec_id", "embedding", m, k,
+        iterations = 2)
+      assert(multi(si).map { case (j, c, v) => (j, c, v.toSeq) } ==
+        single.map { case (j, c, v) => (j, c, v.toSeq) },
+        s"spec (m=$m, k=$k) diverged")
+    }
+  }
 }
