@@ -21,25 +21,33 @@ object Indexes {
     val spark = log.spark
     val snap = log.snapshot
     val active = snap.planFiles()
-    val activeNorm = active
-      .flatMap(f => snap.pathCandidates(f).map(Mutations.normalize)).toSet
+    // the LSH/IVF/IVF-PQ maintenance contract never covers files
+    // carrying live deletion vectors (the probe computes those LIVE) —
+    // counting them as "stale" would make stale_files > 0 forever on
+    // DV-bearing tables, so the denominator is each kind's COVERABLE
+    // set; bloom covers everything
+    val dvFree = active.filterNot(_.deletionVector.exists(_.cardinality > 0))
+    def norm(fs: Seq[AddFile]) =
+      fs.flatMap(f => snap.pathCandidates(f).map(Mutations.normalize)).toSet
     val base = new Path(log.rootPath, "_graft_index")
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return Seq.empty
     fs.listStatus(base).filter(_.isDirectory).map(_.getPath)
       .sortBy(_.getName).toSeq.flatMap { dir =>
         Sidecar.read(spark, dir.toString).map { df =>
+          val (kind, cols) = Sidecar.readMeta(spark, dir.toString)
+            .map { case (k, cs) => (k, cs.mkString(", ")) }
+            .getOrElse(("unknown", dir.getName))
+          val coverable = if (kind == "bloom") active else dvFree
+          val coverableNorm = norm(coverable)
           val stored = df
             .where(!col("file_path").startsWith("__"))
             .select("file_path").distinct()
             .collect().map(_.getString(0))
           val covered =
-            stored.count(p => activeNorm.contains(Mutations.normalize(p)))
-          val (kind, cols) = Sidecar.readMeta(spark, dir.toString)
-            .map { case (k, cs) => (k, cs.mkString(", ")) }
-            .getOrElse(("unknown", dir.getName))
-          (kind, cols, covered.toLong, active.size.toLong,
-            (active.size - covered).toLong)
+            stored.count(p => coverableNorm.contains(Mutations.normalize(p)))
+          (kind, cols, covered.toLong, coverable.size.toLong,
+            (coverable.size - covered).toLong)
         }
       }
   }

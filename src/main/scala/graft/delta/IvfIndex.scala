@@ -327,9 +327,12 @@ object IvfIndex {
             col("cell").cast("int").as("cell"),
             col("vec").as("cv2"), col("nrm").as("cn"))
       }
+    // NO dedup on (query, neighbor): a same-id row in two files is two
+    // candidate rows in Similarity.ivfTopK too — the indexed/live sides
+    // are disjoint by construction (covered vs not), so dedup could
+    // only nondeterministically drop a legitimate duplicate-id row
     val rer = probe.join(indexed.unionByName(live), Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("sim", round(
         VectorExpressions.dot(col("qv"), col("cv2")) /
           (col("qn") * col("cn")), 4))

@@ -174,9 +174,12 @@ object Mutations {
     // stored (path, typed partition values); values are the log's raw
     // strings cast through the table types (the planner's attachment
     // path), nulls preserved
+    // the log stores partitionValues under PHYSICAL names on
+    // column-mapped tables — look up through the same mapping the
+    // read planner uses
     val storedRaw = snap.planFiles()
       .map(f => (f.path, partCols.map(c =>
-        f.partitionValues.get(c).flatMap(Option(_)))))
+        f.partitionValues.get(snap.physicalNameOf(c)).flatMap(Option(_)))))
     val stored = storedRaw.toDF("__path", "__pv")
       .select(col("__path") +: partCols.zipWithIndex.map { case (c, i) =>
         element_at(col("__pv"), i + 1)

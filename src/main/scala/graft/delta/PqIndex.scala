@@ -337,9 +337,12 @@ object PqIndex {
     val cand = indexed.unionByName(live)
       .withColumn("__rv", recon)
       .withColumn("__rn2", VectorExpressions.dot(col("__rv"), col("__rv")))
+    // NO dedup on (query, neighbor): a same-id row in two files is two
+    // candidate rows in Pq.ivfPqTopK too — deduping would pick one
+    // nondeterministically and break the row-identical guarantee; the
+    // indexed/live sides are disjoint by construction (covered vs not)
     cand.join(broadcast(q.withColumnRenamed("cell", "qcell")),
         col("cell") === col("qcell") && col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         round(col("__qn2") -
           lit(2.0) * VectorExpressions.dot(col("__qv"), col("__rv")) +

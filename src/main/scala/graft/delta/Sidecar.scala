@@ -48,12 +48,20 @@ object Sidecar {
   def writeMeta(spark: SparkSession, dir: String, kind: String,
       cols: Seq[String]): Unit = {
     val (fs, base) = fsOf(spark, dir)
-    val p = new Path(base, MetaName)
-    if (!fs.exists(p)) {
-      val out = fs.create(p, true)
+    // repair-on-write: a crash between create and write (or a legacy
+    // pre-descriptor sidecar) leaves an empty/absent _meta — every
+    // build/refresh re-publishes it until a complete one exists. The
+    // tmp-write + rename keeps readers from ever observing a partial
+    // descriptor (rename failure falls through to the next refresh).
+    if (readMeta(spark, dir).isEmpty) {
+      val p = new Path(base, MetaName)
+      val tmp = new Path(base, MetaName + ".tmp")
+      val out = fs.create(tmp, true)
       try out.write((kind +: cols).mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
+      if (fs.exists(p)) fs.delete(p, false)
+      fs.rename(tmp, p)
     }
   }
 

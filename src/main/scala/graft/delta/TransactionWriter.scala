@@ -825,10 +825,19 @@ object TransactionWriter {
       // follows the table without orchestration. Each refresh is
       // O(new files) by the sidecar maintenance contract (an
       // up-to-date index no-ops), and sidecar writes never touch the
-      // table log, so there is no re-entrancy.
+      // table log, so there is no re-entrancy. NON-FATAL by contract:
+      // the data commit has already landed — surfacing a refresh
+      // failure as a write failure would make callers retry and
+      // double-apply; the index just goes stale (and its probes
+      // degrade safely).
       if (dataChange &&
           effectiveConf.get("graft.autoRefresh.indexes").contains("true"))
-        Indexes.refreshAll(log)
+        try Indexes.refreshAll(log)
+        catch { case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"auto index refresh after commit $committed failed " +
+              s"(index stays stale, data commit unaffected): $e")
+        }
       committed
     } finally fs.delete(staging, true)
   }

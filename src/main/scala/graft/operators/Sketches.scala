@@ -362,7 +362,17 @@ object Sketches {
     * ~`oversample·k` rows per group — the exact bottom-k window then
     * sorts only survivors, never the table (the [[rangeBounds]]
     * sample-only-sort discipline). The threshold arithmetic is pure
-    * integer, so both engines compute the identical survivor set. */
+    * integer, so both engines compute the identical survivor set.
+    *
+    * The pre-filter is PROBABILISTIC cover: a group could in principle
+    * keep fewer than `min(k, n)` survivors (Binomial tail —
+    * vanishingly rare at `oversample = 8`, and deterministic per
+    * dataset). Rather than silently returning a short sample, a
+    * shortfall REFUSES with the failing groups and the fix (raise
+    * `oversample`) — the guard is one count over the already-tiny
+    * survivor relation. Groups whose key is NULL are matched
+    * null-safely (they sketch like any other group, as in the
+    * aggregate form). */
   def quantileSketch(df: DataFrame, groupCols: Seq[String], idCol: String,
       valueCol: String, k: Int, oversample: Int = 8): DataFrame = {
     require(k > 0 && oversample > 0, s"need k > 0, oversample > 0")
@@ -374,14 +384,34 @@ object Sketches {
     val threshold = least(lit(268435456L),
       expr(s"(CAST(${oversample.toLong * k} AS BIGINT) * 268435456 " +
         "+ __n - 1) DIV __n"))
-    val survivors = df.join(broadcast(counts), groupCols)
+    // null-safe group match (a plain USING join would drop null keys)
+    val cdf = counts.select(
+      (groupCols.map(c => col(c).as(s"__g_$c")) :+ col("__n")): _*)
+    val cond = groupCols.map(c => col(c) <=> col(s"__g_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val survivors = df.join(broadcast(cdf), cond)
       .where(qskHash(idCol) < threshold)
+      .drop(groupCols.map(c => s"__g_$c"): _*)
     val w = Window.partitionBy(gcols: _*)
       .orderBy(qskHash(idCol), col(idCol))
-    survivors
+    val sketch = survivors
       .withColumn("__r", row_number().over(w))
       .where(col("__r") <= k)
       .select((gcols :+ col(idCol) :+ col(valueCol)): _*)
+      .localCheckpoint()
+    // shortfall guard: every group must have kept min(k, n) rows
+    val short = sketch.groupBy(gcols: _*).agg(count(lit(1)).as("__kept"))
+      .join(broadcast(cdf),
+        groupCols.map(c => col(c) <=> col(s"__g_$c"))
+          .reduceOption(_ && _).getOrElse(lit(true)))
+      .where(col("__kept") < least(lit(k.toLong), col("__n")))
+      .select(gcols: _*).limit(5).collect()
+    require(short.isEmpty,
+      s"quantileSketch: the oversample=$oversample pre-filter kept fewer " +
+        s"than min(k=$k, n) rows for group(s) ${short.mkString(", ")} — " +
+        "raise oversample (the exact-bottom-k guarantee is guarded, " +
+        "never silently weakened)")
+    sketch
   }
 
   /** The sketch as a BOUNDED-STATE AGGREGATE — identical sample to
@@ -398,6 +428,16 @@ object Sketches {
   def quantileSketchAgg(df: DataFrame, groupCols: Seq[String], idCol: String,
       valueCol: String, k: Int): DataFrame = {
     require(k > 0, s"need k > 0, got $k")
+    // the aggregate buffer is long-typed: refuse non-integral id/value
+    // columns up front (a silent cast would null them out and shrink
+    // the sample) — the window form handles any orderable type
+    Seq(idCol, valueCol).foreach { c =>
+      val dt = df.schema(c).dataType
+      require(Seq("byte", "short", "integer", "long")
+        .contains(dt.typeName),
+        s"quantileSketchAgg needs integral $c, got ${dt.typeName} " +
+          "(use quantileSketch for other types)")
+    }
     val gcols = groupCols.map(col)
     df.groupBy(gcols: _*)
       .agg(org.apache.spark.sql.graftshims.SqlShims.bottomKSketchAgg(

@@ -447,11 +447,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftMaintenanceCommand(path, "restore",
         Seq("version"), s => {
           val log = DeltaLog.forPath(s, path)
-          // ISO instant, or "yyyy-MM-dd[ HH:mm:ss]" read as UTC
+          // ISO instant, or a zone-less date/datetime ('T' or space
+          // separated) read as UTC — a zone-less "...T10:00:00" must
+          // not fall through to Instant.parse and throw
+          val t = if (ts.contains(" ")) ts.replace(" ", "T") else ts
+          val withTime = if (t.contains("T")) t else t + "T00:00:00"
           val iso =
-            if (ts.contains("T")) ts
-            else if (ts.contains(" ")) ts.replace(" ", "T") + "Z"
-            else ts + "T00:00:00Z"
+            if (withTime.endsWith("Z") || withTime.matches(".*[+-]\\d\\d:\\d\\d$"))
+              withTime
+            else withTime + "Z"
           val target = log.snapshotAsOf(java.time.Instant.parse(iso)).version
           Seq(Row(Maintenance.restore(log, target)))
         })

@@ -81,13 +81,23 @@ class GraftDeltaDataSource extends DeltaSourceProvider
         // .option("replaceWhere", "<predicate>"): predicate-scoped
         // atomic overwrite instead of a full-table replace (the Delta
         // writer contract) — only meaningful on an existing table
-        // .option("partitionOverwriteMode", "dynamic"): replace only
-        // the partitions present in the incoming frame
+        // .option("partitionOverwriteMode", "dynamic") — or the
+        // standard session conf spark.sql.sources.partitionOverwriteMode,
+        // which Spark jobs set globally expecting exactly this behavior
+        // (a full-table overwrite instead would silently drop every
+        // untouched partition). The option wins over the conf; dynamic
+        // only applies to an existing PARTITIONED table (Spark's own
+        // semantics: dynamic on an unpartitioned table is a plain
+        // overwrite).
+        val dynamicMode = parameters.get("partitionOverwriteMode")
+          .orElse(Option(sqlContext.sparkSession.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static")))
+          .exists(_.equalsIgnoreCase("dynamic"))
         parameters.get("replaceWhere").filter(_ => exists) match {
           case Some(p) => graft.delta.Mutations.replaceWhere(
             log, data, org.apache.spark.sql.functions.expr(p))
-          case None if exists && parameters.get("partitionOverwriteMode")
-              .exists(_.equalsIgnoreCase("dynamic")) =>
+          case None if exists && dynamicMode &&
+              log.snapshot.metadata.partitionColumns.nonEmpty =>
             graft.delta.Mutations.overwriteDynamic(log, data)
           case None => TransactionWriter.overwrite(log, data, partitionBy)
         }

@@ -251,4 +251,28 @@ class SketchesSpec extends SparkTestBase {
     val pct = below / n * 100
     assert(pct > 30 && pct < 70, f"sketch p50 sits at true pct $pct%.1f")
   }
+
+  test("quantile sketch keeps NULL group keys, matching the agg form") {
+    import spark.implicits._
+    val df = (0L until 300L)
+      .map(i => (if (i % 3 == 0) null else "g", i, i % 97))
+      .toDF("g", "id", "v")
+    val win = Sketches.quantileSketch(df, Seq("g"), "id", "v", k = 16)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    val agg = Sketches.sketchRows(
+      Sketches.quantileSketchAgg(df, Seq("g"), "id", "v", k = 16),
+      Seq("g"), "id", "v")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    assert(win == agg, "null-group sketches diverge between forms")
+    assert(win.exists(_._1.isEmpty), "the null group must be sketched")
+  }
+
+  test("quantileSketchAgg refuses non-integral id/value columns") {
+    import spark.implicits._
+    val df = Seq(("g", "doc-1", 5L)).toDF("g", "id", "v")
+    val err = intercept[IllegalArgumentException] {
+      Sketches.quantileSketchAgg(df, Seq("g"), "id", "v", k = 4)
+    }
+    assert(err.getMessage.contains("integral"))
+  }
 }

@@ -233,4 +233,46 @@ class MutationsTargetedSpec extends SparkTestBase {
       spark.read.format("graftdelta").load(p2),
       Seq((2L, "b"), (10L, "a")).toDF("k", "g"))
   }
+
+  test("dynamic overwrite works on a COLUMN-MAPPED partitioned table") {
+    val path = Files.createTempDirectory("graft-dyn-cm").resolve("t").toString
+    val log = DeltaLog.forPath(spark, path)
+    import org.apache.spark.sql.functions._
+    TransactionWriter.overwrite(log,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "g"),
+      partitionBy = Some(Seq("g")),
+      configuration = Map("delta.columnMapping.mode" -> "name"))
+    val fresh = DeltaLog.forPath(spark, path)
+    val bFile = fresh.snapshot.planFiles()
+      .filter(_.partitionValues.exists(_._2 == "b")).map(_.path)
+    Mutations.overwriteDynamic(fresh, Seq((10L, "a")).toDF("k", "g"))
+    val after = DeltaLog.forPath(spark, path).snapshot
+    // partition a swapped, b untouched — under PHYSICAL partition names
+    assert(bFile.toSet.subsetOf(after.activeFiles.map(_.path).toSet),
+      "untouched mapped partition must keep its file")
+    assertSameRows(after.read(),
+      Seq((2L, "b"), (10L, "a")).toDF("k", "g"))
+  }
+
+  test("session conf partitionOverwriteMode=dynamic drives the writer") {
+    val path = Files.createTempDirectory("graft-dyn-conf").resolve("t").toString
+    Seq((1L, "a"), (2L, "b")).toDF("k", "g")
+      .write.format("graftdelta").partitionBy("g").mode("overwrite").save(path)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      Seq((10L, "a")).toDF("k", "g")
+        .write.format("graftdelta").mode("overwrite").save(path)
+      assertSameRows(
+        spark.read.format("graftdelta").load(path),
+        Seq((2L, "b"), (10L, "a")).toDF("k", "g"))
+      // unpartitioned table under the same conf: plain overwrite
+      val p2 = Files.createTempDirectory("graft-dyn-conf2").resolve("t").toString
+      Seq((1L, "a")).toDF("k", "g")
+        .write.format("graftdelta").mode("overwrite").save(p2)
+      Seq((9L, "z")).toDF("k", "g")
+        .write.format("graftdelta").mode("overwrite").save(p2)
+      assertSameRows(spark.read.format("graftdelta").load(p2),
+        Seq((9L, "z")).toDF("k", "g"))
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+  }
 }
