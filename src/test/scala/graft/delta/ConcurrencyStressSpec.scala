@@ -180,4 +180,58 @@ class ConcurrencyStressSpec extends SparkTestBase {
     assert(raw.count() == 180)
     assert(log.snapshot.read().count() == 180)
   }
+
+  test("concurrent replaceWhere on DISJOINT partitions: both land via rebase") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rwrace_")
+      .resolve("t").toString
+    val log = DeltaLog.forPath(spark, tmp)
+    TransactionWriter.overwrite(log,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "g"),
+      partitionBy = Some(Seq("g")))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // two predicate-scoped overwrites of different partitions race;
+    // their touched-path sets are disjoint, so the loser must REBASE
+    // and land, never abort or clobber
+    Await.result(Future.sequence(Seq(
+      Future(Mutations.replaceWhere(DeltaLog.forPath(spark, tmp),
+        Seq((10L, "a")).toDF("k", "g"), col("g") === "a")),
+      Future(Mutations.replaceWhere(DeltaLog.forPath(spark, tmp),
+        Seq((20L, "b")).toDF("k", "g"), col("g") === "b")))),
+      120.seconds)
+    val snap = DeltaLog.forPath(spark, tmp).snapshot
+    assert(snap.version == 2L, s"both swaps must commit, got v${snap.version}")
+    assertSameRows(snap.read(),
+      Seq((3L, "c"), (10L, "a"), (20L, "b")).toDF("k", "g"))
+  }
+
+  test("concurrent replaceWhere on the SAME partition: one rebases out") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rwrace2_")
+      .resolve("t").toString
+    val log = DeltaLog.forPath(spark, tmp)
+    TransactionWriter.overwrite(log,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "g"),
+      partitionBy = Some(Seq("g")))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // both swaps touch partition a's file — the race loser saw (and
+    // removed) a file the winner also rewrote; committing anyway would
+    // resurrect/double rows, so exactly one must fail the logical check
+    val results = Await.result(Future.sequence(Seq(10L, 11L).map(v =>
+      Future(
+        try Right(Mutations.replaceWhere(DeltaLog.forPath(spark, tmp),
+          Seq((v, "a")).toDF("k", "g"), col("g") === "a"))
+        catch { case e: Exception => Left(e.getMessage) }))),
+      120.seconds)
+    val wins = results.count(_.isRight)
+    // serialized-by-luck schedules can let both land (the second saw
+    // the first's commit before planning); a true race lands exactly 1
+    assert(wins >= 1, s"at least one swap must land: $results")
+    val rows = DeltaLog.forPath(spark, tmp).snapshot.read()
+      .where(col("g") === "a").collect().map(_.getLong(0)).toSeq
+    assert(rows.size == 1 && Seq(10L, 11L).contains(rows.head),
+      s"partition a must hold exactly one winner row, got $rows")
+  }
 }
