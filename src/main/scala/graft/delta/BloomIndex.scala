@@ -163,7 +163,7 @@ object BloomIndex {
       .join(broadcast(liveStored.toDF("file_path")),
         Seq("file_path"), "left_semi")
       .unionByName(newEntries)
-    Sidecar.writeMeta(spark, dir, "bloom", Seq(column))
+    Sidecar.repairMeta(spark, dir, "bloom", Seq(column))
     Sidecar.swapIn(spark, dir, merged)
     snap.version
   }

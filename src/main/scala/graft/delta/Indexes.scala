@@ -59,8 +59,14 @@ object Indexes {
     * to run from the write path on every commit
     * (`graft.autoRefresh.indexes`). Unknown kinds and pre-descriptor
     * sidecars are skipped, never failed: index maintenance must not
-    * break the data commit that triggered it. */
-  def refreshAll(log: DeltaLog): Int = {
+    * break the data commit that triggered it.
+    *
+    * `deferDriftRebuild` (the write-path-hook posture): the IVF/IVF-PQ
+    * drift gauges must not route a post-commit refresh into an
+    * O(corpus) quantizer retrain — the hook's contract is O(uncovered
+    * files) per commit. Deferred drift is logged loudly by the index
+    * and picked up by the next EXPLICIT refresh. */
+  def refreshAll(log: DeltaLog, deferDriftRebuild: Boolean = false): Int = {
     val spark = log.spark
     val base = new Path(log.rootPath, "_graft_index")
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -73,9 +79,11 @@ object Indexes {
           case Some(("lsh", Seq(id, text))) =>
             LshIndex.refresh(log, id, text); true
           case Some(("ivf", Seq(id, vec))) =>
-            IvfIndex.refresh(log, id, vec); true
+            IvfIndex.refresh(log, id, vec,
+              deferRebuild = deferDriftRebuild); true
           case Some(("ivfpq", Seq(id, vec))) =>
-            PqIndex.refresh(log, id, vec); true
+            PqIndex.refresh(log, id, vec,
+              deferRebuild = deferDriftRebuild); true
           case _ => false
         }
       }

@@ -165,8 +165,11 @@ object IvfIndex {
     if (files.isEmpty) return snap.version
     val cs = Similarity.trainKMeans(snap.read(), idCol, vecCol, k, iterations)
       .map { case (cid, arr) => (cid, arr.toSeq) }
+    // build params persisted so a gauge-triggered retrain reuses THIS
+    // build's knobs (not the signature defaults)
     Sidecar.writeMeta(log.spark, indexDir(log, idCol, vecCol),
-      "ivf", Seq(idCol, vecCol))
+      "ivf", Seq(idCol, vecCol),
+      Map("k" -> k.toString, "iterations" -> iterations.toString))
     publish(log, indexDir(log, idCol, vecCol),
       centroidRows(log, snap, idCol, cs, snap.version)
         .unionByName(scanEntries(log, snap, files, idCol, vecCol, cs)))
@@ -191,11 +194,19 @@ object IvfIndex {
     * entries' mean, the incoming distribution no longer fits the
     * frozen quantizer — new points would pile into ill-fitting cells
     * and probe recall would silently rot — and the refresh routes to a
-    * full [[build]], which retrains. NaN (the default) defers to
-    * `spark.graft.ivf.driftThreshold` (default 0.2 cosine); ≥ 2 can
-    * never trigger (cosine spans 4 ⇒ forced incremental). */
+    * full [[build]], which retrains with the ORIGINAL build's
+    * (k, iterations) from the sidecar `_meta`. NaN (the default)
+    * defers to `spark.graft.ivf.driftThreshold` (default 0.2 cosine);
+    * ≥ 2 can never trigger (cosine spans 4 ⇒ forced incremental).
+    *
+    * `deferRebuild` (the write-path-hook posture): a gauge trip does
+    * NOT synchronously pay the O(corpus) retrain — it logs loudly and
+    * takes the incremental path, keeping the hook's O(uncovered files)
+    * contract; recall quality is flagged, never silently rotted, and
+    * an explicit user REFRESH/REBUILD picks the retrain up. */
   def refresh(log: DeltaLog, idCol: String, vecCol: String,
-      driftThreshold: Double = Double.NaN): Long = {
+      driftThreshold: Double = Double.NaN,
+      deferRebuild: Boolean = false): Long = {
     val spark = log.spark
     val snap = log.snapshot
     validate(snap, idCol, vecCol)
@@ -238,15 +249,33 @@ object IvfIndex {
           .map(_.asInstanceOf[Double])
         (oldAvg, newAvg) match {
           case (Some(o), Some(nw)) if o - nw > threshold =>
-            // the frozen quantizer no longer fits the incoming data —
-            // retrain on the whole corpus (full rebuild)
-            return build(log, idCol, vecCol,
-              k = storedCentroids(idx).size)
+            if (deferRebuild) {
+              // write-path hook: keep the O(uncovered) contract — flag
+              // the drift loudly and fall through to the incremental
+              // assignment under the frozen quantizer
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"IVF index on ${log.tablePath} ($idCol,$vecCol): " +
+                  f"assignment-quality drift (old mean $o%.4f, new " +
+                  f"$nw%.4f > $threshold%.2f) — retrain deferred to an " +
+                  "explicit REFRESH; probe recall on new data may degrade")
+            } else {
+              // the frozen quantizer no longer fits the incoming data —
+              // retrain on the whole corpus with the ORIGINAL build's
+              // params from _meta (centroid count is the fallback)
+              val params = Sidecar
+                .readMetaFull(spark, indexDir(log, idCol, vecCol))
+                .map(_._3).getOrElse(Map.empty)
+              return build(log, idCol, vecCol,
+                k = params.get("k").flatMap(_.toIntOption)
+                  .getOrElse(storedCentroids(idx).size),
+                iterations = params.get("iterations")
+                  .flatMap(_.toIntOption).getOrElse(3))
+            }
           case _ => ()
         }
         e
       }
-    Sidecar.writeMeta(spark, indexDir(log, idCol, vecCol),
+    Sidecar.repairMeta(spark, indexDir(log, idCol, vecCol),
       "ivf", Seq(idCol, vecCol))
     publish(log, indexDir(log, idCol, vecCol), kept.unionByName(newEntries))
     snap.version

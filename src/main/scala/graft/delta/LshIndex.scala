@@ -169,7 +169,7 @@ object LshIndex {
     val newEntries =
       if (missing.isEmpty) existing.limit(0)
       else scanEntries(log, snap, missing, idCol, textCol)
-    Sidecar.writeMeta(spark, indexDir(log, idCol, textCol),
+    Sidecar.repairMeta(spark, indexDir(log, idCol, textCol),
       "lsh", Seq(idCol, textCol))
     Sidecar.swapIn(spark, indexDir(log, idCol, textCol),
       kept.unionByName(newEntries))

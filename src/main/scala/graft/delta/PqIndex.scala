@@ -195,8 +195,12 @@ object PqIndex {
     // two trainCodebooks calls — the training is job-overhead-bound)
     val Seq(coarse, books) = Pq.trainCodebooksMulti(corpus, idCol, vecCol,
       Seq((1, kCoarse), (m, k)), iterations = iterations)
+    // build params persisted so a gauge-triggered retrain reuses THIS
+    // build's knobs (not the signature defaults)
     Sidecar.writeMeta(log.spark, indexDir(log, idCol, vecCol),
-      "ivfpq", Seq(idCol, vecCol))
+      "ivfpq", Seq(idCol, vecCol),
+      Map("kCoarse" -> kCoarse.toString, "m" -> m.toString,
+        "k" -> k.toString, "iterations" -> iterations.toString))
     publish(log, indexDir(log, idCol, vecCol),
       quantizerRows(log, snap, idCol, coarse, books, snap.version)
         .unionByName(scanEntries(log, snap, files, idCol, vecCol, coarse, books)))
@@ -207,9 +211,15 @@ object PqIndex {
     * files under the PERSISTED quantizers, keep surviving entries
     * verbatim, drop entries of departed files. Idle refresh publishes
     * nothing. Routes to a full retraining [[build]] when the drift
-    * gauge trips (scaladoc above). Returns the indexed version. */
+    * gauge trips (scaladoc above), reusing the ORIGINAL build's
+    * (kCoarse, m, k, iterations) from the sidecar `_meta` — unless
+    * `deferRebuild` (the write-path-hook posture), which logs the
+    * drift loudly and takes the incremental path so the hook keeps its
+    * O(uncovered files) contract; an explicit user REFRESH picks the
+    * retrain up. Returns the indexed version. */
   def refresh(log: DeltaLog, idCol: String, vecCol: String,
-      driftThreshold: Double = Double.NaN): Long = {
+      driftThreshold: Double = Double.NaN,
+      deferRebuild: Boolean = false): Long = {
     val spark = log.spark
     val snap = log.snapshot
     validate(snap, idCol, vecCol)
@@ -254,16 +264,37 @@ object PqIndex {
           .map(_.asInstanceOf[Double])
         (oldAvg, newAvg) match {
           case (Some(o), Some(nw)) if nw > o * (1.0 + threshold) =>
-            // the frozen codebooks no longer fit the incoming data —
-            // retrain both quantizers on the whole corpus
-            val m = books.map(_._1).max + 1
-            return build(log, idCol, vecCol,
-              kCoarse = coarse.size, m = m, k = books.size / m)
+            if (deferRebuild) {
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"IVF-PQ index on ${log.tablePath} ($idCol,$vecCol): " +
+                  f"reconstruction-error drift (old mean $o%.4f, new " +
+                  f"$nw%.4f, threshold ${threshold}%.2f rel) — retrain " +
+                  "deferred to an explicit REFRESH; ADC quality on new " +
+                  "data may degrade")
+            } else {
+              // the frozen codebooks no longer fit the incoming data —
+              // retrain both quantizers on the whole corpus with the
+              // ORIGINAL build's params from _meta (stored quantizer
+              // shapes are the fallback)
+              val params = Sidecar
+                .readMetaFull(spark, indexDir(log, idCol, vecCol))
+                .map(_._3).getOrElse(Map.empty)
+              val m = params.get("m").flatMap(_.toIntOption)
+                .getOrElse(books.map(_._1).max + 1)
+              return build(log, idCol, vecCol,
+                kCoarse = params.get("kCoarse").flatMap(_.toIntOption)
+                  .getOrElse(coarse.size),
+                m = m,
+                k = params.get("k").flatMap(_.toIntOption)
+                  .getOrElse(books.size / m),
+                iterations = params.get("iterations")
+                  .flatMap(_.toIntOption).getOrElse(2))
+            }
           case _ => ()
         }
         e
       }
-    Sidecar.writeMeta(spark, indexDir(log, idCol, vecCol),
+    Sidecar.repairMeta(spark, indexDir(log, idCol, vecCol),
       "ivfpq", Seq(idCol, vecCol))
     publish(log, indexDir(log, idCol, vecCol), kept.unionByName(newEntries))
     snap.version

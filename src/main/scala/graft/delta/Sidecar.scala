@@ -40,24 +40,34 @@ object Sidecar {
   private val GenPrefix = "gen_"
   private val MetaName = "_meta"
 
-  /** Index self-description: `(kind, target columns)`, persisted as a
-    * tiny `_meta` text file beside the pointer. Directory names alone
-    * cannot be parsed back (column names may contain the separator),
-    * and the descriptor is what lets generic machinery — SHOW INDEXES,
-    * the write-path auto-refresh hook — dispatch without guessing. */
+  /** Index self-description: `(kind, target columns, build params)`,
+    * persisted as a tiny `_meta` text file beside the pointer.
+    * Directory names alone cannot be parsed back (column names may
+    * contain the separator), and the descriptor is what lets generic
+    * machinery — SHOW INDEXES, the write-path auto-refresh hook —
+    * dispatch without guessing. Params ride as trailing `#key=value`
+    * lines (a `#`-prefixed line can never be a column name the
+    * validators accept), so a gauge-triggered retrain can reuse the
+    * ORIGINAL build's knobs (k-means iterations, …) instead of
+    * silently rebuilding with defaults.
+    *
+    * Repair-and-update-on-write: absent/empty `_meta` (crash between
+    * create and write, legacy pre-descriptor sidecar) is re-published
+    * until complete, and a descriptor whose content DIFFERS (a rebuild
+    * with new params) is rewritten — the tmp-write + rename keeps
+    * readers from ever observing a partial descriptor (rename failure
+    * falls through to the next refresh). */
   def writeMeta(spark: SparkSession, dir: String, kind: String,
-      cols: Seq[String]): Unit = {
+      cols: Seq[String], params: Map[String, String] = Map.empty): Unit = {
     val (fs, base) = fsOf(spark, dir)
-    // repair-on-write: a crash between create and write (or a legacy
-    // pre-descriptor sidecar) leaves an empty/absent _meta — every
-    // build/refresh re-publishes it until a complete one exists. The
-    // tmp-write + rename keeps readers from ever observing a partial
-    // descriptor (rename failure falls through to the next refresh).
-    if (readMeta(spark, dir).isEmpty) {
+    val lines = (kind +: cols) ++
+      params.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
+    val want = Some((kind, cols, params))
+    if (readMetaFull(spark, dir) != want) {
       val p = new Path(base, MetaName)
       val tmp = new Path(base, MetaName + ".tmp")
       val out = fs.create(tmp, true)
-      try out.write((kind +: cols).mkString("\n")
+      try out.write(lines.mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       if (fs.exists(p)) fs.delete(p, false)
@@ -65,16 +75,41 @@ object Sidecar {
     }
   }
 
-  /** The index descriptor, None for pre-descriptor sidecars (callers
-    * fall back to name heuristics or skip generic dispatch). */
-  def readMeta(spark: SparkSession, dir: String): Option[(String, Seq[String])] = {
+  /** [[writeMeta]] preserving whatever params the existing descriptor
+    * carries — the REFRESH-path spelling (a refresh repairs an absent
+    * descriptor but must not strip the build's recorded params). */
+  def repairMeta(spark: SparkSession, dir: String, kind: String,
+      cols: Seq[String]): Unit =
+    writeMeta(spark, dir, kind, cols,
+      readMetaFull(spark, dir).map(_._3).getOrElse(Map.empty))
+
+  /** The index descriptor as `(kind, columns)`, None for
+    * pre-descriptor sidecars (callers fall back to name heuristics or
+    * skip generic dispatch). Param lines are stripped — dispatchers
+    * match on the column list shape. */
+  def readMeta(spark: SparkSession, dir: String): Option[(String, Seq[String])] =
+    readMetaFull(spark, dir).map { case (k, cs, _) => (k, cs) }
+
+  /** The full descriptor including build params. */
+  def readMetaFull(spark: SparkSession, dir: String)
+      : Option[(String, Seq[String], Map[String, String])] = {
     val (fs, base) = fsOf(spark, dir)
     try {
       val in = fs.open(new Path(base, MetaName))
       val text = try scala.io.Source.fromInputStream(in).mkString
         finally in.close()
       val lines = text.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
-      if (lines.isEmpty) None else Some((lines.head, lines.tail))
+      if (lines.isEmpty) None
+      else {
+        val (paramLines, cols) = lines.tail.partition(_.startsWith("#"))
+        val params = paramLines.flatMap { l =>
+          l.drop(1).split("=", 2) match {
+            case Array(k, v) => Some(k -> v)
+            case _ => None
+          }
+        }.toMap
+        Some((lines.head, cols, params))
+      }
     } catch { case _: java.io.FileNotFoundException => None }
   }
 

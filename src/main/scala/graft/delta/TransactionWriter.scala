@@ -832,7 +832,10 @@ object TransactionWriter {
       // degrade safely).
       if (dataChange &&
           effectiveConf.get("graft.autoRefresh.indexes").contains("true"))
-        try Indexes.refreshAll(log)
+        // deferDriftRebuild: a drifted ingest must not make its data
+        // commit synchronously pay an O(corpus) quantizer retrain —
+        // the gauge logs and the next explicit REFRESH retrains
+        try Indexes.refreshAll(log, deferDriftRebuild = true)
         catch { case scala.util.control.NonFatal(e) =>
           org.slf4j.LoggerFactory.getLogger(getClass).warn(
             s"auto index refresh after commit $committed failed " +
@@ -987,8 +990,14 @@ object TransactionWriter {
     }
     // Spark's partition discovery supplies the full schema (data
     // columns from footers, partition columns typed from the dir
-    // values) — exactly what readers will resolve against
-    val schema = spark.read.parquet(path).schema
+    // values) — exactly what readers will resolve against.
+    // mergeSchema=true: the default samples ONE footer, so a directory
+    // whose files gained a column partway through would convert with
+    // the sampled subset and silently drop the newer columns from
+    // every read — delta-spark's CONVERT merges all footers, and so
+    // does this (a true cross-file type conflict fails the convert
+    // loudly here instead of surfacing later as a read error).
+    val schema = spark.read.option("mergeSchema", "true").parquet(path).schema
     // partition-column ORDER comes from the directory nesting
     // (`a=.../b=.../file`), not the value map — multi-level layouts
     // must record the levels in path order

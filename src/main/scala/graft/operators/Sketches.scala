@@ -392,8 +392,11 @@ object Sketches {
     val survivors = df.join(broadcast(cdf), cond)
       .where(qskHash(idCol) < threshold)
       .drop(groupCols.map(c => s"__g_$c"): _*)
+    // v is the FINAL tie-break: under duplicate ids with differing
+    // values the rank-k boundary stays a pure function of the input
+    // set (and stays aligned with the aggregate form's heap order)
     val w = Window.partitionBy(gcols: _*)
-      .orderBy(qskHash(idCol), col(idCol))
+      .orderBy(qskHash(idCol), col(idCol), col(valueCol))
     val sketch = survivors
       .withColumn("__r", row_number().over(w))
       .where(col("__r") <= k)
@@ -464,8 +467,13 @@ object Sketches {
       groupCols: Seq[String], idCol: String, k: Int): DataFrame = {
     require(sketches.nonEmpty, "need at least one sketch")
     val gcols = groupCols.map(col)
+    // the sketch relation is (groupCols..., idCol, valueCol); recover
+    // the value column so the merge applies the same (h, id, v) total
+    // order as the build forms (deterministic under duplicate ids)
+    val valueCols = sketches.head.columns
+      .filterNot(c => groupCols.contains(c) || c == idCol).map(col).toSeq
     val w = Window.partitionBy(gcols: _*)
-      .orderBy(qskHash(idCol), col(idCol))
+      .orderBy((qskHash(idCol) +: col(idCol) +: valueCols): _*)
     sketches.reduce(_ unionByName _)
       .withColumn("__r", row_number().over(w))
       .where(col("__r") <= k)

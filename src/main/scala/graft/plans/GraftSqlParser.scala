@@ -448,15 +448,24 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Seq("version"), s => {
           val log = DeltaLog.forPath(s, path)
           // ISO instant, or a zone-less date/datetime ('T' or space
-          // separated) read as UTC — a zone-less "...T10:00:00" must
-          // not fall through to Instant.parse and throw
+          // separated) resolved in the SESSION timezone
+          // (spark.sql.session.timeZone) — delta-spark's RESTORE
+          // resolves zone-less timestamps that way, so a statement
+          // ported verbatim restores the same version regardless of
+          // the session zone (a hardwired-UTC reading silently picked
+          // a different version when the zone was not UTC)
           val t = if (ts.contains(" ")) ts.replace(" ", "T") else ts
           val withTime = if (t.contains("T")) t else t + "T00:00:00"
-          val iso =
-            if (withTime.endsWith("Z") || withTime.matches(".*[+-]\\d\\d:\\d\\d$"))
-              withTime
-            else withTime + "Z"
-          val target = log.snapshotAsOf(java.time.Instant.parse(iso)).version
+          val instant =
+            if (withTime.endsWith("Z"))
+              java.time.Instant.parse(withTime)
+            else if (withTime.matches(".*[+-]\\d\\d:\\d\\d$"))
+              java.time.OffsetDateTime.parse(withTime).toInstant
+            else java.time.LocalDateTime.parse(withTime)
+              .atZone(java.time.ZoneId.of(
+                s.conf.get("spark.sql.session.timeZone")))
+              .toInstant
+          val target = log.snapshotAsOf(instant).version
           Seq(Row(Maintenance.restore(log, target)))
         })
     case Delete(path, dv, pred) =>

@@ -518,7 +518,7 @@ object Queries {
        |  WHERE hh.h < LEAST(268435456, (137438953472 + c.n - 1) // c.n)),
        |k AS (SELECT lang, doc_id, v FROM (
        |    SELECT lang, doc_id, v,
-       |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+       |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id, v) AS rn
        |    FROM s) t WHERE rn <= 64),
        |m AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sample FROM k GROUP BY lang),
        |o AS (SELECT lang, v, doc_id,

@@ -19,10 +19,13 @@ import scala.collection.mutable
   * carry O(rows) state.
   *
   * Update is O(log k) against the heap max; merge folds the smaller
-  * heap into the larger. The result is the sample SORTED by `(h, id)`
-  * — a deterministic pure function of the input SET (duplicate-
-  * insensitive in arrival order), so batch and drained-stream results
-  * are bit-identical and the DuckDB oracle replays them. */
+  * heap into the larger. The result is the sample SORTED by
+  * `(h, id, v)` — `v` as the final tie-break, so when the same id
+  * arrives in multiple rows with DIFFERENT values the survivor at the
+  * rank-k boundary is still a deterministic pure function of the input
+  * SET (an `(h, id)`-only order would keep whichever duplicate arrived
+  * first — partition-order-dependent); batch and drained-stream
+  * results stay bit-identical and the DuckDB oracle replays them. */
 case class BottomKSketchAgg(
     hExpr: Expression, idExpr: Expression, vExpr: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
@@ -31,9 +34,11 @@ case class BottomKSketchAgg(
 
   require(k > 0, s"k must be > 0, got $k")
 
-  // max-heap on (h, id): head is the current worst survivor
+  // max-heap on the FULL (h, id, v) triple: head is the current worst
+  // survivor, and including v keeps the rank-k boundary deterministic
+  // under duplicate ids carrying different values
   private def heapOrdering: Ordering[(Long, Long, Long)] =
-    Ordering.by(t => (t._1, t._2))
+    Ordering.by(identity[(Long, Long, Long)])
 
   override def children: Seq[Expression] = Seq(hExpr, idExpr, vExpr)
   override def inputTypes: Seq[AbstractDataType] =

@@ -334,4 +334,35 @@ class ExtensionsSpec extends AnyFunSuite {
       .snapshot.read().count() == 2,
       "restore-to-timestamp must reinstate the v0 row set")
   }
+
+  test("GRAFT RESTORE zone-less timestamp resolves in the SESSION timezone") {
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Files.createTempDirectory("graft-rtz")
+      .resolve("t").toString
+    val log = graft.delta.DeltaLog.forPath(spark, path)
+    import spark.implicits._
+    graft.delta.TransactionWriter.overwrite(log,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"))                      // v0
+    graft.delta.Mutations.delete(log, col("k") === 2L)               // v1
+    val fs = log.fs
+    val v0Ts = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+      log.logPath, "00000000000000000000.json")).getModificationTime
+    // express v0's instant as a ZONE-LESS local datetime in a non-UTC
+    // session zone; delta-spark resolves such literals in the session
+    // zone, so the restore must land on v0 (a hardwired-UTC reading
+    // would interpret this literal 7h later and still see v1)
+    val zone = "Asia/Bangkok" // UTC+7, no DST
+    val local = java.time.Instant.ofEpochMilli(v0Ts)
+      .atZone(java.time.ZoneId.of(zone)).toLocalDateTime
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    val prevZone = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", zone)
+      spark.sql(s"GRAFT RESTORE '$path' TO TIMESTAMP '$local'").collect()
+    } finally spark.conf.set("spark.sql.session.timeZone", prevZone)
+    assert(graft.delta.DeltaLog.forPath(spark, path)
+      .snapshot.read().count() == 2,
+      "zone-less restore timestamp must resolve through the session zone")
+  }
 }
