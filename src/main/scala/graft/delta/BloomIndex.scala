@@ -137,35 +137,93 @@ object BloomIndex {
     val existing: DataFrame = entries(log, column)
       .map(_.select("file_path", "n_rows", "bloom", "version"))
       .getOrElse(return build(log, column, expectedItemsPerFile))
-    val storedRaw = existing.select("file_path").distinct()
-      .collect().map(_.getString(0)).toSeq
-    val covered = storedRaw.map(Mutations.normalize).toSet
-    val active = snap.planFiles()
-    val missing = active.filter(f =>
-      !snap.pathCandidates(f).map(Mutations.normalize).exists(covered))
-    val activeNorm = active
-      .flatMap(f => snap.pathCandidates(f).map(Mutations.normalize)).toSet
-    val liveStored = storedRaw
-      .filter(p => activeNorm.contains(Mutations.normalize(p)))
-    if (missing.isEmpty && liveStored.size == storedRaw.size)
-      return snap.version
+    val (storedRaw, since) = IncrementalSidecar.storedSummary(
+      spark, dir, existing, Set.empty)
+    val cov = IncrementalSidecar.coverage(snap, storedRaw,
+      coverDvFiles = true)
+    if (!cov.changed) return snap.version
+    // compaction remap — the Bloom spelling: a file rewritten by a
+    // dataChange=false commit gets the MERGE of its source files'
+    // filters (row-set superset ⇒ false positives only, never a lost
+    // value — the same superset contract the physical-row build has)
+    // and its n_rows from the add's own log stats; no data bytes read
+    val (remapped, fellBack) = remapEntries(log, snap, existing,
+      IncrementalSidecar.remapGroups(log, snap, cov.missing,
+        cov.coveredNorm, storedRaw, since))
+    val scanFiles = fellBack
     val newEntries =
-      if (missing.isEmpty) existing.limit(0)
-      else scanEntries(log, snap, missing, column,
+      if (scanFiles.isEmpty) existing.limit(0)
+      else scanEntries(log, snap, scanFiles, column,
         perFileItems(snap, expectedItemsPerFile))
     // keep-filter as an exact broadcast semi-join on the STORED path
     // spellings (normalization happens once per distinct path on the
-    // driver, not per entry row in a UDF — the LshIndex.keepStored
-    // pattern; for Bloom the entry relation is file-count-sized anyway,
-    // but the pure-built-in spelling keeps the plan UDF-free)
-    import spark.implicits._
-    val merged = existing
-      .join(broadcast(liveStored.toDF("file_path")),
-        Seq("file_path"), "left_semi")
+    // driver, not per entry row in a UDF; for Bloom the entry relation
+    // is file-count-sized anyway, but the pure-built-in spelling keeps
+    // the plan UDF-free)
+    val merged = IncrementalSidecar
+      .keepStored(spark, existing, cov.liveStored)
+      .unionByName(remapped.getOrElse(existing.limit(0)))
       .unionByName(newEntries)
     Sidecar.repairMeta(spark, dir, "bloom", Seq(column))
     Sidecar.swapIn(spark, dir, merged)
     snap.version
+  }
+
+  /** Bloom remap executor: per group, ONE distributed merge of the
+    * source entries' filters (executor-side pairwise `mergeInPlace`
+    * over the file-count-sized relation — filter bytes never gather on
+    * the driver beyond the final result) shared by every new file the
+    * commit added; n_rows comes from the add's `numRecords` stat. A
+    * group whose adds lack stats, or whose filters refuse to merge
+    * (sizing changed between builds), falls back to the scan. */
+  private def remapEntries(log: DeltaLog, snap: Snapshot,
+      entries: DataFrame,
+      planned: (Seq[IncrementalSidecar.RemapGroup], Seq[AddFile]))
+      : (Option[DataFrame], Seq[AddFile]) = {
+    val (groups, leftover) = planned
+    if (groups.isEmpty) return (None, leftover)
+    val spark = log.spark
+    import spark.implicits._
+    var out: Option[DataFrame] = None
+    val fallback = scala.collection.mutable.ArrayBuffer.empty[AddFile]
+    fallback ++= leftover
+    groups.foreach { g =>
+      val nRows: Seq[Option[Long]] = g.newFiles.map(_.stats.flatMap { s =>
+        val n = JsonUtil.mapper.readTree(s).path("numRecords").asLong(-1L)
+        if (n >= 0) Some(n) else None
+      })
+      val mergedBytes: Array[Byte] =
+        if (nRows.exists(_.isEmpty)) null
+        else
+          try IncrementalSidecar
+            .keepStored(spark, entries, g.sourcePaths)
+            .select("bloom").as[Array[Byte]]
+            .reduce(BloomIndex.mergeBloomBytes _)
+          catch { case scala.util.control.NonFatal(_) => null }
+      if (mergedBytes == null) fallback ++= g.newFiles
+      else {
+        val rows = g.newFiles.zip(nRows).map { case (f, n) =>
+          (log.fs.makeQualified(new org.apache.hadoop.fs.Path(
+            log.rootPath, DeltaLog.decodePath(f.path))).toString,
+            n.get, mergedBytes, snap.version)
+        }
+        val df = rows.toDF("file_path", "n_rows", "bloom", "version")
+        out = Some(out.map(_.unionByName(df)).getOrElse(df))
+      }
+    }
+    (out, fallback.toSeq)
+  }
+
+  /** Executor-side pairwise filter merge (serialized form in, out). */
+  private def mergeBloomBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val fa = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(a))
+    val fb = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(b))
+    fa.mergeInPlace(fb)
+    val os = new java.io.ByteArrayOutputStream()
+    fa.writeTo(os)
+    os.toByteArray
   }
 
   /** The active files that may contain ANY of `values` in `column`:

@@ -1,0 +1,321 @@
+package graft.delta
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared incremental-maintenance engine for the sidecar indexes
+  * ([[BloomIndex]], [[LshIndex]], [[IvfIndex]], [[PqIndex]]).
+  *
+  * Every sidecar keys its entries by FILE and shares one maintenance
+  * contract: a refresh scans ONLY coverable files the sidecar does not
+  * cover yet, carries surviving entries VERBATIM, and drops entries of
+  * departed files. Before round 11 each index re-implemented the
+  * coverable-set, missing-set, and keep-semi-join plumbing (~4 × ~80
+  * near-identical lines); this object is that plumbing factored once,
+  * which is also where the compaction remap below lands once instead
+  * of four times.
+  *
+  * COMPACTION-AWARE REMAP — the round-10 #1 economics item. An
+  * OPTIMIZE / clustering pass commits with `dataChange = false`:
+  * identical logical rows, new file paths. Without remap the next
+  * refresh treats every rewritten file as uncovered and re-runs the
+  * EXPENSIVE kernels (text shingling, IVF assignment, PQ encoding)
+  * over unchanged rows — on a 100 TB table under routine compaction
+  * that re-scan dominates index maintenance. Remap instead
+  * re-attributes the surviving entries:
+  *
+  *  - [[remapGroups]] walks the commit JSONs since the last index
+  *    write and groups the missing files by the `dataChange = false`
+  *    commit that added them — eligible only when EVERY file that
+  *    commit removed is covered by stored entries (the new files'
+  *    rows are then, by the Delta protocol's dataChange contract, a
+  *    sub-multiset of the covered rows — the deleted-via-DV rows may
+  *    have been dropped by the rewrite).
+  *  - [[remapRowEntries]] reads ONLY the id column of the new files
+  *    (a narrow columnar read — no text, no vectors) and joins it to
+  *    the source files' entries by id, carrying the content columns
+  *    byte-verbatim. Per-row multiplicity is preserved: each new-file
+  *    row yields exactly one entry, joined against the DISTINCT
+  *    (id → content) mapping of the source entries.
+  *
+  * Correctness posture (advisory indexes: a fallback costs IO, never
+  * a wrong row):
+  *  - an id whose source entries disagree on content (duplicate ids
+  *    carrying different rows) makes the attribution ambiguous — every
+  *    new file containing such an id falls back to the full kernel
+  *    scan;
+  *  - a new-file id with NO source entry (foreign writer, partial
+  *    coverage) likewise fails that file back to the scan;
+  *  - a commit JSON that cannot be read (expired log retention) or an
+  *    add outside the walked window simply yields no group — scan.
+  */
+object IncrementalSidecar {
+
+  /** Stored-entry coverage against a snapshot's coverable set. */
+  final case class Coverage(
+      storedPaths: Seq[String],
+      liveStored: Seq[String],
+      coveredNorm: Set[String],
+      missing: Seq[AddFile],
+      changed: Boolean)
+
+  /** Files an entry may describe. Row-keyed indexes (LSH/IVF/PQ) never
+    * cover files with a live deletion vector — an entry must describe
+    * exactly the file's logical rows; Bloom covers everything (its
+    * filter is a per-file superset by design). */
+  def coverableFiles(snap: Snapshot, coverDvFiles: Boolean): Seq[AddFile] =
+    if (coverDvFiles) snap.planFiles()
+    else snap.planFiles().filterNot(_.deletionVector.exists(_.cardinality > 0))
+
+  /** One normalization pass: which stored entries survive, which
+    * coverable files lack entries, and whether a refresh has anything
+    * to do at all. `storedPaths` are the sidecar's distinct file_path
+    * spellings with marker rows already excluded. */
+  def coverage(snap: Snapshot, storedPaths: Seq[String],
+      coverDvFiles: Boolean): Coverage = {
+    val coverable = coverableFiles(snap, coverDvFiles)
+    val coverableNorm = coverable
+      .flatMap(f => snap.pathCandidates(f).map(Mutations.normalize)).toSet
+    val liveStored = storedPaths
+      .filter(p => coverableNorm.contains(Mutations.normalize(p)))
+    val coveredNorm = storedPaths.map(Mutations.normalize).toSet
+    val missing = coverable.filterNot(f =>
+      snap.pathCandidates(f).map(Mutations.normalize).exists(coveredNorm))
+    Coverage(storedPaths, liveStored, coveredNorm, missing,
+      changed = missing.nonEmpty || liveStored.size != storedPaths.size)
+  }
+
+  /** Entries whose stored file_path is in `paths` — an exact string
+    * semi-join against a broadcast file-count-sized relation (no
+    * per-row normalization UDF; normalization happened once per
+    * distinct path on the driver). */
+  def keepStored(spark: SparkSession, entries: DataFrame,
+      paths: Seq[String]): DataFrame = {
+    import spark.implicits._
+    entries.join(broadcast(paths.toDF("file_path")),
+      Seq("file_path"), "left_semi")
+  }
+
+  /** The probe-side split: stored entries still usable at this
+    * snapshot, and the active files the index cannot serve (not
+    * indexed, or carrying a live deletion vector when the kind never
+    * covers DV'd files) — those are computed LIVE by the probe. */
+  def probeCoverage(snap: Snapshot, storedPaths: Seq[String],
+      coverDvFiles: Boolean): (Seq[String], Seq[AddFile]) = {
+    val cov = coverage(snap, storedPaths, coverDvFiles)
+    val usableNorm = cov.liveStored.map(Mutations.normalize).toSet
+    val live = snap.planFiles().filter { f =>
+      (!coverDvFiles && f.deletionVector.exists(_.cardinality > 0)) ||
+        !snap.pathCandidates(f).map(Mutations.normalize).exists(usableNorm)
+    }
+    (cov.liveStored, live)
+  }
+
+  /** NARROW `(file_path, idCol)` read of `files` — raw parquet
+    * (physical column name under column mapping), `input_file_name()`
+    * bound at the scan. Catalyst prunes the read schema to the id
+    * column alone: this is the only data-plane read a remap performs. */
+  def narrowIdRead(log: DeltaLog, snap: Snapshot, files: Seq[AddFile],
+      idCol: String): DataFrame = {
+    val physId = snap.physicalNameOf(idCol)
+    val partPhys = snap.metadata.partitionColumns.map(snap.physicalNameOf).toSet
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      snap.physicalSchema.filterNot(f => partPhys.contains(f.name)))
+    log.spark.read.schema(dataSchema)
+      .parquet(files.map(snap.absolutePath): _*)
+      .select(input_file_name().as("file_path"), col(physId).as(idCol))
+  }
+
+  /** The sidecar's last scan version — the commit-walk lower bound for
+    * [[remapGroups]] (every coverable file present at that version is
+    * covered by the maintenance contract). */
+  def maxStoredVersion(entries: DataFrame): Long =
+    Option(entries.agg(max(col("version"))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(-1L)
+
+  /** The planning pair every refresh/search starts from: the distinct
+    * stored file_path spellings (markers excluded) and the sidecar's
+    * max entry version. Served from the generation's persisted
+    * `_coverage` summary when present ([[Sidecar.readCoverage]] — one
+    * file-count-sized read, memoized per immutable generation, NO job
+    * over the entry relation); legacy generations fall back to the
+    * distinct-over-entries derivation. */
+  def storedSummary(spark: SparkSession, dir: String, entries: DataFrame,
+      markers: Set[String]): (Seq[String], Long) =
+    Sidecar.readCoverage(spark, dir) match {
+      case Some(m) =>
+        (m.keysIterator.filterNot(markers.contains).toSeq,
+          if (m.isEmpty) -1L else m.valuesIterator.max)
+      case None =>
+        val dataRows = if (markers.isEmpty) entries
+          else entries.where(!col("file_path").isin(markers.toSeq: _*))
+        val rows = dataRows.groupBy(col("file_path"))
+          .agg(max(col("version")).as("v")).collect()
+        (rows.map(_.getString(0)).toSeq,
+          if (rows.isEmpty) -1L else rows.map(_.getLong(1)).max)
+    }
+
+  /** Missing files attributable to one `dataChange = false` commit
+    * whose removed files are all covered: carry entries from
+    * `sourcePaths` (stored spellings) instead of re-scanning
+    * `newFiles`. */
+  final case class RemapGroup(version: Long, newFiles: Seq[AddFile],
+      sourcePaths: Seq[String])
+
+  /** Split `missing` into remappable groups and the leftover files
+    * that need the full kernel scan. Walks commit JSONs from
+    * `sinceVersion + 1` (the sidecar's max entry version — every
+    * older active file is covered by the maintenance contract) up to
+    * the snapshot, newest-window-bounded by
+    * `spark.graft.index.remapMaxCommits` (default 256) so a sidecar
+    * that lagged thousands of commits degrades to scanning, not to an
+    * unbounded driver log walk. Driver cost: one JSON commit read per
+    * walked version — log-plane, same order as snapshot resolution. */
+  def remapGroups(log: DeltaLog, snap: Snapshot, missing: Seq[AddFile],
+      coveredNorm: Set[String], storedPaths: Seq[String],
+      sinceVersion: Long): (Seq[RemapGroup], Seq[AddFile]) = {
+    if (missing.isEmpty || storedPaths.isEmpty) return (Nil, missing)
+    val maxCommits = log.spark.conf
+      .getOption("spark.graft.index.remapMaxCommits")
+      .flatMap(_.trim.toIntOption).getOrElse(256)
+    if (maxCommits <= 0) return (Nil, missing)
+    val lo = math.max(sinceVersion + 1, snap.version - maxCommits + 1)
+    if (lo > snap.version) return (Nil, missing)
+    val missingByNorm: Map[String, AddFile] = missing
+      .flatMap(f => snap.pathCandidates(f).map(c => Mutations.normalize(c) -> f))
+      .toMap
+    val storedByNorm: Map[String, String] =
+      storedPaths.map(p => Mutations.normalize(p) -> p).toMap
+    def normsOf(relPath: String): Seq[String] =
+      snap.pathCandidates(AddFile(relPath, Map.empty, 0L, 0L))
+        .map(Mutations.normalize)
+    val claimed = scala.collection.mutable.Set.empty[String] // AddFile.path
+    val groups = (lo to snap.version).flatMap { v =>
+      val acts =
+        try log.commitActions(v)
+        catch { case scala.util.control.NonFatal(_) => Nil }
+      val adds = acts.collect { case AddAction(a) => a }
+      val removes = acts.collect { case RemoveAction(r) => r }
+      // dataChange=false on EVERY add and remove: a mixed commit has
+      // no protocol guarantee that the new files' rows come from the
+      // removed ones
+      val eligible = adds.nonEmpty && removes.nonEmpty &&
+        adds.forall(!_.dataChange) && removes.forall(!_.dataChange)
+      if (!eligible) None
+      else {
+        val sources = removes.map(r => normsOf(r.path).collectFirst {
+          case n if storedByNorm.contains(n) => storedByNorm(n)
+        })
+        // every removed file must be covered — otherwise some new rows
+        // came from an unindexed file and attribution is incomplete
+        if (sources.exists(_.isEmpty)) None
+        else {
+          val news = adds.flatMap(a => normsOf(a.path)
+            .collectFirst { case n if missingByNorm.contains(n) =>
+              missingByNorm(n) })
+            .filter(f => claimed.add(f.path))
+          if (news.isEmpty) None
+          else Some(RemapGroup(v, news, sources.flatten))
+        }
+      }
+    }
+    val leftover = missing.filterNot(f => claimed.contains(f.path))
+    (groups, leftover)
+  }
+
+  /** Execute the remap for row-keyed entry relations
+    * `(file_path, <idCol>, <content...>, version)` — shared by the
+    * LSH / IVF / IVF-PQ sidecars, whose shapes differ only in content
+    * columns.
+    *
+    * `idRead(files)` must return `(file_path, idCol)` for the new
+    * files via a NARROW columnar read (the whole point: no
+    * text/vector bytes). Remapped entries keep their SOURCE scan
+    * `version` (min over a duplicate id's identical-content sources) —
+    * the same verbatim-carry observable the refresh contract already
+    * exposes: after a compaction + refresh, an entry set whose
+    * `(id, content, version)` triples are unchanged PROVES no kernel
+    * rescan happened. Returns the remapped entries plus the files that
+    * failed attribution and need the kernel scan.
+    *
+    * The ambiguity / completeness guards run per group as small
+    * index-plane aggregations over the narrow id relation — never over
+    * text or vectors. */
+  def remapRowEntries(spark: SparkSession, snap: Snapshot,
+      entries: DataFrame, idCol: String, groups: Seq[RemapGroup],
+      idRead: Seq[AddFile] => DataFrame)
+      : (Option[DataFrame], Seq[AddFile]) = {
+    if (groups.isEmpty) return (None, Nil)
+    import spark.implicits._
+    val contentCols = entries.columns
+      .filterNot(c => c == "file_path" || c == idCol || c == "version")
+    var remapped: Option[DataFrame] = None
+    val fallback = scala.collection.mutable.ArrayBuffer.empty[AddFile]
+    groups.foreach { g =>
+      if (g.newFiles.size == 1) {
+        // SINGLE-ADD fast path (the common OPTIMIZE shape: a commit
+        // folds its removed files into one output): membership is
+        // total — every source row landed in the one new file — so the
+        // remap is a pure file_path rewrite over the source entries.
+        // No data read at all, no join, no shuffle; ambiguity cannot
+        // arise because no per-id attribution happens.
+        val f = g.newFiles.head
+        val newPath = snap.log.fs.makeQualified(
+          new org.apache.hadoop.fs.Path(
+            snap.log.rootPath, DeltaLog.decodePath(f.path))).toString
+        val out = keepStored(spark, entries, g.sourcePaths)
+          .withColumn("file_path", lit(newPath))
+          .select((col("file_path") +: col(idCol) +:
+            contentCols.map(col) :+ col("version")).toIndexedSeq: _*)
+        remapped = Some(remapped.map(_.unionByName(out)).getOrElse(out))
+      } else remapMultiAdd(g)
+    }
+
+    // distinct (id → content) of the source files' entries: duplicate
+    // rows (same id, same content) collapse — keeping the earliest
+    // scan version; disagreeing content for one id marks the id
+    // ambiguous (and is excluded here, so the completeness probe
+    // below flags its files)
+    def remapMultiAdd(g: RemapGroup): Unit = {
+      val src = keepStored(spark, entries, g.sourcePaths)
+        .groupBy((col(idCol) +: contentCols.map(col)).toIndexedSeq: _*)
+        .agg(min(col("version")).as("version"))
+      val ambiguous = src.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+        .where(col("__n") > 1).select(col(idCol))
+      val srcOk = src.join(ambiguous, Seq(idCol), "left_anti")
+      val ids = idRead(g.newFiles)
+      // completeness probe first — a LIGHT plan (id + hit flag only, no
+      // content arrays, nothing pinned: a whole-table recluster remap
+      // must not materialize a corpus-sized relation): a file with ANY
+      // unattributed row falls back whole, because an entry relation
+      // must describe every row of its file
+      val badSpellings = ids
+        .join(srcOk.select(col(idCol)).withColumn("__hit", lit(true)),
+          Seq(idCol), "left")
+        .where(col("__hit").isNull)
+        .select("file_path").distinct().collect().map(_.getString(0))
+      val byNorm = Mutations.fileIndex(snap, g.newFiles)
+      val bad = badSpellings
+        .map(b => byNorm.get(Mutations.normalize(b))).toSeq
+      if (bad.exists(_.isEmpty)) {
+        // a probe spelling we cannot attribute back to an AddFile —
+        // should not happen; degrade the whole group to the scan so no
+        // file is left permanently uncovered
+        fallback ++= g.newFiles
+      } else {
+        fallback ++= bad.flatten
+        val good = ids.join(srcOk, Seq(idCol))
+        val goodRows =
+          if (bad.isEmpty) good
+          else good.join(
+            broadcast(badSpellings.toSeq.toDF("file_path")),
+            Seq("file_path"), "left_anti")
+        val out = goodRows
+          .select((col("file_path") +: col(idCol) +:
+            contentCols.map(col) :+ col("version")).toIndexedSeq: _*)
+        remapped = Some(remapped.map(_.unionByName(out)).getOrElse(out))
+      }
+    }
+    (remapped, fallback.toSeq)
+  }
+}

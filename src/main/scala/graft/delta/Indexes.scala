@@ -40,10 +40,11 @@ object Indexes {
             .getOrElse(("unknown", dir.getName))
           val coverable = if (kind == "bloom") active else dvFree
           val coverableNorm = norm(coverable)
-          val stored = df
-            .where(!col("file_path").startsWith("__"))
-            .select("file_path").distinct()
-            .collect().map(_.getString(0))
+          // planned from the generation's coverage summary when
+          // present (no entry-relation job); markers are "__"-prefixed
+          val stored = IncrementalSidecar.storedSummary(
+            spark, dir.toString, df, Set.empty)._1
+            .filterNot(_.startsWith("__"))
           val covered =
             stored.count(p => coverableNorm.contains(Mutations.normalize(p)))
           (kind, cols, covered.toLong, coverable.size.toLong,

@@ -78,7 +78,7 @@ object IvfIndex {
     }
 
   private def coverableFiles(snap: Snapshot): Seq[AddFile] =
-    snap.planFiles().filterNot(_.deletionVector.exists(_.cardinality > 0))
+    IncrementalSidecar.coverableFiles(snap, coverDvFiles = false)
 
   /** Raw (file_path, id, v, nrm) rows of `files` — physical parquet
     * read (file_path bound BEFORE any shuffle), vectors as doubles. */
@@ -212,21 +212,24 @@ object IvfIndex {
     validate(snap, idCol, vecCol)
     val idx = entries(log, idCol, vecCol).getOrElse(
       return build(log, idCol, vecCol))
-    val storedRaw = idx.where(col("file_path") =!= CentroidsMarker)
-      .select("file_path").distinct().collect().map(_.getString(0)).toSeq
-    val coverable = coverableFiles(snap)
-    val coverableNorm = coverable
-      .flatMap(f => snap.pathCandidates(f).map(Mutations.normalize)).toSet
-    val liveStored = storedRaw
-      .filter(p => coverableNorm.contains(Mutations.normalize(p)))
-    val coveredNorm = storedRaw.map(Mutations.normalize).toSet
-    val missing = coverable.filterNot(f =>
-      snap.pathCandidates(f).map(Mutations.normalize).exists(coveredNorm))
-    if (missing.isEmpty && liveStored.size == storedRaw.size)
-      return snap.version
+    val dataRows = idx.where(col("file_path") =!= CentroidsMarker)
+    val (storedRaw, since) = IncrementalSidecar.storedSummary(
+      spark, indexDir(log, idCol, vecCol), idx, Set(CentroidsMarker))
+    val cov = IncrementalSidecar.coverage(snap, storedRaw,
+      coverDvFiles = false)
+    if (!cov.changed) return snap.version
+    // compaction remap: dataChange=false rewrites carry (cell, asim,
+    // vec, nrm) verbatim via a narrow id read — no re-assignment, and
+    // the drift gauge sees only genuinely-new rows
+    val (groups, toScan) = IncrementalSidecar.remapGroups(log, snap,
+      cov.missing, cov.coveredNorm, storedRaw, since)
+    val (remapped, fellBack) = IncrementalSidecar.remapRowEntries(
+      spark, snap, dataRows, idCol, groups,
+      fs => IncrementalSidecar.narrowIdRead(log, snap, fs, idCol))
+    val missing = toScan ++ fellBack
     import spark.implicits._
     val kept = idx.join(
-      broadcast((CentroidsMarker +: liveStored).toDF("file_path")),
+      broadcast((CentroidsMarker +: cov.liveStored).toDF("file_path")),
       Seq("file_path"), "left_semi")
     val newEntries =
       if (missing.isEmpty) idx.limit(0)
@@ -277,7 +280,9 @@ object IvfIndex {
       }
     Sidecar.repairMeta(spark, indexDir(log, idCol, vecCol),
       "ivf", Seq(idCol, vecCol))
-    publish(log, indexDir(log, idCol, vecCol), kept.unionByName(newEntries))
+    publish(log, indexDir(log, idCol, vecCol),
+      kept.unionByName(remapped.getOrElse(idx.limit(0)))
+        .unionByName(newEntries))
     snap.version
   }
 
@@ -321,19 +326,12 @@ object IvfIndex {
     // live on the driver) so the index scan gets a PUSHED `cell IN`
     val probedCells = probe.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq
-    // covered entries of still-active DV-free files only
-    val storedRaw = idx.where(col("file_path") =!= CentroidsMarker)
-      .select("file_path").distinct().collect().map(_.getString(0)).toSeq
-    val coverable = coverableFiles(snap)
-    val coverableNorm = coverable
-      .flatMap(f => snap.pathCandidates(f).map(Mutations.normalize)).toSet
-    val usable = storedRaw
-      .filter(p => coverableNorm.contains(Mutations.normalize(p)))
-    val coveredNorm = usable.map(Mutations.normalize).toSet
-    val liveFiles = snap.planFiles().filter { f =>
-      f.deletionVector.exists(_.cardinality > 0) ||
-        !snap.pathCandidates(f).map(Mutations.normalize).exists(coveredNorm)
-    }
+    // covered entries of still-active DV-free files only — planned
+    // from the generation's coverage summary, not an entry-relation job
+    val (storedRaw, _) = IncrementalSidecar.storedSummary(
+      spark, indexDir(log, idCol, vecCol), idx, Set(CentroidsMarker))
+    val (usable, liveFiles) = IncrementalSidecar.probeCoverage(
+      snap, storedRaw, coverDvFiles = false)
     import spark.implicits._
     val indexed = idx
       .where(col("cell").isin(probedCells: _*)) // pushed: cell-sorted files

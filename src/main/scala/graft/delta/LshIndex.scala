@@ -68,7 +68,7 @@ object LshIndex {
   def entries(log: DeltaLog, idCol: String, textCol: String): Option[DataFrame] =
     Sidecar.read(log.spark, indexDir(log, idCol, textCol))
 
-  private def validate(snap: Snapshot, idCol: String, textCol: String): Unit = {
+  private[delta] def validate(snap: Snapshot, idCol: String, textCol: String): Unit = {
     Seq(idCol, textCol).foreach { c =>
       require(snap.schema.fieldNames.contains(c),
         s"column $c not in table schema " +
@@ -85,7 +85,7 @@ object LshIndex {
 
   /** Active files an entry may describe: no live deletion vector. */
   private def coverableFiles(snap: Snapshot): Seq[AddFile] =
-    snap.planFiles().filterNot(_.deletionVector.exists(_.cardinality > 0))
+    IncrementalSidecar.coverableFiles(snap, coverDvFiles = false)
 
   /** ONE streaming signature pass over `files` → (file_path, id, hs,
     * ks, version) — the build primitive full and incremental refresh
@@ -143,46 +143,44 @@ object LshIndex {
     * still-coverable entry VERBATIM, drop entries whose file left the
     * coverable set. No sidecar yet → full [[build]]. Idle refresh
     * (nothing missing, nothing dead) writes nothing. Returns the
-    * indexed version. */
+    * indexed version.
+    *
+    * Files rewritten by `dataChange = false` commits (OPTIMIZE,
+    * clustering) are REMAPPED, not re-shingled: a narrow id-only read
+    * of the new files joins the old entries by id and carries hs/ks
+    * byte-verbatim ([[IncrementalSidecar.remapRowEntries]]) — refresh
+    * cost stays O(genuinely-new bytes) under routine compaction. */
   def refresh(log: DeltaLog, idCol: String, textCol: String): Long = {
     val spark = log.spark
     val snap = log.snapshot
     validate(snap, idCol, textCol)
     val existing = entries(log, idCol, textCol)
       .getOrElse(return build(log, idCol, textCol))
-    // one file-count-sized collect; everything path-shaped stays on
-    // the driver, the entry rows themselves are filtered by an exact
-    // broadcast semi-join on the STORED spelling (no per-row UDF)
-    val storedPaths = existing.select("file_path").distinct()
-      .collect().map(_.getString(0)).toSeq
-    val coverable = coverableFiles(snap)
-    val coverableNorm = coverable
-      .flatMap(f => snap.pathCandidates(f).map(Mutations.normalize)).toSet
-    val liveStored = storedPaths
-      .filter(p => coverableNorm.contains(Mutations.normalize(p)))
-    val coveredNorm = storedPaths.map(Mutations.normalize).toSet
-    val missing = coverable.filterNot(f =>
-      snap.pathCandidates(f).map(Mutations.normalize).exists(coveredNorm))
-    if (missing.isEmpty && liveStored.size == storedPaths.size)
-      return snap.version
-    val kept = keepStored(spark, existing, liveStored)
+    // planning from the generation's file-count-sized coverage summary
+    // (no job over the entry relation); everything path-shaped stays
+    // on the driver, the entry rows themselves are filtered by an
+    // exact broadcast semi-join on the STORED spelling (no per-row UDF)
+    val (storedPaths, since) = IncrementalSidecar.storedSummary(
+      spark, indexDir(log, idCol, textCol), existing, Set.empty)
+    val cov = IncrementalSidecar.coverage(snap, storedPaths,
+      coverDvFiles = false)
+    if (!cov.changed) return snap.version
+    val (groups, toScan) = IncrementalSidecar.remapGroups(log, snap,
+      cov.missing, cov.coveredNorm, storedPaths, since)
+    val (remapped, fellBack) = IncrementalSidecar.remapRowEntries(
+      spark, snap, existing, idCol, groups,
+      fs => IncrementalSidecar.narrowIdRead(log, snap, fs, idCol))
+    val scanFiles = toScan ++ fellBack
+    val kept = IncrementalSidecar.keepStored(spark, existing, cov.liveStored)
     val newEntries =
-      if (missing.isEmpty) existing.limit(0)
-      else scanEntries(log, snap, missing, idCol, textCol)
+      if (scanFiles.isEmpty) existing.limit(0)
+      else scanEntries(log, snap, scanFiles, idCol, textCol)
     Sidecar.repairMeta(spark, indexDir(log, idCol, textCol),
       "lsh", Seq(idCol, textCol))
     Sidecar.swapIn(spark, indexDir(log, idCol, textCol),
-      kept.unionByName(newEntries))
+      kept.unionByName(remapped.getOrElse(existing.limit(0)))
+        .unionByName(newEntries))
     snap.version
-  }
-
-  /** Entries whose stored file_path is in `liveStored` — an exact
-    * string semi-join against a broadcast file-count-sized relation. */
-  private def keepStored(spark: SparkSession, entries: DataFrame,
-      liveStored: Seq[String]): DataFrame = {
-    import spark.implicits._
-    entries.join(broadcast(liveStored.toDF("file_path")),
-      Seq("file_path"), "left_semi")
   }
 
   /** Index-backed incremental fuzzy dedup: drop from `newBatch` every
@@ -204,25 +202,17 @@ object LshIndex {
     val idx = entries(log, idCol, textCol).getOrElse(
       return MinHashLsh.dedupAgainstCorpus(newBatch, snap.read(),
         idCol, textCol, threshold, broadcastKeys, maxBucketSize))
-    val storedPaths = idx.select("file_path").distinct()
-      .collect().map(_.getString(0)).toSeq
-    val coverable = coverableFiles(snap)
-    val coverableNorm = coverable
-      .flatMap(f => snap.pathCandidates(f).map(Mutations.normalize)).toSet
-    val usableStored = storedPaths
-      .filter(p => coverableNorm.contains(Mutations.normalize(p)))
-    val coveredNorm = usableStored.map(Mutations.normalize).toSet
+    val (storedPaths, _) = IncrementalSidecar.storedSummary(
+      spark, indexDir(log, idCol, textCol), idx, Set.empty)
     // live side: active files the index cannot serve — not yet
     // indexed, re-incarnated with a DV, or index entries gone stale
-    val liveFiles = snap.planFiles().filter { f =>
-      f.deletionVector.exists(_.cardinality > 0) ||
-        !snap.pathCandidates(f).map(Mutations.normalize).exists(coveredNorm)
-    }
+    val (usableStored, liveFiles) = IncrementalSidecar.probeCoverage(
+      snap, storedPaths, coverDvFiles = false)
     val cap = MinHashLsh.effectiveCap(newBatch, maxBucketSize)
     MinHashLsh.dedupAgainstPrior(newBatch, idCol, textCol, threshold,
       broadcastKeys, cap,
       newKeys => {
-        val indexed = keepStored(spark, idx, usableStored)
+        val indexed = IncrementalSidecar.keepStored(spark, idx, usableStored)
           .select(col(idCol), col("hs"),
             posexplode(col("ks")).as(Seq("band", "k")))
           .join(newKeys, Seq("band", "k"), "left_semi")

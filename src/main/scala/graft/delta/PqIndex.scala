@@ -95,7 +95,7 @@ object PqIndex {
     }
 
   private def coverableFiles(snap: Snapshot): Seq[AddFile] =
-    snap.planFiles().filterNot(_.deletionVector.exists(_.cardinality > 0))
+    IncrementalSidecar.coverableFiles(snap, coverDvFiles = false)
 
   /** Raw (file_path, id, v) rows of `files` — physical parquet read
     * with file_path bound BEFORE any shuffle. */
@@ -226,21 +226,24 @@ object PqIndex {
     val idx = entries(log, idCol, vecCol).getOrElse(
       return build(log, idCol, vecCol))
     val markers = Set(CoarseMarker, BooksMarker)
-    val storedRaw = idx.where(!col("file_path").isin(markers.toSeq: _*))
-      .select("file_path").distinct().collect().map(_.getString(0)).toSeq
-    val coverable = coverableFiles(snap)
-    val coverableNorm = coverable
-      .flatMap(f => snap.pathCandidates(f).map(Mutations.normalize)).toSet
-    val liveStored = storedRaw
-      .filter(p => coverableNorm.contains(Mutations.normalize(p)))
-    val coveredNorm = storedRaw.map(Mutations.normalize).toSet
-    val missing = coverable.filterNot(f =>
-      snap.pathCandidates(f).map(Mutations.normalize).exists(coveredNorm))
-    if (missing.isEmpty && liveStored.size == storedRaw.size)
-      return snap.version
+    val dataRows = idx.where(!col("file_path").isin(markers.toSeq: _*))
+    val (storedRaw, since) = IncrementalSidecar.storedSummary(
+      spark, indexDir(log, idCol, vecCol), idx, markers)
+    val cov = IncrementalSidecar.coverage(snap, storedRaw,
+      coverDvFiles = false)
+    if (!cov.changed) return snap.version
+    // compaction remap: dataChange=false rewrites carry (cell, codes,
+    // qerr) verbatim via a narrow id read — no re-encoding, and the
+    // drift gauge sees only genuinely-new rows
+    val (groups, toScan) = IncrementalSidecar.remapGroups(log, snap,
+      cov.missing, cov.coveredNorm, storedRaw, since)
+    val (remapped, fellBack) = IncrementalSidecar.remapRowEntries(
+      spark, snap, dataRows, idCol, groups,
+      fs => IncrementalSidecar.narrowIdRead(log, snap, fs, idCol))
+    val missing = toScan ++ fellBack
     import spark.implicits._
     val kept = idx.join(
-      broadcast((markers.toSeq ++ liveStored).toDF("file_path")),
+      broadcast((markers.toSeq ++ cov.liveStored).toDF("file_path")),
       Seq("file_path"), "left_semi")
     val newEntries =
       if (missing.isEmpty) idx.limit(0)
@@ -296,7 +299,9 @@ object PqIndex {
       }
     Sidecar.repairMeta(spark, indexDir(log, idCol, vecCol),
       "ivfpq", Seq(idCol, vecCol))
-    publish(log, indexDir(log, idCol, vecCol), kept.unionByName(newEntries))
+    publish(log, indexDir(log, idCol, vecCol),
+      kept.unionByName(remapped.getOrElse(idx.limit(0)))
+        .unionByName(newEntries))
     snap.version
   }
 
@@ -332,19 +337,12 @@ object PqIndex {
     // already lives on the driver) so the index scan gets a pushed IN
     val probedCells = q.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq
-    // covered entries of still-active DV-free files only
-    val storedRaw = idx.where(!col("file_path").isin(markers.toSeq: _*))
-      .select("file_path").distinct().collect().map(_.getString(0)).toSeq
-    val coverable = coverableFiles(snap)
-    val coverableNorm = coverable
-      .flatMap(f => snap.pathCandidates(f).map(Mutations.normalize)).toSet
-    val usable = storedRaw
-      .filter(p => coverableNorm.contains(Mutations.normalize(p)))
-    val coveredNorm = usable.map(Mutations.normalize).toSet
-    val liveFiles = snap.planFiles().filter { f =>
-      f.deletionVector.exists(_.cardinality > 0) ||
-        !snap.pathCandidates(f).map(Mutations.normalize).exists(coveredNorm)
-    }
+    // covered entries of still-active DV-free files only — planned
+    // from the generation's coverage summary, not an entry-relation job
+    val (storedRaw, _) = IncrementalSidecar.storedSummary(
+      spark, indexDir(log, idCol, vecCol), idx, markers)
+    val (usable, liveFiles) = IncrementalSidecar.probeCoverage(
+      snap, storedRaw, coverDvFiles = false)
     import spark.implicits._
     val recon = (0 until m).map { j =>
       element_at(Pq.bookLit(books, j), element_at(col("codes"), j + 1))

@@ -146,10 +146,60 @@ object Sidecar {
     }
   }
 
+  // generation-keyed coverage cache: generations are immutable, so a
+  // (dir, gen) summary never goes stale — repeat searches in one JVM
+  // plan with zero IO. Bounded by wholesale clear (the simple eviction
+  // that can never pin unbounded memory).
+  private val coverageCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Map[String, Long]]()
+
+  /** Drop cached summaries for `dir` — probes/tests that delete a
+    * `_coverage` file to exercise the fallback path need this; the
+    * production paths never do (generations are immutable). */
+  private[graft] def invalidateCoverage(dir: String): Unit =
+    coverageCache.keySet.removeIf(_._1 == dir)
+
+  /** The live generation's planning summary: stored file_path → max
+    * entry version (markers included — callers filter). None when the
+    * sidecar is absent OR the generation predates the summary (legacy;
+    * callers fall back to a distinct over the entry relation). Reads
+    * one file-count-sized text file — never the entry relation — and
+    * memoizes per immutable generation. */
+  def readCoverage(spark: SparkSession, dir: String): Option[Map[String, Long]] = {
+    val (fs, base) = fsOf(spark, dir)
+    readPointer(fs, base).flatMap { gen =>
+      val key = (dir, gen)
+      Option(coverageCache.get(key)).orElse {
+        try {
+          val in = fs.open(new Path(base, new Path(gen, "_coverage").toString))
+          val text = try scala.io.Source.fromInputStream(in).mkString
+            finally in.close()
+          val m = text.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+            .flatMap { l =>
+              l.split("\t") match {
+                case Array(p, v) => v.toLongOption.map(p -> _)
+                case _ => None
+              }
+            }.toMap
+          if (coverageCache.size > 64) coverageCache.clear()
+          coverageCache.put(key, m)
+          Some(m)
+        } catch { case _: java.io.FileNotFoundException => None }
+      }
+    }
+  }
+
   /** Publish `df` as the new live generation: write it complete, then
     * atomically re-point, then GC generations older than the one just
     * superseded. Throws when the pointer swap cannot be completed —
-    * a silent failure here would mean a silently vanished index. */
+    * a silent failure here would mean a silently vanished index.
+    *
+    * Every generation also carries a `_coverage` summary (one
+    * `path\tmaxVersion` line per distinct stored file_path, computed
+    * by one NARROW two-column pass over the just-written generation) —
+    * the planning surface [[readCoverage]] serves, so a refresh or a
+    * search plans from a file-count-sized summary instead of running
+    * a distinct over the corpus-row-sized entry relation per call. */
   def swapIn(spark: SparkSession, dir: String, df: DataFrame): Unit = {
     val (fs, base) = fsOf(spark, dir)
     val prev = readPointer(fs, base)
@@ -162,6 +212,28 @@ object Sidecar {
     val nextN = (existingGens.map(_.stripPrefix(GenPrefix).toLong) :+ -1L).max + 1
     val gen = f"$GenPrefix$nextN%08d"
     df.write.mode("overwrite").parquet(new Path(base, gen).toString)
+    // coverage summary: ONE columnar (file_path, version) pass over
+    // the generation just written — the spellings are exactly what the
+    // entry rows store (reading them back is what guarantees the
+    // keep-semi-join equality match on the next refresh). Underscore
+    // name keeps it invisible to the parquet reads.
+    try {
+      val summary = spark.read.parquet(new Path(base, gen).toString)
+        .groupBy("file_path")
+        .agg(org.apache.spark.sql.functions.max("version").as("v"))
+        .collect().map(r => s"${r.getString(0)}\t${r.getLong(1)}")
+      val covTmp = new Path(base, new Path(gen, "_coverage.tmp").toString)
+      val cov = new Path(base, new Path(gen, "_coverage").toString)
+      val cout = fs.create(covTmp, true)
+      try cout.write(summary.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally cout.close()
+      fs.rename(covTmp, cov)
+    } catch {
+      // best-effort: a generation without a summary plans through the
+      // fallback distinct (slower, never wrong)
+      case scala.util.control.NonFatal(_) => ()
+    }
     // pointer swap: tmp write, then delete+rename with BOTH results
     // checked (HDFS rename does not overwrite; a false return without
     // a check is a silently lost index)

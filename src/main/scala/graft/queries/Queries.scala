@@ -4506,6 +4506,60 @@ object Queries {
         lit(if (newCovered) 1L else 0L).as("new_files_covered"),
         lit(if (matches) 1L else 0L).as("matches_direct"))
     }),
+    // Compaction-aware index remap: an OPTIMIZE (dataChange=false)
+    // rewrites every file path; the refresh must CARRY the signatures
+    // to the new layout without re-running the shingle/minhash kernels.
+    // Proof is the sidecar itself: remapped entries keep their source
+    // scan `version`, so the (doc_id, hs, ks, version) multiset is
+    // UNCHANGED through compact+refresh (a kernel rescan would stamp
+    // the refresh version) while the entry file layout follows the
+    // compacted files. Then dedup through the remapped index must
+    // still equal the direct operator AND the DuckDB oracle.
+    "q_index_compact_remap" -> ((s, dir) => {
+      registerViews(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_remap_")
+        .resolve("corpus").toString
+      val log = graft.delta.DeltaLog.forPath(s, tmp)
+      val docs = s.table("documents")
+      val prior = docs.where(col("doc_id") % 5 =!= 0)
+        .select("doc_id", "lang", "source", "text")
+      graft.delta.TransactionWriter.overwrite(log,
+        prior.repartition(8, col("doc_id")))
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT CREATE LSH INDEX ON '$tmp' (doc_id, text)").collect()
+      val before = graft.delta.LshIndex.entries(log, "doc_id", "text").get
+        .select("doc_id", "hs", "ks", "version").localCheckpoint()
+      val filesBefore = graft.delta.LshIndex.entries(log, "doc_id", "text")
+        .get.select("file_path").distinct().count()
+      graft.delta.Maintenance.compactSmall(log,
+        targetFileBytes = 1L << 30, minSmallFiles = 2)
+      val fresh = graft.delta.DeltaLog.forPath(s, tmp)
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT REFRESH LSH INDEX ON '$tmp' (doc_id, text)").collect()
+      val after = graft.delta.LshIndex.entries(fresh, "doc_id", "text").get
+        .select("doc_id", "hs", "ks", "version").localCheckpoint()
+      val carried = after.exceptAll(before).isEmpty &&
+        before.exceptAll(after).isEmpty
+      val filesAfter = graft.delta.LshIndex.entries(fresh, "doc_id", "text")
+        .get.select("file_path").distinct().count()
+      val compacted = filesAfter < filesBefore &&
+        filesAfter == fresh.snapshot.planFiles().size
+      val batch = docs.where(col("doc_id") % 5 === 0)
+        .select("doc_id", "lang", "source", "text")
+      val viaIndex = graft.delta.LshIndex.dedupBatch(
+        fresh, batch, "doc_id", "text", threshold = 0.5)
+        .localCheckpoint()
+      val direct = graft.operators.MinHashLsh.dedupAgainstCorpus(
+        batch, fresh.snapshot.read(), "doc_id", "text", threshold = 0.5)
+        .localCheckpoint()
+      val matches =
+        viaIndex.select("doc_id").exceptAll(direct.select("doc_id")).isEmpty &&
+          direct.select("doc_id").exceptAll(viaIndex.select("doc_id")).isEmpty
+      viaIndex.select(col("doc_id"), col("lang"), col("source"),
+        lit(if (carried) 1L else 0L).as("entries_carried_verbatim"),
+        lit(if (compacted) 1L else 0L).as("layout_compacted"),
+        lit(if (matches) 1L else 0L).as("matches_direct"))
+    }),
     // Temperature sampling at α=0.5 toward a 300-row target over langs
     "q_temperature_sample" -> ((s, dir) => {
       registerViews(s, dir)
@@ -5846,6 +5900,11 @@ object Queries {
       """,
         |  CAST(1 AS BIGINT) AS old_entries_kept,
         |  CAST(1 AS BIGINT) AS new_files_covered,
+        |  CAST(1 AS BIGINT) AS matches_direct""".stripMargin),
+    "q_index_compact_remap" -> qDedupIncrementalFuzzy("duck",
+      """,
+        |  CAST(1 AS BIGINT) AS entries_carried_verbatim,
+        |  CAST(1 AS BIGINT) AS layout_compacted,
         |  CAST(1 AS BIGINT) AS matches_direct""".stripMargin),
     "q_temperature_sample" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),

@@ -18,6 +18,32 @@ object SqlShims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Drain the Spark listener bus — task-metric listeners (the IO
+    * probes proving a remap read no data bytes) receive events
+    * asynchronously; without a drain a measurement taken right after
+    * an action can miss its own tail tasks. `listenerBus` is
+    * `private[spark]`, hence this shim. */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+
+  /** Total input bytes read by every task that runs inside `f` —
+    * measured via a scoped task-end listener, drained before detach.
+    * The meter is per-JVM (concurrent foreign jobs would pollute it);
+    * callers run it around exclusive sections. */
+  def measureBytesRead(sc: org.apache.spark.SparkContext)(f: => Unit): Long = {
+    val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          acc.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+    }
+    sc.addSparkListener(l)
+    try { f; sc.listenerBus.waitUntilEmpty() }
+    finally sc.removeSparkListener(l)
+    acc.get
+  }
+
   /** The value a sort expression orders by: `col("x").asc` →
     * `col("x")`; a plain column passes through. Sort direction lives in
     * a ColumnNode-level SortOrder wrapper in Spark 4 (not a Catalyst

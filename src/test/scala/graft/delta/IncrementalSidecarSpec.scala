@@ -1,0 +1,194 @@
+package graft.delta
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Compaction-aware index remap ([[IncrementalSidecar]]): after a
+  * `dataChange = false` rewrite (OPTIMIZE / clustering), a refresh must
+  * carry entries to the new file paths WITHOUT re-running the expensive
+  * kernels — provable from the sidecar itself, because remapped entries
+  * keep their source scan `version` while a kernel scan would stamp the
+  * refresh version. */
+class IncrementalSidecarSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def text(i: Long) =
+    s"document number $i with some shared vocabulary tokens alpha beta " +
+      s"gamma delta epsilon zeta eta theta word$i tail${i % 7}"
+
+  private def docsDf(ids: Seq[Long]) =
+    ids.map(i => (i, text(i))).toDF("id", "text")
+
+  private def vecsDf(ids: Seq[Long]) =
+    ids.map(i => (i, Seq.tabulate(8)(j =>
+      ((i * (17 + j) + j * 101) % 1000) / 250.0 - 2.0))).toDF("id", "v")
+
+  test("LSH remap: compaction carries (id, hs, ks, version) verbatim — no re-shingle") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_remap_l_")
+      .resolve("t").toString
+    val log = DeltaLog.forPath(spark, dir)
+    TransactionWriter.overwrite(log,
+      docsDf(0L until 40L).repartition(4, col("id")))
+    LshIndex.build(log, "id", "text")
+    def content() = LshIndex.entries(log, "id", "text").get
+      .select("id", "hs", "ks", "version")
+    val before = content().collect().toSet
+    val filesBefore = LshIndex.entries(log, "id", "text").get
+      .select("file_path").distinct().count()
+    Maintenance.compactSmall(log, targetFileBytes = 1L << 30,
+      minSmallFiles = 2)
+    val fresh = DeltaLog.forPath(spark, dir)
+    assert(fresh.snapshot.planFiles().size < filesBefore,
+      "compaction must have folded files")
+    LshIndex.refresh(fresh, "id", "text")
+    val after = content().collect().toSet
+    // version stamps unchanged ⇒ nothing was re-shingled; content
+    // byte-identical ⇒ the remap attributed every row correctly
+    assert(after == before,
+      s"entries must be carried verbatim through compaction; " +
+        s"diff=${(after diff before).take(3)} / ${(before diff after).take(3)}")
+    val filesAfter = LshIndex.entries(log, "id", "text").get
+      .select("file_path").distinct().count()
+    assert(filesAfter < filesBefore, "entries must follow the new layout")
+    // dedup through the remapped index ≡ direct
+    val batch = docsDf(Seq(1000L)).unionByName(
+      Seq((2000L, text(7))).toDF("id", "text")) // 2000 dups prior doc 7
+    val viaIdx = LshIndex.dedupBatch(fresh, batch, "id", "text", 0.5)
+      .select("id").as[Long].collect().sorted.toSeq
+    val direct = graft.operators.MinHashLsh.dedupAgainstCorpus(
+      batch, fresh.snapshot.read(), "id", "text", 0.5)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(viaIdx == direct, s"idx=$viaIdx direct=$direct")
+  }
+
+  test("IVF + PQ remap: compaction carries assignments/codes verbatim; search exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_remap_v_")
+      .resolve("t").toString
+    val log = DeltaLog.forPath(spark, dir)
+    TransactionWriter.overwrite(log,
+      vecsDf(0L until 60L).repartition(4, col("id")))
+    IvfIndex.build(log, "id", "v", k = 4, iterations = 2)
+    PqIndex.build(log, "id", "v", kCoarse = 4, m = 2, k = 8)
+    def ivfContent() = IvfIndex.entries(log, "id", "v").get
+      .where(col("file_path") =!= "__centroids")
+      .select("id", "cell", "asim", "vec", "nrm", "version")
+    def pqContent() = PqIndex.entries(log, "id", "v").get
+      .where(!col("file_path").isin("__coarse", "__books"))
+      .select("id", "cell", "codes", "qerr", "version")
+    val ivfBefore = ivfContent().collect().toSet
+    val pqBefore = pqContent().collect().toSet
+    Maintenance.compactSmall(log, targetFileBytes = 1L << 30,
+      minSmallFiles = 2)
+    val fresh = DeltaLog.forPath(spark, dir)
+    IvfIndex.refresh(fresh, "id", "v")
+    PqIndex.refresh(fresh, "id", "v")
+    assert(ivfContent().collect().toSet == ivfBefore,
+      "IVF entries must be carried verbatim (incl. version) through compaction")
+    assert(pqContent().collect().toSet == pqBefore,
+      "PQ entries must be carried verbatim (incl. version) through compaction")
+    // search through the remapped index ≡ the direct operator
+    val queries = vecsDf(Seq(3L, 17L, 42L))
+    val viaIdx = IvfIndex.search(fresh, queries, "id", "v", k = 3)
+      .orderBy("query_id", "rnk").collect().toSeq
+    val cs = IvfIndex.centroids(fresh, "id", "v").get
+    val direct = graft.operators.Similarity.ivfTopK(
+      fresh.snapshot.read(), queries, cs, "id", "v", k = 3, nprobe = 2)
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(viaIdx == direct, s"idx=${viaIdx.take(3)} direct=${direct.take(3)}")
+  }
+
+  test("Bloom remap: compaction merges source filters — no false negatives, no rescan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_remap_b_")
+      .resolve("t").toString
+    val log = DeltaLog.forPath(spark, dir)
+    TransactionWriter.overwrite(log,
+      (0L until 400L).map(i => (i, s"v$i")).toDF("k", "s")
+        .repartition(4, col("k")))
+    BloomIndex.build(log, "k")
+    val versionsBefore = BloomIndex.entries(log, "k").get
+      .select("version").distinct().as[Long].collect().toSet
+    Maintenance.compactSmall(log, targetFileBytes = 1L << 30,
+      minSmallFiles = 2)
+    val fresh = DeltaLog.forPath(spark, dir)
+    BloomIndex.buildIncremental(fresh, "k")
+    val entries = BloomIndex.entries(fresh, "k").get
+    // every active file has an entry (remap covered the compacted file)
+    assert(entries.select("file_path").distinct().count() ==
+      fresh.snapshot.planFiles().size)
+    // no false negative: every key still resolves to a candidate file
+    Seq(0L, 123L, 399L).foreach { k =>
+      val (cand, _) = BloomIndex.candidateFiles(fresh, "k", Seq(k))
+      assert(cand.nonEmpty, s"key $k lost by the merged filter")
+      val rows = fresh.snapshot.readFiles(cand)
+        .where(col("k") === k).count()
+      assert(rows == 1L, s"key $k not found through pruned scan")
+    }
+    // n_rows of the merged entry equals the compacted file's numRecords
+    val total = entries.agg(sum("n_rows")).head.getLong(0)
+    assert(total == 400L, s"n_rows must follow the add stats, got $total")
+  }
+
+  test("single-add compaction carries even duplicate ids exactly (total membership)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_remap_s_")
+      .resolve("t").toString
+    val log = DeltaLog.forPath(spark, dir)
+    // id 7 appears TWICE with DIFFERENT text: a single-output
+    // compaction is still exact — BOTH source entries ride to the one
+    // new file, no per-id attribution needed
+    val a = docsDf(0L until 10L)
+    val b = Seq((7L, "entirely different text for the duplicated id row"))
+      .toDF("id", "text")
+    TransactionWriter.overwrite(log, a.repartition(2, col("id")))
+    TransactionWriter.append(log, b)
+    LshIndex.build(log, "id", "text")
+    val before = LshIndex.entries(log, "id", "text").get
+      .select("id", "hs", "ks", "version").collect().toSet
+    Maintenance.compactSmall(log, targetFileBytes = 1L << 30,
+      minSmallFiles = 2)
+    val fresh = DeltaLog.forPath(spark, dir)
+    assert(fresh.snapshot.planFiles().size == 1)
+    LshIndex.refresh(fresh, "id", "text")
+    val after = LshIndex.entries(fresh, "id", "text").get
+      .select("id", "hs", "ks", "version").collect().toSet
+    assert(after == before,
+      "single-add remap must carry both duplicate-id entries verbatim")
+  }
+
+  test("multi-add rewrite: clean ids remap via the narrow id read; ambiguous ids fall back") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_remap_a_")
+      .resolve("t").toString
+    val log = DeltaLog.forPath(spark, dir)
+    // id 7 appears TWICE with DIFFERENT text (two files): after a
+    // MULTI-output rewrite, id-keyed attribution for it is ambiguous —
+    // files containing it must be re-scanned, not guessed
+    val a = docsDf(0L until 40L)
+    val b = Seq((7L, "entirely different text for the duplicated id row"))
+      .toDF("id", "text")
+    TransactionWriter.overwrite(log, a.repartition(2, col("id")))
+    TransactionWriter.append(log, b)
+    LshIndex.build(log, "id", "text")
+    val buildVersion = log.snapshot.version
+    // tiny target → one dataChange=false commit with SEVERAL adds
+    Maintenance.zorder(log, Seq("id"), targetFileBytes = 2048)
+    val fresh = DeltaLog.forPath(spark, dir)
+    assert(fresh.snapshot.planFiles().size >= 2,
+      s"need a multi-add rewrite, got ${fresh.snapshot.planFiles().size} file(s)")
+    LshIndex.refresh(fresh, "id", "text")
+    val after = LshIndex.entries(fresh, "id", "text").get
+      .select("id", "hs", "ks", "version").localCheckpoint()
+    // the file(s) holding the ambiguous id were re-scanned (fresh
+    // version stamp); clean files were remapped (old stamp kept)
+    val vmax = after.agg(max("version")).head.getLong(0)
+    val vmin = after.agg(min("version")).head.getLong(0)
+    assert(vmax > buildVersion,
+      "ambiguous remap must fall back to a kernel scan (new version stamp)")
+    assert(vmin <= buildVersion,
+      "clean files must remap with their source version kept")
+    // and the content matches a from-scratch build exactly
+    val content = after.select("id", "hs", "ks").collect().toSet
+    LshIndex.build(fresh, "id", "text")
+    val rebuilt = LshIndex.entries(fresh, "id", "text").get
+      .select("id", "hs", "ks").collect().toSet
+    assert(content == rebuilt, "remap + fallback must equal a fresh build")
+  }
+}
