@@ -288,11 +288,16 @@ object MatView {
     * the rollup with one MERGE. O(changes + changed dim keys' fact
     * rows); neither the join nor the rollup ever materializes.
     *
-    * SUM aggregates only (plus the implicit `n_rows`): sums are
-    * invertible under signing, so the fold needs no source state. A
-    * MIN/MAX over a join group cannot be maintained O(changes) without
-    * the join's rows — that is exactly what the cascade composition
-    * materializes; use it for non-invertible rollups.
+    * Aggregate support mirrors the single-table views: SUM and AVG are
+    * INVERTIBLE under signing (AVG through a hidden per-column
+    * `(__as_c, __ac_c)` sum/non-null-count pair the fold maintains —
+    * nulls excluded exactly like a direct AVG), so views of only
+    * sums/avgs fold the signed delta with no source pass at all.
+    * MIN/MAX have no inverse — a deleted row cannot be retracted from
+    * a running MIN — so a view containing any MIN/MAX re-derives the
+    * CHANGED keys from the pinned join (the single-table
+    * `rederiveMerge` technique, keys from the signed delta): still
+    * O(changed keys' join rows), never a view rebuild.
     *
     * Atomicity: each refresh rides the watermark domain INSIDE the
     * merge commit ([[Merge.withDomain]]) — fold and watermark land
@@ -303,14 +308,11 @@ object MatView {
       factPath: String, dimPath: String, fk: String, dimPk: String,
       keyCols: Seq[String], aggs: Seq[(String, String)]): Long = {
     require(keyCols.nonEmpty, "join-rollup matview needs group keys")
-    require(aggs.nonEmpty, "join-rollup matview needs at least one SUM")
-    require(aggs.forall(_._1.toLowerCase == "sum"),
-      s"join-rollup matviews maintain SUM aggregates only, got " +
-        aggs.map { case (f, c) => s"$f($c)" }.mkString(", ") +
-        " — for MIN/MAX/AVG over a join, materialize the join view and " +
-        "a rollup over it (the cascade composition): those aggregates " +
-        "need the join's rows, which only the cascade stores")
-    require(aggs.distinct.size == aggs.size, "duplicate SUM clause")
+    require(aggs.nonEmpty, "join-rollup matview needs at least one aggregate")
+    aggs.foreach { case (fn, c) => require(
+      Set("sum", "min", "max", "avg").contains(fn.toLowerCase),
+      s"unsupported join-rollup aggregate '$fn($c)' (have sum, min, max, avg)") }
+    require(aggs.distinct.size == aggs.size, "duplicate aggregate clause")
     (keyCols ++ aggs.map(_._2) ++ Seq(fk, dimPk)).foreach(c => require(
       c.matches("""\w+"""),
       s"join-rollup matview column '$c' must match \\w+ (the stored " +
@@ -336,12 +338,22 @@ object MatView {
     dimSide.foreach(c => require(!factFields.contains(c),
       s"dim column '$c' collides with a fact column"))
     val (vf, vd) = (fs.version, ds.version)
+    val fns = aggs.map { case (fn, c) => (fn.toLowerCase, c) }
+    // invertible views (only sums/avgs) fold the signed delta; an AVG
+    // column then needs its hidden (sum, non-null count) pair in the
+    // view so the fold can maintain it without a source pass
+    val invertible = fns.forall(a => a._1 == "sum" || a._1 == "avg")
+    val helperCols: Seq[Column] =
+      if (!invertible) Nil
+      else fns.collect { case ("avg", c) => Seq(
+        sum(col(c)).as(s"__as_$c"),
+        count(col(c)).cast("long").as(s"__ac_$c")) }.flatten
     val base = fs.read()
       .join(ds.read().select(col(dimPk).as(fk) +: dimSide.map(col): _*),
         Seq(fk))
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
-        aggs.map { case (_, c) => sum(col(c)).as(s"sum_$c") }: _*)
+        fns.map { case (fn, c) => aggColumn(fn, c) } ++ helperCols: _*)
     val viewLog = DeltaLog.forPath(spark, viewPath)
     TransactionWriter.overwrite(viewLog, base,
       configuration = Map(
@@ -352,7 +364,7 @@ object MatView {
         "graft.matview.dimPk" -> dimPk,
         "graft.matview.keyCols" -> keyCols.mkString(","),
         "graft.matview.aggs" ->
-          aggs.map { case (_, c) => s"sum($c)" }.mkString(","),
+          fns.map { case (fn, c) => s"$fn($c)" }.mkString(","),
         "graft.matview.createFactVersion" -> vf.toString,
         "graft.matview.createDimVersion" -> vd.toString,
         "graft.matview.instance" -> java.util.UUID.randomUUID().toString))
@@ -391,16 +403,43 @@ object MatView {
       .filterNot(factFields.contains).distinct
     val delta = graft.operators.IncrementalJoin.signedJoinDelta(
       factChanges, dimChanges, factNew, dimNew, fk, dimPk, dimSide)
-    val keyed = delta.groupBy(keyCols.map(col): _*)
-      .agg(sum(col("__sign")).as("__d_n"),
-        aggs.map { case (_, c) =>
-          sum(col("__sign") * col(c)).as(s"__d_sum_$c") }: _*)
-    // fold + watermark in ONE commit — crash-atomic, conflict-checked
-    graft.operators.IncrementalAgg.mergeDeltaMulti(
-      viewLog, keyed, keyCols, "n_rows",
-      aggs.map { case (_, c) => s"sum_$c" -> s"__d_sum_$c" },
-      domains = Seq(StateDomain ->
-        s"""{"factVersion":${math.max(cf, wf)},"dimVersion":${math.max(cd, wd)}}"""))
+    val wmDomain = Seq(StateDomain ->
+      s"""{"factVersion":${math.max(cf, wf)},"dimVersion":${math.max(cd, wd)}}""")
+    val invertible = aggs.forall(a => a._1 == "sum" || a._1 == "avg")
+    if (invertible) {
+      val sums = aggs.collect { case ("sum", c) => c }
+      val avgs = aggs.collect { case ("avg", c) => c }
+      val keyed = delta.groupBy(keyCols.map(col): _*)
+        .agg(sum(col("__sign")).as("__d_n"),
+          sums.map(c =>
+            sum(col("__sign") * col(c)).as(s"__d_sum_$c")) ++
+          avgs.flatMap(c => Seq(
+            sum(col("__sign") * col(c)).as(s"__d_as_$c"),
+            sum(col("__sign") *
+              when(col(c).isNotNull, lit(1L)).otherwise(lit(0L)))
+              .as(s"__d_ac_$c"))): _*)
+      // fold + watermark in ONE commit — crash-atomic, conflict-checked
+      graft.operators.IncrementalAgg.mergeDeltaMulti(
+        viewLog, keyed, keyCols, "n_rows",
+        sums.map(c => s"sum_$c" -> s"__d_sum_$c") ++
+          avgs.flatMap(c => Seq(s"__as_$c" -> s"__d_as_$c",
+            s"__ac_$c" -> s"__d_ac_$c")),
+        avgCols = avgs.map(c => (s"avg_$c", s"__as_$c", s"__ac_$c")),
+        domains = wmDomain)
+    } else {
+      // MIN/MAX present: re-derive the CHANGED keys from the join
+      // pinned at the window's end versions — the signed delta supplies
+      // exactly the touched key set (retractions carry old keys,
+      // additions new), and the semi-join prunes the source pass to
+      // them (Catalyst pushes it through the equi-join to whichever
+      // side carries the keys). Idempotent by construction.
+      val source = factNew.join(
+        dimNew.select(col(dimPk).as(fk) +: dimSide.map(col): _*), Seq(fk))
+      graft.operators.IncrementalAgg.rederiveMerge(
+        viewLog, source, delta, keyCols, "n_rows",
+        aggs.map { case (fn, c) => aggColumn(fn, c) },
+        domains = wmDomain)
+    }
     math.max(cf, wf)
   }
 

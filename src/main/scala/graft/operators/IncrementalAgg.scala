@@ -61,14 +61,33 @@ object IncrementalAgg {
     * and conflict-checked against concurrent refreshers
     * ([[graft.delta.Merge.withDomain]]), which subsumes the txn
     * marker's crash-repair role when the watermark travels with the
-    * data. */
+    * data.
+    *
+    * `avgCols` maintains DERIVED average columns: each
+    * `(avgCol, sumHelperCol, countHelperCol)` names a visible average
+    * plus its hidden running (sum, non-null count) pair — the pair
+    * itself folds through `sumCols` as usual, and the average is
+    * recomputed from the pair's POST-fold values inside the same
+    * merge (NULL when the non-null count reaches zero, matching a
+    * direct AVG over an all-null group). */
   def mergeDeltaMulti(
       aggLog: graft.delta.DeltaLog, delta: DataFrame, keyCols: Seq[String],
       countCol: String, sumCols: Seq[(String, String)],
       txn: Option[(String, Long)] = None,
-      domains: Seq[(String, String)] = Nil): Long = {
+      domains: Seq[(String, String)] = Nil,
+      avgCols: Seq[(String, String, String)] = Nil): Long = {
     val cond = keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
     val newCount = col(s"t.$countCol") + col(s"s.__d_n")
+    val sumDelta = sumCols.toMap
+    def folded(vc: String): org.apache.spark.sql.Column =
+      col(s"t.$vc") + coalesce(col(s"s.${sumDelta(vc)}"), lit(0L))
+    val avgUpdates = avgCols.map { case (ac, sc, cc) =>
+      ac -> when(folded(cc) > 0,
+        folded(sc).cast("double") / folded(cc)).otherwise(lit(null)) }
+    val avgInserts = avgCols.map { case (ac, sc, cc) =>
+      ac -> when(coalesce(col(s"s.${sumDelta(cc)}"), lit(0L)) > 0,
+        col(s"s.${sumDelta(sc)}").cast("double") /
+          col(s"s.${sumDelta(cc)}")).otherwise(lit(null)) }
     // the delta is one row per key BY CONTRACT (a groupBy output), so
     // the merge skips its multi-match guard pass (withUniqueSource)
     val m0 = graft.delta.Merge.into(aggLog, delta, cond).withUniqueSource()
@@ -79,13 +98,14 @@ object IncrementalAgg {
         // a slice whose values for some sum are ALL NULL aggregates a
         // NULL delta (sum skips nulls) — that must leave the running
         // sum alone, not null it out
-        (Seq(countCol -> newCount) ++ sumCols.map { case (vc, dc) =>
-          vc -> (col(s"t.$vc") + coalesce(col(s"s.$dc"), lit(0L))) }).toMap,
+        (Seq(countCol -> newCount) ++ sumCols.map { case (vc, _) =>
+          vc -> folded(vc) } ++ avgUpdates).toMap,
         Some(newCount > 0))
       .whenNotMatchedInsert(
         (keyCols.map(k => k -> col(s"s.$k")) ++
           Seq(countCol -> col(s"s.__d_n")) ++
-          sumCols.map { case (vc, dc) => vc -> col(s"s.$dc") }).toMap,
+          sumCols.map { case (vc, dc) => vc -> col(s"s.$dc") } ++
+          avgInserts).toMap,
         Some(col("s.__d_n") > 0))
       .execute()
   }

@@ -40,9 +40,11 @@ import graft.delta.{Clone, Constraints, DeltaLog, Maintenance, Mutations}
   * GRAFT ANALYZE '<path>'                          -- backfill missing file stats
   * GRAFT CREATE MATVIEW '<view>' FROM '<src>' KEYS (k | name = expr, ...) SUM (c) [MIN|MAX|AVG (c)] ... [WHERE <row predicate>]
   * GRAFT CREATE MATVIEW '<view>' FROM '<fact>' JOIN '<dim>' ON (fk = dimPk) KEYS (factPk, ...) COLS (dimCol, ...)
-  * GRAFT CREATE MATVIEW '<view>' FROM '<fact>' JOIN '<dim>' ON (fk = dimPk) KEYS (gk, ...) SUM (c) ...  -- rollup over the join, one view
-  *   -- any mix of SUM/MIN/MAX clauses; refresh signed-folds a lone
-  *   -- SUM, re-derives changed keys for anything non-invertible
+  * GRAFT CREATE MATVIEW '<view>' FROM '<fact>' JOIN '<dim>' ON (fk = dimPk) KEYS (gk, ...) SUM|MIN|MAX|AVG (c) ...  -- rollup over the join, one view
+  *   -- any mix of SUM/MIN/MAX/AVG clauses (both forms); refresh
+  *   -- signed-folds invertible specs (sums/avgs — AVG through a
+  *   -- hidden sum/count pair), re-derives changed keys when any
+  *   -- MIN/MAX is present
   * GRAFT REFRESH MATVIEW '<view>' [IF STALE]       -- fold the source CDF since the watermark; IF STALE first checks lag (free no-op when current)
   * GRAFT DESCRIBE MATVIEW '<view>'                 -- definition + watermark + lag (source commits behind)
   * GRAFT CREATE BLOOM INDEX ON '<path>' (<col>)    -- per-file point-lookup index
@@ -123,7 +125,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val CreateMatViewJoin =
     """(?is)\s*GRAFT\s+CREATE\s+MATVIEW\s+'([^']+)'\s+FROM\s+'([^']+)'\s+JOIN\s+'([^']+)'\s+ON\s*\((\w+)\s*=\s*(\w+)\)\s+KEYS\s*\(([^)]+)\)\s+COLS\s*\(([^)]+)\)\s*""".r
   private val CreateMatViewJoinAgg =
-    """(?is)\s*GRAFT\s+CREATE\s+MATVIEW\s+'([^']+)'\s+FROM\s+'([^']+)'\s+JOIN\s+'([^']+)'\s+ON\s*\((\w+)\s*=\s*(\w+)\)\s+KEYS\s*\(([^)]+)\)\s+((?:SUM\s*\(\w+\)\s*)+)\s*""".r
+    """(?is)\s*GRAFT\s+CREATE\s+MATVIEW\s+'([^']+)'\s+FROM\s+'([^']+)'\s+JOIN\s+'([^']+)'\s+ON\s*\((\w+)\s*=\s*(\w+)\)\s+KEYS\s*\(([^)]+)\)\s+((?:(?:SUM|MIN|MAX|AVG)\s*\(\w+\)\s*)+)\s*""".r
   private val CreateMatView =
     """(?is)\s*GRAFT\s+CREATE\s+MATVIEW\s+'([^']+)'\s+FROM\s+'([^']+)'\s+KEYS\s*\(([^)]+)\)\s+((?:(?:SUM|MIN|MAX|AVG)\s*\(\w+\)\s*)+?)(?:\s*WHERE\s+(.+?))?\s*""".r
   private val MatViewAgg = """(?i)(SUM|MIN|MAX|AVG)\s*\((\w+)\)""".r

@@ -4096,10 +4096,60 @@ object Queries {
       graft.plans.GraftSqlParser.run(s,
         s"GRAFT CREATE MATVIEW '$viewPath' FROM '$factPath' " +
           s"JOIN '$dimPath' ON (source = src_key) " +
-          "KEYS (cat) SUM (n_chars)").collect()
+          "KEYS (cat) SUM (n_chars) AVG (n_chars)").collect()
       graft.delta.TransactionWriter.append(fact,
         docs.where(col("doc_id") % 4 === 3))                           // f v2
       graft.delta.Mutations.delete(fact, col("doc_id") % 11 === 0)     // f v3
+      graft.delta.Mutations.update(dim, col("src_key") === "src3",
+        Map("cat" -> lit("X")))                                        // d v2
+      graft.delta.Mutations.delete(dim, col("src_key") === "src1")     // d v3
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT REFRESH MATVIEW '$viewPath'").collect()
+      val vAfter = graft.delta.DeltaLog.forPath(s, viewPath).snapshot.version
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT REFRESH MATVIEW '$viewPath'").collect()                // no-op
+      val idleFree =
+        graft.delta.DeltaLog.forPath(s, viewPath).snapshot.version == vAfter
+      // the AVG rides the invertible fold (hidden (__as, __ac) pair);
+      // the gate pins the VISIBLE surface — the derived average must
+      // equal the oracle's exact-pair ratio after both-source mutations
+      graft.delta.DeltaLog.forPath(s, viewPath).snapshot.read()
+        .select("cat", "n_rows", "sum_n_chars", "avg_n_chars")
+        .withColumn("idle_refresh_free", lit(if (idleFree) 1L else 0L))
+    }),
+    // Join-rollup MIN/MAX, driver-verified END-TO-END: non-invertible
+    // aggregates over a join maintained by CHANGED-KEY REDERIVE from
+    // the pinned join (the single-table rederiveMerge technique with
+    // keys from the signed join delta) — including the hard case, a
+    // DELETE that removes groups' CURRENT-MIN rows (minima must rise,
+    // which no fold can produce), plus dim-side re-keying and a dim
+    // delete. The oracle recomputes the final rollup from parquet.
+    "q_matview_join_minmax" -> ((s, dir) => {
+      registerViews(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft_mvjm_")
+      val factPath = base.resolve("f").toString
+      val dimPath = base.resolve("d").toString
+      val viewPath = base.resolve("view").toString
+      val fact = graft.delta.DeltaLog.forPath(s, factPath)
+      val dim = graft.delta.DeltaLog.forPath(s, dimPath)
+      val docs = s.table("documents").select("doc_id", "source", "n_chars")
+      graft.delta.TransactionWriter.overwrite(fact,
+        docs.where(col("doc_id") % 4 =!= 3))                           // f v0
+      graft.delta.ChangeDataFeed.enable(fact)                          // f v1
+      graft.delta.TransactionWriter.overwrite(dim,
+        s.table("documents").select(col("source")).distinct()
+          .select(col("source").as("src_key"),
+            expr("substr(source, 4)").as("cat")))                      // d v0
+      graft.delta.ChangeDataFeed.enable(dim)                           // d v1
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT CREATE MATVIEW '$viewPath' FROM '$factPath' " +
+          s"JOIN '$dimPath' ON (source = src_key) " +
+          "KEYS (cat) MIN (n_chars) MAX (n_chars) SUM (n_chars)").collect()
+      graft.delta.TransactionWriter.append(fact,
+        docs.where(col("doc_id") % 4 === 3))                           // f v2
+      // delete every group's low rows — the current minima go with
+      // them, so the maintained MIN must RISE (fold-impossible)
+      graft.delta.Mutations.delete(fact, col("n_chars") < 200)         // f v3
       graft.delta.Mutations.update(dim, col("src_key") === "src3",
         Map("cat" -> lit("X")))                                        // d v2
       graft.delta.Mutations.delete(dim, col("src_key") === "src1")     // d v3
@@ -5686,6 +5736,22 @@ object Queries {
         |  WHERE doc_id % 11 <> 0)
         |SELECT d.cat,
         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(f.n_chars) AS BIGINT) AS sum_n_chars,
+        |  CAST(SUM(f.n_chars) AS DOUBLE) / COUNT(f.n_chars) AS avg_n_chars,
+        |  CAST(1 AS BIGINT) AS idle_refresh_free
+        |FROM f JOIN d ON f.source = d.source
+        |GROUP BY d.cat""".stripMargin,
+    "q_matview_join_minmax" ->
+      """WITH d AS (SELECT source,
+        |    CASE WHEN source = 'src3' THEN 'X' ELSE substr(source, 4) END AS cat
+        |  FROM (SELECT DISTINCT source FROM documents)
+        |  WHERE source <> 'src1'),
+        |f AS (SELECT doc_id, source, n_chars FROM documents
+        |  WHERE n_chars >= 200)
+        |SELECT d.cat,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(MIN(f.n_chars) AS BIGINT) AS min_n_chars,
+        |  CAST(MAX(f.n_chars) AS BIGINT) AS max_n_chars,
         |  CAST(SUM(f.n_chars) AS BIGINT) AS sum_n_chars,
         |  CAST(1 AS BIGINT) AS idle_refresh_free
         |FROM f JOIN d ON f.source = d.source

@@ -417,6 +417,28 @@ object SqlDemo {
         s"join-rollup view wrong: $jr")
       println("== CREATE MATVIEW ... JOIN ... KEYS SUM: one-view rollup OK ==")
 
+      // round-11 surface: join-rollup beyond SUM — AVG folds through a
+      // hidden (sum, non-null count) pair, MIN/MAX re-derive the
+      // changed keys from the pinned join. The DELETE below removes
+      // d2's current-MIN fact row (pk=2, x=4): a fold cannot raise a
+      // MIN, only the rederive can
+      val jmPath = s"$dir/jm_view"
+      spark.sql(s"GRAFT CREATE MATVIEW '$jmPath' FROM '$jfPath' " +
+        s"JOIN '$jdPath' ON (fk = dk) KEYS (name) MIN (x) MAX (x) AVG (x)")
+      spark.sql(s"GRAFT DELETE FROM '$jfPath' WHERE pk = 2")
+      spark.sql(s"GRAFT REFRESH MATVIEW '$jmPath'")
+      val jm = spark.read.format("graftdelta").load(jmPath)
+        .collect().map(r => r.getAs[String]("name") ->
+          ((r.getAs[Long]("min_x"), r.getAs[Long]("max_x"),
+            r.getAs[Double]("avg_x")))).toMap
+      // d2 rows were pk ∈ {2,6,...,38}, x = 2·pk; pk=2 deleted → min 12
+      require(jm("d2")._1 == 12L && jm("d2")._2 == 76L,
+        s"join-rollup MIN must rise after deleting the min row: $jm")
+      require(math.abs(jm("d2")._3 -
+        (6 to 38 by 4).map(_ * 2).sum.toDouble / 9) < 1e-9,
+        s"join-rollup AVG wrong: $jm")
+      println("== CREATE MATVIEW ... JOIN ... MIN/MAX/AVG: rederive + pair fold OK ==")
+
       // round-10 surface: staleness — DESCRIBE lag + REFRESH IF STALE
       val lag0 = spark.sql(s"GRAFT DESCRIBE MATVIEW '$jrPath'")
         .head().getAs[Long]("lag")

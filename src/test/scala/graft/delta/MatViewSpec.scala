@@ -311,11 +311,34 @@ class MatViewSpec extends SparkTestBase {
     // idle refresh: no commit at all
     MatView.refresh(spark, viewPath)
     assert(DeltaLog.forPath(spark, viewPath).snapshot.version == after.version)
-    // SUM-only contract is enforced at create
+    // unsupported aggregate functions still refuse at create
     val err = intercept[IllegalArgumentException] {
       MatView.createJoinAgg(spark, base.resolve("v2").toString, factPath,
-        dimPath, "fk", "dk", Seq("name"), Seq("min" -> "x"))
+        dimPath, "fk", "dk", Seq("name"), Seq("median" -> "x"))
     }
-    assert(err.getMessage.contains("cascade"))
+    assert(err.getMessage.contains("unsupported"))
+    // MIN over the join is now maintained by changed-key rederive:
+    // delete the g0 group's current-min fact row — a signed fold can
+    // never RAISE a min, only the rederive can
+    val v3 = base.resolve("v3").toString
+    MatView.createJoinAgg(spark, v3, factPath, dimPath, "fk", "dk",
+      Seq("name"), Seq("min" -> "x", "avg" -> "x"))
+    def joined() = DeltaLog.forPath(spark, factPath).snapshot.read()
+      .join(DeltaLog.forPath(spark, dimPath).snapshot.read()
+        .select(col("dk").as("fk"), col("name")), Seq("fk"))
+    // the current g0-group minimum row (group spans dk 0 AND 3)
+    val minRow = joined().where(col("name") === "g0")
+      .orderBy(col("x")).select("pk").head.getLong(0)
+    Mutations.delete(DeltaLog.forPath(spark, factPath),
+      col("pk") === minRow)
+    MatView.refresh(spark, v3)
+    val fnl = joined().where(col("name") === "g0").agg(
+      org.apache.spark.sql.functions.min("x"),
+      org.apache.spark.sql.functions.avg("x")).head
+    val viewRow = DeltaLog.forPath(spark, v3).snapshot.read()
+      .where(col("name") === "g0").select("min_x", "avg_x").head
+    assert(viewRow.getLong(0) == fnl.getLong(0),
+      s"view min ${viewRow.getLong(0)} != source min ${fnl.getLong(0)}")
+    assert(math.abs(viewRow.getDouble(1) - fnl.getDouble(1)) < 1e-9)
   }
 }
