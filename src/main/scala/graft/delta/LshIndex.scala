@@ -124,6 +124,21 @@ object LshIndex {
       lit(snap.version).as("version"))
   }
 
+  /** ID-sorted generation layout: the probe's second phase reads `hs`
+    * through a pushed `id IN (candidates)` filter, and id-range-sorted
+    * row groups are what make that filter SKIP row groups instead of
+    * scanning them (the [[IvfIndex]] cell-sorted discipline, applied
+    * to the id axis). The generation is rewritten whole by every
+    * publish anyway, so the range partition adds one shuffle of bytes
+    * already being written. */
+  private def publish(log: DeltaLog, dir: String, idCol: String,
+      entries: DataFrame): Unit =
+    Sidecar.swapIn(log.spark, dir,
+      entries.repartitionByRange(
+        math.max(1, log.spark.sparkContext.defaultParallelism / 4),
+        col(idCol))
+        .sortWithinPartitions(idCol))
+
   /** Build (or rebuild) the index over every coverable active file at
     * the current snapshot. Returns the indexed version. */
   def build(log: DeltaLog, idCol: String, textCol: String): Long = {
@@ -133,7 +148,7 @@ object LshIndex {
     if (files.isEmpty) return snap.version
     Sidecar.writeMeta(log.spark, indexDir(log, idCol, textCol),
       "lsh", Seq(idCol, textCol))
-    Sidecar.swapIn(log.spark, indexDir(log, idCol, textCol),
+    publish(log, indexDir(log, idCol, textCol), idCol,
       scanEntries(log, snap, files, idCol, textCol))
     snap.version
   }
@@ -177,7 +192,7 @@ object LshIndex {
       else scanEntries(log, snap, scanFiles, idCol, textCol)
     Sidecar.repairMeta(spark, indexDir(log, idCol, textCol),
       "lsh", Seq(idCol, textCol))
-    Sidecar.swapIn(spark, indexDir(log, idCol, textCol),
+    publish(log, indexDir(log, idCol, textCol), idCol,
       kept.unionByName(remapped.getOrElse(existing.limit(0)))
         .unionByName(newEntries))
     snap.version
@@ -212,10 +227,40 @@ object LshIndex {
     MinHashLsh.dedupAgainstPrior(newBatch, idCol, textCol, threshold,
       broadcastKeys, cap,
       newKeys => {
-        val indexed = IncrementalSidecar.keepStored(spark, idx, usableStored)
-          .select(col(idCol), col("hs"),
-            posexplode(col("ks")).as(Seq("band", "k")))
-          .join(newKeys, Seq("band", "k"), "left_semi")
+        // TWO-PHASE candidate-bounded probe: the hs arrays (the wide
+        // column — roughly token-count longs per row) must not be read
+        // for the whole corpus when only bucket-mates of the batch are
+        // candidates. Phase 1 scans the NARROW (id, ks) columns,
+        // explodes, and semi-joins the batch's bucket keys → the
+        // candidate id set (batch-bucket-sized). Phase 2 re-reads the
+        // sidecar with a pushed `id IN (candidates)` filter — the
+        // generation is id-sorted, so parquet row-group stats skip
+        // everything else — and only THOSE rows' hs bytes load.
+        // Above the literal-pushdown cap
+        // (spark.graft.lsh.probeIdPushdownMax, default 10000) the
+        // probe keeps the single-pass shape (a huge IN list costs more
+        // in filter evaluation than the wide scan saves).
+        val covered = IncrementalSidecar.keepStored(spark, idx, usableStored)
+        val maxIn = spark.conf
+          .getOption("spark.graft.lsh.probeIdPushdownMax")
+          .flatMap(_.trim.toIntOption).getOrElse(10000)
+        val indexed = {
+          val candIds =
+            if (maxIn <= 0) null
+            else {
+              val ids = covered
+                .select(col(idCol), posexplode(col("ks")).as(Seq("band", "k")))
+                .join(newKeys, Seq("band", "k"), "left_semi")
+                .select(idCol).distinct().limit(maxIn + 1).collect()
+              if (ids.length > maxIn) null else ids.map(_.get(0))
+            }
+          val src =
+            if (candIds == null) covered
+            else covered.where(col(idCol).isin(candIds.toIndexedSeq: _*))
+          src.select(col(idCol), col("hs"),
+              posexplode(col("ks")).as(Seq("band", "k")))
+            .join(newKeys, Seq("band", "k"), "left_semi")
+        }
         if (liveFiles.isEmpty) indexed
         else indexed.unionByName(
           MinHashLsh.priorBands(snap.readFiles(liveFiles), idCol, textCol)

@@ -49,6 +49,7 @@ object IndexProbe {
           (((col("id") * (17 + j) + j * 101) % 1000) / lit(250.0)) -
             lit(2.0)): _*).as("embedding"))
 
+    val lshProbeBytes = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     var factor = 1
     while (factor <= maxFactor) {
       val n = 30000L * factor
@@ -80,8 +81,17 @@ object IndexProbe {
           concat_ws(" ", (0 until 20).map(j =>
             concat(lit("z"), ((col("id") * (13 + j)) % 997).cast("string"))
           ): _*).as("text")))
-      val viaIdx = LshIndex.dedupBatch(lfresh, batch, "doc_id", "text", 0.5)
-        .select("doc_id").as[Long].collect().sorted.toSeq
+      var viaIdx: Seq[Long] = Nil
+      // probe IO with a FIXED batch as the corpus grows: the two-phase
+      // probe reads hs only for candidate ids (pushed `id IN` over the
+      // id-sorted generation), so bytes must grow far slower than the
+      // corpus — only the narrow (id, ks) phase tracks corpus size
+      val probeBytes = org.apache.spark.sql.graftshims.SqlShims
+        .measureBytesRead(spark.sparkContext) {
+          viaIdx = LshIndex.dedupBatch(lfresh, batch, "doc_id", "text", 0.5)
+            .select("doc_id").as[Long].collect().sorted.toSeq
+        }
+      lshProbeBytes += ((n, probeBytes))
       val direct = graft.operators.MinHashLsh.dedupAgainstCorpus(
         batch, lfresh.snapshot.read(), "doc_id", "text", 0.5)
         .select("doc_id").as[Long].collect().sorted.toSeq
@@ -105,6 +115,7 @@ object IndexProbe {
         f"build=$tBuild%6.2f s refresh=$tRefresh%6.2f s " +
         f"scanMB=${lScan / 1e6}%6.2f of ${lTotal / 1e6}%7.2f " +
         f"(ioRatio=${lTotal.toDouble / math.max(lScan, 1)}%5.1fx) " +
+        f"probeMB=${probeBytes / 1e6}%6.2f " +
         f"verbatim=$verbatim newFiles=$newFiles dedupEq=${viaIdx == direct}")
       if (!lshOk) failures += 1
 
@@ -209,6 +220,24 @@ object IndexProbe {
       if (!pqOk) failures += 1
 
       factor *= 2
+    }
+    // candidate-bounded probe shape: with a FIXED batch, dedup-probe
+    // bytes must grow well under the corpus growth — the wide hs phase
+    // is candidate-bounded (pushed id IN over id-sorted row groups);
+    // only the narrow (id, ks) bucket phase tracks the corpus
+    if (lshProbeBytes.size >= 2) {
+      val first = lshProbeBytes.head
+      val last = lshProbeBytes.last
+      val byteGrowth = last._2.toDouble / math.max(1L, first._2)
+      val corpusGrowth = last._1.toDouble / first._1
+      println(f"[indexprobe] LSH probe bytes ${first._2 / 1e6}%6.2fMB -> " +
+        f"${last._2 / 1e6}%6.2fMB (${byteGrowth}%4.2fx) while corpus " +
+        f"grew ${corpusGrowth}%4.2fx")
+      if (byteGrowth > corpusGrowth * 0.6) {
+        failures += 1
+        println(f"[indexprobe] FAIL: probe bytes grew ${byteGrowth}%4.2fx — " +
+          "not candidate-bounded")
+      }
     }
     println(if (failures == 0) "INDEX PROBE PASSED" else s"$failures FAILED")
     if (failures > 0) sys.exit(1)
