@@ -65,9 +65,44 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     * `_delta_log` listing is the bottleneck (and on object stores a
     * LIST of the whole prefix); the probe touches only files past the
     * checkpoint. Falls back to the full listing when the pointer is
-    * missing, stale, or the checkpoint incomplete. */
-  def snapshot: Snapshot =
-    lastCheckpointBootstrap().getOrElse(snapshotAt(latestVersion()))
+    * missing, stale, or the checkpoint incomplete.
+    *
+    * CURRENCY-PROBED CACHE: a resolved snapshot of a fixed (table,
+    * version) is immutable, and the read-modify-commit flows (matview
+    * refresh, index maintenance, MERGE) resolve the same snapshot
+    * several times per operation — previously each call re-listed and
+    * re-replayed the log tail, the single largest fixed per-commit
+    * cost. The cache revalidates with THREE tiny probes instead: (a)
+    * `version+1.json` must not exist (a commit can only land at the
+    * standard filename — see [[CommitCoordinator]]); (b) the
+    * `_last_checkpoint` pointer must be UNCHANGED since resolution —
+    * a new checkpoint (even at the cached version: the resolved
+    * snapshot must reflect its bootstrap anchor), a retention cleanup,
+    * or a foreign writer's checkpoint all move it; (c) the cached
+    * version itself must still be anchored — its commit file present,
+    * or the checkpoint pointer AT it (log cleanup deletes only
+    * pre-checkpoint commits) — which catches a log deleted and
+    * re-created at a recycled path (a fresh history starts at 0, so
+    * neither anchor for the stale version exists). Any probe failing →
+    * full re-resolution, so staleness is impossible. */
+  def snapshot: Snapshot = {
+    val key = logPath.toString
+    val cached = Option(DeltaLog.snapshotCache.get(key))
+      .filter(_._1 eq spark)
+    val hint = lastCheckpointHint().map(_._1)
+    val current = cached.filter { case (_, s, hintAtResolve) =>
+      !fs.exists(new Path(logPath, f"${s.version + 1}%020d.json")) &&
+        hint == hintAtResolve &&
+        (fs.exists(new Path(logPath, f"${s.version}%020d.json")) ||
+          hint.contains(s.version))
+    }.map(_._2)
+    current.getOrElse {
+      val s = lastCheckpointBootstrap().getOrElse(snapshotAt(latestVersion()))
+      if (DeltaLog.snapshotCache.size > 128) DeltaLog.snapshotCache.clear()
+      DeltaLog.snapshotCache.put(key, (spark, s, hint))
+      s
+    }
+  }
 
   /** `_last_checkpoint` content: (version, parts). */
   def lastCheckpointHint(): Option[(Long, Option[Int])] = {
@@ -434,6 +469,14 @@ object DeltaLog {
   private val V2CheckpointRe = """(\d{20})\.checkpoint\.([^.]+)\.(json|parquet)""".r
 
   def forPath(spark: SparkSession, path: String): DeltaLog = new DeltaLog(spark, path)
+
+  /** Currency-probed latest-snapshot cache (see [[DeltaLog.snapshot]]):
+    * keyed by log path, validated against the owning session and the
+    * `_last_checkpoint` pointer observed at resolution, bounded by
+    * wholesale clear. Snapshots are immutable once resolved. */
+  private[delta] val snapshotCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (SparkSession, Snapshot, Option[Long])]()
 
   /** Decode a percent-encoded Delta log path (spec: `add.path` is
     * URI-encoded). */

@@ -313,9 +313,22 @@ object PqIndex {
     * once, rank by asymmetric distance with the operator path's exact
     * rounding and tie-breaks. Output: (query_id, neighbor_id, adist,
     * rnk) — [[Pq.ivfPqTopK]]'s schema, row-identical to it given the
-    * same quantizers. No index → refuses loudly. */
+    * same quantizers. No index → refuses loudly.
+    *
+    * `rerankTopC` > 0 adds an EXACT re-rank tail: the top-C candidates
+    * by ADC (per query) have their RAW vectors read back from the
+    * table — a narrow id-pushdown read bounded by |queries|·C rows,
+    * never a corpus scan — and the final top-k ranks by exact squared
+    * L2 (round-4, id tie-break). Output then is (query_id,
+    * neighbor_id, dist, rnk) with TRUE distances: ADC quantization
+    * error cannot reorder the returned neighbors. With C at least the
+    * probed cells' population the result equals the exact brute-force
+    * top-k over the probed cells by construction; at bounded C it
+    * equals it whenever the ADC top-C contains the exact top-k (the
+    * standard IVF-PQ re-rank contract — Jégou et al. §V). */
   def search(log: DeltaLog, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nprobe: Int = 2): DataFrame = {
+      vecCol: String, k: Int, nprobe: Int = 2,
+      rerankTopC: Int = 0): DataFrame = {
     val spark = log.spark
     val snap = log.snapshot
     validate(snap, idCol, vecCol)
@@ -370,7 +383,7 @@ object PqIndex {
     // candidate rows in Pq.ivfPqTopK too — deduping would pick one
     // nondeterministically and break the row-identical guarantee; the
     // indexed/live sides are disjoint by construction (covered vs not)
-    cand.join(broadcast(q.withColumnRenamed("cell", "qcell")),
+    val adc = cand.join(broadcast(q.withColumnRenamed("cell", "qcell")),
         col("cell") === col("qcell") && col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(col("__qn2") -
@@ -379,6 +392,35 @@ object PqIndex {
       .withColumn("rnk", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("adist"), col("neighbor_id"))))
-      .where(col("rnk") <= k)
+    if (rerankTopC <= 0) adc.where(col("rnk") <= k)
+    else {
+      // exact re-rank tail: the ADC top-C candidate set (per query),
+      // then ONE narrow read of just those ids' raw vectors. The id
+      // list is |queries|·C-bounded, so it collects to the driver and
+      // pushes into the scan as an IN filter (stats-pruned); beyond
+      // the literal cap the filter applies as a join (same rows, no
+      // row-group skip).
+      val topC = adc.where(col("rnk") <= math.max(k, rerankTopC))
+        .select("query_id", "neighbor_id").localCheckpoint()
+      val candIds = topC.select(col("neighbor_id")).distinct()
+        .limit(100001).collect().map(_.get(0))
+      val corpus = snap.read().select(
+        col(idCol).as("neighbor_id"),
+        Pq.asDouble(col(vecCol)).as("__nv"))
+      val vecsOf =
+        if (candIds.length <= 100000)
+          corpus.where(col("neighbor_id").isin(candIds.toIndexedSeq: _*))
+        else corpus.join(
+          topC.select(col("neighbor_id")).distinct(), Seq("neighbor_id"))
+      topC.join(vecsOf, Seq("neighbor_id"))
+        .join(broadcast(q.select(col("query_id"), col("__qv")).distinct()),
+          Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(Pq.l2sq(col("__qv"), col("__nv")), 4).as("dist"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("dist"), col("neighbor_id"))))
+        .where(col("rnk") <= k)
+    }
   }
 }

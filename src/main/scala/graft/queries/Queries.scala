@@ -1516,6 +1516,46 @@ object Queries {
     s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index_books_" +
       s"${ProcessHandle.current().pid()}.parquet")
 
+  /** The rerank gate's coarse-book export (its own path: the rerank
+    * gate trains on the FULL table, the indexed gate on a subset). */
+  private val ivfPqRerankCoarsePath = sys.env.getOrElse(
+    "GRAFT_IVFPQ_RERANK_COARSE_PATH",
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_rerank_coarse_" +
+      s"${ProcessHandle.current().pid()}.parquet")
+
+  /** DuckDB oracle for the exact-re-rank search: coarse assignment and
+    * probe replayed against the exported book (the same CTEs as the
+    * ADC replay), then TRUE squared-L2 distances over raw vectors —
+    * the exact brute-force top-k restricted to the probed cells. */
+  private def ivfPqRerankDuck: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cb AS (SELECT cid, cv
+       |  FROM read_parquet('$ivfPqRerankCoarsePath/*.parquet')),
+       |celld AS (SELECT e.vec_id, cb.cid,
+       |    ROUND(list_sum(list_transform(range(1, 65),
+       |      i -> (e.v[i] - cb.cv[i]) * (e.v[i] - cb.cv[i]))), 4) AS d
+       |  FROM e CROSS JOIN cb),
+       |cells AS (SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM celld) t WHERE rn = 1),
+       |probe AS (SELECT vec_id AS query_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM celld WHERE vec_id % 25 = 0) t WHERE rn <= 2),
+       |qv AS (SELECT p.query_id, p.cell, e.v
+       |  FROM probe p JOIN e ON e.vec_id = p.query_id),
+       |nv AS (SELECT c.vec_id, c.cell, e.v
+       |  FROM cells c JOIN e ON e.vec_id = c.vec_id),
+       |pairs AS (SELECT qv.query_id, nv.vec_id AS neighbor_id,
+       |    ROUND(list_sum(list_transform(range(1, 65),
+       |      i -> (qv.v[i] - nv.v[i]) * (qv.v[i] - nv.v[i]))), 4) AS dist
+       |  FROM qv JOIN nv ON nv.cell = qv.cell AND nv.vec_id <> qv.query_id),
+       |r AS (SELECT query_id, neighbor_id, dist,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rnk
+       |  FROM pairs)
+       |SELECT query_id, neighbor_id, dist, rnk FROM r WHERE rnk <= 3""".stripMargin
+
   /** DuckDB replay of the IVF-PQ pipeline (cell assignment → probe →
     * PQ encode → ADC) against exported quantizers — shared by the
     * trained-quantizer gate and the persisted-index gate, which differ
@@ -5049,6 +5089,36 @@ object Queries {
         lit(if (newCovered) 1L else 0L).as("new_files_covered"),
         lit(if (matches) 1L else 0L).as("matches_operator"))
     }),
+    // IVF-PQ search with the EXACT re-rank tail: the ADC top-C
+    // candidates re-rank by true squared L2 read back from the table
+    // (narrow id-pushdown read). C here exceeds the probed cells'
+    // population, so the result must equal the exact brute-force top-k
+    // over the probed cells — which is precisely what the DuckDB
+    // oracle computes (coarse assignment + probe replayed against the
+    // exported book, then RAW exact distances, no PQ codes anywhere).
+    "q_embedding_ivfpq_rerank" -> ((s, dir) => {
+      registerViews(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpqrr_")
+        .resolve("corpus").toString
+      val log = graft.delta.DeltaLog.forPath(s, tmp)
+      val emb = s.table("embeddings").select("vec_id", "embedding")
+      graft.delta.TransactionWriter.overwrite(log,
+        emb.repartition(8, col("vec_id")))
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT CREATE IVFPQ INDEX ON '$tmp' (vec_id, embedding) " +
+          "CELLS 8 M 4 K 16").collect()
+      val freshLog = graft.delta.DeltaLog.forPath(s, tmp)
+      val (coarse, _) = graft.delta.PqIndex
+        .quantizers(freshLog, "vec_id", "embedding").get
+      import s.implicits._
+      coarse.map { case (j, cid, cv) => ("c", j, cid, cv.toSeq) }
+        .toDF("book", "subspace", "cid", "cv")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(ivfPqRerankCoarsePath)
+      graft.delta.PqIndex.search(
+        freshLog, emb.where(col("vec_id") % 25 === 0),
+        "vec_id", "embedding", k = 3, nprobe = 2, rerankTopC = 1 << 20)
+    }),
     "q_embedding_ivf_knn" -> cachedStagesQuery(ivfStages, qIvfKnnSparkFinal),
     "q_ann_recall" -> cachedStagesQuery(ivfStages, qAnnRecallSparkFinal),
     "q_embedding_ivf_trained" -> qIvfTrainedSpark,
@@ -6153,6 +6223,7 @@ object Queries {
         |  CAST(1 AS BIGINT) AS matches_operator""".stripMargin),
     "q_embedding_pq_knn" -> qPqKnnDuck,
     "q_embedding_ivfpq_knn" -> qIvfPqKnnDuck,
+    "q_embedding_ivfpq_rerank" -> ivfPqRerankDuck,
     "q_embedding_ivfpq_indexed" -> ivfPqReplayDuck(ivfPqIndexBooksPath,
       """,
         |  CAST(1 AS BIGINT) AS old_entries_kept,

@@ -171,4 +171,42 @@ class PqIndexSpec extends SparkTestBase {
     }
     assert(err.getMessage.contains("CREATE IVFPQ INDEX"))
   }
+
+  test("exact re-rank: full-C rerank equals brute force over the probed cells") {
+    val log = scratch()
+    PqIndex.build(log, "vec_id", "embedding", kCoarse = 4, m = 4, k = 8)
+    val queries = rows(0, 48).where(col("vec_id") % 7 === 0)
+    val rr = PqIndex.search(log, queries, "vec_id", "embedding",
+      k = 3, nprobe = 2, rerankTopC = 1 << 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSet
+    // exact baseline: corpus cells from the index's own entries (full
+    // DV-free coverage here), probe cells from the persisted coarse
+    // book, TRUE squared L2 over raw vectors, same tie-breaks
+    val (coarse, _) = PqIndex.quantizers(log, "vec_id", "embedding").get
+    val cells = PqIndex.entries(log, "vec_id", "embedding").get
+      .where(!col("file_path").isin("__coarse", "__books"))
+      .select(col("vec_id").as("neighbor_id"), col("cell"))
+    val corpus = log.snapshot.read()
+      .select(col("vec_id").as("neighbor_id"),
+        graft.operators.Pq.asDouble(col("embedding")).as("nv"))
+      .join(cells, Seq("neighbor_id"))
+    val probe = graft.operators.Pq.probeCells(
+      queries, "vec_id", "embedding", coarse, nprobe = 2)
+    val qv = queries.select(col("vec_id").as("query_id"),
+      graft.operators.Pq.asDouble(col("embedding")).as("qv"))
+    val exact = probe.join(qv, Seq("query_id"))
+      .join(corpus, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(graft.operators.Pq.l2sq(col("qv"), col("nv")), 4).as("dist"))
+      .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("dist"), col("neighbor_id"))))
+      .where(col("rnk") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSet
+    assert(rr == exact,
+      s"rerank diff: ${(rr diff exact).take(3)} / ${(exact diff rr).take(3)}")
+  }
 }
