@@ -158,9 +158,13 @@ object IncrementalSidecar {
   /** Missing files attributable to one `dataChange = false` commit
     * whose removed files are all covered: carry entries from
     * `sourcePaths` (stored spellings) instead of re-scanning
-    * `newFiles`. */
+    * `newFiles`. `commitAdds` is the commit's TOTAL dataChange=false
+    * add count — `newFiles` can be a strict subset (an output file
+    * that acquired a deletion vector after the rewrite is not
+    * coverable and so not missing), and the single-add fast path is
+    * only sound when the commit's one add is the one missing file. */
   final case class RemapGroup(version: Long, newFiles: Seq[AddFile],
-      sourcePaths: Seq[String])
+      sourcePaths: Seq[String], commitAdds: Int)
 
   /** Split `missing` into remappable groups and the leftover files
     * that need the full kernel scan. Walks commit JSONs from
@@ -215,7 +219,7 @@ object IncrementalSidecar {
               missingByNorm(n) })
             .filter(f => claimed.add(f.path))
           if (news.isEmpty) None
-          else Some(RemapGroup(v, news, sources.flatten))
+          else Some(RemapGroup(v, news, sources.flatten, adds.size))
         }
       }
     }
@@ -252,13 +256,17 @@ object IncrementalSidecar {
     var remapped: Option[DataFrame] = None
     val fallback = scala.collection.mutable.ArrayBuffer.empty[AddFile]
     groups.foreach { g =>
-      if (g.newFiles.size == 1) {
+      if (g.newFiles.size == 1 && g.commitAdds == 1) {
         // SINGLE-ADD fast path (the common OPTIMIZE shape: a commit
         // folds its removed files into one output): membership is
         // total — every source row landed in the one new file — so the
         // remap is a pure file_path rewrite over the source entries.
         // No data read at all, no join, no shuffle; ambiguity cannot
-        // arise because no per-id attribution happens.
+        // arise because no per-id attribution happens. Guarded on the
+        // COMMIT's add count, not the missing count: a multi-add
+        // rewrite whose other outputs went non-coverable (DV) must
+        // attribute by id, or rows of the absent sibling would be
+        // pinned to this file.
         val f = g.newFiles.head
         val newPath = snap.log.fs.makeQualified(
           new org.apache.hadoop.fs.Path(

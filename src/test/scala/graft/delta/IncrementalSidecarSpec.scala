@@ -154,6 +154,48 @@ class IncrementalSidecarSpec extends SparkTestBase {
       "single-add remap must carry both duplicate-id entries verbatim")
   }
 
+  test("multi-add rewrite with a DV'd sibling: the lone coverable output must attribute by id") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_remap_d_")
+      .resolve("t").toString
+    val log = DeltaLog.forPath(spark, dir)
+    TransactionWriter.overwrite(log,
+      docsDf(0L until 40L).repartition(2, col("id")))
+    LshIndex.build(log, "id", "text")
+    // multi-output dataChange=false rewrite, id-sorted bins
+    Maintenance.zorder(log, Seq("id"), targetFileBytes = 2048)
+    val mid = DeltaLog.forPath(spark, dir)
+    require(mid.snapshot.planFiles().size >= 2, "need a multi-add rewrite")
+    // DV one output (low-id bin) — it leaves the coverable set, so the
+    // commit's OTHER output is the only missing file. A remap keyed on
+    // "one missing file" (instead of "one committed add") would pin
+    // EVERY source row to it, resurrecting the DV'd sibling's rows.
+    Mutations.deleteWithDv(mid, col("id") < 5L)
+    val fresh = DeltaLog.forPath(spark, dir)
+    val dvFree = fresh.snapshot.planFiles()
+      .filterNot(_.deletionVector.exists(_.cardinality > 0))
+    require(dvFree.size < fresh.snapshot.planFiles().size,
+      "the delete must have DV'd at least one rewritten file")
+    LshIndex.refresh(fresh, "id", "text")
+    val entries = LshIndex.entries(fresh, "id", "text").get
+    // coverage = exactly the DV-free files, and each covered file's
+    // entry ids are exactly ITS rows (no sibling leakage)
+    val coveredRows = entries.select("id").as[Long].collect().sorted.toSeq
+    val expectRows = fresh.snapshot.readFiles(dvFree)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(coveredRows == expectRows,
+      s"entries must mirror the coverable files' rows exactly: " +
+        s"got ${coveredRows.size}, want ${expectRows.size}")
+    // and the probe stays correct end-to-end (DV'd file computed live)
+    val batch = Seq((1000L, text(7)), (2000L, text(2)))
+      .toDF("id", "text") // dups of a covered row (7) and a DV'd row (2)
+    val viaIdx = LshIndex.dedupBatch(fresh, batch, "id", "text", 0.5)
+      .select("id").as[Long].collect().sorted.toSeq
+    val direct = graft.operators.MinHashLsh.dedupAgainstCorpus(
+      batch, fresh.snapshot.read(), "id", "text", 0.5)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(viaIdx == direct, s"idx=$viaIdx direct=$direct")
+  }
+
   test("multi-add rewrite: clean ids remap via the narrow id read; ambiguous ids fall back") {
     val dir = java.nio.file.Files.createTempDirectory("graft_remap_a_")
       .resolve("t").toString
