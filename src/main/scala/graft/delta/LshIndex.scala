@@ -256,7 +256,17 @@ object LshIndex {
             }
           val src =
             if (candIds == null) covered
-            else covered.where(col(idCol).isin(candIds.toIndexedSeq: _*))
+            else {
+              // isin(null) is never true — a null-id candidate (ids
+              // are not required non-null) must keep its entries
+              // through an explicit IS NULL arm, or the pushdown
+              // would silently drop a real duplicate
+              val nonNull = candIds.filter(_ != null)
+              val in = col(idCol).isin(nonNull.toIndexedSeq: _*)
+              covered.where(
+                if (nonNull.length == candIds.length) in
+                else in || col(idCol).isNull)
+            }
           src.select(col(idCol), col("hs"),
               posexplode(col("ks")).as(Seq("band", "k")))
             .join(newKeys, Seq("band", "k"), "left_semi")
