@@ -162,9 +162,16 @@ object IncrementalSidecar {
     * add count — `newFiles` can be a strict subset (an output file
     * that acquired a deletion vector after the rewrite is not
     * coverable and so not missing), and the single-add fast path is
-    * only sound when the commit's one add is the one missing file. */
+    * only sound when the commit's one add is the one missing file.
+    * `sourcesDvFree` records whether every REMOVED file was free of a
+    * live deletion vector at rewrite time: a DV'd source (DELETE with
+    * DV, then REORG PURGE before any refresh) has stored entries for
+    * rows the rewrite DROPPED, so verbatim carry would resurrect
+    * deleted rows in the index — such groups must attribute by id
+    * (the narrow id read of the new files naturally excludes purged
+    * ids). */
   final case class RemapGroup(version: Long, newFiles: Seq[AddFile],
-      sourcePaths: Seq[String], commitAdds: Int)
+      sourcePaths: Seq[String], commitAdds: Int, sourcesDvFree: Boolean)
 
   /** Split `missing` into remappable groups and the leftover files
     * that need the full kernel scan. Walks commit JSONs from
@@ -219,7 +226,11 @@ object IncrementalSidecar {
               missingByNorm(n) })
             .filter(f => claimed.add(f.path))
           if (news.isEmpty) None
-          else Some(RemapGroup(v, news, sources.flatten, adds.size))
+          else {
+            val dvFree = removes.forall(
+              _.deletionVector.forall(_.cardinality == 0))
+            Some(RemapGroup(v, news, sources.flatten, adds.size, dvFree))
+          }
         }
       }
     }
@@ -256,7 +267,7 @@ object IncrementalSidecar {
     var remapped: Option[DataFrame] = None
     val fallback = scala.collection.mutable.ArrayBuffer.empty[AddFile]
     groups.foreach { g =>
-      if (g.newFiles.size == 1 && g.commitAdds == 1) {
+      if (g.newFiles.size == 1 && g.commitAdds == 1 && g.sourcesDvFree) {
         // SINGLE-ADD fast path (the common OPTIMIZE shape: a commit
         // folds its removed files into one output): membership is
         // total — every source row landed in the one new file — so the
@@ -266,7 +277,12 @@ object IncrementalSidecar {
         // COMMIT's add count, not the missing count: a multi-add
         // rewrite whose other outputs went non-coverable (DV) must
         // attribute by id, or rows of the absent sibling would be
-        // pinned to this file.
+        // pinned to this file. Guarded on DV-FREE sources too: a
+        // removed file with a live DV (DELETE→REORG PURGE with no
+        // refresh between) has stored entries for rows the rewrite
+        // dropped — verbatim carry would resurrect deleted rows, so
+        // those groups take the id-attribution path below, where
+        // purged ids are simply absent from the narrow id read.
         val f = g.newFiles.head
         val newPath = snap.log.fs.makeQualified(
           new org.apache.hadoop.fs.Path(
@@ -276,7 +292,16 @@ object IncrementalSidecar {
           .select((col("file_path") +: col(idCol) +:
             contentCols.map(col) :+ col("version")).toIndexedSeq: _*)
         remapped = Some(remapped.map(_.unionByName(out)).getOrElse(out))
-      } else remapMultiAdd(g)
+      } else {
+        // Degrade, never fail: an id column the narrow read cannot
+        // serve (e.g. a partition column — stripped from the parquet
+        // data schema) throws at analysis; the group then simply pays
+        // the kernel scan. Fallback is deduped by path below in case a
+        // partial append preceded the throw.
+        try remapMultiAdd(g)
+        catch { case scala.util.control.NonFatal(_) =>
+          fallback ++= g.newFiles }
+      }
     }
 
     // distinct (id → content) of the source files' entries: duplicate
@@ -324,6 +349,6 @@ object IncrementalSidecar {
         remapped = Some(remapped.map(_.unionByName(out)).getOrElse(out))
       }
     }
-    (remapped, fallback.toSeq)
+    (remapped, fallback.toSeq.groupBy(_.path).values.map(_.head).toSeq)
   }
 }

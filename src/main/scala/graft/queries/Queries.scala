@@ -643,9 +643,13 @@ object Queries {
   /** Fuzzy incremental dedup oracle: batch docs (doc_id % 5 = 0) that
     * near-duplicate (Jaccard ≥ 0.5) NO prior-corpus doc, via the same
     * signature/banding pipeline as [[qNgramJaccard]] restricted to
-    * CROSS (batch × prior) candidate pairs. */
+    * CROSS (batch × prior) candidate pairs. `priorFilter` (an extra
+    * `AND ...` clause on the prior side) lets a gate that DELETES a
+    * deterministic slice of the prior corpus keep an exact oracle:
+    * a batch doc whose only near-dup was deleted must SURVIVE. */
   private def qDedupIncrementalFuzzy(
-      dialect: String, extraCols: String = ""): String = {
+      dialect: String, extraCols: String = "",
+      priorFilter: String = ""): String = {
     val size_ = if (dialect == "spark") "size" else "len"
     val inter = if (dialect == "spark") "array_intersect(ha.hs, hb.hs)"
     else "list_intersect(ha.hs, hb.hs)"
@@ -667,7 +671,7 @@ object Queries {
        |cand AS (SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS prior_id
        |  FROM buckets x JOIN buckets y
        |    ON x.band = y.band AND x.k = y.k
-       |  WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0),
+       |  WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0$priorFilter),
        |dup AS (SELECT DISTINCT c.new_id FROM cand c
        |  JOIN hsh ha ON ha.doc_id = c.new_id
        |  JOIN hsh hb ON hb.doc_id = c.prior_id
@@ -4634,13 +4638,29 @@ object Queries {
         .get.select("file_path").distinct().count()
       val compacted = filesAfter < filesBefore &&
         filesAfter == fresh.snapshot.planFiles().size
+      // DV arm: DELETE-with-DV a deterministic prior slice, REORG PURGE
+      // it (a dataChange=false rewrite whose REMOVED source carries a
+      // live DV), then refresh with NO refresh in between — the remap
+      // must attribute by id, never carry verbatim: a ghost entry for a
+      // deleted doc would wrongly drop a NEW batch doc as its
+      // duplicate, and the DuckDB oracle checks exactly that (its
+      // prior side excludes the deleted slice).
+      graft.delta.Mutations.deleteWithDv(
+        graft.delta.DeltaLog.forPath(s, tmp), col("doc_id") % 11 === 4)
+      graft.delta.Maintenance.purgeDeletionVectors(
+        graft.delta.DeltaLog.forPath(s, tmp))
+      val fresh2 = graft.delta.DeltaLog.forPath(s, tmp)
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT REFRESH LSH INDEX ON '$tmp' (doc_id, text)").collect()
+      val ghosts = graft.delta.LshIndex.entries(fresh2, "doc_id", "text")
+        .get.where(col("doc_id") % 11 === 4).count()
       val batch = docs.where(col("doc_id") % 5 === 0)
         .select("doc_id", "lang", "source", "text")
       val viaIndex = graft.delta.LshIndex.dedupBatch(
-        fresh, batch, "doc_id", "text", threshold = 0.5)
+        fresh2, batch, "doc_id", "text", threshold = 0.5)
         .localCheckpoint()
       val direct = graft.operators.MinHashLsh.dedupAgainstCorpus(
-        batch, fresh.snapshot.read(), "doc_id", "text", threshold = 0.5)
+        batch, fresh2.snapshot.read(), "doc_id", "text", threshold = 0.5)
         .localCheckpoint()
       val matches =
         viaIndex.select("doc_id").exceptAll(direct.select("doc_id")).isEmpty &&
@@ -4648,6 +4668,7 @@ object Queries {
       viaIndex.select(col("doc_id"), col("lang"), col("source"),
         lit(if (carried) 1L else 0L).as("entries_carried_verbatim"),
         lit(if (compacted) 1L else 0L).as("layout_compacted"),
+        lit(if (ghosts == 0L) 1L else 0L).as("dv_purge_no_ghosts"),
         lit(if (matches) 1L else 0L).as("matches_direct"))
     }),
     // Temperature sampling at α=0.5 toward a 300-row target over langs
@@ -6041,7 +6062,9 @@ object Queries {
       """,
         |  CAST(1 AS BIGINT) AS entries_carried_verbatim,
         |  CAST(1 AS BIGINT) AS layout_compacted,
-        |  CAST(1 AS BIGINT) AS matches_direct""".stripMargin),
+        |  CAST(1 AS BIGINT) AS dv_purge_no_ghosts,
+        |  CAST(1 AS BIGINT) AS matches_direct""".stripMargin,
+      priorFilter = " AND y.doc_id % 11 <> 4"),
     "q_temperature_sample" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
         |r AS (SELECT lang,

@@ -196,6 +196,92 @@ class IncrementalSidecarSpec extends SparkTestBase {
     assert(viaIdx == direct, s"idx=$viaIdx direct=$direct")
   }
 
+  test("DV'd removed source (LSH): DELETE→PURGE→refresh must not resurrect deleted rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_remap_dvsrc_")
+      .resolve("t").toString
+    val log = DeltaLog.forPath(spark, dir)
+    // per-doc UNIQUE vocabulary: cross-doc similarity ≈ 0, so only a
+    // true duplicate trips the 0.5 threshold — the assertion below
+    // depends on "dup of doc 7" matching doc 7 and nothing else
+    def dtext(i: Long): String =
+      s"doc $i " + (0 until 12).map(j => s"tok${i}_$j").mkString(" ")
+    def ddocs(ids: Seq[Long]) = ids.map(i => (i, dtext(i))).toDF("id", "text")
+    TransactionWriter.overwrite(log,
+      ddocs(0L until 40L).repartition(2, col("id")))
+    LshIndex.build(log, "id", "text")
+    // DV-delete doc 7, then purge the DV — a dataChange=false rewrite
+    // whose REMOVED source carries a live DV. No refresh in between:
+    // the sidecar still stores entries for the deleted row.
+    Mutations.deleteWithDv(DeltaLog.forPath(spark, dir), col("id") === 7L)
+    Maintenance.purgeDeletionVectors(DeltaLog.forPath(spark, dir))
+    val fresh = DeltaLog.forPath(spark, dir)
+    LshIndex.refresh(fresh, "id", "text")
+    val entries = LshIndex.entries(fresh, "id", "text").get
+    // no ghost: the deleted id must have ZERO entries
+    assert(entries.where(col("id") === 7L).count() == 0L,
+      "purge remap resurrected a DV-deleted row in the index")
+    // and entry ids mirror the live table exactly
+    val idxIds = entries.select("id").as[Long].collect().sorted.toSeq
+    val liveIds = fresh.snapshot.read()
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(idxIds == liveIds, s"idx=${idxIds.size} live=${liveIds.size}")
+    // indexed dedup ≡ direct: a NEW doc duplicating the DELETED doc
+    // must survive (2000), while a dup of a live doc (3) is dropped
+    val batch = Seq((1000L, dtext(50)), (2000L, dtext(7)),
+      (3000L, dtext(3))).toDF("id", "text")
+    val viaIdx = LshIndex.dedupBatch(fresh, batch, "id", "text", 0.5)
+      .select("id").as[Long].collect().sorted.toSeq
+    val direct = graft.operators.MinHashLsh.dedupAgainstCorpus(
+      batch, fresh.snapshot.read(), "id", "text", 0.5)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(viaIdx == direct && viaIdx == Seq(1000L, 2000L),
+      s"idx=$viaIdx direct=$direct — want [1000, 2000]: the fresh doc " +
+        "and the dup-of-DELETED doc survive; the dup-of-live doc drops")
+  }
+
+  test("DV'd removed source (IVF + PQ): purged vectors must not resurface as neighbors") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_remap_dvvec_")
+      .resolve("t").toString
+    val log = DeltaLog.forPath(spark, dir)
+    TransactionWriter.overwrite(log,
+      vecsDf(0L until 60L).repartition(2, col("id")))
+    IvfIndex.build(log, "id", "v", k = 4, iterations = 2)
+    PqIndex.build(log, "id", "v", kCoarse = 4, m = 2, k = 8)
+    Mutations.deleteWithDv(DeltaLog.forPath(spark, dir), col("id") === 17L)
+    Maintenance.purgeDeletionVectors(DeltaLog.forPath(spark, dir))
+    val fresh = DeltaLog.forPath(spark, dir)
+    IvfIndex.refresh(fresh, "id", "v")
+    PqIndex.refresh(fresh, "id", "v")
+    val ivfEntries = IvfIndex.entries(fresh, "id", "v").get
+      .where(col("file_path") =!= "__centroids")
+    val pqEntries = PqIndex.entries(fresh, "id", "v").get
+      .where(!col("file_path").isin("__coarse", "__books"))
+    assert(ivfEntries.where(col("id") === 17L).count() == 0L,
+      "IVF sidecar kept a ghost entry for the purged vector")
+    assert(pqEntries.where(col("id") === 17L).count() == 0L,
+      "PQ sidecar kept a ghost entry for the purged vector")
+    // a query AT the deleted vector must not get it back as a neighbor
+    val queries = vecsDf(Seq(17L)).withColumn("id", lit(9917L))
+    val hits = IvfIndex.search(fresh, queries, "id", "v", k = 5)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!hits.contains(17L), s"deleted vector returned as neighbor: $hits")
+    // and indexed search ≡ the direct operator over the live table
+    // (ivfTopK is a self-search — its queries must be in-corpus ids, so
+    // compare on a live id; id 16 sits nearest the deleted 17)
+    val inCorpus = vecsDf(Seq(16L))
+    val cs = IvfIndex.centroids(fresh, "id", "v").get
+    val direct = graft.operators.Similarity.ivfTopK(
+      fresh.snapshot.read(), inCorpus, cs, "id", "v", k = 5, nprobe = 2)
+      .orderBy("query_id", "rnk").collect().toSeq
+    val viaIdx = IvfIndex.search(fresh, inCorpus, "id", "v", k = 5)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(viaIdx == direct, s"idx=${viaIdx.take(3)} direct=${direct.take(3)}")
+    assert(!direct.exists(_.getLong(1) == 17L) &&
+      !viaIdx.exists(_.getLong(1) == 17L),
+      "deleted vector must not appear as a neighbor on either path")
+  }
+
   test("multi-add rewrite: clean ids remap via the narrow id read; ambiguous ids fall back") {
     val dir = java.nio.file.Files.createTempDirectory("graft_remap_a_")
       .resolve("t").toString
