@@ -90,17 +90,42 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     val cached = Option(DeltaLog.snapshotCache.get(key))
       .filter(_._1 eq spark)
     val hint = lastCheckpointHint().map(_._1)
-    val current = cached.filter { case (_, s, hintAtResolve) =>
+    val current = cached.filter { case (_, s, hintAtResolve, anchor) =>
       !fs.exists(new Path(logPath, f"${s.version + 1}%020d.json")) &&
         hint == hintAtResolve &&
-        (fs.exists(new Path(logPath, f"${s.version}%020d.json")) ||
-          hint.contains(s.version))
+        // identity probe, not just existence: a table deleted and
+        // re-created at the same path whose fresh history reaches
+        // exactly the cached version (with an identical
+        // `_last_checkpoint` value) passes (a)+(b), but its anchor
+        // FILE is a different object — (modTime, length) moved
+        anchorOf(s.version).contains(anchor)
     }.map(_._2)
     current.getOrElse {
       val s = lastCheckpointBootstrap().getOrElse(snapshotAt(latestVersion()))
       if (DeltaLog.snapshotCache.size > 128) DeltaLog.snapshotCache.clear()
-      DeltaLog.snapshotCache.put(key, (spark, s, hint))
+      anchorOf(s.version).foreach(a =>
+        DeltaLog.snapshotCache.put(key, (spark, s, hint, a)))
       s
+    }
+  }
+
+  /** Identity of the file PROVING a resolved version: the commit json
+    * when present, else the checkpoint's first part — with its
+    * (modificationTime, length). A log deleted and re-created at the
+    * same path necessarily re-creates the anchor as a different file
+    * object, so comparing the triple catches recreation that pure
+    * existence probes cannot. One metadata RPC. */
+  private def anchorOf(version: Long): Option[(String, Long, Long)] = {
+    val cj = new Path(logPath, f"$version%020d.json")
+    val p =
+      try { if (fs.exists(cj)) Some(cj) else checkpointFiles(version)
+        .headOption.map(new Path(_)) }
+      catch { case scala.util.control.NonFatal(_) => None }
+    p.flatMap { q =>
+      try {
+        val st = fs.getFileStatus(q)
+        Some((q.toString, st.getModificationTime, st.getLen))
+      } catch { case scala.util.control.NonFatal(_) => None }
     }
   }
 
@@ -141,7 +166,32 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
       }
     }
 
+  /** Snapshot of a PINNED version. Cached: a resolved (path, version)
+    * snapshot is immutable, and the read-modify-commit lifecycles
+    * (matview refresh pins both sources, CDF reads, index maintenance)
+    * resolve the same pinned snapshot several times per operation —
+    * each previously paying a full `_delta_log` LIST + tail replay,
+    * the remaining per-refresh O(log) cost at 10⁵ commits on an object
+    * store. Reuse is guarded by ONE metadata RPC ([[anchorOf]] — the
+    * version's anchor file identity), which also catches a table
+    * deleted and re-created at the same path. */
   def snapshotAt(version: Long): Snapshot = {
+    val key = (logPath.toString, version)
+    val hit = Option(DeltaLog.versionSnapshotCache.get(key))
+      .filter(_._1 eq spark)
+      .filter { case (_, _, anchor) => anchorOf(version).contains(anchor) }
+      .map(_._2)
+    hit.getOrElse {
+      val snap = resolveAt(version)
+      if (DeltaLog.versionSnapshotCache.size > 128)
+        DeltaLog.versionSnapshotCache.clear()
+      anchorOf(version).foreach(a =>
+        DeltaLog.versionSnapshotCache.put(key, (spark, snap, a)))
+      snap
+    }
+  }
+
+  private def resolveAt(version: Long): Snapshot = {
     val (commits, cps) = listLog()
     require(commits.contains(version) || cps.contains(version),
       s"version $version not found in $logPath (commits=$commits checkpoints=$cps)")
@@ -471,12 +521,21 @@ object DeltaLog {
   def forPath(spark: SparkSession, path: String): DeltaLog = new DeltaLog(spark, path)
 
   /** Currency-probed latest-snapshot cache (see [[DeltaLog.snapshot]]):
-    * keyed by log path, validated against the owning session and the
-    * `_last_checkpoint` pointer observed at resolution, bounded by
-    * wholesale clear. Snapshots are immutable once resolved. */
+    * keyed by log path, validated against the owning session, the
+    * `_last_checkpoint` pointer observed at resolution, and the
+    * resolved version's anchor-file identity, bounded by wholesale
+    * clear. Snapshots are immutable once resolved. */
   private[delta] val snapshotCache =
     new java.util.concurrent.ConcurrentHashMap[
-      String, (SparkSession, Snapshot, Option[Long])]()
+      String, (SparkSession, Snapshot, Option[Long], (String, Long, Long))]()
+
+  /** Pinned-version snapshot cache (see [[DeltaLog.snapshotAt]]):
+    * (log path, version) → resolved snapshot, guarded only by the
+    * anchor-file identity (a pinned snapshot cannot go stale — only
+    * its whole history can be deleted/re-created). */
+  private[delta] val versionSnapshotCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, Long), (SparkSession, Snapshot, (String, Long, Long))]()
 
   /** Decode a percent-encoded Delta log path (spec: `add.path` is
     * URI-encoded). */

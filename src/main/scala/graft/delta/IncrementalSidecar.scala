@@ -51,13 +51,32 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalSidecar {
 
-  /** Stored-entry coverage against a snapshot's coverable set. */
+  /** Stored-entry coverage against a snapshot's coverable set.
+    * `invalidStored` are stored paths whose entry COUNT contradicts the
+    * covering file's log-plane `numRecords` — a corrupted or
+    * wrongly-attributed sidecar slice. They are excluded from
+    * `liveStored` (never served) and their files surface in `missing`
+    * (rescanned): the integrity check costs zero data reads and turns
+    * this bug class from silent wrong answers into one extra scan. */
   final case class Coverage(
       storedPaths: Seq[String],
       liveStored: Seq[String],
       coveredNorm: Set[String],
       missing: Seq[AddFile],
-      changed: Boolean)
+      changed: Boolean,
+      invalidStored: Seq[String] = Nil)
+
+  /** The add's recorded row count, when its stats carry one. For a
+    * DV-free file (the only kind row-keyed sidecars cover) physical
+    * rows == logical rows, so a row-keyed entry relation must hold
+    * EXACTLY this many entries for the file. */
+  def numRecordsOf(f: AddFile): Option[Long] =
+    f.numRecordsStat.orElse(f.stats.flatMap { s =>
+      try {
+        val n = JsonUtil.mapper.readTree(s).path("numRecords").asLong(-1L)
+        if (n >= 0) Some(n) else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    })
 
   /** Files an entry may describe. Row-keyed indexes (LSH/IVF/PQ) never
     * cover files with a live deletion vector — an entry must describe
@@ -70,19 +89,39 @@ object IncrementalSidecar {
   /** One normalization pass: which stored entries survive, which
     * coverable files lack entries, and whether a refresh has anything
     * to do at all. `storedPaths` are the sidecar's distinct file_path
-    * spellings with marker rows already excluded. */
+    * spellings with marker rows already excluded.
+    *
+    * `storedCounts` (path → entry count; absent or negative = unknown,
+    * e.g. a legacy two-field summary) enables the LOG-PLANE integrity
+    * invariant for row-keyed sidecars: a covered file's entry count
+    * must equal its add's `numRecords`. A mismatched path is demoted —
+    * out of `liveStored` and `coveredNorm`, its file into `missing` —
+    * so a corrupted slice is rescanned rather than served. Pass empty
+    * for per-file sidecars (Bloom: one filter row per file). */
   def coverage(snap: Snapshot, storedPaths: Seq[String],
-      coverDvFiles: Boolean): Coverage = {
+      coverDvFiles: Boolean,
+      storedCounts: Map[String, Long] = Map.empty): Coverage = {
     val coverable = coverableFiles(snap, coverDvFiles)
-    val coverableNorm = coverable
-      .flatMap(f => snap.pathCandidates(f).map(Mutations.normalize)).toSet
-    val liveStored = storedPaths
-      .filter(p => coverableNorm.contains(Mutations.normalize(p)))
-    val coveredNorm = storedPaths.map(Mutations.normalize).toSet
+    val byNorm: Map[String, AddFile] = coverable
+      .flatMap(f => snap.pathCandidates(f).map(c =>
+        Mutations.normalize(c) -> f)).toMap
+    val invalidStored =
+      if (storedCounts.isEmpty) Nil
+      else storedPaths.filter { p =>
+        val n = storedCounts.getOrElse(p, -1L)
+        n >= 0 && byNorm.get(Mutations.normalize(p))
+          .flatMap(numRecordsOf).exists(_ != n)
+      }
+    val invalid = invalidStored.toSet
+    val liveStored = storedPaths.filter(p =>
+      !invalid.contains(p) && byNorm.contains(Mutations.normalize(p)))
+    val coveredNorm = storedPaths.filterNot(invalid)
+      .map(Mutations.normalize).toSet
     val missing = coverable.filterNot(f =>
       snap.pathCandidates(f).map(Mutations.normalize).exists(coveredNorm))
     Coverage(storedPaths, liveStored, coveredNorm, missing,
-      changed = missing.nonEmpty || liveStored.size != storedPaths.size)
+      changed = missing.nonEmpty || liveStored.size != storedPaths.size,
+      invalidStored = invalidStored)
   }
 
   /** Entries whose stored file_path is in `paths` — an exact string
@@ -98,11 +137,14 @@ object IncrementalSidecar {
 
   /** The probe-side split: stored entries still usable at this
     * snapshot, and the active files the index cannot serve (not
-    * indexed, or carrying a live deletion vector when the kind never
-    * covers DV'd files) — those are computed LIVE by the probe. */
+    * indexed, carrying a live deletion vector when the kind never
+    * covers DV'd files, or failing the entry-count invariant) — those
+    * are computed LIVE by the probe. */
   def probeCoverage(snap: Snapshot, storedPaths: Seq[String],
-      coverDvFiles: Boolean): (Seq[String], Seq[AddFile]) = {
-    val cov = coverage(snap, storedPaths, coverDvFiles)
+      coverDvFiles: Boolean,
+      storedCounts: Map[String, Long] = Map.empty)
+      : (Seq[String], Seq[AddFile]) = {
+    val cov = coverage(snap, storedPaths, coverDvFiles, storedCounts)
     val usableNorm = cov.liveStored.map(Mutations.normalize).toSet
     val live = snap.planFiles().filter { f =>
       (!coverDvFiles && f.deletionVector.exists(_.cardinality > 0)) ||
@@ -141,18 +183,33 @@ object IncrementalSidecar {
     * over the entry relation); legacy generations fall back to the
     * distinct-over-entries derivation. */
   def storedSummary(spark: SparkSession, dir: String, entries: DataFrame,
-      markers: Set[String]): (Seq[String], Long) =
-    Sidecar.readCoverage(spark, dir) match {
+      markers: Set[String]): (Seq[String], Long) = {
+    val (paths, since, _) = storedSummaryFull(spark, dir, entries, markers)
+    (paths, since)
+  }
+
+  /** [[storedSummary]] plus per-path entry counts (empty map when the
+    * generation's summary predates the count field AND the entry
+    * relation had to be aggregated — the fallback derives counts too,
+    * so only a legacy `_coverage` file yields unknowns). Counts with
+    * value -1 (legacy lines) are dropped from the returned map. */
+  def storedSummaryFull(spark: SparkSession, dir: String,
+      entries: DataFrame, markers: Set[String])
+      : (Seq[String], Long, Map[String, Long]) =
+    Sidecar.readCoverageFull(spark, dir) match {
       case Some(m) =>
         (m.keysIterator.filterNot(markers.contains).toSeq,
-          if (m.isEmpty) -1L else m.valuesIterator.max)
+          if (m.isEmpty) -1L else m.valuesIterator.map(_._1).max,
+          m.collect { case (p, (_, n)) if n >= 0 && !markers.contains(p) =>
+            p -> n })
       case None =>
         val dataRows = if (markers.isEmpty) entries
           else entries.where(!col("file_path").isin(markers.toSeq: _*))
         val rows = dataRows.groupBy(col("file_path"))
-          .agg(max(col("version")).as("v")).collect()
+          .agg(max(col("version")).as("v"), count(lit(1)).as("n")).collect()
         (rows.map(_.getString(0)).toSeq,
-          if (rows.isEmpty) -1L else rows.map(_.getLong(1)).max)
+          if (rows.isEmpty) -1L else rows.map(_.getLong(1)).max,
+          rows.map(r => r.getString(0) -> r.getLong(2)).toMap)
     }
 
   /** Missing files attributable to one `dataChange = false` commit
@@ -169,9 +226,15 @@ object IncrementalSidecar {
     * rows the rewrite DROPPED, so verbatim carry would resurrect
     * deleted rows in the index — such groups must attribute by id
     * (the narrow id read of the new files naturally excludes purged
-    * ids). */
+    * ids). `chained` marks a group whose sources resolved TRANSITIVELY
+    * through an earlier dataChange=false rewrite in the walked window
+    * (OPTIMIZE at v, re-cluster at v+k with no refresh between): the
+    * underlying stored entries are a row SUPERSET of any one
+    * intermediate output, so chained groups always attribute by id —
+    * total-membership verbatim carry would pin sibling rows. */
   final case class RemapGroup(version: Long, newFiles: Seq[AddFile],
-      sourcePaths: Seq[String], commitAdds: Int, sourcesDvFree: Boolean)
+      sourcePaths: Seq[String], commitAdds: Int, sourcesDvFree: Boolean,
+      chained: Boolean = false)
 
   /** Split `missing` into remappable groups and the leftover files
     * that need the full kernel scan. Walks commit JSONs from
@@ -201,6 +264,16 @@ object IncrementalSidecar {
       snap.pathCandidates(AddFile(relPath, Map.empty, 0L, 0L))
         .map(Mutations.normalize)
     val claimed = scala.collection.mutable.Set.empty[String] // AddFile.path
+    // transitive chain registry: norm(path added by an earlier
+    // dataChange=false commit in this walk) → (underlying STORED
+    // spellings, conjunction of every link's DV-free state). A file
+    // rewritten twice between refreshes (OPTIMIZE at v5, re-cluster at
+    // v7) has no stored entries for v5's outputs, but v7's removes
+    // resolve through this registry back to the original stored files —
+    // keeping refresh O(ids) under repeated maintenance instead of
+    // degrading to a kernel rescan.
+    val virtual = scala.collection.mutable.Map
+      .empty[String, (Seq[String], Boolean)]
     val groups = (lo to snap.version).flatMap { v =>
       val acts =
         try log.commitActions(v)
@@ -214,23 +287,41 @@ object IncrementalSidecar {
         adds.forall(!_.dataChange) && removes.forall(!_.dataChange)
       if (!eligible) None
       else {
-        val sources = removes.map(r => normsOf(r.path).collectFirst {
-          case n if storedByNorm.contains(n) => storedByNorm(n)
-        })
-        // every removed file must be covered — otherwise some new rows
-        // came from an unindexed file and attribution is incomplete
-        if (sources.exists(_.isEmpty)) None
+        // resolve each remove: a directly stored spelling, or a chain
+        // through an earlier rewrite — (spellings, dvFree, viaChain)
+        val resolved: Seq[Option[(Seq[String], Boolean, Boolean)]] =
+          removes.map { r =>
+            val norms = normsOf(r.path)
+            val rDvFree = r.deletionVector.forall(_.cardinality == 0)
+            norms.collectFirst {
+              case n if storedByNorm.contains(n) =>
+                (Seq(storedByNorm(n)), rDvFree, false)
+            }.orElse(norms.collectFirst {
+              case n if virtual.contains(n) =>
+                val (srcs, linkDvFree) = virtual(n)
+                (srcs, rDvFree && linkDvFree, true)
+            })
+          }
+        // every removed file must be covered (directly or via chain) —
+        // otherwise some new rows came from an unindexed file and
+        // attribution is incomplete
+        if (resolved.exists(_.isEmpty)) None
         else {
+          val flat = resolved.flatten
+          val srcs = flat.flatMap(_._1).distinct
+          val dvFree = flat.forall(_._2)
+          val chained = flat.exists(_._3)
+          // register this commit's outputs for LATER commits in the
+          // walk — even when none of them is missing (the intermediate
+          // of a chain is typically inactive by refresh time)
+          adds.foreach(a =>
+            normsOf(a.path).foreach(n => virtual(n) = (srcs, dvFree)))
           val news = adds.flatMap(a => normsOf(a.path)
             .collectFirst { case n if missingByNorm.contains(n) =>
               missingByNorm(n) })
             .filter(f => claimed.add(f.path))
           if (news.isEmpty) None
-          else {
-            val dvFree = removes.forall(
-              _.deletionVector.forall(_.cardinality == 0))
-            Some(RemapGroup(v, news, sources.flatten, adds.size, dvFree))
-          }
+          else Some(RemapGroup(v, news, srcs, adds.size, dvFree, chained))
         }
       }
     }
@@ -267,7 +358,8 @@ object IncrementalSidecar {
     var remapped: Option[DataFrame] = None
     val fallback = scala.collection.mutable.ArrayBuffer.empty[AddFile]
     groups.foreach { g =>
-      if (g.newFiles.size == 1 && g.commitAdds == 1 && g.sourcesDvFree) {
+      if (g.newFiles.size == 1 && g.commitAdds == 1 && g.sourcesDvFree &&
+          !g.chained) {
         // SINGLE-ADD fast path (the common OPTIMIZE shape: a commit
         // folds its removed files into one output): membership is
         // total — every source row landed in the one new file — so the

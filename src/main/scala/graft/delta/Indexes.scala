@@ -11,13 +11,18 @@ import org.apache.spark.sql.functions._
 object Indexes {
 
   /** One row per sidecar index under `_graft_index/`:
-    * `(kind, columns, covered_files, active_files, stale_files)`.
-    * Coverage compares the sidecar's distinct file paths (markers
-    * excluded) against the snapshot's active set — the operational
-    * "how stale am I" surface, log-plane + sidecar-plane only (no
-    * data scan). Pre-descriptor sidecars report their directory name
-    * as the columns string. */
-  def describe(log: DeltaLog): Seq[(String, String, Long, Long, Long)] = {
+    * `(kind, columns, covered_files, active_files, stale_files,
+    * invalid_files)`. Coverage compares the sidecar's distinct file
+    * paths (markers excluded) against the snapshot's active set — the
+    * operational "how stale am I" surface, log-plane + sidecar-plane
+    * only (no data scan). `invalid_files` counts covered files whose
+    * ENTRY COUNT contradicts the add's `numRecords` (row-keyed kinds
+    * only — one entry per logical row; bloom stores one filter row per
+    * file, so the invariant does not apply): non-zero means a
+    * corrupted or wrongly-attributed sidecar slice, which refresh
+    * rescans and probes never serve. Pre-descriptor sidecars report
+    * their directory name as the columns string. */
+  def describe(log: DeltaLog): Seq[(String, String, Long, Long, Long, Long)] = {
     val spark = log.spark
     val snap = log.snapshot
     val active = snap.planFiles()
@@ -42,13 +47,19 @@ object Indexes {
           val coverableNorm = norm(coverable)
           // planned from the generation's coverage summary when
           // present (no entry-relation job); markers are "__"-prefixed
-          val stored = IncrementalSidecar.storedSummary(
-            spark, dir.toString, df, Set.empty)._1
-            .filterNot(_.startsWith("__"))
-          val covered =
-            stored.count(p => coverableNorm.contains(Mutations.normalize(p)))
+          val (storedRaw, _, counts) = IncrementalSidecar.storedSummaryFull(
+            spark, dir.toString, df, Set.empty)
+          val stored = storedRaw.filterNot(_.startsWith("__"))
+          val rowKeyed = kind != "bloom" && kind != "unknown"
+          val invalid =
+            if (!rowKeyed) Nil
+            else IncrementalSidecar.coverage(snap, stored,
+              coverDvFiles = false, counts).invalidStored
+          val invalidSet = invalid.toSet
+          val covered = stored.count(p => !invalidSet.contains(p) &&
+            coverableNorm.contains(Mutations.normalize(p)))
           (kind, cols, covered.toLong, coverable.size.toLong,
-            (coverable.size - covered).toLong)
+            (coverable.size - covered).toLong, invalid.size.toLong)
         }
       }
   }

@@ -213,16 +213,17 @@ object IvfIndex {
     val idx = entries(log, idCol, vecCol).getOrElse(
       return build(log, idCol, vecCol))
     val dataRows = idx.where(col("file_path") =!= CentroidsMarker)
-    val (storedRaw, since) = IncrementalSidecar.storedSummary(
+    val (storedRaw, since, counts) = IncrementalSidecar.storedSummaryFull(
       spark, indexDir(log, idCol, vecCol), idx, Set(CentroidsMarker))
     val cov = IncrementalSidecar.coverage(snap, storedRaw,
-      coverDvFiles = false)
+      coverDvFiles = false, counts)
     if (!cov.changed) return snap.version
+    val validStored = storedRaw.filterNot(cov.invalidStored.toSet)
     // compaction remap: dataChange=false rewrites carry (cell, asim,
     // vec, nrm) verbatim via a narrow id read — no re-assignment, and
     // the drift gauge sees only genuinely-new rows
     val (groups, toScan) = IncrementalSidecar.remapGroups(log, snap,
-      cov.missing, cov.coveredNorm, storedRaw, since)
+      cov.missing, cov.coveredNorm, validStored, since)
     val (remapped, fellBack) = IncrementalSidecar.remapRowEntries(
       spark, snap, dataRows, idCol, groups,
       fs => IncrementalSidecar.narrowIdRead(log, snap, fs, idCol))
@@ -328,10 +329,10 @@ object IvfIndex {
       .collect().map(_.getInt(0)).toSeq
     // covered entries of still-active DV-free files only — planned
     // from the generation's coverage summary, not an entry-relation job
-    val (storedRaw, _) = IncrementalSidecar.storedSummary(
+    val (storedRaw, _, counts) = IncrementalSidecar.storedSummaryFull(
       spark, indexDir(log, idCol, vecCol), idx, Set(CentroidsMarker))
     val (usable, liveFiles) = IncrementalSidecar.probeCoverage(
-      snap, storedRaw, coverDvFiles = false)
+      snap, storedRaw, coverDvFiles = false, counts)
     import spark.implicits._
     val indexed = idx
       .where(col("cell").isin(probedCells: _*)) // pushed: cell-sorted files

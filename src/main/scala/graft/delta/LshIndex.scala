@@ -175,13 +175,17 @@ object LshIndex {
     // (no job over the entry relation); everything path-shaped stays
     // on the driver, the entry rows themselves are filtered by an
     // exact broadcast semi-join on the STORED spelling (no per-row UDF)
-    val (storedPaths, since) = IncrementalSidecar.storedSummary(
+    val (storedPaths, since, counts) = IncrementalSidecar.storedSummaryFull(
       spark, indexDir(log, idCol, textCol), existing, Set.empty)
+    // entry-count invariant (log-plane): a covered file whose entry
+    // count contradicts its add's numRecords is demoted — dropped from
+    // the kept set, rescanned, and NEVER a remap source
     val cov = IncrementalSidecar.coverage(snap, storedPaths,
-      coverDvFiles = false)
+      coverDvFiles = false, counts)
     if (!cov.changed) return snap.version
+    val validStored = storedPaths.filterNot(cov.invalidStored.toSet)
     val (groups, toScan) = IncrementalSidecar.remapGroups(log, snap,
-      cov.missing, cov.coveredNorm, storedPaths, since)
+      cov.missing, cov.coveredNorm, validStored, since)
     val (remapped, fellBack) = IncrementalSidecar.remapRowEntries(
       spark, snap, existing, idCol, groups,
       fs => IncrementalSidecar.narrowIdRead(log, snap, fs, idCol))
@@ -217,12 +221,13 @@ object LshIndex {
     val idx = entries(log, idCol, textCol).getOrElse(
       return MinHashLsh.dedupAgainstCorpus(newBatch, snap.read(),
         idCol, textCol, threshold, broadcastKeys, maxBucketSize))
-    val (storedPaths, _) = IncrementalSidecar.storedSummary(
+    val (storedPaths, _, counts) = IncrementalSidecar.storedSummaryFull(
       spark, indexDir(log, idCol, textCol), idx, Set.empty)
     // live side: active files the index cannot serve — not yet
-    // indexed, re-incarnated with a DV, or index entries gone stale
+    // indexed, re-incarnated with a DV, entry-count invariant failed,
+    // or index entries gone stale
     val (usableStored, liveFiles) = IncrementalSidecar.probeCoverage(
-      snap, storedPaths, coverDvFiles = false)
+      snap, storedPaths, coverDvFiles = false, counts)
     val cap = MinHashLsh.effectiveCap(newBatch, maxBucketSize)
     MinHashLsh.dedupAgainstPrior(newBatch, idCol, textCol, threshold,
       broadcastKeys, cap,
@@ -239,14 +244,27 @@ object LshIndex {
         // Above the literal-pushdown cap
         // (spark.graft.lsh.probeIdPushdownMax, default 10000) the
         // probe keeps the single-pass shape (a huge IN list costs more
-        // in filter evaluation than the wide scan saves).
+        // in filter evaluation than the wide scan saves). BELOW
+        // spark.graft.lsh.probeTwoPhaseMinRows (default 100000) stored
+        // rows — known for free from the `_coverage` counts — phase 1
+        // is skipped too: collecting candidate ids costs a whole job,
+        // and under ~10⁵ entries the wide hs scan it would save is
+        // cheaper than the job (measured +38% on the sf0.1 refresh
+        // gate). The probe-bytes win two-phase buys only shows at
+        // larger corpora (IndexProbe pins the conf to 0 to measure it).
         val covered = IncrementalSidecar.keepStored(spark, idx, usableStored)
         val maxIn = spark.conf
           .getOption("spark.graft.lsh.probeIdPushdownMax")
           .flatMap(_.trim.toIntOption).getOrElse(10000)
+        val minRows = spark.conf
+          .getOption("spark.graft.lsh.probeTwoPhaseMinRows")
+          .flatMap(_.trim.toLongOption).getOrElse(100000L)
+        // unknown counts (legacy generation) → assume large
+        val storedRows =
+          if (counts.isEmpty) Long.MaxValue else counts.valuesIterator.sum
         val indexed = {
           val candIds =
-            if (maxIn <= 0) null
+            if (maxIn <= 0 || storedRows < minRows) null
             else {
               val ids = covered
                 .select(col(idCol), posexplode(col("ks")).as(Seq("band", "k")))

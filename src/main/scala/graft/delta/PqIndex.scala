@@ -227,16 +227,17 @@ object PqIndex {
       return build(log, idCol, vecCol))
     val markers = Set(CoarseMarker, BooksMarker)
     val dataRows = idx.where(!col("file_path").isin(markers.toSeq: _*))
-    val (storedRaw, since) = IncrementalSidecar.storedSummary(
+    val (storedRaw, since, counts) = IncrementalSidecar.storedSummaryFull(
       spark, indexDir(log, idCol, vecCol), idx, markers)
     val cov = IncrementalSidecar.coverage(snap, storedRaw,
-      coverDvFiles = false)
+      coverDvFiles = false, counts)
     if (!cov.changed) return snap.version
+    val validStored = storedRaw.filterNot(cov.invalidStored.toSet)
     // compaction remap: dataChange=false rewrites carry (cell, codes,
     // qerr) verbatim via a narrow id read — no re-encoding, and the
     // drift gauge sees only genuinely-new rows
     val (groups, toScan) = IncrementalSidecar.remapGroups(log, snap,
-      cov.missing, cov.coveredNorm, storedRaw, since)
+      cov.missing, cov.coveredNorm, validStored, since)
     val (remapped, fellBack) = IncrementalSidecar.remapRowEntries(
       spark, snap, dataRows, idCol, groups,
       fs => IncrementalSidecar.narrowIdRead(log, snap, fs, idCol))
@@ -352,10 +353,10 @@ object PqIndex {
       .collect().map(_.getInt(0)).toSeq
     // covered entries of still-active DV-free files only — planned
     // from the generation's coverage summary, not an entry-relation job
-    val (storedRaw, _) = IncrementalSidecar.storedSummary(
+    val (storedRaw, _, counts) = IncrementalSidecar.storedSummaryFull(
       spark, indexDir(log, idCol, vecCol), idx, markers)
     val (usable, liveFiles) = IncrementalSidecar.probeCoverage(
-      snap, storedRaw, coverDvFiles = false)
+      snap, storedRaw, coverDvFiles = false, counts)
     import spark.implicits._
     val recon = (0 until m).map { j =>
       element_at(Pq.bookLit(books, j), element_at(col("codes"), j + 1))

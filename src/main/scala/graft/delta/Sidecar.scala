@@ -2,6 +2,7 @@ package graft.delta
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.graftshims.SqlShims
 
 /** Generation-swapped parquet sidecar store — the publication
   * discipline shared by the advisory index sidecars ([[BloomIndex]],
@@ -149,15 +150,35 @@ object Sidecar {
   // generation-keyed coverage cache: generations are immutable, so a
   // (dir, gen) summary never goes stale — repeat searches in one JVM
   // plan with zero IO. Bounded by wholesale clear (the simple eviction
-  // that can never pin unbounded memory).
+  // that can never pin unbounded memory). Values are
+  // (max version, entry count; count -1 for legacy two-field lines).
   private val coverageCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), Map[String, Long]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Map[String, (Long, Long)]]()
 
-  /** Drop cached summaries for `dir` — probes/tests that delete a
-    * `_coverage` file to exercise the fallback path need this; the
-    * production paths never do (generations are immutable). */
-  private[graft] def invalidateCoverage(dir: String): Unit =
-    coverageCache.keySet.removeIf(_._1 == dir)
+  /** Drop cached summaries for `dir` — probes/tests that edit or
+    * delete a `_coverage` file to exercise fallback/invariant paths
+    * need this; the production paths never do (generations are
+    * immutable). Matching is normalization-aware: readers cache under
+    * whatever spelling reached them (a `listStatus`-qualified URI vs
+    * the builder's root-relative join), and a test invalidating by one
+    * spelling must hit entries cached under the other. */
+  private[graft] def invalidateCoverage(dir: String): Unit = {
+    val n = cacheKeyOf(dir)
+    coverageCache.keySet.removeIf(_._1 == n)
+  }
+
+  /** Canonical cache-key spelling for a sidecar dir: filesystem-
+    * qualified, so the builder's root-relative join and a reader's
+    * `listStatus`-qualified URI land on the same entry. Falls back to
+    * the raw string when no Hadoop conf is reachable (never in
+    * practice — all callers hold a session). */
+  private def cacheKeyOf(dir: String): String =
+    try {
+      val p = new Path(dir)
+      val conf = org.apache.spark.sql.SparkSession.active
+        .sparkContext.hadoopConfiguration
+      p.getFileSystem(conf).makeQualified(p).toString
+    } catch { case scala.util.control.NonFatal(_) => dir }
 
   /** The live generation's planning summary: stored file_path → max
     * entry version (markers included — callers filter). None when the
@@ -165,10 +186,21 @@ object Sidecar {
     * callers fall back to a distinct over the entry relation). Reads
     * one file-count-sized text file — never the entry relation — and
     * memoizes per immutable generation. */
-  def readCoverage(spark: SparkSession, dir: String): Option[Map[String, Long]] = {
+  def readCoverage(spark: SparkSession, dir: String): Option[Map[String, Long]] =
+    readCoverageFull(spark, dir).map(_.map { case (p, (v, _)) => p -> v })
+
+  /** Full summary including per-path entry COUNTS: file_path →
+    * (max version, entry count). Count is -1 when the generation's
+    * summary predates the count field — callers must treat -1 as
+    * "unknown", never as a mismatch. The count is the log-plane
+    * integrity handle: a row-keyed sidecar must hold exactly one entry
+    * per logical row of a covered file, so count vs the add's
+    * `numRecords` is checkable with no data read. */
+  def readCoverageFull(spark: SparkSession, dir: String)
+      : Option[Map[String, (Long, Long)]] = {
     val (fs, base) = fsOf(spark, dir)
     readPointer(fs, base).flatMap { gen =>
-      val key = (dir, gen)
+      val key = (fs.makeQualified(base).toString, gen)
       Option(coverageCache.get(key)).orElse {
         try {
           val in = fs.open(new Path(base, new Path(gen, "_coverage").toString))
@@ -177,7 +209,10 @@ object Sidecar {
           val m = text.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
             .flatMap { l =>
               l.split("\t") match {
-                case Array(p, v) => v.toLongOption.map(p -> _)
+                case Array(p, v) => v.toLongOption.map(vv => p -> ((vv, -1L)))
+                case Array(p, v, n) => for {
+                  vv <- v.toLongOption; nn <- n.toLongOption
+                } yield p -> ((vv, nn))
                 case _ => None
               }
             }.toMap
@@ -195,11 +230,17 @@ object Sidecar {
     * a silent failure here would mean a silently vanished index.
     *
     * Every generation also carries a `_coverage` summary (one
-    * `path\tmaxVersion` line per distinct stored file_path, computed
-    * by one NARROW two-column pass over the just-written generation) —
-    * the planning surface [[readCoverage]] serves, so a refresh or a
-    * search plans from a file-count-sized summary instead of running
-    * a distinct over the corpus-row-sized entry relation per call. */
+    * `path\tmaxVersion\tcount` line per distinct stored file_path) —
+    * the planning surface [[readCoverage]]/[[readCoverageFull]] serves,
+    * so a refresh or a search plans from a file-count-sized summary
+    * instead of running a distinct over the corpus-row-sized entry
+    * relation per call. The summary is OBSERVED during the write job
+    * itself ([[org.apache.spark.sql.graftshims.PathStatsAgg]] — a
+    * file-count-bounded map aggregate riding the write as a
+    * `Dataset.observe` metric): publication costs zero extra passes
+    * over the entries, and the spellings are exactly what the entry
+    * rows store because the metric evaluates the very rows written
+    * (the keep-semi-join equality match on the next refresh). */
   def swapIn(spark: SparkSession, dir: String, df: DataFrame): Unit = {
     val (fs, base) = fsOf(spark, dir)
     val prev = readPointer(fs, base)
@@ -211,17 +252,37 @@ object Sidecar {
         .filter(_.startsWith(GenPrefix))
     val nextN = (existingGens.map(_.stripPrefix(GenPrefix).toLong) :+ -1L).max + 1
     val gen = f"$GenPrefix$nextN%08d"
-    df.write.mode("overwrite").parquet(new Path(base, gen).toString)
-    // coverage summary: ONE columnar (file_path, version) pass over
-    // the generation just written — the spellings are exactly what the
-    // entry rows store (reading them back is what guarantees the
-    // keep-semi-join equality match on the next refresh). Underscore
-    // name keeps it invisible to the parquet reads.
+    val obs = org.apache.spark.sql.Observation()
+    val (toWrite, observed) =
+      try (df.observe(obs,
+        SqlShims.pathStatsAgg(
+          org.apache.spark.sql.functions.col("file_path"),
+          org.apache.spark.sql.functions.col("version")).as("pv")), true)
+      catch { case scala.util.control.NonFatal(_) => (df, false) }
+    toWrite.write.mode("overwrite").parquet(new Path(base, gen).toString)
     try {
-      val summary = spark.read.parquet(new Path(base, gen).toString)
-        .groupBy("file_path")
-        .agg(org.apache.spark.sql.functions.max("version").as("v"))
-        .collect().map(r => s"${r.getString(0)}\t${r.getLong(1)}")
+      val summary: Seq[String] =
+        (if (observed) {
+          // the metric is available as soon as the write action above
+          // returned; rows are (path, vmax, n) sorted by path
+          obs.get("pv") match {
+            case rows: scala.collection.Seq[_] => Some(rows.collect {
+              case r: org.apache.spark.sql.Row =>
+                s"${r.getString(0)}\t${r.getLong(1)}\t${r.getLong(2)}"
+            }.toSeq)
+            case _ => None
+          }
+        } else None).getOrElse {
+          // fallback: one narrow (file_path, version) pass over the
+          // written generation — slower, never wrong
+          spark.read.parquet(new Path(base, gen).toString)
+            .groupBy("file_path")
+            .agg(org.apache.spark.sql.functions.max("version").as("v"),
+              org.apache.spark.sql.functions.count(
+                org.apache.spark.sql.functions.lit(1)).as("n"))
+            .collect().map(r =>
+              s"${r.getString(0)}\t${r.getLong(1)}\t${r.getLong(2)}").toSeq
+        }
       val covTmp = new Path(base, new Path(gen, "_coverage.tmp").toString)
       val cov = new Path(base, new Path(gen, "_coverage").toString)
       val cout = fs.create(covTmp, true)

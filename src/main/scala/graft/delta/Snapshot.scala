@@ -507,7 +507,11 @@ class Snapshot(
       deletionVector = dv,
       baseRowId = Option(r.getAs[java.lang.Long]("base_row_id")).map(_.longValue),
       defaultRowCommitVersion =
-        Option(r.getAs[java.lang.Long]("default_row_commit_version")).map(_.longValue))
+        Option(r.getAs[java.lang.Long]("default_row_commit_version")).map(_.longValue),
+      numRecordsStat =
+        if (r.schema.fieldNames.contains("num_records"))
+          Option(r.getAs[java.lang.Long]("num_records")).map(_.longValue)
+        else None)
   }
 
   /** FULL driver-side active-file list, per-file stats JSON included.
@@ -529,7 +533,13 @@ class Snapshot(
     * string; stats-based pruning runs in Spark over [[addsFlat]]
     * BEFORE anything is collected. */
   private[graft] lazy val slimAdds: DataFrame =
-    adds.withColumn("stats", lit(null).cast(StringType))
+    adds
+      // keep the one 8-byte stat planning integrity checks need (the
+      // sidecar entry-count invariant) while shedding the KB-sized
+      // stats JSON that dominates driver memory at large file counts
+      .withColumn("num_records",
+        get_json_object(col("stats"), "$.numRecords").cast("long"))
+      .withColumn("stats", lit(null).cast(StringType))
 
   /** Bounded planning collect: the (slim) active files, optionally
     * pruned IN SPARK by `pred` over the adds columns (`path`,

@@ -61,7 +61,12 @@ final case class AddFile(
     baseRowId: Option[Long] = None,
     /** The commit version stamped on this file's rows as their default
       * row commit version (row tracking). */
-    defaultRowCommitVersion: Option[Long] = None)
+    defaultRowCommitVersion: Option[Long] = None,
+    /** `stats.numRecords` pre-extracted during SLIM planning
+      * ([[Snapshot.planFiles]] nulls the KB-sized stats JSON for driver
+      * memory; this keeps the one 8-byte figure integrity checks need —
+      * the sidecar entry-count invariant). Never serialized. */
+    numRecordsStat: Option[Long] = None)
 
 final case class RemoveFile(
     path: String,

@@ -79,8 +79,19 @@ object IncrementalAgg {
     val cond = keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
     val newCount = col(s"t.$countCol") + col(s"s.__d_n")
     val sumDelta = sumCols.toMap
-    def folded(vc: String): org.apache.spark.sql.Column =
-      col(s"t.$vc") + coalesce(col(s"s.${sumDelta(vc)}"), lit(0L))
+    // hidden avg helper pairs carry ZERO (not NULL) through an all-null
+    // slice: the visible average derives from the pair, so mirroring
+    // SUM's null semantics would only poison it — a key whose FIRST
+    // slice is all-null would store a NULL running sum and every later
+    // fold (t + coalesce(delta, 0)) would stay NULL forever, freezing
+    // avg at NULL after non-null rows arrive. Visible sums keep SUM's
+    // semantics untouched.
+    val hiddenPair = avgCols.flatMap { case (_, sc, cc) => Seq(sc, cc) }.toSet
+    def folded(vc: String): org.apache.spark.sql.Column = {
+      val t = if (hiddenPair(vc)) coalesce(col(s"t.$vc"), lit(0L))
+        else col(s"t.$vc")
+      t + coalesce(col(s"s.${sumDelta(vc)}"), lit(0L))
+    }
     val avgUpdates = avgCols.map { case (ac, sc, cc) =>
       ac -> when(folded(cc) > 0,
         folded(sc).cast("double") / folded(cc)).otherwise(lit(null)) }
@@ -104,7 +115,9 @@ object IncrementalAgg {
       .whenNotMatchedInsert(
         (keyCols.map(k => k -> col(s"s.$k")) ++
           Seq(countCol -> col(s"s.__d_n")) ++
-          sumCols.map { case (vc, dc) => vc -> col(s"s.$dc") } ++
+          sumCols.map { case (vc, dc) => vc ->
+            (if (hiddenPair(vc)) coalesce(col(s"s.$dc"), lit(0L))
+             else col(s"s.$dc")) } ++
           avgInserts).toMap,
         Some(col("s.__d_n") > 0))
       .execute()

@@ -348,9 +348,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       // how stale each is vs the active file set — no data scan
       GraftMaintenanceCommand(path, "show_indexes",
         Seq("kind", "columns", "covered_files", "active_files",
-          "stale_files"), s =>
+          "stale_files", "invalid_files"), s =>
           graft.delta.Indexes.describe(DeltaLog.forPath(s, path)).map {
-            case (k, c, cov, act, stale) => Row(k, c, cov, act, stale)
+            case (k, c, cov, act, stale, inv) =>
+              Row(k, c, cov, act, stale, inv)
           })
     case RefreshIndexes(path) =>
       GraftMaintenanceCommand(path, "refresh_indexes",

@@ -6157,21 +6157,22 @@ object Queries {
     // 4-file corpus and never refreshed past the 1-file append; bloom
     // built after it (all 5 covered)
     "q_show_indexes" ->
-      """SELECT kind, columns, covered_files, active_files, stale_files
+      """SELECT kind, columns, covered_files, active_files, stale_files,
+        |  invalid_files
         |FROM (VALUES
-        |  ('bloom', 'doc_id', CAST(5 AS BIGINT), CAST(5 AS BIGINT), CAST(0 AS BIGINT)),
-        |  ('lsh', 'doc_id, text', CAST(4 AS BIGINT), CAST(5 AS BIGINT), CAST(1 AS BIGINT)))
-        |  t(kind, columns, covered_files, active_files, stale_files)""".stripMargin,
+        |  ('bloom', 'doc_id', CAST(5 AS BIGINT), CAST(5 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('lsh', 'doc_id, text', CAST(4 AS BIGINT), CAST(5 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)))
+        |  t(kind, columns, covered_files, active_files, stale_files, invalid_files)""".stripMargin,
     // with the auto-refresh hook, the post-append inventory is fully
     // covered and the indexed dedup drops the known duplicate (1 of 2
     // batch docs survives)
     "q_index_autorefresh" ->
       """SELECT kind, columns, covered_files, active_files, stale_files,
-        |  dedup_survivors
+        |  invalid_files, dedup_survivors
         |FROM (VALUES
         |  ('lsh', 'doc_id, text', CAST(5 AS BIGINT), CAST(5 AS BIGINT),
-        |   CAST(0 AS BIGINT), CAST(1 AS BIGINT)))
-        |  t(kind, columns, covered_files, active_files, stale_files, dedup_survivors)""".stripMargin,
+        |   CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)))
+        |  t(kind, columns, covered_files, active_files, stale_files, invalid_files, dedup_survivors)""".stripMargin,
     "q_bloom_join" -> qBloomJoinDuck,
     "q_hilbert_read" -> qHilbertReadDuck,
     "q_hilbert3_read" -> qHilbert3ReadDuck,

@@ -27,6 +27,10 @@ object IndexProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // this probe MEASURES the two-phase candidate-bounded probe, so
+    // disable the small-corpus shortcut that would route the 30k run
+    // through the single-pass shape and skew the bytes ratio
+    spark.conf.set("spark.graft.lsh.probeTwoPhaseMinRows", "0")
     import spark.implicits._
     import graft.delta.{DeltaLog, LshIndex, IvfIndex, PqIndex, TransactionWriter}
     def t[A](f: => A): (A, Double) = {

@@ -439,7 +439,11 @@ object SqlDemo {
         s"join-rollup AVG wrong: $jm")
       println("== CREATE MATVIEW ... JOIN ... MIN/MAX/AVG: rederive + pair fold OK ==")
 
-      // round-10 surface: staleness — DESCRIBE lag + REFRESH IF STALE
+      // round-10 surface: staleness — DESCRIBE lag + REFRESH IF STALE.
+      // The MIN/MAX/AVG section above deleted from the shared fact
+      // table after jrPath's last refresh — fold that first so the
+      // "fresh view" observation starts from lag 0.
+      spark.sql(s"GRAFT REFRESH MATVIEW '$jrPath'")
       val lag0 = spark.sql(s"GRAFT DESCRIBE MATVIEW '$jrPath'")
         .head().getAs[Long]("lag")
       require(lag0 == 0L, s"fresh view must report lag 0, got $lag0")
@@ -528,6 +532,44 @@ object SqlDemo {
       require(spark.sql(s"GRAFT SHOW INDEXES ON '$pqPath'")
         .collect().head.getLong(4) == 0L, "generic refresh must clear staleness")
       println("== SHOW INDEXES / REFRESH INDEXES: inventory + generic refresh OK ==")
+      // entry-count invariant: hand-corrupt one count in the live
+      // generation's _coverage summary — SHOW INDEXES must flag the
+      // file (invalid_files), probes must compute it live, and a
+      // refresh must rescan it back to a clean inventory
+      locally {
+        val idxDir = graft.delta.PqIndex.indexDir(pqLog, "vec_id", "embedding")
+        val base = new org.apache.hadoop.fs.Path(idxDir)
+        val hfs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val gen = {
+          val in = hfs.open(new org.apache.hadoop.fs.Path(base, "_current"))
+          try scala.io.Source.fromInputStream(in).mkString.trim
+          finally in.close()
+        }
+        val covPath = new org.apache.hadoop.fs.Path(base, s"$gen/_coverage")
+        val lines = {
+          val in = hfs.open(covPath)
+          try scala.io.Source.fromInputStream(in).mkString.split("\n").toSeq
+          finally in.close()
+        }
+        // corrupt the first NON-MARKER line's count
+        val i = lines.indexWhere(l => !l.startsWith("__"))
+        val parts = lines(i).split("\t")
+        val corrupted = lines.updated(i,
+          s"${parts(0)}\t${parts(1)}\t${parts(2).toLong + 5}")
+        val out = hfs.create(covPath, true)
+        try out.write(corrupted.mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+        graft.delta.Sidecar.invalidateCoverage(idxDir)
+        require(spark.sql(s"GRAFT SHOW INDEXES ON '$pqPath'")
+          .collect().head.getLong(5) == 1L,
+          "SHOW INDEXES must flag the corrupted count as invalid_files=1")
+        require(spark.sql(s"GRAFT REFRESH INDEXES ON '$pqPath'")
+          .collect().head.getLong(0) == 1L, "refresh must pick the index up")
+        val healed = spark.sql(s"GRAFT SHOW INDEXES ON '$pqPath'").collect().head
+        require(healed.getLong(5) == 0L && healed.getLong(4) == 0L,
+          s"refresh must rescan the flagged file clean: $healed")
+        println("== entry-count invariant: corrupt → flagged → healed OK ==")
+      }
       spark.sql(s"GRAFT DROP IVFPQ INDEX ON '$pqPath' (vec_id, embedding)")
       require(graft.delta.PqIndex.entries(pqLog, "vec_id", "embedding").isEmpty,
         "DROP IVFPQ INDEX must remove the sidecar")

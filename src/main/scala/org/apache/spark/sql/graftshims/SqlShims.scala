@@ -115,6 +115,13 @@ object SqlShims {
     column(BottomKSketchAgg(expression(h), expression(id), expression(v), k)
       .toAggregateExpression())
 
+  /** Per-path (max version, row count) map aggregate
+    * ([[PathStatsAgg]]) — file-count-bounded state; the sidecar
+    * coverage summary observed during the generation write itself. */
+  def pathStatsAgg(path: Column, version: Column): Column =
+    column(PathStatsAgg(expression(path), expression(version))
+      .toAggregateExpression())
+
   def mightContain(bloom: Array[Byte], value: Column): Column =
     column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
       org.apache.spark.sql.catalyst.expressions.Literal

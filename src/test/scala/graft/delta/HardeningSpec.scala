@@ -446,4 +446,37 @@ class HardeningSpec extends SparkTestBase {
     // the first commit's content survived
     assert(log.latestVersion() == 1L)
   }
+
+  test("snapshotAt reuses the pinned-version cache; both caches survive recreation") {
+    val log = freshLog()
+    val path = log.tablePath
+    TransactionWriter.overwrite(log, Seq((1L, "old")).toDF("n", "s")) // v0
+    TransactionWriter.append(log, Seq((2L, "old")).toDF("n", "s"))    // v1
+    val s1a = log.snapshotAt(1L)
+    // a later commit does not invalidate a pinned version: the second
+    // resolution is served from the cache (same instance — no re-list)
+    TransactionWriter.append(log, Seq((3L, "old")).toDF("n", "s"))    // v2
+    val s1b = DeltaLog.forPath(spark, path).snapshotAt(1L)
+    assert(s1b eq s1a, "pinned snapshot must be served from the cache")
+    assert(log.snapshot.read().count() == 3L) // populate the latest cache
+    // DELETE the table and re-create a DIFFERENT history at the same
+    // path, reaching the same version numbers — existence probes alone
+    // would serve stale snapshots; the anchor-file identity must not
+    val fs = log.fs
+    fs.delete(new Path(path), true)
+    val log2 = DeltaLog.forPath(spark, path)
+    TransactionWriter.overwrite(log2,
+      Seq((10L, "new"), (11L, "new")).toDF("n", "s"))                 // v0
+    TransactionWriter.append(log2,
+      Seq((12L, "new"), (13L, "new"), (14L, "new")).toDF("n", "s"))   // v1
+    TransactionWriter.append(log2, Seq((15L, "new")).toDF("n", "s"))  // v2
+    // latest snapshot: same version (2), same _last_checkpoint state
+    // (none) — only the anchor identity distinguishes the histories
+    val latest = DeltaLog.forPath(spark, path).snapshot
+    assert(latest.read().count() == 6L,
+      "recreated table's latest snapshot must reflect the new history")
+    val s1new = DeltaLog.forPath(spark, path).snapshotAt(1L)
+    assert(s1new.read().count() == 5L,
+      "pinned snapshot of a recreated history must be re-resolved")
+  }
 }

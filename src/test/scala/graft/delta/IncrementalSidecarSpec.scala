@@ -282,6 +282,167 @@ class IncrementalSidecarSpec extends SparkTestBase {
       "deleted vector must not appear as a neighbor on either path")
   }
 
+  test("coverage summary is observed during the write: 3-field lines, counts == numRecords") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cov_obs_")
+      .resolve("t").toString
+    val log = DeltaLog.forPath(spark, dir)
+    TransactionWriter.overwrite(log,
+      docsDf(0L until 30L).repartition(3, col("id")))
+    LshIndex.build(log, "id", "text")
+    val idxDir = LshIndex.indexDir(log, "id", "text")
+    val full = Sidecar.readCoverageFull(spark, idxDir).get
+    assert(full.nonEmpty && full.valuesIterator.forall(_._2 >= 0),
+      s"every line must carry an observed count: $full")
+    // counts must equal both the entry relation and the adds' stats
+    val perFile = LshIndex.entries(log, "id", "text").get
+      .groupBy("file_path").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(full.map { case (p, (_, n)) => p -> n } == perFile)
+    val snap = log.snapshot
+    val byNorm = snap.planFiles().flatMap(f =>
+      snap.pathCandidates(f).map(c => Mutations.normalize(c) -> f)).toMap
+    full.foreach { case (p, (_, n)) =>
+      val f = byNorm(Mutations.normalize(p))
+      assert(IncrementalSidecar.numRecordsOf(f).contains(n),
+        s"count $n must equal the add's numRecords for $p")
+    }
+  }
+
+  test("entry-count invariant: a corrupted count is flagged, never served, and heals on refresh") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cov_inv_")
+      .resolve("t").toString
+    val log = DeltaLog.forPath(spark, dir)
+    def dtext(i: Long): String =
+      s"doc $i " + (0 until 12).map(j => s"tok${i}_$j").mkString(" ")
+    TransactionWriter.overwrite(log,
+      (0L until 30L).map(i => (i, dtext(i))).toDF("id", "text")
+        .repartition(3, col("id")))
+    LshIndex.build(log, "id", "text")
+    val idxDir = LshIndex.indexDir(log, "id", "text")
+    // hand-corrupt ONE path's count in the live generation's summary
+    val base = new org.apache.hadoop.fs.Path(idxDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(base, "_current"))
+      try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+    }
+    val covPath = new org.apache.hadoop.fs.Path(base, s"$gen/_coverage")
+    val lines = {
+      val in = fs.open(covPath)
+      try scala.io.Source.fromInputStream(in).mkString.split("\n").toSeq
+      finally in.close()
+    }
+    val corrupted = lines.zipWithIndex.map {
+      case (l, 0) =>
+        val parts = l.split("\t"); s"${parts(0)}\t${parts(1)}\t${parts(2).toLong + 3}"
+      case (l, _) => l
+    }
+    val out = fs.create(covPath, true)
+    try out.write(corrupted.mkString("\n").getBytes("UTF-8")) finally out.close()
+    Sidecar.invalidateCoverage(idxDir)
+    val badPath = lines.head.split("\t")(0)
+    // SHOW INDEXES flags exactly one invalid file
+    val inv = Indexes.describe(log).collect { case ("lsh", _, _, _, _, i) => i }
+    assert(inv == Seq(1L), s"SHOW INDEXES must flag the corrupted file: $inv")
+    // the probe never serves the corrupted slice: indexed dedup still
+    // equals the direct operator (the flagged file is computed live)
+    val batch = Seq((1000L, dtext(5)), (2000L, dtext(999)))
+      .toDF("id", "text")
+    val viaIdx = LshIndex.dedupBatch(log, batch, "id", "text", 0.5)
+      .select("id").as[Long].collect().sorted.toSeq
+    val direct = graft.operators.MinHashLsh.dedupAgainstCorpus(
+      batch, log.snapshot.read(), "id", "text", 0.5)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(viaIdx == direct && viaIdx == Seq(2000L),
+      s"idx=$viaIdx direct=$direct — dup of doc 5 must still drop")
+    // refresh rescans the demoted file and heals the inventory
+    LshIndex.refresh(log, "id", "text")
+    val healed = Indexes.describe(log).collect { case ("lsh", _, c, a, s0, i) => (c, a, s0, i) }
+    assert(healed == Seq((3L, 3L, 0L, 0L)),
+      s"refresh must rescan the flagged file back to full coverage: $healed")
+    val reFull = Sidecar.readCoverageFull(spark, idxDir).get
+    assert(reFull.get(badPath).exists(_._2 == lines.head.split("\t")(2).toLong),
+      "the healed summary must carry the true count again")
+  }
+
+  test("transitive chain: OPTIMIZE then re-cluster with no refresh between still remaps") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_remap_chain_")
+      .resolve("t").toString
+    val log = DeltaLog.forPath(spark, dir)
+    TransactionWriter.overwrite(log,
+      docsDf(0L until 40L).repartition(4, col("id")))
+    LshIndex.build(log, "id", "text")
+    val before = LshIndex.entries(log, "id", "text").get
+      .select("id", "hs", "ks", "version").collect().toSet
+    // rewrite TWICE between refreshes: OPTIMIZE folds to one file,
+    // then a re-cluster rewrites that output again — the second
+    // commit's removed file has no stored entries, so only the
+    // transitive walk (v5's output → original stored sources) keeps
+    // this a remap instead of a full kernel rescan
+    Maintenance.compactSmall(log, targetFileBytes = 1L << 30,
+      minSmallFiles = 2)
+    Maintenance.zorder(DeltaLog.forPath(spark, dir), Seq("id"),
+      targetFileBytes = 4096)
+    val fresh = DeltaLog.forPath(spark, dir)
+    LshIndex.refresh(fresh, "id", "text")
+    val after = LshIndex.entries(fresh, "id", "text").get
+      .select("id", "hs", "ks", "version").collect().toSet
+    // version stamps unchanged ⇒ NO kernel rescan anywhere in the chain
+    assert(after == before,
+      s"chained remap must carry entries verbatim; " +
+        s"diff=${(after diff before).take(3)} / ${(before diff after).take(3)}")
+    // and the index still serves correctly on the re-clustered layout
+    val batch = docsDf(Seq(1000L)).unionByName(
+      Seq((2000L, text(7))).toDF("id", "text"))
+    val viaIdx = LshIndex.dedupBatch(fresh, batch, "id", "text", 0.5)
+      .select("id").as[Long].collect().sorted.toSeq
+    val direct = graft.operators.MinHashLsh.dedupAgainstCorpus(
+      batch, fresh.snapshot.read(), "id", "text", 0.5)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(viaIdx == direct, s"idx=$viaIdx direct=$direct")
+  }
+
+  test("refresh after RESTORE converges to exactly the active set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_remap_rst_")
+      .resolve("t").toString
+    val log = DeltaLog.forPath(spark, dir)
+    def dtext(i: Long): String =
+      s"doc $i " + (0 until 12).map(j => s"tok${i}_$j").mkString(" ")
+    TransactionWriter.overwrite(log,
+      (0L until 30L).map(i => (i, dtext(i))).toDF("id", "text")
+        .repartition(3, col("id")))                                    // v0
+    LshIndex.build(log, "id", "text")
+    // delete a slice (rewrites its files), refresh — the index now
+    // reflects the post-delete state; entries of the dropped rows gone
+    Mutations.delete(DeltaLog.forPath(spark, dir), col("id") < 10L)    // v1
+    val mid = DeltaLog.forPath(spark, dir)
+    LshIndex.refresh(mid, "id", "text")
+    assert(LshIndex.entries(mid, "id", "text").get
+      .where(col("id") < 10L).count() == 0L)
+    // RESTORE to v0 re-activates the original files (dataChange=true —
+    // a restore is a data change, so remap NEVER attributes across it;
+    // the re-activated files are plain uncovered files to rescan)
+    Maintenance.restore(DeltaLog.forPath(spark, dir), 0L)
+    val fresh = DeltaLog.forPath(spark, dir)
+    LshIndex.refresh(fresh, "id", "text")
+    val idxIds = LshIndex.entries(fresh, "id", "text").get
+      .select("id").as[Long].collect().sorted.toSeq
+    val liveIds = fresh.snapshot.read()
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(idxIds == liveIds && idxIds.size == 30,
+      s"post-RESTORE refresh must mirror the active set: idx=${idxIds.size}")
+    // and the probe serves the restored corpus correctly
+    val batch = Seq((1000L, dtext(5)), (2000L, dtext(999)))
+      .toDF("id", "text")
+    val viaIdx = LshIndex.dedupBatch(fresh, batch, "id", "text", 0.5)
+      .select("id").as[Long].collect().sorted.toSeq
+    val direct = graft.operators.MinHashLsh.dedupAgainstCorpus(
+      batch, fresh.snapshot.read(), "id", "text", 0.5)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(viaIdx == direct && viaIdx == Seq(2000L),
+      s"idx=$viaIdx direct=$direct — restored doc 5 must catch its dup again")
+  }
+
   test("multi-add rewrite: clean ids remap via the narrow id read; ambiguous ids fall back") {
     val dir = java.nio.file.Files.createTempDirectory("graft_remap_a_")
       .resolve("t").toString

@@ -395,7 +395,7 @@ class MaintenanceSpec extends SparkTestBase {
         .toDF("id", "text").repartition(1))
     val fresh = DeltaLog.forPath(spark, log.tablePath)
     val inv = Indexes.describe(fresh)
-      .map { case (k, c, cov, act, stale) => (k, cov, act, stale) }
+      .map { case (k, c, cov, act, stale, _) => (k, cov, act, stale) }
     assert(inv.toSet == Set(("bloom", 3L, 3L, 0L), ("lsh", 3L, 3L, 0L)),
       s"auto-refresh left stale coverage: $inv")
     // descriptor round-trip
@@ -410,7 +410,7 @@ class MaintenanceSpec extends SparkTestBase {
     TransactionWriter.append(off,
       Seq((99L, "late doc")).toDF("id", "text").repartition(1))
     val offInv = Indexes.describe(DeltaLog.forPath(spark, off.tablePath))
-    assert(offInv.exists { case (k, _, _, _, stale) => k == "lsh" && stale == 1L },
+    assert(offInv.exists { case (k, _, _, _, stale, _) => k == "lsh" && stale == 1L },
       s"without the conf the appended file must read stale: $offInv")
   }
 

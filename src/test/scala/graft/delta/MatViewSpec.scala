@@ -220,6 +220,39 @@ class MatViewSpec extends SparkTestBase {
     assert(wh("a") == ((1L, 21L)) && wh("b") == ((2L, 12L)), s"got $wh")
   }
 
+  test("AVG matview: a key born from an all-NULL slice heals when values arrive") {
+    val base = java.nio.file.Files.createTempDirectory("graft-mv-an")
+    val srcPath = base.resolve("src").toString
+    val viewPath = base.resolve("v").toString
+    val src = DeltaLog.forPath(spark, srcPath)
+    TransactionWriter.overwrite(src,
+      Seq(("a", java.lang.Long.valueOf(10L))).toDF("k", "v"))
+    ChangeDataFeed.enable(src)
+    MatView.create(spark, viewPath, srcPath, Seq("k"), Seq("avg" -> "v"))
+    // key "c" is BORN from a slice that is all-NULL in the avg column:
+    // the hidden (sum, count) pair must insert as ZERO, not NULL — a
+    // NULL running sum would poison every later fold (t + delta = NULL)
+    // and freeze avg_v at NULL forever
+    TransactionWriter.append(src,
+      Seq(("c", null.asInstanceOf[java.lang.Long]),
+        ("c", null.asInstanceOf[java.lang.Long])).toDF("k", "v"))
+    MatView.refresh(spark, viewPath)
+    def avgOf(k: String): Option[Double] =
+      DeltaLog.forPath(spark, viewPath).snapshot.read()
+        .where(col("k") === k).collect().headOption
+        .map(_.getAs[java.lang.Double]("avg_v")).map(Option(_))
+        .flatten.map(_.doubleValue)
+    assert(avgOf("c").isEmpty, "an all-null group's avg must be NULL")
+    // now non-null rows arrive — avg must become the direct AVG
+    TransactionWriter.append(src,
+      Seq(("c", java.lang.Long.valueOf(6L)),
+        ("c", java.lang.Long.valueOf(10L))).toDF("k", "v"))
+    MatView.refresh(spark, viewPath)
+    assert(avgOf("c").contains(8.0),
+      s"avg must heal to 8.0 after non-null rows, got ${avgOf("c")}")
+    assert(avgOf("a").contains(10.0))
+  }
+
   test("join view: describe, dim-only window, and vanished-group delete") {
     val base = java.nio.file.Files.createTempDirectory("graft-mv-j")
     val factPath = base.resolve("f").toString
