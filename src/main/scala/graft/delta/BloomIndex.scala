@@ -139,6 +139,12 @@ object BloomIndex {
       .getOrElse(return build(log, column, expectedItemsPerFile))
     val (storedRaw, since) = IncrementalSidecar.storedSummary(
       spark, dir, existing, Set.empty)
+    // per-path scan versions (memoized summary read): remapped entries
+    // keep the MAX of their sources' versions — the same no-rescan
+    // observable the row-keyed sidecars expose
+    val storedVersions: Map[String, Long] =
+      Sidecar.readCoverageFull(spark, dir)
+        .map(_.map { case (p, (v, _)) => p -> v }).getOrElse(Map.empty)
     val cov = IncrementalSidecar.coverage(snap, storedRaw,
       coverDvFiles = true)
     if (!cov.changed) return snap.version
@@ -149,7 +155,7 @@ object BloomIndex {
     // and its n_rows from the add's own log stats; no data bytes read
     val (remapped, fellBack) = remapEntries(log, snap, existing,
       IncrementalSidecar.remapGroups(log, snap, cov.missing,
-        cov.coveredNorm, storedRaw, since))
+        cov.coveredNorm, storedRaw, since), storedVersions)
     val scanFiles = fellBack
     val newEntries =
       if (scanFiles.isEmpty) existing.limit(0)
@@ -178,7 +184,8 @@ object BloomIndex {
     * (sizing changed between builds), falls back to the scan. */
   private def remapEntries(log: DeltaLog, snap: Snapshot,
       entries: DataFrame,
-      planned: (Seq[IncrementalSidecar.RemapGroup], Seq[AddFile]))
+      planned: (Seq[IncrementalSidecar.RemapGroup], Seq[AddFile]),
+      storedVersions: Map[String, Long] = Map.empty)
       : (Option[DataFrame], Seq[AddFile]) = {
     val (groups, leftover) = planned
     if (groups.isEmpty) return (None, leftover)
@@ -188,10 +195,12 @@ object BloomIndex {
     val fallback = scala.collection.mutable.ArrayBuffer.empty[AddFile]
     fallback ++= leftover
     groups.foreach { g =>
-      val nRows: Seq[Option[Long]] = g.newFiles.map(_.stats.flatMap { s =>
-        val n = JsonUtil.mapper.readTree(s).path("numRecords").asLong(-1L)
-        if (n >= 0) Some(n) else None
-      })
+      // numRecords via the slim-planning 8-byte column — g.newFiles
+      // come from planFiles (stats JSON nulled for driver memory), so
+      // parsing f.stats here would ALWAYS miss and silently demote
+      // every remap to a rescan
+      val nRows: Seq[Option[Long]] =
+        g.newFiles.map(IncrementalSidecar.numRecordsOf)
       val mergedBytes: Array[Byte] =
         if (nRows.exists(_.isEmpty)) null
         else
@@ -202,10 +211,15 @@ object BloomIndex {
           catch { case scala.util.control.NonFatal(_) => null }
       if (mergedBytes == null) fallback ++= g.newFiles
       else {
+        // the merged filter derives ENTIRELY from the sources' scans,
+        // so it keeps their max scan version — the observable that no
+        // table bytes were read (a rescan would stamp snap.version)
+        val srcVersion = g.sourcePaths.flatMap(storedVersions.get)
+          .maxOption.getOrElse(snap.version)
         val rows = g.newFiles.zip(nRows).map { case (f, n) =>
           (log.fs.makeQualified(new org.apache.hadoop.fs.Path(
             log.rootPath, DeltaLog.decodePath(f.path))).toString,
-            n.get, mergedBytes, snap.version)
+            n.get, mergedBytes, srcVersion)
         }
         val df = rows.toDF("file_path", "n_rows", "bloom", "version")
         out = Some(out.map(_.unionByName(df)).getOrElse(df))

@@ -112,21 +112,23 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
   /** Identity of the file PROVING a resolved version: the commit json
     * when present, else the checkpoint's first part — with its
     * (modificationTime, length). A log deleted and re-created at the
-    * same path necessarily re-creates the anchor as a different file
-    * object, so comparing the triple catches recreation that pure
-    * existence probes cannot. One metadata RPC. */
+    * same path re-creates the anchor as a different file object, so
+    * comparing the triple catches recreation that pure existence
+    * probes cannot (same-length re-creation within one mtime granule
+    * is the theoretical residue — acceptable next to the alternative
+    * of a full LIST per call). ONE metadata RPC on the common path:
+    * getFileStatus directly, FileNotFound routing to the checkpoint
+    * arm instead of a separate exists probe. */
   private def anchorOf(version: Long): Option[(String, Long, Long)] = {
-    val cj = new Path(logPath, f"$version%020d.json")
-    val p =
-      try { if (fs.exists(cj)) Some(cj) else checkpointFiles(version)
-        .headOption.map(new Path(_)) }
-      catch { case scala.util.control.NonFatal(_) => None }
-    p.flatMap { q =>
+    def statusOf(q: Path): Option[(String, Long, Long)] =
       try {
         val st = fs.getFileStatus(q)
         Some((q.toString, st.getModificationTime, st.getLen))
       } catch { case scala.util.control.NonFatal(_) => None }
-    }
+    statusOf(new Path(logPath, f"$version%020d.json")).orElse(
+      try checkpointFiles(version).headOption
+        .map(new Path(_)).flatMap(statusOf)
+      catch { case scala.util.control.NonFatal(_) => None })
   }
 
   /** `_last_checkpoint` content: (version, parts). */
@@ -177,15 +179,20 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     * deleted and re-created at the same path. */
   def snapshotAt(version: Long): Snapshot = {
     val key = (logPath.toString, version)
+    // anchor is captured BEFORE resolution: if the history is deleted
+    // and re-created mid-resolve, the stored anchor belongs to the
+    // history the resolve STARTED from, so the next call's fresh
+    // anchor mismatches and re-resolves — stale state can never stick
+    val anchor = anchorOf(version)
     val hit = Option(DeltaLog.versionSnapshotCache.get(key))
       .filter(_._1 eq spark)
-      .filter { case (_, _, anchor) => anchorOf(version).contains(anchor) }
+      .filter { case (_, _, a) => anchor.contains(a) }
       .map(_._2)
     hit.getOrElse {
       val snap = resolveAt(version)
       if (DeltaLog.versionSnapshotCache.size > 128)
         DeltaLog.versionSnapshotCache.clear()
-      anchorOf(version).foreach(a =>
+      anchor.foreach(a =>
         DeltaLog.versionSnapshotCache.put(key, (spark, snap, a)))
       snap
     }

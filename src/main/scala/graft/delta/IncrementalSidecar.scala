@@ -349,7 +349,8 @@ object IncrementalSidecar {
     * text or vectors. */
   def remapRowEntries(spark: SparkSession, snap: Snapshot,
       entries: DataFrame, idCol: String, groups: Seq[RemapGroup],
-      idRead: Seq[AddFile] => DataFrame)
+      idRead: Seq[AddFile] => DataFrame,
+      storedCounts: Map[String, Long] = Map.empty)
       : (Option[DataFrame], Seq[AddFile]) = {
     if (groups.isEmpty) return (None, Nil)
     import spark.implicits._
@@ -357,9 +358,24 @@ object IncrementalSidecar {
       .filterNot(c => c == "file_path" || c == idCol || c == "version")
     var remapped: Option[DataFrame] = None
     val fallback = scala.collection.mutable.ArrayBuffer.empty[AddFile]
+    // COUNT-EQUALITY guard for the verbatim fast path: total membership
+    // means rows(new file) == Σ rows(sources) EXACTLY, and both sides
+    // are log-plane-known (the add's numRecords; the `_coverage`
+    // counts). This holds independently of the DV descriptors on the
+    // remove actions — a FOREIGN writer's purge commit may legally omit
+    // them (the field is optional in the spec), and a purged file has
+    // fewer rows, so the equality catches what the flag cannot see.
+    // Unknown on either side → the id path (correct, just a narrow
+    // read).
+    def totalMembership(g: RemapGroup): Boolean =
+      (for {
+        expected <- numRecordsOf(g.newFiles.head)
+        srcSum <- Some(g.sourcePaths.map(p => storedCounts.getOrElse(p, -1L)))
+          .filter(_.forall(_ >= 0)).map(_.sum)
+      } yield expected == srcSum).getOrElse(false)
     groups.foreach { g =>
       if (g.newFiles.size == 1 && g.commitAdds == 1 && g.sourcesDvFree &&
-          !g.chained) {
+          !g.chained && totalMembership(g)) {
         // SINGLE-ADD fast path (the common OPTIMIZE shape: a commit
         // folds its removed files into one output): membership is
         // total — every source row landed in the one new file — so the
@@ -388,10 +404,15 @@ object IncrementalSidecar {
         // Degrade, never fail: an id column the narrow read cannot
         // serve (e.g. a partition column — stripped from the parquet
         // data schema) throws at analysis; the group then simply pays
-        // the kernel scan. Fallback is deduped by path below in case a
-        // partial append preceded the throw.
+        // the kernel scan. Logged loudly — a SYSTEMATIC failure here
+        // silently turns every refresh O(corpus). Fallback is deduped
+        // by path below in case a partial append preceded the throw.
         try remapMultiAdd(g)
-        catch { case scala.util.control.NonFatal(_) =>
+        catch { case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"index remap: id attribution failed for commit " +
+              s"${g.version} (${g.newFiles.size} files) — falling back " +
+              s"to the kernel scan: ${e.getMessage}")
           fallback ++= g.newFiles }
       }
     }

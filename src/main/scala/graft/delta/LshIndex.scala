@@ -188,7 +188,7 @@ object LshIndex {
       cov.missing, cov.coveredNorm, validStored, since)
     val (remapped, fellBack) = IncrementalSidecar.remapRowEntries(
       spark, snap, existing, idCol, groups,
-      fs => IncrementalSidecar.narrowIdRead(log, snap, fs, idCol))
+      fs => IncrementalSidecar.narrowIdRead(log, snap, fs, idCol), counts)
     val scanFiles = toScan ++ fellBack
     val kept = IncrementalSidecar.keepStored(spark, existing, cov.liveStored)
     val newEntries =

@@ -240,7 +240,7 @@ object PqIndex {
       cov.missing, cov.coveredNorm, validStored, since)
     val (remapped, fellBack) = IncrementalSidecar.remapRowEntries(
       spark, snap, dataRows, idCol, groups,
-      fs => IncrementalSidecar.narrowIdRead(log, snap, fs, idCol))
+      fs => IncrementalSidecar.narrowIdRead(log, snap, fs, idCol), counts)
     val missing = toScan ++ fellBack
     import spark.implicits._
     val kept = idx.join(

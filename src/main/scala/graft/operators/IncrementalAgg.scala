@@ -84,13 +84,21 @@ object IncrementalAgg {
     // SUM's null semantics would only poison it — a key whose FIRST
     // slice is all-null would store a NULL running sum and every later
     // fold (t + coalesce(delta, 0)) would stay NULL forever, freezing
-    // avg at NULL after non-null rows arrive. Visible sums keep SUM's
-    // semantics untouched.
+    // avg at NULL after non-null rows arrive.
+    //
+    // VISIBLE sums fold with NULL as the IDENTITY element, not the
+    // absorbing one: SUM over a group is NULL iff every value is NULL,
+    // and that is exactly "running is NULL AND this slice's delta is
+    // NULL" — so a key born from an all-null slice stores NULL (right)
+    // and heals to the true sum when values arrive (t+coalesce alone
+    // would freeze it at NULL forever, diverging from a direct SUM).
     val hiddenPair = avgCols.flatMap { case (_, sc, cc) => Seq(sc, cc) }.toSet
     def folded(vc: String): org.apache.spark.sql.Column = {
-      val t = if (hiddenPair(vc)) coalesce(col(s"t.$vc"), lit(0L))
-        else col(s"t.$vc")
-      t + coalesce(col(s"s.${sumDelta(vc)}"), lit(0L))
+      val t = col(s"t.$vc")
+      val d = col(s"s.${sumDelta(vc)}")
+      if (hiddenPair(vc)) coalesce(t, lit(0L)) + coalesce(d, lit(0L))
+      else when(t.isNull && d.isNull, d)
+        .otherwise(coalesce(t, lit(0L)) + coalesce(d, lit(0L)))
     }
     val avgUpdates = avgCols.map { case (ac, sc, cc) =>
       ac -> when(folded(cc) > 0,
@@ -133,8 +141,12 @@ object IncrementalAgg {
       .select(keyCols.map(col) ++ Seq(
         (coalesce(col(countCol), lit(0L)) +
           coalesce(col("__d_n"), lit(0L))).as(countCol),
-        (coalesce(col(sumCol), lit(0L)) +
-          coalesce(col("__d_sum"), lit(0L))).as(sumCol)): _*)
+        // NULL as identity, matching mergeDeltaMulti: the sum is NULL
+        // only when both the running value and the delta are (an
+        // all-null group), never poisoned by a null-born key
+        when(col(sumCol).isNull && col("__d_sum").isNull, col("__d_sum"))
+          .otherwise(coalesce(col(sumCol), lit(0L)) +
+            coalesce(col("__d_sum"), lit(0L))).as(sumCol)): _*)
       .where(col(countCol) > 0)
 
   /** Delta-key RECOMPUTE — incremental maintenance for aggregates with

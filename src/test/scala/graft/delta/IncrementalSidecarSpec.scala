@@ -115,6 +115,13 @@ class IncrementalSidecarSpec extends SparkTestBase {
     // every active file has an entry (remap covered the compacted file)
     assert(entries.select("file_path").distinct().count() ==
       fresh.snapshot.planFiles().size)
+    // and the remap really happened: the merged entry keeps the MAX of
+    // its sources' scan versions — a rescan would stamp the refresh
+    // snapshot version (this is what caught the remap silently dead)
+    val versionsAfter = entries
+      .select("version").distinct().as[Long].collect().toSet
+    assert(versionsAfter == versionsBefore,
+      s"bloom remap must not rescan: versions $versionsBefore -> $versionsAfter")
     // no false negative: every key still resolves to a candidate file
     Seq(0L, 123L, 399L).foreach { k =>
       val (cand, _) = BloomIndex.candidateFiles(fresh, "k", Seq(k))

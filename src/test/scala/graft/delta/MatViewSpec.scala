@@ -253,6 +253,36 @@ class MatViewSpec extends SparkTestBase {
     assert(avgOf("a").contains(10.0))
   }
 
+  test("SUM matview: a key born from an all-NULL slice stays NULL then heals (SQL SUM semantics)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-mv-sn")
+    val srcPath = base.resolve("src").toString
+    val viewPath = base.resolve("v").toString
+    val src = DeltaLog.forPath(spark, srcPath)
+    TransactionWriter.overwrite(src,
+      Seq(("a", java.lang.Long.valueOf(10L))).toDF("k", "v"))
+    ChangeDataFeed.enable(src)
+    MatView.create(spark, viewPath, srcPath, Seq("k"), Seq("sum" -> "v"))
+    TransactionWriter.append(src,
+      Seq(("c", null.asInstanceOf[java.lang.Long]),
+        ("c", null.asInstanceOf[java.lang.Long])).toDF("k", "v"))
+    MatView.refresh(spark, viewPath)
+    def sumOf(k: String): Option[Long] =
+      DeltaLog.forPath(spark, viewPath).snapshot.read()
+        .where(col("k") === k).collect().headOption
+        .flatMap(r => Option(r.getAs[java.lang.Long]("sum_v")))
+        .map(_.longValue)
+    // SQL SUM over an all-null group is NULL — not 0
+    assert(sumOf("c").isEmpty, s"all-null group must report NULL sum")
+    // values arrive: sum folds to the direct SUM, not frozen at NULL
+    TransactionWriter.append(src,
+      Seq(("c", java.lang.Long.valueOf(6L)),
+        ("c", java.lang.Long.valueOf(10L))).toDF("k", "v"))
+    MatView.refresh(spark, viewPath)
+    assert(sumOf("c").contains(16L),
+      s"sum must heal to 16 after non-null rows, got ${sumOf("c")}")
+    assert(sumOf("a").contains(10L))
+  }
+
   test("join view: describe, dim-only window, and vanished-group delete") {
     val base = java.nio.file.Files.createTempDirectory("graft-mv-j")
     val factPath = base.resolve("f").toString
