@@ -101,9 +101,16 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
         anchorOf(s.version).contains(anchor)
     }.map(_._2)
     current.getOrElse {
+      val t0 = System.currentTimeMillis()
       val s = lastCheckpointBootstrap().getOrElse(snapshotAt(latestVersion()))
       if (DeltaLog.snapshotCache.size > 128) DeltaLog.snapshotCache.clear()
-      anchorOf(s.version).foreach(a =>
+      // cache only when the anchor file PREDATES the resolution start:
+      // an anchor written during the resolve window means the history
+      // may have been deleted and re-created mid-resolve — pairing the
+      // (possibly old-history) snapshot with the new anchor would make
+      // the stale result sticky. Skipping the cache costs one
+      // re-resolution, never correctness.
+      anchorOf(s.version).filter(_._2 <= t0).foreach(a =>
         DeltaLog.snapshotCache.put(key, (spark, s, hint, a)))
       s
     }
@@ -187,13 +194,13 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
     val hit = Option(DeltaLog.versionSnapshotCache.get(key))
       .filter(_._1 eq spark)
       .filter { case (_, _, a) => anchor.contains(a) }
-      .map(_._2)
+      .flatMap(e => Option(e._2.get()))
     hit.getOrElse {
       val snap = resolveAt(version)
       if (DeltaLog.versionSnapshotCache.size > 128)
         DeltaLog.versionSnapshotCache.clear()
-      anchor.foreach(a =>
-        DeltaLog.versionSnapshotCache.put(key, (spark, snap, a)))
+      anchor.foreach(a => DeltaLog.versionSnapshotCache.put(key,
+        (spark, new java.lang.ref.SoftReference(snap), a)))
       snap
     }
   }
@@ -539,10 +546,16 @@ object DeltaLog {
   /** Pinned-version snapshot cache (see [[DeltaLog.snapshotAt]]):
     * (log path, version) → resolved snapshot, guarded only by the
     * anchor-file identity (a pinned snapshot cannot go stale — only
-    * its whole history can be deleted/re-created). */
+    * its whole history can be deleted/re-created). Values are SOFT
+    * references: a Snapshot lazily materializes O(table-files) driver
+    * state once touched, so pinning up to 128 of them hard would work
+    * against the slim-planning memory posture — under heap pressure
+    * the GC reclaims them and the entry degrades to a re-resolve. */
   private[delta] val versionSnapshotCache =
     new java.util.concurrent.ConcurrentHashMap[
-      (String, Long), (SparkSession, Snapshot, (String, Long, Long))]()
+      (String, Long),
+      (SparkSession, java.lang.ref.SoftReference[Snapshot],
+        (String, Long, Long))]()
 
   /** Decode a percent-encoded Delta log path (spec: `add.path` is
     * URI-encoded). */

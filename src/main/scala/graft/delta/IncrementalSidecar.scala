@@ -66,6 +66,29 @@ object IncrementalSidecar {
       changed: Boolean,
       invalidStored: Seq[String] = Nil)
 
+  /** THE entry-count invariant predicate — the single definition both
+    * refresh ([[coverage]]) and `GRAFT SHOW INDEXES`
+    * ([[Indexes.describe]]) apply, so the two surfaces can never
+    * disagree about which files are invalid. `exact = true` for kinds
+    * storing one entry per logical row (LSH): count must EQUAL the
+    * add's `numRecords`. `exact = false` for kinds that collapse
+    * duplicate ids per file (IVF/PQ assignment groups by (file, id)):
+    * count may be BELOW `numRecords` legitimately, so only an EXCESS
+    * flags — which is precisely the ghost-resurrection signature (a
+    * purged rewrite has fewer rows than the entries wrongly carried
+    * onto it), while a strict check would flag duplicate-id corpora
+    * forever and turn every refresh into a non-convergent rescan. */
+  def invalidStoredPaths(coverableByNorm: Map[String, AddFile],
+      storedPaths: Seq[String], storedCounts: Map[String, Long],
+      exact: Boolean): Seq[String] =
+    if (storedCounts.isEmpty) Nil
+    else storedPaths.filter { p =>
+      val n = storedCounts.getOrElse(p, -1L)
+      n >= 0 && coverableByNorm.get(Mutations.normalize(p))
+        .flatMap(numRecordsOf)
+        .exists(rec => if (exact) n != rec else n > rec)
+    }
+
   /** The add's recorded row count, when its stats carry one. For a
     * DV-free file (the only kind row-keyed sidecars cover) physical
     * rows == logical rows, so a row-keyed entry relation must hold
@@ -94,24 +117,22 @@ object IncrementalSidecar {
     * `storedCounts` (path → entry count; absent or negative = unknown,
     * e.g. a legacy two-field summary) enables the LOG-PLANE integrity
     * invariant for row-keyed sidecars: a covered file's entry count
-    * must equal its add's `numRecords`. A mismatched path is demoted —
+    * is checked against its add's `numRecords` ([[invalidStoredPaths]]
+    * — strict equality for one-entry-per-row kinds, excess-only for
+    * kinds that collapse duplicates). A mismatched path is demoted —
     * out of `liveStored` and `coveredNorm`, its file into `missing` —
     * so a corrupted slice is rescanned rather than served. Pass empty
     * for per-file sidecars (Bloom: one filter row per file). */
   def coverage(snap: Snapshot, storedPaths: Seq[String],
       coverDvFiles: Boolean,
-      storedCounts: Map[String, Long] = Map.empty): Coverage = {
+      storedCounts: Map[String, Long] = Map.empty,
+      countsExact: Boolean = true): Coverage = {
     val coverable = coverableFiles(snap, coverDvFiles)
     val byNorm: Map[String, AddFile] = coverable
       .flatMap(f => snap.pathCandidates(f).map(c =>
         Mutations.normalize(c) -> f)).toMap
     val invalidStored =
-      if (storedCounts.isEmpty) Nil
-      else storedPaths.filter { p =>
-        val n = storedCounts.getOrElse(p, -1L)
-        n >= 0 && byNorm.get(Mutations.normalize(p))
-          .flatMap(numRecordsOf).exists(_ != n)
-      }
+      invalidStoredPaths(byNorm, storedPaths, storedCounts, countsExact)
     val invalid = invalidStored.toSet
     val liveStored = storedPaths.filter(p =>
       !invalid.contains(p) && byNorm.contains(Mutations.normalize(p)))
@@ -142,9 +163,11 @@ object IncrementalSidecar {
     * are computed LIVE by the probe. */
   def probeCoverage(snap: Snapshot, storedPaths: Seq[String],
       coverDvFiles: Boolean,
-      storedCounts: Map[String, Long] = Map.empty)
+      storedCounts: Map[String, Long] = Map.empty,
+      countsExact: Boolean = true)
       : (Seq[String], Seq[AddFile]) = {
-    val cov = coverage(snap, storedPaths, coverDvFiles, storedCounts)
+    val cov = coverage(snap, storedPaths, coverDvFiles, storedCounts,
+      countsExact)
     val usableNorm = cov.liveStored.map(Mutations.normalize).toSet
     val live = snap.planFiles().filter { f =>
       (!coverDvFiles && f.deletionVector.exists(_.cardinality > 0)) ||

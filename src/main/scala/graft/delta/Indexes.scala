@@ -51,19 +51,17 @@ object Indexes {
             spark, dir.toString, df, Set.empty)
           val stored = storedRaw.filterNot(_.startsWith("__"))
           val rowKeyed = kind != "bloom" && kind != "unknown"
-          // entry-count invariant, directly from locals (no second
-          // coverage pass): covered row-keyed file with a known count
-          // that contradicts the add's numRecords
+          // entry-count invariant — THE shared predicate
+          // (IncrementalSidecar.invalidStoredPaths), so SHOW INDEXES
+          // and refresh can never disagree; exactness per kind (IVF
+          // collapses duplicate ids, LSH/PQ store one entry per row)
           val byNorm: Map[String, AddFile] = coverable
             .flatMap(f => snap.pathCandidates(f).map(c =>
               Mutations.normalize(c) -> f)).toMap
           val invalid =
             if (!rowKeyed) Nil
-            else stored.filter { p =>
-              val n = counts.getOrElse(p, -1L)
-              n >= 0 && byNorm.get(Mutations.normalize(p))
-                .flatMap(IncrementalSidecar.numRecordsOf).exists(_ != n)
-            }
+            else IncrementalSidecar.invalidStoredPaths(byNorm, stored,
+              counts, exact = kind != "ivf")
           val invalidSet = invalid.toSet
           val covered = stored.count(p => !invalidSet.contains(p) &&
             coverableNorm.contains(Mutations.normalize(p)))

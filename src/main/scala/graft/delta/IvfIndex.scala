@@ -215,8 +215,11 @@ object IvfIndex {
     val dataRows = idx.where(col("file_path") =!= CentroidsMarker)
     val (storedRaw, since, counts) = IncrementalSidecar.storedSummaryFull(
       spark, indexDir(log, idCol, vecCol), idx, Set(CentroidsMarker))
+    // countsExact = false: assignment collapses duplicate ids per
+    // file, so counts may legitimately sit below numRecords — only an
+    // EXCESS (the ghost signature) flags
     val cov = IncrementalSidecar.coverage(snap, storedRaw,
-      coverDvFiles = false, counts)
+      coverDvFiles = false, counts, countsExact = false)
     if (!cov.changed) return snap.version
     val validStored = storedRaw.filterNot(cov.invalidStored.toSet)
     // compaction remap: dataChange=false rewrites carry (cell, asim,
@@ -332,7 +335,7 @@ object IvfIndex {
     val (storedRaw, _, counts) = IncrementalSidecar.storedSummaryFull(
       spark, indexDir(log, idCol, vecCol), idx, Set(CentroidsMarker))
     val (usable, liveFiles) = IncrementalSidecar.probeCoverage(
-      snap, storedRaw, coverDvFiles = false, counts)
+      snap, storedRaw, coverDvFiles = false, counts, countsExact = false)
     import spark.implicits._
     val indexed = idx
       .where(col("cell").isin(probedCells: _*)) // pushed: cell-sorted files

@@ -229,6 +229,9 @@ object PqIndex {
     val dataRows = idx.where(!col("file_path").isin(markers.toSeq: _*))
     val (storedRaw, since, counts) = IncrementalSidecar.storedSummaryFull(
       spark, indexDir(log, idCol, vecCol), idx, markers)
+    // countsExact = true: PQ encodes one entry PER ROW (no duplicate
+    // collapse — unlike IVF's grouped assignment), so strict equality
+    // against numRecords is the correct, stronger invariant
     val cov = IncrementalSidecar.coverage(snap, storedRaw,
       coverDvFiles = false, counts)
     if (!cov.changed) return snap.version

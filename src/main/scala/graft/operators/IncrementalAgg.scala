@@ -87,11 +87,14 @@ object IncrementalAgg {
     // avg at NULL after non-null rows arrive.
     //
     // VISIBLE sums fold with NULL as the IDENTITY element, not the
-    // absorbing one: SUM over a group is NULL iff every value is NULL,
-    // and that is exactly "running is NULL AND this slice's delta is
-    // NULL" — so a key born from an all-null slice stores NULL (right)
-    // and heals to the true sum when values arrive (t+coalesce alone
-    // would freeze it at NULL forever, diverging from a direct SUM).
+    // absorbing one — so a key born from an all-null slice stores NULL
+    // (matching a direct SUM) and heals to the true sum when values
+    // arrive (t+coalesce alone would freeze it at NULL forever).
+    // Known residue, inherent to pair-less invertible SUM: RETRACTING
+    // the last non-null row of a mixed group leaves 0 where a direct
+    // SUM over the remaining all-null rows is NULL — detecting that
+    // needs a per-sum non-null count (the AVG hidden pair keeps one;
+    // plain SUM views deliberately do not pay that column).
     val hiddenPair = avgCols.flatMap { case (_, sc, cc) => Seq(sc, cc) }.toSet
     def folded(vc: String): org.apache.spark.sql.Column = {
       val t = col(s"t.$vc")

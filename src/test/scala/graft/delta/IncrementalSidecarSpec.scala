@@ -409,6 +409,33 @@ class IncrementalSidecarSpec extends SparkTestBase {
     assert(viaIdx == direct, s"idx=$viaIdx direct=$direct")
   }
 
+  test("IVF duplicate ids: collapsed counts stay valid and refresh converges to a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cov_dup_")
+      .resolve("t").toString
+    val log = DeltaLog.forPath(spark, dir)
+    // id 5 appears TWICE (identical vector): IVF assignment groups by
+    // (file, id), so the file stores ONE entry fewer than numRecords —
+    // a strict count invariant would flag it forever and every refresh
+    // would rescan + republish without converging
+    val base = vecsDf(0L until 20L)
+    TransactionWriter.overwrite(log,
+      base.unionByName(vecsDf(Seq(5L))).coalesce(1))
+    IvfIndex.build(log, "id", "v", k = 4, iterations = 2)
+    def pointer(): String = {
+      val p = new org.apache.hadoop.fs.Path(
+        IvfIndex.indexDir(log, "id", "v"), "_current")
+      val in = log.fs.open(p)
+      try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+    }
+    val genBefore = pointer()
+    IvfIndex.refresh(DeltaLog.forPath(spark, dir), "id", "v")
+    assert(pointer() == genBefore,
+      "refresh of a current index over a duplicate-id corpus must be a no-op")
+    val inv = Indexes.describe(log).collect { case ("ivf", _, c, a, s0, i) => (c, a, s0, i) }
+    assert(inv == Seq((1L, 1L, 0L, 0L)),
+      s"collapsed counts must not read as invalid: $inv")
+  }
+
   test("refresh after RESTORE converges to exactly the active set") {
     val dir = java.nio.file.Files.createTempDirectory("graft_remap_rst_")
       .resolve("t").toString
