@@ -373,7 +373,8 @@ object IncrementalSidecar {
   def remapRowEntries(spark: SparkSession, snap: Snapshot,
       entries: DataFrame, idCol: String, groups: Seq[RemapGroup],
       idRead: Seq[AddFile] => DataFrame,
-      storedCounts: Map[String, Long] = Map.empty)
+      storedCounts: Map[String, Long] = Map.empty,
+      dedupePerId: Boolean = false)
       : (Option[DataFrame], Seq[AddFile]) = {
     if (groups.isEmpty) return (None, Nil)
     import spark.implicits._
@@ -418,10 +419,17 @@ object IncrementalSidecar {
         val newPath = snap.log.fs.makeQualified(
           new org.apache.hadoop.fs.Path(
             snap.log.rootPath, DeltaLog.decodePath(f.path))).toString
-        val out = keepStored(spark, entries, g.sourcePaths)
+        val carried = keepStored(spark, entries, g.sourcePaths)
           .withColumn("file_path", lit(newPath))
           .select((col("file_path") +: col(idCol) +:
             contentCols.map(col) :+ col("version")).toIndexedSeq: _*)
+        // collapsing kinds (IVF): ids duplicated ACROSS source files
+        // become intra-file duplicates in the merged output, which the
+        // kernel would collapse to one entry — mirror it (entry-plane
+        // shuffle only, still zero data reads)
+        val out =
+          if (dedupePerId) carried.dropDuplicates("file_path", idCol)
+          else carried
         remapped = Some(remapped.map(_.unionByName(out)).getOrElse(out))
       } else {
         // Degrade, never fail: an id column the narrow read cannot
@@ -474,11 +482,19 @@ object IncrementalSidecar {
       } else {
         fallback ++= bad.flatten
         val good = ids.join(srcOk, Seq(idCol))
-        val goodRows =
+        val goodFiltered =
           if (bad.isEmpty) good
           else good.join(
             broadcast(badSpellings.toSeq.toDF("file_path")),
             Seq("file_path"), "left_anti")
+        // kinds whose KERNEL collapses duplicate ids per file (IVF's
+        // grouped assignment) must collapse here too, or the remap
+        // would re-expand per row and diverge from a fresh scan —
+        // exact because the ambiguity guard already excluded ids with
+        // disagreeing content
+        val goodRows =
+          if (dedupePerId) goodFiltered.dropDuplicates("file_path", idCol)
+          else goodFiltered
         val out = goodRows
           .select((col("file_path") +: col(idCol) +:
             contentCols.map(col) :+ col("version")).toIndexedSeq: _*)

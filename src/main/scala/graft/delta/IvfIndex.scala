@@ -229,7 +229,8 @@ object IvfIndex {
       cov.missing, cov.coveredNorm, validStored, since)
     val (remapped, fellBack) = IncrementalSidecar.remapRowEntries(
       spark, snap, dataRows, idCol, groups,
-      fs => IncrementalSidecar.narrowIdRead(log, snap, fs, idCol), counts)
+      fs => IncrementalSidecar.narrowIdRead(log, snap, fs, idCol), counts,
+      dedupePerId = true) // assignment collapses duplicate ids per file
     val missing = toScan ++ fellBack
     import spark.implicits._
     val kept = idx.join(

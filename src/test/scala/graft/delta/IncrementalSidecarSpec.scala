@@ -436,6 +436,35 @@ class IncrementalSidecarSpec extends SparkTestBase {
       s"collapsed counts must not read as invalid: $inv")
   }
 
+  test("IVF duplicate ids: remap through compaction keeps the collapsed granularity") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_remap_dupiv_")
+      .resolve("t").toString
+    val log = DeltaLog.forPath(spark, dir)
+    // id 5 twice (identical vector) across two files: the kernel
+    // collapses per (file, id); a remap that re-expanded per row would
+    // diverge from a fresh scan and duplicate search candidates
+    TransactionWriter.overwrite(log,
+      vecsDf(0L until 20L).repartition(2, col("id")))
+    TransactionWriter.append(log, vecsDf(Seq(5L)).coalesce(1))
+    IvfIndex.build(log, "id", "v", k = 4, iterations = 2)
+    val before = IvfIndex.entries(log, "id", "v").get
+      .where(col("file_path") =!= "__centroids")
+      .select("id", "cell", "vec", "version").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    Maintenance.compactSmall(log, targetFileBytes = 1L << 30,
+      minSmallFiles = 2)
+    val fresh = DeltaLog.forPath(spark, dir)
+    IvfIndex.refresh(fresh, "id", "v")
+    val after = IvfIndex.entries(fresh, "id", "v").get
+      .where(col("file_path") =!= "__centroids")
+      .select("id", "cell", "vec", "version").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    // one compacted file now holds id 5's two source rows → ONE entry
+    assert(after(5L) == 1,
+      s"remap must collapse duplicate ids like the kernel: ${after(5L)}")
+    assert(after.filterNot(_._1 == 5L) == before.filterNot(_._1 == 5L))
+  }
+
   test("refresh after RESTORE converges to exactly the active set") {
     val dir = java.nio.file.Files.createTempDirectory("graft_remap_rst_")
       .resolve("t").toString
