@@ -172,6 +172,46 @@ object MinHashLsh {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Containment near-dup pairs: |A∩B| / min(|A|, |B|) ≥ `threshold`
+    * on the candidates' hashed shingle sets — the ASYMMETRIC
+    * complement of [[nearDupPairs]]. A short document quoted whole
+    * inside a longer one (boilerplate-wrapped copies, quote inclusion,
+    * prefix truncations) has LOW Jaccard — the union is dominated by
+    * the longer doc — but containment ≈ 1, so symmetric dedup misses
+    * exactly the inclusion cases corpus curation cares about
+    * (Broder's containment measure, "On the resemblance and
+    * containment of documents", SEQUENCES '97).
+    *
+    * Candidate generation is the same banded minhash LSH (bucket-mate
+    * pairs, skew-capped), so recall follows the bands' JACCARD
+    * sensitivity: a pair at containment 1 but Jaccard j collides per
+    * band with probability j⁴ — strong for moderate size skew, fading
+    * for extreme skew (where a shingle-prefix bucketing scheme would
+    * be the next step; documented trade, same scale shape as the rest
+    * of the LSH family). The verify is EXACT on the candidates, and
+    * the deterministic md5 pipeline means an engine-independent replay
+    * (the DuckDB oracle) sees the identical candidate set.
+    *
+    * Output: (id_a, id_b, containment) with id_a < id_b, containment
+    * rounded to 6 decimals; empty shingle sets never pair (a
+    * zero-denominator guard on BOTH sides of the min). */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.9, maxBucketSize: Int = 0): DataFrame = {
+    val hashed = hashedShingles(df, idCol, textCol).localCheckpoint()
+    val cand = candidatePairs(
+      bandBuckets(withSignature(hashed), idCol), idCol, maxBucketSize)
+    val ha = hashed.select(col(idCol).as("id_a"), col("hs").as("hs_a"))
+    val hb = hashed.select(col(idCol).as("id_b"), col("hs").as("hs_b"))
+    cand.join(ha, "id_a").join(hb, "id_b")
+      .where(size(col("hs_a")) > 0 && size(col("hs_b")) > 0)
+      .withColumn("containment", round(
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          least(size(col("hs_a")), size(col("hs_b"))).cast("double"), 6))
+      .where(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
   /** Cluster assignment over the TRANSITIVE CLOSURE of the verified
     * near-dup graph: every doc mapped to the minimum doc id reachable
     * through Jaccard-≥-threshold chains (A≈B≈C lands A and C in one

@@ -640,6 +640,42 @@ object Queries {
        |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.5e0""".stripMargin
   }
 
+  /** Containment dedup oracle (DuckDB): the same shingle / minhash /
+    * banding pipeline over documents UNION the deterministic
+    * 80%-token-prefix derivations, verified with Broder containment
+    * |∩| / min(|a|, |b|) instead of Jaccard — the replayable SQL form
+    * of `MinHashLsh.containmentPairs(threshold = 0.9)`. */
+  private def qContainmentDedup: String = {
+    val src =
+      """(SELECT doc_id, lang, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 2000000 AS doc_id, lang,
+        |   array_to_string(toks[1 : GREATEST(1, len(toks)*4//5)], ' ') AS text
+        | FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |       FROM documents WHERE doc_id % 97 = 0) d) u""".stripMargin
+    def bandKey(b: Int): String =
+      s"concat_ws(',', mh${4 * b}::VARCHAR, mh${4 * b + 1}::VARCHAR, mh${4 * b + 2}::VARCHAR, mh${4 * b + 3}::VARCHAR)"
+    val mhs = (0 until 16).map(j => s"  ${minhashExpr("duck", j)} AS mh$j").mkString(",\n")
+    val buckets = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, ${bandKey(b)} AS k FROM sig").mkString("\n  UNION ALL ")
+    s"""WITH ${hashedShinglesCte("duck", src)},
+       |sig AS (SELECT doc_id,
+       |$mhs
+       |FROM hsh),
+       |buckets AS ($buckets),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM buckets x JOIN buckets y
+       |    ON x.band = y.band AND x.k = y.k AND x.doc_id < y.doc_id),
+       |p AS (SELECT c.doc_a, c.doc_b,
+       |    ROUND(CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) /
+       |      CAST(LEAST(len(ha.hs), len(hb.hs)) AS DOUBLE), 6) AS containment
+       |  FROM cand c
+       |  JOIN hsh ha ON ha.doc_id = c.doc_a
+       |  JOIN hsh hb ON hb.doc_id = c.doc_b
+       |  WHERE len(ha.hs) > 0 AND len(hb.hs) > 0)
+       |SELECT doc_a, doc_b, containment FROM p WHERE containment >= 0.9e0""".stripMargin
+  }
+
   /** Fuzzy incremental dedup oracle: batch docs (doc_id % 5 = 0) that
     * near-duplicate (Jaccard ≥ 0.5) NO prior-corpus doc, via the same
     * signature/banding pipeline as [[qNgramJaccard]] restricted to
@@ -4706,6 +4742,31 @@ object Queries {
     // under-cap buckets. The oracle replays the capped generation in
     // SQL, so a cap that wrongly dropped (or kept) a bucket fails the
     // hash compare.
+    // Asymmetric containment dedup (Broder containment): a short doc
+    // quoted whole inside a longer one has LOW Jaccard (union is
+    // dominated by the long doc) but containment ≈ 1 — the inclusion
+    // cases symmetric near-dup misses. Candidates are the same banded
+    // LSH; verify is exact |∩| / min(|a|, |b|) on the hashed shingle
+    // sets. The corpus is documents UNION deterministic 80%-token
+    // prefixes of every 97th doc (id + 2000000) — guaranteed
+    // high-containment inclusions the oracle replays bit-for-bit.
+    "q_containment_dedup" -> ((s, dir) => {
+      registerViews(s, dir)
+      val docs = s.table("documents").select(col("doc_id"), col("text"))
+      val derived = s.table("documents").where(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+          array_join(slice(split(col("text"), " "), lit(1),
+            // explicit floor: Spark `/` is DOUBLE division — the
+            // oracle's `len*4//5` must be matched by truncation, not
+            // left to slice's implicit length cast
+            greatest(lit(1), floor((size(split(col("text"), " ")) * 4)
+              / lit(5)).cast("int"))),
+            " ").as("text"))
+      graft.operators.MinHashLsh.containmentPairs(
+        docs.unionByName(derived), "doc_id", "text", threshold = 0.9)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          col("containment"))
+    }),
     "q_minhash_dedup_capped" -> ((s, dir) => {
       registerViews(s, dir)
       val docs = s.table("documents").select(col("doc_id"), col("text"))
@@ -6092,6 +6153,7 @@ object Queries {
     "q_quality_score" -> qQualityScore("duck"),
     "q_lang_id" -> qLangId("duck"),
     "q_ngram_jaccard" -> qNgramJaccard("duck"),
+    "q_containment_dedup" -> qContainmentDedup,
     "q_minhash_dedup_capped" -> qMinhashDedupCapped,
     "q_minhash_signature" -> qMinhashSignature("duck"),
     "q_minhash_dedup" -> qMinhashDedup("duck"),

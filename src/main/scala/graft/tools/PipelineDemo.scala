@@ -48,6 +48,34 @@ object PipelineDemo {
       annotated.select("doc_id", "lang_pred", "n_tokens", "quality_e6")
         .orderBy("doc_id").show(5)
 
+      // asymmetric containment: a deterministic 80%-prefix derivation
+      // of one doc must pair with its source at containment 1.0 while
+      // the symmetric Jaccard verify misses it at the same threshold
+      val base = docs.orderBy("doc_id").limit(5)
+        .select(col("doc_id"), col("text"))
+      val incl = base.select((col("doc_id") + 9000000L).as("doc_id"),
+        org.apache.spark.sql.functions.array_join(
+          org.apache.spark.sql.functions.slice(
+            org.apache.spark.sql.functions.split(col("text"), " "),
+            org.apache.spark.sql.functions.lit(1),
+            org.apache.spark.sql.functions.greatest(
+              org.apache.spark.sql.functions.lit(1),
+              org.apache.spark.sql.functions.floor(
+                (org.apache.spark.sql.functions.size(
+                  org.apache.spark.sql.functions.split(col("text"), " ")) * 4)
+                  / org.apache.spark.sql.functions.lit(5)).cast("int"))),
+          " ").as("text"))
+      val contained = MinHashLsh.containmentPairs(
+        base.select("doc_id", "text").unionByName(incl),
+        "doc_id", "text", threshold = 0.95)
+      // banding recall at Jaccard ≈ 0.8 is ~80% per pair — over five
+      // derivations at least one collides (deterministic md5: fixed
+      // outcome for fixed text)
+      val nContained = contained.count()
+      require(nContained >= 1L,
+        "containmentPairs must catch an 80%-prefix inclusion")
+      println(s"containment    : $nContained/5 prefix inclusions caught at >=0.95")
+
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       val knn = Similarity.bruteForceTopK(
         emb, emb.where(col("vec_id") % 100 === 0), "vec_id", "embedding", 3)

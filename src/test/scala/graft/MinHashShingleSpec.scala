@@ -57,4 +57,25 @@ class MinHashShingleSpec extends SparkTestBase {
     val want = docs.select(col("doc_id"), composed(col("text"), 3).as("hs"))
     assertSameRows(got, want, "operator vs composed shingles")
   }
+
+  test("containmentPairs finds prefix inclusions and respects the threshold") {
+    import spark.implicits._
+    // doc 1 = 40 unique tokens; doc 2 = its first 36 tokens (90%
+    // prefix: containment 1, Jaccard 34/38 ≈ 0.89); docs 3/4 unrelated
+    val a = (0 until 40).map(j => s"w${j}_alpha").mkString(" ")
+    val b = (0 until 36).map(j => s"w${j}_alpha").mkString(" ")
+    val c = (0 until 40).map(j => s"x${j}_beta").mkString(" ")
+    val d = (0 until 40).map(j => s"y${j}_gamma").mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, c), (4L, d)).toDF("id", "text")
+    val pairs = graft.operators.MinHashLsh
+      .containmentPairs(docs, "id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)),
+      s"exactly the prefix inclusion, at containment 1.0: ${pairs.toSeq}")
+    // the symmetric verify misses it at the same threshold: Jaccard of
+    // the pair is ~0.89 < 0.9 — the case this operator exists for
+    val jac = graft.operators.MinHashLsh
+      .nearDupPairs(docs, "id", "text", threshold = 0.9).count()
+    assert(jac == 0L, "Jaccard at 0.9 must miss the inclusion pair")
+  }
 }
