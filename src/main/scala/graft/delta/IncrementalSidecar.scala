@@ -398,8 +398,21 @@ object IncrementalSidecar {
           .filter(_.forall(_ >= 0)).map(_.sum)
       } yield expected == srcSum).getOrElse(false)
     groups.foreach { g =>
+      // Collapsing kinds (dedupePerId) with MULTIPLE source files take
+      // the id path even when membership is total: the same id can
+      // legally exist in two sources with DIFFERING content (duplicate-
+      // id corpora — per-file collapsed counts still sum to the merged
+      // numRecords, so totalMembership cannot see it), and the fast
+      // path's dropDuplicates would keep an ARBITRARY entry where a
+      // fresh kernel scan collapses deterministically. remapMultiAdd's
+      // ambiguity guard excludes such ids (their file falls back to the
+      // scan) and collapses identical-content duplicates with a
+      // deterministic min(version). A single source file has no cross-
+      // file duplicates by construction (the kernel already collapsed
+      // per (file, id)) — verbatim carry stays sound there.
       if (g.newFiles.size == 1 && g.commitAdds == 1 && g.sourcesDvFree &&
-          !g.chained && totalMembership(g)) {
+          !g.chained && totalMembership(g) &&
+          (!dedupePerId || g.sourcePaths.size == 1)) {
         // SINGLE-ADD fast path (the common OPTIMIZE shape: a commit
         // folds its removed files into one output): membership is
         // total — every source row landed in the one new file — so the

@@ -212,6 +212,59 @@ object LshIndex {
     * computed live, and with no index at all the whole call degrades
     * to the direct operator. `maxBucketSize` follows
     * [[MinHashLsh.candidatePairs]]'s conf-deferral semantics. */
+  /** Index-backed containment screen: every CROSS pair (batch id,
+    * corpus id) with Broder containment ≥ `threshold` — result ≡
+    * [[MinHashLsh.containmentAgainstCorpus]](newBatch, corpus.read()),
+    * with the prior side's (id, hs) rows served from the sidecar:
+    * covered files contribute persisted shingle sets (columnar read —
+    * no text, no md5 kernel, the operator's dominant cost),
+    * uncovered/DV'd files are shingled live, and with no index at all
+    * the call degrades to the direct operator. Candidate generation
+    * and verification are [[MinHashLsh.containmentCrossPairs]] —
+    * shared line-for-line with the direct path, so indexed ≡ direct
+    * by construction (q_containment_indexed pins it end-to-end).
+    *
+    * Probe economics vs [[dedupBatch]]'s two-phase trick: containment
+    * candidates need the prior's SHINGLE CONTENTS (the posting side is
+    * the hs column itself), so the probe reads the wide hs column of
+    * covered entries once — the kernel CPU is saved, the hs bytes are
+    * not. Bounding the IO too would take an anchor column plus an
+    * h-sorted posting generation (noted as the next increment; the
+    * refresh economics are unchanged either way). */
+  def containmentBatch(log: DeltaLog, newBatch: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.9,
+      broadcastKeys: Boolean = true, anchorK: Int = MinHashLsh.AnchorK,
+      maxBucketSize: Int = 0): DataFrame = {
+    val spark = log.spark
+    val snap = log.snapshot
+    validate(snap, idCol, textCol)
+    val idx = entries(log, idCol, textCol).getOrElse(
+      return MinHashLsh.containmentAgainstCorpus(newBatch, snap.read(),
+        idCol, textCol, threshold, broadcastKeys, anchorK, maxBucketSize))
+    val (storedPaths, _, counts) = IncrementalSidecar.storedSummaryFull(
+      spark, indexDir(log, idCol, textCol), idx, Set.empty)
+    val (usableStored, liveFiles) = IncrementalSidecar.probeCoverage(
+      snap, storedPaths, coverDvFiles = false, counts)
+    val covered = IncrementalSidecar.keepStored(spark, idx, usableStored)
+      .select(col(idCol), col("hs"))
+    def priorHashed: DataFrame =
+      if (liveFiles.isEmpty) covered
+      else covered.unionByName(
+        MinHashLsh.hashedShingles(snap.readFiles(liveFiles), idCol, textCol))
+    val hNew = MinHashLsh.hashedShingles(newBatch, idCol, textCol)
+      .localCheckpoint()
+    MinHashLsh.containmentCrossPairs(hNew, idCol, threshold, anchorK,
+      MinHashLsh.effectiveCap(newBatch, maxBucketSize), broadcastKeys,
+      priorHashed,
+      // verify attach: one more columnar (id, hs) pass semi-joined to
+      // the candidate ids (id-sorted generation → row-group pruning
+      // does the work under AQE's broadcast of the small id set)
+      ids => priorHashed.join(
+        if (broadcastKeys) org.apache.spark.sql.functions.broadcast(ids)
+        else ids,
+        Seq(idCol), "left_semi"))
+  }
+
   def dedupBatch(log: DeltaLog, newBatch: DataFrame,
       idCol: String, textCol: String, threshold: Double = 0.5,
       broadcastKeys: Boolean = true, maxBucketSize: Int = 0): DataFrame = {

@@ -162,10 +162,21 @@ object MatView {
     val filtered = where.fold(srcSnap.read())(w => srcSnap.read().where(expr(w)))
     val keyed = keyExprs.foldLeft(filtered) { case (d, (n, e)) =>
       d.withColumn(n, expr(e)) }
+    // the single-SUM (signed-fold) strategy maintains a hidden per-key
+    // non-null-value count beside the sum, so retracting a group's last
+    // non-null row folds the sum back to NULL exactly like a direct
+    // recompute (multi-aggregate views rederive from the source and
+    // need no helper); hidden columns are stripped by [[read]]
+    val sumNnHelper: Seq[Column] =
+      aggs.map { case (fn, c) => (fn.toLowerCase, c) } match {
+        case Seq(("sum", c)) =>
+          Seq(count(col(c)).cast("long").as(s"__sc_$c"))
+        case _ => Nil
+      }
     val base = keyed
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
-        aggs.map { case (fn, c) => aggColumn(fn, c) }: _*)
+        aggs.map { case (fn, c) => aggColumn(fn, c) } ++ sumNnHelper: _*)
     val viewLog = DeltaLog.forPath(spark, viewPath)
     // the txn appId is scoped to THIS incarnation of the view: Delta
     // replay preserves SetTransaction markers across an overwrite, so
@@ -345,9 +356,15 @@ object MatView {
     val invertible = fns.forall(a => a._1 == "sum" || a._1 == "avg")
     val helperCols: Seq[Column] =
       if (!invertible) Nil
-      else fns.collect { case ("avg", c) => Seq(
-        sum(col(c)).as(s"__as_$c"),
-        count(col(c)).cast("long").as(s"__ac_$c")) }.flatten
+      else fns.collect {
+        case ("avg", c) => Seq(
+          sum(col(c)).as(s"__as_$c"),
+          count(col(c)).cast("long").as(s"__ac_$c"))
+        // hidden non-null count per visible SUM: the fold derives the
+        // sum from it (NULL at zero — exact full-retraction semantics)
+        case ("sum", c) => Seq(
+          count(col(c)).cast("long").as(s"__sc_$c"))
+      }.flatten
     val base = fs.read()
       .join(ds.read().select(col(dimPk).as(fk) +: dimSide.map(col): _*),
         Seq(fk))
@@ -409,10 +426,19 @@ object MatView {
     if (invertible) {
       val sums = aggs.collect { case ("sum", c) => c }
       val avgs = aggs.collect { case ("avg", c) => c }
+      // sums whose hidden non-null count exists in the view (created
+      // post-r13) fold exactly; a legacy incarnation keeps the
+      // NULL-as-identity fold rather than referencing a missing column
+      val viewFields = viewLog.snapshot.schema.fieldNames.toSet
+      val exactSums = sums.filter(c => viewFields.contains(s"__sc_$c"))
       val keyed = delta.groupBy(keyCols.map(col): _*)
         .agg(sum(col("__sign")).as("__d_n"),
           sums.map(c =>
             sum(col("__sign") * col(c)).as(s"__d_sum_$c")) ++
+          exactSums.map(c =>
+            sum(col("__sign") *
+              when(col(c).isNotNull, lit(1L)).otherwise(lit(0L)))
+              .as(s"__d_sc_$c")) ++
           avgs.flatMap(c => Seq(
             sum(col("__sign") * col(c)).as(s"__d_as_$c"),
             sum(col("__sign") *
@@ -422,10 +448,12 @@ object MatView {
       graft.operators.IncrementalAgg.mergeDeltaMulti(
         viewLog, keyed, keyCols, "n_rows",
         sums.map(c => s"sum_$c" -> s"__d_sum_$c") ++
+          exactSums.map(c => s"__sc_$c" -> s"__d_sc_$c") ++
           avgs.flatMap(c => Seq(s"__as_$c" -> s"__d_as_$c",
             s"__ac_$c" -> s"__d_ac_$c")),
         avgCols = avgs.map(c => (s"avg_$c", s"__as_$c", s"__ac_$c")),
-        domains = wmDomain)
+        domains = wmDomain,
+        sumNnCols = exactSums.map(c => s"sum_$c" -> s"__sc_$c"))
     } else {
       // MIN/MAX present: re-derive the CHANGED keys from the join
       // pinned at the window's end versions — the signed delta supplies
@@ -543,6 +571,16 @@ object MatView {
       case (None, None) => throw new IllegalStateException(
         s"matview has neither a $StateDomain domain nor a createVersion")
     }
+  }
+
+  /** The view's VISIBLE relation: the stored rollup minus maintenance
+    * helper columns (`__`-prefixed — AVG's hidden (sum, non-null count)
+    * pair, SUM's hidden non-null count). The helpers are implementation
+    * state of the signed fold; a consumer comparing the view against a
+    * direct recompute reads this surface. */
+  def read(spark: SparkSession, viewPath: String): org.apache.spark.sql.DataFrame = {
+    val df = DeltaLog.forPath(spark, viewPath).snapshot.read()
+    df.drop(df.columns.filter(_.startsWith("__")).toIndexedSeq: _*)
   }
 
   /** The view's definition + watermark: (source path, key columns,
@@ -674,7 +712,23 @@ object MatView {
       val wmDomain = Seq(StateDomain ->
         s"""{"sourceVersion":${math.max(cur, effLast)}}""")
       aggs match {
+        case Seq(("sum", valueCol))
+            if snap.schema.fieldNames.contains(s"__sc_$valueCol") =>
+          // exact signed fold: the hidden non-null count folds with the
+          // sum, and the visible sum derives from it (NULL when a
+          // group's last non-null row is retracted — recompute
+          // semantics, no residue)
+          graft.operators.IncrementalAgg.mergeDeltaMulti(
+            viewLog,
+            graft.operators.IncrementalAgg.aggDeltaExact(
+              changes, keyCols, valueCol),
+            keyCols, "n_rows",
+            Seq(s"sum_$valueCol" -> "__d_sum", s"__sc_$valueCol" -> "__d_sc"),
+            txn = Some((txnApp, cur)), domains = wmDomain,
+            sumNnCols = Seq(s"sum_$valueCol" -> s"__sc_$valueCol"))
         case Seq(("sum", valueCol)) =>
+          // legacy incarnation (created before the hidden count):
+          // NULL-as-identity fold, documented full-retraction residue
           graft.operators.IncrementalAgg.mergeDelta(
             viewLog,
             graft.operators.IncrementalAgg.aggDelta(changes, keyCols, valueCol),

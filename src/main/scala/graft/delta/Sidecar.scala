@@ -161,24 +161,18 @@ object Sidecar {
     * immutable). Matching is normalization-aware: readers cache under
     * whatever spelling reached them (a `listStatus`-qualified URI vs
     * the builder's root-relative join), and a test invalidating by one
-    * spelling must hit entries cached under the other. */
-  private[graft] def invalidateCoverage(dir: String): Unit = {
-    val n = cacheKeyOf(dir)
+    * spelling must hit entries cached under the other. The SAME
+    * `fsOf`-based qualification [[readCoverageFull]] keys the cache
+    * with derives the key here — deriving it from `SparkSession.active`
+    * instead could qualify under a different spelling on a thread
+    * whose active session differs from the reader's, leaving exactly
+    * the stale entry this call exists to evict. */
+  private[graft] def invalidateCoverage(spark: SparkSession, dir: String): Unit = {
+    val n =
+      try { val (fs, base) = fsOf(spark, dir); fs.makeQualified(base).toString }
+      catch { case scala.util.control.NonFatal(_) => dir }
     coverageCache.keySet.removeIf(_._1 == n)
   }
-
-  /** Canonical cache-key spelling for a sidecar dir: filesystem-
-    * qualified, so the builder's root-relative join and a reader's
-    * `listStatus`-qualified URI land on the same entry. Falls back to
-    * the raw string when no Hadoop conf is reachable (never in
-    * practice — all callers hold a session). */
-  private def cacheKeyOf(dir: String): String =
-    try {
-      val p = new Path(dir)
-      val conf = org.apache.spark.sql.SparkSession.active
-        .sparkContext.hadoopConfiguration
-      p.getFileSystem(conf).makeQualified(p).toString
-    } catch { case scala.util.control.NonFatal(_) => dir }
 
   /** The live generation's planning summary: stored file_path → max
     * entry version (markers included — callers filter). None when the
@@ -263,9 +257,18 @@ object Sidecar {
     try {
       val summary: Seq[String] =
         (if (observed) {
-          // the metric is available as soon as the write action above
-          // returned; rows are (path, vmax, n) sorted by path
-          obs.get("pv") match {
+          // the metric lands via an async listener shortly after the
+          // write action returns — BOUNDED wait only (Observation.get
+          // blocks forever; a deploy where metrics never propagate
+          // would wedge the publish instead of degrading), and an
+          // absent/mis-shaped "pv" key falls through to the re-read
+          // pass rather than throwing past the _coverage write
+          val row =
+            try Some(scala.concurrent.Await.result(obs.future,
+              scala.concurrent.duration.Duration(30, "seconds")))
+            catch { case scala.util.control.NonFatal(_) => None }
+          row.flatMap(r =>
+            scala.util.Try(r.getAs[Any]("pv")).toOption).flatMap {
             case rows: scala.collection.Seq[_] => Some(rows.collect {
               case r: org.apache.spark.sql.Row =>
                 s"${r.getString(0)}\t${r.getLong(1)}\t${r.getLong(2)}"

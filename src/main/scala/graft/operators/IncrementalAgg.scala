@@ -36,6 +36,24 @@ object IncrementalAgg {
         sum(sign * col(valueCol)).as("__d_sum"))
   }
 
+  /** [[aggDelta]] plus a signed NON-NULL-VALUE count (`__d_sc`) — the
+    * delta for rollups that maintain a hidden per-SUM non-null count
+    * so full retraction folds back to NULL exactly like a direct SUM
+    * (see [[mergeDeltaMulti]]'s `sumNnCols`). */
+  def aggDeltaExact(
+      changes: DataFrame, keyCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val sign = when(
+      col("_change_type").isin("insert", "update_postimage"), lit(1L))
+      .when(col("_change_type").isin("delete", "update_preimage"), lit(-1L))
+      .otherwise(lit(0L))
+    changes.groupBy(keyCols.map(col): _*)
+      .agg(sum(sign).as("__d_n"),
+        sum(sign * col(valueCol)).as("__d_sum"),
+        sum(sign * when(col(valueCol).isNotNull, lit(1L)).otherwise(lit(0L)))
+          .as("__d_sc"))
+  }
+
   /** MERGE a signed delta into a rollup stored as a Delta table —
     * the persistent form of [[applyDelta]], O(changed keys) per fold:
     * matched keys update in place (and drop when their count reaches
@@ -69,16 +87,27 @@ object IncrementalAgg {
     * itself folds through `sumCols` as usual, and the average is
     * recomputed from the pair's POST-fold values inside the same
     * merge (NULL when the non-null count reaches zero, matching a
-    * direct AVG over an all-null group). */
+    * direct AVG over an all-null group).
+    *
+    * `sumNnCols` maps a VISIBLE sum column to a hidden non-null-value
+    * count column (itself folded through `sumCols`, zero-identity like
+    * the AVG pair): the visible sum is then derived EXACTLY — NULL
+    * whenever the non-null count is zero, the zero-identity fold
+    * otherwise. This closes the pair-less signed fold's one residue
+    * (retracting the last non-null row of a mixed group left 0 where
+    * a direct SUM reports NULL) at the cost of one long column. Sums
+    * WITHOUT an entry keep the legacy NULL-as-identity fold. */
   def mergeDeltaMulti(
       aggLog: graft.delta.DeltaLog, delta: DataFrame, keyCols: Seq[String],
       countCol: String, sumCols: Seq[(String, String)],
       txn: Option[(String, Long)] = None,
       domains: Seq[(String, String)] = Nil,
-      avgCols: Seq[(String, String, String)] = Nil): Long = {
+      avgCols: Seq[(String, String, String)] = Nil,
+      sumNnCols: Seq[(String, String)] = Nil): Long = {
     val cond = keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
     val newCount = col(s"t.$countCol") + col(s"s.__d_n")
     val sumDelta = sumCols.toMap
+    val nnOf = sumNnCols.toMap
     // hidden avg helper pairs carry ZERO (not NULL) through an all-null
     // slice: the visible average derives from the pair, so mirroring
     // SUM's null semantics would only poison it — a key whose FIRST
@@ -95,13 +124,22 @@ object IncrementalAgg {
     // SUM over the remaining all-null rows is NULL — detecting that
     // needs a per-sum non-null count (the AVG hidden pair keeps one;
     // plain SUM views deliberately do not pay that column).
-    val hiddenPair = avgCols.flatMap { case (_, sc, cc) => Seq(sc, cc) }.toSet
+    val hiddenPair = avgCols.flatMap { case (_, sc, cc) => Seq(sc, cc) }.toSet ++
+      sumNnCols.map(_._2)
     def folded(vc: String): org.apache.spark.sql.Column = {
       val t = col(s"t.$vc")
       val d = col(s"s.${sumDelta(vc)}")
       if (hiddenPair(vc)) coalesce(t, lit(0L)) + coalesce(d, lit(0L))
-      else when(t.isNull && d.isNull, d)
-        .otherwise(coalesce(t, lit(0L)) + coalesce(d, lit(0L)))
+      else nnOf.get(vc) match {
+        // nn-tracked sum: EXACT recompute semantics from the hidden
+        // count — NULL when no non-null value remains in the group
+        // (including the full-retraction case the identity fold
+        // cannot see), the plain zero-identity fold otherwise
+        case Some(nn) => when(folded(nn) > 0,
+          coalesce(t, lit(0L)) + coalesce(d, lit(0L))).otherwise(lit(null))
+        case None => when(t.isNull && d.isNull, d)
+          .otherwise(coalesce(t, lit(0L)) + coalesce(d, lit(0L)))
+      }
     }
     val avgUpdates = avgCols.map { case (ac, sc, cc) =>
       ac -> when(folded(cc) > 0,
@@ -128,7 +166,17 @@ object IncrementalAgg {
           Seq(countCol -> col(s"s.__d_n")) ++
           sumCols.map { case (vc, dc) => vc ->
             (if (hiddenPair(vc)) coalesce(col(s"s.$dc"), lit(0L))
-             else col(s"s.$dc")) } ++
+             else nnOf.get(vc) match {
+               // a freshly inserted key can still carry a zero non-null
+               // count with a NON-null sum delta (same-slice insert +
+               // delete cancel to 0 while a null-valued insert
+               // survives) — the hidden count, not the delta's
+               // nullness, decides
+               case Some(nn) => when(
+                 coalesce(col(s"s.${sumDelta(nn)}"), lit(0L)) > 0,
+                 coalesce(col(s"s.$dc"), lit(0L))).otherwise(lit(null))
+               case None => col(s"s.$dc")
+             }) } ++
           avgInserts).toMap,
         Some(col("s.__d_n") > 0))
       .execute()

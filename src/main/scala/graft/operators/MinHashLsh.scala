@@ -172,6 +172,57 @@ object MinHashLsh {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Anchors per doc for containment candidate generation: the
+    * `AnchorK` SMALLEST shingle hashes. The guarantee that makes this
+    * the right key for the CONTAINMENT measure (where banded Jaccard
+    * LSH fades): if containment(A→B) = |A∩B|/|A| ≥ t, each of A's
+    * bottom-k hashes lies in B with probability ≥ t independently
+    * (hash ranks are independent of which elements B shares), so SOME
+    * anchor of A is a shingle of B with probability ≥ 1 − (1−t)^k —
+    * ≥ 99.99999% at t = 0.9, k = 8, INDEPENDENT of |B| and of the
+    * size skew. For a true subset (prefix truncation, full quote
+    * inclusion) every anchor of A is in B — the candidate is
+    * DETERMINISTIC. */
+  val AnchorK = 8
+
+  private[graft] def bottomK(hs: Column, k: Int): Column =
+    slice(array_sort(hs), 1, k)
+
+  /** Containment candidate pairs via bottom-k shingle anchors: (a, b)
+    * pair when some anchor of one doc is ANY shingle of the other.
+    * Scale shape: the anchor side is k rows per doc; the posting side
+    * explodes shingles but is semi-joined to the (doc-count × k)-sized
+    * distinct anchor-hash set BEFORE any exchange, so only shingles
+    * that are somebody's anchor shuffle. `cap` (same semantics as the
+    * band-bucket cap) drops anchor hashes whose posting list exceeds
+    * it — a boilerplate shingle that is also some doc's anchor would
+    * otherwise contribute |posting|² pairs in one task; its docs still
+    * pair through their other, selective anchors. */
+  private[graft] def anchorCandidates(
+      hashed: DataFrame, idCol: String, k: Int, cap: Int): DataFrame = {
+    val anch = hashed.where(size(col("hs")) > 0)
+      .select(col(idCol), explode(bottomK(col("hs"), k)).as("h"))
+    val postingAll = hashed
+      .select(col(idCol), explode(col("hs")).as("h"))
+      .join(anch.select("h").distinct(), Seq("h"), "left_semi")
+    val posting =
+      if (cap <= 0) postingAll
+      else {
+        // second reference to the pruned posting — materialize it
+        // (anchor-bucket-sized) so the explode runs once
+        val mat = postingAll.localCheckpoint()
+        mat.join(
+          mat.groupBy("h").agg(count(lit(1)).as("__psz"))
+            .where(col("__psz") <= cap).select("h"),
+          Seq("h"))
+      }
+    anch.as("x").join(posting.as("y"),
+        col("x.h") === col("y.h") && col(s"x.$idCol") =!= col(s"y.$idCol"))
+      .select(least(col(s"x.$idCol"), col(s"y.$idCol")).as("id_a"),
+        greatest(col(s"x.$idCol"), col(s"y.$idCol")).as("id_b"))
+      .distinct()
+  }
+
   /** Containment near-dup pairs: |A∩B| / min(|A|, |B|) ≥ `threshold`
     * on the candidates' hashed shingle sets — the ASYMMETRIC
     * complement of [[nearDupPairs]]. A short document quoted whole
@@ -182,25 +233,33 @@ object MinHashLsh {
     * (Broder's containment measure, "On the resemblance and
     * containment of documents", SEQUENCES '97).
     *
-    * Candidate generation is the same banded minhash LSH (bucket-mate
-    * pairs, skew-capped), so recall follows the bands' JACCARD
-    * sensitivity: a pair at containment 1 but Jaccard j collides per
-    * band with probability j⁴ — strong for moderate size skew, fading
-    * for extreme skew (where a shingle-prefix bucketing scheme would
-    * be the next step; documented trade, same scale shape as the rest
-    * of the LSH family). The verify is EXACT on the candidates, and
-    * the deterministic md5 pipeline means an engine-independent replay
-    * (the DuckDB oracle) sees the identical candidate set.
+    * Candidates are the UNION of two schemes, each matched to a
+    * regime:
+    *  - the banded minhash LSH (bucket-mate pairs, skew-capped) —
+    *    Jaccard-sensitive, covers moderate size skew;
+    *  - bottom-k shingle ANCHORS ([[anchorCandidates]]) — recall
+    *    ≥ 1 − (1−t)^k independent of skew, and DETERMINISTIC for true
+    *    subsets, covering exactly the extreme-skew inclusions (a
+    *    50-token doc quoted inside a 5,000-token one, Jaccard ≈ 0.01)
+    *    that collide through a Jaccard band with probability j⁴ ≈
+    *    never.
+    * The verify is EXACT on the candidates, and the deterministic md5
+    * pipeline means an engine-independent replay (the DuckDB oracle)
+    * sees the identical candidate set.
     *
     * Output: (id_a, id_b, containment) with id_a < id_b, containment
     * rounded to 6 decimals; empty shingle sets never pair (a
     * zero-denominator guard on BOTH sides of the min). */
   def containmentPairs(
       df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.9, maxBucketSize: Int = 0): DataFrame = {
+      threshold: Double = 0.9, maxBucketSize: Int = 0,
+      anchorK: Int = AnchorK): DataFrame = {
     val hashed = hashedShingles(df, idCol, textCol).localCheckpoint()
+    val cap = effectiveCap(df, maxBucketSize)
     val cand = candidatePairs(
-      bandBuckets(withSignature(hashed), idCol), idCol, maxBucketSize)
+        bandBuckets(withSignature(hashed), idCol), idCol, maxBucketSize)
+      .unionByName(anchorCandidates(hashed, idCol, anchorK, cap))
+      .distinct()
     val ha = hashed.select(col(idCol).as("id_a"), col("hs").as("hs_a"))
     val hb = hashed.select(col(idCol).as("id_b"), col("hs").as("hs_b"))
     cand.join(ha, "id_a").join(hb, "id_b")
@@ -210,6 +269,98 @@ object MinHashLsh {
           least(size(col("hs_a")), size(col("hs_b"))).cast("double"), 6))
       .where(col("containment") >= threshold)
       .select("id_a", "id_b", "containment")
+  }
+
+  /** Containment screen of `newBatch` against a `prior` corpus: every
+    * CROSS pair (new id, prior id) whose Broder containment
+    * |∩| / min(|a|, |b|) on the hashed 3-gram shingle sets is ≥
+    * `threshold` — the incremental-ingest form of [[containmentPairs]]
+    * (is today's doc a quote/prefix/wrapper of — or quoted inside —
+    * anything already ingested?). Candidates come from bottom-k
+    * anchors in BOTH directions ([[anchorCandidates]]'s scheme):
+    * new-doc anchors vs prior shingles catches a new doc contained in
+    * a prior one, prior-doc anchors vs new shingles the reverse —
+    * recall ≥ 1 − (1−t)^k per true pair independent of size skew,
+    * deterministic for true subsets. No banded stage: for the
+    * CONTAINMENT measure the anchor scheme dominates the Jaccard
+    * bands at every skew (a containment-t pair has Jaccard ≤ t, and
+    * 1 − (1−t)^k ≥ 1 − (1−j⁴)^4 throughout), so bands would add
+    * shuffle without recall.
+    *
+    * Scale shape: ONE streaming pass over the prior's (id, hs)
+    * explodes shingles and semi-joins the (broadcast) batch shingle
+    * set BEFORE any exchange — only hashes the batch shares survive —
+    * and the exact verify re-attaches prior shingle sets for CANDIDATE
+    * prior ids only (`priorHsForIds`). The text kernel is the dominant
+    * cost; the verify-side re-read is id-pruned below it, and the
+    * indexed twin ([[graft.delta.LshIndex.containmentBatch]]) serves
+    * both passes from persisted signatures with no kernel at all.
+    * `cap` drops anchor hashes whose prior posting exceeds it (same
+    * skew guard as [[anchorCandidates]]).
+    *
+    * Output: (id_new, id_prior, containment ROUND 6). */
+  def containmentAgainstCorpus(
+      newBatch: DataFrame, prior: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.9, broadcastKeys: Boolean = true,
+      anchorK: Int = AnchorK, maxBucketSize: Int = 0): DataFrame = {
+    val hNew = hashedShingles(newBatch, idCol, textCol).localCheckpoint()
+    containmentCrossPairs(hNew, idCol, threshold, anchorK,
+      effectiveCap(prior, maxBucketSize), broadcastKeys,
+      hashedShingles(prior, idCol, textCol),
+      ids => hashedShingles(
+        // id semi-join BEFORE the kernel: the verify pass re-reads the
+        // prior's text but shingles only candidate rows
+        prior.join(if (broadcastKeys) broadcast(ids) else ids,
+          Seq(idCol), "left_semi"), idCol, textCol))
+  }
+
+  /** Shared cross-containment core — the direct operator and the
+    * LSH-sidecar-served twin differ only in where the prior's (id, hs)
+    * rows come from. `priorHashed` feeds the candidate pass;
+    * `priorHsForIds(ids)` must return (idCol, hs) for the given
+    * distinct-id frame (the verify attach). */
+  private[graft] def containmentCrossPairs(
+      hNew: DataFrame, idCol: String, threshold: Double, k: Int, cap: Int,
+      broadcastKeys: Boolean, priorHashed: DataFrame,
+      priorHsForIds: DataFrame => DataFrame): DataFrame = {
+    def hinted(df: DataFrame): DataFrame = if (broadcastKeys) broadcast(df) else df
+    val bShingles = hinted(hNew.select(explode(col("hs")).as("h")).distinct())
+    val aNew = hNew.where(size(col("hs")) > 0)
+      .select(col(idCol).as("__nid"), explode(bottomK(col("hs"), k)).as("h"))
+    // ONE prior pass: explode shingles, tag anchor membership, keep
+    // only batch-shared hashes (pre-exchange semi-join)
+    val priorE0 = priorHashed
+      .select(col(idCol).as("__pid"), explode(col("hs")).as("h"),
+        bottomK(col("hs"), k).as("__ank"))
+      .withColumn("__pa", array_contains(col("__ank"), col("h")))
+      .drop("__ank")
+      .join(bShingles, Seq("h"), "left_semi")
+    val priorE =
+      if (cap <= 0) priorE0
+      else {
+        val mat = priorE0.localCheckpoint()
+        mat.join(
+          mat.groupBy("h").agg(count(lit(1)).as("__psz"))
+            .where(col("__psz") <= cap).select("h"),
+          Seq("h"))
+      }
+    val d1 = aNew.join(priorE, "h").select(col("__nid"), col("__pid"))
+    val newPost = hNew.select(col(idCol).as("__nid"), explode(col("hs")).as("h"))
+    val d2 = priorE.where(col("__pa")).join(newPost, "h")
+      .select(col("__nid"), col("__pid"))
+    val cand = d1.unionByName(d2).distinct().localCheckpoint()
+    val pHs = priorHsForIds(cand.select(col("__pid").as(idCol)).distinct())
+      .select(col(idCol).as("__pid"), col("hs").as("hs_p"))
+    cand
+      .join(hNew.select(col(idCol).as("__nid"), col("hs").as("hs_n")), "__nid")
+      .join(pHs, "__pid")
+      .where(size(col("hs_n")) > 0 && size(col("hs_p")) > 0)
+      .withColumn("containment", round(
+        size(array_intersect(col("hs_n"), col("hs_p"))).cast("double") /
+          least(size(col("hs_n")), size(col("hs_p"))).cast("double"), 6))
+      .where(col("containment") >= threshold)
+      .select(col("__nid").as("id_new"), col("__pid").as("id_prior"),
+        col("containment"))
   }
 
   /** Cluster assignment over the TRANSITIVE CLOSURE of the verified

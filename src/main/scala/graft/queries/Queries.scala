@@ -167,7 +167,7 @@ object Queries {
     v4(src)                                                            // v4
     graft.plans.GraftSqlParser.run(s,
       s"GRAFT REFRESH MATVIEW '$viewPath'").collect()
-    graft.delta.DeltaLog.forPath(s, viewPath).snapshot.read()
+    graft.delta.MatView.read(s, viewPath)
   }
 
   private def cachedStagesQuery(
@@ -641,10 +641,12 @@ object Queries {
   }
 
   /** Containment dedup oracle (DuckDB): the same shingle / minhash /
-    * banding pipeline over documents UNION the deterministic
-    * 80%-token-prefix derivations, verified with Broder containment
-    * |∩| / min(|a|, |b|) instead of Jaccard — the replayable SQL form
-    * of `MinHashLsh.containmentPairs(threshold = 0.9)`. */
+    * banding pipeline over documents UNION the deterministic prefix
+    * derivations (80% — moderate skew; 5% — extreme skew), candidates
+    * from banded buckets UNION bottom-8 shingle anchors, verified with
+    * Broder containment |∩| / min(|a|, |b|) instead of Jaccard — the
+    * replayable SQL form of
+    * `MinHashLsh.containmentPairs(threshold = 0.9)`. */
   private def qContainmentDedup: String = {
     val src =
       """(SELECT doc_id, lang, text FROM documents
@@ -652,7 +654,12 @@ object Queries {
         | SELECT doc_id + 2000000 AS doc_id, lang,
         |   array_to_string(toks[1 : GREATEST(1, len(toks)*4//5)], ' ') AS text
         | FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
-        |       FROM documents WHERE doc_id % 97 = 0) d) u""".stripMargin
+        |       FROM documents WHERE doc_id % 97 = 0) d
+        | UNION ALL
+        | SELECT doc_id + 3000000 AS doc_id, lang,
+        |   array_to_string(toks[1 : GREATEST(4, len(toks)*5//100)], ' ') AS text
+        | FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |       FROM documents WHERE doc_id % 89 = 0) d) u""".stripMargin
     def bandKey(b: Int): String =
       s"concat_ws(',', mh${4 * b}::VARCHAR, mh${4 * b + 1}::VARCHAR, mh${4 * b + 2}::VARCHAR, mh${4 * b + 3}::VARCHAR)"
     val mhs = (0 until 16).map(j => s"  ${minhashExpr("duck", j)} AS mh$j").mkString(",\n")
@@ -663,9 +670,18 @@ object Queries {
        |$mhs
        |FROM hsh),
        |buckets AS ($buckets),
-       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |anch AS (SELECT doc_id, unnest(list_sort(hs)[1:8]) AS h
+       |  FROM hsh WHERE len(hs) > 0),
+       |post AS (SELECT doc_id, unnest(hs) AS h FROM hsh),
+       |cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM buckets x JOIN buckets y
-       |    ON x.band = y.band AND x.k = y.k AND x.doc_id < y.doc_id),
+       |    ON x.band = y.band AND x.k = y.k AND x.doc_id < y.doc_id
+       |  UNION ALL
+       |  SELECT LEAST(a.doc_id, p.doc_id) AS doc_a,
+       |    GREATEST(a.doc_id, p.doc_id) AS doc_b
+       |  FROM anch a JOIN post p
+       |    ON a.h = p.h AND a.doc_id <> p.doc_id) c),
        |p AS (SELECT c.doc_a, c.doc_b,
        |    ROUND(CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) /
        |      CAST(LEAST(len(ha.hs), len(hb.hs)) AS DOUBLE), 6) AS containment
@@ -674,6 +690,57 @@ object Queries {
        |  JOIN hsh hb ON hb.doc_id = c.doc_b
        |  WHERE len(ha.hs) > 0 AND len(hb.hs) > 0)
        |SELECT doc_a, doc_b, containment FROM p WHERE containment >= 0.9e0""".stripMargin
+  }
+
+  /** Indexed containment oracle (DuckDB): CROSS pairs (batch × prior
+    * corpus) at Broder containment ≥ 0.9, candidates from bottom-8
+    * shingle anchors in BOTH directions — the replayable SQL form of
+    * `LshIndex.containmentBatch` ≡
+    * `MinHashLsh.containmentAgainstCorpus`. Prior = documents with
+    * doc_id % 5 <> 0; batch = documents with doc_id % 5 = 0 plus the
+    * two deterministic prefix arms (flag columns replay the gate's
+    * in-gate assertions as constants). */
+  private def qContainmentIndexed: String = {
+    val src =
+      """(SELECT doc_id, lang, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 2000000 AS doc_id, lang,
+        |   array_to_string(toks[1 : GREATEST(1, len(toks)*4//5)], ' ') AS text
+        | FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |       FROM documents WHERE doc_id % 97 = 0) d
+        | UNION ALL
+        | SELECT doc_id + 3000000 AS doc_id, lang,
+        |   array_to_string(toks[1 : GREATEST(4, len(toks)*5//100)], ' ') AS text
+        | FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |       FROM documents WHERE doc_id % 89 = 0) d) u""".stripMargin
+    s"""WITH ${hashedShinglesCte("duck", src)},
+       |nh AS (SELECT doc_id, hs FROM hsh
+       |  WHERE doc_id % 5 = 0 OR doc_id >= 2000000),
+       |ph AS (SELECT doc_id, hs FROM hsh
+       |  WHERE doc_id % 5 <> 0 AND doc_id < 2000000),
+       |anchn AS (SELECT doc_id, unnest(list_sort(hs)[1:8]) AS h
+       |  FROM nh WHERE len(hs) > 0),
+       |anchp AS (SELECT doc_id, unnest(list_sort(hs)[1:8]) AS h
+       |  FROM ph WHERE len(hs) > 0),
+       |postn AS (SELECT doc_id, unnest(hs) AS h FROM nh),
+       |postp AS (SELECT doc_id, unnest(hs) AS h FROM ph),
+       |cand AS (SELECT DISTINCT n_id, p_id FROM (
+       |  SELECT a.doc_id AS n_id, p.doc_id AS p_id
+       |  FROM anchn a JOIN postp p ON a.h = p.h
+       |  UNION ALL
+       |  SELECT n.doc_id AS n_id, a.doc_id AS p_id
+       |  FROM anchp a JOIN postn n ON a.h = n.h) c),
+       |p AS (SELECT c.n_id, c.p_id,
+       |    ROUND(CAST(len(list_intersect(hn.hs, hp.hs)) AS DOUBLE) /
+       |      CAST(LEAST(len(hn.hs), len(hp.hs)) AS DOUBLE), 6) AS containment
+       |  FROM cand c
+       |  JOIN nh hn ON hn.doc_id = c.n_id
+       |  JOIN ph hp ON hp.doc_id = c.p_id
+       |  WHERE len(hn.hs) > 0 AND len(hp.hs) > 0)
+       |SELECT n_id AS doc_new, p_id AS doc_prior, containment,
+       |  CAST(1 AS BIGINT) AS old_entries_kept,
+       |  CAST(1 AS BIGINT) AS matches_direct
+       |FROM p WHERE containment >= 0.9e0""".stripMargin
   }
 
   /** Fuzzy incremental dedup oracle: batch docs (doc_id % 5 = 0) that
@@ -3967,7 +4034,7 @@ object Queries {
         s"GRAFT REFRESH MATVIEW '$viewPath'").collect()
       graft.plans.GraftSqlParser.run(s,
         s"GRAFT REFRESH MATVIEW '$viewPath'").collect()               // no-op
-      graft.delta.DeltaLog.forPath(s, viewPath).snapshot.read()
+      graft.delta.MatView.read(s, viewPath)
     }),
     // Non-invertible MATVIEW, driver-verified END-TO-END: CREATE with
     // SUM + MIN + MAX routes refresh through changed-key rederive (a
@@ -4140,7 +4207,7 @@ object Queries {
         s"GRAFT REFRESH MATVIEW '$joinPath'").collect()
       graft.plans.GraftSqlParser.run(s,
         s"GRAFT REFRESH MATVIEW '$aggPath'").collect()
-      graft.delta.DeltaLog.forPath(s, aggPath).snapshot.read()
+      graft.delta.MatView.read(s, aggPath)
     }),
     // AGGREGATE-OVER-JOIN matview in ONE view, driver-verified
     // END-TO-END: the rollup `SELECT cat, count(*), sum(n_chars) FROM
@@ -4277,10 +4344,47 @@ object Queries {
         s"GRAFT REFRESH MATVIEW '$viewPath' IF STALE").collect()
       val noop =
         graft.delta.DeltaLog.forPath(s, viewPath).snapshot.version == vAfter
-      graft.delta.DeltaLog.forPath(s, viewPath).snapshot.read()
+      graft.delta.MatView.read(s, viewPath)
         .withColumn("lag_before", lit(lagBefore))
         .withColumn("lag_after", lit(lagAfter))
         .withColumn("second_refresh_noop", lit(if (noop) 1L else 0L))
+    }),
+    // SUM full-retraction exactness, driver-verified END-TO-END: the
+    // single-SUM signed fold maintains a hidden per-key non-null-value
+    // count, so deleting EVERY non-null row of a mixed group folds the
+    // visible sum back to NULL — exactly what a direct SUM over the
+    // surviving all-null rows reports (previously a documented residue:
+    // the pair-less fold left 0). Source docs carry injected NULLs
+    // (doc_id % 7 = 1); v3 deletes all of src2's non-null rows (sum →
+    // NULL while n_rows keeps counting the null rows), v4 NULLs a src3
+    // slice (partial — sum stays non-null, just smaller). The oracle
+    // recomputes the final state from parquet.
+    "q_matview_sum_retract" -> ((s, dir) => {
+      registerViews(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft_mvsr_")
+      val srcPath = base.resolve("src").toString
+      val viewPath = base.resolve("view").toString
+      val src = graft.delta.DeltaLog.forPath(s, srcPath)
+      val docs = s.table("documents").select(col("doc_id"), col("source"),
+        when(col("doc_id") % 7 === 1, lit(null).cast("long"))
+          .otherwise(col("n_chars")).as("n_chars"))
+      graft.delta.TransactionWriter.overwrite(src, docs)               // v0
+      graft.delta.ChangeDataFeed.enable(src)                           // v1
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT CREATE MATVIEW '$viewPath' FROM '$srcPath' " +
+          "KEYS (source) SUM (n_chars)").collect()
+      graft.delta.Mutations.delete(src,
+        col("source") === "src2" && col("n_chars").isNotNull)          // v2
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT REFRESH MATVIEW '$viewPath'").collect()
+      graft.delta.Mutations.update(src,
+        col("source") === "src3" && col("doc_id") % 9 === 2,
+        Map("n_chars" -> lit(null).cast("long")))                      // v3
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT REFRESH MATVIEW '$viewPath'").collect()
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT REFRESH MATVIEW '$viewPath'").collect()               // no-op
+      graft.delta.MatView.read(s, viewPath)
     }),
     // DESCRIBE MATVIEW, driver-verified: the SQL surface returns the
     // view's definition (key columns, aggregate spec) and watermark.
@@ -4745,27 +4849,100 @@ object Queries {
     // Asymmetric containment dedup (Broder containment): a short doc
     // quoted whole inside a longer one has LOW Jaccard (union is
     // dominated by the long doc) but containment ≈ 1 — the inclusion
-    // cases symmetric near-dup misses. Candidates are the same banded
-    // LSH; verify is exact |∩| / min(|a|, |b|) on the hashed shingle
-    // sets. The corpus is documents UNION deterministic 80%-token
-    // prefixes of every 97th doc (id + 2000000) — guaranteed
-    // high-containment inclusions the oracle replays bit-for-bit.
+    // cases symmetric near-dup misses. Candidates are banded LSH UNION
+    // bottom-k shingle anchors; verify is exact |∩| / min(|a|, |b|) on
+    // the hashed shingle sets. The corpus is documents UNION two
+    // deterministic derivation arms the oracle replays bit-for-bit:
+    // 80%-token prefixes of every 97th doc (id + 2000000 — moderate
+    // skew, the banded regime) and 5%-token prefixes of every 89th doc
+    // (id + 3000000 — EXTREME skew, Jaccard < 0.1: a j⁴ band
+    // practically never fires, so these pairs exist iff the anchor
+    // scheme finds them; being true prefixes, anchors find them
+    // deterministically).
     "q_containment_dedup" -> ((s, dir) => {
       registerViews(s, dir)
       val docs = s.table("documents").select(col("doc_id"), col("text"))
-      val derived = s.table("documents").where(col("doc_id") % 97 === 0)
-        .select((col("doc_id") + lit(2000000L)).as("doc_id"),
-          array_join(slice(split(col("text"), " "), lit(1),
-            // explicit floor: Spark `/` is DOUBLE division — the
-            // oracle's `len*4//5` must be matched by truncation, not
-            // left to slice's implicit length cast
-            greatest(lit(1), floor((size(split(col("text"), " ")) * 4)
-              / lit(5)).cast("int"))),
-            " ").as("text"))
+      def prefixArm(modulus: Int, offset: Long, num: Int, den: Int,
+          minToks: Int) =
+        s.table("documents").where(col("doc_id") % modulus === 0)
+          .select((col("doc_id") + lit(offset)).as("doc_id"),
+            array_join(slice(split(col("text"), " "), lit(1),
+              // explicit floor: Spark `/` is DOUBLE division — the
+              // oracle's `len*num//den` must be matched by truncation,
+              // not left to slice's implicit length cast
+              greatest(lit(minToks),
+                floor((size(split(col("text"), " ")) * num)
+                  / lit(den)).cast("int"))),
+              " ").as("text"))
+      val derived80 = prefixArm(97, 2000000L, 4, 5, 1)
+      val derived05 = prefixArm(89, 3000000L, 5, 100, 4)
       graft.operators.MinHashLsh.containmentPairs(
-        docs.unionByName(derived), "doc_id", "text", threshold = 0.9)
+        docs.unionByName(derived80).unionByName(derived05),
+        "doc_id", "text", threshold = 0.9)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
           col("containment"))
+    }),
+    // Containment served FROM THE LSH SIDECAR, driver-verified
+    // END-TO-END: the corpus (doc_id % 5 <> 0) is a Delta table with a
+    // persisted signature index (created, then extended by an
+    // incremental refresh whose carried entries keep their version
+    // stamps — the no-rescan observable); the batch is fresh docs
+    // (doc_id % 5 = 0) plus the two deterministic prefix arms (80% —
+    // moderate skew; 5% — extreme skew). The indexed screen must
+    // equal the DIRECT MinHashLsh.containmentAgainstCorpus (pinned
+    // in-gate via exceptAll both ways) AND the DuckDB oracle, which
+    // replays the bottom-8 anchor candidates and the exact Broder
+    // verify engine-independently.
+    "q_containment_indexed" -> ((s, dir) => {
+      registerViews(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lshc_")
+        .resolve("corpus").toString
+      val log = graft.delta.DeltaLog.forPath(s, tmp)
+      val docs = s.table("documents")
+      val prior = docs.where(col("doc_id") % 5 =!= 0)
+        .select("doc_id", "lang", "source", "text")
+      graft.delta.TransactionWriter.overwrite(log,
+        prior.where(col("doc_id") % 7 =!= 3).repartition(8, col("doc_id")))
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT CREATE LSH INDEX ON '$tmp' (doc_id, text)").collect()
+      val before = graft.delta.LshIndex.entries(log, "doc_id", "text").get
+        .select("file_path", "version").distinct()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      graft.delta.TransactionWriter.append(log,
+        prior.where(col("doc_id") % 7 === 3).repartition(2, col("doc_id")))
+      graft.plans.GraftSqlParser.run(s,
+        s"GRAFT REFRESH LSH INDEX ON '$tmp' (doc_id, text)").collect()
+      val after = graft.delta.LshIndex.entries(log, "doc_id", "text").get
+        .select("file_path", "version").distinct()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val oldKept = before.forall { case (p, v) => after.get(p).contains(v) }
+      def prefixArm(modulus: Int, offset: Long, num: Int, den: Int,
+          minToks: Int) =
+        docs.where(col("doc_id") % modulus === 0)
+          .select((col("doc_id") + lit(offset)).as("doc_id"),
+            array_join(slice(split(col("text"), " "), lit(1),
+              greatest(lit(minToks),
+                floor((size(split(col("text"), " ")) * num)
+                  / lit(den)).cast("int"))),
+              " ").as("text"))
+      val batch = docs.where(col("doc_id") % 5 === 0)
+        .select("doc_id", "text")
+        .unionByName(prefixArm(97, 2000000L, 4, 5, 1))
+        .unionByName(prefixArm(89, 3000000L, 5, 100, 4))
+      val freshLog = graft.delta.DeltaLog.forPath(s, tmp)
+      val viaIndex = graft.delta.LshIndex.containmentBatch(
+        freshLog, batch, "doc_id", "text", threshold = 0.9)
+        .localCheckpoint()
+      val direct = graft.operators.MinHashLsh.containmentAgainstCorpus(
+        batch, freshLog.snapshot.read(), "doc_id", "text", threshold = 0.9)
+        .localCheckpoint()
+      val matches =
+        viaIndex.exceptAll(direct).isEmpty &&
+          direct.exceptAll(viaIndex).isEmpty
+      viaIndex.select(col("id_new").as("doc_new"),
+        col("id_prior").as("doc_prior"), col("containment"),
+        lit(if (oldKept) 1L else 0L).as("old_entries_kept"),
+        lit(if (matches) 1L else 0L).as("matches_direct"))
     }),
     "q_minhash_dedup_capped" -> ((s, dir) => {
       registerViews(s, dir)
@@ -5923,6 +6100,18 @@ object Queries {
         |  CAST(0 AS BIGINT) AS lag_after,
         |  CAST(1 AS BIGINT) AS second_refresh_noop
         |FROM documents WHERE doc_id % 11 <> 0 GROUP BY source""".stripMargin,
+    "q_matview_sum_retract" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 7 = 1 THEN NULL ELSE n_chars END AS c
+        |  FROM documents),
+        |u AS (SELECT source,
+        |    CASE WHEN source = 'src3' AND doc_id % 9 = 2 THEN NULL
+        |      ELSE c END AS c
+        |  FROM t WHERE NOT (source = 'src2' AND c IS NOT NULL))
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(c) AS BIGINT) AS sum_n_chars
+        |FROM u GROUP BY source""".stripMargin,
     "q_matview_describe" ->
       """SELECT 'n_regionkey' AS key_cols,
         |  'sum(n_nationkey),max(n_nationkey)' AS aggs,
@@ -6154,6 +6343,7 @@ object Queries {
     "q_lang_id" -> qLangId("duck"),
     "q_ngram_jaccard" -> qNgramJaccard("duck"),
     "q_containment_dedup" -> qContainmentDedup,
+    "q_containment_indexed" -> qContainmentIndexed,
     "q_minhash_dedup_capped" -> qMinhashDedupCapped,
     "q_minhash_signature" -> qMinhashSignature("duck"),
     "q_minhash_dedup" -> qMinhashDedup("duck"),

@@ -65,7 +65,7 @@ object IndexPlanProbe {
       fs.listStatus(base).filter(_.isDirectory).foreach { g =>
         fs.delete(new org.apache.hadoop.fs.Path(g.getPath, "_coverage"), false)
       }
-      graft.delta.Sidecar.invalidateCoverage(idxDir)
+      graft.delta.Sidecar.invalidateCoverage(spark, idxDir)
       val ((lPaths, lVer), tLegacy) = t(
         IncrementalSidecar.storedSummary(spark, idxDir, idx, Set.empty))
       if (sPaths.toSet != lPaths.toSet || sVer != lVer) {

@@ -68,13 +68,47 @@ object PipelineDemo {
       val contained = MinHashLsh.containmentPairs(
         base.select("doc_id", "text").unionByName(incl),
         "doc_id", "text", threshold = 0.95)
-      // banding recall at Jaccard ≈ 0.8 is ~80% per pair — over five
-      // derivations at least one collides (deterministic md5: fixed
-      // outcome for fixed text)
+      // bottom-k anchor candidates make TRUE subsets deterministic:
+      // all five prefix derivations must pair (pre-r13, the
+      // Jaccard-banded stage alone caught them with ~80% probability
+      // per pair)
       val nContained = contained.count()
-      require(nContained >= 1L,
-        "containmentPairs must catch an 80%-prefix inclusion")
+      require(nContained >= 5L,
+        s"containmentPairs must catch all five 80%-prefix inclusions, got $nContained")
       println(s"containment    : $nContained/5 prefix inclusions caught at >=0.95")
+
+      // EXTREME size skew (the r13 completion): a 5%-prefix doc has
+      // Jaccard < 0.1 against its source — a j⁴ band never fires — but
+      // the anchor scheme pairs it deterministically
+      val tiny = base.select((col("doc_id") + 9500000L).as("doc_id"),
+        org.apache.spark.sql.functions.array_join(
+          org.apache.spark.sql.functions.slice(
+            org.apache.spark.sql.functions.split(col("text"), " "),
+            org.apache.spark.sql.functions.lit(1),
+            org.apache.spark.sql.functions.greatest(
+              org.apache.spark.sql.functions.lit(4),
+              org.apache.spark.sql.functions.floor(
+                (org.apache.spark.sql.functions.size(
+                  org.apache.spark.sql.functions.split(col("text"), " ")) * 5)
+                  / org.apache.spark.sql.functions.lit(100)).cast("int"))),
+          " ").as("text"))
+      val skewPairs = MinHashLsh.containmentPairs(
+        base.select("doc_id", "text").unionByName(tiny),
+        "doc_id", "text", threshold = 0.9)
+        .where(col("id_b") >= 9500000L)
+      val nSkew = skewPairs.count()
+      require(nSkew >= 5L,
+        s"extreme-skew inclusions must be caught deterministically, got $nSkew")
+      println(s"extreme skew   : $nSkew/5 5%-prefix inclusions caught at >=0.9")
+
+      // incremental form: screen a batch of derived docs against the
+      // corpus as the PRIOR side (what the LSH sidecar serves at scale)
+      val crossPairs = MinHashLsh.containmentAgainstCorpus(
+        tiny, base.select("doc_id", "text"), "doc_id", "text", threshold = 0.9)
+      val nCross = crossPairs.count()
+      require(nCross >= 5L,
+        s"containmentAgainstCorpus must find the cross inclusions, got $nCross")
+      println(s"cross screen   : $nCross batch-vs-corpus inclusions at >=0.9")
 
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       val knn = Similarity.bruteForceTopK(

@@ -343,6 +343,34 @@ object SqlDemo {
         s"DESCRIBE MATVIEW definition/watermark wrong: $desc")
       println("== MATVIEW SUM+MIN+MAX: rederive refresh + DESCRIBE OK ==")
 
+      // r13: SUM full-retraction exactness — a single-SUM view keeps a
+      // hidden non-null count, so deleting a mixed group's last
+      // non-null rows folds the sum back to NULL (direct-SUM
+      // semantics), and the visible read hides the helper
+      val srSrc = s"$dir/mv_sr_src"
+      val srPath = s"$dir/mv_sr_view"
+      val srLog = graft.delta.DeltaLog.forPath(spark, srSrc)
+      graft.delta.TransactionWriter.overwrite(srLog,
+        Seq(("a", java.lang.Long.valueOf(3L)),
+          ("a", null.asInstanceOf[java.lang.Long]),
+          ("b", java.lang.Long.valueOf(9L))).toDF("k", "v"))
+      graft.delta.ChangeDataFeed.enable(srLog)
+      spark.sql(s"GRAFT CREATE MATVIEW '$srPath' FROM '$srSrc' " +
+        "KEYS (k) SUM (v)")
+      graft.delta.Mutations.delete(srLog,
+        org.apache.spark.sql.functions.col("k") === "a" &&
+          org.apache.spark.sql.functions.col("v").isNotNull)
+      spark.sql(s"GRAFT REFRESH MATVIEW '$srPath'")
+      val srRead = graft.delta.MatView.read(spark, srPath)
+      val srRow = srRead.where("k = 'a'").head()
+      require(srRow.isNullAt(srRow.fieldIndex("sum_v")) &&
+        srRow.getAs[Long]("n_rows") == 1L,
+        s"full retraction must report NULL sum over the surviving " +
+          s"all-null rows, got $srRow")
+      require(!srRead.columns.exists(_.startsWith("__")),
+        "MatView.read must hide maintenance helper columns")
+      println("== MATVIEW SUM full-retraction → NULL (hidden non-null count) OK ==")
+
       // round-9 surface: INCREMENTAL clustering maintenance — full
       // HILBERT pass persists curve bounds + watermark; after an
       // append, the INCREMENTAL pass rewrites ONLY the new files
@@ -559,7 +587,7 @@ object SqlDemo {
         val out = hfs.create(covPath, true)
         try out.write(corrupted.mkString("\n").getBytes("UTF-8"))
         finally out.close()
-        graft.delta.Sidecar.invalidateCoverage(idxDir)
+        graft.delta.Sidecar.invalidateCoverage(spark, idxDir)
         require(spark.sql(s"GRAFT SHOW INDEXES ON '$pqPath'")
           .collect().head.getLong(5) == 1L,
           "SHOW INDEXES must flag the corrupted count as invalid_files=1")

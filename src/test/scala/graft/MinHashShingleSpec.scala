@@ -78,4 +78,45 @@ class MinHashShingleSpec extends SparkTestBase {
       .nearDupPairs(docs, "id", "text", threshold = 0.9).count()
     assert(jac == 0L, "Jaccard at 0.9 must miss the inclusion pair")
   }
+
+  test("containmentPairs finds EXTREME-skew inclusions the Jaccard bands cannot") {
+    import spark.implicits._
+    // doc 1 = 600 unique tokens; doc 2 = its first 8 tokens (6 shingles,
+    // containment 1, Jaccard 6/598 ≈ 0.01 — a band fires with
+    // probability j⁴ ≈ 10⁻⁸, so banded candidates alone would miss it;
+    // the bottom-k anchor scheme pairs TRUE subsets deterministically)
+    val big = (0 until 600).map(j => s"w${j}_alpha").mkString(" ")
+    val tiny = (0 until 8).map(j => s"w${j}_alpha").mkString(" ")
+    val noise = (0 until 600).map(j => s"z${j}_beta").mkString(" ")
+    val docs = Seq((1L, big), (2L, tiny), (3L, noise)).toDF("id", "text")
+    val pairs = graft.operators.MinHashLsh
+      .containmentPairs(docs, "id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)),
+      s"the extreme-skew inclusion, deterministically: ${pairs.toSeq}")
+  }
+
+  test("containmentAgainstCorpus screens a batch against a prior corpus, both directions") {
+    import spark.implicits._
+    val big = (0 until 400).map(j => s"w${j}_alpha").mkString(" ")
+    val other = (0 until 400).map(j => s"v${j}_delta").mkString(" ")
+    val prior = Seq((1L, big), (2L, other)).toDF("id", "text")
+    // batch 10: tiny prefix of prior 1 (batch-contained-in-prior);
+    // batch 11: prior doc 2's text wrapped in 400 new tokens
+    // (prior-contained-in-batch — the reverse direction);
+    // batch 12: unrelated
+    val wrap = (0 until 400).map(j => s"q${j}_eps").mkString(" ")
+    val batch = Seq(
+      (10L, (0 until 9).map(j => s"w${j}_alpha").mkString(" ")),
+      (11L, s"$wrap $other"),
+      (12L, (0 until 50).map(j => s"r${j}_zeta").mkString(" ")))
+      .toDF("id", "text")
+    val got = graft.operators.MinHashLsh
+      .containmentAgainstCorpus(batch, prior, "id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2))
+    assert(got.map(p => (p._1, p._2)).toSeq == Seq((10L, 1L), (11L, 2L)),
+      s"exactly the two cross inclusions: ${got.toSeq}")
+    assert(got.forall(_._3 >= 0.9))
+  }
 }

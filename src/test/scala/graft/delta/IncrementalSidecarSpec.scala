@@ -346,7 +346,7 @@ class IncrementalSidecarSpec extends SparkTestBase {
     }
     val out = fs.create(covPath, true)
     try out.write(corrupted.mkString("\n").getBytes("UTF-8")) finally out.close()
-    Sidecar.invalidateCoverage(idxDir)
+    Sidecar.invalidateCoverage(spark, idxDir)
     val badPath = lines.head.split("\t")(0)
     // SHOW INDEXES flags exactly one invalid file
     val inv = Indexes.describe(log).collect { case ("lsh", _, _, _, _, i) => i }

@@ -46,6 +46,39 @@ class LshIndexSpec extends SparkTestBase {
     assert(viaIdx == direct && viaIdx == Seq(3L, 4L), s"idx=$viaIdx direct=$direct")
   }
 
+  test("indexed containment ≡ direct containmentAgainstCorpus; covered + live files; no index degrades") {
+    val (log, _) = scratch()
+    val bigPrior = (0 until 300).map(j => s"w${j}_alpha").mkString(" ")
+    TransactionWriter.append(log,
+      Seq((102L, bigPrior)).toDF("id", "text"))
+    val cBatch = Seq(
+      (1L, (0 until 9).map(j => s"w${j}_alpha").mkString(" ")), // tiny prefix of 102
+      (2L, base),                                               // exact dup of 100
+      (3L, fresh))                                              // unrelated
+      .toDF("id", "text")
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.select("id_new", "id_prior").as[(Long, Long)].collect().sorted.toSeq
+    // no index: degrade to the direct operator
+    val noIdx = pairsOf(LshIndex.containmentBatch(log, cBatch, "id", "text", 0.9))
+    assert(noIdx == Seq((1L, 102L), (2L, 100L)), s"got $noIdx")
+    LshIndex.build(log, "id", "text")
+    // append an UNCOVERED prior file after the build: the probe must
+    // union the live pipeline for it
+    TransactionWriter.append(log,
+      Seq((103L, (0 until 300).map(j => s"u${j}_live").mkString(" ")))
+        .toDF("id", "text"))
+    val freshLog = DeltaLog.forPath(spark, log.tablePath)
+    val liveBatch = cBatch.unionByName(Seq(
+      (4L, (0 until 9).map(j => s"u${j}_live").mkString(" ")))
+      .toDF("id", "text"))
+    val viaIdx = pairsOf(LshIndex.containmentBatch(
+      freshLog, liveBatch, "id", "text", 0.9))
+    val direct = pairsOf(graft.operators.MinHashLsh.containmentAgainstCorpus(
+      liveBatch, freshLog.snapshot.read(), "id", "text", 0.9))
+    assert(viaIdx == direct, s"idx=$viaIdx direct=$direct")
+    assert(viaIdx == Seq((1L, 102L), (2L, 100L), (4L, 103L)), s"got $viaIdx")
+  }
+
   test("refresh scans ONLY uncovered files (old entries verbatim) and is idle-free") {
     val (log, _) = scratch()
     LshIndex.build(log, "id", "text")

@@ -283,6 +283,81 @@ class MatViewSpec extends SparkTestBase {
     assert(sumOf("a").contains(10L))
   }
 
+  test("SUM matview: retracting a mixed group's last non-null rows folds back to NULL (recompute semantics)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-mv-sr")
+    val srcPath = base.resolve("src").toString
+    val viewPath = base.resolve("v").toString
+    val src = DeltaLog.forPath(spark, srcPath)
+    // mixed group c: two non-null rows + two null rows; control group a
+    TransactionWriter.overwrite(src,
+      Seq(("a", java.lang.Long.valueOf(10L)),
+        ("c", java.lang.Long.valueOf(6L)),
+        ("c", java.lang.Long.valueOf(10L)),
+        ("c", null.asInstanceOf[java.lang.Long]),
+        ("c", null.asInstanceOf[java.lang.Long])).toDF("k", "v"))
+    ChangeDataFeed.enable(src)
+    MatView.create(spark, viewPath, srcPath, Seq("k"), Seq("sum" -> "v"))
+    def row(k: String): (Long, Option[Long]) =
+      DeltaLog.forPath(spark, viewPath).snapshot.read()
+        .where(col("k") === k).collect().headOption
+        .map(r => (r.getAs[Long]("n_rows"),
+          Option(r.getAs[java.lang.Long]("sum_v")).map(_.longValue)))
+        .getOrElse(fail(s"no rollup row for $k"))
+    assert(row("c") == ((4L, Some(16L))))
+    // delete EVERY non-null row of c: a direct SUM over the surviving
+    // all-null rows is NULL — the hidden non-null count makes the fold
+    // agree (the pair-less fold left 0 here, the old residue)
+    Mutations.delete(src, col("k") === "c" && col("v").isNotNull)
+    MatView.refresh(spark, viewPath)
+    assert(row("c") == ((2L, None)),
+      s"full retraction must fold to NULL, got ${row("c")}")
+    // and it still heals: a value arriving re-derives the true sum
+    TransactionWriter.append(src,
+      Seq(("c", java.lang.Long.valueOf(7L))).toDF("k", "v"))
+    MatView.refresh(spark, viewPath)
+    assert(row("c") == ((3L, Some(7L))))
+    assert(row("a") == ((1L, Some(10L))))
+    // the helper column is maintenance state, not surface: the visible
+    // read hides it
+    assert(!MatView.read(spark, viewPath).columns.exists(_.startsWith("__")))
+    assert(DeltaLog.forPath(spark, viewPath).snapshot.read()
+      .columns.contains("__sc_v"))
+  }
+
+  test("join-rollup SUM: full retraction of a group's non-null values reports NULL like a recompute") {
+    val base = java.nio.file.Files.createTempDirectory("graft-mv-jsr")
+    val factPath = base.resolve("f").toString
+    val dimPath = base.resolve("d").toString
+    val viewPath = base.resolve("v").toString
+    val fact = DeltaLog.forPath(spark, factPath)
+    val dim = DeltaLog.forPath(spark, dimPath)
+    TransactionWriter.overwrite(fact,
+      Seq((1L, 10L, java.lang.Long.valueOf(5L)),
+        (2L, 10L, null.asInstanceOf[java.lang.Long]),
+        (3L, 20L, java.lang.Long.valueOf(7L)))
+        .toDF("pk", "fk", "x"))                                        // f v0
+    ChangeDataFeed.enable(fact)                                        // f v1
+    TransactionWriter.overwrite(dim,
+      Seq((10L, "g1"), (20L, "g2")).toDF("dk", "cat"))                 // d v0
+    ChangeDataFeed.enable(dim)                                         // d v1
+    MatView.createJoinAgg(spark, viewPath, factPath, dimPath,
+      "fk", "dk", Seq("cat"), Seq("sum" -> "x"))
+    def row(cat: String): (Long, Option[Long]) =
+      DeltaLog.forPath(spark, viewPath).snapshot.read()
+        .where(col("cat") === cat).collect().headOption
+        .map(r => (r.getAs[Long]("n_rows"),
+          Option(r.getAs[java.lang.Long]("sum_x")).map(_.longValue)))
+        .getOrElse(fail(s"no rollup row for $cat"))
+    assert(row("g1") == ((2L, Some(5L))))
+    // delete g1's only non-null fact row: the signed join fold must
+    // derive NULL from the hidden count, not leave 0
+    Mutations.delete(fact, col("pk") === 1L)                           // f v2
+    MatView.refresh(spark, viewPath)
+    assert(row("g1") == ((1L, None)),
+      s"full retraction must fold to NULL, got ${row("g1")}")
+    assert(row("g2") == ((1L, Some(7L))))
+  }
+
   test("join view: describe, dim-only window, and vanished-group delete") {
     val base = java.nio.file.Files.createTempDirectory("graft-mv-j")
     val factPath = base.resolve("f").toString
