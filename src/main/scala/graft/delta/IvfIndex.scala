@@ -220,7 +220,17 @@ object IvfIndex {
     // EXCESS (the ghost signature) flags
     val cov = IncrementalSidecar.coverage(snap, storedRaw,
       coverDvFiles = false, counts, countsExact = false)
-    if (!cov.changed) return snap.version
+    if (!cov.changed) {
+      // legacy generation (pre-count `_coverage`): republish verbatim
+      // once so the observed 3-field summary arms the entry-count
+      // invariant (see LshIndex.refresh for the full rationale)
+      if (counts.isEmpty && storedRaw.nonEmpty) {
+        Sidecar.repairMeta(spark, indexDir(log, idCol, vecCol),
+          "ivf", Seq(idCol, vecCol))
+        publish(log, indexDir(log, idCol, vecCol), idx)
+      }
+      return snap.version
+    }
     val validStored = storedRaw.filterNot(cov.invalidStored.toSet)
     // compaction remap: dataChange=false rewrites carry (cell, asim,
     // vec, nrm) verbatim via a narrow id read — no re-assignment, and

@@ -182,7 +182,20 @@ object LshIndex {
     // the kept set, rescanned, and NEVER a remap source
     val cov = IncrementalSidecar.coverage(snap, storedPaths,
       coverDvFiles = false, counts)
-    if (!cov.changed) return snap.version
+    if (!cov.changed) {
+      // LEGACY generation (pre-count `_coverage`): counts are unknown,
+      // so the entry-count invariant silently skips every covered file.
+      // Republish the SAME entries once — the swap's observed summary
+      // is 3-field, arming the invariant from the next read on. One
+      // bounded entry-relation pass (the rewrite itself), entries
+      // byte-identical, pointer advances exactly one generation.
+      if (counts.isEmpty && storedPaths.nonEmpty) {
+        Sidecar.repairMeta(spark, indexDir(log, idCol, textCol),
+          "lsh", Seq(idCol, textCol))
+        publish(log, indexDir(log, idCol, textCol), idCol, existing)
+      }
+      return snap.version
+    }
     val validStored = storedPaths.filterNot(cov.invalidStored.toSet)
     val (groups, toScan) = IncrementalSidecar.remapGroups(log, snap,
       cov.missing, cov.coveredNorm, validStored, since)

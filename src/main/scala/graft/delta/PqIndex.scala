@@ -234,7 +234,17 @@ object PqIndex {
     // against numRecords is the correct, stronger invariant
     val cov = IncrementalSidecar.coverage(snap, storedRaw,
       coverDvFiles = false, counts)
-    if (!cov.changed) return snap.version
+    if (!cov.changed) {
+      // legacy generation (pre-count `_coverage`): republish verbatim
+      // once so the observed 3-field summary arms the entry-count
+      // invariant (see LshIndex.refresh for the full rationale)
+      if (counts.isEmpty && storedRaw.nonEmpty) {
+        Sidecar.repairMeta(spark, indexDir(log, idCol, vecCol),
+          "ivfpq", Seq(idCol, vecCol))
+        publish(log, indexDir(log, idCol, vecCol), idx)
+      }
+      return snap.version
+    }
     val validStored = storedRaw.filterNot(cov.invalidStored.toSet)
     // compaction remap: dataChange=false rewrites carry (cell, codes,
     // qerr) verbatim via a narrow id read — no re-encoding, and the

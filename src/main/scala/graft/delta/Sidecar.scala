@@ -235,17 +235,32 @@ object Sidecar {
     * over the entries, and the spellings are exactly what the entry
     * rows store because the metric evaluates the very rows written
     * (the keep-semi-join equality match on the next refresh). */
+  /** Ordering number of a generation dir name; -1 when unparsable.
+    * Names are `gen_<n8>[_<nonce>]` — the nonce (see [[swapIn]]) makes
+    * CONCURRENT publishers collision-free while `n` keeps GC ordered. */
+  private def genNum(name: String): Long = {
+    val digits = name.stripPrefix(GenPrefix).takeWhile(_.isDigit)
+    if (digits.isEmpty) -1L else digits.toLong
+  }
+
   def swapIn(spark: SparkSession, dir: String, df: DataFrame): Unit = {
     val (fs, base) = fsOf(spark, dir)
     val prev = readPointer(fs, base)
     // next generation number: max over EXISTING gen dirs, not just the
-    // pointer — a crashed writer's orphan generation must not collide
+    // pointer — a crashed writer's orphan generation must not collide.
+    // A random nonce suffixes the name: two RACING refreshes (explicit
+    // + the post-commit auto-refresh hook) can compute the same number,
+    // and without the nonce both would write.mode(overwrite) INTO ONE
+    // directory — interleaved deletes mid-write, a corrupt generation
+    // behind whichever pointer wins. With it each racer writes its own
+    // complete dir and the pointer swap below arbitrates.
     val existingGens: Seq[String] =
       if (!fs.exists(base)) Nil
       else fs.listStatus(base).toSeq.map(_.getPath.getName)
         .filter(_.startsWith(GenPrefix))
-    val nextN = (existingGens.map(_.stripPrefix(GenPrefix).toLong) :+ -1L).max + 1
-    val gen = f"$GenPrefix$nextN%08d"
+    val nextN = (existingGens.map(genNum) :+ -1L).max + 1
+    val gen = f"$GenPrefix$nextN%08d" + "_" +
+      java.util.UUID.randomUUID().toString.take(8)
     val obs = org.apache.spark.sql.Observation()
     val (toWrite, observed) =
       try (df.observe(obs,
@@ -300,27 +315,55 @@ object Sidecar {
     }
     // pointer swap: tmp write, then delete+rename with BOTH results
     // checked (HDFS rename does not overwrite; a false return without
-    // a check is a silently lost index)
+    // a check is a silently lost index). The tmp name carries the
+    // generation's nonce: a SHARED tmp name under racing publishers
+    // means one racer's rename steals the other's half-written tmp
+    // (observed as a create/chmod crash mid-race).
     val ptr = new Path(base, PointerName)
-    val tmp = new Path(base, PointerName + ".tmp")
+    val tmp = new Path(base, PointerName + ".tmp." +
+      gen.substring(gen.length - 8))
     val out = fs.create(tmp, true)
     try out.write(gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (fs.exists(ptr) && !fs.delete(ptr, false) && fs.exists(ptr))
       throw new java.io.IOException(
         s"sidecar pointer swap: could not delete stale pointer $ptr")
-    if (!fs.rename(tmp, ptr))
+    if (!fs.rename(tmp, ptr)) {
+      // LOST a publish race: if another refresh re-pointed since we
+      // read `prev`, ITS generation is complete and at least as fresh —
+      // advisory indexes tolerate either winner (staleness costs IO,
+      // never a wrong row). Drop our orphan quietly and keep the
+      // winner's. Only an UNEXPLAINED failure (pointer unchanged, no
+      // racer) is a silently lost index and must throw.
+      val now = readPointer(fs, base)
+      try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
+      if (now.isDefined && now != prev) {
+        try fs.delete(new Path(base, gen), true)
+        catch { case _: java.io.IOException => () }
+        return
+      }
       throw new java.io.IOException(
         s"sidecar pointer swap: rename $tmp -> $ptr failed (concurrent " +
           "refresh?) — the previous generation is still live")
+    }
     // GC: keep the new current and the generation it superseded (a
     // reader that resolved the old pointer just before the swap is
-    // still scanning it); everything older goes. Best-effort — an
-    // orphan costs storage, never correctness.
+    // still scanning it), and delete only generations NUMBERED AT OR
+    // BELOW the superseded one — a RACING publisher's same-or-higher-
+    // numbered directory may be about to become current, so deleting it
+    // here would put a dangling pointer behind the racer's swap; such
+    // orphans are collected one swap later, when their number falls at
+    // or below the then-superseded generation. Best-effort — an orphan
+    // costs storage, never correctness.
     val keep = Set(Some(gen), prev).flatten
-    existingGens.filterNot(keep).foreach { g =>
+    val prevNum = prev.map(genNum).getOrElse(-1L)
+    existingGens.filterNot(keep).filter(genNum(_) <= prevNum).foreach { g =>
       try fs.delete(new Path(base, g), true)
       catch { case _: java.io.IOException => () }
     }
+    // tmp pointer files abandoned by a CRASHED publisher are left in
+    // place deliberately (bytes-sized litter): sweeping them here could
+    // delete a live racer's not-yet-renamed tmp and turn its quiet
+    // lost-race path into a spurious failure
   }
 }
