@@ -182,6 +182,56 @@ object Pq {
     }
   }
 
+  /** Variance-balancing coordinate permutation — a deterministic OPQ
+    * surrogate. PQ's loss is the sum of per-subspace quantization
+    * errors, and a fixed per-subspace centroid budget is wasted when
+    * variance concentrates in one contiguous slice (Ge et al.,
+    * "Optimized Product Quantization", CVPR 2013 — their parametric
+    * solution balances subspace energy; the full learned rotation
+    * needs dense eigen/Procrustes iterations, but the PERMUTATION
+    * family already captures the dominant win for axis-aligned skew,
+    * and a permutation is exactly reproducible by the SQL oracle and
+    * storable as one small index row).
+    *
+    * One aggregation pass computes per-dimension population variance
+    * (rounded to `roundDp` for layout-independence, house k-means
+    * convention); dims then deal greedily — highest variance first,
+    * each to the open subspace with the least accumulated variance
+    * (ties: lowest dim, lowest subspace). Returns `perm` where
+    * `perm(newPos) = oldDim`, grouped so new positions
+    * `[j·dsub, (j+1)·dsub)` form subspace j. L2 is permutation-
+    * invariant, so ADC distances over permuted vectors ARE distances
+    * in the original space — only the subspace partition changes. */
+  def trainPermutation(
+      df: DataFrame, vecCol: String, m: Int,
+      roundDp: Int = 6): Seq[Int] = {
+    val dims = df.select(size(col(vecCol))).head().getInt(0)
+    require(m > 0 && dims % m == 0, s"m=$m must divide dims=$dims")
+    val dsub = dims / m
+    val varByDim = df
+      .select(posexplode(asDouble(col(vecCol))))
+      .groupBy("pos").agg(round(var_pop(col("col")), roundDp).as("v"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val order = (0 until dims)
+      .sortBy(d => (-varByDim.getOrElse(d, 0.0), d))
+    val load = Array.fill(m)(0.0)
+    val slots = Array.fill(m)(Vector.empty[Int])
+    order.foreach { d =>
+      val open = (0 until m).filter(slots(_).size < dsub)
+      val j = open.minBy(j => (load(j), j))
+      load(j) += varByDim.getOrElse(d, 0.0)
+      slots(j) :+= d
+    }
+    slots.toSeq.flatten
+  }
+
+  /** Reorder a vector column by a [[trainPermutation]] result:
+    * `out[p] = vec[perm(p)]`. Pure Column algebra (dims fixed
+    * `element_at`s — stays in codegen). */
+  def permute(vec: Column, perm: Seq[Int]): Column =
+    array(perm.map(d => element_at(vec, d + 1)): _*)
+
   /** The codebook for one subspace as a literal
     * `array<array<double>>`, index = cid + 1 (1-based). */
   private[graft] def bookLit(

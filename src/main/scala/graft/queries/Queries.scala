@@ -1579,6 +1579,87 @@ object Queries {
        |  FROM pairs)
        |SELECT query_id, neighbor_id, adist, rnk FROM r WHERE rnk <= 3""".stripMargin
 
+  /** The OPQ gate's export: PQ books ('p' rows) plus the trained
+    * coordinate permutation ('x' rows: subspace = new position,
+    * cid = old dim, cv = NULL) — one parquet, per-process path. */
+  private val opqBooksPath = sys.env.getOrElse(
+    "GRAFT_OPQ_BOOKS_PATH",
+    s"${System.getProperty("java.io.tmpdir")}/graft_opq_books_" +
+      s"${ProcessHandle.current().pid()}.parquet")
+
+  /** OPQ-surrogate PQ: a variance-balancing coordinate permutation
+    * ([[graft.operators.Pq.trainPermutation]]) is trained before the
+    * codebooks, so a corpus whose variance concentrates in one
+    * contiguous slice (here: dims 0–15 scaled ×4, the rest ×0.25 —
+    * both exact binary scalings, so the skew replays FP-exactly)
+    * spreads its energy across all m subspaces instead of saturating
+    * one. The permutation + books export together; DuckDB replays
+    * skew → permute → encode → ADC bit-for-bit. PqSpec pins the point
+    * of the exercise: recall@3 vs exact STRICTLY IMPROVES over
+    * unrotated PQ at equal (m, k) on this corpus. */
+  private def qOpqKnnSpark: (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      registerViews(s, dir)
+      val skew = s.table("embeddings").select(col("vec_id"),
+        expr("transform(embedding, (x, i) -> x * " +
+          "(CASE WHEN i < 16 THEN 4.0D ELSE 0.25D END))").as("embedding"))
+      val perm = graft.operators.Pq.trainPermutation(skew, "embedding", m = 4)
+      val permuted = skew.select(col("vec_id"),
+        graft.operators.Pq.permute(col("embedding"), perm).as("embedding"))
+      val books = graft.operators.Pq.trainCodebooks(
+        permuted, "vec_id", "embedding", m = 4, k = 16, iterations = 2)
+      import s.implicits._
+      (books.map { case (j, cid, cv) => ("p", j, cid, Some(cv.toSeq)) } ++
+        perm.zipWithIndex.map { case (oldDim, newPos) =>
+          ("x", newPos, oldDim.toLong, Option.empty[Seq[Double]]) })
+        .toDF("book", "subspace", "cid", "cv")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(opqBooksPath)
+      val codes = graft.operators.Pq.encode(
+        permuted, "vec_id", "embedding", books)
+      graft.operators.Pq.adcTopK(
+        codes, permuted.where(col("vec_id") % 25 === 0),
+        "vec_id", "embedding", books, kNeighbors = 3)
+    }
+
+  private def qOpqKnnDuck: String =
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+       |es AS (SELECT vec_id, list_transform(range(1, 65),
+       |    i -> v0[i] * (CASE WHEN i <= 16 THEN 4.0 ELSE 0.25 END)) AS vs
+       |  FROM e0),
+       |pm AS (SELECT subspace AS newpos, cid AS olddim
+       |  FROM read_parquet('$opqBooksPath/*.parquet') WHERE book = 'x'),
+       |e AS (SELECT es.vec_id,
+       |    list(es.vs[pm.olddim + 1] ORDER BY pm.newpos) AS v
+       |  FROM es CROSS JOIN pm GROUP BY es.vec_id),
+       |bk AS (SELECT subspace, cid, cv
+       |  FROM read_parquet('$opqBooksPath/*.parquet') WHERE book = 'p'),
+       |cd AS (SELECT e.vec_id, bk.subspace, bk.cid,
+       |    ROUND(list_sum(list_transform(range(1, 17),
+       |      i -> (e.v[bk.subspace*16 + i] - bk.cv[i]) * (e.v[bk.subspace*16 + i] - bk.cv[i]))), 4) AS d
+       |  FROM e CROSS JOIN bk),
+       |codes AS (SELECT vec_id, subspace, cid FROM (
+       |    SELECT vec_id, subspace, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY d, cid) AS rn
+       |    FROM cd) t WHERE rn = 1),
+       |recon AS (
+       |  SELECT c.vec_id, flatten(list(bk.cv ORDER BY c.subspace)) AS rv
+       |  FROM codes c JOIN bk ON bk.subspace = c.subspace AND bk.cid = c.cid
+       |  GROUP BY c.vec_id),
+       |rn AS (SELECT vec_id, rv,
+       |    list_sum(list_transform(rv, x -> x * x)) AS rn2 FROM recon),
+       |qn AS (SELECT vec_id, v,
+       |    list_sum(list_transform(v, x -> x * x)) AS qn2
+       |  FROM e WHERE vec_id % 25 = 0),
+       |pairs AS (SELECT qn.vec_id AS query_id, rn.vec_id AS neighbor_id,
+       |    ROUND(qn.qn2 - 2 * list_sum(list_transform(range(1, 65),
+       |      i -> qn.v[i] * rn.rv[i])) + rn.rn2, 4) AS adist
+       |  FROM qn JOIN rn ON rn.vec_id <> qn.vec_id),
+       |r AS (SELECT query_id, neighbor_id, adist,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rnk
+       |  FROM pairs)
+       |SELECT query_id, neighbor_id, adist, rnk FROM r WHERE rnk <= 3""".stripMargin
+
   private val ivfPqBooksPath = sys.env.getOrElse(
     "GRAFT_IVFPQ_BOOKS_PATH",
     s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_books_" +
@@ -5382,6 +5463,7 @@ object Queries {
     "q_ann_recall" -> cachedStagesQuery(ivfStages, qAnnRecallSparkFinal),
     "q_embedding_ivf_trained" -> qIvfTrainedSpark,
     "q_embedding_pq_knn" -> qPqKnnSpark,
+    "q_embedding_opq_knn" -> qOpqKnnSpark,
     "q_embedding_ivfpq_knn" -> qIvfPqKnnSpark,
     "q_embedding_sq_knn" -> qSqKnnSpark,
     "q_embedding_stats" -> qEmbeddingStatsSpark,
@@ -6498,6 +6580,7 @@ object Queries {
         |  CAST(1 AS BIGINT) AS new_files_covered,
         |  CAST(1 AS BIGINT) AS matches_operator""".stripMargin),
     "q_embedding_pq_knn" -> qPqKnnDuck,
+    "q_embedding_opq_knn" -> qOpqKnnDuck,
     "q_embedding_ivfpq_knn" -> qIvfPqKnnDuck,
     "q_embedding_ivfpq_rerank" -> ivfPqRerankDuck,
     "q_embedding_ivfpq_indexed" -> ivfPqReplayDuck(ivfPqIndexBooksPath,

@@ -89,6 +89,53 @@ object AnnDemo {
       // SQ8 at full probe is near-exact: 256 steps/dim loses little
       recallOf("IVF-SQ", sq, 0.60)
 
+      // round-13: OPQ-surrogate permutation — on a corpus whose
+      // variance concentrates in dims 0..15 (exact binary scalings),
+      // the variance-balanced permutation must STRICTLY beat plain PQ
+      // recall at equal (m, k); the drive check behind
+      // q_embedding_opq_knn
+      val skew = emb.select(col("vec_id"),
+        expr("transform(embedding, (x, i) -> x * " +
+          "(CASE WHEN i < 16 THEN 4.0D ELSE 0.25D END))").as("embedding"))
+        .localCheckpoint()
+      val skewAll = all.map { case (id, v) =>
+        id -> v.zipWithIndex.map { case (x, i) =>
+          if (i < 16) x * 4.0 else x * 0.25 }
+      }
+      val skewExact: Map[Long, Set[Long]] =
+        skewAll.filter(_._1 % 25 == 0).map { case (qid, qv) =>
+          qid -> skewAll.filter(_._1 != qid)
+            .map { case (id, v) => (l2sq(qv, v), id) }
+            .sortBy { case (d, id) => (d, id) }.take(3).map(_._2).toSet
+        }.toMap
+      def skewRecall(rows: Array[(Long, Long)]): Double = {
+        val byQ = rows.groupBy(_._1)
+        byQ.map { case (q, ns) => ns.map(_._2).count(skewExact(q)) }
+          .sum.toDouble / (3 * skewExact.size)
+      }
+      val plainBooks = Pq.trainCodebooks(skew, "vec_id", "embedding",
+        m = 4, k = 16, iterations = 2)
+      val rPlain = skewRecall(
+        Pq.adcTopK(Pq.encode(skew, "vec_id", "embedding", plainBooks),
+          skew.where(col("vec_id") % 25 === 0),
+          "vec_id", "embedding", plainBooks, kNeighbors = 3)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))))
+      val perm = Pq.trainPermutation(skew, "embedding", m = 4)
+      val permuted = skew.select(col("vec_id"),
+        Pq.permute(col("embedding"), perm).as("embedding")).localCheckpoint()
+      val opqBooks = Pq.trainCodebooks(permuted, "vec_id", "embedding",
+        m = 4, k = 16, iterations = 2)
+      val rOpq = skewRecall(
+        Pq.adcTopK(Pq.encode(permuted, "vec_id", "embedding", opqBooks),
+          permuted.where(col("vec_id") % 25 === 0),
+          "vec_id", "embedding", opqBooks, kNeighbors = 3)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))))
+      println(f"OPQ perm     recall@3 = $rOpq%.3f vs plain $rPlain%.3f (skewed corpus)")
+      require(rOpq > rPlain,
+        f"OPQ $rOpq%.3f must beat plain PQ $rPlain%.3f on the skewed corpus")
+
       // round-10: the PERSISTED IVF index — incremental ANN-index
       // maintenance drive: build on a scratch Delta corpus, append new
       // vectors, refresh (only the new files are assigned under the
