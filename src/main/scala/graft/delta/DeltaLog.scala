@@ -557,6 +557,14 @@ object DeltaLog {
       (SparkSession, java.lang.ref.SoftReference[Snapshot],
         (String, Long, Long))]()
 
+  /** Probe/test hook: drop both snapshot caches so the NEXT resolution
+    * measures a genuinely cold path (list + pointer read + replay)
+    * instead of a cache probe. */
+  private[graft] def clearSnapshotCaches(): Unit = {
+    snapshotCache.clear()
+    versionSnapshotCache.clear()
+  }
+
   /** Decode a percent-encoded Delta log path (spec: `add.path` is
     * URI-encoded). */
   def decodePath(p: String): String =

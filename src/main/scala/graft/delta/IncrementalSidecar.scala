@@ -81,12 +81,24 @@ object IncrementalSidecar {
   def invalidStoredPaths(coverableByNorm: Map[String, AddFile],
       storedPaths: Seq[String], storedCounts: Map[String, Long],
       exact: Boolean): Seq[String] =
+    invalidStoredPathsNorm(coverableByNorm,
+      storedPaths.map(p => p -> Mutations.normalize(p)), storedCounts, exact)
+
+  /** [[invalidStoredPaths]] over pre-normalized (path, norm) pairs —
+    * the planning passes normalize each stored spelling exactly once
+    * and share the result (at 10⁶ paths the normalization itself is
+    * the measurable cost, LogScaleProbe). */
+  def invalidStoredPathsNorm(coverableByNorm: Map[String, AddFile],
+      storedNorm: Seq[(String, String)], storedCounts: Map[String, Long],
+      exact: Boolean): Seq[String] =
     if (storedCounts.isEmpty) Nil
-    else storedPaths.filter { p =>
-      val n = storedCounts.getOrElse(p, -1L)
-      n >= 0 && coverableByNorm.get(Mutations.normalize(p))
-        .flatMap(numRecordsOf)
-        .exists(rec => if (exact) n != rec else n > rec)
+    else storedNorm.collect { case (p, norm)
+      if {
+        val n = storedCounts.getOrElse(p, -1L)
+        n >= 0 && coverableByNorm.get(norm)
+          .flatMap(numRecordsOf)
+          .exists(rec => if (exact) n != rec else n > rec)
+      } => p
     }
 
   /** The add's recorded row count, when its stats carry one. For a
@@ -128,18 +140,25 @@ object IncrementalSidecar {
       storedCounts: Map[String, Long] = Map.empty,
       countsExact: Boolean = true): Coverage = {
     val coverable = coverableFiles(snap, coverDvFiles)
-    val byNorm: Map[String, AddFile] = coverable
-      .flatMap(f => snap.pathCandidates(f).map(c =>
-        Mutations.normalize(c) -> f)).toMap
+    // ONE candidate/normalize pass per coverable file and ONE
+    // normalize per stored spelling, shared by every derived view —
+    // at 10⁶ files these driver passes ARE the cost of a refresh/
+    // SHOW INDEXES plan (LogScaleProbe), so nothing normalizes twice
+    val candNorms: Seq[(AddFile, Seq[String])] = coverable
+      .map(f => f -> snap.pathCandidates(f).map(Mutations.normalize))
+    val byNorm: Map[String, AddFile] =
+      candNorms.flatMap { case (f, ns) => ns.map(_ -> f) }.toMap
+    val storedNorm: Seq[(String, String)] =
+      storedPaths.map(p => p -> Mutations.normalize(p))
     val invalidStored =
-      invalidStoredPaths(byNorm, storedPaths, storedCounts, countsExact)
+      invalidStoredPathsNorm(byNorm, storedNorm, storedCounts, countsExact)
     val invalid = invalidStored.toSet
-    val liveStored = storedPaths.filter(p =>
-      !invalid.contains(p) && byNorm.contains(Mutations.normalize(p)))
-    val coveredNorm = storedPaths.filterNot(invalid)
-      .map(Mutations.normalize).toSet
-    val missing = coverable.filterNot(f =>
-      snap.pathCandidates(f).map(Mutations.normalize).exists(coveredNorm))
+    val liveStored = storedNorm.collect { case (p, n)
+      if !invalid.contains(p) && byNorm.contains(n) => p }
+    val coveredNorm = storedNorm.collect { case (p, n)
+      if !invalid.contains(p) => n }.toSet
+    val missing = candNorms.collect { case (f, ns)
+      if !ns.exists(coveredNorm) => f }
     Coverage(storedPaths, liveStored, coveredNorm, missing,
       changed = missing.nonEmpty || liveStored.size != storedPaths.size,
       invalidStored = invalidStored)
@@ -168,12 +187,15 @@ object IncrementalSidecar {
       : (Seq[String], Seq[AddFile]) = {
     val cov = coverage(snap, storedPaths, coverDvFiles, storedCounts,
       countsExact)
-    val usableNorm = cov.liveStored.map(Mutations.normalize).toSet
-    val live = snap.planFiles().filter { f =>
-      (!coverDvFiles && f.deletionVector.exists(_.cardinality > 0)) ||
-        !snap.pathCandidates(f).map(Mutations.normalize).exists(usableNorm)
-    }
-    (cov.liveStored, live)
+    // a coverable file is servable iff some candidate norm is a VALID
+    // stored norm — which is exactly cov.missing's complement (its
+    // coveredNorm excludes invalid-demoted paths), so the live set is
+    // missing + the DV'd files the kind never covers; no second
+    // normalize pass over the file set
+    val dvd =
+      if (coverDvFiles) Nil
+      else snap.planFiles().filter(_.deletionVector.exists(_.cardinality > 0))
+    (cov.liveStored, cov.missing ++ dvd)
   }
 
   /** NARROW `(file_path, idCol)` read of `files` — raw parquet

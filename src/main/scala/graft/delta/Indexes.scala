@@ -32,8 +32,18 @@ object Indexes {
     // DV-bearing tables, so the denominator is each kind's COVERABLE
     // set; bloom covers everything
     val dvFree = active.filterNot(_.deletionVector.exists(_.cardinality > 0))
-    def norm(fs: Seq[AddFile]) =
-      fs.flatMap(f => snap.pathCandidates(f).map(Mutations.normalize)).toSet
+    // candidate spellings normalize ONCE for the whole inventory — the
+    // per-file URI work is the driver cost at large file counts
+    // (LogScaleProbe), and every index row reuses these maps
+    val candNorms: Seq[(AddFile, Seq[String])] =
+      active.map(f => f -> snap.pathCandidates(f).map(Mutations.normalize))
+    val dvdNorm: Set[String] = candNorms.collect {
+      case (f, ns) if f.deletionVector.exists(_.cardinality > 0) => ns
+    }.flatten.toSet
+    val activeByNorm: Map[String, AddFile] =
+      candNorms.flatMap { case (f, ns) => ns.map(_ -> f) }.toMap
+    val activeNorm: Set[String] = activeByNorm.keySet
+    val dvFreeByNorm: Map[String, AddFile] = activeByNorm -- dvdNorm
     val base = new Path(log.rootPath, "_graft_index")
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return Seq.empty
@@ -43,30 +53,31 @@ object Indexes {
           val (kind, cols) = Sidecar.readMeta(spark, dir.toString)
             .map { case (k, cs) => (k, cs.mkString(", ")) }
             .getOrElse(("unknown", dir.getName))
-          val coverable = if (kind == "bloom") active else dvFree
-          val coverableNorm = norm(coverable)
+          val coverableSize =
+            if (kind == "bloom") active.size else dvFree.size
+          val coverableNorm =
+            if (kind == "bloom") activeNorm else dvFreeByNorm.keySet
           // planned from the generation's coverage summary when
           // present (no entry-relation job); markers are "__"-prefixed
           val (storedRaw, _, counts) = IncrementalSidecar.storedSummaryFull(
             spark, dir.toString, df, Set.empty)
           val stored = storedRaw.filterNot(_.startsWith("__"))
+          val storedNorm = stored.map(p => p -> Mutations.normalize(p))
           val rowKeyed = kind != "bloom" && kind != "unknown"
           // entry-count invariant — THE shared predicate
           // (IncrementalSidecar.invalidStoredPaths), so SHOW INDEXES
           // and refresh can never disagree; exactness per kind (IVF
           // collapses duplicate ids, LSH/PQ store one entry per row)
-          val byNorm: Map[String, AddFile] = coverable
-            .flatMap(f => snap.pathCandidates(f).map(c =>
-              Mutations.normalize(c) -> f)).toMap
+          val byNorm = if (kind == "bloom") activeByNorm else dvFreeByNorm
           val invalid =
             if (!rowKeyed) Nil
-            else IncrementalSidecar.invalidStoredPaths(byNorm, stored,
-              counts, exact = kind != "ivf")
+            else IncrementalSidecar.invalidStoredPathsNorm(byNorm,
+              storedNorm, counts, exact = kind != "ivf")
           val invalidSet = invalid.toSet
-          val covered = stored.count(p => !invalidSet.contains(p) &&
-            coverableNorm.contains(Mutations.normalize(p)))
-          (kind, cols, covered.toLong, coverable.size.toLong,
-            (coverable.size - covered).toLong, invalid.size.toLong)
+          val covered = storedNorm.count { case (p, n) =>
+            !invalidSet.contains(p) && coverableNorm.contains(n) }
+          (kind, cols, covered.toLong, coverableSize.toLong,
+            (coverableSize - covered).toLong, invalid.size.toLong)
         }
       }
   }

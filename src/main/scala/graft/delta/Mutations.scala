@@ -24,9 +24,58 @@ import graft.operators.Dedup
 object Mutations {
 
   /** Normalize a file-path URI string to the qualified-path form. */
-  private[graft] def normalize(s: String): String =
-    try new org.apache.hadoop.fs.Path(new java.net.URI(s)).toString
+  private[graft] def normalize(s: String): String = {
+    val fast = normalizeFast(s)
+    if (fast != null) fast
+    else try new org.apache.hadoop.fs.Path(new java.net.URI(s)).toString
     catch { case _: Exception => s }
+  }
+
+  /** Allocation-light normalization for the overwhelmingly common
+    * spelling family `scheme:/abs/path` / `scheme:///abs/path` with a
+    * plain URI-unreserved path: both render as `scheme:/abs/path`,
+    * exactly what the URI → Path route produces. Returns null (→ take
+    * the general route) for anything else: an authority (2 slashes —
+    * Path keeps it), percent-escapes, non-ASCII, empty/`.`/`..`
+    * segments, trailing slash. The general route costs a URI parse +
+    * Path build per call, which LogScaleProbe measured as the dominant
+    * driver cost of 10⁶-file coverage planning. */
+  private def normalizeFast(s: String): String = {
+    val colon = s.indexOf(':')
+    if (colon <= 0) return null
+    var i = 0
+    while (i < colon) {
+      val c = s.charAt(i)
+      val ok = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (i > 0 && ((c >= '0' && c <= '9') || c == '+' || c == '.' || c == '-'))
+      if (!ok) return null
+      i += 1
+    }
+    var j = colon + 1
+    while (j < s.length && s.charAt(j) == '/') j += 1
+    val slashes = j - colon - 1
+    // 1 = no authority, 3 = empty authority (same canonical form);
+    // 2 = a real authority -> general route
+    if ((slashes != 1 && slashes != 3) || j >= s.length) return null
+    var k = j
+    var segStart = j
+    while (k <= s.length) {
+      if (k == s.length || s.charAt(k) == '/') {
+        val seg = s.substring(segStart, k)
+        if (seg.isEmpty || seg == "." || seg == "..") return null
+        segStart = k + 1
+      } else {
+        val c = s.charAt(k)
+        val ok = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9') || c == '-' || c == '_' || c == '.' ||
+          c == '=' || c == '+'
+        if (!ok) return null
+      }
+      k += 1
+    }
+    if (slashes == 1) s
+    else s.substring(0, colon) + ":/" + s.substring(j)
+  }
 
   /** Lookup from every observable `_metadata.file_path` spelling
     * (normalized) back to the AddFile it names. */

@@ -825,12 +825,58 @@ class Snapshot(
     * slash count, e.g. `file:/x` vs `file:///x`). The deleted-row
     * relation emits every candidate; extra spellings are harmless on
     * the anti-join side because they can only re-name the SAME file. */
-  private[graft] def pathCandidates(f: AddFile): Seq[String] = {
-    val q = log.fs.makeQualified(
-      new org.apache.hadoop.fs.Path(log.rootPath, DeltaLog.decodePath(f.path)))
+  /** Qualified-root prefix forms, computed ONCE per snapshot: every
+    * candidate spelling of a plain relative add path is one of these
+    * prefixes + the decoded path. At 10⁶-file planning scale the
+    * per-file Path/URI construction and regex of the general route is
+    * the dominant driver cost of coverage/refresh/SHOW INDEXES
+    * (measured by LogScaleProbe), and add paths are overwhelmingly
+    * plain `part-*.parquet` names. */
+  private lazy val rootPrefixForms: Seq[String] = {
+    val q = log.fs.makeQualified(log.rootPath)
     val forms = Seq(q.toString, q.toUri.toString)
-    (forms ++ forms.map(_.replaceFirst("^([a-zA-Z][a-zA-Z0-9+.-]*):/(?!/)", "$1:///")))
-      .distinct
+    (forms ++ forms.map(
+      Snapshot.SchemeSingleSlashRe.pattern.matcher(_).replaceFirst("$1:///")))
+      .distinct.map(r => if (r.endsWith("/")) r else r + "/")
+  }
+
+  /** A decoded relative path is "plain" when string concatenation with
+    * the qualified root provably equals the general Path/URI route:
+    * URI-unreserved ASCII only (nothing `Path.toUri` would percent-
+    * encode), no empty/`.`/`..` segments (nothing `Path` would
+    * collapse), not absolute, no embedded scheme. */
+  private def plainRelPath(d: String): Boolean = {
+    if (d.isEmpty || d.charAt(0) == '/') return false
+    var i = 0
+    var segStart = 0
+    while (i <= d.length) {
+      if (i == d.length || d.charAt(i) == '/') {
+        val seg = d.substring(segStart, i)
+        if (seg.isEmpty || seg == "." || seg == "..") return false
+        segStart = i + 1
+      } else {
+        val c = d.charAt(i)
+        val ok = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9') || c == '-' || c == '_' || c == '.' ||
+          c == '=' || c == '+'
+        if (!ok) return false
+      }
+      i += 1
+    }
+    true
+  }
+
+  private[graft] def pathCandidates(f: AddFile): Seq[String] = {
+    val decoded = DeltaLog.decodePath(f.path)
+    if (plainRelPath(decoded)) rootPrefixForms.map(_ + decoded)
+    else {
+      val q = log.fs.makeQualified(
+        new org.apache.hadoop.fs.Path(log.rootPath, decoded))
+      val forms = Seq(q.toString, q.toUri.toString)
+      (forms ++ forms.map(
+        Snapshot.SchemeSingleSlashRe.pattern.matcher(_).replaceFirst("$1:///")))
+        .distinct
+    }
   }
 
   /** Scan files that carry deletion vectors and drop their deleted
@@ -875,6 +921,12 @@ class Snapshot(
 }
 
 object Snapshot {
+  /** `scheme:/` with NO second slash — precompiled once (the previous
+    * per-call `String.replaceFirst` recompiled it per candidate, a
+    * measurable cost at 10⁶-file planning scale). */
+  private[delta] val SchemeSingleSlashRe =
+    """^([a-zA-Z][a-zA-Z0-9+.-]*):/(?!/)""".r
+
   /** Running count of add-file rows materialized to the driver across
     * all snapshots — the observable FileIndexSpec uses to assert that
     * planning stays bounded (a full 10⁵-add collect is visible here). */

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 import java.sql.Timestamp
 import org.apache.spark.sql.DataFrame
-import graft.delta.{DeltaLog, TransactionWriter}
+import graft.delta.{AddFile, DeltaLog, Mutations, TransactionWriter}
 
 /** Mutation golden tests ported from the reference's
   * tests/test_public_interface.py, run against tables created by our own
@@ -287,5 +287,59 @@ class MutationsSpec extends SparkTestBase {
     assertSameRows(snap.read(), Seq((2L, "b"), (3L, "c")).toDF("n", "s"))
     // time travel back to v0
     assertSameRows(log.snapshotAt(0).read(), Seq((1L, "a")).toDF("n", "s"))
+  }
+
+  test("normalize fast path equals the URI->Path route on every family") {
+    def slow(s: String): String =
+      try new org.apache.hadoop.fs.Path(new java.net.URI(s)).toString
+      catch { case _: Exception => s }
+    val cases = Seq(
+      // fast-path family: no/empty authority, plain unreserved path
+      "file:/tmp/t/part-00001.parquet",
+      "file:///tmp/t/part-00001.parquet",
+      "s3a:/b/key/date=2024-01-01/part+x.parquet",
+      "file:/a/b.c/d_e-f",
+      // general-route family: the fast path must decline these
+      "hdfs://nn:8020/a/b",                 // real authority
+      "s3a://bucket/key/part=1/x.parquet",  // real authority
+      "file:/tmp/t/a%20b.parquet",          // percent-escape (decodes)
+      "file:/tmp/t/\u00fcn\u00efcode.parquet", // non-ASCII
+      "file:/tmp/t/",                       // trailing slash
+      "file:/tmp//t/x",                     // empty segment
+      "file:/tmp/t/./x",                    // dot segment
+      "file:/tmp/t/../x",                   // dotdot segment
+      "file:////tmp/x",                     // 4 slashes
+      "relative/path.parquet",              // no scheme
+      "not a uri at all",                   // URI parse failure
+      "",                                   // empty
+      "9bad:/scheme/x")                     // scheme can't start digit
+    cases.foreach { s =>
+      assert(Mutations.normalize(s) == slow(s),
+        s"normalize('$s') diverged from the URI->Path route")
+    }
+  }
+
+  test("pathCandidates fast path equals the qualified-Path route") {
+    val log = writeTable(Seq((1L, "a")).toDF("n", "s"))
+    val snap = log.snapshot
+    def slowCands(rel: String): Seq[String] = {
+      val q = log.fs.makeQualified(new org.apache.hadoop.fs.Path(
+        log.rootPath, DeltaLog.decodePath(rel)))
+      val forms = Seq(q.toString, q.toUri.toString)
+      (forms ++ forms.map(_.replaceFirst(
+        "^([a-zA-Z][a-zA-Z0-9+.-]*):/(?!/)", "$1:///"))).distinct
+    }
+    val rels = Seq(
+      "part-00001-abc.snappy.parquet",            // plain (fast path)
+      "p=1/part-00001.parquet",                   // partition dir (fast)
+      "date=2024-01-01/part+x.parquet",           // '=' and '+' (fast)
+      "p=a%20b/part-1.parquet",                   // url-escaped (slow)
+      "p=__HIVE_DEFAULT_PARTITION__/x.parquet",   // underscores (fast)
+      "p=%C3%BC/part-1.parquet")                  // unicode escape (slow)
+    rels.foreach { rel =>
+      val f = AddFile(rel, Map.empty, 1L, 0L)
+      assert(snap.pathCandidates(f) == slowCands(rel),
+        s"pathCandidates('$rel') diverged from the general route")
+    }
   }
 }
