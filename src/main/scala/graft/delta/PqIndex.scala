@@ -61,6 +61,15 @@ object PqIndex {
 
   private val CoarseMarker = "__coarse"
   private val BooksMarker = "__books"
+  /** OPQ-surrogate coordinate permutation ([[Pq.trainPermutation]]):
+    * rows (sub = new position, cid = old dim, vec = null). Optional —
+    * absent on unrotated indexes; when present, EVERY vector (corpus
+    * encode, live encode, query) permutes before slicing, so the
+    * stored quantizers and codes live entirely in permuted space.
+    * L2 is permutation-invariant: ADC distances are unchanged as
+    * distances, only the subspace partition (and hence recall at
+    * fixed m) improves on axis-skewed corpora. */
+  private val PermMarker = "__perm"
 
   def indexDir(log: DeltaLog, idCol: String, vecCol: String): String =
     new org.apache.hadoop.fs.Path(
@@ -76,6 +85,12 @@ object PqIndex {
       : Option[(Seq[(Int, Long, Array[Double])], Seq[(Int, Long, Array[Double])])] =
     entries(log, idCol, vecCol).map(storedQuantizers)
 
+  /** The persisted OPQ-surrogate permutation (`perm(newPos) = oldDim`),
+    * None when the index has one built without `rotate` — quantizers
+    * and codes of a rotated index live in this permuted space. */
+  def permutation(log: DeltaLog, idCol: String, vecCol: String): Option[Seq[Int]] =
+    entries(log, idCol, vecCol).flatMap(storedPerm)
+
   private def storedQuantizers(idx: DataFrame)
       : (Seq[(Int, Long, Array[Double])], Seq[(Int, Long, Array[Double])]) = {
     def load(marker: String) = idx.where(col("file_path") === marker)
@@ -84,6 +99,19 @@ object PqIndex {
       .toSeq.sortBy(x => (x._1, x._2))
     (load(CoarseMarker), load(BooksMarker))
   }
+
+  /** The persisted coordinate permutation, None on unrotated indexes. */
+  private def storedPerm(idx: DataFrame): Option[Seq[Int]] = {
+    val rows = idx.where(col("file_path") === PermMarker)
+      .select(col("sub"), col("cid")).collect()
+      .map(r => (r.getInt(0), r.getLong(1).toInt)).toSeq.sortBy(_._1)
+    if (rows.isEmpty) None else Some(rows.map(_._2))
+  }
+
+  private def maybePermute(rows: DataFrame, vecCol: String,
+      perm: Option[Seq[Int]]): DataFrame =
+    perm.map(p => rows.withColumn(vecCol, Pq.permute(col(vecCol), p)))
+      .getOrElse(rows)
 
   private def validate(snap: Snapshot, idCol: String, vecCol: String): Unit =
     Seq(idCol, vecCol).foreach { c =>
@@ -147,8 +175,11 @@ object PqIndex {
   private def scanEntries(log: DeltaLog, snap: Snapshot, files: Seq[AddFile],
       idCol: String, vecCol: String,
       coarse: Seq[(Int, Long, Array[Double])],
-      books: Seq[(Int, Long, Array[Double])]): DataFrame =
-    encodeRows(rawRows(log, snap, files, idCol, vecCol), vecCol, coarse, books)
+      books: Seq[(Int, Long, Array[Double])],
+      perm: Option[Seq[Int]] = None): DataFrame =
+    encodeRows(
+      maybePermute(rawRows(log, snap, files, idCol, vecCol), vecCol, perm),
+      vecCol, coarse, books)
       .select(col("file_path"), col(idCol), col("cell"), col("codes"),
         col("qerr"),
         lit(null).cast("int").as("sub"), lit(null).cast("long").as("cid"),
@@ -157,11 +188,14 @@ object PqIndex {
 
   private def quantizerRows(log: DeltaLog, snap: Snapshot, idCol: String,
       coarse: Seq[(Int, Long, Array[Double])],
-      books: Seq[(Int, Long, Array[Double])], trainedVersion: Long): DataFrame = {
+      books: Seq[(Int, Long, Array[Double])], trainedVersion: Long,
+      perm: Option[Seq[Int]] = None): DataFrame = {
     import log.spark.implicits._
     val idType = snap.schema(idCol).dataType
-    (coarse.map { case (j, cid, cv) => (CoarseMarker, j, cid, cv.toSeq) } ++
-      books.map { case (j, cid, cv) => (BooksMarker, j, cid, cv.toSeq) })
+    (coarse.map { case (j, cid, cv) => (CoarseMarker, j, cid, Some(cv.toSeq)) } ++
+      books.map { case (j, cid, cv) => (BooksMarker, j, cid, Some(cv.toSeq)) } ++
+      perm.toSeq.flatMap(_.zipWithIndex.map { case (oldDim, newPos) =>
+        (PermMarker, newPos, oldDim.toLong, Option.empty[Seq[Double]]) }))
       .toDF("file_path", "sub", "cid", "vec")
       .select(col("file_path"), lit(null).cast(idType).as(idCol),
         lit(null).cast("int").as("cell"),
@@ -184,26 +218,41 @@ object PqIndex {
   /** Train both quantizers (deterministic md5-anchored k-means,
     * [[Pq.trainCodebooks]]) on the current corpus and encode every
     * coverable file. Returns the indexed version. */
+  /** `rotate = true` trains an OPQ-surrogate coordinate permutation
+    * first ([[Pq.trainPermutation]] — one aggregation pass) and builds
+    * the whole index in permuted space: quantizers train on permuted
+    * vectors, entries store permuted-space codes, the permutation
+    * persists as `__perm` marker rows so search/refresh/retrain apply
+    * it transparently. Worth it when corpus variance concentrates in
+    * few dimensions (recall at fixed m improves); a no-op permutation
+    * costs one extra array projection per encoded/queried row. */
   def build(log: DeltaLog, idCol: String, vecCol: String,
-      kCoarse: Int = 8, m: Int = 4, k: Int = 16, iterations: Int = 2): Long = {
+      kCoarse: Int = 8, m: Int = 4, k: Int = 16, iterations: Int = 2,
+      rotate: Boolean = false): Long = {
     val snap = log.snapshot
     validate(snap, idCol, vecCol)
     val files = coverableFiles(snap)
     if (files.isEmpty) return snap.version
     val corpus = snap.read()
+    val perm =
+      if (rotate) Some(Pq.trainPermutation(corpus, vecCol, m))
+      else None
+    val trainCorpus = maybePermute(corpus, vecCol, perm)
     // both quantizers in ONE shared job chain (identical results to
     // two trainCodebooks calls — the training is job-overhead-bound)
-    val Seq(coarse, books) = Pq.trainCodebooksMulti(corpus, idCol, vecCol,
+    val Seq(coarse, books) = Pq.trainCodebooksMulti(trainCorpus, idCol, vecCol,
       Seq((1, kCoarse), (m, k)), iterations = iterations)
     // build params persisted so a gauge-triggered retrain reuses THIS
     // build's knobs (not the signature defaults)
     Sidecar.writeMeta(log.spark, indexDir(log, idCol, vecCol),
       "ivfpq", Seq(idCol, vecCol),
       Map("kCoarse" -> kCoarse.toString, "m" -> m.toString,
-        "k" -> k.toString, "iterations" -> iterations.toString))
+        "k" -> k.toString, "iterations" -> iterations.toString,
+        "rotate" -> (if (rotate) "1" else "0")))
     publish(log, indexDir(log, idCol, vecCol),
-      quantizerRows(log, snap, idCol, coarse, books, snap.version)
-        .unionByName(scanEntries(log, snap, files, idCol, vecCol, coarse, books)))
+      quantizerRows(log, snap, idCol, coarse, books, snap.version, perm)
+        .unionByName(
+          scanEntries(log, snap, files, idCol, vecCol, coarse, books, perm)))
     snap.version
   }
 
@@ -225,7 +274,7 @@ object PqIndex {
     validate(snap, idCol, vecCol)
     val idx = entries(log, idCol, vecCol).getOrElse(
       return build(log, idCol, vecCol))
-    val markers = Set(CoarseMarker, BooksMarker)
+    val markers = Set(CoarseMarker, BooksMarker, PermMarker)
     val dataRows = idx.where(!col("file_path").isin(markers.toSeq: _*))
     val (storedRaw, since, counts) = IncrementalSidecar.storedSummaryFull(
       spark, indexDir(log, idCol, vecCol), idx, markers)
@@ -263,10 +312,11 @@ object PqIndex {
       if (missing.isEmpty) idx.limit(0)
       else {
         val (coarse, books) = storedQuantizers(idx)
+        val perm = storedPerm(idx)
         // materialize (ingest-sized) so the drift agg and the publish
         // share one encode pass over the new files
-        val e = scanEntries(log, snap, missing, idCol, vecCol, coarse, books)
-          .localCheckpoint()
+        val e = scanEntries(log, snap, missing, idCol, vecCol, coarse, books,
+          perm).localCheckpoint()
         val threshold = {
           val v = if (!driftThreshold.isNaN) driftThreshold
             else spark.conf.get("spark.graft.ivfpq.driftThreshold", "1.0").toDouble
@@ -305,7 +355,12 @@ object PqIndex {
                 k = params.get("k").flatMap(_.toIntOption)
                   .getOrElse(books.size / m),
                 iterations = params.get("iterations")
-                  .flatMap(_.toIntOption).getOrElse(2))
+                  .flatMap(_.toIntOption).getOrElse(2),
+                // a rotated index retrains rotated (fresh permutation
+                // for the drifted distribution); fallback: the stored
+                // perm's presence
+                rotate = params.get("rotate")
+                  .map(_ == "1").getOrElse(perm.nonEmpty))
             }
           case _ => ()
         }
@@ -351,14 +406,19 @@ object PqIndex {
         s"no IVF-PQ index on ${log.tablePath} for ($idCol, $vecCol): run " +
           "GRAFT CREATE IVFPQ INDEX first (or use Pq.ivfPqTopK)"))
     val (coarse, books) = storedQuantizers(idx)
+    val perm = storedPerm(idx)
     val m = books.map(_._1).max + 1
-    val markers = Set(CoarseMarker, BooksMarker)
-    // query side: probe cells + raw-vector norms ([[Pq.ivfPqTopK]]'s q)
-    val q = queries
+    val markers = Set(CoarseMarker, BooksMarker, PermMarker)
+    // query side: probe cells + raw-vector norms ([[Pq.ivfPqTopK]]'s
+    // q). A rotated index stores everything in permuted space, so the
+    // queries permute ONCE here — distances are unchanged as
+    // distances (L2 is permutation-invariant)
+    val pQueries = maybePermute(queries, vecCol, perm)
+    val q = pQueries
       .select(col(idCol).as("query_id"), Pq.asDouble(col(vecCol)).as("__qv"))
       .dropDuplicates("query_id")
       .withColumn("__qn2", VectorExpressions.dot(col("__qv"), col("__qv")))
-      .join(Pq.probeCells(queries, idCol, vecCol, coarse, nprobe),
+      .join(Pq.probeCells(pQueries, idCol, vecCol, coarse, nprobe),
         Seq("query_id"))
     // the probed cells, collected (≤ kCoarse values — the coarse book
     // already lives on the driver) so the index scan gets a pushed IN
@@ -384,8 +444,9 @@ object PqIndex {
         // LOGICAL read, not the raw-parquet build primitive: these
         // files carry DVs (or are not yet indexed) — a physical read
         // would resurface deleted vectors as phantom neighbors
-        val liveRows = snap.readFiles(liveFiles)
-          .select(col(idCol), col(vecCol))
+        val liveRows = maybePermute(
+          snap.readFiles(liveFiles).select(col(idCol), col(vecCol)),
+          vecCol, perm)
         encodeRows(liveRows, vecCol, coarse, books)
           .where(col("cell").isin(probedCells: _*))
           .select(col(idCol).as("neighbor_id"), col("cell"), col("codes"))
@@ -418,7 +479,10 @@ object PqIndex {
         .select("query_id", "neighbor_id").localCheckpoint()
       val candIds = topC.select(col("neighbor_id")).distinct()
         .limit(100001).collect().map(_.get(0))
-      val corpus = snap.read().select(
+      // permuted like __qv so the exact-distance fold walks both
+      // vectors in the same coordinate order (the value is the true
+      // distance either way — permutation-invariant)
+      val corpus = maybePermute(snap.read(), vecCol, perm).select(
         col(idCol).as("neighbor_id"),
         Pq.asDouble(col(vecCol)).as("__nv"))
       val vecsOf =

@@ -194,6 +194,32 @@ object AnnDemo {
         "indexed IVF-PQ search diverged from the operator path")
       recallOf("IVFPQ-index", viaPqIdx, 0.05)
 
+      // round-13: ROTATED IVF-PQ index on the skewed corpus — the
+      // persisted permutation must beat the unrotated index's recall
+      // at equal (kCoarse, m, k), searched entirely through sidecars
+      val skewDir = java.nio.file.Files
+        .createTempDirectory("graft_anndemo_opq_").resolve("t").toString
+      def buildAndRecall(rotate: Boolean): Double = {
+        val d = s"${skewDir}_${if (rotate) "rot" else "flat"}"
+        val l = graft.delta.DeltaLog.forPath(spark, d)
+        graft.delta.TransactionWriter.overwrite(l,
+          skew.repartition(4, col("vec_id")))
+        graft.delta.PqIndex.build(l, "vec_id", "embedding",
+          kCoarse = 8, m = 4, k = 16, rotate = rotate)
+        require(graft.delta.PqIndex.permutation(l, "vec_id", "embedding")
+          .nonEmpty == rotate, s"rotate=$rotate perm-marker mismatch")
+        skewRecall(graft.delta.PqIndex.search(l,
+            skew.where(col("vec_id") % 25 === 0), "vec_id", "embedding",
+            k = 3, nprobe = 8)
+          .select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))))
+      }
+      val rFlatIdx = buildAndRecall(rotate = false)
+      val rRotIdx = buildAndRecall(rotate = true)
+      println(f"OPQ index    recall@3 = $rRotIdx%.3f vs flat $rFlatIdx%.3f (skewed corpus)")
+      require(rRotIdx > rFlatIdx,
+        f"rotated index $rRotIdx%.3f must beat unrotated $rFlatIdx%.3f")
+
       println("AnnDemo: all recall floors and invariants held")
     } finally spark.stop()
   }

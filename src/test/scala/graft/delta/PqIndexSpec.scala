@@ -102,6 +102,50 @@ class PqIndexSpec extends SparkTestBase {
     assert(gen() == g0, "idle refresh must not publish a new generation")
   }
 
+  test("rotated build: permuted-space search ≡ operator path; refresh keeps the perm") {
+    val log = scratch()
+    PqIndex.build(log, "vec_id", "embedding", kCoarse = 4, m = 4, k = 8,
+      rotate = true)
+    val perm = PqIndex.permutation(log, "vec_id", "embedding")
+      .getOrElse(fail("rotated build must persist a __perm marker"))
+    assert(perm.sorted == (0 until 8), s"not an 8-dim permutation: $perm")
+    // search THROUGH the rotated index equals the operator path run
+    // entirely in permuted space under the same persisted quantizers
+    val queries = rows(0, 48).where(col("vec_id") % 7 === 0)
+    val viaIdx = PqIndex.search(log, queries, "vec_id", "embedding",
+      k = 3, nprobe = 2)
+    val (coarse, books) = PqIndex.quantizers(log, "vec_id", "embedding").get
+    def permuted(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("embedding",
+        graft.operators.Pq.permute(col("embedding"), perm))
+    val direct = graft.operators.Pq.ivfPqTopK(
+      permuted(log.snapshot.read()), permuted(queries),
+      "vec_id", "embedding", coarse, books, kNeighbors = 3, nprobe = 2)
+    assert(asSet(viaIdx) == asSet(direct) && viaIdx.count() > 0,
+      s"indexed ${asSet(viaIdx).size} vs permuted-direct ${asSet(direct).size}")
+    // incremental refresh: old entries verbatim, perm unchanged, new
+    // files encoded under the SAME permutation
+    def fileVersions() = PqIndex.entries(log, "vec_id", "embedding").get
+      .where(!col("file_path").startsWith("__"))
+      .select("file_path", "version").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val before = fileVersions()
+    TransactionWriter.append(log, rows(48, 60).repartition(2, col("vec_id")))
+    val fresh = DeltaLog.forPath(spark, log.tablePath)
+    PqIndex.refresh(fresh, "vec_id", "embedding")
+    val after = fileVersions()
+    before.foreach { case (p, v) =>
+      assert(after.get(p).contains(v), s"entry $p was rebuilt or lost") }
+    assert(after.size > before.size, "appended files not covered")
+    assert(PqIndex.permutation(fresh, "vec_id", "embedding").contains(perm),
+      "refresh must carry the permutation verbatim")
+    val viaIdx2 = PqIndex.search(fresh, queries, "vec_id", "embedding", 3, 2)
+    val direct2 = graft.operators.Pq.ivfPqTopK(
+      permuted(fresh.snapshot.read()), permuted(queries),
+      "vec_id", "embedding", coarse, books, 3, 2)
+    assert(asSet(viaIdx2) == asSet(direct2))
+  }
+
   test("a DV'd file leaves coverage: deleted vectors stop being neighbors") {
     val log = scratch()
     PqIndex.build(log, "vec_id", "embedding", kCoarse = 4, m = 4, k = 8)
