@@ -541,16 +541,35 @@ class Snapshot(
         get_json_object(col("stats"), "$.numRecords").cast("long"))
       .withColumn("stats", lit(null).cast(StringType))
 
+  /** Memo for the no-predicate [[planFiles]] collect: a Snapshot is
+    * immutable and the large-table flows plan several times per
+    * operation (coverage pass, probe coverage, scan build — at 10⁶
+    * files each collect costs seconds, LogScaleProbe). SOFT reference
+    * keeps the slim-planning memory posture: under heap pressure the
+    * GC reclaims the memo and the next call re-collects. */
+  private val planFilesMemo = new java.util.concurrent.atomic.AtomicReference[
+    java.lang.ref.SoftReference[Seq[AddFile]]]()
+
   /** Bounded planning collect: the (slim) active files, optionally
     * pruned IN SPARK by `pred` over the adds columns (`path`,
     * `partition_values`, `size_bytes`, `deletion_vector`, ...). The
-    * default planner for reads, mutations, and maintenance. */
-  def planFiles(pred: Option[org.apache.spark.sql.Column] = None): Seq[AddFile] = {
-    val out = pred.map(slimAdds.where).getOrElse(slimAdds)
-      .collect().toSeq.map(rowToAddFile)
-    Snapshot.driverFileRowsCollected.addAndGet(out.size)
-    out
-  }
+    * default planner for reads, mutations, and maintenance. The
+    * no-predicate result is memoized per snapshot (the collected-rows
+    * observable counts only genuine materializations). */
+  def planFiles(pred: Option[org.apache.spark.sql.Column] = None): Seq[AddFile] =
+    pred match {
+      case Some(p) =>
+        val out = slimAdds.where(p).collect().toSeq.map(rowToAddFile)
+        Snapshot.driverFileRowsCollected.addAndGet(out.size)
+        out
+      case None =>
+        Option(planFilesMemo.get()).flatMap(r => Option(r.get())).getOrElse {
+          val out = slimAdds.collect().toSeq.map(rowToAddFile)
+          Snapshot.driverFileRowsCollected.addAndGet(out.size)
+          planFilesMemo.set(new java.lang.ref.SoftReference(out))
+          out
+        }
+    }
 
   /** Planning collect pruned by a best-effort stats/partition
     * translation of a ROW predicate ([[Skipping.pruningPredicate]]):

@@ -117,6 +117,13 @@ object LogScaleProbe {
     require(files.head.numRecordsStat.contains(rowsPerFile),
       "slim planning must keep numRecords for the count invariant")
     println(f"    planFiles heap delta ≈ $hPlan%d MB for $nFiles%d slim adds")
+    // repeated planning is memoized per immutable snapshot (coverage,
+    // probe coverage, and scan build all plan in one operation)
+    val (files2, tPlan2) = timed("planFiles again (memo)") {
+      snap.planFiles()
+    }
+    require(files2 eq files, "second planFiles must serve the memo")
+    require(tPlan2 < 0.5, f"memoized planFiles took ${tPlan2}%.2f s")
 
     // ---- stats pruning (q_skipped_stats shape) ----------------------------
     val needle = (nFiles / 2) * rowsPerFile + 17
