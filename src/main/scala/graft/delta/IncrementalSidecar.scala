@@ -139,15 +139,21 @@ object IncrementalSidecar {
       coverDvFiles: Boolean,
       storedCounts: Map[String, Long] = Map.empty,
       countsExact: Boolean = true): Coverage = {
-    val coverable = coverableFiles(snap, coverDvFiles)
     // ONE candidate/normalize pass per coverable file and ONE
     // normalize per stored spelling, shared by every derived view —
     // at 10⁶ files these driver passes ARE the cost of a refresh/
-    // SHOW INDEXES plan (LogScaleProbe), so nothing normalizes twice
-    val candNorms: Seq[(AddFile, Seq[String])] = coverable
-      .map(f => f -> snap.pathCandidates(f).map(Mutations.normalize))
-    val byNorm: Map[String, AddFile] =
-      candNorms.flatMap { case (f, ns) => ns.map(_ -> f) }.toMap
+    // SHOW INDEXES plan (LogScaleProbe), so nothing normalizes twice;
+    // the active-file pass itself is snapshot-memoized so a
+    // multi-index maintenance sweep shares it across sidecars
+    val candNorms: Seq[(AddFile, Seq[String])] =
+      if (coverDvFiles) snap.activeCandNorms()
+      else snap.activeCandNorms()
+        .filterNot(_._1.deletionVector.exists(_.cardinality > 0))
+    val coverable = candNorms.map(_._1)
+    val byNorm: Map[String, AddFile] = {
+      val (byAll, byDvFree) = snap.candNormIndexes()
+      if (coverDvFiles) byAll else byDvFree
+    }
     val storedNorm: Seq[(String, String)] =
       storedPaths.map(p => p -> Mutations.normalize(p))
     val invalidStored =

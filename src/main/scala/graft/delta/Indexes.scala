@@ -34,16 +34,10 @@ object Indexes {
     val dvFree = active.filterNot(_.deletionVector.exists(_.cardinality > 0))
     // candidate spellings normalize ONCE for the whole inventory — the
     // per-file URI work is the driver cost at large file counts
-    // (LogScaleProbe), and every index row reuses these maps
-    val candNorms: Seq[(AddFile, Seq[String])] =
-      active.map(f => f -> snap.pathCandidates(f).map(Mutations.normalize))
-    val dvdNorm: Set[String] = candNorms.collect {
-      case (f, ns) if f.deletionVector.exists(_.cardinality > 0) => ns
-    }.flatten.toSet
-    val activeByNorm: Map[String, AddFile] =
-      candNorms.flatMap { case (f, ns) => ns.map(_ -> f) }.toMap
+    // (LogScaleProbe); snapshot-memoized, so refreshes in the same
+    // maintenance sweep share the pass too
+    val (activeByNorm, dvFreeByNorm) = snap.candNormIndexes()
     val activeNorm: Set[String] = activeByNorm.keySet
-    val dvFreeByNorm: Map[String, AddFile] = activeByNorm -- dvdNorm
     val base = new Path(log.rootPath, "_graft_index")
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return Seq.empty

@@ -885,6 +885,48 @@ class Snapshot(
     true
   }
 
+  /** Memo for [[activeCandNorms]] — same soft-reference posture as the
+    * planFiles memo. */
+  private val candNormsMemo = new java.util.concurrent.atomic.AtomicReference[
+    java.lang.ref.SoftReference[Seq[(AddFile, Seq[String])]]]()
+
+  /** Every active file with its NORMALIZED candidate spellings — the
+    * sidecar-coverage / SHOW-INDEXES planning relation. Soft-memoized
+    * per snapshot: a maintenance sweep over a multi-index table (the
+    * post-commit auto-refresh hook, the inventory) normalizes the
+    * 10⁶-file set once and every sidecar shares it. */
+  private[graft] def activeCandNorms(): Seq[(AddFile, Seq[String])] =
+    Option(candNormsMemo.get()).flatMap(r => Option(r.get())).getOrElse {
+      val out = planFiles()
+        .map(f => f -> pathCandidates(f).map(Mutations.normalize))
+      candNormsMemo.set(new java.lang.ref.SoftReference(out))
+      out
+    }
+
+  private val candNormIdxMemo = new java.util.concurrent.atomic.AtomicReference[
+    java.lang.ref.SoftReference[(Map[String, AddFile], Map[String, AddFile])]]()
+
+  /** (all-active, DV-free) lookup maps from normalized candidate
+    * spelling to AddFile — the coverage/inventory join sides, built
+    * once per snapshot (a 2·10⁶-entry map build costs seconds at
+    * 10⁶ files; every sidecar's refresh and the SHOW INDEXES rows
+    * share these). The DV-free map subtracts DV'd files' norms from
+    * the all-active map — identical to building from the DV-free
+    * subset, since distinct add paths cannot share a normalized
+    * candidate spelling. */
+  private[graft] def candNormIndexes(): (Map[String, AddFile], Map[String, AddFile]) =
+    Option(candNormIdxMemo.get()).flatMap(r => Option(r.get())).getOrElse {
+      val all = activeCandNorms()
+      val byAll: Map[String, AddFile] =
+        all.flatMap { case (f, ns) => ns.map(_ -> f) }.toMap
+      val dvdNorms = all.collect {
+        case (f, ns) if f.deletionVector.exists(_.cardinality > 0) => ns
+      }.flatten
+      val out = (byAll, byAll -- dvdNorms)
+      candNormIdxMemo.set(new java.lang.ref.SoftReference(out))
+      out
+    }
+
   private[graft] def pathCandidates(f: AddFile): Seq[String] = {
     val decoded = DeltaLog.decodePath(f.path)
     if (plainRelPath(decoded)) rootPrefixForms.map(_ + decoded)

@@ -164,6 +164,15 @@ object LogScaleProbe {
       "corrupted slices must demote to missing (rescan, not serve)")
     require(cov.liveStored.size == nFiles - 100,
       s"liveStored=${cov.liveStored.size}, want ${nFiles - 100}")
+    // the active-file normalization pass is snapshot-memoized: a
+    // second sidecar's coverage in the same maintenance sweep pays
+    // only the stored-path views, not the file normalization
+    val (cov2, tCov2) = timed("coverage again (shared norm memo)") {
+      IncrementalSidecar.coverage(snap, storedPaths,
+        coverDvFiles = false, storedCounts = counts, countsExact = true)
+    }
+    require(cov2.invalidStored.size == 100 && tCov2 < tCov,
+      f"repeat coverage ${tCov2}%.2f s should undercut the first ${tCov}%.2f s")
 
     // ---- compaction + remap walk ------------------------------------------
     // batch 0 (100k files) compacts into 1k merged files in one
