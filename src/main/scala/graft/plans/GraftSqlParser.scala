@@ -55,7 +55,7 @@ import graft.delta.{Clone, Constraints, DeltaLog, Maintenance, Mutations}
   * GRAFT CREATE IVF INDEX ON '<path>' (<idCol>, <vecCol>) [K <k>]  -- persisted ANN inverted lists
   * GRAFT REFRESH IVF INDEX ON '<path>' (<idCol>, <vecCol>)         -- assign only uncovered files
   * GRAFT DROP IVF INDEX ON '<path>' (<idCol>, <vecCol>)
-  * GRAFT CREATE IVFPQ INDEX ON '<path>' (<idCol>, <vecCol>) [CELLS <kc>] [M <m>] [K <k>]  -- PQ-coded inverted lists
+  * GRAFT CREATE IVFPQ INDEX ON '<path>' (<idCol>, <vecCol>) [CELLS <kc>] [M <m>] [K <k>] [ROTATE]  -- PQ-coded inverted lists (ROTATE: OPQ-surrogate permutation)
   * GRAFT REFRESH IVFPQ INDEX ON '<path>' (<idCol>, <vecCol>)       -- encode only uncovered files
   * GRAFT DROP IVFPQ INDEX ON '<path>' (<idCol>, <vecCol>)
   * GRAFT SHOW INDEXES ON '<path>'                  -- sidecar inventory + coverage vs the active file set
@@ -154,7 +154,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val CreateIvfPqIndex =
     ("""(?is)\s*GRAFT\s+CREATE\s+IVFPQ\s+INDEX\s+ON\s+'([^']+)'\s*""" +
       """\((\w+)\s*,\s*(\w+)\)(?:\s+CELLS\s+(\d+))?(?:\s+M\s+(\d+))?""" +
-      """(?:\s+K\s+(\d+))?\s*""").r
+      """(?:\s+K\s+(\d+))?(\s+ROTATE)?\s*""").r
   private val RefreshIvfPqIndex =
     """(?is)\s*GRAFT\s+REFRESH\s+IVFPQ\s+INDEX\s+ON\s+'([^']+)'\s*\((\w+)\s*,\s*(\w+)\)\s*""".r
   private val DropIvfPqIndex =
@@ -357,13 +357,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftMaintenanceCommand(path, "refresh_indexes",
         Seq("refreshed"), s => Seq(Row(
           graft.delta.Indexes.refreshAll(DeltaLog.forPath(s, path)).toLong)))
-    case CreateIvfPqIndex(path, idCol, vecCol, cellsOpt, mOpt, kOpt) =>
+    case CreateIvfPqIndex(path, idCol, vecCol, cellsOpt, mOpt, kOpt, rotOpt) =>
       GraftMaintenanceCommand(path, "create_ivfpq_index",
         Seq("version"), s => Seq(Row(
           graft.delta.PqIndex.build(DeltaLog.forPath(s, path), idCol, vecCol,
             kCoarse = Option(cellsOpt).map(_.toInt).getOrElse(8),
             m = Option(mOpt).map(_.toInt).getOrElse(4),
-            k = Option(kOpt).map(_.toInt).getOrElse(16)))))
+            k = Option(kOpt).map(_.toInt).getOrElse(16),
+            rotate = rotOpt != null))))
     case RefreshIvfPqIndex(path, idCol, vecCol) =>
       GraftMaintenanceCommand(path, "refresh_ivfpq_index",
         Seq("version"), s => Seq(Row(

@@ -601,7 +601,33 @@ object SqlDemo {
       spark.sql(s"GRAFT DROP IVFPQ INDEX ON '$pqPath' (vec_id, embedding)")
       require(graft.delta.PqIndex.entries(pqLog, "vec_id", "embedding").isEmpty,
         "DROP IVFPQ INDEX must remove the sidecar")
-      println("== CREATE/REFRESH/DROP IVFPQ INDEX: indexed search OK ==")
+      // ROTATE: rebuild the index with the OPQ-surrogate permutation —
+      // the marker must persist and search must still equal the
+      // operator path run in permuted space
+      spark.sql(
+        s"GRAFT CREATE IVFPQ INDEX ON '$pqPath' (vec_id, embedding) " +
+          "CELLS 4 M 4 K 8 ROTATE")
+      val perm = graft.delta.PqIndex.permutation(pqLog, "vec_id", "embedding")
+        .getOrElse(throw new IllegalStateException(
+          "CREATE ... ROTATE must persist a __perm marker"))
+      val permute = (df: org.apache.spark.sql.DataFrame) =>
+        df.withColumn("embedding",
+          graft.operators.Pq.permute(col("embedding"), perm))
+      val viaRot = graft.delta.PqIndex.search(pqLog, pqQueries,
+          "vec_id", "embedding", k = 3, nprobe = 2)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val (rotC, rotB) = graft.delta.PqIndex
+        .quantizers(pqLog, "vec_id", "embedding").get
+      val dirRot = graft.operators.Pq.ivfPqTopK(
+          permute(pqLog.snapshot.read()), permute(pqQueries),
+          "vec_id", "embedding", rotC, rotB, kNeighbors = 3, nprobe = 2)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      require(viaRot == dirRot && viaRot.nonEmpty,
+        "rotated indexed search diverged from the permuted operator path")
+      spark.sql(s"GRAFT DROP IVFPQ INDEX ON '$pqPath' (vec_id, embedding)")
+      println("== CREATE/REFRESH/DROP IVFPQ INDEX (+ ROTATE): indexed search OK ==")
       println("SqlDemo OK")
     } finally spark.stop()
   }
