@@ -271,11 +271,20 @@ object LshIndex {
       priorHashed,
       // verify attach: one more columnar (id, hs) pass semi-joined to
       // the candidate ids (id-sorted generation → row-group pruning
-      // does the work under AQE's broadcast of the small id set)
-      ids => priorHashed.join(
-        if (broadcastKeys) org.apache.spark.sql.functions.broadcast(ids)
-        else ids,
-        Seq(idCol), "left_semi"))
+      // does the work under AQE's broadcast of the small id set). The
+      // LIVE side semi-joins BEFORE the shingle kernel — the direct
+      // twin's contract (shingle only candidate rows); above the
+      // kernel the filter would not push down and every uncovered
+      // file's rows would re-shingle
+      ids => {
+        val b = if (broadcastKeys)
+          org.apache.spark.sql.functions.broadcast(ids) else ids
+        val cov = covered.join(b, Seq(idCol), "left_semi")
+        if (liveFiles.isEmpty) cov
+        else cov.unionByName(MinHashLsh.hashedShingles(
+          snap.readFiles(liveFiles).join(b, Seq(idCol), "left_semi"),
+          idCol, textCol))
+      })
   }
 
   def dedupBatch(log: DeltaLog, newBatch: DataFrame,

@@ -335,15 +335,20 @@ object MinHashLsh {
       .withColumn("__pa", array_contains(col("__ank"), col("h")))
       .drop("__ank")
       .join(bShingles, Seq("h"), "left_semi")
+    // materialize ONCE, cap or no cap: both candidate derivations
+    // (new-anchor d1, prior-anchor d2) consume this frame, and without
+    // a checkpoint the one action over `cand` would execute the prior
+    // shingle kernel — the operator's dominant cost — twice (d2's
+    // anchor filter makes the subtrees differ, so exchange reuse
+    // cannot dedupe them). Post-semi-join, so only batch-shared
+    // hashes materialize.
+    val mat = priorE0.localCheckpoint()
     val priorE =
-      if (cap <= 0) priorE0
-      else {
-        val mat = priorE0.localCheckpoint()
-        mat.join(
-          mat.groupBy("h").agg(count(lit(1)).as("__psz"))
-            .where(col("__psz") <= cap).select("h"),
-          Seq("h"))
-      }
+      if (cap <= 0) mat
+      else mat.join(
+        mat.groupBy("h").agg(count(lit(1)).as("__psz"))
+          .where(col("__psz") <= cap).select("h"),
+        Seq("h"))
     val d1 = aNew.join(priorE, "h").select(col("__nid"), col("__pid"))
     val newPost = hNew.select(col(idCol).as("__nid"), explode(col("hs")).as("h"))
     val d2 = priorE.where(col("__pa")).join(newPost, "h")

@@ -208,11 +208,14 @@ object Pq {
     val dims = df.select(size(col(vecCol))).head().getInt(0)
     require(m > 0 && dims % m == 0, s"m=$m must divide dims=$dims")
     val dsub = dims / m
+    // a dimension that is NULL in every row has NULL var_pop — treat
+    // it as zero variance (it lands last in the deal) rather than NPE
     val varByDim = df
       .select(posexplode(asDouble(col(vecCol))))
       .groupBy("pos").agg(round(var_pop(col("col")), roundDp).as("v"))
       .collect()
-      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      .map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) 0.0 else r.getDouble(1))).toMap
     val order = (0 until dims)
       .sortBy(d => (-varByDim.getOrElse(d, 0.0), d))
     val load = Array.fill(m)(0.0)

@@ -640,6 +640,41 @@ object Queries {
        |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.5e0""".stripMargin
   }
 
+  /** Documents UNION the two deterministic prefix-derivation arms
+    * (80% of tokens at modulus 97 / +2e6 — moderate skew; 5% floored
+    * at 4 tokens at modulus 89 / +3e6 — extreme skew) — the ONE
+    * source definition both containment oracles build on, mirrored by
+    * [[containmentPrefixArm]] on the Spark side; a tweak to the arm
+    * parameters cannot desynchronize one gate's oracle from the
+    * other's. `//` is DuckDB integer division — the Spark twin floors
+    * explicitly. */
+  private val containmentSrcDuck: String =
+    """(SELECT doc_id, lang, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 2000000 AS doc_id, lang,
+      |   array_to_string(toks[1 : GREATEST(1, len(toks)*4//5)], ' ') AS text
+      | FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+      |       FROM documents WHERE doc_id % 97 = 0) d
+      | UNION ALL
+      | SELECT doc_id + 3000000 AS doc_id, lang,
+      |   array_to_string(toks[1 : GREATEST(4, len(toks)*5//100)], ' ') AS text
+      | FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+      |       FROM documents WHERE doc_id % 89 = 0) d) u""".stripMargin
+
+  /** The Spark twin of one [[containmentSrcDuck]] derivation arm:
+    * doc_id % `modulus` docs, first `num/den` of their tokens (floored
+    * explicitly — Spark `/` is DOUBLE division — and floored at
+    * `minToks`), id offset by `offset`. */
+  private def containmentPrefixArm(docs: DataFrame, modulus: Int,
+      offset: Long, num: Int, den: Int, minToks: Int): DataFrame =
+    docs.where(col("doc_id") % modulus === 0)
+      .select((col("doc_id") + lit(offset)).as("doc_id"),
+        array_join(slice(split(col("text"), " "), lit(1),
+          greatest(lit(minToks),
+            floor((size(split(col("text"), " ")) * num)
+              / lit(den)).cast("int"))),
+          " ").as("text"))
+
   /** Containment dedup oracle (DuckDB): the same shingle / minhash /
     * banding pipeline over documents UNION the deterministic prefix
     * derivations (80% — moderate skew; 5% — extreme skew), candidates
@@ -648,18 +683,7 @@ object Queries {
     * replayable SQL form of
     * `MinHashLsh.containmentPairs(threshold = 0.9)`. */
   private def qContainmentDedup: String = {
-    val src =
-      """(SELECT doc_id, lang, text FROM documents
-        | UNION ALL
-        | SELECT doc_id + 2000000 AS doc_id, lang,
-        |   array_to_string(toks[1 : GREATEST(1, len(toks)*4//5)], ' ') AS text
-        | FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
-        |       FROM documents WHERE doc_id % 97 = 0) d
-        | UNION ALL
-        | SELECT doc_id + 3000000 AS doc_id, lang,
-        |   array_to_string(toks[1 : GREATEST(4, len(toks)*5//100)], ' ') AS text
-        | FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
-        |       FROM documents WHERE doc_id % 89 = 0) d) u""".stripMargin
+    val src = containmentSrcDuck
     def bandKey(b: Int): String =
       s"concat_ws(',', mh${4 * b}::VARCHAR, mh${4 * b + 1}::VARCHAR, mh${4 * b + 2}::VARCHAR, mh${4 * b + 3}::VARCHAR)"
     val mhs = (0 until 16).map(j => s"  ${minhashExpr("duck", j)} AS mh$j").mkString(",\n")
@@ -701,18 +725,7 @@ object Queries {
     * two deterministic prefix arms (flag columns replay the gate's
     * in-gate assertions as constants). */
   private def qContainmentIndexed: String = {
-    val src =
-      """(SELECT doc_id, lang, text FROM documents
-        | UNION ALL
-        | SELECT doc_id + 2000000 AS doc_id, lang,
-        |   array_to_string(toks[1 : GREATEST(1, len(toks)*4//5)], ' ') AS text
-        | FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
-        |       FROM documents WHERE doc_id % 97 = 0) d
-        | UNION ALL
-        | SELECT doc_id + 3000000 AS doc_id, lang,
-        |   array_to_string(toks[1 : GREATEST(4, len(toks)*5//100)], ' ') AS text
-        | FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
-        |       FROM documents WHERE doc_id % 89 = 0) d) u""".stripMargin
+    val src = containmentSrcDuck
     s"""WITH ${hashedShinglesCte("duck", src)},
        |nh AS (SELECT doc_id, hs FROM hsh
        |  WHERE doc_id % 5 = 0 OR doc_id >= 2000000),
@@ -4943,20 +4956,10 @@ object Queries {
     "q_containment_dedup" -> ((s, dir) => {
       registerViews(s, dir)
       val docs = s.table("documents").select(col("doc_id"), col("text"))
-      def prefixArm(modulus: Int, offset: Long, num: Int, den: Int,
-          minToks: Int) =
-        s.table("documents").where(col("doc_id") % modulus === 0)
-          .select((col("doc_id") + lit(offset)).as("doc_id"),
-            array_join(slice(split(col("text"), " "), lit(1),
-              // explicit floor: Spark `/` is DOUBLE division — the
-              // oracle's `len*num//den` must be matched by truncation,
-              // not left to slice's implicit length cast
-              greatest(lit(minToks),
-                floor((size(split(col("text"), " ")) * num)
-                  / lit(den)).cast("int"))),
-              " ").as("text"))
-      val derived80 = prefixArm(97, 2000000L, 4, 5, 1)
-      val derived05 = prefixArm(89, 3000000L, 5, 100, 4)
+      val derived80 = containmentPrefixArm(s.table("documents"),
+        97, 2000000L, 4, 5, 1)
+      val derived05 = containmentPrefixArm(s.table("documents"),
+        89, 3000000L, 5, 100, 4)
       graft.operators.MinHashLsh.containmentPairs(
         docs.unionByName(derived80).unionByName(derived05),
         "doc_id", "text", threshold = 0.9)
@@ -4997,19 +5000,10 @@ object Queries {
         .select("file_path", "version").distinct()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val oldKept = before.forall { case (p, v) => after.get(p).contains(v) }
-      def prefixArm(modulus: Int, offset: Long, num: Int, den: Int,
-          minToks: Int) =
-        docs.where(col("doc_id") % modulus === 0)
-          .select((col("doc_id") + lit(offset)).as("doc_id"),
-            array_join(slice(split(col("text"), " "), lit(1),
-              greatest(lit(minToks),
-                floor((size(split(col("text"), " ")) * num)
-                  / lit(den)).cast("int"))),
-              " ").as("text"))
       val batch = docs.where(col("doc_id") % 5 === 0)
         .select("doc_id", "text")
-        .unionByName(prefixArm(97, 2000000L, 4, 5, 1))
-        .unionByName(prefixArm(89, 3000000L, 5, 100, 4))
+        .unionByName(containmentPrefixArm(docs, 97, 2000000L, 4, 5, 1))
+        .unionByName(containmentPrefixArm(docs, 89, 3000000L, 5, 100, 4))
       val freshLog = graft.delta.DeltaLog.forPath(s, tmp)
       val viaIndex = graft.delta.LshIndex.containmentBatch(
         freshLog, batch, "doc_id", "text", threshold = 0.9)
