@@ -12,6 +12,15 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.locality.wait", "0")
       .config("spark.ui.enabled", "false")
+      // The default whole-stage-codegen compile cache (100 entries,
+      // spark.sql.codegen.cache.maxEntries) thrashes under a
+      // 177-query suite: most stages re-Janino-compile INSIDE their
+      // first task while the stage's other tasks block on the cache
+      // entry — measured ~400 ms per task at ~20-40% CPU, uniformly,
+      // and q_containment_indexed's warm executor time dropped 93 s →
+      // 42 s when the cache fits. Static conf, JVM-wide; a
+      // production driver running a query catalog wants the same.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "WARN"))
     // Untimed session warmup (executor pools, codegen plumbing, parquet

@@ -17,6 +17,8 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.locality.wait", "0")
       .config("spark.ui.enabled", "false")
+      // compile-cache sized for a many-query catalog (see Bench.scala)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

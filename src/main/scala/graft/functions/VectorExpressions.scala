@@ -58,4 +58,19 @@ object VectorExpressions {
     * the whole projection interpreted). */
   def hashedShingles(text: Column, n: Int): Column =
     column(org.apache.spark.sql.graftshims.HashedShingles(expression(text), n))
+
+  /** The k smallest long-array elements, ascending — codegen'd
+    * equivalent of `slice(array_sort(hs), 1, k)` (kept as the
+    * BottomKExprSpec cross-check; its `array_sort` HOF forces the
+    * whole projection interpreted). */
+  def bottomK(arr: Column, k: Int): Column =
+    column(org.apache.spark.sql.graftshims.BottomK(expression(arr), k))
+
+  /** All MinHash band-bucket keys ("," joins, nulls skipped) in one
+    * codegen'd pass over the signature array — equivalent of the
+    * `aggregate(sequence(...))` concat_ws fold (kept as the
+    * BandKeysExprSpec cross-check). */
+  def minhashBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    column(org.apache.spark.sql.graftshims.MinHashBandKeys(
+      expression(sig), bands, rowsPerBand))
 }

@@ -80,6 +80,16 @@ object MinHashLsh {
     * stores exactly these keys so indexed and live prior sides hash
     * identically by construction. */
   private[graft] def bandKeysOf(sig: Column): Column =
+    graft.functions.VectorExpressions.minhashBandKeys(sig, Bands, RowsPerBand)
+
+  /** The pre-round-13 `aggregate(sequence(...))` HOF spelling of
+    * [[bandKeysOf]] — kept ONLY as the BandKeysExprSpec cross-check
+    * (the codegen'd expression must stay key-identical to it). As a
+    * CodegenFallback it forced every projection containing it
+    * interpreted, where the shingle+minhash kernel re-evaluated once
+    * per reference — the round-13 optimization round replaced it on
+    * the hot path. */
+  private[graft] def bandKeysOfComposed(sig: Column): Column =
     aggregate(
       sequence(lit(0), lit(Bands - 1)),
       struct(sig.as("s"), array().cast("array<string>").as("ks")),
@@ -186,6 +196,13 @@ object MinHashLsh {
   val AnchorK = 8
 
   private[graft] def bottomK(hs: Column, k: Int): Column =
+    graft.functions.VectorExpressions.bottomK(hs, k)
+
+  /** The pre-round-13 HOF spelling of [[bottomK]] — kept ONLY as the
+    * BottomKExprSpec cross-check (`array_sort`'s lambda comparator is
+    * CodegenFallback: one occurrence dropped the whole anchor
+    * projection out of codegen). */
+  private[graft] def bottomKComposed(hs: Column, k: Int): Column =
     slice(array_sort(hs), 1, k)
 
   /** Containment candidate pairs via bottom-k shingle anchors: (a, b)

@@ -22,20 +22,39 @@ object ProfileQuery {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.locality.wait", "0")
       .config("spark.ui.enabled", "false")
+      // compile-cache sized for a many-query catalog (see Bench.scala)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.constraintPropagation.enabled",
         sys.env.getOrElse("SPARK_GRAFT_CONSTRAINTS", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val taskTime = new java.util.concurrent.atomic.AtomicLong(0L)
+    val perStage = new java.util.concurrent.ConcurrentHashMap[Int, java.util.List[Long]]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
-        if (t.taskMetrics != null) taskTime.addAndGet(t.taskMetrics.executorRunTime)
+        if (t.taskMetrics != null) {
+          taskTime.addAndGet(t.taskMetrics.executorRunTime)
+          perStage.computeIfAbsent(t.stageId,
+            _ => java.util.Collections.synchronizedList(new java.util.ArrayList[Long]()))
+            .add(t.taskMetrics.executorRunTime)
+        }
       override def onStageCompleted(
           s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val info = s.stageInfo
         val rt = info.taskMetrics.executorRunTime
-        if (rt > 1000) println(f"[stage] id=${info.stageId} tasks=${info.numTasks} " +
-          f"runTime=${rt / 1e3}%.1fs name=${info.name.take(80)}")
+        val cpu = info.taskMetrics.executorCpuTime / 1e6 // ns → ms
+        val deser = info.taskMetrics.executorDeserializeTime
+        val gc = info.taskMetrics.jvmGCTime
+        if (rt > 1000) {
+          val ts = Option(perStage.get(info.stageId))
+            .map(_.toArray(new Array[java.lang.Long](0)).map(_.longValue).sorted)
+            .getOrElse(Array.empty[Long])
+          val dist = if (ts.isEmpty) "" else
+            f" taskMs[min/med/max]=${ts.head}/${ts(ts.length / 2)}/${ts.last}"
+          println(f"[stage] id=${info.stageId} tasks=${info.numTasks} " +
+            f"runTime=${rt / 1e3}%.1fs cpu=${cpu / 1e3}%.1fs deser=${deser / 1e3}%.1fs " +
+            f"gc=${gc / 1e3}%.1fs$dist name=${info.name.take(60)}")
+        }
       }
     })
     spark.range(1000000L).selectExpr("sum(id)").collect()

@@ -727,3 +727,147 @@ object HashedShingles {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
 }
+
+/** The first `k` elements of `array_sort(arr)` (ascending, nulls last)
+  * in one codegen'd pass — replaces `slice(array_sort(hs), 1, k)`,
+  * whose `array_sort` is a CodegenFallback higher-order function: one
+  * occurrence in a projection drops the WHOLE projection out of
+  * whole-stage codegen, and each interpreted evaluation pays the boxed
+  * lambda comparator per element comparison (the containment anchor
+  * stage's dominant cost at round-13 profile). Primitive
+  * `java.util.Arrays.sort` on the non-null values instead; value- and
+  * order-identical to the composed form on every input
+  * (BottomKExprSpec). Null array → null. */
+case class BottomK(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, cn) => ArrayType(LongType, containsNull = cn)
+    case _ => ArrayType(LongType)
+  }
+  override def prettyName: String = "vec_bottomk"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any =
+    BottomK.compute(v.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      s"${ev.value} = org.apache.spark.sql.graftshims.BottomK.compute($v, $k);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BottomK =
+    copy(child = newChild)
+}
+
+object BottomK {
+  def compute(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    var nulls = 0
+    var i = 0
+    while (i < n) { if (arr.isNullAt(i)) nulls += 1; i += 1 }
+    val m = math.min(k, n)
+    if (nulls == 0) {
+      val vals = arr.toLongArray()
+      java.util.Arrays.sort(vals)
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        java.util.Arrays.copyOfRange(vals, 0, m))
+    } else {
+      // array_sort's default comparator orders nulls LAST; only a
+      // shorter-than-k non-null prefix lets them into the slice.
+      val vals = new Array[Long](n - nulls)
+      var j = 0
+      i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) { vals(j) = arr.getLong(i); j += 1 }
+        i += 1
+      }
+      java.util.Arrays.sort(vals)
+      val out = new Array[Any](m)
+      i = 0
+      while (i < m) { out(i) = if (i < vals.length) vals(i) else null; i += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+}
+
+/** All `bands` MinHash band-bucket keys in one codegen'd pass over the
+  * signature array: element b = the `rowsPerBand` signature entries of
+  * band b cast to decimal strings and joined with "," (null entries
+  * skipped, exactly as `concat_ws` skips them — an empty/all-null
+  * signature yields "" keys, never null). Replaces the
+  * `aggregate(sequence(...))` fold ([[graft.operators.MinHashLsh
+  * .bandKeysOf]]'s composed form, kept as the BandKeysExprSpec
+  * cross-check), which is a CodegenFallback HOF: it forced the whole
+  * prior-side projection interpreted, where the md5-shingle + minhash
+  * kernel re-evaluated once per reference (no subexpression
+  * elimination outside codegen) — the dominant cost of every
+  * LSH-index create/refresh and live-prior dedup pass. A NULL
+  * signature array also yields `bands` empty-string keys — identical
+  * to the composed form (`element_at(null, i)` → null, all skipped) —
+  * so this expression is never null. */
+case class MinHashBandKeys(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(bands >= 1 && rowsPerBand >= 1,
+    s"bands/rowsPerBand must be >= 1, got $bands/$rowsPerBand")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "vec_bandkeys"
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    MinHashBandKeys.compute(
+      v.asInstanceOf[ArrayData], bands, rowsPerBand)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        |${c.code}
+        |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        |  org.apache.spark.sql.graftshims.MinHashBandKeys.compute(
+        |    ${c.isNull} ? null : ${c.value}, $bands, $rowsPerBand);
+        |""".stripMargin,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandKeys =
+    copy(child = newChild)
+}
+
+object MinHashBandKeys {
+  /** `sig` may be null (treated as all-null entries — the composed
+    * form's `element_at(null, i)` → skipped). */
+  def compute(sig: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    val n = if (sig == null) 0 else sig.numElements()
+    val out = new Array[Any](bands)
+    val sb = new java.lang.StringBuilder()
+    var b = 0
+    while (b < bands) {
+      sb.setLength(0)
+      var first = true
+      var r = 0
+      while (r < rowsPerBand) {
+        val idx = b * rowsPerBand + r
+        if (idx < n && !sig.isNullAt(idx)) {
+          if (!first) sb.append(',')
+          sb.append(sig.getLong(idx))
+          first = false
+        }
+        r += 1
+      }
+      out(b) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}

@@ -50,6 +50,8 @@ object SparkTestBase {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.locality.wait", "0")
       .config("spark.ui.enabled", "false")
+      // compile-cache sized for a many-query catalog (see Bench.scala)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.driver.host", "127.0.0.1")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
