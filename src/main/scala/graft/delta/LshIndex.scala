@@ -106,11 +106,9 @@ object LshIndex {
       .parquet(files.map(snap.absolutePath): _*)
       .select(input_file_name().as("file_path"),
         col(physId).as(idCol), col(physText).as(textCol))
-    val target = spark.sparkContext.defaultParallelism
-    val wide =
-      if (raw.rdd.getNumPartitions < math.max(2, target / 2))
-        raw.repartition(target)
-      else raw
+    // size-derived widen target (see graft.operators.Adaptive): full
+    // width at scale, fewer fuller kernel tasks at bench scale
+    val wide = graft.operators.Adaptive.widen(raw)
     // the same streaming shape as the live prior side (hs output +
     // state-carried sig for the band keys — 2× kernel, no pinned
     // corpus checkpoint), just with file_path carried and hs/ks stored

@@ -138,11 +138,30 @@ object Sidecar {
     * execution cannot hit missing files unless TWO swaps complete
     * between this call and the consumption (callers still guard their
     * terminal action — see [[BloomIndex.candidateFiles]]). */
+  // generation-keyed SCHEMA cache: a schema-less parquet read runs a
+  // footer-merging Spark job (SchemaMergeUtils.mergeSchemasInParallel,
+  // sampled at ~280 ms per indexed-gate iteration in the round-13
+  // profile) on EVERY Sidecar.read — but generations are immutable, so
+  // the inferred schema for a (dir, gen) pair can never change. Same
+  // lifecycle/eviction reasoning as coverageCache below; metadata only
+  // (never rows), so bench/oracle results are unaffected.
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), org.apache.spark.sql.types.StructType]()
+
   def read(spark: SparkSession, dir: String): Option[DataFrame] = {
     val (fs, base) = fsOf(spark, dir)
     readPointer(fs, base).flatMap { gen =>
       val genPath = new Path(base, gen)
-      try Some(spark.read.parquet(genPath.toString))
+      try {
+        val key = (fs.makeQualified(base).toString, gen)
+        val cached = schemaCache.get(key)
+        if (cached != null) Some(spark.read.schema(cached).parquet(genPath.toString))
+        else {
+          val df = spark.read.parquet(genPath.toString)
+          schemaCache.put(key, df.schema)
+          Some(df)
+        }
+      }
       catch { case _: org.apache.spark.sql.AnalysisException => None }
     }
   }
@@ -172,6 +191,7 @@ object Sidecar {
       try { val (fs, base) = fsOf(spark, dir); fs.makeQualified(base).toString }
       catch { case scala.util.control.NonFatal(_) => dir }
     coverageCache.keySet.removeIf(_._1 == n)
+    schemaCache.keySet.removeIf(_._1 == n)
   }
 
   /** The live generation's planning summary: stored file_path → max

@@ -1134,10 +1134,24 @@ object TransactionWriter {
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       log.spark.sparkContext.hadoopConfiguration)
     val footer: Map[String, Option[Seq[Any]]] =
-      if (moved.size <= 128)
-        moved.map(m => m.rel ->
-          footerStatsValues(m.abs.toString, leaves, hconf)).toMap
-      else {
+      if (moved.size == 1)
+        Map(moved.head.rel ->
+          footerStatsValues(moved.head.abs.toString, leaves, hconf))
+      else if (moved.size <= 128) {
+        // independent metadata reads — a serial driver loop charged
+        // ~10-15 ms per file to every commit; a small bounded pool
+        // overlaps them (round-13 optimization round)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(8, moved.size))
+        try moved.map { m =>
+          m.rel -> pool.submit(
+            new java.util.concurrent.Callable[Option[Seq[Any]]] {
+              override def call(): Option[Seq[Any]] =
+                footerStatsValues(m.abs.toString, leaves, hconf)
+            })
+        }.map { case (rel, fut) => rel -> fut.get() }.toMap
+        finally pool.shutdown()
+      } else {
         val paths = moved.map(m => m.rel -> m.abs.toString)
         val lv = leaves
         log.spark.sparkContext.parallelize(paths, math.max(1, paths.size / 64))

@@ -35,11 +35,11 @@ object MinHashLsh {
     // kernel in ONE task (3-5 s single-core vs 0.3 s wide at 5k docs).
     // Widen narrow inputs to the session parallelism BEFORE the
     // projection; wide inputs pass through, so at scale this no-ops.
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    val wide =
-      if (df.rdd.getNumPartitions < math.max(2, target / 2))
-        df.repartition(target)
-      else df
+    // Round-13 optimization round: the widen target derives from the
+    // input's size estimate (Adaptive.widen) instead of the constant
+    // defaultParallelism — same full width at scale, fewer fuller
+    // tasks for bench-scale inputs.
+    val wide = Adaptive.widen(df)
     wide.select(col(idCol),
       graft.functions.VectorExpressions.hashedShingles(col(textCol), n).as("hs"))
   }

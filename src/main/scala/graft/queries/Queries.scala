@@ -1886,8 +1886,7 @@ object Queries {
     (s, dir) => {
       registerViews(s, dir)
       graft.operators.Curation.knBigram(
-        s.table("documents")
-          .repartition(s.sparkContext.defaultParallelism), "text")
+        graft.operators.Adaptive.widen(s.table("documents")), "text")
         .where(col("c12") >= 5)
     }
 
@@ -5263,8 +5262,7 @@ object Queries {
     "q_media_frames" -> ((s, dir) => {
       registerViews(s, dir)
       import s.implicits._
-      val assets = s.sql(mediaAssetsSparkSql)
-        .repartition(s.sparkContext.defaultParallelism)
+      val assets = graft.operators.Adaptive.widen(s.sql(mediaAssetsSparkSql))
         .as[graft.operators.Multimodal.MediaAsset]
       graft.operators.Multimodal.sampleFrames(assets)
         .select(col("asset_id"), col("frame_idx"),
@@ -5466,7 +5464,7 @@ object Queries {
     "q_embedding_semdedup" -> qSemDedupSpark,
     "q_decontaminate" -> ((s, dir) => {
       registerViews(s, dir)
-      val docs = s.table("documents").repartition(s.sparkContext.defaultParallelism)
+      val docs = graft.operators.Adaptive.widen(s.table("documents"))
       graft.operators.Curation.decontaminate(
         docs.where(col("doc_id") % 10 =!= 3),
         docs.where(col("doc_id") % 10 === 3), "doc_id", "text", 8)
@@ -5474,7 +5472,7 @@ object Queries {
     "q_quality_gopher" -> ((s, dir) => {
       registerViews(s, dir)
       graft.operators.Curation.gopherQuality(
-        s.table("documents").repartition(s.sparkContext.defaultParallelism),
+        graft.operators.Adaptive.widen(s.table("documents")),
         "doc_id", "text")
     }),
     "q_stratified_sample" -> ((s, dir) => {
@@ -5507,16 +5505,14 @@ object Queries {
     "q_media_meta" -> ((s, dir) => {
       registerViews(s, dir)
       import s.implicits._
-      val assets = s.sql(mediaAssetsSparkSql)
-        .repartition(s.sparkContext.defaultParallelism)
+      val assets = graft.operators.Adaptive.widen(s.sql(mediaAssetsSparkSql))
         .as[graft.operators.Multimodal.MediaAsset]
       graft.operators.Multimodal.extractMeta(assets).toDF()
     }),
     "q_media_features" -> ((s, dir) => {
       registerViews(s, dir)
       import s.implicits._
-      val assets = s.sql(mediaAssetsSparkSql)
-        .repartition(s.sparkContext.defaultParallelism)
+      val assets = graft.operators.Adaptive.widen(s.sql(mediaAssetsSparkSql))
         .as[graft.operators.Multimodal.MediaAsset]
       graft.operators.Multimodal.extractFeatures(assets, dim = 4).toDF()
         .select(col("asset_id") +: (0 until 4).map(i =>
@@ -5534,8 +5530,7 @@ object Queries {
       // repartition before the gram+digest map so the sketch build uses
       // every core (the minhash family's REPARTITION(32) precedent). At
       // scale the parquet source's own splits provide this for free.
-      val grams = s.table("documents")
-        .repartition(s.sparkContext.defaultParallelism)
+      val grams = graft.operators.Adaptive.widen(s.table("documents"))
         .select(explode(
           graft.functions.TextFunctions.wordNgrams(col("text"), 3)).as("tk"))
       val sketch = graft.operators.Sketches.cmsSketch(
@@ -5567,9 +5562,8 @@ object Queries {
     "q_hll_overlap" -> ((s, dir) => {
       registerViews(s, dir)
       import graft.operators.{CacheHygiene, Sketches}
-      val grams = s.table("documents")
-        .where(col("lang").isin("en", "es"))
-        .repartition(s.sparkContext.defaultParallelism)
+      val grams = graft.operators.Adaptive.widen(
+          s.table("documents").where(col("lang").isin("en", "es")))
         .select(col("lang"), explode(
           graft.functions.TextFunctions.wordNgrams(col("text"), 3)).as("tk"))
       // ONE corpus pass builds BOTH sketches (hllRegistersBy, state
@@ -5595,8 +5589,7 @@ object Queries {
       // single-split testdata: spread the gram+md5 map over every core
       // (the CMS/minhash REPARTITION precedent; real parquet splits
       // provide this for free at scale)
-      val grams = s.table("documents")
-        .repartition(s.sparkContext.defaultParallelism)
+      val grams = graft.operators.Adaptive.widen(s.table("documents"))
         .select(col("source"), explode(
           graft.functions.TextFunctions.wordNgrams(col("text"), 3)).as("tk"))
       graft.operators.Sketches.hllSummarizeBy(
@@ -5665,7 +5658,7 @@ object Queries {
       // over every core (ReuseExchange shares the one shuffle between
       // them; real parquet splits provide this for free at scale)
       graft.operators.Curation.dsirSelect(
-        s.table("documents").repartition(s.sparkContext.defaultParallelism),
+        graft.operators.Adaptive.widen(s.table("documents")),
         "doc_id", "text",
         isTarget = col("doc_id") % 10 === 0,
         buckets = 4096, topK = 100)

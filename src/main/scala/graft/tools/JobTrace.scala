@@ -40,7 +40,11 @@ object JobTrace {
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(s: SparkListenerJobStart): Unit = {
         val site = Option(s.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .filter(_.nonEmpty)
+          .orElse(s.stageInfos.lastOption.map(si =>
+            s"${si.name.take(70)} (${si.numTasks}t)"))
+          .getOrElse("?")
         val j = J(s.jobId, System.nanoTime(), -1L, site)
         jobs.put(s.jobId, j); order.add(j)
       }
