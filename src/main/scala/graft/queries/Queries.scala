@@ -5530,7 +5530,8 @@ object Queries {
       // repartition before the gram+digest map so the sketch build uses
       // every core (the minhash family's REPARTITION(32) precedent). At
       // scale the parquet source's own splits provide this for free.
-      val grams = graft.operators.Adaptive.widen(s.table("documents"))
+      val grams = graft.operators.Adaptive.widen(s.table("documents"),
+          graft.operators.Adaptive.DenseBytesPerTask)
         .select(explode(
           graft.functions.TextFunctions.wordNgrams(col("text"), 3)).as("tk"))
       val sketch = graft.operators.Sketches.cmsSketch(
@@ -5563,7 +5564,8 @@ object Queries {
       registerViews(s, dir)
       import graft.operators.{CacheHygiene, Sketches}
       val grams = graft.operators.Adaptive.widen(
-          s.table("documents").where(col("lang").isin("en", "es")))
+          s.table("documents").where(col("lang").isin("en", "es")),
+          graft.operators.Adaptive.DenseBytesPerTask)
         .select(col("lang"), explode(
           graft.functions.TextFunctions.wordNgrams(col("text"), 3)).as("tk"))
       // ONE corpus pass builds BOTH sketches (hllRegistersBy, state
@@ -5589,7 +5591,8 @@ object Queries {
       // single-split testdata: spread the gram+md5 map over every core
       // (the CMS/minhash REPARTITION precedent; real parquet splits
       // provide this for free at scale)
-      val grams = graft.operators.Adaptive.widen(s.table("documents"))
+      val grams = graft.operators.Adaptive.widen(s.table("documents"),
+          graft.operators.Adaptive.DenseBytesPerTask)
         .select(col("source"), explode(
           graft.functions.TextFunctions.wordNgrams(col("text"), 3)).as("tk"))
       graft.operators.Sketches.hllSummarizeBy(
@@ -5658,7 +5661,8 @@ object Queries {
       // over every core (ReuseExchange shares the one shuffle between
       // them; real parquet splits provide this for free at scale)
       graft.operators.Curation.dsirSelect(
-        graft.operators.Adaptive.widen(s.table("documents")),
+        graft.operators.Adaptive.widen(s.table("documents"),
+          graft.operators.Adaptive.DenseBytesPerTask),
         "doc_id", "text",
         isTarget = col("doc_id") % 10 === 0,
         buckets = 4096, topK = 100)
