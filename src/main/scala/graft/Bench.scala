@@ -129,6 +129,13 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"passes":$passes,"reruns":$nReruns,"aggregation":"min_per_query_with_outlier_reruns","pass_totals":$passTotals,"sf":"$sfDir","detail":"bench.json"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), fullLine + "\n")
     catch { case _: Throwable => () }
+    // per-core-count copy: the scaling run (a second invocation at a
+    // lower SPARK_GRAFT_CPUS) overwrites bench.json, which destroyed
+    // the 32-core per-query record in round 13 — keep one per cpus so
+    // both runs' per-query maps survive for round-over-round audits
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"bench_c$cpus.json"), fullLine + "\n")
+    catch { case _: Throwable => () }
     println(fullLine)
     println(compactLine)
     spark.stop()

@@ -37,6 +37,38 @@ object Checksum {
   def crcPath(log: DeltaLog, version: Long): Path =
     new Path(log.logPath, f"$version%020d.crc")
 
+  /** Last checksum WRITTEN by this JVM per log path, with the identity
+    * (modTime, length) of the `.crc` file it produced. [[write]] runs
+    * once per commit and previously re-opened and re-parsed the
+    * previous version's `.crc` each time — but in the common
+    * single-writer chain the previous checksum is exactly what this
+    * JVM just wrote. The memo replaces the read+parse with one
+    * getFileStatus identity probe (the [[DeltaLog]] anchor discipline:
+    * a foreign writer's rewrite, a deleted link, or a re-created table
+    * all change the file identity and fall back to the real read).
+    * Bounded by wholesale clear; values are metadata-sized. */
+  private val lastWritten = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, TableChecksum, (Long, Long))]()
+
+  private def memoPut(log: DeltaLog, version: Long, cs: TableChecksum): Unit =
+    try {
+      val st = log.fs.getFileStatus(crcPath(log, version))
+      if (lastWritten.size > 128) lastWritten.clear()
+      lastWritten.put(log.logPath.toString,
+        (version, cs, (st.getModificationTime, st.getLen)))
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  private def memoGet(log: DeltaLog, version: Long): Option[TableChecksum] =
+    Option(lastWritten.get(log.logPath.toString))
+      .filter(_._1 == version)
+      .filter { case (_, _, id) =>
+        try {
+          val st = log.fs.getFileStatus(crcPath(log, version))
+          (st.getModificationTime, st.getLen) == id
+        } catch { case scala.util.control.NonFatal(_) => false }
+      }
+      .map(_._2)
+
   /** Parse `<version>.crc` if present and well-formed. */
   def read(log: DeltaLog, version: Long): Option[TableChecksum] = try {
     val p = crcPath(log, version)
@@ -70,7 +102,7 @@ object Checksum {
     val protoOpt = actions.collectFirst { case ProtocolAction(p) => p }
     val prev: Option[TableChecksum] =
       if (version == 0L) Some(TableChecksum(0L, 0L, null, null))
-      else read(log, version - 1)
+      else memoGet(log, version - 1).orElse(read(log, version - 1))
     prev.foreach { base =>
       if (removes.exists(_.size.isEmpty)) return
       val meta = metaOpt.getOrElse(base.metadata)
@@ -96,6 +128,7 @@ object Checksum {
       try out.write(JsonUtil.mapper.writeValueAsString(root)
         .getBytes(StandardCharsets.UTF_8))
       finally out.close()
+      memoPut(log, version, TableChecksum(size, files, meta, proto))
     }
   } catch { case scala.util.control.NonFatal(_) => () }
 
@@ -125,6 +158,9 @@ object Checksum {
     try out.write(JsonUtil.mapper.writeValueAsString(root)
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    memoPut(log, version, TableChecksum(
+      if (r.isNullAt(1)) 0L else r.getLong(1), r.getLong(0),
+      snap.metadata, snap.protocol))
   } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Recompute numFiles/tableSizeBytes from the version's snapshot (one

@@ -148,15 +148,9 @@ object PqIndex {
       coarse: Seq[(Int, Long, Array[Double])],
       books: Seq[(Int, Long, Array[Double])]): DataFrame = {
     val m = books.map(_._1).max + 1
-    val dsub = books.head._3.length
-    val dims = coarse.head._3.length
-    val coarseDists = transform(Pq.bookLit(coarse, 0),
-      c => round(Pq.l2sq(
-        Pq.asDouble(slice(col(vecCol), lit(1), lit(dims))), c), 4))
+    val coarseDists = Pq.bookDists(col(vecCol), coarse, 0)
     val codeCols = (0 until m).map { j =>
-      val dists = transform(Pq.bookLit(books, j),
-        c => round(Pq.l2sq(
-          Pq.asDouble(slice(col(vecCol), lit(j * dsub + 1), lit(dsub))), c), 4))
+      val dists = Pq.bookDists(col(vecCol), books, j)
       array_position(dists, array_min(dists)).cast("int")
     }
     val recon = (0 until m).map { j =>

@@ -158,6 +158,9 @@ object Sidecar {
         if (cached != null) Some(spark.read.schema(cached).parquet(genPath.toString))
         else {
           val df = spark.read.parquet(genPath.toString)
+          // same wholesale-clear bound as coverageCache: a long-lived
+          // driver cycling many generations must not grow this forever
+          if (schemaCache.size > 64) schemaCache.clear()
           schemaCache.put(key, df.schema)
           Some(df)
         }

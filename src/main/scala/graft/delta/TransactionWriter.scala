@@ -1149,7 +1149,14 @@ object TransactionWriter {
               override def call(): Option[Seq[Any]] =
                 footerStatsValues(m.abs.toString, leaves, hconf)
             })
-        }.map { case (rel, fut) => rel -> fut.get() }.toMap
+        }.map { case (rel, fut) =>
+          // surface a task's own (fatal) error, not the pool wrapper —
+          // footerStatsValues already swallows NonFatal internally
+          rel -> (try fut.get() catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw Option(e.getCause).getOrElse(e)
+          })
+        }.toMap
         finally pool.shutdown()
       } else {
         val paths = moved.map(m => m.rel -> m.abs.toString)

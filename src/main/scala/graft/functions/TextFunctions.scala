@@ -18,8 +18,17 @@ object TextFunctions {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Word n-grams joined with single spaces; empty array when there are
-    * fewer than `n` tokens. */
-  def wordNgrams(text: Column, n: Int): Column = {
+    * fewer than `n` tokens. Codegen'd kernel since the round-14
+    * optimization round — the HOF spelling ([[wordNgramsComposed]],
+    * kept as the WordNgramsSpec cross-check) is CodegenFallback and
+    * forced every gram feed's projection interpreted. */
+  def wordNgrams(text: Column, n: Int): Column =
+    VectorExpressions.wordNgrams(text, n)
+
+  /** The pre-round-14 `transform(sequence(...))` HOF spelling of
+    * [[wordNgrams]] — kept ONLY as the WordNgramsSpec cross-check (the
+    * codegen'd kernel must stay value-identical to it). */
+  private[graft] def wordNgramsComposed(text: Column, n: Int): Column = {
     val t = tokens(text)
     when(size(t) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(t) - (n - 1)), i =>

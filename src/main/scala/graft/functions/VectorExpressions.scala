@@ -73,4 +73,50 @@ object VectorExpressions {
   def minhashBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     column(org.apache.spark.sql.graftshims.MinHashBandKeys(
       expression(sig), bands, rowsPerBand))
+
+  /** `Σ (a[i]-b[i])²` — codegen'd squared L2 replacing the interpreted
+    * `aggregate(zip_with(...))` fold (kept as `Pq.l2sqComposed`, the
+    * PqKernelSpec cross-check). */
+  def l2Sq(a: Column, b: Column): Column =
+    column(org.apache.spark.sql.graftshims.L2SqDist(
+      expression(a), expression(b)))
+
+  /** Round-4 squared-L2 distances from `vec[offset ..)` to every
+    * centroid of a codebook in one codegen'd pass (the PQ encode /
+    * IVF probe primitive; composed `transform(bookLit, c ->
+    * round(l2sq(slice(...)), 4))` kept as the PqKernelSpec
+    * cross-check). */
+  def centroidDists(vec: Column, centroids: Seq[Seq[Double]],
+      offset: Int): Column =
+    column(org.apache.spark.sql.graftshims.CentroidDists(
+      expression(vec), centroids, offset))
+
+  /** Exact integer `Σ (a[i]-b[i])²` over SQ code arrays — codegen'd
+    * (composed fold kept as `Sq.codeDistComposed`). */
+  def codeDist(a: Column, b: Column): Column =
+    column(org.apache.spark.sql.graftshims.CodeDistLong(
+      expression(a), expression(b)))
+
+  /** Scalar-quantization encode against fixed per-dimension bounds —
+    * codegen'd (composed zip_with form kept as `Sq.sqCodesComposed`). */
+  def sqEncode(vec: Column, mns: Seq[Double], mxs: Seq[Double],
+      levels: Int): Column =
+    column(org.apache.spark.sql.graftshims.SqEncode(
+      expression(vec), mns, mxs, levels))
+
+  /** Element-wise scale by a fixed weight profile (index < |weights| →
+    * weights(i), else defaultWeight) — codegen'd replacement for the
+    * indexed-lambda `transform(vec, (x, i) -> x * ...)`. */
+  def vecScale(vec: Column, weights: Seq[Double],
+      defaultWeight: Double): Column =
+    column(org.apache.spark.sql.graftshims.VecScale(
+      expression(vec), weights, defaultWeight))
+
+  /** Word n-grams (single-space tokens, trailing empties kept, empty
+    * array under n tokens) — codegen'd front half of [[hashedShingles]]
+    * for feeds needing the gram STRINGS; the HOF spelling is kept as
+    * `TextFunctions.wordNgramsComposed` (WordNgramsSpec pins
+    * equivalence). */
+  def wordNgrams(text: Column, n: Int): Column =
+    column(org.apache.spark.sql.graftshims.WordNgrams(expression(text), n))
 }

@@ -60,9 +60,16 @@ object Adaptive {
 
   /** Widen a narrow input to [[kernelTarget]] before a CPU-heavy
     * projection; wide inputs pass through unchanged (at scale this
-    * no-ops, exactly like the old spelling). */
+    * no-ops, exactly like the old spelling). Pass-through has a
+    * hysteresis band — an input already at ≥ half the target keeps its
+    * partitioning rather than paying a full reshuffle for a marginal
+    * width gain (the pre-round-13 behavior, restored per the round-13
+    * advice). The partition count is read off the SAME QueryExecution
+    * [[kernelTarget]] already touched (`df.rdd` would build a second
+    * QueryExecution per call just to count partitions). */
   def widen(df: DataFrame, bytesPerTask: Long = KernelBytesPerTask): DataFrame = {
     val target = kernelTarget(df, bytesPerTask)
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    val current = df.queryExecution.toRdd.getNumPartitions
+    if (current >= math.max(2, target / 2)) df else df.repartition(target)
   }
 }

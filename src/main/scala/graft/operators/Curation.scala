@@ -463,16 +463,23 @@ object Curation {
   /** (w1, w2) bigram rows from a space-tokenized text column, carrying
     * `keep` columns through — direct struct pairs, no string
     * re-joining/re-splitting round trip. */
+  /** Adjacent token pairs via the codegen'd [[graft.functions
+    * .VectorExpressions.wordNgrams]] kernel (round-14: the
+    * `transform(sequence(...), i -> struct(element_at...))` HOF walk
+    * forced every bigram feed's projection interpreted). Tokens carry
+    * no spaces by construction (they come from a single-space split),
+    * so the 2-gram's one space splits it back losslessly —
+    * BigramPairsSpec pins pair-identity against the old spelling,
+    * empty/trailing tokens included. Rows with < 2 tokens vanish
+    * through the empty-array explode, exactly like the old size
+    * filter. */
   private def bigramPairs(
       df: DataFrame, textCol: String, keep: Seq[String]): DataFrame =
-    df.select(keep.map(col) :+ split(col(textCol), " ").as("__w"): _*)
-      .where(size(col("__w")) >= 2)
-      .select(keep.map(col) :+ explode(expr(
-        "transform(sequence(1, size(__w) - 1), " +
-          "i -> struct(element_at(__w, i) AS w1, element_at(__w, i + 1) AS w2))"))
-        .as("__b"): _*)
-      .select(keep.map(col) :+ col("__b.w1").as("w1") :+
-        col("__b.w2").as("w2"): _*)
+    df.select(keep.map(col) :+
+        explode(TextFunctions.wordNgrams(col(textCol), 2)).as("__g"): _*)
+      .select(keep.map(col) :+
+        element_at(split(col("__g"), " ", 2), 1).as("w1") :+
+        element_at(split(col("__g"), " ", 2), 2).as("w2"): _*)
 
   def perplexityScore(
       df: DataFrame, idCol: String, textCol: String): DataFrame = {

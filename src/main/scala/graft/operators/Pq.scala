@@ -24,15 +24,37 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
-  private[graft] def asDouble(c: Column): Column =
-    transform(c, x => x.cast("double"))
+  /** Whole-array cast to `array<double>` — a plain Cast (codegen'd,
+    * element-wise, exact float→double widening), replacing the
+    * `transform(c, _.cast("double"))` HOF spelling that dropped every
+    * containing projection out of whole-stage codegen. */
+  private[graft] def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** Sequential-order squared L2 distance between two double arrays
     * (matches DuckDB's `list_sum(list_transform(...))` evaluation
-    * order; compare only after ROUND(.,4)). */
+    * order; compare only after ROUND(.,4)). Codegen'd kernel since the
+    * round-14 optimization round; [[l2sqComposed]] is the PqKernelSpec
+    * cross-check. */
   private[graft] def l2sq(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.l2Sq(a, b)
+
+  /** The pre-round-14 `aggregate(zip_with(...))` HOF spelling of
+    * [[l2sq]] — kept ONLY as the PqKernelSpec cross-check. */
+  private[graft] def l2sqComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc: Column, x: Column) => acc + x)
+
+  /** Round-4 distances from the `j`-th subvector (dsub elements at
+    * offset j·dsub) to every centroid of book `j`, codegen'd — the
+    * encode/probe primitive, value-identical to
+    * `transform(bookLit(books, j), c => round(l2sqComposed(
+    * asDouble(slice(vec, j·dsub+1, dsub)), c), 4))` (PqKernelSpec). */
+  private[graft] def bookDists(
+      vec: Column, books: Seq[(Int, Long, Array[Double])], j: Int): Column = {
+    val cents = books.filter(_._1 == j).sortBy(_._2).map(_._3.toSeq)
+    val dsub = cents.head.length
+    graft.functions.VectorExpressions.centroidDists(vec, cents, j * dsub)
+  }
 
   /** Train per-subspace codebooks: for each of `m` equal slices of the
     * vector, k-means with squared-L2 assignment. Returns
@@ -251,11 +273,8 @@ object Pq {
       df: DataFrame, idCol: String, vecCol: String,
       books: Seq[(Int, Long, Array[Double])]): DataFrame = {
     val m = books.map(_._1).max + 1
-    val dsub = books.head._3.length
     val codeCols = (0 until m).map { j =>
-      val dists = transform(bookLit(books, j),
-        c => round(l2sq(
-          asDouble(slice(col(vecCol), lit(j * dsub + 1), lit(dsub))), c), 4))
+      val dists = bookDists(col(vecCol), books, j)
       array_position(dists, array_min(dists)).cast("int")
     }
     df.select(col(idCol), array(codeCols: _*).as("codes"))
@@ -275,8 +294,7 @@ object Pq {
     queries
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
       .select(col("query_id"),
-        posexplode(transform(bookLit(coarse, 0),
-          c => round(l2sq(col("__qv"), c), 4))))
+        posexplode(bookDists(col("__qv"), coarse, 0)))
       .select(col("query_id"), (col("pos") + 1).as("cell"),
         col("col").as("__d"))
       .withColumn("__r", row_number().over(
@@ -303,15 +321,9 @@ object Pq {
     import org.apache.spark.sql.expressions.Window
     // ONE corpus pass computes the coarse cell AND the PQ decode —
     // no second scan, no cells join
-    val dims = coarse.head._3.length
-    val coarseDists = transform(bookLit(coarse, 0),
-      c => round(l2sq(
-        asDouble(slice(col(vecCol), lit(1), lit(dims))), c), 4))
-    val dsub = books.head._3.length
+    val coarseDists = bookDists(col(vecCol), coarse, 0)
     val recon = (0 until m).map { j =>
-      val dists = transform(bookLit(books, j),
-        c => round(l2sq(
-          asDouble(slice(col(vecCol), lit(j * dsub + 1), lit(dsub))), c), 4))
+      val dists = bookDists(col(vecCol), books, j)
       element_at(bookLit(books, j),
         array_position(dists, array_min(dists)).cast("int"))
     }.reduce(concat(_, _))

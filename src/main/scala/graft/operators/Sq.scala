@@ -57,6 +57,16 @@ object Sq {
   def sqCodes(vec: Column, mns: Seq[Double], mxs: Seq[Double],
       levels: Int = 256): Column = {
     require(levels > 1, s"levels must be > 1, got $levels")
+    graft.functions.VectorExpressions.sqEncode(vec, mns, mxs, levels)
+  }
+
+  /** The pre-round-14 `zip_with(vec, bounds, ...)` HOF spelling of
+    * [[sqCodes]] — kept ONLY as the SqKernelSpec cross-check (as a
+    * CodegenFallback it forced the one-pass cell+codes corpus
+    * projection interpreted). */
+  private[graft] def sqCodesComposed(vec: Column, mns: Seq[Double],
+      mxs: Seq[Double], levels: Int = 256): Column = {
+    require(levels > 1, s"levels must be > 1, got $levels")
     val bounds = zip_with(typedLit(mns), typedLit(mxs),
       (a, b) => struct(a.as("mn"), b.as("mx")))
     zip_with(Pq.asDouble(vec), bounds, (x, b) => {
@@ -70,8 +80,15 @@ object Sq {
 
   /** Exact integer squared distance between two code arrays —
     * Σ (aᵢ − bᵢ)² as BIGINT (≤ dims·(levels−1)², far inside int64);
-    * no rounding step because there is nothing inexact to round. */
+    * no rounding step because there is nothing inexact to round.
+    * Codegen'd kernel; [[codeDistComposed]] is the SqKernelSpec
+    * cross-check. */
   def codeDist(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.codeDist(a, b)
+
+  /** The pre-round-14 `aggregate(zip_with(...))` HOF spelling of
+    * [[codeDist]] — kept ONLY as the SqKernelSpec cross-check. */
+  private[graft] def codeDistComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc: Column, x: Column) => acc + x)
 
@@ -90,10 +107,7 @@ object Sq {
     require(coarse.nonEmpty, "coarse codebook must not be empty")
     require(coarse.forall(_._1 == 0), "coarse codebook must be m=1")
     import org.apache.spark.sql.expressions.Window
-    val dims = coarse.head._3.length
-    val coarseDists = transform(Pq.bookLit(coarse, 0),
-      c => round(Pq.l2sq(
-        Pq.asDouble(slice(col(vecCol), lit(1), lit(dims))), c), 4))
+    val coarseDists = Pq.bookDists(col(vecCol), coarse, 0)
     val coded = corpus.select(col(idCol).as("neighbor_id"),
       array_position(coarseDists, array_min(coarseDists)).cast("int")
         .as("cell"),

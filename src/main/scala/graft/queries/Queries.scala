@@ -1613,9 +1613,14 @@ object Queries {
   private def qOpqKnnSpark: (SparkSession, String) => DataFrame =
     (s, dir) => {
       registerViews(s, dir)
+      // codegen'd scale kernel: the indexed-lambda `transform(embedding,
+      // (x, i) -> x * CASE WHEN i < 16 THEN 4.0D ELSE 0.25D END)` HOF
+      // (kept as the VecScaleSpec cross-check) forced the permutation
+      // projection interpreted, where its 64 element_at references
+      // re-ran the whole lambda walk per reference
       val skew = s.table("embeddings").select(col("vec_id"),
-        expr("transform(embedding, (x, i) -> x * " +
-          "(CASE WHEN i < 16 THEN 4.0D ELSE 0.25D END))").as("embedding"))
+        graft.functions.VectorExpressions.vecScale(
+          col("embedding"), Seq.fill(16)(4.0), 0.25).as("embedding"))
       val perm = graft.operators.Pq.trainPermutation(skew, "embedding", m = 4)
       val permuted = skew.select(col("vec_id"),
         graft.operators.Pq.permute(col("embedding"), perm).as("embedding"))

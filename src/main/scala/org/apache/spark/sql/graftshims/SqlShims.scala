@@ -871,3 +871,458 @@ object MinHashBandKeys {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
+
+/** `Σ (a[i]-b[i])²` over two `array<double>` values — the squared-L2
+  * sibling of [[DotProduct]], replacing the CodegenFallback
+  * `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0.0, acc+x)` fold
+  * on the PQ/ANN hot paths (k-means assignment, exact re-rank).
+  * Accumulation is sequential in index order — bit-identical to the
+  * left fold and the oracle's index-ordered list_sum. NULL semantics
+  * match the fold exactly: null array → null; unequal lengths → null
+  * (zip_with pads with nulls, poisoning the sum); any null element →
+  * null. */
+case class L2SqDist(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_l2sq"
+  override def nullable: Boolean = true
+
+  private def leftMayHoldNulls: Boolean = left.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+  private def rightMayHoldNulls: Boolean = right.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = x.getDouble(i) - y.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val elemNullCheck =
+        if (leftMayHoldNulls || rightMayHoldNulls)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      s"""
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $elemNullCheck
+         |    double $d = $a.getDouble($i) - $b.getDouble($i);
+         |    $s += $d * $d;
+         |  }
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2SqDist =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Round-4 squared-L2 distances from one slice of a vector to EVERY
+  * centroid of a codebook, in ONE codegen'd pass — replaces the PQ
+  * encode/probe spelling `transform(bookLit, c -> round(l2sq(
+  * asDouble(slice(vec, off+1, dsub)), c), 4))`, a CodegenFallback HOF
+  * whose one occurrence dropped the whole corpus-encode projection out
+  * of whole-stage codegen (and with it subexpression elimination — the
+  * round-13-profiled dominant cost of every PQ/ANN gate). The centroid
+  * matrix ships once as a codegen reference object.
+  *
+  * Value-identical to the composed form on every input
+  * (PqKernelSpec): element i of the result is
+  * `round(Σ_d (vec[off+d] − c_i[d])², 4)` with HALF_UP rounding
+  * (Spark's Round on double), accumulated in index order; a slice
+  * shorter than the centroid (vector too short), a slice longer than
+  * it (impossible here — centroids share one length), or any null
+  * element poisons THAT distance to null (zip_with padding semantics);
+  * a NULL vector yields k null distances (the outer transform runs
+  * over the non-null book literal), so the expression itself is never
+  * null. */
+case class CentroidDists(
+    child: Expression, centroids: Seq[Seq[Double]], offset: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  require(centroids.nonEmpty, "codebook must not be empty")
+  require(centroids.forall(_.length == centroids.head.length),
+    "centroids must share one dimensionality")
+  require(offset >= 0, s"offset must be >= 0, got $offset")
+
+  // Seq parameters for structural case-class equality (see
+  // MinHashSignatures); dense arrays only at eval/codegen time.
+  @transient private lazy val centArr: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = "vec_centroid_dists"
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    CentroidDists.compute(
+      child.eval(input).asInstanceOf[ArrayData], centArr, offset)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val centRef = ctx.addReferenceObj("pqCentroids", centArr, "double[][]")
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        |${c.code}
+        |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        |  org.apache.spark.sql.graftshims.CentroidDists.compute(
+        |    ${c.isNull} ? null : ${c.value}, $centRef, $offset);
+        |""".stripMargin,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidDists =
+    copy(child = newChild)
+}
+
+object CentroidDists {
+  /** Spark's `Round(d, 4)` on DoubleType: NaN/Infinity pass through,
+    * otherwise HALF_UP at 4 decimals via BigDecimal. */
+  def round4(s: Double): Double =
+    if (s.isNaN || s.isInfinite) s
+    else java.math.BigDecimal.valueOf(s)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  def compute(vec: ArrayData, cents: Array[Array[Double]],
+      offset: Int): ArrayData = {
+    val k = cents.length
+    val out = new Array[Any](k)
+    if (vec == null)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    val dsub = cents(0).length
+    val n = vec.numElements()
+    // slice(vec, offset+1, dsub) yields fewer than dsub elements when
+    // the vector is short — zip_with then pads with nulls and the fold
+    // poisons to null, exactly like a null element inside the slice
+    val whole = offset + dsub <= n
+    var ci = 0
+    while (ci < k) {
+      if (whole) {
+        val c = cents(ci)
+        var s = 0.0
+        var i = 0
+        var ok = true
+        while (ok && i < dsub) {
+          if (vec.isNullAt(offset + i)) ok = false
+          else {
+            val d = vec.getDouble(offset + i) - c(i)
+            s += d * d
+            i += 1
+          }
+        }
+        if (ok) out(ci) = java.lang.Double.valueOf(round4(s))
+      }
+      ci += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `Σ (a[i]-b[i])²` over two `array<long>` code vectors as one exact
+  * BIGINT — the integer sibling of [[L2SqDist]], replacing the SQ
+  * serving path's CodegenFallback `aggregate(zip_with(...), 0L, ...)`
+  * fold on the query×candidate pair loop. Same NULL semantics as the
+  * fold (null array / unequal lengths / null element → null). */
+case class CodeDistLong(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_codedist"
+  override def nullable: Boolean = true
+
+  private def leftMayHoldNulls: Boolean = left.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+  private def rightMayHoldNulls: Boolean = right.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = x.getLong(i) - y.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val elemNullCheck =
+        if (leftMayHoldNulls || rightMayHoldNulls)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      s"""
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $elemNullCheck
+         |    long $d = $a.getLong($i) - $b.getLong($i);
+         |    $s += $d * $d;
+         |  }
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CodeDistLong =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Scalar-quantization encode — `code[i] = clamp(⌊(x[i] − mn[i]) ·
+  * (levels−1) / (mx[i] − mn[i])⌋, 0, levels−1)`, degenerate dims
+  * (mn = mx) encoding 0 — in one codegen'd pass, replacing the
+  * CodegenFallback `zip_with(vec, bounds, ...)` spelling
+  * ([[graft.operators.Sq.sqCodes]]'s composed form, kept as the
+  * SqKernelSpec cross-check). Operation order `((x − mn) · s) / w`
+  * matches the composed form and the oracle exactly.
+  *
+  * NULL semantics replicate the composed zip_with/when/least/greatest
+  * stack on EVERY input (SqKernelSpec fuzzes it): null vector → null;
+  * output length = max(|vec|, dims); a null/missing element or a
+  * missing bound falls through `least`'s null-skipping to the
+  * levels−1 clamp (never a null element) unless its dim is degenerate
+  * (mn = mx, NaN-equal like Spark's `===`), which yields 0 first. */
+case class SqEncode(
+    child: Expression, mns: Seq[Double], mxs: Seq[Double], levels: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  require(levels > 1, s"levels must be > 1, got $levels")
+  require(mns.length == mxs.length, "bounds arrays must match")
+
+  @transient private lazy val mnArr: Array[Double] = mns.toArray
+  @transient private lazy val mxArr: Array[Double] = mxs.toArray
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "vec_sq_encode"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any =
+    SqEncode.compute(v.asInstanceOf[ArrayData], mnArr, mxArr, levels)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mnRef = ctx.addReferenceObj("sqMns", mnArr, "double[]")
+    val mxRef = ctx.addReferenceObj("sqMxs", mxArr, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""${ev.value} = org.apache.spark.sql.graftshims.SqEncode.compute(
+         |  $v, $mnRef, $mxRef, $levels);""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SqEncode =
+    copy(child = newChild)
+}
+
+object SqEncode {
+  def compute(vec: ArrayData, mns: Array[Double], mxs: Array[Double],
+      levels: Int): ArrayData = {
+    val dims = mns.length
+    val vn = vec.numElements()
+    val n = math.max(vn, dims)
+    val hi = (levels - 1).toLong
+    val scale = (levels - 1).toDouble
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val boundOk = i < dims
+      // Spark `===` double equality: NaN equals NaN, -0.0 equals 0.0
+      val degenerate = boundOk && {
+        val mn = mns(i); val mx = mxs(i)
+        (java.lang.Double.isNaN(mn) && java.lang.Double.isNaN(mx)) || mn == mx
+      }
+      if (degenerate) out(i) = 0L
+      else if (!boundOk || i >= vn || vec.isNullAt(i)) {
+        // composed form: a null operand slides through least/greatest's
+        // null-skipping to the upper clamp
+        out(i) = hi
+      } else {
+        val f = math.floor(
+          (vec.getDouble(i) - mns(i)) * scale / (mxs(i) - mns(i))).toLong
+        out(i) = math.max(0L, math.min(hi, f))
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
+/** Element-wise scale of a vector by a fixed weight profile —
+  * `out[i] = vec[i] · (i < |w| ? w[i] : default)` — in one codegen'd
+  * pass, replacing the CodegenFallback indexed-lambda
+  * `transform(vec, (x, i) -> x * CASE ... END)` (the OPQ gate's skew
+  * projection; kept as the VecScaleSpec cross-check). The HOF form
+  * did more than run interpreted: 64 `element_at` references to it in
+  * the downstream permutation projection re-evaluated the whole
+  * lambda walk per reference (no subexpression elimination outside
+  * codegen). Null element → null element; null vector → null. */
+case class VecScale(
+    child: Expression, weights: Seq[Double], defaultWeight: Double)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  @transient private lazy val wArr: Array[Double] = weights.toArray
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, cn) => ArrayType(DoubleType, containsNull = cn)
+    case _ => ArrayType(DoubleType)
+  }
+  override def prettyName: String = "vec_scale"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any =
+    VecScale.compute(v.asInstanceOf[ArrayData], wArr, defaultWeight)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("scaleW", wArr, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""${ev.value} = org.apache.spark.sql.graftshims.VecScale.compute(
+         |  $v, $wRef, $defaultWeight);""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VecScale =
+    copy(child = newChild)
+}
+
+object VecScale {
+  def compute(vec: ArrayData, w: Array[Double],
+      defaultWeight: Double): ArrayData = {
+    val n = vec.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!vec.isNullAt(i))
+        out(i) = java.lang.Double.valueOf(
+          vec.getDouble(i) * (if (i < w.length) w(i) else defaultWeight))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Word n-grams of a single-space-tokenized text — the UN-hashed,
+  * UN-deduped front half of [[HashedShingles]] as its own codegen'd
+  * kernel, for the feeds that need the gram STRINGS (CMS terms, HLL
+  * keys, DSIR bucket hashing, kn-bigram pairs). Replaces the
+  * CodegenFallback `transform(sequence(1, size(t)-(n-1)), i ->
+  * concat_ws(' ', element_at...))` walk
+  * ([[graft.functions.TextFunctions.wordNgramsComposed]], kept as the
+  * WordNgramsSpec cross-check), which forced every gram feed's
+  * projection interpreted. Bit-identical semantics: single-space
+  * tokenizer keeping trailing empties, empty array when fewer than n
+  * tokens, grams joined with single spaces, null text → null. */
+case class WordNgrams(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(n >= 1, s"ngram width must be >= 1, got $n")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(v: Any): Any =
+    WordNgrams.compute(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      s"${ev.value} = org.apache.spark.sql.graftshims.WordNgrams.compute($t, $n);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
+object WordNgrams {
+  def compute(text: org.apache.spark.unsafe.types.UTF8String,
+      n: Int): ArrayData = {
+    // Java split with limit -1 = Spark's split(text, " "): single-space
+    // regex, trailing empty tokens kept (the HashedShingles contract)
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](0))
+    val out = new Array[Any](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}

@@ -13,7 +13,7 @@ class MinHashShingleSpec extends SparkTestBase {
 
   private def composed(c: org.apache.spark.sql.Column, n: Int) =
     VectorExpressions.hash28Array(
-      array_distinct(TextFunctions.wordNgrams(c, n)))
+      array_distinct(TextFunctions.wordNgramsComposed(c, n)))
 
   private def assertEquiv(df: org.apache.spark.sql.DataFrame, n: Int): Unit = {
     val rows = df.select(col("text"),

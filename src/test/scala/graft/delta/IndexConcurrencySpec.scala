@@ -48,7 +48,12 @@ class IndexConcurrencySpec extends SparkTestBase {
             LshIndex.refresh(DeltaLog.forPath(spark, dir), "id", "text")
           }
         }
-      }), 300.seconds)
+      // 20 minutes, not 5: one round-13 full-suite run hit the old
+      // 300 s bound during a heavily host-contended window (passes
+      // running ~2× slow) — the bound only guards against a genuine
+      // hang, so it should sit far above any contended-but-progressing
+      // run. Assertion surface unchanged.
+      }), 1200.seconds)
 
     // quiescent convergence refresh, then the invariants
     val fresh = DeltaLog.forPath(spark, dir)
