@@ -245,13 +245,15 @@ object LshIndex {
   def containmentBatch(log: DeltaLog, newBatch: DataFrame,
       idCol: String, textCol: String, threshold: Double = 0.9,
       broadcastKeys: Boolean = true, anchorK: Int = MinHashLsh.AnchorK,
-      maxBucketSize: Int = 0): DataFrame = {
+      maxBucketSize: Int = 0,
+      hashedBatch: Option[DataFrame] = None): DataFrame = {
     val spark = log.spark
     val snap = log.snapshot
     validate(snap, idCol, textCol)
     val idx = entries(log, idCol, textCol).getOrElse(
       return MinHashLsh.containmentAgainstCorpus(newBatch, snap.read(),
-        idCol, textCol, threshold, broadcastKeys, anchorK, maxBucketSize))
+        idCol, textCol, threshold, broadcastKeys, anchorK, maxBucketSize,
+        hashedBatch))
     val (storedPaths, _, counts) = IncrementalSidecar.storedSummaryFull(
       spark, indexDir(log, idCol, textCol), idx, Set.empty)
     val (usableStored, liveFiles) = IncrementalSidecar.probeCoverage(
@@ -262,8 +264,8 @@ object LshIndex {
       if (liveFiles.isEmpty) covered
       else covered.unionByName(
         MinHashLsh.hashedShingles(snap.readFiles(liveFiles), idCol, textCol))
-    val hNew = MinHashLsh.hashedShingles(newBatch, idCol, textCol)
-      .localCheckpoint()
+    val hNew = hashedBatch.getOrElse(
+      MinHashLsh.hashedShingles(newBatch, idCol, textCol).localCheckpoint())
     MinHashLsh.containmentCrossPairs(hNew, idCol, threshold, anchorK,
       MinHashLsh.effectiveCap(newBatch, maxBucketSize), broadcastKeys,
       priorHashed,
@@ -287,13 +289,14 @@ object LshIndex {
 
   def dedupBatch(log: DeltaLog, newBatch: DataFrame,
       idCol: String, textCol: String, threshold: Double = 0.5,
-      broadcastKeys: Boolean = true, maxBucketSize: Int = 0): DataFrame = {
+      broadcastKeys: Boolean = true, maxBucketSize: Int = 0,
+      hashedBatch: Option[DataFrame] = None): DataFrame = {
     val spark = log.spark
     val snap = log.snapshot
     validate(snap, idCol, textCol)
     val idx = entries(log, idCol, textCol).getOrElse(
       return MinHashLsh.dedupAgainstCorpus(newBatch, snap.read(),
-        idCol, textCol, threshold, broadcastKeys, maxBucketSize))
+        idCol, textCol, threshold, broadcastKeys, maxBucketSize, hashedBatch))
     val (storedPaths, _, counts) = IncrementalSidecar.storedSummaryFull(
       spark, indexDir(log, idCol, textCol), idx, Set.empty)
     // live side: active files the index cannot serve — not yet
@@ -366,6 +369,6 @@ object LshIndex {
         else indexed.unionByName(
           MinHashLsh.priorBands(snap.readFiles(liveFiles), idCol, textCol)
             .join(newKeys, Seq("band", "k"), "left_semi"))
-      })
+      }, hashedBatch)
   }
 }

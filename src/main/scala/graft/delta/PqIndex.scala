@@ -445,7 +445,9 @@ object PqIndex {
           .where(col("cell").isin(probedCells: _*))
           .select(col(idCol).as("neighbor_id"), col("cell"), col("codes"))
       }
-    val cand = indexed.unionByName(live)
+    // widen before the per-pair ADC loop (see Pq.ivfPqTopK's note:
+    // parallelism + a small JIT-able pair stage; no-op at scale)
+    val cand = graft.operators.Adaptive.widen(indexed.unionByName(live))
       .withColumn("__rv", recon)
       .withColumn("__rn2", VectorExpressions.dot(col("__rv"), col("__rv")))
     // NO dedup on (query, neighbor): a same-id row in two files is two

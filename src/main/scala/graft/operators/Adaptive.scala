@@ -36,14 +36,12 @@ object Adaptive {
     * inputs stop fanning to one task per core. */
   val KernelBytesPerTask: Long = 256L << 10
 
-  /** Budget for CPU-DENSE feeds — interpreted HOF pipelines that pay
-    * an md5/lambda per TOKEN (the sketch gram feeds, DSIR's two-pass
-    * hashing): roughly an order of magnitude more CPU per input byte
-    * than the codegen'd kernels, so the per-task byte budget shrinks
-    * by the same factor (measured: the 256 KiB budget regressed
-    * q_cms_heavy_hitters / q_hll_by_source / q_dsir_select by
-    * +0.6-1.1 s at sf0.1 — too few cores on genuinely hot loops). */
-  val DenseBytesPerTask: Long = 16L << 10
+  // Round-14 note: the round-13 `DenseBytesPerTask` (16 KiB) special
+  // case for the interpreted gram feeds is GONE — the feeds' HOF
+  // pipelines were fused into codegen kernels (WordNgrams), their
+  // per-byte CPU fell back in line with the other kernels, and the
+  // default budget re-measured faster at every site (A/B in
+  // OPTIMIZATION_r14.md).
 
   /** The widen target for `df` — `defaultParallelism` when the size
     * estimate is unknown or large, proportionally fewer partitions

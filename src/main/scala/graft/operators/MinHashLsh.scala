@@ -319,8 +319,10 @@ object MinHashLsh {
   def containmentAgainstCorpus(
       newBatch: DataFrame, prior: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.9, broadcastKeys: Boolean = true,
-      anchorK: Int = AnchorK, maxBucketSize: Int = 0): DataFrame = {
-    val hNew = hashedShingles(newBatch, idCol, textCol).localCheckpoint()
+      anchorK: Int = AnchorK, maxBucketSize: Int = 0,
+      hashedBatch: Option[DataFrame] = None): DataFrame = {
+    val hNew = hashedBatch.getOrElse(
+      hashedShingles(newBatch, idCol, textCol).localCheckpoint())
     containmentCrossPairs(hNew, idCol, threshold, anchorK,
       effectiveCap(prior, maxBucketSize), broadcastKeys,
       hashedShingles(prior, idCol, textCol),
@@ -439,11 +441,12 @@ object MinHashLsh {
   def dedupAgainstCorpus(
       newBatch: DataFrame, prior: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, broadcastKeys: Boolean = true,
-      maxBucketSize: Int = 0): DataFrame =
+      maxBucketSize: Int = 0, hashedBatch: Option[DataFrame] = None): DataFrame =
     dedupAgainstPrior(newBatch, idCol, textCol, threshold, broadcastKeys,
       effectiveCap(prior, maxBucketSize),
       newKeys => priorBands(prior, idCol, textCol)
-        .join(newKeys, Seq("band", "k"), "left_semi"))
+        .join(newKeys, Seq("band", "k"), "left_semi"),
+      hashedBatch)
 
   /** The prior corpus's (idCol, hs, band, k) band rows as ONE STREAMING
     * pass: band rows carry the shingle set forward, so verification
@@ -478,12 +481,18 @@ object MinHashLsh {
   private[graft] def dedupAgainstPrior(
       newBatch: DataFrame, idCol: String, textCol: String,
       threshold: Double, broadcastKeys: Boolean, cap: Int,
-      priorBandsOf: DataFrame => DataFrame): DataFrame = {
+      priorBandsOf: DataFrame => DataFrame,
+      hashedBatch: Option[DataFrame] = None): DataFrame = {
     def hinted(df: DataFrame): DataFrame = if (broadcastKeys) broadcast(df) else df
     // batch-side shingles materialize via localCheckpoint (cache() can
     // be silently missed by join-shaped consumers); batch-sized. The
     // signature materialization happens inside withSignature.
-    val hNew = hashedShingles(newBatch, idCol, textCol).localCheckpoint()
+    // `hashedBatch` lets a caller running BOTH the indexed and the
+    // direct pipeline over one batch (the equivalence-probe gates)
+    // share a single materialized kernel pass — it must be the
+    // (idCol, hs) frame of [[hashedShingles]], already checkpointed.
+    val hNew = hashedBatch.getOrElse(
+      hashedShingles(newBatch, idCol, textCol).localCheckpoint())
     val bNew = bandBuckets(withSignature(hNew), idCol)
     val newKeys = hinted(bNew.select("band", "k").distinct())
     val bPriorAll = priorBandsOf(newKeys)

@@ -327,10 +327,18 @@ object Pq {
       element_at(bookLit(books, j),
         array_position(dists, array_min(dists)).cast("int"))
     }.reduce(concat(_, _))
-    val decoded = corpus.select(col(idCol).as("neighbor_id"),
-        array_position(coarseDists, array_min(coarseDists)).cast("int")
-          .as("cell"),
-        recon.as("__rv"))
+    // widen the corpus side BEFORE the per-pair distance loop: a
+    // bench-scale single-split scan otherwise runs the whole
+    // candidates×queries expansion (plus its sort) in ONE task, and
+    // the exchange also ends the codegen region, so the hot pair loop
+    // compiles as its own small JIT-able method instead of riding one
+    // giant fused stage (at scale the scan's own splits make this a
+    // no-op — Adaptive.widen saturates to full width)
+    val decoded = Adaptive.widen(
+        corpus.select(col(idCol).as("neighbor_id"),
+          array_position(coarseDists, array_min(coarseDists)).cast("int")
+            .as("cell"),
+          recon.as("__rv")))
       .withColumn("__rn2", VectorExpressions.dot(col("__rv"), col("__rv")))
     val q = queries
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
@@ -367,8 +375,11 @@ object Pq {
     val recon = (0 until m).map { j =>
       element_at(bookLit(books, j), element_at(col("codes"), j + 1))
     }.reduce(concat(_, _))
-    val decoded = codes.select(col(idCol).as("neighbor_id"),
-      recon.as("__rv"))
+    // widen before the queries×corpus pair loop (see ivfPqTopK: one
+    // bench-scale input split would otherwise run the whole expansion
+    // and its sort in one task inside one giant codegen method)
+    val decoded = Adaptive.widen(
+      codes.select(col(idCol).as("neighbor_id"), recon.as("__rv")))
       .withColumn("__rn2", VectorExpressions.dot(col("__rv"), col("__rv")))
     val q = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("__qv"))

@@ -108,10 +108,13 @@ object Sq {
     require(coarse.forall(_._1 == 0), "coarse codebook must be m=1")
     import org.apache.spark.sql.expressions.Window
     val coarseDists = Pq.bookDists(col(vecCol), coarse, 0)
-    val coded = corpus.select(col(idCol).as("neighbor_id"),
-      array_position(coarseDists, array_min(coarseDists)).cast("int")
-        .as("cell"),
-      sqCodes(col(vecCol), mns.toSeq, mxs.toSeq, levels).as("__cc"))
+    // widen before the per-pair integer distance loop (see
+    // Pq.ivfPqTopK's note: parallelism + a small JIT-able pair stage)
+    val coded = Adaptive.widen(
+      corpus.select(col(idCol).as("neighbor_id"),
+        array_position(coarseDists, array_min(coarseDists)).cast("int")
+          .as("cell"),
+        sqCodes(col(vecCol), mns.toSeq, mxs.toSeq, levels).as("__cc")))
     val q = queries
       .select(col(idCol).as("query_id"),
         sqCodes(col(vecCol), mns.toSeq, mxs.toSeq, levels).as("__qc"))

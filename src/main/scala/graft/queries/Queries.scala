@@ -4821,14 +4821,21 @@ object Queries {
       val batch = docs.where(col("doc_id") % 5 === 0)
         .select("doc_id", "lang", "source", "text")
       val freshLog = graft.delta.DeltaLog.forPath(s, tmp)
+      // ONE batch kernel pass shared by both sides (round-14: each
+      // side previously re-shingled the identical batch — same
+      // deterministic kernel, so sharing cannot move results)
+      val hNew = graft.operators.MinHashLsh.hashedShingles(
+        batch, "doc_id", "text").localCheckpoint()
       // materialize both sides once (batch-sized): the two exceptAll
       // probes and the final projection would otherwise re-run the
       // indexed and the direct dedup pipelines per consumer
       val viaIndex = graft.delta.LshIndex.dedupBatch(
-        freshLog, batch, "doc_id", "text", threshold = 0.5)
+        freshLog, batch, "doc_id", "text", threshold = 0.5,
+        hashedBatch = Some(hNew))
         .localCheckpoint()
       val direct = graft.operators.MinHashLsh.dedupAgainstCorpus(
-        batch, freshLog.snapshot.read(), "doc_id", "text", threshold = 0.5)
+        batch, freshLog.snapshot.read(), "doc_id", "text", threshold = 0.5,
+        hashedBatch = Some(hNew))
         .localCheckpoint()
       val matches =
         viaIndex.select("doc_id").exceptAll(direct.select("doc_id")).isEmpty &&
@@ -4894,11 +4901,16 @@ object Queries {
         .get.where(col("doc_id") % 11 === 4).count()
       val batch = docs.where(col("doc_id") % 5 === 0)
         .select("doc_id", "lang", "source", "text")
+      // one shared batch kernel pass (see q_dedup_incremental_indexed)
+      val hNew = graft.operators.MinHashLsh.hashedShingles(
+        batch, "doc_id", "text").localCheckpoint()
       val viaIndex = graft.delta.LshIndex.dedupBatch(
-        fresh2, batch, "doc_id", "text", threshold = 0.5)
+        fresh2, batch, "doc_id", "text", threshold = 0.5,
+        hashedBatch = Some(hNew))
         .localCheckpoint()
       val direct = graft.operators.MinHashLsh.dedupAgainstCorpus(
-        batch, fresh2.snapshot.read(), "doc_id", "text", threshold = 0.5)
+        batch, fresh2.snapshot.read(), "doc_id", "text", threshold = 0.5,
+        hashedBatch = Some(hNew))
         .localCheckpoint()
       val matches =
         viaIndex.select("doc_id").exceptAll(direct.select("doc_id")).isEmpty &&
@@ -5009,11 +5021,16 @@ object Queries {
         .unionByName(containmentPrefixArm(docs, 97, 2000000L, 4, 5, 1))
         .unionByName(containmentPrefixArm(docs, 89, 3000000L, 5, 100, 4))
       val freshLog = graft.delta.DeltaLog.forPath(s, tmp)
+      // one shared batch kernel pass (see q_dedup_incremental_indexed)
+      val hNew = graft.operators.MinHashLsh.hashedShingles(
+        batch, "doc_id", "text").localCheckpoint()
       val viaIndex = graft.delta.LshIndex.containmentBatch(
-        freshLog, batch, "doc_id", "text", threshold = 0.9)
+        freshLog, batch, "doc_id", "text", threshold = 0.9,
+        hashedBatch = Some(hNew))
         .localCheckpoint()
       val direct = graft.operators.MinHashLsh.containmentAgainstCorpus(
-        batch, freshLog.snapshot.read(), "doc_id", "text", threshold = 0.9)
+        batch, freshLog.snapshot.read(), "doc_id", "text", threshold = 0.9,
+        hashedBatch = Some(hNew))
         .localCheckpoint()
       val matches =
         viaIndex.exceptAll(direct).isEmpty &&
@@ -5535,8 +5552,7 @@ object Queries {
       // repartition before the gram+digest map so the sketch build uses
       // every core (the minhash family's REPARTITION(32) precedent). At
       // scale the parquet source's own splits provide this for free.
-      val grams = graft.operators.Adaptive.widen(s.table("documents"),
-          graft.operators.Adaptive.DenseBytesPerTask)
+      val grams = graft.operators.Adaptive.widen(s.table("documents"))
         .select(explode(
           graft.functions.TextFunctions.wordNgrams(col("text"), 3)).as("tk"))
       val sketch = graft.operators.Sketches.cmsSketch(
@@ -5569,8 +5585,7 @@ object Queries {
       registerViews(s, dir)
       import graft.operators.{CacheHygiene, Sketches}
       val grams = graft.operators.Adaptive.widen(
-          s.table("documents").where(col("lang").isin("en", "es")),
-          graft.operators.Adaptive.DenseBytesPerTask)
+          s.table("documents").where(col("lang").isin("en", "es")))
         .select(col("lang"), explode(
           graft.functions.TextFunctions.wordNgrams(col("text"), 3)).as("tk"))
       // ONE corpus pass builds BOTH sketches (hllRegistersBy, state
@@ -5596,8 +5611,7 @@ object Queries {
       // single-split testdata: spread the gram+md5 map over every core
       // (the CMS/minhash REPARTITION precedent; real parquet splits
       // provide this for free at scale)
-      val grams = graft.operators.Adaptive.widen(s.table("documents"),
-          graft.operators.Adaptive.DenseBytesPerTask)
+      val grams = graft.operators.Adaptive.widen(s.table("documents"))
         .select(col("source"), explode(
           graft.functions.TextFunctions.wordNgrams(col("text"), 3)).as("tk"))
       graft.operators.Sketches.hllSummarizeBy(
@@ -5666,8 +5680,7 @@ object Queries {
       // over every core (ReuseExchange shares the one shuffle between
       // them; real parquet splits provide this for free at scale)
       graft.operators.Curation.dsirSelect(
-        graft.operators.Adaptive.widen(s.table("documents"),
-          graft.operators.Adaptive.DenseBytesPerTask),
+        graft.operators.Adaptive.widen(s.table("documents")),
         "doc_id", "text",
         isTarget = col("doc_id") % 10 === 0,
         buckets = 4096, topK = 100)
