@@ -25,7 +25,15 @@ class DeltaLog(val spark: SparkSession, val tablePath: String) {
 
   val rootPath = new Path(tablePath)
   val logPath = new Path(rootPath, "_delta_log")
-  def fs: FileSystem = logPath.getFileSystem(spark.sessionState.newHadoopConf())
+  /** Cached per instance: `newHadoopConf()` copies the whole session
+    * conf on EVERY call, and the commit/replay paths consult `fs`
+    * dozens of times per operation (round-14 JobTrace sampled it on
+    * the matview refresh main thread). FileSystem.get already caches
+    * by scheme/authority, so holding the resolved handle changes
+    * nothing about which filesystem is used; a DeltaLog instance is
+    * short-lived (one `forPath` per operation), so a session hadoop
+    * conf change still lands on the next instance. */
+  lazy val fs: FileSystem = logPath.getFileSystem(spark.sessionState.newHadoopConf())
 
   /** (commit versions present, complete checkpoint versions present) */
   def listLog(): (Seq[Long], Seq[Long]) = {

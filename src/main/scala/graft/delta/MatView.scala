@@ -181,7 +181,11 @@ object MatView {
     // the txn appId is scoped to THIS incarnation of the view: Delta
     // replay preserves SetTransaction markers across an overwrite, so
     // a re-created view at the same path would otherwise inherit the
-    // old incarnation's marker and skip folding real changes
+    // old incarnation's marker and skip folding real changes.
+    // The watermark domain rides INSIDE the create commit (round-14:
+    // the separate SET DOMAIN commit doubled every create's commit
+    // cost; the `createVersion` config remains the crash-repair anchor
+    // for views created before the fold)
     TransactionWriter.overwrite(viewLog, base,
       configuration = Map(
         "graft.matview.source" -> sourcePath,
@@ -189,7 +193,7 @@ object MatView {
         "graft.matview.aggs" ->
           aggs.map { case (fn, c) => s"$fn($c)" }.mkString(","),
         // crash repair: refresh/describe bootstrap the watermark from
-        // here when the state-domain commit below never landed
+        // here when the state domain is missing (legacy incarnations)
         "graft.matview.createVersion" -> v.toString,
         "graft.matview.instance" -> java.util.UUID.randomUUID().toString)
         ++ where.map(w => "graft.matview.where" -> w)
@@ -199,9 +203,8 @@ object MatView {
             keyExprs.foreach { case (n, e) =>
               val o = root.addObject(); o.put("n", n); o.put("e", e) }
             JsonUtil.mapper.writeValueAsString(root)
-          })))
-    Domains.set(DeltaLog.forPath(spark, viewPath), StateDomain,
-      s"""{"sourceVersion":$v}""")
+          })),
+      domains = Seq(StateDomain -> s"""{"sourceVersion":$v}"""))
     v
   }
 
@@ -270,6 +273,7 @@ object MatView {
     val base = fs.read().join(
       ds.read().select(col(dimPk).as(fk) +: dimCols.map(col): _*), Seq(fk))
     val viewLog = DeltaLog.forPath(spark, viewPath)
+    // watermark domain rides the create commit (see create's note)
     TransactionWriter.overwrite(viewLog, base,
       configuration = Map(
         "graft.matview.kind" -> "join",
@@ -281,9 +285,9 @@ object MatView {
         "graft.matview.dimCols" -> dimCols.mkString(","),
         "graft.matview.createFactVersion" -> vf.toString,
         "graft.matview.createDimVersion" -> vd.toString,
-        "graft.matview.instance" -> java.util.UUID.randomUUID().toString))
-    Domains.set(DeltaLog.forPath(spark, viewPath), StateDomain,
-      s"""{"factVersion":$vf,"dimVersion":$vd}""")
+        "graft.matview.instance" -> java.util.UUID.randomUUID().toString),
+      domains = Seq(StateDomain ->
+        s"""{"factVersion":$vf,"dimVersion":$vd}"""))
     vf
   }
 
@@ -372,6 +376,7 @@ object MatView {
       .agg(count(lit(1)).as("n_rows"),
         fns.map { case (fn, c) => aggColumn(fn, c) } ++ helperCols: _*)
     val viewLog = DeltaLog.forPath(spark, viewPath)
+    // watermark domain rides the create commit (see create's note)
     TransactionWriter.overwrite(viewLog, base,
       configuration = Map(
         "graft.matview.kind" -> "joinagg",
@@ -384,9 +389,9 @@ object MatView {
           fns.map { case (fn, c) => s"$fn($c)" }.mkString(","),
         "graft.matview.createFactVersion" -> vf.toString,
         "graft.matview.createDimVersion" -> vd.toString,
-        "graft.matview.instance" -> java.util.UUID.randomUUID().toString))
-    Domains.set(DeltaLog.forPath(spark, viewPath), StateDomain,
-      s"""{"factVersion":$vf,"dimVersion":$vd}""")
+        "graft.matview.instance" -> java.util.UUID.randomUUID().toString),
+      domains = Seq(StateDomain ->
+        s"""{"factVersion":$vf,"dimVersion":$vd}"""))
     vf
   }
 

@@ -158,9 +158,11 @@ object Sidecar {
         if (cached != null) Some(spark.read.schema(cached).parquet(genPath.toString))
         else {
           val df = spark.read.parquet(genPath.toString)
-          // same wholesale-clear bound as coverageCache: a long-lived
-          // driver cycling many generations must not grow this forever
-          if (schemaCache.size > 64) schemaCache.clear()
+          // bounded by wholesale clear like coverageCache, but at a
+          // higher water mark: entries are one StructType each, and a
+          // 64-entry clear was measured to re-trigger the footer-merge
+          // schema job mid-bench (the exact cost this cache removes)
+          if (schemaCache.size > 512) schemaCache.clear()
           schemaCache.put(key, df.schema)
           Some(df)
         }

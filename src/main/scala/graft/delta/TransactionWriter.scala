@@ -32,18 +32,39 @@ object TransactionWriter {
       configuration: Map[String, String] = Map.empty,
       operation: String = "WRITE",
       dataChange: Boolean = true,
-      preservedCols: Seq[String] = Nil): Long = {
+      preservedCols: Seq[String] = Nil,
+      /** Domain metadata riding INSIDE the overwrite commit (with the
+        * `domainMetadata` feature upgrade when needed) — a creator
+        * that previously committed the table and then its state domain
+        * separately lands both atomically in one commit. */
+      domains: Seq[(String, String)] = Nil): Long = {
     val prev: Option[Snapshot] =
       if (log.fs.exists(log.logPath) &&
           { val (c, p) = log.listLog(); c.nonEmpty || p.nonEmpty })
         Some(log.snapshot)
       else None
+    val domainActions: Seq[Action] =
+      if (domains.isEmpty) Nil
+      else {
+        // replay keeps the LAST protocol action of a commit, so the
+        // upgraded protocol appended here wins over the plain create
+        // protocol writeAndCommit emits for a new table — end state
+        // identical to the old create-then-SET-DOMAIN two-commit chain
+        val upgrade = prev match {
+          case Some(s) => Domains.featureUpgrade(s, Set("domainMetadata"))
+          case None => Seq(ProtocolAction(Protocol(1, 7,
+            writerFeatures = Set("appendOnly", "invariants", "domainMetadata"))))
+        }
+        upgrade ++ domains.map { case (d, c) =>
+          DomainMetadataAction(DomainMetadata(d, c)) }
+      }
     writeAndCommit(log, df, prev,
       removes = prev.toSeq.flatMap(_.planFiles()),
       partitionBy = partitionBy, configuration = configuration,
       operation = operation,
       mode = if (prev.isEmpty) "ErrorIfExists" else "Overwrite",
-      dataChange = dataChange, preservedCols = preservedCols)
+      dataChange = dataChange, preservedCols = preservedCols,
+      extraActions = domainActions)
   }
 
   /** Overwrite/create with an explicitly DECLARED schema — the way to

@@ -84,6 +84,17 @@ object SqlShims {
       "vec_l2norm", exprs => L2Norm(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "vec_hash28", exprs => Hash28Array(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "vec_simhash16", exprs => Simhash16(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "vec_simhash_bands", exprs => SimhashMd5Bands(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "hashed_shingles", {
+        case Seq(t, n) => HashedShingles(t,
+          n.eval().asInstanceOf[Number].intValue())
+        case args => throw new IllegalArgumentException(
+          s"hashed_shingles(text, n) takes 2 arguments, got ${args.size}")
+      }, "built-in")
   }
 
   /** Register a fused k-entry MinHash signature function with the given
