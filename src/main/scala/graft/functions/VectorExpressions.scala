@@ -119,4 +119,27 @@ object VectorExpressions {
     * equivalence). */
   def wordNgrams(text: Column, n: Int): Column =
     column(org.apache.spark.sql.graftshims.WordNgrams(expression(text), n))
+
+  /** [[wordNgrams]] with the curation feeds' `greatest(len-n+1, 1)`
+    * truncation: one gram of ALL tokens when the doc is shorter than
+    * n. */
+  def wordNgramsMinOne(text: Column, n: Int): Column =
+    column(org.apache.spark.sql.graftshims.WordNgrams(
+      expression(text), n, minOne = true))
+
+  /** md5-prefix hashes of a text's word n-grams in one codegen'd pass
+    * (hexDigits 7 = hash28, 15 = hash60; minOne = the truncated-gram
+    * variant) — the composed `transform(sequence(...), i ->
+    * hash(array_join(slice(...))))` spellings are the
+    * Round14KernelSpec cross-checks. */
+  def ngramHashes(text: Column, n: Int, hexDigits: Int,
+      minOne: Boolean): Column =
+    column(org.apache.spark.sql.graftshims.NgramHashes(
+      expression(text), n, hexDigits, minOne))
+
+  /** 16-bit SimHash of an `array<long>` of token hashes — codegen'd
+    * (composed aggregate/filter spelling pinned by
+    * Round14KernelSpec). */
+  def simhash16(hashes: Column): Column =
+    column(org.apache.spark.sql.graftshims.Simhash16(expression(hashes)))
 }

@@ -17,8 +17,16 @@ object Curation {
 
   /** Distinct 28-bit hashes of the word `n`-grams of `text` — one
     * truncated gram when the document is shorter than `n` tokens
-    * (mirrors `GREATEST(len-n+1, 1)` on the oracle side). */
-  def gramHashes(text: Column, n: Int): Column = {
+    * (mirrors `GREATEST(len-n+1, 1)` on the oracle side). Codegen'd
+    * kernel since round 14; [[gramHashesComposed]] is the
+    * Round14KernelSpec cross-check. */
+  def gramHashes(text: Column, n: Int): Column =
+    array_distinct(graft.functions.VectorExpressions.ngramHashes(
+      text, n, hexDigits = 7, minOne = true))
+
+  /** The pre-round-14 `transform(sequence(...))` HOF spelling of
+    * [[gramHashes]] — kept ONLY as the Round14KernelSpec cross-check. */
+  private[graft] def gramHashesComposed(text: Column, n: Int): Column = {
     val t = TextFunctions.tokens(text)
     array_distinct(transform(
       sequence(lit(1), greatest(size(t) - (n - 1), lit(1))),
@@ -211,14 +219,14 @@ object Curation {
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
     require(k > 0, s"window size must be > 0, got $k")
-    val t = TextFunctions.tokens(col(textCol))
-    val wins = transform(
-      sequence(lit(1), size(col("__t")) - (k - 1)),
-      i => TextFunctions.hash60(array_join(slice(col("__t"), i, lit(k)), " ")))
+    // codegen'd sliding-window hashes straight off the text (round 14:
+    // the transform/hash60 walk was CodegenFallback; a shorter-than-k
+    // doc yields an empty array, exactly the rows the old size filter
+    // dropped before its descending-sequence edge could fire)
     val spans = docs
-      .select(col(idCol), t.as("__t"))
-      .where(size(col("__t")) >= k)
-      .select(col(idCol), explode(wins).as("__wh"))
+      .select(col(idCol), explode(
+        graft.functions.VectorExpressions.ngramHashes(
+          col(textCol), k, hexDigits = 15, minOne = false)).as("__wh"))
     val dup = spans
       .groupBy(col("__wh"))
       .agg((min(col(idCol)) =!= max(col(idCol))).as("__crossdup"))
@@ -273,17 +281,22 @@ object Curation {
     * bounded by vocabulary, not document length.
     */
   def gopherQuality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("tk"))
+    val t = df.select(col(idCol), col(textCol),
+      TextFunctions.tokens(col(textCol)).as("tk"))
     val topc = t.select(col(idCol), explode(col("tk")).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
       .groupBy(idCol).agg(max("c").as("topc"))
-    val g3 = transform(
-      sequence(lit(1), greatest(size(col("tk")) - 2, lit(1))),
-      i => array_join(slice(col("tk"), i, lit(3)), " "))
+    // codegen'd truncated 3-grams (round 14; the transform walk was
+    // CodegenFallback — composed form pinned by Round14KernelSpec)
+    val g3 = graft.functions.VectorExpressions.wordNgramsMinOne(
+      col(textCol), 3)
+    // Σ token length ≡ length(text) − (n_tokens − 1): the single-space
+    // split partitions the text exactly (every separator is one char),
+    // so the interpreted aggregate-over-lengths fold is pure arithmetic
     val m = t.select(col(idCol),
       size(col("tk")).cast("double").as("nt"),
-      aggregate(transform(col("tk"), x => length(x).cast("long")),
-        lit(0L), (a, x) => a + x).cast("double").as("sumlen"),
+      (length(col(textCol)) - (size(col("tk")) - 1)).cast("double")
+        .as("sumlen"),
       g3.as("g3"))
     m.join(topc, Seq(idCol))
       .select(col(idCol),
@@ -552,15 +565,14 @@ object Curation {
   def noveltyScore(
       df: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    // hash inside the token array (repeatedSpans' shape): the explode
-    // emits int64s — gram strings are never materialized as rows
-    val hs = transform(
-      sequence(lit(1), size(col("__t")) - (n - 1)),
-      i => TextFunctions.hash60(array_join(slice(col("__t"), i, lit(n)), " ")))
+    // hash straight off the text (repeatedSpans' shape, codegen'd
+    // since round 14): the explode emits int64s — gram strings are
+    // never materialized as rows; shorter-than-n docs yield the empty
+    // array the old size filter used to drop
     val grams = df
-      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__t"))
-      .where(size(col("__t")) >= n)
-      .select(col(idCol), explode(hs).as("__g"))
+      .select(col(idCol), explode(
+        graft.functions.VectorExpressions.ngramHashes(
+          col(textCol), n, hexDigits = 15, minOne = false)).as("__g"))
       .distinct()
     val perDoc = grams.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
     val novel = grams.groupBy("__g").agg(min(col(idCol)).as("__first"))

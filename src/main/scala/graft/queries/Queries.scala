@@ -554,15 +554,24 @@ object Queries {
     val tks = toks(dialect)
     val ng = ngrams3(dialect)
     val dedup = if (dialect == "spark") "array_distinct" else "list_distinct"
-    // spark: fused codegen'd md5 loop (vec_hash28); duck: the same
-    // arithmetic via list_transform md5-prefix
-    val hashed =
-      if (dialect == "spark") "vec_hash28(ng)"
-      else s"list_transform(ng, s -> ${h28(dialect, "s")})"
-    s"""t AS (SELECT /*+ REPARTITION(32) */ doc_id, lang, $tks AS toks FROM $from),
-       |n AS (SELECT doc_id, lang, $dedup($ng) AS ng FROM t),
-       |hsh AS (SELECT doc_id, lang, $hashed AS hs FROM n)"""
-      .stripMargin
+    // spark: the WHOLE front-end (tokenize → 3-grams → distinct →
+    // md5-prefix hash) as the ONE fused codegen'd kernel the operators
+    // use (round 14 — the ngrams3 transform walk was CodegenFallback
+    // and kept these projections interpreted; MinHashShingleSpec pins
+    // kernel ≡ composed). duck: the composed arithmetic, the
+    // engine-independent replay.
+    if (dialect == "spark")
+      s"""t AS (SELECT /*+ REPARTITION(32) */ doc_id, lang, $tks AS toks FROM $from),
+         |n AS (SELECT doc_id, lang, $dedup($ng) AS ng FROM t),
+         |hsh AS (SELECT /*+ REPARTITION(32) */ doc_id, lang,
+         |  hashed_shingles(text, 3) AS hs FROM $from)"""
+        .stripMargin
+    else
+      s"""t AS (SELECT doc_id, lang, $tks AS toks FROM $from),
+         |n AS (SELECT doc_id, lang, $dedup($ng) AS ng FROM t),
+         |hsh AS (SELECT doc_id, lang,
+         |  list_transform(ng, s -> ${h28(dialect, "s")}) AS hs FROM n)"""
+        .stripMargin
   }
 
   private def qMinhashSignature(dialect: String): String =
@@ -801,13 +810,13 @@ object Queries {
   private def qSimhash(dialect: String): String = {
     val tks = toks(dialect)
     if (dialect == "spark")
+      // codegen'd kernels (round 14): vec_hash28 replaces the per-token
+      // md5 transform and vec_simhash16 the 16-pass aggregate/filter
+      // majority — value-identical by Round14KernelSpec, and the duck
+      // branch below stays the engine-independent composed replay
       s"""WITH t AS (SELECT /*+ REPARTITION(32) */ doc_id, array_distinct($tks) AS toks FROM documents),
-         |h AS (SELECT doc_id, transform(toks, tk -> ${h28(dialect, "tk")}) AS hs FROM t)
-         |SELECT doc_id,
-         |  aggregate(transform(sequence(0, 15), j ->
-         |      CASE WHEN 2 * size(filter(hs, v -> CAST(FLOOR(v / POW(2, j)) AS BIGINT) % 2 = 1)) > size(hs)
-         |           THEN CAST(POW(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
-         |    CAST(0 AS BIGINT), (acc, x) -> acc + x) AS simhash
+         |h AS (SELECT doc_id, vec_hash28(toks) AS hs FROM t)
+         |SELECT doc_id, vec_simhash16(hs) AS simhash
          |FROM h""".stripMargin
     else
       s"""WITH t AS (SELECT doc_id, list_distinct($tks) AS toks FROM documents),
@@ -853,24 +862,13 @@ object Queries {
   private def qSimhashNearDup(dialect: String): String = {
     val tks = toks(dialect)
     if (dialect == "spark") {
-      val hbCols = (0 until 4).map { b =>
-        s"    transform(ms, m -> CAST(conv(substring(m, ${1 + 4 * b}, 4), 16, 10) AS BIGINT)) AS h$b"
-      }.mkString(",\n")
-      def bandVal(b: Int): String =
-        s"""aggregate(transform(sequence(0, 15), j ->
-           |      CASE WHEN 2 * size(filter(h$b, v -> CAST(FLOOR(v / POW(2, j)) AS BIGINT) % 2 = 1)) > size(h$b)
-           |           THEN CAST(POW(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
-           |    CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin
-      val bandCols = (0 until 4).map(b => s"  ${bandVal(b)} AS b$b").mkString(",\n")
+      // vec_simhash_bands fuses the md5 transform, the four 16-bit
+      // digest slices, and the four per-band majorities into ONE
+      // codegen'd pass (round 14; the five interpreted HOF walks it
+      // replaces are the duck branch below and Round14KernelSpec's
+      // cross-check)
       s"""WITH t AS (SELECT /*+ REPARTITION(32) */ doc_id, array_distinct($tks) AS toks FROM documents),
-         |h AS (SELECT doc_id, transform(toks, tk -> md5(tk)) AS ms FROM t),
-         |hb AS (SELECT doc_id,
-         |$hbCols
-         |  FROM h),
-         |f AS (SELECT doc_id,
-         |$bandCols
-         |  FROM hb),
-         |sh AS (SELECT doc_id, array(b0, b1, b2, b3) AS bs FROM f),
+         |sh AS (SELECT doc_id, vec_simhash_bands(toks) AS bs FROM t),
          |bands AS (SELECT doc_id, bs, j, element_at(bs, j + 1) AS k
          |  FROM sh LATERAL VIEW explode(sequence(0, 3)) bt AS j),
          |cand AS (SELECT a.bs AS ba, b.bs AS bb, a.j AS j

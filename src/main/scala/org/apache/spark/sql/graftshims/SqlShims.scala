@@ -1275,6 +1275,240 @@ object VecScale {
   }
 }
 
+/** 16-bit SimHash over an `array<long>` of token hashes in ONE
+  * codegen'd pass — bit j of the result is set iff strictly more than
+  * half the NON-NULL hashes have bit j set (null elements count toward
+  * the denominator but never the numerator — `filter`'s null-predicate
+  * drop). Replaces the `aggregate(transform(sequence(0,15), j ->
+  * ...size(filter(...))...))` spelling (CodegenFallback, 16
+  * interpreted passes over the array per row; kept in
+  * Round14KernelSpec as the cross-check). The composed bit test is
+  * `floor(v / pow(2, j)) % 2 = 1`, which for the non-negative < 2^53
+  * hash domain equals `(v >> j) & 1` — negative or huge values fall
+  * back to the exact floating walk so the kernel is value-identical
+  * on EVERY input. Null array → 0 (the fold's when(NULL)→0 arms). */
+case class Simhash16(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_simhash16"
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    Simhash16.compute(child.eval(input).asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        |${c.code}
+        |long ${ev.value} = org.apache.spark.sql.graftshims.Simhash16.compute(
+        |  ${c.isNull} ? null : ${c.value});
+        |""".stripMargin,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash16 =
+    copy(child = newChild)
+}
+
+object Simhash16 {
+  /** The composed form's bit test on one value: `floor(v / 2^j) % 2 = 1`
+    * (kept exact for any long — shift only when provably equal). */
+  private def bitSet(v: Long, j: Int): Boolean =
+    if (v >= 0) ((v >> j) & 1L) == 1L
+    else {
+      val q = math.floor(v.toDouble / java.lang.Math.pow(2.0, j.toDouble)).toLong
+      q % 2 == 1
+    }
+
+  def compute(hs: ArrayData): Long = {
+    if (hs == null) return 0L
+    val n = hs.numElements()
+    val counts = new Array[Int](16)
+    var i = 0
+    while (i < n) {
+      if (!hs.isNullAt(i)) {
+        val v = hs.getLong(i)
+        var j = 0
+        while (j < 16) { if (bitSet(v, j)) counts(j) += 1; j += 1 }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 16) { if (2 * counts(j) > n) out |= (1L << j); j += 1 }
+    out
+  }
+}
+
+/** The SimHash near-dup gate's whole per-doc fingerprint — md5 per
+  * token, four disjoint 16-bit digest slices as band hashes, per-band
+  * 16-bit majority vector — fused into ONE codegen'd pass over the
+  * token array (the composed spelling runs FIVE interpreted HOF walks
+  * per row: one md5 transform plus four aggregate/filter majorities;
+  * Round14KernelSpec pins value identity). Band b's per-token hash is
+  * the integer of md5 hex chars [4b, 4b+4) = digest bits [16b,
+  * 16b+16); a null token contributes to every band's denominator but
+  * no numerator (transform maps null → null, filter drops it). Null
+  * array → [0, 0, 0, 0] (each band's fold collapses like
+  * [[Simhash16]]). */
+case class SimhashMd5Bands(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "vec_simhash_bands"
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    SimhashMd5Bands.compute(child.eval(input).asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        |${c.code}
+        |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        |  org.apache.spark.sql.graftshims.SimhashMd5Bands.compute(
+        |    ${c.isNull} ? null : ${c.value});
+        |""".stripMargin,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SimhashMd5Bands =
+    copy(child = newChild)
+}
+
+object SimhashMd5Bands {
+  def compute(toks: ArrayData): ArrayData = {
+    val n = if (toks == null) 0 else toks.numElements()
+    val total = n
+    // counts(b)(j): tokens whose band-b hash has bit j set
+    val counts = Array.ofDim[Int](4, 16)
+    if (toks != null) {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var i = 0
+      while (i < n) {
+        if (!toks.isNullAt(i)) {
+          md.reset()
+          val d = md.digest(toks.getUTF8String(i).getBytes)
+          var b = 0
+          while (b < 4) {
+            // hex chars [4b, 4b+4) = digest bytes [2b, 2b+2), big-endian
+            val h = ((d(2 * b) & 0xffL) << 8) | (d(2 * b + 1) & 0xffL)
+            var j = 0
+            while (j < 16) {
+              if (((h >> j) & 1L) == 1L) counts(b)(j) += 1
+              j += 1
+            }
+            b += 1
+          }
+        }
+        i += 1
+      }
+    }
+    val out = new Array[Long](4)
+    var b = 0
+    while (b < 4) {
+      var v = 0L
+      var j = 0
+      while (j < 16) { if (2 * counts(b)(j) > total) v |= (1L << j); j += 1 }
+      out(b) = v
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
+/** md5-prefix hashes of a text's word n-grams in ONE codegen'd pass —
+  * the [[HashedShingles]] shape generalized for the other gram feeds:
+  * `hexDigits` picks the 28-bit (7) or 60-bit (15) md5 prefix, no
+  * dedup (callers distinct where the composed form did), and `minOne`
+  * replicates the curation feeds' `greatest(len-n+1, 1)` truncation
+  * (one gram of ALL tokens when the doc is shorter than n). With
+  * minOne=false a shorter-than-n doc yields an empty array — callers
+  * there pre-filter on token count, so the descending-sequence edge of
+  * the composed spelling is unreachable (Round14KernelSpec pins both
+  * variants on the composed forms' shared domain). Null text → null. */
+case class NgramHashes(
+    child: Expression, n: Int, hexDigits: Int, minOne: Boolean)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(n >= 1, s"ngram width must be >= 1, got $n")
+  require(hexDigits == 7 || hexDigits == 15,
+    s"hexDigits must be 7 (hash28) or 15 (hash60), got $hexDigits")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hashes"
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(v: Any): Any =
+    NgramHashes.compute(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      n, hexDigits, minOne)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      s"""${ev.value} = org.apache.spark.sql.graftshims.NgramHashes.compute(
+         |  $t, $n, $hexDigits, $minOne);""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NgramHashes =
+    copy(child = newChild)
+}
+
+object NgramHashes {
+  /** Integer value of the md5's leading 15 hex digits = the digest's
+    * first 60 bits, big-endian (TextFunctions.hash60's arithmetic). */
+  def first60Bits(d: Array[Byte]): Long =
+    ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) |
+      ((d(2) & 0xffL) << 36) | ((d(3) & 0xffL) << 28) |
+      ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
+      ((d(6) & 0xffL) << 4) | ((d(7) & 0xffL) >>> 4)
+
+  def compute(text: org.apache.spark.unsafe.types.UTF8String,
+      n: Int, hexDigits: Int, minOne: Boolean): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val count =
+      if (toks.length >= n) toks.length - n + 1
+      else if (minOne) 1
+      else 0
+    val out = new Array[Long](count)
+    if (count > 0) {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i < count) {
+        sb.setLength(0)
+        // slice(t, i+1, n) clamps at the array end — the minOne
+        // truncated gram is simply every token
+        val hi = math.min(i + n, toks.length)
+        var k = i
+        while (k < hi) {
+          if (k > i) sb.append(' ')
+          sb.append(toks(k))
+          k += 1
+        }
+        md.reset()
+        val d = md.digest(
+          sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out(i) =
+          if (hexDigits == 7) Hash28Array.first28Bits(d) else first60Bits(d)
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
 /** Word n-grams of a single-space-tokenized text — the UN-hashed,
   * UN-deduped front half of [[HashedShingles]] as its own codegen'd
   * kernel, for the feeds that need the gram STRINGS (CMS terms, HLL
@@ -1286,7 +1520,7 @@ object VecScale {
   * projection interpreted. Bit-identical semantics: single-space
   * tokenizer keeping trailing empties, empty array when fewer than n
   * tokens, grams joined with single spaces, null text → null. */
-case class WordNgrams(child: Expression, n: Int)
+case class WordNgrams(child: Expression, n: Int, minOne: Boolean = false)
     extends UnaryExpression with ExpectsInputTypes {
 
   require(n >= 1, s"ngram width must be >= 1, got $n")
@@ -1300,11 +1534,11 @@ case class WordNgrams(child: Expression, n: Int)
 
   override protected def nullSafeEval(v: Any): Any =
     WordNgrams.compute(
-      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, minOne)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, t => {
-      s"${ev.value} = org.apache.spark.sql.graftshims.WordNgrams.compute($t, $n);"
+      s"${ev.value} = org.apache.spark.sql.graftshims.WordNgrams.compute($t, $n, $minOne);"
     })
 
   override protected def withNewChildInternal(newChild: Expression): WordNgrams =
@@ -1313,22 +1547,26 @@ case class WordNgrams(child: Expression, n: Int)
 
 object WordNgrams {
   def compute(text: org.apache.spark.unsafe.types.UTF8String,
-      n: Int): ArrayData = {
+      n: Int, minOne: Boolean): ArrayData = {
     // Java split with limit -1 = Spark's split(text, " "): single-space
     // regex, trailing empty tokens kept (the HashedShingles contract)
     val toks = text.toString.split(" ", -1)
-    if (toks.length < n)
-      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        new Array[Any](0))
-    val out = new Array[Any](toks.length - n + 1)
+    val count =
+      if (toks.length >= n) toks.length - n + 1
+      // the gopher/curation feeds' `greatest(len-n+1, 1)` truncation:
+      // one gram of ALL tokens when the doc is shorter than n
+      else if (minOne) 1
+      else 0
+    val out = new Array[Any](count)
     val sb = new java.lang.StringBuilder()
     var i = 0
-    while (i <= toks.length - n) {
+    while (i < count) {
       sb.setLength(0)
-      var k = 0
-      while (k < n) {
-        if (k > 0) sb.append(' ')
-        sb.append(toks(i + k))
+      val hi = math.min(i + n, toks.length)
+      var k = i
+      while (k < hi) {
+        if (k > i) sb.append(' ')
+        sb.append(toks(k))
         k += 1
       }
       out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)

@@ -185,6 +185,119 @@ class Round14KernelSpec extends SparkTestBase {
       TextFunctions.wordNgramsComposed(col("text"), 3)), "wordNgrams corpus")
   }
 
+  test("Simhash16 ≡ aggregate/filter majority on adversarial hash arrays") {
+    val composed = expr(
+      "aggregate(transform(sequence(0, 15), j -> " +
+        "CASE WHEN 2 * size(filter(hs, v -> CAST(FLOOR(v / POW(2, j)) AS BIGINT) % 2 = 1)) > size(hs) " +
+        "THEN CAST(POW(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END), " +
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+    val arrays: Seq[Seq[java.lang.Long]] = Seq(
+      Seq.empty,
+      Seq(0L: java.lang.Long),
+      Seq(65535L, 65535L, 0L).map(Long.box),
+      Seq(1L, 3L, 5L, 268435455L).map(Long.box),
+      Seq[java.lang.Long](null, 7L, null, 65535L),          // null elements
+      (1L to 40L).map(i => Long.box(i * 12345L)))
+    val df = (arrays.map(Tuple1(_)) :+
+      Tuple1(null.asInstanceOf[Seq[java.lang.Long]])).toDF("hs")
+    df.select(VectorExpressions.simhash16(col("hs")), composed).collect()
+      .foreach { r =>
+        assert(!r.isNullAt(0) && !r.isNullAt(1) && r.getLong(0) == r.getLong(1),
+          s"simhash16 mismatch: fused=${r.get(0)} hof=${r.get(1)}")
+      }
+  }
+
+  test("Simhash16 + vec_hash28 ≡ the composed SQL spelling on the corpus") {
+    graft.queries.Queries.registerViews(spark, "/root/testdata/sf0.001")
+    val rows = spark.sql(
+      """WITH t AS (SELECT doc_id, array_distinct(split(text, ' ')) AS toks FROM documents),
+        |h AS (SELECT doc_id, transform(toks, tk -> CAST(conv(substring(md5(tk), 1, 7), 16, 10) AS BIGINT)) AS hs,
+        |  vec_hash28(toks) AS hs2 FROM t)
+        |SELECT doc_id,
+        |  aggregate(transform(sequence(0, 15), j ->
+        |      CASE WHEN 2 * size(filter(hs, v -> CAST(FLOOR(v / POW(2, j)) AS BIGINT) % 2 = 1)) > size(hs)
+        |           THEN CAST(POW(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+        |    CAST(0 AS BIGINT), (acc, x) -> acc + x) AS hof,
+        |  vec_simhash16(hs2) AS fused
+        |FROM h""".stripMargin).collect()
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"doc ${r.get(0)}: hof=${r.get(1)} fused=${r.get(2)}"))
+  }
+
+  test("SimhashMd5Bands ≡ the four-band composed SQL spelling on the corpus") {
+    graft.queries.Queries.registerViews(spark, "/root/testdata/sf0.001")
+    val hbCols = (0 until 4).map { b =>
+      s"transform(ms, m -> CAST(conv(substring(m, ${1 + 4 * b}, 4), 16, 10) AS BIGINT)) AS h$b"
+    }.mkString(",\n")
+    def bandVal(b: Int): String =
+      s"""aggregate(transform(sequence(0, 15), j ->
+         |      CASE WHEN 2 * size(filter(h$b, v -> CAST(FLOOR(v / POW(2, j)) AS BIGINT) % 2 = 1)) > size(h$b)
+         |           THEN CAST(POW(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+         |    CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin
+    val bandCols = (0 until 4).map(b => s"${bandVal(b)} AS b$b").mkString(",\n")
+    val rows = spark.sql(
+      s"""WITH t AS (SELECT doc_id, array_distinct(split(text, ' ')) AS toks FROM documents),
+         |h AS (SELECT doc_id, toks, transform(toks, tk -> md5(tk)) AS ms FROM t),
+         |hb AS (SELECT doc_id, toks, $hbCols FROM h),
+         |f AS (SELECT doc_id, toks, $bandCols FROM hb)
+         |SELECT array(b0, b1, b2, b3) AS hof, vec_simhash_bands(toks) AS fused
+         |FROM f""".stripMargin).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+      s"bands mismatch: hof=${r.getSeq[Long](0)} fused=${r.getSeq[Long](1)}"))
+  }
+
+  test("NgramHashes ≡ the hash28/hash60 transform walks, truncation included") {
+    import graft.operators.Curation
+    val texts = Seq(
+      "", " ", "a", "a b", "a b c d e f g h i j",
+      "a  b  c", "x y z ", " lead tail ",
+      "ünïcödé tökens ärë hàshed by utf-8 bytes here ok now")
+      .toDF("text")
+    // hash28 truncated (gramHashes' composed spelling). NULL text is
+    // the ONE documented divergence: the composed form's greatest()
+    // null-skip yields a single-NULL-element array there while the
+    // kernel yields NULL — unreachable through every consumer (text
+    // columns are non-null; a [NULL] gram exploded would join nothing
+    // anyway), and the kernel's NULL is the saner contract.
+    for (n <- Seq(2, 8))
+      assertColsEqual(texts.select(
+        graft.operators.Curation.gramHashes(col("text"), n),
+        Curation.gramHashesComposed(col("text"), n)), s"gramHashes n=$n")
+    val nullRow = spark.sql("SELECT CAST(NULL AS STRING) AS text").select(
+      graft.operators.Curation.gramHashes(col("text"), 2),
+      Curation.gramHashesComposed(col("text"), 2)).head()
+    assert(nullRow.isNullAt(0) && nullRow.getSeq[Any](1) == Seq(null),
+      s"documented null-text divergence moved: ${nullRow}")
+    // hash60 sliding (repeatedSpans/novelty shape) on the >= n domain
+    for (n <- Seq(2, 8)) {
+      val t = TextFunctions.tokens(col("text"))
+      val composed = transform(
+        sequence(lit(1), size(t) - (n - 1)),
+        i => TextFunctions.hash60(array_join(slice(t, i, lit(n)), " ")))
+      assertColsEqual(texts
+        .where(size(TextFunctions.tokens(col("text"))) >= n)
+        .select(
+          VectorExpressions.ngramHashes(col("text"), n, 15, minOne = false),
+          composed), s"hash60 ngrams n=$n")
+    }
+  }
+
+  test("wordNgramsMinOne ≡ the gopher truncated-3-gram walk; sumlen arithmetic") {
+    graft.queries.Queries.registerViews(spark, "/root/testdata/sf0.001")
+    val docs = spark.table("documents").select("text")
+      .unionByName(Seq("", "a", "a  b ").toDF("text"))
+    val t = TextFunctions.tokens(col("text"))
+    val g3hof = transform(
+      sequence(lit(1), greatest(size(t) - 2, lit(1))),
+      i => array_join(slice(t, i, lit(3)), " "))
+    assertColsEqual(docs.select(
+      VectorExpressions.wordNgramsMinOne(col("text"), 3), g3hof), "g3")
+    val sumHof = aggregate(transform(t, x => length(x).cast("long")),
+      lit(0L), (a, x) => a + x)
+    assertColsEqual(docs.select(
+      (length(col("text")) - (size(t) - 1)).cast("long"), sumHof), "sumlen")
+  }
+
   test("bigramPairs via the kernel ≡ the struct-walk spelling, empty tokens included") {
     val docs = Seq(
       (1L, "a b c"), (2L, "single"), (3L, ""), (4L, "a  b"),
