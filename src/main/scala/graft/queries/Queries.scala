@@ -65,6 +65,22 @@ object Queries {
   private def sqlQuery(text: String): (SparkSession, String) => DataFrame =
     (spark, dir) => { registerViews(spark, dir); spark.sql(text) }
 
+  /** Multiset equality of two same-schema frames in ONE job — the
+    * boolean the equivalence-probe gates previously spelled
+    * `a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty` (two full
+    * anti-aggregations, four jobs). Signed per-row counts over the
+    * union cancel exactly when the multisets agree — identical truth
+    * value on every input, computed with one aggregate + limit(1). */
+  private def multisetEqual(a: DataFrame, b: DataFrame): Boolean = {
+    val cols = a.columns.toSeq
+    a.withColumn("__s", lit(1L))
+      .unionByName(b.select(cols.map(col): _*).withColumn("__s", lit(-1L)))
+      .groupBy(cols.map(col): _*)
+      .agg(sum(col("__s")).as("__n"))
+      .where(col("__n") =!= 0)
+      .isEmpty
+  }
+
   // ---- schema-adaptive event-time accessors --------------------------------
   //
   // The driver has regenerated events.parquet with different physical
@@ -4835,9 +4851,8 @@ object Queries {
         batch, freshLog.snapshot.read(), "doc_id", "text", threshold = 0.5,
         hashedBatch = Some(hNew))
         .localCheckpoint()
-      val matches =
-        viaIndex.select("doc_id").exceptAll(direct.select("doc_id")).isEmpty &&
-          direct.select("doc_id").exceptAll(viaIndex.select("doc_id")).isEmpty
+      val matches = multisetEqual(
+        viaIndex.select("doc_id"), direct.select("doc_id"))
       viaIndex.select(col("doc_id"), col("lang"), col("source"),
         lit(if (oldKept) 1L else 0L).as("old_entries_kept"),
         lit(if (newCovered) 1L else 0L).as("new_files_covered"),
@@ -4875,8 +4890,7 @@ object Queries {
         s"GRAFT REFRESH LSH INDEX ON '$tmp' (doc_id, text)").collect()
       val after = graft.delta.LshIndex.entries(fresh, "doc_id", "text").get
         .select("doc_id", "hs", "ks", "version").localCheckpoint()
-      val carried = after.exceptAll(before).isEmpty &&
-        before.exceptAll(after).isEmpty
+      val carried = multisetEqual(after, before)
       val filesAfter = graft.delta.LshIndex.entries(fresh, "doc_id", "text")
         .get.select("file_path").distinct().count()
       val compacted = filesAfter < filesBefore &&
@@ -4910,9 +4924,8 @@ object Queries {
         batch, fresh2.snapshot.read(), "doc_id", "text", threshold = 0.5,
         hashedBatch = Some(hNew))
         .localCheckpoint()
-      val matches =
-        viaIndex.select("doc_id").exceptAll(direct.select("doc_id")).isEmpty &&
-          direct.select("doc_id").exceptAll(viaIndex.select("doc_id")).isEmpty
+      val matches = multisetEqual(
+        viaIndex.select("doc_id"), direct.select("doc_id"))
       viaIndex.select(col("doc_id"), col("lang"), col("source"),
         lit(if (carried) 1L else 0L).as("entries_carried_verbatim"),
         lit(if (compacted) 1L else 0L).as("layout_compacted"),
@@ -5030,9 +5043,7 @@ object Queries {
         batch, freshLog.snapshot.read(), "doc_id", "text", threshold = 0.9,
         hashedBatch = Some(hNew))
         .localCheckpoint()
-      val matches =
-        viaIndex.exceptAll(direct).isEmpty &&
-          direct.exceptAll(viaIndex).isEmpty
+      val matches = multisetEqual(viaIndex, direct)
       viaIndex.select(col("id_new").as("doc_new"),
         col("id_prior").as("doc_prior"), col("containment"),
         lit(if (oldKept) 1L else 0L).as("old_entries_kept"),
@@ -5369,8 +5380,7 @@ object Queries {
         s.read.parquet(ivfIndexCentroidsPath),
         "vec_id", "embedding", k = 3, nprobe = 2)
         .localCheckpoint()
-      val matches = viaIdx.exceptAll(direct).isEmpty &&
-        direct.exceptAll(viaIdx).isEmpty
+      val matches = multisetEqual(viaIdx, direct)
       viaIdx.select(col("query_id"), col("neighbor_id"), col("sim"), col("rnk"),
         lit(if (oldKept) 1L else 0L).as("old_entries_kept"),
         lit(if (newCovered) 1L else 0L).as("new_files_covered"),
@@ -5433,8 +5443,7 @@ object Queries {
         freshLog.snapshot.read(), queries, "vec_id", "embedding",
         coarse, books, kNeighbors = 3, nprobe = 2)
         .localCheckpoint()
-      val matches = viaIdx.exceptAll(direct).isEmpty &&
-        direct.exceptAll(viaIdx).isEmpty
+      val matches = multisetEqual(viaIdx, direct)
       viaIdx.select(col("query_id"), col("neighbor_id"), col("adist"),
         col("rnk"),
         lit(if (oldKept) 1L else 0L).as("old_entries_kept"),
@@ -5665,7 +5674,7 @@ object Queries {
           d, Seq("lang"), "doc_id", "n_chars", Seq(25, 50, 90))
       val qm = q(merged)
       val qw = q(sk(docs))
-      val matches = qm.exceptAll(qw).isEmpty && qw.exceptAll(qm).isEmpty
+      val matches = multisetEqual(qm, qw)
       qm.withColumn("matches_whole", lit(if (matches) 1L else 0L))
     }),
     // DSIR-style importance selection: score raw docs by target-likeness
