@@ -170,20 +170,23 @@ object Classifier {
   def pmiCooccurrence(
       df: DataFrame, textCol: String,
       window: Int = 2, minCount: Long = 5L): DataFrame = {
-    val toks = df.select(TextFunctions.tokens(col(textCol)).as("__w"))
-    // (w1, w2) at distances 1..window, normalized so w1 <= w2: one
-    // shifted zip per distance (window is a small constant), unioned.
-    // slice with a 0 length yields an empty array, so short documents
-    // contribute nothing — no descending-sequence edge cases.
+    // (w1, w2) at distances 1..window, normalized so w1 <= w2. A pair
+    // at distance d is the (first, last) token of a (d+1)-gram, and
+    // tokens carry no spaces, so substring_index on the codegen'd
+    // [[graft.functions.VectorExpressions.wordNgrams]] kernel's grams
+    // recovers them losslessly (round 14 — the indexed-lambda
+    // transform walk this replaces was CodegenFallback; short docs
+    // contribute nothing through the empty-array explode exactly as
+    // the old 0-length slice did). Pair multiset pinned by
+    // Round14KernelSpec against the composed spelling.
     val pairs = (1 to window).map { d =>
-      toks.select(explode(expr(
-        s"""transform(slice(__w, 1, greatest(size(__w) - $d, 0)),
-           |  (x, i) -> struct(
-           |    least(x, element_at(__w, i + 1 + $d)) AS w1,
-           |    greatest(x, element_at(__w, i + 1 + $d)) AS w2))""".stripMargin))
-        .as("__p"))
+      df.select(explode(graft.functions.VectorExpressions.wordNgrams(
+          col(textCol), d + 1)).as("__g"))
+        .select(substring_index(col("__g"), " ", 1).as("__wa"),
+          substring_index(col("__g"), " ", -1).as("__wb"))
     }.reduce(_ union _)
-      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+      .select(least(col("__wa"), col("__wb")).as("w1"),
+        greatest(col("__wa"), col("__wb")).as("w2"))
     val uni = df.select(explode(TextFunctions.tokens(col(textCol))).as("__t"))
       .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
     val nTok = uni.agg(sum(col("__c")).as("__ntok"))

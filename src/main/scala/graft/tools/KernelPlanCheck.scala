@@ -32,7 +32,7 @@ object KernelPlanCheck {
     // the OLD composed form, for contrast, must show the fallback
     val composed = s.table("documents").select(
       graft.functions.VectorExpressions.hash28Array(array_distinct(
-        graft.functions.TextFunctions.wordNgrams(col("text"), 3))).as("hs"))
+        graft.functions.TextFunctions.wordNgramsComposed(col("text"), 3))).as("hs"))
     val p1b = composed.queryExecution.executedPlan.toString
     // the scan keeps its own codegen span; the CONTRAST is the Project
     // carrying the HOF pipeline sitting OUTSIDE any span (no "*(" on

@@ -298,6 +298,30 @@ class Round14KernelSpec extends SparkTestBase {
       (length(col("text")) - (size(t) - 1)).cast("long"), sumHof), "sumlen")
   }
 
+  test("pmi skip-gram pairs via the kernel ≡ the indexed-lambda spelling") {
+    graft.queries.Queries.registerViews(spark, "/root/testdata/sf0.001")
+    val docs = spark.table("documents").select("text")
+      .unionByName(Seq("", "one", "a  b c ", " x y").toDF("text"))
+    for (d <- Seq(1, 2)) {
+      val hof = docs.select(col("text").as("__w0"))
+        .select(split(col("__w0"), " ").as("__w"))
+        .select(explode(expr(
+          s"""transform(slice(__w, 1, greatest(size(__w) - $d, 0)),
+             |  (x, i) -> struct(
+             |    least(x, element_at(__w, i + 1 + $d)) AS w1,
+             |    greatest(x, element_at(__w, i + 1 + $d)) AS w2))""".stripMargin))
+          .as("__p"))
+        .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+      val kernel = docs.select(explode(
+          VectorExpressions.wordNgrams(col("text"), d + 1)).as("__g"))
+        .select(substring_index(col("__g"), " ", 1).as("__wa"),
+          substring_index(col("__g"), " ", -1).as("__wb"))
+        .select(least(col("__wa"), col("__wb")).as("w1"),
+          greatest(col("__wa"), col("__wb")).as("w2"))
+      assertSameRows(kernel, hof, s"pmi pairs d=$d")
+    }
+  }
+
   test("bigramPairs via the kernel ≡ the struct-walk spelling, empty tokens included") {
     val docs = Seq(
       (1L, "a b c"), (2L, "single"), (3L, ""), (4L, "a  b"),
